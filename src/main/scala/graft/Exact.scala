@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic helpers for oracle parity.
+  *
+  * The testdata money columns are doubles with 2 decimal digits (plus float
+  * noise ≤ 1e-9). Summing raw doubles is accumulation-order dependent, so a
+  * Spark result and a DuckDB oracle can differ in the last ulp. Converting
+  * each value to integer "cents" BEFORE aggregating makes every aggregate
+  * exact and bit-identical across engines:
+  *   round(x * 100) is > 1e5 away from any .5 boundary at this precision,
+  *   so Spark HALF_UP and DuckDB half-away-from-zero agree.
+  */
+object Exact {
+  /** 2-dp money -> integer cents. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** product of two 2-dp values -> integer 1e-4 units. */
+  def cents4(c: Column): Column = round(c * 10000, 0).cast("long")
+  /** product of three 2-dp values -> integer 1e-6 units. */
+  def cents6(c: Column): Column = round(c * 1000000, 0).cast("long")
+
+  /** DuckDB-side equivalents, for building oracle SQL strings. */
+  def sqlCents(e: String): String  = s"CAST(round(($e)*100,0) AS BIGINT)"
+  def sqlCents4(e: String): String = s"CAST(round(($e)*10000,0) AS BIGINT)"
+  def sqlCents6(e: String): String = s"CAST(round(($e)*1000000,0) AS BIGINT)"
+  /** DuckDB SUM(BIGINT) returns HUGEINT; pin the output schema back to int64. */
+  def sqlSum(e: String): String = s"CAST(SUM($e) AS BIGINT)"
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.{CosineSimilarity, DotProduct, Gunzip, Gzip}
+
+/** Registers graft's custom Catalyst expressions as SQL functions, both
+  * via `SparkSessionExtensions` (for `.withExtensions` /
+  * `spark.sql.extensions=graft.GraftExtensions`) and imperatively for
+  * sessions the driver already built (Verify/Bench receive a plain
+  * session).
+  *
+  * Functions: `gunzip(binary)`, `gzip(binary)`, `vec_dot(a,b)`,
+  * `vec_cosine(a,b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "gunzip" -> (args => Gunzip(args.head)),
+    "gzip" -> (args => Gzip(args.head)),
+    "vec_dot" -> (args => DotProduct(args(0), args(1))),
+    "vec_cosine" -> (args => CosineSimilarity(args(0), args(1))),
+  )
+
+  /** Idempotently register the functions on an existing session. */
+  def install(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, FunctionRegistry.FUNC_ALIAS)
+    }
+  }
+}

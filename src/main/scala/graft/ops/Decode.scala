@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.expr.GzipFunctions.{gunzip, gzip}
+
+/** The reference's per-record decode→parse→explode→project chain
+  * (SURVEY.md §2.2–2.3), re-expressed as declarative Spark projections so
+  * the whole chain fuses into one whole-stage-codegen pass — the same
+  * fusion the Go loop does by hand (reference main.go:456–543), but
+  * columnar and distributed.
+  *
+  * Fixture columns are synthesized deterministically from `events`
+  * (Synth.scala) so every SQL-expressible operator has a DuckDB oracle.
+  * gzip steps use the custom Catalyst expressions in expr/Gunzip.scala
+  * (not SQL-expressible → rows-only check + ScalaTest round-trips).
+  */
+object Decode {
+
+  /** CloudWatch payload schema (reference incoming/firehose.go:31–44). */
+  val cwSchema: String =
+    "messageType STRING, owner STRING, logGroup STRING, logStream STRING, " +
+      "subscriptionFilters ARRAY<STRING>, " +
+      "logEvents ARRAY<STRUCT<id: STRING, timestamp: BIGINT, message: STRING>>"
+
+  /** F4: JSON-or-text message normalization (reference main.go:492–510):
+    * any valid JSON (object OR scalar) passes through verbatim; invalid
+    * JSON is wrapped as {"text": msg}. */
+  private def jsonOrText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(try_parse_json(c).isNotNull, c)
+      .otherwise(to_json(struct(c.as("text"))))
+
+  private val jsonOrTextSql =
+    "CASE WHEN json_valid(msg) THEN msg ELSE to_json({'text': msg}) END"
+
+  /** F1: base64 decode (reference main.go:463–470). Emits both the
+    * encoded form and the decode(encode(x)) round-trip. */
+  val unbase64Op = QueryDef(
+    "k2e_unbase64",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      base64(col("props").cast("binary")).as("b64"),
+      unbase64(base64(col("props").cast("binary"))).cast("string").as("roundtrip")),
+    Some("""SELECT event_id, base64(encode(props)) AS b64,
+           |  decode(from_base64(base64(encode(props)))) AS roundtrip FROM events""".stripMargin))
+
+  /** F2: gzip round-trip via the custom Catalyst Gunzip/Gzip expressions.
+    * Not expressible in DuckDB SQL → rows-only check; ScalaTest covers
+    * the round-trip law (gunzip(gzip(x)) == x). */
+  val gunzipOp = QueryDef(
+    "k2e_gunzip",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      gunzip(gzip(col("props").cast("binary"))).cast("string").as("roundtrip"),
+      length(gzip(col("props").cast("binary"))).as("gz_len")),
+    None)
+
+  /** S2: content sniffing — gzip magic-byte detection (reference
+    * main.go:74–121 sniffs the body to catch mislabeled encodings).
+    * Oracle recomputes ground truth from the construction rule. */
+  val detectGzipOp = QueryDef(
+    "k2e_detect_gzip",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      (upper(hex(substring(
+        when(col("user_id") % 2 === 0, gzip(col("props").cast("binary")))
+          .otherwise(col("props").cast("binary")), 1, 2))) === "1F8B").as("is_gzip")),
+    Some("SELECT event_id, user_id % 2 = 0 AS is_gzip FROM events"))
+
+  /** F3: JSON envelope parse (reference main.go:481–488). */
+  val fromJsonOp = QueryDef(
+    "k2e_from_json",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      from_json(col("props"), "k BIGINT").getField("k").as("k_val")),
+    Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events"))
+
+  /** F4: JSON-or-text (reference main.go:492–510). */
+  val jsonOrTextOp = QueryDef(
+    "k2e_json_or_text",
+    (s, dir) => Synth.eventsWithMsg(s, dir).select(
+      col("event_id"), col("msg"),
+      jsonOrText(col("msg")).as("message")),
+    Some(Synth.withMsg(
+      s"SELECT event_id, msg, $jsonOrTextSql AS message FROM ev")))
+
+  /** F5: epoch-ms → UTC timestamp promotion (reference main.go:515, 526).
+    * Emitted as epoch millis to keep the compared schema engine-neutral. */
+  val timestampMillisOp = QueryDef(
+    "k2e_timestamp_millis",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      col("ts_ms").as("batch_ms"),
+      unix_millis(timestamp_millis(col("ts_ms"))).as("roundtrip_ms"),
+      date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss").as("iso")),
+    Some("""SELECT event_id, epoch_ms(ts) AS batch_ms,
+           |  epoch_ms(make_timestamp(epoch_ms(ts)*1000)) AS roundtrip_ms,
+           |  strftime(make_timestamp(epoch_ms(ts)*1000), '%Y-%m-%dT%H:%M:%S') AS iso
+           |FROM events""".stripMargin))
+
+  /** X1: records explode with position (reference main.go:460). */
+  val explodeRecordsOp = QueryDef(
+    "k2e_explode_records",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("records_csv",
+        expr("concat(event_type, ',', user_id, ',', event_id)"))
+      .select(col("event_id"), posexplode(split(col("records_csv"), ",")))
+      .select(col("event_id"), col("pos"), col("col").as("rec")),
+    Some("""WITH p AS (SELECT event_id,
+           |  string_split(concat(event_type, ',', user_id, ',', event_id), ',') AS parts FROM events)
+           |SELECT event_id, 0 AS pos, parts[1] AS rec FROM p
+           |UNION ALL SELECT event_id, 1, parts[2] FROM p
+           |UNION ALL SELECT event_id, 2, parts[3] FROM p""".stripMargin))
+
+  /** X1+X2: nested two-level explode (records → logEvents), the
+    * reference's one-request→N-records→M-documents fan-out
+    * (reference main.go:228, outgoing/elasticOutput.go:10–11). */
+  val explodeEventsOp = QueryDef(
+    "k2e_explode_events",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("batch",
+        expr("concat(event_type, ',', user_id, '|sys', ',', event_id % 7)"))
+      .select(col("event_id"), posexplode(split(col("batch"), "[|]")))
+      .withColumnRenamed("pos", "rec_pos")
+      .select(col("event_id"), col("rec_pos"), posexplode(split(col("col"), ",")))
+      .select(col("event_id"), col("rec_pos"), col("pos").as("field_pos"), col("col").as("v")),
+    Some("""WITH p AS (SELECT event_id,
+           |  string_split(concat(event_type, ',', user_id), ',') AS r0,
+           |  string_split(concat('sys', ',', event_id % 7), ',') AS r1 FROM events)
+           |SELECT event_id, 0 AS rec_pos, 0 AS field_pos, r0[1] AS v FROM p
+           |UNION ALL SELECT event_id, 0, 1, r0[2] FROM p
+           |UNION ALL SELECT event_id, 1, 0, r1[1] FROM p
+           |UNION ALL SELECT event_id, 1, 1, r1[2] FROM p""".stripMargin))
+
+  /** F6: projection into the nested out-Document shape (reference
+    * outgoing/elasticOutput.go:12–35), emitted as its JSON rendering. */
+  val projectStructOp = QueryDef(
+    "k2e_project_struct",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      to_json(struct(
+        lit("req-1").as("requestId"),
+        struct(struct(
+          concat(lit("/app/"), col("event_type")).as("logGroup"),
+          col("user_id").as("owner")).as("data")).as("records"))).as("doc_json")),
+    Some("""SELECT event_id,
+           |  to_json({'requestId': 'req-1',
+           |           'records': {'data': {'logGroup': concat('/app/', event_type),
+           |                                'owner': user_id}}}) AS doc_json
+           |FROM events""".stripMargin))
+
+  /** F8: request-id propagation with the reference's "manual" fallback
+    * for a missing X-Amz-Firehose-Request-Id (reference main.go:260–266). */
+  val litRequestIdOp = QueryDef(
+    "k2e_lit_requestid",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("hdr", expr("CASE WHEN event_id % 5 = 0 THEN '' ELSE concat('req-', user_id % 10) END"))
+      .withColumn("requestId", coalesce(nullif(col("hdr"), lit("")), lit("manual")))
+      .groupBy("requestId").agg(count(lit(1)).as("n")),
+    Some("""SELECT coalesce(nullif(CASE WHEN event_id % 5 = 0 THEN '' ELSE concat('req-', user_id % 10) END, ''), 'manual') AS requestId,
+           |  count(*) AS n FROM events GROUP BY 1""".stripMargin))
+
+  /** P15/S7 semantics: permissive parse + dead-letter routing instead of
+    * the reference's whole-batch abort (main.go:469–535) — the deliberate
+    * semantic upgrade flagged in SURVEY.md §2.3. */
+  val deadletterOp = QueryDef(
+    "k2e_deadletter",
+    (s, dir) => Synth.eventsWithMsg(s, dir)
+      .withColumn("k_val", from_json(col("msg"), "k BIGINT").getField("k"))
+      .select(
+        col("event_id"),
+        when(col("k_val").isNotNull, "ok").otherwise("error").as("status"),
+        when(col("k_val").isNull, concat(lit("unparseable: "), col("msg"))).as("err")),
+    Some(Synth.withMsg(
+      """SELECT event_id,
+        |  CASE WHEN k_val IS NOT NULL THEN 'ok' ELSE 'error' END AS status,
+        |  CASE WHEN k_val IS NULL THEN concat('unparseable: ', msg) END AS err
+        |FROM (SELECT event_id, msg,
+        |  CASE WHEN json_valid(msg) THEN CAST(json_extract_string(msg, '$.k') AS BIGINT) END AS k_val
+        |  FROM ev)""".stripMargin)))
+
+  // ---------------------------------------------------------------- pipeline
+
+  /** Build the synthetic Firehose `data` column: base64(payload-JSON),
+    * optionally with the reference's per-record gzip layer inside. */
+  private def firehoseData(s: SparkSession, dir: String, withGzip: Boolean): DataFrame = {
+    val payload = Synth.eventsWithMsg(s, dir).withColumn("payload", to_json(struct(
+      lit("DATA_MESSAGE").as("messageType"),
+      lit("111111111111").as("owner"),
+      concat(lit("/app/"), col("event_type")).as("logGroup"),
+      concat(lit("stream-"), col("user_id") % 8).as("logStream"),
+      array(lit("all-events")).as("subscriptionFilters"),
+      array(
+        struct(
+          concat(lit("e"), col("event_id"), lit("-0")).as("id"),
+          col("ts_ms").as("timestamp"),
+          col("props").as("message")),
+        struct(
+          concat(lit("e"), col("event_id"), lit("-1")).as("id"),
+          (col("ts_ms") + 1000).as("timestamp"),
+          col("msg").as("message"))).as("logEvents"))))
+    val data =
+      if (withGzip) base64(gzip(col("payload").cast("binary")))
+      else base64(col("payload").cast("binary"))
+    payload.select(col("event_id"), col("ts_ms").as("batch_ms"), data.as("data"))
+  }
+
+  /** The full reference dataflow F1→F3→X2→F4→F5→F6 on one frame.
+    * `withGzip=false` keeps it DuckDB-expressible; the gzip variant is the
+    * true reference semantics (base64(gzip(json)), main.go:463–479). */
+  def pipeline(s: SparkSession, dir: String, withGzip: Boolean): DataFrame = {
+    val decoded = firehoseData(s, dir, withGzip)
+      .withColumn("raw",
+        (if (withGzip) gunzip(unbase64(col("data"))) else unbase64(col("data"))).cast("string"))
+      .withColumn("d", from_json(col("raw"), cwSchema))
+    decoded
+      .select(
+        col("event_id"), col("batch_ms"),
+        col("d.logGroup").as("logGroup"), col("d.logStream").as("logStream"),
+        explode(col("d.logEvents")).as("ev"))
+      .select(
+        col("event_id"), col("batch_ms"), col("logGroup"), col("logStream"),
+        col("ev.id").as("event_ref"),
+        col("ev.timestamp").as("event_ms"),
+        jsonOrText(col("ev.message")).as("message"))
+  }
+
+  private val pipelineOracle: String = Synth.withMsg(
+    """, enc AS (SELECT event_id, ts_ms AS batch_ms,
+      |    base64(encode(to_json(struct_pack(
+      |      messageType := 'DATA_MESSAGE',
+      |      owner := '111111111111',
+      |      logGroup := concat('/app/', event_type),
+      |      logStream := concat('stream-', user_id % 8),
+      |      subscriptionFilters := ['all-events'],
+      |      logEvents := [
+      |        struct_pack(id := concat('e', event_id, '-0'), "timestamp" := ts_ms, message := props),
+      |        struct_pack(id := concat('e', event_id, '-1'), "timestamp" := ts_ms + 1000, message := msg)]
+      |    )))) AS data FROM ev),
+      |  dec AS (SELECT event_id, batch_ms, decode(from_base64(data)) AS pj FROM enc),
+      |  ex AS (SELECT event_id, batch_ms,
+      |    json_extract_string(pj, '$.logGroup') AS logGroup,
+      |    json_extract_string(pj, '$.logStream') AS logStream,
+      |    unnest(from_json(json_extract(pj, '$.logEvents'), '["json"]')) AS evj FROM dec)
+      |SELECT event_id, batch_ms, logGroup, logStream,
+      |  json_extract_string(evj, '$.id') AS event_ref,
+      |  CAST(json_extract(evj, '$.timestamp') AS BIGINT) AS event_ms,
+      |  CASE WHEN json_valid(m) THEN m ELSE to_json({'text': m}) END AS message
+      |FROM (SELECT ex.*, json_extract_string(evj, '$.message') AS m FROM ex)""".stripMargin)
+
+  /** Flagship: the whole Firehose→documents dataflow, oracle-checkable
+    * (no gzip layer so DuckDB can replay it). */
+  val pipelineFlattenOp = QueryDef(
+    "k2e_pipeline_flatten",
+    (s, dir) => pipeline(s, dir, withGzip = false),
+    Some(pipelineOracle))
+
+  /** Same dataflow with the real base64(gzip(json)) record encoding —
+    * exercises the custom Gunzip expression end-to-end (rows-only). */
+  val pipelineGzipOp = QueryDef(
+    "k2e_pipeline_gzip",
+    (s, dir) => pipeline(s, dir, withGzip = true),
+    None)
+
+  def entries: Seq[QueryDef] = Seq(
+    unbase64Op, gunzipOp, detectGzipOp, fromJsonOp, jsonOrTextOp,
+    timestampMillisOp, explodeRecordsOp, explodeEventsOp, projectStructOp,
+    litRequestIdOp, deadletterOp, pipelineFlattenOp, pipelineGzipOp)
+}

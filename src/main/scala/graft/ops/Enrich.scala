@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** The ES-ingest-pipeline operators the reference ships as JSON
+  * (SURVEY.md §2.4, ingest/one-pipeline-to-rule-them-all.json +
+  * ingest/axway-ingest.json), rebuilt as Spark column expressions over
+  * the synthesized access log (Synth.accessLog). Everything here is
+  * per-row projection except the geoip enrich, which is the system's one
+  * true join — rebuilt as a broadcast range join.
+  */
+object Enrich {
+
+  private def al(s: SparkSession, dir: String): DataFrame = Synth.accessLog(s, dir)
+
+  /** P0: conditional sub-pipeline dispatch on logGroup ~ /axway/
+    * (one-pipeline-to-rule-them-all.json:4–12). */
+  val routeOp = QueryDef(
+    "np_route_by_loggroup",
+    (s, dir) => al(s, dir)
+      .withColumn("pipeline",
+        when(col("loggroup").rlike("axway"), "axway-ingest").otherwise("default"))
+      .groupBy("pipeline").agg(count(lit(1)).as("n")),
+    Some(Synth.withAccessLog(
+      """SELECT CASE WHEN regexp_matches(loggroup, 'axway') THEN 'axway-ingest' ELSE 'default' END AS pipeline,
+        |  count(*) AS n FROM access_log GROUP BY 1""".stripMargin)))
+
+  /** P1: grok extract over the access-log line (axway-ingest.json:4–12),
+    * as one capture-group regex + typed casts. */
+  private val grokRx =
+    "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\w+) ([^\"]+) HTTP/([0-9.]+)\" " +
+      "(\\d+) (\\d+) (\\d+) \"([^\"]+)\" client-(\\d+) txn-(\\d+) corr-(\\d+)$"
+
+  val grokOp = QueryDef(
+    "np_grok_access_log",
+    (s, dir) => al(s, dir).select(
+      col("event_id"),
+      regexp_extract(col("line"), grokRx, 1).as("remote_addr"),
+      regexp_extract(col("line"), grokRx, 3).as("user_name"),
+      regexp_extract(col("line"), grokRx, 4).as("http_date"),
+      regexp_extract(col("line"), grokRx, 5).as("http_method"),
+      regexp_extract(col("line"), grokRx, 6).as("request_url"),
+      regexp_extract(col("line"), grokRx, 7).as("http_version"),
+      regexp_extract(col("line"), grokRx, 8).cast("long").as("status_code"),
+      regexp_extract(col("line"), grokRx, 9).cast("long").as("body_bytes"),
+      regexp_extract(col("line"), grokRx, 10).cast("long").as("response_ms"),
+      regexp_extract(col("line"), grokRx, 11).as("xff_list"),
+      regexp_extract(col("line"), grokRx, 12).cast("long").as("client_id"),
+      regexp_extract(col("line"), grokRx, 13).cast("long").as("txn_id")),
+    Some(Synth.withAccessLog(
+      s"""SELECT event_id,
+         |  regexp_extract(line, '$grokRx', 1) AS remote_addr,
+         |  regexp_extract(line, '$grokRx', 3) AS user_name,
+         |  regexp_extract(line, '$grokRx', 4) AS http_date,
+         |  regexp_extract(line, '$grokRx', 5) AS http_method,
+         |  regexp_extract(line, '$grokRx', 6) AS request_url,
+         |  regexp_extract(line, '$grokRx', 7) AS http_version,
+         |  CAST(regexp_extract(line, '$grokRx', 8) AS BIGINT) AS status_code,
+         |  CAST(regexp_extract(line, '$grokRx', 9) AS BIGINT) AS body_bytes,
+         |  CAST(regexp_extract(line, '$grokRx', 10) AS BIGINT) AS response_ms,
+         |  regexp_extract(line, '$grokRx', 11) AS xff_list,
+         |  CAST(regexp_extract(line, '$grokRx', 12) AS BIGINT) AS client_id,
+         |  CAST(regexp_extract(line, '$grokRx', 13) AS BIGINT) AS txn_id
+         |FROM access_log""".stripMargin)))
+
+  /** P2: uri_parts (axway-ingest.json:13–17) via parse_url. */
+  val uriPartsOp = QueryDef(
+    "np_uri_parts",
+    (s, dir) => al(s, dir)
+      .withColumn("full_url", concat(lit("https://api.example.com"), col("url")))
+      .select(
+        col("event_id"),
+        parse_url(col("full_url"), lit("HOST")).as("url_host"),
+        parse_url(col("full_url"), lit("PATH")).as("url_path"),
+        parse_url(col("full_url"), lit("QUERY")).as("url_query"),
+        regexp_extract(parse_url(col("full_url"), lit("PATH")), "\\.([a-z0-9]+)$", 1).as("url_ext")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  regexp_extract(full_url, '^https://([^/]+)', 1) AS url_host,
+        |  regexp_extract(full_url, '^https://[^/]+([^?]*)', 1) AS url_path,
+        |  regexp_extract(full_url, '\?(.*)$', 1) AS url_query,
+        |  regexp_extract(regexp_extract(full_url, '^https://[^/]+([^?]*)', 1), '\.([a-z0-9]+)$', 1) AS url_ext
+        |FROM (SELECT event_id, concat('https://api.example.com', url) AS full_url FROM access_log)""".stripMargin)))
+
+  /** P3: conditional set / set-if-null (axway-ingest.json:18–24). */
+  val setIfNullOp = QueryDef(
+    "np_set_if_null",
+    (s, dir) => al(s, dir)
+      .withColumn("url_domain", expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE concat('d', event_id % 10, '.example.com') END"))
+      .withColumn("destination_domain", expr("concat('dest', user_id % 10, '.example.com')"))
+      .select(col("event_id"),
+        coalesce(col("url_domain"), col("destination_domain")).as("url_domain_final")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  coalesce(CASE WHEN event_id % 5 = 0 THEN NULL ELSE concat('d', event_id % 10, '.example.com') END,
+        |           concat('dest', user_id % 10, '.example.com')) AS url_domain_final
+        |FROM access_log""".stripMargin)))
+
+  /** P4/P5/P8/P11/P12 field plumbing: drop, constant set, copy_from,
+    * rename, conditional set ignoring empties (axway-ingest.json:25–129). */
+  val fieldOpsOp = QueryDef(
+    "np_field_ops",
+    (s, dir) => al(s, dir)
+      .withColumn("_tmp_url_orig", col("url")) // P4: dropped below
+      .withColumn("cipher_raw", expr("CASE WHEN event_id % 6 = 0 THEN '' ELSE 'ECDHE-RSA-AES128-GCM-SHA256' END"))
+      .withColumn("organization_name", expr("concat('org', user_id % 5)"))
+      .select(
+        col("event_id"),
+        lit("event").as("event_kind"), // P5 constant sets
+        lit("web").as("event_category"),
+        col("ts_ms").as("event_created_ms"), // P8 copy_from @timestamp
+        col("organization_name").as("organization"), // P11 rename
+        when(length(col("cipher_raw")) > 0, col("cipher_raw")).as("tls_cipher")), // P12
+    Some(Synth.withAccessLog(
+      """SELECT event_id, 'event' AS event_kind, 'web' AS event_category,
+        |  ts_ms AS event_created_ms,
+        |  concat('org', user_id % 5) AS organization,
+        |  CASE WHEN length(CASE WHEN event_id % 6 = 0 THEN '' ELSE 'ECDHE-RSA-AES128-GCM-SHA256' END) > 0
+        |       THEN 'ECDHE-RSA-AES128-GCM-SHA256' END AS tls_cipher
+        |FROM access_log""".stripMargin)))
+
+  /** P6: outcome classification by status code (axway-ingest.json:45–58). */
+  val outcomeOp = QueryDef(
+    "np_outcome_classify",
+    (s, dir) => al(s, dir).select(
+      col("event_id"), col("status"),
+      when(col("status") < 400, "success").when(col("status") > 399, "failure").as("event_outcome")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id, status,
+        |  CASE WHEN status < 400 THEN 'success' WHEN status > 399 THEN 'failure' END AS event_outcome
+        |FROM access_log""".stripMargin)))
+
+  /** P7: ip-vs-hostname dispatch (axway-ingest.json:59–67). */
+  private val ipRx = "^(\\d{1,3}\\.){3}\\d{1,3}$"
+  val ipOrDomainOp = QueryDef(
+    "np_ip_or_domain",
+    (s, dir) => al(s, dir)
+      .withColumn("addr", expr("CASE WHEN event_id % 3 = 0 THEN concat('host', user_id % 20, '.example.com') ELSE ip END"))
+      .select(
+        col("event_id"),
+        when(col("addr").rlike(ipRx), col("addr")).as("source_ip"),
+        when(!col("addr").rlike(ipRx), col("addr")).as("source_domain")),
+    Some(Synth.withAccessLog(
+      s"""SELECT event_id,
+         |  CASE WHEN regexp_matches(addr, '$ipRx') THEN addr END AS source_ip,
+         |  CASE WHEN NOT regexp_matches(addr, '$ipRx') THEN addr END AS source_domain
+         |FROM (SELECT event_id,
+         |  CASE WHEN event_id % 3 = 0 THEN concat('host', user_id % 20, '.example.com') ELSE ip END AS addr
+         |  FROM access_log)""".stripMargin)))
+
+  /** P9: HTTPDATE parse back to an absolute instant (axway-ingest.json:
+    * 74–89); emitted as epoch millis (engine-neutral schema). */
+  val dateParseOp = QueryDef(
+    "np_date_parse",
+    (s, dir) => al(s, dir).select(
+      col("event_id"),
+      unix_millis(to_timestamp(col("httpdate"), "dd/MMM/yyyy:HH:mm:ss Z")).as("parsed_ms")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  epoch_ms(strptime(httpdate, '%d/%b/%Y:%H:%M:%S %z')) AS parsed_ms
+        |FROM access_log""".stripMargin)))
+
+  /** P10+P11: geoip enrich as a broadcast range join against a synthetic
+    * ip-range dimension derived from `nation` (FIXTURES.md §4 replaces
+    * the GeoLite2 mmdb; axway-ingest.json:90–122). The dim is bounded
+    * (one row per nation) → broadcast; the probe side never shuffles. */
+  val geoipOp = QueryDef(
+    "np_geoip_join",
+    (s, dir) => {
+      val facts = al(s, dir)
+        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+      val dim = Tables.nation(s, dir).select(
+        (col("n_nationkey") * 41943L).as("ip_start"),
+        (col("n_nationkey") * 41943L + 41942L).as("ip_end"),
+        col("n_name").as("geo_country"),
+        (col("n_nationkey") + 64512L).as("as_number"),
+        concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
+      facts.join(broadcast(dim),
+          facts("ip_long") >= dim("ip_start") && facts("ip_long") <= dim("ip_end"))
+        .groupBy("geo_country", "as_number")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT n_name AS geo_country, CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
+        |  count(*) AS n, count(DISTINCT user_id) AS nd_users
+        |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+        |JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
+        |GROUP BY 1, 2""".stripMargin)))
+
+  /** P13: painless TLS-version script (axway-ingest.json:130–135). */
+  val tlsVersionOp = QueryDef(
+    "np_tls_version",
+    (s, dir) => al(s, dir)
+      .withColumn("ver_raw", element_at(split(col("protocol"), "v"), 2))
+      .select(
+        col("event_id"), col("protocol"),
+        when(col("ver_raw").contains("."), col("ver_raw"))
+          .otherwise(concat(col("ver_raw"), lit(".0"))).as("tls_version"),
+        lower(element_at(split(col("protocol"), "v"), 1)).as("tls_version_protocol")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id, protocol,
+        |  CASE WHEN contains(string_split(protocol, 'v')[2], '.') THEN string_split(protocol, 'v')[2]
+        |       ELSE concat(string_split(protocol, 'v')[2], '.0') END AS tls_version,
+        |  lower(string_split(protocol, 'v')[1]) AS tls_version_protocol
+        |FROM access_log""".stripMargin)))
+
+  /** P14: recursive null-strip on serialization — Spark's to_json drops
+    * null fields by default (spark.sql.jsonGenerator.ignoreNullFields),
+    * mirroring the painless map-walk (axway-ingest.json:137–142). */
+  val dropNullFieldsOp = QueryDef(
+    "np_drop_null_fields",
+    (s, dir) => al(s, dir)
+      .withColumn("dom", expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE concat('d', event_id % 10) END"))
+      .select(col("event_id"),
+        to_json(struct(col("method").as("m"), col("dom").as("d"))).as("doc")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  CASE WHEN event_id % 5 = 0 THEN concat('{"m":"', method, '"}')
+        |       ELSE concat('{"m":"', method, '","d":"d', event_id % 10, '"}') END AS doc
+        |FROM access_log""".stripMargin)))
+
+  def entries: Seq[QueryDef] = Seq(
+    routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
+    ipOrDomainOp, dateParseOp, geoipOp, tlsVersionOp, dropNullFieldsOp)
+}

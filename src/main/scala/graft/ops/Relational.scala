@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Exact, QueryDef, Tables}
+
+/** North-star relational operator set (SURVEY.md §2.5): hash/broadcast
+  * joins, semi/anti joins, hash aggregation, distinct aggregation,
+  * rollup, window functions, top-k, and set operations over the TPC-H-ish
+  * testdata. The reference itself has no relational engine (its one join
+  * is the geoip enrich, see Enrich.scala); these queries establish that
+  * the Spark rebuild offers the full relational surface a 100 TB
+  * deployment needs.
+  *
+  * Scale notes (local[32] is the test rig; the design targets a cluster):
+  *   - big⋈big joins (orders⋈lineitem) shuffle on the join key and rely
+  *     on AQE for skew/coalesce; no driver-side collection anywhere.
+  *   - dimension joins (nation, region) are explicitly `broadcast()`.
+  *   - aggregates are partial (map-side combine) by construction; money
+  *     is converted to integer cents BEFORE aggregation (Exact.scala) so
+  *     results are order-independent and bit-identical to the oracle.
+  *   - top-k compiles to TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+  import Exact._
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  /** TPC-H Q1-style hash aggregation with exact cents arithmetic. */
+  val aggHash: QueryDef = q(
+    "ns_agg_hash",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum(sqlCents("l_quantity"))} AS sum_qty_c,
+       |  ${sqlSum(sqlCents("l_extendedprice"))} AS sum_base_c,
+       |  ${sqlSum(sqlCents4("l_extendedprice*(1-l_discount)"))} AS sum_disc_c,
+       |  ${sqlSum(sqlCents6("(l_extendedprice*(1-l_discount))*(1+l_tax)"))} AS sum_charge_c,
+       |  count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+        sum(cents6((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))).as("sum_charge_c"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Exact distinct aggregation (expand + two-phase hash agg in Spark). */
+  val aggDistinct: QueryDef = q(
+    "ns_agg_distinct",
+    s"""SELECT event_type,
+       |  count(DISTINCT user_id) AS nd_users,
+       |  count(*) AS n,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("nd_users"),
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_c"))
+  }
+
+  /** ROLLUP over a dimension join (grouping-sets aggregation). */
+  val rollupAgg: QueryDef = q(
+    "ns_rollup",
+    s"""SELECT n_name, count(*) AS n, ${sqlSum(sqlCents("c_acctbal"))} AS sum_bal_c
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup("n_name")
+      .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
+  }
+
+  /** Big⋈big shuffle join: orders⋈lineitem, revenue per priority. */
+  val joinHash: QueryDef = q(
+    "ns_join_hash",
+    s"""SELECT o_orderpriority,
+       |  ${sqlSum(sqlCents4("l_extendedprice*(1-l_discount)"))} AS revenue_c,
+       |  count(*) AS n_items,
+       |  count(DISTINCT o_orderkey) AS n_orders
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Star-schema dimension join with explicit broadcast hints. */
+  val joinBroadcast: QueryDef = q(
+    "ns_join_broadcast",
+    s"""SELECT r_name, count(*) AS n_cust, ${sqlSum(sqlCents("c_acctbal"))} AS sum_bal_c
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
+  }
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins. */
+  val semiAnti: QueryDef = q(
+    "ns_semi_anti",
+    """SELECT 'semi' AS kind, count(*) AS n FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT 'anti' AS kind, count(*) AS n FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("anti").as("kind"), col("n"))
+    semi.unionAll(anti)
+  }
+
+  /** row_number ranking within user partitions (top-3 events per user).
+    * Ordering key (micros timestamp, event_id) is fully deterministic. */
+  val windowRank: QueryDef = q(
+    "ns_window_rank",
+    """SELECT user_id, event_id, event_type, rn FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "event_type", "rn")
+  }
+
+  /** Sliding frame aggregation (3-row moving sum per user). */
+  val windowFrame: QueryDef = q(
+    "ns_window_frame",
+    s"""SELECT event_id, user_id,
+       |  CAST(sum(${sqlCents("value")}) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+       |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(cents(col("value"))).over(w).as("run_c"))
+  }
+
+  /** Top-k: compiles to TakeOrderedAndProject (per-partition top-k +
+    * merge on the driver side of the exchange — no global sort). */
+  val topK: QueryDef = q(
+    "ns_topk",
+    s"""SELECT o_orderkey, ${sqlCents("o_totalprice")} AS price_c
+       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+  }
+
+  /** UNION (distinct) of two customer segments. */
+  val unionOp: QueryDef = q(
+    "ns_union",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 7500""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_acctbal") > 7500).select("c_custkey"))
+      .distinct()
+  }
+
+  /** EXCEPT: building-segment customers minus those with any order. */
+  val exceptOp: QueryDef = q(
+    "ns_except",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+  }
+
+  def entries: Seq[QueryDef] = Seq(
+    aggHash, aggDistinct, rollupAgg, joinHash, joinBroadcast, semiAnti,
+    windowRank, windowFrame, topK, unionOp, exceptOp)
+}

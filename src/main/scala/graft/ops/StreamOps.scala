@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Exact, QueryDef, Tables}
+
+/** Streaming-semantics operators (SURVEY.md §2.5 streaming set), exposed
+  * here on their batch-equivalent frames so the DuckDB oracle can check
+  * the window/dedup/session logic; streaming/Pipeline.scala runs the same
+  * transforms under `readStream` with watermarks, and the ScalaTest
+  * streaming suite drives them through MemoryStream (late data, replay).
+  *
+  * The reference's delivery model is at-least-once with whole-batch
+  * Firehose retries (cloudformation-template.yaml:160–161), so replayed
+  * events are expected — `ns_stream_dedup` is the id-based replay dedup
+  * that model implies.
+  */
+object StreamOps {
+  import Exact._
+
+  /** Tumbling event-time window aggregation (1-hour buckets). */
+  val tumblingOp = QueryDef(
+    "ns_stream_tumbling",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("tsu"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value_c")),
+    Some(s"""SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+            |  event_type, count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c
+            |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Replay dedup: re-offer 5% of events (simulating Firehose redelivery)
+    * then dropDuplicates on the event id. */
+  val dedupOp = QueryDef(
+    "ns_stream_dedup",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val replayed = ev.unionAll(ev.filter(col("event_id") % 100 < 5))
+      replayed.dropDuplicates("event_id")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+    },
+    Some(s"""SELECT count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c FROM (
+            |  SELECT event_id, min(value) AS value FROM (
+            |    SELECT event_id, value FROM events
+            |    UNION ALL SELECT event_id, value FROM events WHERE event_id % 100 < 5)
+            |  GROUP BY event_id)""".stripMargin))
+
+  /** Session windows: 30-minute-gap sessions per user (session_window in
+    * Spark; gaps-and-islands in the oracle — an event starts a new
+    * session when it is >= gap after the previous one). */
+  val sessionOp = QueryDef(
+    "ns_stream_session",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(session_window(col("tsu"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_total")),
+    Some("""WITH d AS (SELECT user_id,
+           |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |              >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+           |  FROM events)
+           |SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions,
+           |  count(*) AS n_total
+           |FROM d GROUP BY user_id""".stripMargin))
+
+  def entries: Seq[QueryDef] = Seq(tumblingOp, dedupOp, sessionOp)
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic synthesized inputs shared by the Spark queries and their
+  * DuckDB oracles.
+  *
+  * The reference consumes Firehose batches of CloudWatch log payloads
+  * (FIXTURES.md §1–2); the driver's testdata has no such column, so both
+  * engines reconstruct identical fixture columns from `events` using
+  * expressions valid in BOTH SQL dialects (kept as shared strings below —
+  * single source of truth, no drift). Dialect-divergent pieces (date
+  * formatting) are isolated in one column each.
+  */
+object Synth {
+
+  /** F4 fixture: JSON-object / plain-text / JSON-scalar message mix
+    * (reference main.go:492–510 parses message as JSON, else wraps). */
+  val msgSql: String =
+    "CASE WHEN event_id % 3 = 0 THEN props " +
+      "WHEN event_id % 3 = 1 THEN concat(event_type, ' failed after ', CAST(round(value*100,0) AS BIGINT)) " +
+      "ELSE concat('', user_id) END"
+
+  /** events + epoch-ms + msg, Spark side. */
+  def eventsWithMsg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("msg", expr(msgSql))
+
+  /** events + epoch-ms + msg, DuckDB side (CTE body over view `events`). */
+  val msgCte: String =
+    s"SELECT events.*, epoch_ms(ts) AS ts_ms, $msgSql AS msg FROM events"
+
+  /** Synthetic Axway-style access log (reference ingest/axway-ingest.json:8
+    * grok format), one line per event. (name, sharedDialectSql) in
+    * dependency order; `httpdate` is dialect-specific. */
+  private val accessColsPre: Seq[(String, String)] = Seq(
+    "ip" -> "concat('203.0.0.', user_id % 250)",
+    "usr" -> "CASE WHEN user_id % 7 = 0 THEN '-' ELSE concat('u', user_id) END",
+    "method" -> ("CASE event_type WHEN 'view' THEN 'GET' WHEN 'click' THEN 'POST' " +
+      "WHEN 'signup' THEN 'PUT' WHEN 'purchase' THEN 'DELETE' ELSE 'HEAD' END"),
+    "url" -> ("concat('/v1/', event_type, '/item', event_id % 100, " +
+      "CASE WHEN event_id % 4 = 0 THEN '.html' ELSE '' END, " +
+      "'?limit=', user_id % 50, '&page=', event_id % 5)"),
+    "status" -> ("CAST(CASE WHEN event_id % 10 < 6 THEN 200 WHEN event_id % 10 < 7 THEN 201 " +
+      "WHEN event_id % 10 < 8 THEN 301 WHEN event_id % 10 < 9 THEN 404 ELSE 500 END AS INT)"),
+    "bytes" -> "CAST(round(value*100,0) AS BIGINT)",
+    "rt_ms" -> "(event_id % 900) + 10")
+
+  private val accessColsPost: Seq[(String, String)] = Seq(
+    "xff" -> "concat(ip, ',10.0.0.', event_id % 250)",
+    "loggroup" -> ("CASE WHEN user_id % 4 = 0 THEN '/axway/prod/http-access' " +
+      "ELSE concat('/app/', event_type) END"),
+    "protocol" -> ("CASE WHEN event_id % 4 = 0 THEN 'TLSv1.2' WHEN event_id % 4 = 1 THEN 'TLSv1.3' " +
+      "WHEN event_id % 4 = 2 THEN 'TLSv1' ELSE 'SSLv3' END"),
+    "line" -> ("concat(ip, ' - ', usr, ' [', httpdate, '] \"', method, ' ', url, " +
+      "' HTTP/1.1\" ', status, ' ', bytes, ' ', rt_ms, ' \"', xff, " +
+      "'\" client-', user_id, ' txn-', event_id, ' corr-', event_id % 1000)"))
+
+  private val sparkHttpdate =
+    "concat(date_format(tsu, 'dd/MMM/yyyy:HH:mm:ss'), ' +0000')"
+  private val duckHttpdate =
+    "concat(strftime(ts, '%d/%b/%Y:%H:%M:%S'), ' +0000')"
+
+  /** Access-log DataFrame, Spark side. */
+  def accessLog(s: SparkSession, dir: String): DataFrame = {
+    val withPre = accessColsPre.foldLeft(Tables.events(s, dir)) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    accessColsPost.foldLeft(withPre.withColumn("httpdate", expr(sparkHttpdate))) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+  }
+
+  /** Access-log CTE body, DuckDB side (uses lateral column aliases). */
+  val accessCte: String = {
+    val cols =
+      accessColsPre.map { case (n, sqlTxt) => s"$sqlTxt AS $n" } ++
+        Seq(s"$duckHttpdate AS httpdate") ++
+        accessColsPost.map { case (n, sqlTxt) => s"$sqlTxt AS $n" }
+    s"SELECT events.*, epoch_ms(ts) AS ts_ms, ${cols.mkString(", ")} FROM events"
+  }
+
+  /** Wrap an oracle body with the access-log CTE. */
+  def withAccessLog(body: String): String =
+    s"WITH access_log AS ($accessCte)\n$body"
+
+  def withMsg(body: String): String =
+    s"WITH ev AS ($msgCte)\n$body"
+}
