@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{CosineSimilarity, DotProduct, Gunzip, Gzip}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzip}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, both
   * via `SparkSessionExtensions` (for `.withExtensions` /
@@ -40,7 +40,7 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     functions.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, FunctionRegistry.FUNC_ALIAS)
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 }

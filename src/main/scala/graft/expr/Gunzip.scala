@@ -1,14 +1,12 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType}
+import org.apache.spark.sql.graftshim.{Gunzip, Gzip}
 
 import java.io.ByteArrayOutputStream
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-/** Native Catalyst expressions for gzip compress/decompress of BINARY.
+/** Gzip compress/decompress of BINARY.
   *
   * The reference gunzips each Firehose record's `data` payload after
   * base64-decode (reference main.go:472–479) and the whole HTTP body when
@@ -16,9 +14,10 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * Spark has `unbase64` built in but no gzip codec as a scalar function,
   * so this is the one custom scalar the engine needs (SURVEY.md §4).
   *
-  * Implemented as `UnaryExpression` with `doGenCode` delegating to a
-  * static JVM method, so the call stays inside whole-stage codegen
-  * (no UDF serialization, no codegen fallback).
+  * The Catalyst expressions (`UnaryExpression` with `doGenCode`) live in
+  * org.apache.spark.sql.graftshim (a legal subpackage for the
+  * `private[sql]` types they touch); codegen calls the static methods
+  * below, so evaluation stays inside whole-stage codegen.
   */
 object GzipCodec {
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
@@ -38,32 +37,6 @@ object GzipCodec {
     gz.close()
     bos.toByteArray
   }
-}
-
-case class Gunzip(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
-  override def dataType: DataType = BinaryType
-  override def prettyName: String = "gunzip"
-  override protected def nullSafeEval(input: Any): Any =
-    GzipCodec.gunzip(input.asInstanceOf[Array[Byte]])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.GzipCodec.gunzip($c)")
-  override protected def withNewChildInternal(newChild: Expression): Gunzip =
-    copy(child = newChild)
-}
-
-case class Gzip(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
-  override def dataType: DataType = BinaryType
-  override def prettyName: String = "gzip"
-  override protected def nullSafeEval(input: Any): Any =
-    GzipCodec.gzip(input.asInstanceOf[Array[Byte]])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.GzipCodec.gzip($c)")
-  override protected def withNewChildInternal(newChild: Expression): Gzip =
-    copy(child = newChild)
 }
 
 object GzipFunctions {

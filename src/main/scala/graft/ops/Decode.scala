@@ -74,7 +74,7 @@ object Decode {
     "k2e_from_json",
     (s, dir) => Tables.events(s, dir).select(
       col("event_id"),
-      from_json(col("props"), "k BIGINT").getField("k").as("k_val")),
+      from_json(col("props"), lit("k BIGINT")).getField("k").as("k_val")),
     Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events"))
 
   /** F4: JSON-or-text (reference main.go:492–510). */
@@ -168,7 +168,7 @@ object Decode {
   val deadletterOp = QueryDef(
     "k2e_deadletter",
     (s, dir) => Synth.eventsWithMsg(s, dir)
-      .withColumn("k_val", from_json(col("msg"), "k BIGINT").getField("k"))
+      .withColumn("k_val", from_json(col("msg"), lit("k BIGINT")).getField("k"))
       .select(
         col("event_id"),
         when(col("k_val").isNotNull, "ok").otherwise("error").as("status"),
@@ -214,7 +214,7 @@ object Decode {
     val decoded = firehoseData(s, dir, withGzip)
       .withColumn("raw",
         (if (withGzip) gunzip(unbase64(col("data"))) else unbase64(col("data"))).cast("string"))
-      .withColumn("d", from_json(col("raw"), cwSchema))
+      .withColumn("d", from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL(cwSchema)))
     decoded
       .select(
         col("event_id"), col("batch_ms"),

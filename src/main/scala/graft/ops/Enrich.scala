@@ -34,37 +34,51 @@ object Enrich {
     "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\w+) ([^\"]+) HTTP/([0-9.]+)\" " +
       "(\\d+) (\\d+) (\\d+) \"([^\"]+)\" client-(\\d+) txn-(\\d+) corr-(\\d+)$"
 
+  /** Capture-group names, regex group order (g2/ident and g14/corr unused
+    * downstream but present so both extractions see the same groups). */
+  private val grokGroups = Seq(
+    "remote_addr", "ident", "user_name", "http_date", "http_method",
+    "request_url", "http_version", "status_code", "body_bytes",
+    "response_ms", "xff_list", "client_id", "txn_id", "corr_id")
+
   val grokOp = QueryDef(
     "np_grok_access_log",
-    (s, dir) => al(s, dir).select(
-      col("event_id"),
-      regexp_extract(col("line"), grokRx, 1).as("remote_addr"),
-      regexp_extract(col("line"), grokRx, 3).as("user_name"),
-      regexp_extract(col("line"), grokRx, 4).as("http_date"),
-      regexp_extract(col("line"), grokRx, 5).as("http_method"),
-      regexp_extract(col("line"), grokRx, 6).as("request_url"),
-      regexp_extract(col("line"), grokRx, 7).as("http_version"),
-      regexp_extract(col("line"), grokRx, 8).cast("long").as("status_code"),
-      regexp_extract(col("line"), grokRx, 9).cast("long").as("body_bytes"),
-      regexp_extract(col("line"), grokRx, 10).cast("long").as("response_ms"),
-      regexp_extract(col("line"), grokRx, 11).as("xff_list"),
-      regexp_extract(col("line"), grokRx, 12).cast("long").as("client_id"),
-      regexp_extract(col("line"), grokRx, 13).cast("long").as("txn_id")),
+    (s, dir) => {
+      import graft.expr.GrokFunctions.regexp_extract_struct
+      al(s, dir)
+        .withColumn("g", regexp_extract_struct(col("line"), grokRx, grokGroups))
+        .select(
+          col("event_id"),
+          col("g.remote_addr").as("remote_addr"),
+          col("g.user_name").as("user_name"),
+          col("g.http_date").as("http_date"),
+          col("g.http_method").as("http_method"),
+          col("g.request_url").as("request_url"),
+          col("g.http_version").as("http_version"),
+          col("g.status_code").cast("long").as("status_code"),
+          col("g.body_bytes").cast("long").as("body_bytes"),
+          col("g.response_ms").cast("long").as("response_ms"),
+          col("g.xff_list").as("xff_list"),
+          col("g.client_id").cast("long").as("client_id"),
+          col("g.txn_id").cast("long").as("txn_id"))
+    },
     Some(Synth.withAccessLog(
       s"""SELECT event_id,
-         |  regexp_extract(line, '$grokRx', 1) AS remote_addr,
-         |  regexp_extract(line, '$grokRx', 3) AS user_name,
-         |  regexp_extract(line, '$grokRx', 4) AS http_date,
-         |  regexp_extract(line, '$grokRx', 5) AS http_method,
-         |  regexp_extract(line, '$grokRx', 6) AS request_url,
-         |  regexp_extract(line, '$grokRx', 7) AS http_version,
-         |  CAST(regexp_extract(line, '$grokRx', 8) AS BIGINT) AS status_code,
-         |  CAST(regexp_extract(line, '$grokRx', 9) AS BIGINT) AS body_bytes,
-         |  CAST(regexp_extract(line, '$grokRx', 10) AS BIGINT) AS response_ms,
-         |  regexp_extract(line, '$grokRx', 11) AS xff_list,
-         |  CAST(regexp_extract(line, '$grokRx', 12) AS BIGINT) AS client_id,
-         |  CAST(regexp_extract(line, '$grokRx', 13) AS BIGINT) AS txn_id
-         |FROM access_log""".stripMargin)))
+         |  g.remote_addr AS remote_addr,
+         |  g.user_name AS user_name,
+         |  g.http_date AS http_date,
+         |  g.http_method AS http_method,
+         |  g.request_url AS request_url,
+         |  g.http_version AS http_version,
+         |  CAST(g.status_code AS BIGINT) AS status_code,
+         |  CAST(g.body_bytes AS BIGINT) AS body_bytes,
+         |  CAST(g.response_ms AS BIGINT) AS response_ms,
+         |  g.xff_list AS xff_list,
+         |  CAST(g.client_id AS BIGINT) AS client_id,
+         |  CAST(g.txn_id AS BIGINT) AS txn_id
+         |FROM (SELECT event_id,
+         |  regexp_extract(line, '$grokRx', [${grokGroups.map(n => s"'$n'").mkString(", ")}]) AS g
+         |  FROM access_log)""".stripMargin)))
 
   /** P2: uri_parts (axway-ingest.json:13–17) via parse_url. */
   val uriPartsOp = QueryDef(

@@ -74,9 +74,12 @@ object Relational {
     s"""SELECT n_name, count(*) AS n, ${sqlSum(sqlCents("c_acctbal"))} AS sum_bal_c
        |FROM customer JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY ROLLUP(n_name)""".stripMargin) { (s, dir) =>
-    Tables.customer(s, dir)
-      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .rollup("n_name")
+    // Aliased join sides: Spark 4's ambiguous-self-join check otherwise
+    // trips on the rollup's re-resolved n_name attribute.
+    Tables.customer(s, dir).as("c")
+      .join(broadcast(Tables.nation(s, dir).as("n")),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .rollup(col("n.n_name").as("n_name"))
       .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
   }
 

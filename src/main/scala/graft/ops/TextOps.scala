@@ -161,7 +161,9 @@ object TextOps {
     "de" -> "\\b(der|die|das|und|ist)\\b",
     "fr" -> "\\b(le|la|les|et|est)\\b",
     "es" -> "\\b(el|la|los|y|es)\\b",
-    "zh" -> "[\\u4e00-\\u9fff]")
+    // \x{h..h} escape form: valid in BOTH Java regex (Spark) and RE2
+    // (DuckDB); RE2 rejects the \uXXXX form.
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
 
   val langIdOp = QueryDef(
     "ns_lang_id", {

@@ -126,7 +126,7 @@ object VectorSearch {
         upper(hex(substring(col("content"), 1, 8))).as("head_hex"),
         struct(col("lang"), col("source"), lit("text/plain").as("mime")).getField("mime").as("mime")),
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           |  upper(hex(substr(encode(text), 1, 8))) AS head_hex,
+           |  upper(substr(hex(encode(text)), 1, 16)) AS head_hex,
            |  'text/plain' AS mime FROM documents""".stripMargin))
 
   /** Decode/feature-extract stub over binary content via mapPartitions —

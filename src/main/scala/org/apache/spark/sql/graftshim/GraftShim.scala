@@ -1,0 +1,125 @@
+/** Spark-private API shim.
+  *
+  * Spark 4 moved the Column↔Expression bridge behind
+  * `org.apache.spark.sql.classic.ExpressionUtils` and marked it (and
+  * `org.apache.spark.sql.types.AbstractDataType`) `private[sql]`. Declaring
+  * this file inside a subpackage of `org.apache.spark.sql` makes that access
+  * legal without reflection. Only the graft custom Catalyst expressions and
+  * the Column bridge live here; all engine logic stays in `graft.*`.
+  */
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Column ↔ Catalyst Expression bridge (used by graft.Cols). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Gzip decompress of BINARY — the reference gunzips each Firehose
+  * record's `data` payload after base64-decode (reference main.go:472–479)
+  * and the whole HTTP body (reference gzipbinding/binding.go:38–45).
+  * `doGenCode` delegates to a static JVM method so the call stays inside
+  * whole-stage codegen (no UDF serialization, no codegen fallback). */
+case class Gunzip(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gunzip"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.expr.GzipCodec.gunzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GzipCodec.gunzip($c)")
+  override protected def withNewChildInternal(newChild: Expression): Gunzip =
+    copy(child = newChild)
+}
+
+/** Gzip compress of BINARY (fixture construction + round-trip tests). */
+case class Gzip(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.expr.GzipCodec.gzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GzipCodec.gzip($c)")
+  override protected def withNewChildInternal(newChild: Expression): Gzip =
+    copy(child = newChild)
+}
+
+/** Single-pass multi-group regex extraction: ONE regex evaluation per row
+  * producing a struct of all capture groups, vs N `regexp_extract` calls
+  * re-running the same pattern N times (the reference's grok runs its
+  * pattern once per line, axway-ingest.json:8). Unmatched rows yield empty
+  * strings, matching `regexp_extract`'s no-match behavior. Whole-stage
+  * codegen CSE evaluates the struct once even when many fields are
+  * projected out of it. */
+case class RegExpExtractStruct(child: Expression, regex: String, fieldNames: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    StructType(fieldNames.map(StructField(_, StringType, nullable = false)))
+  override def prettyName: String = "regexp_extract_struct"
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+  override protected def nullSafeEval(input: Any): Any =
+    GrokHelper.extract(input.asInstanceOf[UTF8String], pattern, fieldNames.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("grokPattern", pattern, "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftshim.GrokHelper.extract($c, $p, ${fieldNames.length})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegExpExtractStruct =
+    copy(child = newChild)
+}
+
+object GrokHelper {
+  def extract(s: UTF8String, p: java.util.regex.Pattern, n: Int): InternalRow = {
+    val m = p.matcher(s.toString)
+    val arr = new Array[Any](n)
+    val matched = m.find()
+    var i = 0
+    while (i < n) {
+      val g = if (matched) m.group(i + 1) else null
+      arr(i) = UTF8String.fromString(if (g == null) "" else g)
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
+}
+
+sealed abstract class FloatVecBinary extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+}
+
+/** Tight primitive-loop dot product over ARRAY<FLOAT> (see graft.expr.VecMath). */
+case class DotProduct(left: Expression, right: Expression) extends FloatVecBinary {
+  override def prettyName: String = "vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.expr.VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VecMath.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity over ARRAY<FLOAT>; 0.0 for zero vectors (no NaN). */
+case class CosineSimilarity(left: Expression, right: Expression) extends FloatVecBinary {
+  override def prettyName: String = "vec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.expr.VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VecMath.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
