@@ -12,16 +12,33 @@ import graft.expr.VecFunctions.vec_cosine
   *
   * Scale design: the query set is small and explicitly `broadcast()`, so
   * brute-force scoring is a map-only pass over the corpus (no shuffle of
-  * the big side); top-k per query is a window over the tiny scored
-  * relation. The IVF variant prunes the scan to one centroid bucket —
-  * the 100 TB path where brute force stops being viable. Scoring uses
-  * the native CosineSimilarity Catalyst expression (expr/VecOps.scala),
-  * which stays in whole-stage codegen.
+  * the big side); top-k per query is a bounded typed Aggregator
+  * (expr/TopK.scala) whose partial aggregation ships ≤ k rows per group
+  * per map task — never a full-relation window sort. The IVF variant
+  * prunes the scan to one centroid bucket, and near-dup detection is
+  * random-hyperplane LSH banding — the 100 TB paths where brute force
+  * stops being viable. Scoring uses the native CosineSimilarity Catalyst
+  * expression (expr/VecOps.scala), which stays in whole-stage codegen.
   */
 object VectorSearch {
 
   private val nQueries = 20
   private val topK = 5
+
+  /** Bounded top-k: partial aggregation keeps ≤ k rows per (group, map
+    * task), so no single-stage sort of the whole scored relation
+    * (expr/TopK.scala). Output matches row_number(ORDER BY cos DESC, id). */
+  private def topkPerGroup(scored: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val topk = udaf(new graft.expr.TopKByScore(topK))
+    scored
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk(col("vec_id"), col("cos_r")).as("top"))
+      .select(groupCols.map(col) :+ posexplode(col("top")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col.id").as("vec_id"),
+        col("col.score").as("cos_r"),
+        (col("pos") + 1).cast("long").as("rank")): _*)
+  }
 
   /** Brute-force cosine top-k: the exactness baseline. */
   val knnOp = QueryDef(
@@ -34,9 +51,7 @@ object VectorSearch {
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= topK)
+        topkPerGroup(scored, Seq("q_id"))
     },
     Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < $nQueries),
             |c AS (SELECT q_id, e.vec_id,
@@ -75,9 +90,7 @@ object VectorSearch {
             col("label") === col("best_label") && col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("best_label"), col("vec_id"),
             round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= topK)
+        topkPerGroup(scored, Seq("q_id", "best_label"))
     },
     Some(s"""WITH flat AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
             |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
@@ -96,23 +109,83 @@ object VectorSearch {
             |  SELECT sr.*, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank FROM sr)
             |WHERE rank <= $topK""".stripMargin))
 
-  /** Embedding-cosine near-dup pairs, blocked by label partition so the
-    * candidate join is linear per bucket rather than corpus². */
+  // ------------------------------------------------- hyperplane-LSH dedup
+  // Random-hyperplane LSH over the embedding: nBits sign bits grouped into
+  // bands; docs sharing any (band, signature) bucket become candidate
+  // pairs via an equi-join — never an all-pairs join. Determinism across
+  // engines: embeddings are quantized to integers (round(x*1000)) and the
+  // hyperplanes are integer vectors derived from md5(k:i), so every dot
+  // product is exact integer arithmetic — order-independent, no float
+  // sign-flip at the 0 boundary.
+  //
+  // Test geometry is 16 bits = 4 bands × 4 (collision-dense at sf scale);
+  // a 100 TB corpus wants ~8 bands × 16 bits so buckets stay bounded —
+  // both are the same plan shape, only the literals change.
+  private val lshBits = 16
+  private val lshBandBits = 4
+  private val lshBands = lshBits / lshBandBits
+  private val embDim = 64
+
+  private def md5Hex(str: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Integer hyperplane matrix W[k][i] in [-1000, 1000], identical to the
+    * oracle's ('0x'||substr(md5(k:i),1,8))::BIGINT % 2001 - 1000. */
+  private lazy val lshW: Seq[Seq[Long]] =
+    (0 until lshBits).map { k =>
+      (0 until embDim).map { i =>
+        java.lang.Long.parseLong(md5Hex(s"$k:$i").substring(0, 8), 16) % 2001 - 1000
+      }
+    }
+
   val dedupEmbeddingOp = QueryDef(
     "ns_dedup_embedding", {
       (s, dir) =>
-        val e1 = Tables.embeddings(s, dir).as("a")
-        val e2 = Tables.embeddings(s, dir).as("b")
-        e1.join(e2, expr("a.label = b.label AND a.vec_id < b.vec_id"))
-          .select(
-            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.label").as("label"),
-            round(vec_cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_r"))
+        val wLit = lshW.map(_.mkString("array(", "L,", "L)")).mkString("array(", ",", ")")
+        val sigExprs = (0 until lshBands).map { b =>
+          val bits = (0 until lshBandBits).map { j =>
+            s"(CASE WHEN element_at(dots, ${b * lshBandBits + j + 1}) >= 0 THEN ${1 << j} ELSE 0 END)"
+          }.mkString(" + ")
+          s"named_struct('band', $b, 'sig', CAST($bits AS BIGINT))"
+        }.mkString("array(", ", ", ")")
+        val emb = Tables.embeddings(s, dir)
+        val bands = emb
+          .withColumn("qemb", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
+          .withColumn("dots", expr(s"transform($wLit, wk -> aggregate(zip_with(qemb, wk, (x, y) -> x * y), 0L, (a, x) -> a + x))"))
+          .select(col("vec_id"), explode(expr(sigExprs)).as("bs"))
+          .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cand = bands.as("a")
+          .join(bands.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        // Candidates are sparse → join back to fetch vectors only for
+        // pairs, instead of shuffling the 256-byte embedding ×bands.
+        cand
+          .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+          .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            round(vec_cosine(col("emb_a"), col("emb_b")), 6).as("cos_r"))
           .filter(col("cos_r") >= 0.3)
     },
-    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
-           |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3""".stripMargin))
+    Some(s"""WITH hp AS (SELECT k, i,
+           |    ('0x' || substr(md5(concat(k, ':', i)), 1, 8))::BIGINT % 2001 - 1000 AS w
+           |  FROM (SELECT unnest(generate_series(0, ${lshBits - 1})) AS k),
+           |       (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+           |eq AS (SELECT vec_id, i, CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+           |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+           |dots AS (SELECT vec_id, k, sum(q * w) AS d
+           |  FROM eq JOIN hp USING (i) GROUP BY vec_id, k),
+           |sigs AS (SELECT vec_id, k // $lshBandBits AS band,
+           |    CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END * (1 << (k % $lshBandBits))) AS BIGINT) AS sig
+           |  FROM dots GROUP BY vec_id, k // $lshBandBits),
+           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b,
+           |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_r
+           |FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+           |          JOIN embeddings eb ON eb.vec_id = vec_b
+           |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3""".stripMargin))
 
   /** Multimodal column plumbing: treat content as opaque binary with
     * typed metadata (the 100 TB pattern for image/audio payloads). */
@@ -129,34 +202,23 @@ object VectorSearch {
            |  upper(substr(hex(encode(text)), 1, 16)) AS head_hex,
            |  'text/plain' AS mime FROM documents""".stripMargin))
 
-  /** Decode/feature-extract stub over binary content via mapPartitions —
-    * the real image/audio decoder is STUBBED with a deterministic
-    * md5-derived fake (the container has no media libs; FIXTURES.md);
-    * the Spark-side plumbing (binary in, typed features out, partition
-    * batching) is real and oracle-checked. */
+  /** Decode/feature-extract stub over binary content, as pure column
+    * expressions (whole-stage codegen; no mapPartitions detour). The real
+    * image/audio decoder is STUBBED with a deterministic md5-derived fake
+    * (the container has no media libs; FIXTURES.md) — swapping in a real
+    * codec means replacing the md5-derived columns with a Catalyst
+    * expression (or mapInArrow batch UDF) over the same `content` binary
+    * column; the schema/plumbing around it stays as-is. */
   val multimodalDecodeOp = QueryDef(
     "ns_multimodal_decode",
-    (s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          // One digest per partition (the "decoder handle"), reused per
-          // record — the same shape a real codec/model handle would use.
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (id, bytes) =>
-            md.reset()
-            val h = md.digest(bytes).map("%02x".format(_)).mkString
-            // ??? real decode goes here; deterministic fake below.
-            val width = 64 + (Integer.parseInt(h.substring(0, 2), 16) % 8) * 32
-            val height = 64 + (Integer.parseInt(h.substring(2, 4), 16) % 8) * 32
-            val frames = Integer.parseInt(h.substring(4, 6), 16) % 10 + 1
-            (id, width, height, frames)
-          }
-        }
-        .toDF("doc_id", "width", "height", "n_frames")
-    },
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .withColumn("h", md5(col("content")))
+      .select(
+        col("doc_id"),
+        (lit(64) + expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)") % 8 * 32).as("width"),
+        (lit(64) + expr("CAST(conv(substring(h, 3, 2), 16, 10) AS INT)") % 8 * 32).as("height"),
+        (expr("CAST(conv(substring(h, 5, 2), 16, 10) AS INT)") % 10 + 1).as("n_frames")),
     Some("""SELECT doc_id,
            |  64 + (('0x' || substr(md5(text), 1, 2))::INT % 8) * 32 AS width,
            |  64 + (('0x' || substr(md5(text), 3, 2))::INT % 8) * 32 AS height,
