@@ -28,7 +28,7 @@ object Decode {
   /** F4: JSON-or-text message normalization (reference main.go:492–510):
     * any valid JSON (object OR scalar) passes through verbatim; invalid
     * JSON is wrapped as {"text": msg}. */
-  private def jsonOrText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def jsonOrText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(try_parse_json(c).isNotNull, c)
       .otherwise(to_json(struct(c.as("text"))))
 
@@ -207,11 +207,11 @@ object Decode {
     payload.select(col("event_id"), col("ts_ms").as("batch_ms"), data.as("data"))
   }
 
-  /** The full reference dataflow F1→F3→X2→F4→F5→F6 on one frame.
-    * `withGzip=false` keeps it DuckDB-expressible; the gzip variant is the
-    * true reference semantics (base64(gzip(json)), main.go:463–479). */
-  def pipeline(s: SparkSession, dir: String, withGzip: Boolean): DataFrame = {
-    val decoded = firehoseData(s, dir, withGzip)
+  /** The frame-level decode transform: (event_id, batch_ms, data) →
+    * flattened documents. Pure column expressions, so it runs unchanged
+    * on batch frames AND streaming frames (streaming/Pipeline.scala). */
+  def decodeFrame(frame: DataFrame, withGzip: Boolean): DataFrame = {
+    val decoded = frame
       .withColumn("raw",
         (if (withGzip) gunzip(unbase64(col("data"))) else unbase64(col("data"))).cast("string"))
       .withColumn("d", from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL(cwSchema)))
@@ -226,6 +226,12 @@ object Decode {
         col("ev.timestamp").as("event_ms"),
         jsonOrText(col("ev.message")).as("message"))
   }
+
+  /** The full reference dataflow F1→F3→X2→F4→F5→F6 on one frame.
+    * `withGzip=false` keeps it DuckDB-expressible; the gzip variant is the
+    * true reference semantics (base64(gzip(json)), main.go:463–479). */
+  def pipeline(s: SparkSession, dir: String, withGzip: Boolean): DataFrame =
+    decodeFrame(firehoseData(s, dir, withGzip), withGzip)
 
   private val pipelineOracle: String = Synth.withMsg(
     """, enc AS (SELECT event_id, ts_ms AS batch_ms,
@@ -264,8 +270,48 @@ object Decode {
     (s, dir) => pipeline(s, dir, withGzip = true),
     None)
 
+  /** Firehose request envelope (reference incoming/firehose.go:21–28). */
+  val envSchema: String =
+    "requestId STRING, timestamp BIGINT, records ARRAY<STRUCT<data: STRING>>"
+
+  /** S3: whole-BODY gzip binding, distinct from the per-record gzip layer
+    * (reference gzipbinding/binding.go:38–45 gunzips the entire HTTP body
+    * before unmarshalling the Firehose envelope; main.go:472–479 is the
+    * separate per-record layer covered by `k2e_pipeline_gzip`). The wire
+    * form is gzip(whole envelope JSON); decode is gunzip → envelope parse
+    * → records explode → per-record base64 decode. The oracle replays the
+    * same dataflow minus the gzip/gunzip pair (a round-trip identity), so
+    * the envelope/explode/decode plumbing gets a full hash check while the
+    * Spark plan exercises the Gunzip expression in-path. */
+  val bodyGzipOp = QueryDef(
+    "k2e_body_gzip",
+    (s, dir) => {
+      val wire = Tables.events(s, dir).select(
+        col("event_id"),
+        gzip(to_json(struct(
+          concat(lit("req-"), col("event_id")).as("requestId"),
+          col("ts_ms").as("timestamp"),
+          array(
+            struct(base64(col("props").cast("binary")).as("data")),
+            struct(base64(col("event_type").cast("binary")).as("data")))
+            .as("records"))).cast("binary")).as("body_gz"))
+      wire
+        .withColumn("r", from_json(gunzip(col("body_gz")).cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(envSchema)))
+        .select(col("event_id"), col("r.requestId").as("request_id"),
+          col("r.timestamp").as("req_ms"), posexplode(col("r.records")))
+        .select(col("event_id"), col("request_id"), col("req_ms"),
+          col("pos").as("rec_pos"),
+          unbase64(col("col.data")).cast("string").as("payload"))
+    },
+    Some("""SELECT event_id, concat('req-', event_id) AS request_id,
+           |  epoch_ms(ts) AS req_ms, 0 AS rec_pos, props AS payload FROM events
+           |UNION ALL SELECT event_id, concat('req-', event_id),
+           |  epoch_ms(ts), 1, event_type FROM events""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     unbase64Op, gunzipOp, detectGzipOp, fromJsonOp, jsonOrTextOp,
     timestampMillisOp, explodeRecordsOp, explodeEventsOp, projectStructOp,
-    litRequestIdOp, deadletterOp, pipelineFlattenOp, pipelineGzipOp)
+    litRequestIdOp, deadletterOp, pipelineFlattenOp, pipelineGzipOp,
+    bodyGzipOp)
 }

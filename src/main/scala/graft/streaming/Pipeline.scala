@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.expr.GzipFunctions.gunzip
+import graft.ops.Decode
+
+/** The reference service as a Structured Streaming job.
+  *
+  * The reference is a streaming HTTP ingester: Firehose POSTs batches
+  * (reference main.go:248–365), records decode/explode into documents,
+  * and a bulk indexer flushes every 5 s with exponential-backoff retry on
+  * HTTP 429/502/503/504 (reference main.go:399–451, RetryOnStatus at
+  * main.go:412, FlushInterval at main.go:436). Firehose itself redelivers
+  * whole batches on failure (at-least-once) and archives everything to S3
+  * under SUCCESS/ / ERROR/ prefixes
+  * (reference cloudformation-template.yaml:160–171).
+  *
+  * Spark-first re-expression: `readStream` micro-batches are the bulk
+  * indexer's flush buffer (Trigger.ProcessingTime(5s) = FlushInterval);
+  * `foreachBatch` is the flush callback, wrapping each channel's write in
+  * the same retry/backoff envelope; the SUCCESS/ERROR prefixes become two
+  * sink directories routed by envelope-parse outcome; checkpointing +
+  * idempotent batch ids give the same at-least-once-with-replay contract,
+  * and `dropDuplicatesWithinWatermark` is the replay dedup that contract
+  * implies. The decode chain itself is `Decode.decodeFrame`, unchanged
+  * between batch and streaming — the point of keeping it declarative.
+  *
+  * At 100 TB/day posture: the only stateful operators (windowed agg,
+  * dedup) are watermark-bounded so state stores stay finite; everything
+  * else is per-record projection that scales with executor count.
+  */
+object Pipeline {
+
+  /** Transient sink failure carrying the would-be HTTP status. */
+  final case class TransientSinkError(status: Int)
+      extends RuntimeException(s"transient sink error: HTTP $status")
+
+  /** Statuses worth retrying (reference main.go:412 RetryOnStatus). */
+  val retryOnStatus: Set[Int] = Set(429, 502, 503, 504)
+
+  /** Exponential-backoff retry envelope (reference main.go:400–412 wraps
+    * every bulk flush in backoff.NewExponentialBackOff). Non-transient
+    * errors and exhausted attempts propagate — under checkpointed
+    * `foreachBatch` that fails the batch, which re-runs on restart: the
+    * reference's whole-batch Firehose retry, re-expressed. */
+  def withRetry[A](maxAttempts: Int = 5, baseBackoffMs: Long = 50,
+                   sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    var attempt = 1
+    var delayMs = baseBackoffMs
+    var result: Option[A] = None
+    while (result.isEmpty) {
+      try result = Some(f)
+      catch {
+        case TransientSinkError(status)
+            if retryOnStatus(status) && attempt < maxAttempts =>
+          sleep(delayMs)
+          delayMs *= 2
+          attempt += 1
+      }
+    }
+    result.get
+  }
+
+  /** Decode + route one envelope frame into the two delivery channels:
+    * (documents, dead-letter). A row dead-letters when the body is not a
+    * parseable CloudWatch envelope (missing/corrupt JSON or no logEvents)
+    * — the condition under which the reference rejects the batch
+    * (main.go:286–292, 469–535); parseable rows explode into documents
+    * via the shared batch/streaming decode chain. */
+  def route(frame: DataFrame, withGzip: Boolean): (DataFrame, DataFrame) = {
+    val raw = frame.withColumn("rawBody",
+      (if (withGzip) gunzip(unbase64(col("data"))) else unbase64(col("data")))
+        .cast("string"))
+      .withColumn("env", from_json(col("rawBody"), StructType.fromDDL(Decode.cwSchema)))
+    val bad = col("env").isNull || col("env.logEvents").isNull
+    val dead = raw.filter(bad)
+      .select(col("event_id"), col("batch_ms"), col("rawBody").as("body"),
+        lit("unparseable CloudWatch envelope").as("err"))
+    val docs = Decode.decodeFrame(raw.filter(!bad).select("event_id", "batch_ms", "data"), withGzip)
+    (docs, dead)
+  }
+
+  /** One micro-batch flush: route, then write each channel under its own
+    * retry envelope. Writers are injectable so tests can inject 429s;
+    * production writers are idempotent-by-path (parquet dir per channel),
+    * making batch replay safe. */
+  def sinkBatch(withGzip: Boolean,
+                writeOk: DataFrame => Unit,
+                writeErr: DataFrame => Unit,
+                maxAttempts: Int = 5, baseBackoffMs: Long = 50,
+                sleep: Long => Unit = Thread.sleep)(batch: Dataset[Row], batchId: Long): Unit = {
+    val (docs, dead) = route(batch.toDF(), withGzip)
+    withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs))
+    withRetry(maxAttempts, baseBackoffMs, sleep)(writeErr(dead))
+  }
+
+  /** Start the full ingest stream over a source of (event_id, batch_ms,
+    * data) envelope rows: decode → route → SUCCESS/ + ERROR/ parquet
+    * channels (reference cloudformation-template.yaml:170–171), 5 s
+    * micro-batches (reference main.go:436), checkpointed for restart
+    * recovery. */
+  def run(source: DataFrame, outDir: String, checkpointDir: String,
+          withGzip: Boolean = true,
+          trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    source.writeStream
+      .foreachBatch(sinkBatch(
+        withGzip,
+        ok => ok.write.mode("append").parquet(s"$outDir/SUCCESS"),
+        err => if (!err.isEmpty) err.write.mode("append").parquet(s"$outDir/ERROR")) _)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Event-time tumbling counts with a 10-minute watermark: events later
+    * than the watermark are dropped, and window state is reclaimed — the
+    * bounded-state form of StreamOps.tumblingOp (SURVEY §2.5). */
+  def tumblingCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_millis(col("event_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("logGroup"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("logGroup"), col("n"))
+
+  /** Replay dedup on the upstream record id: Firehose redelivers whole
+    * batches (at-least-once, cloudformation-template.yaml:160–161), so
+    * duplicates share `event_ref`; the watermark bounds how long each id
+    * is remembered, keeping dedup state finite at 100 TB/day. */
+  def dedupReplays(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_millis(col("event_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_ref")
+}

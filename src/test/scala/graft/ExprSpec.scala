@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.GrokFunctions.regexp_extract_struct
+import graft.expr.VecFunctions.{vec_cosine, vec_dot}
+
+/** Unit semantics for the custom Catalyst expressions: single-pass grok
+  * struct extraction and the primitive-loop vector ops. */
+class ExprSpec extends SparkSpec {
+
+  test("grok: one-pass struct extraction yields all capture groups") {
+    import spark.implicits._
+    val line = """203.0.0.7 - u7 [01/Jan/2026:00:00:00 +0000] "GET /v1/view/item3?limit=1&page=2 HTTP/1.1" 200 123 45 "203.0.0.7,10.0.0.9" client-7 txn-99 corr-9"""
+    val rx = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\w+) ([^\"]+) HTTP/([0-9.]+)\" " +
+      "(\\d+) (\\d+) (\\d+) \"([^\"]+)\" client-(\\d+) txn-(\\d+) corr-(\\d+)$"
+    val names = Seq("ip", "ident", "usr", "date", "method", "url", "ver",
+      "status", "bytes", "ms", "xff", "client", "txn", "corr")
+    val row = Seq(line).toDF("line")
+      .select(regexp_extract_struct(col("line"), rx, names).as("g"))
+      .select("g.*").collect().head
+    assert(row.getString(0) == "203.0.0.7")
+    assert(row.getString(4) == "GET")
+    assert(row.getString(7) == "200")
+    assert(row.getString(13) == "9")
+  }
+
+  test("grok: no-match yields empty strings (regexp_extract semantics), null stays null") {
+    import spark.implicits._
+    val out = Seq(Some("no match here"), None).toDF("line")
+      .select(regexp_extract_struct(col("line"), "^(\\d+)-(\\d+)$", Seq("a", "b")).as("g"))
+      .collect()
+    assert(out(0).getStruct(0).getString(0) == "")
+    assert(out(0).getStruct(0).getString(1) == "")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("vec_dot / vec_cosine match hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(vec_dot(col("a"), col("b")).as("d"), vec_cosine(col("a"), col("b")).as("c"))
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-9)
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r.getDouble(1) - want) < 1e-9)
+  }
+
+  test("vec_cosine of a zero vector is 0.0, not NaN") {
+    import spark.implicits._
+    val r = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(vec_cosine(col("a"), col("b"))).collect().head
+    assert(r.getDouble(0) == 0.0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.expr.GzipCodec
+import graft.expr.GzipFunctions.{gunzip, gzip}
+
+/** Round-trip law for the custom Gunzip/Gzip Catalyst expressions — the
+  * only correctness check possible for the oracle-exempt `k2e_gunzip`
+  * (DuckDB has no gzip scalar). Covers the static codec, the interpreted
+  * eval path, and the codegen path through a real plan. */
+class GzipSpec extends SparkSpec {
+
+  private val byteArrays: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 8192).flatMap(n => Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+
+  test("codec round-trip holds on 200 scalacheck byte arrays (sizes 0..8192)") {
+    var seed = Seed(42L)
+    (1 to 200).foreach { _ =>
+      val bytes = byteArrays.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      assert(GzipCodec.gunzip(GzipCodec.gzip(bytes)).sameElements(bytes))
+    }
+  }
+
+  test("expression round-trip through a Spark plan (codegen path)") {
+    import spark.implicits._
+    val strings = Seq("", "a", "hello graft", "x" * 10000, "é中文 mixed")
+    val out = strings.toDF("s")
+      .select(gunzip(gzip(col("s").cast("binary"))).cast("string").as("rt"))
+      .as[String].collect()
+    assert(out.toSeq == strings)
+  }
+
+  test("gzip output carries the 1f8b magic the sniffer keys on") {
+    // reference main.go:74–121 detects gzip by magic bytes
+    val gz = GzipCodec.gzip("payload".getBytes("UTF-8"))
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+  }
+
+  test("gunzip of non-gzip bytes fails (reference rejects the batch)") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq("not gzip").toDF("s")
+        .select(gunzip(col("s").cast("binary"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("null propagates as null, not a crash") {
+    import spark.implicits._
+    val out = Seq[Option[String]](None).toDF("s")
+      .select(gunzip(col("s").cast("binary")).as("b")).collect()
+    assert(out.head.isNullAt(0))
+  }
+}

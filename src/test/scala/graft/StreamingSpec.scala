@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Pipeline
+
+/** Structured Streaming semantics through MemoryStream: watermarked
+  * tumbling aggregation (late-data drop), replay dedup, the SUCCESS/ERROR
+  * dead-letter channel split, and the retry/backoff sink envelope
+  * (reference main.go:399–451; cloudformation-template.yaml:160–171). */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val H = 3600L * 1000 // one hour in ms
+
+  test("tumbling agg with watermark finalizes windows and drops late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val agg = Pipeline.tumblingCounts(
+      in.toDF().toDF("event_ms", "logGroup")
+        .withColumn("event_id", lit(0L)).withColumn("batch_ms", lit(0L))
+        .withColumn("logStream", lit("s")).withColumn("event_ref", lit("r"))
+        .withColumn("message", lit("m")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_test").start()
+    try {
+      // two events in hour-0, then an hour-2 event that advances the
+      // watermark past hour-0's close → hour-0 window emits
+      in.addData((10 * 60000L, "/app/a"), (20 * 60000L, "/app/a"))
+      q.processAllAvailable()
+      in.addData((2 * H + 10 * 60000L, "/app/a"))
+      q.processAllAvailable()
+      val afterClose = spark.table("tumbling_test")
+        .filter(col("window_start") === timestamp_millis(lit(0L)))
+        .select("n").as[Long].collect()
+      assert(afterClose.toSeq == Seq(2L), "hour-0 window should emit n=2")
+
+      // a straggler behind the watermark must be dropped, not re-emitted
+      in.addData((30 * 60000L, "/app/a"))
+      q.processAllAvailable()
+      val afterLate = spark.table("tumbling_test")
+        .filter(col("window_start") === timestamp_millis(lit(0L)))
+        .select("n").as[Long].collect()
+      assert(afterLate.toSeq == Seq(2L), "late event must not change the closed window")
+    } finally q.stop()
+  }
+
+  test("replay dedup: redelivered event_refs emit once within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val deduped = Pipeline.dedupReplays(
+      in.toDF().toDF("event_ref", "event_ms")
+        .withColumn("event_id", lit(0L)).withColumn("batch_ms", lit(0L))
+        .withColumn("logGroup", lit("g")).withColumn("logStream", lit("s"))
+        .withColumn("message", lit("m")))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      in.addData(("e1", 1000L), ("e2", 2000L))
+      q.processAllAvailable()
+      in.addData(("e1", 1000L), ("e3", 3000L)) // e1 is a Firehose redelivery
+      q.processAllAvailable()
+      val refs = spark.table("dedup_test").select("event_ref").as[String].collect().sorted
+      assert(refs.toSeq == Seq("e1", "e2", "e3"))
+    } finally q.stop()
+  }
+
+  test("retry envelope: transient 429s back off exponentially then succeed") {
+    var attempts = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val out = Pipeline.withRetry(maxAttempts = 5, baseBackoffMs = 50, sleep = sleeps += _) {
+      attempts += 1
+      if (attempts < 3) throw Pipeline.TransientSinkError(429)
+      "flushed"
+    }
+    assert(out == "flushed" && attempts == 3)
+    assert(sleeps.toSeq == Seq(50L, 100L))
+  }
+
+  test("retry envelope: non-retryable status propagates immediately") {
+    var attempts = 0
+    val ex = intercept[Pipeline.TransientSinkError] {
+      Pipeline.withRetry(maxAttempts = 5, baseBackoffMs = 1, sleep = _ => ()) {
+        attempts += 1
+        throw Pipeline.TransientSinkError(400)
+      }
+    }
+    assert(ex.status == 400 && attempts == 1)
+  }
+
+  test("retry envelope: attempts exhaust and the batch fails (Firehose replays it)") {
+    var attempts = 0
+    val ex = intercept[Pipeline.TransientSinkError] {
+      Pipeline.withRetry(maxAttempts = 3, baseBackoffMs = 1, sleep = _ => ()) {
+        attempts += 1
+        throw Pipeline.TransientSinkError(503)
+      }
+    }
+    assert(ex.status == 503 && attempts == 3)
+  }
+
+  test("end-to-end stream: parseable rows land in SUCCESS/, garbage in ERROR/") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[
+        |{"id":"e1","timestamp":1000,"message":"{\"k\":1}"},
+        |{"id":"e2","timestamp":2000,"message":"plain"}]}""".stripMargin
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-sink")
+    val q = Pipeline.run(
+      in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-ckpt"), withGzip = false, trigger = Trigger.AvailableNow())
+    try {
+      in.addData((1L, 10L, b64(goodBody)), (2L, 20L, b64("not an envelope")))
+      q.processAllAvailable()
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      assert(ok.count() == 2) // two logEvents exploded from the good row
+      assert(ok.select("logGroup").distinct().as[String].collect().toSeq == Seq("/app/a"))
+      val err = spark.read.parquet(s"$outDir/ERROR")
+      assert(err.count() == 1)
+      assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("sink batch: both channels flush under retry with injected 429s") {
+    import spark.implicits._
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[{"id":"e1","timestamp":1000,"message":"m"}]}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(goodBody.getBytes("UTF-8"))
+    val batch = Seq((1L, 10L, b64)).toDF("event_id", "batch_ms", "data")
+
+    var okWrites = 0; var okAttempts = 0
+    Pipeline.sinkBatch(
+      withGzip = false,
+      writeOk = df => { okAttempts += 1
+        if (okAttempts < 3) throw Pipeline.TransientSinkError(429)
+        okWrites += df.count().toInt },
+      writeErr = _ => (), sleep = _ => ())(batch, 0L)
+    assert(okAttempts == 3 && okWrites == 1)
+  }
+}
