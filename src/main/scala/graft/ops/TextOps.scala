@@ -99,31 +99,55 @@ object TextOps {
            |SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
            |FROM bits GROUP BY doc_id""".stripMargin))
 
-  /** n-gram Jaccard near-dup: prefix blocking (30 chars) then word-set
-    * Jaccard on candidate pairs — blocking keeps the join linear. */
+  /** Token-set Jaccard similarity join via the SSJoin/PPJoin prefix
+    * filter: under any fixed total order on tokens, two sets with
+    * J ≥ t must share a token within each set's first
+    * n − ceil(t·n) + 1 tokens — so only those prefix tokens are join
+    * keys, and candidates are verified with the exact Jaccard. Tokens
+    * are ordered by ascending document frequency (rarest first), which
+    * makes prefix join keys the rarest tokens a doc has: per-key bucket
+    * sizes track the df of rare tokens, not of stopwords, so no block
+    * goes quadratic on boilerplate the way substring blocking does.
+    * The result is the EXACT similarity join (no candidate misses), so
+    * the oracle can generate candidates the naive-complete way (any
+    * shared token) without mirroring the prefix machinery. */
+  private val ngramT = 0.95
   val dedupNgramOp = QueryDef(
     "ns_dedup_ngram", {
       (s, dir) =>
         val d = docs(s, dir).select(
           col("doc_id"),
-          substring(col("text"), 1, 30).as("blk"),
           array_distinct(split(trim(col("text")), " ")).as("toks"))
-        val a = d.as("a")
-        val b = d.as("b")
-        a.join(b, expr("a.blk = b.blk AND a.doc_id < b.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("round(CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE) / size(array_union(a.toks, b.toks)), 6)").as("jaccard"))
-          .filter(col("jaccard") >= 0.2)
+        val tok = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        val prefix = tok.join(dfreq, "tok")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+          .select(col("doc_id"),
+            expr(s"slice(transform(sorted, x -> x.tok), 1, " +
+              s"size(sorted) - CAST(ceil($ngramT * size(sorted)) AS INT) + 1)").as("ptoks"))
+          .select(col("doc_id"), explode(col("ptoks")).as("ptok"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"), expr("a.ptok = b.ptok AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("round(CAST(size(array_intersect(ta, tb)) AS DOUBLE) / size(array_union(ta, tb)), 6)").as("jaccard"))
+          .filter(col("jaccard") >= ngramT)
     },
-    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 30) AS blk,
-           |    list_distinct(string_split(trim(text), ' ')) AS toks FROM documents)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-           |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-           |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-           |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-           |        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.2""".stripMargin))
+    Some(s"""WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks
+           |    FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+           |j AS (SELECT c.doc_a, c.doc_b,
+           |    round(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+           |          / len(list_distinct(list_concat(da.toks, db.toks))), 6) AS jaccard
+           |  FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $ngramT""".stripMargin))
 
   /** Text statistics: token counts, distinct tokens, type-token ratio. */
   val textStatsOp = QueryDef(
