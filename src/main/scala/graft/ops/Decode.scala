@@ -25,6 +25,17 @@ object Decode {
       "subscriptionFilters ARRAY<STRING>, " +
       "logEvents ARRAY<STRUCT<id: STRING, timestamp: BIGINT, message: STRING>>"
 
+  /** events spread across cores: the testdata is one small parquet split
+    * (one scan partition), which would run per-row gzip/gunzip — a JNI
+    * deflate per record, the dominant cost in the codec ops —
+    * single-threaded. The row set is unchanged, so oracle compares are
+    * unaffected; real deployments get this parallelism from having many
+    * input splits. */
+  private def eventsPar(s: SparkSession, dir: String): DataFrame =
+    // explicit partition count: AQE coalesces column-only repartitions of
+    // small shuffles back to ~1 partition, defeating the point here
+    Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism, col("event_id"))
+
   /** F4: JSON-or-text message normalization (reference main.go:492–510):
     * any valid JSON (object OR scalar) passes through verbatim; invalid
     * JSON is wrapped as {"text": msg}. */
@@ -51,7 +62,7 @@ object Decode {
     * the round-trip law (gunzip(gzip(x)) == x). */
   val gunzipOp = QueryDef(
     "k2e_gunzip",
-    (s, dir) => Tables.events(s, dir).select(
+    (s, dir) => eventsPar(s, dir).select(
       col("event_id"),
       gunzip(gzip(col("props").cast("binary"))).cast("string").as("roundtrip"),
       length(gzip(col("props").cast("binary"))).as("gz_len")),
@@ -62,7 +73,7 @@ object Decode {
     * Oracle recomputes ground truth from the construction rule. */
   val detectGzipOp = QueryDef(
     "k2e_detect_gzip",
-    (s, dir) => Tables.events(s, dir).select(
+    (s, dir) => eventsPar(s, dir).select(
       col("event_id"),
       (upper(hex(substring(
         when(col("user_id") % 2 === 0, gzip(col("props").cast("binary")))
@@ -186,7 +197,9 @@ object Decode {
   /** Build the synthetic Firehose `data` column: base64(payload-JSON),
     * optionally with the reference's per-record gzip layer inside. */
   private def firehoseData(s: SparkSession, dir: String, withGzip: Boolean): DataFrame = {
-    val payload = Synth.eventsWithMsg(s, dir).withColumn("payload", to_json(struct(
+    val payload = Synth.eventsWithMsg(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      .withColumn("payload", to_json(struct(
       lit("DATA_MESSAGE").as("messageType"),
       lit("111111111111").as("owner"),
       concat(lit("/app/"), col("event_type")).as("logGroup"),
@@ -286,7 +299,7 @@ object Decode {
   val bodyGzipOp = QueryDef(
     "k2e_body_gzip",
     (s, dir) => {
-      val wire = Tables.events(s, dir).select(
+      val wire = eventsPar(s, dir).select(
         col("event_id"),
         gzip(to_json(struct(
           concat(lit("req-"), col("event_id")).as("requestId"),

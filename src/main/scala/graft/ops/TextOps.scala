@@ -61,7 +61,7 @@ object TextOps {
         // shingle scan across cores AND pre-clusters by doc_id so the
         // groupBy below inserts no second shuffle.
         val sh = docs(s, dir)
-          .repartition(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(shingles3(trim(col("text")))).as("x"))
         val withMh = sh.groupBy("doc_id").agg(
           min(md5(concat(lit("0:"), col("x")))).as("mh0"),
@@ -137,7 +137,7 @@ object TextOps {
         // repartition by doc_id spreads the shingle construction across
         // cores even when the scan is one small file split.
         val d = docs(s, dir)
-          .repartition(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), array_distinct(shingles3(trim(col("text")))).as("sh"))
           .filter(size(col("sh")) >= 1)
         val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))

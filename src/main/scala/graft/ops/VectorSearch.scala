@@ -22,6 +22,15 @@ import graft.expr.VecFunctions.vec_cosine
   */
 object VectorSearch {
 
+  /** embeddings spread across cores: the testdata is one small parquet
+    * split (one scan partition), which would run the per-row vector math
+    * — 1M+ cosines for knn, 16 hyperplane dot products per row for LSH —
+    * single-threaded. Explicit count: AQE would coalesce a column-only
+    * repartition of a small shuffle back to ~1 partition. */
+  private def embPar(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+
   private val nQueries = 20
   private val topK = 5
 
@@ -47,7 +56,7 @@ object VectorSearch {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val scored = emb.crossJoin(broadcast(q))
+        val scored = embPar(s, dir).crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
@@ -86,7 +95,7 @@ object VectorSearch {
         val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
         val best = assigned.withColumn("r", row_number().over(wq)).filter(col("r") === 1)
           .select(col("q_id"), col("q_emb"), col("label").as("best_label"))
-        val scored = Tables.embeddings(s, dir).join(broadcast(best),
+        val scored = embPar(s, dir).join(broadcast(best),
             col("label") === col("best_label") && col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("best_label"), col("vec_id"),
             round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
@@ -150,7 +159,7 @@ object VectorSearch {
           s"named_struct('band', $b, 'sig', CAST($bits AS BIGINT))"
         }.mkString("array(", ", ", ")")
         val emb = Tables.embeddings(s, dir)
-        val bands = emb
+        val bands = embPar(s, dir)
           .withColumn("qemb", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
           .withColumn("dots", expr(s"transform($wLit, wk -> aggregate(zip_with(qemb, wk, (x, y) -> x * y), 0L, (a, x) -> a + x))"))
           .select(col("vec_id"), explode(expr(sigExprs)).as("bs"))
