@@ -49,8 +49,14 @@ object TextOps {
   // MinHash: word 3-shingles, 8 hash functions (min over md5('<b>:'||shingle)),
   // banded 4×2 → candidate pairs share ≥1 band. Min over hex strings is a
   // valid minhash (lexicographic order on a uniform hash).
+  // bandCap bounds hot-bucket skew: a (band, sig) bucket of n docs emits
+  // C(n,2) candidate pairs, so one boilerplate-heavy bucket can go
+  // quadratic at corpus scale; buckets over the cap are dropped whole
+  // (deterministic — near-dups that common still pair through their
+  // other bands or the exact-dedup path).
   private val nHashes = 8
   private val bandWidth = 2
+  private val bandCap = 50
 
   val dedupMinhashOp = QueryDef(
     "ns_dedup_minhash", {
@@ -73,6 +79,9 @@ object TextOps {
             concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
           }: _*)))
           .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+          .filter(col("bn") <= bandCap)
+          .drop("bn")
         val a = bands.as("a")
         val b = bands.as("b")
         a.join(b, expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
@@ -92,7 +101,9 @@ object TextOps {
          |         i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS s
          |       FROM toks WHERE len(t) >= 3),
          |mh AS (SELECT doc_id, $mhCols FROM sh),
-         |bands AS ($bandSelects)
+         |bands0 AS ($bandSelects),
+         |bands AS (SELECT * FROM bands0
+         |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $bandCap)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin
