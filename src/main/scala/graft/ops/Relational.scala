@@ -198,7 +198,44 @@ object Relational {
       .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
   }
 
+  /** Salted skew join: when a shuffle join's key distribution is heavy
+    * (here ~75% of the fact lands on one key by construction) and the
+    * dimension is too large to broadcast, the hot key's rows all hash to
+    * one reduce task. Salting fans the fact out over S sub-keys
+    * (deterministic hash of the row id) and replicates each dim row S
+    * times, so the hot key spreads across S tasks; the join result is
+    * identical to the unsalted join — which is exactly what the DuckDB
+    * oracle runs. The shuffle_hash hint forces the shuffled-join regime
+    * the technique targets (AQE would otherwise broadcast the small test
+    * dim). AQE's skew-join split solves the same problem adaptively for
+    * sort-merge joins; salting is the plan-level form that also covers
+    * hash joins and stateful streaming joins. */
+  val joinSkewSalted: QueryDef = {
+    val S = 8
+    q(
+      "ns_join_skew_salted",
+      """WITH fact AS (SELECT event_id,
+        |    CASE WHEN user_id % 4 < 3 THEN 0 ELSE user_id % 25 END AS nk FROM events),
+        |j AS (SELECT f.event_id, n.n_name FROM fact f JOIN nation n ON n.n_nationkey = f.nk)
+        |SELECT n_name, count(*) AS n_events FROM j GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val fact = Tables.events(s, dir)
+          .select(col("event_id"),
+            when(col("user_id") % 4 < 3, lit(0))
+              .otherwise(col("user_id") % 25).cast("int").as("nk"))
+          .withColumn("salt", pmod(hash(col("event_id")), lit(S)))
+        val dim = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"),
+            explode(expr(s"sequence(0, ${S - 1})")).as("salt"))
+        fact
+          .join(dim.hint("shuffle_hash"),
+            fact("nk") === dim("n_nationkey") && fact("salt") === dim("salt"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_events"))
+    }
+  }
+
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, joinHash, joinBroadcast, semiAnti,
-    windowRank, windowFrame, topK, unionOp, exceptOp)
+    windowRank, windowFrame, topK, unionOp, exceptOp, joinSkewSalted)
 }
