@@ -32,7 +32,7 @@ object TextOps {
     * the explode path). Equivalent to
     * `transform(sequence(1, n-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])`
     * on single-space-tokenized text. */
-  private def shingles3(text: Column): Column =
+  private[graft] def shingles3(text: Column): Column =
     regexp_extract_all(text, lit("(?<=^| )(?=(\\S+ \\S+ \\S+))"), lit(1))
 
   /** Exact dedup: hash-groupBy on normalized text (map-side combine →

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.TextOps
+
+/** Properties behind the text-dedup operators' implementation tricks. */
+class TextOpsSpec extends SparkSpec {
+
+  // The codegen-friendly regexp shingler must agree with the definitional
+  // split-based form it replaced (TextOps.shingles3 doc) on single-space
+  // tokenized text.
+  private val token: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+  private val sentence: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+
+  test("shingles3 equals the split-based 3-shingle definition (200 scalacheck strings)") {
+    import spark.implicits._
+    var seed = Seed(42L)
+    val texts = (1 to 200).map { _ =>
+      val t = sentence.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      t
+    }
+    texts.foreach { text =>
+      val Array(byRegex, bySplit) = Seq(text).toDF("text")
+        .withColumn("t", split(trim(col("text")), " "))
+        .select(
+          TextOps.shingles3(trim(col("text"))).as("a"),
+          when(size(col("t")) >= 3, expr(
+            "transform(sequence(1, size(t)-2), i -> concat(element_at(t,i), ' ', element_at(t,i+1), ' ', element_at(t,i+2)))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("b"))
+        .as[(Seq[String], Seq[String])]
+        .collect()
+        .flatMap(r => Array(r._1, r._2))
+      assert(byRegex == bySplit, s"text=<$text>")
+    }
+  }
+
+  test("salted skew join result equals the plain join (identity of the rewrite)") {
+    import spark.implicits._
+    val salted = SparkEntry.queries("ns_join_skew_salted")(spark, sfDir)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val plain = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        when(col("user_id") % 4 < 3, lit(0))
+          .otherwise(col("user_id") % 25).cast("int").as("nk"))
+      .join(Tables.nation(spark, sfDir), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_events"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(salted.nonEmpty && (salted sameElements plain))
+  }
+
+  test("minhash band cap drops whole buckets deterministically") {
+    // Two runs of the capped query produce identical row sets.
+    val q = SparkEntry.queries("ns_dedup_minhash")
+    val r1 = q(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    val r2 = q(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    assert(r1.nonEmpty && r1.sameElements(r2))
+  }
+}
