@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, LshSignBits}
 
 /** Native vector math over `ARRAY<FLOAT>` embedding columns.
   *
@@ -46,4 +46,6 @@ object VecFunctions {
     Cols.column(DotProduct(Cols.expr(a), Cols.expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     Cols.column(CosineSimilarity(Cols.expr(a), Cols.expr(b)))
+  def lsh_sign_bits(emb: Column, w: Array[Array[Long]]): Column =
+    Cols.column(LshSignBits(Cols.expr(emb), w))
 }

@@ -151,17 +151,19 @@ object VectorSearch {
   val dedupEmbeddingOp = QueryDef(
     "ns_dedup_embedding", {
       (s, dir) =>
-        val wLit = lshW.map(_.mkString("array(", "L,", "L)")).mkString("array(", ",", ")")
+        // The 16×64 quantized hyperplane dot products run in the native
+        // LshSignBits expression (graftshim) — a primitive loop inside
+        // whole-stage codegen. The HOF formulation
+        // (transform/zip_with/aggregate) is CodegenFallback and ran the
+        // stage interpreted; flat literal expansion of 1024 terms
+        // overflowed codegen method limits. Both measured slower.
         val sigExprs = (0 until lshBands).map { b =>
-          val bits = (0 until lshBandBits).map { j =>
-            s"(CASE WHEN element_at(dots, ${b * lshBandBits + j + 1}) >= 0 THEN ${1 << j} ELSE 0 END)"
-          }.mkString(" + ")
-          s"named_struct('band', $b, 'sig', CAST($bits AS BIGINT))"
+          s"named_struct('band', $b, 'sig', shiftright(bits, ${b * lshBandBits}) & ${(1 << lshBandBits) - 1})"
         }.mkString("array(", ", ", ")")
         val emb = Tables.embeddings(s, dir)
         val bands = embPar(s, dir)
-          .withColumn("qemb", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
-          .withColumn("dots", expr(s"transform($wLit, wk -> aggregate(zip_with(qemb, wk, (x, y) -> x * y), 0L, (a, x) -> a + x))"))
+          .withColumn("bits",
+            graft.expr.VecFunctions.lsh_sign_bits(col("embedding"), lshW.map(_.toArray).toArray))
           .select(col("vec_id"), explode(expr(sigExprs)).as("bs"))
           .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         val cand = bands.as("a")

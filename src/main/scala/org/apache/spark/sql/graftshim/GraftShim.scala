@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Column ↔ Catalyst Expression bridge (used by graft.Cols). */
@@ -93,6 +93,57 @@ object GrokHelper {
       i += 1
     }
     new GenericInternalRow(arr)
+  }
+}
+
+/** Random-hyperplane LSH sign bits over an ARRAY<FLOAT> embedding: bit k
+  * of the result is set iff dot(quantize(emb), W[k]) >= 0, with
+  * quantize(x) = round(x·1000) replicated exactly as Spark's
+  * round(CAST(x AS DOUBLE)*1000, 0) (BigDecimal HALF_UP on the double),
+  * so the result is bit-identical to the SQL/DuckDB formulation. A tight
+  * primitive loop behind a static call keeps the 16×64 integer dot
+  * products inside whole-stage codegen; the HOF formulation
+  * (transform/zip_with/aggregate) is CodegenFallback and runs the whole
+  * stage interpreted, while literal expansion of 1024 terms overflows
+  * codegen method limits (both measured slower). */
+case class LshSignBits(child: Expression, w: Array[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bits"
+  override protected def nullSafeEval(input: Any): Any =
+    LshHelper.signBits(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lshW", w, "long[][]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftshim.LshHelper.signBits($c, $wRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshSignBits =
+    copy(child = newChild)
+}
+
+object LshHelper {
+  def signBits(emb: ArrayData, w: Array[Array[Long]]): Long = {
+    val dim = emb.numElements()
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      q(i) = java.math.BigDecimal.valueOf(emb.getFloat(i).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < w.length) {
+      val wk = w(k)
+      var s = 0L
+      var j = 0
+      val n = math.min(dim, wk.length)
+      while (j < n) { s += q(j) * wk(j); j += 1 }
+      if (s >= 0L) bits |= (1L << k)
+      k += 1
+    }
+    bits
   }
 }
 
