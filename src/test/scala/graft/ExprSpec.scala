@@ -51,4 +51,25 @@ class ExprSpec extends SparkSpec {
       .select(vec_cosine(col("a"), col("b"))).collect().head
     assert(r.getDouble(0) == 0.0)
   }
+
+  test("lsh_sign_bits equals the SQL HOF formulation on real embeddings") {
+    import graft.expr.VecFunctions.lsh_sign_bits
+    // 3 hyperplanes incl. a sign-sensitive edge (all-negative weights).
+    val w = Array(
+      Array.tabulate(64)(i => (i % 7 - 3).toLong * 100),
+      Array.tabulate(64)(i => -(i % 5 + 1).toLong),
+      Array.fill(64)(1L))
+    val wLit = w.map(_.mkString("array(", "L,", "L)")).mkString("array(", ",", ")")
+    val hof =
+      "aggregate(zip_with(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), wk, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    val rows = Tables.embeddings(spark, sfDir)
+      .withColumn("bits", lsh_sign_bits(col("embedding"), w))
+      .withColumn("dots", expr(s"transform($wLit, wk -> $hof)"))
+      .select(col("bits"), expr(
+        "CAST(CASE WHEN dots[0] >= 0 THEN 1 ELSE 0 END + " +
+          "CASE WHEN dots[1] >= 0 THEN 2 ELSE 0 END + " +
+          "CASE WHEN dots[2] >= 0 THEN 4 ELSE 0 END AS BIGINT)").as("expect"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
 }
