@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzip}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzip, RegExpExtractStruct}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, both
   * via `SparkSessionExtensions` (for `.withExtensions` /
@@ -15,7 +15,8 @@ import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzi
   * session).
   *
   * Functions: `gunzip(binary)`, `gzip(binary)`, `vec_dot(a,b)`,
-  * `vec_cosine(a,b)`.
+  * `vec_cosine(a,b)`, and `grok_struct(line, 'rx', 'field', ...)` —
+  * single-pass multi-group regex extraction into a struct.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -34,6 +35,12 @@ object GraftExtensions {
     "gzip" -> (args => Gzip(args.head)),
     "vec_dot" -> (args => DotProduct(args(0), args(1))),
     "vec_cosine" -> (args => CosineSimilarity(args(0), args(1))),
+    // grok_struct(line, 'regex', 'field1', 'field2', ...): pattern and
+    // field names must be string literals (they shape the result type).
+    "grok_struct" -> (args => RegExpExtractStruct(
+      args.head,
+      args(1).eval(null).toString,
+      args.drop(2).map(_.eval(null).toString))),
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -33,7 +33,9 @@ object Probe {
       .select(regexp_extract_struct(col("line"),
         "^(\\S+) (\\S+)$", Seq("a", "b")).as("g"))
       .select(col("g.a"), col("g.b")).show(false)
-    // 5. flagship entry smoke (rows > 0)
+    // 5. SQL grok_struct: one-pass extraction via the registry
+    spark.sql("SELECT g.a, g.b FROM (SELECT grok_struct('12-34', '^(\\\\d+)-(\\\\d+)$', 'a', 'b') AS g)").show(false)
+    // 6. flagship entry smoke (rows > 0)
     println(s"PROBE: entry rows = ${SparkEntry.entry(spark).count()}")
     spark.stop()
   }
