@@ -25,6 +25,15 @@ object Decode {
       "subscriptionFilters ARRAY<STRING>, " +
       "logEvents ARRAY<STRUCT<id: STRING, timestamp: BIGINT, message: STRING>>"
 
+  /** The subset of cwSchema the document flattening consumes. from_json
+    * skips unrequested fields without materializing them, so parsing
+    * with the pruned schema is cheaper and semantically identical (the
+    * decode chain is an interpreted segment — JsonToStructs is
+    * CodegenFallback — so per-field savings are worth having). */
+  val cwSchemaPruned: String =
+    "logGroup STRING, logStream STRING, " +
+      "logEvents ARRAY<STRUCT<id: STRING, timestamp: BIGINT, message: STRING>>"
+
   /** events spread across cores: the testdata is one small parquet split
     * (one scan partition), which would run per-row gzip/gunzip — a JNI
     * deflate per record, the dominant cost in the codec ops —
@@ -227,7 +236,7 @@ object Decode {
     val decoded = frame
       .withColumn("raw",
         (if (withGzip) gunzip(unbase64(col("data"))) else unbase64(col("data"))).cast("string"))
-      .withColumn("d", from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL(cwSchema)))
+      .withColumn("d", from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL(cwSchemaPruned)))
     decoded
       .select(
         col("event_id"), col("batch_ms"),
