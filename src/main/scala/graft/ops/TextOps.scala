@@ -114,6 +114,7 @@ object TextOps {
   val dedupSimhashOp = QueryDef(
     "ns_dedup_simhash",
     (s, dir) => docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
       .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
       .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))

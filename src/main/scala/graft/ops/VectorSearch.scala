@@ -78,7 +78,7 @@ object VectorSearch {
     "ns_similarity_ivf", {
       (s, dir) =>
         val emb = Tables.embeddings(s, dir)
-        val cent = emb
+        val cent = embPar(s, dir)
           .select(col("label"), posexplode(col("embedding")))
           .groupBy(col("label"), col("pos"))
           .agg(round(avg(col("col").cast("double")), 6).as("cv"))
