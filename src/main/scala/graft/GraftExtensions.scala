@@ -20,13 +20,15 @@ import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzi
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       e.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", name),
           builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.EliminateCodecRoundTrips)
+  }
 }
 
 object GraftExtensions {
