@@ -135,4 +135,69 @@ object Pipeline {
       .withColumn("event_time", timestamp_millis(col("event_ms")))
       .withWatermark("event_time", "10 minutes")
       .dropDuplicatesWithinWatermark("event_ref")
+
+  /** One event of a keyed stream, for custom sessionization. The
+    * event_time column must ride along — Spark requires the watermarked
+    * column to reach the stateful operator. */
+  final case class KeyedEvent(stream: String, event_ms: Long,
+                              event_time: java.sql.Timestamp)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionAgg(startMs: Long, endMs: Long, n: Long)
+
+  /** A closed session: `closedBy` = "gap" (a later event arrived beyond
+    * the gap) or "timeout" (the watermark passed end + gap with no
+    * successor — the stream went quiet). */
+  final case class SessionClosed(stream: String, startMs: Long, endMs: Long,
+                                 n: Long, closedBy: String)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`:
+    * gap-based sessions that emit ONLY on close, tagged with why they
+    * closed — semantics `session_window` cannot express (it emits every
+    * finalized window, untagged, and cannot distinguish gap-split from
+    * quiescence). State is one `SessionAgg` per active key, expired by
+    * `EventTimeTimeout` at end + gap, so state size tracks the number of
+    * concurrently-active streams, not history — the bounded-state
+    * requirement at 100 TB/day. Late events (behind the watermark) are
+    * dropped by the runtime before reaching the state function. */
+  def sessionize(docs: DataFrame, gapMs: Long): Dataset[SessionClosed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def onGroup(key: String, events: Iterator[KeyedEvent],
+                state: GroupState[SessionAgg]): Iterator[SessionClosed] =
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionClosed(key, s.startMs, s.endMs, s.n, "timeout"))
+      } else {
+        val closed = Seq.newBuilder[SessionClosed]
+        var cur = state.getOption
+        events.toSeq.sortBy(_.event_ms).foreach { e =>
+          cur = cur match {
+            case Some(s) if e.event_ms - s.endMs <= gapMs =>
+              Some(SessionAgg(s.startMs, math.max(s.endMs, e.event_ms), s.n + 1))
+            case Some(s) =>
+              closed += SessionClosed(key, s.startMs, s.endMs, s.n, "gap")
+              Some(SessionAgg(e.event_ms, e.event_ms, 1))
+            case None =>
+              Some(SessionAgg(e.event_ms, e.event_ms, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        closed.result().iterator
+      }
+
+    docs
+      .withColumn("event_time", timestamp_millis(col("event_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .select(col("logStream").as("stream"), col("event_ms"), col("event_time"))
+      .as[KeyedEvent]
+      .groupByKey(_.stream)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
+  }
 }

@@ -73,6 +73,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: gap closes a session inline; quiescence closes by timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val gapMs = 30 * 60000L
+    val sessions = Pipeline.sessionize(
+      in.toDF().toDF("logStream", "event_ms")
+        .withColumn("event_id", lit(0L)).withColumn("batch_ms", lit(0L))
+        .withColumn("logGroup", lit("g")).withColumn("event_ref", lit("r"))
+        .withColumn("message", lit("m")),
+      gapMs)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("session_test").start()
+    try {
+      // stream A: two events 1 min apart (one session). Times start at
+      // t=1h: the initial watermark is 0 and a t=0 event would be
+      // dropped as late before reaching the state function.
+      in.addData(("A", H), ("A", H + 60000L))
+      q.processAllAvailable()
+      // stream A again at t=3h — beyond the gap: closes session 1 "gap"
+      in.addData(("A", 3 * H))
+      q.processAllAvailable()
+      val afterGap = spark.table("session_test")
+        .as[Pipeline.SessionClosed].collect()
+      assert(afterGap.toSeq == Seq(Pipeline.SessionClosed("A", H, H + 60000L, 2, "gap")))
+      // stream B at t=5h advances the watermark (5h − 10min) far past
+      // A's timeout (3h + 30min) → A's open session closes by timeout
+      in.addData(("B", 5 * H))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("session_test")
+        .as[Pipeline.SessionClosed].collect().sortBy(_.startMs)
+      assert(afterTimeout.toSeq == Seq(
+        Pipeline.SessionClosed("A", H, H + 60000L, 2, "gap"),
+        Pipeline.SessionClosed("A", 3 * H, 3 * H, 1, "timeout")))
+    } finally q.stop()
+  }
+
   test("retry envelope: transient 429s back off exponentially then succeed") {
     var attempts = 0
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
