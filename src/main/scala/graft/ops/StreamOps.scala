@@ -66,5 +66,36 @@ object StreamOps {
            |  count(*) AS n_total
            |FROM d GROUP BY user_id""".stripMargin))
 
-  def entries: Seq[QueryDef] = Seq(tumblingOp, dedupOp, sessionOp)
+  /** The custom flatMapGroupsWithState sessionizer
+    * (streaming/Pipeline.sessionize) run in BATCH mode, where its state
+    * semantics are still exact: all of a key's events arrive as one
+    * group, sessions split on gap > 30 min, and — because batch
+    * timeouts never fire — each key's trailing open session is NOT
+    * emitted. The oracle mirrors that with gaps-and-islands minus each
+    * key's last island. This oracle-checks the same code path the
+    * streaming suite drives through MemoryStream. */
+  val sessionizeOp = QueryDef(
+    "ns_stream_sessionize",
+    (s, dir) => graft.streaming.Pipeline.sessionize(
+        Tables.events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("logStream"),
+          col("ts_ms").as("event_ms")),
+        gapMs = 30 * 60000L)
+      .toDF()
+      .select(col("stream"), col("startMs").as("start_ms"),
+        col("endMs").as("end_ms"), col("n"), col("closedBy").as("closed_by")),
+    Some("""WITH e AS (SELECT concat('u', user_id) AS stream, epoch_ms(ts) AS ms FROM events),
+           |d AS (SELECT stream, ms,
+           |    CASE WHEN ms - lag(ms) OVER (PARTITION BY stream ORDER BY ms) > 1800000
+           |         THEN 1 ELSE 0 END AS brk FROM e),
+           |s AS (SELECT stream, ms,
+           |    sum(brk) OVER (PARTITION BY stream ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM d),
+           |g AS (SELECT stream, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+           |    count(*) AS n FROM s GROUP BY 1, 2),
+           |last AS (SELECT stream, max(sid) AS maxsid FROM g GROUP BY 1)
+           |SELECT g.stream, g.start_ms, g.end_ms, g.n, 'gap' AS closed_by
+           |FROM g JOIN last ON g.stream = last.stream AND g.sid < last.maxsid""".stripMargin))
+
+  def entries: Seq[QueryDef] = Seq(tumblingOp, dedupOp, sessionOp, sessionizeOp)
 }
