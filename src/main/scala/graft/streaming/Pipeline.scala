@@ -98,6 +98,27 @@ object Pipeline {
     withRetry(maxAttempts, baseBackoffMs, sleep)(writeErr(dead))
   }
 
+  /** Render a documents frame as OpenSearch `_bulk` NDJSON — one
+    * `{"index":{"_index":...,"_id":...}}` action line and one source
+    * line per document (reference main.go:546–560 builds exactly this
+    * pair per record; outgoing/elasticOutput.go the source shape). The
+    * `_id` is the exploded log event's id, which makes Firehose
+    * whole-batch redelivery idempotent at the index (same contract the
+    * reference gets from ES versioning on id). Returned as a
+    * `Dataset[String]` so a `foreachBatch` sink can POST partitions
+    * directly as request bodies. */
+  def toBulkNdjson(docs: DataFrame, index: String): Dataset[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(concat(
+      to_json(struct(struct(
+        lit(index).as("_index"),
+        col("event_ref").as("_id")).as("index"))),
+      lit("\n"),
+      to_json(struct(docs.columns.map(col): _*))).as("lines"))
+      .as[String]
+  }
+
   /** Start the full ingest stream over a source of (event_id, batch_ms,
     * data) envelope rows: decode → route → SUCCESS/ + ERROR/ parquet
     * channels (reference cloudformation-template.yaml:170–171), 5 s

@@ -110,6 +110,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toBulkNdjson renders the _bulk action/source pair per document") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L, "/app/a", "s1", "e1-0", 1000L, """{"k":1}"""))
+      .toDF("event_id", "batch_ms", "logGroup", "logStream", "event_ref", "event_ms", "message")
+    val lines = Pipeline.toBulkNdjson(docs, "graft-docs").collect()
+    assert(lines.length == 1)
+    val Array(action, source) = lines.head.split("\n")
+    assert(action == """{"index":{"_index":"graft-docs","_id":"e1-0"}}""")
+    assert(source.contains(""""event_ref":"e1-0"""") && source.contains(""""logGroup":"/app/a""""))
+  }
+
   test("retry envelope: transient 429s back off exponentially then succeed") {
     var attempts = 0
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
