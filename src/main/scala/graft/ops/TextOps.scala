@@ -154,7 +154,10 @@ object TextOps {
           .filter(size(col("sh")) >= 1)
         val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
         val shingle = d.select(col("doc_id"), explode(col("sh")).as("s"))
-        val ov = shingle.as("a")
+        // shuffle_hash: the corpus-wide shingle relation is never
+        // broadcastable at scale, and shuffling both (identical) sides
+        // lets ReuseExchange materialize the subtree once.
+        val ov = shingle.as("a").hint("shuffle_hash")
           .join(shingle.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("o"))
