@@ -82,8 +82,12 @@ object TextOps {
           .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
           .filter(col("bn") <= bandCap)
           .drop("bn")
-        val a = bands.as("a")
+        val a = bands.as("a").hint("shuffle_hash")
         val b = bands.as("b")
+        // shuffle_hash (vs broadcast): both sides are the same minhash
+        // subtree — shuffling them identically lets ReuseExchange
+        // compute the signatures once; the band relation also outgrows
+        // broadcast at corpus scale.
         a.join(b, expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("n_shared_bands"))

@@ -166,7 +166,8 @@ object VectorSearch {
             graft.expr.VecFunctions.lsh_sign_bits(col("embedding"), lshW.map(_.toArray).toArray))
           .select(col("vec_id"), explode(expr(sigExprs)).as("bs"))
           .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        val cand = bands.as("a")
+        // shuffle_hash: see TextOps — identical sides reuse one exchange.
+        val cand = bands.as("a").hint("shuffle_hash")
           .join(bands.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
           .distinct()
