@@ -235,7 +235,30 @@ object Relational {
     }
   }
 
+  /** Exact interpolated percentiles per group: Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the same definition (sort + linear
+    * interpolation), so the values hash-match at 6 dp. Spark plans this
+    * as a partial/final ObjectHashAggregate — distributed sort-free
+    * exact percentiles; the approximate path at extreme scale is
+    * `percentile_approx` (not oracle-matchable: different sketches). */
+  val aggPercentile: QueryDef = q(
+    "ns_agg_percentile",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+      |FROM lineitem GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, joinHash, joinBroadcast, semiAnti,
-    windowRank, windowFrame, topK, unionOp, exceptOp, joinSkewSalted)
+    windowRank, windowFrame, topK, unionOp, exceptOp, joinSkewSalted,
+    aggPercentile)
 }
