@@ -83,6 +83,37 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
   }
 
+  /** CUBE over two dimensions — all four grouping sets in one pass
+    * (Spark plans one Expand + single shuffle, not four scans). */
+  val cubeAgg: QueryDef = q(
+    "ns_cube",
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${sqlSum(sqlCents("l_quantity"))} AS sum_qty_c
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) {
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+  }
+
+  /** Pivot: event counts per user bucket × event_type. The oracle uses
+    * portable conditional aggregation (FILTER), which is exactly the
+    * plan Spark lowers pivot to (one pass, no per-column scans). */
+  val pivotAgg: QueryDef = {
+    val types = Seq("view", "click", "signup", "purchase", "refund")
+    q(
+      "ns_pivot",
+      s"""SELECT user_id % 10 AS bucket,
+         |  ${types.map(t => s"count(*) FILTER (event_type = '$t') AS n_$t").mkString(", ")}
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }
+  }
+
   /** Big⋈big shuffle join: orders⋈lineitem, revenue per priority. */
   val joinHash: QueryDef = q(
     "ns_join_hash",
@@ -258,7 +289,7 @@ object Relational {
   }
 
   def entries: Seq[QueryDef] = Seq(
-    aggHash, aggDistinct, rollupAgg, joinHash, joinBroadcast, semiAnti,
-    windowRank, windowFrame, topK, unionOp, exceptOp, joinSkewSalted,
-    aggPercentile)
+    aggHash, aggDistinct, rollupAgg, cubeAgg, pivotAgg, joinHash,
+    joinBroadcast, semiAnti, windowRank, windowFrame, topK, unionOp,
+    exceptOp, joinSkewSalted, aggPercentile)
 }
