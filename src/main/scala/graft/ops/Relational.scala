@@ -114,6 +114,44 @@ object Relational {
     }
   }
 
+  /** As-of join — for every event, the user's most recent purchase at
+    * or before it. Spark has no native as-of join; the scalable
+    * re-expression is the union-tag trick: tag dim rows 0 and probe
+    * rows 1, sort within each key by (ts, tag) — dim first at equal ts
+    * gives the inclusive <= — and carry the last non-null dim value
+    * with a running `last(..., ignoreNulls)` window. ONE shuffle + one
+    * sort, both on the join key: no range join, no per-row scan of the
+    * dim — the plan a 100 TB time-series join needs. The oracle is
+    * DuckDB's native ASOF LEFT JOIN. */
+  val joinAsof: QueryDef = q(
+    "ns_join_asof",
+    """WITH p AS (SELECT user_id, epoch_ms(ts) AS p_ms, min(event_id) AS p_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ms,
+      |  p.p_id AS prior_purchase_id, p.p_ms AS prior_purchase_ms
+      |FROM events e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND epoch_ms(e.ts) >= p.p_ms""".stripMargin) {
+    (s, dir) =>
+      val ev = Tables.events(s, dir)
+      // one dim row per (user, ts): ASOF picks a unique row per ts
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms").as("ms"))
+        .agg(min(col("event_id")).as("p_id"))
+        .select(col("user_id"), col("ms"), col("p_id"),
+          lit(0).as("tag"), lit(null).cast("long").as("event_id"))
+      val probe = ev.select(col("user_id"), col("ts_ms").as("ms"),
+        lit(null).cast("long").as("p_id"), lit(1).as("tag"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(probe)
+        .withColumn("prior_purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("prior_purchase_ms",
+          last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("prior_purchase_id"), col("prior_purchase_ms"))
+  }
+
   /** Big⋈big shuffle join: orders⋈lineitem, revenue per priority. */
   val joinHash: QueryDef = q(
     "ns_join_hash",
@@ -290,6 +328,6 @@ object Relational {
 
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, cubeAgg, pivotAgg, joinHash,
-    joinBroadcast, semiAnti, windowRank, windowFrame, topK, unionOp,
-    exceptOp, joinSkewSalted, aggPercentile)
+    joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame, topK,
+    unionOp, exceptOp, joinSkewSalted, aggPercentile)
 }
