@@ -288,7 +288,44 @@ object TextOps {
            |  CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT) AS fp_long
            |FROM n""".stripMargin))
 
+  /** Deterministic hash bucket in [0, 100) from the doc id — the
+    * reproducible-sampling primitive: stable across runs, engines, and
+    * cluster sizes, unlike seeded RNG sampling (Spark's sample() RNG is
+    * partition-dependent and not reproducible in any oracle). */
+  private val hashBucket =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+  private val hashBucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100"
+
+  /** Stratified sampling with per-class rates (quality-weighted corpus
+    * construction): a pure filter — no shuffle, fully pushdown-friendly,
+    * and any worker can evaluate membership independently at 100 TB. */
+  val sampleStratifiedOp = QueryDef(
+    "ns_sample_stratified",
+    (s, dir) => docs(s, dir)
+      .withColumn("bkt", expr(hashBucket))
+      .filter(expr("bkt < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END"))
+      .select(col("doc_id"), col("lang"), col("bkt")),
+    Some(s"""SELECT doc_id, lang, $hashBucketSql AS bkt FROM documents
+           |WHERE $hashBucketSql < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END""".stripMargin))
+
+  /** Train/val/test split: disjoint + complete by construction (one
+    * hash, three CASE arms), the standard reproducible split for
+    * training corpora. Emits per-(split, lang) counts. */
+  val splitTrainTestOp = QueryDef(
+    "ns_split_train_test",
+    (s, dir) => docs(s, dir)
+      .withColumn("split", expr(
+        s"CASE WHEN $hashBucket < 80 THEN 'train' WHEN $hashBucket < 90 THEN 'val' ELSE 'test' END"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n")),
+    Some(s"""SELECT CASE WHEN $hashBucketSql < 80 THEN 'train'
+           |    WHEN $hashBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+           |  lang, count(*) AS n
+           |FROM documents GROUP BY 1, 2""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
-    textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp)
+    textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
+    sampleStratifiedOp, splitTrainTestOp)
 }
