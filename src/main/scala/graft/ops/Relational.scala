@@ -318,12 +318,15 @@ object Relational {
       |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
       |FROM lineitem GROUP BY 1""".stripMargin) {
     (s, dir) =>
+      // one percentile(col, array(...)) call: a single value-multiset
+      // aggregation buffer serves all three quantiles, not three
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 6).as("p25"),
+          round(col("ps").getItem(1), 6).as("p50"),
+          round(col("ps").getItem(2), 6).as("p75"))
   }
 
   def entries: Seq[QueryDef] = Seq(
