@@ -232,6 +232,25 @@ object Relational {
         sum(cents(col("value"))).over(w).as("run_c"))
   }
 
+  /** lag/lead offsets: per-user inter-arrival gaps — one window sort
+    * serves both offsets (and the windowFrame/windowRank specs share
+    * its (user, time) clustering, so a multi-window query would reuse
+    * the exchange). */
+  val windowLagLead: QueryDef = q(
+    "ns_window_lag_lead",
+    """SELECT event_id, user_id,
+      |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_prev_ms,
+      |  lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS gap_next_ms
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap_prev_ms"),
+          (lead(col("ts_ms"), 1).over(w) - col("ts_ms")).as("gap_next_ms"))
+  }
+
   /** Top-k: compiles to TakeOrderedAndProject (per-partition top-k +
     * merge on the driver side of the exchange — no global sort). */
   val topK: QueryDef = q(
@@ -331,6 +350,7 @@ object Relational {
 
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, cubeAgg, pivotAgg, joinHash,
-    joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame, topK,
-    unionOp, exceptOp, joinSkewSalted, aggPercentile)
+    joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
+    windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
+    aggPercentile)
 }

@@ -324,8 +324,26 @@ object TextOps {
            |  lang, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** Text normalization for dedup keys / training corpora: lowercase,
+    * strip non-alphanumerics, collapse whitespace — pure codegen
+    * projection. (Unicode NFC is the production first step; the
+    * synthetic corpus is ASCII so the portable-oracle form elides it —
+    * Spark side would add a normalizer Expression like the other
+    * graftshim scalars.) */
+  val textNormalizeOp = QueryDef(
+    "ns_text_normalize",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("norm")),
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           |       ' +', ' ', 'g')) AS norm
+           |FROM documents""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    sampleStratifiedOp, splitTrainTestOp)
+    sampleStratifiedOp, splitTrainTestOp, textNormalizeOp)
 }
