@@ -324,6 +324,43 @@ object TextOps {
            |  lang, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** Duplicate-cluster canonicalization: connected components over the
+    * exact-dup edge set, each doc labeled with the min doc_id of its
+    * component (the canonical copy a training pipeline keeps). Classic
+    * distributed min-label propagation: each round is one equi-join +
+    * groupBy-min, labels only decrease, and K rounds cover any
+    * component of diameter ≤ K. Both engines run the SAME fixed K, so
+    * the compare holds even on a graph where K hasn't converged —
+    * here exact-dup components are cliques (diameter 1) and K=3 is
+    * already fixpoint. At 100 TB each round is one shuffle on doc_id;
+    * K stays small because near-dup graphs are overwhelmingly tiny
+    * cliques plus rare short chains. */
+  val dedupClusterOp = QueryDef(
+    "ns_dedup_cluster", {
+      (s, dir) =>
+        val d = docs(s, dir)
+          .withColumn("h", md5(lower(col("text")).cast("binary")))
+          .select(col("doc_id"), col("h"))
+        // edges doc ↔ min(doc with same hash): a star per clique
+        val hubs = d.groupBy("h").agg(min(col("doc_id")).as("hub"))
+        val edges = d.join(hubs, "h")
+          .select(col("doc_id"), col("hub"))
+        // 3 rounds of label = min(own, neighbors' labels) over the
+        // undirected star edges
+        val init = d.select(col("doc_id"), col("doc_id").as("label"))
+        val labeled = (1 to 3).foldLeft(init) { (lab, _) =>
+          val viaHub = edges.join(lab.withColumnRenamed("doc_id", "hub"), "hub")
+            .select(col("doc_id"), col("label"))
+          lab.unionByName(viaHub)
+            .groupBy("doc_id").agg(min(col("label")).as("label"))
+        }
+        labeled.select(col("doc_id"), col("label").as("cluster_id"))
+    },
+    // exact-dup components are cliques, so min-label = min doc_id per
+    // text hash — the closed form the propagation converges to
+    Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents)
+           |SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id FROM d""".stripMargin))
+
   /** Text normalization for dedup keys / training corpora: lowercase,
     * strip non-alphanumerics, collapse whitespace — pure codegen
     * projection. (Unicode NFC is the production first step; the
@@ -345,5 +382,5 @@ object TextOps {
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    sampleStratifiedOp, splitTrainTestOp, textNormalizeOp)
+    sampleStratifiedOp, splitTrainTestOp, textNormalizeOp, dedupClusterOp)
 }
