@@ -168,17 +168,49 @@ class StreamingSpec extends SparkSpec {
 
     val in = MemoryStream[(Long, Long, String)]
     val outDir = tmp("graft-sink")
+    // enqueue BEFORE start: Trigger.AvailableNow snapshots the offsets
+    // available when the query starts — data added after is not part of
+    // this run (it passed by timing luck otherwise)
+    in.addData((1L, 10L, b64(goodBody)), (2L, 20L, b64("not an envelope")))
     val q = Pipeline.run(
       in.toDF().toDF("event_id", "batch_ms", "data"),
       outDir, tmp("graft-ckpt"), withGzip = false, trigger = Trigger.AvailableNow())
     try {
-      in.addData((1L, 10L, b64(goodBody)), (2L, 20L, b64("not an envelope")))
       q.processAllAvailable()
       val ok = spark.read.parquet(s"$outDir/SUCCESS")
       assert(ok.count() == 2) // two logEvents exploded from the good row
       assert(ok.select("logGroup").distinct().as[String].collect().toSeq == Seq("/app/a"))
       val err = spark.read.parquet(s"$outDir/ERROR")
       assert(err.count() == 1)
+      assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("end-to-end stream with the real gzip wire encoding (base64(gzip(body)))") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/gz","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[
+        |{"id":"g1","timestamp":1000,"message":"m1"},
+        |{"id":"g2","timestamp":2000,"message":"m2"}]}""".stripMargin
+    def wire(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(graft.expr.GzipCodec.gzip(s.getBytes("UTF-8")))
+
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-gz-sink")
+    // enqueue before start — see the plain e2e test
+    // (second record is valid gzip of a NON-envelope → dead-letters)
+    in.addData((1L, 10L, wire(goodBody)), (2L, 20L, wire("still not an envelope")))
+    val q = Pipeline.run(
+      in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-gz-ckpt"), withGzip = true, trigger = Trigger.AvailableNow())
+    try {
+      q.processAllAvailable()
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      assert(ok.count() == 2)
+      assert(ok.select("event_ref").as[String].collect().sorted.toSeq == Seq("g1", "g2"))
+      val err = spark.read.parquet(s"$outDir/ERROR")
       assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
     } finally q.stop()
   }
