@@ -237,6 +237,59 @@ object VectorSearch {
            |  ('0x' || substr(md5(text), 5, 2))::INT % 10 + 1 AS n_frames
            |FROM documents""".stripMargin))
 
+  /** Resize planning over decoded media metadata: fit each image inside
+    * a 64×64 box preserving aspect ratio (integer floor math, identical
+    * across engines). The arithmetic is the real resize contract; only
+    * the pixel transform itself would live in a decoder Expression /
+    * batch UDF over `content` (stubbed — see multimodalDecodeOp). */
+  val multimodalResizeOp = QueryDef(
+    "ns_multimodal_resize",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .withColumn("h", md5(col("content")))
+      .select(
+        col("doc_id"),
+        (lit(64) + expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)") % 8 * 32).as("width"),
+        (lit(64) + expr("CAST(conv(substring(h, 3, 2), 16, 10) AS INT)") % 8 * 32).as("height"))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        expr("CAST(width * 64 / greatest(width, height) AS INT)").as("out_w"),
+        expr("CAST(height * 64 / greatest(width, height) AS INT)").as("out_h")),
+    Some("""WITH d AS (SELECT doc_id,
+           |    64 + (('0x' || substr(md5(text), 1, 2))::INT % 8) * 32 AS width,
+           |    64 + (('0x' || substr(md5(text), 3, 2))::INT % 8) * 32 AS height
+           |  FROM documents)
+           |SELECT doc_id, width, height,
+           |  CAST(trunc(width * 64.0 / greatest(width, height)) AS INT) AS out_w,
+           |  CAST(trunc(height * 64.0 / greatest(width, height)) AS INT) AS out_h
+           |FROM d""".stripMargin))
+
+  /** Frame sampling over decoded video metadata: every 3rd frame index
+    * and its byte offset into the (opaque) content — one output row per
+    * sampled frame via a codegen'd `sequence` explode; the plumbing a
+    * frame-extract batch UDF consumes. */
+  val multimodalFramesOp = QueryDef(
+    "ns_multimodal_frames",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .withColumn("h", md5(col("content")))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substring(h, 5, 2), 16, 10) AS INT)") % 10 + 1).as("n_frames"),
+        length(col("content")).as("n_bytes"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 3)")).as("frame_idx"),
+        expr("CAST(n_bytes / n_frames AS INT)").as("frame_bytes"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * col("frame_bytes")).as("byte_off")),
+    Some("""WITH d AS (SELECT doc_id,
+           |    ('0x' || substr(md5(text), 5, 2))::INT % 10 + 1 AS n_frames,
+           |    octet_length(encode(text)) AS n_bytes
+           |  FROM documents)
+           |SELECT doc_id, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx,
+           |  unnest(range(0, n_frames, 3)) * CAST(trunc(n_bytes / n_frames) AS INT) AS byte_off
+           |FROM d""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
-    knnOp, ivfOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp)
+    knnOp, ivfOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
+    multimodalResizeOp, multimodalFramesOp)
 }
