@@ -86,17 +86,27 @@ object Pipeline {
 
   /** One micro-batch flush: route, then write each channel under its own
     * retry envelope. Writers are injectable so tests can inject 429s;
-    * production writers are idempotent-by-path (parquet dir per channel),
-    * making batch replay safe. */
+    * each writer receives the batchId so it can be idempotent under
+    * replay (see channelWriter). */
   def sinkBatch(withGzip: Boolean,
-                writeOk: DataFrame => Unit,
-                writeErr: DataFrame => Unit,
+                writeOk: (DataFrame, Long) => Unit,
+                writeErr: (DataFrame, Long) => Unit,
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                 sleep: Long => Unit = Thread.sleep)(batch: Dataset[Row], batchId: Long): Unit = {
     val (docs, dead) = route(batch.toDF(), withGzip)
-    withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs))
-    withRetry(maxAttempts, baseBackoffMs, sleep)(writeErr(dead))
+    withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
+    withRetry(maxAttempts, baseBackoffMs, sleep)(writeErr(dead, batchId))
   }
+
+  /** Idempotent channel writer: each micro-batch lands in its own
+    * `batch=<id>` subdirectory with overwrite mode, so a replayed
+    * batchId (checkpoint recovery under the at-least-once contract)
+    * rewrites the same path instead of appending duplicates — plain
+    * append would double rows on every replay. Readers of the channel
+    * directory see `batch` as a partition column. */
+  def channelWriter(dir: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      if (!df.isEmpty) df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
   /** Render a documents frame as OpenSearch `_bulk` NDJSON — one
     * `{"index":{"_index":...,"_id":...}}` action line and one source
@@ -130,8 +140,8 @@ object Pipeline {
     source.writeStream
       .foreachBatch(sinkBatch(
         withGzip,
-        ok => ok.write.mode("append").parquet(s"$outDir/SUCCESS"),
-        err => if (!err.isEmpty) err.write.mode("append").parquet(s"$outDir/ERROR")) _)
+        channelWriter(s"$outDir/SUCCESS"),
+        channelWriter(s"$outDir/ERROR")) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -226,10 +226,22 @@ class StreamingSpec extends SparkSpec {
     var okWrites = 0; var okAttempts = 0
     Pipeline.sinkBatch(
       withGzip = false,
-      writeOk = df => { okAttempts += 1
+      writeOk = (df, _) => { okAttempts += 1
         if (okAttempts < 3) throw Pipeline.TransientSinkError(429)
         okWrites += df.count().toInt },
-      writeErr = _ => (), sleep = _ => ())(batch, 0L)
+      writeErr = (_, _) => (), sleep = _ => ())(batch, 0L)
     assert(okAttempts == 3 && okWrites == 1)
+  }
+
+  test("channel writer is idempotent under batch replay (at-least-once)") {
+    import spark.implicits._
+    val dir = tmp("graft-replay")
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("event_id", "v")
+    val write = Pipeline.channelWriter(dir)
+    write(docs, 7L)
+    write(docs, 7L) // checkpoint-recovery replay of the same batchId
+    assert(spark.read.parquet(dir).count() == 2, "replay must not duplicate rows")
+    write(docs, 8L) // a NEW batch does append to the channel
+    assert(spark.read.parquet(dir).count() == 4)
   }
 }
