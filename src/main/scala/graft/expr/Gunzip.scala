@@ -37,10 +37,18 @@ object GzipCodec {
     gz.close()
     bos.toByteArray
   }
+
+  /** gunzip that yields null on corrupt/non-gzip input instead of
+    * throwing — the streaming dead-letter path (graftshim.TryGunzip). */
+  def tryGunzip(bytes: Array[Byte]): Array[Byte] =
+    try gunzip(bytes)
+    catch { case _: java.io.IOException => null }
 }
 
 object GzipFunctions {
   import graft.Cols
   def gunzip(c: Column): Column = Cols.column(Gunzip(Cols.expr(c)))
   def gzip(c: Column): Column = Cols.column(Gzip(Cols.expr(c)))
+  def try_gunzip(c: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.TryGunzip(Cols.expr(c)))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.expr.GzipFunctions.gunzip
+import graft.expr.GzipFunctions.try_gunzip
 import graft.ops.Decode
 
 /** The reference service as a Structured Streaming job.
@@ -72,11 +72,14 @@ object Pipeline {
     * (main.go:286–292, 469–535); parseable rows explode into documents
     * via the shared batch/streaming decode chain. */
   def route(frame: DataFrame, withGzip: Boolean): (DataFrame, DataFrame) = {
+    // try_gunzip, not gunzip: corrupt gzip must dead-letter the row, not
+    // throw — a throwing expression fails the micro-batch, which
+    // checkpoint recovery replays forever (poison-record wedge)
     val raw = frame.withColumn("rawBody",
-      (if (withGzip) gunzip(unbase64(col("data"))) else unbase64(col("data")))
+      (if (withGzip) try_gunzip(unbase64(col("data"))) else unbase64(col("data")))
         .cast("string"))
       .withColumn("env", from_json(col("rawBody"), StructType.fromDDL(Decode.cwSchema)))
-    val bad = col("env").isNull || col("env.logEvents").isNull
+    val bad = col("rawBody").isNull || col("env").isNull || col("env.logEvents").isNull
     val dead = raw.filter(bad)
       .select(col("event_id"), col("batch_ms"), col("rawBody").as("body"),
         lit("unparseable CloudWatch envelope").as("err"))

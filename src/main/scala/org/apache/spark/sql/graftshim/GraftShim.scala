@@ -42,6 +42,31 @@ case class Gunzip(child: Expression)
     copy(child = newChild)
 }
 
+/** Null-on-failure gunzip for the streaming ingest path: a corrupt or
+  * non-gzip body must dead-letter the ROW (reference rejects the batch
+  * to the error channel, gzipbinding/binding.go:38–45; S3 ERROR/ prefix
+  * cloudformation-template.yaml:170–171), not throw inside the stage —
+  * a throwing expression fails the micro-batch, which checkpoint
+  * recovery replays forever: one poison record would wedge the whole
+  * pipeline. Batch decode ops keep strict Gunzip (fail loudly). */
+case class TryGunzip(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "try_gunzip"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.expr.GzipCodec.tryGunzip(input.asInstanceOf[Array[Byte]])
+  // not defineCodeGen: the helper itself returns null on corrupt input,
+  // so ev.isNull must be re-derived from the call result
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expr.GzipCodec.tryGunzip($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): TryGunzip =
+    copy(child = newChild)
+}
+
 /** Gzip compress of BINARY (fixture construction + round-trip tests). */
 case class Gzip(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

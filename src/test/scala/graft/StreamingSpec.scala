@@ -199,9 +199,14 @@ class StreamingSpec extends SparkSpec {
 
     val in = MemoryStream[(Long, Long, String)]
     val outDir = tmp("graft-gz-sink")
-    // enqueue before start — see the plain e2e test
-    // (second record is valid gzip of a NON-envelope → dead-letters)
-    in.addData((1L, 10L, wire(goodBody)), (2L, 20L, wire("still not an envelope")))
+    // enqueue before start — see the plain e2e test. Second record is
+    // valid gzip of a NON-envelope; third is base64 of bytes that are
+    // not gzip at all — the poison record that must dead-letter via
+    // try_gunzip, not wedge the stream on batch replay.
+    in.addData(
+      (1L, 10L, wire(goodBody)),
+      (2L, 20L, wire("still not an envelope")),
+      (3L, 30L, java.util.Base64.getEncoder.encodeToString("raw poison".getBytes("UTF-8"))))
     val q = Pipeline.run(
       in.toDF().toDF("event_id", "batch_ms", "data"),
       outDir, tmp("graft-gz-ckpt"), withGzip = true, trigger = Trigger.AvailableNow())
@@ -211,7 +216,7 @@ class StreamingSpec extends SparkSpec {
       assert(ok.count() == 2)
       assert(ok.select("event_ref").as[String].collect().sorted.toSeq == Seq("g1", "g2"))
       val err = spark.read.parquet(s"$outDir/ERROR")
-      assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
+      assert(err.select("event_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
     } finally q.stop()
   }
 
