@@ -211,7 +211,10 @@ object Pipeline {
         events.toSeq.sortBy(_.event_ms).foreach { e =>
           cur = cur match {
             case Some(s) if e.event_ms - s.endMs <= gapMs =>
-              Some(SessionAgg(s.startMs, math.max(s.endMs, e.event_ms), s.n + 1))
+              // min on start: a within-watermark out-of-order event can
+              // precede the current session start in a later micro-batch
+              Some(SessionAgg(math.min(s.startMs, e.event_ms),
+                math.max(s.endMs, e.event_ms), s.n + 1))
             case Some(s) =>
               closed += SessionClosed(key, s.startMs, s.endMs, s.n, "gap")
               Some(SessionAgg(e.event_ms, e.event_ms, 1))
