@@ -55,4 +55,17 @@ class GzipSpec extends SparkSpec {
       .select(gunzip(col("s").cast("binary")).as("b")).collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("try_gunzip: valid input round-trips, corrupt and null yield null (codegen path)") {
+    import graft.expr.GzipFunctions.try_gunzip
+    import spark.implicits._
+    val rows = Seq(Some("valid"), Some("corrupt"), None).toDF("s")
+      .select(col("s"),
+        try_gunzip(when(col("s") === "valid", gzip(col("s").cast("binary")))
+          .otherwise(col("s").cast("binary"))).cast("string").as("out"))
+      .collect()
+    assert(rows(0).getString(1) == "valid")   // gunzip(gzip(x)) == x
+    assert(rows(1).isNullAt(1))               // non-gzip bytes -> null, no throw
+    assert(rows(2).isNullAt(1))               // null in -> null out
+  }
 }
