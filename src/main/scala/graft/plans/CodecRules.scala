@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Base64, Expression, UnBase64}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import org.apache.spark.sql.graftshim.{Gunzip, Gzip}
+import org.apache.spark.sql.graftshim.{Gunzip, Gzip, TryGunzip}
 
 /** Catalyst optimizer rule: eliminate exact-inverse codec pairs.
   *
@@ -16,7 +16,7 @@ import org.apache.spark.sql.graftshim.{Gunzip, Gzip}
   * a no-op by the round-trip laws the test suite proves
   * (GzipSpec: gunzip(gzip(x)) == x; base64 per RFC 4648):
   *
-  *   gunzip(gzip(x))     → x
+  *   gunzip(gzip(x))     → x   (also try_gunzip — gzip output is valid)
   *   unbase64(base64(x)) → x
   *
   * gzip(gunzip(x)) is NOT rewritten — re-compression is not
@@ -31,14 +31,15 @@ import org.apache.spark.sql.graftshim.{Gunzip, Gzip}
   */
 object EliminateCodecRoundTrips extends Rule[LogicalPlan] {
   private def simplify(e: Expression): Expression = e match {
-    case Gunzip(Gzip(inner))     => simplify(inner)
+    case Gunzip(Gzip(inner))    => simplify(inner)
+    case TryGunzip(Gzip(inner)) => simplify(inner) // gzip output is always valid
     case UnBase64(Base64(inner, _), _) => simplify(inner)
     case other => other.mapChildren(simplify)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case e @ (_: Gunzip | _: UnBase64) =>
+      case e @ (_: Gunzip | _: TryGunzip | _: UnBase64) =>
         val s = simplify(e)
         if (s.fastEquals(e)) e else s
     }
