@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzip, RegExpExtractStruct}
+import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzip, RegExpExtractStruct, TryGunzip}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, both
   * via `SparkSessionExtensions` (for `.withExtensions` /
@@ -14,7 +14,8 @@ import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzi
   * sessions the driver already built (Verify/Bench receive a plain
   * session).
   *
-  * Functions: `gunzip(binary)`, `gzip(binary)`, `vec_dot(a,b)`,
+  * Functions: `gunzip(binary)`, `try_gunzip(binary)` (null on corrupt
+  * input), `gzip(binary)`, `vec_dot(a,b)`,
   * `vec_cosine(a,b)`, and `grok_struct(line, 'rx', 'field', ...)` —
   * single-pass multi-group regex extraction into a struct.
   */
@@ -34,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "gunzip" -> (args => Gunzip(args.head)),
+    "try_gunzip" -> (args => TryGunzip(args.head)),
     "gzip" -> (args => Gzip(args.head)),
     "vec_dot" -> (args => DotProduct(args(0), args(1))),
     "vec_cosine" -> (args => CosineSimilarity(args(0), args(1))),

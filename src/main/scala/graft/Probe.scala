@@ -25,8 +25,10 @@ object Probe {
     } catch { case e: Throwable =>
       println(s"PROBE: gunzip(garbage) threw ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
     }
-    // 3. null propagation through the custom expressions
-    spark.sql("SELECT gunzip(cast(NULL as binary)) AS n1, vec_cosine(NULL, array(1.0F)) AS n2").show(false)
+    // 3. null propagation through the custom expressions; try_gunzip
+    //    yields null (not an exception) on corrupt bytes
+    spark.sql("SELECT gunzip(cast(NULL as binary)) AS n1, vec_cosine(NULL, array(1.0F)) AS n2, " +
+      "try_gunzip(cast('junk' as binary)) AS n3").show(false)
     // 4. grok on a non-matching line -> empty strings, not nulls/exception
     import graft.expr.GrokFunctions.regexp_extract_struct
     Seq("definitely not an access log").toDF("line")
