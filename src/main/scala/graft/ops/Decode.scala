@@ -39,11 +39,10 @@ object Decode {
     * deflate per record, the dominant cost in the codec ops —
     * single-threaded. The row set is unchanged, so oracle compares are
     * unaffected; real deployments get this parallelism from having many
-    * input splits. */
+    * input splits — Par.spread repartitions only when the scan is
+    * narrower than the core count. */
   private def eventsPar(s: SparkSession, dir: String): DataFrame =
-    // explicit partition count: AQE coalesces column-only repartitions of
-    // small shuffles back to ~1 partition, defeating the point here
-    Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism, col("event_id"))
+    Par.spread(s, Tables.events(s, dir), col("event_id"))
 
   /** F4: JSON-or-text message normalization (reference main.go:492–510):
     * any valid JSON (object OR scalar) passes through verbatim; invalid
@@ -206,8 +205,7 @@ object Decode {
   /** Build the synthetic Firehose `data` column: base64(payload-JSON),
     * optionally with the reference's per-record gzip layer inside. */
   private def firehoseData(s: SparkSession, dir: String, withGzip: Boolean): DataFrame = {
-    val payload = Synth.eventsWithMsg(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+    val payload = Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id"))
       .withColumn("payload", to_json(struct(
       lit("DATA_MESSAGE").as("messageType"),
       lit("111111111111").as("owner"),

@@ -14,14 +14,11 @@ import graft.{QueryDef, Tables}
   */
 object Enrich {
 
-  // repartition (explicit count — AQE coalesces column-only repartitions
-  // of small shuffles to ~1 partition): the testdata is one parquet
-  // split, which would run the per-row regex/range-probe work of every
-  // enrich op single-threaded. Row set unchanged; real inputs have many
-  // splits.
+  // Par.spread: the testdata is one parquet split, which would run the
+  // per-row regex/range-probe work of every enrich op single-threaded;
+  // wide scans (real inputs) pass through untouched.
   private def al(s: SparkSession, dir: String): DataFrame =
-    Synth.accessLog(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+    Par.spread(s, Synth.accessLog(s, dir), col("event_id"))
 
   /** P0: conditional sub-pipeline dispatch on logGroup ~ /axway/
     * (one-pipeline-to-rule-them-all.json:4–12). */

@@ -63,11 +63,10 @@ object TextOps {
       (s, dir) =>
         // explode shingles then min-agg the 8 hashes per doc: md5/min are
         // codegen'd, where array_min(transform(...)) would run the whole
-        // stage interpreted (see shingles3). The repartition spreads the
+        // stage interpreted (see shingles3). Par.spread spreads the
         // shingle scan across cores AND pre-clusters by doc_id so the
         // groupBy below inserts no second shuffle.
-        val sh = docs(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val sh = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), explode(shingles3(trim(col("text")))).as("x"))
         val withMh = sh.groupBy("doc_id").agg(
           min(md5(concat(lit("0:"), col("x")))).as("mh0"),
@@ -117,8 +116,7 @@ object TextOps {
     * hashes (first 8 md5 hex chars → 32-bit int; bits 0..15 used). */
   val dedupSimhashOp = QueryDef(
     "ns_dedup_simhash",
-    (s, dir) => docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    (s, dir) => Par.spread(s, docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
       .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
       .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
@@ -142,22 +140,35 @@ object TextOps {
     * operator codegen'd. Work is Σ_s C(df_s, 2) over shingle document
     * frequencies — linear on real corpora where shingle df is small and
     * Zipf-bounded (max 25 here); at 100 TB the standard guard is
-    * dropping ultra-common shingles (df cap) from the index, which
-    * bounds any hot key's contribution. Word-token or substring-prefix
-    * blocking both degenerate on this corpus (31-token vocab at ~80%
-    * df); 3-shingles are the discriminative unit. */
+    * dropping ultra-common shingles from the index: `dfCap` filters any
+    * shingle appearing in more than `dfCap` docs (boilerplate — license
+    * headers, nav chrome) out of the EFFECTIVE shingle set, on both
+    * engines identically, so no join key can contribute more than
+    * C(dfCap, 2) pairs. Jaccard is then computed over the capped sets
+    * (sizes too), keeping the inclusion–exclusion algebra exact for the
+    * semantics both engines implement. Locally max df is 25 < dfCap, so
+    * the cap is a pure plan bound, not a result change. Word-token or
+    * substring-prefix blocking both degenerate on this corpus (31-token
+    * vocab at ~80% df); 3-shingles are the discriminative unit. */
   private val ngramT = 0.5
+  private val dfCap = 100
   val dedupNgramOp = QueryDef(
     "ns_dedup_ngram", {
       (s, dir) =>
-        // repartition by doc_id spreads the shingle construction across
-        // cores even when the scan is one small file split.
-        val d = docs(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        // spread shingle construction across cores when the scan is one
+        // small file split.
+        val d = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), array_distinct(shingles3(trim(col("text")))).as("sh"))
           .filter(size(col("sh")) >= 1)
-        val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+        // df cap over the exploded index; the window shuffles on the
+        // shingle — the same key the self-join below shuffles on, so the
+        // exchange is reused, not added.
         val shingle = d.select(col("doc_id"), explode(col("sh")).as("s"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("df") <= dfCap)
+          .drop("df")
+        // set sizes over the capped index (|A| counts surviving shingles)
+        val sizes = shingle.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // shuffle_hash: the corpus-wide shingle relation is never
         // broadcastable at scale, and shuffling both (identical) sides
         // lets ReuseExchange materialize the subtree once.
@@ -176,13 +187,17 @@ object TextOps {
            |d AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
            |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
            |      FROM toks WHERE len(t) >= 3),
-           |s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-           |j AS (SELECT c.doc_a, c.doc_b,
-           |    round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-           |          / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
-           |  FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b)
+           |s0 AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+           |s AS (SELECT doc_id, sh FROM s0
+           |  QUALIFY count(*) OVER (PARTITION BY sh) <= $dfCap),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+           |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+           |    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2),
+           |j AS (SELECT ov.doc_a, ov.doc_b,
+           |    round(CAST(ov.o AS DOUBLE) / (na.n + nb.n - ov.o), 6) AS jaccard
+           |  FROM ov JOIN sizes na ON na.doc_id = ov.doc_a
+           |          JOIN sizes nb ON nb.doc_id = ov.doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $ngramT""".stripMargin))
 
   /** Text statistics: token counts, distinct tokens, type-token ratio. */

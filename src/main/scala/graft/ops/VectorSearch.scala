@@ -25,11 +25,9 @@ object VectorSearch {
   /** embeddings spread across cores: the testdata is one small parquet
     * split (one scan partition), which would run the per-row vector math
     * — 1M+ cosines for knn, 16 hyperplane dot products per row for LSH —
-    * single-threaded. Explicit count: AQE would coalesce a column-only
-    * repartition of a small shuffle back to ~1 partition. */
+    * single-threaded. Par.spread leaves wide (real) scans untouched. */
   private def embPar(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    Par.spread(s, Tables.embeddings(s, dir), col("vec_id"))
 
   private val nQueries = 20
   private val topK = 5
