@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.net.{HttpURLConnection, URL}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.DataFrame
+
+/** HTTP transport for the OpenSearch `_bulk` sink (reference
+  * main.go:399–451: esutil.BulkIndexer with numWorkers, flushBytes,
+  * RetryOnStatus + backoff; main.go:546–584: enqueue with per-item
+  * OnSuccess/OnFailure callbacks).
+  *
+  * Spark-first shape: the documents frame renders to `_bulk` NDJSON
+  * action/source pairs (Pipeline.toBulkNdjson), and each PARTITION posts
+  * its lines in flushBytes-bounded chunks under the shared
+  * retry/backoff envelope — partitions are the reference's worker
+  * goroutines, chunking is its flushBytes threshold, and Spark task
+  * retries layer on top for node loss. Per-item failures from the bulk
+  * response (the OnFailure callback, main.go:566–571) come back as rows
+  * and land idempotently under `errDir/batch=<id>` so replays overwrite
+  * rather than duplicate. Nothing collects to the driver; each executor
+  * talks to the endpoint directly, which is the only transport topology
+  * that scales to 1000 executors.
+  *
+  * Auth passthrough (reference main.go:321–324, 414: the
+  * X-Amz-Firehose-Access-Key header becomes ES Basic auth) is the
+  * optional `auth` header value, stamped on every request.
+  */
+object HttpBulk {
+
+  /** Reference flushBytes (main.go:46): one POST body per ≤5 MB of
+    * NDJSON, so executor memory per flush is bounded regardless of
+    * partition size. */
+  val defaultFlushBytes: Int = 5000000
+
+  /** One HTTP POST. Returns (status, response body). Read timeout is
+    * generous — bulk indexing latency, not connect latency, dominates. */
+  def post(url: String, body: Array[Byte], auth: Option[String]): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-ndjson")
+      auth.foreach(a => conn.setRequestProperty("Authorization", a))
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val status = conn.getResponseCode
+      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val respBody =
+        if (is == null) "" else try new String(is.readAllBytes(), "UTF-8") finally is.close()
+      (status, respBody)
+    } finally conn.disconnect()
+  }
+
+  /** Per-item failures from a `_bulk` response: (item id, status, error
+    * reason) for every item with status ≥ 300 (the ES contract: one
+    * response item per action, `error.reason` on rejection). */
+  def itemFailures(respBody: String): Iterator[(String, Int, String)] = {
+    val root = new ObjectMapper().readTree(respBody)
+    val items = root.path("items")
+    if (!items.isArray) Iterator.empty
+    else {
+      val out = Seq.newBuilder[(String, Int, String)]
+      items.forEach { wrapper =>
+        val item = wrapper.path("index") // action name is always "index" here
+        val status = item.path("status").asInt(200)
+        if (status >= 300)
+          out += ((item.path("_id").asText(""), status,
+            item.path("error").path("reason").asText("bulk item rejected")))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Split a partition's NDJSON lines into ≤maxBytes POST bodies. */
+  private[streaming] def chunks(it: Iterator[String], maxBytes: Int): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Array[Byte] = {
+        val sb = new java.lang.StringBuilder
+        while (it.hasNext && sb.length < maxBytes) {
+          sb.append(it.next()).append('\n')
+        }
+        sb.toString.getBytes("UTF-8")
+      }
+    }
+
+  /** A channel writer (same shape Pipeline.sinkBatch takes) that POSTs
+    * the documents frame to `url` as `_bulk` NDJSON and lands per-item
+    * rejections under `errDir/batch=<id>`. Transient statuses
+    * (429/502/503/504, reference main.go:412) retry with exponential
+    * backoff inside the task; non-transient HTTP errors throw, failing
+    * the micro-batch for checkpoint replay — the reference's
+    * whole-batch-retry contract. */
+  def bulkWriter(url: String, index: String, errDir: String,
+                 auth: Option[String] = None,
+                 flushBytes: Int = defaultFlushBytes,
+                 maxAttempts: Int = 5, baseBackoffMs: Long = 50): (DataFrame, Long) => Unit =
+    (docs, batchId) => {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val failed = Pipeline.toBulkNdjson(docs, index)
+        .mapPartitions { lines =>
+          chunks(lines, flushBytes).flatMap { body =>
+            val resp = Pipeline.withRetry(maxAttempts, baseBackoffMs) {
+              val (status, rb) = post(url, body, auth)
+              if (Pipeline.retryOnStatus(status)) throw Pipeline.TransientSinkError(status)
+              if (status >= 400) throw new java.io.IOException(s"bulk POST rejected: HTTP $status")
+              rb
+            }
+            itemFailures(resp)
+          }
+        }
+        .toDF("item_id", "status", "err")
+      failed.write.mode("overwrite").parquet(s"$errDir/batch=$batchId")
+    }
+}

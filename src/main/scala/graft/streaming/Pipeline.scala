@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -65,51 +65,93 @@ object Pipeline {
     result.get
   }
 
-  /** Decode + route one envelope frame into the two delivery channels:
-    * (documents, dead-letter). A row dead-letters when the body is not a
-    * parseable CloudWatch envelope (missing/corrupt JSON or no logEvents)
-    * — the condition under which the reference rejects the batch
-    * (main.go:286–292, 469–535); parseable rows explode into documents
-    * via the shared batch/streaming decode chain. */
-  def route(frame: DataFrame, withGzip: Boolean): (DataFrame, DataFrame) = {
-    // try_gunzip, not gunzip: corrupt gzip must dead-letter the row, not
-    // throw — a throwing expression fails the micro-batch, which
-    // checkpoint recovery replays forever (poison-record wedge)
-    val raw = frame.withColumn("rawBody",
-      (if (withGzip) try_gunzip(unbase64(col("data"))) else unbase64(col("data")))
-        .cast("string"))
-      .withColumn("env", from_json(col("rawBody"), StructType.fromDDL(Decode.cwSchema)))
-    val bad = col("rawBody").isNull || col("env").isNull || col("env.logEvents").isNull
-    val dead = raw.filter(bad)
-      .select(col("event_id"), col("batch_ms"), col("rawBody").as("body"),
-        lit("unparseable CloudWatch envelope").as("err"))
-    val docs = Decode.decodeFrame(raw.filter(!bad).select("event_id", "batch_ms", "data"), withGzip)
-    (docs, dead)
+  /** Per-record decode with encoding sniff. The reference decides
+    * gzip-vs-plain per REQUEST by sniffing the body even when the header
+    * claims otherwise (main.go:109–113, errEncodingMismatch); here the
+    * decision is per RECORD, by the 1F8B gzip magic on the base64-decoded
+    * bytes — one micro-batch can mix plain and gzip records freely, and
+    * only true garbage dead-letters. try_gunzip, not gunzip: corrupt
+    * gzip must dead-letter the row, not throw — a throwing expression
+    * fails the micro-batch, which checkpoint recovery replays forever
+    * (poison-record wedge).
+    *
+    * The envelope is parsed ONCE, with the pruned schema (the inflate +
+    * JSON parse dominate per-record cost on this hot path); both
+    * delivery channels derive from this frame — see sinkBatch, which
+    * persists it so neither channel re-decodes. `err` is null iff the
+    * record routes to documents; a parseable envelope with an EMPTY
+    * logEvents array dead-letters as "empty logEvents" rather than
+    * silently vanishing in the explode — the reference's S3 archival
+    * contract accounts for every input record. */
+  def decoded(frame: DataFrame): DataFrame = {
+    val bin = unbase64(col("data"))
+    frame
+      .withColumn("rawBody",
+        when(upper(hex(substring(bin, 1, 2))) === "1F8B", try_gunzip(bin))
+          .otherwise(bin).cast("string"))
+      .withColumn("env", from_json(col("rawBody"), StructType.fromDDL(Decode.cwSchemaPruned)))
+      .withColumn("err",
+        when(col("rawBody").isNull, "undecodable record data (corrupt gzip)")
+          .when(col("env").isNull || col("env.logEvents").isNull,
+            "unparseable CloudWatch envelope")
+          .when(size(col("env.logEvents")) === 0, "empty logEvents"))
   }
 
-  /** One micro-batch flush: route, then write each channel under its own
-    * retry envelope. Writers are injectable so tests can inject 429s;
-    * each writer receives the batchId so it can be idempotent under
-    * replay (see channelWriter). */
-  def sinkBatch(withGzip: Boolean,
-                writeOk: (DataFrame, Long) => Unit,
+  /** Flatten already-decoded routable rows into documents (X2 explode +
+    * F4 json-or-text + F6/F8 projection), straight from the parsed `env`
+    * — no re-decode of the raw data. */
+  private def flatten(ok: DataFrame): DataFrame =
+    ok.select(
+      col("event_id"), col("batch_ms"),
+      col("env.logGroup").as("logGroup"), col("env.logStream").as("logStream"),
+      explode(col("env.logEvents")).as("ev"))
+      .select(
+        col("event_id"), col("batch_ms"), col("logGroup"), col("logStream"),
+        col("ev.id").as("event_ref"),
+        col("ev.timestamp").as("event_ms"),
+        Decode.jsonOrText(col("ev.message")).as("message"))
+
+  private def deadLetter(bad: DataFrame): DataFrame =
+    bad.select(col("event_id"), col("batch_ms"), col("rawBody").as("body"), col("err"))
+
+  /** Decode + route one envelope frame into the two delivery channels:
+    * (documents, dead-letter). Encoding is sniffed per record — see
+    * `decoded`. */
+  def route(frame: DataFrame): (DataFrame, DataFrame) = {
+    val d = decoded(frame)
+    (flatten(d.filter(col("err").isNull)), deadLetter(d.filter(col("err").isNotNull)))
+  }
+
+  /** One micro-batch flush: decode once, persist, then write each
+    * channel from the persisted frame under its own retry envelope — the
+    * inflate + JSON parse run once per record, not once per channel.
+    * Writers are injectable so tests can inject 429s; each writer
+    * receives the batchId so it can be idempotent under replay (see
+    * channelWriter). */
+  def sinkBatch(writeOk: (DataFrame, Long) => Unit,
                 writeErr: (DataFrame, Long) => Unit,
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                 sleep: Long => Unit = Thread.sleep)(batch: Dataset[Row], batchId: Long): Unit = {
-    val (docs, dead) = route(batch.toDF(), withGzip)
-    withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
-    withRetry(maxAttempts, baseBackoffMs, sleep)(writeErr(dead, batchId))
+    val d = decoded(batch.toDF()).persist()
+    try {
+      withRetry(maxAttempts, baseBackoffMs, sleep)(
+        writeOk(flatten(d.filter(col("err").isNull)), batchId))
+      withRetry(maxAttempts, baseBackoffMs, sleep)(
+        writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
+    } finally d.unpersist()
   }
 
   /** Idempotent channel writer: each micro-batch lands in its own
     * `batch=<id>` subdirectory with overwrite mode, so a replayed
     * batchId (checkpoint recovery under the at-least-once contract)
     * rewrites the same path instead of appending duplicates — plain
-    * append would double rows on every replay. Readers of the channel
+    * append would double rows on every replay. Writes unconditionally:
+    * an empty-frame overwrite is cheap and keeps `batch=<id>` exactly
+    * reflecting the replayed batch (skipping empties would leave a stale
+    * directory from an earlier attempt in place). Readers of the channel
     * directory see `batch` as a partition column. */
   def channelWriter(dir: String): (DataFrame, Long) => Unit =
-    (df, batchId) =>
-      if (!df.isEmpty) df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    (df, batchId) => df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
   /** Render a documents frame as OpenSearch `_bulk` NDJSON — one
     * `{"index":{"_index":...,"_id":...}}` action line and one source
@@ -133,17 +175,45 @@ object Pipeline {
   }
 
   /** Start the full ingest stream over a source of (event_id, batch_ms,
-    * data) envelope rows: decode → route → SUCCESS/ + ERROR/ parquet
-    * channels (reference cloudformation-template.yaml:170–171), 5 s
-    * micro-batches (reference main.go:436), checkpointed for restart
-    * recovery. */
+    * data) envelope rows: decode (per-record encoding sniff) → route →
+    * SUCCESS/ + ERROR/ parquet channels (reference
+    * cloudformation-template.yaml:170–171), 5 s micro-batches (reference
+    * main.go:436), checkpointed for restart recovery. */
   def run(source: DataFrame, outDir: String, checkpointDir: String,
-          withGzip: Boolean = true,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
-        withGzip,
         channelWriter(s"$outDir/SUCCESS"),
+        channelWriter(s"$outDir/ERROR")) _)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Offline file-drop source (SURVEY §2.1 S1): landed Firehose batches
+    * as JSON-lines files dropped into `dir` — the pluggable zero-egress
+    * stand-in for the Kinesis/HTTP push source, carrying the same
+    * (event_id, batch_ms, data) contract `run` consumes. The explicit
+    * schema avoids a blocking inference pass over the drop directory;
+    * maxFilesPerTrigger bounds per-micro-batch work so a backlog drains
+    * in steady flushes instead of one giant batch. */
+  def fileDropSource(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(StructType.fromDDL("event_id BIGINT, batch_ms BIGINT, data STRING"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** `run` with the HTTP `_bulk` transport as the SUCCESS channel:
+    * documents POST per partition to `esUrl` (HttpBulk), dead letters
+    * land in `outDir/ERROR`, per-item bulk rejections in
+    * `outDir/ERROR_ITEMS`. */
+  def runHttp(source: DataFrame, esUrl: String, index: String,
+              outDir: String, checkpointDir: String,
+              auth: Option[String] = None,
+              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    source.writeStream
+      .foreachBatch(sinkBatch(
+        HttpBulk.bulkWriter(esUrl, index, s"$outDir/ERROR_ITEMS", auth),
         channelWriter(s"$outDir/ERROR")) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

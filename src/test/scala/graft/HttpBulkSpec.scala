@@ -1,0 +1,146 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{HttpBulk, Pipeline}
+
+/** The HTTP `_bulk` transport against a loopback stub server: per-
+  * partition POST bodies, flushBytes chunking, 429 retry/backoff,
+  * per-item failure routing, auth passthrough, and the full streaming
+  * topology end-to-end (reference main.go:399–451, 546–584). */
+class HttpBulkSpec extends SparkSpec {
+
+  /** Loopback `_bulk` stub: answers 429 to the first `fail429First`
+    * requests, then 200 with a per-item response — status 400 +
+    * error.reason for ids in `badIds`, 201 otherwise (the ES bulk
+    * contract the reference's OnSuccess/OnFailure callbacks consume). */
+  private class BulkStub(fail429First: Int = 0, badIds: Set[String] = Set.empty) {
+    val hits = new AtomicInteger(0)
+    val bodies = new ConcurrentLinkedQueue[String]()
+    val authHeaders = new ConcurrentLinkedQueue[String]()
+    private val remaining429 = new AtomicInteger(fail429First)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (remaining429.getAndDecrement() > 0) {
+        ex.sendResponseHeaders(429, -1)
+        ex.close()
+      } else {
+        bodies.add(body)
+        Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authHeaders.add)
+        val ids = body.split("\n").grouped(2).map(_.head).map { action =>
+          """"_id":"([^"]+)"""".r.findFirstMatchIn(action).get.group(1)
+        }.toSeq
+        val items = ids.map { id =>
+          if (badIds(id))
+            s"""{"index":{"_id":"$id","status":400,"error":{"type":"mapper_parsing_exception","reason":"failed to parse field"}}}"""
+          else s"""{"index":{"_id":"$id","status":201}}"""
+        }.mkString(",")
+        val resp = s"""{"took":1,"errors":${ids.exists(badIds)},"items":[$items]}""".getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/_bulk"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
+
+  private def docsFrame(ids: String*) = {
+    import spark.implicits._
+    ids.zipWithIndex.map { case (id, i) =>
+      (i.toLong, 10L, "/app/a", "s1", id, 1000L + i, s"""{"k":$i}""")
+    }.toDF("event_id", "batch_ms", "logGroup", "logStream", "event_ref", "event_ms", "message")
+  }
+
+  test("each partition POSTs its bulk body; a 429 retries with backoff and succeeds") {
+    val stub = new BulkStub(fail429First = 1)
+    try {
+      val errDir = tmp("bulk-err")
+      HttpBulk.bulkWriter(stub.url, "graft-docs", errDir, baseBackoffMs = 1)(
+        docsFrame("a1", "a2", "a3", "a4").repartition(2), 0L)
+      assert(stub.hits.get == 3, "2 partitions + 1 retried 429")
+      assert(stub.bodies.size == 2, "exactly one accepted body per partition")
+      val posted = stub.bodies.toArray.mkString("\n")
+      Seq("a1", "a2", "a3", "a4").foreach(id =>
+        assert(posted.contains(s""""_id":"$id""""), s"$id must be posted"))
+      assert(spark.read.parquet(s"$errDir/batch=0").count() == 0, "no item failures")
+    } finally stub.stop()
+  }
+
+  test("per-item bulk rejections land under errDir/batch=<id>") {
+    import spark.implicits._
+    val stub = new BulkStub(badIds = Set("bad-1"))
+    try {
+      val errDir = tmp("bulk-itemerr")
+      HttpBulk.bulkWriter(stub.url, "graft-docs", errDir, baseBackoffMs = 1)(
+        docsFrame("good-1", "bad-1", "good-2").coalesce(1), 3L)
+      val failed = spark.read.parquet(s"$errDir/batch=3")
+      val rows = failed.select("item_id", "status", "err")
+        .as[(String, Int, String)].collect()
+      assert(rows.toSeq == Seq(("bad-1", 400, "failed to parse field")))
+    } finally stub.stop()
+  }
+
+  test("flushBytes chunks one partition into multiple POST bodies") {
+    val stub = new BulkStub()
+    try {
+      // tiny flushBytes: every action/source pair overflows the chunk
+      HttpBulk.bulkWriter(stub.url, "graft-docs", tmp("bulk-chunk"), flushBytes = 10)(
+        docsFrame("c1", "c2", "c3").coalesce(1), 0L)
+      assert(stub.bodies.size == 3, s"3 chunked POSTs, got ${stub.bodies.size}")
+    } finally stub.stop()
+  }
+
+  test("auth passthrough: the Authorization header rides every request") {
+    val stub = new BulkStub()
+    try {
+      HttpBulk.bulkWriter(stub.url, "graft-docs", tmp("bulk-auth"),
+        auth = Some("Basic Zmg6c2VjcmV0"))(docsFrame("a1").coalesce(1), 0L)
+      assert(stub.authHeaders.toArray.toSeq == Seq("Basic Zmg6c2VjcmV0"))
+    } finally stub.stop()
+  }
+
+  test("runHttp end-to-end: documents POST to the endpoint, garbage dead-letters to ERROR/") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[
+        |{"id":"h1","timestamp":1000,"message":"m1"},
+        |{"id":"h2","timestamp":2000,"message":"m2"}]}""".stripMargin
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+    val stub = new BulkStub()
+    try {
+      val in = MemoryStream[(Long, Long, String)]
+      val outDir = tmp("http-sink")
+      in.addData((1L, 10L, b64(goodBody)), (2L, 20L, b64("not an envelope")))
+      val q = Pipeline.runHttp(
+        in.toDF().toDF("event_id", "batch_ms", "data"),
+        stub.url, "graft-docs", outDir, tmp("http-ckpt"),
+        trigger = Trigger.AvailableNow())
+      try {
+        q.processAllAvailable()
+        val posted = stub.bodies.toArray.mkString("\n")
+        assert(posted.contains(""""_id":"h1"""") && posted.contains(""""_id":"h2""""))
+        val err = spark.read.parquet(s"$outDir/ERROR")
+        assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
+      } finally q.stop()
+    } finally stub.stop()
+  }
+}

@@ -174,7 +174,7 @@ class StreamingSpec extends SparkSpec {
     in.addData((1L, 10L, b64(goodBody)), (2L, 20L, b64("not an envelope")))
     val q = Pipeline.run(
       in.toDF().toDF("event_id", "batch_ms", "data"),
-      outDir, tmp("graft-ckpt"), withGzip = false, trigger = Trigger.AvailableNow())
+      outDir, tmp("graft-ckpt"), trigger = Trigger.AvailableNow())
     try {
       q.processAllAvailable()
       val ok = spark.read.parquet(s"$outDir/SUCCESS")
@@ -209,7 +209,7 @@ class StreamingSpec extends SparkSpec {
       (3L, 30L, java.util.Base64.getEncoder.encodeToString("raw poison".getBytes("UTF-8"))))
     val q = Pipeline.run(
       in.toDF().toDF("event_id", "batch_ms", "data"),
-      outDir, tmp("graft-gz-ckpt"), withGzip = true, trigger = Trigger.AvailableNow())
+      outDir, tmp("graft-gz-ckpt"), trigger = Trigger.AvailableNow())
     try {
       q.processAllAvailable()
       val ok = spark.read.parquet(s"$outDir/SUCCESS")
@@ -218,6 +218,65 @@ class StreamingSpec extends SparkSpec {
       val err = spark.read.parquet(s"$outDir/ERROR")
       assert(err.select("event_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
     } finally q.stop()
+  }
+
+  test("mixed plain and gzip records in ONE batch all decode via per-record sniffing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the reference's encoding-mismatch heuristic (main.go:109–113):
+    // headers lie, the body's gzip magic decides — per record here
+    def body(id: String) =
+      s"""{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/mix","logStream":"s1",
+         |"subscriptionFilters":["f"],"logEvents":[{"id":"$id","timestamp":1000,"message":"m"}]}""".stripMargin
+    val enc = java.util.Base64.getEncoder
+    val plain = enc.encodeToString(body("p1").getBytes("UTF-8"))
+    val gzipped = enc.encodeToString(graft.expr.GzipCodec.gzip(body("z1").getBytes("UTF-8")))
+
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-mix-sink")
+    in.addData((1L, 10L, plain), (2L, 20L, gzipped))
+    val q = Pipeline.run(
+      in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-mix-ckpt"), trigger = Trigger.AvailableNow())
+    try {
+      q.processAllAvailable()
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      assert(ok.select("event_ref").as[String].collect().sorted.toSeq == Seq("p1", "z1"))
+      assert(spark.read.parquet(s"$outDir/ERROR").count() == 0)
+    } finally q.stop()
+  }
+
+  test("file-drop source: a landed batch file flows through to SUCCESS/") {
+    import spark.implicits._
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/drop","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[{"id":"f1","timestamp":1000,"message":"m"}]}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(goodBody.getBytes("UTF-8"))
+    val dropDir = tmp("graft-drop")
+    Files.writeString(java.nio.file.Paths.get(dropDir, "batch-0001.json"),
+      s"""{"event_id":1,"batch_ms":10,"data":"$b64"}""")
+    val outDir = tmp("graft-drop-sink")
+    val q = Pipeline.run(Pipeline.fileDropSource(spark, dropDir),
+      outDir, tmp("graft-drop-ckpt"), trigger = Trigger.AvailableNow())
+    try {
+      q.processAllAvailable()
+      val refs = spark.read.parquet(s"$outDir/SUCCESS")
+        .select("event_ref").as[String].collect()
+      assert(refs.toSeq == Seq("f1"))
+    } finally q.stop()
+  }
+
+  test("zero-event envelope is observable in ERROR/, not silently dropped") {
+    import spark.implicits._
+    val empty =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[]}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(empty.getBytes("UTF-8"))
+    val (docs, dead) = Pipeline.route(
+      Seq((1L, 10L, b64)).toDF("event_id", "batch_ms", "data"))
+    assert(docs.count() == 0)
+    val errs = dead.select("err").as[String].collect()
+    assert(errs.toSeq == Seq("empty logEvents"), s"got ${errs.toSeq}")
   }
 
   test("sink batch: both channels flush under retry with injected 429s") {
@@ -230,7 +289,6 @@ class StreamingSpec extends SparkSpec {
 
     var okWrites = 0; var okAttempts = 0
     Pipeline.sinkBatch(
-      withGzip = false,
       writeOk = (df, _) => { okAttempts += 1
         if (okAttempts < 3) throw Pipeline.TransientSinkError(429)
         okWrites += df.count().toInt },
@@ -252,13 +310,13 @@ class StreamingSpec extends SparkSpec {
     val ckpt = tmp("graft-restart-ckpt")
     in.addData((1L, 10L, b64("1")))
     val q1 = Pipeline.run(in.toDF().toDF("event_id", "batch_ms", "data"),
-      outDir, ckpt, withGzip = false, trigger = Trigger.AvailableNow())
+      outDir, ckpt, trigger = Trigger.AvailableNow())
     q1.processAllAvailable(); q1.stop()
     // restart from the SAME checkpoint with new data: only the new
     // offsets process; batch 0's committed output is not rewritten twice
     in.addData((2L, 20L, b64("2")))
     val q2 = Pipeline.run(in.toDF().toDF("event_id", "batch_ms", "data"),
-      outDir, ckpt, withGzip = false, trigger = Trigger.AvailableNow())
+      outDir, ckpt, trigger = Trigger.AvailableNow())
     q2.processAllAvailable(); q2.stop()
     val refs = spark.read.parquet(s"$outDir/SUCCESS")
       .select("event_ref").as[String].collect().sorted
