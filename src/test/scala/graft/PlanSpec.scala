@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression tests: lock in the physical-plan wins the r3
+  * audit measured (SURVEY §6), so a refactor that silently regresses a
+  * plan — a top-k that becomes a global sort, a broadcast range join
+  * that starts shuffling its probe side, a codegen expression replaced
+  * by an interpreted fallback — fails in CI, not in the 100 TB run.
+  * Plans are inspected pre-execution (the AQE initial plan): these are
+  * static shape invariants, not runtime re-plans. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }
+
+  /** CodegenFallback expression class names anywhere in the plan. */
+  private def fallbacks(p: SparkPlan): Set[String] =
+    nodes(p).flatMap(_.expressions)
+      .flatMap(_.collect { case e: CodegenFallback => e.getClass.getSimpleName })
+      .toSet
+
+  test("ns_topk stays TakeOrderedAndProject — never a global sort + limit") {
+    val p = physical("ns_topk")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("geoip range join stays broadcast nested-loop with an unshuffled probe side") {
+    val p = physical("np_geoip_join")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"expected BroadcastNestedLoopJoin in:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]),
+      "range join must not degrade to a sort-merge join")
+    // below the join, the only permitted shuffle is Par.spread's
+    // explicit single-split widening (REPARTITION_BY_NUM); the join
+    // itself must never REQUIRE a probe-side shuffle (the post-join
+    // count-distinct aggregation shuffles above it, which is fine)
+    val joinSubtree = nodes(p).collectFirst { case j: BroadcastNestedLoopJoinExec => j }.get
+    val required = nodes(joinSubtree).collect {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(required.isEmpty, s"the range join now requires a probe-side shuffle:\n$p")
+  }
+
+  test("similarity top-k uses the bounded Aggregator, not a Window over the corpus") {
+    // knn: no window anywhere — the whole point of TopKByScore
+    val knn = physical("ns_similarity_knn")
+    assert(!nodes(knn).exists(_.isInstanceOf[WindowExec]),
+      s"ns_similarity_knn regressed to a window/rank top-k:\n$knn")
+    assert(knn.toString.contains("partial_topkbyscore"),
+      "knn lost the partial-aggregating bounded top-k")
+    // ivf: the corpus top-k must stay the partial Aggregator; the one
+    // permitted window is centroid ASSIGNMENT, ranking the broadcast
+    // q×centroid frame (20×|labels| rows) — it must never sit above the
+    // corpus cosine scoring
+    val ivf = physical("ns_similarity_ivf")
+    assert(ivf.toString.contains("partial_topkbyscore"),
+      "ivf lost the partial-aggregating bounded top-k")
+    nodes(ivf).collect { case w: WindowExec => w }.foreach { w =>
+      assert(!w.toString.contains("vec_cosine"),
+        s"a Window ranks the corpus cosine scores in ivf:\n$ivf")
+    }
+  }
+
+  test("ns_dedup_ngram keeps the df-capped inverted-index shuffled-hash join") {
+    val p = physical("ns_dedup_ngram")
+    assert(nodes(p).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      s"expected a shuffled-hash self-join in:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the shingle df-cap window disappeared from:\n$p")
+  }
+
+  test("no interpreted fallback reaches the hot path of the expensive plans") {
+    // The r3 bench's most expensive queries (BENCH_r03.json) plus every
+    // custom-Expression path. Allowed exceptions are deliberate:
+    //   - ScalaAggregator = the bounded TopKByScore Aggregator (its
+    //     partial aggregation is the point; Spark has no codegen'd
+    //     bounded top-k)
+    //   - ivf's array HOFs score only the broadcast q×centroid frame
+    //     (20 queries × 20 centroids), never the corpus
+    val allowed: Map[String, Set[String]] = Map(
+      "ns_similarity_knn" -> Set("ScalaAggregator"),
+      "ns_similarity_ivf" -> Set("ScalaAggregator", "ZipWith", "ArrayTransform",
+        "ArrayAggregate", "CollectList", "LambdaFunction", "ArraySort",
+        "NamedLambdaVariable"))
+    val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
+      "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
+      "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
+      "ns_similarity_knn", "ns_similarity_ivf", "np_grok_access_log",
+      "np_geoip_join")
+    hot.foreach { q =>
+      val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
+      assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
+    }
+  }
+}
