@@ -30,20 +30,29 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed pass is +Infinity, never its elapsed time — min-of-two
+      // must not prefer a fast FAILED run over a slow successful one
       def onePass(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.PositiveInfinity
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(onePass(), onePass())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // failures surface in the JSON (a finite sentinel keeps it strict
+    // JSON — Infinity is not): per-query 1e9 s + an explicit failed list
+    val failed = results.collect { case (k, v) if !v.isFinite => k }
+    val bounded = results.map { case (k, v) => k -> (if (v.isFinite) v else 1e9) }
+    val qs = bounded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = bounded.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Evaluate a grok_struct literal argument at analysis time. The
+    * pattern and field names SHAPE THE RESULT TYPE, so they must be
+    * foldable non-null strings — anything else gets a proper
+    * AnalysisException naming the contract, not an eval()-time NPE. */
+  private def grokLiteral(e: Expression, param: String): String = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> "`grok_struct`", "paramName" -> s"`$param`",
+          "paramType" -> "\"STRING\""))
+    val v = e.eval(null)
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.NULL",
+        messageParameters = Map(
+          "parameter" -> s"`$param`", "functionName" -> "`grok_struct`"))
+    v.toString
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "gunzip" -> (args => Gunzip(args.head)),
     "try_gunzip" -> (args => TryGunzip(args.head)),
@@ -43,8 +64,8 @@ object GraftExtensions {
     // field names must be string literals (they shape the result type).
     "grok_struct" -> (args => RegExpExtractStruct(
       args.head,
-      args(1).eval(null).toString,
-      args.drop(2).map(_.eval(null).toString))),
+      grokLiteral(args(1), "pattern"),
+      args.drop(2).zipWithIndex.map { case (e, i) => grokLiteral(e, s"field${i + 1}") })),
   )
 
   /** Idempotently register the functions on an existing session. */

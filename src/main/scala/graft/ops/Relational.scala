@@ -348,9 +348,30 @@ object Relational {
           round(col("ps").getItem(2), 6).as("p75"))
   }
 
+  /** percentile_approx accuracy: rank error ≤ n/accuracy. */
+  val approxAccuracy = 10000
+
+  /** Bounded-memory percentile sketch — the production default at
+    * 100 TB. ns_agg_percentile's exact path holds each group's value
+    * multiset in its aggregation buffer (memory-bound per group at
+    * corpus scale); percentile_approx's quantile summary is bounded by
+    * the accuracy parameter instead. The sketch is engine-specific so
+    * no cross-engine oracle exists (rows-only check); PercentileSpec
+    * asserts the sketch's rank-error contract against the data. */
+  val aggPercentileApprox: QueryDef = QueryDef(
+    "ns_agg_percentile_approx",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr(s"percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), $approxAccuracy)").as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p25"),
+        col("ps").getItem(1).as("p50"),
+        col("ps").getItem(2).as("p75")),
+    None)
+
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, cubeAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
-    aggPercentile)
+    aggPercentile, aggPercentileApprox)
 }

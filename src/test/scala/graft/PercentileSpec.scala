@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** The approximate-percentile production twin: the sketch must honor
+  * its rank-error contract (error ≤ n/accuracy ranks) against the same
+  * data the exact, oracle-checked ns_agg_percentile runs on — plus the
+  * grok_struct literal-argument analysis contract. */
+class PercentileSpec extends SparkSpec {
+
+  test("percentile_approx twin stays within the sketch's rank-error bound") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ns_agg_percentile_approx")(spark, sfDir)
+      .select("l_returnflag", "p25", "p50", "p75")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      .as[(String, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // rank error ≤ n/accuracy (+1 rank of slack for value ties at the
+    // quantile boundary): the fraction of values strictly below the
+    // sketch's answer can't overshoot q, and the fraction ≤ it can't
+    // undershoot q, by more than the contract allows
+    rows.foreach { case (flag, p25, p50, p75) =>
+      val vs = li(flag)
+      val n = vs.length.toDouble
+      val eps = 1.0 / Relational.approxAccuracy + 1.5 / n
+      Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75).foreach { case (q, approx) =>
+        val below = vs.count(_ < approx) / n
+        val atOrBelow = vs.count(_ <= approx) / n
+        assert(below <= q + eps && atOrBelow >= q - eps,
+          s"$flag q=$q approx=$approx below=$below atOrBelow=$atOrBelow eps=$eps")
+      }
+    }
+  }
+
+  test("grok_struct rejects non-foldable and null literal args with an analysis error") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val nonFoldable = intercept[AnalysisException] {
+      Seq(("a-b", "(x)-(y)")).toDF("line", "rx")
+        .selectExpr("grok_struct(line, rx, 'a', 'b')").collect()
+    }
+    assert(nonFoldable.errorClass.contains("NON_FOLDABLE_ARGUMENT"),
+      s"got ${nonFoldable.errorClass}: ${nonFoldable.getMessage}")
+    val nullPattern = intercept[AnalysisException] {
+      spark.sql("SELECT grok_struct('a-b', CAST(NULL AS STRING), 'a')").collect()
+    }
+    assert(nullPattern.errorClass.contains("INVALID_PARAMETER_VALUE.NULL"),
+      s"got ${nullPattern.errorClass}: ${nullPattern.getMessage}")
+  }
+}
