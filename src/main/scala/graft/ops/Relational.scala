@@ -369,9 +369,22 @@ object Relational {
         col("ps").getItem(2).as("p75")),
     None)
 
+  /** Bounded-memory distinct-count sketch (HyperLogLog++) — the
+    * production twin of ns_agg_distinct, whose exact expand + second
+    * shuffle is the costly path at corpus scale. Engine-specific sketch
+    * → rows-only check; PercentileSpec asserts the relative-error
+    * contract against the exact count. */
+  val aggApproxDistinct: QueryDef = QueryDef(
+    "ns_agg_approx_distinct",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n")),
+    None)
+
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, cubeAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
-    aggPercentile, aggPercentileApprox)
+    aggPercentile, aggPercentileApprox, aggApproxDistinct)
 }

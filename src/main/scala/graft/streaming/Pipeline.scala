@@ -219,6 +219,28 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** The Firehose HTTP response contract (reference main.go:358–363,
+    * structs at main.go:58–69): 200 echoes the REQUEST's id and
+    * timestamp; an error response carries the same pair plus
+    * `errorMessage`. Service plumbing rather than dataflow, but it
+    * completes the endpoint contract for anyone fronting `run` with an
+    * HTTP listener. */
+  def firehoseResponse(requestId: String, timestampMs: Long,
+                       errorMessage: Option[String] = None): String = {
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val base = s""""requestId":${js(requestId)},"timestamp":$timestampMs"""
+    errorMessage match {
+      case Some(m) => s"""{$base,"errorMessage":${js(m)}}"""
+      case None => s"""{$base}"""
+    }
+  }
+
   /** Event-time tumbling counts with a 10-minute watermark: events later
     * than the watermark are dropped, and window state is reclaimed — the
     * bounded-state form of StreamOps.tumblingOp (SURVEY §2.5). */

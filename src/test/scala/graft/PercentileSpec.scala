@@ -37,6 +37,22 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct twin stays within its relative-error contract") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("ns_agg_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users")
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    // HLL++ at rsd=0.02: allow 3 standard deviations of relative error
+    exact.foreach { case (k, ex) =>
+      val rel = math.abs(approx(k).toDouble - ex) / ex
+      assert(rel <= 0.06, s"$k: approx=${approx(k)} exact=$ex rel=$rel")
+    }
+  }
+
   test("grok_struct rejects non-foldable and null literal args with an analysis error") {
     import spark.implicits._
     GraftExtensions.install(spark)

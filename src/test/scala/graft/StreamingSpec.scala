@@ -323,6 +323,15 @@ class StreamingSpec extends SparkSpec {
     assert(refs.toSeq == Seq("R1", "R2"), s"got ${refs.toSeq}")
   }
 
+  test("firehose response contract: echo the request ids; error body adds errorMessage") {
+    assert(Pipeline.firehoseResponse("req-1", 123L) ==
+      """{"requestId":"req-1","timestamp":123}""")
+    // control chars escape as \ uXXXX (written split here — Scala
+    // pre-processes unicode escapes even inside triple quotes)
+    assert(Pipeline.firehoseResponse("r\"q", 5L, Some("bad \"body\"\n")) ==
+      "{\"requestId\":\"r\\\"q\",\"timestamp\":5,\"errorMessage\":\"bad \\\"body\\\"" + "\\" + "u000a\"}")
+  }
+
   test("channel writer is idempotent under batch replay (at-least-once)") {
     import spark.implicits._
     val dir = tmp("graft-replay")
