@@ -1,0 +1,15 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.SimHashBits
+
+/** Column wrappers for native text-signature expressions
+  * (org.apache.spark.sql.graftshim). */
+object TextFunctions {
+  import graft.Cols
+
+  /** 16-bit SimHash signature of a token array — one codegen'd map pass,
+    * zero shuffles (vs the SQL explode-×16 + double-aggregate shape). */
+  def simhash_bits(tokens: Column): Column =
+    Cols.column(SimHashBits(Cols.expr(tokens)))
+}

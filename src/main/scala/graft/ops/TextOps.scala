@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -72,15 +71,24 @@ object TextOps {
           min(md5(concat(lit("0:"), col("x")))).as("mh0"),
           (1 until nHashes).map(b =>
             min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
-        val bands = withMh.select(
+        val bands0 = withMh.select(
           col("doc_id"),
           posexplode(array((0 until nHashes / bandWidth).map { g =>
             concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
           }: _*)))
           .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
-          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
-          .filter(col("bn") <= bandCap)
-          .drop("bn")
+        // Over-cap buckets removed via broadcast ANTI join, not a
+        // count().over(band,sig) window: the window shuffled the whole
+        // band relation AND buffered each hot bucket's rows in a single
+        // window task before dropping them — the exact OOM a cap exists
+        // to prevent. Hot keys (bn > bandCap) number ≤ rows/bandCap by
+        // pigeonhole and are heavy-tail-rare in practice, so the hot-key
+        // side broadcasts and the probe side never shuffles or buffers.
+        val hotBands = bands0.groupBy("band", "sig")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > bandCap)
+          .select("band", "sig")
+        val bands = bands0.join(broadcast(hotBands), Seq("band", "sig"), "left_anti")
         val a = bands.as("a").hint("shuffle_hash")
         val b = bands.as("b")
         // shuffle_hash (vs broadcast): both sides are the same minhash
@@ -113,17 +121,17 @@ object TextOps {
     })
 
   /** SimHash: 16-bit signature from per-bit majority vote over token
-    * hashes (first 8 md5 hex chars → 32-bit int; bits 0..15 used). */
+    * hashes (first 8 md5 hex chars → 32-bit int; bits 0..15 used).
+    * Computed by the native `SimHashBits` codegen expression
+    * (graftshim.GraftShim) — one map pass over the token array, ZERO
+    * shuffles, vs the naive SQL shape (explode ×16 bit positions + two
+    * aggregations) that amplifies every token row 16× through a shuffle.
+    * The oracle keeps the naive formulation; results are bit-identical. */
   val dedupSimhashOp = QueryDef(
     "ns_dedup_simhash",
-    (s, dir) => Par.spread(s, docs(s, dir), col("doc_id"))
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("w"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN w >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END")).as("simhash")),
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      graft.expr.TextFunctions.simhash_bits(split(trim(col("text")), " ")).as("simhash")),
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
            |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h FROM tok),
            |bits AS (SELECT doc_id, j, CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
@@ -160,13 +168,18 @@ object TextOps {
         val d = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), array_distinct(shingles3(trim(col("text")))).as("sh"))
           .filter(size(col("sh")) >= 1)
-        // df cap over the exploded index; the window shuffles on the
-        // shingle — the same key the self-join below shuffles on, so the
-        // exchange is reused, not added.
-        val shingle = d.select(col("doc_id"), explode(col("sh")).as("s"))
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("df") <= dfCap)
-          .drop("df")
+        // df cap via broadcast ANTI join on the (rare, pigeonhole-bounded
+        // ≤ rows/dfCap) over-cap shingles — the previous count().over(s)
+        // window buffered every hot shingle's rows in one window task
+        // before dropping them, the exact OOM the cap exists to prevent.
+        // The probe side stays map-only; the self-join below still
+        // shuffles both (identical) sides on the shingle, so
+        // ReuseExchange materializes the capped index once.
+        val idx = d.select(col("doc_id"), explode(col("sh")).as("s"))
+        val hotShingles = idx.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap)
+          .select("s")
+        val shingle = idx.join(broadcast(hotShingles), Seq("s"), "left_anti")
         // set sizes over the capped index (|A| counts surviving shingles)
         val sizes = shingle.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // shuffle_hash: the corpus-wide shingle relation is never

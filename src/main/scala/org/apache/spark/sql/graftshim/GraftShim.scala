@@ -172,6 +172,62 @@ object LshHelper {
   }
 }
 
+/** SimHash signature over an ARRAY<STRING> token array in ONE codegen'd
+  * map pass: per token, h = first 32 bits of md5 (== SQL
+  * conv(substring(md5(tok),1,8),16,10)); per bit j∈[0,16), a ±1 majority
+  * vote over tokens; bit j of the result is set iff the vote sum ≥ 0 —
+  * bit-identical to the SQL formulation both engines previously ran as
+  * explode(sequence(0,15)) + two aggregations. The expression replaces a
+  * 16× row amplification THROUGH A SHUFFLE (tokens ×16 bit rows, then
+  * doc×j and doc aggregations) with zero shuffles: signature computed
+  * where the row already is. At 100 TB that 16× shuffle volume is the
+  * difference between a map-only pass and a multi-TB exchange. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashHelper.bits(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graftshim.SimHashHelper.bits($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashHelper {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def bits(toks: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val md = mdLocal.get()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        // first 4 digest bytes == first 8 md5 hex chars, unsigned
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < 16) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) >= 0) bits |= (1L << j); j += 1 }
+    bits
+  }
+}
+
 sealed abstract class FloatVecBinary extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))

@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{GenerateExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-shape regression tests: lock in the physical-plan wins the r3
@@ -79,8 +79,32 @@ class PlanSpec extends SparkSpec {
     val p = physical("ns_dedup_ngram")
     assert(nodes(p).exists(_.isInstanceOf[ShuffledHashJoinExec]),
       s"expected a shuffled-hash self-join in:\n$p")
-    assert(nodes(p).exists(_.isInstanceOf[WindowExec]),
-      s"the shingle df-cap window disappeared from:\n$p")
+    // the df cap must be the broadcast ANTI join on hot shingles, not a
+    // count().over(s) window that buffers each hot bucket in one task
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the df cap regressed to a buffering window:\n$p")
+    assert(nodes(p).exists {
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT ANTI"
+      case _ => false
+    }, s"expected a broadcast anti join dropping hot shingles in:\n$p")
+  }
+
+  test("ns_dedup_minhash caps bands without a buffering window") {
+    val p = physical("ns_dedup_minhash")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the band cap regressed to a buffering window:\n$p")
+    assert(nodes(p).exists {
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT ANTI"
+      case _ => false
+    }, s"expected a broadcast anti join dropping hot bands in:\n$p")
+  }
+
+  test("ns_dedup_simhash is one map pass — no explode amplification, no shuffle") {
+    val p = physical("ns_dedup_simhash")
+    assert(!nodes(p).exists(_.isInstanceOf[GenerateExec]),
+      s"simhash regressed to an explode-based plan:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"simhash signature computation must not shuffle:\n$p")
   }
 
   test("no interpreted fallback reaches the hot path of the expensive plans") {

@@ -54,6 +54,25 @@ class TextOpsSpec extends SparkSpec {
     assert(salted.nonEmpty && (salted sameElements plain))
   }
 
+  test("native SimHashBits equals the explode-×16 SQL formulation bit-for-bit") {
+    import spark.implicits._
+    val nat = SparkEntry.queries("ns_dedup_simhash")(spark, sfDir)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // the definitional shape the expression replaced (and the DuckDB
+    // oracle still runs): explode tokens ×16 bit positions, ±1 majority
+    // vote per bit, re-assemble the signature
+    val sql = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN w >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END")).as("simhash"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(nat.length == 500 && nat.sameElements(sql))
+  }
+
   test("minhash band cap drops whole buckets deterministically") {
     // Two runs of the capped query produce identical row sets.
     val q = SparkEntry.queries("ns_dedup_minhash")
