@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The reference's HTTP service surface (reference main.go:203–365): a
+  * loopback push front-end accepting Firehose delivery batches and
+  * handing them to the Structured Streaming dataflow.
+  *
+  * Contract, mirrored endpoint-for-endpoint:
+  *  - `GET /ping` → `{"message":"pong"}` (main.go:220–224, the health
+  *    check).
+  *  - `POST /firehose` (main.go:248–365):
+  *    - `X-Amz-Firehose-Request-Id` header, empty → `"manual"`
+  *      (main.go:260–266); the id is stamped on every document of the
+  *      batch.
+  *    - `X-Amz-Firehose-Access-Key` header captured for sink Basic auth
+  *      (main.go:321–324, 414) — read it via `accessKey`.
+  *    - content detect (dataDetect, main.go:74–121): Content-Type must
+  *      be `application/json`, Content-Encoding empty or `gzip`, then
+  *      the BODY's gzip magic decides the real encoding even when the
+  *      header lies (main.go:109–113 treats a mismatch as gzip).
+  *    - envelope parse failure → 400 with the firehoseErrorBody shape
+  *      (header request id + server time + errorMessage,
+  *      main.go:281–287); success → 200 echoing the BODY's requestId
+  *      and timestamp (main.go:358–363).
+  *
+  * Where the Go service splits/indexes records inline in the handler,
+  * this front-end does the Spark-correct thing: the handler only lands
+  * the batch — one JSON-lines file per request, atomically moved into
+  * the `fileDropSource` drop directory — and the streaming pipeline
+  * (decode → route → SUCCESS/ERROR channels or HTTP `_bulk` sink) does
+  * ALL data work distributed. The HTTP thread never parses payloads or
+  * touches executors, so ingest rate is decoupled from processing rate
+  * — the topology that survives 1000 executors, where the reference's
+  * in-handler processing is bounded by one service instance.
+  */
+final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val seq = new AtomicLong(0L)
+  @volatile private var lastAccessKey: Option[String] = None
+
+  /** Last captured X-Amz-Firehose-Access-Key (base64 user:password per
+    * the reference's contract, main.go:230–231). The sink turns it into
+    * `Basic <key>` exactly like main.go:414. */
+  def accessKey: Option[String] = lastAccessKey
+
+  Files.createDirectories(Paths.get(dropDir))
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  server.createContext("/ping", (ex: HttpExchange) =>
+    if (ex.getRequestMethod == "GET") respond(ex, 200, """{"message":"pong"}""")
+    else respond(ex, 404, """{"error":"not found"}"""))
+
+  server.createContext("/firehose", (ex: HttpExchange) => handleFirehose(ex))
+
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** firehoseErrorBody (main.go:64–69): header-derived request id +
+    * server time + errorMessage. */
+  private def errorBody(requestId: String, msg: String): String =
+    Pipeline.firehoseResponse(requestId, System.currentTimeMillis(), Some(msg))
+
+  private def header(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestHeaders.getFirst(name)).filter(_.nonEmpty)
+
+  private def handleFirehose(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 404, """{"error":"not found"}"""); return }
+    // request-id extraction with the "manual" fallback (main.go:260–266)
+    val requestId = header(ex, "X-Amz-Firehose-Request-Id").getOrElse("manual")
+    // access-key capture for sink auth (main.go:321–324)
+    header(ex, "X-Amz-Firehose-Access-Key").foreach(k => lastAccessKey = Some(k))
+
+    // dataDetect (main.go:74–121)
+    val contentType = header(ex, "Content-Type").getOrElse("").split(";")(0).trim
+    if (contentType != "application/json") {
+      respond(ex, 400, s"""{"error":"unsupported Content-Type: $contentType"}"""); return
+    }
+    val contentEncoding = header(ex, "Content-Encoding").getOrElse("")
+    if (contentEncoding.nonEmpty && contentEncoding != "gzip") {
+      respond(ex, 400, s"""{"error":"unsupported Content-Encoding $contentEncoding"}"""); return
+    }
+
+    val raw = ex.getRequestBody.readAllBytes()
+    // the body's magic decides, header mismatch treated as gzip
+    // (main.go:109–113 + handler's errEncodingMismatch branch)
+    val isGzip = raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b
+    val bodyBytes =
+      if (isGzip) graft.expr.GzipCodec.tryGunzip(raw)
+      else if (contentEncoding == "gzip") null // claimed gzip, no magic: corrupt
+      else raw
+    if (bodyBytes == null) {
+      respond(ex, 400, errorBody(requestId, "Error parsing GZIP JSON request body")); return
+    }
+
+    // envelope unmarshal (incoming/firehose.go:21–29); malformed → 400
+    // with the firehoseErrorBody shape (main.go:281–287)
+    val root =
+      try mapper.readTree(new String(bodyBytes, UTF_8))
+      catch { case e: Exception => respond(ex, 400, errorBody(requestId, s"invalid JSON: ${e.getMessage}")); return }
+    if (root == null || !root.isObject) {
+      respond(ex, 400, errorBody(requestId, "request body is not a JSON object")); return
+    }
+    val records = root.path("records")
+    if (!records.isMissingNode && !records.isNull && !records.isArray) {
+      respond(ex, 400, errorBody(requestId, "records is not an array")); return
+    }
+    val envRequestId = root.path("requestId").asText("")
+    val envTimestamp = root.path("timestamp").asLong(0L)
+
+    // Hand the batch to the stream: one JSON-lines file per request in
+    // the fileDropSource contract (event_id, batch_ms, data, request_id),
+    // staged hidden (file sources ignore dot-files) then atomically
+    // renamed so the source never lists a half-written file.
+    if (records.isArray && records.size() > 0) {
+      val sb = new java.lang.StringBuilder
+      records.forEach { rec =>
+        val line = mapper.createObjectNode()
+        line.put("event_id", seq.getAndIncrement())
+        line.put("batch_ms", envTimestamp)
+        line.put("data", rec.path("data").asText(""))
+        line.put("request_id", requestId)
+        sb.append(mapper.writeValueAsString(line)).append('\n')
+      }
+      val name = s"req-${System.nanoTime()}-${seq.get()}.json"
+      val staged = Paths.get(dropDir, s".$name")
+      Files.write(staged, sb.toString.getBytes(UTF_8))
+      Files.move(staged, Paths.get(dropDir, name), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    // 200 echoes the BODY's requestId/timestamp (main.go:358–363)
+    respond(ex, 200, Pipeline.firehoseResponse(envRequestId, envTimestamp))
+  }
+}

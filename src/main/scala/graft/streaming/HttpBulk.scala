@@ -75,16 +75,22 @@ object HttpBulk {
     }
   }
 
-  /** Split a partition's NDJSON lines into ≤maxBytes POST bodies. */
+  /** Split a partition's NDJSON lines into ≤maxBytes POST bodies. The
+    * budget is tracked in actual UTF-8 bytes (not UTF-16 char count,
+    * which undercounts multibyte-heavy log content up to 3×), so the
+    * bounded-executor-memory-per-flush claim holds; at most one
+    * overshooting line per body (check-before-append, like the
+    * reference's flushBytes threshold). */
   private[streaming] def chunks(it: Iterator[String], maxBytes: Int): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       def hasNext: Boolean = it.hasNext
       def next(): Array[Byte] = {
-        val sb = new java.lang.StringBuilder
-        while (it.hasNext && sb.length < maxBytes) {
-          sb.append(it.next()).append('\n')
+        val buf = new java.io.ByteArrayOutputStream
+        while (it.hasNext && buf.size < maxBytes) {
+          buf.write(it.next().getBytes("UTF-8"))
+          buf.write('\n')
         }
-        sb.toString.getBytes("UTF-8")
+        buf.toByteArray
       }
     }
 
@@ -98,15 +104,20 @@ object HttpBulk {
   def bulkWriter(url: String, index: String, errDir: String,
                  auth: Option[String] = None,
                  flushBytes: Int = defaultFlushBytes,
-                 maxAttempts: Int = 5, baseBackoffMs: Long = 50): (DataFrame, Long) => Unit =
+                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
+                 authProvider: () => Option[String] = () => None): (DataFrame, Long) => Unit =
     (docs, batchId) => {
       val spark = docs.sparkSession
       import spark.implicits._
+      // resolved ONCE per micro-batch on the driver (the provider may
+      // close over non-serializable state, e.g. the HTTP front-end); the
+      // resolved Option[String] is what the partition closure captures
+      val effAuth = authProvider().orElse(auth)
       val failed = Pipeline.toBulkNdjson(docs, index)
         .mapPartitions { lines =>
           chunks(lines, flushBytes).flatMap { body =>
             val resp = Pipeline.withRetry(maxAttempts, baseBackoffMs) {
-              val (status, rb) = post(url, body, auth)
+              val (status, rb) = post(url, body, effAuth)
               if (Pipeline.retryOnStatus(status)) throw Pipeline.TransientSinkError(status)
               if (status >= 400) throw new java.io.IOException(s"bulk POST rejected: HTTP $status")
               rb

@@ -85,7 +85,17 @@ object Pipeline {
     * contract accounts for every input record. */
   def decoded(frame: DataFrame): DataFrame = {
     val bin = unbase64(col("data"))
-    frame
+    // request-id propagation with the "manual" fallback (reference
+    // main.go:260–266): the HTTP front-end stamps each landed record
+    // with its batch's X-Amz-Firehose-Request-Id; sources without the
+    // column (MemoryStream tests, pre-existing drop files) fall back the
+    // same way an absent header does.
+    val withReq =
+      if (frame.columns.contains("request_id"))
+        frame.withColumn("requestId",
+          coalesce(nullif(col("request_id"), lit("")), lit("manual")))
+      else frame.withColumn("requestId", lit("manual"))
+    withReq
       .withColumn("rawBody",
         when(upper(hex(substring(bin, 1, 2))) === "1F8B", try_gunzip(bin))
           .otherwise(bin).cast("string"))
@@ -102,17 +112,23 @@ object Pipeline {
     * — no re-decode of the raw data. */
   private def flatten(ok: DataFrame): DataFrame =
     ok.select(
-      col("event_id"), col("batch_ms"),
+      col("event_id"), col("batch_ms"), col("requestId"),
       col("env.logGroup").as("logGroup"), col("env.logStream").as("logStream"),
       explode(col("env.logEvents")).as("ev"))
       .select(
-        col("event_id"), col("batch_ms"), col("logGroup"), col("logStream"),
+        col("event_id"), col("batch_ms"), col("requestId"),
+        col("logGroup"), col("logStream"),
         col("ev.id").as("event_ref"),
         col("ev.timestamp").as("event_ms"),
         Decode.jsonOrText(col("ev.message")).as("message"))
 
+  /** Dead-letter rows keep the payload inspectable: rawBody is null when
+    * try_gunzip failed, so fall back to the original base64 `data` — the
+    * reference's S3 archival contract keeps the raw record for forensics
+    * (cloudformation-template.yaml:170–171). */
   private def deadLetter(bad: DataFrame): DataFrame =
-    bad.select(col("event_id"), col("batch_ms"), col("rawBody").as("body"), col("err"))
+    bad.select(col("event_id"), col("batch_ms"), col("requestId"),
+      coalesce(col("rawBody"), col("data")).as("body"), col("err"))
 
   /** Decode + route one envelope frame into the two delivery channels:
     * (documents, dead-letter). Encoding is sniffed per record — see
@@ -145,13 +161,22 @@ object Pipeline {
     * `batch=<id>` subdirectory with overwrite mode, so a replayed
     * batchId (checkpoint recovery under the at-least-once contract)
     * rewrites the same path instead of appending duplicates — plain
-    * append would double rows on every replay. Writes unconditionally:
-    * an empty-frame overwrite is cheap and keeps `batch=<id>` exactly
-    * reflecting the replayed batch (skipping empties would leave a stale
-    * directory from an earlier attempt in place). Readers of the channel
-    * directory see `batch` as a partition column. */
+    * append would double rows on every replay. An EMPTY frame writes
+    * only when `batch=<id>` already exists (the stale-replay case —
+    * skipping there would leave an earlier attempt's rows in place);
+    * a fresh empty batch writes nothing, so a long-running stream does
+    * not mint one near-empty parquet directory per trigger per channel
+    * (~17k/day at the 5 s cadence, mostly on ERROR). The emptiness
+    * probe runs against sinkBatch's persisted decode, not a re-decode.
+    * Readers of the channel directory see `batch` as a partition
+    * column. */
   def channelWriter(dir: String): (DataFrame, Long) => Unit =
-    (df, batchId) => df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    (df, batchId) => {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
+      val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(path) || !df.isEmpty)
+        df.write.mode("overwrite").parquet(path.toString)
+    }
 
   /** Render a documents frame as OpenSearch `_bulk` NDJSON — one
     * `{"index":{"_index":...,"_id":...}}` action line and one source
@@ -199,7 +224,8 @@ object Pipeline {
   def fileDropSource(spark: SparkSession, dir: String,
                      maxFilesPerTrigger: Int = 16): DataFrame =
     spark.readStream
-      .schema(StructType.fromDDL("event_id BIGINT, batch_ms BIGINT, data STRING"))
+      .schema(StructType.fromDDL(
+        "event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
@@ -207,13 +233,19 @@ object Pipeline {
     * documents POST per partition to `esUrl` (HttpBulk), dead letters
     * land in `outDir/ERROR`, per-item bulk rejections in
     * `outDir/ERROR_ITEMS`. */
+  /** `authProvider` is re-read at every micro-batch flush (driver side):
+    * the HTTP front-end captures X-Amz-Firehose-Access-Key per request
+    * (reference main.go:321–324 builds the indexer per request), so the
+    * sink follows a key change without a stream restart. */
   def runHttp(source: DataFrame, esUrl: String, index: String,
               outDir: String, checkpointDir: String,
               auth: Option[String] = None,
+              authProvider: () => Option[String] = () => None,
               trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
-        HttpBulk.bulkWriter(esUrl, index, s"$outDir/ERROR_ITEMS", auth),
+        HttpBulk.bulkWriter(esUrl, index, s"$outDir/ERROR_ITEMS", auth,
+          authProvider = authProvider),
         channelWriter(s"$outDir/ERROR")) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

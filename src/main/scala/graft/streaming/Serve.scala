@@ -15,9 +15,16 @@ import graft.GraftExtensions
   *
   * Without the URL args the SUCCESS channel is parquet (the offline /
   * verify topology); with them, documents POST per partition to the
-  * endpoint (reference main.go:248–365 is the service this replaces:
-  * Firehose batches land as JSON-lines files in `dropDir` instead of
-  * HTTP pushes — same envelope contract, same downstream dataflow). */
+  * endpoint.
+  *
+  * SPARK_GRAFT_HTTP_PORT=<port> additionally starts the Firehose HTTP
+  * push front-end (FirehoseEndpoint) on that loopback port (0 = ephemeral),
+  * landing `POST /firehose` batches into `dropDir` — the full reference
+  * service topology (main.go:248–365): HTTP push in, bulk out, with the
+  * inbound X-Amz-Firehose-Access-Key forwarded to the sink as Basic
+  * auth (main.go:321–324, 414). Without it, batches are expected as
+  * JSON-lines files dropped into `dropDir` directly — same envelope
+  * contract, same downstream dataflow. */
 object Serve {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 5,
@@ -37,12 +44,20 @@ object Serve {
     val trigger =
       if (sys.env.get("SPARK_GRAFT_DRAIN").contains("1")) Trigger.AvailableNow()
       else Trigger.ProcessingTime("5 seconds")
+    val endpoint = sys.env.get("SPARK_GRAFT_HTTP_PORT")
+      .map(p => new FirehoseEndpoint(args(0), p.toInt))
+    endpoint.foreach(e => println(s"[serve] firehose endpoint listening on ${e.url}"))
+
     val source = Pipeline.fileDropSource(spark, args(0))
     val query =
       if (args.length == 5)
-        Pipeline.runHttp(source, args(3), args(4), args(1), args(2), trigger = trigger)
+        Pipeline.runHttp(source, args(3), args(4), args(1), args(2),
+          // "Basic " + key, exactly main.go:414's header construction
+          authProvider = () => endpoint.flatMap(_.accessKey).map("Basic " + _),
+          trigger = trigger)
       else
         Pipeline.run(source, args(1), args(2), trigger = trigger)
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally endpoint.foreach(_.stop())
   }
 }

@@ -1,0 +1,189 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{FirehoseEndpoint, Pipeline}
+
+/** The HTTP push front-end over loopback (reference main.go:203–365):
+  * /ping, request-id extraction with the "manual" fallback, content
+  * detect, gzip body binding, access-key capture, the firehoseResponse
+  * echo contract, and the full POST → drop-dir → stream → SUCCESS/ERROR
+  * dataflow. */
+class FirehoseEndpointSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
+
+  private def call(url: String, method: String, body: Array[Byte] = null,
+                   headers: Map[String, String] = Map.empty): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (body != null) {
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(body) finally os.close()
+      }
+      val status = conn.getResponseCode
+      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val resp = if (is == null) "" else try new String(is.readAllBytes(), UTF_8) finally is.close()
+      (status, resp)
+    } finally conn.disconnect()
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+
+  private def cwBody(id: String): String =
+    s"""{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/http","logStream":"s1",
+       |"subscriptionFilters":["f"],"logEvents":[
+       |{"id":"$id-1","timestamp":1000,"message":"{\\"k\\":1}"},
+       |{"id":"$id-2","timestamp":2000,"message":"plain"}]}""".stripMargin
+
+  private def envelope(reqId: String, ts: Long, datas: String*): String =
+    s"""{"requestId":"$reqId","timestamp":$ts,"records":[${
+      datas.map(d => s"""{"data":"$d"}""").mkString(",")}]}"""
+
+  private val json = Map("Content-Type" -> "application/json")
+
+  test("GET /ping answers pong (main.go:220–224)") {
+    val ep = new FirehoseEndpoint(tmp("fh-ping"))
+    try assert(call(s"${ep.url}/ping", "GET") == ((200, """{"message":"pong"}""")))
+    finally ep.stop()
+  }
+
+  test("200 echoes the BODY's requestId/timestamp; header id stamps the records") {
+    val dropDir = tmp("fh-drop")
+    val ep = new FirehoseEndpoint(dropDir)
+    try {
+      val (status, resp) = call(s"${ep.url}/firehose", "POST",
+        envelope("env-req-1", 1635622518652L, b64(cwBody("a"))).getBytes(UTF_8),
+        json + ("X-Amz-Firehose-Request-Id" -> "hdr-req-1"))
+      assert(status == 200)
+      assert(resp == """{"requestId":"env-req-1","timestamp":1635622518652}""")
+      val landed = spark.read
+        .schema("event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING")
+        .json(dropDir).collect()
+      assert(landed.length == 1)
+      assert(landed.head.getAs[String]("request_id") == "hdr-req-1")
+      assert(landed.head.getAs[Long]("batch_ms") == 1635622518652L)
+    } finally ep.stop()
+  }
+
+  test("missing request-id header falls back to \"manual\" (main.go:260–266)") {
+    val dropDir = tmp("fh-manual")
+    val ep = new FirehoseEndpoint(dropDir)
+    try {
+      val (status, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("r", 1L, b64(cwBody("m"))).getBytes(UTF_8), json)
+      assert(status == 200)
+      val rid = spark.read
+        .schema("event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING")
+        .json(dropDir).select("request_id").collect().map(_.getString(0))
+      assert(rid.toSeq == Seq("manual"))
+    } finally ep.stop()
+  }
+
+  test("content detect: wrong type / wrong encoding / corrupt gzip / bad JSON → 400") {
+    val ep = new FirehoseEndpoint(tmp("fh-400"))
+    try {
+      val url = s"${ep.url}/firehose"
+      val (s1, b1) = call(url, "POST", "x".getBytes(UTF_8), Map("Content-Type" -> "text/xml"))
+      assert(s1 == 400 && b1 == """{"error":"unsupported Content-Type: text/xml"}""")
+      val (s2, b2) = call(url, "POST", "x".getBytes(UTF_8),
+        json + ("Content-Encoding" -> "br"))
+      assert(s2 == 400 && b2 == """{"error":"unsupported Content-Encoding br"}""")
+      // claims gzip but carries no gzip magic → corrupt gzip body
+      val (s3, b3) = call(url, "POST", "{}".getBytes(UTF_8),
+        json + ("Content-Encoding" -> "gzip", "X-Amz-Firehose-Request-Id" -> "rq-3"))
+      assert(s3 == 400 && b3.contains(""""requestId":"rq-3"""") && b3.contains("errorMessage"))
+      val (s4, b4) = call(url, "POST", "{not json".getBytes(UTF_8), json)
+      assert(s4 == 400 && b4.contains(""""requestId":"manual"""") && b4.contains("errorMessage"))
+      val (s5, b5) = call(url, "POST", """{"records":"nope"}""".getBytes(UTF_8), json)
+      assert(s5 == 400 && b5.contains("records is not an array"))
+    } finally ep.stop()
+  }
+
+  test("gzip body binding: magic decides even when the header lies (main.go:109–113)") {
+    val dropDir = tmp("fh-gz")
+    val ep = new FirehoseEndpoint(dropDir)
+    try {
+      val env = envelope("gz-req", 7L, b64(cwBody("g"))).getBytes(UTF_8)
+      // gzip body, correct header
+      val (s1, r1) = call(s"${ep.url}/firehose", "POST", graft.expr.GzipCodec.gzip(env),
+        json + ("Content-Encoding" -> "gzip"))
+      assert(s1 == 200 && r1 == """{"requestId":"gz-req","timestamp":7}""")
+      // gzip body, header MISSING: treated as gzip anyway
+      val (s2, _) = call(s"${ep.url}/firehose", "POST", graft.expr.GzipCodec.gzip(env), json)
+      assert(s2 == 200)
+      assert(spark.read.schema("event_id BIGINT, data STRING").json(dropDir).count() == 2)
+    } finally ep.stop()
+  }
+
+  test("access key is captured for sink Basic auth (main.go:321–324)") {
+    val ep = new FirehoseEndpoint(tmp("fh-auth"))
+    try {
+      assert(ep.accessKey.isEmpty)
+      call(s"${ep.url}/firehose", "POST",
+        envelope("r", 1L, b64(cwBody("k"))).getBytes(UTF_8),
+        json + ("X-Amz-Firehose-Access-Key" -> "Zmg6c2VjcmV0"))
+      assert(ep.accessKey.contains("Zmg6c2VjcmV0"))
+    } finally ep.stop()
+  }
+
+  test("e2e: plain AND gzip POSTs flow through the stream to SUCCESS/; garbage to ERROR/ with its payload") {
+    import spark.implicits._
+    val dropDir = tmp("fh-e2e-drop")
+    val outDir = tmp("fh-e2e-out")
+    val ep = new FirehoseEndpoint(dropDir)
+    try {
+      // plain envelope: one good record + one garbage record
+      val (s1, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("req-p", 10L, b64(cwBody("p")), b64("not an envelope")).getBytes(UTF_8),
+        json + ("X-Amz-Firehose-Request-Id" -> "fh-plain"))
+      // whole-body-gzip envelope with a per-record-gzip payload inside
+      // (both reference gzip layers at once: gzipbinding + main.go:472)
+      val gzRecord = java.util.Base64.getEncoder
+        .encodeToString(graft.expr.GzipCodec.gzip(cwBody("z").getBytes(UTF_8)))
+      val (s2, _) = call(s"${ep.url}/firehose", "POST",
+        graft.expr.GzipCodec.gzip(envelope("req-z", 20L, gzRecord).getBytes(UTF_8)),
+        json + ("Content-Encoding" -> "gzip", "X-Amz-Firehose-Request-Id" -> "fh-gzip"))
+      assert(s1 == 200 && s2 == 200)
+
+      val q = Pipeline.run(Pipeline.fileDropSource(spark, dropDir),
+        outDir, tmp("fh-e2e-ckpt"), trigger = Trigger.AvailableNow())
+      try q.processAllAvailable() finally q.stop()
+
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      val refs = ok.select("event_ref").as[String].collect().sorted
+      assert(refs.toSeq == Seq("p-1", "p-2", "z-1", "z-2"))
+      // the header request id rides every document of its batch
+      val byReq = ok.select("requestId", "event_ref").as[(String, String)].collect().toSet
+      assert(byReq == Set(("fh-plain", "p-1"), ("fh-plain", "p-2"),
+        ("fh-gzip", "z-1"), ("fh-gzip", "z-2")))
+      // the garbage record dead-letters WITH its payload preserved
+      val err = spark.read.parquet(s"$outDir/ERROR")
+        .select("requestId", "body").as[(String, String)].collect()
+      assert(err.toSeq == Seq(("fh-plain", "not an envelope")))
+    } finally ep.stop()
+  }
+
+  test("empty channel writes are skipped unless the batch path already exists") {
+    import spark.implicits._
+    val dir = tmp("fh-emptych")
+    val write = Pipeline.channelWriter(dir)
+    val empty = Seq.empty[(Long, String)].toDF("event_id", "v")
+    write(empty, 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "batch=0")),
+      "a fresh empty batch must not mint a directory")
+    val docs = Seq((1L, "a")).toDF("event_id", "v")
+    write(docs, 1L)
+    write(empty, 1L) // stale-replay: the replayed batch is now empty
+    assert(spark.read.parquet(s"$dir/batch=1").count() == 0,
+      "an empty replay must overwrite the stale non-empty attempt")
+  }
+}
