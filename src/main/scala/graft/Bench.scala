@@ -7,11 +7,25 @@ import org.apache.spark.sql.SparkSession
   * noop sink (not `.count()`, which would let Catalyst prune the whole
   * projection and time an empty scan).
   *
-  * Each query runs twice and reports the faster pass (steady-state,
-  * JMH-style): single-shot numbers on a shared box fold first-call
-  * codegen compilation and ambient load into whichever query they land
-  * on (observed ±50% run-to-run swings on identical code). */
+  * Measurement rig: THREE passes per query, run in round-robin rounds
+  * (all queries once, then again, then again) so an ambient-load spike
+  * on this shared box lands on one ROUND of many queries instead of all
+  * passes of one query; per query the MIN of its passes is reported —
+  * noise is one-sided (load only ever adds time), so the min is the
+  * best estimator of the plan's true cost. The per-query spread
+  * ((max−min)/min over successful passes) is emitted alongside, so a
+  * cross-round comparison can tell a real regression from a noisy
+  * measurement. The headline total sums ONLY successful queries —
+  * failures are listed separately and never poison cross-run total
+  * comparisons with sentinel values.
+  */
 object Bench {
+  /** 5 min-of passes: measured at sf0.1, 3 rounds still left 16/68
+    * queries outside a ±15% run-to-run band (sub-0.5 s queries where
+    * ~60 ms of ambient jitter is 15–30%); 5 rounds more than halves
+    * that. Overridable for quick local iteration. */
+  private val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,30 +43,43 @@ object Bench {
     // the plan, not first-call class generation.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // a failed pass is +Infinity, never its elapsed time — min-of-two
-      // must not prefer a fast FAILED run over a slow successful one
-      def onePass(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Double.PositiveInfinity
-        }
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // a failed pass is +Infinity, never its elapsed time — the min must
+    // not prefer a fast FAILED pass over a slow successful one
+    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Double.PositiveInfinity
       }
-      name -> math.min(onePass(), onePass())
     }
-    // failures surface in the JSON (a finite sentinel keeps it strict
-    // JSON — Infinity is not): per-query 1e9 s + an explicit failed list
-    val failed = results.collect { case (k, v) if !v.isFinite => k }
-    val bounded = results.map { case (k, v) => k -> (if (v.isFinite) v else 1e9) }
-    val qs = bounded.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = bounded.map(_._2).sum
+    val passes: Map[String, Seq[Double]] = {
+      val acc = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+      for (_ <- 1 to rounds; (name, fn) <- names)
+        acc(name) = acc(name) :+ onePass(name, fn)
+      acc.toMap
+    }
+
+    def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val mins = names.map { case (name, _) => name -> passes(name).min }
+    val failed = mins.collect { case (k, v) if !v.isFinite => k }
+    val qs = mins.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isFinite) fmt(v) else "1e9") // finite sentinel: strict JSON
+    }.mkString("{", ",", "}")
+    // spread over SUCCESSFUL passes only; a query with no successful pass
+    // has no spread entry (it is in "failed")
+    val spreads = names.flatMap { case (name, _) =>
+      val ok = passes(name).filter(_.isFinite)
+      if (ok.isEmpty) None
+      else Some("\"" + name + "\":" + fmt(if (ok.min == 0) 0 else (ok.max - ok.min) / ok.min))
+    }.mkString("{", ",", "}")
+    val total = mins.collect { case (_, v) if v.isFinite => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
