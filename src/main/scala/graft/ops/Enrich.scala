@@ -208,6 +208,46 @@ object Enrich {
         |JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** P10+P11 production twin for UNBOUNDED range dims: the broadcast
+    * nested-loop join above is right for a 25-row dim but probes every
+    * range per row — O(rows×ranges) dies on a real ~3M-range GeoLite2
+    * table. The scale shape is the bucketed range join: bucket the ip
+    * space on a 2^16 equi-key, replicate each dim range once per bucket
+    * it spans (ranges are narrow — CIDR blocks — so the blowup is ~1–2×),
+    * then a plain HASH join on the bucket with the range check left as
+    * the residual condition probes only same-bucket candidates. The
+    * replicated dim stays broadcastable (3M rows × 2 ≈ 100 MB with a
+    * raised threshold) or shuffles as a normal equi-join — either way no
+    * per-row scan of the range table and an unshuffled probe side.
+    * Same oracle as np_geoip_join: identical semantics, different plan. */
+  val geoipBucketedOp = QueryDef(
+    "np_geoip_bucketed",
+    (s, dir) => {
+      val bw = 65536L // 2^16 bucket width
+      val facts = al(s, dir)
+        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+        .withColumn("fb", expr(s"ip_long div $bw"))
+      val dim = Tables.nation(s, dir).select(
+        (col("n_nationkey") * 41943L).as("ip_start"),
+        (col("n_nationkey") * 41943L + 41942L).as("ip_end"),
+        col("n_name").as("geo_country"),
+        (col("n_nationkey") + 64512L).as("as_number"),
+        concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
+      val dimExp = dim.withColumn("db",
+        explode(expr(s"sequence(ip_start div $bw, ip_end div $bw)")))
+      facts.join(broadcast(dimExp),
+          col("fb") === col("db") &&
+            col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"))
+        .groupBy("geo_country", "as_number")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT n_name AS geo_country, CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
+        |  count(*) AS n, count(DISTINCT user_id) AS nd_users
+        |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+        |JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
+        |GROUP BY 1, 2""".stripMargin)))
+
   /** P13: painless TLS-version script (axway-ingest.json:130–135). */
   val tlsVersionOp = QueryDef(
     "np_tls_version",
@@ -242,5 +282,6 @@ object Enrich {
 
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
-    ipOrDomainOp, dateParseOp, geoipOp, tlsVersionOp, dropNullFieldsOp)
+    ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, tlsVersionOp,
+    dropNullFieldsOp)
 }

@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
     assert(required.isEmpty, s"the range join now requires a probe-side shuffle:\n$p")
   }
 
+  test("np_geoip_bucketed is a hash join on the bucket key — no BNLJ, unshuffled probe") {
+    val p = physical("np_geoip_bucketed")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected a broadcast HASH join on the bucket equi-key in:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the bucketed twin must not fall back to the O(rows×ranges) BNLJ")
+    assert(!nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the bucketed twin must not sort-merge")
+    val join = nodes(p).collectFirst { case j: BroadcastHashJoinExec => j }.get
+    val required = nodes(join).collect {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(required.isEmpty, s"the bucketed range join requires a probe-side shuffle:\n$p")
+  }
+
   test("similarity top-k uses the bounded Aggregator, not a Window over the corpus") {
     // knn: no window anywhere — the whole point of TopKByScore
     val knn = physical("ns_similarity_knn")
