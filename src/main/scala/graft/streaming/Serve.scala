@@ -35,6 +35,15 @@ object Serve {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store: the default HDFS-backed provider keeps every
+      // key in executor heap — at 100 TB/day the sessionize/dedup state
+      // (one entry per active stream / in-flight event id) OOMs the JVM;
+      // RocksDB spills to local disk and bounds heap. Changelog
+      // checkpointing uploads per-batch deltas instead of full snapshots,
+      // keeping checkpoint cost proportional to state CHANGE, not size.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     GraftExtensions.install(spark)
     spark.sparkContext.setLogLevel("WARN")

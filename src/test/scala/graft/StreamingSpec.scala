@@ -110,6 +110,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer runs under the RocksDB state store provider (100 TB/day state posture)") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val in = MemoryStream[(String, Long)]
+      val gapMs = 30 * 60000L
+      val sessions = Pipeline.sessionize(
+        in.toDF().toDF("logStream", "event_ms")
+          .withColumn("event_id", lit(0L)).withColumn("batch_ms", lit(0L))
+          .withColumn("logGroup", lit("g")).withColumn("event_ref", lit("r"))
+          .withColumn("message", lit("m")),
+        gapMs)
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_session_test").start()
+      try {
+        in.addData(("A", H), ("A", H + 60000L))
+        q.processAllAvailable()
+        in.addData(("A", 3 * H)) // beyond the gap → closes session 1
+        q.processAllAvailable()
+        val closed = spark.table("rocksdb_session_test")
+          .as[Pipeline.SessionClosed].collect()
+        assert(closed.toSeq == Seq(Pipeline.SessionClosed("A", H, H + 60000L, 2, "gap")),
+          "sessionize semantics must be provider-independent")
+        // the provider actually engaged: RocksDB custom metrics on the
+        // state operator, not just a conf set
+        val rocksMetrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet.asScala)
+          .filter(_.toLowerCase.contains("rocksdb"))
+        assert(rocksMetrics.nonEmpty,
+          s"no rocksdb state-store metrics; providers in effect: ${spark.conf.get(providerKey)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("toBulkNdjson renders the _bulk action/source pair per document") {
     import spark.implicits._
     val docs = Seq((1L, 10L, "/app/a", "s1", "e1-0", 1000L, """{"k":1}"""))
