@@ -1,0 +1,18 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap}
+
+/** Column wrappers for the byte-true media fixture/decoder expressions
+  * (org.apache.spark.sql.graftshim.BmpWrap / BmpDims). */
+object MediaFunctions {
+  import graft.Cols
+
+  /** Wrap a binary payload in a real BMP header carrying (w, h). */
+  def bmp_wrap(payload: Column, w: Column, h: Column): Column =
+    Cols.column(BmpWrap(Cols.expr(payload), Cols.expr(w), Cols.expr(h)))
+
+  /** Parse struct(width, height) from BMP bytes; null for non-BMP. */
+  def bmp_dims(content: Column): Column =
+    Cols.column(BmpDims(Cols.expr(content)))
+}

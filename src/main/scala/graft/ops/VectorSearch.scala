@@ -212,27 +212,42 @@ object VectorSearch {
            |  upper(substr(hex(encode(text)), 1, 16)) AS head_hex,
            |  'text/plain' AS mime FROM documents""".stripMargin))
 
-  /** Decode/feature-extract stub over binary content, as pure column
-    * expressions (whole-stage codegen; no mapPartitions detour). The real
-    * image/audio decoder is STUBBED with a deterministic md5-derived fake
-    * (the container has no media libs; FIXTURES.md) — swapping in a real
-    * codec means replacing the md5-derived columns with a Catalyst
-    * expression (or mapInArrow batch UDF) over the same `content` binary
-    * column; the schema/plumbing around it stays as-is. */
+  /** Byte-TRUE media decode over binary content: each doc's payload is
+    * wrapped in a REAL BMP header (BmpWrap — `BM` magic, LE32
+    * width/height at DIB offsets 18/22) and the decoder (BmpDims) reads
+    * the dimensions back out of the BYTES, one codegen call per row —
+    * not a metadata fake. Every 10th doc carries non-BMP content and
+    * must decode to null (the quarantine route for undecodable blobs).
+    * The oracle recomputes ground truth from the construction rule (the
+    * detect_gzip pattern), so a hash match proves the byte round-trip:
+    * header written at offset X == header parsed at offset X. A real
+    * image library slots in behind the same decode-to-struct expression
+    * shape; resize/frames below still derive metadata arithmetically
+    * (md5 stub) — this op is the byte-level proof of the swap-in point. */
   val multimodalDecodeOp = QueryDef(
     "ns_multimodal_decode",
-    (s, dir) => Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
-      .withColumn("h", md5(col("content")))
-      .select(
-        col("doc_id"),
-        (lit(64) + expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)") % 8 * 32).as("width"),
-        (lit(64) + expr("CAST(conv(substring(h, 3, 2), 16, 10) AS INT)") % 8 * 32).as("height"),
-        (expr("CAST(conv(substring(h, 5, 2), 16, 10) AS INT)") % 10 + 1).as("n_frames")),
+    (s, dir) => {
+      import graft.expr.MediaFunctions.{bmp_dims, bmp_wrap}
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 =!= 0,
+            bmp_wrap(col("text").cast("binary"),
+              (lit(64) + col("doc_id") % 8 * 32).cast("int"),
+              (lit(64) + col("doc_id") % 5 * 32).cast("int")))
+            // 'x' prefix: provably never the BMP magic
+            .otherwise(concat(lit("x").cast("binary"), col("text").cast("binary")))
+            .as("content"))
+        .select(col("doc_id"), bmp_dims(col("content")).as("d"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .select(col("doc_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d").isNotNull.as("is_bmp"), col("n_bytes"))
+    },
     Some("""SELECT doc_id,
-           |  64 + (('0x' || substr(md5(text), 1, 2))::INT % 8) * 32 AS width,
-           |  64 + (('0x' || substr(md5(text), 3, 2))::INT % 8) * 32 AS height,
-           |  ('0x' || substr(md5(text), 5, 2))::INT % 10 + 1 AS n_frames
+           |  CASE WHEN doc_id % 10 <> 0 THEN CAST(64 + (doc_id % 8) * 32 AS INT) END AS width,
+           |  CASE WHEN doc_id % 10 <> 0 THEN CAST(64 + (doc_id % 5) * 32 AS INT) END AS height,
+           |  doc_id % 10 <> 0 AS is_bmp,
+           |  CAST(octet_length(encode(text)) + CASE WHEN doc_id % 10 <> 0 THEN 54 ELSE 1 END AS BIGINT) AS n_bytes
            |FROM documents""".stripMargin))
 
   /** Resize planning over decoded media metadata: fit each image inside

@@ -12,10 +12,10 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Column ↔ Catalyst Expression bridge (used by graft.Cols). */
@@ -170,6 +170,92 @@ object LshHelper {
     }
     bits
   }
+}
+
+/** Build a byte-true BMP file (BITMAPFILEHEADER + BITMAPINFOHEADER, the
+  * public format layout) around an opaque payload: `BM` magic, file size
+  * and pixel-data offset in the file header, 40-byte DIB header carrying
+  * width/height as little-endian int32 at offsets 18/22, 1 plane,
+  * 24 bpp, payload appended as the pixel data. The multimodal fixture
+  * constructor — the container has no media libs, so the engine proves
+  * its binary-column plumbing with a format simple enough to emit and
+  * re-parse byte-for-byte. */
+case class BmpWrap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_wrap"
+  override protected def nullSafeEval(payload: Any, w: Any, h: Any): Any =
+    BmpHelper.wrap(payload.asInstanceOf[Array[Byte]], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, w, h) => s"org.apache.spark.sql.graftshim.BmpHelper.wrap($p, $w, $h)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BmpWrap =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Parse width/height out of BMP bytes — the byte-TRUE media decoder:
+  * validates the `BM` magic and header length, then reads the two
+  * little-endian int32 dimension fields at DIB offsets 18/22. Returns
+  * null (not garbage) for content that is not a BMP, which is how a
+  * media pipeline routes non-decodable blobs to quarantine. One codegen
+  * call per row; a real image library slots in behind the same
+  * expression shape (decode-to-struct over a binary column). */
+case class BmpDims(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_dims"
+  override protected def nullSafeEval(input: Any): Any =
+    BmpHelper.dims(input.asInstanceOf[Array[Byte]])
+  // not defineCodeGen: the helper returns null on non-BMP input, so
+  // ev.isNull must be re-derived from the call result (same pattern as
+  // TryGunzip)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.graftshim.BmpHelper.dims($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): BmpDims =
+    copy(child = newChild)
+}
+
+object BmpHelper {
+  val headerLen: Int = 54 // 14-byte file header + 40-byte BITMAPINFOHEADER
+
+  private def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def getLE32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  def wrap(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](headerLen + payload.length)
+    out(0) = 'B'; out(1) = 'M'
+    putLE32(out, 2, out.length)   // file size
+    putLE32(out, 10, headerLen)   // pixel-data offset
+    putLE32(out, 14, 40)          // DIB header size
+    putLE32(out, 18, w)
+    putLE32(out, 22, h)
+    out(26) = 1                   // planes (LE16)
+    out(28) = 24                  // bits per pixel (LE16)
+    putLE32(out, 34, payload.length) // image size
+    System.arraycopy(payload, 0, out, headerLen, payload.length)
+    out
+  }
+
+  /** null iff the bytes are not a plausible BMP. */
+  def dims(bytes: Array[Byte]): InternalRow =
+    if (bytes.length < 26 || bytes(0) != 'B' || bytes(1) != 'M') null
+    else new GenericInternalRow(Array[Any](getLE32(bytes, 18), getLE32(bytes, 22)))
 }
 
 /** SimHash signature over an ARRAY<STRING> token array in ONE codegen'd

@@ -52,6 +52,29 @@ class ExprSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.0)
   }
 
+  test("bmp round-trip law: bmp_dims(bmp_wrap(p, w, h)) == (w, h); non-BMP → null") {
+    import graft.expr.MediaFunctions.{bmp_dims, bmp_wrap}
+    import spark.implicits._
+    val cases = Seq(
+      ("payload-a", 64, 288), ("", 1, 1), ("x" * 1000, 2147483647, 0))
+    val out = cases.toDF("p", "w", "h")
+      .select(bmp_dims(bmp_wrap(col("p").cast("binary"), col("w"), col("h"))).as("d"),
+        col("w"), col("h"))
+      .select(col("d.width"), col("d.height"), col("w"), col("h"))
+      .as[(Int, Int, Int, Int)].collect()
+    assert(out.forall { case (dw, dh, w, h) => dw == w && dh == h })
+    // wrong magic / truncated bytes decode to null, never to garbage dims
+    val bad = Seq("not a bmp at all", "BM").toDF("p")
+      .select(bmp_dims(col("p").cast("binary")).as("d")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    // the full wrap output is a plausible BMP: magic + size field == length
+    val bytes = Seq(("pix", 7, 9)).toDF("p", "w", "h")
+      .select(bmp_wrap(col("p").cast("binary"), col("w"), col("h"))).as[Array[Byte]]
+      .collect().head
+    assert(bytes.length == 54 + 3 && bytes(0) == 'B' && bytes(1) == 'M')
+    assert((bytes(2) & 0xff) == 57 && bytes(28) == 24)
+  }
+
   test("lsh_sign_bits equals the SQL HOF formulation on real embeddings") {
     import graft.expr.VecFunctions.lsh_sign_bits
     // 3 hyperplanes incl. a sign-sensitive edge (all-negative weights).
