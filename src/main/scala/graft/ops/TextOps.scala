@@ -363,6 +363,33 @@ object TextOps {
     * already fixpoint. At 100 TB each round is one shuffle on doc_id;
     * K stays small because near-dup graphs are overwhelmingly tiny
     * cliques plus rare short chains. */
+  /** Rounds of min-label propagation in ns_dedup_cluster. The contract
+    * (verified by TextOpsSpec on a diameter-5 chain): K rounds converge
+    * every component of diameter ≤ K; a longer chain is left PARTIALLY
+    * labeled after K rounds — min labels travel one hop per round — so
+    * raising K must happen in lockstep with the oracle's closed form.
+    * Exact-dup components are hub-stars (diameter ≤ 2), so K=3 is past
+    * fixpoint for this operator's actual graphs. */
+  private[graft] val propagationRounds = 3
+
+  /** K rounds of distributed min-label propagation over an undirected
+    * edge set: per round, label(v) = min(label(v), min over neighbors) —
+    * one equi-join + one groupBy-min per round, each a single shuffle;
+    * labels only decrease, so K rounds reach the component minimum for
+    * every node within K hops of it. */
+  private[graft] def minLabelPropagate(nodes: DataFrame, edges: DataFrame,
+                                       rounds: Int): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val init = nodes.select(col("node_id"), col("node_id").as("label"))
+    (1 to rounds).foldLeft(init) { (lab, _) =>
+      val viaNbr = undirected.join(lab.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst").as("node_id"), col("label"))
+      lab.unionByName(viaNbr)
+        .groupBy("node_id").agg(min(col("label")).as("label"))
+    }
+  }
+
   val dedupClusterOp = QueryDef(
     "ns_dedup_cluster", {
       (s, dir) =>
@@ -372,17 +399,10 @@ object TextOps {
         // edges doc ↔ min(doc with same hash): a star per clique
         val hubs = d.groupBy("h").agg(min(col("doc_id")).as("hub"))
         val edges = d.join(hubs, "h")
-          .select(col("doc_id"), col("hub"))
-        // 3 rounds of label = min(own, neighbors' labels) over the
-        // undirected star edges
-        val init = d.select(col("doc_id"), col("doc_id").as("label"))
-        val labeled = (1 to 3).foldLeft(init) { (lab, _) =>
-          val viaHub = edges.join(lab.withColumnRenamed("doc_id", "hub"), "hub")
-            .select(col("doc_id"), col("label"))
-          lab.unionByName(viaHub)
-            .groupBy("doc_id").agg(min(col("label")).as("label"))
-        }
-        labeled.select(col("doc_id"), col("label").as("cluster_id"))
+          .select(col("doc_id").as("src"), col("hub").as("dst"))
+        minLabelPropagate(d.select(col("doc_id").as("node_id")), edges,
+            propagationRounds)
+          .select(col("node_id").as("doc_id"), col("label").as("cluster_id"))
     },
     // exact-dup components are cliques, so min-label = min doc_id per
     // text hash — the closed form the propagation converges to

@@ -73,6 +73,25 @@ class TextOpsSpec extends SparkSpec {
     assert(nat.length == 500 && nat.sameElements(sql))
   }
 
+  test("min-label propagation contract: K rounds converge diameter ≤ K; fixpoint is stable") {
+    import spark.implicits._
+    // a diameter-5 chain 0–1–2–3–4–5 plus a detached pair 10–11
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val nodes = ((0L to 5L) ++ Seq(10L, 11L)).toDF("node_id")
+    def run(k: Int): Map[Long, Long] = TextOps.minLabelPropagate(nodes, edges, k)
+      .as[(Long, Long)].collect().toMap
+    // after the production K (3): min labels have traveled exactly K hops
+    // — the documented partial-convergence contract for longer chains
+    val k3 = run(TextOps.propagationRounds)
+    assert(k3 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L))
+    // K = diameter converges the chain; one more round changes nothing
+    val k5 = run(5)
+    assert((0L to 5L).forall(k5(_) == 0L) && k5(10L) == 10L && k5(11L) == 10L)
+    assert(run(6) == k5, "converged labels must be a fixpoint")
+  }
+
   test("minhash band cap drops whole buckets deterministically") {
     // Two runs of the capped query produce identical row sets.
     val q = SparkEntry.queries("ns_dedup_minhash")
