@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.SimHashBits
+import org.apache.spark.sql.graftshim.{NfcNormalize, SimHashBits}
 
 /** Column wrappers for native text-signature expressions
   * (org.apache.spark.sql.graftshim). */
@@ -12,4 +12,8 @@ object TextFunctions {
     * zero shuffles (vs the SQL explode-×16 + double-aggregate shape). */
   def simhash_bits(tokens: Column): Column =
     Cols.column(SimHashBits(Cols.expr(tokens)))
+
+  /** Unicode NFC normalization (identity on ASCII / already-NFC text). */
+  def nfc_normalize(text: Column): Column =
+    Cols.column(NfcNormalize(Cols.expr(text)))
 }

@@ -409,18 +409,22 @@ object TextOps {
     Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents)
            |SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id FROM d""".stripMargin))
 
-  /** Text normalization for dedup keys / training corpora: lowercase,
-    * strip non-alphanumerics, collapse whitespace — pure codegen
-    * projection. (Unicode NFC is the production first step; the
-    * synthetic corpus is ASCII so the portable-oracle form elides it —
-    * Spark side would add a normalizer Expression like the other
-    * graftshim scalars.) */
+  /** Text normalization for dedup keys / training corpora: Unicode NFC
+    * (the native NfcNormalize expression — decomposed and composed
+    * accents must hash identically), then lowercase, strip
+    * non-alphanumerics, collapse whitespace — pure codegen projection.
+    * NFC is the identity on the ASCII synthetic corpus, which is what
+    * keeps the normalizer-free DuckDB oracle valid while the Spark plan
+    * runs the real production operator (ExprSpec covers the non-ASCII
+    * semantics the oracle can't). */
   val textNormalizeOp = QueryDef(
     "ns_text_normalize",
     (s, dir) => docs(s, dir).select(
       col("doc_id"),
       trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        regexp_replace(
+          lower(graft.expr.TextFunctions.nfc_normalize(col("text"))),
+          "[^a-z0-9 ]", ""),
         " +", " ")).as("norm")),
     Some("""SELECT doc_id,
            |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

@@ -172,6 +172,36 @@ object LshHelper {
   }
 }
 
+/** Unicode NFC normalization of a STRING — the production first step of
+  * text normalization for dedup keys (decomposed "é" and composed
+  * "é" must hash identically or near-dups split across encodings).
+  * On pure-ASCII input NFC is the identity, which is what keeps the
+  * DuckDB oracle (no normalizer) valid on the synthetic corpus while the
+  * Spark plan runs the real operator. Fast path: Normalizer.isNormalized
+  * is O(n) with no allocation for already-NFC text (the overwhelming
+  * case), so the hot path stays cheap inside whole-stage codegen. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    NfcHelper.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graftshim.NfcHelper.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcHelper {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Build a byte-true BMP file (BITMAPFILEHEADER + BITMAPINFOHEADER, the
   * public format layout) around an opaque payload: `BM` magic, file size
   * and pixel-data offset in the file header, 40-byte DIB header carrying

@@ -75,6 +75,18 @@ class ExprSpec extends SparkSpec {
     assert((bytes(2) & 0xff) == 57 && bytes(28) == 24)
   }
 
+  test("nfc_normalize composes decomposed sequences and is the identity on ASCII") {
+    import graft.expr.TextFunctions.nfc_normalize
+    import spark.implicits._
+    val decomposed = "café"   // e + combining acute
+    val composed = "café"      // precomposed é
+    val out = Seq(decomposed, composed, "plain ascii 123", "")
+      .toDF("t").select(nfc_normalize(col("t"))).as[String].collect()
+    assert(out(0) == composed, "NFC must compose e+◌́ into é")
+    assert(out(1) == composed)
+    assert(out(2) == "plain ascii 123" && out(3) == "")
+  }
+
   test("lsh_sign_bits equals the SQL HOF formulation on real embeddings") {
     import graft.expr.VecFunctions.lsh_sign_bits
     // 3 hyperplanes incl. a sign-sensitive edge (all-negative weights).
