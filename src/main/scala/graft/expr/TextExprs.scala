@@ -16,4 +16,9 @@ object TextFunctions {
   /** Unicode NFC normalization (identity on ASCII / already-NFC text). */
   def nfc_normalize(text: Column): Column =
     Cols.column(NfcNormalize(Cols.expr(text)))
+
+  /** Ordered candidate pairs from a sorted bucket-member array. */
+  def ordered_pairs(members: Column, includeDiagonal: Boolean): Column =
+    Cols.column(org.apache.spark.sql.graftshim.OrderedPairs(
+      Cols.expr(members), includeDiagonal))
 }

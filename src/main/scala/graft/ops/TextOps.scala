@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -77,26 +78,27 @@ object TextOps {
             concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
           }: _*)))
           .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
-        // Over-cap buckets removed via broadcast ANTI join, not a
-        // count().over(band,sig) window: the window shuffled the whole
-        // band relation AND buffered each hot bucket's rows in a single
-        // window task before dropping them — the exact OOM a cap exists
-        // to prevent. Hot keys (bn > bandCap) number ≤ rows/bandCap by
-        // pigeonhole and are heavy-tail-rare in practice, so the hot-key
-        // side broadcasts and the probe side never shuffles or buffers.
-        val hotBands = bands0.groupBy("band", "sig")
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") > bandCap)
-          .select("band", "sig")
-        val bands = bands0.join(broadcast(hotBands), Seq("band", "sig"), "left_anti")
-        val a = bands.as("a").hint("shuffle_hash")
-        val b = bands.as("b")
-        // shuffle_hash (vs broadcast): both sides are the same minhash
-        // subtree — shuffling them identically lets ReuseExchange
-        // compute the signatures once; the band relation also outgrows
-        // broadcast at corpus scale.
-        a.join(b, expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // Candidate generation in the MapReduce-LSH shape (group by
+        // bucket, emit the bucket's pairs) instead of a self-join: the
+        // join formulation plans the minhash subtree once per join side
+        // PLUS once per cap branch — and neither static ReuseExchange
+        // nor AQE stage reuse deduplicates them (measured: 4 full
+        // signature computations) — while this is ONE scan, one shuffle
+        // on (band, sig), one shuffle of the (tiny) pair set. The cap
+        // lives INSIDE the aggregator: BoundedBucketList keeps ≤
+        // bandCap+1 ids per bucket (map-side partial aggregation
+        // pre-shrinks hot buckets before the shuffle) and drops over-cap
+        // buckets whole — the same semantics, with constant memory per
+        // bucket where the old count().over(band,sig) window buffered
+        // every row of the hottest bucket in one task.
+        val bucket = udaf(new graft.expr.BoundedBucketList(bandCap))
+        val buckets = bands0.groupBy("band", "sig")
+          .agg(bucket(col("doc_id")).as("ds"))
+          .filter(col("ds").isNotNull)
+        buckets
+          .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),
+            includeDiagonal = false)).as("p"))
+          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .agg(count(lit(1)).as("n_shared_bands"))
     },
     Some {
@@ -168,32 +170,38 @@ object TextOps {
         val d = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), array_distinct(shingles3(trim(col("text")))).as("sh"))
           .filter(size(col("sh")) >= 1)
-        // df cap via broadcast ANTI join on the (rare, pigeonhole-bounded
-        // ≤ rows/dfCap) over-cap shingles — the previous count().over(s)
-        // window buffered every hot shingle's rows in one window task
-        // before dropping them, the exact OOM the cap exists to prevent.
-        // The probe side stays map-only; the self-join below still
-        // shuffles both (identical) sides on the shingle, so
-        // ReuseExchange materializes the capped index once.
+        // Candidate generation in the MapReduce set-similarity shape
+        // (group by shingle, emit the posting list's pairs — Vernica et
+        // al.'s job structure) instead of a self-join: the join
+        // formulation plans the shingle-index subtree once per join side
+        // plus once per cap branch plus once per sizes broadcast, and
+        // neither ReuseExchange nor AQE stage reuse deduplicates them
+        // (measured: EIGHT full scans of the index pipeline). This is
+        // ONE scan. The df cap lives inside BoundedBucketList (≤ dfCap+1
+        // ids buffered per shingle, over-cap shingles dropped whole,
+        // map-side partial agg pre-shrinks hot shingles pre-shuffle).
+        // Set sizes ride the SAME pair stream as diagonal (d, d) pairs —
+        // |A| = count of A's surviving shingles = the diagonal's
+        // overlap-with-self — then reach each candidate row via two
+        // conditional windows whose partitions are per-DOC candidate
+        // lists (bounded by doc length × dfCap, never corpus-scale).
         val idx = d.select(col("doc_id"), explode(col("sh")).as("s"))
-        val hotShingles = idx.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap)
-          .select("s")
-        val shingle = idx.join(broadcast(hotShingles), Seq("s"), "left_anti")
-        // set sizes over the capped index (|A| counts surviving shingles)
-        val sizes = shingle.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // shuffle_hash: the corpus-wide shingle relation is never
-        // broadcastable at scale, and shuffling both (identical) sides
-        // lets ReuseExchange materialize the subtree once.
-        val ov = shingle.as("a").hint("shuffle_hash")
-          .join(shingle.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("o"))
-        ov
-          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("round(CAST(o AS DOUBLE) / (na + nb - o), 6)").as("jaccard"))
+        val bucket = udaf(new graft.expr.BoundedBucketList(dfCap))
+        val buckets = idx.groupBy("s")
+          .agg(bucket(col("doc_id")).as("ds"))
+          .filter(col("ds").isNotNull)
+        val pc = buckets
+          .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),
+            includeDiagonal = true)).as("p"))
+          .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+          .agg(count(lit(1)).as("cnt"))
+        val diag = when(col("pa") === col("pb"), col("cnt"))
+        pc
+          .withColumn("na", max(diag).over(Window.partitionBy("pa")))
+          .withColumn("nb", max(diag).over(Window.partitionBy("pb")))
+          .filter(col("pa") < col("pb"))
+          .select(col("pa").as("doc_a"), col("pb").as("doc_b"),
+            expr("round(CAST(cnt AS DOUBLE) / (na + nb - cnt), 6)").as("jaccard"))
           .filter(col("jaccard") >= ngramT)
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -169,6 +169,53 @@ object LshHelper {
       k += 1
     }
     bits
+  }
+}
+
+/** Expand a sorted ARRAY<BIGINT> of bucket members into its ordered
+  * pairs (a < b; with `includeDiagonal`, also every (a, a)) as
+  * ARRAY<STRUCT<a, b>> — the candidate-pair emission step of the
+  * group-by-bucket LSH/inverted-index join (the MapReduce
+  * set-similarity shape: one reducer per bucket emits its pairs,
+  * Vernica et al. SIGMOD'10). Output size is C(n,2) (+n) with n capped
+  * by BoundedBucketList upstream, so each output array is small by
+  * construction. A native expression because the HOF formulation
+  * (flatten(transform(...))) is CodegenFallback and would run the whole
+  * stage interpreted. */
+case class OrderedPairs(child: Expression, includeDiagonal: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ordered_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    PairsHelper.pairs(input.asInstanceOf[ArrayData], includeDiagonal)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftshim.PairsHelper.pairs($c, $includeDiagonal)")
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+}
+
+object PairsHelper {
+  def pairs(arr: ArrayData, diag: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val m = n * (n - 1) / 2 + (if (diag) n else 0)
+    val out = new Array[Any](m)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = if (diag) i else i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a, arr.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
