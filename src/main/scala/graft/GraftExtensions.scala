@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzip, RegExpExtractStruct, TryGunzip}
+import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, CosineSimilarity, DotProduct, Gunzip, Gzip, NfcNormalize, OrderedPairs, RegExpExtractStruct, SimHashBits, TryGunzip}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, both
   * via `SparkSessionExtensions` (for `.withExtensions` /
@@ -16,8 +16,11 @@ import org.apache.spark.sql.graftshim.{CosineSimilarity, DotProduct, Gunzip, Gzi
   *
   * Functions: `gunzip(binary)`, `try_gunzip(binary)` (null on corrupt
   * input), `gzip(binary)`, `vec_dot(a,b)`,
-  * `vec_cosine(a,b)`, and `grok_struct(line, 'rx', 'field', ...)` —
-  * single-pass multi-group regex extraction into a struct.
+  * `vec_cosine(a,b)`, `grok_struct(line, 'rx', 'field', ...)` —
+  * single-pass multi-group regex extraction into a struct —
+  * `simhash_bits(tokens)`, `nfc_normalize(s)`,
+  * `ordered_pairs(ids, includeDiagonal)`, and the media fixtures
+  * `bmp_wrap(payload, w, h)` / `bmp_dims(content)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -66,6 +69,14 @@ object GraftExtensions {
       args.head,
       grokLiteral(args(1), "pattern"),
       args.drop(2).zipWithIndex.map { case (e, i) => grokLiteral(e, s"field${i + 1}") })),
+    "simhash_bits" -> (args => SimHashBits(args.head)),
+    "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    // ordered_pairs(ids, includeDiagonal): the diagonal flag shapes the
+    // expansion, so it must be a boolean literal.
+    "ordered_pairs" -> (args => OrderedPairs(args.head,
+      args(1).eval(null).asInstanceOf[Boolean])),
+    "bmp_wrap" -> (args => BmpWrap(args(0), args(1), args(2))),
+    "bmp_dims" -> (args => BmpDims(args.head)),
   )
 
   /** Idempotently register the functions on an existing session. */

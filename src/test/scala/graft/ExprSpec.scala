@@ -87,6 +87,23 @@ class ExprSpec extends SparkSpec {
     assert(out(2) == "plain ascii 123" && out(3) == "")
   }
 
+  test("SQL registry exposes the round-5 functions with working semantics") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT simhash_bits(split('a b c', ' ')) AS sh, " +
+        "nfc_normalize('plain') AS nf, " +
+        "ordered_pairs(array(1L, 2L, 3L), false) AS np, " +
+        "ordered_pairs(array(1L, 2L), true) AS npd, " +
+        "bmp_dims(bmp_wrap(cast('p' as binary), 5, 7)).width AS w").collect().head
+    assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 16))
+    assert(r.getString(1) == "plain")
+    assert(r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getLong(0), x.getLong(1)))
+      == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(r.getSeq[org.apache.spark.sql.Row](3).map(x => (x.getLong(0), x.getLong(1)))
+      == Seq((1L, 1L), (1L, 2L), (2L, 2L)))
+    assert(r.getInt(4) == 5)
+  }
+
   test("lsh_sign_bits equals the SQL HOF formulation on real embeddings") {
     import graft.expr.VecFunctions.lsh_sign_bits
     // 3 hyperplanes incl. a sign-sensitive edge (all-negative weights).
