@@ -172,6 +172,45 @@ class FirehoseEndpointSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("S6 end-to-end: the inbound access key reaches the bulk sink as Basic auth") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // minimal _bulk stub recording the Authorization header
+    val auths = new ConcurrentLinkedQueue[String]()
+    val bulk = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    bulk.createContext("/_bulk", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(auths.add)
+      val resp = """{"took":1,"errors":false,"items":[]}""".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    bulk.start()
+    val bulkUrl = s"http://127.0.0.1:${bulk.getAddress.getPort}/_bulk"
+
+    val dropDir = tmp("fh-s6-drop")
+    val ep = new FirehoseEndpoint(dropDir)
+    try {
+      // Firehose POST carrying the access key (base64 user:password)
+      val (s1, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("r", 1L, b64(cwBody("s6"))).getBytes(UTF_8),
+        json + ("X-Amz-Firehose-Access-Key" -> "dXNlcjpwdw=="))
+      assert(s1 == 200)
+      // the service wiring Serve uses: authProvider re-reads the captured
+      // key per micro-batch and prefixes "Basic " (reference main.go:414)
+      val q = Pipeline.runHttp(
+        Pipeline.fileDropSource(spark, dropDir), bulkUrl, "graft-docs",
+        tmp("fh-s6-out"), tmp("fh-s6-ckpt"),
+        authProvider = () => ep.accessKey.map("Basic " + _),
+        trigger = Trigger.AvailableNow())
+      try q.processAllAvailable() finally q.stop()
+      assert(auths.size > 0 && auths.toArray.toSet == Set("Basic dXNlcjpwdw=="),
+        s"bulk POSTs must carry the inbound key as Basic auth; got ${auths.toArray.toSeq}")
+    } finally { ep.stop(); bulk.stop(0) }
+  }
+
   test("empty channel writes are skipped unless the batch path already exists") {
     import spark.implicits._
     val dir = tmp("fh-emptych")
