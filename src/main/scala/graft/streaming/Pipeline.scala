@@ -221,13 +221,21 @@ object Pipeline {
     * schema avoids a blocking inference pass over the drop directory;
     * maxFilesPerTrigger bounds per-micro-batch work so a backlog drains
     * in steady flushes instead of one giant batch. */
+  /** `cleanSource` ("delete" or "archive") disposes of processed drop
+    * files after their batch commits — without it the spool directory
+    * grows one file per HTTP request forever and source listing slows
+    * with it. Off by default (tests and replay-from-scratch read the
+    * spool); Serve turns on "delete" for the long-running service. */
   def fileDropSource(spark: SparkSession, dir: String,
-                     maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
+                     maxFilesPerTrigger: Int = 16,
+                     cleanSource: Option[String] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(StructType.fromDDL(
         "event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dir)
+    cleanSource.foreach(reader.option("cleanSource", _))
+    reader.json(dir)
+  }
 
   /** `run` with the HTTP `_bulk` transport as the SUCCESS channel:
     * documents POST per partition to `esUrl` (HttpBulk), dead letters

@@ -57,7 +57,9 @@ object Serve {
       .map(p => new FirehoseEndpoint(args(0), p.toInt))
     endpoint.foreach(e => println(s"[serve] firehose endpoint listening on ${e.url}"))
 
-    val source = Pipeline.fileDropSource(spark, args(0))
+    // delete processed drop files after commit: the service's spool must
+    // not grow one file per HTTP request forever
+    val source = Pipeline.fileDropSource(spark, args(0), cleanSource = Some("delete"))
     val query =
       if (args.length == 5)
         Pipeline.runHttp(source, args(3), args(4), args(1), args(2),

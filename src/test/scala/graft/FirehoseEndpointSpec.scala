@@ -4,6 +4,8 @@ import java.net.{HttpURLConnection, URL}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{FirehoseEndpoint, Pipeline}
@@ -209,6 +211,40 @@ class FirehoseEndpointSpec extends SparkSpec {
       assert(auths.size > 0 && auths.toArray.toSet == Set("Basic dXNlcjpwdw=="),
         s"bulk POSTs must carry the inbound key as Basic auth; got ${auths.toArray.toSeq}")
     } finally { ep.stop(); bulk.stop(0) }
+  }
+
+  test("cleanSource=delete disposes of processed drop files once their batch commits") {
+    val dropDir = tmp("fh-clean-drop")
+    val outDir = tmp("fh-clean-out")
+    val ckpt = tmp("fh-clean-ckpt")
+    val ep = new FirehoseEndpoint(dropDir)
+    def spoolFiles(): Seq[String] = {
+      val s = Files.list(java.nio.file.Paths.get(dropDir))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    def runOnce(): Unit = {
+      val q = Pipeline.run(
+        Pipeline.fileDropSource(spark, dropDir, cleanSource = Some("delete")),
+        outDir, ckpt, trigger = Trigger.AvailableNow())
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      call(s"${ep.url}/firehose", "POST",
+        envelope("r", 1L, b64(cwBody("c1"))).getBytes(UTF_8), json)
+      val first = spoolFiles()
+      assert(first.size == 1)
+      runOnce()
+      // the source cleans a batch's files when it COMMITS past them,
+      // which happens on a subsequent run; land a second batch and rerun
+      call(s"${ep.url}/firehose", "POST",
+        envelope("r", 2L, b64(cwBody("c2"))).getBytes(UTF_8), json)
+      runOnce()
+      val deadline = System.nanoTime() + 15e9.toLong // async cleaner grace
+      while (spoolFiles().contains(first.head) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(!spoolFiles().contains(first.head),
+        s"batch-0's spool file must be deleted after commit; spool: ${spoolFiles()}")
+    } finally ep.stop()
   }
 
   test("empty channel writes are skipped unless the batch path already exists") {
