@@ -143,10 +143,20 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
         line.put("request_id", requestId)
         sb.append(mapper.writeValueAsString(line)).append('\n')
       }
-      val name = s"req-${System.nanoTime()}-${seq.get()}.json"
+      // UUID name: concurrent handler threads must never collide
+      val name = s"req-${java.util.UUID.randomUUID()}.json"
       val staged = Paths.get(dropDir, s".$name")
-      Files.write(staged, sb.toString.getBytes(UTF_8))
-      Files.move(staged, Paths.get(dropDir, name), StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.write(staged, sb.toString.getBytes(UTF_8))
+        Files.move(staged, Paths.get(dropDir, name), StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // batch NOT accepted — 500 with the firehoseErrorBody shape so
+        // Firehose redelivers (the reference's splitRecords-failure path,
+        // main.go:311–317)
+        case e: Exception =>
+          respond(ex, 500, errorBody(requestId, s"failed landing batch: ${e.getMessage}"))
+          return
+      }
     }
 
     // 200 echoes the BODY's requestId/timestamp (main.go:358–363)
