@@ -68,6 +68,14 @@ object Serve {
           trigger = trigger)
       else
         Pipeline.run(source, args(1), args(2), trigger = trigger)
+    // graceful shutdown (reference main.go:381–396): SIGTERM/SIGINT stop
+    // the query between micro-batches — the checkpoint commits, so the
+    // restart resumes exactly where this run stopped — then close the
+    // HTTP front-end
+    sys.addShutdownHook {
+      try query.stop() catch { case _: Exception => () }
+      endpoint.foreach(_.stop())
+    }
     try query.awaitTermination()
     finally endpoint.foreach(_.stop())
   }
