@@ -21,4 +21,9 @@ object TextFunctions {
   def ordered_pairs(members: Column, includeDiagonal: Boolean): Column =
     Cols.column(org.apache.spark.sql.graftshim.OrderedPairs(
       Cols.expr(members), includeDiagonal))
+
+  /** Bounded bucket-member collection (≤ cap ids, over-cap → null). */
+  def bounded_bucket(ids: Column, cap: Int): Column =
+    Cols.column(org.apache.spark.sql.graftshim.BoundedBucketAgg(
+      Cols.expr(ids), cap).toAggregateExpression())
 }

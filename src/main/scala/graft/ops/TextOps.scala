@@ -85,15 +85,15 @@ object TextOps {
         // nor AQE stage reuse deduplicates them (measured: 4 full
         // signature computations) — while this is ONE scan, one shuffle
         // on (band, sig), one shuffle of the (tiny) pair set. The cap
-        // lives INSIDE the aggregator: BoundedBucketList keeps ≤
+        // lives INSIDE the aggregate: BoundedBucketAgg (a native
+        // TypedImperativeAggregate over a primitive long buffer) keeps ≤
         // bandCap+1 ids per bucket (map-side partial aggregation
         // pre-shrinks hot buckets before the shuffle) and drops over-cap
         // buckets whole — the same semantics, with constant memory per
         // bucket where the old count().over(band,sig) window buffered
         // every row of the hottest bucket in one task.
-        val bucket = udaf(new graft.expr.BoundedBucketList(bandCap))
         val buckets = bands0.groupBy("band", "sig")
-          .agg(bucket(col("doc_id")).as("ds"))
+          .agg(graft.expr.TextFunctions.bounded_bucket(col("doc_id"), bandCap).as("ds"))
           .filter(col("ds").isNotNull)
         buckets
           .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),
@@ -177,18 +177,18 @@ object TextOps {
         // plus once per cap branch plus once per sizes broadcast, and
         // neither ReuseExchange nor AQE stage reuse deduplicates them
         // (measured: EIGHT full scans of the index pipeline). This is
-        // ONE scan. The df cap lives inside BoundedBucketList (≤ dfCap+1
-        // ids buffered per shingle, over-cap shingles dropped whole,
-        // map-side partial agg pre-shrinks hot shingles pre-shuffle).
+        // ONE scan. The df cap lives inside BoundedBucketAgg (≤ dfCap+1
+        // ids in a primitive buffer per shingle, over-cap shingles
+        // dropped whole, map-side partial agg pre-shrinks hot shingles
+        // pre-shuffle).
         // Set sizes ride the SAME pair stream as diagonal (d, d) pairs —
         // |A| = count of A's surviving shingles = the diagonal's
         // overlap-with-self — then reach each candidate row via two
         // conditional windows whose partitions are per-DOC candidate
         // lists (bounded by doc length × dfCap, never corpus-scale).
         val idx = d.select(col("doc_id"), explode(col("sh")).as("s"))
-        val bucket = udaf(new graft.expr.BoundedBucketList(dfCap))
         val buckets = idx.groupBy("s")
-          .agg(bucket(col("doc_id")).as("ds"))
+          .agg(graft.expr.TextFunctions.bounded_bucket(col("doc_id"), dfCap).as("ds"))
           .filter(col("ds").isNotNull)
         val pc = buckets
           .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),

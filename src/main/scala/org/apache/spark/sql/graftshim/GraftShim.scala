@@ -12,7 +12,9 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
@@ -170,6 +172,86 @@ object LshHelper {
     }
     bits
   }
+}
+
+/** Primitive growable long buffer for BoundedBucketAgg: true count
+  * tracked separately from the ≤ cap+1 retained values. */
+final class BucketBuf(var n: Long, var arr: Array[Long], var len: Int) {
+  def this() = this(0L, new Array[Long](8), 0)
+  def add(v: Long, cap: Int): Unit = {
+    n += 1
+    if (len <= cap) {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = v
+      len += 1
+    }
+  }
+}
+
+/** Bounded per-bucket member list as a native TypedImperativeAggregate —
+  * the aggregation-side form of a hot-bucket cap for LSH/inverted-index
+  * candidate generation. Collects a bucket's member ids up to `cap`
+  * (true count tracked separately); over-cap buckets evaluate to null
+  * (dropped whole, deterministically — the retained subset is
+  * order-dependent but only ever discarded). The buffer is a raw
+  * primitive long array capped at cap+1 entries, so memory per group is
+  * a small constant no matter how hot the bucket — unlike a
+  * count().over(bucket) window (buffers every row of the hottest bucket
+  * in one task) or collect_list (buffers the whole bucket). Partial
+  * (map-side) aggregation pre-shrinks hot buckets to ≤ cap+1 ids before
+  * the shuffle. Replaces an equivalent Aggregator/ExpressionEncoder
+  * formulation measured ~7× slower per row (encoder round-trips +
+  * immutable-collection churn on the update path). Output is sorted
+  * ascending so OrderedPairs emits each unordered pair exactly once. */
+case class BoundedBucketAgg(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BucketBuf]
+    with ExpectsInputTypes with UnaryLike[Expression] {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bounded_bucket"
+  override def createAggregationBuffer(): BucketBuf = new BucketBuf()
+  override def update(b: BucketBuf, input: InternalRow): BucketBuf = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Long], cap)
+    b
+  }
+  override def merge(b: BucketBuf, o: BucketBuf): BucketBuf = {
+    b.n += o.n - o.len // add counts beyond o's retained values once
+    var i = 0
+    while (i < o.len) { b.add(o.arr(i), cap); i += 1 }
+    b
+  }
+  override def eval(b: BucketBuf): Any =
+    if (b.n > cap) null
+    else {
+      val out = java.util.Arrays.copyOf(b.arr, b.len)
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+  override def serialize(b: BucketBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + b.len * 8)
+    bb.putLong(b.n).putInt(b.len)
+    var i = 0
+    while (i < b.len) { bb.putLong(b.arr(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): BucketBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val len = bb.getInt
+    val arr = new Array[Long](math.max(8, len))
+    var i = 0
+    while (i < len) { arr(i) = bb.getLong; i += 1 }
+    new BucketBuf(n, arr, len)
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedBucketAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedBucketAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedBucketAgg =
+    copy(child = newChild)
 }
 
 /** Expand a sorted ARRAY<BIGINT> of bucket members into its ordered

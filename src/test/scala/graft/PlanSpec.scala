@@ -142,16 +142,18 @@ class PlanSpec extends SparkSpec {
     //     bounded top-k)
     //   - ivf's array HOFs score only the broadcast q×centroid frame
     //     (20 queries × 20 centroids), never the corpus
-    // ScalaAggregator allowance for ngram/minhash = the bounded
-    // BucketList (its bounded partial aggregation is the point, exactly
-    // like TopKByScore for knn/ivf)
+    // BoundedBucketAgg is a TypedImperativeAggregate — imperative (and
+    // so CodegenFallback) BY DESIGN, like Spark's own collect_list /
+    // percentile: the bounded object buffer is the point, and the
+    // per-row update is a primitive-array append, not an interpreted
+    // expression tree. Allowed only in the two bucket-pair plans.
     val allowed: Map[String, Set[String]] = Map(
       "ns_similarity_knn" -> Set("ScalaAggregator"),
       "ns_similarity_ivf" -> Set("ScalaAggregator", "ZipWith", "ArrayTransform",
         "ArrayAggregate", "CollectList", "LambdaFunction", "ArraySort",
         "NamedLambdaVariable"),
-      "ns_dedup_ngram" -> Set("ScalaAggregator"),
-      "ns_dedup_minhash" -> Set("ScalaAggregator"))
+      "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
+      "ns_dedup_minhash" -> Set("BoundedBucketAgg"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",

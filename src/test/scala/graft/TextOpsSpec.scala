@@ -73,6 +73,20 @@ class TextOpsSpec extends SparkSpec {
     assert(nat.length == 500 && nat.sameElements(sql))
   }
 
+  test("bounded_bucket: ≤ cap ids kept sorted, over-cap buckets drop whole across merges") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (3L, "a"), (2L, "a"), (9L, "d"), (8L, "d"), (7L, "c"))
+      .toDF("id", "k")
+    val out = df.repartition(4) // force partial buffers + merge
+      .groupBy("k")
+      .agg(graft.expr.TextFunctions.bounded_bucket(col("id"), 2).as("ds"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+    assert(out("a").isEmpty, "3 members > cap=2 must drop the bucket whole")
+    assert(out("d").contains(Seq(8L, 9L)), "at-cap bucket keeps all ids, sorted")
+    assert(out("c").contains(Seq(7L)))
+  }
+
   test("min-label propagation contract: K rounds converge diameter ≤ K; fixpoint is stable") {
     import spark.implicits._
     // a diameter-5 chain 0–1–2–3–4–5 plus a detached pair 10–11
