@@ -22,18 +22,18 @@ object TextOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** Overlapping word 3-shingles straight off the text via a zero-width
-    * lookahead anchored at token starts — the capture group grabs the
-    * next three tokens without consuming them. `regexp_extract_all` is a
-    * codegen'd expression, unlike `transform(sequence(...))`: an array
-    * HOF is CodegenFallback, and a HOF under a Generate knocks the whole
-    * stage out of whole-stage codegen, turning every downstream operator
-    * in the stage into interpreted volcano rows (measured 10× slower on
-    * the explode path). Equivalent to
+  /** Overlapping word 3-shingles via the native WordShingles3 byte-pass
+    * expression (graftshim) — one scan over the bytes, no regex engine.
+    * Equivalent to
     * `transform(sequence(1, n-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])`
-    * on single-space-tokenized text. */
+    * over `t = split(text, ' ')` (the oracle formulation), which as a
+    * HOF would be CodegenFallback and knock the whole explode stage out
+    * of whole-stage codegen (measured 10× slower); the prior
+    * `regexp_extract_all` lookahead form was codegen'd but still paid a
+    * regex match per token boundary. */
   private[graft] def shingles3(text: Column): Column =
-    regexp_extract_all(text, lit("(?<=^| )(?=(\\S+ \\S+ \\S+))"), lit(1))
+    graft.Cols.column(org.apache.spark.sql.graftshim.WordShingles3(
+      graft.Cols.expr(text)))
 
   /** Exact dedup: hash-groupBy on normalized text (map-side combine →
     * one shuffle on the 128-bit key). */

@@ -174,6 +174,60 @@ object LshHelper {
   }
 }
 
+/** Overlapping word 3-shingles of a single-space-tokenized STRING in one
+  * byte pass — bit-identical to the definitional
+  * `transform(sequence(1, size(t)-2), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))`
+  * over `t = split(text, ' ')`: because separators are exactly one space,
+  * each shingle IS the raw byte span from token i's start to token
+  * i+2's end, so the expression just records space offsets and slices —
+  * no regex engine, no per-token allocation beyond the output strings.
+  * Replaces a zero-width-lookahead `regexp_extract_all` (itself the
+  * workaround for HOFs being CodegenFallback), which pattern-matched at
+  * every token boundary. Space scanning is byte-safe in UTF-8 (0x20
+  * never occurs inside a multi-byte sequence). */
+case class WordShingles3(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles3"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHelper.shingles3(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graftshim.ShingleHelper.shingles3($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles3 =
+    copy(child = newChild)
+}
+
+object ShingleHelper {
+  def shingles3(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token starts: offset 0 plus every byte after a space
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val m = spaces + 1 // token count under single-space split semantics
+    if (m < 3) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](m)
+    val ends = new Array[Int](m)
+    var tok = 0
+    var start = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { starts(tok) = start; ends(tok) = i; tok += 1; start = i + 1 }
+      i += 1
+    }
+    starts(tok) = start; ends(tok) = n
+    val out = new Array[Any](m - 2)
+    var k = 0
+    while (k < m - 2) {
+      out(k) = UTF8String.fromBytes(bytes, starts(k), ends(k + 2) - starts(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Primitive growable long buffer for BoundedBucketAgg: true count
   * tracked separately from the ≤ cap+1 retained values. */
 final class BucketBuf(var n: Long, var arr: Array[Long], var len: Int) {
