@@ -48,4 +48,8 @@ object VecFunctions {
     Cols.column(CosineSimilarity(Cols.expr(a), Cols.expr(b)))
   def lsh_sign_bits(emb: Column, w: Array[Array[Long]]): Column =
     Cols.column(LshSignBits(Cols.expr(emb), w))
+  /** Bounded top-k by (score desc, id asc) — row_number-identical. */
+  def topk_by_score(id: Column, score: Column, k: Int): Column =
+    Cols.column(org.apache.spark.sql.graftshim.TopKByScoreAgg(
+      Cols.expr(id), Cols.expr(score), k).toAggregateExpression())
 }

@@ -34,12 +34,13 @@ object VectorSearch {
 
   /** Bounded top-k: partial aggregation keeps ≤ k rows per (group, map
     * task), so no single-stage sort of the whole scored relation
-    * (expr/TopK.scala). Output matches row_number(ORDER BY cos DESC, id). */
+    * (graftshim.TopKByScoreAgg — native TypedImperativeAggregate over
+    * primitive arrays). Output matches row_number(ORDER BY cos DESC, id). */
   private def topkPerGroup(scored: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val topk = udaf(new graft.expr.TopKByScore(topK))
     scored
       .groupBy(groupCols.map(col): _*)
-      .agg(topk(col("vec_id"), col("cos_r")).as("top"))
+      .agg(graft.expr.VecFunctions.topk_by_score(
+        col("vec_id"), col("cos_r"), topK).as("top"))
       .select(groupCols.map(col) :+ posexplode(col("top")): _*)
       .select(groupCols.map(col) ++ Seq(
         col("col.id").as("vec_id"),

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
@@ -306,6 +306,90 @@ case class BoundedBucketAgg(child: Expression, cap: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BoundedBucketAgg =
     copy(child = newChild)
+}
+
+/** Top-k buffer: parallel primitive arrays kept sorted by
+  * (score desc, id asc), at most k entries. */
+final class TopKBuf(val ids: Array[Long], val scores: Array[Double], var len: Int) {
+  /** Insert maintaining order; drops the entry if it falls past k. */
+  def insert(id: Long, score: Double, k: Int): Unit = {
+    var pos = len
+    while (pos > 0 && (scores(pos - 1) < score ||
+      (scores(pos - 1) == score && ids(pos - 1) > id))) pos -= 1
+    if (pos >= k) return
+    val last = math.min(len, k - 1)
+    var i = last
+    while (i > pos) { ids(i) = ids(i - 1); scores(i) = scores(i - 1); i -= 1 }
+    ids(pos) = id; scores(pos) = score
+    if (len < k) len += 1
+  }
+}
+
+/** Bounded top-k by (score desc, id asc) as a native
+  * TypedImperativeAggregate — output order and tie-breaks match
+  * `row_number() OVER (ORDER BY score DESC, id)`. The scale story is
+  * partial aggregation: each map task keeps ≤ k entries per group, so
+  * the shuffle carries k·tasks rows per group and the stragglers a
+  * giant window partition creates never form. Primitive parallel-array
+  * buffer with insertion sort (k is single digits): no encoder
+  * round-trips, no per-row allocation — replaces the
+  * Aggregator/ExpressionEncoder formulation for the same reason as
+  * BoundedBucketAgg. */
+case class TopKByScoreAgg(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuf]
+    with ExpectsInputTypes with BinaryLike[Expression] {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topkbyscore"
+  override def createAggregationBuffer(): TopKBuf =
+    new TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+  override def update(b: TopKBuf, input: InternalRow): TopKBuf = {
+    val id = left.eval(input)
+    val score = right.eval(input)
+    if (id != null && score != null)
+      b.insert(id.asInstanceOf[Long], score.asInstanceOf[Double], k)
+    b
+  }
+  override def merge(b: TopKBuf, o: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < o.len) { b.insert(o.ids(i), o.scores(i), k); i += 1 }
+    b
+  }
+  override def eval(b: TopKBuf): Any = {
+    val out = new Array[Any](b.len)
+    var i = 0
+    while (i < b.len) {
+      out(i) = new GenericInternalRow(Array[Any](b.ids(i), b.scores(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def serialize(b: TopKBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.len * 16)
+    bb.putInt(b.len)
+    var i = 0
+    while (i < b.len) { bb.putLong(b.ids(i)); bb.putDouble(b.scores(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val len = bb.getInt
+    val ids = new Array[Long](k)
+    val scores = new Array[Double](k)
+    var i = 0
+    while (i < len) { ids(i) = bb.getLong; scores(i) = bb.getDouble; i += 1 }
+    new TopKBuf(ids, scores, len)
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKByScoreAgg =
+    copy(left = l, right = r)
 }
 
 /** Expand a sorted ARRAY<BIGINT> of bucket members into its ordered

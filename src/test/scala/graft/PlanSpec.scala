@@ -148,8 +148,8 @@ class PlanSpec extends SparkSpec {
     // per-row update is a primitive-array append, not an interpreted
     // expression tree. Allowed only in the two bucket-pair plans.
     val allowed: Map[String, Set[String]] = Map(
-      "ns_similarity_knn" -> Set("ScalaAggregator"),
-      "ns_similarity_ivf" -> Set("ScalaAggregator", "ZipWith", "ArrayTransform",
+      "ns_similarity_knn" -> Set("TopKByScoreAgg"),
+      "ns_similarity_ivf" -> Set("TopKByScoreAgg", "ZipWith", "ArrayTransform",
         "ArrayAggregate", "CollectList", "LambdaFunction", "ArraySort",
         "NamedLambdaVariable"),
       "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
