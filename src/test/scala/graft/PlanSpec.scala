@@ -164,4 +164,19 @@ class PlanSpec extends SparkSpec {
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
     }
   }
+
+  test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
+    import org.apache.spark.sql.functions.col
+    // single small parquet split → widened to defaultParallelism
+    val narrow = Tables.documents(spark, sfDir)
+    val widened = ops.Par.spread(spark, narrow, col("doc_id"))
+    assert(widened.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "a one-split scan must be repartitioned to the core count")
+    // non-file relation (no scan-width evidence) → returned untouched,
+    // no shuffle inserted
+    import spark.implicits._
+    val mem = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(ops.Par.spread(spark, mem, col("doc_id")) eq mem,
+      "a non-file frame must pass through untouched")
+  }
 }
