@@ -33,14 +33,15 @@ object Enrich {
         |  count(*) AS n FROM access_log GROUP BY 1""".stripMargin)))
 
   /** P1: grok extract over the access-log line (axway-ingest.json:4–12),
-    * as one capture-group regex + typed casts. */
-  private val grokRx =
+    * as one capture-group regex + typed casts. Shared with the streaming
+    * ingest-pipeline stage (streaming.IngestPipeline). */
+  private[graft] val grokRx =
     "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\w+) ([^\"]+) HTTP/([0-9.]+)\" " +
       "(\\d+) (\\d+) (\\d+) \"([^\"]+)\" client-(\\d+) txn-(\\d+) corr-(\\d+)$"
 
   /** Capture-group names, regex group order (g2/ident and g14/corr unused
     * downstream but present so both extractions see the same groups). */
-  private val grokGroups = Seq(
+  private[graft] val grokGroups = Seq(
     "remote_addr", "ident", "user_name", "http_date", "http_method",
     "request_url", "http_version", "status_code", "body_bytes",
     "response_ms", "xff_list", "client_id", "txn_id", "corr_id")
@@ -152,7 +153,7 @@ object Enrich {
         |FROM access_log""".stripMargin)))
 
   /** P7: ip-vs-hostname dispatch (axway-ingest.json:59–67). */
-  private val ipRx = "^(\\d{1,3}\\.){3}\\d{1,3}$"
+  private[graft] val ipRx = "^(\\d{1,3}\\.){3}\\d{1,3}$"
   val ipOrDomainOp = QueryDef(
     "np_ip_or_domain",
     (s, dir) => al(s, dir)
@@ -185,17 +186,24 @@ object Enrich {
     * ip-range dimension derived from `nation` (FIXTURES.md §4 replaces
     * the GeoLite2 mmdb; axway-ingest.json:90–122). The dim is bounded
     * (one row per nation) → broadcast; the probe side never shuffles. */
+  /** The synthetic geoip range dimension derived from `nation`
+    * (FIXTURES.md §4 replaces the GeoLite2 mmdb): one (ip_start, ip_end]
+    * range per nation with country / AS-number / org attributes. Shared
+    * by both geoip twins and by the streaming ingest-pipeline stage. */
+  private[graft] def geoDim(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      (col("n_nationkey") * 41943L).as("ip_start"),
+      (col("n_nationkey") * 41943L + 41942L).as("ip_end"),
+      col("n_name").as("geo_country"),
+      (col("n_nationkey") + 64512L).as("as_number"),
+      concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
+
   val geoipOp = QueryDef(
     "np_geoip_join",
     (s, dir) => {
       val facts = al(s, dir)
         .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
-      val dim = Tables.nation(s, dir).select(
-        (col("n_nationkey") * 41943L).as("ip_start"),
-        (col("n_nationkey") * 41943L + 41942L).as("ip_end"),
-        col("n_name").as("geo_country"),
-        (col("n_nationkey") + 64512L).as("as_number"),
-        concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
+      val dim = geoDim(s, dir)
       facts.join(broadcast(dim),
           facts("ip_long") >= dim("ip_start") && facts("ip_long") <= dim("ip_end"))
         .groupBy("geo_country", "as_number")
@@ -227,13 +235,7 @@ object Enrich {
       val facts = al(s, dir)
         .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
         .withColumn("fb", expr(s"ip_long div $bw"))
-      val dim = Tables.nation(s, dir).select(
-        (col("n_nationkey") * 41943L).as("ip_start"),
-        (col("n_nationkey") * 41943L + 41942L).as("ip_end"),
-        col("n_name").as("geo_country"),
-        (col("n_nationkey") + 64512L).as("as_number"),
-        concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
-      val dimExp = dim.withColumn("db",
+      val dimExp = geoDim(s, dir).withColumn("db",
         explode(expr(s"sequence(ip_start div $bw, ip_end div $bw)")))
       facts.join(broadcast(dimExp),
           col("fb") === col("db") &&

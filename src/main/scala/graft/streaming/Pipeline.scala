@@ -143,15 +143,18 @@ object Pipeline {
     * inflate + JSON parse run once per record, not once per channel.
     * Writers are injectable so tests can inject 429s; each writer
     * receives the batchId so it can be idempotent under replay (see
-    * channelWriter). */
+    * channelWriter). `enrich` runs on the documents channel before its
+    * writer — the in-engine stand-in for the ES-side ingest pipeline the
+    * reference triggers per request (main.go:437; see IngestPipeline). */
   def sinkBatch(writeOk: (DataFrame, Long) => Unit,
                 writeErr: (DataFrame, Long) => Unit,
+                enrich: DataFrame => DataFrame = identity,
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                 sleep: Long => Unit = Thread.sleep)(batch: Dataset[Row], batchId: Long): Unit = {
     val d = decoded(batch.toDF()).persist()
     try {
       withRetry(maxAttempts, baseBackoffMs, sleep)(
-        writeOk(flatten(d.filter(col("err").isNull)), batchId))
+        writeOk(enrich(flatten(d.filter(col("err").isNull))), batchId))
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
     } finally d.unpersist()
@@ -205,11 +208,13 @@ object Pipeline {
     * cloudformation-template.yaml:170–171), 5 s micro-batches (reference
     * main.go:436), checkpointed for restart recovery. */
   def run(source: DataFrame, outDir: String, checkpointDir: String,
-          trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+          trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+          enrich: DataFrame => DataFrame = identity): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
         channelWriter(s"$outDir/SUCCESS"),
-        channelWriter(s"$outDir/ERROR")) _)
+        channelWriter(s"$outDir/ERROR"),
+        enrich) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -244,20 +249,31 @@ object Pipeline {
   /** `authProvider` is re-read at every micro-batch flush (driver side):
     * the HTTP front-end captures X-Amz-Firehose-Access-Key per request
     * (reference main.go:321–324 builds the indexer per request), so the
-    * sink follows a key change without a stream restart. */
+    * sink follows a key change without a stream restart.
+    *
+    * `pipelineParam` echoes the reference's per-request ingest-pipeline
+    * binding (main.go:437 stamps `pipeline=<name>` on the bulk request)
+    * as a query param on the `_bulk` URL — wire parity for an ES-side
+    * pipeline, while `enrich` is the same chain run in-engine. */
   def runHttp(source: DataFrame, esUrl: String, index: String,
               outDir: String, checkpointDir: String,
               auth: Option[String] = None,
               authProvider: () => Option[String] = () => None,
-              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+              trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+              enrich: DataFrame => DataFrame = identity,
+              pipelineParam: Option[String] = None): StreamingQuery = {
+    val effUrl = pipelineParam.fold(esUrl)(p =>
+      esUrl + (if (esUrl.contains("?")) "&" else "?") + "pipeline=" + p)
     source.writeStream
       .foreachBatch(sinkBatch(
-        HttpBulk.bulkWriter(esUrl, index, s"$outDir/ERROR_ITEMS", auth,
+        HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
           authProvider = authProvider),
-        channelWriter(s"$outDir/ERROR")) _)
+        channelWriter(s"$outDir/ERROR"),
+        enrich) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** The Firehose HTTP response contract (reference main.go:358–363,
     * structs at main.go:58–69): 200 echoes the REQUEST's id and

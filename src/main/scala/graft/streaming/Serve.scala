@@ -60,14 +60,28 @@ object Serve {
     // delete processed drop files after commit: the service's spool must
     // not grow one file per HTTP request forever
     val source = Pipeline.fileDropSource(spark, args(0), cleanSource = Some("delete"))
+
+    // In-engine ingest pipeline (reference main.go:437 binds
+    // pipeline=<name> on every bulk request and ES runs
+    // one-pipeline-to-rule-them-all on each doc): ON by default, opt out
+    // with SPARK_GRAFT_PIPELINE=none. SPARK_GRAFT_GEODIM=<dir> loads the
+    // nation-derived geoip dim from that testdata dir (a real deployment
+    // points this at its converted GeoLite2 range table).
+    val pipelineName = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "axway-ingest")
+    val geoDim = sys.env.get("SPARK_GRAFT_GEODIM")
+      .map(IngestPipeline.geoDimFromNation(spark, _))
+    val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (pipelineName == "none") identity else IngestPipeline.enrich(_, geoDim)
+
     val query =
       if (args.length == 5)
         Pipeline.runHttp(source, args(3), args(4), args(1), args(2),
           // "Basic " + key, exactly main.go:414's header construction
           authProvider = () => endpoint.flatMap(_.accessKey).map("Basic " + _),
-          trigger = trigger)
+          trigger = trigger, enrich = enrich,
+          pipelineParam = Some(pipelineName).filter(_ != "none"))
       else
-        Pipeline.run(source, args(1), args(2), trigger = trigger)
+        Pipeline.run(source, args(1), args(2), trigger = trigger, enrich = enrich)
     // graceful shutdown (reference main.go:381–396): SIGTERM/SIGINT stop
     // the query between micro-batches — the checkpoint commits, so the
     // restart resumes exactly where this run stopped — then close the
