@@ -49,7 +49,12 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
 
   /** Last captured X-Amz-Firehose-Access-Key (base64 user:password per
     * the reference's contract, main.go:230–231). The sink turns it into
-    * `Basic <key>` exactly like main.go:414. */
+    * `Basic <key>` exactly like main.go:414. This is the FALLBACK auth
+    * for records that landed without a key; the isolating path is the
+    * per-record `access_key` spool field — the reference builds its ES
+    * client per request (main.go:422–424), so two tenants posting with
+    * different keys must each index under their own, not whichever
+    * arrived last. */
   def accessKey: Option[String] = lastAccessKey
 
   Files.createDirectories(Paths.get(dropDir))
@@ -89,8 +94,12 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
     if (ex.getRequestMethod != "POST") { respond(ex, 404, """{"error":"not found"}"""); return }
     // request-id extraction with the "manual" fallback (main.go:260–266)
     val requestId = header(ex, "X-Amz-Firehose-Request-Id").getOrElse("manual")
-    // access-key capture for sink auth (main.go:321–324)
-    header(ex, "X-Amz-Firehose-Access-Key").foreach(k => lastAccessKey = Some(k))
+    // access-key capture for sink auth (main.go:321–324): kept as the
+    // last-seen fallback AND stamped per record below, because the
+    // reference authenticates each batch with ITS OWN key (main.go:414,
+    // 422–424 build the indexer per request)
+    val batchKey = header(ex, "X-Amz-Firehose-Access-Key")
+    batchKey.foreach(k => lastAccessKey = Some(k))
 
     // dataDetect (main.go:74–121)
     val contentType = header(ex, "Content-Type").getOrElse("").split(";")(0).trim
@@ -141,6 +150,7 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
         line.put("batch_ms", envTimestamp)
         line.put("data", rec.path("data").asText(""))
         line.put("request_id", requestId)
+        line.put("access_key", batchKey.getOrElse(""))
         sb.append(mapper.writeValueAsString(line)).append('\n')
       }
       // UUID name: concurrent handler threads must never collide

@@ -94,6 +94,37 @@ object HttpBulk {
       }
     }
 
+  /** `chunks` with per-key body isolation: lines of different keys never
+    * share a POST body, so each Firehose batch's documents index under
+    * their own credential even when one partition interleaves tenants.
+    * Memory is bounded by (keys in flight) × maxBytes — keys per
+    * micro-batch are few (one per posting Firehose stream), and a key's
+    * buffer flushes the moment it crosses the byte budget. */
+  private[streaming] def chunksByKey(it: Iterator[(String, String)],
+                                     maxBytes: Int): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private val bufs = new java.util.LinkedHashMap[String, java.io.ByteArrayOutputStream]()
+      private val ready = scala.collection.mutable.Queue.empty[(String, Array[Byte])]
+      private def fill(): Unit = {
+        while (ready.isEmpty && it.hasNext) {
+          val (key, line) = it.next()
+          val buf = bufs.computeIfAbsent(key, _ => new java.io.ByteArrayOutputStream)
+          buf.write(line.getBytes("UTF-8"))
+          buf.write('\n')
+          if (buf.size >= maxBytes) {
+            ready.enqueue((key, buf.toByteArray))
+            bufs.remove(key)
+          }
+        }
+        if (ready.isEmpty && !it.hasNext && !bufs.isEmpty) {
+          bufs.forEach((k, buf) => if (buf.size > 0) ready.enqueue((k, buf.toByteArray)))
+          bufs.clear()
+        }
+      }
+      def hasNext: Boolean = { fill(); ready.nonEmpty }
+      def next(): (String, Array[Byte]) = { fill(); ready.dequeue() }
+    }
+
   /** A channel writer (same shape Pipeline.sinkBatch takes) that POSTs
     * the documents frame to `url` as `_bulk` NDJSON and lands per-item
     * rejections under `errDir/batch=<id>`. Transient statuses
@@ -111,13 +142,18 @@ object HttpBulk {
       import spark.implicits._
       // resolved ONCE per micro-batch on the driver (the provider may
       // close over non-serializable state, e.g. the HTTP front-end); the
-      // resolved Option[String] is what the partition closure captures
+      // resolved Option[String] is what the partition closure captures.
+      // It is only the FALLBACK: a record that landed with its own
+      // access_key posts under `Basic <key>` (reference main.go:414,
+      // 422–424 — per-request client, per-request credential).
       val effAuth = authProvider().orElse(auth)
-      val failed = Pipeline.toBulkNdjson(docs, index)
-        .mapPartitions { lines =>
-          chunks(lines, flushBytes).flatMap { body =>
+      val failed = Pipeline.toBulkNdjsonKeyed(docs, index)
+        .as[(String, String)]
+        .mapPartitions { rows =>
+          chunksByKey(rows, flushBytes).flatMap { case (key, body) =>
+            val chunkAuth = if (key.nonEmpty) Some("Basic " + key) else effAuth
             val resp = Pipeline.withRetry(maxAttempts, baseBackoffMs) {
-              val (status, rb) = post(url, body, effAuth)
+              val (status, rb) = post(url, body, chunkAuth)
               if (Pipeline.retryOnStatus(status)) throw Pipeline.TransientSinkError(status)
               if (status >= 400) throw new java.io.IOException(s"bulk POST rejected: HTTP $status")
               rb

@@ -95,7 +95,14 @@ object Pipeline {
         frame.withColumn("requestId",
           coalesce(nullif(col("request_id"), lit("")), lit("manual")))
       else frame.withColumn("requestId", lit("manual"))
-    withReq
+    // per-record access key for sink auth isolation (reference
+    // main.go:422–424 builds the indexer per request — each batch
+    // indexes under ITS key); "" = none, sink falls back to its
+    // static/provider auth
+    val withKey =
+      if (withReq.columns.contains("access_key")) withReq
+      else withReq.withColumn("access_key", lit(""))
+    withKey
       .withColumn("rawBody",
         when(upper(hex(substring(bin, 1, 2))) === "1F8B", try_gunzip(bin))
           .otherwise(bin).cast("string"))
@@ -112,11 +119,11 @@ object Pipeline {
     * — no re-decode of the raw data. */
   private def flatten(ok: DataFrame): DataFrame =
     ok.select(
-      col("event_id"), col("batch_ms"), col("requestId"),
+      col("event_id"), col("batch_ms"), col("requestId"), col("access_key"),
       col("env.logGroup").as("logGroup"), col("env.logStream").as("logStream"),
       explode(col("env.logEvents")).as("ev"))
       .select(
-        col("event_id"), col("batch_ms"), col("requestId"),
+        col("event_id"), col("batch_ms"), col("requestId"), col("access_key"),
         col("logGroup"), col("logStream"),
         col("ev.id").as("event_ref"),
         col("ev.timestamp").as("event_ms"),
@@ -174,7 +181,10 @@ object Pipeline {
     * Readers of the channel directory see `batch` as a partition
     * column. */
   def channelWriter(dir: String): (DataFrame, Long) => Unit =
-    (df, batchId) => {
+    (df0, batchId) => {
+      // the access key is transport auth, not payload — a credential
+      // must never land in the archived parquet channels
+      val df = df0.drop("access_key")
       val path = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
       val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(path) || !df.isEmpty)
@@ -193,13 +203,27 @@ object Pipeline {
   def toBulkNdjson(docs: DataFrame, index: String): Dataset[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(concat(
-      to_json(struct(struct(
-        lit(index).as("_index"),
-        col("event_ref").as("_id")).as("index"))),
-      lit("\n"),
-      to_json(struct(docs.columns.map(col): _*))).as("lines"))
-      .as[String]
+    toBulkNdjsonKeyed(docs, index).select("lines").as[String]
+  }
+
+  /** `toBulkNdjson` plus the per-record sink credential as a separate
+    * `access_key` column ("" = none): the action/source lines never
+    * contain the key (it is transport auth, not document payload), and
+    * the bulk writer groups POST bodies by it so each batch indexes
+    * under its own key (reference main.go:422–424). */
+  def toBulkNdjsonKeyed(docs: DataFrame, index: String): DataFrame = {
+    val dataCols = docs.columns.filterNot(_ == "access_key")
+    val key =
+      if (docs.columns.contains("access_key")) coalesce(col("access_key"), lit(""))
+      else lit("")
+    docs.select(
+      key.as("access_key"),
+      concat(
+        to_json(struct(struct(
+          lit(index).as("_index"),
+          col("event_ref").as("_id")).as("index"))),
+        lit("\n"),
+        to_json(struct(dataCols.map(col).toSeq: _*))).as("lines"))
   }
 
   /** Start the full ingest stream over a source of (event_id, batch_ms,
@@ -236,7 +260,8 @@ object Pipeline {
                      cleanSource: Option[String] = None): DataFrame = {
     val reader = spark.readStream
       .schema(StructType.fromDDL(
-        "event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING"))
+        "event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING, " +
+          "access_key STRING"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     cleanSource.foreach(reader.option("cleanSource", _))
     reader.json(dir)

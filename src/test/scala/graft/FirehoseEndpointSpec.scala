@@ -213,6 +213,54 @@ class FirehoseEndpointSpec extends SparkSpec {
     } finally { ep.stop(); bulk.stop(0) }
   }
 
+  test("auth isolation e2e: two tenants' batches each index under their own key (main.go:422–424)") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // _bulk stub recording (Authorization, body) pairs
+    val pairs = new ConcurrentLinkedQueue[(String, String)]()
+    val bulk = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    bulk.createContext("/_bulk", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      pairs.add((Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""), body))
+      val resp = """{"took":1,"errors":false,"items":[]}""".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    bulk.start()
+    val bulkUrl = s"http://127.0.0.1:${bulk.getAddress.getPort}/_bulk"
+
+    val dropDir = tmp("fh-iso-drop")
+    val ep = new FirehoseEndpoint(dropDir)
+    try {
+      // two tenants POST with different access keys before one micro-batch
+      val (s1, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("r1", 1L, b64(cwBody("ta"))).getBytes(UTF_8),
+        json + ("X-Amz-Firehose-Access-Key" -> "a2V5QQ=="))
+      val (s2, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("r2", 2L, b64(cwBody("tb"))).getBytes(UTF_8),
+        json + ("X-Amz-Firehose-Access-Key" -> "a2V5Qg=="))
+      assert(s1 == 200 && s2 == 200)
+      val q = Pipeline.runHttp(
+        Pipeline.fileDropSource(spark, dropDir), bulkUrl, "graft-docs",
+        tmp("fh-iso-out"), tmp("fh-iso-ckpt"),
+        authProvider = () => ep.accessKey.map("Basic " + _),
+        trigger = Trigger.AvailableNow())
+      try q.processAllAvailable() finally q.stop()
+      val byAuth = pairs.toArray(Array.empty[(String, String)])
+        .groupBy(_._1).view.mapValues(_.map(_._2).mkString("\n")).toMap
+      assert(byAuth.keySet == Set("Basic a2V5QQ==", "Basic a2V5Qg=="),
+        s"one auth per tenant, got ${byAuth.keySet}")
+      assert(byAuth("Basic a2V5QQ==").contains(""""_id":"ta-1"""")
+        && !byAuth("Basic a2V5QQ==").contains("\"_id\":\"tb"),
+        "tenant A's docs must post only under tenant A's key")
+      assert(byAuth("Basic a2V5Qg==").contains(""""_id":"tb-1"""")
+        && !byAuth("Basic a2V5Qg==").contains("\"_id\":\"ta"),
+        "tenant B's docs must post only under tenant B's key")
+    } finally { ep.stop(); bulk.stop(0) }
+  }
+
   test("cleanSource=delete disposes of processed drop files once their batch commits") {
     val dropDir = tmp("fh-clean-drop")
     val outDir = tmp("fh-clean-out")

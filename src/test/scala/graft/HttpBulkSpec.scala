@@ -26,6 +26,9 @@ class HttpBulkSpec extends SparkSpec {
     val hits = new AtomicInteger(0)
     val bodies = new ConcurrentLinkedQueue[String]()
     val authHeaders = new ConcurrentLinkedQueue[String]()
+    /** (Authorization-or-"", body) per accepted request — pairing is what
+      * the auth-isolation contract is about. */
+    val pairs = new ConcurrentLinkedQueue[(String, String)]()
     private val remaining429 = new AtomicInteger(fail429First)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/_bulk", (ex: HttpExchange) => {
@@ -37,6 +40,7 @@ class HttpBulkSpec extends SparkSpec {
       } else {
         bodies.add(body)
         Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authHeaders.add)
+        pairs.add((Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""), body))
         val ids = body.split("\n").grouped(2).map(_.head).map { action =>
           """"_id":"([^"]+)"""".r.findFirstMatchIn(action).get.group(1)
         }.toSeq
@@ -111,6 +115,36 @@ class HttpBulkSpec extends SparkSpec {
       HttpBulk.bulkWriter(stub.url, "graft-docs", tmp("bulk-auth"),
         auth = Some("Basic Zmg6c2VjcmV0"))(docsFrame("a1").coalesce(1), 0L)
       assert(stub.authHeaders.toArray.toSeq == Seq("Basic Zmg6c2VjcmV0"))
+    } finally stub.stop()
+  }
+
+  test("auth isolation: interleaved access keys each POST under their own Basic auth") {
+    import spark.implicits._
+    val stub = new BulkStub()
+    try {
+      // one partition interleaving two tenants' keys plus a keyless record
+      val docs = Seq(
+        (1L, 10L, "keyA", "/app/a", "s1", "a1", 1000L, """{"k":1}"""),
+        (2L, 10L, "keyB", "/app/a", "s1", "b1", 1001L, """{"k":2}"""),
+        (3L, 10L, "keyA", "/app/a", "s1", "a2", 1002L, """{"k":3}"""),
+        (4L, 10L, "", "/app/a", "s1", "n1", 1003L, """{"k":4}"""))
+        .toDF("event_id", "batch_ms", "access_key", "logGroup", "logStream",
+          "event_ref", "event_ms", "message")
+      HttpBulk.bulkWriter(stub.url, "graft-docs", tmp("bulk-keyed"),
+        auth = Some("Basic ZmFsbGJhY2s="))(docs.coalesce(1), 0L)
+      val byAuth = stub.pairs.toArray(Array.empty[(String, String)])
+        .groupBy(_._1).view.mapValues(_.map(_._2).mkString("\n")).toMap
+      assert(byAuth.keySet == Set("Basic keyA", "Basic keyB", "Basic ZmFsbGJhY2s="),
+        s"3 per-key POSTs expected, got ${byAuth.keySet}")
+      assert(byAuth("Basic keyA").contains(""""_id":"a1"""")
+        && byAuth("Basic keyA").contains(""""_id":"a2"""")
+        && !byAuth("Basic keyA").contains(""""_id":"b1""""))
+      assert(byAuth("Basic keyB").contains(""""_id":"b1"""")
+        && !byAuth("Basic keyB").contains("\"_id\":\"a"))
+      assert(byAuth("Basic ZmFsbGJhY2s=").contains(""""_id":"n1""""))
+      // the credential never leaks into the indexed document source
+      stub.bodies.forEach(b => assert(!b.contains("access_key"),
+        "access_key must not appear in any bulk body"))
     } finally stub.stop()
   }
 
