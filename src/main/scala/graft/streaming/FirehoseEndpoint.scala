@@ -41,7 +41,18 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * — the topology that survives 1000 executors, where the reference's
   * in-handler processing is bounded by one service instance.
   */
-final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
+object FirehoseEndpoint {
+  /** Default request-body cap. Firehose HTTP-endpoint delivery batches
+    * are at most 4 MiB before compression, so 8 MiB accepts any legal
+    * batch with headroom; an unbounded `readAllBytes` would let one
+    * multi-GB POST occupy the ingest heap (the reference bounds only
+    * header-read time, main.go:370 — a service front-end must bound
+    * body bytes too). */
+  val defaultMaxBodyBytes: Int = 8 * 1024 * 1024
+}
+
+final class FirehoseEndpoint(dropDir: String, port: Int = 0,
+                             maxBodyBytes: Int = FirehoseEndpoint.defaultMaxBodyBytes) {
 
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong(0L)
@@ -90,6 +101,19 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
   private def header(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestHeaders.getFirst(name)).filter(_.nonEmpty)
 
+  /** Read at most `max` bytes; null if the stream carries more. */
+  private def readBounded(is: java.io.InputStream, max: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    var n = is.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size > max) return null
+      n = is.read(buf)
+    }
+    out.toByteArray
+  }
+
   private def handleFirehose(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 404, """{"error":"not found"}"""); return }
     // request-id extraction with the "manual" fallback (main.go:260–266)
@@ -111,12 +135,21 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0) {
       respond(ex, 400, s"""{"error":"unsupported Content-Encoding $contentEncoding"}"""); return
     }
 
-    val raw = ex.getRequestBody.readAllBytes()
+    val raw = readBounded(ex.getRequestBody, maxBodyBytes)
+    if (raw == null) {
+      respond(ex, 413, errorBody(requestId,
+        s"request body exceeds $maxBodyBytes bytes")); return
+    }
     // the body's magic decides, header mismatch treated as gzip
     // (main.go:109–113 + handler's errEncodingMismatch branch)
     val isGzip = raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b
+    // inflation is capped at 4× the wire cap: a tiny gzip of zeros must
+    // not balloon into gigabytes on the ingest heap (decompression bomb)
     val bodyBytes =
-      if (isGzip) graft.expr.GzipCodec.tryGunzip(raw)
+      if (isGzip)
+        try readBounded(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw)), 4 * maxBodyBytes)
+        catch { case _: java.io.IOException => null }
       else if (contentEncoding == "gzip") null // claimed gzip, no magic: corrupt
       else raw
     if (bodyBytes == null) {

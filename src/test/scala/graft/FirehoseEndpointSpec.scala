@@ -126,6 +126,29 @@ class FirehoseEndpointSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("body cap: oversize POST → 413; a gzip bomb cannot inflate past 4× the cap") {
+    val ep = new FirehoseEndpoint(tmp("fh-cap"), maxBodyBytes = 2048)
+    try {
+      val url = s"${ep.url}/firehose"
+      // oversize plain body: bounded read stops at the cap → 413
+      val big = ("{" + "x" * 4096 + "}").getBytes(UTF_8)
+      val (s1, b1) = call(url, "POST", big,
+        json + ("X-Amz-Firehose-Request-Id" -> "rq-big"))
+      assert(s1 == 413 && b1.contains(""""requestId":"rq-big"""") && b1.contains("errorMessage"))
+      // a 1 KiB-compressed gzip of ~1 MiB of zeros: wire size passes the
+      // cap, inflation is cut off at 4× cap → rejected, heap never holds
+      // the inflated payload
+      val bomb = graft.expr.GzipCodec.gzip(Array.fill[Byte](1024 * 1024)('0'))
+      assert(bomb.length < 2048, s"test bomb must fit the wire cap, was ${bomb.length}")
+      val (s2, _) = call(url, "POST", bomb, json + ("Content-Encoding" -> "gzip"))
+      assert(s2 == 400, s"inflated-past-cap body must be rejected, got $s2")
+      // a legal small batch still lands
+      val (s3, _) = call(url, "POST",
+        envelope("r", 1L, b64("""{"ok":1}""")).getBytes(UTF_8), json)
+      assert(s3 == 200)
+    } finally ep.stop()
+  }
+
   test("access key is captured for sink Basic auth (main.go:321–324)") {
     val ep = new FirehoseEndpoint(tmp("fh-auth"))
     try {
