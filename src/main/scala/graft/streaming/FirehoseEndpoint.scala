@@ -52,11 +52,18 @@ object FirehoseEndpoint {
 }
 
 final class FirehoseEndpoint(dropDir: String, port: Int = 0,
-                             maxBodyBytes: Int = FirehoseEndpoint.defaultMaxBodyBytes) {
+                             maxBodyBytes: Int = FirehoseEndpoint.defaultMaxBodyBytes,
+                             extraMetrics: () => Map[String, Long] = () => Map.empty) {
 
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong(0L)
   @volatile private var lastAccessKey: Option[String] = None
+
+  // ingest-side counters for GET /metrics (reference main.go:216–217
+  // mounts ginprom; these are the handler-level numbers it exports)
+  private val requestsTotal = new AtomicLong(0L)
+  private val rejectedRequests = new AtomicLong(0L)
+  private val recordsLanded = new AtomicLong(0L)
 
   /** Last captured X-Amz-Firehose-Access-Key (base64 user:password per
     * the reference's contract, main.go:230–231). The sink turns it into
@@ -78,6 +85,18 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
     else respond(ex, 404, """{"error":"not found"}"""))
 
   server.createContext("/firehose", (ex: HttpExchange) => handleFirehose(ex))
+
+  // observability surface (reference main.go:216–217): handler counters
+  // plus whatever the streaming side supplies (ServiceMetrics.snapshot —
+  // docs indexed / dead-lettered / bulk item rejections)
+  server.createContext("/metrics", (ex: HttpExchange) =>
+    if (ex.getRequestMethod == "GET")
+      respond(ex, 200, ServiceMetrics.renderJson(
+        Map(
+          "requests_total" -> requestsTotal.get(),
+          "rejected_requests" -> rejectedRequests.get(),
+          "records_landed" -> recordsLanded.get()) ++ extraMetrics()))
+    else respond(ex, 404, """{"error":"not found"}"""))
 
   server.start()
 
@@ -114,8 +133,15 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
     out.toByteArray
   }
 
+  /** Error respond + the rejected-requests counter in one place. */
+  private def reject(ex: HttpExchange, status: Int, body: String): Unit = {
+    rejectedRequests.incrementAndGet()
+    respond(ex, status, body)
+  }
+
   private def handleFirehose(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 404, """{"error":"not found"}"""); return }
+    requestsTotal.incrementAndGet()
     // request-id extraction with the "manual" fallback (main.go:260–266)
     val requestId = header(ex, "X-Amz-Firehose-Request-Id").getOrElse("manual")
     // access-key capture for sink auth (main.go:321–324): kept as the
@@ -128,16 +154,16 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
     // dataDetect (main.go:74–121)
     val contentType = header(ex, "Content-Type").getOrElse("").split(";")(0).trim
     if (contentType != "application/json") {
-      respond(ex, 400, s"""{"error":"unsupported Content-Type: $contentType"}"""); return
+      reject(ex, 400, s"""{"error":"unsupported Content-Type: $contentType"}"""); return
     }
     val contentEncoding = header(ex, "Content-Encoding").getOrElse("")
     if (contentEncoding.nonEmpty && contentEncoding != "gzip") {
-      respond(ex, 400, s"""{"error":"unsupported Content-Encoding $contentEncoding"}"""); return
+      reject(ex, 400, s"""{"error":"unsupported Content-Encoding $contentEncoding"}"""); return
     }
 
     val raw = readBounded(ex.getRequestBody, maxBodyBytes)
     if (raw == null) {
-      respond(ex, 413, errorBody(requestId,
+      reject(ex, 413, errorBody(requestId,
         s"request body exceeds $maxBodyBytes bytes")); return
     }
     // the body's magic decides, header mismatch treated as gzip
@@ -153,20 +179,20 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
       else if (contentEncoding == "gzip") null // claimed gzip, no magic: corrupt
       else raw
     if (bodyBytes == null) {
-      respond(ex, 400, errorBody(requestId, "Error parsing GZIP JSON request body")); return
+      reject(ex, 400, errorBody(requestId, "Error parsing GZIP JSON request body")); return
     }
 
     // envelope unmarshal (incoming/firehose.go:21–29); malformed → 400
     // with the firehoseErrorBody shape (main.go:281–287)
     val root =
       try mapper.readTree(new String(bodyBytes, UTF_8))
-      catch { case e: Exception => respond(ex, 400, errorBody(requestId, s"invalid JSON: ${e.getMessage}")); return }
+      catch { case e: Exception => reject(ex, 400, errorBody(requestId, s"invalid JSON: ${e.getMessage}")); return }
     if (root == null || !root.isObject) {
-      respond(ex, 400, errorBody(requestId, "request body is not a JSON object")); return
+      reject(ex, 400, errorBody(requestId, "request body is not a JSON object")); return
     }
     val records = root.path("records")
     if (!records.isMissingNode && !records.isNull && !records.isArray) {
-      respond(ex, 400, errorBody(requestId, "records is not an array")); return
+      reject(ex, 400, errorBody(requestId, "records is not an array")); return
     }
     val envRequestId = root.path("requestId").asText("")
     val envTimestamp = root.path("timestamp").asLong(0L)
@@ -192,12 +218,13 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
       try {
         Files.write(staged, sb.toString.getBytes(UTF_8))
         Files.move(staged, Paths.get(dropDir, name), StandardCopyOption.ATOMIC_MOVE)
+        recordsLanded.addAndGet(records.size().toLong)
       } catch {
         // batch NOT accepted — 500 with the firehoseErrorBody shape so
         // Firehose redelivers (the reference's splitRecords-failure path,
         // main.go:311–317)
         case e: Exception =>
-          respond(ex, 500, errorBody(requestId, s"failed landing batch: ${e.getMessage}"))
+          reject(ex, 500, errorBody(requestId, s"failed landing batch: ${e.getMessage}"))
           return
       }
     }

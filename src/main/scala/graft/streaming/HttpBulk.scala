@@ -136,7 +136,8 @@ object HttpBulk {
                  auth: Option[String] = None,
                  flushBytes: Int = defaultFlushBytes,
                  maxAttempts: Int = 5, baseBackoffMs: Long = 50,
-                 authProvider: () => Option[String] = () => None): (DataFrame, Long) => Unit =
+                 authProvider: () => Option[String] = () => None,
+                 rejectionCounter: Option[org.apache.spark.util.LongAccumulator] = None): (DataFrame, Long) => Unit =
     (docs, batchId) => {
       val spark = docs.sparkSession
       import spark.implicits._
@@ -158,7 +159,12 @@ object HttpBulk {
               if (status >= 400) throw new java.io.IOException(s"bulk POST rejected: HTTP $status")
               rb
             }
-            itemFailures(resp)
+            val failures = itemFailures(resp).toSeq
+            // per-item rejection counter (the reference's OnFailure
+            // prometheus hook, main.go:566–571) — executor-side, so an
+            // accumulator, not a driver AtomicLong
+            rejectionCounter.foreach(_.add(failures.size.toLong))
+            failures
           }
         }
         .toDF("item_id", "status", "err")

@@ -157,13 +157,22 @@ object Pipeline {
                 writeErr: (DataFrame, Long) => Unit,
                 enrich: DataFrame => DataFrame = identity,
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
-                sleep: Long => Unit = Thread.sleep)(batch: Dataset[Row], batchId: Long): Unit = {
+                sleep: Long => Unit = Thread.sleep,
+                metrics: Option[ServiceMetrics] = None)(batch: Dataset[Row], batchId: Long): Unit = {
     val d = decoded(batch.toDF()).persist()
     try {
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeOk(enrich(flatten(d.filter(col("err").isNull))), batchId))
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
+      // channel totals count over the PERSISTED decode (projection-only
+      // jobs, no re-inflate) after both writes committed, so the
+      // counters never report a batch the sink rejected
+      metrics.foreach { m =>
+        m.batchesTotal.incrementAndGet()
+        m.documentsIndexed.addAndGet(flatten(d.filter(col("err").isNull)).count())
+        m.documentsDeadLettered.addAndGet(d.filter(col("err").isNotNull).count())
+      }
     } finally d.unpersist()
   }
 
@@ -233,12 +242,13 @@ object Pipeline {
     * main.go:436), checkpointed for restart recovery. */
   def run(source: DataFrame, outDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-          enrich: DataFrame => DataFrame = identity): StreamingQuery =
+          enrich: DataFrame => DataFrame = identity,
+          metrics: Option[ServiceMetrics] = None): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
         channelWriter(s"$outDir/SUCCESS"),
         channelWriter(s"$outDir/ERROR"),
-        enrich) _)
+        enrich, metrics = metrics) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -286,15 +296,17 @@ object Pipeline {
               authProvider: () => Option[String] = () => None,
               trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
               enrich: DataFrame => DataFrame = identity,
-              pipelineParam: Option[String] = None): StreamingQuery = {
+              pipelineParam: Option[String] = None,
+              metrics: Option[ServiceMetrics] = None): StreamingQuery = {
     val effUrl = pipelineParam.fold(esUrl)(p =>
       esUrl + (if (esUrl.contains("?")) "&" else "?") + "pipeline=" + p)
     source.writeStream
       .foreachBatch(sinkBatch(
         HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
-          authProvider = authProvider),
+          authProvider = authProvider,
+          rejectionCounter = metrics.map(_.bulkItemRejections)),
         channelWriter(s"$outDir/ERROR"),
-        enrich) _)
+        enrich, metrics = metrics) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -53,8 +53,12 @@ object Serve {
     val trigger =
       if (sys.env.get("SPARK_GRAFT_DRAIN").contains("1")) Trigger.AvailableNow()
       else Trigger.ProcessingTime("5 seconds")
+    // streaming-side counters, served with the handler counters on the
+    // endpoint's GET /metrics (reference main.go:216–217 ginprom)
+    val metrics = new ServiceMetrics(spark)
     val endpoint = sys.env.get("SPARK_GRAFT_HTTP_PORT")
-      .map(p => new FirehoseEndpoint(args(0), p.toInt))
+      .map(p => new FirehoseEndpoint(args(0), p.toInt,
+        extraMetrics = () => metrics.snapshot))
     endpoint.foreach(e => println(s"[serve] firehose endpoint listening on ${e.url}"))
 
     // delete processed drop files after commit: the service's spool must
@@ -79,9 +83,11 @@ object Serve {
           // "Basic " + key, exactly main.go:414's header construction
           authProvider = () => endpoint.flatMap(_.accessKey).map("Basic " + _),
           trigger = trigger, enrich = enrich,
-          pipelineParam = Some(pipelineName).filter(_ != "none"))
+          pipelineParam = Some(pipelineName).filter(_ != "none"),
+          metrics = Some(metrics))
       else
-        Pipeline.run(source, args(1), args(2), trigger = trigger, enrich = enrich)
+        Pipeline.run(source, args(1), args(2), trigger = trigger, enrich = enrich,
+          metrics = Some(metrics))
     // graceful shutdown (reference main.go:381–396): SIGTERM/SIGINT stop
     // the query between micro-batches — the checkpoint commits, so the
     // restart resumes exactly where this run stopped — then close the

@@ -284,6 +284,60 @@ class FirehoseEndpointSpec extends SparkSpec {
     } finally { ep.stop(); bulk.stop(0) }
   }
 
+  test("GET /metrics: handler + streaming counters after a driven batch (main.go:216–217, 546–584)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.streaming.ServiceMetrics
+    // _bulk stub rejecting one item per request (exercises the
+    // rejection counter alongside the channel totals)
+    val bulk = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    bulk.createContext("/_bulk", (ex: HttpExchange) => {
+      val ids = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        .split("\n").grouped(2).map(_.head)
+        .map(a => """"_id":"([^"]+)"""".r.findFirstMatchIn(a).get.group(1)).toSeq
+      val items = ids.map { id =>
+        if (id.endsWith("-2"))
+          s"""{"index":{"_id":"$id","status":400,"error":{"reason":"rejected"}}}"""
+        else s"""{"index":{"_id":"$id","status":201}}"""
+      }.mkString(",")
+      val resp = s"""{"took":1,"errors":true,"items":[$items]}""".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    bulk.start()
+    val bulkUrl = s"http://127.0.0.1:${bulk.getAddress.getPort}/_bulk"
+
+    val dropDir = tmp("fh-met-drop")
+    val metrics = new ServiceMetrics(spark)
+    val ep = new FirehoseEndpoint(dropDir, extraMetrics = () => metrics.snapshot)
+    try {
+      // one good batch (2 records → 4 docs, two of which the stub
+      // rejects per-item), one garbage record, one rejected request
+      val (s1, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("r1", 1L, b64(cwBody("ma")), b64(cwBody("mb")), b64("garbage")).getBytes(UTF_8), json)
+      val (s2, _) = call(s"${ep.url}/firehose", "POST", "{oops".getBytes(UTF_8), json)
+      assert(s1 == 200 && s2 == 400)
+      val q = Pipeline.runHttp(
+        Pipeline.fileDropSource(spark, dropDir), bulkUrl, "graft-docs",
+        tmp("fh-met-out"), tmp("fh-met-ckpt"),
+        trigger = Trigger.AvailableNow(), metrics = Some(metrics))
+      try q.processAllAvailable() finally q.stop()
+
+      val (ms, body) = call(s"${ep.url}/metrics", "GET")
+      assert(ms == 200, s"GET /metrics must answer, got $ms")
+      val counts = body.stripPrefix("{").stripSuffix("}").split(",")
+        .map(_.split(":")).map(a => a(0).replace("\"", "") -> a(1).toLong).toMap
+      assert(counts("requests_total") == 2L, s"got $counts")
+      assert(counts("rejected_requests") == 1L, s"got $counts")
+      assert(counts("records_landed") == 3L, s"got $counts")
+      assert(counts("batches_total") >= 1L, s"got $counts")
+      assert(counts("documents_indexed") == 4L, s"got $counts")
+      assert(counts("documents_dead_lettered") == 1L, s"got $counts")
+      assert(counts("bulk_item_rejections") == 2L, s"got $counts")
+    } finally { ep.stop(); bulk.stop(0) }
+  }
+
   test("cleanSource=delete disposes of processed drop files once their batch commits") {
     val dropDir = tmp("fh-clean-drop")
     val outDir = tmp("fh-clean-out")
