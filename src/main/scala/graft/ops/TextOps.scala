@@ -439,8 +439,116 @@ object TextOps {
            |       ' +', ' ', 'g')) AS norm
            |FROM documents""".stripMargin))
 
+  /** The end-to-end near-dup pipeline a training corpus actually runs,
+    * composing the verified stages: normalize (NFC → lowercase → strip →
+    * collapse, the ns_text_normalize operator) → MinHash-LSH candidate
+    * generation over the normalized shingles (the ns_dedup_minhash
+    * shape: banded signatures, cap inside BoundedBucketAgg) →
+    * exact-Jaccard VERIFICATION of candidates only (the LSH promise:
+    * the expensive set comparison runs on the candidate set, never
+    * doc×doc — candidates join back to the distinct-shingle arrays by
+    * doc_id, two equi-joins on a pair set that is tiny relative to the
+    * corpus) → connected components over the verified edges (K rounds
+    * of min-label propagation, same contract as ns_dedup_cluster) →
+    * canonical keep (min doc_id per component).
+    *
+    * Every stage is the 100 TB shape established by its standalone
+    * operator; nothing here is quadratic and nothing collects. Exact
+    * duplicates ride the same path (identical norms share every band).
+    * Output: one row per document with its cluster label and whether a
+    * dedup'd corpus keeps it. */
+  val dedupPipelineOp = QueryDef(
+    "ns_dedup_pipeline", {
+      (s, dir) =>
+        val normCol = trim(regexp_replace(
+          regexp_replace(
+            lower(graft.expr.TextFunctions.nfc_normalize(col("text"))),
+            "[^a-z0-9 ]", ""),
+          " +", " "))
+        val base = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), normCol.as("norm"))
+        // distinct shingle sets for the verification stage
+        val sets = base
+          .select(col("doc_id"), array_distinct(shingles3(col("norm"))).as("sh"))
+          .filter(size(col("sh")) >= 1)
+        // MinHash-LSH candidates over the normalized shingles
+        val shing = base.select(col("doc_id"), explode(shingles3(col("norm"))).as("x"))
+        val withMh = shing.groupBy("doc_id").agg(
+          min(md5(concat(lit("0:"), col("x")))).as("mh0"),
+          (1 until nHashes).map(b =>
+            min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
+        val bands = withMh.select(
+          col("doc_id"),
+          posexplode(array((0 until nHashes / bandWidth).map { g =>
+            concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
+          }: _*)))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+        val cand = bands.groupBy("band", "sig")
+          .agg(graft.expr.TextFunctions.bounded_bucket(col("doc_id"), bandCap).as("ds"))
+          .filter(col("ds").isNotNull)
+          .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),
+            includeDiagonal = false)).as("p"))
+          .select(col("p.a").as("da"), col("p.b").as("db"))
+          .distinct()
+        // exact-Jaccard verify, candidates only
+        val ver = cand
+          .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), "da")
+          .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), "db")
+          .withColumn("o", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("na", size(col("sa")).cast("long"))
+          .withColumn("nb", size(col("sb")).cast("long"))
+          .filter(expr(s"CAST(o AS DOUBLE) / (na + nb - o) >= $ngramT"))
+          .select(col("da").as("src"), col("db").as("dst"))
+        minLabelPropagate(docs(s, dir).select(col("doc_id").as("node_id")), ver,
+            propagationRounds)
+          .select(col("node_id").as("doc_id"), col("label").as("cluster_id"),
+            (col("node_id") === col("label")).as("keep"))
+    },
+    Some {
+      val mhCols = (0 until nHashes).map { b =>
+        s"list_aggregate(list_transform(s, x -> md5(concat('$b:', x))), 'min') AS mh$b"
+      }.mkString(", ")
+      val bandSelects = (0 until nHashes / bandWidth).map { g =>
+        val sig = (0 until bandWidth).map(i => s"mh${g * bandWidth + i}").mkString("concat(", ", ", ")")
+        s"SELECT doc_id, $g AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      // the same K propagation rounds as the Spark side, in lockstep
+      // with `propagationRounds` (see ns_dedup_cluster's contract)
+      val rounds = (1 to propagationRounds).map { r =>
+        s"""l$r AS (SELECT node_id, min(label) AS label FROM (
+           |  SELECT node_id, label FROM l${r - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node_id, l${r - 1}.label FROM e JOIN l${r - 1} ON l${r - 1}.node_id = e.src
+           |) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents),
+         |toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM nrm),
+         |shl AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
+         |          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS s
+         |        FROM toks WHERE len(t) >= 3),
+         |d AS (SELECT doc_id, list_distinct(s) AS sh FROM shl),
+         |mh AS (SELECT doc_id, $mhCols FROM shl),
+         |bands0 AS ($bandSelects),
+         |bands AS (SELECT * FROM bands0
+         |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $bandCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |ver AS (SELECT da, db FROM (
+         |    SELECT cand.da, cand.db, len(list_intersect(x.sh, y.sh)) AS o,
+         |           len(x.sh) AS na, len(y.sh) AS nb
+         |    FROM cand JOIN d x ON x.doc_id = cand.da JOIN d y ON y.doc_id = cand.db)
+         |  WHERE CAST(o AS DOUBLE) / (na + nb - o) >= $ngramT),
+         |e AS (SELECT da AS src, db AS dst FROM ver UNION ALL SELECT db AS src, da AS dst FROM ver),
+         |l0 AS (SELECT doc_id AS node_id, doc_id AS label FROM documents),
+         |$rounds
+         |SELECT node_id AS doc_id, label AS cluster_id, node_id = label AS keep
+         |FROM l$propagationRounds""".stripMargin
+    })
+
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    sampleStratifiedOp, splitTrainTestOp, textNormalizeOp, dedupClusterOp)
+    sampleStratifiedOp, splitTrainTestOp, textNormalizeOp, dedupClusterOp,
+    dedupPipelineOp)
 }

@@ -113,4 +113,40 @@ class TextOpsSpec extends SparkSpec {
     val r2 = q(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
     assert(r1.nonEmpty && r1.sameElements(r2))
   }
+
+  test("dedup pipeline contract: exact dups cluster, normalization-only variants cluster, distinct docs keep") {
+    import spark.implicits._
+    val q = SparkEntry.queries("ns_dedup_pipeline")
+    val out = q(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    val byDoc = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // one row per document, keep ⟺ doc is its cluster's min label
+    assert(out.length == byDoc.size, "exactly one row per doc")
+    out.foreach { case (id, cl, keep) =>
+      assert(cl <= id, s"cluster label must be a min label, got $cl for $id")
+      assert(keep == (cl == id))
+    }
+    // the kept set is exactly one doc per cluster
+    val clusters = out.groupBy(_._2)
+    clusters.foreach { case (cl, members) =>
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cl)
+    }
+    // the corpus carries near-dups (ns_dedup_minhash finds candidate
+    // pairs on it) — some cluster must have >1 member
+    assert(clusters.exists(_._2.length > 1),
+      "corpus near-dups must produce at least one multi-member cluster")
+    // normalization-equal docs (case/punct-only variants, which include
+    // any exact duplicates) share every band and have J = 1 — they must
+    // cluster whenever the corpus has them
+    val variantGroups = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("n"))
+      .groupBy("n").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select("ids").as[Seq[Long]].collect()
+    variantGroups.foreach { ids =>
+      assert(ids.map(byDoc(_)._1).distinct.size == 1,
+        s"normalization-equal docs $ids must share a cluster")
+    }
+  }
 }
