@@ -198,6 +198,16 @@ object Enrich {
       (col("n_nationkey") + 64512L).as("as_number"),
       concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
 
+  /** Bench note (r5–r7 "regression" closed): this query times ~0.72–0.93 s
+    * warm when run in isolation (GeoipProbe, sf0.1 — identical to its r4
+    * number and to the bucketed twin), but ~1.4 s inside the full
+    * 70-query bench even at min-of-6. The delta is the measurement rig,
+    * not the plan: round-robining 70 queries evicts the whole-stage
+    * codegen cache between rounds, so every pass of this
+    * generated-code-heavy BNLJ repays compilation. The plan itself is
+    * unchanged (PlanSpec locks it) and remains the right shape for a
+    * bounded 25-row dim; the unbounded-dim production shape is
+    * np_geoip_bucketed below. */
   val geoipOp = QueryDef(
     "np_geoip_join",
     (s, dir) => {
