@@ -292,8 +292,97 @@ object Enrich {
         |       ELSE concat('{"m":"', method, '","d":"d', event_id % 10, '"}') END AS doc
         |FROM access_log""".stripMargin)))
 
+  /** The COMPOSED ingest pipeline (one-pipeline-to-rule-them-all routing
+    * + the full axway-ingest chain P0–P13) as one verifiable batch
+    * query: the same `IngestPipeline.enrich` the streaming service path
+    * runs (Serve/runHttp), driven over a flattened-documents frame
+    * synthesized from the access log — axway docs carry the access line
+    * as `{"text": ...}` (jsonOrText's wrap) plus the ssl/destination
+    * metadata the P3/P13 processors read; non-axway docs pass through
+    * with null enrichment. The oracle computes each processor's CLOSED
+    * FORM from the base columns (the per-processor oracles verify the
+    * mechanics; this one verifies the composition — routing, guard
+    * chaining, and the left geoip join's null propagation).
+    *
+    * Plan shape: ONE projection pass + ONE broadcast hash equi-join
+    * (bucketed geoip) — per-document cost identical at 1 or 1000
+    * executors; nothing shuffles. */
+  val ingestPipelineOp = QueryDef(
+    "np_ingest_pipeline", {
+      (s, dir) =>
+        val axway = col("loggroup").rlike("axway")
+        val msg = when(axway, to_json(struct(
+            col("line").as("text"),
+            struct(struct(struct(
+              col("protocol").as("protocol"),
+              expr("CASE WHEN event_id % 6 = 0 THEN '' ELSE 'ECDHE-RSA-AES128-GCM-SHA256' END").as("cipher"))
+              .as("ssl")).as("access")).as("apache"),
+            struct(expr("concat('dest', user_id % 10, '.example.com')").as("domain")).as("destination"))))
+          .otherwise(lit("""{"k":1}"""))
+        val docsFrame = al(s, dir).select(
+          col("event_id"), col("ts_ms").as("batch_ms"),
+          lit("r").as("requestId"), lit("").as("access_key"),
+          col("loggroup").as("logGroup"), lit("s").as("logStream"),
+          col("event_id").cast("string").as("event_ref"),
+          col("ts_ms").as("event_ms"), msg.as("message"))
+        // nation-derived dim shifted into the 203.0.0.0/24 source space:
+        // nation k owns 203.0.0.(10k..10k+9), so every axway doc's ip
+        // (user_id % 250) hits exactly one range
+        val dim = Tables.nation(s, dir).select(
+          (lit(3405774848L) + col("n_nationkey") * 10).as("ip_start"),
+          (lit(3405774848L) + col("n_nationkey") * 10 + 9).as("ip_end"),
+          col("n_name").as("geo_country"),
+          (col("n_nationkey") + 64512L).as("as_number"),
+          concat(lit("AS-ORG-"), col("n_nationkey")).as("organization_name"))
+        graft.streaming.IngestPipeline.enrich(docsFrame, Some(dim))
+          .select(
+            col("event_id"), col("pipeline"),
+            col("source_address"), col("user_name"), col("http_method"),
+            col("http_version"), col("status_code"), col("body_bytes"),
+            col("response_ms"), col("url_original"), col("url_path"),
+            col("url_query"), col("url_ext"), col("url_domain"),
+            col("event_kind"), col("event_category"), col("event_outcome"),
+            col("source_ip"), col("source_domain"),
+            col("event_created_ms"), col("event_ms"),
+            col("tls_cipher"), col("tls_version"), col("tls_version_protocol"),
+            col("geo_country"), col("as_number"), col("organization_name"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  CASE WHEN axway THEN 'axway-ingest' ELSE 'default' END AS pipeline,
+        |  CASE WHEN axway THEN ip END AS source_address,
+        |  CASE WHEN axway THEN usr END AS user_name,
+        |  CASE WHEN axway THEN method END AS http_method,
+        |  CASE WHEN axway THEN '1.1' END AS http_version,
+        |  CASE WHEN axway THEN CAST(status AS BIGINT) END AS status_code,
+        |  CASE WHEN axway THEN CAST(bytes AS BIGINT) END AS body_bytes,
+        |  CASE WHEN axway THEN CAST(rt_ms AS BIGINT) END AS response_ms,
+        |  CASE WHEN axway THEN url END AS url_original,
+        |  CASE WHEN axway THEN regexp_extract(url, '^([^?]*)', 1) END AS url_path,
+        |  CASE WHEN axway THEN nullif(regexp_extract(url, '\?(.*)$', 1), '') END AS url_query,
+        |  CASE WHEN axway THEN nullif(regexp_extract(regexp_extract(url, '^([^?]*)', 1), '\.([a-z0-9]+)$', 1), '') END AS url_ext,
+        |  CASE WHEN axway THEN concat('dest', user_id % 10, '.example.com') END AS url_domain,
+        |  CASE WHEN axway THEN 'event' END AS event_kind,
+        |  CASE WHEN axway THEN 'web' END AS event_category,
+        |  CASE WHEN axway THEN (CASE WHEN status < 400 THEN 'success' ELSE 'failure' END) END AS event_outcome,
+        |  CASE WHEN axway THEN ip END AS source_ip,
+        |  CAST(NULL AS VARCHAR) AS source_domain,
+        |  CASE WHEN axway THEN ts_ms END AS event_created_ms,
+        |  CASE WHEN axway THEN epoch_ms(strptime(httpdate, '%d/%b/%Y:%H:%M:%S %z')) ELSE ts_ms END AS event_ms,
+        |  CASE WHEN axway AND event_id % 6 <> 0 THEN 'ECDHE-RSA-AES128-GCM-SHA256' END AS tls_cipher,
+        |  CASE WHEN axway THEN
+        |    (CASE WHEN contains(string_split(lower(protocol), 'v')[2], '.')
+        |          THEN string_split(lower(protocol), 'v')[2]
+        |          ELSE concat(string_split(lower(protocol), 'v')[2], '.0') END) END AS tls_version,
+        |  CASE WHEN axway THEN string_split(lower(protocol), 'v')[1] END AS tls_version_protocol,
+        |  n_name AS geo_country,
+        |  CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
+        |  CASE WHEN n_nationkey IS NULL THEN NULL ELSE 'AS-ORG-' || n_nationkey END AS organization_name
+        |FROM (SELECT *, regexp_matches(loggroup, 'axway') AS axway FROM access_log) al
+        |LEFT JOIN nation ON al.axway AND n_nationkey = (user_id % 250) // 10""".stripMargin)))
+
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, tlsVersionOp,
-    dropNullFieldsOp)
+    dropNullFieldsOp, ingestPipelineOp)
 }
