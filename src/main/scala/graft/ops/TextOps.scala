@@ -499,8 +499,18 @@ object TextOps {
           .withColumn("nb", size(col("sb")).cast("long"))
           .filter(expr(s"CAST(o AS DOUBLE) / (na + nb - o) >= $ngramT"))
           .select(col("da").as("src"), col("db").as("dst"))
-        minLabelPropagate(docs(s, dir).select(col("doc_id").as("node_id")), ver,
-            propagationRounds)
+        // propagate only over edge-INCIDENT docs: near-dup edges touch a
+        // tiny fraction of a real corpus, so the K propagation shuffles
+        // run on |incident| rows, not |corpus|; untouched docs are
+        // singleton clusters by definition (label = own id) and union in
+        // with zero propagation cost. Same result, oracle unchanged.
+        val allDocs = docs(s, dir).select(col("doc_id").as("node_id"))
+        val incident = ver.select(col("src").as("node_id"))
+          .unionByName(ver.select(col("dst").as("node_id"))).distinct()
+        val propagated = minLabelPropagate(incident, ver, propagationRounds)
+        val singletons = allDocs.join(incident, Seq("node_id"), "left_anti")
+          .select(col("node_id"), col("node_id").as("label"))
+        propagated.unionByName(singletons)
           .select(col("node_id").as("doc_id"), col("label").as("cluster_id"),
             (col("node_id") === col("label")).as("keep"))
     },

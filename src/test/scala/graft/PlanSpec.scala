@@ -165,6 +165,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("np_ingest_pipeline: one broadcast hash join, no BNLJ, no required probe shuffle") {
+    val p = physical("np_ingest_pipeline")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the geoip stage must be the bucketed broadcast HASH join:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !nodes(p).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      s"the enrichment chain grew a non-broadcast join:\n$p")
+    // the whole chain is one projection pass + the broadcast join: the
+    // only permitted shuffle is Par.spread's explicit widening
+    val required = nodes(p).collect {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(required.isEmpty, s"per-document enrichment must not shuffle:\n$p")
+  }
+
+  test("ns_dedup_pipeline: no cartesian/BNLJ; verification joins only the candidate set") {
+    val p = physical("ns_dedup_pipeline")
+    assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes(p).exists(n => n.getClass.getSimpleName == "CartesianProductExec"),
+      s"the dedup pipeline must never go doc×doc:\n$p")
+    // candidate generation stays the group-by-bucket shape: the only
+    // equi-joins are verification (set fetch by doc id) and propagation
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"a buffering window crept into the dedup pipeline:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
