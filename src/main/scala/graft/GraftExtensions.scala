@@ -57,6 +57,27 @@ object GraftExtensions {
     v.toString
   }
 
+  /** Evaluate ordered_pairs' includeDiagonal argument at registration
+    * time: it shapes the expansion, so it must be a foldable non-null
+    * boolean — anything else gets a proper AnalysisException, not an
+    * unbound-reference error or a silent null→false unboxing. */
+  private def boolLiteral(e: Expression, fn: String, param: String): Boolean = {
+    if (!e.foldable || e.dataType != org.apache.spark.sql.types.BooleanType)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> "\"BOOLEAN\""))
+    e.eval(null) match {
+      case b: Boolean => b
+      case null =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INVALID_PARAMETER_VALUE.NULL",
+          messageParameters = Map(
+            "parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+    }
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "gunzip" -> (args => Gunzip(args.head)),
     "try_gunzip" -> (args => TryGunzip(args.head)),
@@ -74,7 +95,7 @@ object GraftExtensions {
     // ordered_pairs(ids, includeDiagonal): the diagonal flag shapes the
     // expansion, so it must be a boolean literal.
     "ordered_pairs" -> (args => OrderedPairs(args.head,
-      args(1).eval(null).asInstanceOf[Boolean])),
+      boolLiteral(args(1), "ordered_pairs", "includeDiagonal"))),
     "bmp_wrap" -> (args => BmpWrap(args(0), args(1), args(2))),
     "bmp_dims" -> (args => BmpDims(args.head)),
   )

@@ -53,7 +53,8 @@ object FirehoseEndpoint {
 
 final class FirehoseEndpoint(dropDir: String, port: Int = 0,
                              maxBodyBytes: Int = FirehoseEndpoint.defaultMaxBodyBytes,
-                             extraMetrics: () => Map[String, Long] = () => Map.empty) {
+                             extraMetrics: () => Map[String, Long] = () => Map.empty,
+                             accessLog: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong(0L)
@@ -110,6 +111,10 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
+    // structured access log, one line per request (the reference's
+    // ginzap middleware, main.go:209) — opt-in so test suites stay quiet
+    if (accessLog)
+      println(s"[firehose] ${ex.getRequestMethod} ${ex.getRequestURI} -> $status")
   }
 
   /** firehoseErrorBody (main.go:64–69): header-derived request id +

@@ -58,7 +58,7 @@ object Serve {
     val metrics = new ServiceMetrics(spark)
     val endpoint = sys.env.get("SPARK_GRAFT_HTTP_PORT")
       .map(p => new FirehoseEndpoint(args(0), p.toInt,
-        extraMetrics = () => metrics.snapshot))
+        extraMetrics = () => metrics.snapshot, accessLog = true))
     endpoint.foreach(e => println(s"[serve] firehose endpoint listening on ${e.url}"))
 
     // delete processed drop files after commit: the service's spool must
