@@ -171,6 +171,13 @@ object VectorSearch {
   private val lshBandBits = 4
   private val lshBands = lshBits / lshBandBits
   private val embDim = 64
+  // Bucket cap for the bounded aggregator (same role as minhash's
+  // bandCap): a (band, sig) bucket of n docs emits C(n,2) pairs, so one
+  // hot hyperplane cell can go quadratic at corpus scale; buckets over
+  // the cap are dropped whole, identically on both engines. Locally the
+  // max bucket is 51 (sf0.01) / 183 (sf0.1) < 400, so the cap is a pure
+  // plan bound, not a result change.
+  private val lshBucketCap = 400
 
   private def md5Hex(str: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -185,32 +192,47 @@ object VectorSearch {
       }
     }
 
+  /** Candidate generation in the MapReduce-LSH shape (one scan, group by
+    * (band, sig) bucket, emit each bucket's ordered pairs) — the same
+    * `BoundedBucketAgg` + `OrderedPairs` plan minhash/ngram use
+    * (TextOps). The self-join formulation this replaced replanned the
+    * signature subtree once per join side (measured on minhash: 4 full
+    * scans, neither ReuseExchange nor AQE deduplicates them); this is
+    * ONE corpus scan, one shuffle on (band, sig), one shuffle of the
+    * tiny pair set, with the cap enforced inside map-side partial
+    * aggregation (≤ cap+1 longs per bucket, constant memory). */
+  private[graft] def embeddingCandidates(s: SparkSession, dir: String): DataFrame = {
+    // The 16×64 quantized hyperplane dot products run in the native
+    // LshSignBits expression (graftshim) — a primitive loop inside
+    // whole-stage codegen. The HOF formulation
+    // (transform/zip_with/aggregate) is CodegenFallback and ran the
+    // stage interpreted; flat literal expansion of 1024 terms
+    // overflowed codegen method limits. Both measured slower.
+    val sigExprs = (0 until lshBands).map { b =>
+      s"named_struct('band', $b, 'sig', shiftright(bits, ${b * lshBandBits}) & ${(1 << lshBandBits) - 1})"
+    }.mkString("array(", ", ", ")")
+    val bands = embPar(s, dir)
+      .withColumn("bits",
+        graft.expr.VecFunctions.lsh_sign_bits(col("embedding"), lshW.map(_.toArray).toArray))
+      .select(col("vec_id"), explode(expr(sigExprs)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val buckets = bands.groupBy("band", "sig")
+      .agg(graft.expr.TextFunctions.bounded_bucket(col("vec_id"), lshBucketCap).as("ds"))
+      .filter(col("ds").isNotNull)
+    buckets
+      .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),
+        includeDiagonal = false)).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
+  }
+
   val dedupEmbeddingOp = QueryDef(
     "ns_dedup_embedding", {
       (s, dir) =>
-        // The 16×64 quantized hyperplane dot products run in the native
-        // LshSignBits expression (graftshim) — a primitive loop inside
-        // whole-stage codegen. The HOF formulation
-        // (transform/zip_with/aggregate) is CodegenFallback and ran the
-        // stage interpreted; flat literal expansion of 1024 terms
-        // overflowed codegen method limits. Both measured slower.
-        val sigExprs = (0 until lshBands).map { b =>
-          s"named_struct('band', $b, 'sig', shiftright(bits, ${b * lshBandBits}) & ${(1 << lshBandBits) - 1})"
-        }.mkString("array(", ", ", ")")
         val emb = Tables.embeddings(s, dir)
-        val bands = embPar(s, dir)
-          .withColumn("bits",
-            graft.expr.VecFunctions.lsh_sign_bits(col("embedding"), lshW.map(_.toArray).toArray))
-          .select(col("vec_id"), explode(expr(sigExprs)).as("bs"))
-          .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        // shuffle_hash: see TextOps — identical sides reuse one exchange.
-        val cand = bands.as("a").hint("shuffle_hash")
-          .join(bands.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
         // Candidates are sparse → join back to fetch vectors only for
         // pairs, instead of shuffling the 256-byte embedding ×bands.
-        cand
+        embeddingCandidates(s, dir)
           .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
           .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
           .select(col("vec_a"), col("vec_b"),
@@ -228,8 +250,10 @@ object VectorSearch {
            |sigs AS (SELECT vec_id, k // $lshBandBits AS band,
            |    CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END * (1 << (k % $lshBandBits))) AS BIGINT) AS sig
            |  FROM dots GROUP BY vec_id, k // $lshBandBits),
+           |capped AS (SELECT * FROM sigs
+           |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $lshBucketCap),
            |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+           |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b,
            |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_r
            |FROM cand JOIN embeddings ea ON ea.vec_id = vec_a

@@ -126,6 +126,25 @@ class PlanSpec extends SparkSpec {
       s"the band cap regressed to a buffering window:\n$p")
   }
 
+  test("ns_dedup_embedding candidates: single-scan bucket-pair plan, no self-join, no window") {
+    // The full query joins the (sparse) pair set back to embeddings to
+    // fetch vectors — that part is fine. Candidate GENERATION is the
+    // part that must never replan the LSH subtree per join side, so it
+    // is locked in isolation (same invariant as minhash/ngram above).
+    val df = ops.VectorSearch.embeddingCandidates(spark, sfDir)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    assert(scanCount(p) == 1, s"the LSH signature pipeline is computed more than once:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"candidate generation regressed to a join:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the bucket cap regressed to a buffering window:\n$p")
+  }
+
   test("ns_dedup_simhash is one map pass — no explode amplification, no shuffle") {
     val p = physical("ns_dedup_simhash")
     assert(!nodes(p).exists(_.isInstanceOf[GenerateExec]),
@@ -153,7 +172,8 @@ class PlanSpec extends SparkSpec {
         "ArrayAggregate", "CollectList", "LambdaFunction", "ArraySort",
         "NamedLambdaVariable"),
       "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
-      "ns_dedup_minhash" -> Set("BoundedBucketAgg"))
+      "ns_dedup_minhash" -> Set("BoundedBucketAgg"),
+      "ns_dedup_embedding" -> Set("BoundedBucketAgg"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
