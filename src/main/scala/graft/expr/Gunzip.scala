@@ -20,12 +20,27 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * below, so evaluation stays inside whole-stage codegen.
   */
 object GzipCodec {
+  /** Per-record inflation cap: a crafted "zero bomb" (a few KB of gzip
+    * expanding to GBs) would otherwise OOM an executor task mid-scan.
+    * max(64 MiB, 4× input) mirrors the HTTP body layer's guard
+    * (FirehoseEndpoint); past the cap strict `gunzip` throws IOException
+    * (→ the batch fails loudly) and `try_gunzip` yields null (→ the
+    * record dead-letters like any other corrupt payload). */
+  val maxInflateBytes: Long = 64L << 20
+
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val cap = math.max(maxInflateBytes, 4L * bytes.length)
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = new ByteArrayOutputStream(math.max(64, bytes.length * 4))
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap)
+        throw new java.io.IOException(
+          s"gunzip output exceeds inflation cap ($cap bytes for ${bytes.length} compressed)")
+      n = in.read(buf)
+    }
     in.close()
     out.toByteArray
   }

@@ -56,6 +56,22 @@ class GzipSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("inflation cap: a gzip zero-bomb throws in gunzip and nulls in try_gunzip") {
+    // ~80 MiB of zeros compress to ~80 KB; inflating would cross the
+    // 64 MiB cap, so strict gunzip aborts instead of OOMing the task
+    // and try_gunzip routes the record to dead-letter.
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val zeros = new Array[Byte](8192)
+    (1 to 10240).foreach(_ => gz.write(zeros))
+    gz.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < (1 << 20), "fixture must be small on the wire")
+    val ex = intercept[java.io.IOException](GzipCodec.gunzip(bomb))
+    assert(ex.getMessage.contains("inflation cap"))
+    assert(GzipCodec.tryGunzip(bomb) == null)
+  }
+
   test("try_gunzip: valid input round-trips, corrupt and null yield null (codegen path)") {
     import graft.expr.GzipFunctions.try_gunzip
     import spark.implicits._

@@ -266,6 +266,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gzip zero-bomb record dead-letters via the inflation cap, not an executor OOM") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/gz","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[
+        |{"id":"zb1","timestamp":1000,"message":"m1"}]}""".stripMargin
+    def wire(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(graft.expr.GzipCodec.gzip(s.getBytes("UTF-8")))
+    // valid gzip on the wire (passes the 1F8B sniff), ~80 KB compressed,
+    // ~80 MiB inflated — try_gunzip nulls it at the 64 MiB cap
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val zeros = new Array[Byte](8192)
+    (1 to 10240).foreach(_ => gz.write(zeros))
+    gz.close()
+    val bomb = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-bomb-sink")
+    in.addData((1L, 10L, wire(goodBody)), (2L, 20L, bomb))
+    val q = Pipeline.run(
+      in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-bomb-ckpt"), trigger = Trigger.AvailableNow())
+    try {
+      q.processAllAvailable()
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      assert(ok.select("event_ref").as[String].collect().toSeq == Seq("zb1"))
+      val err = spark.read.parquet(s"$outDir/ERROR")
+      assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
   test("mixed plain and gzip records in ONE batch all decode via per-record sniffing") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
