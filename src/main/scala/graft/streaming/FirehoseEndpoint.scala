@@ -89,15 +89,22 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
 
   // observability surface (reference main.go:216–217): handler counters
   // plus whatever the streaming side supplies (ServiceMetrics.snapshot —
-  // docs indexed / dead-lettered / bulk item rejections)
+  // docs indexed / dead-lettered / bulk item rejections). Default is the
+  // Prometheus text exposition (what the reference's k8s ServiceMonitor
+  // scrapes, deploy/manifest.yaml:132–153); JSON stays available under
+  // `Accept: application/json` or the explicit `/metrics.json` path.
   server.createContext("/metrics", (ex: HttpExchange) =>
-    if (ex.getRequestMethod == "GET")
-      respond(ex, 200, ServiceMetrics.renderJson(
-        Map(
-          "requests_total" -> requestsTotal.get(),
-          "rejected_requests" -> rejectedRequests.get(),
-          "records_landed" -> recordsLanded.get()) ++ extraMetrics()))
-    else respond(ex, 404, """{"error":"not found"}"""))
+    if (ex.getRequestMethod == "GET") {
+      val counts = Map(
+        "requests_total" -> requestsTotal.get(),
+        "rejected_requests" -> rejectedRequests.get(),
+        "records_landed" -> recordsLanded.get()) ++ extraMetrics()
+      val wantJson = ex.getRequestURI.getPath == "/metrics.json" ||
+        header(ex, "Accept").exists(_.contains("application/json"))
+      if (wantJson) respond(ex, 200, ServiceMetrics.renderJson(counts))
+      else respond(ex, 200, ServiceMetrics.renderPrometheus(counts),
+        ServiceMetrics.prometheusContentType)
+    } else respond(ex, 404, """{"error":"not found"}"""))
 
   server.start()
 
@@ -105,9 +112,10 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
   def url: String = s"http://127.0.0.1:$boundPort"
   def stop(): Unit = server.stop(0)
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, status: Int, body: String,
+                      contentType: String = "application/json; charset=utf-8"): Unit = {
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
@@ -175,16 +183,28 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
     // (main.go:109–113 + handler's errEncodingMismatch branch)
     val isGzip = raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b
     // inflation is capped at 4× the wire cap: a tiny gzip of zeros must
-    // not balloon into gigabytes on the ingest heap (decompression bomb)
+    // not balloon into gigabytes on the ingest heap (decompression bomb).
+    // Long arithmetic then clamp — 4 * maxBodyBytes would overflow Int
+    // past ~512 MiB, turning the cap negative and rejecting every body.
+    val inflateCap = math.min(Int.MaxValue.toLong, 4L * maxBodyBytes).toInt
+    var pastCap = false
     val bodyBytes =
       if (isGzip)
-        try readBounded(new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(raw)), 4 * maxBodyBytes)
-        catch { case _: java.io.IOException => null }
+        try {
+          val inflated = readBounded(new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw)), inflateCap)
+          if (inflated == null) pastCap = true // over the cap, not corrupt
+          inflated
+        } catch { case _: java.io.IOException => null }
       else if (contentEncoding == "gzip") null // claimed gzip, no magic: corrupt
       else raw
     if (bodyBytes == null) {
-      reject(ex, 400, errorBody(requestId, "Error parsing GZIP JSON request body")); return
+      if (pastCap)
+        reject(ex, 413, errorBody(requestId,
+          s"gzip request body inflates past $inflateCap bytes"))
+      else
+        reject(ex, 400, errorBody(requestId, "Error parsing GZIP JSON request body"))
+      return
     }
 
     // envelope unmarshal (incoming/firehose.go:21–29); malformed → 400

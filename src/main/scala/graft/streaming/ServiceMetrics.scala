@@ -53,4 +53,19 @@ object ServiceMetrics {
     counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+
+  /** Content type of the Prometheus text exposition format. */
+  val prometheusContentType = "text/plain; version=0.0.4; charset=utf-8"
+
+  /** Prometheus text exposition (version 0.0.4) of the counters — what
+    * an off-the-shelf Prometheus scrapes from `GET /metrics` (the
+    * reference mounts ginprom, main.go:216–217, and its k8s
+    * ServiceMonitor scrapes this format, deploy/manifest.yaml:132–153).
+    * Every counter gets the `graft_` namespace and the `_total` suffix
+    * the counter convention requires (not doubled when already there). */
+  def renderPrometheus(counts: Map[String, Long]): String =
+    counts.toSeq.sortBy(_._1).map { case (k, v) =>
+      val name = if (k.endsWith("_total")) s"graft_$k" else s"graft_${k}_total"
+      s"# TYPE $name counter\n$name $v\n"
+    }.mkString
 }

@@ -140,8 +140,13 @@ class FirehoseEndpointSpec extends SparkSpec {
       // the inflated payload
       val bomb = graft.expr.GzipCodec.gzip(Array.fill[Byte](1024 * 1024)('0'))
       assert(bomb.length < 2048, s"test bomb must fit the wire cap, was ${bomb.length}")
-      val (s2, _) = call(url, "POST", bomb, json + ("Content-Encoding" -> "gzip"))
-      assert(s2 == 400, s"inflated-past-cap body must be rejected, got $s2")
+      val (s2, b2) = call(url, "POST", bomb, json + ("Content-Encoding" -> "gzip"))
+      assert(s2 == 413, s"inflated-past-cap body must answer 413, got $s2")
+      assert(b2.contains("inflates past"), "413 must name the inflation cap, not a parse error")
+      // corrupt gzip (magic but garbage after) stays a 400 parse error
+      val corrupt = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4)
+      val (s2b, b2b) = call(url, "POST", corrupt, json + ("Content-Encoding" -> "gzip"))
+      assert(s2b == 400 && b2b.contains("Error parsing GZIP"))
       // a legal small batch still lands
       val (s3, _) = call(url, "POST",
         envelope("r", 1L, b64("""{"ok":1}""")).getBytes(UTF_8), json)
@@ -324,7 +329,10 @@ class FirehoseEndpointSpec extends SparkSpec {
         trigger = Trigger.AvailableNow(), metrics = Some(metrics))
       try q.processAllAvailable() finally q.stop()
 
-      val (ms, body) = call(s"${ep.url}/metrics", "GET")
+      // JSON stays available under Accept: application/json (and the
+      // /metrics.json alias tested below)
+      val (ms, body) = call(s"${ep.url}/metrics", "GET",
+        headers = Map("Accept" -> "application/json"))
       assert(ms == 200, s"GET /metrics must answer, got $ms")
       val counts = body.stripPrefix("{").stripSuffix("}").split(",")
         .map(_.split(":")).map(a => a(0).replace("\"", "") -> a(1).toLong).toMap
@@ -335,6 +343,28 @@ class FirehoseEndpointSpec extends SparkSpec {
       assert(counts("documents_indexed") == 4L, s"got $counts")
       assert(counts("documents_dead_lettered") == 1L, s"got $counts")
       assert(counts("bulk_item_rejections") == 2L, s"got $counts")
+
+      // default exposition is Prometheus text (version 0.0.4) — the
+      // format the reference's k8s ServiceMonitor scrapes (ginprom,
+      // main.go:216–217; deploy/manifest.yaml:132–153)
+      val (ps, ptext) = call(s"${ep.url}/metrics", "GET")
+      assert(ps == 200)
+      val promLines = ptext.split("\n")
+      val samples = promLines.filterNot(_.startsWith("#"))
+        .map(_.split(" ")).map(a => a(0) -> a(1).toLong).toMap
+      // every sample parses as <name> <long>, carries the graft_ prefix
+      // and the counter _total suffix, and has a # TYPE line
+      assert(samples.nonEmpty)
+      samples.keys.foreach { n =>
+        assert(n.startsWith("graft_") && n.endsWith("_total"), s"bad metric name $n")
+        assert(promLines.contains(s"# TYPE $n counter"), s"missing TYPE for $n")
+      }
+      assert(samples("graft_requests_total") == 2L, s"got $samples")
+      assert(samples("graft_documents_indexed_total") == 4L, s"got $samples")
+      assert(samples("graft_bulk_item_rejections_total") == 2L, s"got $samples")
+      // the /metrics.json alias answers JSON without the Accept header
+      val (js, jbody) = call(s"${ep.url}/metrics.json", "GET")
+      assert(js == 200 && jbody.startsWith("{") && jbody.contains("\"requests_total\":2"))
     } finally { ep.stop(); bulk.stop(0) }
   }
 
