@@ -277,10 +277,17 @@ object Pipeline {
     reader.json(dir)
   }
 
-  /** `run` with the HTTP `_bulk` transport as the SUCCESS channel:
-    * documents POST per partition to `esUrl` (HttpBulk), dead letters
+  /** `run` with the HTTP `_bulk` transport as the delivery channel:
+    * documents POST per partition to `esUrl` (HttpBulk) AND archive to
+    * `outDir/SUCCESS` parquet (Firehose S3BackupMode AllData,
+    * cloudformation-template.yaml:162–171 — delivered documents keep an
+    * archive copy, the replay store if the index is lost); dead letters
     * land in `outDir/ERROR`, per-item bulk rejections in
-    * `outDir/ERROR_ITEMS`. */
+    * `outDir/ERROR_ITEMS`. The archive runs first and is
+    * overwrite-idempotent, so even a permanently failing sink leaves a
+    * complete replay store, and bulk retries re-archive the same
+    * `batch=<id>` path instead of duplicating. Both writes read the one
+    * persisted decode (sinkBatch) — nothing re-inflates. */
   /** `authProvider` is re-read at every micro-batch flush (driver side):
     * the HTTP front-end captures X-Amz-Firehose-Access-Key per request
     * (reference main.go:321–324 builds the indexer per request), so the
@@ -300,11 +307,13 @@ object Pipeline {
               metrics: Option[ServiceMetrics] = None): StreamingQuery = {
     val effUrl = pipelineParam.fold(esUrl)(p =>
       esUrl + (if (esUrl.contains("?")) "&" else "?") + "pipeline=" + p)
+    val archive = channelWriter(s"$outDir/SUCCESS")
+    val bulk = HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
+      authProvider = authProvider,
+      rejectionCounter = metrics.map(_.bulkItemRejections))
     source.writeStream
       .foreachBatch(sinkBatch(
-        HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
-          authProvider = authProvider,
-          rejectionCounter = metrics.map(_.bulkItemRejections)),
+        (docs, batchId) => { archive(docs, batchId); bulk(docs, batchId) },
         channelWriter(s"$outDir/ERROR"),
         enrich, metrics = metrics) _)
       .trigger(trigger)

@@ -174,6 +174,15 @@ class HttpBulkSpec extends SparkSpec {
         assert(posted.contains(""""_id":"h1"""") && posted.contains(""""_id":"h2""""))
         val err = spark.read.parquet(s"$outDir/ERROR")
         assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
+        // AllData backup (cloudformation-template.yaml:162–171): every
+        // DELIVERED document also has an archive copy under SUCCESS/ —
+        // the replay store if the index is lost — same rows the stub
+        // endpoint received, minus the transport credential
+        val backup = spark.read.parquet(s"$outDir/SUCCESS")
+        assert(backup.select("event_ref").as[String].collect().sorted.toSeq
+          == Seq("h1", "h2"))
+        assert(!backup.columns.contains("access_key"),
+          "the sink credential must not land in the archive")
       } finally q.stop()
     } finally stub.stop()
   }
