@@ -132,12 +132,16 @@ object HttpBulk {
     * backoff inside the task; non-transient HTTP errors throw, failing
     * the micro-batch for checkpoint replay — the reference's
     * whole-batch-retry contract. */
+  /** `observeDocsAs` names an observe() node over the rendered lines
+    * (one per document), so documents_indexed rides the POST job itself
+    * — see ServiceMetrics. */
   def bulkWriter(url: String, index: String, errDir: String,
                  auth: Option[String] = None,
                  flushBytes: Int = defaultFlushBytes,
                  maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                  authProvider: () => Option[String] = () => None,
-                 rejectionCounter: Option[org.apache.spark.util.LongAccumulator] = None): (DataFrame, Long) => Unit =
+                 rejectionCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                 observeDocsAs: Option[String] = None): (DataFrame, Long) => Unit =
     (docs, batchId) => {
       val spark = docs.sparkSession
       import spark.implicits._
@@ -148,7 +152,10 @@ object HttpBulk {
       // access_key posts under `Basic <key>` (reference main.go:414,
       // 422–424 — per-request client, per-request credential).
       val effAuth = authProvider().orElse(auth)
-      val failed = Pipeline.toBulkNdjsonKeyed(docs, index)
+      val keyed = Pipeline.toBulkNdjsonKeyed(docs, index)
+      val failed = observeDocsAs
+        .fold(keyed)(n => keyed.observe(n, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows")))
         .as[(String, String)]
         .mapPartitions { rows =>
           chunksByKey(rows, flushBytes).flatMap { case (key, body) =>

@@ -165,14 +165,11 @@ object Pipeline {
         writeOk(enrich(flatten(d.filter(col("err").isNull))), batchId))
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
-      // channel totals count over the PERSISTED decode (projection-only
-      // jobs, no re-inflate) after both writes committed, so the
-      // counters never report a batch the sink rejected
-      metrics.foreach { m =>
-        m.batchesTotal.incrementAndGet()
-        m.documentsIndexed.addAndGet(flatten(d.filter(col("err").isNull)).count())
-        m.documentsDeadLettered.addAndGet(d.filter(col("err").isNotNull).count())
-      }
+      // channel totals ride the writes themselves: the writers attach
+      // observe() nodes (ServiceMetrics harvests them on action success)
+      // so a flush costs zero extra count() jobs and the counted frame
+      // is exactly the written one
+      metrics.foreach(_.batchesTotal.incrementAndGet())
     } finally d.unpersist()
   }
 
@@ -189,7 +186,11 @@ object Pipeline {
     * probe runs against sinkBatch's persisted decode, not a re-decode.
     * Readers of the channel directory see `batch` as a partition
     * column. */
-  def channelWriter(dir: String): (DataFrame, Long) => Unit =
+  /** `observeAs`: name an observe() node in the write plan so the row
+    * count rides the write action itself (harvested by ServiceMetrics'
+    * listener) — attached AFTER the emptiness probe, whose limit-1
+    * action must not feed the counter. */
+  def channelWriter(dir: String, observeAs: Option[String] = None): (DataFrame, Long) => Unit =
     (df0, batchId) => {
       // the access key is transport auth, not payload — a credential
       // must never land in the archived parquet channels
@@ -197,7 +198,8 @@ object Pipeline {
       val path = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
       val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(path) || !df.isEmpty)
-        df.write.mode("overwrite").parquet(path.toString)
+        observeAs.fold(df)(n => df.observe(n, count(lit(1)).as("rows")))
+          .write.mode("overwrite").parquet(path.toString)
     }
 
   /** Render a documents frame as OpenSearch `_bulk` NDJSON — one
@@ -246,8 +248,10 @@ object Pipeline {
           metrics: Option[ServiceMetrics] = None): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
-        channelWriter(s"$outDir/SUCCESS"),
-        channelWriter(s"$outDir/ERROR"),
+        channelWriter(s"$outDir/SUCCESS",
+          metrics.map(_ => ServiceMetrics.indexedMetric)),
+        channelWriter(s"$outDir/ERROR",
+          metrics.map(_ => ServiceMetrics.deadLetterMetric)),
         enrich, metrics = metrics) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -307,14 +311,19 @@ object Pipeline {
               metrics: Option[ServiceMetrics] = None): StreamingQuery = {
     val effUrl = pipelineParam.fold(esUrl)(p =>
       esUrl + (if (esUrl.contains("?")) "&" else "?") + "pipeline=" + p)
+    // the bulk POST counts documents_indexed (one observe in its lines
+    // plan); the archive writes the same rows unobserved — one count per
+    // delivered document, not two
     val archive = channelWriter(s"$outDir/SUCCESS")
     val bulk = HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
       authProvider = authProvider,
-      rejectionCounter = metrics.map(_.bulkItemRejections))
+      rejectionCounter = metrics.map(_.bulkItemRejections),
+      observeDocsAs = metrics.map(_ => ServiceMetrics.indexedMetric))
     source.writeStream
       .foreachBatch(sinkBatch(
         (docs, batchId) => { archive(docs, batchId); bulk(docs, batchId) },
-        channelWriter(s"$outDir/ERROR"),
+        channelWriter(s"$outDir/ERROR",
+          metrics.map(_ => ServiceMetrics.deadLetterMetric)),
         enrich, metrics = metrics) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

@@ -3,6 +3,8 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.util.LongAccumulator
 
 /** Service observability counters (reference main.go:216–217 mounts
@@ -10,15 +12,18 @@ import org.apache.spark.util.LongAccumulator
   * indexed/failed counters the k8s ServiceMonitor scrapes,
   * deploy/manifest.yaml:132–153).
   *
-  * Two kinds of counts, matching where the numbers are actually known:
-  *  - driver-side `AtomicLong`s for per-micro-batch channel totals
-  *    (computed over the persisted decode in `Pipeline.sinkBatch`, so
-  *    counting never re-inflates a record);
+  * Counting rides the work that already runs — never an extra job:
+  *  - channel totals come from `Dataset.observe` nodes the writers put
+  *    in their OWN write plans (CollectMetrics — codegen-friendly,
+  *    computed during the write action itself), harvested here by a
+  *    QueryExecutionListener. The counted frame is therefore exactly
+  *    the frame written (post-enrich, post-explode), and a micro-batch
+  *    costs zero additional `count()` jobs.
   *  - a Spark `LongAccumulator` for per-item bulk rejections, which only
   *    the executor-side POST sees (HttpBulk's OnFailure-equivalent,
-  *    reference main.go:566–571). Accumulator counts can over-count
-  *    under task retries — the standard Spark metrics trade, fine for
-  *    monitoring, never used for data.
+  *    reference main.go:566–571).
+  * Both kinds can over-count under task/batch replays — the standard
+  * Spark metrics trade, fine for monitoring, never used for data.
   *
   * Snapshot as JSON via `toJson` — FirehoseEndpoint serves it on
   * `GET /metrics`.
@@ -28,7 +33,7 @@ final class ServiceMetrics(spark: SparkSession) {
   /** Micro-batches flushed (one per foreachBatch invocation). */
   val batchesTotal = new AtomicLong(0L)
 
-  /** Documents routed to the delivery channel (post-explode rows). */
+  /** Documents written to the delivery channel (post-enrich rows). */
   val documentsIndexed = new AtomicLong(0L)
 
   /** Records dead-lettered to ERROR/ (undecodable / empty envelopes). */
@@ -38,16 +43,39 @@ final class ServiceMetrics(spark: SparkSession) {
   val bulkItemRejections: LongAccumulator =
     spark.sparkContext.longAccumulator("graft.bulk_item_rejections")
 
-  def snapshot: Map[String, Long] = Map(
-    "batches_total" -> batchesTotal.get(),
-    "documents_indexed" -> documentsIndexed.get(),
-    "documents_dead_lettered" -> documentsDeadLettered.get(),
-    "bulk_item_rejections" -> bulkItemRejections.value)
+  // Harvest the writers' observe() metrics. onSuccess only: a failed
+  // write retries (withRetry / checkpoint replay) and counts on the
+  // attempt that actually committed.
+  spark.listenerManager.register(new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      qe.observedMetrics.get(ServiceMetrics.indexedMetric)
+        .foreach(r => documentsIndexed.addAndGet(r.getLong(0)))
+      qe.observedMetrics.get(ServiceMetrics.deadLetterMetric)
+        .foreach(r => documentsDeadLettered.addAndGet(r.getLong(0)))
+    }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+  })
+
+  def snapshot: Map[String, Long] = {
+    // listener delivery is async on the shared bus; drain it so a
+    // /metrics scrape right after a committed batch sees its counts
+    org.apache.spark.sql.graftshim.Bridge.flushListenerBus(spark)
+    Map(
+      "batches_total" -> batchesTotal.get(),
+      "documents_indexed" -> documentsIndexed.get(),
+      "documents_dead_lettered" -> documentsDeadLettered.get(),
+      "bulk_item_rejections" -> bulkItemRejections.value)
+  }
 
   def toJson: String = ServiceMetrics.renderJson(snapshot)
 }
 
 object ServiceMetrics {
+  /** Observation names the channel writers attach and the listener
+    * harvests. */
+  val indexedMetric = "graft_documents_indexed"
+  val deadLetterMetric = "graft_documents_dead_lettered"
+
   /** Deterministic (key-sorted) flat JSON object of counters. */
   def renderJson(counts: Map[String, Long]): String =
     counts.toSeq.sortBy(_._1)

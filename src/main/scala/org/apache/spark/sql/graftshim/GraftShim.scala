@@ -24,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the shared async listener bus so QueryExecutionListener
+    * effects (ServiceMetrics' observed-metrics harvest) are visible to
+    * the caller — `listenerBus`/`waitUntilEmpty` are `private[spark]`,
+    * hence bridged here. */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
 
 /** Gzip decompress of BINARY — the reference gunzips each Firehose

@@ -316,6 +316,20 @@ class FirehoseEndpointSpec extends SparkSpec {
     val dropDir = tmp("fh-met-drop")
     val metrics = new ServiceMetrics(spark)
     val ep = new FirehoseEndpoint(dropDir, extraMetrics = () => metrics.snapshot)
+    // channel totals must ride the writes (observe + listener), never
+    // separate count() jobs per trigger — record every action name the
+    // session runs while the stream drains
+    val actionNames = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val recorder = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = actionNames.add(funcName)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(recorder)
     try {
       // one good batch (2 records → 4 docs, two of which the stub
       // rejects per-item), one garbage record, one rejected request
@@ -365,7 +379,11 @@ class FirehoseEndpointSpec extends SparkSpec {
       // the /metrics.json alias answers JSON without the Accept header
       val (js, jbody) = call(s"${ep.url}/metrics.json", "GET")
       assert(js == 200 && jbody.startsWith("{") && jbody.contains("\"requests_total\":2"))
-    } finally { ep.stop(); bulk.stop(0) }
+
+      // and none of those numbers came from an extra count() job
+      val counted = actionNames.toArray(Array.empty[String]).filter(_ == "count")
+      assert(counted.isEmpty, s"metrics must not run count() jobs, saw: $counted")
+    } finally { ep.stop(); bulk.stop(0); spark.listenerManager.unregister(recorder) }
   }
 
   test("cleanSource=delete disposes of processed drop files once their batch commits") {
