@@ -43,13 +43,15 @@ object IngestPipeline {
 
   /** Dotted IPv4 → long, codegen-friendly (split + 4 element_at, no
     * HOFs: a `aggregate()` here would knock the whole stage out of
-    * whole-stage codegen). Null for non-IP input. */
+    * whole-stage codegen). Null for non-IP input — including a
+    * digit-shaped non-IP like `999.1.1.1` that passes the `\d{1,3}`
+    * regex: ES's convert-to-IP fails such a value, so the long is
+    * nulled and geo enrich misses instead of matching a bogus range. */
   private def ipToLong(ip: Column): Column = {
     val p = split(ip, "\\.")
-    element_at(p, 1).cast("long") * 16777216L +
-      element_at(p, 2).cast("long") * 65536L +
-      element_at(p, 3).cast("long") * 256L +
-      element_at(p, 4).cast("long")
+    def oct(i: Int): Column = element_at(p, i).cast("long")
+    when(oct(1) <= 255 && oct(2) <= 255 && oct(3) <= 255 && oct(4) <= 255,
+      oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
   }
 
   /** The nation-derived synthetic geoip dim of the batch twins, for

@@ -109,6 +109,24 @@ class IngestPipelineSpec extends SparkSpec {
     assert(rows(1).getAs[String]("geo_country") == null)
   }
 
+  test("out-of-range octets (999.1.1.1) enrich to null geo, not a bogus range match") {
+    // passes the \d{1,3} source_ip regex but is not a valid IPv4: ES's
+    // convert-to-IP fails it, so ip_long nulls and the LEFT join misses.
+    // The dim range below would otherwise cover the bogus long had the
+    // first octet wrapped or been taken at face value.
+    val bogusLine = line.replace("203.0.0.7", "999.1.1.1")
+    import spark.implicits._
+    // covers 999*2^24 + 1*2^16 + 257 = 16760504577, where the bogus
+    // long would land if taken at face value
+    val wide = Seq((16760000000L, 16770000000L, "EVERYWHERE", 1L, "AS-ALL"))
+      .toDF("ip_start", "ip_end", "geo_country", "as_number", "organization_name")
+    val out = IngestPipeline.enrich(docs(
+      (9L, "/axway/x", s"""{"text":"${bogusLine.replace("\"", "\\\"")}"}""")),
+      Some(wide)).head()
+    assert(out.getAs[String]("source_ip") == "999.1.1.1", "regex still routes it as ip-shaped")
+    assert(out.getAs[String]("geo_country") == null, "invalid IPv4 must not geo-match")
+  }
+
   test("e2e: the service path enriches axway docs, passes others through, and stamps ?pipeline= on the bulk URL") {
     import java.net.{HttpURLConnection, InetSocketAddress, URL}
     import java.util.concurrent.ConcurrentLinkedQueue
