@@ -258,28 +258,14 @@ object Pipeline {
       .start()
 
   /** Offline file-drop source (SURVEY §2.1 S1): landed Firehose batches
-    * as JSON-lines files dropped into `dir` — the pluggable zero-egress
-    * stand-in for the Kinesis/HTTP push source, carrying the same
-    * (event_id, batch_ms, data) contract `run` consumes. The explicit
-    * schema avoids a blocking inference pass over the drop directory;
-    * maxFilesPerTrigger bounds per-micro-batch work so a backlog drains
-    * in steady flushes instead of one giant batch. */
-  /** `cleanSource` ("delete" or "archive") disposes of processed drop
-    * files after their batch commits — without it the spool directory
-    * grows one file per HTTP request forever and source listing slows
-    * with it. Off by default (tests and replay-from-scratch read the
-    * spool); Serve turns on "delete" for the long-running service. */
+    * as JSON-lines files dropped into `dir` — the zero-egress stand-in
+    * for the Kinesis/HTTP push source. One instance of the pluggable
+    * source seam: see `SourceConfig` for the envelope contract and the
+    * spool's knobs (maxFilesPerTrigger, cleanSource). */
   def fileDropSource(spark: SparkSession, dir: String,
                      maxFilesPerTrigger: Int = 16,
-                     cleanSource: Option[String] = None): DataFrame = {
-    val reader = spark.readStream
-      .schema(StructType.fromDDL(
-        "event_id BIGINT, batch_ms BIGINT, data STRING, request_id STRING, " +
-          "access_key STRING"))
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-    cleanSource.foreach(reader.option("cleanSource", _))
-    reader.json(dir)
-  }
+                     cleanSource: Option[String] = None): DataFrame =
+    SourceConfig.fileDrop(dir, maxFilesPerTrigger, cleanSource).open(spark)
 
   /** `run` with the HTTP `_bulk` transport as the delivery channel:
     * documents POST per partition to `esUrl` (HttpBulk) AND archive to

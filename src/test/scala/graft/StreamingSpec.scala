@@ -347,6 +347,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pluggable source seam: a SourceConfig-opened source drives the same e2e") {
+    import spark.implicits._
+    import graft.streaming.SourceConfig
+    val goodBody =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/seam","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[{"id":"sc1","timestamp":1000,"message":"m"}]}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(goodBody.getBytes("UTF-8"))
+    val dropDir = tmp("graft-seam")
+    Files.writeString(java.nio.file.Paths.get(dropDir, "batch-0001.json"),
+      s"""{"event_id":1,"batch_ms":10,"data":"$b64","request_id":"rq-s","access_key":""}""")
+    // a Kinesis connector would differ ONLY in this value: its format()
+    // and options mapped onto the same envelope schema
+    val seam = SourceConfig.fileDrop(dropDir)
+    assert(seam.schema == SourceConfig.schema)
+    val outDir = tmp("graft-seam-sink")
+    val q = Pipeline.run(seam.open(spark), outDir, tmp("graft-seam-ckpt"),
+      trigger = Trigger.AvailableNow())
+    try {
+      q.processAllAvailable()
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      assert(ok.select("event_ref").as[String].collect().toSeq == Seq("sc1"))
+      assert(ok.select("requestId").as[String].collect().toSeq == Seq("rq-s"))
+    } finally q.stop()
+  }
+
   test("zero-event envelope is observable in ERROR/, not silently dropped") {
     import spark.implicits._
     val empty =
