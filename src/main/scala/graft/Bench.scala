@@ -80,6 +80,14 @@ object Bench {
     val total = mins.collect { case (_, v) if v.isFinite => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The harvester keeps only the TAIL of stdout, and the full line above
+    // (71 queries × two maps) overflows that window — so the headline
+    // numbers repeat in a short FINAL line that always survives: total,
+    // query count, the ten slowest (the only per-query numbers a
+    // cross-round comparison needs), and failures.
+    val slowest = mins.filter(_._2.isFinite).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,8 +20,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    - `X-Amz-Firehose-Request-Id` header, empty → `"manual"`
   *      (main.go:260–266); the id is stamped on every document of the
   *      batch.
-  *    - `X-Amz-Firehose-Access-Key` header captured for sink Basic auth
-  *      (main.go:321–324, 414) — read it via `accessKey`.
+  *    - `X-Amz-Firehose-Access-Key` header stamped on every record of
+  *      the batch as the spool's `access_key` field (main.go:321–324,
+  *      414) — the sink posts each record under its own key, and a
+  *      keyless batch never inherits another request's credential.
   *    - content detect (dataDetect, main.go:74–121): Content-Type must
   *      be `application/json`, Content-Encoding empty or `gzip`, then
   *      the BODY's gzip magic decides the real encoding even when the
@@ -58,7 +60,6 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
 
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong(0L)
-  @volatile private var lastAccessKey: Option[String] = None
 
   // ingest-side counters for GET /metrics (reference main.go:216–217
   // mounts ginprom; these are the handler-level numbers it exports)
@@ -66,17 +67,16 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
   private val rejectedRequests = new AtomicLong(0L)
   private val recordsLanded = new AtomicLong(0L)
 
-  /** Last captured X-Amz-Firehose-Access-Key (base64 user:password per
-    * the reference's contract, main.go:230–231). The sink turns it into
-    * `Basic <key>` exactly like main.go:414. This is the FALLBACK auth
-    * for records that landed without a key; the isolating path is the
-    * per-record `access_key` spool field — the reference builds its ES
-    * client per request (main.go:422–424), so two tenants posting with
-    * different keys must each index under their own, not whichever
-    * arrived last. */
-  def accessKey: Option[String] = lastAccessKey
-
+  // The spool holds each record's access_key (transport credential) in
+  // plaintext until the stream consumes the file, so the drop dir is
+  // owner-only (0700; staged files land 0600 below). Retention is
+  // bounded by the source's cleanSource=delete option (fileDropSource
+  // sets it) — without it consumed spool files, credential included,
+  // would sit on disk indefinitely.
   Files.createDirectories(Paths.get(dropDir))
+  try Files.setPosixFilePermissions(Paths.get(dropDir),
+    java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+  catch { case _: UnsupportedOperationException => () } // non-POSIX FS
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4))
@@ -157,12 +157,12 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
     requestsTotal.incrementAndGet()
     // request-id extraction with the "manual" fallback (main.go:260–266)
     val requestId = header(ex, "X-Amz-Firehose-Request-Id").getOrElse("manual")
-    // access-key capture for sink auth (main.go:321–324): kept as the
-    // last-seen fallback AND stamped per record below, because the
-    // reference authenticates each batch with ITS OWN key (main.go:414,
-    // 422–424 build the indexer per request)
+    // access-key capture for sink auth (main.go:321–324): stamped per
+    // record below and ONLY per record — the reference authenticates
+    // each batch with ITS OWN key (main.go:414, 422–424 build the
+    // indexer per request), so no last-seen global that a keyless batch
+    // could inherit across tenants
     val batchKey = header(ex, "X-Amz-Firehose-Access-Key")
-    batchKey.foreach(k => lastAccessKey = Some(k))
 
     // dataDetect (main.go:74–121)
     val contentType = header(ex, "Content-Type").getOrElse("").split(";")(0).trim
@@ -242,6 +242,10 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
       val staged = Paths.get(dropDir, s".$name")
       try {
         Files.write(staged, sb.toString.getBytes(UTF_8))
+        // spool lines carry the access_key — owner-only like the dir
+        try Files.setPosixFilePermissions(staged,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
+        catch { case _: UnsupportedOperationException => () }
         Files.move(staged, Paths.get(dropDir, name), StandardCopyOption.ATOMIC_MOVE)
         recordsLanded.addAndGet(records.size().toLong)
       } catch {

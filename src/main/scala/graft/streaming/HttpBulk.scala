@@ -146,11 +146,14 @@ object HttpBulk {
       val spark = docs.sparkSession
       import spark.implicits._
       // resolved ONCE per micro-batch on the driver (the provider may
-      // close over non-serializable state, e.g. the HTTP front-end); the
-      // resolved Option[String] is what the partition closure captures.
-      // It is only the FALLBACK: a record that landed with its own
-      // access_key posts under `Basic <key>` (reference main.go:414,
-      // 422–424 — per-request client, per-request credential).
+      // close over non-serializable state, e.g. a rotating credential
+      // store); the resolved Option[String] is what the partition closure
+      // captures. It is only the STATIC fallback for records that landed
+      // with no access_key of their own — a keyed record posts under ITS
+      // key (reference main.go:414, 422–424 — per-request client,
+      // per-request credential), and a keyless record must never inherit
+      // another tenant's captured key, so never wire this to a
+      // last-seen-request credential.
       val effAuth = authProvider().orElse(auth)
       val keyed = Pipeline.toBulkNdjsonKeyed(docs, index)
       val failed = observeDocsAs

@@ -279,9 +279,12 @@ object Pipeline {
     * `batch=<id>` path instead of duplicating. Both writes read the one
     * persisted decode (sinkBatch) — nothing re-inflates. */
   /** `authProvider` is re-read at every micro-batch flush (driver side):
-    * the HTTP front-end captures X-Amz-Firehose-Access-Key per request
-    * (reference main.go:321–324 builds the indexer per request), so the
-    * sink follows a key change without a stream restart.
+    * a seam for rotating the STATIC fallback credential (config/secret
+    * store) without a stream restart. Per-tenant keys never come from
+    * here — each record carries its own access_key through the spool and
+    * posts under it (reference main.go:321–324, 422–424 build the
+    * indexer per request), and a keyless record falls back only to this
+    * static credential, never to another request's captured key.
     *
     * `pipelineParam` echoes the reference's per-request ingest-pipeline
     * binding (main.go:437 stamps `pipeline=<name>` on the bulk request)

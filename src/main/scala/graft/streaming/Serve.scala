@@ -80,8 +80,10 @@ object Serve {
     val query =
       if (args.length == 5)
         Pipeline.runHttp(source, args(3), args(4), args(1), args(2),
-          // "Basic " + key, exactly main.go:414's header construction
-          authProvider = () => endpoint.flatMap(_.accessKey).map("Basic " + _),
+          // No authProvider wiring: each record rides its own captured
+          // access_key to the sink ("Basic " + key, main.go:414), and a
+          // keyless record posts unauthenticated — inheriting the
+          // last-seen request's key would cross tenant credentials.
           trigger = trigger, enrich = enrich,
           pipelineParam = Some(pipelineName).filter(_ != "none"),
           metrics = Some(metrics))

@@ -154,14 +154,26 @@ class FirehoseEndpointSpec extends SparkSpec {
     } finally ep.stop()
   }
 
-  test("access key is captured for sink Basic auth (main.go:321–324)") {
-    val ep = new FirehoseEndpoint(tmp("fh-auth"))
+  test("access key is stamped per record in the spool, keyless records stamp empty (main.go:321–324)") {
+    val dir = tmp("fh-auth")
+    val ep = new FirehoseEndpoint(dir)
     try {
-      assert(ep.accessKey.isEmpty)
       call(s"${ep.url}/firehose", "POST",
         envelope("r", 1L, b64(cwBody("k"))).getBytes(UTF_8),
         json + ("X-Amz-Firehose-Access-Key" -> "Zmg6c2VjcmV0"))
-      assert(ep.accessKey.contains("Zmg6c2VjcmV0"))
+      call(s"${ep.url}/firehose", "POST",
+        envelope("r2", 2L, b64(cwBody("k2"))).getBytes(UTF_8), json)
+      val lines = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString).filter(_.endsWith(".json")).sorted
+        .flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines())
+      val keys = lines.map { l =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+        m.path("access_key").asText()
+      }.toSet
+      // the keyed batch's records carry THEIR key; the keyless batch's
+      // records carry "" (not the previously seen key) — no last-seen
+      // global exists to leak a credential across requests
+      assert(keys == Set("Zmg6c2VjcmV0", ""), s"got $keys")
     } finally ep.stop()
   }
 
@@ -228,12 +240,12 @@ class FirehoseEndpointSpec extends SparkSpec {
         envelope("r", 1L, b64(cwBody("s6"))).getBytes(UTF_8),
         json + ("X-Amz-Firehose-Access-Key" -> "dXNlcjpwdw=="))
       assert(s1 == 200)
-      // the service wiring Serve uses: authProvider re-reads the captured
-      // key per micro-batch and prefixes "Basic " (reference main.go:414)
+      // the service wiring Serve uses: no authProvider — the key rides
+      // each record through the spool and the sink prefixes "Basic "
+      // (reference main.go:414)
       val q = Pipeline.runHttp(
         Pipeline.fileDropSource(spark, dropDir), bulkUrl, "graft-docs",
         tmp("fh-s6-out"), tmp("fh-s6-ckpt"),
-        authProvider = () => ep.accessKey.map("Basic " + _),
         trigger = Trigger.AvailableNow())
       try q.processAllAvailable() finally q.stop()
       assert(auths.size > 0 && auths.toArray.toSet == Set("Basic dXNlcjpwdw=="),
@@ -262,24 +274,30 @@ class FirehoseEndpointSpec extends SparkSpec {
     val dropDir = tmp("fh-iso-drop")
     val ep = new FirehoseEndpoint(dropDir)
     try {
-      // two tenants POST with different access keys before one micro-batch
+      // two tenants POST with different access keys, then a KEYLESS
+      // batch, all before one micro-batch — the keyless batch must post
+      // unauthenticated, not under whichever tenant key arrived last
       val (s1, _) = call(s"${ep.url}/firehose", "POST",
         envelope("r1", 1L, b64(cwBody("ta"))).getBytes(UTF_8),
         json + ("X-Amz-Firehose-Access-Key" -> "a2V5QQ=="))
       val (s2, _) = call(s"${ep.url}/firehose", "POST",
         envelope("r2", 2L, b64(cwBody("tb"))).getBytes(UTF_8),
         json + ("X-Amz-Firehose-Access-Key" -> "a2V5Qg=="))
-      assert(s1 == 200 && s2 == 200)
+      val (s3, _) = call(s"${ep.url}/firehose", "POST",
+        envelope("r3", 3L, b64(cwBody("tc"))).getBytes(UTF_8), json)
+      assert(s1 == 200 && s2 == 200 && s3 == 200)
       val q = Pipeline.runHttp(
         Pipeline.fileDropSource(spark, dropDir), bulkUrl, "graft-docs",
         tmp("fh-iso-out"), tmp("fh-iso-ckpt"),
-        authProvider = () => ep.accessKey.map("Basic " + _),
         trigger = Trigger.AvailableNow())
       try q.processAllAvailable() finally q.stop()
       val byAuth = pairs.toArray(Array.empty[(String, String)])
         .groupBy(_._1).view.mapValues(_.map(_._2).mkString("\n")).toMap
-      assert(byAuth.keySet == Set("Basic a2V5QQ==", "Basic a2V5Qg=="),
-        s"one auth per tenant, got ${byAuth.keySet}")
+      assert(byAuth.keySet == Set("Basic a2V5QQ==", "Basic a2V5Qg==", ""),
+        s"one auth per tenant plus unauthenticated keyless, got ${byAuth.keySet}")
+      assert(byAuth("").contains(""""_id":"tc-1"""")
+        && !byAuth("").contains("\"_id\":\"ta") && !byAuth("").contains("\"_id\":\"tb"),
+        "the keyless batch must post unauthenticated, never under a tenant key")
       assert(byAuth("Basic a2V5QQ==").contains(""""_id":"ta-1"""")
         && !byAuth("Basic a2V5QQ==").contains("\"_id\":\"tb"),
         "tenant A's docs must post only under tenant A's key")
