@@ -170,6 +170,36 @@ object Decode {
            |                                'owner': user_id}}}) AS doc_json
            |FROM events""".stripMargin))
 
+  /** F7: re-marshal validity gate (reference main.go:533–536): every
+    * restructured document re-marshals to JSON and must parse back to an
+    * IDENTICAL struct before it may ship; the reference drops the batch
+    * when `json.Marshal` fails. On a schema-typed frame the gate is
+    * provably vacuous — a Spark struct always serializes (SURVEY §2.2
+    * records the no-op) — so running it is wire parity, and the oracle
+    * (all documents pass, rendering matches) is exactly what it asserts.
+    * The round-trip compares with null-safe struct equality, so a gate
+    * malfunction (dropped or mutated document) fails rows/hash. */
+  val remarshalOp = QueryDef(
+    "k2e_remarshal",
+    (s, dir) => {
+      val doc = struct(
+        lit("req-1").as("requestId"),
+        struct(struct(
+          concat(lit("/app/"), col("event_type")).as("logGroup"),
+          col("user_id").as("owner")).as("data")).as("records"))
+      val docs = Tables.events(s, dir).select(col("event_id"), doc.as("doc"))
+      val docType = docs.schema("doc").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      docs.withColumn("doc_json", to_json(col("doc")))
+        .filter(from_json(col("doc_json"), docType) <=> col("doc"))
+        .select(col("event_id"), col("doc_json"))
+    },
+    Some("""SELECT event_id,
+           |  to_json({'requestId': 'req-1',
+           |           'records': {'data': {'logGroup': concat('/app/', event_type),
+           |                                'owner': user_id}}}) AS doc_json
+           |FROM events""".stripMargin))
+
   /** F8: request-id propagation with the reference's "manual" fallback
     * for a missing X-Amz-Firehose-Request-Id (reference main.go:260–266). */
   val litRequestIdOp = QueryDef(
@@ -332,6 +362,6 @@ object Decode {
   def entries: Seq[QueryDef] = Seq(
     unbase64Op, gunzipOp, detectGzipOp, fromJsonOp, jsonOrTextOp,
     timestampMillisOp, explodeRecordsOp, explodeEventsOp, projectStructOp,
-    litRequestIdOp, deadletterOp, pipelineFlattenOp, pipelineGzipOp,
-    bodyGzipOp)
+    remarshalOp, litRequestIdOp, deadletterOp, pipelineFlattenOp,
+    pipelineGzipOp, bodyGzipOp)
 }

@@ -38,6 +38,26 @@ class DecodeSpec extends SparkSpec {
     assert(gz.exceptAll(plain).isEmpty && plain.exceptAll(gz).isEmpty)
   }
 
+  test("F7 remarshal gate: every typed document round-trips; a mutated rendering is dropped") {
+    import spark.implicits._
+    // the declared query: all documents pass the gate (reference
+    // main.go:533–536 — a document failing json.Marshal never ships)
+    val n = Tables.events(spark, sfDir).count()
+    assert(Decode.remarshalOp.fn(spark, sfDir).count() == n)
+    // and the gate is a real comparison, not a tautology: the same
+    // round-trip predicate over a rendering that does NOT match its
+    // struct rejects the row
+    val docs = Seq(("a", 1L), ("b", 2L)).toDF("logGroup", "owner")
+      .select(struct(col("logGroup"), col("owner")).as("doc"))
+    val docType = docs.schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val mutated = docs.withColumn("doc_json",
+      when(col("doc.owner") === 1L, lit("""{"logGroup":"a","owner":999}"""))
+        .otherwise(to_json(col("doc"))))
+    val kept = mutated.filter(from_json(col("doc_json"), docType) <=> col("doc"))
+    assert(kept.count() == 1 && kept.select("doc.owner").as[Long].head() == 2L)
+  }
+
   test("whole-body gzip binding: 2 records per request, payloads survive the wire") {
     val nEvents = Tables.events(spark, sfDir).count()
     val out = Decode.bodyGzipOp.fn(spark, sfDir)
