@@ -35,6 +35,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf, must land before the first session: the default
+      // 100-entry generated-class cache thrashes under 72 queries × a
+      // few codegen stages each — the r5 "geoip regression" was exactly
+      // this (isolated runs matched r4; only the full rig was slower).
+      // A service running this many distinct plans wants the same bump.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
