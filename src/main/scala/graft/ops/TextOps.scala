@@ -556,9 +556,105 @@ object TextOps {
          |FROM l$propagationRounds""".stripMargin
     })
 
+  /** Incremental corpus dedup — the shape continuous training-data
+    * ingestion actually runs: a NEW batch of documents (here the
+    * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
+    * crawler just delivered") deduped against the EXISTING corpus
+    * without ever pairing the corpus with itself. Candidates come from
+    * the same banded-MinHash buckets as ns_dedup_minhash, but the
+    * bucket aggregate keeps the sides SEPARATE — two `BoundedBucketAgg`
+    * lists per (band, sig), each side capped — and emits only
+    * new × corpus pairs, so the corpus × corpus bulk a full re-dedup
+    * pays is never generated: per batch the work is
+    * O(|new| + candidates), not O(|corpus|²). ONE signature pass
+    * computes both sides (side is a derived column, not a second
+    * plan); verification is exact Jaccard on candidates only
+    * (ns_dedup_pipeline's contract). Output: every new document with
+    * its canonical corpus duplicate (min doc_id) or null = genuinely
+    * new. At 100 TB the corpus side's band signatures come from a
+    * persisted signature table maintained by prior batches (the
+    * ns_similarity_ivf centroid-store pattern) instead of
+    * recomputation — candidate generation and verify are unchanged. */
+  val dedupIncrementalOp = QueryDef(
+    "ns_dedup_incremental", {
+      (s, dir) =>
+        val base = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_new"),
+            trim(col("text")).as("t"))
+        val sh = base.select(col("doc_id"), col("is_new"),
+          explode(shingles3(col("t"))).as("x"))
+        val withMh = sh.groupBy("doc_id", "is_new").agg(
+          min(md5(concat(lit("0:"), col("x")))).as("mh0"),
+          (1 until nHashes).map(b =>
+            min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
+        val bands = withMh.select(
+          col("doc_id"), col("is_new"),
+          posexplode(array((0 until nHashes / bandWidth).map { g =>
+            concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
+          }: _*)))
+          .select(col("doc_id"), col("is_new"), col("pos").as("band"), col("col").as("sig"))
+        val buckets = bands.groupBy("band", "sig").agg(
+          graft.expr.TextFunctions.bounded_bucket(
+            when(col("is_new"), col("doc_id")), bandCap).as("news"),
+          graft.expr.TextFunctions.bounded_bucket(
+            when(!col("is_new"), col("doc_id")), bandCap).as("olds"))
+          .filter(col("news").isNotNull && col("olds").isNotNull &&
+            size(col("news")) > 0 && size(col("olds")) > 0)
+        val cand = buckets
+          .select(explode(col("news")).as("new_id"), col("olds"))
+          .select(col("new_id"), explode(col("olds")).as("corpus_id"))
+          .distinct()
+        val sets = base
+          .select(col("doc_id"), array_distinct(shingles3(col("t"))).as("sh"))
+          .filter(size(col("sh")) >= 1)
+        val dups = cand
+          .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
+          .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sb")), "corpus_id")
+          .withColumn("o", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("na", size(col("sa")).cast("long"))
+          .withColumn("nb", size(col("sb")).cast("long"))
+          .filter(expr(s"CAST(o AS DOUBLE) / (na + nb - o) >= $ngramT"))
+          .groupBy("new_id").agg(min(col("corpus_id")).as("dup_of"))
+        base.filter(col("is_new")).select(col("doc_id"))
+          .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_unique"))
+    },
+    Some {
+      val mhCols = (0 until nHashes).map { b =>
+        s"list_aggregate(list_transform(s, x -> md5(concat('$b:', x))), 'min') AS mh$b"
+      }.mkString(", ")
+      val bandSelects = (0 until nHashes / bandWidth).map { g =>
+        val sig = (0 until bandWidth).map(i => s"mh${g * bandWidth + i}").mkString("concat(", ", ", ")")
+        s"SELECT doc_id, is_new, $g AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, doc_id % 5 = 0 AS is_new,
+         |        string_split(trim(text), ' ') AS t FROM documents),
+         |shl AS (SELECT doc_id, is_new, list_transform(generate_series(1, len(t)-2),
+         |          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS s
+         |        FROM toks WHERE len(t) >= 3),
+         |d AS (SELECT doc_id, list_distinct(s) AS sh FROM shl),
+         |mh AS (SELECT doc_id, is_new, $mhCols FROM shl),
+         |bands0 AS ($bandSelects),
+         |bands AS (SELECT * FROM bands0
+         |  QUALIFY count(CASE WHEN is_new THEN 1 END) OVER (PARTITION BY band, sig) <= $bandCap
+         |      AND count(CASE WHEN NOT is_new THEN 1 END) OVER (PARTITION BY band, sig) <= $bandCap),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+         |  FROM bands n JOIN bands o ON n.band = o.band AND n.sig = o.sig
+         |  WHERE n.is_new AND NOT o.is_new),
+         |dups AS (SELECT new_id, min(corpus_id) AS dup_of FROM (
+         |    SELECT cand.new_id, cand.corpus_id, len(list_intersect(x.sh, y.sh)) AS o,
+         |           len(x.sh) AS na, len(y.sh) AS nb
+         |    FROM cand JOIN d x ON x.doc_id = cand.new_id
+         |              JOIN d y ON y.doc_id = cand.corpus_id)
+         |  WHERE CAST(o AS DOUBLE) / (na + nb - o) >= $ngramT GROUP BY 1)
+         |SELECT t.doc_id, dups.dup_of, dups.dup_of IS NULL AS is_unique
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) t
+         |LEFT JOIN dups ON dups.new_id = t.doc_id""".stripMargin
+    })
+
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     sampleStratifiedOp, splitTrainTestOp, textNormalizeOp, dedupClusterOp,
-    dedupPipelineOp)
+    dedupPipelineOp, dedupIncrementalOp)
 }

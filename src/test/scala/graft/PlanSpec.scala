@@ -213,6 +213,15 @@ class PlanSpec extends SparkSpec {
       s"a buffering window crept into the dedup pipeline:\n$p")
   }
 
+  test("ns_dedup_incremental: no cartesian/BNLJ/window; candidates stay bucket-generated") {
+    val p = physical("ns_dedup_incremental")
+    assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes(p).exists(n => n.getClass.getSimpleName == "CartesianProductExec"),
+      s"incremental dedup must never go new×corpus all-pairs:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"a buffering window crept into incremental dedup:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism

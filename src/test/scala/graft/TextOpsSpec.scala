@@ -149,4 +149,41 @@ class TextOpsSpec extends SparkSpec {
         s"normalization-equal docs $ids must share a cluster")
     }
   }
+
+  test("incremental dedup contract: one row per new doc, dups point into the corpus, straddling exact dups flagged") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ns_dedup_incremental")(spark, sfDir)
+      .as[(Long, Option[Long], Boolean)].collect()
+    val byDoc = out.map(t => t._1 -> t).toMap
+    val nNew = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(out.length == nNew && byDoc.size == out.length,
+      "exactly one row per new-slice document")
+    out.foreach { case (id, dupOf, isUnique) =>
+      assert(id % 5 == 0, s"row for a non-new doc $id")
+      assert(isUnique == dupOf.isEmpty)
+      // only corpus docs can be canonical duplicates — never another
+      // new doc, never itself
+      dupOf.foreach(d => assert(d % 5 != 0 && d != id,
+        s"dup_of $d for $id must point into the corpus"))
+    }
+    // the corpus exercises the path at all
+    assert(out.exists(!_._3), "the slice must find at least one duplicate")
+    // identical-text pairs straddling the split have J = 1 and share
+    // every band — each such new doc must be flagged (a capped bucket
+    // could in principle drop one, but identical groups here are tiny)
+    val straddling = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .filter(size(split(col("t"), " ")) >= 3)
+      .groupBy("t").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select("ids").as[Seq[Long]].collect()
+      .filter(ids => ids.exists(_ % 5 == 0) && ids.exists(_ % 5 != 0))
+    straddling.foreach { ids =>
+      ids.filter(_ % 5 == 0).foreach { id =>
+        assert(byDoc(id)._2.nonEmpty,
+          s"new doc $id has an exact corpus twin in $ids and must be flagged")
+      }
+    }
+  }
 }
