@@ -97,5 +97,31 @@ object StreamOps {
            |SELECT g.stream, g.start_ms, g.end_ms, g.n, 'gap' AS closed_by
            |FROM g JOIN last ON g.stream = last.stream AND g.sid < last.maxsid""".stripMargin))
 
-  def entries: Seq[QueryDef] = Seq(tumblingOp, dedupOp, sessionOp, sessionizeOp)
+  /** Stream-stream attribution join (Pipeline.attributeJoin) in batch
+    * mode, where its semantics are exact: every purchase pairs with the
+    * same user's views from the preceding 30 minutes. The oracle is the
+    * equi-join + range-filter form the batch planner runs; the streaming
+    * suite drives the same transform through two MemoryStreams and
+    * asserts the watermark drops late rows. */
+  val streamJoinOp = QueryDef(
+    "ns_stream_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.Pipeline.attributeJoin(
+        ev.filter(col("event_type") === "view").select(
+          col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("view_ms")),
+        ev.filter(col("event_type") === "purchase").select(
+          col("user_id"), col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ms")),
+        windowMinutes = 30)
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, epoch_ms(ts) AS vms
+           |          FROM events WHERE event_type = 'view'),
+           |p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+           |      FROM events WHERE event_type = 'purchase')
+           |SELECT v.view_id, p.purchase_id
+           |FROM v JOIN p ON v.user_id = p.user_id
+           |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin))
+
+  def entries: Seq[QueryDef] = Seq(tumblingOp, dedupOp, sessionOp, sessionizeOp,
+    streamJoinOp)
 }

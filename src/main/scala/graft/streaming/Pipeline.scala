@@ -352,6 +352,35 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("logGroup"), col("n"))
 
+  /** Stream-stream attribution join: each purchase matches the same
+    * user's views within the preceding `windowMinutes`. Schemas:
+    * views(user_id, view_id, view_ms), purchases(user_id, purchase_id,
+    * purchase_ms). Both sides are watermarked and the range condition is
+    * on the EVENT-TIME columns, so the streaming symmetric hash join can
+    * expire state: a buffered view is dropped once the purchase-side
+    * watermark passes view_time + window — state tracks the attribution
+    * window's width, never the stream's history (the bounded-state
+    * requirement at 100 TB/day). A range condition on the raw ms longs
+    * instead would run with unbounded state. On batch frames the
+    * watermarks are no-ops and the same plan is an equi-join on user_id
+    * with a residual range filter — StreamOps.streamJoinOp oracle-checks
+    * that form. */
+  def attributeJoin(views: DataFrame, purchases: DataFrame,
+                    windowMinutes: Int = 30): DataFrame = {
+    val v = views
+      .withColumn("view_time", timestamp_millis(col("view_ms")))
+      .withWatermark("view_time", "10 minutes")
+    val p = purchases
+      .withColumnRenamed("user_id", "p_user_id")
+      .withColumn("purchase_time", timestamp_millis(col("purchase_ms")))
+      .withWatermark("purchase_time", "10 minutes")
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_time") >= col("view_time") &&
+        col("purchase_time") < col("view_time") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("view_id"), col("purchase_id"))
+  }
+
   /** Replay dedup on the upstream record id: Firehose redelivers whole
     * batches (at-least-once, cloudformation-template.yaml:160–161), so
     * duplicates share `event_ref`; the watermark bounds how long each id

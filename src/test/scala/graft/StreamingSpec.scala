@@ -73,6 +73,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: in-window views match, out-of-window and late ones don't") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Long)]    // user_id, view_id, view_ms
+    val purchases = MemoryStream[(Long, Long, Long)] // user_id, purchase_id, purchase_ms
+    val joined = Pipeline.attributeJoin(
+      views.toDF().toDF("user_id", "view_id", "view_ms"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ms"),
+      windowMinutes = 30)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_join_test").start()
+    // a realistic epoch base: an event AT exactly the initial watermark
+    // value (epoch 0) is dropped as late on the very first batch — real
+    // event times are always far past it
+    val B = 1600000000000L
+    try {
+      def pairs() = spark.table("attr_join_test")
+        .as[(Long, Long)].collect().toSet
+      // user 1 views at t=0; purchases at t=10min (in window), t=40min
+      // (past the 30-min window); user 2 purchases with no view
+      views.addData((1L, 100L, B))
+      purchases.addData((1L, 200L, B + 10 * 60000L), (1L, 201L, B + 40 * 60000L),
+        (2L, 202L, B + 5 * 60000L))
+      q.processAllAvailable()
+      assert(pairs() == Set((100L, 200L)),
+        s"only the in-window purchase attributes, got ${pairs()}")
+      // advance both watermarks hours ahead, then deliver a view far
+      // behind them: the runtime must drop it, not match purchase 201
+      views.addData((9L, 900L, B + 5 * H))
+      purchases.addData((9L, 901L, B + 5 * H + 60000L))
+      q.processAllAvailable()
+      views.addData((1L, 101L, B + 39 * 60000L)) // would match 201 if admitted
+      q.processAllAvailable()
+      assert(pairs() == Set((100L, 200L), (900L, 901L)),
+        "a view behind the watermark must be dropped, not joined")
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session inline; quiescence closes by timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
