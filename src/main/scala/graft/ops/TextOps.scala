@@ -556,6 +556,62 @@ object TextOps {
          |FROM l$propagationRounds""".stripMargin
     })
 
+  /** PII scrubbing for training corpora: redact email addresses, IPv4
+    * addresses, and SSN-shaped ids to placeholder tokens, and count the
+    * redactions per document — a pure codegen projection (regexp_replace
+    * + regexp_extract_all), zero shuffles, the same 100 TB posture as
+    * the other text ops. Patterns stay in the RE2-compatible subset
+    * (no lookaround) so Spark's Java regex and the oracle's RE2 agree.
+    * The synthetic corpus carries no PII, so the query PLANTS
+    * deterministic PII derived from doc_id before scrubbing — every
+    * row exercises the redaction path, and the word-salad text doubles
+    * as the false-positive control (n_pii must count only what was
+    * planted). */
+  val piiScrubOp = QueryDef(
+    "ns_text_pii_scrub", {
+      val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val ssnRx = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      (s, dir) =>
+        val planted = docs(s, dir).select(
+          col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0,
+              concat(lit("mail u"), col("doc_id").cast("string"),
+                lit("@example.com "))).otherwise(""),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("from 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0.7 "))).otherwise(""),
+            when(col("doc_id") % 5 === 0, lit("ssn 123-45-6789 ")).otherwise(""),
+            col("text")).as("raw"))
+        planted.select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            emailRx, "<EMAIL>"), ipRx, "<IP>"), ssnRx, "<ID>").as("scrubbed"),
+          (size(regexp_extract_all(col("raw"), lit(emailRx), lit(0))) +
+            size(regexp_extract_all(col("raw"), lit(ipRx), lit(0))) +
+            size(regexp_extract_all(col("raw"), lit(ssnRx), lit(0))))
+            .cast("long").as("n_pii"))
+    },
+    Some("""WITH planted AS (SELECT doc_id,
+           |  concat(
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN concat('mail u', CAST(doc_id AS VARCHAR), '@example.com ') ELSE '' END,
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN concat('from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.7 ') ELSE '' END,
+           |    CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END,
+           |    text) AS raw
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(raw,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS scrubbed,
+           |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |    + len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           |    + len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b')) AS n_pii
+           |FROM planted""".stripMargin))
+
   /** Incremental corpus dedup — the shape continuous training-data
     * ingestion actually runs: a NEW batch of documents (here the
     * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
@@ -656,5 +712,5 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     sampleStratifiedOp, splitTrainTestOp, textNormalizeOp, dedupClusterOp,
-    dedupPipelineOp, dedupIncrementalOp)
+    dedupPipelineOp, dedupIncrementalOp, piiScrubOp)
 }

@@ -150,6 +150,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub contract: planted pii redacts to placeholders, counts match the plant, no false positives") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ns_text_pii_scrub")(spark, sfDir)
+      .as[(Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, scrubbed, nPii) =>
+      val expected = (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0) +
+        (if (id % 5 == 0) 1 else 0)
+      assert(nPii == expected,
+        s"doc $id: counted $nPii, planted $expected — a false positive or miss")
+      assert(scrubbed.contains("<EMAIL>") == (id % 2 == 0))
+      assert(scrubbed.contains("<IP>") == (id % 3 == 0))
+      assert(scrubbed.contains("<ID>") == (id % 5 == 0))
+      assert(!scrubbed.contains("@") && !scrubbed.contains("example.com"),
+        s"doc $id: an email survived scrubbing")
+      assert(!scrubbed.matches(".*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"),
+        s"doc $id: an IPv4 survived scrubbing")
+    }
+  }
+
   test("incremental dedup contract: one row per new doc, dups point into the corpus, straddling exact dups flagged") {
     import spark.implicits._
     val out = SparkEntry.queries("ns_dedup_incremental")(spark, sfDir)
