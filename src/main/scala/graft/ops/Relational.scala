@@ -96,6 +96,25 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * an arbitrary set list ((flag, status), (status), ()) in ONE pass.
+    * Spark plans a single Expand + one shuffle for all three sets —
+    * never one scan per set — the same 100 TB shape as ns_cube. */
+  val groupingSetsAgg: QueryDef = q(
+    "ns_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${sqlSum(sqlCents("l_quantity"))} AS sum_qty_c
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin) {
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+  }
+
   /** Pivot: event counts per user bucket × event_type. The oracle uses
     * portable conditional aggregation (FILTER), which is exactly the
     * plan Spark lowers pivot to (one pass, no per-column scans). */
@@ -383,7 +402,7 @@ object Relational {
     None)
 
   def entries: Seq[QueryDef] = Seq(
-    aggHash, aggDistinct, rollupAgg, cubeAgg, pivotAgg, joinHash,
+    aggHash, aggDistinct, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
     aggPercentile, aggPercentileApprox, aggApproxDistinct)
