@@ -401,9 +401,29 @@ object Relational {
         count(lit(1)).as("n")),
     None)
 
+  /** Mergeable distinct-count sketches — the INCREMENTAL-stats shape at
+    * 100 TB: each ingestion batch aggregates its own DataSketches HLL
+    * per group (here: two deterministic halves standing in for two
+    * batches), the small sketch rows persist, and the corpus-wide
+    * distinct count is a union over sketches — history is never
+    * rescanned. Sketch registers under union of same-lgK sketches equal
+    * the direct single-pass build's exactly, so the two paths are
+    * estimate-IDENTICAL (SketchSpec asserts it), not merely close.
+    * Engine-specific binary → rows-only check, like the other two
+    * sketch twins. */
+  val aggSketchPartial: QueryDef = QueryDef(
+    "ns_agg_sketch_partial",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("half", col("event_id") % 2)
+      .groupBy("event_type", "half")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users")),
+    None)
+
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
-    aggPercentile, aggPercentileApprox, aggApproxDistinct)
+    aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial)
 }

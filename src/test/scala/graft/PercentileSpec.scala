@@ -53,6 +53,29 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch-merge twin: union of per-half sketches is estimate-identical to the direct build, and near-exact") {
+    import spark.implicits._
+    val merged = SparkEntry.queries("ns_agg_sketch_partial")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged.keySet == direct.keySet && merged.keySet == exact.keySet)
+    merged.foreach { case (k, est) =>
+      // same-lgK union takes the register-wise max, which is exactly the
+      // single-pass build's registers — equality, not approximation
+      assert(est == direct(k),
+        s"$k: merged estimate $est != direct ${direct(k)} — union is not lossless")
+      // and the sketch itself honors its error bound vs the exact count
+      assert(math.abs(est - exact(k)) <= math.max(3.0, 0.05 * exact(k)),
+        s"$k: estimate $est too far from exact ${exact(k)}")
+    }
+  }
+
   test("grok_struct rejects non-foldable and null literal args with an analysis error") {
     import spark.implicits._
     GraftExtensions.install(spark)
