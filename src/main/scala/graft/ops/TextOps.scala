@@ -35,6 +35,33 @@ object TextOps {
     graft.Cols.column(org.apache.spark.sql.graftshim.WordShingles3(
       graft.Cols.expr(text)))
 
+  /** Banded MinHash signatures of `textCol`: one row per (id, band,
+    * sig), the candidate-generation key shared by the batch dedup ops
+    * and the streaming incremental dedup (streaming/DedupStream).
+    * Same scheme as ns_dedup_minhash: `nHashes` min-hashes over word
+    * 3-shingles, banded `nHashes/bandWidth` × `bandWidth`. Documents
+    * with fewer than 3 tokens produce no rows. */
+  private[graft] def bandSignatures(df: DataFrame, idCol: String,
+                                    textCol: String): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles3(trim(col(textCol)))).as("x"))
+    val withMh = sh.groupBy(idCol).agg(
+      min(md5(concat(lit("0:"), col("x")))).as("mh0"),
+      (1 until nHashes).map(b =>
+        min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
+    withMh.select(
+      col(idCol),
+      posexplode(array((0 until nHashes / bandWidth).map { g =>
+        concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
+      }: _*)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("sig"))
+  }
+
+  /** Distinct shingle sets for exact-Jaccard verification: (id, sh). */
+  private[graft] def shingleSets(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    df.select(col(idCol), array_distinct(shingles3(trim(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) >= 1)
+
   /** Exact dedup: hash-groupBy on normalized text (map-side combine →
     * one shuffle on the 128-bit key). */
   val dedupExactOp = QueryDef(

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DedupStream
+
+/** Streaming incremental dedup semantics: cross-batch dups flag against
+  * the persisted store, within-batch dups flag against the smaller id,
+  * and only uniques extend the store. */
+class DedupStreamSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("cross-batch and within-batch near-dups flag; only uniques extend the store") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tB = "spark plans a single expand and one shuffle for all sets"
+    val tC = "completely different words live in this third document here"
+    val in = MemoryStream[(Long, String)]
+    val storeDir = tmp("dds-store")
+    val outDir = tmp("dds-out")
+    val q = DedupStream.run(in.toDF().toDF("doc_id", "text"),
+      storeDir, outDir, tmp("dds-ckpt"))
+    def results() = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("dup_of"), col("is_unique"))
+      .as[(Long, Option[Long], Boolean)].collect().map(t => t._1 -> t).toMap
+
+    // batch 0: two distinct docs — both unique
+    in.addData((1L, tA), (2L, tB))
+    q.processAllAvailable()
+    assert(results().values.forall(_._3), s"batch 0 must be all unique: ${results()}")
+
+    // batch 1: 3 = copy of 1 (cross-batch), 4 = new, 5 = copy of 4
+    // (within-batch, larger id loses)
+    in.addData((3L, tA), (4L, tC), (5L, tC))
+    q.processAllAvailable()
+    val r = results()
+    assert(r(3L)._2.contains(1L) && !r(3L)._3, s"3 must dup against stored 1: $r")
+    assert(r(4L)._2.isEmpty && r(4L)._3, s"4 is genuinely new: $r")
+    assert(r(5L)._2.contains(4L) && !r(5L)._3, s"5 must dup against in-batch 4: $r")
+
+    // the store holds signatures for uniques only: 1, 2, 4
+    val stored = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(stored == Set(1L, 2L, 4L),
+      s"only uniques extend the corpus store, got $stored")
+
+    // batch 2: a copy of the DUP'd text still flags against the
+    // canonical stored doc (5 never entered the store)
+    in.addData((6L, tC))
+    q.processAllAvailable()
+    assert(results()(6L)._2.contains(4L), s"6 must dup against canonical 4: ${results()}")
+    q.stop()
+  }
+}
