@@ -26,4 +26,10 @@ object TextFunctions {
   def bounded_bucket(ids: Column, cap: Int): Column =
     Cols.column(org.apache.spark.sql.graftshim.BoundedBucketAgg(
       Cols.expr(ids), cap).toAggregateExpression())
+
+  /** All n MinHash signatures of a shingle array in one map pass — no
+    * explode, no per-doc aggregation, no shuffle (null on empty). */
+  def minhash_sigs(shingles: Column, n: Int): Column =
+    Cols.column(org.apache.spark.sql.graftshim.MinHashSigs(
+      Cols.expr(shingles), n))
 }

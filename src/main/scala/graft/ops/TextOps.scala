@@ -38,22 +38,35 @@ object TextOps {
   /** Banded MinHash signatures of `textCol`: one row per (id, band,
     * sig), the candidate-generation key shared by the batch dedup ops
     * and the streaming incremental dedup (streaming/DedupStream).
-    * Same scheme as ns_dedup_minhash: `nHashes` min-hashes over word
-    * 3-shingles, banded `nHashes/bandWidth` × `bandWidth`. Documents
-    * with fewer than 3 tokens produce no rows. */
+    * Same scheme (and bit-identical values) as the definitional
+    * explode → groupBy(doc) → min(md5('b:'||x)) form the oracle
+    * computes: `nHashes` min-hashes over word 3-shingles, banded
+    * `nHashes/bandWidth` × `bandWidth` — but via the native
+    * `MinHashSigs` expression, ONE codegen map pass from document to
+    * signature vector: no shingle-row amplification through a shuffle,
+    * no per-document aggregation. The only remaining exploded rows are
+    * the nHashes/bandWidth band keys per document. Documents with
+    * fewer than 3 tokens produce no rows. */
   private[graft] def bandSignatures(df: DataFrame, idCol: String,
                                     textCol: String): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles3(trim(col(textCol)))).as("x"))
-    val withMh = sh.groupBy(idCol).agg(
-      min(md5(concat(lit("0:"), col("x")))).as("mh0"),
-      (1 until nHashes).map(b =>
-        min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
+    // No isNotNull filter on `mh`: Catalyst pushes such a predicate
+    // below the Project, DUPLICATING the minhash_sigs call into the
+    // filter (and the scan's DataFilters) — every signature computed
+    // twice (measured 2.7×). A null vector instead rides into the band
+    // concat, which nulls every sig, and the null-sig filter sits ABOVE
+    // the Generate, where it cannot be pushed into a recomputation.
+    val withMh = df.select(
+      col(idCol),
+      graft.expr.TextFunctions.minhash_sigs(
+        shingles3(trim(col(textCol))), nHashes).as("mh"))
     withMh.select(
       col(idCol),
       posexplode(array((0 until nHashes / bandWidth).map { g =>
-        concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
+        concat((0 until bandWidth).map(i =>
+          col("mh").getItem(g * bandWidth + i)): _*)
       }: _*)))
       .select(col(idCol), col("pos").as("band"), col("col").as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Distinct shingle sets for exact-Jaccard verification: (id, sh). */
@@ -88,23 +101,14 @@ object TextOps {
   val dedupMinhashOp = QueryDef(
     "ns_dedup_minhash", {
       (s, dir) =>
-        // explode shingles then min-agg the 8 hashes per doc: md5/min are
-        // codegen'd, where array_min(transform(...)) would run the whole
-        // stage interpreted (see shingles3). Par.spread spreads the
-        // shingle scan across cores AND pre-clusters by doc_id so the
-        // groupBy below inserts no second shuffle.
-        val sh = Par.spread(s, docs(s, dir), col("doc_id"))
-          .select(col("doc_id"), explode(shingles3(trim(col("text")))).as("x"))
-        val withMh = sh.groupBy("doc_id").agg(
-          min(md5(concat(lit("0:"), col("x")))).as("mh0"),
-          (1 until nHashes).map(b =>
-            min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
-        val bands0 = withMh.select(
-          col("doc_id"),
-          posexplode(array((0 until nHashes / bandWidth).map { g =>
-            concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
-          }: _*)))
-          .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+        // signatures via the native MinHashSigs map pass (r8): document
+        // → signature vector with no shingle explode and no per-doc
+        // aggregation — the r7 explode/groupBy form cost a corpus-wide
+        // clustering shuffle before candidate generation. Par.spread
+        // still widens a narrow scan for local parallelism (passthrough
+        // on a many-split scan at scale).
+        val bands0 = bandSignatures(
+          Par.spread(s, docs(s, dir), col("doc_id")), "doc_id", "text")
         // Candidate generation in the MapReduce-LSH shape (group by
         // bucket, emit the bucket's pairs) instead of a self-join: the
         // join formulation plans the minhash subtree once per join side
@@ -498,18 +502,9 @@ object TextOps {
         val sets = base
           .select(col("doc_id"), array_distinct(shingles3(col("norm"))).as("sh"))
           .filter(size(col("sh")) >= 1)
-        // MinHash-LSH candidates over the normalized shingles
-        val shing = base.select(col("doc_id"), explode(shingles3(col("norm"))).as("x"))
-        val withMh = shing.groupBy("doc_id").agg(
-          min(md5(concat(lit("0:"), col("x")))).as("mh0"),
-          (1 until nHashes).map(b =>
-            min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
-        val bands = withMh.select(
-          col("doc_id"),
-          posexplode(array((0 until nHashes / bandWidth).map { g =>
-            concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
-          }: _*)))
-          .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+        // MinHash-LSH candidates over the normalized shingles — the
+        // native MinHashSigs map pass (r8), no explode/groupBy shuffle
+        val bands = bandSignatures(base, "doc_id", "norm")
         val cand = bands.groupBy("band", "sig")
           .agg(graft.expr.TextFunctions.bounded_bucket(col("doc_id"), bandCap).as("ds"))
           .filter(col("ds").isNotNull)
@@ -664,18 +659,10 @@ object TextOps {
         val base = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_new"),
             trim(col("text")).as("t"))
-        val sh = base.select(col("doc_id"), col("is_new"),
-          explode(shingles3(col("t"))).as("x"))
-        val withMh = sh.groupBy("doc_id", "is_new").agg(
-          min(md5(concat(lit("0:"), col("x")))).as("mh0"),
-          (1 until nHashes).map(b =>
-            min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
-        val bands = withMh.select(
-          col("doc_id"), col("is_new"),
-          posexplode(array((0 until nHashes / bandWidth).map { g =>
-            concat((0 until bandWidth).map(i => col(s"mh${g * bandWidth + i}")): _*)
-          }: _*)))
-          .select(col("doc_id"), col("is_new"), col("pos").as("band"), col("col").as("sig"))
+        // native MinHashSigs map pass (r8); the side tag re-derives from
+        // the id, so the shared signature helper needs no extra column
+        val bands = bandSignatures(base, "doc_id", "t")
+          .withColumn("is_new", col("doc_id") % 5 === 0)
         val buckets = bands.groupBy("band", "sig").agg(
           graft.expr.TextFunctions.bounded_bucket(
             when(col("is_new"), col("doc_id")), bandCap).as("news"),

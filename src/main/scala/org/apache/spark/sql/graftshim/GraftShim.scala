@@ -235,6 +235,91 @@ object ShingleHelper {
   }
 }
 
+/** All `n` MinHash signatures of a shingle array in ONE map pass:
+  * element b = lexicographic min over shingles x of md5hex(b + ":" + x)
+  * — bit-identical to the definitional explode → groupBy(doc) →
+  * min(md5(concat(lit("b:"), x))) per b, but with no row amplification,
+  * no per-document aggregation, and therefore NO shuffle: the corpus
+  * scan maps straight to signatures. (The explode form costs a
+  * corpus-wide repartition/combine even with map-side aggregation; at
+  * 100 TB that is shuffling the whole corpus once before candidate
+  * generation.) Lowercase-hex lexicographic min equals unsigned byte
+  * order, matching UTF8String string ordering exactly. An empty
+  * shingle array yields NULL — mirroring the explode form, where a
+  * shingle-less document simply has no rows and drops out. */
+case class MinHashSigs(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashHelper.sigs(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = org.apache.spark.sql.graftshim.MinHashHelper.sigs($c, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashHelper {
+  private val hexDigits = "0123456789abcdef".getBytes
+  // one digest per executor thread: MessageDigest.getInstance walks the
+  // JCA provider table under a lock — per-document calls serialize a
+  // 32-thread stage on it
+  private val localMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val cachedPrefixes: Array[Array[Byte]] =
+    (0 until 64).map(b => (b.toString + ":").getBytes).toArray
+  def sigs(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return null
+    val md = localMd.get()
+    val prefixes =
+      if (n <= 64) cachedPrefixes
+      else (0 until n).map(b => (b.toString + ":").getBytes).toArray
+    var b = 0
+    val mins = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < m) {
+      val sBytes = arr.getUTF8String(i).getBytes
+      b = 0
+      while (b < n) {
+        md.reset()
+        md.update(prefixes(b))
+        md.update(sBytes)
+        val dig = md.digest()
+        val hex = new Array[Byte](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = hexDigits((dig(j) >> 4) & 0xf)
+          hex(2 * j + 1) = hexDigits(dig(j) & 0xf)
+          j += 1
+        }
+        if (mins(b) == null || lexLt(hex, mins(b))) mins(b) = hex
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    b = 0
+    while (b < n) { out(b) = UTF8String.fromBytes(mins(b)); b += 1 }
+    new GenericArrayData(out)
+  }
+  private def lexLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return (a(i) & 0xff) < (b(i) & 0xff)
+      i += 1
+    }
+    false
+  }
+}
+
 /** Primitive growable long buffer for BoundedBucketAgg: true count
   * tracked separately from the ≤ cap+1 retained values. */
 final class BucketBuf(var n: Long, var arr: Array[Long], var len: Int) {

@@ -104,6 +104,38 @@ class ExprSpec extends SparkSpec {
     assert(r.getInt(4) == 5)
   }
 
+  test("minhash_sigs equals the definitional explode/groupBy/min(md5) form bit-for-bit") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val n = 8
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.shingles3(trim(col("text"))).as("sh"))
+    val native = base
+      .select(col("doc_id"),
+        graft.expr.TextFunctions.minhash_sigs(col("sh"), n).as("mh"))
+      .filter(col("mh").isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    val definitional = base
+      .select(col("doc_id"), explode(col("sh")).as("x"))
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("x")))).as("mh0"),
+        (1 until n).map(b =>
+          min(md5(concat(lit(s"$b:"), col("x")))).as(s"mh$b")): _*)
+      .as[(Long, String, String, String, String, String, String, String, String)]
+      .collect().map(t => t._1 -> Seq(t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9))
+      .toMap
+    assert(native.keySet == definitional.keySet, "shingle-less docs must drop from both")
+    assert(native.nonEmpty)
+    native.foreach { case (id, mh) =>
+      assert(mh == definitional(id), s"doc $id: $mh != ${definitional(id)}")
+    }
+    // empty shingle array → null, not an empty signature
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(graft.expr.TextFunctions.minhash_sigs(col("sh"), n).as("mh"))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("lsh_sign_bits equals the SQL HOF formulation on real embeddings") {
     import graft.expr.VecFunctions.lsh_sign_bits
     // 3 hyperplanes incl. a sign-sensitive edge (all-negative weights).
