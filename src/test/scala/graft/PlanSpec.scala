@@ -124,6 +124,15 @@ class PlanSpec extends SparkSpec {
       s"candidate generation regressed to a join:\n$p")
     assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
       s"the band cap regressed to a buffering window:\n$p")
+    // the signature expression must appear EXACTLY once: a filter on
+    // the signature column itself (e.g. isNotNull on `mh`) gets pushed
+    // below the Project and duplicates the whole minhash computation
+    // into the filter and the scan's DataFilters (measured 2.7×) — the
+    // shingle-less-doc filter belongs above the band Generate, on `sig`
+    val occurrences = p.toString.sliding("minhash_sigs".length)
+      .count(_ == "minhash_sigs")
+    assert(occurrences == 1,
+      s"minhash_sigs appears $occurrences times — a pushed-down filter is recomputing signatures:\n$p")
   }
 
   test("ns_dedup_embedding candidates: single-scan bucket-pair plan, no self-join, no window") {
