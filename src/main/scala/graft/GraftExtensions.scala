@@ -19,8 +19,9 @@ import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, CosineSimilarity, DotPr
   * `vec_cosine(a,b)`, `grok_struct(line, 'rx', 'field', ...)` —
   * single-pass multi-group regex extraction into a struct —
   * `simhash_bits(tokens)`, `nfc_normalize(s)`,
-  * `ordered_pairs(ids, includeDiagonal)`, and the media fixtures
-  * `bmp_wrap(payload, w, h)` / `bmp_dims(content)`.
+  * `ordered_pairs(ids, includeDiagonal)`, the media fixtures
+  * `bmp_wrap(payload, w, h)` / `bmp_dims(content)`, and the dedup
+  * signature pair `word_shingles3(text)` / `minhash_sigs(shingles, n)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -78,6 +79,36 @@ object GraftExtensions {
     }
   }
 
+  /** Evaluate an int-literal argument that shapes a result type or an
+    * expansion (so it must fold at analysis time, like boolLiteral). */
+  private def intLiteral(e: Expression, fn: String, param: String,
+                         min: Int, max: Int): Int = {
+    val integral = e.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    e.eval(null) match {
+      case null =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INVALID_PARAMETER_VALUE.NULL",
+          messageParameters = Map(
+            "parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+      case v =>
+        val n = v.toString.toLong
+        if (n < min || n > max)
+          throw new IllegalArgumentException(
+            s"$fn: $param must be in [$min, $max], got $n")
+        n.toInt
+    }
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "gunzip" -> (args => Gunzip(args.head)),
     "try_gunzip" -> (args => TryGunzip(args.head)),
@@ -98,6 +129,11 @@ object GraftExtensions {
       boolLiteral(args(1), "ordered_pairs", "includeDiagonal"))),
     "bmp_wrap" -> (args => BmpWrap(args(0), args(1), args(2))),
     "bmp_dims" -> (args => BmpDims(args.head)),
+    "word_shingles3" -> (args => org.apache.spark.sql.graftshim.WordShingles3(args.head)),
+    // minhash_sigs(shingles, n): n shapes the output vector, so it must
+    // be an int literal (1..64 — the cached-prefix range).
+    "minhash_sigs" -> (args => org.apache.spark.sql.graftshim.MinHashSigs(args.head,
+      intLiteral(args(1), "minhash_sigs", "n", 1, 64))),
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -102,6 +102,19 @@ class ExprSpec extends SparkSpec {
     assert(r.getSeq[org.apache.spark.sql.Row](3).map(x => (x.getLong(0), x.getLong(1)))
       == Seq((1L, 1L), (1L, 2L), (2L, 2L)))
     assert(r.getInt(4) == 5)
+    // r8 additions: shingles + minhash signatures straight from SQL
+    val r8 = spark.sql(
+      "SELECT word_shingles3('a b c d') AS sh, " +
+        "minhash_sigs(word_shingles3('a b c d'), 4) AS mh, " +
+        "minhash_sigs(word_shingles3('a b'), 4) AS mhnull").collect().head
+    assert(r8.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r8.getSeq[String](1).length == 4 &&
+      r8.getSeq[String](1).forall(_.matches("[0-9a-f]{32}")))
+    assert(r8.isNullAt(2), "shingle-less input must yield a NULL signature vector")
+    // n shapes the output: non-literal n is an analysis-time error
+    val e = intercept[Exception](spark.sql(
+      "SELECT minhash_sigs(array('x'), cast(id AS INT)) FROM range(1)").collect())
+    assert(e.getMessage.contains("minhash_sigs"))
   }
 
   test("minhash_sigs equals the definitional explode/groupBy/min(md5) form bit-for-bit") {
