@@ -55,4 +55,34 @@ class DedupStreamSpec extends SparkSpec {
     assert(results()(6L)._2.contains(4L), s"6 must dup against canonical 4: ${results()}")
     q.stop()
   }
+
+  test("a replayed batch id is idempotent: no self-matching, no store duplication") {
+    import spark.implicits._
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tB = "spark plans a single expand and one shuffle for all sets"
+    val storeDir = tmp("ddr-store")
+    val outDir = tmp("ddr-out")
+    val sink = DedupStream.sinkBatch(storeDir, outDir) _
+    sink(Seq((1L, tA)).toDF("doc_id", "text"), 0L)
+    val b1 = Seq((2L, tA), (3L, tB)).toDF("doc_id", "text")
+    sink(b1, 1L)
+    def read() = spark.read.parquet(outDir).filter(col("batch") === 1)
+      .select(col("doc_id"), col("dup_of"), col("is_unique"))
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    val first = read()
+    assert(first == Set((2L, Some(1L), false), (3L, None, true)), s"got $first")
+    // the crash-before-commit replay: the same batch id runs again. The
+    // strictly-before store read must not see batch 1's own earlier
+    // write (3 would self-... match nothing, but a naive read would let
+    // a near-dup within the batch match its own stored signature), and
+    // the store partition must overwrite, not double-append.
+    sink(b1, 1L)
+    assert(read() == first, "replay must reproduce identical results")
+    val storedRows = spark.read.parquet(s"$storeDir/bands")
+      .filter(col("doc_id") === 3L).count()
+    val onceRows = spark.read.parquet(s"$storeDir/bands")
+      .filter(col("doc_id") === 1L).count()
+    assert(storedRows == onceRows,
+      s"doc 3's band rows must appear exactly once per band like doc 1's ($storedRows vs $onceRows)")
+  }
 }
