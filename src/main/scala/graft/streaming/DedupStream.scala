@@ -94,14 +94,52 @@ object DedupStream {
         .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_unique"))
         .persist()
       try {
-        results.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // a micro-batch's output is small by definition — one file per
+        // channel per batch, not one per shuffle partition (at a 5 s
+        // cadence, 32 files/batch would mint ~550k tiny files/day)
+        results.coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         val uniques = results.filter(col("is_unique")).select("doc_id")
-        bands.join(broadcast(uniques), "doc_id")
+        bands.join(broadcast(uniques), "doc_id").coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
-        sets.join(broadcast(uniques), "doc_id")
+        sets.join(broadcast(uniques), "doc_id").coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/sets/batch=$batchId")
       } finally results.unpersist()
     } finally docs.unpersist()
+  }
+
+  /** Compact the signature store: fold every `batch=<id>` partition
+    * with id < `upTo` into a single consolidated partition, so a
+    * long-running stream's store stays a handful of well-sized files
+    * instead of one directory per trigger (directory listing cost grows
+    * with trigger count, not corpus size). The consolidated rows keep
+    * partition id `upTo - 1`, preserving the replay invariant — a
+    * replayed batch `upTo` (or later) still sees exactly the batches
+    * strictly before it. MUST run while the stream is stopped (between
+    * restarts): compaction rewrites directories the running query
+    * reads. */
+  def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+              upTo: Long, targetFiles: Int = 8): Unit = {
+    for (sub <- Seq("bands", "sets")) {
+      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        val olds = fs.listStatus(root).map(_.getPath)
+          .filter { p =>
+            p.getName.startsWith("batch=") &&
+              p.getName.stripPrefix("batch=").toLong < upTo
+          }
+        if (olds.length > 1) {
+          val tmp = s"$storeDir/.compact_$sub"
+          spark.read.parquet(olds.map(_.toString): _*)
+            .coalesce(targetFiles)
+            .write.mode("overwrite").parquet(tmp)
+          olds.foreach(fs.delete(_, true))
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(s"$storeDir/$sub/batch=${upTo - 1}"))
+        }
+      }
+    }
   }
 
   /** Wire the per-batch dedup into a streaming query. `source` must

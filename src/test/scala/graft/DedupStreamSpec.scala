@@ -84,5 +84,21 @@ class DedupStreamSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).count()
     assert(storedRows == onceRows,
       s"doc 3's band rows must appear exactly once per band like doc 1's ($storedRows vs $onceRows)")
+
+    // compaction (stream stopped): batches 0..1 fold into one partition,
+    // content identical, and a later batch still dedups against it
+    val before = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
+    DedupStream.compact(spark, storeDir, upTo = 2L)
+    val fs = new java.io.File(s"$storeDir/bands")
+    assert(fs.listFiles().count(_.getName.startsWith("batch=")) == 1,
+      "compaction must leave a single batch partition")
+    val after = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
+    assert(after == before, "compaction must preserve the store's content")
+    sink(Seq((7L, tA)).toDF("doc_id", "text"), 2L)
+    val late = spark.read.parquet(outDir).filter(col("batch") === 2)
+      .select(col("doc_id"), col("dup_of")).as[(Long, Option[Long])].collect().toSet
+    assert(late == Set((7L, Some(1L))), s"post-compaction dedup must still hit doc 1: $late")
   }
 }
