@@ -109,6 +109,32 @@ object VectorSearch {
     s.read.parquet(path)
   }
 
+  /** The IVF posting lists, PERSISTED label-PARTITIONED (r8): the index
+    * build writes the corpus once with `partitionBy(label)` so a probe
+    * reading it joins on the PARTITION column — Dynamic Partition
+    * Pruning then restricts the scan to the probed labels' directories
+    * at runtime (PlanSpec asserts the dynamicpruning filter). Without
+    * the partitioned layout the probe join scans the whole corpus and
+    * discards (nLabels - nProbe)/nLabels of it after the fact; at
+    * 100 TB that is the difference between reading nProbe buckets and
+    * reading everything. Same build-once / file-identity key discipline
+    * as the centroid dim. */
+  private def ivfIndex(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"sf${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${src.length()}_${src.lastModified()}"
+    val path = s"/root/repo/target/ivf_index/$key"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    VectorSearch.synchronized {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+        Tables.embeddings(s, dir)
+          .repartition(col("label"))
+          .write.mode("overwrite").partitionBy("label").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** IVF-style ANN: centroid per label partition (coarse quantizer) from
     * the persisted sample-built dim table; assign each query to its
     * nProbe nearest centroids and search only those buckets. Centroids
@@ -131,7 +157,10 @@ object VectorSearch {
         val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
         val probe = assigned.withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
           .select(col("q_id"), col("q_emb"), col("label").as("probe_label"))
-        val scored = embPar(s, dir).join(broadcast(probe),
+        // corpus side reads the label-PARTITIONED index: the broadcast
+        // join on the partition column triggers Dynamic Partition
+        // Pruning — only the probed labels' directories are scanned
+        val scored = ivfIndex(s, dir).join(broadcast(probe),
             col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))

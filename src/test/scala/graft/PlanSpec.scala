@@ -89,6 +89,11 @@ class PlanSpec extends SparkSpec {
       assert(!w.toString.contains("vec_cosine"),
         s"a Window ranks the corpus cosine scores in ivf:\n$ivf")
     }
+    // the corpus side reads the label-partitioned index with a DYNAMIC
+    // partition filter from the probe join — without it the probe scans
+    // all labels and discards (nLabels - nProbe)/nLabels post-hoc
+    assert(ivf.toString.contains("dynamicpruning"),
+      s"the ivf probe scan lost dynamic partition pruning:\n$ivf")
   }
 
   /** ngram/minhash candidate generation is the group-by-bucket pair
