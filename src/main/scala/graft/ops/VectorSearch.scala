@@ -411,7 +411,38 @@ object VectorSearch {
            |  unnest(range(0, n_frames, 3)) * CAST(trunc(n_bytes / n_frames) AS INT) AS byte_off
            |FROM d""".stripMargin))
 
+  /** Symmetric int8 embedding quantization — the storage answer at
+    * 100 TB: a float32 corpus stores 4× smaller as (int8 codes, one
+    * f32 scale per vector) with bounded reconstruction error (≤ scale/2
+    * per element, PercentileSpec asserts it). Per-vector scale =
+    * max|x|/127, codes = round(x/scale) ∈ [-127, 127] by construction.
+    * The query reports the scale and the reconstruction MAE per vector,
+    * all math in double so both engines agree to 6 dp. Array HOFs here
+    * are the natural Spark API for per-element math (a linear
+    * projection, partition-parallel — not a shuffle-bearing hot path,
+    * so the interpreted HOF eval is acceptable where it wasn't for the
+    * dedup signature pipelines). */
+  val quantizeOp = QueryDef(
+    "ns_embedding_quantize",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .withColumn("scale", expr(
+        "greatest(aggregate(emb, 0D, (a, x) -> greatest(a, abs(x))) / 127.0D, 1e-12D)"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        expr("round(aggregate(emb, 0D, (a, x) -> a + abs(x - round(x / scale) * scale)) " +
+          "/ size(emb), 6)").as("mae_r")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |s AS (SELECT vec_id, emb,
+           |    greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0, 1e-12) AS scale
+           |  FROM e)
+           |SELECT vec_id, round(scale, 6) AS scale_r,
+           |  round(list_sum(list_transform(emb, x -> abs(x - round(x / scale) * scale)))
+           |        / len(emb), 6) AS mae_r
+           |FROM s""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     knnOp, ivfOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
-    multimodalResizeOp, multimodalFramesOp)
+    multimodalResizeOp, multimodalFramesOp, quantizeOp)
 }

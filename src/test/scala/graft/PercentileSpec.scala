@@ -76,6 +76,20 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization error bound: per-vector MAE never exceeds scale/2") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ns_embedding_quantize")(spark, sfDir)
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, mae) =>
+      assert(scale > 0, s"vec $id: non-positive scale")
+      // round-to-nearest puts every element within scale/2 of its code
+      // (6-dp rounding of the reported numbers adds at most 1e-6 slack)
+      assert(mae <= scale / 2 + 1e-6,
+        s"vec $id: mae $mae exceeds the rounding bound ${scale / 2}")
+    }
+  }
+
   test("grok_struct rejects non-foldable and null literal args with an analysis error") {
     import spark.implicits._
     GraftExtensions.install(spark)
