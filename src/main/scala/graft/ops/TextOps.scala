@@ -435,10 +435,14 @@ object TextOps {
         val d = docs(s, dir)
           .withColumn("h", md5(lower(col("text")).cast("binary")))
           .select(col("doc_id"), col("h"))
-        // edges doc ↔ min(doc with same hash): a star per clique
+        // edges doc ↔ min(doc with same hash): a star per clique;
+        // materialized before the propagation loop (same discipline as
+        // ns_dedup_pipeline — each round would replan the hash+join
+        // subtree otherwise)
         val hubs = d.groupBy("h").agg(min(col("doc_id")).as("hub"))
         val edges = d.join(hubs, "h")
           .select(col("doc_id").as("src"), col("hub").as("dst"))
+          .localCheckpoint(true)
         minLabelPropagate(d.select(col("doc_id").as("node_id")), edges,
             propagationRounds)
           .select(col("node_id").as("doc_id"), col("label").as("cluster_id"))
@@ -521,15 +525,26 @@ object TextOps {
           .withColumn("nb", size(col("sb")).cast("long"))
           .filter(expr(s"CAST(o AS DOUBLE) / (na + nb - o) >= $ngramT"))
           .select(col("da").as("src"), col("db").as("dst"))
+        // MATERIALIZE the verified edge set before the propagation loop
+        // (localCheckpoint: executor-side, lineage-truncating — the
+        // iterative-algorithm discipline every connected-components
+        // implementation follows): each of the K rounds references the
+        // edges again, and Catalyst REPLANS the whole
+        // normalize→signature→candidate→verify subtree per reference —
+        // 32 plan copies measured (the PlanSpec lock below counts
+        // minhash_sigs occurrences). The edge set is tiny (near-dup
+        // pairs), so the checkpoint is cheap; everything upstream runs
+        // exactly once.
+        val verMat = ver.localCheckpoint(true)
         // propagate only over edge-INCIDENT docs: near-dup edges touch a
         // tiny fraction of a real corpus, so the K propagation shuffles
         // run on |incident| rows, not |corpus|; untouched docs are
         // singleton clusters by definition (label = own id) and union in
         // with zero propagation cost. Same result, oracle unchanged.
         val allDocs = docs(s, dir).select(col("doc_id").as("node_id"))
-        val incident = ver.select(col("src").as("node_id"))
-          .unionByName(ver.select(col("dst").as("node_id"))).distinct()
-        val propagated = minLabelPropagate(incident, ver, propagationRounds)
+        val incident = verMat.select(col("src").as("node_id"))
+          .unionByName(verMat.select(col("dst").as("node_id"))).distinct()
+        val propagated = minLabelPropagate(incident, verMat, propagationRounds)
         val singletons = allDocs.join(incident, Seq("node_id"), "left_anti")
           .select(col("node_id"), col("node_id").as("label"))
         propagated.unionByName(singletons)

@@ -154,6 +154,44 @@ class FirehoseEndpointSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("concurrent POSTs land atomically: every batch file is whole, no interleaving, no loss") {
+    val dir = tmp("fh-conc")
+    val ep = new FirehoseEndpoint(dir)
+    val nThreads = 8
+    val perThread = 10
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val statuses = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      (0 until nThreads).foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until perThread).foreach { i =>
+              val (s, _) = call(s"${ep.url}/firehose", "POST",
+                envelope(s"r-$t-$i", 1L, b64(cwBody(s"t$t-$i"))).getBytes(UTF_8),
+                json + ("X-Amz-Firehose-Access-Key" -> s"key$t"))
+              statuses.add(s)
+            }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(statuses.toArray.forall(_ == 200), "every concurrent POST must land")
+      // one spool file per request, each fully-formed JSON lines with a
+      // single consistent tenant key (no cross-request interleaving)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString).filter(_.endsWith(".json"))
+      assert(files.length == nThreads * perThread,
+        s"expected ${nThreads * perThread} spool files, got ${files.length}")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      files.foreach { f =>
+        val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+        assert(lines.nonEmpty)
+        val keys = lines.map(l => om.readTree(l).path("access_key").asText()).distinct
+        assert(keys.size == 1, s"spool file $f mixes tenant keys: $keys")
+      }
+    } finally ep.stop()
+  }
+
   test("access key is stamped per record in the spool, keyless records stamp empty (main.go:321–324)") {
     val dir = tmp("fh-auth")
     val ep = new FirehoseEndpoint(dir)

@@ -134,11 +134,12 @@ class PlanSpec extends SparkSpec {
     // below the Project and duplicates the whole minhash computation
     // into the filter and the scan's DataFilters (measured 2.7×) — the
     // shingle-less-doc filter belongs above the band Generate, on `sig`
-    val occurrences = p.toString.sliding("minhash_sigs".length)
-      .count(_ == "minhash_sigs")
-    assert(occurrences == 1,
-      s"minhash_sigs appears $occurrences times — a pushed-down filter is recomputing signatures:\n$p")
+    assert(sigOccurrences(p) == 1,
+      s"minhash_sigs must evaluate once — a pushed-down filter is recomputing signatures:\n$p")
   }
+
+  private def sigOccurrences(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.toString.sliding("minhash_sigs".length).count(_ == "minhash_sigs")
 
   test("ns_dedup_embedding candidates: single-scan bucket-pair plan, no self-join, no window") {
     // The full query joins the (sparse) pair set back to embeddings to
@@ -225,6 +226,13 @@ class PlanSpec extends SparkSpec {
     // equi-joins are verification (set fetch by doc id) and propagation
     assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
       s"a buffering window crept into the dedup pipeline:\n$p")
+    // the verified edge set is MATERIALIZED before the K-round
+    // propagation loop: without it each round replans the whole
+    // normalize→signature→candidate→verify subtree (32 plan copies
+    // measured), so the signature expression must not appear in the
+    // final plan at all — it lives entirely behind the checkpoint
+    assert(sigOccurrences(p) == 0,
+      s"the propagation loop is replanning the signature subtree:\n$p")
   }
 
   test("ns_dedup_incremental: no cartesian/BNLJ/window; candidates stay bucket-generated") {
@@ -234,6 +242,8 @@ class PlanSpec extends SparkSpec {
       s"incremental dedup must never go new×corpus all-pairs:\n$p")
     assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
       s"a buffering window crept into incremental dedup:\n$p")
+    assert(sigOccurrences(p) == 1,
+      s"minhash_sigs must evaluate once in the incremental plan:\n$p")
   }
 
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
