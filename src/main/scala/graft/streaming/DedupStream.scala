@@ -41,9 +41,12 @@ object DedupStream {
                (batch: Dataset[Row], batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.toDF().select(col("doc_id"), col("text")).persist()
+    // both frames are referenced by candidate generation AND the store
+    // write — persisted so the signature pass runs once per batch, not
+    // once per reference
+    val bands = TextOps.bandSignatures(docs, "doc_id", "text").persist()
+    val sets = TextOps.shingleSets(docs, "doc_id", "text").persist()
     try {
-      val bands = TextOps.bandSignatures(docs, "doc_id", "text")
-      val sets = TextOps.shingleSets(docs, "doc_id", "text")
 
       def priorStore(sub: String): Option[DataFrame] = {
         val path = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
@@ -105,7 +108,11 @@ object DedupStream {
         sets.join(broadcast(uniques), "doc_id").coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/sets/batch=$batchId")
       } finally results.unpersist()
-    } finally docs.unpersist()
+    } finally {
+      bands.unpersist()
+      sets.unpersist()
+      docs.unpersist()
+    }
   }
 
   /** Compact the signature store: fold every `batch=<id>` partition
