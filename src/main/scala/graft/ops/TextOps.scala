@@ -391,6 +391,38 @@ object TextOps {
            |  lang, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin))
 
+  /** Leakage-safe train/test split: the split key is the DUPLICATE
+    * CLUSTER, not the document — copies of the same text must never
+    * straddle train and test, or the model is evaluated on (near)
+    * training data. Cluster identity here is the exact-dup canonical
+    * (min doc_id per normalized-text hash, the ns_dedup_exact contract);
+    * a production corpus would feed ns_dedup_pipeline's near-dup
+    * cluster labels through the identical split rule. One shuffle for
+    * the cluster min, then a pure projection — the split itself stays
+    * the deterministic md5-bucket primitive, reproducible across runs,
+    * engines, and cluster sizes. */
+  val splitLeakageSafeOp = QueryDef(
+    "ns_split_leakage_safe", {
+      (s, dir) =>
+        val d = docs(s, dir)
+          .withColumn("h", md5(lower(col("text")).cast("binary")))
+        val clusters = d.groupBy("h").agg(min(col("doc_id")).as("cluster_id"))
+        val bucket =
+          "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+        d.join(clusters, "h")
+          .withColumn("split", expr(
+            s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"))
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
+    Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+           |c AS (SELECT h, min(doc_id) AS cluster_id FROM d GROUP BY h),
+           |b AS (SELECT d.doc_id, c.cluster_id,
+           |    ('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4))::INT % 100 AS bkt
+           |  FROM d JOIN c USING (h))
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM b""".stripMargin))
+
   /** Duplicate-cluster canonicalization: connected components over the
     * exact-dup edge set, each doc labeled with the min doc_id of its
     * component (the canonical copy a training pipeline keeps). Classic
@@ -740,6 +772,6 @@ object TextOps {
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    sampleStratifiedOp, splitTrainTestOp, textNormalizeOp, dedupClusterOp,
-    dedupPipelineOp, dedupIncrementalOp, piiScrubOp)
+    sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp, textNormalizeOp,
+    dedupClusterOp, dedupPipelineOp, dedupIncrementalOp, piiScrubOp)
 }

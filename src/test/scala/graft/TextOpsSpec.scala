@@ -170,6 +170,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split contract: duplicate clusters never straddle splits, proportions sane") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ns_split_leakage_safe")(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(out.length == n, "one row per document")
+    // the contamination guarantee: every member of a cluster carries the
+    // SAME split — no exact duplicate can sit in train while its copy
+    // sits in test
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // the split derives from the CLUSTER id alone (this corpus has no
+    // exact dups at test scale, so assert the rule mechanically rather
+    // than relying on a multi-member cluster existing): recompute each
+    // doc's split from its cluster_id and require equality
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, cl, split) =>
+      md.reset()
+      val hex = md.digest(cl.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val bkt = Integer.parseInt(hex, 16) % 100
+      val want = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+      assert(split == want, s"doc $id cluster $cl: split $split != $want from cluster hash")
+    }
+    val frac = out.count(_._3 == "train").toDouble / n
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of band")
+  }
+
   test("incremental dedup contract: one row per new doc, dups point into the corpus, straddling exact dups flagged") {
     import spark.implicits._
     val out = SparkEntry.queries("ns_dedup_incremental")(spark, sfDir)
