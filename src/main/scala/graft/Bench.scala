@@ -87,7 +87,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harvester keeps only the TAIL of stdout, and the full line above
-    // (71 queries × two maps) overflows that window — so the headline
+    // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,
     // query count, the ten slowest (the only per-query numbers a
     // cross-round comparison needs), and failures.

@@ -721,9 +721,7 @@ object TextOps {
           .select(explode(col("news")).as("new_id"), col("olds"))
           .select(col("new_id"), explode(col("olds")).as("corpus_id"))
           .distinct()
-        val sets = base
-          .select(col("doc_id"), array_distinct(shingles3(col("t"))).as("sh"))
-          .filter(size(col("sh")) >= 1)
+        val sets = shingleSets(base, "doc_id", "t")
         val dups = cand
           .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
           .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sb")), "corpus_id")

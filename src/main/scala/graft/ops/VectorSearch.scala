@@ -78,36 +78,42 @@ object VectorSearch {
   private val centSample = 20
   private val nProbe = 2
 
-  /** Centroid dimension table, PERSISTED: built once per testdata dir
-    * from the deterministic sample, written as a tiny parquet dim under
-    * target/, and every subsequent probe plan just SCANS it — no
-    * centroid pass over the corpus at query time, which is the 100 TB
-    * IVF shape (the index is built offline; queries only read it).
-    * Keyed by the embeddings file identity so a regenerated corpus
-    * rebuilds instead of serving stale centroids. */
-  private def centroidDim(s: SparkSession, dir: String): DataFrame = {
+  /** Build-once discipline shared by every persisted index artifact:
+    * the artifact is keyed by the SOURCE FILE's identity (path + size +
+    * mtime — a regenerated corpus rebuilds instead of serving stale
+    * data; "sf" prefix because the sanitized dir starts with '_' and
+    * Spark's file listing treats _-prefixed paths as hidden), built
+    * under a `synchronized` _SUCCESS check, and only ever SCANNED by
+    * query plans. */
+  private def buildOnce(s: SparkSession, dir: String, artifact: String)
+                       (build: String => Unit): DataFrame = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
-    // "sf" prefix: the sanitized dir starts with '_' (from the leading
-    // '/'), and Spark's file listing treats _-prefixed paths as hidden.
     val key = s"sf${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${src.length()}_${src.lastModified()}"
-    val path = s"/root/repo/target/ivf_centroids/$key"
+    val path = s"/root/repo/target/$artifact/$key"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     VectorSearch.synchronized {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
-        Tables.embeddings(s, dir)
-          .filter(col("vec_id") % centSample === 0)
-          .select(col("label"), posexplode(col("embedding")))
-          .groupBy(col("label"), col("pos"))
-          .agg(round(avg(col("col").cast("double")), 6).as("cv"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cvec"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(path)
-      }
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) build(path)
     }
     s.read.parquet(path)
   }
+
+  /** Centroid dimension table, PERSISTED: built once per testdata dir
+    * from the deterministic sample, a tiny parquet dim every probe plan
+    * just SCANS — no centroid pass over the corpus at query time, the
+    * 100 TB IVF shape (the index is built offline; queries read it). */
+  private def centroidDim(s: SparkSession, dir: String): DataFrame =
+    buildOnce(s, dir, "ivf_centroids") { path =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % centSample === 0)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("cv"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cvec"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** The IVF posting lists, PERSISTED label-PARTITIONED (r8): the index
     * build writes the corpus once with `partitionBy(label)` so a probe
@@ -119,21 +125,12 @@ object VectorSearch {
     * 100 TB that is the difference between reading nProbe buckets and
     * reading everything. Same build-once / file-identity key discipline
     * as the centroid dim. */
-  private def ivfIndex(s: SparkSession, dir: String): DataFrame = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"sf${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${src.length()}_${src.lastModified()}"
-    val path = s"/root/repo/target/ivf_index/$key"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    VectorSearch.synchronized {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
-        Tables.embeddings(s, dir)
-          .repartition(col("label"))
-          .write.mode("overwrite").partitionBy("label").parquet(path)
-      }
+  private def ivfIndex(s: SparkSession, dir: String): DataFrame =
+    buildOnce(s, dir, "ivf_index") { path =>
+      Tables.embeddings(s, dir)
+        .repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(path)
     }
-    s.read.parquet(path)
-  }
 
   /** IVF-style ANN: centroid per label partition (coarse quantizer) from
     * the persisted sample-built dim table; assign each query to its

@@ -116,15 +116,29 @@ object DedupStream {
   }
 
   /** Compact the signature store: fold every `batch=<id>` partition
-    * with id < `upTo` into a single consolidated partition, so a
+    * with id < `upTo` into ONE consolidated partition, so a
     * long-running stream's store stays a handful of well-sized files
     * instead of one directory per trigger (directory listing cost grows
-    * with trigger count, not corpus size). The consolidated rows keep
-    * partition id `upTo - 1`, preserving the replay invariant — a
-    * replayed batch `upTo` (or later) still sees exactly the batches
-    * strictly before it. MUST run while the stream is stopped (between
-    * restarts): compaction rewrites directories the running query
-    * reads. */
+    * with trigger count, not corpus size).
+    *
+    * Crash- and replay-safe by construction:
+    *  - The consolidated rows live at a NEGATIVE partition id (-1/-2,
+    *    alternating across compactions), strictly before every real
+    *    batch id — so any batch's strictly-before read always sees the
+    *    consolidated corpus, including a replayed batch whose own rows
+    *    were folded in. A replayed batch re-matching its own folded
+    *    signatures is harmless: self-pairs are excluded and dup_of
+    *    takes the min, so results are identical (at worst its store
+    *    partition briefly duplicates rows already in the fold —
+    *    candidates are `distinct()`ed, so even that changes nothing).
+    *  - The consolidated partition is WRITTEN BEFORE the old ones are
+    *    deleted: a crash at any point leaves the store complete
+    *    (possibly with duplicate rows until the next compact), never
+    *    empty — the delete-then-rename shape would lose the whole
+    *    corpus to a crash between the two steps.
+    *
+    * MUST run while the stream is stopped (between restarts):
+    * compaction rewrites directories the running query reads. */
   def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
               upTo: Long, targetFiles: Int = 8): Unit = {
     for (sub <- Seq("bands", "sets")) {
@@ -137,13 +151,12 @@ object DedupStream {
               p.getName.stripPrefix("batch=").toLong < upTo
           }
         if (olds.length > 1) {
-          val tmp = s"$storeDir/.compact_$sub"
+          val oldIds = olds.map(_.getName.stripPrefix("batch=").toLong)
+          val target = if (oldIds.contains(-1L)) -2L else -1L
           spark.read.parquet(olds.map(_.toString): _*)
             .coalesce(targetFiles)
-            .write.mode("overwrite").parquet(tmp)
+            .write.mode("overwrite").parquet(s"$storeDir/$sub/batch=$target")
           olds.foreach(fs.delete(_, true))
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(s"$storeDir/$sub/batch=${upTo - 1}"))
         }
       }
     }

@@ -95,10 +95,13 @@ final class FirehoseEndpoint(dropDir: String, port: Int = 0,
   // `Accept: application/json` or the explicit `/metrics.json` path.
   server.createContext("/metrics", (ex: HttpExchange) =>
     if (ex.getRequestMethod == "GET") {
+      // extraMetrics may touch Spark state — a scrape must ALWAYS get a
+      // response, so a supplier failure degrades to handler-only counts
       val counts = Map(
         "requests_total" -> requestsTotal.get(),
         "rejected_requests" -> rejectedRequests.get(),
-        "records_landed" -> recordsLanded.get()) ++ extraMetrics()
+        "records_landed" -> recordsLanded.get()) ++
+        (try extraMetrics() catch { case _: Exception => Map.empty[String, Long] })
       val wantJson = ex.getRequestURI.getPath == "/metrics.json" ||
         header(ex, "Accept").exists(_.contains("application/json"))
       if (wantJson) respond(ex, 200, ServiceMetrics.renderJson(counts))

@@ -249,9 +249,9 @@ object Pipeline {
     source.writeStream
       .foreachBatch(sinkBatch(
         channelWriter(s"$outDir/SUCCESS",
-          metrics.map(_ => ServiceMetrics.indexedMetric)),
+          metrics.map(_.indexedMetric)),
         channelWriter(s"$outDir/ERROR",
-          metrics.map(_ => ServiceMetrics.deadLetterMetric)),
+          metrics.map(_.deadLetterMetric)),
         enrich, metrics = metrics) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -307,12 +307,12 @@ object Pipeline {
     val bulk = HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
       authProvider = authProvider,
       rejectionCounter = metrics.map(_.bulkItemRejections),
-      observeDocsAs = metrics.map(_ => ServiceMetrics.indexedMetric))
+      observeDocsAs = metrics.map(_.indexedMetric))
     source.writeStream
       .foreachBatch(sinkBatch(
         (docs, batchId) => { archive(docs, batchId); bulk(docs, batchId) },
         channelWriter(s"$outDir/ERROR",
-          metrics.map(_ => ServiceMetrics.deadLetterMetric)),
+          metrics.map(_.deadLetterMetric)),
         enrich, metrics = metrics) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

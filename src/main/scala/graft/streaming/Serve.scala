@@ -97,6 +97,7 @@ object Serve {
     sys.addShutdownHook {
       try query.stop() catch { case _: Exception => () }
       endpoint.foreach(_.stop())
+      metrics.close()
     }
     try query.awaitTermination()
     finally endpoint.foreach(_.stop())

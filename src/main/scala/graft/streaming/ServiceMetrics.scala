@@ -30,6 +30,18 @@ import org.apache.spark.util.LongAccumulator
   */
 final class ServiceMetrics(spark: SparkSession) {
 
+  /** Per-instance observation-name suffix: two pipelines (or a restart
+    * that built a fresh ServiceMetrics) on one SparkSession must not
+    * harvest each other's observe() nodes — names are matched globally
+    * by the listener. */
+  private val id = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Observation name the delivery-channel writer attaches. */
+  val indexedMetric = s"graft_documents_indexed_$id"
+
+  /** Observation name the dead-letter-channel writer attaches. */
+  val deadLetterMetric = s"graft_documents_dead_lettered_$id"
+
   /** Micro-batches flushed (one per foreachBatch invocation). */
   val batchesTotal = new AtomicLong(0L)
 
@@ -45,20 +57,28 @@ final class ServiceMetrics(spark: SparkSession) {
 
   // Harvest the writers' observe() metrics. onSuccess only: a failed
   // write retries (withRetry / checkpoint replay) and counts on the
-  // attempt that actually committed.
-  spark.listenerManager.register(new QueryExecutionListener {
+  // attempt that actually committed. Kept as a field so close() can
+  // deregister — a leaked listener would keep processing every query
+  // event on the shared session for the process lifetime.
+  private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      qe.observedMetrics.get(ServiceMetrics.indexedMetric)
+      qe.observedMetrics.get(indexedMetric)
         .foreach(r => documentsIndexed.addAndGet(r.getLong(0)))
-      qe.observedMetrics.get(ServiceMetrics.deadLetterMetric)
+      qe.observedMetrics.get(deadLetterMetric)
         .foreach(r => documentsDeadLettered.addAndGet(r.getLong(0)))
     }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
-  })
+  }
+  spark.listenerManager.register(listener)
+
+  /** Deregister the harvest listener (service shutdown / tests). */
+  def close(): Unit = spark.listenerManager.unregister(listener)
 
   def snapshot: Map[String, Long] = {
-    // listener delivery is async on the shared bus; drain it so a
-    // /metrics scrape right after a committed batch sees its counts
+    // listener delivery is async on the shared bus; drain it (bounded —
+    // a scrape must not hang behind a backlogged bus) so a /metrics
+    // scrape right after a committed batch sees its counts; on timeout
+    // the counters are one event-drain stale, still valid
     org.apache.spark.sql.graftshim.Bridge.flushListenerBus(spark)
     Map(
       "batches_total" -> batchesTotal.get(),
@@ -71,11 +91,6 @@ final class ServiceMetrics(spark: SparkSession) {
 }
 
 object ServiceMetrics {
-  /** Observation names the channel writers attach and the listener
-    * harvests. */
-  val indexedMetric = "graft_documents_indexed"
-  val deadLetterMetric = "graft_documents_dead_lettered"
-
   /** Deterministic (key-sorted) flat JSON object of counters. */
   def renderJson(counts: Map[String, Long]): String =
     counts.toSeq.sortBy(_._1)

@@ -28,9 +28,14 @@ object Bridge {
   /** Drain the shared async listener bus so QueryExecutionListener
     * effects (ServiceMetrics' observed-metrics harvest) are visible to
     * the caller — `listenerBus`/`waitUntilEmpty` are `private[spark]`,
-    * hence bridged here. */
-  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    * hence bridged here. Bounded wait: a metrics scrape must never hang
+    * behind a backlogged bus (the default waitUntilEmpty blocks 10 s
+    * then THROWS); a timeout just means the caller serves
+    * counters that are one event-drain stale. */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession,
+                       timeoutMs: Long = 2000): Boolean =
+    try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }
 
 /** Gzip decompress of BINARY — the reference gunzips each Firehose
@@ -286,7 +291,13 @@ object MinHashHelper {
     val mins = new Array[Array[Byte]](n)
     var i = 0
     while (i < m) {
-      val sBytes = arr.getUTF8String(i).getBytes
+      // null elements contribute nothing, exactly like the definitional
+      // min(md5(x)) form where md5(null) is null and min skips it — the
+      // registered SQL function accepts any ARRAY<STRING>
+      val el = arr.getUTF8String(i)
+      if (el == null) { i += 1 }
+      else {
+      val sBytes = el.getBytes
       b = 0
       while (b < n) {
         md.reset()
@@ -304,7 +315,10 @@ object MinHashHelper {
         b += 1
       }
       i += 1
+      }
     }
+    // all elements null → no signature, same as the empty array
+    if (mins(0) == null) return null
     val out = new Array[Any](n)
     b = 0
     while (b < n) { out(b) = UTF8String.fromBytes(mins(b)); b += 1 }

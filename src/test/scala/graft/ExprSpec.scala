@@ -147,6 +147,16 @@ class ExprSpec extends SparkSpec {
       .select(graft.expr.TextFunctions.minhash_sigs(col("sh"), n).as("mh"))
       .collect()
     assert(empty.head.isNullAt(0))
+    // null ELEMENTS are skipped like the definitional min(md5) form
+    // (md5(null) is null, min ignores it); all-null → null signature
+    GraftExtensions.install(spark)
+    val withNulls = spark.sql(
+      "SELECT minhash_sigs(array('a b c', CAST(NULL AS STRING)), 8) AS mh, " +
+        "minhash_sigs(array('a b c'), 8) AS mh_clean, " +
+        "minhash_sigs(array(CAST(NULL AS STRING)), 8) AS mh_all_null").collect().head
+    assert(withNulls.getSeq[String](0) == withNulls.getSeq[String](1),
+      "a null element must not change the signature")
+    assert(withNulls.isNullAt(2))
   }
 
   test("lsh_sign_bits equals the SQL HOF formulation on real embeddings") {
