@@ -439,7 +439,11 @@ class FirehoseEndpointSpec extends SparkSpec {
       // and none of those numbers came from an extra count() job
       val counted = actionNames.toArray(Array.empty[String]).filter(_ == "count")
       assert(counted.isEmpty, s"metrics must not run count() jobs, saw: $counted")
-    } finally { ep.stop(); bulk.stop(0); spark.listenerManager.unregister(recorder) }
+    } finally {
+      ep.stop(); bulk.stop(0)
+      spark.listenerManager.unregister(recorder)
+      metrics.close() // don't leak the harvest listener onto later tests
+    }
   }
 
   test("cleanSource=delete disposes of processed drop files once their batch commits") {
