@@ -355,6 +355,42 @@ object TextOps {
            |  CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT) AS fp_long
            |FROM n""".stripMargin))
 
+  /** Unigram language-model quality score: mean ln P(token) under the
+    * corpus's own unigram distribution — the statistical complement to
+    * ns_quality_score's surface heuristics: garbled/rare-token-heavy
+    * documents score low, natural running text high (the classic
+    * perplexity-proxy filter training pipelines run). Shape: token
+    * frequency table (one shuffle on token, map-side combined), join
+    * scores back (AQE broadcasts the vocab dim when it fits), re-group
+    * per doc. At 100 TB the frequency table is computed once and
+    * PERSISTED like the IVF artifacts; the per-doc scoring pass is
+    * unchanged. */
+  val unigramLogprobOp = QueryDef(
+    "ns_text_unigram_logprob", {
+      (s, dir) =>
+        val toks = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum(col("cnt")).as("n_total"))
+        toks.join(freq, "tok")
+          .groupBy("doc_id")
+          .agg(avg(log(col("cnt"))).as("avg_log_cnt"),
+            count(lit(1)).as("n_toks"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            round(col("avg_log_cnt") - log(col("n_total")), 6).as("logprob"),
+            col("n_toks"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           |  FROM documents),
+           |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+           |total AS (SELECT sum(cnt) AS n_total FROM freq)
+           |SELECT doc_id,
+           |  round(avg(ln(cnt)) - any_value(ln(n_total)), 6) AS logprob,
+           |  count(*) AS n_toks
+           |FROM toks JOIN freq USING (tok), total
+           |GROUP BY doc_id""".stripMargin))
+
   /** Deterministic hash bucket in [0, 100) from the doc id — the
     * reproducible-sampling primitive: stable across runs, engines, and
     * cluster sizes, unlike seeded RNG sampling (Spark's sample() RNG is
@@ -770,6 +806,7 @@ object TextOps {
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp, textNormalizeOp,
-    dedupClusterOp, dedupPipelineOp, dedupIncrementalOp, piiScrubOp)
+    unigramLogprobOp, sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp,
+    textNormalizeOp, dedupClusterOp, dedupPipelineOp, dedupIncrementalOp,
+    piiScrubOp)
 }
