@@ -100,5 +100,22 @@ class DedupStreamSpec extends SparkSpec {
     val late = spark.read.parquet(outDir).filter(col("batch") === 2)
       .select(col("doc_id"), col("dup_of")).as[(Long, Option[Long])].collect().toSet
     assert(late == Set((7L, Some(1L))), s"post-compaction dedup must still hit doc 1: $late")
+
+    // a SECOND compaction folds the previous consolidation (batch=-1)
+    // with the new batches into the alternate partition (batch=-2) —
+    // content preserved, still a single partition, dedup still works
+    val before2 = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
+    DedupStream.compact(spark, storeDir, upTo = 3L)
+    val parts = new java.io.File(s"$storeDir/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=-2"), s"second compaction must land on the alternate id: $parts")
+    val after2 = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
+    assert(after2 == before2, "re-compaction must preserve the store's content")
+    sink(Seq((8L, tB)).toDF("doc_id", "text"), 3L)
+    val last = spark.read.parquet(outDir).filter(col("batch") === 3)
+      .select(col("doc_id"), col("dup_of")).as[(Long, Option[Long])].collect().toSet
+    assert(last == Set((8L, Some(3L))), s"post-recompaction dedup must still hit doc 3: $last")
   }
 }

@@ -246,6 +246,16 @@ class PlanSpec extends SparkSpec {
       s"minhash_sigs must evaluate once in the incremental plan:\n$p")
   }
 
+  test("ns_stream_join batch form: equi-join on user_id with a residual range filter, never BNLJ") {
+    val p = physical("ns_stream_join")
+    assert(nodes(p).exists(n => n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[BroadcastHashJoinExec]),
+      s"the attribution join must key on user_id:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes(p).exists(n => n.getClass.getSimpleName == "CartesianProductExec"),
+      s"the time-range condition must ride the equi-join as a residual, not force BNLJ:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
