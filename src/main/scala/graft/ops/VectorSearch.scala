@@ -78,25 +78,11 @@ object VectorSearch {
   private val centSample = 20
   private val nProbe = 2
 
-  /** Build-once discipline shared by every persisted index artifact:
-    * the artifact is keyed by the SOURCE FILE's identity (path + size +
-    * mtime — a regenerated corpus rebuilds instead of serving stale
-    * data; "sf" prefix because the sanitized dir starts with '_' and
-    * Spark's file listing treats _-prefixed paths as hidden), built
-    * under a `synchronized` _SUCCESS check, and only ever SCANNED by
-    * query plans. */
+  /** Build-once discipline (see ops/Artifacts.scala), keyed on the
+    * embeddings source file's identity. */
   private def buildOnce(s: SparkSession, dir: String, artifact: String)
-                       (build: String => Unit): DataFrame = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"sf${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${src.length()}_${src.lastModified()}"
-    val path = s"/root/repo/target/$artifact/$key"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    VectorSearch.synchronized {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) build(path)
-    }
-    s.read.parquet(path)
-  }
+                       (build: String => Unit): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/embeddings.parquet", artifact)(build)
 
   /** Centroid dimension table, PERSISTED: built once per testdata dir
     * from the deterministic sample, a tiny parquet dim every probe plan

@@ -42,8 +42,28 @@ final class ServiceMetrics(spark: SparkSession) {
   /** Observation name the dead-letter-channel writer attaches. */
   val deadLetterMetric = s"graft_documents_dead_lettered_$id"
 
+  /** Observation name DedupStream attaches to its per-batch results
+    * write: row(uniques, dups). */
+  val dedupResultsMetric = s"graft_dedup_results_$id"
+
+  /** Observation name DedupStream attaches to its signature-store
+    * write: row(rows appended). */
+  val dedupStoreMetric = s"graft_dedup_store_rows_$id"
+
   /** Micro-batches flushed (one per foreachBatch invocation). */
   val batchesTotal = new AtomicLong(0L)
+
+  /** DedupStream micro-batches processed. */
+  val dedupBatches = new AtomicLong(0L)
+
+  /** DedupStream: documents flagged unique (they extend the store). */
+  val dedupUniques = new AtomicLong(0L)
+
+  /** DedupStream: documents flagged as near-duplicates. */
+  val dedupDups = new AtomicLong(0L)
+
+  /** DedupStream: signature rows appended to the band store. */
+  val dedupStoreRows = new AtomicLong(0L)
 
   /** Documents written to the delivery channel (post-enrich rows). */
   val documentsIndexed = new AtomicLong(0L)
@@ -66,6 +86,12 @@ final class ServiceMetrics(spark: SparkSession) {
         .foreach(r => documentsIndexed.addAndGet(r.getLong(0)))
       qe.observedMetrics.get(deadLetterMetric)
         .foreach(r => documentsDeadLettered.addAndGet(r.getLong(0)))
+      qe.observedMetrics.get(dedupResultsMetric).foreach { r =>
+        dedupUniques.addAndGet(r.getLong(0))
+        dedupDups.addAndGet(r.getLong(1))
+      }
+      qe.observedMetrics.get(dedupStoreMetric)
+        .foreach(r => dedupStoreRows.addAndGet(r.getLong(0)))
     }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }
@@ -84,7 +110,11 @@ final class ServiceMetrics(spark: SparkSession) {
       "batches_total" -> batchesTotal.get(),
       "documents_indexed" -> documentsIndexed.get(),
       "documents_dead_lettered" -> documentsDeadLettered.get(),
-      "bulk_item_rejections" -> bulkItemRejections.value)
+      "bulk_item_rejections" -> bulkItemRejections.value,
+      "dedup_batches" -> dedupBatches.get(),
+      "dedup_uniques" -> dedupUniques.get(),
+      "dedup_dups" -> dedupDups.get(),
+      "dedup_store_rows" -> dedupStoreRows.get())
   }
 
   def toJson: String = ServiceMetrics.renderJson(snapshot)

@@ -96,10 +96,16 @@ class DedupStreamSpec extends SparkSpec {
     val after = spark.read.parquet(s"$storeDir/bands")
       .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
     assert(after == before, "compaction must preserve the store's content")
-    sink(Seq((7L, tA)).toDF("doc_id", "text"), 2L)
+    // 7 dups against the folded store; 20 is new (and keeps batch 2's
+    // store partition non-empty so the second compaction has two
+    // partitions to fold — an all-dups batch writes no store partition)
+    sink(Seq((7L, tA),
+      (20L, "a wholly new sentence about bucketed stores and partition pruning"))
+      .toDF("doc_id", "text"), 2L)
     val late = spark.read.parquet(outDir).filter(col("batch") === 2)
       .select(col("doc_id"), col("dup_of")).as[(Long, Option[Long])].collect().toSet
-    assert(late == Set((7L, Some(1L))), s"post-compaction dedup must still hit doc 1: $late")
+    assert(late == Set((7L, Some(1L)), (20L, None)),
+      s"post-compaction dedup must still hit doc 1: $late")
 
     // a SECOND compaction folds the previous consolidation (batch=-1)
     // with the new batches into the alternate partition (batch=-2) —
@@ -117,5 +123,116 @@ class DedupStreamSpec extends SparkSpec {
     val last = spark.read.parquet(outDir).filter(col("batch") === 3)
       .select(col("doc_id"), col("dup_of")).as[(Long, Option[Long])].collect().toSet
     assert(last == Set((8L, Some(3L))), s"post-recompaction dedup must still hit doc 3: $last")
+  }
+
+  test("compact recovers from a crash that left both consolidations on disk") {
+    import spark.implicits._
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tB = "spark plans a single expand and one shuffle for all sets"
+    val storeDir = tmp("ddc-store")
+    val outDir = tmp("ddc-out")
+    val sink = DedupStream.sinkBatch(storeDir, outDir) _
+    sink(Seq((1L, tA)).toDF("doc_id", "text"), 0L)
+    sink(Seq((2L, tB)).toDF("doc_id", "text"), 1L)
+    DedupStream.compact(spark, storeDir, upTo = 2L) // consolidates into batch=-1
+    sink(Seq((3L, "verification joins only candidates while labels propagate to the minimum"))
+      .toDF("doc_id", "text"), 2L)
+    // simulate a SECOND compaction that crashed between write and
+    // delete: its consolidation (batch=-2 = fold of -1 and 2) exists
+    // alongside everything it was folding
+    for (sub <- Seq("bands", "sets")) {
+      val all = spark.read.parquet(s"$storeDir/$sub/batch=-1")
+        .unionByName(spark.read.parquet(s"$storeDir/$sub/batch=2"))
+      val bktCol = if (sub == "bands") "bkt" else "dkt"
+      all.write.partitionBy(bktCol).parquet(s"$storeDir/$sub/batch=-2")
+    }
+    val before = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band", "sig").distinct()
+      .as[(Long, Int, String)].collect().toSet
+    // the old alternating -1/-2 target would now pick -2 — a directory
+    // in its own read set — and fail every retry; the fresh-id target
+    // must fold the crash state cleanly
+    DedupStream.compact(spark, storeDir, upTo = 3L)
+    val parts = new java.io.File(s"$storeDir/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=-3"),
+      s"compact must land on a fresh id outside the read set: $parts")
+    val after = spark.read.parquet(s"$storeDir/bands")
+      .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSeq
+    assert(after.toSet == before, "crash-state compaction must preserve the store's content")
+    assert(after.size == after.distinct.size,
+      "compaction must purge the crash state's duplicate rows")
+    // and the consolidated store still dedups
+    sink(Seq((9L, tB)).toDF("doc_id", "text"), 3L)
+    val r = spark.read.parquet(outDir).filter(col("batch") === 3)
+      .select(col("doc_id"), col("dup_of")).as[(Long, Option[Long])].collect().toSet
+    assert(r == Set((9L, Some(2L))), s"post-recovery dedup must still hit doc 2: $r")
+  }
+
+  test("the per-batch store probe is partition-pruned, never a full corpus scan") {
+    import spark.implicits._
+    val storeDir = tmp("ddp-store")
+    val outDir = tmp("ddp-out")
+    val sink = DedupStream.sinkBatch(storeDir, outDir) _
+    // seed a store with several docs so multiple buckets exist
+    val seed = (1L to 8L).map(i =>
+      (i, s"document number $i carries its own distinct words plus filler tokens alpha beta gamma delta"))
+    sink(seed.toDF("doc_id", "text"), 0L)
+    val total = spark.read.parquet(s"$storeDir/bands")
+      .select("bkt").distinct().count()
+    assert(total > 1, s"seed must span multiple buckets, got $total")
+    // probe with a strict subset of buckets: the scan's partition
+    // filters must carry both the strictly-before batch bound and the
+    // bucket IN-set, and the file listing must only touch those buckets
+    val someBkts = spark.read.parquet(s"$storeDir/bands")
+      .select("bkt").distinct().as[Int].collect().sorted.take(1).toSeq
+    val probe = DedupStream.probeStore(spark, storeDir, "bands", 1L, "bkt", someBkts).get
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt") &&
+      plan.contains("batch"), s"store probe lost its partition filters:\n$plan")
+    val scanned = probe.select(input_file_name()).distinct().as[String].collect()
+    assert(scanned.nonEmpty && scanned.forall(f => f.contains(s"bkt=${someBkts.head}")),
+      s"probe read files outside its bucket set: ${scanned.mkString(", ")}")
+  }
+
+  test("compact refuses to rewrite a store a live query is reading") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val storeDir = tmp("ddl-store")
+    val q = DedupStream.run(in.toDF().toDF("doc_id", "text"),
+      storeDir, tmp("ddl-out"), tmp("ddl-ckpt"))
+    in.addData((1L, "the quick brown fox jumps over the lazy dog tonight"))
+    q.processAllAvailable()
+    val e = intercept[IllegalStateException](
+      DedupStream.compact(spark, storeDir, upTo = 99L))
+    assert(e.getMessage.contains("stop it before compacting"))
+    q.stop()
+    q.awaitTermination()
+    // stopped → compaction proceeds (single partition: no-op fold is fine)
+    DedupStream.compact(spark, storeDir, upTo = 99L)
+  }
+
+  test("per-batch uniques/dups/store-rows surface through ServiceMetrics") {
+    import spark.implicits._
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tC = "completely different words live in this third document here"
+    val metrics = new graft.streaming.ServiceMetrics(spark)
+    try {
+      val storeDir = tmp("ddm-store")
+      val sink = DedupStream.sinkBatch(storeDir, tmp("ddm-out"),
+        metrics = Some(metrics)) _
+      sink(Seq((1L, tA), (2L, tC)).toDF("doc_id", "text"), 0L)
+      sink(Seq((3L, tA),
+        (4L, "entirely novel content about streaming joins and watermark state"))
+        .toDF("doc_id", "text"), 1L)
+      val snap = metrics.snapshot
+      assert(snap("dedup_batches") == 2L, s"got $snap")
+      assert(snap("dedup_uniques") == 3L, s"1, 2, 4 are unique: $snap")
+      assert(snap("dedup_dups") == 1L, s"3 dups against 1: $snap")
+      val storeRows = spark.read.parquet(s"$storeDir/bands").count()
+      assert(snap("dedup_store_rows") == storeRows,
+        s"store-rows counter must match the written band rows ($storeRows): $snap")
+    } finally metrics.close()
   }
 }
