@@ -90,10 +90,12 @@ object Bench {
     // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,
     // query count, the ten slowest (the only per-query numbers a
-    // cross-round comparison needs), and failures.
+    // cross-round comparison needs), and failures. Distinct metric name:
+    // a consumer keying on "total" must never see two lines with the
+    // same key but different field sets.
     val slowest = mins.filter(_._2.isFinite).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -724,11 +724,29 @@ object TextOps {
     * row exercises the redaction path, and the word-salad text doubles
     * as the false-positive control (n_pii must count only what was
     * planted). */
+  /** The PII patterns and redaction/count columns, shared by the batch
+    * ns_text_pii_scrub operator and the in-stream scrub stage
+    * (streaming/IngestPipeline.scrubPii). RE2-compatible subset (no
+    * lookaround) so Spark's Java regex and the oracle's RE2 agree. */
+  private[graft] val piiEmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiIpRx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val piiSsnRx = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Redact email/IPv4/SSN matches to placeholder tokens — a pure
+    * codegen projection, zero shuffles. */
+  private[graft] def piiScrubbed(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      piiEmailRx, "<EMAIL>"), piiIpRx, "<IP>"), piiSsnRx, "<ID>")
+
+  /** Count of PII matches in `c` — computed on the RAW column, before
+    * redaction. */
+  private[graft] def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(piiEmailRx), lit(0))) +
+      size(regexp_extract_all(c, lit(piiIpRx), lit(0))) +
+      size(regexp_extract_all(c, lit(piiSsnRx), lit(0)))).cast("long")
+
   val piiScrubOp = QueryDef(
     "ns_text_pii_scrub", {
-      val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val ssnRx = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
       (s, dir) =>
         val planted = docs(s, dir).select(
           col("doc_id"),
@@ -743,12 +761,8 @@ object TextOps {
             col("text")).as("raw"))
         planted.select(
           col("doc_id"),
-          regexp_replace(regexp_replace(regexp_replace(col("raw"),
-            emailRx, "<EMAIL>"), ipRx, "<IP>"), ssnRx, "<ID>").as("scrubbed"),
-          (size(regexp_extract_all(col("raw"), lit(emailRx), lit(0))) +
-            size(regexp_extract_all(col("raw"), lit(ipRx), lit(0))) +
-            size(regexp_extract_all(col("raw"), lit(ssnRx), lit(0))))
-            .cast("long").as("n_pii"))
+          piiScrubbed(col("raw")).as("scrubbed"),
+          piiCount(col("raw")).as("n_pii"))
     },
     Some("""WITH planted AS (SELECT doc_id,
            |  concat(

@@ -61,6 +61,19 @@ object IngestPipeline {
   def geoDimFromNation(s: SparkSession, dir: String): DataFrame =
     Enrich.geoDim(s, dir)
 
+  /** In-stream PII scrub stage: redact email/IPv4/SSN in the document's
+    * `message` and count the redactions per document (`n_pii`) — a
+    * training-data service scrubs BEFORE it indexes or archives, so the
+    * raw PII never lands in the SUCCESS store or the search index. Same
+    * patterns/placeholders as the batch ns_text_pii_scrub operator
+    * (ops/TextOps.scala), pure codegen projection, zero shuffles —
+    * composable with `enrich` via `andThen` on Pipeline.run's enrich
+    * seam. The count is computed on the raw column before redaction. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_pii", graft.ops.TextOps.piiCount(col("message")))
+      .withColumn("message", graft.ops.TextOps.piiScrubbed(col("message")))
+
   /** Apply one-pipeline-to-rule-them-all + axway-ingest to a flattened
     * documents frame (Pipeline.flatten's schema: event_id, batch_ms,
     * requestId, logGroup, logStream, event_ref, event_ms, message).

@@ -74,8 +74,15 @@ object Serve {
     val pipelineName = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "axway-ingest")
     val geoDim = sys.env.get("SPARK_GRAFT_GEODIM")
       .map(IngestPipeline.geoDimFromNation(spark, _))
-    val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    val enrichStage: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       if (pipelineName == "none") identity else IngestPipeline.enrich(_, geoDim)
+    // SPARK_GRAFT_SCRUB_PII=1: redact email/IPv4/SSN from messages
+    // BEFORE enrichment, indexing, and the SUCCESS archive — raw PII
+    // never lands on disk or in the index
+    val enrich =
+      if (sys.env.get("SPARK_GRAFT_SCRUB_PII").contains("1"))
+        (IngestPipeline.scrubPii _).andThen(enrichStage)
+      else enrichStage
 
     val query =
       if (args.length == 5)

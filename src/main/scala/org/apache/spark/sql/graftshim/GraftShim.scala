@@ -254,6 +254,11 @@ object ShingleHelper {
   * shingle-less document simply has no rows and drops out. */
 case class MinHashSigs(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // the SQL registration bounds n to [1, 64] via intLiteral; the
+  // internal Scala API (TextFunctions.minhash_sigs) lands here directly,
+  // so guard at construction — n=0 would index mins(0) out of bounds at
+  // eval time, on the executor, per row
+  require(n >= 1, s"minhash_sigs: n must be >= 1, got $n")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -280,13 +285,19 @@ object MinHashHelper {
     () => java.security.MessageDigest.getInstance("MD5"))
   private val cachedPrefixes: Array[Array[Byte]] =
     (0 until 64).map(b => (b.toString + ":").getBytes).toArray
+  // n > 64 prefix tables, memoized per n: allocating the table per ROW
+  // in a hot loop is pure GC churn (the map stays tiny — one entry per
+  // distinct n the process ever uses)
+  private val widePrefixes =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
   def sigs(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     if (m == 0) return null
     val md = localMd.get()
     val prefixes =
       if (n <= 64) cachedPrefixes
-      else (0 until n).map(b => (b.toString + ":").getBytes).toArray
+      else widePrefixes.computeIfAbsent(n,
+        k => (0 until k).map(b => (b.toString + ":").getBytes).toArray)
     var b = 0
     val mins = new Array[Array[Byte]](n)
     var i = 0

@@ -115,6 +115,12 @@ class ExprSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "SELECT minhash_sigs(array('x'), cast(id AS INT)) FROM range(1)").collect())
     assert(e.getMessage.contains("minhash_sigs"))
+    // the internal Scala API guards n too: n=0 must fail at expression
+    // CONSTRUCTION (driver side), not index out of bounds per row on an
+    // executor
+    val bad = intercept[IllegalArgumentException](
+      graft.expr.TextFunctions.minhash_sigs(col("x"), 0))
+    assert(bad.getMessage.contains("n must be >= 1"))
   }
 
   test("minhash_sigs equals the definitional explode/groupBy/min(md5) form bit-for-bit") {

@@ -256,6 +256,24 @@ class PlanSpec extends SparkSpec {
       s"the time-range condition must ride the equi-join as a residual, not force BNLJ:\n$p")
   }
 
+  test("ns_text_unigram_logprob scans documents ONCE; the vocabulary is a persisted artifact") {
+    // the inline formulation re-derived the frequency table per run:
+    // the token explode fed both the vocab aggregation and the scoring
+    // join, and Catalyst replanned the documents scan once per
+    // reference — two corpus scans per score. With the vocabulary as a
+    // build-once artifact, the probe side is the ONLY documents scan;
+    // the other file scans in the plan must all read the artifact.
+    val p = physical("ns_text_unigram_logprob")
+    val docScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      // suffix match: the artifact's file-identity KEY contains the
+      // sanitized source file name, so a substring test would count the
+      // vocabulary scans as corpus scans
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(docScans == 1,
+      s"the scoring plan must scan documents exactly once, found $docScans:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism

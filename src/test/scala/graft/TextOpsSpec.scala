@@ -200,6 +200,38 @@ class TextOpsSpec extends SparkSpec {
     assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of band")
   }
 
+  test("near-dup leakage split: near-identical (not byte-identical) copies land on one side") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ns_split_leakage_near")(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == graft.Tables.documents(spark, sfDir).count(), "one row per document")
+    // every cluster — including near-dup clusters the exact-dup split
+    // cannot see — carries exactly one split
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // the guarantee is about NEAR-identical copies: some multi-member
+    // cluster must contain documents whose raw texts differ (byte-level)
+    // — otherwise this test degenerates to the exact-dup twin's
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val nearClusters = out.groupBy(_._2).values
+      .filter(m => m.length > 1 && m.map(t => texts(t._1)).distinct.length > 1)
+    assert(nearClusters.nonEmpty,
+      "the corpus must exercise a near-dup (non-byte-identical) cluster")
+    // and the split key is the cluster id, nothing else: recompute
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, cl, split) =>
+      md.reset()
+      val hex = md.digest(cl.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val bkt = Integer.parseInt(hex, 16) % 100
+      val want = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+      assert(split == want, s"doc $id cluster $cl: split $split != $want from cluster hash")
+    }
+  }
+
   test("incremental dedup contract: one row per new doc, dups point into the corpus, straddling exact dups flagged") {
     import spark.implicits._
     val out = SparkEntry.queries("ns_dedup_incremental")(spark, sfDir)
