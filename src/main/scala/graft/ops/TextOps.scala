@@ -783,6 +783,91 @@ object TextOps {
            |    + len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b')) AS n_pii
            |FROM planted""".stripMargin))
 
+  /** Benchmark decontamination — the train/eval contamination sweep
+    * every serious pretraining pipeline runs (the GPT-3 appendix-C
+    * n-gram collision rule): a training document is CONTAMINATED if it
+    * shares any word n-gram (3-shingles here, same unit as the dedup
+    * family) with any document of the held-out benchmark set. The
+    * benchmark is the deterministic doc_id % `decontMod` slice,
+    * standing in for "the eval suites" a production run loads as a
+    * separate small table.
+    *
+    * Scale shape: the benchmark side is small BY DEFINITION (eval
+    * suites are thousands of docs against a 100 TB corpus), so its
+    * distinct shingle set builds from a filter-pruned scan and
+    * BROADCASTS; the training side is one scan + explode + map-side
+    * broadcast semi-join + one groupBy(doc) shuffle — the corpus is
+    * never shuffled on the shingle and no shingle inverted index is
+    * materialized. Output: one row per training doc with the count of
+    * its distinct shingles that collide with the benchmark (0 = clean),
+    * the signal a pipeline thresholds or hard-drops on. */
+  private val decontMod = 41
+  val decontaminateOp = QueryDef(
+    "ns_decontaminate", {
+      (s, dir) =>
+        // no size/null filter on the shingle array: explode emits no
+        // rows for empty/null arrays anyway, and an explicit filter
+        // gets PUSHED below the Project, duplicating the whole shingle
+        // computation into the scan's DataFilters (the minhash_sigs
+        // pushdown trap — measured 2.7× there)
+        def shingled(df: DataFrame): DataFrame = df
+          .select(col("doc_id"),
+            explode(array_distinct(shingles3(trim(col("text"))))).as("x"))
+        val bench = shingled(docs(s, dir).filter(col("doc_id") % decontMod === 0))
+          .select("x").distinct()
+        val tr = shingled(Par.spread(s, docs(s, dir), col("doc_id"))
+          .filter(col("doc_id") % decontMod =!= 0))
+        val hits = tr.join(broadcast(bench), "x")
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        docs(s, dir).filter(col("doc_id") % decontMod =!= 0).select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hits"), lit(0L)).as("n_hits"),
+            col("hits").isNotNull.as("contaminated"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+           |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+           |      FROM toks WHERE len(t) >= 3),
+           |bench AS (SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % $decontMod = 0),
+           |tr AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE doc_id % $decontMod <> 0),
+           |hits AS (SELECT doc_id, count(*) AS hits FROM tr JOIN bench USING (x) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(hits, 0) AS n_hits, hits IS NOT NULL AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % $decontMod <> 0) d
+           |LEFT JOIN hits USING (doc_id)""".stripMargin))
+
+  /** Repetition signals — the MassiveText/Gopher quality rules a
+    * pretraining filter thresholds on: the fraction of the document
+    * its single most frequent token occupies (boilerplate/spam
+    * indicator) and the duplicate-token fraction (1 − type/token
+    * ratio). Per-token frequencies via groupBy(doc, token) with
+    * map-side combine — two map-side-combined shuffles keyed by
+    * doc_id, no arrays carried through an aggregation, the shape that
+    * survives arbitrarily long documents at 100 TB (a per-row HOF
+    * over the token array would be O(distinct × n) per document and
+    * interpreted). */
+  val textRepetitionOp = QueryDef(
+    "ns_text_repetition", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            max(col("c")).as("max_c"),
+            sum(col("c")).as("n"),
+            count(lit(1)).as("n_distinct"))
+          .select(col("doc_id"),
+            expr("round(CAST(max_c AS DOUBLE) / n, 6)").as("top_tok_frac"),
+            expr("round(1 - CAST(n_distinct AS DOUBLE) / n, 6)").as("dup_tok_frac"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+           |per AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n, count(*) AS n_distinct
+           |  FROM per GROUP BY 1)
+           |SELECT doc_id, round(CAST(max_c AS DOUBLE) / n, 6) AS top_tok_frac,
+           |  round(1 - CAST(n_distinct AS DOUBLE) / n, 6) AS dup_tok_frac
+           |FROM agg""".stripMargin))
+
   /** Incremental corpus dedup — the shape continuous training-data
     * ingestion actually runs: a NEW batch of documents (here the
     * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
@@ -874,5 +959,5 @@ object TextOps {
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     unigramLogprobOp, sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp,
     splitLeakageNearOp, textNormalizeOp, dedupClusterOp, dedupPipelineOp,
-    dedupIncrementalOp, piiScrubOp)
+    dedupIncrementalOp, piiScrubOp, decontaminateOp, textRepetitionOp)
 }

@@ -256,6 +256,25 @@ class PlanSpec extends SparkSpec {
       s"the time-range condition must ride the equi-join as a residual, not force BNLJ:\n$p")
   }
 
+  test("ns_decontaminate: broadcast collision probe, shingles computed once per side") {
+    val p = physical("ns_decontaminate")
+    // the benchmark shingle set broadcasts; the corpus is never
+    // shuffled or sort-merged on the shingle key
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the collision probe must be a broadcast hash join:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"the corpus must never shuffle on the shingle key:\n$p")
+    // the shingle expression evaluates exactly once per side (bench +
+    // training): a size/null filter on the array gets pushed below the
+    // Project and recomputes it in the scan's DataFilters (the
+    // minhash_sigs pushdown trap)
+    val occurrences = p.toString.sliding("word_shingles3".length)
+      .count(_ == "word_shingles3")
+    assert(occurrences == 2,
+      s"shingles must compute once per side, found $occurrences:\n$p")
+  }
+
   test("ns_text_unigram_logprob scans documents ONCE; the vocabulary is a persisted artifact") {
     // the inline formulation re-derived the frequency table per run:
     // the token explode fed both the vocab aggregation and the scoring
