@@ -868,6 +868,37 @@ object TextOps {
            |  round(1 - CAST(n_distinct AS DOUBLE) / n, 6) AS dup_tok_frac
            |FROM agg""".stripMargin))
 
+  /** Document chunking — the context-window packing precursor: split
+    * each document into overlapping windows of `chunkW` tokens at
+    * stride `chunkS` (overlap = chunkW − chunkS), the unit a training
+    * pipeline tokenizes and packs. The final window of a document may
+    * be shorter than chunkW (the tail is never dropped); documents
+    * shorter than one window emit a single whole-document chunk. Pure
+    * per-row explode + slice — codegen-friendly (`slice` with a column
+    * start stays in whole-stage codegen where a `transform` HOF would
+    * fall back to interpreted eval), embarrassingly parallel, no
+    * shuffle at any corpus size. */
+  private val chunkW = 32
+  private val chunkS = 24
+  val textChunkOp = QueryDef(
+    "ns_text_chunk", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(expr(s"sequence(1, size(t), $chunkS)")).as("i"))
+          .select(col("doc_id"),
+            expr(s"CAST((i - 1) div $chunkS AS BIGINT)").as("chunk_idx"),
+            array_join(slice(col("t"), col("i"), lit(chunkW)), " ").as("chunk"),
+            least(lit(chunkW), size(col("t")) - col("i") + 1).cast("long").as("n_chunk_tokens"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t), $chunkS)) AS i FROM toks)
+           |SELECT doc_id, CAST((i - 1) // $chunkS AS BIGINT) AS chunk_idx,
+           |  array_to_string(t[i : i + ${chunkW - 1}], ' ') AS chunk,
+           |  CAST(least($chunkW, len(t) - i + 1) AS BIGINT) AS n_chunk_tokens
+           |FROM idx""".stripMargin))
+
   /** Incremental corpus dedup — the shape continuous training-data
     * ingestion actually runs: a NEW batch of documents (here the
     * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
@@ -959,5 +990,6 @@ object TextOps {
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     unigramLogprobOp, sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp,
     splitLeakageNearOp, textNormalizeOp, dedupClusterOp, dedupPipelineOp,
-    dedupIncrementalOp, piiScrubOp, decontaminateOp, textRepetitionOp)
+    dedupIncrementalOp, piiScrubOp, decontaminateOp, textRepetitionOp,
+    textChunkOp)
 }
