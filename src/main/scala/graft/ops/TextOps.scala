@@ -403,14 +403,19 @@ object TextOps {
            |FROM toks JOIN freq USING (tok), total
            |GROUP BY doc_id""".stripMargin))
 
-  /** Deterministic hash bucket in [0, 100) from the doc id — the
+  /** Deterministic hash bucket in [0, 100) from an id column — the
     * reproducible-sampling primitive: stable across runs, engines, and
     * cluster sizes, unlike seeded RNG sampling (Spark's sample() RNG is
-    * partition-dependent and not reproducible in any oracle). */
-  private val hashBucket =
-    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
-  private val hashBucketSql =
-    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100"
+    * partition-dependent and not reproducible in any oracle). ONE
+    * definition parameterized by the key column: the sampling ops key
+    * on doc_id, the leakage-safe splits on the cluster id — the copies
+    * must stay byte-identical or the split contracts diverge. */
+  private def hashBucketOn(idCol: String): String =
+    s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+  private def hashBucketSqlOn(idCol: String): String =
+    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 100"
+  private val hashBucket = hashBucketOn("doc_id")
+  private val hashBucketSql = hashBucketSqlOn("doc_id")
 
   /** Stratified sampling with per-class rates (quality-weighted corpus
     * construction): a pure filter — no shuffle, fully pushdown-friendly,
@@ -455,17 +460,16 @@ object TextOps {
         val d = docs(s, dir)
           .withColumn("h", md5(lower(col("text")).cast("binary")))
         val clusters = d.groupBy("h").agg(min(col("doc_id")).as("cluster_id"))
-        val bucket =
-          "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+        val bucket = hashBucketOn("cluster_id")
         d.join(clusters, "h")
           .withColumn("split", expr(
             s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"))
           .select(col("doc_id"), col("cluster_id"), col("split"))
     },
-    Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+    Some(s"""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
            |c AS (SELECT h, min(doc_id) AS cluster_id FROM d GROUP BY h),
            |b AS (SELECT d.doc_id, c.cluster_id,
-           |    ('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4))::INT % 100 AS bkt
+           |    ${hashBucketSqlOn("c.cluster_id")} AS bkt
            |  FROM d JOIN c USING (h))
            |SELECT doc_id, cluster_id,
            |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
@@ -698,8 +702,7 @@ object TextOps {
   val splitLeakageNearOp = QueryDef(
     "ns_split_leakage_near", {
       (s, dir) =>
-        val bucket =
-          "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+        val bucket = hashBucketOn("cluster_id")
         nearDupClusters(s, dir)
           .withColumn("split", expr(
             s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"))
@@ -707,7 +710,7 @@ object TextOps {
     },
     Some(s"""$pipelineOracleCtes,
            |b AS (SELECT node_id, label,
-           |    ('0x' || substr(md5(CAST(label AS VARCHAR)), 1, 4))::INT % 100 AS bkt
+           |    ${hashBucketSqlOn("label")} AS bkt
            |  FROM l$propagationRounds)
            |SELECT node_id AS doc_id, label AS cluster_id,
            |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
@@ -739,11 +742,15 @@ object TextOps {
       piiEmailRx, "<EMAIL>"), piiIpRx, "<IP>"), piiSsnRx, "<ID>")
 
   /** Count of PII matches in `c` — computed on the RAW column, before
-    * redaction. */
+    * redaction. A null input counts 0 (not null): a document without a
+    * message carries no PII, and a null count would silently drop the
+    * row from BOTH sides of any `n_pii > 0` / `n_pii = 0` filter. */
   private[graft] def piiCount(c: Column): Column =
-    (size(regexp_extract_all(c, lit(piiEmailRx), lit(0))) +
-      size(regexp_extract_all(c, lit(piiIpRx), lit(0))) +
-      size(regexp_extract_all(c, lit(piiSsnRx), lit(0)))).cast("long")
+    coalesce(
+      (size(regexp_extract_all(c, lit(piiEmailRx), lit(0))) +
+        size(regexp_extract_all(c, lit(piiIpRx), lit(0))) +
+        size(regexp_extract_all(c, lit(piiSsnRx), lit(0)))).cast("long"),
+      lit(0L))
 
   val piiScrubOp = QueryDef(
     "ns_text_pii_scrub", {
@@ -795,9 +802,12 @@ object TextOps {
     * Scale shape: the benchmark side is small BY DEFINITION (eval
     * suites are thousands of docs against a 100 TB corpus), so its
     * distinct shingle set builds from a filter-pruned scan and
-    * BROADCASTS; the training side is one scan + explode + map-side
-    * broadcast semi-join + one groupBy(doc) shuffle — the corpus is
-    * never shuffled on the shingle and no shingle inverted index is
+    * BROADCASTS; the training side is ONE corpus scan —
+    * `explode_outer` keeps a (null-shingle) row for short documents,
+    * so the per-doc collision count covers every training doc without
+    * a second corpus pass for the zero rows — a map-side broadcast
+    * left join + one groupBy(doc) shuffle; the corpus is never
+    * shuffled on the shingle and no shingle inverted index is
     * materialized. Output: one row per training doc with the count of
     * its distinct shingles that collide with the benchmark (0 = clean),
     * the signal a pipeline thresholds or hard-drops on. */
@@ -805,25 +815,23 @@ object TextOps {
   val decontaminateOp = QueryDef(
     "ns_decontaminate", {
       (s, dir) =>
-        // no size/null filter on the shingle array: explode emits no
-        // rows for empty/null arrays anyway, and an explicit filter
-        // gets PUSHED below the Project, duplicating the whole shingle
-        // computation into the scan's DataFilters (the minhash_sigs
-        // pushdown trap — measured 2.7× there)
-        def shingled(df: DataFrame): DataFrame = df
+        // no size/null filter on the shingle array: explode_outer keeps
+        // empty/null arrays as a single null row, and an explicit
+        // filter would be PUSHED below the Project, duplicating the
+        // whole shingle computation into the scan's DataFilters (the
+        // minhash_sigs pushdown trap — measured 2.7× there)
+        val bench = docs(s, dir).filter(col("doc_id") % decontMod === 0)
+          .select(explode(array_distinct(shingles3(trim(col("text"))))).as("x"))
+          .distinct()
+          .withColumn("hit", lit(1))
+        val tr = Par.spread(s, docs(s, dir), col("doc_id"))
+          .filter(col("doc_id") % decontMod =!= 0)
           .select(col("doc_id"),
-            explode(array_distinct(shingles3(trim(col("text"))))).as("x"))
-        val bench = shingled(docs(s, dir).filter(col("doc_id") % decontMod === 0))
-          .select("x").distinct()
-        val tr = shingled(Par.spread(s, docs(s, dir), col("doc_id"))
-          .filter(col("doc_id") % decontMod =!= 0))
-        val hits = tr.join(broadcast(bench), "x")
-          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-        docs(s, dir).filter(col("doc_id") % decontMod =!= 0).select("doc_id")
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("hits"), lit(0L)).as("n_hits"),
-            col("hits").isNotNull.as("contaminated"))
+            explode_outer(array_distinct(shingles3(trim(col("text"))))).as("x"))
+        tr.join(broadcast(bench), Seq("x"), "left")
+          .groupBy("doc_id").agg(count(col("hit")).as("n_hits"))
+          .select(col("doc_id"), col("n_hits"),
+            (col("n_hits") > 0).as("contaminated"))
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
            |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
@@ -873,11 +881,15 @@ object TextOps {
     * stride `chunkS` (overlap = chunkW − chunkS), the unit a training
     * pipeline tokenizes and packs. The final window of a document may
     * be shorter than chunkW (the tail is never dropped); documents
-    * shorter than one window emit a single whole-document chunk. Pure
-    * per-row explode + slice — codegen-friendly (`slice` with a column
-    * start stays in whole-stage codegen where a `transform` HOF would
-    * fall back to interpreted eval), embarrassingly parallel, no
-    * shuffle at any corpus size. */
+    * shorter than one window emit a single whole-document chunk, and a
+    * window whose content would be entirely contained in its
+    * predecessor (fewer than chunkW − chunkS tokens remain past the
+    * overlap) is not emitted — every chunk after the first carries at
+    * least one new token, and every token is covered. Pure per-row
+    * explode + slice — codegen-friendly (`slice` with a column start
+    * stays in whole-stage codegen where a `transform` HOF would fall
+    * back to interpreted eval), embarrassingly parallel, no shuffle at
+    * any corpus size. */
   private val chunkW = 32
   private val chunkS = 24
   val textChunkOp = QueryDef(
@@ -887,13 +899,20 @@ object TextOps {
           .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
           .select(col("doc_id"), col("t"),
             explode(expr(s"sequence(1, size(t), $chunkS)")).as("i"))
+          // new-content guard: window at i > 1 adds tokens beyond its
+          // predecessor's end iff i + (chunkW − chunkS) ≤ n; the filter
+          // references the Generate output, so it cannot be pushed into
+          // a recomputation below it
+          .filter(col("i") === 1 ||
+            col("i") + (chunkW - chunkS) <= size(col("t")))
           .select(col("doc_id"),
             expr(s"CAST((i - 1) div $chunkS AS BIGINT)").as("chunk_idx"),
             array_join(slice(col("t"), col("i"), lit(chunkW)), " ").as("chunk"),
             least(lit(chunkW), size(col("t")) - col("i") + 1).cast("long").as("n_chunk_tokens"))
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-           |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t), $chunkS)) AS i FROM toks)
+           |idx0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t), $chunkS)) AS i FROM toks),
+           |idx AS (SELECT * FROM idx0 WHERE i = 1 OR i + ${chunkW - chunkS} <= len(t))
            |SELECT doc_id, CAST((i - 1) // $chunkS AS BIGINT) AS chunk_idx,
            |  array_to_string(t[i : i + ${chunkW - 1}], ' ') AS chunk,
            |  CAST(least($chunkW, len(t) - i + 1) AS BIGINT) AS n_chunk_tokens

@@ -71,10 +71,19 @@ object DedupStream {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an empty bucket set (a batch with no shingled docs / no
     // candidates) probes nothing by definition
-    if (buckets.nonEmpty && fs.exists(path) && fs.listStatus(path).nonEmpty)
-      Some(spark.read.parquet(path.toString)
-        .filter(col("batch") < batchId && col(bktCol).isin(buckets: _*)))
-    else None
+    if (buckets.nonEmpty && fs.exists(path) && fs.listStatus(path).nonEmpty) {
+      val df = spark.read.parquet(path.toString)
+      // fail FAST and legibly on a store written by the pre-bucketed
+      // layout (bands/batch=<id>/ without bkt=<b>/ subdirectories):
+      // the partition column simply isn't there, and the alternative
+      // is an opaque unresolved-column error mid-trigger
+      if (!df.columns.contains(bktCol))
+        throw new IllegalStateException(
+          s"$path uses the pre-bucketed store layout (no $bktCol partition); " +
+            "start a fresh storeDir or rewrite the store once with " +
+            s"partitionBy($bktCol) before resuming the stream")
+      Some(df.filter(col("batch") < batchId && col(bktCol).isin(buckets: _*)))
+    } else None
   }
 
   /** One micro-batch: flag dups against the store + within-batch, write
@@ -151,9 +160,11 @@ object DedupStream {
           // Per-batch uniques/dups ride the write itself as an observe()
           // node (ServiceMetrics harvests on action success) — zero
           // extra count jobs, the counted frame is the written one.
+          // coalesce: sum() over an EMPTY micro-batch is null, and the
+          // harvest listener reads longs
           metrics.fold(results)(m => results.observe(m.dedupResultsMetric,
-              sum(when(col("is_unique"), 1L).otherwise(0L)).as("uniques"),
-              sum(when(col("is_unique"), 0L).otherwise(1L)).as("dups")))
+              coalesce(sum(when(col("is_unique"), 1L).otherwise(0L)), lit(0L)).as("uniques"),
+              coalesce(sum(when(col("is_unique"), 0L).otherwise(1L)), lit(0L)).as("dups")))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           val uniques = results.filter(col("is_unique")).select("doc_id")
@@ -194,9 +205,14 @@ object DedupStream {
   }
 
   /** Streams started by `run`, by store dir — compact() refuses to
-    * rewrite a store a live query in this process is reading. */
+    * rewrite a store a live query in this process is reading. The
+    * sentinel marks the window between run() being called and start()
+    * returning the query handle, so a concurrent compact can never
+    * slip through mid-startup; compact() removes entries whose query
+    * has stopped, so the registry does not grow with restarts. */
+  private case object Starting
   private val activeRuns =
-    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Compact the signature store: fold every `batch=<id>` partition
     * with id < `upTo` into ONE consolidated partition, so a
@@ -229,10 +245,14 @@ object DedupStream {
     * trigger with a FileNotFoundException mid-job. */
   def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
               upTo: Long, targetFiles: Int = 8): Unit = {
-    val live = activeRuns.get(storeDir)
-    if (live != null && live.isActive)
-      throw new IllegalStateException(
-        s"a streaming query is still reading $storeDir — stop it before compacting")
+    activeRuns.get(storeDir) match {
+      case null => ()
+      case q: StreamingQuery if !q.isActive =>
+        activeRuns.remove(storeDir, q) // stopped — clean the registry
+      case _ => // Starting sentinel or a live query
+        throw new IllegalStateException(
+          s"a streaming query is still reading $storeDir — stop it before compacting")
+    }
     for ((sub, bktCol) <- Seq("bands" -> "bkt", "sets" -> "dkt")) {
       val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -269,12 +289,19 @@ object DedupStream {
           trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
           threshold: Double = 0.5,
           metrics: Option[ServiceMetrics] = None): StreamingQuery = {
-    val q = source.writeStream
-      .foreachBatch(sinkBatch(storeDir, outDir, threshold, metrics) _)
-      .trigger(trigger)
-      .option("checkpointLocation", checkpointDir)
-      .start()
-    activeRuns.put(storeDir, q)
-    q
+    // register BEFORE start(): a compact racing the first trigger must
+    // see the store as claimed even while start() is still executing
+    activeRuns.put(storeDir, Starting)
+    try {
+      val q = source.writeStream
+        .foreachBatch(sinkBatch(storeDir, outDir, threshold, metrics) _)
+        .trigger(trigger)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      activeRuns.put(storeDir, q)
+      q
+    } catch {
+      case e: Throwable => activeRuns.remove(storeDir); throw e
+    }
   }
 }

@@ -86,12 +86,14 @@ final class ServiceMetrics(spark: SparkSession) {
         .foreach(r => documentsIndexed.addAndGet(r.getLong(0)))
       qe.observedMetrics.get(deadLetterMetric)
         .foreach(r => documentsDeadLettered.addAndGet(r.getLong(0)))
+      // null-guard every field: aggregates over an empty frame observe
+      // null, and a throwing listener is silently dropped by the bus
       qe.observedMetrics.get(dedupResultsMetric).foreach { r =>
-        dedupUniques.addAndGet(r.getLong(0))
-        dedupDups.addAndGet(r.getLong(1))
+        if (!r.isNullAt(0)) dedupUniques.addAndGet(r.getLong(0))
+        if (!r.isNullAt(1)) dedupDups.addAndGet(r.getLong(1))
       }
       qe.observedMetrics.get(dedupStoreMetric)
-        .foreach(r => dedupStoreRows.addAndGet(r.getLong(0)))
+        .foreach(r => if (!r.isNullAt(0)) dedupStoreRows.addAndGet(r.getLong(0)))
     }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }

@@ -213,6 +213,45 @@ class DedupStreamSpec extends SparkSpec {
     DedupStream.compact(spark, storeDir, upTo = 99L)
   }
 
+  test("a pre-bucketed legacy store fails fast with a legible error, not mid-trigger") {
+    import spark.implicits._
+    val storeDir = tmp("ddo-store")
+    // the r8 layout: band rows directly under batch=<id>, no bkt=<b>
+    Seq((1L, 0, "ab"), (2L, 1, "cd")).toDF("doc_id", "band", "sig")
+      .write.parquet(s"$storeDir/bands/batch=0")
+    val e = intercept[IllegalStateException](
+      DedupStream.probeStore(spark, storeDir, "bands", 1L, "bkt", Seq(0)))
+    assert(e.getMessage.contains("pre-bucketed store layout"))
+  }
+
+  test("an empty micro-batch neither breaks the store nor corrupts the metrics") {
+    import spark.implicits._
+    val metrics = new graft.streaming.ServiceMetrics(spark)
+    try {
+      val storeDir = tmp("dde-store")
+      val sink = DedupStream.sinkBatch(storeDir, tmp("dde-out"),
+        metrics = Some(metrics)) _
+      sink(Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"), 0L)
+      // an empty trigger: observed sums over zero rows must coalesce to
+      // 0 (a null would NPE the harvest listener) and the store must
+      // not gain a fileless partition
+      sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 1L)
+      val snap = metrics.snapshot
+      assert(snap("dedup_batches") == 2L && snap("dedup_uniques") == 1L &&
+        snap("dedup_dups") == 0L, s"got $snap")
+      val parts = new java.io.File(s"$storeDir/bands").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+      assert(parts == Set("batch=0"), s"empty batch must not mint a store partition: $parts")
+      // and a later batch still dedups against the intact store
+      sink(Seq((5L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"), 2L)
+      assert(snapEq(metrics.snapshot, "dedup_dups", 1L))
+    } finally metrics.close()
+  }
+
+  private def snapEq(m: Map[String, Long], k: String, v: Long): Boolean = m(k) == v
+
   test("per-batch uniques/dups/store-rows surface through ServiceMetrics") {
     import spark.implicits._
     val tA = "the quick brown fox jumps over the lazy dog tonight"

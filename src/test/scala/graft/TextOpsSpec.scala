@@ -232,6 +232,46 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking contract: full coverage, no chunk fully contained in its predecessor") {
+    import spark.implicits._
+    val W = 32; val S = 24
+    val out = SparkEntry.queries("ns_text_chunk")(spark, sfDir)
+      .as[(Long, Long, String, Long)].collect()
+    val nTokens = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == nTokens.keySet, "every document chunks — short ones too")
+    byDoc.foreach { case (id, chunks) =>
+      val n = nTokens(id)
+      chunks.foreach { case (_, idx, _, len) =>
+        val start = idx * S + 1
+        // a chunk after the first must extend past its predecessor's
+        // end — the old formula emitted a fully-contained tail chunk
+        // for every doc with n % S in [1, W - S]
+        if (idx > 0) assert(start + len - 1 > (idx - 1) * S + W,
+          s"doc $id chunk $idx adds no new tokens (n=$n)")
+        assert(len == math.min(W, n - start + 1))
+      }
+      // coverage: the last chunk reaches the last token
+      val maxEnd = chunks.map { case (_, idx, _, len) => idx * S + len }.max
+      assert(maxEnd == n, s"doc $id: tokens ${maxEnd + 1}..$n dropped")
+      // contiguous chunk indexes from 0
+      assert(chunks.map(_._2).sorted.toSeq == (0L until chunks.length).toSeq)
+    }
+  }
+
+  test("piiCount of a null message is 0, not null") {
+    import spark.implicits._
+    val r = Seq((1L, Option.empty[String]), (2L, Some("mail a@b.co x")))
+      .toDF("doc_id", "message")
+      .select(col("doc_id"), graft.ops.TextOps.piiCount(col("message")).as("n_pii"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == 0L, "a document without a message carries no PII")
+    assert(r(2L) == 1L)
+  }
+
   test("incremental dedup contract: one row per new doc, dups point into the corpus, straddling exact dups flagged") {
     import spark.implicits._
     val out = SparkEntry.queries("ns_dedup_incremental")(spark, sfDir)
