@@ -918,6 +918,53 @@ object TextOps {
            |  CAST(least($chunkW, len(t) - i + 1) AS BIGINT) AS n_chunk_tokens
            |FROM idx""".stripMargin))
 
+  /** Packing offsets — the concatenate-then-split step of causal-LM
+    * data prep: documents are laid end-to-end in a deterministic order
+    * (doc_id) and the resulting token stream is cut into fixed
+    * `packC`-token training sequences; each document's global start
+    * offset decides its bin and position. The offsets are a prefix sum
+    * over the corpus, computed in the DISTRIBUTED two-level shape: a
+    * bounded window inside each `packB`-doc block (partition-local,
+    * ≤ packB rows of state) plus a per-block base from a window over
+    * the tiny block-sum dim — never one global single-partition window
+    * over the corpus (the naive `Window.orderBy(doc_id)` plan funnels
+    * every row through one task). At 10^9 docs the block dim is
+    * |corpus|/packB ≈ 250k rows — still one task, but of longs, and a
+    * third level handles another 10^6× if ever needed. */
+  private val packC = 256L
+  private val packB = 4096L
+  val textPackOp = QueryDef(
+    "ns_text_pack", {
+      (s, dir) =>
+        val t = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+          .withColumn("block", expr(s"doc_id div $packB"))
+        val wIn = Window.partitionBy("block").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val within = t.withColumn("prev_in_block",
+          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        val wBase = Window.orderBy("block")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bases = t.groupBy("block").agg(sum(col("n_tokens")).as("bsum"))
+          .withColumn("base", coalesce(sum(col("bsum")).over(wBase), lit(0L)))
+          .select("block", "base")
+        within.join(broadcast(bases), "block")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("base") + col("prev_in_block")).as("start_off"))
+          .select(col("doc_id"), col("n_tokens"), col("start_off"),
+            expr(s"start_off div $packC").as("bin"),
+            expr(s"start_off % $packC").as("bin_off"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)
+           |SELECT doc_id, n_tokens, start_off,
+           |  start_off // $packC AS bin, start_off % $packC AS bin_off
+           |FROM c""".stripMargin))
+
   /** Incremental corpus dedup — the shape continuous training-data
     * ingestion actually runs: a NEW batch of documents (here the
     * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
@@ -1010,5 +1057,5 @@ object TextOps {
     unigramLogprobOp, sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp,
     splitLeakageNearOp, textNormalizeOp, dedupClusterOp, dedupPipelineOp,
     dedupIncrementalOp, piiScrubOp, decontaminateOp, textRepetitionOp,
-    textChunkOp)
+    textChunkOp, textPackOp)
 }

@@ -275,6 +275,22 @@ class PlanSpec extends SparkSpec {
       s"shingles must compute once per side, found $occurrences:\n$p")
   }
 
+  test("ns_text_pack: the prefix sum is two-level — no global window over corpus rows") {
+    val p = physical("ns_text_pack")
+    val windows = nodes(p).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected window operators in:\n$p")
+    // the per-row running sum must be partitioned (block-local state);
+    // an UNPARTITIONED window is allowed only above the block-sum
+    // aggregation (the tiny dim), never over raw corpus rows — that
+    // plan funnels the whole corpus through one task
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(nodes(w).drop(1).exists(_.getClass.getSimpleName.startsWith("HashAggregate")),
+        s"an unpartitioned window runs over raw corpus rows:\n$p")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"the per-row prefix sum lost its block partitioning:\n$p")
+  }
+
   test("ns_text_unigram_logprob scans documents ONCE; the vocabulary is a persisted artifact") {
     // the inline formulation re-derived the frequency table per run:
     // the token explode fed both the vocab aggregation and the scoring
