@@ -282,6 +282,25 @@ object DedupStream {
     }
   }
 
+  /** Adapt the ingest pipeline's SUCCESS-archive documents to the
+    * dedup contract (doc_id BIGINT, text STRING): the staged service
+    * topology reads the archive as a file stream — each exploded
+    * document keyed by a 60-bit hash of its `event_ref` (the envelope's
+    * `event_id` is shared by every document exploded from one record,
+    * so it cannot key documents; the hash is deterministic across
+    * replays, and "min doc_id keeps" becomes "min hash keeps", an
+    * arbitrary-but-stable canonical). `text` is the normalized message
+    * payload. */
+  def fromPipelineDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      expr("CAST(conv(substring(md5(event_ref), 1, 15), 16, 10) AS BIGINT)").as("doc_id"),
+      col("message").as("text"))
+
+  /** The stable column subset every SUCCESS-archive variant carries
+    * (enrich stages append columns; these always exist) — the schema a
+    * streaming read of the archive declares. */
+  val pipelineDocsSchema = "event_id BIGINT, event_ref STRING, message STRING"
+
   /** Wire the per-batch dedup into a streaming query. `source` must
     * deliver (doc_id, text) rows. */
   def run(source: DataFrame, storeDir: String, outDir: String,

@@ -97,16 +97,43 @@ object Serve {
       else
         Pipeline.run(source, args(1), args(2), trigger = trigger, enrich = enrich,
           metrics = Some(metrics))
+    // SPARK_GRAFT_DEDUP_DIR=<dir>: the staged dedup topology — a SECOND
+    // streaming query reads the SUCCESS archive as a file stream and
+    // runs the incremental near-dup check against the persisted
+    // signature store (<dir>/store), flagging each archived document in
+    // <dir>/out. Staging through the archive (not a fork inside the
+    // ingest query) keeps the two jobs independently restartable and is
+    // how a production pipeline chains stages over object storage. In
+    // drain mode the stage starts AFTER the ingest drain completes —
+    // AvailableNow snapshots the archive's file listing at start, so a
+    // concurrent start would miss files the ingest is still writing.
+    @volatile var dedup: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    def startDedup(): Unit = dedup = sys.env.get("SPARK_GRAFT_DEDUP_DIR").map { dir =>
+      val successDir = s"${args(1)}/SUCCESS"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(successDir))
+      val archived = spark.readStream
+        .schema(DedupStream.pipelineDocsSchema)
+        .parquet(successDir)
+      DedupStream.run(DedupStream.fromPipelineDocs(archived),
+        s"$dir/store", s"$dir/out", s"$dir/ckpt",
+        trigger = trigger, metrics = Some(metrics))
+    }
+    val drain = sys.env.get("SPARK_GRAFT_DRAIN").contains("1")
+    if (!drain) startDedup()
+
     // graceful shutdown (reference main.go:381–396): SIGTERM/SIGINT stop
-    // the query between micro-batches — the checkpoint commits, so the
+    // the queries between micro-batches — the checkpoints commit, so the
     // restart resumes exactly where this run stopped — then close the
     // HTTP front-end
     sys.addShutdownHook {
       try query.stop() catch { case _: Exception => () }
+      dedup.foreach(q => try q.stop() catch { case _: Exception => () })
       endpoint.foreach(_.stop())
       metrics.close()
     }
-    try query.awaitTermination()
-    finally endpoint.foreach(_.stop())
+    try {
+      query.awaitTermination()
+      if (drain) { startDedup(); dedup.foreach(_.awaitTermination()) }
+    } finally endpoint.foreach(_.stop())
   }
 }

@@ -193,7 +193,11 @@ class PlanSpec extends SparkSpec {
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
       "ns_similarity_knn", "ns_similarity_ivf", "np_grok_access_log",
-      "np_geoip_join")
+      "np_geoip_join",
+      // r9 text-pipeline additions: all pure codegen by design (slice
+      // with a column start, sequence explode, regexp projections)
+      "ns_decontaminate", "ns_text_repetition", "ns_text_chunk",
+      "ns_text_pack", "ns_text_unigram_logprob", "ns_split_leakage_near")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")

@@ -467,6 +467,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("staged topology: the ingest SUCCESS archive feeds the streaming near-dup check") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.DedupStream
+    // stage 1: ingest three events — two near-identical messages, one
+    // distinct — into the SUCCESS archive
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tB = "spark plans a single expand and one shuffle for all sets"
+    val body =
+      s"""{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/st","logStream":"s1",
+         |"subscriptionFilters":["f"],"logEvents":[
+         |{"id":"d1","timestamp":1000,"message":"$tA"},
+         |{"id":"d2","timestamp":2000,"message":"$tB"},
+         |{"id":"d3","timestamp":3000,"message":"$tA"}]}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(body.getBytes("UTF-8"))
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-staged-sink")
+    in.addData((1L, 10L, b64))
+    val q1 = Pipeline.run(in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-staged-ckpt"), trigger = Trigger.AvailableNow())
+    q1.processAllAvailable(); q1.stop()
+    // stage 2: the dedup stream reads the archive as a FILE stream —
+    // the staged topology Serve wires under SPARK_GRAFT_DEDUP_DIR —
+    // and flags the near-dup against the persisted store
+    val archived = spark.readStream
+      .schema(DedupStream.pipelineDocsSchema)
+      .parquet(s"$outDir/SUCCESS")
+    val dedupDir = tmp("graft-staged-dedup")
+    val q2 = DedupStream.run(DedupStream.fromPipelineDocs(archived),
+      s"$dedupDir/store", s"$dedupDir/out", s"$dedupDir/ckpt",
+      trigger = Trigger.AvailableNow())
+    try {
+      q2.processAllAvailable()
+      val r = spark.read.parquet(s"$dedupDir/out")
+        .select(col("doc_id"), col("dup_of"), col("is_unique"))
+        .as[(Long, Option[Long], Boolean)].collect()
+      assert(r.length == 3, s"one dedup verdict per archived document: ${r.toSeq}")
+      assert(r.count(_._3) == 2, s"tA+tB unique, the tA copy flagged: ${r.toSeq}")
+      val dup = r.find(!_._3).get
+      // the flagged copy points at the other tA document's hash id
+      assert(r.exists(x => x._3 && x._1 == dup._2.get), s"dup_of must be a kept doc: ${r.toSeq}")
+    } finally q2.stop()
+  }
+
   test("zero-event envelope is observable in ERROR/, not silently dropped") {
     import spark.implicits._
     val empty =
