@@ -279,6 +279,22 @@ class PlanSpec extends SparkSpec {
       s"shingles must compute once per side, found $occurrences:\n$p")
   }
 
+  test("ns_split_leakage_near reads the persisted label store — no pipeline re-run per query") {
+    // the split keys on the near-dup cluster labels; recomputing
+    // normalize→LSH→verify→propagate inside every consumer is the
+    // 100 TB anti-pattern the artifact discipline exists for — the
+    // split plan must contain neither the signature expression nor any
+    // corpus scan, only the label-store read
+    val p = physical("ns_split_leakage_near")
+    assert(sigOccurrences(p) == 0,
+      s"the split is re-running the dedup pipeline:\n$p")
+    val corpusScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(corpusScans == 0,
+      s"the split must read the label artifact, not the corpus:\n$p")
+  }
+
   test("ns_text_pack: the prefix sum is two-level — no global window over corpus rows") {
     val p = physical("ns_text_pack")
     val windows = nodes(p).collect { case w: WindowExec => w }
