@@ -292,36 +292,39 @@ object TextOps {
     // (DuckDB); RE2 rejects the \uXXXX form.
     "zh" -> "[\\x{4e00}-\\x{9fff}]")
 
+  /** Fixed-tie-order argmax over the marker scores — valid verbatim in
+    * both Spark SQL and DuckDB (shared by ns_lang_id and the
+    * ns_filter_funnel lang-mismatch rule). */
+  private val langArgmax =
+    """CASE
+      | WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+      | WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+      | WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+      | WHEN s_es >= s_zh THEN 'es'
+      | ELSE 'zh' END""".stripMargin
+
+  private def langScores(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) { case (d, (l, rx)) =>
+      d.withColumn(s"s_$l", regexp_count(col("text"), lit(rx)).cast("long"))
+    }
+
+  private val langScoresSql = langMarkers.map { case (l, rx) =>
+    s"CAST(len(regexp_extract_all(text, '$rx')) AS BIGINT) AS s_$l"
+  }.mkString(", ")
+
   val langIdOp = QueryDef(
     "ns_lang_id", {
       (s, dir) =>
-        val scored = langMarkers.foldLeft(docs(s, dir)) { case (df, (l, rx)) =>
-          df.withColumn(s"s_$l", regexp_count(col("text"), lit(rx)).cast("long"))
-        }
-        scored.select(
+        langScores(docs(s, dir)).select(
           col("doc_id"), col("lang"),
           col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh"),
-          expr("""CASE
-                 | WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-                 | WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-                 | WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-                 | WHEN s_es >= s_zh THEN 'es'
-                 | ELSE 'zh' END""".stripMargin).as("pred_lang"))
+          expr(langArgmax).as("pred_lang"))
     },
-    Some {
-      val scoreCols = langMarkers.map { case (l, rx) =>
-        s"CAST(len(regexp_extract_all(text, '$rx')) AS BIGINT) AS s_$l"
-      }.mkString(", ")
-      s"""WITH scored AS (SELECT doc_id, lang, $scoreCols FROM documents)
+    Some(
+      s"""WITH scored AS (SELECT doc_id, lang, $langScoresSql FROM documents)
          |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
-         |  CASE
-         |   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-         |   WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-         |   WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-         |   WHEN s_es >= s_zh THEN 'es'
-         |   ELSE 'zh' END AS pred_lang
-         |FROM scored""".stripMargin
-    })
+         |  $langArgmax AS pred_lang
+         |FROM scored""".stripMargin))
 
   /** Quality scoring: length score + stopword ratio, fixed formula. */
   val qualityScoreOp = QueryDef(
@@ -976,6 +979,133 @@ object TextOps {
            |  start_off // $packC AS bin, start_off % $packC AS bin_off
            |FROM c""".stripMargin))
 
+  /** 1-in-10000 md5 bucket — the fractional-rate twin of the 1-in-100
+    * `hashBucketOn` primitive, for acceptance rates finer than 1%. */
+  private def hashBucket10kOn(idCol: String): String =
+    s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS INT) % 10000"
+  private def hashBucket10kSqlOn(idCol: String): String =
+    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 10000"
+
+  /** Per-language corpus counts as a PERSISTED artifact: mixture rates
+    * are corpus statistics, computed once per corpus snapshot like the
+    * IVF centroids and the unigram vocabulary — every sampling query
+    * reads the tiny dim instead of re-aggregating the corpus. */
+  private def langCountDim(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "lang_counts") { path =>
+      docs(s, dir).groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+  /** Mixture rebalancing — the multilingual-corpus sampling step
+    * (XLM-R-style temperature sampling, τ = 0.5): each language's
+    * acceptance rate is `min(1, K/sqrt(count))`, so high-resource
+    * languages are downsampled toward the tempered distribution while
+    * low-resource ones are availability-capped at keep-everything.
+    * The rate is materialized as an integer threshold over the
+    * deterministic 1-in-10000 md5 bucket: `floor(10000·rate)` —
+    * every arithmetic step (sqrt, one divide, one multiply, floor) is
+    * a single correctly-rounded IEEE-754 op on identical inputs, so
+    * Spark and DuckDB derive bit-identical thresholds and membership
+    * is engine-independent. Plan shape: ONE corpus scan probed against
+    * the broadcast rate dim — a pure pushdown-friendly filter any
+    * worker evaluates independently at 100 TB. */
+  private val mixtureK = 8.0
+  val sampleMixtureOp = QueryDef(
+    "ns_sample_mixture", {
+      (s, dir) =>
+        val rates = langCountDim(s, dir).select(
+          col("lang"),
+          expr(s"CAST(floor(10000 * least(1.0, $mixtureK / sqrt(cnt))) AS INT)").as("thr"))
+        docs(s, dir)
+          .join(broadcast(rates), "lang")
+          .filter(expr(hashBucket10kOn("doc_id")) < col("thr"))
+          .select(col("doc_id"), col("lang"), col("thr"))
+    },
+    Some(
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         |r AS (SELECT lang, CAST(floor(10000 * least(1.0, $mixtureK / sqrt(cnt))) AS INT) AS thr FROM c)
+         |SELECT d.doc_id, d.lang, r.thr
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${hashBucket10kSqlOn("d.doc_id")} < r.thr""".stripMargin))
+
+  /** Deterministic global shuffle into training shards — the corpus
+    * randomization every pretraining run needs, reproducible across
+    * runs, engines, and cluster sizes: shard = md5 bucket of the
+    * doc_id, within-shard order = the full md5 (ties broken by
+    * doc_id). The plan is the scale shape for "shuffle 100 TB": ONE
+    * hash-partition shuffle into `nShards` independent groups, each
+    * sorted locally — never a global sort, and shard count (not
+    * corpus size) bounds the per-task sort. */
+  private val nShards = 16
+  val shardOrderOp = QueryDef(
+    "ns_shard_order", {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr("md5(CAST(doc_id AS STRING))").as("h"))
+          .withColumn("shard",
+            expr(s"CAST(conv(substring(h, 1, 4), 16, 10) AS INT) % $nShards"))
+          .withColumn("ord", row_number()
+            .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+            .cast("long"))
+          .select(col("doc_id"), col("shard"), col("ord"))
+    },
+    Some(
+      s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |s AS (SELECT doc_id, h, ('0x' || substr(h, 1, 4))::INT % $nShards AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS ord
+         |FROM s""".stripMargin))
+
+  /** Quality-filter funnel — the C4/Gopher-style filter cascade with
+    * the per-rule drop accounting every corpus paper reports: rules
+    * fire in a fixed order (length gate → language-ID agreement →
+    * repetition via type/token ratio → composite quality score), each
+    * document gets its FIRST failing rule as a verdict, and the
+    * output is the (source, verdict) funnel table. The thresholds
+    * reuse this file's scoring formulas verbatim (ns_lang_id's argmax,
+    * ns_text_stats' ttr, ns_quality_score's composite), so the funnel
+    * is the composition of already-verified signals. One codegen map
+    * pass over the corpus plus a tiny map-side-combined count — no
+    * per-document state, no second scan. */
+  val filterFunnelOp = QueryDef(
+    "ns_filter_funnel", {
+      (s, dir) =>
+        langScores(docs(s, dir))
+          .withColumn("pred_lang", expr(langArgmax))
+          .withColumn("ttr", expr(
+            "CAST(size(array_distinct(split(trim(text), ' '))) AS DOUBLE) / size(split(trim(text), ' '))"))
+          // n_stop via the Scala-API lit (the ns_quality_score construction):
+          // a regex in a SQL string literal goes through the parser's
+          // escape handling, which differs from the API path
+          .withColumn("n_stop",
+            regexp_count(col("text"), lit("\\b(the|a|of|and|to|is)\\b")).cast("long"))
+          .withColumn("q", expr(
+            """0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+              | + 0.5 * (CAST(n_stop AS DOUBLE) / size(split(trim(text), ' ')))""".stripMargin))
+          .withColumn("verdict", expr(
+            """CASE WHEN length(text) < 150 THEN 'too_short'
+              |     WHEN pred_lang <> lang THEN 'lang_mismatch'
+              |     WHEN ttr < 0.40 THEN 'repetitive'
+              |     WHEN q < 0.20 THEN 'low_quality'
+              |     ELSE 'keep' END""".stripMargin))
+          .groupBy("source", "verdict")
+          .agg(count(lit(1)).as("n"))
+    },
+    Some(
+      s"""WITH scored AS (SELECT doc_id, source, lang, text, $langScoresSql FROM documents),
+         |f AS (SELECT source,
+         |  CASE WHEN length(text) < 150 THEN 'too_short'
+         |       WHEN ($langArgmax) <> lang THEN 'lang_mismatch'
+         |       WHEN CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+         |            / len(string_split(trim(text), ' ')) < 0.40 THEN 'repetitive'
+         |       WHEN 0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+         |            + 0.5 * (CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|is)\\b')) AS DOUBLE)
+         |                     / len(string_split(trim(text), ' '))) < 0.20 THEN 'low_quality'
+         |       ELSE 'keep' END AS verdict
+         |  FROM scored)
+         |SELECT source, verdict, count(*) AS n FROM f GROUP BY 1, 2""".stripMargin))
+
   /** Incremental corpus dedup — the shape continuous training-data
     * ingestion actually runs: a NEW batch of documents (here the
     * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
@@ -1065,8 +1195,8 @@ object TextOps {
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    unigramLogprobOp, sampleStratifiedOp, splitTrainTestOp, splitLeakageSafeOp,
-    splitLeakageNearOp, textNormalizeOp, dedupClusterOp, dedupPipelineOp,
-    dedupIncrementalOp, piiScrubOp, decontaminateOp, textRepetitionOp,
-    textChunkOp, textPackOp)
+    unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
+    splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
+    dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
+    textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp)
 }

@@ -329,6 +329,40 @@ class PlanSpec extends SparkSpec {
       s"the scoring plan must scan documents exactly once, found $docScans:\n$p")
   }
 
+  test("ns_sample_mixture: one corpus scan probed against a broadcast rate dim") {
+    val p = physical("ns_sample_mixture")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the rate dim must broadcast, not shuffle the corpus:\n$p")
+    val corpusScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(corpusScans == 1,
+      s"mixture sampling must scan documents exactly once (rates come from the artifact), found $corpusScans:\n$p")
+  }
+
+  test("ns_shard_order: within-shard ordering only — never a global sort") {
+    val p = physical("ns_shard_order")
+    val windows = nodes(p).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a window operator in:\n$p")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"the shard ordering lost its shard partitioning (global single-task sort):\n$p")
+    val single = nodes(p).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
+  }
+
+  test("ns_filter_funnel: one codegen pass over the corpus, one agg shuffle") {
+    val p = physical("ns_filter_funnel")
+    val scans = nodes(p).count(_.getClass.getSimpleName == "FileSourceScanExec")
+    assert(scans == 1, s"the funnel must be a single corpus scan, found $scans:\n$p")
+    val shuffles = nodes(p).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"the funnel should shuffle only the tiny (source, verdict) counts:\n$p")
+    assert(fallbacks(p).isEmpty,
+      s"funnel expressions fell out of codegen: ${fallbacks(p)}\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
