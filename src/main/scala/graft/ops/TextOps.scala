@@ -1106,6 +1106,56 @@ object TextOps {
          |  FROM scored)
          |SELECT source, verdict, count(*) AS n FROM f GROUP BY 1, 2""".stripMargin))
 
+  /** Token-budget data selection — "take the best documents until the
+    * budget is spent", the data-selection step of corpus curation:
+    * rank documents by quality, keep them in rank order while the
+    * running token total fits `selectBudget`. The ranking NEVER runs
+    * as a global sort + single-task window: quality is bucketed into
+    * a ≤1001-value histogram, the cumulative-before-bucket total runs
+    * over that tiny dim, and each bucket's internal prefix sum is a
+    * bucket-partitioned window — the ns_text_pack two-level shape,
+    * keyed here by a data-dependent (quality-rank) order. The greedy
+    * rule is `cum ≤ budget` under the total order (qb DESC, doc_id),
+    * so the kept set is a deterministic prefix, bit-identical across
+    * engines (the quality bucket floors the proven ns_quality_score
+    * double, and everything after is integer arithmetic). */
+  private val selectBudget = 8000L
+  val selectBudgetOp = QueryDef(
+    "ns_select_budget", {
+      (s, dir) =>
+        val t = docs(s, dir)
+          .withColumn("n_stop",
+            regexp_count(col("text"), lit("\\b(the|a|of|and|to|is)\\b")).cast("long"))
+          .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("qb", expr(
+            """CAST(floor(1000 * (0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+              | + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens))) AS INT)""".stripMargin))
+          .select(col("doc_id"), col("qb"), col("n_tokens"))
+        val wIn = Window.partitionBy("qb").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = t.withColumn("win", sum(col("n_tokens")).over(wIn))
+        val wBase = Window.orderBy(col("qb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bases = t.groupBy("qb").agg(sum(col("n_tokens")).as("bsum"))
+          .withColumn("base", coalesce(sum(col("bsum")).over(wBase), lit(0L)))
+          .select("qb", "base")
+        within.join(broadcast(bases), "qb")
+          .withColumn("cum_tokens", col("base") + col("win"))
+          .filter(col("cum_tokens") <= selectBudget)
+          .select(col("doc_id"), col("qb"), col("n_tokens"), col("cum_tokens"))
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(floor(1000 * (0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+         |      + 0.5 * (CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|is)\\b')) AS DOUBLE)
+         |               / len(string_split(trim(text), ' '))))) AS INT) AS qb
+         |  FROM documents),
+         |c AS (SELECT doc_id, qb, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY qb DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+         |SELECT doc_id, qb, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $selectBudget""".stripMargin))
+
   /** Incremental corpus dedup — the shape continuous training-data
     * ingestion actually runs: a NEW batch of documents (here the
     * deterministic 20% slice doc_id % 5 = 0, standing in for "what the
@@ -1198,5 +1248,6 @@ object TextOps {
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
-    textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp)
+    textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,
+    selectBudgetOp)
 }

@@ -363,6 +363,21 @@ class PlanSpec extends SparkSpec {
       s"funnel expressions fell out of codegen: ${fallbacks(p)}\n$p")
   }
 
+  test("ns_select_budget: quality-rank prefix sum is two-level — no global window over corpus rows") {
+    val p = physical("ns_select_budget")
+    val windows = nodes(p).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected window operators in:\n$p")
+    // the unpartitioned cumulative window may only run above the
+    // per-bucket aggregation (the ≤1001-row histogram dim), never over
+    // raw corpus rows
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(nodes(w).drop(1).exists(_.getClass.getSimpleName.startsWith("HashAggregate")),
+        s"an unpartitioned window runs over raw corpus rows:\n$p")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"the within-bucket prefix sum lost its bucket partitioning:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism

@@ -308,4 +308,59 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("mixture sampling contract: thresholds capped, anti-monotone in language count, low-resource kept whole") {
+    val corpus = Tables.documents(spark, sfDir)
+    val counts = corpus.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = SparkEntry.queries("ns_sample_mixture")(spark, sfDir)
+      .select("lang", "thr").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    thr.foreach { case (l, t) =>
+      assert(t > 0 && t <= 10000, s"$l threshold $t out of range")
+      // K=8: a language with ≤ 64 docs has rate 8/sqrt(cnt) ≥ 1 → kept whole
+      if (counts(l) <= 64) assert(t == 10000, s"low-resource $l must be availability-capped at keep-all, got $t")
+    }
+    for ((a, ca) <- counts; (b, cb) <- counts if ca > cb && thr.contains(a) && thr.contains(b))
+      assert(thr(a) <= thr(b),
+        s"rate must not increase with resource count: $a($ca)=${thr(a)} vs $b($cb)=${thr(b)}")
+  }
+
+  test("shard order contract: shards partition the corpus, ord is contiguous from 1 per shard") {
+    val out = SparkEntry.queries("ns_shard_order")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.length == total, "every document gets exactly one shard slot")
+    assert(out.map(_._1).distinct.length == total, "doc_ids must be unique")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ords = rows.map(_._3).sorted
+      assert(ords.head == 1L && ords.last == rows.length.toLong &&
+        ords.distinct.length == rows.length,
+        s"shard $shard ord must be the contiguous range 1..${rows.length}")
+    }
+  }
+
+  test("filter funnel contract: verdicts cover the corpus exactly once") {
+    val out = SparkEntry.queries("ns_filter_funnel")(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(2)).sum == total, "funnel counts must sum to the corpus size")
+    val verdicts = out.map(_.getString(1)).toSet
+    assert(verdicts.subsetOf(Set("too_short", "lang_mismatch", "repetitive", "low_quality", "keep")),
+      s"unknown verdicts: $verdicts")
+  }
+
+  test("budget selection contract: a quality-rank prefix whose running total respects the budget") {
+    val rows = SparkEntry.queries("ns_select_budget")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "the budget must admit at least one document")
+    assert(rows.forall(_._4 <= 8000L), "no kept document may exceed the budget")
+    // internal consistency: under the (qb DESC, doc_id) total order the
+    // cum column IS the running sum of the kept documents' tokens —
+    // i.e. the kept set is a contiguous prefix with no gaps
+    val ordered = rows.sortBy(r => (-r._2, r._1))
+    val running = ordered.scanLeft(0L)(_ + _._3).tail
+    ordered.zip(running).foreach { case ((id, _, _, cum), expect) =>
+      assert(cum == expect, s"doc $id cum $cum != running prefix $expect — the kept set has a gap")
+    }
+  }
 }
