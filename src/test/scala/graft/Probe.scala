@@ -37,7 +37,26 @@ object Probe {
       .select(col("g.a"), col("g.b")).show(false)
     // 5. SQL grok_struct: one-pass extraction via the registry
     spark.sql("SELECT g.a, g.b FROM (SELECT grok_struct('12-34', '^(\\\\d+)-(\\\\d+)$', 'a', 'b') AS g)").show(false)
-    // 6. flagship entry smoke (rows > 0)
+    // 6. dedup-signature SQL surface: shingles/minhash/simhash on edge
+    //    inputs — empty text (no shingles), nulls, and a sub-3-token doc
+    val sig = spark.sql(
+      "SELECT word_shingles3('a b c d') AS sh4, word_shingles3('a b') AS sh2, " +
+      "word_shingles3(NULL) AS shn, minhash_sigs(word_shingles3('a b c d'), 8) AS mh, " +
+      "simhash_bits(split('a b c d', ' ')) AS sb, nfc_normalize(NULL) AS nn").collect()(0)
+    println(s"PROBE: shingles(4 toks)=${sig.getSeq[String](0).length} " +
+      s"shingles(2 toks)=${sig.getSeq[String](1).length} shingles(null)=${sig.isNullAt(2)} " +
+      s"minhash_n=${sig.getSeq[Long](3).length} simhash_null=${!sig.isNullAt(4)} nfc_null=${sig.isNullAt(5)}")
+    // minhash_sigs with an out-of-range n must fail at analysis, not at eval
+    try {
+      spark.sql("SELECT minhash_sigs(word_shingles3('a b c d'), 0) AS bad").collect()
+      println("PROBE: minhash_sigs(n=0) did NOT throw")
+    } catch { case e: Throwable =>
+      println(s"PROBE: minhash_sigs(n=0) threw ${e.getClass.getSimpleName}")
+    }
+    // 7. ordered_pairs edge inputs: singleton and null arrays expand to no rows
+    val op = spark.sql("SELECT ordered_pairs(array(7L), false) AS p1, ordered_pairs(CAST(NULL AS ARRAY<BIGINT>), false) AS p2")
+    println(s"PROBE: ordered_pairs(singleton)=${op.collect()(0).getSeq[Any](0).length} rows ok")
+    // 8. flagship entry smoke (rows > 0)
     println(s"PROBE: entry rows = ${SparkEntry.entry(spark).count()}")
     spark.stop()
   }
