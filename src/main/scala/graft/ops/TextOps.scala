@@ -281,10 +281,35 @@ object TextOps {
            |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
            |FROM documents""".stripMargin))
 
+  /** The English stopword marker — ONE definition shared by ns_lang_id
+    * (the en marker), ns_quality_score, ns_filter_funnel, and
+    * ns_select_budget. Held as a Scala value with REAL backslashes so
+    * it survives both plain and s-interpolated oracle strings
+    * (interpolated VALUES are never escape-processed; a literal `\b`
+    * inside an s-string would become a backspace). */
+  private val stopRx = "\\b(the|a|of|and|to|is)\\b"
+
+  /** ns_quality_score's composite quality formula, one definition per
+    * dialect: the Spark form reads prepared n_stop/n_tokens columns
+    * (regex via the API `lit`, not a SQL literal); the DuckDB form is
+    * inline over `text`. ns_filter_funnel and ns_select_budget
+    * threshold/bucket EXACTLY this expression, so the three operators
+    * can never desynchronize from the verified score. */
+  private val qualitySpark =
+    "0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)"
+  private val qualityDuck =
+    s"0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)" +
+      s" + 0.5 * (CAST(len(regexp_extract_all(text, '$stopRx')) AS DOUBLE) / len(string_split(trim(text), ' ')))"
+
+  /** Adds the n_stop/n_tokens columns qualitySpark reads. */
+  private def withQualityInputs(df: DataFrame): DataFrame = df
+    .withColumn("n_stop", regexp_count(col("text"), lit(stopRx)).cast("long"))
+    .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
+
   /** Language ID: stopword-marker n-gram heuristic with a fixed argmax
     * tie order (en > de > fr > es > zh). */
   private val langMarkers = Seq(
-    "en" -> "\\b(the|a|of|and|to|is)\\b",
+    "en" -> stopRx,
     "de" -> "\\b(der|die|das|und|ist)\\b",
     "fr" -> "\\b(le|la|les|et|est)\\b",
     "es" -> "\\b(el|la|los|y|es)\\b",
@@ -329,19 +354,11 @@ object TextOps {
   /** Quality scoring: length score + stopword ratio, fixed formula. */
   val qualityScoreOp = QueryDef(
     "ns_quality_score",
-    (s, dir) => docs(s, dir)
-      .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
-      .withColumn("n_stop", regexp_count(col("text"), lit("\\b(the|a|of|and|to|is)\\b")).cast("long"))
+    (s, dir) => withQualityInputs(docs(s, dir))
       .select(
         col("doc_id"),
-        expr("round(0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens), 6)").as("quality")),
-    Some("""WITH q AS (SELECT doc_id, text,
-           |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-           |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|is)\b')) AS BIGINT) AS n_stop
-           |  FROM documents)
-           |SELECT doc_id,
-           |  round(0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
-           |FROM q""".stripMargin))
+        expr(s"round($qualitySpark, 6)").as("quality")),
+    Some(s"SELECT doc_id, round($qualityDuck, 6) AS quality FROM documents"))
 
   /** Document fingerprint: md5 of whitespace-normalized text plus a
     * 60-bit integer prefix for compact storage/joins. */
@@ -413,10 +430,17 @@ object TextOps {
     * definition parameterized by the key column: the sampling ops key
     * on doc_id, the leakage-safe splits on the cluster id — the copies
     * must stay byte-identical or the split contracts diverge. */
-  private def hashBucketOn(idCol: String): String =
-    s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS INT) % 100"
-  private def hashBucketSqlOn(idCol: String): String =
-    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 100"
+  /** Deterministic 1-in-`mod` md5 bucket, the reproducible-sampling
+    * primitive behind every split/sample operator. 8 hex digits (2^32
+    * values) keep the modulo bias ≤ 1 part in 4×10^5 even at
+    * mod 10000 — a 4-digit (65536-value) source would over-accept the
+    * low buckets by ~6.8% at that grain. ONE definition parameterized
+    * by key column and modulus: the Spark and DuckDB forms must stay
+    * recipe-identical or the split contracts diverge. */
+  private def hashBucketOn(idCol: String, mod: Int = 100): String =
+    s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % $mod"
+  private def hashBucketSqlOn(idCol: String, mod: Int = 100): String =
+    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $mod"
   private val hashBucket = hashBucketOn("doc_id")
   private val hashBucketSql = hashBucketSqlOn("doc_id")
 
@@ -710,7 +734,11 @@ object TextOps {
     * of re-running normalize→LSH→verify→propagate per query. */
   private def nearDupClusterDim(s: SparkSession, dir: String): DataFrame =
     Artifacts.buildOnce(s, s"$dir/documents.parquet", "neardup_clusters") { path =>
-      nearDupClusters(s, dir).coalesce(1).write.mode("overwrite").parquet(path)
+      // per-DOCUMENT labels (corpus-sized, unlike the tiny lang-count /
+      // centroid dims): written through a bounded repartition, never a
+      // coalesce(1) single-task funnel
+      nearDupClusters(s, dir).repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
     }
 
   val splitLeakageNearOp = QueryDef(
@@ -950,17 +978,25 @@ object TextOps {
   val textPackOp = QueryDef(
     "ns_text_pack", {
       (s, dir) =>
+        // coalesce: non-nullable block key → no one-sided isnotnull
+        // pushdown → the block-sum branch's exchange stays canonically
+        // equal to the window branch's and AQE reuses the stage
         val t = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"),
             size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
-          .withColumn("block", expr(s"doc_id div $packB"))
+          .withColumn("block", expr(s"coalesce(doc_id div $packB, -1)"))
         val wIn = Window.partitionBy("block").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val within = t.withColumn("prev_in_block",
           coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
         val wBase = Window.orderBy("block")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val bases = t.groupBy("block").agg(sum(col("n_tokens")).as("bsum"))
+        // block totals off the WINDOWED frame (last row's exclusive
+        // prefix + its own tokens = the block total) — shares the
+        // windowed branch's scan+exchange via ReuseExchange instead of
+        // re-scanning and re-shuffling the corpus for the block sums
+        val bases = within.groupBy("block")
+          .agg(max(col("prev_in_block") + col("n_tokens")).as("bsum"))
           .withColumn("base", coalesce(sum(col("bsum")).over(wBase), lit(0L)))
           .select("block", "base")
         within.join(broadcast(bases), "block")
@@ -978,13 +1014,6 @@ object TextOps {
            |SELECT doc_id, n_tokens, start_off,
            |  start_off // $packC AS bin, start_off % $packC AS bin_off
            |FROM c""".stripMargin))
-
-  /** 1-in-10000 md5 bucket — the fractional-rate twin of the 1-in-100
-    * `hashBucketOn` primitive, for acceptance rates finer than 1%. */
-  private def hashBucket10kOn(idCol: String): String =
-    s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS INT) % 10000"
-  private def hashBucket10kSqlOn(idCol: String): String =
-    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 10000"
 
   /** Per-language corpus counts as a PERSISTED artifact: mixture rates
     * are corpus statistics, computed once per corpus snapshot like the
@@ -1018,7 +1047,7 @@ object TextOps {
           expr(s"CAST(floor(10000 * least(1.0, $mixtureK / sqrt(cnt))) AS INT)").as("thr"))
         docs(s, dir)
           .join(broadcast(rates), "lang")
-          .filter(expr(hashBucket10kOn("doc_id")) < col("thr"))
+          .filter(expr(hashBucketOn("doc_id", 10000)) < col("thr"))
           .select(col("doc_id"), col("lang"), col("thr"))
     },
     Some(
@@ -1026,7 +1055,7 @@ object TextOps {
          |r AS (SELECT lang, CAST(floor(10000 * least(1.0, $mixtureK / sqrt(cnt))) AS INT) AS thr FROM c)
          |SELECT d.doc_id, d.lang, r.thr
          |FROM documents d JOIN r USING (lang)
-         |WHERE ${hashBucket10kSqlOn("d.doc_id")} < r.thr""".stripMargin))
+         |WHERE ${hashBucketSqlOn("d.doc_id", 10000)} < r.thr""".stripMargin))
 
   /** Deterministic global shuffle into training shards — the corpus
     * randomization every pretraining run needs, reproducible across
@@ -1071,18 +1100,11 @@ object TextOps {
   val filterFunnelOp = QueryDef(
     "ns_filter_funnel", {
       (s, dir) =>
-        langScores(docs(s, dir))
+        withQualityInputs(langScores(docs(s, dir)))
           .withColumn("pred_lang", expr(langArgmax))
           .withColumn("ttr", expr(
             "CAST(size(array_distinct(split(trim(text), ' '))) AS DOUBLE) / size(split(trim(text), ' '))"))
-          // n_stop via the Scala-API lit (the ns_quality_score construction):
-          // a regex in a SQL string literal goes through the parser's
-          // escape handling, which differs from the API path
-          .withColumn("n_stop",
-            regexp_count(col("text"), lit("\\b(the|a|of|and|to|is)\\b")).cast("long"))
-          .withColumn("q", expr(
-            """0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
-              | + 0.5 * (CAST(n_stop AS DOUBLE) / size(split(trim(text), ' ')))""".stripMargin))
+          .withColumn("q", expr(qualitySpark))
           .withColumn("verdict", expr(
             """CASE WHEN length(text) < 150 THEN 'too_short'
               |     WHEN pred_lang <> lang THEN 'lang_mismatch'
@@ -1099,9 +1121,7 @@ object TextOps {
          |       WHEN ($langArgmax) <> lang THEN 'lang_mismatch'
          |       WHEN CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
          |            / len(string_split(trim(text), ' ')) < 0.40 THEN 'repetitive'
-         |       WHEN 0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
-         |            + 0.5 * (CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|is)\\b')) AS DOUBLE)
-         |                     / len(string_split(trim(text), ' '))) < 0.20 THEN 'low_quality'
+         |       WHEN $qualityDuck < 0.20 THEN 'low_quality'
          |       ELSE 'keep' END AS verdict
          |  FROM scored)
          |SELECT source, verdict, count(*) AS n FROM f GROUP BY 1, 2""".stripMargin))
@@ -1123,20 +1143,23 @@ object TextOps {
   val selectBudgetOp = QueryDef(
     "ns_select_budget", {
       (s, dir) =>
-        val t = docs(s, dir)
-          .withColumn("n_stop",
-            regexp_count(col("text"), lit("\\b(the|a|of|and|to|is)\\b")).cast("long"))
-          .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
-          .withColumn("qb", expr(
-            """CAST(floor(1000 * (0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
-              | + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens))) AS INT)""".stripMargin))
+        // coalesce makes the bucket key NON-NULLABLE, so the join
+        // inserts no one-sided isnotnull pushdown — the two branches'
+        // exchange subtrees stay canonically equal and AQE reuses the
+        // scan+shuffle stage instead of scanning the corpus twice
+        val t = withQualityInputs(docs(s, dir))
+          .withColumn("qb", expr(s"coalesce(CAST(floor(1000 * ($qualitySpark)) AS INT), -1)"))
           .select(col("doc_id"), col("qb"), col("n_tokens"))
         val wIn = Window.partitionBy("qb").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val within = t.withColumn("win", sum(col("n_tokens")).over(wIn))
         val wBase = Window.orderBy(col("qb").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val bases = t.groupBy("qb").agg(sum(col("n_tokens")).as("bsum"))
+        // bucket totals come off the WINDOWED frame (max of the inclusive
+        // running sum = the bucket's total), not a second aggregation of
+        // `t` — the two branches then share one scan+exchange via
+        // ReuseExchange instead of scanning the corpus twice
+        val bases = within.groupBy("qb").agg(max(col("win")).as("bsum"))
           .withColumn("base", coalesce(sum(col("bsum")).over(wBase), lit(0L)))
           .select("qb", "base")
         within.join(broadcast(bases), "qb")
@@ -1147,9 +1170,7 @@ object TextOps {
     Some(
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(floor(1000 * (0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
-         |      + 0.5 * (CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|is)\\b')) AS DOUBLE)
-         |               / len(string_split(trim(text), ' '))))) AS INT) AS qb
+         |    CAST(floor(1000 * ($qualityDuck)) AS INT) AS qb
          |  FROM documents),
          |c AS (SELECT doc_id, qb, n_tokens,
          |    sum(n_tokens) OVER (ORDER BY qb DESC, doc_id

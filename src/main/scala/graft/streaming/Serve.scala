@@ -111,8 +111,16 @@ object Serve {
     def startDedup(): Unit = dedup = sys.env.get("SPARK_GRAFT_DEDUP_DIR").map { dir =>
       val successDir = s"${args(1)}/SUCCESS"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(successDir))
+      // an ingest REPLAY overwrites its SUCCESS/batch=<id> dir with
+      // freshly-named part files — files this source has already listed
+      // may vanish mid-read. Skip them instead of wedging the stage on
+      // FileNotFound: the replacements re-feed (at-least-once), re-fed
+      // docs carry the same deterministic doc_id, the dedup sink
+      // filters self-pairs by id, and compact()'s distinct() collapses
+      // the redundant signature rows a re-feed appends.
       val archived = spark.readStream
         .schema(DedupStream.pipelineDocsSchema)
+        .option("ignoreMissingFiles", "true")
         .parquet(successDir)
       DedupStream.run(DedupStream.fromPipelineDocs(archived),
         s"$dir/store", s"$dir/out", s"$dir/ckpt",
@@ -125,7 +133,9 @@ object Serve {
     // the queries between micro-batches — the checkpoints commit, so the
     // restart resumes exactly where this run stopped — then close the
     // HTTP front-end
+    @volatile var shuttingDown = false
     sys.addShutdownHook {
+      shuttingDown = true
       try query.stop() catch { case _: Exception => () }
       dedup.foreach(q => try q.stop() catch { case _: Exception => () })
       endpoint.foreach(_.stop())
@@ -133,7 +143,11 @@ object Serve {
     }
     try {
       query.awaitTermination()
-      if (drain) { startDedup(); dedup.foreach(_.awaitTermination()) }
+      // a SIGTERM mid-drain unblocks awaitTermination AFTER the hook has
+      // already run its dedup-stop against None — starting the stage now
+      // would launch a query on a context being torn down; the drained
+      // archive is durable, so the next (drain or live) run picks it up
+      if (drain && !shuttingDown) { startDedup(); dedup.foreach(_.awaitTermination()) }
     } finally endpoint.foreach(_.stop())
   }
 }

@@ -25,6 +25,23 @@ class PlanSpec extends SparkSpec {
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }
 
+  /** Execute the query and return the FINAL adaptive plan with query
+    * stages traversed (QueryStageExec is a leaf to collect(), so the
+    * reuse markers AQE applies at runtime are invisible without
+    * descending into stage.plan). */
+  private def executedDeepNodes(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    def deep(p: SparkPlan): Seq[SparkPlan] = nodes(p).flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: deep(q.plan)
+      case n => Seq(n)
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case p => deep(p)
+    }
+  }
+
   /** CodegenFallback expression class names anywhere in the plan. */
   private def fallbacks(p: SparkPlan): Set[String] =
     nodes(p).flatMap(_.expressions)
@@ -309,6 +326,13 @@ class PlanSpec extends SparkSpec {
     }
     assert(windows.exists(_.partitionSpec.nonEmpty),
       s"the per-row prefix sum lost its block partitioning:\n$p")
+    // block sums derive from the windowed branch, so AQE's runtime
+    // stage reuse collapses the two corpus references to one executed
+    // scan+shuffle (static plans always show the duplicated subtree;
+    // the ReusedExchange marker only exists in the final adaptive plan)
+    val deep = executedDeepNodes("ns_text_pack")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the block-sum branch must reuse the windowed branch's shuffle, not re-scan the corpus")
   }
 
   test("ns_text_unigram_logprob scans documents ONCE; the vocabulary is a persisted artifact") {
@@ -376,6 +400,9 @@ class PlanSpec extends SparkSpec {
     }
     assert(windows.exists(_.partitionSpec.nonEmpty),
       s"the within-bucket prefix sum lost its bucket partitioning:\n$p")
+    val deep = executedDeepNodes("ns_select_budget")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the bucket-sum branch must reuse the windowed branch's shuffle, not re-scan the corpus")
   }
 
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {

@@ -170,6 +170,15 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  /** Independent recomputation of TextOps' md5 split bucket (8 hex
+    * digits % mod — keep in lockstep with hashBucketOn). */
+  private def md5Bucket(key: Long, mod: Int = 100): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+
   test("leakage-safe split contract: duplicate clusters never straddle splits, proportions sane") {
     import spark.implicits._
     val out = SparkEntry.queries("ns_split_leakage_safe")(spark, sfDir)
@@ -187,12 +196,8 @@ class TextOpsSpec extends SparkSpec {
     // exact dups at test scale, so assert the rule mechanically rather
     // than relying on a multi-member cluster existing): recompute each
     // doc's split from its cluster_id and require equality
-    val md = java.security.MessageDigest.getInstance("MD5")
     out.foreach { case (id, cl, split) =>
-      md.reset()
-      val hex = md.digest(cl.toString.getBytes("UTF-8"))
-        .take(2).map("%02x".format(_)).mkString
-      val bkt = Integer.parseInt(hex, 16) % 100
+      val bkt = md5Bucket(cl)
       val want = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
       assert(split == want, s"doc $id cluster $cl: split $split != $want from cluster hash")
     }
@@ -221,12 +226,8 @@ class TextOpsSpec extends SparkSpec {
     assert(nearClusters.nonEmpty,
       "the corpus must exercise a near-dup (non-byte-identical) cluster")
     // and the split key is the cluster id, nothing else: recompute
-    val md = java.security.MessageDigest.getInstance("MD5")
     out.foreach { case (id, cl, split) =>
-      md.reset()
-      val hex = md.digest(cl.toString.getBytes("UTF-8"))
-        .take(2).map("%02x".format(_)).mkString
-      val bkt = Integer.parseInt(hex, 16) % 100
+      val bkt = md5Bucket(cl)
       val want = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
       assert(split == want, s"doc $id cluster $cl: split $split != $want from cluster hash")
     }
