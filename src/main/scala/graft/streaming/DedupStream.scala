@@ -301,6 +301,19 @@ object DedupStream {
     * streaming read of the archive declares. */
   val pipelineDocsSchema = "event_id BIGINT, event_ref STRING, message STRING"
 
+  /** Optional junk gate ahead of the signature work — a production
+    * dedup stage never pays LSH/store cost for documents a downstream
+    * quality filter would drop anyway. Restates the ns_filter_funnel
+    * 'too_short' and 'repetitive' rules over the dedup contract
+    * columns: minimum character length and minimum type/token ratio.
+    * Gated documents never enter the stage — no verdict row, no store
+    * growth; both filters are pure codegen projections evaluated
+    * map-side before any shuffle or probe. */
+  def qualityGate(docs: DataFrame, minChars: Int, minTtr: Double): DataFrame =
+    docs.filter(length(col("text")) >= minChars)
+      .filter(size(array_distinct(split(trim(col("text")), " "))).cast("double")
+        / size(split(trim(col("text")), " ")) >= minTtr)
+
   /** Wire the per-batch dedup into a streaming query. `source` must
     * deliver (doc_id, text) rows. */
   def run(source: DataFrame, storeDir: String, outDir: String,

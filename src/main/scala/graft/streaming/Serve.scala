@@ -122,7 +122,16 @@ object Serve {
         .schema(DedupStream.pipelineDocsSchema)
         .option("ignoreMissingFiles", "true")
         .parquet(successDir)
-      DedupStream.run(DedupStream.fromPipelineDocs(archived),
+      // SPARK_GRAFT_DEDUP_MIN_CHARS / SPARK_GRAFT_DEDUP_MIN_TTR: junk
+      // gate ahead of the signature work (off unless set) — gated docs
+      // never reach the store or the results channel
+      val docs0 = DedupStream.fromPipelineDocs(archived)
+      val minChars = sys.env.get("SPARK_GRAFT_DEDUP_MIN_CHARS").map(_.toInt)
+      val minTtr = sys.env.get("SPARK_GRAFT_DEDUP_MIN_TTR").map(_.toDouble)
+      val gated =
+        if (minChars.isEmpty && minTtr.isEmpty) docs0
+        else DedupStream.qualityGate(docs0, minChars.getOrElse(0), minTtr.getOrElse(0.0))
+      DedupStream.run(gated,
         s"$dir/store", s"$dir/out", s"$dir/ckpt",
         trigger = trigger, metrics = Some(metrics))
     }

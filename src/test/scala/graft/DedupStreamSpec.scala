@@ -274,4 +274,26 @@ class DedupStreamSpec extends SparkSpec {
         s"store-rows counter must match the written band rows ($storeRows): $snap")
     } finally metrics.close()
   }
+
+  test("quality gate: junk never reaches the results channel or the store") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog tonight"
+    val in = MemoryStream[(Long, String)]
+    val storeDir = tmp("ddsg-store")
+    val outDir = tmp("ddsg-out")
+    val q = DedupStream.run(
+      DedupStream.qualityGate(in.toDF().toDF("doc_id", "text"), minChars = 10, minTtr = 0.3),
+      storeDir, outDir, tmp("ddsg-ckpt"))
+    try {
+      // 1 = good, 2 = too short (< 10 chars), 3 = repetitive (ttr 1/8)
+      in.addData((1L, good), (2L, "a b"), (3L, "x x x x x x x x"))
+      q.processAllAvailable()
+      val r = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(r == Set(1L), s"gated docs must produce no verdict rows, got $r")
+      val stored = spark.read.parquet(s"$storeDir/bands")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(stored == Set(1L), s"gated docs must not extend the store, got $stored")
+    } finally q.stop()
+  }
 }
