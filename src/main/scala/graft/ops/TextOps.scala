@@ -1126,6 +1126,25 @@ object TextOps {
          |  FROM scored)
          |SELECT source, verdict, count(*) AS n FROM f GROUP BY 1, 2""".stripMargin))
 
+  /** Dedup report — the cluster-size histogram every dedup run
+    * publishes (how much of the corpus sits in singletons vs small
+    * near-dup clusters vs boilerplate blobs). A further consumer of
+    * the persisted near-dup label artifact: two tiny aggregations over
+    * the label store — the normalize→LSH→verify→propagate pipeline
+    * never re-runs, and the plan contains no corpus scan (same lock as
+    * the leakage split). The oracle reuses the pipeline CTE chain, so
+    * the histogram provably describes the same labels. */
+  val dedupReportOp = QueryDef(
+    "ns_dedup_report", {
+      (s, dir) =>
+        nearDupClusterDim(s, dir)
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+    Some(s"""$pipelineOracleCtes,
+           |cs AS (SELECT label, count(*) AS cluster_size FROM l$propagationRounds GROUP BY 1)
+           |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1""".stripMargin))
+
   /** Token-budget data selection — "take the best documents until the
     * budget is spent", the data-selection step of corpus curation:
     * rank documents by quality, keep them in rank order while the
@@ -1270,5 +1289,5 @@ object TextOps {
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
     textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,
-    selectBudgetOp)
+    selectBudgetOp, dedupReportOp)
 }

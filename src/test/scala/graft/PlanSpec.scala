@@ -312,6 +312,17 @@ class PlanSpec extends SparkSpec {
       s"the split must read the label artifact, not the corpus:\n$p")
   }
 
+  test("ns_dedup_report reads the persisted label store — no pipeline re-run, no corpus scan") {
+    val p = physical("ns_dedup_report")
+    assert(sigOccurrences(p) == 0,
+      s"the report is re-running the dedup pipeline:\n$p")
+    val corpusScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(corpusScans == 0,
+      s"the report must read the label artifact, not the corpus:\n$p")
+  }
+
   test("ns_text_pack: the prefix sum is two-level — no global window over corpus rows") {
     val p = physical("ns_text_pack")
     val windows = nodes(p).collect { case w: WindowExec => w }
