@@ -978,10 +978,17 @@ object TextOps {
   val textPackOp = QueryDef(
     "ns_text_pack", {
       (s, dir) =>
-        // coalesce: non-nullable block key → no one-sided isnotnull
-        // pushdown → the block-sum branch's exchange stays canonically
-        // equal to the window branch's and AQE reuses the stage
-        val t = Par.spread(s, docs(s, dir), col("doc_id"))
+        // explicit null gate on the RAW columns (mirrored in the
+        // oracle's WHERE): packing is undefined for null ids/text, and
+        // with nulls excluded up front the block totals below are an
+        // exact sum (a null text would make size() yield −1 and skew
+        // max-based totals). The coalesce then only serves nullability:
+        // a non-nullable block key means the join inserts no one-sided
+        // isnotnull pushdown, the two branches' exchange subtrees stay
+        // canonically equal, and AQE reuses the scan+shuffle stage
+        val t = Par.spread(
+            s, docs(s, dir).filter(col("doc_id").isNotNull && col("text").isNotNull),
+            col("doc_id"))
           .select(col("doc_id"),
             size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
           .withColumn("block", expr(s"coalesce(doc_id div $packB, -1)"))
@@ -1008,7 +1015,7 @@ object TextOps {
     },
     Some(s"""WITH t AS (SELECT doc_id,
            |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
-           |  FROM documents),
+           |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
            |c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)
            |SELECT doc_id, n_tokens, start_off,
@@ -1162,11 +1169,16 @@ object TextOps {
   val selectBudgetOp = QueryDef(
     "ns_select_budget", {
       (s, dir) =>
-        // coalesce makes the bucket key NON-NULLABLE, so the join
-        // inserts no one-sided isnotnull pushdown — the two branches'
-        // exchange subtrees stay canonically equal and AQE reuses the
-        // scan+shuffle stage instead of scanning the corpus twice
-        val t = withQualityInputs(docs(s, dir))
+        // explicit null gate on the RAW columns (mirrored in the
+        // oracle's WHERE): selection is undefined for null ids/text,
+        // and with nulls excluded the max(win) bucket totals below are
+        // exact sums. The coalesce then only serves nullability — a
+        // non-nullable bucket key means the join inserts no one-sided
+        // isnotnull pushdown, the two branches' exchange subtrees stay
+        // canonically equal, and AQE reuses the scan+shuffle stage
+        // instead of scanning the corpus twice
+        val t = withQualityInputs(
+            docs(s, dir).filter(col("doc_id").isNotNull && col("text").isNotNull))
           .withColumn("qb", expr(s"coalesce(CAST(floor(1000 * ($qualitySpark)) AS INT), -1)"))
           .select(col("doc_id"), col("qb"), col("n_tokens"))
         val wIn = Window.partitionBy("qb").orderBy("doc_id")
@@ -1190,7 +1202,7 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
          |    CAST(floor(1000 * ($qualityDuck)) AS INT) AS qb
-         |  FROM documents),
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |c AS (SELECT doc_id, qb, n_tokens,
          |    sum(n_tokens) OVER (ORDER BY qb DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)

@@ -309,10 +309,16 @@ object DedupStream {
     * Gated documents never enter the stage — no verdict row, no store
     * growth; both filters are pure codegen projections evaluated
     * map-side before any shuffle or probe. */
-  def qualityGate(docs: DataFrame, minChars: Int, minTtr: Double): DataFrame =
-    docs.filter(length(col("text")) >= minChars)
-      .filter(size(array_distinct(split(trim(col("text")), " "))).cast("double")
+  def qualityGate(docs: DataFrame, minChars: Int = 0, minTtr: Double = 0.0): DataFrame = {
+    // each filter only when its threshold is active — an always-true
+    // TTR predicate would still tokenize every document per batch
+    val afterLen =
+      if (minChars > 0) docs.filter(length(col("text")) >= minChars) else docs
+    if (minTtr > 0.0)
+      afterLen.filter(size(array_distinct(split(trim(col("text")), " "))).cast("double")
         / size(split(trim(col("text")), " ")) >= minTtr)
+    else afterLen
+  }
 
   /** Wire the per-batch dedup into a streaming query. `source` must
     * deliver (doc_id, text) rows. */

@@ -124,13 +124,20 @@ object Serve {
         .parquet(successDir)
       // SPARK_GRAFT_DEDUP_MIN_CHARS / SPARK_GRAFT_DEDUP_MIN_TTR: junk
       // gate ahead of the signature work (off unless set) — gated docs
-      // never reach the store or the results channel
-      val docs0 = DedupStream.fromPipelineDocs(archived)
-      val minChars = sys.env.get("SPARK_GRAFT_DEDUP_MIN_CHARS").map(_.toInt)
-      val minTtr = sys.env.get("SPARK_GRAFT_DEDUP_MIN_TTR").map(_.toDouble)
-      val gated =
-        if (minChars.isEmpty && minTtr.isEmpty) docs0
-        else DedupStream.qualityGate(docs0, minChars.getOrElse(0), minTtr.getOrElse(0.0))
+      // never reach the store or the results channel. Malformed values
+      // must fail with the variable's name, not a bare
+      // NumberFormatException after a full drain.
+      def envNum[T](name: String)(parse: String => T): Option[T] =
+        sys.env.get(name).map { v =>
+          try parse(v) catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$name must be a number, got '$v'")
+          }
+        }
+      val gated = DedupStream.qualityGate(
+        DedupStream.fromPipelineDocs(archived),
+        envNum("SPARK_GRAFT_DEDUP_MIN_CHARS")(_.toInt).getOrElse(0),
+        envNum("SPARK_GRAFT_DEDUP_MIN_TTR")(_.toDouble).getOrElse(0.0))
       DedupStream.run(gated,
         s"$dir/store", s"$dir/out", s"$dir/ckpt",
         trigger = trigger, metrics = Some(metrics))
@@ -156,7 +163,16 @@ object Serve {
       // already run its dedup-stop against None — starting the stage now
       // would launch a query on a context being torn down; the drained
       // archive is durable, so the next (drain or live) run picks it up
-      if (drain && !shuttingDown) { startDedup(); dedup.foreach(_.awaitTermination()) }
+      if (drain && !shuttingDown) {
+        startDedup()
+        // the hook may have fired between the check above and the
+        // registration inside startDedup (its dedup-stop saw None) —
+        // re-check now that the query is registered so ONE side always
+        // stops it; q.stop() is idempotent if both do
+        if (shuttingDown)
+          dedup.foreach(q => try q.stop() catch { case _: Exception => () })
+        else dedup.foreach(_.awaitTermination())
+      }
     } finally endpoint.foreach(_.stop())
   }
 }
