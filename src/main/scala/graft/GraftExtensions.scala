@@ -20,8 +20,10 @@ import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, CosineSimilarity, DotPr
   * single-pass multi-group regex extraction into a struct —
   * `simhash_bits(tokens)`, `nfc_normalize(s)`,
   * `ordered_pairs(ids, includeDiagonal)`, the media fixtures
-  * `bmp_wrap(payload, w, h)` / `bmp_dims(content)`, and the dedup
-  * signature pair `word_shingles3(text)` / `minhash_sigs(shingles, n)`.
+  * `bmp_wrap(payload, w, h)` / `bmp_dims(content)` and
+  * `wav_wrap(payload, sampleRate, channels)` / `wav_meta(content)`,
+  * and the dedup signature pair `word_shingles3(text)` /
+  * `minhash_sigs(shingles, n)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -129,6 +131,8 @@ object GraftExtensions {
       boolLiteral(args(1), "ordered_pairs", "includeDiagonal"))),
     "bmp_wrap" -> (args => BmpWrap(args(0), args(1), args(2))),
     "bmp_dims" -> (args => BmpDims(args.head)),
+    "wav_wrap" -> (args => org.apache.spark.sql.graftshim.WavWrap(args(0), args(1), args(2))),
+    "wav_meta" -> (args => org.apache.spark.sql.graftshim.WavMeta(args.head)),
     "word_shingles3" -> (args => org.apache.spark.sql.graftshim.WordShingles3(args.head)),
     // minhash_sigs(shingles, n): n shapes the output vector, so it must
     // be an int literal (1..64 — the cached-prefix range).

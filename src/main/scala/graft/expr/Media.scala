@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap}
+import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, WavMeta, WavWrap}
 
 /** Column wrappers for the byte-true media fixture/decoder expressions
   * (org.apache.spark.sql.graftshim.BmpWrap / BmpDims). */
@@ -15,4 +15,13 @@ object MediaFunctions {
   /** Parse struct(width, height) from BMP bytes; null for non-BMP. */
   def bmp_dims(content: Column): Column =
     Cols.column(BmpDims(Cols.expr(content)))
+
+  /** Wrap a binary payload in a real 16-bit PCM WAV header. */
+  def wav_wrap(payload: Column, sampleRate: Column, channels: Column): Column =
+    Cols.column(WavWrap(Cols.expr(payload), Cols.expr(sampleRate), Cols.expr(channels)))
+
+  /** Parse struct(sample_rate, channels, n_samples) from WAV bytes;
+    * null for non-WAV. */
+  def wav_meta(content: Column): Column =
+    Cols.column(WavMeta(Cols.expr(content)))
 }

@@ -394,6 +394,52 @@ object VectorSearch {
            |  unnest(range(0, n_frames, 3)) * CAST(trunc(n_bytes / n_frames) AS INT) AS byte_off
            |FROM d""".stripMargin))
 
+  /** Audio windowing over BYTE-TRUE decoded media — the audio twin of
+    * ns_multimodal_frames, completing the image/audio/video
+    * opaque-binary posture: each document's text bytes wrapped in a
+    * REAL 16-bit PCM WAV header (WavWrap — RIFF size, fmt chunk,
+    * data length) and decoded back by PARSING the little-endian bytes
+    * (WavMeta → sample_rate/channels/per-channel samples), then fixed
+    * 16-sample analysis windows at stride 2 with their absolute byte
+    * offsets — the slicing a feature extractor hands to a DSP library
+    * (the decode itself is stubbed per the brief: no audio codecs in
+    * the container; the schema, the codegen expressions, and the
+    * window arithmetic are real and oracle-checked). Pure per-row
+    * projection + explode, no shuffle at any corpus size; documents
+    * shorter than one window emit no rows (the generate-then-filter
+    * guard referencing the exploded output, the ns_text_chunk rule). */
+  val multimodalAudioOp = QueryDef(
+    "ns_multimodal_audio",
+    (s, dir) => {
+      import graft.expr.MediaFunctions.{wav_meta, wav_wrap}
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          wav_wrap(col("text").cast("binary"),
+            (lit(8000) + col("doc_id") % 3 * 4000).cast("int"),
+            (lit(1) + col("doc_id") % 2).cast("int")).as("content"))
+        .select(col("doc_id"), wav_meta(col("content")).as("m"))
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"), col("m.n_samples").as("n_samples"))
+        .withColumn("n_windows", expr("CAST(n_samples div 16 AS INT)"))
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("n_samples"),
+          explode(expr("sequence(0, greatest(n_windows - 1, 0), 2)")).as("win_idx"),
+          col("n_windows"))
+        .filter(col("win_idx") < col("n_windows"))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("win_idx"),
+          (lit(44) + col("win_idx") * 16 * col("channels") * 2).as("byte_off"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    CAST(8000 + doc_id % 3 * 4000 AS INT) AS sample_rate,
+           |    CAST(1 + doc_id % 2 AS INT) AS channels,
+           |    CAST(octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS INT) AS n_samples
+           |  FROM documents),
+           |w AS (SELECT *, n_samples // 16 AS n_windows FROM d)
+           |SELECT doc_id, sample_rate, channels, n_samples,
+           |  unnest(range(0, n_windows, 2)) AS win_idx,
+           |  44 + unnest(range(0, n_windows, 2)) * 16 * channels * 2 AS byte_off
+           |FROM w""".stripMargin))
+
   /** Symmetric int8 embedding quantization — the storage answer at
     * 100 TB: a float32 corpus stores 4× smaller as (int8 codes, one
     * f32 scale per vector) with bounded reconstruction error (≤ scale/2
@@ -427,5 +473,5 @@ object VectorSearch {
 
   def entries: Seq[QueryDef] = Seq(
     knnOp, ivfOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
-    multimodalResizeOp, multimodalFramesOp, quantizeOp)
+    multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp)
 }

@@ -640,14 +640,14 @@ case class BmpDims(child: Expression)
 object BmpHelper {
   val headerLen: Int = 54 // 14-byte file header + 40-byte BITMAPINFOHEADER
 
-  private def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[graftshim] def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte
     b(off + 1) = ((v >> 8) & 0xff).toByte
     b(off + 2) = ((v >> 16) & 0xff).toByte
     b(off + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  private def getLE32(b: Array[Byte], off: Int): Int =
+  private[graftshim] def getLE32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
@@ -670,6 +670,88 @@ object BmpHelper {
   def dims(bytes: Array[Byte]): InternalRow =
     if (bytes.length < 26 || bytes(0) != 'B' || bytes(1) != 'M') null
     else new GenericInternalRow(Array[Any](getLE32(bytes, 18), getLE32(bytes, 22)))
+}
+
+/** Byte-true canonical 16-bit PCM WAV header writer/reader — the audio
+  * twin of the BMP fixtures: the opaque-binary-plus-typed-metadata
+  * posture for multimodal columns, with a REAL RIFF/WAVE header (44
+  * bytes: RIFF size, fmt chunk with PCM tag/channels/sample-rate/
+  * byte-rate/block-align/16-bit, data chunk length) so the decoder
+  * exercises genuine little-endian byte parsing, not a passthrough. */
+object WavHelper {
+  val headerLen: Int = 44
+
+  def wrap(payload: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+    val out = new Array[Byte](headerLen + payload.length)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    BmpHelper.putLE32(out, 4, 36 + payload.length)   // RIFF chunk size
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    BmpHelper.putLE32(out, 16, 16)                   // fmt chunk size
+    out(20) = 1                                      // PCM (LE16)
+    out(22) = (channels & 0xff).toByte               // channels (LE16)
+    out(23) = ((channels >> 8) & 0xff).toByte
+    BmpHelper.putLE32(out, 24, sampleRate)
+    val blockAlign = channels * 2                    // 16-bit samples
+    BmpHelper.putLE32(out, 28, sampleRate * blockAlign) // byte rate
+    out(32) = (blockAlign & 0xff).toByte             // block align (LE16)
+    out(33) = ((blockAlign >> 8) & 0xff).toByte
+    out(34) = 16                                     // bits per sample (LE16)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    BmpHelper.putLE32(out, 40, payload.length)
+    System.arraycopy(payload, 0, out, headerLen, payload.length)
+    out
+  }
+
+  /** null iff the bytes are not a plausible canonical WAV; n_samples is
+    * per-channel frames (dataLen / blockAlign, guarded for a corrupt
+    * zero channel count). */
+  def meta(bytes: Array[Byte]): InternalRow =
+    if (bytes.length < headerLen ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') null
+    else {
+      val channels = (bytes(22) & 0xff) | ((bytes(23) & 0xff) << 8)
+      val rate = BmpHelper.getLE32(bytes, 24)
+      val dataLen = BmpHelper.getLE32(bytes, 40)
+      val block = math.max(1, channels * 2)
+      new GenericInternalRow(Array[Any](rate, channels, dataLen / block))
+    }
+}
+
+case class WavWrap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_wrap"
+  override protected def nullSafeEval(payload: Any, rate: Any, ch: Any): Any =
+    WavHelper.wrap(payload.asInstanceOf[Array[Byte]], rate.asInstanceOf[Int], ch.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, r, c) => s"org.apache.spark.sql.graftshim.WavHelper.wrap($p, $r, $c)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WavWrap =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+case class WavMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    WavHelper.meta(input.asInstanceOf[Array[Byte]])
+  // not defineCodeGen: null on non-WAV input (the BmpDims pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.graftshim.WavHelper.meta($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
 }
 
 /** SimHash signature over an ARRAY<STRING> token array in ONE codegen'd

@@ -75,6 +75,33 @@ class ExprSpec extends SparkSpec {
     assert((bytes(2) & 0xff) == 57 && bytes(28) == 24)
   }
 
+  test("wav round-trip law: wav_meta(wav_wrap(p, rate, ch)) recovers the header; non-WAV → null") {
+    import graft.expr.MediaFunctions.{wav_meta, wav_wrap}
+    import spark.implicits._
+    val cases = Seq(
+      ("audio-payload-x", 16000, 2), ("", 8000, 1), ("y" * 999, 44100, 2))
+    val out = cases.toDF("p", "r", "c")
+      .select(wav_meta(wav_wrap(col("p").cast("binary"), col("r"), col("c"))).as("m"),
+        col("r"), col("c"), length(col("p")).as("len"))
+      .select(col("m.sample_rate"), col("m.channels"), col("m.n_samples"),
+        col("r"), col("c"), col("len"))
+      .as[(Int, Int, Int, Int, Int, Int)].collect()
+    assert(out.forall { case (mr, mc, ns, r, c, len) =>
+      mr == r && mc == c && ns == len / (2 * c) })
+    // wrong magic / truncated bytes decode to null, never to garbage
+    val bad = Seq("definitely not riff audio", "RIFF", "RIFFxxxxWAV?").toDF("p")
+      .select(wav_meta(col("p").cast("binary")).as("m")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    // the wrap output is a plausible canonical WAV: magic, RIFF size,
+    // PCM tag, data length
+    val bytes = Seq(("abcdef", 8000, 1)).toDF("p", "r", "c")
+      .select(wav_wrap(col("p").cast("binary"), col("r"), col("c"))).as[Array[Byte]]
+      .collect().head
+    assert(bytes.length == 44 + 6)
+    assert(new String(bytes.slice(0, 4)) == "RIFF" && new String(bytes.slice(8, 12)) == "WAVE")
+    assert((bytes(4) & 0xff) == 42 && bytes(20) == 1 && (bytes(40) & 0xff) == 6)
+  }
+
   test("nfc_normalize composes decomposed sequences and is the identity on ASCII") {
     import graft.expr.TextFunctions.nfc_normalize
     import spark.implicits._

@@ -53,6 +53,11 @@ object Probe {
     } catch { case e: Throwable =>
       println(s"PROBE: minhash_sigs(n=0) threw ${e.getClass.getSimpleName}")
     }
+    // 6b. media fixtures via SQL: wav round-trip + garbage → null
+    val wav = spark.sql(
+      "SELECT wav_meta(wav_wrap(cast('pcm' as binary), 8000, 1)).sample_rate AS r, " +
+      "wav_meta(cast('junk' as binary)) AS bad").collect()(0)
+    println(s"PROBE: wav_meta(wrap).rate=${wav.getInt(0)} wav_meta(junk)_null=${wav.isNullAt(1)}")
     // 7. ordered_pairs edge inputs: singleton and null arrays expand to no rows
     val op = spark.sql("SELECT ordered_pairs(array(7L), false) AS p1, ordered_pairs(CAST(NULL AS ARRAY<BIGINT>), false) AS p2")
     println(s"PROBE: ordered_pairs(singleton)=${op.collect()(0).getSeq[Any](0).length} rows ok")
