@@ -703,13 +703,18 @@ object WavHelper {
     out
   }
 
-  /** null iff the bytes are not a plausible canonical WAV; n_samples is
-    * per-channel frames (dataLen / blockAlign, guarded for a corrupt
+  /** null iff the bytes are not a plausible canonical WAV — the fields
+    * read at fixed offsets (22/24/40) only mean channels/rate/data-len
+    * when the chunk TAGS at 12 ("fmt ") and 36 ("data") confirm the
+    * canonical layout, so both tags are checked, not assumed; n_samples
+    * is per-channel frames (dataLen / blockAlign, guarded for a corrupt
     * zero channel count). */
   def meta(bytes: Array[Byte]): InternalRow =
     if (bytes.length < headerLen ||
         bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
-        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') null
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E' ||
+        bytes(12) != 'f' || bytes(13) != 'm' || bytes(14) != 't' || bytes(15) != ' ' ||
+        bytes(36) != 'd' || bytes(37) != 'a' || bytes(38) != 't' || bytes(39) != 'a') null
     else {
       val channels = (bytes(22) & 0xff) | ((bytes(23) & 0xff) << 8)
       val rate = BmpHelper.getLE32(bytes, 24)

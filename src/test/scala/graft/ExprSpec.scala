@@ -92,6 +92,17 @@ class ExprSpec extends SparkSpec {
     val bad = Seq("definitely not riff audio", "RIFF", "RIFFxxxxWAV?").toDF("p")
       .select(wav_meta(col("p").cast("binary")).as("m")).collect()
     assert(bad.forall(_.isNullAt(0)))
+    // RIFF/WAVE magic with the WRONG chunk tags (a LIST or non-canonical
+    // layout) must also be null — the fixed-offset fields are only
+    // meaningful when "fmt " is at 12 and "data" at 36
+    val goodBytes = Seq(("p", 8000, 1)).toDF("p", "r", "c")
+      .select(wav_wrap(col("p").cast("binary"), col("r"), col("c"))).as[Array[Byte]]
+      .collect().head
+    val badFmt = goodBytes.clone();  badFmt(12) = 'L'
+    val badData = goodBytes.clone(); badData(36) = 'L'
+    val tagBad = Seq(badFmt, badData).toDF("p")
+      .select(wav_meta(col("p")).as("m")).collect()
+    assert(tagBad.forall(_.isNullAt(0)))
     // the wrap output is a plausible canonical WAV: magic, RIFF size,
     // PCM tag, data length
     val bytes = Seq(("abcdef", 8000, 1)).toDF("p", "r", "c")
