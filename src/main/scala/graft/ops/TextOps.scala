@@ -252,6 +252,68 @@ object TextOps {
            |          JOIN sizes nb ON nb.doc_id = ov.doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $ngramT""".stripMargin))
 
+  /** Span-level exact-substring dedup — the k-gram hash-counting
+    * approximation of suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * span is duplicated if the SAME k consecutive tokens occur in any
+    * other document, and a document's score is the fraction of its
+    * distinct k-token spans that are duplicated. This is span-level
+    * where ns_dedup_ngram is document-level: boilerplate stitched into
+    * otherwise-unique documents (license headers, nav chrome, quoted
+    * reply chains) shows up here long before whole-document Jaccard
+    * notices, and the per-doc dup_frac is the signal pipelines use to
+    * TRIM spans or drop documents.
+    *
+    * Scale shape: each span is hashed to a 60-bit integer (engine-
+    * identical md5-prefix recipe, ns_fingerprint) the moment it is
+    * formed, so every shuffle moves (BIGINT, BIGINT) rows — never span
+    * text (~16 B/row vs ~8×avg-token bytes; at 100 TB the difference
+    * is the exchange). Span formation is explode(sequence) + slice +
+    * array_join — ordinary codegen'd expressions fused into the
+    * Generate stage (the transform() HOF formulation is
+    * CodegenFallback and breaks the stage, the shingles3 lesson). The
+    * per-(doc, span) distinct and the per-span document-frequency
+    * count both partial-aggregate map-side, so ultra-common spans
+    * shrink to one row per map task pre-shuffle; the df join back to
+    * the span stream is an equi-join on the hash (AQE handles the hot
+    * keys a skewed corpus produces). Work is linear in corpus tokens —
+    * no pair enumeration anywhere (the counting sidesteps
+    * ns_dedup_ngram's C(df,2) posting-list pairs entirely). */
+  private val spanK = 8
+  val dedupSubstringOp = QueryDef(
+    "ns_dedup_substring", {
+      (s, dir) =>
+        val grams = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .filter(size(col("t")) >= spanK)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("t")) - (spanK - 1))).as("i"),
+            col("t"))
+          .select(col("doc_id"),
+            expr(s"CAST(conv(substring(md5(array_join(slice(t, i, $spanK), ' ')), 1, 15), 16, 10) AS BIGINT)")
+              .as("g"))
+          .distinct()
+        val df = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+        grams.join(df, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+            round(col("dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |g0 AS (SELECT doc_id, array_to_string(t[i:i+${spanK - 1}], ' ') AS gram
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${spanK - 1})) AS i
+           |        FROM t WHERE len(t) >= $spanK)),
+           |g AS (SELECT DISTINCT doc_id,
+           |    CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT AS BIGINT) AS g FROM g0),
+           |nd AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+           |SELECT doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           |  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+           |FROM g JOIN nd USING (g)
+           |GROUP BY doc_id""".stripMargin))
+
   /** Text statistics: token counts, distinct tokens, type-token ratio. */
   val textStatsOp = QueryDef(
     "ns_text_stats",
@@ -1296,6 +1358,7 @@ object TextOps {
 
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
+    dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,

@@ -387,6 +387,21 @@ class PlanSpec extends SparkSpec {
     assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
   }
 
+  test("ns_dedup_substring: codegen'd span formation, span-stream shuffle shared via reuse") {
+    val p = physical("ns_dedup_substring")
+    // the explode(sequence)+slice formulation exists precisely because
+    // the transform() HOF is CodegenFallback — lock the whole pipeline
+    // in codegen
+    assert(fallbacks(p).isEmpty,
+      s"span formation fell out of codegen: ${fallbacks(p)}\n$p")
+    // the hashed (doc_id, g) stream feeds BOTH the df count and the
+    // join probe; the identical distinct subtrees must collapse to one
+    // executed scan+shuffle at runtime, not re-derive spans per branch
+    val deep = executedDeepNodes("ns_dedup_substring")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the df-count branch must reuse the span stream's shuffle, not re-scan the corpus")
+  }
+
   test("ns_filter_funnel: one codegen pass over the corpus, one agg shuffle") {
     val p = physical("ns_filter_funnel")
     val scans = nodes(p).count(_.getClass.getSimpleName == "FileSourceScanExec")
