@@ -52,6 +52,39 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Kibana-style date_histogram with a terms split — THE dashboard
+    * query the reference's downstream (OpenSearch + Kibana over log
+    * events) exists to serve: calendar-day buckets × event_type series,
+    * each carrying count/sum/avg/min/max stats. Bucket count is bounded
+    * by the time span (days), never the event count, so the aggregate
+    * output stays dashboard-sized at any SF; the group-by partial-
+    * aggregates map-side and shuffles only (day, type) groups. Exact
+    * parity discipline: value sums in integer cents (Exact.scala), avg
+    * derived from the exact cents sum by one double division, min/max
+    * of doubles are accumulation-order independent as-is. */
+  val dateHistogram: QueryDef = q(
+    "ns_date_histogram",
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |  count(*) AS n,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c,
+       |  round(CAST(${sqlSum(sqlCents("value"))} AS DOUBLE) / 100.0 / count(*), 6) AS avg_value,
+       |  min(value) AS min_value,
+       |  max(value) AS max_value
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_c"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("avg_value",
+        round(col("sum_value_c").cast("double") / 100.0 / col("n"), 6))
+      .select("day", "event_type", "n", "sum_value_c", "avg_value",
+        "min_value", "max_value")
+  }
+
   /** Exact distinct aggregation (expand + two-phase hash agg in Spark). */
   val aggDistinct: QueryDef = q(
     "ns_agg_distinct",
@@ -422,7 +455,7 @@ object Relational {
     None)
 
   def entries: Seq[QueryDef] = Seq(
-    aggHash, aggDistinct, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
+    aggHash, aggDistinct, dateHistogram, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
     aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial)

@@ -437,6 +437,72 @@ object TextOps {
            |  CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT) AS fp_long
            |FROM n""".stripMargin))
 
+  /** BM25 full-text retrieval (Robertson/Spärck Jones; the Lucene
+    * practical-scoring form OpenSearch runs): top-k documents for a
+    * term query, scored Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * with idf = ln((N−df+0.5)/(df+0.5)+1). The reference's whole job is
+    * shipping documents INTO a search engine; this op answers the
+    * search query itself, completing the round trip.
+    *
+    * Scale shape: the classic inverted-index retrieval plan. The
+    * query-term filter sits directly above the token explode (codegen,
+    * map-side), so only query-term postings — |q| rows per matching
+    * doc, not the corpus token stream — reach the tf aggregation; the
+    * df dimension (≤|q| rows) and corpus stats (1 row) broadcast; the
+    * final top-k is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a global sort. Determinism discipline: per-term
+    * scores are summed in FIXED query order (one addend per term, no
+    * accumulation-order dependence), avgdl is exact-integer
+    * sum(dl)/count, and the top-k cutoff tie-breaks on doc_id over the
+    * round-6 score both engines compute identically. */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Query = Seq("spark", "join", "window")
+  private val bm25TopK = 20
+  val bm25Op = QueryDef(
+    "ns_text_bm25", {
+      (s, dir) =>
+        val d = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+        val stats = d.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = d.select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+          .filter(col("tok").isin(bm25Query: _*))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          .withColumn("sc", col("idf") * (col("tf") * lit(bm25K1 + 1)) /
+            (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+        val perTerm = bm25Query.map(t =>
+          coalesce(sum(when(col("tok") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+        scored.groupBy("doc_id")
+          .agg(perTerm.head, perTerm.tail: _*)
+          .select(col("doc_id"),
+            round(bm25Query.map(t => col(s"s_$t")).reduce(_ + _), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(bm25TopK)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |dd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+           |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dd)
+           |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id, tok,
+           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${bm25K1 + 1}) /
+           |      (tf + $bm25K1 * (1 - $bm25B + $bm25B * dl / avgdl)) AS sc
+           |  FROM tf JOIN dfq USING (tok), stats),
+           |agg AS (SELECT doc_id, round(
+           |    ${bm25Query.map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN sc END), 0)").mkString(" + ")}, 6) AS score
+           |  FROM sc GROUP BY 1)
+           |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin))
+
   /** Unigram language-model quality score: mean ln P(token) under the
     * corpus's own unigram distribution — the statistical complement to
     * ns_quality_score's surface heuristics: garbled/rare-token-heavy
@@ -1360,7 +1426,7 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
+    bm25Op, unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
     textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,

@@ -387,6 +387,15 @@ class PlanSpec extends SparkSpec {
     assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
   }
 
+  test("ns_text_bm25: top-k is TakeOrderedAndProject; df dim and stats broadcast") {
+    val p = physical("ns_text_bm25")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the retrieval cutoff must be a top-k heap, not a global sort:\n$p")
+    val bhj = nodes(p).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the document-frequency dim must broadcast to the posting stream:\n$p")
+  }
+
   test("ns_dedup_substring: codegen'd span formation, span-stream shuffle shared via reuse") {
     val p = physical("ns_dedup_substring")
     // the explode(sequence)+slice formulation exists precisely because
