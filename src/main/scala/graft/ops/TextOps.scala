@@ -437,6 +437,51 @@ object TextOps {
            |  CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT) AS fp_long
            |FROM n""".stripMargin))
 
+  /** significant_terms — the OpenSearch aggregation that surfaces
+    * terms OVER-REPRESENTED in a foreground slice relative to the whole
+    * corpus (here: per `source`, scored by lift =
+    * (fg/N_source)/(bg/N_corpus), the simple-ratio heuristic; top 5 per
+    * source). The dashboard question it answers — "what distinguishes
+    * THIS slice's documents" — is the other half of the reference's
+    * search story alongside ns_text_bm25.
+    *
+    * Scale shape: ONE corpus token pass builds the (source, tok)
+    * foreground counts; every background statistic (per-term bg,
+    * per-source totals, the corpus total) is RE-AGGREGATED from that
+    * vocabulary-sized table, never from a second corpus scan. The
+    * ranking window partitions by source over the per-source vocabulary
+    * — bounded by vocabulary size, never corpus rows. Determinism: all
+    * counts are exact longs; lift is two fixed-order double divisions
+    * both engines evaluate identically, round-6 with a term tiebreak. */
+  val significantTermsOp = QueryDef(
+    "ns_significant_terms", {
+      (s, dir) =>
+        val fg = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("source"), explode(split(trim(col("text")), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("fg"))
+        val bg = fg.groupBy("tok").agg(sum("fg").as("bg"))
+        val nf = fg.groupBy("source").agg(sum("fg").as("nf"))
+        val n = fg.agg(sum("fg").as("n"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("lift").desc, col("tok"))
+        fg.join(bg, "tok").join(broadcast(nf), "source").crossJoin(broadcast(n))
+          .withColumn("lift",
+            round((col("fg") * lit(1.0) / col("nf")) / (col("bg") * lit(1.0) / col("n")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("tok"), col("fg"), col("lift"))
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+           |fg AS (SELECT source, tok, count(*) AS fg FROM t GROUP BY 1, 2),
+           |bg AS (SELECT tok, CAST(sum(fg) AS BIGINT) AS bg FROM fg GROUP BY 1),
+           |nf AS (SELECT source, CAST(sum(fg) AS BIGINT) AS nf FROM fg GROUP BY 1),
+           |n AS (SELECT CAST(sum(fg) AS BIGINT) AS n FROM fg),
+           |sc AS (SELECT source, tok, fg,
+           |    round((fg * 1.0 / nf) / (bg * 1.0 / n), 6) AS lift
+           |  FROM fg JOIN bg USING (tok) JOIN nf USING (source), n)
+           |SELECT source, tok, fg, lift FROM sc
+           |QUALIFY row_number() OVER (PARTITION BY source ORDER BY lift DESC, tok) <= 5""".stripMargin))
+
   /** BM25 full-text retrieval (Robertson/Spärck Jones; the Lucene
     * practical-scoring form OpenSearch runs): top-k documents for a
     * term query, scored Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
@@ -1426,7 +1471,7 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    bm25Op, unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
+    significantTermsOp, bm25Op, unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
     textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,

@@ -387,6 +387,15 @@ class PlanSpec extends SparkSpec {
     assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
   }
 
+  test("ns_significant_terms: background stats reuse the foreground shuffle at runtime") {
+    // bg / per-source totals / corpus total are all re-aggregations of
+    // the (source, tok) foreground table — the corpus token pass must
+    // execute once, with AQE collapsing the duplicated subtrees
+    val deep = executedDeepNodes("ns_significant_terms")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "background statistics must reuse the foreground shuffle, not re-scan the corpus")
+  }
+
   test("ns_text_bm25: top-k is TakeOrderedAndProject; df dim and stats broadcast") {
     val p = physical("ns_text_bm25")
     assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
