@@ -283,15 +283,22 @@ object TextOps {
   val dedupSubstringOp = QueryDef(
     "ns_dedup_substring", {
       (s, dir) =>
+        // No Filter node anywhere in the span stream: a size guard as a
+        // .filter() gets pushed below the tokenizing Project and
+        // re-tokenizes every document in the scan's DataFilters (the
+        // bandSignatures trap, measured 2.7×) — instead short docs
+        // yield a NULL sequence, which explode() drops inside the
+        // Generate itself. coalesce pins the hash non-nullable so the
+        // join/agg below infer no isnotnull(g) predicate (which would
+        // re-evaluate the md5 in a pushed Filter per span).
         val grams = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
-          .filter(size(col("t")) >= spanK)
           .select(col("doc_id"),
-            explode(sequence(lit(1), size(col("t")) - (spanK - 1))).as("i"),
+            explode(when(size(col("t")) >= spanK,
+              sequence(lit(1), size(col("t")) - (spanK - 1)))).as("i"),
             col("t"))
           .select(col("doc_id"),
-            expr(s"CAST(conv(substring(md5(array_join(slice(t, i, $spanK), ' ')), 1, 15), 16, 10) AS BIGINT)")
-              .as("g"))
+            coalesce(expr(md5Long(s"array_join(slice(t, i, $spanK), ' ')")), lit(0L)).as("g"))
           .distinct()
         val df = grams.groupBy("g").agg(count(lit(1)).as("nd"))
         grams.join(df, "g")
@@ -305,8 +312,7 @@ object TextOps {
            |g0 AS (SELECT doc_id, array_to_string(t[i:i+${spanK - 1}], ' ') AS gram
            |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${spanK - 1})) AS i
            |        FROM t WHERE len(t) >= $spanK)),
-           |g AS (SELECT DISTINCT doc_id,
-           |    CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT AS BIGINT) AS g FROM g0),
+           |g AS (SELECT DISTINCT doc_id, ${md5LongSql("gram")} AS g FROM g0),
            |nd AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
            |SELECT doc_id, count(*) AS n_spans,
            |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
@@ -431,11 +437,13 @@ object TextOps {
       .select(
         col("doc_id"),
         md5(col("norm").cast("binary")).as("fp_hex"),
-        expr("CAST(conv(substring(md5(norm), 1, 15), 16, 10) AS BIGINT)").as("fp_long")),
-    Some("""WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        expr(md5Long("norm")).as("fp_long")),
+    // built by concatenation, not s-interpolation: the interpolator
+    // processes \s in triple quotes as an escape (the \b lesson)
+    Some(("""WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
            |SELECT doc_id, md5(norm) AS fp_hex,
-           |  CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT) AS fp_long
-           |FROM n""".stripMargin))
+           |  """ + md5LongSql("norm") + """ AS fp_long
+           |FROM n""").stripMargin))
 
   /** significant_terms — the OpenSearch aggregation that surfaces
     * terms OVER-REPRESENTED in a foreground slice relative to the whole
@@ -540,7 +548,7 @@ object TextOps {
            |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
            |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
            |sc AS (SELECT doc_id, tok,
-           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${bm25K1 + 1}) /
+           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (${bm25K1 + 1})::DOUBLE) /
            |      (tf + $bm25K1 * (1 - $bm25B + $bm25B * dl / avgdl)) AS sc
            |  FROM tf JOIN dfq USING (tok), stats),
            |agg AS (SELECT doc_id, round(
@@ -614,6 +622,18 @@ object TextOps {
     s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % $mod"
   private def hashBucketSqlOn(idCol: String, mod: Int = 100): String =
     s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $mod"
+
+  /** 60-bit md5-prefix integer hash of a string expression — the
+    * compact-key recipe (ns_fingerprint, ns_dedup_substring,
+    * DedupStream doc ids). Like hashBucketOn/hashBucketSqlOn, the
+    * Spark and DuckDB forms are a PAIR: they must stay
+    * recipe-identical or every oracle keying on the hash diverges —
+    * which is why both live here and call sites never hand-write the
+    * expression. */
+  private def md5Long(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def md5LongSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
   private val hashBucket = hashBucketOn("doc_id")
   private val hashBucketSql = hashBucketSqlOn("doc_id")
 

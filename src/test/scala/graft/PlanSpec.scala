@@ -412,6 +412,21 @@ class PlanSpec extends SparkSpec {
     // in codegen
     assert(fallbacks(p).isEmpty,
       s"span formation fell out of codegen: ${fallbacks(p)}\n$p")
+    // tokenization and the span hash must evaluate ONCE per row: a
+    // pushed-down size filter re-splits every document in the scan's
+    // DataFilters, and an inferred isnotnull(g) re-hashes every span
+    // in a Filter (the bandSignatures trap) — the null-sequence guard
+    // and the coalesce exist to keep both expressions out of every
+    // Filter and scan-pushdown in the plan (the static plan duplicates
+    // the whole span subtree per consumer branch; that duplication is
+    // what the runtime reuse assertion below covers)
+    val filterConds = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.dataFilters.map(_.toString).mkString(";")
+    }
+    assert(!filterConds.exists(c => c.contains("split(") || c.contains("md5(")),
+      s"tokenize/hash re-evaluated inside a Filter or scan pushdown:\n$p")
     // the hashed (doc_id, g) stream feeds BOTH the df count and the
     // join probe; the identical distinct subtrees must collapse to one
     // executed scan+shuffle at runtime, not re-derive spans per branch
