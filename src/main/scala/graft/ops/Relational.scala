@@ -85,6 +85,45 @@ object Relational {
         "min_value", "max_value")
   }
 
+  /** Kibana pipeline aggregations over the date-histogram buckets:
+    * derivative (day-over-day delta), 7-bucket moving average, and
+    * cumulative sum per event_type series — the second-order dashboard
+    * layer (trend/smoothing/running-total) OpenSearch computes from a
+    * parent date_histogram. The windows run over the AGGREGATED bucket
+    * table — series × days rows, dashboard-sized at any SF — never raw
+    * events, and partition by event_type so no global single-partition
+    * sort exists in the plan. Determinism: bucket counts are exact
+    * longs; the moving average divides an exact long window sum by the
+    * window row count once, identically in both engines. */
+  val dateHistogramPipeline: QueryDef = q(
+    "ns_date_histogram_pipeline",
+    s"""WITH b AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, event_type, n,
+       |  n - lag(n) OVER w AS dn,
+       |  round(CAST(sum(n) OVER wf AS DOUBLE) / count(*) OVER wf, 6) AS ma7,
+       |  CAST(sum(n) OVER wc AS BIGINT) AS cum
+       |FROM b
+       |WINDOW
+       |  w AS (PARTITION BY event_type ORDER BY day),
+       |  wf AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |  wc AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wf = w.rowsBetween(-6, Window.currentRow)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dn", col("n") - lag("n", 1).over(w))
+      .withColumn("ma7",
+        round(sum("n").over(wf).cast("double") / count(lit(1)).over(wf), 6))
+      .withColumn("cum", sum("n").over(wc))
+  }
+
   /** Exact distinct aggregation (expand + two-phase hash agg in Spark). */
   val aggDistinct: QueryDef = q(
     "ns_agg_distinct",
@@ -455,7 +494,7 @@ object Relational {
     None)
 
   def entries: Seq[QueryDef] = Seq(
-    aggHash, aggDistinct, dateHistogram, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
+    aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
     aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial)
