@@ -445,6 +445,70 @@ object TextOps {
            |  """ + md5LongSql("norm") + """ AS fp_long
            |FROM n""").stripMargin))
 
+  /** Fuzzy term match — the OpenSearch `fuzzy` query (typo-tolerant
+    * term lookup): expand the query term against the VOCABULARY by
+    * Damerau-free Levenshtein distance ≤ 2, then count per-document
+    * occurrences of every expanded term. The edit-distance scan runs
+    * over the distinct vocabulary — vocabulary-sized, never the corpus
+    * token stream (exactly how Lucene walks its term dictionary) — and
+    * the surviving terms (a handful) BROADCAST back into the token
+    * stream, so the corpus pass stays map-side; only the final
+    * (doc, term) count shuffles. Levenshtein is exact integer DP in
+    * both engines — no float parity concerns. */
+  private val fuzzyTerm = "sprak"
+  private val fuzzyMaxDist = 2
+  val fuzzyMatchOp = QueryDef(
+    "ns_text_fuzzy", {
+      (s, dir) =>
+        val toks = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        val matched = toks.select("tok").distinct()
+          .filter(levenshtein(col("tok"), lit(fuzzyTerm)) <= fuzzyMaxDist)
+        toks.join(broadcast(matched), "tok")
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("hits"))
+          .select(col("doc_id"), col("tok").as("term"), col("hits"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+           |m AS (SELECT DISTINCT tok FROM toks
+           |  WHERE levenshtein(tok, '$fuzzyTerm') <= $fuzzyMaxDist)
+           |SELECT doc_id, tok AS term, count(*) AS hits
+           |FROM toks JOIN m USING (tok)
+           |GROUP BY 1, 2""".stripMargin))
+
+  /** Phrase match — the OpenSearch `match_phrase` query: documents
+    * containing an exact N-token phrase, with occurrence counts. Runs
+    * as a positional bigram scan, not a position self-join: spans form
+    * by explode(sequence)+slice (the ns_dedup_substring shape — one
+    * codegen pass, no Filter below the tokenizing Project possible
+    * because the phrase test references the generated index), so the
+    * corpus is read once and only matching (doc, span) rows survive to
+    * the per-doc count. A position-index self-join (pos a ⋈ pos b ON
+    * a.p+1=b.p) would shuffle the full positional index twice to find
+    * the same rows. */
+  private val phraseQuery = "slow join"
+  val phraseMatchOp = QueryDef(
+    "ns_text_phrase", {
+      (s, dir) =>
+        val pl = phraseQuery.split(" ").length
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= pl,
+              sequence(lit(1), size(col("t")) - (pl - 1)))).as("i"),
+            col("t"))
+          .filter(expr(s"array_join(slice(t, i, $pl), ' ')") === phraseQuery)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, array_to_string(t[i:i+${phraseQuery.split(" ").length - 1}], ' ') AS span
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${phraseQuery.split(" ").length - 1})) AS i
+           |        FROM t WHERE len(t) >= ${phraseQuery.split(" ").length}))
+           |SELECT doc_id, count(*) AS n_hits
+           |FROM g WHERE span = '$phraseQuery'
+           |GROUP BY 1""".stripMargin))
+
   /** significant_terms — the OpenSearch aggregation that surfaces
     * terms OVER-REPRESENTED in a foreground slice relative to the whole
     * corpus (here: per `source`, scored by lift =
@@ -1491,7 +1555,8 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    significantTermsOp, bm25Op, unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
+    fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
+    unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
     textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,
