@@ -445,6 +445,55 @@ object TextOps {
            |  """ + md5LongSql("norm") + """ AS fp_long
            |FROM n""").stripMargin))
 
+  /** Percolation — the OpenSearch percolate query, the primitive under
+    * alerting/watchers: a REGISTERED set of conjunctive term queries is
+    * matched against each arriving document (queries are data, documents
+    * are the stream — retrieval inverted). A document matches a query
+    * when it contains ALL the query's terms; matching is per-doc
+    * distinct tokens ⋈ broadcast query-term table, then a (doc, query)
+    * count compared to the query's term count. The query table is
+    * dashboards/alert-rules sized — always broadcast — so the corpus
+    * pass is map-side; only matched (doc, query) candidate rows (≤
+    * docs × matching queries, sparse) reach the counting shuffle.
+    * `percolate(df)` is the reusable transform; the streaming form runs
+    * it per micro-batch unchanged (StreamingSpec drives it through
+    * MemoryStream) — the batch query below is the oracle-checked twin. */
+  private[graft] val percolateQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "slow",
+    3L -> "window", 3L -> "sort")
+  private[graft] def percolate(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val q = percolateQueries.toDF("query_id", "term")
+    val nterms = percolateQueries.groupBy(_._1).view.mapValues(_.size).toSeq
+      .toDF("query_id", "n_terms")
+    docsDf
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .distinct()
+      .join(broadcast(q), col("tok") === col("term"))
+      .groupBy("doc_id", "query_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(nterms), "query_id")
+      .filter(col("n_matched") === col("n_terms"))
+      .select(col("doc_id"), col("query_id"))
+  }
+  val percolateOp = QueryDef(
+    "ns_search_percolate",
+    (s, dir) => percolate(Par.spread(s, docs(s, dir), col("doc_id"))),
+    Some({
+      val values = percolateQueries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $values),
+         |nt AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |m AS (SELECT doc_id, query_id, count(*) AS n_matched
+         |  FROM toks JOIN q ON tok = term GROUP BY 1, 2)
+         |SELECT doc_id, CAST(query_id AS BIGINT) AS query_id
+         |FROM m JOIN nt USING (query_id) WHERE n_matched = n_terms""".stripMargin
+    }))
+
   /** Fuzzy term match — the OpenSearch `fuzzy` query (typo-tolerant
     * term lookup): expand the query term against the VOCABULARY by
     * Damerau-free Levenshtein distance ≤ 2, then count per-document
@@ -1555,7 +1604,7 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
+    percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,

@@ -111,6 +111,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("percolate: registered queries match arriving documents per micro-batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.TextOps.percolate(batch.toDF())
+          .collect().foreach(r => sink.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    try {
+      // batch 1: doc 10 matches q1 (spark+join) and q2 (slow); doc 11
+      // has only one of q1's two terms — conjunction must not fire
+      in.addData((10L, "a slow spark join pipeline"), (11L, "spark only here"))
+      q.processAllAvailable()
+      assert(sink.toArray.toSet == Set((10L, 1L), (10L, 2L)),
+        s"batch-1 matches wrong: ${sink.toArray.mkString(",")}")
+      // batch 2: queries keep matching later batches independently
+      in.addData((12L, "sort by window"), (13L, "nothing relevant"))
+      q.processAllAvailable()
+      assert(sink.toArray.toSet == Set((10L, 1L), (10L, 2L), (12L, 3L)),
+        s"batch-2 matches wrong: ${sink.toArray.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session inline; quiescence closes by timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
