@@ -468,10 +468,16 @@ object TextOps {
     val q = percolateQueries.toDF("query_id", "term")
     val nterms = percolateQueries.groupBy(_._1).view.mapValues(_.size).toSeq
       .toDF("query_id", "n_terms")
+    // distinct AFTER the broadcast join, never before: pre-join
+    // distinct would shuffle the whole corpus token stream to dedup
+    // tokens the query table doesn't even mention — post-join, the
+    // dedup (needed so repeated tokens don't double-count toward the
+    // conjunction) touches only the sparse matched rows
     docsDf
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-      .distinct()
       .join(broadcast(q), col("tok") === col("term"))
+      .select(col("doc_id"), col("query_id"), col("term"))
+      .distinct()
       .groupBy("doc_id", "query_id")
       .agg(count(lit(1)).as("n_matched"))
       .join(broadcast(nterms), "query_id")

@@ -387,6 +387,26 @@ class PlanSpec extends SparkSpec {
     assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
   }
 
+  test("ns_search_percolate: the corpus token stream never shuffles pre-join") {
+    // the query-table broadcast join must sit BELOW every
+    // distribution-driven exchange — a pre-join distinct would shuffle
+    // the whole corpus token stream to dedup tokens no registered
+    // query mentions. (Par.spread's REPARTITION_BY_NUM scan widening
+    // is exempt: it moves one slim row per DOCUMENT pre-explode, by
+    // design. In the ideal plan it is also the ONLY exchange: its
+    // doc_id partitioning already satisfies every downstream grouping,
+    // so the dedup and conjunction aggregates run shuffle-free.)
+    val p = physical("ns_search_percolate")
+    nodes(p).collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+      .foreach { e =>
+        assert(nodes(e).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          s"a shuffle runs on the raw token stream, before the query join:\n$p")
+      }
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the query table must broadcast-join the token stream:\n$p")
+  }
+
   test("ns_significant_terms: background stats reuse the foreground shuffle at runtime") {
     // bg / per-source totals / corpus total are all re-aggregations of
     // the (source, tok) foreground table — the corpus token pass must
