@@ -158,11 +158,24 @@ object Pipeline {
                 enrich: DataFrame => DataFrame = identity,
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                 sleep: Long => Unit = Thread.sleep,
-                metrics: Option[ServiceMetrics] = None)(batch: Dataset[Row], batchId: Long): Unit = {
+                metrics: Option[ServiceMetrics] = None,
+                alerts: Option[(DataFrame, Long) => Unit] = None)(batch: Dataset[Row], batchId: Long): Unit = {
     val d = decoded(batch.toDF()).persist()
     try {
-      withRetry(maxAttempts, baseBackoffMs, sleep)(
-        writeOk(enrich(flatten(d.filter(col("err").isNull))), batchId))
+      val docs = enrich(flatten(d.filter(col("err").isNull)))
+      withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
+      // in-stream alerting (the OpenSearch percolate/watcher role):
+      // registered queries match each micro-batch's documents AFTER
+      // enrich — alerts see what the index sees (e.g. post-PII-scrub),
+      // keyed by event_ref for replay idempotence. Runs only when a
+      // writer is wired; the matched rows are sparse by construction
+      // (TextOps.percolate's broadcast shape).
+      alerts.foreach { w =>
+        val matches = graft.ops.TextOps.percolate(docs.select(
+          col("event_ref").as("doc_id"),
+          coalesce(get_json_object(col("message"), "$.text"), col("message")).as("text")))
+        withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
+      }
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
       // channel totals ride the writes themselves: the writers attach
@@ -242,17 +255,23 @@ object Pipeline {
     * SUCCESS/ + ERROR/ parquet channels (reference
     * cloudformation-template.yaml:170–171), 5 s micro-batches (reference
     * main.go:436), checkpointed for restart recovery. */
+  /** `alerting = true` adds the in-stream percolation stage: registered
+    * query matches land in `outDir/ALERTS/batch=<id>` under the same
+    * overwrite-idempotent channelWriter discipline as the delivery
+    * channels. */
   def run(source: DataFrame, outDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
           enrich: DataFrame => DataFrame = identity,
-          metrics: Option[ServiceMetrics] = None): StreamingQuery =
+          metrics: Option[ServiceMetrics] = None,
+          alerting: Boolean = false): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
         channelWriter(s"$outDir/SUCCESS",
           metrics.map(_.indexedMetric)),
         channelWriter(s"$outDir/ERROR",
           metrics.map(_.deadLetterMetric)),
-        enrich, metrics = metrics) _)
+        enrich, metrics = metrics,
+        alerts = if (alerting) Some(channelWriter(s"$outDir/ALERTS")) else None) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()

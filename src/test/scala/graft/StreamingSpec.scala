@@ -296,6 +296,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alerting stage: registered query matches land in ALERTS/, keyed by event_ref") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // e1's text carries q1's full conjunction (spark+join) and q2's
+    // (slow); e2 has only half of q1 — must not fire; e3 matches q3
+    val body =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[
+        |{"id":"e1","timestamp":1000,"message":"a slow spark join pipeline"},
+        |{"id":"e2","timestamp":2000,"message":"spark alone"},
+        |{"id":"e3","timestamp":3000,"message":"sort by window"}]}""".stripMargin
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-alert-sink")
+    in.addData((1L, 10L, b64(body)))
+    val q = Pipeline.run(
+      in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-alert-ckpt"), trigger = Trigger.AvailableNow(),
+      alerting = true)
+    try {
+      q.processAllAvailable()
+      val alerts = spark.read.parquet(s"$outDir/ALERTS")
+        .select(col("doc_id"), col("query_id")).as[(String, Long)].collect().toSet
+      assert(alerts == Set(("e1", 1L), ("e1", 2L), ("e3", 3L)),
+        s"wrong alert matches: $alerts")
+      // the delivery channel is untouched by the alert side-output
+      assert(spark.read.parquet(s"$outDir/SUCCESS").count() == 3)
+    } finally q.stop()
+  }
+
   test("end-to-end stream with the real gzip wire encoding (base64(gzip(body)))") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
