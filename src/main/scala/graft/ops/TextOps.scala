@@ -462,11 +462,12 @@ object TextOps {
     1L -> "spark", 1L -> "join",
     2L -> "slow",
     3L -> "window", 3L -> "sort")
-  private[graft] def percolate(docsDf: DataFrame): DataFrame = {
+  private[graft] def percolate(docsDf: DataFrame,
+                               queries: Seq[(Long, String)] = percolateQueries): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
-    val q = percolateQueries.toDF("query_id", "term")
-    val nterms = percolateQueries.groupBy(_._1).view.mapValues(_.size).toSeq
+    val q = queries.toDF("query_id", "term")
+    val nterms = queries.groupBy(_._1).view.mapValues(_.size).toSeq
       .toDF("query_id", "n_terms")
     // distinct AFTER the broadcast join, never before: pre-join
     // distinct would shuffle the whole corpus token stream to dedup

@@ -159,21 +159,22 @@ object Pipeline {
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                 sleep: Long => Unit = Thread.sleep,
                 metrics: Option[ServiceMetrics] = None,
-                alerts: Option[(DataFrame, Long) => Unit] = None)(batch: Dataset[Row], batchId: Long): Unit = {
+                alerts: Option[((DataFrame, Long) => Unit, Seq[(Long, String)])] = None)(batch: Dataset[Row], batchId: Long): Unit = {
     val d = decoded(batch.toDF()).persist()
     try {
       val docs = enrich(flatten(d.filter(col("err").isNull)))
       withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
       // in-stream alerting (the OpenSearch percolate/watcher role):
-      // registered queries match each micro-batch's documents AFTER
+      // the registered queries match each micro-batch's documents AFTER
       // enrich — alerts see what the index sees (e.g. post-PII-scrub),
       // keyed by event_ref for replay idempotence. Runs only when a
       // writer is wired; the matched rows are sparse by construction
       // (TextOps.percolate's broadcast shape).
-      alerts.foreach { w =>
+      alerts.foreach { case (w, queries) =>
         val matches = graft.ops.TextOps.percolate(docs.select(
           col("event_ref").as("doc_id"),
-          coalesce(get_json_object(col("message"), "$.text"), col("message")).as("text")))
+          coalesce(get_json_object(col("message"), "$.text"), col("message")).as("text")),
+          queries)
         withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
       }
       withRetry(maxAttempts, baseBackoffMs, sleep)(
@@ -255,15 +256,16 @@ object Pipeline {
     * SUCCESS/ + ERROR/ parquet channels (reference
     * cloudformation-template.yaml:170–171), 5 s micro-batches (reference
     * main.go:436), checkpointed for restart recovery. */
-  /** `alerting = true` adds the in-stream percolation stage: registered
-    * query matches land in `outDir/ALERTS/batch=<id>` under the same
-    * overwrite-idempotent channelWriter discipline as the delivery
-    * channels. */
+  /** `alertQueries = Some(qs)` adds the in-stream percolation stage
+    * with that registered query set (qs: (query_id, term) conjunctive
+    * term rows): matches land in `outDir/ALERTS/batch=<id>` under the
+    * same overwrite-idempotent channelWriter discipline as the
+    * delivery channels, counted on `/metrics` as alerts_matched. */
   def run(source: DataFrame, outDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
           enrich: DataFrame => DataFrame = identity,
           metrics: Option[ServiceMetrics] = None,
-          alerting: Boolean = false): StreamingQuery =
+          alertQueries: Option[Seq[(Long, String)]] = None): StreamingQuery =
     source.writeStream
       .foreachBatch(sinkBatch(
         channelWriter(s"$outDir/SUCCESS",
@@ -271,7 +273,8 @@ object Pipeline {
         channelWriter(s"$outDir/ERROR",
           metrics.map(_.deadLetterMetric)),
         enrich, metrics = metrics,
-        alerts = if (alerting) Some(channelWriter(s"$outDir/ALERTS")) else None) _)
+        alerts = alertQueries.map(qs =>
+          (channelWriter(s"$outDir/ALERTS", metrics.map(_.alertsMetric)), qs))) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()

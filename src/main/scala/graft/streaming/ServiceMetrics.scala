@@ -42,6 +42,10 @@ final class ServiceMetrics(spark: SparkSession) {
   /** Observation name the dead-letter-channel writer attaches. */
   val deadLetterMetric = s"graft_documents_dead_lettered_$id"
 
+  /** Observation name the alerting stage's writer attaches to the
+    * percolation-matches write. */
+  val alertsMetric = s"graft_alerts_matched_$id"
+
   /** Observation name DedupStream attaches to its per-batch results
     * write: row(uniques, dups). */
   val dedupResultsMetric = s"graft_dedup_results_$id"
@@ -71,6 +75,9 @@ final class ServiceMetrics(spark: SparkSession) {
   /** Records dead-lettered to ERROR/ (undecodable / empty envelopes). */
   val documentsDeadLettered = new AtomicLong(0L)
 
+  /** (doc, query) percolation matches written to ALERTS/. */
+  val alertsMatched = new AtomicLong(0L)
+
   /** Per-item `_bulk` rejections (status ≥ 300 in the bulk response). */
   val bulkItemRejections: LongAccumulator =
     spark.sparkContext.longAccumulator("graft.bulk_item_rejections")
@@ -86,6 +93,8 @@ final class ServiceMetrics(spark: SparkSession) {
         .foreach(r => documentsIndexed.addAndGet(r.getLong(0)))
       qe.observedMetrics.get(deadLetterMetric)
         .foreach(r => documentsDeadLettered.addAndGet(r.getLong(0)))
+      qe.observedMetrics.get(alertsMetric)
+        .foreach(r => alertsMatched.addAndGet(r.getLong(0)))
       // null-guard every field: aggregates over an empty frame observe
       // null, and a throwing listener is silently dropped by the bus
       qe.observedMetrics.get(dedupResultsMetric).foreach { r =>
@@ -112,6 +121,7 @@ final class ServiceMetrics(spark: SparkSession) {
       "batches_total" -> batchesTotal.get(),
       "documents_indexed" -> documentsIndexed.get(),
       "documents_dead_lettered" -> documentsDeadLettered.get(),
+      "alerts_matched" -> alertsMatched.get(),
       "bulk_item_rejections" -> bulkItemRejections.value,
       "dedup_batches" -> dedupBatches.get(),
       "dedup_uniques" -> dedupUniques.get(),

@@ -312,10 +312,12 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, Long, String)]
     val outDir = tmp("graft-alert-sink")
     in.addData((1L, 10L, b64(body)))
+    val m = new graft.streaming.ServiceMetrics(spark)
     val q = Pipeline.run(
       in.toDF().toDF("event_id", "batch_ms", "data"),
       outDir, tmp("graft-alert-ckpt"), trigger = Trigger.AvailableNow(),
-      alerting = true)
+      metrics = Some(m),
+      alertQueries = Some(graft.ops.TextOps.percolateQueries))
     try {
       q.processAllAvailable()
       val alerts = spark.read.parquet(s"$outDir/ALERTS")
@@ -324,7 +326,10 @@ class StreamingSpec extends SparkSpec {
         s"wrong alert matches: $alerts")
       // the delivery channel is untouched by the alert side-output
       assert(spark.read.parquet(s"$outDir/SUCCESS").count() == 3)
-    } finally q.stop()
+      // the match count rides the ALERTS write into /metrics
+      assert(m.snapshot("alerts_matched") == 3L,
+        s"alerts_matched wrong: ${m.snapshot}")
+    } finally { q.stop(); m.close() }
   }
 
   test("end-to-end stream with the real gzip wire encoding (base64(gzip(body)))") {
