@@ -466,8 +466,13 @@ object TextOps {
                                queries: Seq[(Long, String)] = percolateQueries): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
-    val q = queries.toDF("query_id", "term")
-    val nterms = queries.groupBy(_._1).view.mapValues(_.size).toSeq
+    // dedupe registrations: a duplicated (query, term) row would raise
+    // n_terms above what the post-join distinct can ever count, silently
+    // killing the query (and diverging from the oracle, which joins the
+    // duplicate rows)
+    val qs = queries.distinct
+    val q = qs.toDF("query_id", "term")
+    val nterms = qs.groupBy(_._1).view.mapValues(_.size).toSeq
       .toDF("query_id", "n_terms")
     // distinct AFTER the broadcast join, never before: pre-join
     // distinct would shuffle the whole corpus token stream to dedup

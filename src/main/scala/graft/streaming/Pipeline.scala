@@ -162,21 +162,35 @@ object Pipeline {
                 alerts: Option[((DataFrame, Long) => Unit, Seq[(Long, String)])] = None)(batch: Dataset[Row], batchId: Long): Unit = {
     val d = decoded(batch.toDF()).persist()
     try {
-      val docs = enrich(flatten(d.filter(col("err").isNull)))
-      withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
-      // in-stream alerting (the OpenSearch percolate/watcher role):
-      // the registered queries match each micro-batch's documents AFTER
-      // enrich — alerts see what the index sees (e.g. post-PII-scrub),
-      // keyed by event_ref for replay idempotence. Runs only when a
-      // writer is wired; the matched rows are sparse by construction
-      // (TextOps.percolate's broadcast shape).
-      alerts.foreach { case (w, queries) =>
-        val matches = graft.ops.TextOps.percolate(docs.select(
-          col("event_ref").as("doc_id"),
-          coalesce(get_json_object(col("message"), "$.text"), col("message")).as("text")),
-          queries)
-        withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
-      }
+      // with alerting on, docs feeds four plans (SUCCESS emptiness
+      // probe + write, ALERTS probe + write) — persist so the
+      // enrich chain (regex scrub, geoip broadcast join) runs once
+      // per batch, not once per consumer
+      val docs0 = enrich(flatten(d.filter(col("err").isNull)))
+      val docs = if (alerts.isDefined) docs0.persist() else docs0
+      try {
+        withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
+        // in-stream alerting (the OpenSearch percolate/watcher role):
+        // the registered queries match each micro-batch's documents
+        // AFTER enrich — alerts see what the index sees (e.g.
+        // post-PII-scrub). The match surface is the message's .text
+        // payload when present, else the raw message with JSON
+        // punctuation space-normalized (a structured log like
+        // {"msg":"slow spark join"} must tokenize to its words, not to
+        // '{"msg":"slow'). Keyed by (event_id, event_ref): event_ref
+        // alone is only unique within one envelope record, and pooling
+        // two different events' tokens under one key would fire
+        // conjunctions no single document satisfies.
+        alerts.foreach { case (w, queries) =>
+          val matches = graft.ops.TextOps.percolate(docs.select(
+            concat_ws("/", col("event_id"), col("event_ref")).as("doc_id"),
+            regexp_replace(
+              coalesce(get_json_object(col("message"), "$.text"), col("message")),
+              "[{}\\[\\]\",:]+", " ").as("text")),
+            queries)
+          withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
+        }
+      } finally if (alerts.isDefined) docs.unpersist()
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
       // channel totals ride the writes themselves: the writers attach
@@ -319,7 +333,8 @@ object Pipeline {
               trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
               enrich: DataFrame => DataFrame = identity,
               pipelineParam: Option[String] = None,
-              metrics: Option[ServiceMetrics] = None): StreamingQuery = {
+              metrics: Option[ServiceMetrics] = None,
+              alertQueries: Option[Seq[(Long, String)]] = None): StreamingQuery = {
     val effUrl = pipelineParam.fold(esUrl)(p =>
       esUrl + (if (esUrl.contains("?")) "&" else "?") + "pipeline=" + p)
     // the bulk POST counts documents_indexed (one observe in its lines
@@ -335,7 +350,9 @@ object Pipeline {
         (docs, batchId) => { archive(docs, batchId); bulk(docs, batchId) },
         channelWriter(s"$outDir/ERROR",
           metrics.map(_.deadLetterMetric)),
-        enrich, metrics = metrics) _)
+        enrich, metrics = metrics,
+        alerts = alertQueries.map(qs =>
+          (channelWriter(s"$outDir/ALERTS", metrics.map(_.alertsMetric)), qs))) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -84,6 +84,25 @@ object Serve {
         (IngestPipeline.scrubPii _).andThen(enrichStage)
       else enrichStage
 
+    // SPARK_GRAFT_ALERTS="1:spark,join;2:slow": in-stream percolation —
+    // each `id:term[,term…]` clause registers one conjunctive query;
+    // matches land in <outDir>/ALERTS and count as alerts_matched on
+    // /metrics. Malformed clauses fail at startup with the variable's
+    // name, not mid-stream.
+    val alertQueries: Option[Seq[(Long, String)]] =
+      sys.env.get("SPARK_GRAFT_ALERTS").map { spec =>
+        try {
+          spec.split(";").toSeq.filter(_.nonEmpty).flatMap { clause =>
+            val Array(id, terms) = clause.split(":", 2)
+            terms.split(",").toSeq.filter(_.nonEmpty).map(t => id.trim.toLong -> t.trim)
+          }
+        } catch {
+          case _: MatchError | _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_ALERTS must be 'id:term[,term…][;…]', got '$spec'")
+        }
+      }
+
     val query =
       if (args.length == 5)
         Pipeline.runHttp(source, args(3), args(4), args(1), args(2),
@@ -93,10 +112,10 @@ object Serve {
           // last-seen request's key would cross tenant credentials.
           trigger = trigger, enrich = enrich,
           pipelineParam = Some(pipelineName).filter(_ != "none"),
-          metrics = Some(metrics))
+          metrics = Some(metrics), alertQueries = alertQueries)
       else
         Pipeline.run(source, args(1), args(2), trigger = trigger, enrich = enrich,
-          metrics = Some(metrics))
+          metrics = Some(metrics), alertQueries = alertQueries)
     // SPARK_GRAFT_DEDUP_DIR=<dir>: the staged dedup topology — a SECOND
     // streaming query reads the SUCCESS archive as a file stream and
     // runs the incremental near-dup check against the persisted

@@ -300,13 +300,16 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     // e1's text carries q1's full conjunction (spark+join) and q2's
-    // (slow); e2 has only half of q1 — must not fire; e3 matches q3
+    // (slow); e2 has only half of q1 — must not fire; e3 matches q3;
+    // e4 is a STRUCTURED JSON message without .text — its words must
+    // still tokenize (JSON punctuation space-normalized), so q2 fires
     val body =
       """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
         |"subscriptionFilters":["f"],"logEvents":[
         |{"id":"e1","timestamp":1000,"message":"a slow spark join pipeline"},
         |{"id":"e2","timestamp":2000,"message":"spark alone"},
-        |{"id":"e3","timestamp":3000,"message":"sort by window"}]}""".stripMargin
+        |{"id":"e3","timestamp":3000,"message":"sort by window"},
+        |{"id":"e4","timestamp":4000,"message":"{\"msg\":\"a slow response\"}"}]}""".stripMargin
     def b64(s: String): String =
       java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     val in = MemoryStream[(Long, Long, String)]
@@ -322,12 +325,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val alerts = spark.read.parquet(s"$outDir/ALERTS")
         .select(col("doc_id"), col("query_id")).as[(String, Long)].collect().toSet
-      assert(alerts == Set(("e1", 1L), ("e1", 2L), ("e3", 3L)),
+      assert(alerts == Set(("1/e1", 1L), ("1/e1", 2L), ("1/e3", 3L), ("1/e4", 2L)),
         s"wrong alert matches: $alerts")
       // the delivery channel is untouched by the alert side-output
-      assert(spark.read.parquet(s"$outDir/SUCCESS").count() == 3)
+      assert(spark.read.parquet(s"$outDir/SUCCESS").count() == 4)
       // the match count rides the ALERTS write into /metrics
-      assert(m.snapshot("alerts_matched") == 3L,
+      assert(m.snapshot("alerts_matched") == 4L,
         s"alerts_matched wrong: ${m.snapshot}")
     } finally { q.stop(); m.close() }
   }
