@@ -124,6 +124,37 @@ object Relational {
       .withColumn("cum", sum("n").over(wc))
   }
 
+  /** Keyset pagination — the OpenSearch `search_after` pattern, the
+    * at-scale replacement for deep OFFSET paging: the page is defined
+    * by a predicate on the (sort key, tiebreak id) keyset of the last
+    * row already served — where OFFSET N reads and discards all N
+    * earlier rows on every page. The filter is the production two-part
+    * shape: a RAW-COLUMN bound (`ts >= boundary-nanos`, a superset of
+    * the keyset) that PUSHES INTO the parquet scan (PushedFilters +
+    * row-group stats skip everything already paged; the exact keyset
+    * test references derived/tiebreak columns and cannot push), plus
+    * the exact keyset residual on the micros view both engines share.
+    * The page itself plans as TakeOrderedAndProject (per-partition
+    * heaps of pageSize rows), and the (ts, event_id) total order makes
+    * the page's row SET deterministic in both engines. */
+  private val pageAfterMicros = 1705276800000000L // 2024-01-15T00:00:00Z
+  private val pageSize = 100
+  val searchAfter: QueryDef = q(
+    "ns_search_after",
+    s"""SELECT event_id, ts, event_type FROM events
+       |WHERE ts > make_timestamp($pageAfterMicros)
+       |   OR (ts = make_timestamp($pageAfterMicros) AND event_id > 0)
+       |ORDER BY ts, event_id LIMIT $pageSize""".stripMargin) { (s, dir) =>
+    val tsMicros = expr("ts div 1000")
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit(pageAfterMicros * 1000L)) // pushable bound (raw nanos)
+      .filter(tsMicros > pageAfterMicros ||
+        (tsMicros === pageAfterMicros && col("event_id") > 0L))
+      .select(col("event_id"), col("tsu").as("ts"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(pageSize)
+  }
+
   /** Exact distinct aggregation (expand + two-phase hash agg in Spark). */
   val aggDistinct: QueryDef = q(
     "ns_agg_distinct",
@@ -494,7 +525,7 @@ object Relational {
     None)
 
   def entries: Seq[QueryDef] = Seq(
-    aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
+    aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
     aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial)

@@ -387,6 +387,17 @@ class PlanSpec extends SparkSpec {
     assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
   }
 
+  test("ns_search_after: the keyset bound pushes to the scan; the page is a top-k heap") {
+    val p = physical("ns_search_after")
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("GreaterThanOrEqual(ts"))),
+      s"the raw ts bound must reach the parquet scan's PushedFilters:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the page must be a bounded top-k heap, not a global sort + limit:\n$p")
+  }
+
   test("ns_search_percolate: the corpus token stream never shuffles pre-join") {
     // the query-table broadcast join must sit BELOW every
     // distribution-driven exchange — a pre-join distinct would shuffle
