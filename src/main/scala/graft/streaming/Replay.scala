@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftExtensions
+
+/** Archive replay — the recovery tool the SUCCESS/ channel exists for
+  * (reference cloudformation-template.yaml:162–171: Firehose
+  * S3BackupMode AllData keeps every delivered document so the search
+  * index can be rebuilt): re-index an archived channel into an
+  * OpenSearch-compatible `_bulk` endpoint.
+  *
+  * One batch job over the whole archive, not a per-original-batch
+  * loop: the archive read lists every `batch=<id>` partition and every
+  * partition POSTs concurrently through the same HttpBulk transport
+  * the live stream uses (per-partition chunked `_bulk` bodies, retry
+  * with backoff on 429/502/503/504, per-item rejections to
+  * `errDir/batch=0`). Replay is idempotent at the index because `_id`
+  * is the archived document's `event_ref` — re-delivering an already
+  * indexed document overwrites it in place, the same contract the live
+  * stream gets from Firehose redelivery.
+  *
+  * The archived `batch` partition column is carried for lineage but
+  * DROPPED from the rendered documents — it names the delivery
+  * micro-batch, not document payload. Archives never hold credentials
+  * (channelWriter strips access_key before writing), so replay posts
+  * under the static auth only: pass it via SPARK_GRAFT_REPLAY_AUTH
+  * (the Basic credential without the scheme prefix).
+  *
+  * Usage:
+  *   runMain graft.streaming.Replay <archiveDir> <esBulkUrl> <index> <errDir>
+  */
+object Replay {
+
+  /** Re-index `archiveDir` (a SUCCESS/ channel: `batch=<id>` parquet
+    * partitions) into `esUrl`. Returns the number of documents
+    * replayed. */
+  def replay(spark: SparkSession, archiveDir: String, esUrl: String,
+             index: String, errDir: String,
+             auth: Option[String] = None,
+             maxAttempts: Int = 5, baseBackoffMs: Long = 50): Long = {
+    val docs = spark.read.parquet(archiveDir).drop("batch")
+    // one pass: the count rides the POST job itself through the
+    // writer's observe hook (harvested by a one-shot listener, the
+    // ServiceMetrics pattern) — a separate count() would scan the
+    // archive twice
+    val metricName = s"graft_replayed_${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach(r => n.addAndGet(r.getLong(0)))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val writer = HttpBulk.bulkWriter(esUrl, index, errDir, auth,
+        maxAttempts = maxAttempts, baseBackoffMs = baseBackoffMs,
+        observeDocsAs = Some(metricName))
+      writer(docs, 0L)
+      org.apache.spark.sql.graftshim.Bridge.flushListenerBus(spark)
+      n.get()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: Replay <archiveDir> <esBulkUrl> <index> <errDir>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.install(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val n = replay(spark, args(0), args(1), args(2), args(3),
+      auth = sys.env.get("SPARK_GRAFT_REPLAY_AUTH").map("Basic " + _))
+    println(s"[replay] re-indexed $n documents from ${args(0)}")
+  }
+}

@@ -85,6 +85,26 @@ class HttpBulkSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("Replay re-indexes an archived SUCCESS/ channel with event_ref ids") {
+    val stub = new BulkStub()
+    try {
+      // a two-batch archive written the way channelWriter lands it
+      val archiveDir = tmp("bulk-archive")
+      docsFrame("r1", "r2").write.parquet(s"$archiveDir/batch=0")
+      docsFrame("r3").write.parquet(s"$archiveDir/batch=1")
+      val errDir = tmp("bulk-replay-err")
+      val n = graft.streaming.Replay.replay(
+        spark, archiveDir, stub.url, "graft-docs", errDir, baseBackoffMs = 1)
+      assert(n == 3L, s"replay must count the re-indexed documents, got $n")
+      val posted = stub.bodies.toArray.mkString("\n")
+      Seq("r1", "r2", "r3").foreach(id =>
+        assert(posted.contains(s""""_id":"$id""""), s"$id must be re-indexed"))
+      // the archive's batch partition column is lineage, not payload
+      assert(!posted.contains(""""batch""""),
+        "the batch partition column must not leak into _source")
+    } finally stub.stop()
+  }
+
   test("per-item bulk rejections land under errDir/batch=<id>") {
     import spark.implicits._
     val stub = new BulkStub(badIds = Set("bad-1"))
