@@ -159,15 +159,18 @@ object Pipeline {
                 maxAttempts: Int = 5, baseBackoffMs: Long = 50,
                 sleep: Long => Unit = Thread.sleep,
                 metrics: Option[ServiceMetrics] = None,
-                alerts: Option[((DataFrame, Long) => Unit, Seq[(Long, String)])] = None)(batch: Dataset[Row], batchId: Long): Unit = {
+                alerts: Option[((DataFrame, Long) => Unit, Seq[(Long, String)])] = None,
+                persistDocs: Boolean = false)(batch: Dataset[Row], batchId: Long): Unit = {
     val d = decoded(batch.toDF()).persist()
     try {
-      // with alerting on, docs feeds four plans (SUCCESS emptiness
-      // probe + write, ALERTS probe + write) — persist so the
-      // enrich chain (regex scrub, geoip broadcast join) runs once
-      // per batch, not once per consumer
+      // docs feeds multiple plans whenever alerting is on (SUCCESS
+      // probe + write, ALERTS probe + write) or the writer itself is a
+      // composite (runHttp's archive + bulk POST set persistDocs) —
+      // persist so the enrich chain (regex scrub, geoip broadcast
+      // join) runs once per batch, not once per consumer
+      val multi = alerts.isDefined || persistDocs
       val docs0 = enrich(flatten(d.filter(col("err").isNull)))
-      val docs = if (alerts.isDefined) docs0.persist() else docs0
+      val docs = if (multi) docs0.persist() else docs0
       try {
         withRetry(maxAttempts, baseBackoffMs, sleep)(writeOk(docs, batchId))
         // in-stream alerting (the OpenSearch percolate/watcher role):
@@ -182,15 +185,19 @@ object Pipeline {
         // two different events' tokens under one key would fire
         // conjunctions no single document satisfies.
         alerts.foreach { case (w, queries) =>
+          // the normalization wraps ONLY the raw-JSON fallback branch:
+          // an extracted .text payload is already running text whose
+          // own punctuation ("deploy:canary") is part of the match
+          // surface and must survive
           val matches = graft.ops.TextOps.percolate(docs.select(
             concat_ws("/", col("event_id"), col("event_ref")).as("doc_id"),
-            regexp_replace(
-              coalesce(get_json_object(col("message"), "$.text"), col("message")),
-              "[{}\\[\\]\",:]+", " ").as("text")),
+            coalesce(
+              get_json_object(col("message"), "$.text"),
+              regexp_replace(col("message"), "[{}\\[\\]\",:]+", " ")).as("text")),
             queries)
           withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
         }
-      } finally if (alerts.isDefined) docs.unpersist()
+      } finally if (multi) docs.unpersist()
       withRetry(maxAttempts, baseBackoffMs, sleep)(
         writeErr(deadLetter(d.filter(col("err").isNotNull)), batchId))
       // channel totals ride the writes themselves: the writers attach
@@ -352,7 +359,8 @@ object Pipeline {
           metrics.map(_.deadLetterMetric)),
         enrich, metrics = metrics,
         alerts = alertQueries.map(qs =>
-          (channelWriter(s"$outDir/ALERTS", metrics.map(_.alertsMetric)), qs))) _)
+          (channelWriter(s"$outDir/ALERTS", metrics.map(_.alertsMetric)), qs)),
+        persistDocs = true) _)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .start()

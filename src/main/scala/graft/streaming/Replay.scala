@@ -39,29 +39,23 @@ object Replay {
              index: String, errDir: String,
              auth: Option[String] = None,
              maxAttempts: Int = 5, baseBackoffMs: Long = 50): Long = {
-    val docs = spark.read.parquet(archiveDir).drop("batch")
-    // one pass: the count rides the POST job itself through the
-    // writer's observe hook (harvested by a one-shot listener, the
-    // ServiceMetrics pattern) — a separate count() would scan the
-    // archive twice
-    val metricName = s"graft_replayed_${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
-                             d: Long): Unit =
-        qe.observedMetrics.get(metricName).foreach(r => n.addAndGet(r.getLong(0)))
-      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
-                             e: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      val writer = HttpBulk.bulkWriter(esUrl, index, errDir, auth,
-        maxAttempts = maxAttempts, baseBackoffMs = baseBackoffMs,
-        observeDocsAs = Some(metricName))
-      writer(docs, 0L)
-      org.apache.spark.sql.graftshim.Bridge.flushListenerBus(spark)
-      n.get()
-    } finally spark.listenerManager.unregister(listener)
+    // ignoreMissingFiles: replaying while the ingest stream is live is
+    // the tool's normal use, and a checkpoint-replayed micro-batch can
+    // overwrite a batch=<id> dir between this scan's file listing and
+    // its read (the same race Serve's dedup stage guards against on
+    // the same directory) — the fresh files carry the same documents
+    // under the same idempotent _ids
+    val docs = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(archiveDir).drop("batch")
+    val writer = HttpBulk.bulkWriter(esUrl, index, errDir, auth,
+      maxAttempts = maxAttempts, baseBackoffMs = baseBackoffMs)
+    writer(docs, 0L)
+    // reported count: an exact count() AFTER the POST job — a
+    // footer-driven parquet count is trivial next to re-POSTing the
+    // archive over HTTP, and unlike an observe()-listener harvest it
+    // cannot under-report on a backlogged listener bus (the recovery
+    // report must be trustworthy)
+    docs.count()
   }
 
   def main(args: Array[String]): Unit = {

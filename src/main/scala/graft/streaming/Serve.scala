@@ -92,9 +92,17 @@ object Serve {
     val alertQueries: Option[Seq[(Long, String)]] =
       sys.env.get("SPARK_GRAFT_ALERTS").map { spec =>
         try {
-          spec.split(";").toSeq.filter(_.nonEmpty).flatMap { clause =>
+          spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { clause =>
             val Array(id, terms) = clause.split(":", 2)
-            terms.split(",").toSeq.filter(_.nonEmpty).map(t => id.trim.toLong -> t.trim)
+            // trim BEFORE the emptiness filter: a whitespace-only term
+            // would otherwise register as "" and corrupt the
+            // conjunction count; a clause with no terms at all is a
+            // config mistake that must fail here, not register a
+            // never-matching query
+            val ts = terms.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            if (ts.isEmpty) throw new IllegalArgumentException(
+              s"SPARK_GRAFT_ALERTS clause '$clause' has no terms")
+            ts.map(t => id.trim.toLong -> t)
           }
         } catch {
           case _: MatchError | _: NumberFormatException =>

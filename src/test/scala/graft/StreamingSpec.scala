@@ -296,7 +296,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("alerting stage: registered query matches land in ALERTS/, keyed by event_ref") {
+  test("alerting stage: matches land in ALERTS/, keyed by event_id/event_ref") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     // e1's text carries q1's full conjunction (spark+join) and q2's
