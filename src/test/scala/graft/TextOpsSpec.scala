@@ -350,6 +350,35 @@ class TextOpsSpec extends SparkSpec {
       s"unknown verdicts: $verdicts")
   }
 
+  test("percolate edge contracts: unknown terms, dup registrations, empty input") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark join here"), (2L, "nothing relevant")).toDF("doc_id", "text")
+    // a query whose term exists in no document yields no match — not an
+    // error, and not a partial match for its other (present) term
+    val qMissing = Seq(7L -> "spark", 7L -> "zzz_not_in_corpus")
+    assert(TextOps.percolate(docs, qMissing).count() == 0L,
+      "a conjunction with an unknown term must not fire")
+    // duplicated registration rows must not raise the bar above what
+    // any document can count (the dedupe-on-entry contract)
+    val qDup = Seq(9L -> "spark", 9L -> "spark", 9L -> "join")
+    val hits = TextOps.percolate(docs, qDup).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSet == Set((1L, 9L)), s"dup registration broke matching: ${hits.toSeq}")
+    // an empty document batch (streaming quiet period) is a no-op
+    assert(TextOps.percolate(docs.limit(0)).count() == 0L)
+  }
+
+  test("bm25 page contract: exactly top-20, positive scores, (score DESC, doc_id) order") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ns_text_bm25")(spark, sfDir)
+      .as[(Long, Double)].collect()
+    assert(out.length == 20, "the page is exactly top-20")
+    assert(out.forall(_._2 > 0.0), "a returned document must have positive score")
+    // the declared ordering field is the score itself: the collected
+    // page sorted by (-score, doc_id) must equal the collect order
+    assert(out.sortBy(r => (-r._2, r._1)).toSeq == out.toSeq,
+      "page must arrive in (score DESC, doc_id) order")
+  }
+
   test("budget selection contract: a quality-rank prefix whose running total respects the budget") {
     val rows = SparkEntry.queries("ns_select_budget")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
