@@ -34,6 +34,40 @@ object HttpBulk {
     * partition size. */
   val defaultFlushBytes: Int = 5000000
 
+  /** OpenSearch index mapping generated from the documents frame's
+    * schema — the index-bootstrap step ahead of the first `_bulk` (the
+    * reference leans on ES dynamic mapping, which guesses; a real
+    * deployment pins the mapping so e.g. epoch-ms longs index as
+    * dates and ids stay keyword-exact). Conventions: STRING → `text`
+    * with a `.raw` keyword subfield (the standard search+aggregate
+    * dual), `*_ms`/`*_at`-suffixed longs and TIMESTAMP → `date`,
+    * struct → `object` with nested properties, ARRAY maps as its
+    * element (ES fields are multi-valued natively). PUT the returned
+    * JSON to `<es>/<index>` before the first bulk. */
+  def mappingJson(schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def field(name: String, dt: DataType): String = dt match {
+      case _: StructType => obj(dt.asInstanceOf[StructType])
+      case ArrayType(et, _) => field(name, et)
+      case StringType =>
+        """{"type":"text","fields":{"raw":{"type":"keyword","ignore_above":1024}}}"""
+      case LongType if name.endsWith("_ms") =>
+        """{"type":"date","format":"epoch_millis"}"""
+      case LongType if name.endsWith("_at") =>
+        """{"type":"date","format":"epoch_millis"}"""
+      case TimestampType => """{"type":"date"}"""
+      case LongType | IntegerType | ShortType => """{"type":"long"}"""
+      case DoubleType | FloatType => """{"type":"double"}"""
+      case BooleanType => """{"type":"boolean"}"""
+      case BinaryType => """{"type":"binary"}"""
+      case _ => """{"type":"keyword"}"""
+    }
+    def obj(st: StructType): String =
+      st.fields.map(f => s""""${f.name}":${field(f.name, f.dataType)}""")
+        .mkString("""{"properties":{""", ",", "}}")
+    s"""{"mappings":${obj(schema)}}"""
+  }
+
   /** One HTTP POST. Returns (status, response body). Read timeout is
     * generous — bulk indexing latency, not connect latency, dominates. */
   def post(url: String, body: Array[Byte], auth: Option[String]): (Int, String) = {

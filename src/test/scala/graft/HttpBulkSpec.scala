@@ -85,6 +85,32 @@ class HttpBulkSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("mappingJson pins the index schema: dates from _ms longs, text+raw strings, nested objects") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_ms", LongType),
+      StructField("message", StringType),
+      StructField("score", DoubleType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("geo", StructType(Seq(
+        StructField("country", StringType),
+        StructField("asn", LongType))))))
+    val json = HttpBulk.mappingJson(schema)
+    // valid JSON with the expected shapes
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val props = node.path("mappings").path("properties")
+    assert(props.path("event_id").path("type").asText == "long")
+    assert(props.path("event_ms").path("type").asText == "date",
+      "epoch-ms longs must index as dates, not dynamic-mapped longs")
+    assert(props.path("message").path("type").asText == "text")
+    assert(props.path("message").path("fields").path("raw").path("type").asText == "keyword")
+    assert(props.path("score").path("type").asText == "double")
+    assert(props.path("tags").path("type").asText == "text",
+      "arrays map as their element — ES fields are multi-valued natively")
+    assert(props.path("geo").path("properties").path("asn").path("type").asText == "long")
+  }
+
   test("Replay re-indexes an archived SUCCESS/ channel with event_ref ids") {
     val stub = new BulkStub()
     try {
