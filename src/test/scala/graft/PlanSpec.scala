@@ -387,6 +387,26 @@ class PlanSpec extends SparkSpec {
     assert(single.isEmpty, s"shard ordering funnels the corpus through one partition:\n$p")
   }
 
+  test("search-family corpus scans are column-pruned — text ops never read lang/n_chars") {
+    // at 100 TB the difference between scanning (doc_id, text) and the
+    // full 5-column documents row is the scan; lock pruning for every
+    // text/search op added in r9
+    for (q <- Seq("ns_dedup_substring", "ns_text_bm25", "ns_significant_terms",
+                  "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate")) {
+      val p = physical(q)
+      val docScans = nodes(p).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.getName == "documents.parquet") => f
+      }
+      assert(docScans.nonEmpty, s"$q: expected a documents scan in:\n$p")
+      docScans.foreach { f =>
+        val cols = f.requiredSchema.fieldNames.toSet
+        assert(!cols.contains("n_chars") && !cols.contains("lang"),
+          s"$q reads unused columns ${cols.mkString(",")} — pruning regressed:\n$p")
+      }
+    }
+  }
+
   test("ns_search_after: the keyset bound pushes to the scan; the page is a top-k heap") {
     val p = physical("ns_search_after")
     val scans = nodes(p).collect {
