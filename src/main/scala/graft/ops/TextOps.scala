@@ -445,6 +445,67 @@ object TextOps {
            |  """ + md5LongSql("norm") + """ AS fp_long
            |FROM n""").stripMargin))
 
+  /** Collocation mining — top bigrams by pointwise mutual information
+    * PMI = ln(P(ab) / (P(a)·P(b))), the classic phrase-mining signal
+    * (Church & Hanks 1990) a tokenizer/vocabulary build runs over the
+    * corpus to promote "new york"-style units, with the standard
+    * min-count floor that keeps rare-pair noise (PMI's known bias) out
+    * of the ranking.
+    *
+    * Scale shape: bigrams form in the explode(sequence)+slice codegen
+    * pass (the ns_text_phrase shape); unigram and bigram counts are
+    * map-side partial aggregations over vocabulary-sized keys; the
+    * margin join attaches the two unigram counts to each bigram row
+    * (vocabulary-sized dims, AQE broadcasts when they fit) and the
+    * final ranking is orderBy+limit → TakeOrderedAndProject.
+    * Determinism: exact long counts, a fixed division/ln tree, round-6
+    * with a (w1, w2) tiebreak. */
+  private val collocMinCount = 5
+  private val collocTopK = 20
+  val collocationsOp = QueryDef(
+    "ns_text_collocations", {
+      (s, dir) =>
+        val toks = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(split(trim(col("text")), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val n1 = uni.agg(sum("c").as("n1"))
+        val big = toks
+          .select(explode(when(size(col("t")) >= 2,
+            sequence(lit(1), size(col("t")) - 1))).as("i"), col("t"))
+          .select(element_at(col("t"), col("i")).as("w1"),
+            element_at(col("t"), col("i") + 1).as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val n2 = big.agg(sum("c_ab").as("n2"))
+        big.filter(col("c_ab") >= collocMinCount)
+          .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+          .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          .select(col("w1"), col("w2"), col("c_ab"),
+            round(log((col("c_ab") * lit(1.0) / col("n2")) /
+              ((col("c_a") * lit(1.0) / col("n1")) * (col("c_b") * lit(1.0) / col("n1")))), 6)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(collocTopK)
+    },
+    Some(s"""WITH t AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+           |uni AS (SELECT w, count(*) AS c
+           |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+           |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+           |big AS (SELECT w1, w2, count(*) AS c_ab FROM (
+           |    SELECT t[i] AS w1, t[i+1] AS w2
+           |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           |          FROM t WHERE len(t) >= 2))
+           |  GROUP BY 1, 2),
+           |n2 AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n2 FROM big),
+           |sc AS (SELECT w1, w2, c_ab,
+           |    round(ln((c_ab * 1.0 / n2) /
+           |      ((a.c * 1.0 / n1) * (b.c * 1.0 / n1))), 6) AS pmi
+           |  FROM big JOIN uni a ON a.w = big.w1 JOIN uni b ON b.w = big.w2, n1, n2
+           |  WHERE c_ab >= $collocMinCount)
+           |SELECT w1, w2, c_ab, pmi FROM sc
+           |ORDER BY pmi DESC, w1, w2 LIMIT $collocTopK""".stripMargin))
+
   /** Percolation — the OpenSearch percolate query, the primitive under
     * alerting/watchers: a REGISTERED set of conjunctive term queries is
     * matched against each arriving document (queries are data, documents
@@ -1616,7 +1677,7 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
-    percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
+    collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
