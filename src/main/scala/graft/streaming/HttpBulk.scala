@@ -47,25 +47,53 @@ object HttpBulk {
   def mappingJson(schema: org.apache.spark.sql.types.StructType): String = {
     import org.apache.spark.sql.types._
     def field(name: String, dt: DataType): String = dt match {
-      case _: StructType => obj(dt.asInstanceOf[StructType])
+      case st: StructType => obj(st)
       case ArrayType(et, _) => field(name, et)
       case StringType =>
         """{"type":"text","fields":{"raw":{"type":"keyword","ignore_above":1024}}}"""
-      case LongType if name.endsWith("_ms") =>
+      case LongType if name.endsWith("_ms") || name.endsWith("_at") =>
         """{"type":"date","format":"epoch_millis"}"""
-      case LongType if name.endsWith("_at") =>
-        """{"type":"date","format":"epoch_millis"}"""
-      case TimestampType => """{"type":"date"}"""
+      case TimestampType | DateType => """{"type":"date"}"""
       case LongType | IntegerType | ShortType => """{"type":"long"}"""
-      case DoubleType | FloatType => """{"type":"double"}"""
+      case DoubleType | FloatType | (_: DecimalType) => """{"type":"double"}"""
       case BooleanType => """{"type":"boolean"}"""
       case BinaryType => """{"type":"binary"}"""
       case _ => """{"type":"keyword"}"""
     }
+    // field names come from a parquet schema and may contain any
+    // character — escape for JSON, never interpolate raw
+    def js(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     def obj(st: StructType): String =
-      st.fields.map(f => s""""${f.name}":${field(f.name, f.dataType)}""")
+      st.fields.map(f => s""""${js(f.name)}":${field(f.name, f.dataType)}""")
         .mkString("""{"properties":{""", ",", "}}")
     s"""{"mappings":${obj(schema)}}"""
+  }
+
+  /** One HTTP PUT of a JSON body — index creation with the pinned
+    * mapping (`PUT <es>/<index>`). Returns (status, response body). */
+  def put(url: String, json: String, auth: Option[String]): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("PUT")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      auth.foreach(a => conn.setRequestProperty("Authorization", a))
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      val os = conn.getOutputStream
+      try os.write(json.getBytes("UTF-8")) finally os.close()
+      val status = conn.getResponseCode
+      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val respBody =
+        if (is == null) "" else try new String(is.readAllBytes(), "UTF-8") finally is.close()
+      (status, respBody)
+    } finally conn.disconnect()
   }
 
   /** One HTTP POST. Returns (status, response body). Read timeout is

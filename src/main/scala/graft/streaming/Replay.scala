@@ -35,10 +35,17 @@ object Replay {
   /** Re-index `archiveDir` (a SUCCESS/ channel: `batch=<id>` parquet
     * partitions) into `esUrl`. Returns the number of documents
     * replayed. */
+  /** `mappingUrl = Some(putUrl)` PUTs the archive schema's pinned
+    * mapping (HttpBulk.mappingJson) to that URL — typically
+    * `<es>/<index>` — BEFORE the first bulk, so a rebuilt index never
+    * falls back to dynamic mapping. A 400 from an index that already
+    * exists is tolerated (replaying into a live index is legal); other
+    * errors abort before any document posts. */
   def replay(spark: SparkSession, archiveDir: String, esUrl: String,
              index: String, errDir: String,
              auth: Option[String] = None,
-             maxAttempts: Int = 5, baseBackoffMs: Long = 50): Long = {
+             maxAttempts: Int = 5, baseBackoffMs: Long = 50,
+             mappingUrl: Option[String] = None): Long = {
     // ignoreMissingFiles: replaying while the ingest stream is live is
     // the tool's normal use, and a checkpoint-replayed micro-batch can
     // overwrite a batch=<id> dir between this scan's file listing and
@@ -47,6 +54,13 @@ object Replay {
     // under the same idempotent _ids
     val docs = spark.read.option("ignoreMissingFiles", "true")
       .parquet(archiveDir).drop("batch")
+    mappingUrl.foreach { u =>
+      val (status, body) = HttpBulk.put(u, HttpBulk.mappingJson(docs.schema), auth)
+      // 400 = resource_already_exists (replaying into a live index is
+      // legal); anything else aborts before any document posts
+      if (status > 400)
+        throw new java.io.IOException(s"mapping PUT to $u failed: HTTP $status $body")
+    }
     val writer = HttpBulk.bulkWriter(esUrl, index, errDir, auth,
       maxAttempts = maxAttempts, baseBackoffMs = baseBackoffMs)
     writer(docs, 0L)
@@ -71,7 +85,10 @@ object Replay {
     GraftExtensions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     val n = replay(spark, args(0), args(1), args(2), args(3),
-      auth = sys.env.get("SPARK_GRAFT_REPLAY_AUTH").map("Basic " + _))
+      auth = sys.env.get("SPARK_GRAFT_REPLAY_AUTH").map("Basic " + _),
+      // SPARK_GRAFT_REPLAY_MAPPING_URL=<es>/<index>: PUT the pinned
+      // mapping generated from the archive schema before the first bulk
+      mappingUrl = sys.env.get("SPARK_GRAFT_REPLAY_MAPPING_URL"))
     println(s"[replay] re-indexed $n documents from ${args(0)}")
   }
 }

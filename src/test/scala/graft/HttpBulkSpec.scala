@@ -56,8 +56,19 @@ class HttpBulkSpec extends SparkSpec {
         ex.close()
       }
     })
+    /** Mapping PUT bodies (index-creation requests), in arrival order
+      * relative to `hits` — a mapping must arrive before any bulk. */
+    val mappings = new ConcurrentLinkedQueue[String]()
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (ex.getRequestMethod == "PUT") mappings.add(body)
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
     server.start()
     def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/_bulk"
+    def indexUrl(index: String): String =
+      s"http://127.0.0.1:${server.getAddress.getPort}/$index"
     def stop(): Unit = server.stop(0)
   }
 
@@ -120,8 +131,16 @@ class HttpBulkSpec extends SparkSpec {
       docsFrame("r3").write.parquet(s"$archiveDir/batch=1")
       val errDir = tmp("bulk-replay-err")
       val n = graft.streaming.Replay.replay(
-        spark, archiveDir, stub.url, "graft-docs", errDir, baseBackoffMs = 1)
+        spark, archiveDir, stub.url, "graft-docs", errDir, baseBackoffMs = 1,
+        mappingUrl = Some(stub.indexUrl("graft-docs")))
       assert(n == 3L, s"replay must count the re-indexed documents, got $n")
+      // the pinned mapping arrived (index bootstrap before the first
+      // bulk): archive epoch-ms columns as dates, message as text
+      val mapping = stub.mappings.toArray.mkString
+      assert(mapping.contains(""""event_ms":{"type":"date""""),
+        s"mapping must pin epoch-ms longs as dates: $mapping")
+      assert(mapping.contains(""""message":{"type":"text""""),
+        s"mapping must pin message as text: $mapping")
       val posted = stub.bodies.toArray.mkString("\n")
       Seq("r1", "r2", "r3").foreach(id =>
         assert(posted.contains(s""""_id":"$id""""), s"$id must be re-indexed"))

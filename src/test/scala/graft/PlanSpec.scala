@@ -392,7 +392,8 @@ class PlanSpec extends SparkSpec {
     // full 5-column documents row is the scan; lock pruning for every
     // text/search op added in r9
     for (q <- Seq("ns_dedup_substring", "ns_text_bm25", "ns_significant_terms",
-                  "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate")) {
+                  "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate",
+                  "ns_text_collocations")) {
       val p = physical(q)
       val docScans = nodes(p).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
