@@ -232,11 +232,17 @@ class HttpBulkSpec extends SparkSpec {
       val q = Pipeline.runHttp(
         in.toDF().toDF("event_id", "batch_ms", "data"),
         stub.url, "graft-docs", outDir, tmp("http-ckpt"),
-        trigger = Trigger.AvailableNow())
+        trigger = Trigger.AvailableNow(),
+        // the alerting wire must work on the HTTP topology too: m1
+        // matches a registered single-term query, m2 does not
+        alertQueries = Some(Seq(5L -> "m1")))
       try {
         q.processAllAvailable()
         val posted = stub.bodies.toArray.mkString("\n")
         assert(posted.contains(""""_id":"h1"""") && posted.contains(""""_id":"h2""""))
+        val alerts = spark.read.parquet(s"$outDir/ALERTS")
+          .select("doc_id", "query_id").as[(String, Long)].collect().toSeq
+        assert(alerts == Seq(("1/h1", 5L)), s"wrong alerts on the HTTP topology: $alerts")
         val err = spark.read.parquet(s"$outDir/ERROR")
         assert(err.select("event_id").as[Long].collect().toSeq == Seq(2L))
         // AllData backup (cloudformation-template.yaml:162–171): every
