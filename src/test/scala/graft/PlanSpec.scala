@@ -408,6 +408,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_text_collocations executes exactly two corpus passes — branches reuse at runtime") {
+    // the static plan references the scan five times (uni → n1 + two
+    // margin dims, big → n2 + main); at runtime AQE must collapse those
+    // to the two passes the algorithm inherently needs (one unigram
+    // explode, one bigram explode)
+    val deep = executedDeepNodes("ns_text_collocations")
+    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 2, s"collocations ran $scans corpus scans, expected 2")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the margin/total branches must reuse the count shuffles, not re-scan")
+  }
+
   test("ns_search_after: the keyset bound pushes to the scan; the page is a top-k heap") {
     val p = physical("ns_search_after")
     val scans = nodes(p).collect {
