@@ -467,7 +467,9 @@ object TextOps {
       (s, dir) =>
         val toks = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(split(trim(col("text")), " ").as("t"))
-        val uni = toks.select(explode(col("t")).as("w"))
+        // when() guard: see ns_text_bm25 — a bare explode re-tokenizes
+        // every document through inferred scan filters
+        val uni = toks.select(explode(when(size(col("t")) >= 1, col("t"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
         val n1 = uni.agg(sum("c").as("n1"))
         val big = toks
@@ -584,8 +586,19 @@ object TextOps {
       (s, dir) =>
         val toks = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-        val matched = toks.select("tok").distinct()
+        // the matched-terms frame is rebuilt from its RDD: constraint
+        // propagation otherwise carries the levenshtein predicate
+        // across the tok equivalence onto the CORPUS side of the join,
+        // running the edit-distance DP once per token OCCURRENCE
+        // instead of once per vocabulary entry (the whole point of
+        // walking the term dictionary) — and localCheckpoint alone
+        // does NOT help, its LogicalRDD keeps the origin constraints.
+        // The materialized frame is a handful of matched terms (the
+        // ns_dedup_pipeline edge-set precedent); PlanSpec asserts the
+        // main plan carries zero levenshtein calls.
+        val matchedRaw = toks.select("tok").distinct()
           .filter(levenshtein(col("tok"), lit(fuzzyTerm)) <= fuzzyMaxDist)
+        val matched = s.createDataFrame(matchedRaw.rdd, matchedRaw.schema)
         toks.join(broadcast(matched), "tok")
           .groupBy("doc_id", "tok")
           .agg(count(lit(1)).as("hits"))
@@ -650,8 +663,19 @@ object TextOps {
   val significantTermsOp = QueryDef(
     "ns_significant_terms", {
       (s, dir) =>
+        // isNotNull(source) INSIDE the shared fg definition: the join
+        // below infers it onto the fg branch only, and a constraint
+        // present in one branch but not the bg/nf/n re-aggregations
+        // makes the subtrees canonically different — AQE then cannot
+        // collapse them and the corpus is scanned twice. With the
+        // filter shared, all four branches are identical and reuse to
+        // ONE executed scan (PlanSpec counts it). explode guarded by
+        // when() — see ns_text_bm25.
         val fg = Par.spread(s, docs(s, dir), col("doc_id"))
-          .select(col("source"), explode(split(trim(col("text")), " ")).as("tok"))
+          .filter(col("source").isNotNull)
+          .select(col("source"), split(trim(col("text")), " ").as("t"))
+          .select(col("source"),
+            explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
           .groupBy("source", "tok").agg(count(lit(1)).as("fg"))
         val bg = fg.groupBy("tok").agg(sum("fg").as("bg"))
         val nf = fg.groupBy("source").agg(sum("fg").as("nf"))
@@ -707,7 +731,12 @@ object TextOps {
           .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
         val stats = d.agg(count(lit(1)).as("n_docs"),
           (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val tf = d.select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+        // explode guarded by when(): a bare explode(t) lets Catalyst
+        // infer size(split(...))>0 / isnotnull(split(...)) and push
+        // them into the scan, re-tokenizing every document in the
+        // Filter and DataFilters (the bandSignatures trap)
+        val tf = d.select(col("doc_id"), col("dl"),
+            explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
           .filter(col("tok").isin(bm25Query: _*))
           .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -77,33 +77,19 @@ object HttpBulk {
 
   /** One HTTP PUT of a JSON body — index creation with the pinned
     * mapping (`PUT <es>/<index>`). Returns (status, response body). */
-  def put(url: String, json: String, auth: Option[String]): (Int, String) = {
-    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setRequestMethod("PUT")
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/json")
-      auth.foreach(a => conn.setRequestProperty("Authorization", a))
-      conn.setConnectTimeout(5000)
-      conn.setReadTimeout(30000)
-      val os = conn.getOutputStream
-      try os.write(json.getBytes("UTF-8")) finally os.close()
-      val status = conn.getResponseCode
-      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val respBody =
-        if (is == null) "" else try new String(is.readAllBytes(), "UTF-8") finally is.close()
-      (status, respBody)
-    } finally conn.disconnect()
-  }
+  def put(url: String, json: String, auth: Option[String]): (Int, String) =
+    request("PUT", "application/json", url, json.getBytes("UTF-8"), auth)
 
-  /** One HTTP POST. Returns (status, response body). Read timeout is
-    * generous — bulk indexing latency, not connect latency, dominates. */
-  def post(url: String, body: Array[Byte], auth: Option[String]): (Int, String) = {
+  /** One HTTP request with a body. Returns (status, response body).
+    * Read timeout is generous — bulk indexing latency, not connect
+    * latency, dominates. */
+  private def request(method: String, contentType: String, url: String,
+                      body: Array[Byte], auth: Option[String]): (Int, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     try {
-      conn.setRequestMethod("POST")
+      conn.setRequestMethod(method)
       conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/x-ndjson")
+      conn.setRequestProperty("Content-Type", contentType)
       auth.foreach(a => conn.setRequestProperty("Authorization", a))
       conn.setConnectTimeout(5000)
       conn.setReadTimeout(30000)
@@ -116,6 +102,10 @@ object HttpBulk {
       (status, respBody)
     } finally conn.disconnect()
   }
+
+  /** One `_bulk` POST of NDJSON lines. */
+  def post(url: String, body: Array[Byte], auth: Option[String]): (Int, String) =
+    request("POST", "application/x-ndjson", url, body, auth)
 
   /** Per-item failures from a `_bulk` response: (item id, status, error
     * reason) for every item with status ≥ 300 (the ES contract: one

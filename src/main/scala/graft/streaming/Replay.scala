@@ -56,9 +56,13 @@ object Replay {
       .parquet(archiveDir).drop("batch")
     mappingUrl.foreach { u =>
       val (status, body) = HttpBulk.put(u, HttpBulk.mappingJson(docs.schema), auth)
-      // 400 = resource_already_exists (replaying into a live index is
-      // legal); anything else aborts before any document posts
-      if (status > 400)
+      // ONLY resource_already_exists is tolerable (replaying into a
+      // live index is legal) — a blanket 400 pass would swallow a
+      // genuinely rejected mapping (mapper_parsing_exception) and
+      // silently fall back to the dynamic mapping this PUT exists to
+      // prevent
+      val alreadyExists = status == 400 && body.contains("resource_already_exists")
+      if (status >= 400 && !alreadyExists)
         throw new java.io.IOException(s"mapping PUT to $u failed: HTTP $status $body")
     }
     val writer = HttpBulk.bulkWriter(esUrl, index, errDir, auth,

@@ -92,7 +92,7 @@ object Serve {
     val alertQueries: Option[Seq[(Long, String)]] =
       sys.env.get("SPARK_GRAFT_ALERTS").map { spec =>
         try {
-          spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { clause =>
+          val qs = spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { clause =>
             val Array(id, terms) = clause.split(":", 2)
             // trim BEFORE the emptiness filter: a whitespace-only term
             // would otherwise register as "" and corrupt the
@@ -104,6 +104,12 @@ object Serve {
               s"SPARK_GRAFT_ALERTS clause '$clause' has no terms")
             ts.map(t => id.trim.toLong -> t)
           }
+          // an empty/separator-only value would silently enable a
+          // zero-query stage: every batch pays a pointless percolate
+          // plan while the operator believes alerts are configured
+          if (qs.isEmpty) throw new IllegalArgumentException(
+            s"SPARK_GRAFT_ALERTS is set but contains no queries: '$spec'")
+          qs
         } catch {
           case _: MatchError | _: NumberFormatException =>
             throw new IllegalArgumentException(

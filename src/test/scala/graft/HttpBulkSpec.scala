@@ -57,12 +57,18 @@ class HttpBulkSpec extends SparkSpec {
       }
     })
     /** Mapping PUT bodies (index-creation requests), in arrival order
-      * relative to `hits` — a mapping must arrive before any bulk. */
+      * relative to `hits` — a mapping must arrive before any bulk.
+      * `mappingStatus`/`mappingBody` simulate index-creation outcomes
+      * (200 created / 400 already-exists / 400 rejected). */
     val mappings = new ConcurrentLinkedQueue[String]()
+    var mappingStatus: Int = 200
+    var mappingBody: String = ""
     server.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       if (ex.getRequestMethod == "PUT") mappings.add(body)
-      ex.sendResponseHeaders(200, -1)
+      val resp = mappingBody.getBytes("UTF-8")
+      ex.sendResponseHeaders(mappingStatus, if (resp.isEmpty) -1 else resp.length)
+      if (resp.nonEmpty) { ex.getResponseBody.write(resp) }
       ex.close()
     })
     server.start()
@@ -147,6 +153,32 @@ class HttpBulkSpec extends SparkSpec {
       // the archive's batch partition column is lineage, not payload
       assert(!posted.contains(""""batch""""),
         "the batch partition column must not leak into _source")
+    } finally stub.stop()
+  }
+
+  test("Replay mapping PUT: already-exists is tolerated, a rejected mapping aborts") {
+    val stub = new BulkStub()
+    try {
+      val archiveDir = tmp("bulk-archive2")
+      docsFrame("x1").write.parquet(s"$archiveDir/batch=0")
+      // replaying into a live index: 400 resource_already_exists passes
+      stub.mappingStatus = 400
+      stub.mappingBody = """{"error":{"type":"resource_already_exists_exception"}}"""
+      val n = graft.streaming.Replay.replay(
+        spark, archiveDir, stub.url, "graft-docs", tmp("bulk-re1"), baseBackoffMs = 1,
+        mappingUrl = Some(stub.indexUrl("graft-docs")))
+      assert(n == 1L)
+      // a genuinely rejected mapping must abort BEFORE any bulk posts —
+      // silently proceeding would rebuild the index on dynamic mapping
+      stub.mappingBody = """{"error":{"type":"mapper_parsing_exception"}}"""
+      val before = stub.hits.get
+      val e = intercept[java.io.IOException] {
+        graft.streaming.Replay.replay(
+          spark, archiveDir, stub.url, "graft-docs", tmp("bulk-re2"), baseBackoffMs = 1,
+          mappingUrl = Some(stub.indexUrl("graft-docs")))
+      }
+      assert(e.getMessage.contains("mapping PUT"))
+      assert(stub.hits.get == before, "no bulk may post after a rejected mapping")
     } finally stub.stop()
   }
 

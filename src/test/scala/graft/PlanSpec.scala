@@ -405,17 +405,51 @@ class PlanSpec extends SparkSpec {
         assert(!cols.contains("n_chars") && !cols.contains("lang"),
           s"$q reads unused columns ${cols.mkString(",")} — pruning regressed:\n$p")
       }
+      // and tokenization must never re-run inside a Filter or scan
+      // pushdown: a bare explode(t) lets Catalyst infer
+      // size(split(...))>0 / isnotnull(split(...)) and push them into
+      // the scan (the bandSignatures trap) — every op here carries the
+      // when(size>=k) guard precisely to keep split out of filters
+      val filterConds = nodes(p).collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.dataFilters.map(_.toString).mkString(";")
+      }
+      assert(!filterConds.exists(_.contains("split(")),
+        s"$q re-tokenizes documents inside a Filter/pushdown:\n$p")
     }
   }
 
-  test("ns_text_collocations executes exactly two corpus passes — branches reuse at runtime") {
+  test("ns_significant_terms executes ONE corpus pass; ns_text_fuzzy's DP stays vocab-side") {
+    // all four significant_terms branches derive from the same filtered
+    // fg subtree, so runtime reuse must collapse them to one scan — an
+    // asymmetric inferred constraint (isnotnull on one branch only)
+    // broke this before by making the subtrees canonically different
+    val deep = executedDeepNodes("ns_significant_terms")
+    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"significant_terms ran $scans corpus scans, expected 1")
+    // fuzzy: the levenshtein DP runs during the vocabulary
+    // materialization (localCheckpoint), so the main query plan must
+    // contain NO levenshtein at all — its presence means constraint
+    // propagation pushed the DP onto the corpus token stream
+    val p = physical("ns_text_fuzzy")
+    val occurrences = p.toString.sliding("levenshtein".length).count(_ == "levenshtein")
+    assert(occurrences == 0,
+      s"the edit-distance DP leaked into the corpus-side plan:\n$p")
+  }
+
+  test("ns_text_collocations: runtime reuse bounds the corpus passes — never five") {
     // the static plan references the scan five times (uni → n1 + two
     // margin dims, big → n2 + main); at runtime AQE must collapse those
-    // to the two passes the algorithm inherently needs (one unigram
-    // explode, one bigram explode)
+    // to at most the two passes the algorithm inherently needs (one
+    // unigram explode, one bigram explode — and with clean branches
+    // they share the scan-widening exchange, so one scan suffices)
     val deep = executedDeepNodes("ns_text_collocations")
     val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
-    assert(scans == 2, s"collocations ran $scans corpus scans, expected 2")
+    // with the explode guards keeping inferred filters out of every
+    // branch, the unigram and bigram passes share the scan-widening
+    // exchange too — ONE executed corpus scan feeds both explodes
+    assert(scans <= 2, s"collocations ran $scans corpus scans, expected ≤ 2")
     assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
       "the margin/total branches must reuse the count shuffles, not re-scan")
   }
