@@ -524,9 +524,58 @@ object Relational {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users")),
     None)
 
+  /** Log-volume anomaly detection — the alerting question the
+    * reference's ES/Kibana downstream exists to answer ("this log
+    * group's hourly volume just spiked"): per event_type, flag hours
+    * whose count deviates from that type's mean by more than 3σ.
+    *
+    * Exactness discipline: the 3σ test runs ENTIRELY in integer
+    * arithmetic — with per-type hour count n, Σc = s, Σc² = q, the
+    * population z-test |c−μ| > 3σ is equivalent to
+    * (n·c − s)² > 9·(n·q − s²), all longs, so both engines agree
+    * bit-exactly with no float threshold drift (a float z-score
+    * compared against 3.0 can flip on the last ulp; the cross-
+    * multiplied form cannot). The reported z itself is derived from
+    * the same exact longs by one division + sqrt, round-6. Long
+    * arithmetic is exact to ~3e9 events/hour over day-scale spans; a
+    * deployment aggregating beyond that lifts s/q to decimal(38,0) in
+    * the same plan shape.
+    *
+    * Scale shape: one corpus scan → map-side-combined (type, hour)
+    * count whose output is bounded by the time span, never the event
+    * count; the per-type stats re-aggregate the HOURLY table (the
+    * ns_significant_terms discipline — identical subtrees so the scan
+    * executes once) and broadcast back onto it. Output is only the
+    * anomalous rows. */
+  val anomalyZscore: QueryDef = q(
+    "ns_anomaly_zscore",
+    """WITH h AS (SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hr_ms,
+      |    count(*) AS c FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM h GROUP BY 1)
+      |SELECT event_type, hr_ms, c AS cnt,
+      |  round(CAST(n * c - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE)), 6) AS z
+      |FROM h JOIN st USING (event_type)
+      |WHERE (n * c - s) * (n * c - s) > 9 * (n * q - s * s)""".stripMargin) { (s, dir) =>
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"), unix_millis(date_trunc("hour", col("tsu"))).as("hr_ms"))
+      .agg(count(lit(1)).as("c"))
+    val st = h.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    h.join(broadcast(st), "event_type")
+      .withColumn("num", col("n") * col("c") - col("s"))
+      .withColumn("den", col("n") * col("q") - col("s") * col("s"))
+      .filter(col("num") * col("num") > lit(9L) * col("den"))
+      .select(col("event_type"), col("hr_ms"), col("c").as("cnt"),
+        round(col("num").cast("double") / sqrt(col("den").cast("double")), 6).as("z"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
-    aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial)
+    aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial,
+    anomalyZscore)
 }

@@ -1702,11 +1702,93 @@ object TextOps {
          |LEFT JOIN dups ON dups.new_id = t.doc_id""".stripMargin
     })
 
+  /** Boolean query — the OpenSearch `bool` compound query (must /
+    * should with minimum_should_match / must_not), the composition
+    * layer every real search request wraps its term queries in
+    * (kinesis2elastic's downstream consumers query the index exactly
+    * this way). Here: must contain "spark", must not contain "slow",
+    * and match at least 2 of {"join","window","sort"}; output reports
+    * how many should-terms matched (the coordination factor ES folds
+    * into the score).
+    *
+    * Scale shape: a single codegen map pass — each clause is an
+    * `array_contains` on the per-row token array, so there is NO token
+    * explode, no join, and no shuffle at any corpus size; the clause
+    * count is fixed at query-plan time, exactly how a search engine
+    * compiles a bool query into per-document bitset tests. All
+    * arithmetic is integer — no float parity risk. */
+  private val boolMust = "spark"
+  private val boolMustNot = "slow"
+  private val boolShould = Seq("join", "window", "sort")
+  private val boolMsm = 2
+  val boolQueryOp = QueryDef(
+    "ns_search_bool", {
+      (s, dir) =>
+        val shouldCnt = boolShould
+          .map(t => when(array_contains(col("t"), t), 1).otherwise(0))
+          .reduce(_ + _)
+        docs(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .filter(array_contains(col("t"), boolMust) &&
+            !array_contains(col("t"), boolMustNot))
+          .withColumn("n_should", shouldCnt.cast("long"))
+          .filter(col("n_should") >= boolMsm)
+          .select(col("doc_id"), col("n_should"))
+    },
+    Some {
+      val shouldSql = boolShould
+        .map(t => s"CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+         |SELECT doc_id, CAST($shouldSql AS BIGINT) AS n_should
+         |FROM d
+         |WHERE list_contains(t, '$boolMust')
+         |  AND NOT list_contains(t, '$boolMustNot')
+         |  AND $shouldSql >= $boolMsm""".stripMargin
+    })
+
+  /** Highlighting — the OpenSearch `highlight` feature: for documents
+    * matching a term query, return a fragment of ±`hlCtx` tokens around
+    * the FIRST occurrence with the matched token wrapped in <em> tags,
+    * plus the total hit count. Token-window fragments (not raw char
+    * offsets) are what analyzed-field highlighters actually emit.
+    *
+    * Scale shape: one codegen map pass per document — `array_position`
+    * finds the first hit, the fragment assembles from a ≤(2·ctx+1)-slice
+    * of the token array, and non-matching documents are filtered before
+    * any string assembly. No explode, no join, no shuffle. */
+  private val hlTerm = "window"
+  private val hlCtx = 3
+  val highlightOp = QueryDef(
+    "ns_search_highlight", {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .withColumn("i", array_position(col("t"), hlTerm))
+          .filter(col("i") > 0)
+          .select(col("doc_id"),
+            expr(s"CAST(size(filter(t, x -> x = '$hlTerm')) AS BIGINT)").as("n_hits"),
+            expr(s"""array_join(transform(
+                    |  sequence(greatest(i - $hlCtx, 1L), least(i + $hlCtx, CAST(size(t) AS BIGINT))),
+                    |  j -> IF(j = i, concat('<em>', element_at(t, CAST(j AS INT)), '</em>'),
+                    |          element_at(t, CAST(j AS INT)))), ' ')""".stripMargin).as("snippet"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |m AS (SELECT doc_id, t, list_position(t, '$hlTerm') AS i FROM d
+           |  WHERE coalesce(list_position(t, '$hlTerm'), 0) > 0)
+           |SELECT doc_id,
+           |  CAST(len(list_filter(t, x -> x = '$hlTerm')) AS BIGINT) AS n_hits,
+           |  array_to_string(list_transform(
+           |    generate_series(greatest(i - $hlCtx, 1), least(i + $hlCtx, len(t))),
+           |    j -> CASE WHEN j = i THEN '<em>' || t[j] || '</em>' ELSE t[j] END), ' ') AS snippet
+           |FROM m""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
+    boolQueryOp, highlightOp,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
