@@ -471,7 +471,161 @@ object VectorSearch {
            |        / len(emb), 6) AS mae_r
            |FROM s""".stripMargin))
 
+  // ----- learned clustering (Lloyd k-means) + semantic dedup ---------
+
+  /** k-means configuration: k clusters, `kmIters` Lloyd update rounds
+    * from deterministic seeds (the k lowest vec_ids). All k-means
+    * arithmetic runs in INTEGER space over ×1000-quantized components
+    * (the ns_dedup_embedding quantization whose cross-engine parity is
+    * already established): distances are exact long sums — order-
+    * independent, so partial aggregation cannot introduce float drift —
+    * and centroid components are floor(sum/count), one correctly-
+    * rounded double division + floor both engines compute identically.
+    * A float k-means would make assignment ties engine-dependent; the
+    * integer form is bit-reproducible everywhere. */
+  private val kmK = 10
+  private val kmIters = 2
+
+  /** Quantized corpus: (vec_id, q ARRAY<BIGINT>). The per-element HOF
+    * is a map-only projection (the quantizeOp rationale); at 100 TB the
+    * native-expression shape (LshSignBits precedent) slots in. */
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    embPar(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+
+  /** Nearest-centroid assignment as ONE map pass: the centroid dim
+    * (k rows) collapses to a single array row, broadcasts, and each
+    * corpus row takes array_min over struct(dist, cluster) — struct
+    * ordering IS the (dist ASC, cluster ASC) tie-break, identical to
+    * the oracle's row_number. No shuffle of the corpus, no driver
+    * collect: the canonical broadcast-assign k-means step. */
+  private[graft] def kmAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(collect_list(struct(col("cluster"), col("cq"))).as("cents"))
+    corpus.crossJoin(broadcast(centArr))
+      .withColumn("m", expr(
+        """array_min(transform(cents, c -> named_struct(
+          |  'dist', aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v),
+          |  'cluster', c.cluster)))""".stripMargin))
+      .select(col("vec_id"), col("q"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+  }
+
+  /** One Lloyd update: per-dimension long sums + counts, map-side
+    * combined to k×dim groups (tiny at any corpus size), re-assembled
+    * into centroid vectors by the centroidDim sort-struct idiom. */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("q")))
+      .groupBy("cluster", "pos")
+      .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(named_struct('pos', pos, " +
+        "'cq', CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT)))), x -> x.cq)").as("cq"))
+
+  /** Final centroids, PERSISTED (Artifacts build-once keyed on the
+    * corpus file): Lloyd learning — seed, assign, update ×kmIters —
+    * runs OFFLINE exactly once; every query against the clustering
+    * just scans the k-row dim. At 100 TB each learning round is one
+    * corpus map pass plus a k×dim-group aggregate; the query-time cost
+    * is a single map pass. */
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    buildOnce(s, dir, "kmeans_centroids") { path =>
+      val corpus = quantized(s, dir)
+      val seeds = corpus.filter(col("vec_id") < kmK)
+        .select(col("vec_id").cast("int").as("cluster"), col("q").as("cq"))
+      val finalCents = (1 to kmIters).foldLeft(seeds) { (cents, _) =>
+        kmUpdate(kmAssign(corpus, cents))
+      }
+      finalCents.coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+  /** The shared oracle CTE chain: quantize → seed → kmIters unrolled
+    * (assign, update) rounds — long-format SQL (exact integer math is
+    * aggregation-order-independent, so the long format is safe in the
+    * oracle where float sums would not be). */
+  private def kmeansSqlChain: String = {
+    val eq =
+      s"""eq AS (SELECT vec_id, i, CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+         |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, i, q AS cq FROM eq WHERE vec_id < $kmK)""".stripMargin
+    val rounds = (1 to kmIters).map { r =>
+      s"""d$r AS (SELECT e.vec_id, c.cluster, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+         |  FROM eq e JOIN c${r - 1} c USING (i) GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d$r) WHERE rk = 1),
+         |c$r AS (SELECT cluster, i, CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |  FROM eq JOIN a$r USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""df AS (SELECT e.vec_id, c.cluster, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+         |  FROM eq e JOIN c$kmIters c USING (i) GROUP BY 1, 2),
+         |af AS (SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM df) WHERE rk = 1)""".stripMargin
+    s"$eq,\n$rounds,\n$fin"
+  }
+
+  /** Learned clustering over the embedding corpus — distributed Lloyd
+    * k-means (the centroid learning every IVF/semantic-dedup index
+    * needs; centroidDim above AVERAGES given labels, this LEARNS the
+    * partition from seeds). Output: each vector's learned cluster and
+    * its exact integer distance to the centroid. */
+  val kmeansOp = QueryDef(
+    "ns_cluster_kmeans",
+    (s, dir) =>
+      kmAssign(quantized(s, dir), kmeansCentroids(s, dir))
+        .select(col("vec_id"), col("cluster"), col("dist")),
+    Some(s"""WITH $kmeansSqlChain
+           |SELECT vec_id, cluster, dist FROM af""".stripMargin))
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): documents
+    * whose EMBEDDINGS nearly coincide are duplicates even when their
+    * text differs — cluster the corpus (the learned k-means partition
+    * above), compare pairs only WITHIN a cluster, and keep the lowest
+    * id of each matched pair-set. Complements ns_dedup_embedding
+    * (LSH over raw vectors): clustering-scoped comparison is what
+    * scales the cosine check — candidate pairs are bounded per cluster
+    * (BoundedBucketAgg cap inside map-side partial aggregation), never
+    * corpus². An over-cap cluster drops whole (the LSH-bucket rule);
+    * the production answer at that size is recursive sub-clustering,
+    * same plan shape. The cosine threshold is calibrated to the
+    * near-uniform synthetic corpus (the RecallSpec discipline);
+    * vectors join back per-pair so the 256-byte embeddings never ride
+    * the pair shuffle. */
+  private val semT = 0.3
+  private val semClusterCap = 2000
+  val semanticDedupOp = QueryDef(
+    "ns_dedup_semantic", {
+      (s, dir) =>
+        val assigned = kmAssign(quantized(s, dir), kmeansCentroids(s, dir))
+        val cand = assigned.groupBy("cluster")
+          .agg(graft.expr.TextFunctions.bounded_bucket(col("vec_id"), semClusterCap).as("ds"))
+          .filter(col("ds").isNotNull)
+          .select(explode(graft.expr.TextFunctions.ordered_pairs(col("ds"),
+            includeDiagonal = false)).as("p"))
+          .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+        val emb = Tables.embeddings(s, dir)
+        val dups = cand
+          .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+          .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+          .filter(round(vec_cosine(col("emb_a"), col("emb_b")), 6) >= semT)
+          .groupBy("vec_b").agg(min(col("vec_a")).as("dup_of"))
+          .withColumnRenamed("vec_b", "vec_id")
+        emb.select("vec_id").join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+    },
+    Some(s"""WITH $kmeansSqlChain,
+           |cc AS (SELECT * FROM af QUALIFY count(*) OVER (PARTITION BY cluster) <= $semClusterCap),
+           |p AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM cc x
+           |  JOIN cc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+           |m AS (SELECT vb AS vec_id, min(va) AS dup_of FROM p
+           |  JOIN embeddings ea ON ea.vec_id = va
+           |  JOIN embeddings eb ON eb.vec_id = vb
+           |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= $semT
+           |  GROUP BY 1)
+           |SELECT e.vec_id, m.dup_of, m.dup_of IS NULL AS is_kept
+           |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     knnOp, ivfOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
-    multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp)
+    multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp,
+    kmeansOp, semanticDedupOp)
 }

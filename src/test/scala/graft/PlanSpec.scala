@@ -562,6 +562,30 @@ class PlanSpec extends SparkSpec {
       "the bucket-sum branch must reuse the windowed branch's shuffle, not re-scan the corpus")
   }
 
+  test("ns_cluster_kmeans: assignment is a broadcast map pass — no corpus join, no argmin window") {
+    val p = physical("ns_cluster_kmeans")
+    // the k-row centroid array broadcasts onto the corpus; assignment
+    // must never become a shuffled corpus⋈centroid join or a
+    // per-vector row_number window over k exploded distance rows
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"expected the broadcast single-row centroid-array join in:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec]),
+      s"centroid assignment regressed to a shuffled join:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the argmin regressed to a buffering window:\n$p")
+  }
+
+  test("ns_dedup_semantic: within-cluster pairs stay capped in the aggregate, no pair window") {
+    val p = physical("ns_dedup_semantic")
+    // (the final corpus←dups attach may legitimately sort-merge — the
+    // dups side scales with the corpus; only pair GENERATION is locked)
+    assert(p.toString.contains("bounded_bucket"),
+      s"the cluster cap must run inside map-side partial aggregation:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the cluster cap regressed to a buffering window:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
