@@ -155,6 +155,46 @@ object Relational {
       .limit(pageSize)
   }
 
+  /** Composite aggregation — the OpenSearch `composite` agg with
+    * after-key pagination, the at-scale way to ENUMERATE all buckets of
+    * a high-cardinality aggregation (a plain terms agg caps at
+    * `size` buckets and degrades; composite streams them in key order,
+    * page by page). Sources here: terms(event_type) × date day buckets.
+    *
+    * The scale insight composite exists for: the after-key is a
+    * predicate on the GROUP KEYS, and group keys are row attributes —
+    * so the page filter applies BEFORE aggregation, at the scan. Rows
+    * of already-served buckets are never read (raw-column superset
+    * bound `event_type >= after.type` reaches PushedFilters; the exact
+    * (type, day) keyset residual runs in codegen above it), the agg
+    * shuffles only surviving groups, and the page plans as
+    * TakeOrderedAndProject over bucket rows (series × days, dashboard-
+    * sized at any SF). Value sums in exact integer cents. */
+  private val compAfterType = "error"
+  private val compAfterDay = "2024-01-20"
+  private val compPageSize = 25
+  val compositeAgg: QueryDef = q(
+    "ns_agg_composite",
+    s"""WITH f AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value
+       |  FROM events
+       |  WHERE event_type > '$compAfterType'
+       |     OR (event_type = '$compAfterType'
+       |         AND CAST(date_trunc('day', ts) AS DATE) > DATE '$compAfterDay'))
+       |SELECT event_type, day, count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM f GROUP BY 1, 2
+       |ORDER BY event_type, day LIMIT $compPageSize""".stripMargin) { (s, dir) =>
+    val day = date_trunc("day", col("tsu")).cast("date")
+    Tables.events(s, dir)
+      .filter(col("event_type") >= compAfterType) // pushable bound (raw column)
+      .filter(col("event_type") > compAfterType ||
+        (col("event_type") === compAfterType && day > lit(java.sql.Date.valueOf(compAfterDay))))
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy(col("event_type"), col("day"))
+      .limit(compPageSize)
+  }
+
   /** Exact distinct aggregation (expand + two-phase hash agg in Spark). */
   val aggDistinct: QueryDef = q(
     "ns_agg_distinct",
@@ -573,7 +613,8 @@ object Relational {
   }
 
   def entries: Seq[QueryDef] = Seq(
-    aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
+    aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
+    compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
     aggPercentile, aggPercentileApprox, aggApproxDistinct, aggSketchPartial,

@@ -465,6 +465,22 @@ class PlanSpec extends SparkSpec {
       s"the page must be a bounded top-k heap, not a global sort + limit:\n$p")
   }
 
+  test("ns_agg_composite: the after-key prunes the scan; the bucket page is a top-k heap") {
+    val p = physical("ns_agg_composite")
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the after-key's raw-column superset bound must reach the scan —
+    // rows of already-served buckets are never read, the property that
+    // makes composite pagination viable over a 100 TB index
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("GreaterThanOrEqual(event_type"))),
+      s"the after-key bound must reach the parquet scan's PushedFilters:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the bucket page must be a bounded top-k heap, not a global sort + limit:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"composite pagination must not buffer buckets through a window:\n$p")
+  }
+
   test("ns_search_percolate: the corpus token stream never shuffles pre-join") {
     // the query-table broadcast join must sit BELOW every
     // distribution-driven exchange — a pre-join distinct would shuffle
