@@ -1472,6 +1472,40 @@ object TextOps {
          |FROM documents d JOIN r USING (lang)
          |WHERE ${hashBucketSqlOn("d.doc_id", 10000)} < r.thr""".stripMargin))
 
+  /** Per-source document cap — the RefinedWeb/CCNet domain-cap rule:
+    * no single domain may dominate the corpus, so each source keeps at
+    * most `domainCap` documents, chosen by quality (the verified
+    * ns_quality_score formula, ties broken by doc_id). The selection
+    * uses the bounded top-k TypedImperativeAggregate (expr/TopK.scala):
+    * partial aggregation keeps ≤ cap rows per (source, map task), so a
+    * boilerplate domain with 10^9 pages ships cap rows per task — never
+    * a per-source window sort over the domain's full page list. Output
+    * matches row_number(PARTITION BY source ORDER BY q DESC, doc_id)
+    * exactly. */
+  private val domainCap = 10
+  val sampleDomainCapOp = QueryDef(
+    "ns_sample_domain_cap", {
+      (s, dir) =>
+        withQualityInputs(docs(s, dir))
+          .select(col("source"), col("doc_id"),
+            expr(s"round($qualitySpark, 6)").as("q"))
+          .groupBy("source")
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("doc_id"), col("q"), domainCap).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"),
+            col("col.id").as("doc_id"),
+            col("col.score").as("q"),
+            (col("pos") + 1).cast("long").as("rank"))
+    },
+    Some(
+      s"""WITH s AS (SELECT source, doc_id, round($qualityDuck, 6) AS q FROM documents)
+         |SELECT source, doc_id, q, rank FROM (
+         |  SELECT source, doc_id, q,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rank
+         |  FROM s)
+         |WHERE rank <= $domainCap""".stripMargin))
+
   /** Deterministic global shuffle into training shards — the corpus
     * randomization every pretraining run needs, reproducible across
     * runs, engines, and cluster sizes: shard = md5 bucket of the
@@ -1789,7 +1823,8 @@ object TextOps {
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
     boolQueryOp, highlightOp,
-    unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, splitTrainTestOp,
+    unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
+    splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
     textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,

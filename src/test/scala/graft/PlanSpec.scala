@@ -465,6 +465,16 @@ class PlanSpec extends SparkSpec {
       s"the page must be a bounded top-k heap, not a global sort + limit:\n$p")
   }
 
+  test("ns_sample_domain_cap: per-source cap is the bounded partial aggregate, not a window") {
+    val p = physical("ns_sample_domain_cap")
+    // a boilerplate domain with 10^9 pages must ship `cap` rows per map
+    // task, never sort its full page list under a window
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the domain cap regressed to a window/rank selection:\n$p")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the domain cap lost the partial-aggregating bounded top-k:\n$p")
+  }
+
   test("ns_agg_composite: the after-key prunes the scan; the bucket page is a top-k heap") {
     val p = physical("ns_agg_composite")
     val scans = nodes(p).collect {
