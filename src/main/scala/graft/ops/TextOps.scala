@@ -723,53 +723,96 @@ object TextOps {
   private val bm25B = 0.75
   private val bm25Query = Seq("spark", "join", "window")
   private val bm25TopK = 20
+
+  /** The BM25 scoring chain, shared by ns_text_bm25 (global top-k) and
+    * ns_search_top_hits (per-bucket top-k): every matching document's
+    * rounded score plus its `source` carried along for bucketing —
+    * doc_id is unique, so the extra group key changes no counts. */
+  private def bm25ScoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Par.spread(s, docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("t"))
+      .select(col("doc_id"), col("source"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // explode guarded by when(): a bare explode(t) lets Catalyst
+    // infer size(split(...))>0 / isnotnull(split(...)) and push
+    // them into the scan, re-tokenizing every document in the
+    // Filter and DataFilters (the bandSignatures trap)
+    val tf = d.select(col("doc_id"), col("source"), col("dl"),
+        explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
+      .filter(col("tok").isin(bm25Query: _*))
+      .groupBy("doc_id", "source", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("sc", col("idf") * (col("tf") * lit(bm25K1 + 1)) /
+        (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+    val perTerm = bm25Query.map(t =>
+      coalesce(sum(when(col("tok") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+    scored.groupBy("doc_id", "source")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), col("source"),
+        round(bm25Query.map(t => col(s"s_$t")).reduce(_ + _), 6).as("score"))
+  }
+
+  /** Oracle twin of bm25ScoredDocs, ending at `agg(doc_id, source,
+    * score)`. */
+  private def bm25SqlCtes: String =
+    s"""d AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents),
+       |dd AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+       |tf AS (SELECT doc_id, source, dl, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, source, dl, unnest(t) AS tok FROM dd)
+       |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3, 4),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, source, tok,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (${bm25K1 + 1})::DOUBLE) /
+       |      (tf + $bm25K1 * (1 - $bm25B + $bm25B * dl / avgdl)) AS sc
+       |  FROM tf JOIN dfq USING (tok), stats),
+       |agg AS (SELECT doc_id, source, round(
+       |    ${bm25Query.map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN sc END), 0)").mkString(" + ")}, 6) AS score
+       |  FROM sc GROUP BY 1, 2)""".stripMargin
+
   val bm25Op = QueryDef(
-    "ns_text_bm25", {
-      (s, dir) =>
-        val d = Par.spread(s, docs(s, dir), col("doc_id"))
-          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
-          .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-        val stats = d.agg(count(lit(1)).as("n_docs"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        // explode guarded by when(): a bare explode(t) lets Catalyst
-        // infer size(split(...))>0 / isnotnull(split(...)) and push
-        // them into the scan, re-tokenizing every document in the
-        // Filter and DataFilters (the bandSignatures trap)
-        val tf = d.select(col("doc_id"), col("dl"),
-            explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
-          .filter(col("tok").isin(bm25Query: _*))
-          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val scored = tf.join(broadcast(dfreq), "tok")
-          .crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-          .withColumn("sc", col("idf") * (col("tf") * lit(bm25K1 + 1)) /
-            (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
-        val perTerm = bm25Query.map(t =>
-          coalesce(sum(when(col("tok") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
-        scored.groupBy("doc_id")
-          .agg(perTerm.head, perTerm.tail: _*)
-          .select(col("doc_id"),
-            round(bm25Query.map(t => col(s"s_$t")).reduce(_ + _), 6).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(bm25TopK)
-    },
-    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-           |dd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
-           |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
-           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
-           |  FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dd)
-           |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
-           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-           |sc AS (SELECT doc_id, tok,
-           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (${bm25K1 + 1})::DOUBLE) /
-           |      (tf + $bm25K1 * (1 - $bm25B + $bm25B * dl / avgdl)) AS sc
-           |  FROM tf JOIN dfq USING (tok), stats),
-           |agg AS (SELECT doc_id, round(
-           |    ${bm25Query.map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN sc END), 0)").mkString(" + ")}, 6) AS score
-           |  FROM sc GROUP BY 1)
+    "ns_text_bm25",
+    (s, dir) =>
+      bm25ScoredDocs(s, dir)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(bm25TopK),
+    Some(s"""WITH $bm25SqlCtes
            |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin))
+
+  /** Terms-bucketed retrieval — the OpenSearch `terms` aggregation
+    * with a `top_hits` sub-aggregation: the best `topHitsK` documents
+    * for the query WITHIN each source bucket (the "best matches per
+    * site" page every search UI renders). Reuses the verified BM25
+    * chain, then selects per bucket through the bounded top-k
+    * TypedImperativeAggregate — partial aggregation ships ≤ k rows per
+    * (source, map task), never a per-bucket window sort of all
+    * matching docs. Output matches row_number(PARTITION BY source
+    * ORDER BY score DESC, doc_id). */
+  private val topHitsK = 3
+  val topHitsOp = QueryDef(
+    "ns_search_top_hits",
+    (s, dir) =>
+      bm25ScoredDocs(s, dir)
+        .groupBy("source")
+        .agg(graft.expr.VecFunctions.topk_by_score(
+          col("doc_id"), col("score"), topHitsK).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"),
+          col("col.id").as("doc_id"),
+          col("col.score").as("score"),
+          (col("pos") + 1).cast("long").as("rank")),
+    Some(s"""WITH $bm25SqlCtes
+           |SELECT source, doc_id, score, rank FROM (
+           |  SELECT source, doc_id, score,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |  FROM agg)
+           |WHERE rank <= $topHitsK""".stripMargin))
 
   /** Unigram language-model quality score: mean ln P(token) under the
     * corpus's own unigram distribution — the statistical complement to
@@ -1822,7 +1865,7 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
-    boolQueryOp, highlightOp,
+    topHitsOp, boolQueryOp, highlightOp,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,

@@ -475,6 +475,14 @@ class PlanSpec extends SparkSpec {
       s"the domain cap lost the partial-aggregating bounded top-k:\n$p")
   }
 
+  test("ns_search_top_hits: per-bucket hits come from the bounded aggregate, not a window") {
+    val p = physical("ns_search_top_hits")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"top_hits regressed to a window/rank selection:\n$p")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"top_hits lost the partial-aggregating bounded top-k:\n$p")
+  }
+
   test("ns_agg_composite: the after-key prunes the scan; the bucket page is a top-k heap") {
     val p = physical("ns_agg_composite")
     val scans = nodes(p).collect {
