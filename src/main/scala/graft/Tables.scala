@@ -1,17 +1,24 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's read-only testdata (TESTDATA.md).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read natively
-  * (PARQUET_TYPE_ILLEGAL); we read it as a nanosecond long via
-  * `spark.sql.legacy.parquet.nanosAsLong` and expose both the raw nanos
-  * (`ts`, ordering-safe) and derived micro/milli columns. DuckDB's oracle
-  * view of the same file presents `ts` truncated to microseconds, so every
-  * derived value here floors — `ts div 1000` (µs), `ts div 1000000` (ms) —
-  * to stay bit-identical with the oracle.
+  * `events.ts` has shipped under two parquet encodings across testdata
+  * generations: TIMESTAMP(NANOS) — unreadable natively by Spark
+  * (PARQUET_TYPE_ILLEGAL), surfaced as a nanosecond LONG via
+  * `spark.sql.legacy.parquet.nanosAsLong` — and plain `timestamp[us]`,
+  * which Spark reads as TIMESTAMP_NTZ (or TIMESTAMP when the file is
+  * UTC-adjusted). The loader branches on the RESOLVED dtype so both
+  * encodings (and any future regeneration) present one stable contract:
+  *
+  *   - `ts`    — the file's native column, untouched (filters on it
+  *               still reach the parquet scan's PushedFilters);
+  *   - `ts_ms` — epoch millis, LONG (floored, matching DuckDB
+  *               `epoch_ms(ts)` which sees the file at micro precision);
+  *   - `tsu`   — TIMESTAMP at micro precision (the instant DuckDB sees).
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -27,14 +34,57 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events with `ts` = epoch nanos (LONG), `ts_ms` = epoch millis (LONG),
-    * `tsu` = TIMESTAMP truncated to micros (matches DuckDB's view of the file). */
+  /** True when this events frame carries `ts` as a raw nanosecond LONG
+    * (the legacy TIMESTAMP(NANOS) encoding read via nanosAsLong). */
+  def tsIsNanosLong(df: DataFrame): Boolean = df.schema("ts").dataType == LongType
+
+  /** A literal comparable (and parquet-pushable) against the native `ts`
+    * column of `df`, for the given epoch-micros instant. Keyset-pagination
+    * bounds build on this so the raw-column filter keeps reaching
+    * PushedFilters whichever encoding the file uses. */
+  def tsLiteral(df: DataFrame, epochMicros: Long): Column =
+    df.schema("ts").dataType match {
+      case LongType         => lit(epochMicros * 1000L) // raw nanos
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(epochMicros, 1000000L),
+          (Math.floorMod(epochMicros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case _ =>
+        lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(epochMicros, 1000000L),
+          Math.floorMod(epochMicros, 1000000L) * 1000L))
+    }
+
+  /** Epoch-micros LONG expression over the native `ts` column of `df`. */
+  def tsMicros(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
+
+  /** events with the native `ts` plus derived `ts_ms` (epoch millis, LONG)
+    * and `tsu` (TIMESTAMP truncated to micros — DuckDB's view of the file). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable SQL conf; set defensively in case the calling session
-    // (driver-owned in Verify/Bench) was built without it.
+    // Runtime-settable SQL conf; harmless against timestamp[us] files and
+    // required to read the legacy TIMESTAMP(NANOS) encoding at all. Set
+    // defensively in case the calling session (driver-owned in
+    // Verify/Bench) was built without it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("tsu", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy: ts = epoch nanos
+        raw.withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("tsu", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType | TimestampNTZType =>
+        // Cast NTZ→TIMESTAMP is instant-preserving under the UTC session
+        // every entrypoint (Verify/Bench/specs) pins; keeps tsu's output
+        // type identical across encodings.
+        raw.withColumn("ts_ms", unix_millis(col("ts").cast(TimestampType)))
+          .withColumn("tsu", col("ts").cast(TimestampType))
+      case other: DataType =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other — expected LONG (nanos) or TIMESTAMP[_NTZ]")
+    }
   }
 }

@@ -129,7 +129,8 @@ object Relational {
     * by a predicate on the (sort key, tiebreak id) keyset of the last
     * row already served — where OFFSET N reads and discards all N
     * earlier rows on every page. The filter is the production two-part
-    * shape: a RAW-COLUMN bound (`ts >= boundary-nanos`, a superset of
+    * shape: a RAW-COLUMN bound (`ts >= boundary`, typed to the file's
+    * native encoding via Tables.tsLiteral, a superset of
     * the keyset) that PUSHES INTO the parquet scan (PushedFilters +
     * row-group stats skip everything already paged; the exact keyset
     * test references derived/tiebreak columns and cannot push), plus
@@ -145,9 +146,10 @@ object Relational {
        |WHERE ts > make_timestamp($pageAfterMicros)
        |   OR (ts = make_timestamp($pageAfterMicros) AND event_id > 0)
        |ORDER BY ts, event_id LIMIT $pageSize""".stripMargin) { (s, dir) =>
-    val tsMicros = expr("ts div 1000")
-    Tables.events(s, dir)
-      .filter(col("ts") >= lit(pageAfterMicros * 1000L)) // pushable bound (raw nanos)
+    val ev = Tables.events(s, dir)
+    val tsMicros = Tables.tsMicros(ev)
+    ev
+      .filter(col("ts") >= Tables.tsLiteral(ev, pageAfterMicros)) // pushable bound (native ts)
       .filter(tsMicros > pageAfterMicros ||
         (tsMicros === pageAfterMicros && col("event_id") > 0L))
       .select(col("event_id"), col("tsu").as("ts"), col("event_type"))

@@ -1467,8 +1467,9 @@ object TextOps {
     Some(s"""WITH t AS (SELECT doc_id,
            |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
            |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-           |c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)
+           |c AS (SELECT doc_id, n_tokens,
+           |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t)
            |SELECT doc_id, n_tokens, start_off,
            |  start_off // $packC AS bin, start_off % $packC AS bin_off
            |FROM c""".stripMargin))
@@ -1689,8 +1690,8 @@ object TextOps {
          |    CAST(floor(1000 * ($qualityDuck)) AS INT) AS qb
          |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |c AS (SELECT doc_id, qb, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY qb DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+         |    CAST(sum(n_tokens) OVER (ORDER BY qb DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, qb, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $selectBudget""".stripMargin))
 
   /** Incremental corpus dedup — the shape continuous training-data

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The testdata CONTRACT, as one focused suite: every table loads, and the
+  * events loader's derived columns resolve with the promised types. The
+  * driver regenerates /root/testdata between rounds and has already changed
+  * `events.ts`'s parquet encoding once (TIMESTAMP(NANOS) → timestamp[us],
+  * 2026-08-13) — that regeneration silently broke 47 queries and 14 tests.
+  * If it moves again, THIS spec fails with one clear message instead. */
+class TablesSpec extends SparkSpec {
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("every testdata table loads and is non-empty at sf0.001") {
+    tableNames.foreach { t =>
+      val df = Tables.table(spark, sfDir, t)
+      assert(df.head(1).nonEmpty, s"table $t is empty — testdata contract broken")
+    }
+  }
+
+  test("events loader: ts_ms is LONG epoch millis, tsu is TIMESTAMP micros") {
+    val ev = Tables.events(spark, sfDir)
+    val schema = ev.schema
+    assert(schema("ts_ms").dataType == LongType,
+      s"ts_ms must be LONG, got ${schema("ts_ms").dataType} — events.ts encoding moved again?")
+    assert(schema("tsu").dataType == TimestampType,
+      s"tsu must be TIMESTAMP, got ${schema("tsu").dataType} — events.ts encoding moved again?")
+    // Whatever the file encoding, the derived views must AGREE: tsu floored
+    // to millis is ts_ms, and both land in a sane epoch range (2000–2100).
+    val bad = ev.filter(
+      unix_millis(col("tsu")) =!= col("ts_ms") ||
+        col("ts_ms") < lit(946684800000L) || col("ts_ms") > lit(4102444800000L))
+    assert(bad.head(1).isEmpty,
+      s"ts_ms/tsu disagree or out of epoch range: ${bad.head(1).mkString}")
+  }
+
+  test("events loader: native ts column still supports a pushable bound") {
+    val ev = Tables.events(spark, sfDir)
+    val minMs = ev.agg(min(col("ts_ms"))).head.getLong(0)
+    // A bound at the observed minimum must keep every row — and because it
+    // targets the NATIVE column via tsLiteral it stays parquet-pushable
+    // (PlanSpec locks the PushedFilters shape on ns_search_after).
+    val total = ev.count()
+    val kept = ev.filter(col("ts") >= Tables.tsLiteral(ev, minMs * 1000L)).count()
+    assert(kept == total, s"native-ts bound dropped rows: $kept of $total")
+    // And tsMicros agrees with ts_ms at milli precision.
+    val drift = ev.filter(Tables.tsMicros(ev).divide(1000).cast(LongType) =!= col("ts_ms"))
+    assert(drift.head(1).isEmpty, "tsMicros and ts_ms disagree")
+  }
+}

@@ -9,6 +9,7 @@ same testdata parquet, sort columns by name and rows by all values, and
 compare. Prints PASS/FAIL per query plus first diffs for failures.
 """
 import json, sys, math
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 
@@ -18,6 +19,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return None
+    # Type-tag decimals: the driver's hash canon distinguishes DuckDB's
+    # HUGEINT/decimal results (e.g. uncast SUM(BIGINT)) from Spark's int64,
+    # and a plain str() would collapse Decimal(123) and 123 to "123".
+    if isinstance(v, Decimal):
+        return "decimal:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
