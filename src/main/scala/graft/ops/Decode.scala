@@ -170,6 +170,86 @@ object Decode {
            |                                'owner': user_id}}}) AS doc_json
            |FROM events""".stripMargin))
 
+  /** Nested-field search over the reference's OWN document shape: the
+    * out-Document is a 3-level nested struct (reference
+    * outgoing/elasticOutput.go:12–35, requestId → records → data), and
+    * OpenSearch queries address it by nested path
+    * (`records.data.logGroup`). This op proves the search family
+    * composes with that shape: filter on a nested prefix + exact path,
+    * then a terms-style aggregation (hits, distinct owners, owner
+    * range) per log group.
+    *
+    * Scale shape: extraction-over-construction FOLDS — Catalyst's
+    * SimplifyExtractValueOps collapses `doc.records.data.logGroup`
+    * straight to the underlying `concat('/app/', event_type)`, so the
+    * filter and the aggregate run in codegen over the two source
+    * columns (event_type, user_id); the nested struct is never
+    * materialized before the aggregate, the scan reads only those
+    * columns, and no per-row JSON parse appears anywhere. For STORED
+    * nested parquet (the shape after round-tripping the sink), the same
+    * nested-path filter pushes into the scan as a leaf-column
+    * predicate — either way the plan never widens to the whole doc. */
+  val nestedSearchOp = QueryDef(
+    "ns_search_nested",
+    (s, dir) => {
+      val doc = struct(
+        lit("req-1").as("requestId"),
+        struct(struct(
+          concat(lit("/app/"), col("event_type")).as("logGroup"),
+          col("user_id").as("owner")).as("data")).as("records"))
+      Tables.events(s, dir).select(col("event_id"), doc.as("doc"))
+        .filter(col("doc.records.data.logGroup").startsWith("/app/p") ||
+          col("doc.records.data.logGroup") === "/app/view")
+        .groupBy(col("doc.records.data.logGroup").as("log_group"))
+        .agg(count(lit(1)).as("hits"),
+          countDistinct(col("doc.records.data.owner")).as("nd_owners"),
+          min(col("doc.records.data.owner")).as("min_owner"),
+          max(col("doc.records.data.owner")).as("max_owner"))
+    },
+    Some("""WITH docs AS (SELECT event_id,
+           |  {'requestId': 'req-1',
+           |   'records': {'data': {'logGroup': concat('/app/', event_type),
+           |                        'owner': user_id}}} AS doc
+           |  FROM events)
+           |SELECT doc.records.data.logGroup AS log_group,
+           |  count(*) AS hits,
+           |  count(DISTINCT doc.records.data.owner) AS nd_owners,
+           |  min(doc.records.data.owner) AS min_owner,
+           |  max(doc.records.data.owner) AS max_owner
+           |FROM docs
+           |WHERE starts_with(doc.records.data.logGroup, '/app/p')
+           |   OR doc.records.data.logGroup = '/app/view'
+           |GROUP BY 1""".stripMargin))
+
+  /** F4's VARIANT twin — the faithful Spark-4 mapping of the
+    * reference's `json.RawMessage` message field (reference
+    * outgoing/elasticOutput.go:34, SURVEY §1.3): `try_parse_json`
+    * binds the JSON-or-text mix to a VariantType value (NULL for
+    * non-JSON text, a typed variant for objects AND bare scalars),
+    * and `try_variant_get` extracts typed fields by path without a
+    * schema — the open-content model StringType flattens away.
+    * DecodeSpec asserts the intermediate really is VariantType; the
+    * oracle checks the extracted surface (validity flag + `$.k`)
+    * against DuckDB's JSON operators.
+    *
+    * Scale shape: parse and path-extract are per-row codegen'd
+    * expressions over one scan — no shuffle, no UDF; variant's binary
+    * encoding parses once and serves every later path access, where
+    * repeated `get_json_object` re-parses the string per field. */
+  val variantMessageOp = QueryDef(
+    "ns_variant_message",
+    (s, dir) => Synth.eventsWithMsg(s, dir)
+      .withColumn("v", expr("try_parse_json(msg)"))
+      .select(col("event_id"),
+        col("v").isNotNull.as("is_json"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k")),
+    Some(Synth.withMsg(
+      """SELECT event_id,
+        |  json_valid(msg) AS is_json,
+        |  CASE WHEN json_valid(msg)
+        |       THEN CAST(json_extract_string(msg, '$.k') AS BIGINT) END AS k
+        |FROM ev""".stripMargin)))
+
   /** F7: re-marshal validity gate (reference main.go:533–536): every
     * restructured document re-marshals to JSON and must parse back to an
     * IDENTICAL struct before it may ship; the reference drops the batch
@@ -362,6 +442,7 @@ object Decode {
   def entries: Seq[QueryDef] = Seq(
     unbase64Op, gunzipOp, detectGzipOp, fromJsonOp, jsonOrTextOp,
     timestampMillisOp, explodeRecordsOp, explodeEventsOp, projectStructOp,
+    nestedSearchOp, variantMessageOp,
     remarshalOp, litRequestIdOp, deadletterOp, pipelineFlattenOp,
     pipelineGzipOp, bodyGzipOp)
 }

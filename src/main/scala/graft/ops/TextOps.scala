@@ -814,6 +814,93 @@ object TextOps {
            |  FROM agg)
            |WHERE rank <= $topHitsK""".stripMargin))
 
+  /** Multi-field match — the OpenSearch `multi_match` query with
+    * `best_fields` scoring over a boosted field list (`title^2, body`):
+    * each field is scored as its OWN BM25 index (field-local dl, avgdl,
+    * df and doc count — the way Lucene keeps per-field postings), and a
+    * document's final score is the MAX of its boosted field scores
+    * (best_fields with the default tie_breaker 0). The testdata
+    * documents carry one text column, so the two fields are carved
+    * deterministically — `title` = the first 8 tokens, `body` = the
+    * rest — mirroring the title/body analyzer duals the reference's
+    * mapping bootstrap pins (HttpBulk.mappingJson).
+    *
+    * Scale shape: ONE tokenize — both fields come off a single split,
+    * exploded as a 2-element (field, tokens) array; the query-term
+    * filter sits directly above the token explode so only query
+    * postings (≤ |q| rows per doc-field) reach the tf aggregation;
+    * per-field stats (2 rows) and df (≤ |q|·|fields| rows) broadcast;
+    * per-term scores pivot to FIXED-order addends (the bm25
+    * determinism discipline) and best-field selection is a ≤2-row
+    * max aggregate per doc; the top-k plans as TakeOrderedAndProject.
+    * No per-field corpus rescan: at 100 TB, scoring F fields costs one
+    * token stream, not F of them. */
+  private val mmTitleLen = 8
+  private val mmTitleBoost = 2.0
+  val multiMatchOp = QueryDef(
+    "ns_search_multi_match", { (s, dir) =>
+      val d = Par.spread(s, docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+        .select(col("doc_id"), explode(array(
+          struct(lit("title").as("fld"),
+            slice(col("t"), 1, mmTitleLen).as("toks")),
+          struct(lit("body").as("fld"),
+            expr(s"slice(t, ${mmTitleLen + 1}, greatest(size(t) - $mmTitleLen, 0))")
+              .as("toks")))).as("f"))
+        .select(col("doc_id"), col("f.fld").as("fld"), col("f.toks").as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val stats = d.groupBy("fld").agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), col("fld"), col("dl"),
+          explode(when(size(col("toks")) >= 1, col("toks"))).as("tok"))
+        .filter(col("tok").isin(bm25Query: _*))
+        .groupBy("doc_id", "fld", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("fld", "tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), Seq("fld", "tok"))
+        .join(broadcast(stats), "fld")
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("sc", col("idf") * (col("tf") * lit(bm25K1 + 1)) /
+          (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+      val perTerm = bm25Query.map(t =>
+        coalesce(sum(when(col("tok") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+      scored.groupBy("doc_id", "fld")
+        .agg(perTerm.head, perTerm.tail: _*)
+        .select(col("doc_id"), col("fld"),
+          bm25Query.map(t => col(s"s_$t")).reduce(_ + _).as("fscore"))
+        .groupBy("doc_id")
+        .agg(max(when(col("fld") === "title", col("fscore") * mmTitleBoost)
+          .otherwise(col("fscore"))).as("raw"))
+        .select(col("doc_id"), round(col("raw"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(bm25TopK)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |f AS (SELECT doc_id, 'title' AS fld, t[1:$mmTitleLen] AS toks FROM d
+           |      UNION ALL
+           |      SELECT doc_id, 'body' AS fld, t[${mmTitleLen + 1}:] AS toks FROM d),
+           |ff AS (SELECT doc_id, fld, CAST(len(toks) AS BIGINT) AS dl, toks
+           |  FROM f WHERE len(toks) >= 1),
+           |stats AS (SELECT fld, count(*) AS n_docs,
+           |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM ff GROUP BY 1),
+           |tf AS (SELECT doc_id, fld, dl, tok, count(*) AS tf
+           |  FROM (SELECT doc_id, fld, dl, unnest(toks) AS tok FROM ff)
+           |  WHERE tok IN (${bm25Query.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2, 3, 4),
+           |dfq AS (SELECT fld, tok, count(*) AS df FROM tf GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, tf.fld AS fld, tok,
+           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (${bm25K1 + 1})::DOUBLE) /
+           |      (tf + $bm25K1 * (1 - $bm25B + $bm25B * dl / avgdl)) AS sc
+           |  FROM tf JOIN dfq USING (fld, tok) JOIN stats USING (fld)),
+           |fs AS (SELECT doc_id, fld,
+           |    ${bm25Query.map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN sc END), 0)").mkString(" + ")} AS fscore
+           |  FROM sc GROUP BY 1, 2),
+           |best AS (SELECT doc_id,
+           |    max(CASE WHEN fld = 'title' THEN fscore * $mmTitleBoost ELSE fscore END) AS raw
+           |  FROM fs GROUP BY 1)
+           |SELECT doc_id, round(raw, 6) AS score FROM best
+           |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin))
+
   /** Unigram language-model quality score: mean ln P(token) under the
     * corpus's own unigram distribution — the statistical complement to
     * ns_quality_score's surface heuristics: garbled/rare-token-heavy
@@ -1866,7 +1953,7 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
-    topHitsOp, boolQueryOp, highlightOp,
+    topHitsOp, multiMatchOp, boolQueryOp, highlightOp,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,

@@ -58,6 +58,33 @@ class DecodeSpec extends SparkSpec {
     assert(kept.count() == 1 && kept.select("doc.owner").as[Long].head() == 2L)
   }
 
+  test("ns_variant_message: msg binds to a real VariantType and extracts by path") {
+    import spark.implicits._
+    // SURVEY §1.3's promise: json.RawMessage maps to Spark 4 VariantType,
+    // not a flattened string — the intermediate must BE variant
+    val v = graft.ops.Synth.eventsWithMsg(spark, sfDir)
+      .selectExpr("try_parse_json(msg) AS v")
+    assert(v.schema("v").dataType == org.apache.spark.sql.types.VariantType,
+      s"expected VariantType, got ${v.schema("v").dataType}")
+    // and the declared query's semantics: JSON-object rows (event_id%3=0)
+    // parse with $.k extractable, plain-text rows (%3=1) are variant-null,
+    // bare-scalar rows (%3=2) parse as JSON but carry no $.k
+    val out = Decode.variantMessageOp.fn(spark, sfDir)
+      .withColumn("m", pmod(col("event_id"), lit(3)))
+    assert(out.filter(col("m") === 0 && (!col("is_json") || col("k").isNull)).isEmpty,
+      "props rows must parse as variant objects with $.k")
+    assert(out.filter(col("m") === 1 && col("is_json")).isEmpty,
+      "plain-text rows must be variant-null")
+    assert(out.filter(col("m") === 2 && (!col("is_json") || col("k").isNotNull)).isEmpty,
+      "bare scalars are valid JSON but have no $.k path")
+    // extracted value matches the source props payload
+    val probe = graft.ops.Synth.eventsWithMsg(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(3)) === 0)
+      .selectExpr("event_id", "CAST(get_json_object(props, '$.k') AS BIGINT) AS want")
+    val joined = Decode.variantMessageOp.fn(spark, sfDir).join(probe, "event_id")
+    assert(joined.filter(col("k") =!= col("want")).isEmpty, "variant $.k drifted from props")
+  }
+
   test("whole-body gzip binding: 2 records per request, payloads survive the wire") {
     val nEvents = Tables.events(spark, sfDir).count()
     val out = Decode.bodyGzipOp.fn(spark, sfDir)

@@ -393,7 +393,7 @@ class PlanSpec extends SparkSpec {
     // text/search op added in r9
     for (q <- Seq("ns_dedup_substring", "ns_text_bm25", "ns_significant_terms",
                   "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate",
-                  "ns_text_collocations")) {
+                  "ns_text_collocations", "ns_search_multi_match")) {
       val p = physical(q)
       val docScans = nodes(p).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -535,6 +535,42 @@ class PlanSpec extends SparkSpec {
     val bhj = nodes(p).collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty,
       s"the document-frequency dim must broadcast to the posting stream:\n$p")
+  }
+
+  test("ns_search_multi_match: one tokenize serves both fields; dims broadcast; top-k is a heap") {
+    val p = physical("ns_search_multi_match")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the retrieval cutoff must be a top-k heap, not a global sort:\n$p")
+    // the per-(field,term) df dim AND the per-field stats dim both ride
+    // broadcast joins onto the posting stream — neither shuffles it
+    val bhj = nodes(p).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"df and per-field stats dims must broadcast (got ${bhj.size} broadcast joins):\n$p")
+    // scoring F fields must cost ONE token stream, not F: the stats
+    // branch and the tf branch may each scan, but nothing scans per
+    // field — at runtime the corpus is read at most twice
+    val deep = executedDeepNodes("ns_search_multi_match")
+    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans <= 2, s"multi_match ran $scans corpus scans — per-field rescan crept in")
+  }
+
+  test("ns_search_nested: nested-path access collapses to source columns — no struct materialized") {
+    val p = physical("ns_search_nested")
+    // SimplifyExtractValueOps must fold doc.records.data.* straight to
+    // the underlying expressions: the 3-level struct the query addresses
+    // never appears in the physical plan
+    assert(!p.toString.contains("named_struct"),
+      s"the nested document struct materialized before the aggregate:\n$p")
+    // and the scan reads exactly the two leaf columns the paths resolve to
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected an events scan in:\n$p")
+    scans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("event_type", "user_id")),
+        s"nested search reads ${cols.mkString(",")} — extraction-over-construction regressed:\n$p")
+    }
   }
 
   test("ns_dedup_substring: codegen'd span formation, span-stream shuffle shared via reuse") {
