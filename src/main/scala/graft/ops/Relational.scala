@@ -124,6 +124,85 @@ object Relational {
       .withColumn("cum", sum("n").over(wc))
   }
 
+  /** The OpenSearch `range` aggregation: documents bucketed by explicit
+    * value bounds (the latency/price-band breakdown every ops dashboard
+    * carries), with per-bucket stats. Bucket labels follow the ES
+    * `from-to` naming (`*-50.0`, `50.0-150.0`, …).
+    *
+    * Scale shape: the bucket label is a per-row codegen CASE over one
+    * scan — no join against a bounds table — and the aggregate
+    * partial-aggregates map-side into at most |ranges| groups, so the
+    * shuffle carries ≤ 4 rows per map task at any SF. Value sums in
+    * exact integer cents (Exact.scala); min/max of doubles are
+    * order-independent as-is. */
+  val rangeAgg: QueryDef = q(
+    "ns_agg_range",
+    s"""SELECT CASE WHEN value < 50 THEN '*-50.0'
+       |    WHEN value < 150 THEN '50.0-150.0'
+       |    WHEN value < 250 THEN '150.0-250.0'
+       |    ELSE '250.0-*' END AS bucket,
+       |  count(*) AS n,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c,
+       |  min(value) AS min_value, max(value) AS max_value
+       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        when(col("value") < 50, "*-50.0")
+          .when(col("value") < 150, "50.0-150.0")
+          .when(col("value") < 250, "150.0-250.0")
+          .otherwise("250.0-*").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_c"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
+  /** The OpenSearch numeric `histogram` aggregation: fixed-interval
+    * buckets keyed at floor(value/interval)·interval (interval 25 here),
+    * count + exact cents sum per bucket. ES's min_doc_count=0
+    * empty-bucket fill is presentation-layer (a bounded
+    * sequence(min,max) dim, never a data pass) and is omitted — the
+    * compared surface is the occupied buckets both engines agree on.
+    *
+    * Scale shape: identical to ns_agg_range — per-row codegen key, one
+    * scan, map-side partials, bucket-count-bounded shuffle (value
+    * span / interval rows). The bucket key is pinned BIGINT in both
+    * engines: Spark's floor() yields LONG while DuckDB's yields
+    * DOUBLE, so the oracle casts — same discipline as Exact.sqlSum. */
+  private val histInterval = 25
+  val histogramAgg: QueryDef = q(
+    "ns_agg_histogram",
+    s"""SELECT CAST(floor(value / $histInterval) * $histInterval AS BIGINT) AS bucket,
+       |  count(*) AS n,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy((floor(col("value") / histInterval) * histInterval)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_c"))
+  }
+
+  /** The OpenSearch `prefix` query (keyword-field edition) with a terms
+    * roll-up of the matches — `source: src1*` covering src1, src10–19.
+    *
+    * Scale shape: the reason prefix (unlike wildcard/regexp) is cheap
+    * at 100 TB — a string prefix is a RANGE predicate, so
+    * StringStartsWith pushes into the parquet scan as PushedFilters
+    * and row-group min/max stats skip non-matching groups entirely;
+    * the scan reads only (doc_id, source). PlanSpec locks the
+    * pushdown. */
+  val prefixQuery: QueryDef = q(
+    "ns_search_prefix",
+    """SELECT source, count(*) AS n, min(doc_id) AS first_doc
+      |FROM documents WHERE starts_with(source, 'src1')
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(col("source").startsWith("src1"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+  }
+
   /** Keyset pagination — the OpenSearch `search_after` pattern, the
     * at-scale replacement for deep OFFSET paging: the page is defined
     * by a predicate on the (sort key, tiebreak id) keyset of the last
@@ -616,6 +695,7 @@ object Relational {
 
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
+    rangeAgg, histogramAgg, prefixQuery,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,

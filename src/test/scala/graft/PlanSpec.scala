@@ -573,6 +573,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_search_prefix: StringStartsWith pushes to the scan; only (doc_id, source) read") {
+    val p = physical("ns_search_prefix")
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected a documents scan in:\n$p")
+    // prefix is a range predicate — it must reach PushedFilters so
+    // row-group stats can skip, unlike wildcard/regexp which can't push
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("StringStartsWith(source"))),
+      s"the prefix must reach the parquet scan's PushedFilters:\n$p")
+    scans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "source")),
+        s"prefix query reads ${cols.mkString(",")} — pruning regressed:\n$p")
+    }
+  }
+
   test("ns_dedup_substring: codegen'd span formation, span-stream shuffle shared via reuse") {
     val p = physical("ns_dedup_substring")
     // the explode(sequence)+slice formulation exists precisely because
