@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{Exact, QueryDef, Tables}
 
 /** Training-data pipeline text operators over `documents` (north-star
   * extension, SURVEY.md §2.5): exact + MinHash-LSH + SimHash + n-gram
@@ -813,6 +813,113 @@ object TextOps {
            |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank
            |  FROM agg)
            |WHERE rank <= $topHitsK""".stripMargin))
+
+  /** The OpenSearch `function_score` query: a relevance query wrapped
+    * with a score-modifying function — here `field_value_factor` on
+    * `n_chars` with the `log1p` modifier (boost substantial documents
+    * over fragments), the most common production shape (recency/
+    * popularity/length boosts). Final score =
+    * round(bm25 · ln(1 + n_chars/100), 6), top-k with doc_id
+    * tie-break.
+    *
+    * Scale shape: the factor column is ES's doc-values lookup — a
+    * SECOND scan of documents pruned to exactly (doc_id, n_chars),
+    * joined to the (small) match set on doc_id, with AQE free to
+    * broadcast whichever side is tiny. The BM25 chain itself is the
+    * shared verified plan; the factor math is one codegen projection;
+    * the cutoff stays TakeOrderedAndProject. */
+  val functionScoreOp = QueryDef(
+    "ns_search_function_score", { (s, dir) =>
+      val factor = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      bm25ScoredDocs(s, dir)
+        .join(factor, "doc_id")
+        .select(col("doc_id"),
+          round(col("score") * log(lit(1.0) + col("n_chars").cast("double") / 100.0), 6)
+            .as("fscore"))
+        .orderBy(col("fscore").desc, col("doc_id"))
+        .limit(bm25TopK)
+    },
+    Some(s"""WITH $bm25SqlCtes
+           |SELECT agg.doc_id AS doc_id,
+           |  round(score * ln(1.0 + n_chars::DOUBLE / 100.0), 6) AS fscore
+           |FROM agg JOIN documents USING (doc_id)
+           |ORDER BY fscore DESC, doc_id LIMIT $bm25TopK""".stripMargin))
+
+  /** The OpenSearch `more_like_this` query: given a SEED document,
+    * select its `max_query_terms` most characteristic terms by TF-IDF
+    * against the corpus (the Lucene MLT interesting-terms pass), then
+    * retrieve the BM25 top-k for those terms, excluding the seed
+    * itself — "find me documents like this one" without the caller
+    * naming a single term.
+    *
+    * Determinism discipline, stricter than the static-query BM25 ops:
+    * the query terms are DATA-DEPENDENT, so the fixed-order per-term
+    * addition trick is unavailable — instead every per-(doc, term)
+    * score rounds to integer MICROS (×1e6 longs) before summation,
+    * making the per-doc sum accumulation-order independent and
+    * bit-identical across engines; the interesting-terms ranking
+    * orders by the same integer-micros tf·idf with a term-text
+    * tie-break, so both engines pick the identical term set.
+    *
+    * Scale shape: one corpus token stream feeds the tf table; df and
+    * corpus stats are vocabulary-/singleton-sized dims; the seed's
+    * term ranking touches |seed| rows and the 5-term result
+    * broadcasts back into the posting stream (query-term filter
+    * semantics, same as the static bm25 plan); the final cutoff is
+    * TakeOrderedAndProject. The corpus is never scanned per term. */
+  private val mltSeedDoc = 42L
+  private val mltMaxTerms = 5
+  val mltOp = QueryDef(
+    "ns_search_mlt", { (s, dir) =>
+      val d = Par.spread(s, docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+      val stats = d.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), col("dl"),
+          explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val seed = tf.filter(col("doc_id") === mltSeedDoc)
+        .join(dfreq, "tok").crossJoin(broadcast(stats))
+        .withColumn("tfidf_c",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+            .cast("long"))
+        .orderBy(col("tfidf_c").desc, col("tok"))
+        .limit(mltMaxTerms)
+        .select("tok")
+      tf.join(broadcast(seed), "tok")
+        .filter(col("doc_id") =!= mltSeedDoc)
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("sc", col("idf") * (col("tf") * lit(bm25K1 + 1)) /
+          (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+        .withColumn("sc_c", round(col("sc") * 1e6, 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("sc_c")).as("score_c"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_c").desc, col("doc_id"))
+        .limit(bm25TopK)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |dd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+           |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dd) GROUP BY 1, 2, 3),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |seed AS (SELECT tok FROM tf JOIN dfq USING (tok), stats
+           |  WHERE doc_id = $mltSeedDoc
+           |  ORDER BY CAST(round(tf * ln(n_docs::DOUBLE / df) * 1000000, 0) AS BIGINT) DESC, tok
+           |  LIMIT $mltMaxTerms),
+           |sc AS (SELECT doc_id,
+           |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (${bm25K1 + 1})::DOUBLE) /
+           |      (tf + $bm25K1 * (1 - $bm25B + $bm25B * dl / avgdl)) * 1000000, 0) AS BIGINT) AS sc_c
+           |  FROM tf JOIN dfq USING (tok), stats
+           |  WHERE tok IN (SELECT tok FROM seed) AND doc_id <> $mltSeedDoc)
+           |SELECT doc_id, ${Exact.sqlSum("sc_c")} AS score_c, count(*) AS n_terms
+           |FROM sc GROUP BY 1
+           |ORDER BY score_c DESC, doc_id LIMIT $bm25TopK""".stripMargin))
 
   /** Multi-field match — the OpenSearch `multi_match` query with
     * `best_fields` scoring over a boosted field list (`title^2, body`):
@@ -1953,7 +2060,7 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
-    topHitsOp, multiMatchOp, boolQueryOp, highlightOp,
+    topHitsOp, multiMatchOp, functionScoreOp, mltOp, boolQueryOp, highlightOp,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,

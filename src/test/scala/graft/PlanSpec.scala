@@ -393,7 +393,8 @@ class PlanSpec extends SparkSpec {
     // text/search op added in r9
     for (q <- Seq("ns_dedup_substring", "ns_text_bm25", "ns_significant_terms",
                   "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate",
-                  "ns_text_collocations", "ns_search_multi_match")) {
+                  "ns_text_collocations", "ns_search_multi_match",
+                  "ns_search_mlt")) {
       val p = physical(q)
       val docScans = nodes(p).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -570,6 +571,37 @@ class PlanSpec extends SparkSpec {
       val cols = f.requiredSchema.fieldNames.toSet
       assert(cols.subsetOf(Set("event_type", "user_id")),
         s"nested search reads ${cols.mkString(",")} — extraction-over-construction regressed:\n$p")
+    }
+  }
+
+  test("ns_search_mlt: interesting-terms + retrieval share the token stream via runtime reuse") {
+    // the static plan references the tf subtree three times (seed
+    // ranking, df dim, match probe); at runtime the identical
+    // shuffles must collapse — the corpus token stream is built once,
+    // not once per consumer
+    val deep = executedDeepNodes("ns_search_mlt")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the seed/df/match branches must reuse the tf shuffle, not re-scan the corpus")
+    val p = physical("ns_search_mlt")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the retrieval cutoff must be a top-k heap, not a global sort:\n$p")
+  }
+
+  test("ns_search_function_score: factor lookup is a pruned 2-column scan; top-k is a heap") {
+    val p = physical("ns_search_function_score")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the boosted cutoff must be a top-k heap, not a global sort:\n$p")
+    // the field_value_factor side is ES's doc-values lookup: it may
+    // scan documents again but must read ONLY (doc_id, n_chars)
+    val factorScans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.requiredSchema.fieldNames.contains("n_chars") => f
+    }
+    assert(factorScans.nonEmpty, s"expected the n_chars factor scan in:\n$p")
+    factorScans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "n_chars")),
+        s"factor scan reads ${cols.mkString(",")} — pruning regressed:\n$p")
     }
   }
 
