@@ -611,6 +611,69 @@ object TextOps {
            |FROM toks JOIN m USING (tok)
            |GROUP BY 1, 2""".stripMargin))
 
+  /** The OpenSearch term suggester ("did you mean…"): for a misspelled
+    * query term, candidate corrections from the corpus VOCABULARY
+    * within edit distance ≤ 2, ranked the way ES does — closer first,
+    * then more frequent, then lexicographic.
+    *
+    * Scale shape: the suggester never touches the corpus at query
+    * time — it walks the persisted (tok, cnt) unigram artifact (the
+    * same buildOnce term dictionary unigram scoring reads), so the
+    * edit-distance DP runs once per VOCABULARY entry on a
+    * vocabulary-sized scan, exactly like Lucene's FST term walk; the
+    * cutoff is TakeOrderedAndProject. PlanSpec asserts no documents
+    * scan exists in the query-time plan. */
+  private val suggestSize = 5
+  val suggestOp = QueryDef(
+    "ns_search_suggest", { (s, dir) =>
+      unigramFreq(s, dir)
+        .filter(levenshtein(col("tok"), lit(fuzzyTerm)) <= fuzzyMaxDist)
+        .select(col("tok").as("suggestion"),
+          levenshtein(col("tok"), lit(fuzzyTerm)).cast("long").as("distance"),
+          col("cnt").as("freq"))
+        .orderBy(col("distance"), col("freq").desc, col("suggestion"))
+        .limit(suggestSize)
+    },
+    Some(s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+           |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+           |SELECT tok AS suggestion,
+           |  CAST(levenshtein(tok, '$fuzzyTerm') AS BIGINT) AS distance,
+           |  cnt AS freq
+           |FROM freq WHERE levenshtein(tok, '$fuzzyTerm') <= $fuzzyMaxDist
+           |ORDER BY distance, freq DESC, suggestion LIMIT $suggestSize""".stripMargin))
+
+  /** The OpenSearch `rare_terms` aggregation: the long-tail complement
+    * of a terms agg — bucket values appearing in at most
+    * `max_doc_count` documents (one-off identifiers, anomalous
+    * amounts, contamination markers — the buckets a terms agg's
+    * size-N head can never surface). The term here is the exact-cents
+    * event value, the testdata's one genuinely long-tailed keyword
+    * (the synthetic document vocabulary is 31 dense tokens — no tail).
+    * Output bounded to the `size` rarest with (df, term) ordering so
+    * both engines cut identically.
+    *
+    * Scale shape: ES bounds this agg with a CuckooFilter because a
+    * long tail is huge by definition; here the same bound is the
+    * term-cardinality df aggregate (map-side partials, one shuffle of
+    * term groups, never row groups) followed by TakeOrderedAndProject
+    * — the tail is enumerated from the df dim, the corpus is scanned
+    * once, and the result is `size`-bounded at any SF. */
+  private val rareMaxDocCount = 2
+  private val rareSize = 100
+  val rareTermsOp = QueryDef(
+    "ns_agg_rare_terms", { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(Exact.cents(col("value")).as("term"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= rareMaxDocCount)
+        .orderBy(col("df"), col("term"))
+        .limit(rareSize)
+    },
+    Some(s"""WITH dfq AS (SELECT ${Exact.sqlCents("value")} AS term, count(*) AS df
+           |  FROM events GROUP BY 1)
+           |SELECT term, df FROM dfq WHERE df <= $rareMaxDocCount
+           |ORDER BY df, term LIMIT $rareSize""".stripMargin))
+
   /** Phrase match — the OpenSearch `match_phrase` query: documents
     * containing an exact N-token phrase, with occurrence counts. Runs
     * as a positional bigram scan, not a position self-join: spans form
@@ -1023,17 +1086,24 @@ object TextOps {
     * run and replanned the explode subtree once per reference — two
     * full corpus scans per score at 100 TB. AQE broadcasts the vocab
     * dim when it fits. */
+  /** The persisted (tok, cnt) unigram vocabulary — ONE build per corpus
+    * snapshot (Artifacts.buildOnce), shared by unigram scoring and the
+    * term suggester: the term-dictionary artifact every query-time
+    * vocabulary walk reads instead of re-aggregating the corpus. */
+  private def unigramFreq(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "unigram_freq") {
+      path =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(explode(split(trim(col("text")), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+
   val unigramLogprobOp = QueryDef(
     "ns_text_unigram_logprob", {
       (s, dir) =>
-        val freq = Artifacts.buildOnce(s, s"$dir/documents.parquet", "unigram_freq") {
-          path =>
-            Par.spread(s, docs(s, dir), col("doc_id"))
-              .select(explode(split(trim(col("text")), " ")).as("tok"))
-              .groupBy("tok").agg(count(lit(1)).as("cnt"))
-              .coalesce(1)
-              .write.mode("overwrite").parquet(path)
-        }
+        val freq = unigramFreq(s, dir)
         val total = freq.agg(sum(col("cnt")).as("n_total"))
         val toks = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
@@ -2060,7 +2130,8 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
-    topHitsOp, multiMatchOp, functionScoreOp, mltOp, boolQueryOp, highlightOp,
+    topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
+    boolQueryOp, highlightOp,
     unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,

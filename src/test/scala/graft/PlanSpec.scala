@@ -605,6 +605,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_search_suggest: the term dictionary walk never scans the corpus at query time") {
+    // the suggester reads the persisted unigram artifact (the Lucene
+    // FST-walk analogue); a documents scan in its plan means the
+    // vocabulary is being re-aggregated per suggestion request
+    val p = physical("ns_search_suggest")
+    val docScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(docScans == 0,
+      s"suggest must walk the persisted vocabulary only, found $docScans corpus scans:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the suggestion cutoff must be a top-k heap:\n$p")
+  }
+
   test("ns_search_prefix: StringStartsWith pushes to the scan; only (doc_id, source) read") {
     val p = physical("ns_search_prefix")
     val scans = nodes(p).collect {
