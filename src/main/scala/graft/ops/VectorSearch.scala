@@ -576,6 +576,211 @@ object VectorSearch {
     Some(s"""WITH $kmeansSqlChain
            |SELECT vec_id, cluster, dist FROM af""".stripMargin))
 
+  // ----------------- product quantization (PQ) ANN ------------------
+
+  /** PQ geometry: the 64-dim embedding splits into `pqM` = 8 subspaces
+    * of `pqDsub` = 8 dims; each subspace learns `pqKsub` = 16 centroids
+    * (one Lloyd round from deterministic seeds, same integer-space
+    * algebra as ns_cluster_kmeans), so a vector compresses to 8 codes —
+    * 8 bytes standing in for 256 bytes of floats, the 32× memory
+    * reduction that lets a 100 TB corpus's index fit cluster RAM
+    * (Jégou, Douze, Schmid 2011, "Product quantization for nearest
+    * neighbor search"). */
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqKsub = 16
+
+  /** The PQ codebook, PERSISTED (build-once, corpus-file keyed): per
+    * (sub, cid) an 8-dim integer centroid. Training is one Lloyd round
+    * over the quantized corpus — seed with the sub-vectors of the 16
+    * lowest vec_ids, assign every (vector, subspace) to its nearest
+    * seed by exact long L2 (ties → lower cid), re-average per
+    * dimension with floor(sum/count) — every step bit-reproducible,
+    * so the DuckDB oracle rebuilds the identical codebook. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    buildOnce(s, dir, "pq_codebook") { path =>
+      val flat = quantized(s, dir)
+        .select(col("vec_id"), posexplode(col("q")))
+        .select(col("vec_id"), expr(s"pos div $pqDsub").cast("int").as("sub"),
+          expr(s"pos % $pqDsub").as("j"), col("col").as("q"))
+      val seeds = flat.filter(col("vec_id") < pqKsub)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"), col("j"),
+          col("q").as("cq"))
+      val d = flat.join(seeds, Seq("sub", "j"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))
+      val a = d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("vec_id", "sub", "cid")
+      flat.join(a, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "j")
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+        .groupBy("sub", "cid")
+        .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'cq', cq))), x -> x.cq)")
+          .as("cq"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+  /** PQ ANN with asymmetric distance computation (ADC): encode the
+    * corpus as 8 codebook codes, precompute per-query lookup tables of
+    * exact subspace distances to every centroid, and score each corpus
+    * vector as the SUM of 8 table lookups — the query never touches
+    * the original vectors.
+    *
+    * Scale shape: the codebook (128 rows) collapses to ONE broadcast
+    * array row; encoding is a single map pass over the corpus (argmin
+    * via the kmAssign array_min struct idiom — no shuffle, no join
+    * explosion); the per-query LUTs (20 × 128 longs) broadcast; ADC
+    * scoring is a map pass of 8 array lookups per (vector, query); the
+    * cutoff is the bounded top-k aggregate (≤ k rows per query per map
+    * task). At 100 TB the scored relation is codes-only — 8 bytes a
+    * row riding the scan, the whole point of PQ. All arithmetic is
+    * exact long sums — order-independent, so the DuckDB oracle matches
+    * bit-for-bit. RecallPqSpec pins recall@k against brute-force KNN. */
+  /** The shared ADC scoring chain: (q_id, vec_id, adc) for every
+    * (query, corpus vector) pair, all lookups against broadcast
+    * structures, no shuffle before the consumer's cutoff. */
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    // codebook as one broadcast row: cb[sub] = centroids sorted by cid
+    val cbRow = pqCodebook(s, dir)
+      .groupBy("sub")
+      .agg(expr("transform(array_sort(collect_list(named_struct('cid', cid, 'cq', cq))), x -> x)")
+        .as("cents"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('sub', sub, 'cents', cents))), x -> x.cents)")
+        .as("cb"))
+    // one map pass: 8 argmins per vector against the broadcast codebook
+    val distExpr = (qs: String) =>
+      s"aggregate(zip_with($qs, c.cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+    val codes = quantized(s, dir).crossJoin(broadcast(cbRow))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m -> array_min(transform(cb[m],
+           |  c -> named_struct('dist', ${distExpr(s"slice(q, m * $pqDsub + 1, $pqDsub)")},
+           |                    'cid', c.cid))).cid)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+    // per-query LUT: per subspace a cid-keyed map of exact subspace
+    // distances (cid-keyed, not positional — robust to a centroid
+    // emptying out in the Lloyd round)
+    val luts = quantized(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m -> map_from_entries(transform(cb[m],
+           |  c -> struct(c.cid, ${distExpr(s"slice(qq, m * $pqDsub + 1, $pqDsub)")}))))""".stripMargin))
+      .select(col("q_id"), col("lut"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr(
+        s"aggregate(transform(sequence(0, ${pqM - 1}), m -> element_at(lut[m], codes[m])), 0L, (a, x) -> a + x)"))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+  }
+
+  /** Bounded top-k of a (q_id, vec_id, score-to-MINIMIZE) relation. */
+  private def pqCut(scored: DataFrame, distCol: String, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.expr.VecFunctions.topk_by_score(
+        col("vec_id"), -col(distCol).cast("double"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as(distCol),
+        (col("pos") + 1).cast("long").as("rank"))
+
+  val pqOp = QueryDef(
+    "ns_similarity_pq",
+    (s, dir) => pqCut(pqScored(s, dir), "adc", topK),
+    Some(s"""WITH eq AS (SELECT vec_id, i // $pqDsub AS sub, i % $pqDsub AS j,
+           |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+           |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+           |s0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, j, q AS cq FROM eq WHERE vec_id < $pqKsub),
+           |d1 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+           |  FROM eq e JOIN s0 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+           |a1 AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+           |c1 AS (SELECT e.sub, a.cid, e.j,
+           |    CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+           |  FROM eq e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub GROUP BY 1, 2, 3),
+           |d2 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+           |  FROM eq e JOIN c1 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+           |codes AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub, cid,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
+           |lut AS (SELECT q.vec_id AS q_id, c.sub, c.cid,
+           |    CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
+           |  FROM eq q JOIN c1 c ON c.sub = q.sub AND c.j = q.j
+           |  WHERE q.vec_id < $nQueries GROUP BY 1, 2, 3),
+           |adc AS (SELECT l.q_id, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+           |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.code
+           |  WHERE co.vec_id <> l.q_id GROUP BY 1, 2)
+           |SELECT q_id, vec_id, adc, rank FROM (
+           |  SELECT q_id, vec_id, adc,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc)
+           |WHERE rank <= $topK""".stripMargin))
+
+  /** PQ + exact rerank — the production ANN serving shape (the FAISS
+    * IVFPQ + refine pattern): the compressed-domain ADC scan SHORTLISTS
+    * `pqShortR` candidates per query, then only those candidates'
+    * TRUE vectors are fetched and exactly re-scored for the final
+    * top-k. Quantization error caps raw-PQ recall (RecallPqSpec
+    * measures it on this corpus); reranking 50 candidates recovers
+    * most of it while still never exact-scoring more than R rows per
+    * query — at 100 TB that is R·|queries| vector fetches instead of
+    * |corpus|·|queries|, with the full-corpus pass staying in the
+    * 8-byte code domain.
+    *
+    * Plan shape: shortlist via the bounded top-k aggregate (≤ R rows
+    * per query per map task); the candidate fetch is an equi-join of
+    * the R·|queries|-row shortlist against the quantized corpus (AQE
+    * broadcasts the shortlist side); exact L2 in long arithmetic;
+    * final cutoff bounded top-k again. */
+  private val pqShortR = 50
+  val pqRerankOp = QueryDef(
+    "ns_similarity_pq_rerank", {
+      (s, dir) =>
+        val shortlist = pqCut(pqScored(s, dir), "adc", pqShortR)
+          .select(col("q_id"), col("vec_id"))
+        val qq = quantized(s, dir).filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"))
+        val exact = shortlist
+          .join(quantized(s, dir), "vec_id")
+          .join(broadcast(qq), "q_id")
+          .withColumn("l2", expr(
+            "aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+          .select(col("q_id"), col("vec_id"), col("l2"))
+        pqCut(exact, "l2", topK)
+    },
+    Some(s"""WITH eq AS (SELECT vec_id, i // $pqDsub AS sub, i % $pqDsub AS j,
+           |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+           |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+           |s0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, j, q AS cq FROM eq WHERE vec_id < $pqKsub),
+           |d1 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+           |  FROM eq e JOIN s0 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+           |a1 AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+           |c1 AS (SELECT e.sub, a.cid, e.j,
+           |    CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+           |  FROM eq e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub GROUP BY 1, 2, 3),
+           |d2 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+           |  FROM eq e JOIN c1 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+           |codes AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub, cid,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
+           |lut AS (SELECT q.vec_id AS q_id, c.sub, c.cid,
+           |    CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
+           |  FROM eq q JOIN c1 c ON c.sub = q.sub AND c.j = q.j
+           |  WHERE q.vec_id < $nQueries GROUP BY 1, 2, 3),
+           |adc AS (SELECT l.q_id, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+           |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.code
+           |  WHERE co.vec_id <> l.q_id GROUP BY 1, 2),
+           |short AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+           |  FROM adc) WHERE rank <= $pqShortR),
+           |rr AS (SELECT s.q_id, s.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS l2
+           |  FROM short s JOIN eq a ON a.vec_id = s.q_id
+           |  JOIN eq b ON b.vec_id = s.vec_id AND a.sub = b.sub AND a.j = b.j
+           |  GROUP BY 1, 2)
+           |SELECT q_id, vec_id, l2, rank FROM (
+           |  SELECT q_id, vec_id, l2,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rank FROM rr)
+           |WHERE rank <= $topK""".stripMargin))
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): documents
     * whose EMBEDDINGS nearly coincide are duplicates even when their
     * text differs — cluster the corpus (the learned k-means partition
@@ -625,7 +830,7 @@ object VectorSearch {
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    knnOp, ivfOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
+    knnOp, ivfOp, pqOp, pqRerankOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp,
     kmeansOp, semanticDedupOp)
 }
