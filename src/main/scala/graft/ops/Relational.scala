@@ -203,6 +203,53 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
   }
 
+  /** The OpenSearch `adjacency_matrix` aggregation: named filters and
+    * the doc counts of every filter AND every pairwise intersection —
+    * the co-occurrence matrix behind segment-overlap dashboards
+    * ("how many purchase events are ALSO high-value ALSO even-user").
+    *
+    * Scale shape: ES evaluates each doc against all filters once; here
+    * that is ONE codegen pass computing the three booleans and
+    * conditional-summing all six cells in a single aggregate — no
+    * explode, no self-join of filter streams, no per-cell pass. The
+    * single-row result unpivots via stack() into ES's (key, doc_count)
+    * bucket rows, with the `A&B` key naming the intersection exactly
+    * as the agg does. Always 6 rows: cell counts, including empty
+    * cells, are the matrix contract both engines agree on. */
+  val adjacencyMatrixAgg: QueryDef = q(
+    "ns_agg_adjacency_matrix",
+    """WITH f AS (SELECT event_type = 'purchase' AS a, value >= 150 AS b,
+      |    user_id % 2 = 0 AS c FROM events),
+      |s AS (SELECT
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+      |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+      |  CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS kc,
+      |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS kab,
+      |  CAST(sum(CASE WHEN a AND c THEN 1 ELSE 0 END) AS BIGINT) AS kac,
+      |  CAST(sum(CASE WHEN b AND c THEN 1 ELSE 0 END) AS BIGINT) AS kbc
+      |FROM f)
+      |SELECT 'A' AS key, ka AS doc_count FROM s
+      |UNION ALL SELECT 'B', kb FROM s
+      |UNION ALL SELECT 'C', kc FROM s
+      |UNION ALL SELECT 'A&B', kab FROM s
+      |UNION ALL SELECT 'A&C', kac FROM s
+      |UNION ALL SELECT 'B&C', kbc FROM s""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        (col("event_type") === "purchase").as("a"),
+        (col("value") >= 150).as("b"),
+        (pmod(col("user_id"), lit(2)) === 0).as("c"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ka"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("kb"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("kc"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("kab"),
+        sum(when(col("a") && col("c"), 1L).otherwise(0L)).as("kac"),
+        sum(when(col("b") && col("c"), 1L).otherwise(0L)).as("kbc"))
+      .select(expr(
+        "stack(6, 'A', ka, 'B', kb, 'C', kc, 'A&B', kab, 'A&C', kac, 'B&C', kbc) AS (key, doc_count)"))
+  }
+
   /** Keyset pagination — the OpenSearch `search_after` pattern, the
     * at-scale replacement for deep OFFSET paging: the page is defined
     * by a predicate on the (sort key, tiebreak id) keyset of the last
@@ -695,7 +742,7 @@ object Relational {
 
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
-    rangeAgg, histogramAgg, prefixQuery,
+    rangeAgg, histogramAgg, prefixQuery, adjacencyMatrixAgg,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
