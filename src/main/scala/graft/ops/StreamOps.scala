@@ -32,6 +32,31 @@ object StreamOps {
             |  event_type, count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c
             |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Hopping (sliding) event-time windows: 1-hour windows every 30
+    * minutes — the smoothed-dashboard twin of the tumbling agg, where
+    * each event lands in exactly TWO overlapping windows. Spark's
+    * window(col, "1 hour", "30 minutes") generates both membership
+    * rows at the scan (a bounded ×2 row expansion, not a self-join);
+    * the oracle derives the same two epoch-aligned window starts per
+    * event (its 30-min bucket and the one before). Same exact-cents
+    * discipline as tumbling; output stays span-bounded (2× the
+    * tumbling bucket count) at any SF. */
+  val hoppingOp = QueryDef(
+    "ns_stream_hopping",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("tsu"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value_c")),
+    Some(s"""WITH h AS (SELECT
+            |    epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) - k.off AS window_start_ms,
+            |    event_type, value
+            |  FROM events, (SELECT unnest([0, 1800000]) AS off) k)
+            |SELECT window_start_ms, event_type, count(*) AS n,
+            |  ${sqlSum(sqlCents("value"))} AS sum_value_c
+            |FROM h GROUP BY 1, 2""".stripMargin))
+
   /** Replay dedup: re-offer 5% of events (simulating Firehose redelivery)
     * then dropDuplicates on the event id. */
   val dedupOp = QueryDef(
@@ -122,6 +147,6 @@ object StreamOps {
            |FROM v JOIN p ON v.user_id = p.user_id
            |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin))
 
-  def entries: Seq[QueryDef] = Seq(tumblingOp, dedupOp, sessionOp, sessionizeOp,
+  def entries: Seq[QueryDef] = Seq(tumblingOp, hoppingOp, dedupOp, sessionOp, sessionizeOp,
     streamJoinOp)
 }
