@@ -161,8 +161,8 @@ object Relational {
     * buckets keyed at floor(value/interval)·interval (interval 25 here),
     * count + exact cents sum per bucket. ES's min_doc_count=0
     * empty-bucket fill is presentation-layer (a bounded
-    * sequence(min,max) dim, never a data pass) and is omitted — the
-    * compared surface is the occupied buckets both engines agree on.
+    * sequence(min,max) dim, never a data pass) — this op compares the
+    * occupied buckets; ns_agg_histogram_dense below IS that fill.
     *
     * Scale shape: identical to ns_agg_range — per-row codegen key, one
     * scan, map-side partials, bucket-count-bounded shuffle (value
@@ -181,6 +181,39 @@ object Relational {
         .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(cents(col("value"))).as("sum_value_c"))
+  }
+
+  /** ns_agg_histogram's `min_doc_count: 0` twin — the dense histogram
+    * ES renders, every interval between the observed min and max
+    * bucket present with zeroed stats where no docs landed.
+    *
+    * Scale shape: the proof of the "empty-bucket fill is presentation-
+    * layer" claim above — the fill derives from the OCCUPIED-bucket
+    * aggregate (bucket-count-sized), via one sequence() explode over a
+    * single bounds row left-joined back to the occupied dim. ONE
+    * corpus pass total; the dense axis costs (value span / interval)
+    * rows however large the corpus is. */
+  val histogramDenseAgg: QueryDef = q(
+    "ns_agg_histogram_dense",
+    s"""WITH occ AS (
+       |  SELECT CAST(floor(value / $histInterval) * $histInterval AS BIGINT) AS bucket,
+       |    count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM occ),
+       |d AS (SELECT unnest(generate_series(lo, hi, $histInterval)) AS bucket FROM b)
+       |SELECT d.bucket, coalesce(n, 0) AS n, coalesce(sum_value_c, 0) AS sum_value_c
+       |FROM d LEFT JOIN occ USING (bucket)""".stripMargin) { (s, dir) =>
+    val occ = Tables.events(s, dir)
+      .groupBy((floor(col("value") / histInterval) * histInterval)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_c"))
+    val dense = occ.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(histInterval.toLong))).as("bucket"))
+    dense.join(occ, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value_c"), lit(0L)).as("sum_value_c"))
   }
 
   /** The OpenSearch `prefix` query (keyword-field edition) with a terms
@@ -742,7 +775,7 @@ object Relational {
 
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
-    rangeAgg, histogramAgg, prefixQuery, adjacencyMatrixAgg,
+    rangeAgg, histogramAgg, histogramDenseAgg, prefixQuery, adjacencyMatrixAgg,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
