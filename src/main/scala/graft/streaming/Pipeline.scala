@@ -399,6 +399,17 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("logGroup"), col("n"))
 
+  /** Hopping twin of tumblingCounts: 1-hour windows sliding every 30
+    * minutes — each event feeds two open windows; watermark close and
+    * late-data drop semantics are identical per window. */
+  def hoppingCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_millis(col("event_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"), col("logGroup"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("logGroup"), col("n"))
+
   /** Stream-stream attribution join: each purchase matches the same
     * user's views within the preceding `windowMinutes`. Schemas:
     * views(user_id, view_id, view_ms), purchases(user_id, purchase_id,

@@ -52,6 +52,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping agg: each event lands in two windows; both close under the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val agg = Pipeline.hoppingCounts(
+      in.toDF().toDF("event_ms", "logGroup")
+        .withColumn("event_id", lit(0L)).withColumn("batch_ms", lit(0L))
+        .withColumn("logStream", lit("s")).withColumn("event_ref", lit("r"))
+        .withColumn("message", lit("m")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hopping_test").start()
+    try {
+      // events at 0:10 and 0:40 → window [-0:30,0:30) sees one,
+      // [0:00,1:00) sees both, [0:30,1:30) sees one; an hour-3 event
+      // closes all of them
+      in.addData((10 * 60000L, "/app/a"), (40 * 60000L, "/app/a"))
+      q.processAllAvailable()
+      in.addData((3 * H + 10 * 60000L, "/app/a"))
+      q.processAllAvailable()
+      def nAt(startMs: Long): Seq[Long] = spark.table("hopping_test")
+        .filter(col("window_start") === timestamp_millis(lit(startMs)))
+        .select("n").as[Long].collect().toSeq
+      assert(nAt(-30 * 60000L) == Seq(1L), "[-0:30,0:30) should emit n=1")
+      assert(nAt(0L) == Seq(2L), "[0:00,1:00) should emit n=2")
+      assert(nAt(30 * 60000L) == Seq(1L), "[0:30,1:30) should emit n=1")
+      // a straggler behind the watermark changes neither of its windows
+      in.addData((20 * 60000L, "/app/a"))
+      q.processAllAvailable()
+      assert(nAt(0L) == Seq(2L), "late event must not re-open a closed window")
+    } finally q.stop()
+  }
+
   test("replay dedup: redelivered event_refs emit once within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
