@@ -1126,6 +1126,78 @@ object TextOps {
            |FROM toks JOIN freq USING (tok), total
            |GROUP BY doc_id""".stripMargin))
 
+  /** Bigram language-model quality score — the ≥2-gram perplexity
+    * proxy real curation pipelines run where ns_text_unigram_logprob
+    * is the first cut: mean ln P(w2|w1) under the corpus's own bigram
+    * counts with add-one (Laplace) smoothing over the unigram
+    * vocabulary, ln((c(w1,w2)+1)/(c(w1)+V)). Catches word-salad text
+    * that unigram statistics cannot (every word common, no pair ever
+    * seen together).
+    *
+    * Determinism discipline: each bigram's log term rounds to integer
+    * MICROS before the per-doc sum (the ns_search_mlt rule — data-
+    * dependent term sets forbid fixed-order addition), so the mean is
+    * an exact long sum divided once.
+    *
+    * Scale shape: BOTH count tables are persisted buildOnce artifacts
+    * (vocabulary- and vocabulary²-bounded — corpus-size-independent);
+    * the scoring plan's only documents scan is the probe-side bigram
+    * explode (PlanSpec-locked, the unigram discipline); V is a
+    * one-row aggregate of the unigram dim; AQE broadcasts all three
+    * dims onto the bigram stream. Docs with < 2 tokens have no bigram
+    * distribution and drop from the output in both engines. */
+  private def bigramFreq(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "bigram_freq") {
+      path =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(split(trim(col("text")), " ").as("t"))
+          .select(explode(when(size(col("t")) >= 2, expr(
+            "transform(sequence(1, size(t) - 1), i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))")))
+            .as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("bc"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+
+  val bigramLogprobOp = QueryDef(
+    "ns_text_bigram_logprob", { (s, dir) =>
+      val uf = unigramFreq(s, dir)
+      val bf = bigramFreq(s, dir)
+      val vocabV = uf.agg(count(lit(1)).as("v"))
+      val bigrams = Par.spread(s, docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+        .select(col("doc_id"), explode(when(size(col("t")) >= 2, expr(
+          "transform(sequence(1, size(t) - 1), i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))")))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      bigrams
+        .join(bf, Seq("w1", "w2"))
+        .join(uf.select(col("tok").as("w1"), col("cnt").as("uc")), "w1")
+        .crossJoin(broadcast(vocabV))
+        .withColumn("term_c",
+          round(log((col("bc") + lit(1.0)) / (col("uc") + col("v"))) * 1e6, 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("term_c")).as("sum_c"), count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"),
+          round(col("sum_c").cast("double") / col("n_bigrams") / 1e6, 6).as("logprob"),
+          col("n_bigrams"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+           |uf AS (SELECT w1 AS tok, count(*) AS uc FROM (
+           |  SELECT doc_id, unnest(t) AS w1 FROM t) GROUP BY 1),
+           |bf AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+           |vv AS (SELECT count(*) AS v FROM uf),
+           |terms AS (SELECT doc_id,
+           |    CAST(round(ln((bc + 1.0) / (uc + v)) * 1000000, 0) AS BIGINT) AS term_c
+           |  FROM bg JOIN bf USING (w1, w2) JOIN uf ON uf.tok = bg.w1, vv)
+           |SELECT doc_id,
+           |  round(CAST(CAST(sum(term_c) AS BIGINT) AS DOUBLE) / count(*) / 1000000, 6) AS logprob,
+           |  count(*) AS n_bigrams
+           |FROM terms GROUP BY doc_id""".stripMargin))
+
   /** Deterministic hash bucket in [0, 100) from an id column — the
     * reproducible-sampling primitive: stable across runs, engines, and
     * cluster sizes, unlike seeded RNG sampling (Spark's sample() RNG is
@@ -2132,7 +2204,7 @@ object TextOps {
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
-    unigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
+    unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,

@@ -362,6 +362,14 @@ class PlanSpec extends SparkSpec {
       .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
     assert(docScans == 1,
       s"the scoring plan must scan documents exactly once, found $docScans:\n$p")
+    // and the bigram scorer holds the same discipline with BOTH its
+    // count tables persisted
+    val p2 = physical("ns_text_bigram_logprob")
+    val docScans2 = nodes(p2)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(docScans2 == 1,
+      s"the bigram scoring plan must scan documents exactly once, found $docScans2:\n$p2")
   }
 
   test("ns_sample_mixture: one corpus scan probed against a broadcast rate dim") {
