@@ -1198,6 +1198,52 @@ object TextOps {
            |  count(*) AS n_bigrams
            |FROM terms GROUP BY doc_id""".stripMargin))
 
+  /** Within-document token-distribution entropy — the third classic
+    * quality signal next to the surface heuristics (ns_quality_score)
+    * and the LM scores (unigram/bigram logprob): H = −Σ (c/n)·ln(c/n)
+    * over the document's OWN token histogram. Low entropy flags
+    * repetition loops and template spam (few tokens dominate); high
+    * entropy with low LM score flags gibberish (uniformly random
+    * tokens). Emitted with n_toks and n_distinct so a filter funnel
+    * can combine them.
+    *
+    * Scale shape: one token explode → per-(doc, tok) counts → a
+    * doc-partitioned window for n (never a global window) → per-doc
+    * sum. Per-term entropy contributions round to integer MICROS
+    * before summation (the data-dependent-term determinism rule), so
+    * the per-doc sum is exact long arithmetic and hash-matches the
+    * oracle. */
+  val entropyOp = QueryDef(
+    "ns_text_entropy", { (s, dir) =>
+      val tf = Par.spread(s, docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val wd = Window.partitionBy("doc_id")
+      tf.withColumn("n", sum(col("c")).over(wd))
+        .withColumn("term_c",
+          round(lit(1e6) * col("c") / col("n") * log(col("n").cast("double") / col("c")), 0)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("term_c")).as("sum_c"),
+          max(col("n")).as("n_toks"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"),
+          round(col("sum_c").cast("double") / 1e6, 6).as("entropy"),
+          col("n_toks"), col("n_distinct"))
+    },
+    Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+           |  GROUP BY 1, 2),
+           |w AS (SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+           |terms AS (SELECT doc_id,
+           |    CAST(round(1000000.0 * c / n * ln(CAST(n AS DOUBLE) / c), 0) AS BIGINT) AS term_c,
+           |    n FROM w)
+           |SELECT doc_id,
+           |  round(CAST(CAST(sum(term_c) AS BIGINT) AS DOUBLE) / 1000000, 6) AS entropy,
+           |  CAST(max(n) AS BIGINT) AS n_toks,
+           |  count(*) AS n_distinct
+           |FROM terms GROUP BY doc_id""".stripMargin))
+
   /** Deterministic hash bucket in [0, 100) from an id column — the
     * reproducible-sampling primitive: stable across runs, engines, and
     * cluster sizes, unlike seeded RNG sampling (Spark's sample() RNG is
@@ -2200,7 +2246,7 @@ object TextOps {
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
-    textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, fingerprintOp,
+    textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
