@@ -924,14 +924,37 @@ object TextOps {
     * orders by the same integer-micros tf·idf with a term-text
     * tie-break, so both engines pick the identical term set.
     *
-    * Scale shape: one corpus token stream feeds the tf table; df and
-    * corpus stats are vocabulary-/singleton-sized dims; the seed's
-    * term ranking touches |seed| rows and the 5-term result
-    * broadcasts back into the posting stream (query-term filter
-    * semantics, same as the static bm25 plan); the final cutoff is
-    * TakeOrderedAndProject. The corpus is never scanned per term. */
+    * Scale shape (r10 rework — the inverted-index discipline): the
+    * document-frequency dim is a PERSISTED buildOnce artifact
+    * (vocabulary-bounded, corpus-size-independent), so no query-time
+    * full-vocabulary aggregation exists anywhere in the plan; the
+    * SEED document reaches the tokenizer through a doc_id equality
+    * that pushes into the parquet scan (PushedFilters — one row-group
+    * read, not a corpus pass; PlanSpec-locked); and the corpus token
+    * stream semi-joins the broadcast 5-term seed dim BEFORE the tf
+    * aggregation, so only the query terms' postings ever shuffle —
+    * the original formulation aggregated the ENTIRE corpus token
+    * stream into a per-(doc,term) tf table per query, a full token
+    * shuffle that at 100 TB dwarfs the retrieval itself. Corpus
+    * stats stay a map-side singleton agg; the cutoff is
+    * TakeOrderedAndProject. */
   private val mltSeedDoc = 42L
   private val mltMaxTerms = 5
+
+  /** Per-term document frequency as a PERSISTED artifact (tok, df) —
+    * the term-dictionary statistics every retrieval query reads,
+    * built once per corpus snapshot (the unigramFreq discipline). */
+  private def termDf(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "term_df") {
+      path =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+          .distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+
   val mltOp = QueryDef(
     "ns_search_mlt", { (s, dir) =>
       val d = Par.spread(s, docs(s, dir), col("doc_id"))
@@ -939,21 +962,27 @@ object TextOps {
         .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
       val stats = d.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = d.select(col("doc_id"), col("dl"),
-          explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val seed = tf.filter(col("doc_id") === mltSeedDoc)
-        .join(dfreq, "tok").crossJoin(broadcast(stats))
+      val dfDim = termDf(s, dir)
+      // seed: only the seed document's row reaches the tokenizer — the
+      // doc_id equality pushes into the parquet scan
+      val seedTf = docs(s, dir).filter(col("doc_id") === mltSeedDoc)
+        .select(explode(split(trim(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+      val seed = seedTf.join(dfDim, "tok").crossJoin(broadcast(stats))
         .withColumn("tfidf_c",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
             .cast("long"))
         .orderBy(col("tfidf_c").desc, col("tok"))
         .limit(mltMaxTerms)
         .select("tok")
-      tf.join(broadcast(seed), "tok")
+      // match: the 5-term seed dim broadcasts into the token stream
+      // BEFORE the tf aggregation — only query-term postings shuffle
+      val tf = d.select(col("doc_id"), col("dl"),
+          explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
+        .join(broadcast(seed), "tok")
         .filter(col("doc_id") =!= mltSeedDoc)
-        .join(broadcast(dfreq), "tok")
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(dfDim), "tok")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

@@ -582,17 +582,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("ns_search_mlt: interesting-terms + retrieval share the token stream via runtime reuse") {
-    // the static plan references the tf subtree three times (seed
-    // ranking, df dim, match probe); at runtime the identical
-    // shuffles must collapse — the corpus token stream is built once,
-    // not once per consumer
-    val deep = executedDeepNodes("ns_search_mlt")
-    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
-      "the seed/df/match branches must reuse the tf shuffle, not re-scan the corpus")
+  test("ns_search_mlt: df is an artifact, the seed scan is doc-pruned, postings-only tf") {
     val p = physical("ns_search_mlt")
     assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       s"the retrieval cutoff must be a top-k heap, not a global sort:\n$p")
+    // the seed document's tokenize must read ONE document: the doc_id
+    // equality reaches the parquet scan's PushedFilters
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.getName == "documents.parquet") => f
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(doc_id"))),
+      s"the seed doc_id bound must reach a documents scan's PushedFilters:\n$p")
+    // no query-time full-vocabulary aggregation: every distinct/groupBy
+    // over the token stream sits ABOVE the broadcast seed semi-join, so
+    // the df numbers come from the persisted term_df artifact — the
+    // plan must read it (a non-documents file scan)
+    val artifactScans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if !f.relation.location.rootPaths.exists(_.getName == "documents.parquet") => f
+    }
+    assert(artifactScans.nonEmpty,
+      s"the df dim must come from the persisted term_df artifact, not a corpus aggregation:\n$p")
   }
 
   test("ns_search_function_score: factor lookup is a pruned 2-column scan; top-k is a heap") {
