@@ -586,17 +586,20 @@ object TextOps {
       (s, dir) =>
         val toks = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-        // the matched-terms frame is rebuilt from its RDD: constraint
-        // propagation otherwise carries the levenshtein predicate
-        // across the tok equivalence onto the CORPUS side of the join,
-        // running the edit-distance DP once per token OCCURRENCE
-        // instead of once per vocabulary entry (the whole point of
-        // walking the term dictionary) — and localCheckpoint alone
-        // does NOT help, its LogicalRDD keeps the origin constraints.
-        // The materialized frame is a handful of matched terms (the
-        // ns_dedup_pipeline edge-set precedent); PlanSpec asserts the
-        // main plan carries zero levenshtein calls.
-        val matchedRaw = toks.select("tok").distinct()
+        // the vocabulary walk reads the PERSISTED unigram artifact
+        // (r10 — the term-dictionary discipline ns_search_suggest and
+        // ns_search_mlt follow): no corpus-token distinct per query.
+        // The matched-terms frame is still rebuilt from its RDD:
+        // constraint propagation otherwise carries the levenshtein
+        // predicate across the tok equivalence onto the CORPUS side of
+        // the join, running the edit-distance DP once per token
+        // OCCURRENCE instead of once per vocabulary entry (the whole
+        // point of walking the term dictionary) — and localCheckpoint
+        // alone does NOT help, its LogicalRDD keeps the origin
+        // constraints. The materialized frame is a handful of matched
+        // terms (the ns_dedup_pipeline edge-set precedent); PlanSpec
+        // asserts the main plan carries zero levenshtein calls.
+        val matchedRaw = unigramFreq(s, dir).select("tok")
           .filter(levenshtein(col("tok"), lit(fuzzyTerm)) <= fuzzyMaxDist)
         val matched = s.createDataFrame(matchedRaw.rdd, matchedRaw.schema)
         toks.join(broadcast(matched), "tok")
