@@ -790,16 +790,33 @@ object TextOps {
   private val bm25Query = Seq("spark", "join", "window")
   private val bm25TopK = 20
 
+  /** Corpus-level BM25 statistics (n_docs, avgdl) as a PERSISTED
+    * artifact — what Lucene stores in the index: without it every
+    * retrieval query pays a full corpus tokenize pass just to learn
+    * the average document length. Built once per corpus snapshot;
+    * every retrieval plan broadcasts the one-row dim. */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "corpus_stats") {
+      path =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(size(split(trim(col("text")), " ")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+
   /** The BM25 scoring chain, shared by ns_text_bm25 (global top-k) and
     * ns_search_top_hits (per-bucket top-k): every matching document's
     * rounded score plus its `source` carried along for bucketing —
-    * doc_id is unique, so the extra group key changes no counts. */
+    * doc_id is unique, so the extra group key changes no counts.
+    * Corpus stats read the persisted artifact (r10) — the only
+    * documents scans left in the plan are the posting stream's. */
   private def bm25ScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Par.spread(s, docs(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("t"))
       .select(col("doc_id"), col("source"), col("t"), size(col("t")).cast("long").as("dl"))
-    val stats = d.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val stats = corpusStats(s, dir)
     // explode guarded by when(): a bare explode(t) lets Catalyst
     // infer size(split(...))>0 / isnotnull(split(...)) and push
     // them into the scan, re-tokenizing every document in the
@@ -963,8 +980,7 @@ object TextOps {
       val d = Par.spread(s, docs(s, dir), col("doc_id"))
         .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
         .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-      val stats = d.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val stats = corpusStats(s, dir)
       val dfDim = termDf(s, dir)
       // seed: only the seed document's row reaches the tokenizer — the
       // doc_id equality pushes into the parquet scan
@@ -1039,21 +1055,37 @@ object TextOps {
     * token stream, not F of them. */
   private val mmTitleLen = 8
   private val mmTitleBoost = 2.0
+  /** The (doc_id, fld, toks, dl) field carve shared by the multi_match
+    * probe and its stats-artifact build. */
+  private def mmFields(s: SparkSession, dir: String): DataFrame =
+    Par.spread(s, docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(array(
+        struct(lit("title").as("fld"),
+          slice(col("t"), 1, mmTitleLen).as("toks")),
+        struct(lit("body").as("fld"),
+          expr(s"slice(t, ${mmTitleLen + 1}, greatest(size(t) - $mmTitleLen, 0))")
+            .as("toks")))).as("f"))
+      .select(col("doc_id"), col("f.fld").as("fld"), col("f.toks").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+  /** Per-field (n_docs, avgdl) as a PERSISTED artifact — the
+    * corpusStats discipline, field-keyed. */
+  private def fieldStats(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "field_stats") {
+      path =>
+        mmFields(s, dir).groupBy("fld")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+
   val multiMatchOp = QueryDef(
     "ns_search_multi_match", { (s, dir) =>
-      val d = Par.spread(s, docs(s, dir), col("doc_id"))
-        .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
-        .select(col("doc_id"), explode(array(
-          struct(lit("title").as("fld"),
-            slice(col("t"), 1, mmTitleLen).as("toks")),
-          struct(lit("body").as("fld"),
-            expr(s"slice(t, ${mmTitleLen + 1}, greatest(size(t) - $mmTitleLen, 0))")
-              .as("toks")))).as("f"))
-        .select(col("doc_id"), col("f.fld").as("fld"), col("f.toks").as("toks"))
-        .filter(size(col("toks")) >= 1)
-        .withColumn("dl", size(col("toks")).cast("long"))
-      val stats = d.groupBy("fld").agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val d = mmFields(s, dir)
+      val stats = fieldStats(s, dir)
       val tf = d.select(col("doc_id"), col("fld"), col("dl"),
           explode(when(size(col("toks")) >= 1, col("toks"))).as("tok"))
         .filter(col("tok").isin(bm25Query: _*))
