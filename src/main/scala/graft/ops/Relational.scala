@@ -216,6 +216,93 @@ object Relational {
         coalesce(col("sum_value_c"), lit(0L)).as("sum_value_c"))
   }
 
+  /** The OpenSearch `extended_stats` aggregation: count/sum/min/max/avg
+    * plus variance and standard deviation per bucket. Determinism
+    * discipline: moments accumulate as EXACT integer cents (sum) and
+    * cents² (sum of squares) longs — order-independent partial
+    * aggregation — and variance/std derive from those exact integers
+    * by one identical double computation per bucket in both engines:
+    * var = (n·Σx² − (Σx)²) / n² in cents², std = sqrt. One codegen
+    * pass, map-side partials, |buckets| output rows. */
+  val extendedStatsAgg: QueryDef = q(
+    "ns_agg_extended_stats",
+    s"""WITH m AS (SELECT event_type, count(*) AS n,
+       |    ${sqlSum(sqlCents("value"))} AS sum_c,
+       |    ${sqlSum(s"${sqlCents("value")} * ${sqlCents("value")}")} AS sumsq_c2,
+       |    min(value) AS min_value, max(value) AS max_value
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n, sum_c, min_value, max_value,
+       |  round(CAST(sum_c AS DOUBLE) / 100.0 / n, 6) AS avg_value,
+       |  round((CAST(n AS DOUBLE) * sumsq_c2 - CAST(sum_c AS DOUBLE) * sum_c)
+       |        / (CAST(n AS DOUBLE) * n) / 10000.0, 6) AS variance,
+       |  round(sqrt((CAST(n AS DOUBLE) * sumsq_c2 - CAST(sum_c AS DOUBLE) * sum_c)
+       |        / (CAST(n AS DOUBLE) * n)) / 100.0, 6) AS std_dev
+       |FROM m""".stripMargin) { (s, dir) =>
+    val c = cents(col("value"))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(c).as("sum_c"),
+        sum(c * c).as("sumsq_c2"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("event_type"), col("n"), col("sum_c"), col("min_value"), col("max_value"),
+        round(col("sum_c").cast("double") / 100.0 / col("n"), 6).as("avg_value"),
+        round((col("n").cast("double") * col("sumsq_c2") - col("sum_c").cast("double") * col("sum_c"))
+          / (col("n").cast("double") * col("n")) / 10000.0, 6).as("variance"),
+        round(sqrt((col("n").cast("double") * col("sumsq_c2") - col("sum_c").cast("double") * col("sum_c"))
+          / (col("n").cast("double") * col("n"))) / 100.0, 6).as("std_dev"))
+  }
+
+  /** The OpenSearch `weighted_avg` aggregation: Σ(v·w)/Σ(w) per bucket
+    * — value weighted by a per-doc weight (here 1 + user_id % 5, a
+    * deterministic stand-in for a confidence/boost field). Numerator
+    * in exact integer cents·weight, denominator an exact long sum; one
+    * double division per bucket. */
+  val weightedAvgAgg: QueryDef = q(
+    "ns_agg_weighted_avg",
+    s"""SELECT event_type,
+       |  ${sqlSum(s"${sqlCents("value")} * (1 + user_id % 5)")} AS wsum_c,
+       |  ${sqlSum("1 + user_id % 5")} AS wtotal,
+       |  round(CAST(${sqlSum(s"${sqlCents("value")} * (1 + user_id % 5)")} AS DOUBLE)
+       |        / ${sqlSum("1 + user_id % 5")} / 100.0, 6) AS weighted_avg
+       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val w = lit(1L) + pmod(col("user_id"), lit(5L))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(sum(cents(col("value")) * w).as("wsum_c"),
+        sum(w).as("wtotal"))
+      .select(col("event_type"), col("wsum_c"), col("wtotal"),
+        round(col("wsum_c").cast("double") / col("wtotal") / 100.0, 6).as("weighted_avg"))
+  }
+
+  /** The OpenSearch `top_metrics` aggregation: the metric values of the
+    * LATEST document per bucket (sort on the time field, size 1) — the
+    * "current reading per series" dashboard primitive. Implemented as
+    * max over a (ts, tiebreak, metrics…) struct: struct ordering IS
+    * the sort + tie-break, a single map-side-combining aggregate — no
+    * per-bucket window sort of the events, no shuffle beyond the
+    * |buckets| groups. The oracle's arg-max mirrors it with the same
+    * (ts_ms, event_id) keyset via a window over the tiny residual. */
+  val topMetricsAgg: QueryDef = q(
+    "ns_agg_top_metrics",
+    s"""SELECT event_type, ts_ms AS top_ms, event_id AS top_event_id,
+       |  ${sqlCents("value")} AS top_value_c
+       |FROM (SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+       |  FROM events)
+       |WHERE rk = 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(max(struct(col("ts_ms"), col("event_id"),
+        cents(col("value")).as("vc"))).as("m"))
+      .select(col("event_type"),
+        col("m.ts_ms").as("top_ms"),
+        col("m.event_id").as("top_event_id"),
+        col("m.vc").as("top_value_c"))
+  }
+
   /** The OpenSearch `prefix` query (keyword-field edition) with a terms
     * roll-up of the matches — `source: src1*` covering src1, src10–19.
     *
@@ -776,6 +863,7 @@ object Relational {
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
     rangeAgg, histogramAgg, histogramDenseAgg, prefixQuery, adjacencyMatrixAgg,
+    extendedStatsAgg, weightedAvgAgg, topMetricsAgg,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
