@@ -254,6 +254,30 @@ object Relational {
           / (col("n").cast("double") * col("n"))) / 100.0, 6).as("std_dev"))
   }
 
+  /** The OpenSearch `percentile_ranks` aggregation — the inverse of
+    * percentiles: for fixed values, the fraction of documents at or
+    * below each ("what share of requests beat the 50/100/200 SLO").
+    * Exact long conditional counts per bucket (order-independent
+    * partials), one double division per rank — no sort anywhere,
+    * unlike the forward percentile which must order values. */
+  val percentileRanksAgg: QueryDef = q(
+    "ns_agg_percentile_ranks",
+    """SELECT event_type, count(*) AS n,
+      |  round(CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pr_50,
+      |  round(CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pr_100,
+      |  round(CAST(sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pr_200
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    def below(x: Double) = sum(when(col("value") <= x, 1L).otherwise(0L))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        below(50).as("b50"), below(100).as("b100"), below(200).as("b200"))
+      .select(col("event_type"), col("n"),
+        round(col("b50").cast("double") / col("n"), 6).as("pr_50"),
+        round(col("b100").cast("double") / col("n"), 6).as("pr_100"),
+        round(col("b200").cast("double") / col("n"), 6).as("pr_200"))
+  }
+
   /** The OpenSearch `weighted_avg` aggregation: Σ(v·w)/Σ(w) per bucket
     * — value weighted by a per-doc weight (here 1 + user_id % 5, a
     * deterministic stand-in for a confidence/boost field). Numerator
@@ -863,7 +887,7 @@ object Relational {
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
     rangeAgg, histogramAgg, histogramDenseAgg, prefixQuery, adjacencyMatrixAgg,
-    extendedStatsAgg, weightedAvgAgg, topMetricsAgg,
+    extendedStatsAgg, weightedAvgAgg, topMetricsAgg, percentileRanksAgg,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,
