@@ -223,12 +223,16 @@ object Relational {
     * aggregation — and variance/std derive from those exact integers
     * by one identical double computation per bucket in both engines:
     * var = (n·Σx² − (Σx)²) / n² in cents², std = sqrt. One codegen
-    * pass, map-side partials, |buckets| output rows. */
+    * pass, map-side partials, |buckets| output rows. The squared-cents
+    * accumulator runs in DECIMAL(38)/HUGEINT — a per-row square is
+    * ~1e9 cents², so a long Σx² overflows around 1e10 rows, inside
+    * 100 TB territory; the 38-digit accumulator does not (the emitted
+    * column pins back to int64, exact at the compared scales). */
   val extendedStatsAgg: QueryDef = q(
     "ns_agg_extended_stats",
     s"""WITH m AS (SELECT event_type, count(*) AS n,
        |    ${sqlSum(sqlCents("value"))} AS sum_c,
-       |    ${sqlSum(s"${sqlCents("value")} * ${sqlCents("value")}")} AS sumsq_c2,
+       |    CAST(SUM(CAST(${sqlCents("value")} AS HUGEINT) * ${sqlCents("value")}) AS BIGINT) AS sumsq_c2,
        |    min(value) AS min_value, max(value) AS max_value
        |  FROM events GROUP BY 1)
        |SELECT event_type, n, sum_c, min_value, max_value,
@@ -243,7 +247,8 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(c).as("sum_c"),
-        sum(c * c).as("sumsq_c2"),
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * c)
+          .cast("long").as("sumsq_c2"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("event_type"), col("n"), col("sum_c"), col("min_value"), col("max_value"),
