@@ -21,6 +21,16 @@ object Exact {
   /** product of three 2-dp values -> integer 1e-6 units. */
   def cents6(c: Column): Column = round(c * 1000000, 0).cast("long")
 
+  /** Overflow-proof exact sum of integer units: accumulate in
+    * DECIMAL(38,0) and emit int64. A ~1e9-unit row term (cents4 of a
+    * large money product) overflows a 64-bit sum near 1e10 rows —
+    * inside 100 TB fact-table territory when a group holds most rows —
+    * while the 38-digit accumulator does not. DuckDB needs no twin:
+    * its SUM(BIGINT) already accumulates in HUGEINT (which is exactly
+    * why sqlSum pins the result back to BIGINT). */
+  def sumExact(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long")
+
   /** DuckDB-side equivalents, for building oracle SQL strings. */
   def sqlCents(e: String): String  = s"CAST(round(($e)*100,0) AS BIGINT)"
   def sqlCents4(e: String): String = s"CAST(round(($e)*10000,0) AS BIGINT)"

@@ -46,9 +46,13 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(cents(col("l_quantity"))).as("sum_qty_c"),
-        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
-        sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
-        sum(cents6((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))).as("sum_charge_c"),
+        // money sums ride the DECIMAL(38) accumulator (Exact.sumExact):
+        // cents4/cents6 row terms reach 1e9-1e11, overflowing an int64
+        // sum near 1e10 rows — a handful of return-flag groups can hold
+        // that many at the target scale
+        sumExact(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sumExact(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+        sumExact(cents6((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))).as("sum_charge_c"),
         count(lit(1)).as("n"))
   }
 
@@ -604,7 +608,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+        sumExact(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
         count(lit(1)).as("n_items"),
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
