@@ -624,6 +624,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("simple-agg DSL family: no window, no join explosion, one agg shuffle") {
+    // these aggs are each ONE codegen pass + a bucket-bounded exchange;
+    // lock that a refactor never sneaks a per-bucket window sort or a
+    // filter-stream self-join into them
+    for (qn <- Seq("ns_agg_range", "ns_agg_histogram", "ns_agg_adjacency_matrix",
+                   "ns_agg_extended_stats", "ns_agg_weighted_avg",
+                   "ns_agg_top_metrics", "ns_agg_percentile_ranks")) {
+      val p = physical(qn)
+      assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+        s"$qn plans a window over event rows:\n$p")
+      assert(!nodes(p).exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+          n.getClass.getSimpleName == "CartesianProductExec"),
+        s"$qn plans a join explosion:\n$p")
+      val shuffles = nodes(p).count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 2,
+        s"$qn has $shuffles shuffles — expected just the aggregate exchange:\n$p")
+    }
+  }
+
   test("ns_search_suggest: the term dictionary walk never scans the corpus at query time") {
     // the suggester reads the persisted unigram artifact (the Lucene
     // FST-walk analogue); a documents scan in its plan means the
