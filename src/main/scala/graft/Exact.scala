@@ -21,15 +21,27 @@ object Exact {
   /** product of three 2-dp values -> integer 1e-6 units. */
   def cents6(c: Column): Column = round(c * 1000000, 0).cast("long")
 
+  /** DECIMAL(38,0) -> int64 that fails LOUDLY when the value does not
+    * fit: a plain `.cast("long")` silently yields NULL on overflow in
+    * non-ANSI Spark, while DuckDB's HUGEINT->BIGINT cast raises — the
+    * two engines would diverge at exactly the scale the decimal
+    * accumulator exists for. The range check makes both fail the same
+    * way (query error, not a quiet NULL in one engine's output). */
+  def toLongChecked(s: Column): Column =
+    when(s.isNotNull && (s > lit(Long.MaxValue) || s < lit(Long.MinValue)),
+      raise_error(concat(lit("graft.Exact: int64 overflow: "), s.cast("string"))))
+      .otherwise(s.cast("long"))
+
   /** Overflow-proof exact sum of integer units: accumulate in
     * DECIMAL(38,0) and emit int64. A ~1e9-unit row term (cents4 of a
     * large money product) overflows a 64-bit sum near 1e10 rows —
     * inside 100 TB fact-table territory when a group holds most rows —
     * while the 38-digit accumulator does not. DuckDB needs no twin:
     * its SUM(BIGINT) already accumulates in HUGEINT (which is exactly
-    * why sqlSum pins the result back to BIGINT). */
+    * why sqlSum pins the result back to BIGINT — and raises if it
+    * doesn't fit, which toLongChecked mirrors). */
   def sumExact(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long")
+    toLongChecked(sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))))
 
   /** DuckDB-side equivalents, for building oracle SQL strings. */
   def sqlCents(e: String): String  = s"CAST(round(($e)*100,0) AS BIGINT)"

@@ -251,8 +251,9 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(c).as("sum_c"),
-        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * c)
-          .cast("long").as("sumsq_c2"),
+        Exact.toLongChecked(
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * c))
+          .as("sumsq_c2"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("event_type"), col("n"), col("sum_c"), col("min_value"), col("max_value"),
@@ -303,7 +304,10 @@ object Relational {
     val w = lit(1L) + pmod(col("user_id"), lit(5L))
     Tables.events(s, dir)
       .groupBy("event_type")
-      .agg(sum(cents(col("value")) * w).as("wsum_c"),
+      // wsum_c through the DECIMAL(38) accumulator like the other money
+      // sums: a cents·weight term carries ~5× less int64 headroom than
+      // the plain cents sums it sits next to
+      .agg(Exact.sumExact(cents(col("value")) * w).as("wsum_c"),
         sum(w).as("wtotal"))
       .select(col("event_type"), col("wsum_c"), col("wtotal"),
         round(col("wsum_c").cast("double") / col("wtotal") / 100.0, 6).as("weighted_avg"))
