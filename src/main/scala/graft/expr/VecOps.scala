@@ -48,6 +48,24 @@ object VecFunctions {
     Cols.column(CosineSimilarity(Cols.expr(a), Cols.expr(b)))
   def lsh_sign_bits(emb: Column, w: Array[Array[Long]]): Column =
     Cols.column(LshSignBits(Cols.expr(emb), w))
+  /** round(x·1000) HALF_UP per element — integer-space quantization. */
+  def quantize_vec(emb: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.QuantizeVec(Cols.expr(emb)))
+  /** argmin (dist, cluster) over a broadcast centroid array column. */
+  def nearest_centroid(q: Column, cents: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.NearestCentroid(Cols.expr(q), Cols.expr(cents)))
+  /** PQ corpus encode: per-subspace argmin centroid ids. */
+  def pq_encode(q: Column, cb: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.PqEncode(Cols.expr(q), Cols.expr(cb)))
+  /** Per-query ADC lookup table over the broadcast codebook. */
+  def pq_lut(qq: Column, cb: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.PqLut(Cols.expr(qq), Cols.expr(cb)))
+  /** ADC score: sum of per-subspace LUT lookups by code. */
+  def pq_adc(codes: Column, lut: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.PqAdc(Cols.expr(codes), Cols.expr(lut)))
+  /** Exact long L2 between ARRAY<BIGINT> vectors. */
+  def vec_l2_long(a: Column, b: Column): Column =
+    Cols.column(org.apache.spark.sql.graftshim.L2DistanceLong(Cols.expr(a), Cols.expr(b)))
   /** Bounded top-k by (score desc, id asc) — row_number-identical. */
   def topk_by_score(id: Column, score: Column, k: Int): Column =
     Cols.column(org.apache.spark.sql.graftshim.TopKByScoreAgg(

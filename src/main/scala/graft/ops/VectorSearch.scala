@@ -486,26 +486,26 @@ object VectorSearch {
   private val kmK = 10
   private val kmIters = 2
 
-  /** Quantized corpus: (vec_id, q ARRAY<BIGINT>). The per-element HOF
-    * is a map-only projection (the quantizeOp rationale); at 100 TB the
-    * native-expression shape (LshSignBits precedent) slots in. */
+  /** Quantized corpus: (vec_id, q ARRAY<BIGINT>) via the native
+    * QuantizeVec expression — the first step of every integer-space
+    * corpus pass stays inside whole-stage codegen (the `transform` HOF
+    * it replaces is CodegenFallback and dropped the stage interpreted;
+    * LshSignBits precedent, GraftShim). */
   private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
     embPar(s, dir).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+      graft.expr.VecFunctions.quantize_vec(col("embedding")).as("q"))
 
   /** Nearest-centroid assignment as ONE map pass: the centroid dim
     * (k rows) collapses to a single array row, broadcasts, and each
-    * corpus row takes array_min over struct(dist, cluster) — struct
-    * ordering IS the (dist ASC, cluster ASC) tie-break, identical to
-    * the oracle's row_number. No shuffle of the corpus, no driver
-    * collect: the canonical broadcast-assign k-means step. */
+    * corpus row takes the native NearestCentroid argmin — (dist ASC,
+    * cluster ASC) tie-break, identical to the oracle's row_number and
+    * to the array_min-over-struct HOF it replaces, but codegen'd. No
+    * shuffle of the corpus, no driver collect: the canonical
+    * broadcast-assign k-means step. */
   private[graft] def kmAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(collect_list(struct(col("cluster"), col("cq"))).as("cents"))
     corpus.crossJoin(broadcast(centArr))
-      .withColumn("m", expr(
-        """array_min(transform(cents, c -> named_struct(
-          |  'dist', aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v),
-          |  'cluster', c.cluster)))""".stripMargin))
+      .withColumn("m", graft.expr.VecFunctions.nearest_centroid(col("q"), col("cents")))
       .select(col("vec_id"), col("q"),
         col("m.cluster").as("cluster"), col("m.dist").as("dist"))
   }
@@ -640,38 +640,44 @@ object VectorSearch {
   /** The shared ADC scoring chain: (q_id, vec_id, adc) for every
     * (query, corpus vector) pair, all lookups against broadcast
     * structures, no shuffle before the consumer's cutoff. */
-  private def pqScored(s: SparkSession, dir: String): DataFrame = {
-    // codebook as one broadcast row: cb[sub] = centroids sorted by cid
-    val cbRow = pqCodebook(s, dir)
+  /** Codebook as ONE broadcast row: cb[sub] = centroids sorted by cid.
+    * The HOF assembly here runs over the 128-row persisted artifact —
+    * one output row — never the corpus; the corpus-side stages below
+    * are all native expressions (PlanSpec locks them in codegen). */
+  private def pqCbRow(s: SparkSession, dir: String): DataFrame =
+    pqCodebook(s, dir)
       .groupBy("sub")
       .agg(expr("transform(array_sort(collect_list(named_struct('cid', cid, 'cq', cq))), x -> x)")
         .as("cents"))
       .agg(expr("transform(array_sort(collect_list(named_struct('sub', sub, 'cents', cents))), x -> x.cents)")
         .as("cb"))
-    // one map pass: 8 argmins per vector against the broadcast codebook
-    val distExpr = (qs: String) =>
-      s"aggregate(zip_with($qs, c.cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
-    val codes = quantized(s, dir).crossJoin(broadcast(cbRow))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${pqM - 1}), m -> array_min(transform(cb[m],
-           |  c -> named_struct('dist', ${distExpr(s"slice(q, m * $pqDsub + 1, $pqDsub)")},
-           |                    'cid', c.cid))).cid)""".stripMargin))
-      .select(col("vec_id"), col("codes"))
-    // per-query LUT: per subspace a cid-keyed map of exact subspace
-    // distances (cid-keyed, not positional — robust to a centroid
-    // emptying out in the Lloyd round)
+
+  /** The corpus code stream: one map pass, 8 native argmins per vector
+    * against the broadcast codebook (PqEncode — the transform/array_min/
+    * slice HOF chain it replaces was CodegenFallback and ran the encode
+    * interpreted; at 100 TB this pass rides every index build). */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).crossJoin(broadcast(pqCbRow(s, dir)))
+      .select(col("vec_id"),
+        graft.expr.VecFunctions.pq_encode(col("q"), col("cb")).as("codes"))
+
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    // per-query LUT: per subspace, cid-keyed exact subspace distances
+    // (cid-keyed, not positional — robust to a centroid emptying out in
+    // the Lloyd round); 20 tiny rows, broadcast
     val luts = quantized(s, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("q").as("qq"))
-      .crossJoin(broadcast(cbRow))
-      .withColumn("lut", expr(
-        s"""transform(sequence(0, ${pqM - 1}), m -> map_from_entries(transform(cb[m],
-           |  c -> struct(c.cid, ${distExpr(s"slice(qq, m * $pqDsub + 1, $pqDsub)")}))))""".stripMargin))
-      .select(col("q_id"), col("lut"))
-    codes.crossJoin(broadcast(luts))
+      .crossJoin(broadcast(pqCbRow(s, dir)))
+      .select(col("q_id"),
+        graft.expr.VecFunctions.pq_lut(col("qq"), col("cb")).as("lut"))
+    // the compressed-domain scan: 8 native table lookups per
+    // (vector, query) — PqAdc keeps the whole scoring stage in
+    // whole-stage codegen (the interpreted HOF chain forfeited exactly
+    // the constant factor PQ exists to win)
+    pqCodes(s, dir).crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", expr(
-        s"aggregate(transform(sequence(0, ${pqM - 1}), m -> element_at(lut[m], codes[m])), 0L, (a, x) -> a + x)"))
-      .select(col("q_id"), col("vec_id"), col("adc"))
+      .select(col("q_id"), col("vec_id"),
+        graft.expr.VecFunctions.pq_adc(col("codes"), col("lut")).as("adc"))
   }
 
   /** Bounded top-k of a (q_id, vec_id, score-to-MINIMIZE) relation. */
@@ -742,9 +748,8 @@ object VectorSearch {
         val exact = shortlist
           .join(quantized(s, dir), "vec_id")
           .join(broadcast(qq), "q_id")
-          .withColumn("l2", expr(
-            "aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
-          .select(col("q_id"), col("vec_id"), col("l2"))
+          .select(col("q_id"), col("vec_id"),
+            graft.expr.VecFunctions.vec_l2_long(col("q"), col("qq")).as("l2"))
         pqCut(exact, "l2", topK)
     },
     Some(s"""WITH eq AS (SELECT vec_id, i // $pqDsub AS sub, i % $pqDsub AS j,

@@ -815,6 +815,259 @@ object SimHashHelper {
   }
 }
 
+/** Integer vector quantization: round(x·1000) HALF_UP per element over an
+  * ARRAY<FLOAT> embedding — the shared quantization every integer-space
+  * vector operator builds on (k-means, PQ, LSH), exactly Spark's
+  * round(CAST(x AS DOUBLE)*1000, 0) per element (BigDecimal HALF_UP, the
+  * LshSignBits parity rule), so DuckDB reproduces it bit-for-bit. A
+  * native expression because the `transform(...)` HOF formulation is
+  * CodegenFallback and drops the whole corpus stage to interpreted
+  * execution — this is the FIRST step of every PQ/k-means corpus pass. */
+case class QuantizeVec(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_vec"
+  override protected def nullSafeEval(input: Any): Any =
+    PqHelper.quantize(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graftshim.PqHelper.quantize($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid argmin over a broadcast centroid array: q is
+  * ARRAY<BIGINT>, cents is ARRAY<STRUCT<cluster INT, cq ARRAY<BIGINT>>>;
+  * output is the (cluster, dist) of the minimum exact-long L2, ties to
+  * the LOWER cluster id — exactly the array_min-over-struct(dist,
+  * cluster) idiom it replaces (struct ordering IS the tie-break), but as
+  * a primitive loop inside whole-stage codegen instead of a
+  * CodegenFallback HOF chain interpreting k×dim lambda frames per row.
+  * Types are guaranteed by the internal constructor (no SQL surface), so
+  * no ExpectsInputTypes coercion on the nested side. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(q: Any, cents: Any): Any =
+    PqHelper.nearest(q.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  // null iff the centroid array is empty — re-derive isNull (TryGunzip pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"""${ev.value} = org.apache.spark.sql.graftshim.PqHelper.nearest($q, $c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+}
+
+/** PQ corpus encoding: per subspace m, the argmin centroid id of the
+  * m-th contiguous q-subvector against cb[m] (ARRAY<ARRAY<STRUCT<cid
+  * INT, cq ARRAY<BIGINT>>>>, centroids sorted by cid) — 8 argmins per
+  * row in one primitive loop. Subspace width comes from each
+  * centroid's own cq length, so a ragged codebook cannot misalign the
+  * offsets. Replaces the transform(sequence)/array_min/slice HOF chain
+  * (CodegenFallback) that ran the whole corpus encode interpreted —
+  * at 100 TB the encode pass rides every index build. */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(q: Any, cb: Any): Any =
+    PqHelper.encode(q.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (q, cb) => s"org.apache.spark.sql.graftshim.PqHelper.encode($q, $cb)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+/** Per-query ADC lookup table: for each subspace m, the exact long L2 of
+  * the query's m-th subvector to EVERY centroid in cb[m], as
+  * ARRAY<ARRAY<STRUCT<cid INT, d BIGINT>>> (cid-keyed entries, robust to
+  * a centroid emptying out in the Lloyd round). One table per query —
+  * tiny, broadcast — so the corpus ADC scan is pure table lookups. */
+case class PqLut(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ArrayType(StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("d", LongType, nullable = false))), containsNull = false),
+    containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(qq: Any, cb: Any): Any =
+    PqHelper.lut(qq.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (qq, cb) => s"org.apache.spark.sql.graftshim.PqHelper.lut($qq, $cb)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLut =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric distance computation: sum over subspaces of the LUT entry
+  * matching the row's code — the 8-lookup inner loop that IS the PQ
+  * compressed-domain scan. Each lookup is a ≤ ksub-entry linear probe
+  * (16 ints — cheaper than any hash structure at this size). NULL if a
+  * code has no LUT entry (mirrors element_at's missing-key null, which
+  * the HOF formulation produced). Native because the interpreted
+  * transform/element_at/aggregate chain forfeits exactly the constant
+  * factor PQ exists to win at 100 TB. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqHelper.adc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val tmp = ctx.freshName("adc")
+      s"""java.lang.Long $tmp = org.apache.spark.sql.graftshim.PqHelper.adc($codes, $lut);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
+/** Exact long L2 distance between two ARRAY<BIGINT> vectors (index-order
+  * primitive loop over the common prefix) — the rerank stage's exact
+  * re-scoring, replacing the aggregate(zip_with(...)) CodegenFallback. */
+case class L2DistanceLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_l2_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqHelper.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graftshim.PqHelper.l2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistanceLong =
+    copy(left = l, right = r)
+}
+
+object PqHelper {
+  def quantize(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.math.BigDecimal.valueOf(emb.getFloat(i).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact long L2 over the common prefix of the two subvectors. */
+  private def subL2(q: ArrayData, off: Int, cq: ArrayData): Long = {
+    val n = math.min(cq.numElements(), q.numElements() - off)
+    var d = 0L
+    var j = 0
+    while (j < n) { val t = q.getLong(off + j) - cq.getLong(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** null iff cents is empty. */
+  def nearest(q: ArrayData, cents: ArrayData): InternalRow = {
+    val k = cents.numElements()
+    if (k == 0) return null
+    var bestD = Long.MaxValue
+    var bestC = Int.MaxValue
+    var i = 0
+    while (i < k) {
+      val st = cents.getStruct(i, 2)
+      val c = st.getInt(0)
+      val d = subL2(q, 0, st.getArray(1))
+      if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestC, bestD))
+  }
+
+  def encode(q: ArrayData, cb: ArrayData): ArrayData = {
+    val m = cb.numElements()
+    val out = new Array[Int](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cents = cb.getArray(mi)
+      val k = cents.numElements()
+      var bestD = Long.MaxValue
+      var bestC = Int.MaxValue
+      var dsub = 0
+      var ci = 0
+      while (ci < k) {
+        val st = cents.getStruct(ci, 2)
+        val cid = st.getInt(0)
+        val cq = st.getArray(1)
+        dsub = cq.numElements()
+        val d = subL2(q, off, cq)
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+        ci += 1
+      }
+      out(mi) = bestC
+      off += dsub
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def lut(qq: ArrayData, cb: ArrayData): ArrayData = {
+    val m = cb.numElements()
+    val out = new Array[Any](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cents = cb.getArray(mi)
+      val k = cents.numElements()
+      val entries = new Array[Any](k)
+      var dsub = 0
+      var ci = 0
+      while (ci < k) {
+        val st = cents.getStruct(ci, 2)
+        val cq = st.getArray(1)
+        dsub = cq.numElements()
+        entries(ci) = new GenericInternalRow(Array[Any](st.getInt(0), subL2(qq, off, cq)))
+        ci += 1
+      }
+      out(mi) = new GenericArrayData(entries)
+      off += dsub
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** null iff any code lacks a LUT entry (element_at missing-key parity). */
+  def adc(codes: ArrayData, lut: ArrayData): java.lang.Long = {
+    val m = math.min(codes.numElements(), lut.numElements())
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      val code = codes.getInt(mi)
+      val entries = lut.getArray(mi)
+      val k = entries.numElements()
+      var found = false
+      var i = 0
+      while (i < k && !found) {
+        val st = entries.getStruct(i, 2)
+        if (st.getInt(0) == code) { s += st.getLong(1); found = true }
+        i += 1
+      }
+      if (!found) return null
+      mi += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  def l2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0L
+    var j = 0
+    while (j < n) { val t = a.getLong(j) - b.getLong(j); d += t * t; j += 1 }
+    d
+  }
+}
+
 sealed abstract class FloatVecBinary extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))

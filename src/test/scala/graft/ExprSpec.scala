@@ -223,4 +223,43 @@ class ExprSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty && rows.forall(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("quantize_vec equals the transform HOF formulation on real embeddings") {
+    import graft.expr.VecFunctions.quantize_vec
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(quantize_vec(col("embedding")).as("nat"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("hof"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("pq_encode / pq_lut / pq_adc / nearest_centroid / vec_l2_long: hand-computed semantics") {
+    import graft.expr.VecFunctions._
+    import spark.implicits._
+    // dim 4, 2 subspaces of 2; codebook with non-dense cids
+    val cb = "array(" +
+      "array(named_struct('cid', 0, 'cq', array(0L, 0L)), named_struct('cid', 1, 'cq', array(3L, 4L)))," +
+      "array(named_struct('cid', 5, 'cq', array(10L, 10L)), named_struct('cid', 7, 'cq', array(0L, 0L))))"
+    val r = Seq(1).toDF("x")
+      .select(
+        pq_encode(expr("array(0L, 0L, 10L, 10L)"), expr(cb)).as("codes"),
+        pq_lut(expr("array(1L, 1L, 0L, 0L)"), expr(cb)).as("lut"))
+      .select(col("codes"), pq_adc(col("codes"), col("lut")).as("adc"))
+      .collect().head
+    // sub0: d(0,c0)=0 < d(0,c1)=25 → 0; sub1: d(10,c5)=0 < d(10,c7)=200 → 5
+    assert(r.getSeq[Int](0) == Seq(0, 5))
+    // adc of codes [0,5] against qq=[1,1,0,0]: sub0 d(q,c0)=2; sub1 d(q,c5)=200
+    assert(r.getLong(1) == 202L)
+    // argmin ties go to the LOWER cid on both expressions
+    val tie = Seq(1).toDF("x").select(
+      pq_encode(expr("array(0L, 0L)"),
+        expr("array(array(named_struct('cid', 3, 'cq', array(1L, 0L)), named_struct('cid', 1, 'cq', array(0L, 1L))))")).as("c"),
+      nearest_centroid(expr("array(0L, 0L)"),
+        expr("array(named_struct('cluster', 5, 'cq', array(1L, 0L)), named_struct('cluster', 3, 'cq', array(0L, 1L)))")).as("m"),
+      vec_l2_long(expr("array(1L, 2L, 3L)"), expr("array(3L, 2L, 1L)")).as("l2"))
+      .select(col("c"), col("m.cluster"), col("m.dist"), col("l2")).collect().head
+    assert(tie.getSeq[Int](0) == Seq(1))
+    assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L)
+    assert(tie.getLong(3) == 8L)
+  }
 }

@@ -198,11 +198,21 @@ class PlanSpec extends SparkSpec {
     // percentile: the bounded object buffer is the point, and the
     // per-row update is a primitive-array append, not an interpreted
     // expression tree. Allowed only in the two bucket-pair plans.
+    // The PQ/k-means family (r11): the corpus-side stages — quantize,
+    // encode, LUT, ADC, argmin, exact L2 — are all native expressions;
+    // the only permitted fallbacks are the tiny codebook/centroid
+    // ASSEMBLY aggregates (≤128 rows → one broadcast array row) and the
+    // bounded top-k aggregate.
+    val tinyAssembly = Set("CollectList", "ArraySort", "ArrayTransform",
+      "LambdaFunction", "NamedLambdaVariable")
     val allowed: Map[String, Set[String]] = Map(
       "ns_similarity_knn" -> Set("TopKByScoreAgg"),
-      "ns_similarity_ivf" -> Set("TopKByScoreAgg", "ZipWith", "ArrayTransform",
-        "ArrayAggregate", "CollectList", "LambdaFunction", "ArraySort",
-        "NamedLambdaVariable"),
+      "ns_similarity_ivf" -> (tinyAssembly ++ Set("TopKByScoreAgg", "ZipWith",
+        "ArrayAggregate")),
+      "ns_similarity_pq" -> (tinyAssembly + "TopKByScoreAgg"),
+      "ns_similarity_pq_rerank" -> (tinyAssembly + "TopKByScoreAgg"),
+      "ns_cluster_kmeans" -> Set("CollectList"),
+      "ns_dedup_semantic" -> Set("CollectList", "BoundedBucketAgg"),
       "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
       "ns_dedup_minhash" -> Set("BoundedBucketAgg"),
       "ns_dedup_embedding" -> Set("BoundedBucketAgg"))
@@ -214,7 +224,10 @@ class PlanSpec extends SparkSpec {
       // r9 text-pipeline additions: all pure codegen by design (slice
       // with a column start, sequence explode, regexp projections)
       "ns_decontaminate", "ns_text_repetition", "ns_text_chunk",
-      "ns_text_pack", "ns_text_unigram_logprob", "ns_split_leakage_near")
+      "ns_text_pack", "ns_text_unigram_logprob", "ns_split_leakage_near",
+      // r11: the PQ compressed-domain scan and the Lloyd assignment pass
+      "ns_similarity_pq", "ns_similarity_pq_rerank", "ns_cluster_kmeans",
+      "ns_dedup_semantic")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -732,6 +745,28 @@ class PlanSpec extends SparkSpec {
     val deep = executedDeepNodes("ns_select_budget")
     assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
       "the bucket-sum branch must reuse the windowed branch's shuffle, not re-scan the corpus")
+  }
+
+  test("PQ encode and ADC scoring run inside whole-stage codegen — never interpreted") {
+    // the compressed-domain scan IS the 100 TB product: both the corpus
+    // encode (PqEncode) and the per-row ADC sum (PqAdc) must sit inside
+    // a WholeStageCodegen span, not in an interpreted project — the HOF
+    // formulation they replaced ran both stages CodegenFallback
+    // codegen collapse happens per query stage at RUNTIME under AQE, so
+    // the assertion must read the executed adaptive plan, not the
+    // pre-execution initial plan (which never carries codegen spans)
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val spans = executedDeepNodes("ns_similarity_pq")
+      .collect { case w: WholeStageCodegenExec => w }
+    assert(spans.exists(_.toString.contains("pq_adc")),
+      "the ADC scoring stage left whole-stage codegen")
+    assert(spans.exists(_.toString.contains("pq_encode")),
+      "the corpus encode stage left whole-stage codegen")
+    // and the rerank's exact re-score stays native too
+    val rspans = executedDeepNodes("ns_similarity_pq_rerank")
+      .collect { case w: WholeStageCodegenExec => w }
+    assert(rspans.exists(_.toString.contains("vec_l2_long")),
+      "the rerank exact-L2 stage left whole-stage codegen")
   }
 
   test("ns_cluster_kmeans: assignment is a broadcast map pass — no corpus join, no argmin window") {
