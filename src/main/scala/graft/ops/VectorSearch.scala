@@ -786,6 +786,107 @@ object VectorSearch {
            |    row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rank FROM rr)
            |WHERE rank <= $topK""".stripMargin))
 
+  /** The IVFPQ index: PQ codes PERSISTED label-PARTITIONED (the actual
+    * FAISS IVFPQ memory layout — inverted lists of compressed codes per
+    * coarse cell). The build encodes the corpus ONCE against the
+    * persisted codebook and writes 8-byte codes under partitionBy(label),
+    * so a probe reading it joins on the PARTITION column and Dynamic
+    * Partition Pruning restricts the scan to the probed cells'
+    * directories — raw PQ's one structural weakness (ADC still scans
+    * ALL codes) resolved by the coarse quantizer: at 100 TB the ADC pass
+    * reads nProbe/nLabels of the code domain instead of all of it. */
+  private def ivfpqCodes(s: SparkSession, dir: String): DataFrame =
+    buildOnce(s, dir, "ivfpq_codes") { path =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          graft.expr.VecFunctions.quantize_vec(col("embedding")).as("q"))
+        .crossJoin(broadcast(pqCbRow(s, dir)))
+        .select(col("vec_id"), col("label"),
+          graft.expr.VecFunctions.pq_encode(col("q"), col("cb")).as("codes"))
+        .repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(path)
+    }
+
+  /** IVF × PQ — the composed FAISS IVFPQ shape: route each query to its
+    * nProbe nearest coarse centroids (the persisted IVF centroid dim,
+    * ranked exactly as ns_similarity_ivf) and run the ADC compressed-
+    * domain scan ONLY over those cells' persisted codes. The probe join
+    * keys on the partition column, so DPP prunes the code scan to the
+    * probed directories (PlanSpec-locked); scoring is the native PqAdc
+    * 8-lookup sum against the broadcast per-query LUTs; the cutoff is
+    * the bounded top-k aggregate. All arithmetic exact long sums — the
+    * DuckDB oracle rebuilds the identical codebook, codes, LUTs, and
+    * probe set, so the hash match covers the full composition. */
+  val ivfpqOp = QueryDef(
+    "ns_similarity_ivfpq", {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val cent = centroidDim(s, dir)
+        val q = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cosC =
+          "round(aggregate(zip_with(q_emb, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x) " +
+            "/ (sqrt(aggregate(q_emb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) " +
+            "* sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))), 6)"
+        val assigned = q.crossJoin(broadcast(cent))
+          .withColumn("cos_c", expr(cosC))
+        val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
+        val probe = assigned.withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
+          .select(col("q_id"), col("label").as("probe_label"))
+        val luts = quantized(s, dir).filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"))
+          .crossJoin(broadcast(pqCbRow(s, dir)))
+          .select(col("q_id"),
+            graft.expr.VecFunctions.pq_lut(col("qq"), col("cb")).as("lut"))
+        // the probed-cell ADC scan: DPP prunes the partitioned code read
+        val scored = ivfpqCodes(s, dir)
+          .join(broadcast(probe.join(luts, "q_id")),
+            col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            graft.expr.VecFunctions.pq_adc(col("codes"), col("lut")).as("adc"))
+        pqCut(scored, "adc", topK)
+    },
+    Some(s"""WITH flat AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings
+           |  WHERE vec_id % $centSample = 0),
+           |cent AS (SELECT label, i, round(avg(v), 6) AS cv FROM flat GROUP BY label, i),
+           |cvecs AS (SELECT label, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label),
+           |qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+           |ac AS (SELECT q_id, label,
+           |    round(list_cosine_similarity(q_emb, cvec), 6) AS cos_c FROM qs, cvecs),
+           |probe AS (SELECT q_id, label AS probe_label FROM (
+           |    SELECT ac.*, row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, label) AS r FROM ac)
+           |  WHERE r <= $nProbe),
+           |eq AS (SELECT vec_id, i // $pqDsub AS sub, i % $pqDsub AS j,
+           |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+           |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+           |s0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, j, q AS cq FROM eq WHERE vec_id < $pqKsub),
+           |d1 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+           |  FROM eq e JOIN s0 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+           |a1 AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+           |c1 AS (SELECT e.sub, a.cid, e.j,
+           |    CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+           |  FROM eq e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub GROUP BY 1, 2, 3),
+           |d2 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+           |  FROM eq e JOIN c1 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+           |codes AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub, cid,
+           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
+           |lut AS (SELECT q.vec_id AS q_id, c.sub, c.cid,
+           |    CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
+           |  FROM eq q JOIN c1 c ON c.sub = q.sub AND c.j = q.j
+           |  WHERE q.vec_id < $nQueries GROUP BY 1, 2, 3),
+           |adc AS (SELECT l.q_id, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+           |  FROM codes co
+           |  JOIN embeddings e ON e.vec_id = co.vec_id
+           |  JOIN probe p ON p.probe_label = e.label
+           |  JOIN lut l ON l.q_id = p.q_id AND l.sub = co.sub AND l.cid = co.code
+           |  WHERE co.vec_id <> l.q_id GROUP BY 1, 2)
+           |SELECT q_id, vec_id, adc, rank FROM (
+           |  SELECT q_id, vec_id, adc,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc)
+           |WHERE rank <= $topK""".stripMargin))
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): documents
     * whose EMBEDDINGS nearly coincide are duplicates even when their
     * text differs — cluster the corpus (the learned k-means partition
@@ -835,7 +936,7 @@ object VectorSearch {
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    knnOp, ivfOp, pqOp, pqRerankOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
+    knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp,
     kmeansOp, semanticDedupOp)
 }

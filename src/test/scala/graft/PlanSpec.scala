@@ -211,6 +211,10 @@ class PlanSpec extends SparkSpec {
         "ArrayAggregate")),
       "ns_similarity_pq" -> (tinyAssembly + "TopKByScoreAgg"),
       "ns_similarity_pq_rerank" -> (tinyAssembly + "TopKByScoreAgg"),
+      // ivfpq: the probe ranking HOFs score only the broadcast
+      // q×centroid frame (20×|labels| rows), like ivf
+      "ns_similarity_ivfpq" -> (tinyAssembly ++ Set("TopKByScoreAgg", "ZipWith",
+        "ArrayAggregate")),
       "ns_cluster_kmeans" -> Set("CollectList"),
       "ns_dedup_semantic" -> Set("CollectList", "BoundedBucketAgg"),
       "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
@@ -226,8 +230,8 @@ class PlanSpec extends SparkSpec {
       "ns_decontaminate", "ns_text_repetition", "ns_text_chunk",
       "ns_text_pack", "ns_text_unigram_logprob", "ns_split_leakage_near",
       // r11: the PQ compressed-domain scan and the Lloyd assignment pass
-      "ns_similarity_pq", "ns_similarity_pq_rerank", "ns_cluster_kmeans",
-      "ns_dedup_semantic")
+      "ns_similarity_pq", "ns_similarity_pq_rerank", "ns_similarity_ivfpq",
+      "ns_cluster_kmeans", "ns_dedup_semantic")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -745,6 +749,34 @@ class PlanSpec extends SparkSpec {
     val deep = executedDeepNodes("ns_select_budget")
     assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
       "the bucket-sum branch must reuse the windowed branch's shuffle, not re-scan the corpus")
+  }
+
+  test("ns_similarity_ivfpq: DPP prunes the code scan; ADC ranked by the bounded aggregate") {
+    val p = physical("ns_similarity_ivfpq")
+    // the persisted code index is label-partitioned; the probe join must
+    // prune the scan to the probed cells' directories at runtime —
+    // without it the composition degenerates to raw PQ's full code scan
+    assert(p.toString.contains("dynamicpruning"),
+      s"the ivfpq code scan lost dynamic partition pruning:\n$p")
+    assert(p.toString.contains("partial_topkbyscore"),
+      "ivfpq lost the partial-aggregating bounded top-k")
+    // the one permitted window ranks the broadcast q×centroid probe
+    // frame — never the ADC scores of the code stream
+    nodes(p).collect { case w: WindowExec => w }.foreach { w =>
+      assert(!w.toString.contains("pq_adc"),
+        s"a Window ranks the ADC scores in ivfpq:\n$p")
+    }
+    // and the compressed-domain scan reads CODES, not vectors: no
+    // embedding column anywhere on the probed-scan side
+    val codeScans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("ivfpq_codes")) => f
+    }
+    assert(codeScans.nonEmpty, s"expected the persisted code-index scan in:\n$p")
+    codeScans.foreach { f =>
+      assert(!f.requiredSchema.fieldNames.contains("embedding"),
+        s"the ADC pass reads raw vectors — the compressed domain is lost:\n$p")
+    }
   }
 
   test("PQ encode and ADC scoring run inside whole-stage codegen — never interpreted") {

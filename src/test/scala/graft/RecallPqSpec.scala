@@ -77,13 +77,25 @@ class RecallPqSpec extends SparkSpec {
     }
     val raw = rec("ns_similarity_pq")
     val rr = rec("ns_similarity_pq_rerank")
-    info(f"planted-corpus recall: raw ADC $raw%.3f, rerank $rr%.3f")
+    // ivfpq on the planted corpus: the label IS the true cluster, so the
+    // coarse probe contains each query's own cluster and the composed
+    // index must not fall below raw full-scan ADC by more than the
+    // cells it legitimately skips
+    val ivfpq = rec("ns_similarity_ivfpq")
+    info(f"planted-corpus recall: raw ADC $raw%.3f, rerank $rr%.3f, ivfpq $ivfpq%.3f")
     assert(raw >= 0.1, f"raw ADC recall $raw%.3f — even cluster separation is broken")
     assert(rr >= 0.9, f"rerank recall $rr%.3f on clustered data (measured 1.000) — shortlist lost true neighbors")
+    assert(ivfpq >= 0.1, f"ivfpq recall $ivfpq%.3f — coarse probing lost the query's own cluster")
   }
 
   test("raw ADC recall sanity bound (≈0.22 is the uniform-corpus ceiling for 8×16 codes)") {
     val r = recallOf("ns_similarity_pq")
     assert(r >= 0.1, f"raw pq recall $r%.3f below the structural sanity bound")
+    // the composed index can only lose what the unprobed cells held;
+    // on this corpus the label partition is geometric (RecallSpec's
+    // ivf ≥ 0.7), so ivfpq must stay within the same structural band
+    val rc = recallOf("ns_similarity_ivfpq")
+    info(f"uniform-corpus recall: raw ADC $r%.3f, ivfpq $rc%.3f")
+    assert(rc >= 0.05, f"ivfpq recall $rc%.3f below the structural sanity bound")
   }
 }
