@@ -260,6 +260,78 @@ object Enrich {
         |JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
         |GROUP BY 1, 2""".stripMargin)))
 
+  /** The OpenSearch `geo_distance` query over the geoip-enriched output
+    * — the map-dashboard primitive the ES downstream serves from the
+    * enrich pipeline's source.geo fields (axway-ingest.json:90–108):
+    * "events within R km of each dashboard center, bubbled per
+    * country". The geo dim carries a deterministic synthetic point per
+    * nation (exact .5-degree values, so the decimal→double conversion
+    * is exact in both engines — FIXTURES.md discipline).
+    *
+    * Scale shape: the geo attach is the bucketed broadcast range join
+    * (np_geoip_bucketed); the center set is a tiny broadcast dim; the
+    * BOUNDING-BOX prefilter — pure +,−,abs,least column math, IEEE-
+    * deterministic across engines, antimeridian-aware — discards the
+    * far rows BEFORE any trigonometry runs, so the haversine (sin/cos/
+    * asin, the only last-ulp-engine-dependent step, output rounded to
+    * 3 dp ≈ 1 m) evaluates on candidates only. No shuffle anywhere
+    * below the final per-(center, country) aggregate. */
+  private val geoCenters = Seq(("nyc", 40.5, -74.0), ("sgp", 1.5, 103.8), ("syd", -33.9, 151.2))
+  private val geoRadiusKm = 3000.0
+  private val geoLatWin = 27.1 // 3000 km / 111 km-per-degree, rounded up
+  private val geoLonWin = 80.0 // conservative for |lat| ≤ 68.5 (max synth point)
+  /** One haversine text shared by BOTH engines: identical operation
+    * order keeps the IEEE steps bit-aligned; only the transcendental
+    * calls themselves can differ, within 1 ulp, absorbed by round(3). */
+  private val havKm: String =
+    "2 * 6371.0 * asin(sqrt(" +
+      "sin((geo_lat - q_lat) * pi() / 360) * sin((geo_lat - q_lat) * pi() / 360) + " +
+      "cos(q_lat * pi() / 180) * cos(geo_lat * pi() / 180) * " +
+      "sin((geo_lon - q_lon) * pi() / 360) * sin((geo_lon - q_lon) * pi() / 360)))"
+  private val bboxSql: String =
+    s"abs(geo_lat - q_lat) <= $geoLatWin AND " +
+      s"least(abs(geo_lon - q_lon), 360 - abs(geo_lon - q_lon)) <= $geoLonWin"
+
+  val geoDistanceOp = QueryDef(
+    "ns_geo_distance",
+    (s, dir) => {
+      import s.implicits._
+      val bw = 65536L
+      val facts = al(s, dir)
+        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+        .withColumn("fb", expr(s"ip_long div $bw"))
+      val dimExp = geoDim(s, dir)
+        .withColumn("geo_lat", (col("as_number") - 64512L) * 7 % 140 - 70 + lit(0.5))
+        .withColumn("geo_lon", (col("as_number") - 64512L) * 31 % 360 - 180 + lit(0.5))
+        .withColumn("db", explode(expr(s"sequence(ip_start div $bw, ip_end div $bw)")))
+      val centers = geoCenters.toDF("center", "q_lat", "q_lon")
+      facts.join(broadcast(dimExp),
+          col("fb") === col("db") &&
+            col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"))
+        .crossJoin(broadcast(centers))
+        .filter(expr(bboxSql))                    // cheap IEEE-exact prefilter
+        .withColumn("dist_km", expr(havKm))       // trig on candidates only
+        .filter(col("dist_km") <= geoRadiusKm)
+        .groupBy("center", "geo_country")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"),
+          round(min(col("dist_km")), 3).as("min_km"),
+          round(max(col("dist_km")), 3).as("max_km"))
+    },
+    Some(Synth.withAccessLog(
+      s"""SELECT center, geo_country, count(*) AS n, count(DISTINCT user_id) AS nd_users,
+         |  round(min($havKm), 3) AS min_km, round(max($havKm), 3) AS max_km
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN (SELECT n_nationkey * 41943 AS ip_start, n_nationkey * 41943 + 41942 AS ip_end,
+         |    n_name AS geo_country,
+         |    CAST((n_nationkey * 7) % 140 - 70 + 0.5 AS DOUBLE) AS geo_lat,
+         |    CAST((n_nationkey * 31) % 360 - 180 + 0.5 AS DOUBLE) AS geo_lon
+         |  FROM nation) g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |CROSS JOIN (VALUES ${geoCenters.map { case (n, la, lo) =>
+             s"('$n', CAST($la AS DOUBLE), CAST($lo AS DOUBLE))" }.mkString(", ")})
+         |  AS c(center, q_lat, q_lon)
+         |WHERE $bboxSql AND $havKm <= $geoRadiusKm
+         |GROUP BY 1, 2""".stripMargin)))
+
   /** P13: painless TLS-version script (axway-ingest.json:130–135). */
   val tlsVersionOp = QueryDef(
     "np_tls_version",
@@ -383,6 +455,7 @@ object Enrich {
 
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
-    ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, tlsVersionOp,
+    ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
+    tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

@@ -360,6 +360,68 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
   }
 
+  /** ES wildcard pattern → SQL LIKE: `*` is any run, `?` one char; SQL
+    * specials escaped so a literal `%`/`_` in the pattern stays literal. */
+  private def wildcardToLike(p: String): String =
+    p.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case c @ ('%' | '_' | '\\') => s"\\$c"
+      case c => c.toString
+    }
+
+  /** The literal prefix before the first wildcard — the pushdown-able
+    * residue of a wildcard pattern. */
+  private def wildcardPrefix(p: String): String = p.takeWhile(c => c != '*' && c != '?')
+
+  /** The OpenSearch `wildcard` query — the second-most-typed Kibana
+    * search-box operator after prefix (`source: src*2`). The honest
+    * 100 TB contrast with ns_search_prefix: an INNER wildcard is not a
+    * range predicate, so the match itself can never push into the
+    * parquet scan or skip row groups — the discipline is (a) derive the
+    * longest literal PREFIX of the pattern and push THAT down as
+    * StringStartsWith (row-group stats skip everything outside the
+    * prefix range) and (b) evaluate the residual LIKE as a codegen
+    * filter over only the prefix-surviving rows. A pattern with no
+    * literal prefix (`*foo*`) degrades to a full keyword-column scan —
+    * the same cliff ES documents for leading-wildcard queries. */
+  private val wildcardPattern = "src*2"
+  val wildcardQuery: QueryDef = q(
+    "ns_search_wildcard",
+    s"""SELECT source, count(*) AS n, min(doc_id) AS first_doc
+       |FROM documents
+       |WHERE starts_with(source, '${wildcardPrefix(wildcardPattern)}')
+       |  AND source LIKE '${wildcardToLike(wildcardPattern)}'
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      // the derived-prefix conjunct is the ONLY part the scan can use;
+      // it must stay a separate startsWith so it reaches PushedFilters
+      .filter(col("source").startsWith(wildcardPrefix(wildcardPattern)))
+      .filter(col("source").like(wildcardToLike(wildcardPattern)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+  }
+
+  /** The OpenSearch `regexp` query — ES semantics are ANCHORED (the
+    * pattern must match the WHOLE term), so the Spark rlike and the
+    * oracle both pin `^...$` explicitly; `src[0-9]{2}` matches exactly
+    * the two-digit sources. Scale posture: like wildcard, a regex can
+    * never push into the scan — the plan is a pruned (doc_id, source)
+    * scan + a codegen rlike filter, and the honest guidance at 100 TB
+    * is to route every regex with a literal prefix through the
+    * wildcard/prefix pushdown first. */
+  private val regexpPattern = "src[0-9]{2}"
+  val regexpQuery: QueryDef = q(
+    "ns_search_regexp",
+    s"""SELECT source, count(*) AS n, min(doc_id) AS first_doc
+       |FROM documents WHERE regexp_matches(source, '^$regexpPattern$$')
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(col("source").rlike(s"^$regexpPattern$$"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+  }
+
   /** The OpenSearch `adjacency_matrix` aggregation: named filters and
     * the doc counts of every filter AND every pairwise intersection —
     * the co-occurrence matrix behind segment-overlap dashboards
@@ -899,7 +961,8 @@ object Relational {
 
   def entries: Seq[QueryDef] = Seq(
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
-    rangeAgg, histogramAgg, histogramDenseAgg, prefixQuery, adjacencyMatrixAgg,
+    rangeAgg, histogramAgg, histogramDenseAgg, prefixQuery, wildcardQuery,
+    regexpQuery, adjacencyMatrixAgg,
     extendedStatsAgg, weightedAvgAgg, topMetricsAgg, percentileRanksAgg,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,

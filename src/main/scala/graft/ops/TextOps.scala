@@ -710,6 +710,50 @@ object TextOps {
            |FROM g WHERE span = '$phraseQuery'
            |GROUP BY 1""".stripMargin))
 
+  /** The OpenSearch `match_phrase_prefix` query — the autocomplete
+    * primitive (the search box completing "slow jo…" while the user
+    * types): an exact phrase whose LAST term matches as a prefix. Runs
+    * on the ns_text_phrase positional-span machinery — one codegen
+    * pass, explode(sequence) span formation with the size guard keeping
+    * split out of every Filter/pushdown — with the span test split into
+    * the exact leading-terms check and the startswith on the final
+    * position. Output adds the distinct completions each document
+    * supplies (what ES's suggester surfaces), sorted for determinism.
+    * Same scale shape as phrase: no positional self-join, corpus read
+    * once, per-doc aggregation only on surviving spans. */
+  private val phrasePrefixLead = "slow"
+  private val phrasePrefixLast = "jo"
+  val phrasePrefixOp = QueryDef(
+    "ns_search_match_phrase_prefix", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 2,
+              sequence(lit(1), size(col("t")) - 1))).as("i"),
+            col("t"))
+          // coalesce blocks InferFiltersFromConstraints: a bare
+          // element_at(t, i) = 'slow' is null-intolerant, so Catalyst
+          // infers isnotnull(t) and pushes a split-recomputing Filter
+          // below the Project (the bandSignatures trap — PlanSpec
+          // watches for split( in Filters); element_at is never null
+          // here anyway (i ranges over the guarded sequence)
+          .filter(coalesce(element_at(col("t"), col("i")), lit("")) === phrasePrefixLead &&
+            expr(s"startswith(coalesce(element_at(t, i + 1), ''), '$phrasePrefixLast')"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            array_sort(collect_set(element_at(col("t"), col("i") + 1)))
+              .as("completions"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+           |        FROM t WHERE len(t) >= 2))
+           |SELECT doc_id, count(*) AS n_hits,
+           |  list_sort(list_distinct(list(w2))) AS completions
+           |FROM g WHERE w1 = '$phrasePrefixLead' AND starts_with(w2, '$phrasePrefixLast')
+           |GROUP BY 1""".stripMargin))
+
   /** significant_terms — the OpenSearch aggregation that surfaces
     * terms OVER-REPRESENTED in a foreground slice relative to the whole
     * corpus (here: per `source`, scored by lift =
@@ -2311,7 +2355,8 @@ object TextOps {
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
-    collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, significantTermsOp, bm25Op,
+    collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
+    significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,

@@ -419,7 +419,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("ns_dedup_substring", "ns_text_bm25", "ns_significant_terms",
                   "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate",
                   "ns_text_collocations", "ns_search_multi_match",
-                  "ns_search_mlt")) {
+                  "ns_search_mlt", "ns_search_match_phrase_prefix")) {
       val p = physical(q)
       val docScans = nodes(p).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -749,6 +749,38 @@ class PlanSpec extends SparkSpec {
     val deep = executedDeepNodes("ns_select_budget")
     assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
       "the bucket-sum branch must reuse the windowed branch's shuffle, not re-scan the corpus")
+  }
+
+  test("ns_search_wildcard: the derived literal prefix pushes down; the LIKE stays residual") {
+    // the wildcard match itself can never reach the scan — the
+    // discipline under test is that the pattern's literal PREFIX does
+    // (StringStartsWith → row-group skipping), with the full LIKE
+    // evaluated only over prefix-surviving rows; and the scan reads
+    // only the two needed columns
+    val p = physical("ns_search_wildcard")
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("StringStartsWith(source"))),
+      s"the wildcard's literal prefix must reach PushedFilters:\n$p")
+    scans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "source")),
+        s"wildcard query reads ${cols.mkString(",")} — pruning regressed:\n$p")
+    }
+    // regexp: same pruning; nothing of the pattern can push — the scan
+    // must carry NO source predicate beyond isnotnull (the honest
+    // no-pushdown contrast this family documents)
+    val pr = physical("ns_search_regexp")
+    val rscans = nodes(pr).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    rscans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "source")),
+        s"regexp query reads ${cols.mkString(",")} — pruning regressed:\n$pr")
+    }
   }
 
   test("ns_similarity_ivfpq: DPP prunes the code scan; ADC ranked by the bounded aggregate") {
