@@ -83,9 +83,18 @@ object Bench {
       if (ok.isEmpty) None
       else Some("\"" + name + "\":" + fmt(if (ok.min == 0) 0 else (ok.max - ok.min) / ok.min))
     }.mkString("{", ",", "}")
+    // medians alongside the mins: on this shared box the spread map shows
+    // up to ~8× one-sided noise on sub-second queries, so a cross-round
+    // per-query comparison against the MIN can be masked by one lucky
+    // pass — the median is the noise-robust companion estimator
+    val medians = names.flatMap { case (name, _) =>
+      val ok = passes(name).filter(_.isFinite).sorted
+      if (ok.isEmpty) None
+      else Some("\"" + name + "\":" + fmt(ok(ok.size / 2)))
+    }.mkString("{", ",", "}")
     val total = mins.collect { case (_, v) if v.isFinite => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"medians":$medians,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harvester keeps only the TAIL of stdout, and the full line above
     // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,
