@@ -102,7 +102,20 @@ object IngestPipeline {
 
     val projected = docs
       .withColumn("pipeline", when(isAxway, "axway-ingest").otherwise("default"))
-      .withColumn("_line", when(isAxway, get_json_object(col("message"), "$.text")))
+      // SURVEY §1.3's "parse once vs re-parse per field", closed on the
+      // hot path: the open-content message binds ONCE to a VariantType
+      // value (the faithful mapping of the reference's json.RawMessage,
+      // elasticOutput.go:34) and every extraction below is a typed path
+      // access against the parsed binary encoding — where the previous
+      // get_json_object chain re-ran the string parser per field (4×
+      // per axway document). The column FLOWS THROUGH to the SUCCESS
+      // channel (variant round-trips parquet in Spark 4), so the
+      // indexed store keeps the open-content field typed; the bulk
+      // serializer excludes it (the raw `message` string is the wire
+      // field, Pipeline.toBulkNdjsonKeyed).
+      .withColumn("message_v", expr("try_parse_json(message)"))
+      .withColumn("_line",
+        when(isAxway, expr("try_variant_get(message_v, '$.text', 'string')")))
       .withColumn("_g", regexp_extract_struct(col("_line"), Enrich.grokRx, Enrich.grokGroups))
       .withColumn("_m", matched)
       // grokked http.* / source.address / user.name
@@ -122,7 +135,8 @@ object IngestPipeline {
       .withColumn("url_query", nullif(regexp_extract(col("url_original"), "\\?(.*)$", 1), lit("")))
       .withColumn("url_ext", nullif(regexp_extract(col("url_path"), "\\.([a-z0-9]+)$", 1), lit("")))
       .withColumn("url_domain",
-        when(isAxway, nullif(get_json_object(col("message"), "$.destination.domain"), lit(""))))
+        when(isAxway, nullif(
+          expr("try_variant_get(message_v, '$.destination.domain', 'string')"), lit(""))))
       // P5 constants (axway-ingest.json:34–43): set unconditionally for
       // every axway-routed document, matched or not
       .withColumn("event_kind", when(isAxway, "event"))
@@ -151,9 +165,11 @@ object IngestPipeline {
       // version/protocol from the painless split-on-"v" script; both read
       // apache.access.ssl.* off the DOCUMENT (a JSON message), not grok
       .withColumn("tls_cipher",
-        when(isAxway, nullif(get_json_object(col("message"), "$.apache.access.ssl.cipher"), lit(""))))
+        when(isAxway, nullif(
+          expr("try_variant_get(message_v, '$.apache.access.ssl.cipher', 'string')"), lit(""))))
       .withColumn("_sslp",
-        when(isAxway, lower(get_json_object(col("message"), "$.apache.access.ssl.protocol"))))
+        when(isAxway, lower(
+          expr("try_variant_get(message_v, '$.apache.access.ssl.protocol', 'string')"))))
       .withColumn("tls_version",
         when(size(sslParts) === 2,
           when(sslVer.contains("."), sslVer).otherwise(concat(sslVer, lit(".0")))))

@@ -189,10 +189,17 @@ object Pipeline {
           // an extracted .text payload is already running text whose
           // own punctuation ("deploy:canary") is part of the match
           // surface and must survive
+          // the .text extraction rides the enrich stage's bound variant
+          // when present (parse once); identity-enrich frames fall back
+          // to the string path
+          val textCol =
+            if (docs.columns.contains("message_v"))
+              expr("try_variant_get(message_v, '$.text', 'string')")
+            else get_json_object(col("message"), "$.text")
           val matches = graft.ops.TextOps.percolate(docs.select(
             concat_ws("/", col("event_id"), col("event_ref")).as("doc_id"),
             coalesce(
-              get_json_object(col("message"), "$.text"),
+              textCol,
               regexp_replace(col("message"), "[{}\\[\\]\",:]+", " ")).as("text")),
             queries)
           withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
@@ -258,7 +265,11 @@ object Pipeline {
     * the bulk writer groups POST bodies by it so each batch indexes
     * under its own key (reference main.go:422–424). */
   def toBulkNdjsonKeyed(docs: DataFrame, index: String): DataFrame = {
-    val dataCols = docs.columns.filterNot(_ == "access_key")
+    // message_v is the typed VARIANT twin of the raw `message` wire
+    // field (IngestPipeline binds it once for in-engine extraction and
+    // the SUCCESS store) — serializing both would duplicate the payload
+    // in every source line
+    val dataCols = docs.columns.filterNot(c => c == "access_key" || c == "message_v")
     val key =
       if (docs.columns.contains("access_key")) coalesce(col("access_key"), lit(""))
       else lit("")

@@ -564,6 +564,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("variant message flows through Pipeline.run: bound once, typed in the store, off the wire") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.IngestPipeline
+    // a JSON-object message (jsonOrText keeps it verbatim): the enrich
+    // stage must extract tls/domain through the ONE bound variant, the
+    // SUCCESS store must carry the VariantType column, and the bulk
+    // serializer must keep it off the wire (the raw string is the field)
+    val body =
+      """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/aws/axway","logStream":"s1",
+        |"subscriptionFilters":["f"],"logEvents":[
+        |{"id":"v1","timestamp":1000,"message":"{\"apache\":{\"access\":{\"ssl\":{\"protocol\":\"TLSv1.2\",\"cipher\":\"C-X\"}}},\"destination\":{\"domain\":\"d.example.com\"}}"}]}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(body.getBytes("UTF-8"))
+    val in = MemoryStream[(Long, Long, String)]
+    val outDir = tmp("graft-variant-sink")
+    in.addData((1L, 10L, b64))
+    val q = Pipeline.run(
+      in.toDF().toDF("event_id", "batch_ms", "data"),
+      outDir, tmp("graft-variant-ckpt"), trigger = Trigger.AvailableNow(),
+      enrich = IngestPipeline.enrich(_))
+    try {
+      q.processAllAvailable()
+      val ok = spark.read.parquet(s"$outDir/SUCCESS")
+      // the store keeps the open-content field TYPED
+      assert(ok.schema("message_v").dataType ==
+        org.apache.spark.sql.types.VariantType,
+        s"SUCCESS must carry the variant column, got ${ok.schema("message_v").dataType}")
+      val row = ok.select(
+        col("tls_version"), col("tls_cipher"), col("url_domain"),
+        expr("try_variant_get(message_v, '$.destination.domain', 'string')"))
+        .as[(String, String, String, String)].head()
+      // in-stream extraction ran through the bound variant…
+      assert(row == (("1.2", "C-X", "d.example.com", "d.example.com")),
+        s"variant-path enrichment mismatch: $row")
+      // …and the wire lines carry the raw message, never the twin
+      val line = Pipeline.toBulkNdjson(ok, "idx").head()
+      assert(!line.contains("message_v"),
+        s"the variant twin leaked into the bulk source line: $line")
+      // the raw message string rides the wire (JSON-escaped inside the
+      // source line)
+      assert(line.contains("\\\"apache\\\""), s"the raw message left the wire: $line")
+    } finally q.stop()
+  }
+
   test("staged topology: the ingest SUCCESS archive feeds the streaming near-dup check") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
