@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -292,22 +292,44 @@ object Enrich {
     s"abs(geo_lat - q_lat) <= $geoLatWin AND " +
       s"least(abs(geo_lon - q_lon), 360 - abs(geo_lon - q_lon)) <= $geoLonWin"
 
+  /** Events enriched with their nation's synthetic geo point via the
+    * bucketed broadcast range join (the np_geoip_bucketed shape).
+    * `dimPrune` filters the DIMENSION before the join — the at-scale
+    * discipline for spatial queries: a real 3M-range GeoLite dim
+    * shrinks to the query region's ranges before anything broadcasts,
+    * and out-of-region events simply fail the join (inner). */
+  private def geoEnrichedFacts(s: SparkSession, dir: String,
+                               dimPrune: Option[Column] = None): DataFrame = {
+    val bw = 65536L
+    val facts = al(s, dir)
+      .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+      .withColumn("fb", expr(s"ip_long div $bw"))
+    val dim0 = geoDim(s, dir)
+      .withColumn("geo_lat", (col("as_number") - 64512L) * 7 % 140 - 70 + lit(0.5))
+      .withColumn("geo_lon", (col("as_number") - 64512L) * 31 % 360 - 180 + lit(0.5))
+    val dimPruned = dimPrune.map(dim0.filter).getOrElse(dim0)
+    val dimExp = dimPruned
+      .withColumn("db", explode(expr(s"sequence(ip_start div $bw, ip_end div $bw)")))
+    facts.join(broadcast(dimExp),
+      col("fb") === col("db") &&
+        col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"))
+  }
+
+  /** The nation-derived geo dim as oracle SQL (ranges + the synthetic
+    * point), shared by every geo oracle. */
+  private val geoDimSql: String =
+    """(SELECT n_nationkey * 41943 AS ip_start, n_nationkey * 41943 + 41942 AS ip_end,
+      |    n_name AS geo_country,
+      |    CAST((n_nationkey * 7) % 140 - 70 + 0.5 AS DOUBLE) AS geo_lat,
+      |    CAST((n_nationkey * 31) % 360 - 180 + 0.5 AS DOUBLE) AS geo_lon
+      |  FROM nation)""".stripMargin
+
   val geoDistanceOp = QueryDef(
     "ns_geo_distance",
     (s, dir) => {
       import s.implicits._
-      val bw = 65536L
-      val facts = al(s, dir)
-        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
-        .withColumn("fb", expr(s"ip_long div $bw"))
-      val dimExp = geoDim(s, dir)
-        .withColumn("geo_lat", (col("as_number") - 64512L) * 7 % 140 - 70 + lit(0.5))
-        .withColumn("geo_lon", (col("as_number") - 64512L) * 31 % 360 - 180 + lit(0.5))
-        .withColumn("db", explode(expr(s"sequence(ip_start div $bw, ip_end div $bw)")))
       val centers = geoCenters.toDF("center", "q_lat", "q_lon")
-      facts.join(broadcast(dimExp),
-          col("fb") === col("db") &&
-            col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"))
+      geoEnrichedFacts(s, dir)
         .crossJoin(broadcast(centers))
         .filter(expr(bboxSql))                    // cheap IEEE-exact prefilter
         .withColumn("dist_km", expr(havKm))       // trig on candidates only
@@ -321,16 +343,69 @@ object Enrich {
       s"""SELECT center, geo_country, count(*) AS n, count(DISTINCT user_id) AS nd_users,
          |  round(min($havKm), 3) AS min_km, round(max($havKm), 3) AS max_km
          |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
-         |JOIN (SELECT n_nationkey * 41943 AS ip_start, n_nationkey * 41943 + 41942 AS ip_end,
-         |    n_name AS geo_country,
-         |    CAST((n_nationkey * 7) % 140 - 70 + 0.5 AS DOUBLE) AS geo_lat,
-         |    CAST((n_nationkey * 31) % 360 - 180 + 0.5 AS DOUBLE) AS geo_lon
-         |  FROM nation) g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
          |CROSS JOIN (VALUES ${geoCenters.map { case (n, la, lo) =>
              s"('$n', CAST($la AS DOUBLE), CAST($lo AS DOUBLE))" }.mkString(", ")})
          |  AS c(center, q_lat, q_lon)
          |WHERE $bboxSql AND $havKm <= $geoRadiusKm
          |GROUP BY 1, 2""".stripMargin)))
+
+  /** The OpenSearch `geo_bounding_box` query — the other map primitive
+    * ("everything inside the viewport"). Unlike geo_distance, a box IS
+    * pure range predicates, so the at-scale shape is dimension-side
+    * pruning: the geo dim filters to in-box points BEFORE it explodes
+    * and broadcasts — a real 3M-range GeoLite dim shrinks to the
+    * viewport's ranges, and out-of-box events never match the inner
+    * join. Bounds are integers against .5-offset synthetic points, so
+    * no comparison can sit on a boundary. */
+  private val boxTop = 45L     // lat ≤ 45
+  private val boxBottom = -10L // lat ≥ -10
+  private val boxLeft = -90L   // lon ≥ -90
+  private val boxRight = 60L   // lon ≤ 60
+  val geoBoundingBoxOp = QueryDef(
+    "ns_geo_bounding_box",
+    (s, dir) => geoEnrichedFacts(s, dir, dimPrune = Some(
+        col("geo_lat") <= boxTop && col("geo_lat") >= boxBottom &&
+          col("geo_lon") >= boxLeft && col("geo_lon") <= boxRight))
+      .groupBy("geo_country", "geo_lat", "geo_lon")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users")),
+    Some(Synth.withAccessLog(
+      s"""SELECT geo_country, geo_lat, geo_lon, count(*) AS n,
+         |  count(DISTINCT user_id) AS nd_users
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |WHERE geo_lat <= $boxTop AND geo_lat >= $boxBottom
+         |  AND geo_lon >= $boxLeft AND geo_lon <= $boxRight
+         |GROUP BY 1, 2, 3""".stripMargin)))
+
+  /** The OpenSearch `geotile_grid` aggregation — the map-clustering agg
+    * behind every zoomed-out dashboard: events bucketed into web-
+    * mercator z/x/y tiles. One shared formula text keeps both engines'
+    * IEEE steps aligned; tan/ln (the engine-dependent calls) feed a
+    * floor whose inputs sit ≥ 0.011 tiles from every boundary on this
+    * dim (measured), eight orders above ulp risk. Points here are
+    * within ±69.5°, so ES's ±85.05° mercator clamp never engages. One
+    * codegen pass over the enriched stream, |tiles|-bounded shuffle. */
+  private val tileZoom = 3
+  private val tileXy: String = {
+    val n = 1 << tileZoom
+    val x = s"CAST(floor((geo_lon + 180) / 360 * $n) AS BIGINT)"
+    val y = s"CAST(floor((1 - ln(tan(geo_lat * pi() / 180) + 1 / cos(geo_lat * pi() / 180)) / pi()) / 2 * $n) AS BIGINT)"
+    s"concat('$tileZoom/', $x, '/', $y)"
+  }
+  val geotileGridOp = QueryDef(
+    "ns_agg_geotile_grid",
+    (s, dir) => geoEnrichedFacts(s, dir)
+      .withColumn("tile", expr(tileXy))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("geo_country")).as("nd_countries")),
+    Some(Synth.withAccessLog(
+      s"""SELECT $tileXy AS tile, count(*) AS doc_count,
+         |  count(DISTINCT geo_country) AS nd_countries
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |GROUP BY 1""".stripMargin)))
 
   /** P13: painless TLS-version script (axway-ingest.json:130–135). */
   val tlsVersionOp = QueryDef(
@@ -456,6 +531,6 @@ object Enrich {
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
-    tlsVersionOp,
+    geoBoundingBoxOp, geotileGridOp, tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

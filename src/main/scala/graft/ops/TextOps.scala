@@ -754,6 +754,43 @@ object TextOps {
            |FROM g WHERE w1 = '$phrasePrefixLead' AND starts_with(w2, '$phrasePrefixLast')
            |GROUP BY 1""".stripMargin))
 
+  /** The OpenSearch `span_near` query (in_order=true) — proximity
+    * search: the two terms in order within `slop` intervening tokens
+    * ("slow … join" with up to 2 tokens between). This is exactly ES's
+    * span_near semantics with in_order (match_phrase's slop adds
+    * move-counting reorder allowances on top; the in-order span form is
+    * the one Kibana's proximity searches compile to). Same single-pass
+    * positional-span machinery as phrase/phrase_prefix: the lead term
+    * anchors at position i and the follower is an array_contains over
+    * the next slop+1 positions' slice — one codegen pass, no
+    * positional-index self-join; coalesce guards block the inferred
+    * isnotnull(split(…)) re-tokenization (the bandSignatures trap). */
+  private val spanLead = "slow"
+  private val spanLast = "join"
+  private val spanSlop = 2
+  val spanNearOp = QueryDef(
+    "ns_search_span_near", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 2,
+              sequence(lit(1), size(col("t")) - 1))).as("i"),
+            col("t"))
+          .filter(coalesce(element_at(col("t"), col("i")), lit("")) === spanLead &&
+            coalesce(array_contains(
+              expr(s"slice(t, i + 1, ${spanSlop + 1})"), spanLast), lit(false)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, t[i] AS w1, t[i + 1 : i + ${spanSlop + 1}] AS win
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+           |        FROM t WHERE len(t) >= 2))
+           |SELECT doc_id, count(*) AS n_hits
+           |FROM g WHERE w1 = '$spanLead' AND list_contains(win, '$spanLast')
+           |GROUP BY 1""".stripMargin))
+
   /** significant_terms — the OpenSearch aggregation that surfaces
     * terms OVER-REPRESENTED in a foreground slice relative to the whole
     * corpus (here: per `source`, scored by lift =
@@ -2356,7 +2393,7 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
-    significantTermsOp, bm25Op,
+    spanNearOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,

@@ -817,74 +817,119 @@ object VectorSearch {
     * the bounded top-k aggregate. All arithmetic exact long sums — the
     * DuckDB oracle rebuilds the identical codebook, codes, LUTs, and
     * probe set, so the hash match covers the full composition. */
+  /** The probed-cell ADC stream shared by ivfpq and its rerank twin:
+    * probe ranking over the broadcast q×centroid frame, per-query LUTs,
+    * then the DPP-pruned code scan scored by the native PqAdc. */
+  private def ivfpqScored(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cent = centroidDim(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cosC =
+      "round(aggregate(zip_with(q_emb, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x) " +
+        "/ (sqrt(aggregate(q_emb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) " +
+        "* sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))), 6)"
+    val assigned = q.crossJoin(broadcast(cent))
+      .withColumn("cos_c", expr(cosC))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
+    val probe = assigned.withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
+      .select(col("q_id"), col("label").as("probe_label"))
+    val luts = quantized(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .crossJoin(broadcast(pqCbRow(s, dir)))
+      .select(col("q_id"),
+        graft.expr.VecFunctions.pq_lut(col("qq"), col("cb")).as("lut"))
+    // the probed-cell ADC scan: DPP prunes the partitioned code read
+    ivfpqCodes(s, dir)
+      .join(broadcast(probe.join(luts, "q_id")),
+        col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.expr.VecFunctions.pq_adc(col("codes"), col("lut")).as("adc"))
+  }
+
+  /** The shared oracle CTE chain for the IVFPQ composition: the IVF
+    * probe CTEs (flat/cent/cvecs/qs/ac/probe) + the PQ codebook/codes/
+    * lut CTEs + the probed-cell `adc` scores — everything up to the
+    * final cutoff, shared by ivfpq and its rerank twin. */
+  private def ivfpqSqlChain: String =
+    s"""flat AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings
+       |  WHERE vec_id % $centSample = 0),
+       |cent AS (SELECT label, i, round(avg(v), 6) AS cv FROM flat GROUP BY label, i),
+       |cvecs AS (SELECT label, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label),
+       |qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+       |ac AS (SELECT q_id, label,
+       |    round(list_cosine_similarity(q_emb, cvec), 6) AS cos_c FROM qs, cvecs),
+       |probe AS (SELECT q_id, label AS probe_label FROM (
+       |    SELECT ac.*, row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, label) AS r FROM ac)
+       |  WHERE r <= $nProbe),
+       |eq AS (SELECT vec_id, i // $pqDsub AS sub, i % $pqDsub AS j,
+       |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
+       |s0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, j, q AS cq FROM eq WHERE vec_id < $pqKsub),
+       |d1 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+       |  FROM eq e JOIN s0 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+       |c1 AS (SELECT e.sub, a.cid, e.j,
+       |    CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM eq e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub GROUP BY 1, 2, 3),
+       |d2 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
+       |  FROM eq e JOIN c1 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub, cid,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
+       |lut AS (SELECT q.vec_id AS q_id, c.sub, c.cid,
+       |    CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
+       |  FROM eq q JOIN c1 c ON c.sub = q.sub AND c.j = q.j
+       |  WHERE q.vec_id < $nQueries GROUP BY 1, 2, 3),
+       |adc AS (SELECT l.q_id, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
+       |  FROM codes co
+       |  JOIN embeddings e ON e.vec_id = co.vec_id
+       |  JOIN probe p ON p.probe_label = e.label
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = co.sub AND l.cid = co.code
+       |  WHERE co.vec_id <> l.q_id GROUP BY 1, 2)""".stripMargin
+
   val ivfpqOp = QueryDef(
-    "ns_similarity_ivfpq", {
-      (s, dir) =>
-        val emb = Tables.embeddings(s, dir)
-        val cent = centroidDim(s, dir)
-        val q = emb.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cosC =
-          "round(aggregate(zip_with(q_emb, cvec, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x) " +
-            "/ (sqrt(aggregate(q_emb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) " +
-            "* sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))), 6)"
-        val assigned = q.crossJoin(broadcast(cent))
-          .withColumn("cos_c", expr(cosC))
-        val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
-        val probe = assigned.withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
-          .select(col("q_id"), col("label").as("probe_label"))
-        val luts = quantized(s, dir).filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("q_id"), col("q").as("qq"))
-          .crossJoin(broadcast(pqCbRow(s, dir)))
-          .select(col("q_id"),
-            graft.expr.VecFunctions.pq_lut(col("qq"), col("cb")).as("lut"))
-        // the probed-cell ADC scan: DPP prunes the partitioned code read
-        val scored = ivfpqCodes(s, dir)
-          .join(broadcast(probe.join(luts, "q_id")),
-            col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            graft.expr.VecFunctions.pq_adc(col("codes"), col("lut")).as("adc"))
-        pqCut(scored, "adc", topK)
-    },
-    Some(s"""WITH flat AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
-           |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings
-           |  WHERE vec_id % $centSample = 0),
-           |cent AS (SELECT label, i, round(avg(v), 6) AS cv FROM flat GROUP BY label, i),
-           |cvecs AS (SELECT label, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label),
-           |qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < $nQueries),
-           |ac AS (SELECT q_id, label,
-           |    round(list_cosine_similarity(q_emb, cvec), 6) AS cos_c FROM qs, cvecs),
-           |probe AS (SELECT q_id, label AS probe_label FROM (
-           |    SELECT ac.*, row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, label) AS r FROM ac)
-           |  WHERE r <= $nProbe),
-           |eq AS (SELECT vec_id, i // $pqDsub AS sub, i % $pqDsub AS j,
-           |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
-           |  FROM embeddings, (SELECT unnest(generate_series(0, ${embDim - 1})) AS i)),
-           |s0 AS (SELECT CAST(vec_id AS INT) AS cid, sub, j, q AS cq FROM eq WHERE vec_id < $pqKsub),
-           |d1 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
-           |  FROM eq e JOIN s0 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
-           |a1 AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
-           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
-           |c1 AS (SELECT e.sub, a.cid, e.j,
-           |    CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
-           |  FROM eq e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub GROUP BY 1, 2, 3),
-           |d2 AS (SELECT e.vec_id, e.sub, c.cid, CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS dist
-           |  FROM eq e JOIN c1 c ON c.sub = e.sub AND c.j = e.j GROUP BY 1, 2, 3),
-           |codes AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub, cid,
-           |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
-           |lut AS (SELECT q.vec_id AS q_id, c.sub, c.cid,
-           |    CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
-           |  FROM eq q JOIN c1 c ON c.sub = q.sub AND c.j = q.j
-           |  WHERE q.vec_id < $nQueries GROUP BY 1, 2, 3),
-           |adc AS (SELECT l.q_id, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc
-           |  FROM codes co
-           |  JOIN embeddings e ON e.vec_id = co.vec_id
-           |  JOIN probe p ON p.probe_label = e.label
-           |  JOIN lut l ON l.q_id = p.q_id AND l.sub = co.sub AND l.cid = co.code
-           |  WHERE co.vec_id <> l.q_id GROUP BY 1, 2)
+    "ns_similarity_ivfpq",
+    (s, dir) => pqCut(ivfpqScored(s, dir), "adc", topK),
+    Some(s"""WITH $ivfpqSqlChain
            |SELECT q_id, vec_id, adc, rank FROM (
            |  SELECT q_id, vec_id, adc,
            |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc)
+           |WHERE rank <= $topK""".stripMargin))
+
+  /** The full FAISS IVFPQ + refine: the probed-cell compressed-domain
+    * scan SHORTLISTS R candidates per query, then only those
+    * candidates' true (quantized) vectors are fetched for the exact
+    * integer L2 rerank — at 100 TB, nProbe/nLabels of the 8-byte code
+    * domain scanned, R·|queries| full vectors touched, the serving
+    * shape production ANN actually deploys. Reuses the verified
+    * ivfpqScored stream and the PQ rerank machinery unchanged. */
+  val ivfpqRerankOp = QueryDef(
+    "ns_similarity_ivfpq_rerank", {
+      (s, dir) =>
+        val shortlist = pqCut(ivfpqScored(s, dir), "adc", pqShortR)
+          .select(col("q_id"), col("vec_id"))
+        val qq = quantized(s, dir).filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"))
+        val exact = shortlist
+          .join(quantized(s, dir), "vec_id")
+          .join(broadcast(qq), "q_id")
+          .select(col("q_id"), col("vec_id"),
+            graft.expr.VecFunctions.vec_l2_long(col("q"), col("qq")).as("l2"))
+        pqCut(exact, "l2", topK)
+    },
+    Some(s"""WITH $ivfpqSqlChain,
+           |short AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+           |  FROM adc) WHERE rank <= $pqShortR),
+           |rr AS (SELECT s.q_id, s.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS l2
+           |  FROM short s JOIN eq a ON a.vec_id = s.q_id
+           |  JOIN eq b ON b.vec_id = s.vec_id AND a.sub = b.sub AND a.j = b.j
+           |  GROUP BY 1, 2)
+           |SELECT q_id, vec_id, l2, rank FROM (
+           |  SELECT q_id, vec_id, l2,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rank FROM rr)
            |WHERE rank <= $topK""".stripMargin))
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): documents
@@ -936,7 +981,8 @@ object VectorSearch {
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, dedupEmbeddingOp, multimodalProjectOp, multimodalDecodeOp,
+    knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, dedupEmbeddingOp,
+    multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp,
     kmeansOp, semanticDedupOp)
 }

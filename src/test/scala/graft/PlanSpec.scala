@@ -215,6 +215,8 @@ class PlanSpec extends SparkSpec {
       // q×centroid frame (20×|labels| rows), like ivf
       "ns_similarity_ivfpq" -> (tinyAssembly ++ Set("TopKByScoreAgg", "ZipWith",
         "ArrayAggregate")),
+      "ns_similarity_ivfpq_rerank" -> (tinyAssembly ++ Set("TopKByScoreAgg",
+        "ZipWith", "ArrayAggregate")),
       "ns_cluster_kmeans" -> Set("CollectList"),
       "ns_dedup_semantic" -> Set("CollectList", "BoundedBucketAgg"),
       "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
@@ -231,7 +233,7 @@ class PlanSpec extends SparkSpec {
       "ns_text_pack", "ns_text_unigram_logprob", "ns_split_leakage_near",
       // r11: the PQ compressed-domain scan and the Lloyd assignment pass
       "ns_similarity_pq", "ns_similarity_pq_rerank", "ns_similarity_ivfpq",
-      "ns_cluster_kmeans", "ns_dedup_semantic")
+      "ns_similarity_ivfpq_rerank", "ns_cluster_kmeans", "ns_dedup_semantic")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -419,7 +421,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("ns_dedup_substring", "ns_text_bm25", "ns_significant_terms",
                   "ns_text_fuzzy", "ns_text_phrase", "ns_search_percolate",
                   "ns_text_collocations", "ns_search_multi_match",
-                  "ns_search_mlt", "ns_search_match_phrase_prefix")) {
+                  "ns_search_mlt", "ns_search_match_phrase_prefix",
+                  "ns_search_span_near")) {
       val p = physical(q)
       val docScans = nodes(p).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -809,6 +812,35 @@ class PlanSpec extends SparkSpec {
       assert(!f.requiredSchema.fieldNames.contains("embedding"),
         s"the ADC pass reads raw vectors — the compressed domain is lost:\n$p")
     }
+  }
+
+  test("ns_geo_bounding_box: the box prunes the DIMENSION below its broadcast; no shuffled join") {
+    val p = physical("ns_geo_bounding_box")
+    // the viewport predicate must filter the geo dim BEFORE it explodes
+    // and broadcasts — at scale that is the difference between
+    // broadcasting the viewport's ranges and broadcasting 3M of them
+    val bcasts = nodes(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(bcasts.nonEmpty, s"expected the broadcast dim in:\n$p")
+    // Catalyst substitutes geo_lat/geo_lon through the dim projection,
+    // so the pruning filter appears in terms of the box CONSTANTS (and
+    // even reaches the nation scan's DataFilters) — match on those
+    assert(bcasts.exists(b => nodes(b).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("45.0") && f.condition.toString.contains("-90.0")
+      case _ => false
+    }), s"the box predicate must prune the dim below its broadcast:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"the geo attach must stay a broadcast join:\n$p")
+    // geotile: one codegen pass + the |tiles|-bounded agg exchange
+    val pt = physical("ns_agg_geotile_grid")
+    assert(!nodes(pt).exists(_.isInstanceOf[WindowExec]),
+      s"geotile_grid plans a window over event rows:\n$pt")
+    assert(!nodes(pt).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"geotile_grid must not shuffle the fact stream into its join:\n$pt")
   }
 
   test("PQ encode and ADC scoring run inside whole-stage codegen — never interpreted") {
