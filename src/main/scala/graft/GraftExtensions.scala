@@ -23,7 +23,9 @@ import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, CosineSimilarity, DotPr
   * `bmp_wrap(payload, w, h)` / `bmp_dims(content)` and
   * `wav_wrap(payload, sampleRate, channels)` / `wav_meta(content)`,
   * and the dedup signature pair `word_shingles3(text)` /
-  * `minhash_sigs(shingles, n)`.
+  * `minhash_sigs(shingles, n)`; r11 adds the vector/PQ family —
+  * `quantize_vec(emb)`, `vec_l2_long(a,b)`, `pq_encode(q,cb)`,
+  * `pq_lut(qq,cb)`, `pq_adc(codes,lut)`, `nearest_centroid(q,cents)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -138,6 +140,15 @@ object GraftExtensions {
     // be an int literal (1..64 — the cached-prefix range).
     "minhash_sigs" -> (args => org.apache.spark.sql.graftshim.MinHashSigs(args.head,
       intLiteral(args(1), "minhash_sigs", "n", 1, 64))),
+    // r11 vector/PQ family: integer quantization, exact long L2, the
+    // PQ encode/LUT/ADC chain, and the k-means argmin — all column-arg
+    // only, so plain builders
+    "quantize_vec" -> (args => org.apache.spark.sql.graftshim.QuantizeVec(args.head)),
+    "vec_l2_long" -> (args => org.apache.spark.sql.graftshim.L2DistanceLong(args(0), args(1))),
+    "pq_encode" -> (args => org.apache.spark.sql.graftshim.PqEncode(args(0), args(1))),
+    "pq_lut" -> (args => org.apache.spark.sql.graftshim.PqLut(args(0), args(1))),
+    "pq_adc" -> (args => org.apache.spark.sql.graftshim.PqAdc(args(0), args(1))),
+    "nearest_centroid" -> (args => org.apache.spark.sql.graftshim.NearestCentroid(args(0), args(1))),
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -264,6 +264,68 @@ object Relational {
           / (col("n").cast("double") * col("n"))) / 100.0, 6).as("std_dev"))
   }
 
+  /** The OpenSearch `matrix_stats` aggregation — the multi-field
+    * statistics module: per bucket, each field's mean/variance plus the
+    * COVARIANCE and CORRELATION between fields ("does latency move with
+    * payload size"). Fields here: x = value in exact cents, y = user_id.
+    *
+    * Scale/determinism shape (the extended_stats discipline): all five
+    * moments (Σx, Σy, Σx², Σy², Σxy) accumulate as exact integers —
+    * order-independent map-side partials, the cross/squared sums riding
+    * the DECIMAL(38) accumulator against int64 overflow at 100 TB row
+    * counts — and every double derivation (mean, variance, covariance,
+    * correlation) is ONE identical fixed-order expression both engines
+    * evaluate on the same exact integer inputs. One codegen pass,
+    * |buckets| output rows. */
+  val matrixStatsAgg: QueryDef = q(
+    "ns_agg_matrix_stats",
+    s"""WITH m AS (SELECT event_type, count(*) AS n,
+       |    ${sqlSum(sqlCents("value"))} AS sx,
+       |    ${sqlSum("user_id")} AS sy,
+       |    CAST(SUM(CAST(${sqlCents("value")} AS HUGEINT) * ${sqlCents("value")}) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(user_id AS HUGEINT) * user_id) AS BIGINT) AS syy,
+       |    CAST(SUM(CAST(${sqlCents("value")} AS HUGEINT) * user_id) AS BIGINT) AS sxy
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n,
+       |  round(CAST(sx AS DOUBLE) / n / 100.0, 6) AS mean_value,
+       |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_user,
+       |  round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |        / (CAST(n AS DOUBLE) * n) / 10000.0, 6) AS var_value,
+       |  round((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+       |        / (CAST(n AS DOUBLE) * n), 6) AS var_user,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |        / (CAST(n AS DOUBLE) * n) / 100.0, 6) AS cov_xy,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |        / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |           * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_xy
+       |FROM m""".stripMargin) { (s, dir) =>
+    val x = cents(col("value"))
+    val y = col("user_id")
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sumExact(x).as("sx"),
+        sumExact(y).as("sy"),
+        Exact.toLongChecked(sum(dec(x) * x)).as("sxx"),
+        Exact.toLongChecked(sum(dec(y) * y)).as("syy"),
+        Exact.toLongChecked(sum(dec(x) * y)).as("sxy"))
+      .select(col("event_type"), col("n"),
+        round(col("sx").cast("double") / col("n") / 100.0, 6).as("mean_value"),
+        round(col("sy").cast("double") / col("n"), 6).as("mean_user"),
+        round((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+          / (col("n").cast("double") * col("n")) / 10000.0, 6).as("var_value"),
+        round((col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))
+          / (col("n").cast("double") * col("n")), 6).as("var_user"),
+        round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+          / (col("n").cast("double") * col("n")) / 100.0, 6).as("cov_xy"),
+        round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+          / (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+            * sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+          .as("corr_xy"))
+  }
+
   /** The OpenSearch `percentile_ranks` aggregation — the inverse of
     * percentiles: for fixed values, the fraction of documents at or
     * below each ("what share of requests beat the 50/100/200 SLO").
@@ -963,7 +1025,8 @@ object Relational {
     aggHash, aggDistinct, dateHistogram, dateHistogramPipeline, searchAfter,
     rangeAgg, histogramAgg, histogramDenseAgg, prefixQuery, wildcardQuery,
     regexpQuery, adjacencyMatrixAgg,
-    extendedStatsAgg, weightedAvgAgg, topMetricsAgg, percentileRanksAgg,
+    extendedStatsAgg, matrixStatsAgg, weightedAvgAgg, topMetricsAgg,
+    percentileRanksAgg,
     compositeAgg, rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, joinHash,
     joinBroadcast, semiAnti, joinAsof, windowRank, windowFrame,
     windowLagLead, topK, unionOp, exceptOp, joinSkewSalted,

@@ -791,6 +791,146 @@ object TextOps {
            |FROM g WHERE w1 = '$spanLead' AND list_contains(win, '$spanLast')
            |GROUP BY 1""".stripMargin))
 
+  /** The OpenSearch `rank_eval` API — search-quality evaluation:
+    * given rated (query, document) judgments and the engine's ranked
+    * results, compute precision@k, MRR, and NDCG@k per query — the
+    * relevance scorecard a search deployment (and a training-data
+    * retrieval pipeline) runs against every ranking change.
+    *
+    * Rankings here are tf-ordered top-10 per query term (bounded top-k
+    * aggregate — ≤ N rows per query per map task, the top_hits
+    * discipline); judgments derive from a deterministic tf rule (tf≥3
+    * → rating 2, tf≥2 → 1) so both engines rate identically — in
+    * production the judgment table is a tiny human-labeled dim, which
+    * is exactly how it enters the plan (a broadcast join against the
+    * ranked rows). Determinism: every DCG term (gain·ln2/ln(rank+1),
+    * the engine-dependent log) rounds to integer MICROS before the
+    * per-query sum — the repo's data-dependent-term rule — and
+    * precision/MRR are exact integer ratios. The ideal-DCG window runs
+    * over the judged set only (judgments are human-made, so bounded by
+    * construction at any corpus size). */
+  private val evalK = 5
+  private val evalTopN = 10
+  private val evalTerms = Seq("spark", "join", "data")
+  val rankEvalOp = QueryDef(
+    "ns_search_rank_eval", {
+      (s, dir) =>
+        import s.implicits._
+        val terms = evalTerms.toDF("term")
+        val tf = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"), explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
+          .join(broadcast(terms), col("tok") === col("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .withColumn("rating",
+            when(col("tf") >= 3, 2L).when(col("tf") >= 2, 1L).otherwise(0L))
+        // the ranked result list: top-N per query by (tf desc, doc_id)
+        val ranked = tf.groupBy("term")
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("doc_id"), col("tf").cast("double"), evalTopN).as("top"))
+          .select(col("term"), posexplode(col("top")))
+          .select(col("term"), col("col.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .join(tf.select("term", "doc_id", "rating"), Seq("term", "doc_id"))
+        // integer-micros DCG terms: gain·ln(2)/ln(rank+1)
+        def dcgMicro(rankCol: String): org.apache.spark.sql.Column =
+          round((pow(lit(2.0), col("rating")) - 1.0) * log(lit(2.0))
+            / log(col(rankCol) + 1.0) * 1e6, 0).cast("long")
+        val dcg = ranked.filter(col("rank") <= evalK)
+          .withColumn("m", dcgMicro("rank"))
+          .groupBy("term").agg(sum(col("m")).as("dcg_micro"))
+        val ideal = tf
+          .withColumn("irank", row_number().over(
+            Window.partitionBy("term").orderBy(col("rating").desc, col("doc_id"))))
+          .filter(col("irank") <= evalK)
+          .withColumn("m", dcgMicro("irank"))
+          .groupBy("term").agg(sum(col("m")).as("idcg_micro"))
+        val prec = ranked.filter(col("rank") <= evalK)
+          .groupBy("term")
+          .agg(sum(when(col("rating") > 0, 1L).otherwise(0L)).as("rel_at_k"))
+        val mrr = ranked.filter(col("rating") > 0)
+          .groupBy("term").agg(min(col("rank")).as("first_rel"))
+        val judged = tf.groupBy("term").agg(count(lit(1)).as("n_judged"))
+        judged
+          .join(prec, Seq("term"), "left")
+          .join(mrr, Seq("term"), "left")
+          .join(dcg, Seq("term"), "left")
+          .join(ideal, Seq("term"), "left")
+          .select(col("term"), col("n_judged"),
+            round(coalesce(col("rel_at_k"), lit(0L)).cast("double") / evalK, 6).as("precision_k"),
+            round(when(col("first_rel").isNotNull, lit(1.0) / col("first_rel"))
+              .otherwise(0.0), 6).as("mrr"),
+            round(when(coalesce(col("idcg_micro"), lit(0L)) > 0,
+              coalesce(col("dcg_micro"), lit(0L)).cast("double") / col("idcg_micro"))
+              .otherwise(0.0), 6).as("ndcg_k"))
+    },
+    Some(s"""WITH terms AS (SELECT unnest(ARRAY[${evalTerms.map("'" + _ + "'").mkString(", ")}]) AS term),
+           |tf AS (SELECT term, doc_id, count(*) AS tf,
+           |    CASE WHEN count(*) >= 3 THEN 2 WHEN count(*) >= 2 THEN 1 ELSE 0 END AS rating
+           |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents) tk
+           |  JOIN terms ON tok = term GROUP BY 1, 2),
+           |ranked AS (SELECT term, doc_id, rating,
+           |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+           |  FROM tf QUALIFY rank <= $evalTopN),
+           |dcg AS (SELECT term, sum(CAST(round((pow(2.0, rating) - 1.0) * ln(2.0)
+           |      / ln(rank + 1.0) * 1e6, 0) AS BIGINT)) AS dcg_micro
+           |  FROM ranked WHERE rank <= $evalK GROUP BY 1),
+           |ideal AS (SELECT term, sum(CAST(round((pow(2.0, rating) - 1.0) * ln(2.0)
+           |      / ln(irank + 1.0) * 1e6, 0) AS BIGINT)) AS idcg_micro
+           |  FROM (SELECT term, rating,
+           |      row_number() OVER (PARTITION BY term ORDER BY rating DESC, doc_id) AS irank
+           |    FROM tf QUALIFY irank <= $evalK) GROUP BY 1),
+           |prec AS (SELECT term, sum(CASE WHEN rating > 0 THEN 1 ELSE 0 END) AS rel_at_k
+           |  FROM ranked WHERE rank <= $evalK GROUP BY 1),
+           |mrr AS (SELECT term, min(rank) AS first_rel FROM ranked WHERE rating > 0 GROUP BY 1),
+           |judged AS (SELECT term, count(*) AS n_judged FROM tf GROUP BY 1)
+           |SELECT j.term, j.n_judged,
+           |  round(CAST(coalesce(rel_at_k, 0) AS DOUBLE) / $evalK, 6) AS precision_k,
+           |  round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END, 6) AS mrr,
+           |  round(CASE WHEN coalesce(idcg_micro, 0) > 0
+           |        THEN CAST(coalesce(dcg_micro, 0) AS DOUBLE) / idcg_micro ELSE 0.0 END, 6) AS ndcg_k
+           |FROM judged j
+           |LEFT JOIN prec USING (term) LEFT JOIN mrr USING (term)
+           |LEFT JOIN dcg USING (term) LEFT JOIN ideal USING (term)""".stripMargin))
+
+  /** The OpenSearch `collapse` feature — field collapsing: the result
+    * list deduped on a field, keeping only each field value's BEST hit,
+    * still ranked by score ("one result per domain" — every search UI's
+    * anti-spam grouping). Scoring here is the spark-term tf (exact
+    * integer, engine-identical); the per-source best is the bounded
+    * top-k aggregate at k=1 (≤ 1 row per source per map task — a
+    * 10^9-page domain ships one row, never a per-source window sort),
+    * the page cutoff a TakeOrderedAndProject. */
+  private val collapseTerm = "spark"
+  private val collapseSize = 10
+  val collapseOp = QueryDef(
+    "ns_search_collapse", {
+      (s, dir) =>
+        val tf = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), col("source"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"), col("source"),
+            explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
+          .filter(col("tok") === collapseTerm)
+          .groupBy("source", "doc_id").agg(count(lit(1)).as("score"))
+        tf.groupBy("source")
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("doc_id"), col("score").cast("double"), 1).as("top"))
+          .select(col("source"),
+            col("top").getItem(0).getField("id").as("doc_id"),
+            col("top").getItem(0).getField("score").cast("long").as("score"))
+          .orderBy(col("score").desc, col("source"))
+          .limit(collapseSize)
+    },
+    Some(s"""WITH tf AS (SELECT source, doc_id, count(*) AS score
+           |  FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+           |        FROM documents) t
+           |  WHERE tok = '$collapseTerm' GROUP BY 1, 2),
+           |best AS (SELECT source, doc_id, score FROM (
+           |    SELECT tf.*, row_number() OVER (PARTITION BY source
+           |      ORDER BY score DESC, doc_id) AS rk FROM tf) WHERE rk = 1)
+           |SELECT source, doc_id, score FROM best
+           |ORDER BY score DESC, source LIMIT $collapseSize""".stripMargin))
+
   /** significant_terms — the OpenSearch aggregation that surfaces
     * terms OVER-REPRESENTED in a foreground slice relative to the whole
     * corpus (here: per `source`, scored by lift =
@@ -2393,7 +2533,7 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
-    spanNearOp, significantTermsOp, bm25Op,
+    spanNearOp, rankEvalOp, collapseOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,

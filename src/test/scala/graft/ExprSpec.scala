@@ -262,4 +262,27 @@ class ExprSpec extends SparkSpec {
     assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L)
     assert(tie.getLong(3) == 8L)
   }
+
+  test("SQL registry exposes the r11 vector/PQ family") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT
+        |  quantize_vec(array(CAST(0.0015 AS FLOAT), CAST(-0.0015 AS FLOAT))) AS q,
+        |  vec_l2_long(array(1L, 2L), array(3L, 2L)) AS l2,
+        |  pq_adc(
+        |    pq_encode(array(0L, 0L),
+        |      array(array(named_struct('cid', 0, 'cq', array(0L, 0L)),
+        |                  named_struct('cid', 1, 'cq', array(5L, 5L))))),
+        |    pq_lut(array(1L, 1L),
+        |      array(array(named_struct('cid', 0, 'cq', array(0L, 0L)),
+        |                  named_struct('cid', 1, 'cq', array(5L, 5L)))))) AS adc,
+        |  nearest_centroid(array(0L, 0L),
+        |    array(named_struct('cluster', 2, 'cq', array(1L, 1L)))).cluster AS cl
+        |""".stripMargin).collect().head
+    // HALF_UP at the .5 boundary: 1.5 -> 2, -1.5 -> -2
+    assert(r.getSeq[Long](0) == Seq(2L, -2L))
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2L) // code 0, qq=[1,1] vs c0=[0,0] -> d=2
+    assert(r.getInt(3) == 2)
+  }
 }

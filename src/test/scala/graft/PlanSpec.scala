@@ -504,6 +504,36 @@ class PlanSpec extends SparkSpec {
       s"the domain cap lost the partial-aggregating bounded top-k:\n$p")
   }
 
+  test("ns_search_collapse: per-field best is the bounded aggregate; page is a top-k heap") {
+    val p = physical("ns_search_collapse")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"field collapsing regressed to a window/rank selection:\n$p")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"field collapsing lost the partial-aggregating bounded top-k:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the collapsed page must be a bounded top-k heap, not a global sort:\n$p")
+  }
+
+  test("ns_search_rank_eval: ranked lists via the bounded aggregate; windows only on the judged set") {
+    val p = physical("ns_search_rank_eval")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the ranked result lists lost the partial-aggregating bounded top-k:\n$p")
+    // the only window is the ideal-DCG ordering over the judged set
+    // (term-partitioned, bounded by the judgment table at any corpus
+    // size) — never over the raw token stream
+    nodes(p).collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"an unpartitioned window crept into rank_eval:\n$p")
+      // the window's OWN spec orders by rating — it is the ideal-DCG
+      // ranking of the judged set, not a token-stream sort (and Spark
+      // caps it with WindowGroupLimit at k before the shuffle)
+      assert(w.orderSpec.toString.contains("rating"),
+        s"an unexpected window ordering in rank_eval:\n$w")
+    }
+    assert(!nodes(p).exists(n => n.getClass.getSimpleName == "CartesianProductExec"),
+      s"rank_eval must never go cartesian:\n$p")
+  }
+
   test("ns_search_top_hits: per-bucket hits come from the bounded aggregate, not a window") {
     val p = physical("ns_search_top_hits")
     assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
@@ -649,7 +679,8 @@ class PlanSpec extends SparkSpec {
     // lock that a refactor never sneaks a per-bucket window sort or a
     // filter-stream self-join into them
     for (qn <- Seq("ns_agg_range", "ns_agg_histogram", "ns_agg_adjacency_matrix",
-                   "ns_agg_extended_stats", "ns_agg_weighted_avg",
+                   "ns_agg_extended_stats", "ns_agg_matrix_stats",
+                   "ns_agg_weighted_avg",
                    "ns_agg_top_metrics", "ns_agg_percentile_ranks")) {
       val p = physical(qn)
       assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
