@@ -18,6 +18,7 @@ object Registry {
     ops.Decode.entries ++
       ops.Enrich.entries ++
       ops.Relational.entries ++
+      ops.AggsExt.entries ++
       ops.TextOps.entries ++
       ops.VectorSearch.entries ++
       ops.StreamOps.entries

@@ -1,0 +1,336 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The OpenSearch aggregation residue beyond ops/Relational.scala: the
+  * bucket/metric aggs a Kibana dashboard over the reference's ES
+  * downstream (docker-compose.yml:1-55, axway-ingest.json) still reaches
+  * for — `filters`, `multi_terms`, `auto_date_histogram`, `rate`,
+  * `sampler`/`diversified_sampler`, `string_stats`,
+  * `median_absolute_deviation`, `boxplot`, `t_test`.
+  *
+  * Shared determinism discipline (FIXTURES.md): every accumulated moment
+  * is an exact integer (cents / cents² on the DECIMAL(38) guard,
+  * character counts, epoch-ms), and each double emerges from ONE shared
+  * derivation text both engines evaluate; transcendental-fed folds run in
+  * a sorted fixed order so accumulation order can never diverge.
+  */
+object AggsExt {
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  // ---------------------------------------------------------------- filters
+  /** The OpenSearch `filters` aggregation: named, possibly-overlapping
+    * predicate buckets plus the `other_bucket` of rows matching none —
+    * the "errors vs big-ticket vs everything else" dashboard row.
+    *
+    * Scale shape: ONE codegen pass conditional-summing every named
+    * bucket's count and cents sum in a single aggregate (the
+    * adjacency_matrix discipline, diagonal only) — no per-filter scan,
+    * no union of branches — then a constant-size stack() unpivot into
+    * ES's bucket rows. Shuffle carries one wide row per map task. */
+  private val filterDefs: Seq[(String, Column, String)] = Seq(
+    ("errors", col("event_type") === "error", "event_type = 'error'"),
+    ("big_value", col("value") >= 200, "value >= 200"),
+    ("purchases", col("event_type") === "purchase", "event_type = 'purchase'"),
+    ("other", col("event_type") =!= "error" && col("event_type") =!= "purchase" &&
+      col("value") < 200,
+      "event_type <> 'error' AND event_type <> 'purchase' AND value < 200"))
+  val filtersAgg: QueryDef = q(
+    "ns_agg_filters",
+    s"""WITH m AS (SELECT
+       |  ${filterDefs.zipWithIndex.map { case ((_, _, sql), i) =>
+             s"count(*) FILTER (WHERE $sql) AS n$i,\n  CAST(coalesce(sum(${sqlCents("value")}) FILTER (WHERE $sql), 0) AS BIGINT) AS s$i"
+           }.mkString(",\n  ")}
+       |  FROM events)
+       |${filterDefs.zipWithIndex.map { case ((name, _, _), i) =>
+             s"SELECT '$name' AS bucket, n$i AS doc_count, s$i AS sum_value_c FROM m"
+           }.mkString("\nUNION ALL ")}""".stripMargin) { (s, dir) =>
+    val aggCols = filterDefs.zipWithIndex.flatMap { case ((_, c, _), i) =>
+      Seq(sum(when(c, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(c, cents(col("value"))).otherwise(0L)).as(s"s$i"))
+    }
+    val stackArgs = filterDefs.zipWithIndex
+      .map { case ((name, _, _), i) => s"'$name', n$i, s$i" }.mkString(", ")
+    Tables.events(s, dir)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(s"stack(${filterDefs.size}, $stackArgs) AS (bucket, doc_count, sum_value_c)"))
+  }
+
+  // ------------------------------------------------------------ multi_terms
+  /** The OpenSearch `multi_terms` aggregation: buckets keyed by a
+    * composite of two fields, ordered by doc count, top-N — the
+    * "top (type, cohort) combinations" table. The deterministic
+    * tie-break (count desc, then both keys asc) is part of the
+    * contract; the N-row cutoff compiles to TakeOrderedAndProject over
+    * the aggregated bucket table, never a global sort. */
+  val multiTermsAgg: QueryDef = q(
+    "ns_agg_multi_terms",
+    s"""SELECT event_type, user_id % 10 AS cohort, count(*) AS doc_count,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM events GROUP BY 1, 2
+       |ORDER BY doc_count DESC, event_type, cohort LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("doc_count"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy(col("doc_count").desc, col("event_type"), col("cohort"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------- auto_date_histogram
+  /** The OpenSearch `auto_date_histogram`: the engine picks the bucket
+    * interval from a fixed ladder so the bucket count stays at or under
+    * the target (40 here) — the "just show me a sensible time axis"
+    * agg. Interval choice is pure integer epoch-ms arithmetic off the
+    * data's min/max, so both engines pick identically; bucket keys are
+    * epoch-aligned `(ts_ms div iv) * iv` — exact.
+    *
+    * Scale shape: one bounds aggregate (a single row — at real scale
+    * this is parquet footer min/max stats), broadcast onto the corpus
+    * pass; the output is ≤ target buckets BY CONSTRUCTION at any SF —
+    * the whole point of the agg. Two scans total, both pruned to
+    * (ts, value). */
+  private val adhLadderMs = Seq(3600000L, 10800000L, 43200000L, 86400000L,
+    604800000L, 2592000000L)
+  private val adhTarget = 40
+  private def adhPickSql(span: String): String =
+    adhLadderMs.init.map { iv =>
+      s"WHEN $span <= ${iv * adhTarget} THEN $iv"
+    }.mkString("CASE ", " ", s" ELSE ${adhLadderMs.last} END")
+  val autoDateHistogramAgg: QueryDef = q(
+    "ns_agg_auto_date_histogram",
+    s"""WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+       |p AS (SELECT ${adhPickSql("hi - lo")} AS iv_ms FROM b)
+       |SELECT (epoch_ms(ts) // iv_ms) * iv_ms AS bucket_ms, iv_ms,
+       |  count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM events, p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val pick = e.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .select(expr(adhPickSql("hi - lo")).as("iv_ms"))
+    e.crossJoin(broadcast(pick))
+      .groupBy(expr("(ts_ms div iv_ms) * iv_ms").as("bucket_ms"), col("iv_ms"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+  }
+
+  // ------------------------------------------------------------------- rate
+  /** The OpenSearch `rate` aggregation inside a date_histogram: bucket
+    * sums rescaled to a per-`unit` rate (unit=hour under day buckets →
+    * ÷24). The division is the single shared derivation over exact
+    * integer bucket moments. */
+  val rateAgg: QueryDef = q(
+    "ns_agg_rate",
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |  count(*) AS n,
+       |  round(CAST(count(*) AS DOUBLE) / 24, 6) AS docs_per_hour,
+       |  round(CAST(${sqlSum(sqlCents("value"))} AS DOUBLE) / 100 / 24, 6) AS value_per_hour
+       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("n").cast("double") / 24, 6).as("docs_per_hour"),
+        round(col("sum_c").cast("double") / 100 / 24, 6).as("value_per_hour"))
+  }
+
+  // ---------------------------------------------------------------- sampler
+  /** The OpenSearch `sampler` aggregation: restrict sub-aggs to the
+    * best `shard_size` documents (here: longest, doc_id tie-break —
+    * the deterministic stand-in for score order), then aggregate the
+    * sample. The cutoff compiles to TakeOrderedAndProject — k·tasks
+    * rows move, never a global sort — and the terms sub-agg runs over
+    * ≤ 200 rows at any SF. */
+  private val samplerK = 200
+  val samplerAgg: QueryDef = q(
+    "ns_agg_sampler",
+    s"""WITH s AS (SELECT source, n_chars FROM documents
+       |  ORDER BY n_chars DESC, doc_id LIMIT $samplerK)
+       |SELECT source, count(*) AS n, ${sqlSum("n_chars")} AS sum_chars
+       |FROM s GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(samplerK)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** The `diversified_sampler` twin: at most `maxPerKey` docs per
+    * diversity key (lang) before the sub-agg — the "don't let one
+    * language swamp the sample" guard. The per-key cutoff runs through
+    * the bounded TopKByScoreAgg (≤ k entries per key per map task,
+    * row_number-identical order), NOT a row_number window — no giant
+    * per-key sort partitions form at scale. The selected-id set
+    * (≤ k·|langs| rows) broadcasts back onto the corpus scan. */
+  private val diversifiedK = 40
+  val diversifiedSamplerAgg: QueryDef = q(
+    "ns_agg_diversified_sampler",
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, count(*) AS n, ${sqlSum("n_chars")} AS sum_chars
+       |FROM r WHERE rn <= $diversifiedK GROUP BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val sel = d.groupBy("lang")
+      .agg(graft.expr.VecFunctions.topk_by_score(
+        col("doc_id"), col("n_chars").cast("double"), diversifiedK).as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+    d.join(broadcast(sel), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // ------------------------------------------------------------ string_stats
+  /** The OpenSearch `string_stats` aggregation (per lang over `source`):
+    * count, min/max/avg length, and the Shannon character entropy.
+    *
+    * Determinism: lengths and character counts accumulate as exact
+    * longs; entropy's Σ c·log2(c) — the one transcendental-fed sum —
+    * folds over the SORTED count list (sort_array + a left-fold
+    * `aggregate` in Spark, list_sort + list_reduce in DuckDB), so both
+    * engines add identical terms in identical order; H = log2(N) − S/N
+    * is one shared derivation, round(6).
+    *
+    * Scale shape: the char explode amplifies by avg value length
+    * (bounded — it's a keyword field), then collapses immediately into
+    * (bucket, char) counts via map-side partials; the per-bucket fold
+    * runs over ≤ |alphabet| elements. One corpus pass for lengths, one
+    * for chars. */
+  val stringStatsAgg: QueryDef = q(
+    "ns_agg_string_stats",
+    """WITH ch AS (SELECT lang, unnest(string_split(source, '')) AS c FROM documents),
+      |cc AS (SELECT lang, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),
+      |ent AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS nch,
+      |    list_reduce(list_prepend(0.0, list_transform(list_sort(list(cnt)),
+      |      x -> CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)))), (a, b) -> a + b) AS sterm
+      |  FROM cc GROUP BY 1),
+      |base AS (SELECT lang, count(*) AS n, min(length(source)) AS min_length,
+      |    max(length(source)) AS max_length,
+      |    CAST(sum(length(source)) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT base.lang, n, min_length, max_length,
+      |  round(CAST(total_chars AS DOUBLE) / n, 6) AS avg_length,
+      |  round(log2(CAST(nch AS DOUBLE)) - sterm / nch, 6) AS entropy
+      |FROM base JOIN ent ON base.lang = ent.lang""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val base = d.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      min(length(col("source"))).as("min_length"),
+      max(length(col("source"))).as("max_length"),
+      sum(length(col("source")).cast("long")).as("total_chars"))
+    val ent = d.select(col("lang"), explode(split(col("source"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("lang", "c").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang").agg(
+        sum(col("cnt")).as("nch"),
+        aggregate(sort_array(collect_list(col("cnt"))), lit(0.0),
+          (acc, c) => acc + c.cast("double") * log2(c.cast("double"))).as("sterm"))
+    base.join(ent, "lang")
+      .select(col("lang"), col("n"), col("min_length"), col("max_length"),
+        round(col("total_chars").cast("double") / col("n"), 6).as("avg_length"),
+        round(log2(col("nch").cast("double")) - col("sterm") / col("nch"), 6).as("entropy"))
+  }
+
+  // ---------------------------------------------- median_absolute_deviation
+  /** The OpenSearch `median_absolute_deviation`: median of |x − median|
+    * per bucket — the robust dispersion metric. Exactness: values live
+    * in DOUBLED cents, so the interpolated median of integers (k or
+    * k+0.5 → integer in the 2× domain) and every |c2 − med2| deviation
+    * are exactly-representable integer-valued doubles; only the final
+    * ÷200 is a derivation, shared by both engines.
+    *
+    * Scale shape: two sort-based percentile aggregates with the tiny
+    * per-bucket median table broadcast back between them — the exact
+    * twin; `ns_agg_percentile_approx` is the declared sketch path at
+    * 100 TB. */
+  val madAgg: QueryDef = q(
+    "ns_agg_median_absolute_deviation",
+    s"""WITH c AS (SELECT event_type, ${sqlCents("value")} * 2 AS c2 FROM events),
+       |m AS (SELECT event_type, quantile_cont(c2, 0.5) AS med2 FROM c GROUP BY 1),
+       |d AS (SELECT c.event_type, med2, abs(c2 - med2) AS dev2
+       |  FROM c JOIN m ON c.event_type = m.event_type)
+       |SELECT event_type, round(min(med2) / 200, 6) AS median,
+       |  round(quantile_cont(dev2, 0.5) / 200, 6) AS mad
+       |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), (cents(col("value")) * 2).as("c2"))
+    val med = e.groupBy("event_type").agg(expr("percentile(c2, 0.5D)").as("med2"))
+    e.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("c2") - col("med2")))
+      .groupBy("event_type")
+      .agg(round(min(col("med2")) / 200, 6).as("median"),
+        round(expr("percentile(dev2, 0.5D)") / 200, 6).as("mad"))
+  }
+
+  // ---------------------------------------------------------------- boxplot
+  /** The OpenSearch `boxplot` aggregation: min/max/q1/q2/q3 + IQR per
+    * bucket. Quartiles interpolate over exact integer cents (one
+    * value-multiset buffer serves all three — the ns_agg_percentile
+    * discipline); each emitted double is one shared ÷100 derivation. */
+  val boxplotAgg: QueryDef = q(
+    "ns_agg_boxplot",
+    s"""SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+       |  round(quantile_cont(${sqlCents("value")}, 0.25) / 100, 6) AS q1,
+       |  round(quantile_cont(${sqlCents("value")}, 0.5) / 100, 6) AS q2,
+       |  round(quantile_cont(${sqlCents("value")}, 0.75) / 100, 6) AS q3,
+       |  round((quantile_cont(${sqlCents("value")}, 0.75)
+       |       - quantile_cont(${sqlCents("value")}, 0.25)) / 100, 6) AS iqr
+       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("c", cents(col("value")))
+      .groupBy("event_type")
+      .agg(min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("event_type"), col("min_value"), col("max_value"),
+        round(col("ps").getItem(0) / 100, 6).as("q1"),
+        round(col("ps").getItem(1) / 100, 6).as("q2"),
+        round(col("ps").getItem(2) / 100, 6).as("q3"),
+        round((col("ps").getItem(2) - col("ps").getItem(0)) / 100, 6).as("iqr"))
+  }
+
+  // ----------------------------------------------------------------- t_test
+  /** The OpenSearch `t_test` aggregation (heteroscedastic / Welch):
+    * is the click-value mean different from the error-value mean, per
+    * cohort? All five moments per side (n, Σc, Σc² — squares on the
+    * DECIMAL(38) guard) accumulate exactly in ONE conditional-sum pass
+    * (the adjacency_matrix/filters discipline — no per-sample scan),
+    * and the t statistic is a single shared derivation text. */
+  private val tTestDerive: String =
+    """round((CAST(sa_c AS DOUBLE) / na - CAST(sb_c AS DOUBLE) / nb) /
+      | sqrt((CAST(na AS DOUBLE) * qa_c2 - CAST(sa_c AS DOUBLE) * sa_c)
+      |         / (CAST(na AS DOUBLE) * na - na) / na
+      |     + (CAST(nb AS DOUBLE) * qb_c2 - CAST(sb_c AS DOUBLE) * sb_c)
+      |         / (CAST(nb AS DOUBLE) * nb - nb) / nb), 6)""".stripMargin.replace("\n", " ")
+  val tTestAgg: QueryDef = q(
+    "ns_agg_t_test",
+    s"""WITH m AS (SELECT user_id % 3 AS cohort,
+       |  count(*) FILTER (WHERE event_type = 'click') AS na,
+       |  CAST(coalesce(sum(${sqlCents("value")}) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS sa_c,
+       |  CAST(coalesce(sum(CAST(${sqlCents("value")} AS HUGEINT) * ${sqlCents("value")})
+       |    FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS qa_c2,
+       |  count(*) FILTER (WHERE event_type = 'error') AS nb,
+       |  CAST(coalesce(sum(${sqlCents("value")}) FILTER (WHERE event_type = 'error'), 0) AS BIGINT) AS sb_c,
+       |  CAST(coalesce(sum(CAST(${sqlCents("value")} AS HUGEINT) * ${sqlCents("value")})
+       |    FILTER (WHERE event_type = 'error'), 0) AS BIGINT) AS qb_c2
+       |FROM events GROUP BY 1)
+       |SELECT cohort, na, nb, $tTestDerive AS t FROM m""".stripMargin) { (s, dir) =>
+    val c = cents(col("value"))
+    val isA = col("event_type") === "click"
+    val isB = col("event_type") === "error"
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 3).as("cohort"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sumExact(when(isA, c).otherwise(0L)).as("sa_c"),
+        sumExact(when(isA, c * c).otherwise(0L)).as("qa_c2"),
+        sum(when(isB, 1L).otherwise(0L)).as("nb"),
+        sumExact(when(isB, c).otherwise(0L)).as("sb_c"),
+        sumExact(when(isB, c * c).otherwise(0L)).as("qb_c2"))
+      .select(col("cohort"), col("na"), col("nb"), expr(tTestDerive).as("t"))
+  }
+
+  def entries: Seq[QueryDef] = Seq(
+    filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
+    diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg)
+}

@@ -920,6 +920,37 @@ class PlanSpec extends SparkSpec {
       s"the cluster cap regressed to a buffering window:\n$p")
   }
 
+  test("ns_agg_sampler: the sample cutoff stays TakeOrderedAndProject") {
+    val p = physical("ns_agg_sampler")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("ns_agg_diversified_sampler: per-key cutoff is the bounded aggregate — no window") {
+    val p = physical("ns_agg_diversified_sampler")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the per-key sample cutoff regressed to a row_number window:\n$p")
+  }
+
+  test("ns_agg_filters and ns_agg_t_test: all conditional moments ride ONE events scan") {
+    for (name <- Seq("ns_agg_filters", "ns_agg_t_test")) {
+      val p = physical(name)
+      val eventScans = nodes(p)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/events.parquet")))
+      assert(eventScans == 1,
+        s"$name must conditional-sum every bucket in one pass, saw $eventScans scans:\n$p")
+    }
+  }
+
+  test("ns_agg_auto_date_histogram: bucket count is bounded by the target at any SF") {
+    val rows = SparkEntry.queries("ns_agg_auto_date_histogram")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 40,
+      s"auto_date_histogram must emit <= target buckets, got ${rows.length}")
+    // one interval chosen for the whole axis
+    assert(rows.map(_.getAs[Long]("iv_ms")).distinct.length == 1)
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
