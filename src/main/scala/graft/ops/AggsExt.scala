@@ -330,7 +330,117 @@ object AggsExt {
       .select(col("cohort"), col("na"), col("nb"), expr(tTestDerive).as("t"))
   }
 
+  // --------------------------------------------------------- pipeline aggs
+  // The ES pipeline-agg family beyond ns_date_histogram_pipeline's
+  // derivative/moving-avg/cumsum: every one of these computes over the
+  // AGGREGATED daily bucket table (series × days rows — dashboard-sized
+  // at any SF), never raw events, with windows partitioned per series.
+
+  /** `bucket_script`: a per-bucket metric derived from sibling
+    * aggregations — the error-rate panel (errors ÷ total per day).
+    * Sibling metrics are exact conditional longs from ONE corpus pass
+    * (the filters discipline); the ratio is the single shared
+    * derivation. */
+  val bucketScriptAgg: QueryDef = q(
+    "ns_agg_bucket_script",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_err,
+      |  round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+      |        / count(*), 6) AS error_rate
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .select(col("day"), col("n"), col("n_err"),
+        round(col("n_err").cast("double") / col("n"), 6).as("error_rate"))
+  }
+
+  /** `bucket_selector`: drop buckets failing a metric predicate — the
+    * "only show days where purchases underperformed" HAVING clause.
+    * The predicate runs on exact integer bucket moments, above the
+    * aggregate (a filter over |buckets| rows, free at any SF). */
+  val bucketSelectorAgg: QueryDef = q(
+    "ns_agg_bucket_selector",
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |  count(*) AS n, ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM events GROUP BY 1, 2
+       |HAVING ${sqlSum(sqlCents("value"))} < 100 * count(*) * 100""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      // avg value < 100, phrased as an exact integer comparison
+      .filter(col("sum_value_c") < lit(100L) * col("n") * 100L)
+  }
+
+  /** `bucket_sort`: order sibling buckets by a metric and keep the top
+    * page — "the 5 busiest days". Over the aggregated table the cutoff
+    * compiles to TakeOrderedAndProject, the same heap the raw-row topk
+    * uses; deterministic day tie-break. */
+  val bucketSortAgg: QueryDef = q(
+    "ns_agg_bucket_sort",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      |FROM events GROUP BY 1
+      |ORDER BY n DESC, day LIMIT 5""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("day"))
+      .limit(5)
+  }
+
+  /** `serial_diff` (lag 7): week-over-week change per series — the
+    * seasonality-removing twin of the lag-1 derivative already in
+    * ns_date_histogram_pipeline. Exact long subtraction over the
+    * bucket table, window partitioned per event_type. */
+  val serialDiffAgg: QueryDef = q(
+    "ns_agg_serial_diff",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |  n - lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS wow
+      |FROM b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wow", col("n") - lag("n", 7).over(w))
+  }
+
+  /** `cumulative_cardinality`: distinct users seen up to each day —
+    * the "total unique users over time" growth curve.
+    *
+    * Scale shape: the naive form (count-distinct inside an expanding
+    * window) rescans history per bucket; the at-scale identity is
+    * FIRST-SEEN attribution — one shuffle by user for min(day), a
+    * |days|-bounded first-seen histogram, and a running sum over that
+    * tiny table. The one unpartitioned window orders |days| rows. */
+  val cumulativeCardinalityAgg: QueryDef = q(
+    "ns_agg_cumulative_cardinality",
+    """WITH fs AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("tsu")).cast("date")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(wc))
+  }
+
   def entries: Seq[QueryDef] = Seq(
+    bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
+    cumulativeCardinalityAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg)
 }

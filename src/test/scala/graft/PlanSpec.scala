@@ -951,6 +951,28 @@ class PlanSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("iv_ms")).distinct.length == 1)
   }
 
+  test("pipeline aggs: bucket_sort page is a top-k heap; bucket_script is one pass") {
+    val sortP = physical("ns_agg_bucket_sort")
+    assert(nodes(sortP).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"bucket page must stay TakeOrderedAndProject:\n$sortP")
+    val scriptP = physical("ns_agg_bucket_script")
+    val eventScans = nodes(scriptP)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/events.parquet")))
+    assert(eventScans == 1,
+      s"bucket_script sibling metrics must ride one scan, saw $eventScans:\n$scriptP")
+  }
+
+  test("ns_agg_cumulative_cardinality: no count-distinct window — first-seen shape") {
+    // the expanding window runs over the |days|-bounded first-seen table,
+    // and no distinct aggregation sits inside any window frame
+    val p = physical("ns_agg_cumulative_cardinality")
+    val winExprs = nodes(p).collect { case w: WindowExec => w }
+      .flatMap(_.windowExpression.map(_.sql.toLowerCase))
+    assert(winExprs.nonEmpty && !winExprs.exists(_.contains("distinct")),
+      s"cumulative cardinality must never count-distinct inside a window:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
