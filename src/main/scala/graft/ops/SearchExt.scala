@@ -1,0 +1,222 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The OpenSearch query-DSL residue beyond ops/TextOps.scala's search
+  * family: `query_string` (the Kibana search-box mini-language, via
+  * QueryStringParser), `terms_set`, `dis_max`, `boosting`,
+  * `significant_text`, and the `range` query.
+  *
+  * Determinism discipline: every score here is either an exact integer
+  * (term frequencies, conjunction counts — tie-broken by doc_id) or one
+  * shared double derivation over exact integer moments; IEEE +,−,×,÷
+  * are exact-rounded, so identical formula text over identical longs
+  * yields bit-identical doubles in both engines.
+  */
+object SearchExt {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Par.spread(s, Tables.documents(s, dir), col("doc_id"))
+
+  private def toks = split(trim(col("text")), " ")
+
+  // ------------------------------------------------------------ query_string
+  /** The `query_string` query — the raw Kibana search box. The FIXED
+    * query below exercises every grammar production: field scoping,
+    * grouping, OR, implicit AND, a quoted phrase, negation, and a
+    * prefix wildcard. QueryStringParser compiles it to one boolean
+    * codegen Column; keyword-field predicates (lang, source) stay
+    * pushdown-eligible conjuncts.
+    *
+    * Scale shape: a single pruned corpus scan with one codegen filter —
+    * the text-side membership tests never explode tokens or shuffle.
+    * (QueryStringSpec covers the parser itself: precedence, errors,
+    * every production.) */
+  private[graft] val qsQuery =
+    """lang:en AND (spark OR "data column") -source:src7 que*"""
+  val queryStringOp = QueryDef(
+    "ns_search_query_string",
+    (s, dir) => {
+      val pred = QueryStringParser.compile(
+        QueryStringParser.parse(qsQuery),
+        col("text"),
+        Map("lang" -> col("lang"), "source" -> col("source")))
+      docs(s, dir).filter(pred).select("doc_id", "lang", "source")
+    },
+    Some("""SELECT doc_id, lang, source FROM documents
+      |WHERE lang = 'en'
+      |  AND (list_contains(string_split(trim(text), ' '), 'spark')
+      |       OR contains(concat(' ', trim(text), ' '), ' data column '))
+      |  AND NOT source = 'src7'
+      |  AND len(list_filter(string_split(trim(text), ' '), x -> x LIKE 'que%')) > 0
+      |""".stripMargin))
+
+  // --------------------------------------------------------------- terms_set
+  /** The `terms_set` query: match documents containing at least
+    * `minimum_should_match` of a term set — the "2 of these 4 symptoms"
+    * query. Same inverted shape as percolate: corpus tokens filter
+    * against the broadcast term set BEFORE the distinct (only matched
+    * rows dedup), then an integer conjunction count per doc. */
+  private val termsSetTerms = Seq("spark", "join", "window", "sort")
+  private val termsSetMin = 2
+  val termsSetOp = QueryDef(
+    "ns_search_terms_set",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val terms = termsSetTerms.toDF("term")
+      docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .join(broadcast(terms), col("tok") === col("term"))
+        .select("doc_id", "term").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") >= termsSetMin)
+    },
+    Some(s"""SELECT doc_id, count(DISTINCT t) AS n_matched
+       |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents)
+       |WHERE t IN (${termsSetTerms.map("'" + _ + "'").mkString(", ")})
+       |GROUP BY doc_id HAVING count(DISTINCT t) >= $termsSetMin""".stripMargin))
+
+  // ----------------------------------------------------------------- dis_max
+  /** The `dis_max` compound query with tie_breaker 0.5: per-clause
+    * scores combine as max + 0.5·(sum − max). Clause scores here are
+    * exact term frequencies, and at tie_breaker ½ the doubled score is
+    * the INTEGER identity max + sum — ranking and tie-breaks are
+    * exact; ÷2 happens once at emission. One token explode serves all
+    * clauses (conditional sums — the filters discipline); cutoff is
+    * TakeOrderedAndProject. */
+  private val disMaxTerms = Seq("spark", "join", "window")
+  val disMaxOp = QueryDef(
+    "ns_search_dis_max",
+    (s, dir) => {
+      val tfCols = disMaxTerms.map(t =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok").isin(disMaxTerms: _*))
+        .groupBy("doc_id")
+        .agg(tfCols.head, tfCols.tail: _*)
+      val sumC = disMaxTerms.map(t => col(s"tf_$t")).reduce(_ + _)
+      val maxC = greatest(disMaxTerms.map(t => col(s"tf_$t")): _*)
+      val outCols = col("doc_id") +: disMaxTerms.map(t => col(s"tf_$t")) :+
+        round(col("score2x") / 2, 1).as("score")
+      tf.withColumn("score2x", maxC + sumC)
+        .orderBy(col("score2x").desc, col("doc_id"))
+        .limit(10)
+        .select(outCols: _*)
+    },
+    Some(s"""WITH tf AS (
+       |  SELECT doc_id,
+       |    ${disMaxTerms.map(t => s"count(*) FILTER (WHERE t = '$t') AS tf_$t").mkString(",\n    ")}
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents)
+       |  WHERE t IN (${disMaxTerms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id)
+       |SELECT doc_id, ${disMaxTerms.map(t => s"tf_$t").mkString(", ")},
+       |  round((greatest(${disMaxTerms.map(t => s"tf_$t").mkString(", ")})
+       |       + ${disMaxTerms.map(t => s"tf_$t").mkString(" + ")}) / 2, 1) AS score
+       |FROM tf
+       |ORDER BY greatest(${disMaxTerms.map(t => s"tf_$t").mkString(", ")})
+       |       + ${disMaxTerms.map(t => s"tf_$t").mkString(" + ")} DESC, doc_id
+       |LIMIT 10""".stripMargin))
+
+  // ---------------------------------------------------------------- boosting
+  /** The `boosting` compound query: positive matches ranked down (not
+    * out) when the negative clause also matches — negative_boost 0.5.
+    * In doubled units the demotion stays integer: score2x =
+    * tf(positive) · (negative? 1 : 2), so ranking is exact. */
+  val boostingOp = QueryDef(
+    "ns_search_boosting",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("tf_pos", size(filter(toks, t => t === "spark")).cast("long"))
+        .withColumn("neg", array_contains(toks, "slow"))
+        .filter(col("tf_pos") > 0)
+        .withColumn("score2x", col("tf_pos") * when(col("neg"), 1L).otherwise(2L))
+      d.orderBy(col("score2x").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("tf_pos"), col("neg"),
+          round(col("score2x") / 2, 1).as("score"))
+    },
+    Some("""WITH f AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS tf_pos,
+      |    list_contains(string_split(trim(text), ' '), 'slow') AS neg
+      |  FROM documents)
+      |SELECT doc_id, tf_pos, neg,
+      |  round(tf_pos * (CASE WHEN neg THEN 1 ELSE 2 END) / 2, 1) AS score
+      |FROM f WHERE tf_pos > 0
+      |ORDER BY tf_pos * (CASE WHEN neg THEN 1 ELSE 2 END) DESC, doc_id
+      |LIMIT 10""".stripMargin))
+
+  // -------------------------------------------------------- significant_text
+  /** The `significant_text` aggregation: terms OVERREPRESENTED in the
+    * foreground (docs matching the query) vs the background corpus —
+    * the "what words characterize the matching docs" panel, scored by
+    * ES's JLH = (fgPct − bgPct) · (fgPct / bgPct).
+    *
+    * Scale shape: ONE corpus pass — the foreground flag rides each doc
+    * into a distinct-(doc, term) explode, and fg/bg doc counts emerge
+    * as conditional sums of the same aggregate (the filters
+    * discipline; no second scan, no foreground self-join). Doc totals
+    * are a 1-row broadcast. JLH derives once per term from exact longs
+    * — identical doubles both engines — so the top-k order needs no
+    * epsilon. */
+  private val sigTextFgTerm = "spark"
+  private val sigTextK = 10
+  private val jlhDerive =
+    """(CAST(fg AS DOUBLE) / fg_total - CAST(bg AS DOUBLE) / bg_total)
+      | * ((CAST(fg AS DOUBLE) / fg_total) / (CAST(bg AS DOUBLE) / bg_total))""".stripMargin.replace("\n", " ")
+  val significantTextOp = QueryDef(
+    "ns_search_significant_text",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("fg", array_contains(toks, sigTextFgTerm))
+      val totals = d.agg(
+        sum(when(col("fg"), 1L).otherwise(0L)).as("fg_total"),
+        count(lit(1)).as("bg_total"))
+      val counts = d
+        .select(col("doc_id"), col("fg"), explode(array_distinct(toks)).as("term"))
+        .groupBy("term")
+        .agg(sum(when(col("fg"), 1L).otherwise(0L)).as("fg"),
+          count(lit(1)).as("bg"))
+        .filter(col("fg") >= 3 && col("term") =!= sigTextFgTerm)
+      counts.crossJoin(broadcast(totals))
+        .withColumn("jlh", expr(jlhDerive))
+        .orderBy(col("jlh").desc, col("term"))
+        .limit(sigTextK)
+        .select(col("term"), col("fg"), col("bg"), round(col("jlh"), 6).as("score"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ts,
+       |    list_contains(string_split(trim(text), ' '), '$sigTextFgTerm') AS fg
+       |  FROM documents),
+       |t AS (SELECT CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_total,
+       |    count(*) AS bg_total FROM d),
+       |c AS (SELECT term, CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg,
+       |    count(*) AS bg
+       |  FROM (SELECT doc_id, fg, unnest(list_distinct(ts)) AS term FROM d)
+       |  GROUP BY 1
+       |  HAVING sum(CASE WHEN fg THEN 1 ELSE 0 END) >= 3 AND term <> '$sigTextFgTerm')
+       |SELECT term, fg, bg, round($jlhDerive, 6) AS score
+       |FROM c, t
+       |ORDER BY $jlhDerive DESC, term LIMIT $sigTextK""".stripMargin))
+
+  // ------------------------------------------------------------------- range
+  /** The `range` query over a numeric field — the one DSL query whose
+    * whole body is scan-native: both bounds reach PushedFilters and
+    * row-group stats skip non-overlapping parquet chunks
+    * (PlanSpec-locked). Returns matching documents, the filter-context
+    * shape. */
+  val rangeQueryOp = QueryDef(
+    "ns_search_range",
+    (s, dir) => Tables.events(s, dir)
+      .filter(col("value") >= 100.0 && col("value") < 250.0 &&
+        col("event_type") === "view")
+      .select("event_id", "event_type", "value"),
+    Some("""SELECT event_id, event_type, value FROM events
+      |WHERE value >= 100.0 AND value < 250.0 AND event_type = 'view'""".stripMargin))
+
+  def entries: Seq[QueryDef] = Seq(
+    queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
+    rangeQueryOp)
+}

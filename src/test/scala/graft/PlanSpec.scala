@@ -973,6 +973,38 @@ class PlanSpec extends SparkSpec {
       s"cumulative cardinality must never count-distinct inside a window:\n$p")
   }
 
+  test("ns_search_range: both bounds and the keyword term reach PushedFilters") {
+    val p = physical("ns_search_range")
+    val scan = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(value") && pushed.contains("LessThan(value") &&
+      pushed.contains("EqualTo(event_type"),
+      s"range-query predicates must push to the scan, got: $pushed")
+  }
+
+  test("ns_search_significant_text: fg and bg counts ride ONE corpus pass") {
+    val p = physical("ns_search_significant_text")
+    val docScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    // one scan for the term counts + one for the 1-row totals dim — never
+    // a separate foreground pass
+    assert(docScans <= 2,
+      s"significant_text must not run a separate foreground scan, saw $docScans:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"significant_text top-k must stay a heap:\n$p")
+  }
+
+  test("dis_max and boosting cutoffs stay TakeOrderedAndProject") {
+    for (name <- Seq("ns_search_dis_max", "ns_search_boosting")) {
+      val p = physical(name)
+      assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        s"$name page must stay TakeOrderedAndProject:\n$p")
+    }
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
