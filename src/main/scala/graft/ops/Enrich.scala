@@ -439,6 +439,98 @@ object Enrich {
         |       ELSE concat('{"m":"', method, '","d":"d', event_id % 10, '"}') END AS doc
         |FROM access_log""".stripMargin)))
 
+  /** The OpenSearch `geo_bounds` aggregation: the tightest lat/lon box
+    * around each bucket's points — the "zoom the map to the data"
+    * primitive. Buckets are 60° longitude sextants (floor quotients sit
+    * ≥ 0.008 from every boundary on the .5-offset dim — no edge risk);
+    * min/max over the exact synthetic points are order-independent. */
+  private val geoSextant = "CAST(floor(geo_lon / 60) AS BIGINT)"
+  val geoBoundsOp = QueryDef(
+    "ns_agg_geo_bounds",
+    (s, dir) => geoEnrichedFacts(s, dir)
+      .groupBy(expr(geoSextant).as("sextant"))
+      .agg(count(lit(1)).as("doc_count"),
+        min(col("geo_lat")).as("bottom"), max(col("geo_lat")).as("top"),
+        min(col("geo_lon")).as("left"), max(col("geo_lon")).as("right")),
+    Some(Synth.withAccessLog(
+      s"""SELECT $geoSextant AS sextant, count(*) AS doc_count,
+         |  min(geo_lat) AS bottom, max(geo_lat) AS top,
+         |  min(geo_lon) AS "left", max(geo_lon) AS "right"
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |GROUP BY 1""".stripMargin)))
+
+  /** The `geo_centroid` aggregation: the arithmetic mean point per
+    * bucket. Points are .5-offset degrees, so DOUBLED coordinates are
+    * exact integers — Σ(2·lat) accumulates as a long and the centroid
+    * is one shared ÷(2n) derivation, bit-identical both engines. */
+  val geoCentroidOp = QueryDef(
+    "ns_agg_geo_centroid",
+    (s, dir) => geoEnrichedFacts(s, dir)
+      .groupBy(expr(geoSextant).as("sextant"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum((col("geo_lat") * 2).cast("long")).as("slat2"),
+        sum((col("geo_lon") * 2).cast("long")).as("slon2"))
+      .select(col("sextant"), col("doc_count"),
+        round(col("slat2").cast("double") / 2 / col("doc_count"), 6).as("centroid_lat"),
+        round(col("slon2").cast("double") / 2 / col("doc_count"), 6).as("centroid_lon")),
+    Some(Synth.withAccessLog(
+      s"""SELECT $geoSextant AS sextant, count(*) AS doc_count,
+         |  round(CAST(CAST(sum(CAST(geo_lat * 2 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 2 / count(*), 6) AS centroid_lat,
+         |  round(CAST(CAST(sum(CAST(geo_lon * 2 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 2 / count(*), 6) AS centroid_lon
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |GROUP BY 1""".stripMargin)))
+
+  /** The `geohash_grid` aggregation — geotile's base-32 sibling.
+    * Precision 3 = 15 bits (8 lon + 7 lat, lon-first interleave).
+    * Cell indices are PURE integer arithmetic over doubled-degree
+    * longs — `((2·lon + 360) · 256) div 720` — so unlike geotile's
+    * tan/ln there is no transcendental anywhere: bit-exact by
+    * construction at every point, both engines. The bit interleave is
+    * a fixed 15-term generated expression; one codegen pass,
+    * |cells|-bounded shuffle. */
+  private val geohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  /** Interleaved 15-bit cell id from ix(8b)/iy(7b), as engine text.
+    * shift(x,n) renders a right-shift in the target dialect. */
+  private def geohashCellText(shift: (String, Int) => String): String = {
+    val ix = "(((CAST(geo_lon * 2 AS BIGINT) + 360) * 256) // 720)"
+    val iy = "(((CAST(geo_lat * 2 AS BIGINT) + 180) * 128) // 360)"
+    // geohash bit order, msb first: lon7 lat6 lon6 lat5 ... lon1 lat0 lon0
+    val bits = (0 until 15).map { i =>
+      val fromTop = i // 0 = msb (weight 2^14)
+      val weight = 1L << (14 - fromTop)
+      if (fromTop % 2 == 0) { // lon bit: 7 - fromTop/2
+        s"(${shift(ix, 7 - fromTop / 2)} % 2) * $weight"
+      } else { // lat bit: 6 - (fromTop-1)/2
+        s"(${shift(iy, 6 - (fromTop - 1) / 2)} % 2) * $weight"
+      }
+    }
+    bits.mkString("(", " + ", ")")
+  }
+  private[graft] def geohashText(shift: (String, Int) => String, substrFn: String): String = {
+    val g = geohashCellText(shift)
+    def ch(sh: Int) = s"$substrFn('$geohashBase32', CAST(($g // ${1L << sh}) % 32 AS INT) + 1, 1)"
+    s"concat(${ch(10)}, ${ch(5)}, ${ch(0)})"
+  }
+  val geohashGridOp = QueryDef(
+    "ns_agg_geohash_grid",
+    (s, dir) => geoEnrichedFacts(s, dir)
+      .withColumn("geohash",
+        expr(geohashText((x, n) => s"($x div ${1L << n})", "substring")
+          .replace("//", "div")))
+      .groupBy("geohash")
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("geo_country")).as("nd_countries")),
+    Some(Synth.withAccessLog(
+      s"""SELECT ${geohashText((x, n) => s"($x // ${1L << n})", "substring")} AS geohash,
+         |  count(*) AS doc_count, count(DISTINCT geo_country) AS nd_countries
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |GROUP BY 1""".stripMargin)))
+
   /** The COMPOSED ingest pipeline (one-pipeline-to-rule-them-all routing
     * + the full axway-ingest chain P0–P13) as one verifiable batch
     * query: the same `IngestPipeline.enrich` the streaming service path
@@ -531,6 +623,7 @@ object Enrich {
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
-    geoBoundingBoxOp, geotileGridOp, tlsVersionOp,
+    geoBoundingBoxOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
+    geohashGridOp, tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

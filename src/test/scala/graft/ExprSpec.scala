@@ -285,4 +285,17 @@ class ExprSpec extends SparkSpec {
     assert(r.getLong(2) == 2L) // code 0, qq=[1,1] vs c0=[0,0] -> d=2
     assert(r.getInt(3) == 2)
   }
+
+  test("geohash cell encoding matches the standard algorithm (external fixtures)") {
+    // fixtures computed by an independent standard geohash encoder
+    import spark.implicits._
+    val fx = Seq((40.5, -73.5, "dr5"), (-33.5, 151.5, "r65"),
+      (1.5, 103.5, "w23"), (-0.5, -0.5, "7zz"))
+    val df = fx.map { case (la, lo, _) => (la, lo) }.toDF("geo_lat", "geo_lon")
+    val out = df.withColumn("gh",
+        expr(graft.ops.Enrich.geohashText((x, n) => s"($x div ${1L << n})", "substring")
+          .replace("//", "div")))
+      .select("gh").as[String].collect()
+    assert(out.toSeq == fx.map(_._3))
+  }
 }
