@@ -438,7 +438,92 @@ object AggsExt {
       .withColumn("cum_users", sum("new_users").over(wc))
   }
 
+  /** The ES `normalize` pipeline agg, method percent_of_sum: each
+    * bucket's share of its day's total. The ratio is exact-long ÷
+    * exact-long once per bucket; the window runs over the |days ×
+    * types| bucket table, partitioned per day. */
+  val bucketNormalizeAgg: QueryDef = q(
+    "ns_agg_bucket_normalize",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day), 6) AS pct_of_day
+      |FROM b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct_of_day",
+        round(col("n").cast("double") / sum("n").over(Window.partitionBy("day")), 6))
+  }
+
+  /** The ES `stats_bucket` sibling-pipeline agg: min/max/avg/sum/count
+    * OVER the daily buckets (one output row). The second aggregate
+    * reads |days| rows — free at any SF. */
+  val statsBucketAgg: QueryDef = q(
+    "ns_agg_stats_bucket",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_buckets, CAST(min(n) AS BIGINT) AS min_n,
+      |  CAST(max(n) AS BIGINT) AS max_n, CAST(sum(n) AS BIGINT) AS sum_n,
+      |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_n
+      |FROM b""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), min("n").as("min_n"), max("n").as("max_n"),
+        sum("n").as("sum_n"))
+      .select(col("n_buckets"), col("min_n"), col("max_n"), col("sum_n"),
+        round(col("sum_n").cast("double") / col("n_buckets"), 6).as("avg_n"))
+  }
+
+  /** The ES `variable_width_histogram`: buckets that follow the data's
+    * natural clusters instead of a fixed interval. ES clusters online
+    * per shard; the deterministic distributed equivalent is LARGEST-GAP
+    * splitting — sort the distinct values, cut at the (buckets−1)
+    * widest gaps. All arithmetic is exact integer cents, so both
+    * engines cut identically (gap ties break toward the lower value).
+    *
+    * Scale shape: the gap scan runs over the DISTINCT-value table
+    * (domain-bounded, not corpus-bounded — |values| ≤ value-span in
+    * cents at any SF), the chosen boundaries broadcast back as a tiny
+    * sorted array, and each row finds its bucket with one codegen
+    * size(filter(...)) over ≤ B−1 elements. One corpus pass + one
+    * distinct shuffle. */
+  private val vwhBuckets = 5
+  val variableWidthHistogramAgg: QueryDef = q(
+    "ns_agg_variable_width_histogram",
+    s"""WITH dv AS (SELECT DISTINCT ${sqlCents("value")} AS c FROM events),
+       |g AS (SELECT c, c - lag(c) OVER (ORDER BY c) AS gap FROM dv),
+       |cuts AS (SELECT c FROM g WHERE gap IS NOT NULL
+       |  ORDER BY gap DESC, c LIMIT ${vwhBuckets - 1}),
+       |b AS (SELECT list_sort(list(c)) AS bs FROM cuts)
+       |SELECT len(list_filter(bs, x -> x <= c)) AS bucket,
+       |  count(*) AS n, round(min(value), 2) AS min_value,
+       |  round(max(value), 2) AS max_value
+       |FROM (SELECT ${sqlCents("value")} AS c, value FROM events), b
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(cents(col("value")).as("c"), col("value"))
+    val dv = e.select("c").distinct()
+    val cuts = dv
+      .withColumn("gap", col("c") - lag("c", 1).over(Window.orderBy("c")))
+      .filter(col("gap").isNotNull)
+      .orderBy(col("gap").desc, col("c"))
+      .limit(vwhBuckets - 1)
+    val bounds = cuts.agg(sort_array(collect_list(col("c"))).as("bs"))
+    e.crossJoin(broadcast(bounds))
+      .groupBy(size(filter(col("bs"), x => x <= col("c"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
+    bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,

@@ -531,6 +531,54 @@ object Enrich {
          |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
          |GROUP BY 1""".stripMargin)))
 
+  /** The OpenSearch `ip_range` aggregation over the client IP — the
+    * "traffic by network block" panel. The dotted-quad string is
+    * synthesized from the deterministic ip_long (the same derivation
+    * every geoip op uses), then PARSED BACK octet-by-octet into a
+    * 32-bit integer — the ES ip-type parse — and bucketed by explicit
+    * from-to ranges. All integer arithmetic; one codegen pass,
+    * |ranges|-bounded shuffle. */
+  private val ipRangeBuckets: Seq[(String, Long, Long)] = Seq(
+    // label, from (inclusive), to (exclusive) in the synthetic /12 space
+    ("10.0.0.0-10.4.0.0", 0L, 262144L),
+    ("10.4.0.0-10.10.0.0", 262144L, 655360L),
+    ("10.10.0.0-*", 655360L, Long.MaxValue))
+  val ipRangeOp = QueryDef(
+    "ns_agg_ip_range",
+    (s, dir) => {
+      val facts = al(s, dir)
+        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+        .withColumn("ip", concat_ws(".", lit("10"),
+          expr("ip_long div 65536"), expr("(ip_long div 256) % 256"),
+          expr("ip_long % 256")))
+        // the ES ip-type parse: dotted quad -> integer, octet by octet
+        .withColumn("v", element_at(split(col("ip"), "\\."), 2).cast("long") * 65536L +
+          element_at(split(col("ip"), "\\."), 3).cast("long") * 256L +
+          element_at(split(col("ip"), "\\."), 4).cast("long"))
+      val bucket = ipRangeBuckets.foldRight(lit(null).cast("string")) {
+        case ((label, from, to), other) =>
+          when(col("v") >= from && col("v") < to, label).otherwise(other)
+      }
+      facts.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          countDistinct(col("user_id")).as("nd_users"))
+    },
+    Some(Synth.withAccessLog(
+      s"""SELECT CASE ${ipRangeBuckets.map { case (label, from, to) =>
+            s"WHEN v >= $from AND v < $to THEN '$label'" }.mkString(" ")} END AS bucket,
+         |  count(*) AS doc_count, count(DISTINCT user_id) AS nd_users
+         |FROM (
+         |  SELECT user_id,
+         |    CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         |      + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         |      + CAST(string_split(ip, '.')[4] AS BIGINT) AS v
+         |  FROM (
+         |    SELECT user_id, concat('10.', ip_long // 65536, '.',
+         |        (ip_long // 256) % 256, '.', ip_long % 256) AS ip
+         |    FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long
+         |          FROM access_log)))
+         |GROUP BY 1""".stripMargin)))
+
   /** The COMPOSED ingest pipeline (one-pipeline-to-rule-them-all routing
     * + the full axway-ingest chain P0–P13) as one verifiable batch
     * query: the same `IngestPipeline.enrich` the streaming service path
@@ -624,6 +672,6 @@ object Enrich {
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
-    geohashGridOp, tlsVersionOp,
+    geohashGridOp, ipRangeOp, tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

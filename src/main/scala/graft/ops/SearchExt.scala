@@ -216,7 +216,23 @@ object SearchExt {
     Some("""SELECT event_id, event_type, value FROM events
       |WHERE value >= 100.0 AND value < 250.0 AND event_type = 'view'""".stripMargin))
 
+  // ------------------------------------------------------------- span_first
+  /** The `span_first` query: the term must occur within the first N
+    * token positions — "title-ish" matches over untyped text. One
+    * codegen array_position per row (first occurrence), no explode,
+    * no shuffle before the page. */
+  private val spanFirstN = 10
+  val spanFirstOp = QueryDef(
+    "ns_search_span_first",
+    (s, dir) => docs(s, dir)
+      .withColumn("first_pos", array_position(toks, "spark"))
+      .filter(col("first_pos") > 0 && col("first_pos") <= spanFirstN)
+      .select("doc_id", "first_pos"),
+    Some(s"""SELECT doc_id, CAST(list_position(string_split(trim(text), ' '), 'spark') AS BIGINT) AS first_pos
+       |FROM documents
+       |WHERE list_position(string_split(trim(text), ' '), 'spark') BETWEEN 1 AND $spanFirstN""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
-    rangeQueryOp)
+    rangeQueryOp, spanFirstOp)
 }

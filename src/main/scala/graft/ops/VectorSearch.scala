@@ -451,6 +451,57 @@ object VectorSearch {
     * projection, partition-parallel — not a shuffle-bearing hot path,
     * so the interpreted HOF eval is acceptable where it wasn't for the
     * dedup signature pipelines). */
+  /** Perceptual average-hash (aHash) over the media payload bytes —
+    * the image near-dup fingerprint (dHash/pHash's simplest sibling):
+    * split the payload into 16 equal spans, set bit i when span i's
+    * mean byte exceeds the whole-payload mean. The payload is the
+    * bmp_wrap pixel buffer (= the doc's bytes, multimodalDecodeOp's
+    * construction rule), so the oracle recomputes from the text's
+    * codepoints.
+    *
+    * Determinism: every mean comparison is the integer cross-multiply
+    * sum_i·c_tot > s_tot·cnt_i — no division anywhere — and the hash
+    * assembles as an exact Σ bit·2^i. Scale shape: one posexplode pass
+    * collapsing immediately into ≤ 16 chunk rows per doc (map-side
+    * partials), totals re-aggregated from the chunk table (never a
+    * second corpus pass), hash-equal docs are the dup candidates. */
+  val multimodalAhashOp = QueryDef(
+    "ns_multimodal_ahash",
+    (s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+          posexplode(split(col("text"), "")))
+        .filter(col("col") =!= "")
+        .select(col("doc_id"),
+          expr("CAST(pos AS BIGINT) * 16 div len").as("chunk"),
+          ascii(col("col")).cast("long").as("b"))
+        .groupBy("doc_id", "chunk")
+        .agg(sum(col("b")).as("s_i"), count(lit(1)).as("c_i"))
+      val totals = chunks.groupBy("doc_id")
+        .agg(sum(col("s_i")).as("s_tot"), sum(col("c_i")).as("c_tot"))
+      chunks.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(sum(when(col("s_i") * col("c_tot") > col("s_tot") * col("c_i"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(chunk AS INT))")).otherwise(0L)).as("ahash"),
+          min(col("c_tot")).as("n_bytes"))
+    },
+    Some("""WITH ch AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |    unnest(string_split(text, '')) AS c,
+      |    unnest(range(CAST(length(text) AS BIGINT))) AS pos
+      |  FROM documents),
+      |ck AS (SELECT doc_id, (pos * 16) // len AS chunk,
+      |    CAST(sum(unicode(c)) AS BIGINT) AS s_i, count(*) AS c_i
+      |  FROM ch GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(sum(s_i) AS BIGINT) AS s_tot,
+      |    CAST(sum(c_i) AS BIGINT) AS c_tot FROM ck GROUP BY 1)
+      |SELECT ck.doc_id,
+      |  CAST(sum(CASE WHEN s_i * c_tot > s_tot * c_i
+      |    THEN CAST(1 AS BIGINT) << CAST(chunk AS INT) ELSE 0 END) AS BIGINT) AS ahash,
+      |  min(c_tot) AS n_bytes
+      |FROM ck JOIN t ON ck.doc_id = t.doc_id
+      |GROUP BY 1""".stripMargin))
+
   val quantizeOp = QueryDef(
     "ns_embedding_quantize",
     (s, dir) => Tables.embeddings(s, dir)
@@ -983,6 +1034,7 @@ object VectorSearch {
   def entries: Seq[QueryDef] = Seq(
     knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,
-    multimodalResizeOp, multimodalFramesOp, multimodalAudioOp, quantizeOp,
+    multimodalResizeOp, multimodalFramesOp, multimodalAudioOp,
+    multimodalAhashOp, quantizeOp,
     kmeansOp, semanticDedupOp)
 }

@@ -1005,6 +1005,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_agg_variable_width_histogram: the gap window runs over the DISTINCT table") {
+    val p = physical("ns_agg_variable_width_histogram")
+    // every window sits above an aggregate (the distinct), never raw rows
+    val wins = nodes(p).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined, s"gap window must read the distinct-value table, not the corpus:\n$p")
+    }
+  }
+
+  test("ns_multimodal_ahash: totals re-aggregate the chunk table — corpus scanned once at runtime") {
+    val deep = executedDeepNodes("ns_multimodal_ahash")
+    val docScans = deep.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    val reused = deep.exists {
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+      case _ => false
+    }
+    assert(docScans <= 2 && (docScans == 1 || reused),
+      s"ahash chunk table must be computed once (scans=$docScans, reuse=$reused)")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
