@@ -147,6 +147,37 @@ object StreamOps {
            |FROM v JOIN p ON v.user_id = p.user_id
            |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin))
 
+  /** The streaming "top N series per window" Kibana panel: per 1-hour
+    * tumbling window, the 3 busiest event types. The rank runs over the
+    * WINDOWED AGGREGATE table (span-bounded — |windows| × |types| rows
+    * at any SF, the dateHistogramPipeline discipline), never raw
+    * events; in the service path this is the foreachBatch re-rank over
+    * the windowed-state output. Exact long counts, deterministic
+    * (n desc, type asc) tie-break. */
+  val streamTopNOp = QueryDef(
+    "ns_stream_topn",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("window_start_ms")
+        .orderBy(col("n").desc, col("event_type"))
+      Tables.events(s, dir)
+        .groupBy(window(col("tsu"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    },
+    Some("""WITH b AS (
+      |  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start_ms, event_type, n,
+      |  CAST(rnk AS INT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY window_start_ms
+      |        ORDER BY n DESC, event_type) AS rnk FROM b)
+      |WHERE rnk <= 3""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(tumblingOp, hoppingOp, dedupOp, sessionOp, sessionizeOp,
-    streamJoinOp)
+    streamJoinOp, streamTopNOp)
 }
