@@ -221,7 +221,11 @@ class PlanSpec extends SparkSpec {
       "ns_dedup_semantic" -> Set("CollectList", "BoundedBucketAgg"),
       "ns_dedup_ngram" -> Set("BoundedBucketAgg"),
       "ns_dedup_minhash" -> Set("BoundedBucketAgg"),
-      "ns_dedup_embedding" -> Set("BoundedBucketAgg"))
+      "ns_dedup_embedding" -> Set("BoundedBucketAgg"),
+      // the prefix-membership HOF runs over the ≤16-token query term
+      // set per row, not a corpus-side structure
+      "ns_search_query_string" -> Set("ArrayExists", "LambdaFunction",
+        "NamedLambdaVariable"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
@@ -233,7 +237,14 @@ class PlanSpec extends SparkSpec {
       "ns_text_pack", "ns_text_unigram_logprob", "ns_split_leakage_near",
       // r11: the PQ compressed-domain scan and the Lloyd assignment pass
       "ns_similarity_pq", "ns_similarity_pq_rerank", "ns_similarity_ivfpq",
-      "ns_similarity_ivfpq_rerank", "ns_cluster_kmeans", "ns_dedup_semantic")
+      "ns_similarity_ivfpq_rerank", "ns_cluster_kmeans", "ns_dedup_semantic",
+      // r11 additions whose corpus pass must stay pure codegen: the
+      // conditional-moment aggs, the compiled query_string predicate,
+      // the geo cell math, the ip parse, and the ahash byte pass
+      "ns_agg_filters", "ns_agg_t_test", "ns_agg_geohash_grid",
+      "ns_agg_ip_range", "ns_search_query_string", "ns_search_range",
+      "ns_search_terms_set", "ns_search_span_first", "ns_multimodal_ahash",
+      "ns_agg_auto_date_histogram", "ns_agg_multi_terms")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
