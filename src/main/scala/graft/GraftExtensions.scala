@@ -25,7 +25,10 @@ import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, CosineSimilarity, DotPr
   * and the dedup signature pair `word_shingles3(text)` /
   * `minhash_sigs(shingles, n)`; r11 adds the vector/PQ family —
   * `quantize_vec(emb)`, `vec_l2_long(a,b)`, `pq_encode(q,cb)`,
-  * `pq_lut(qq,cb)`, `pq_adc(codes,lut)`, `nearest_centroid(q,cents)`.
+  * `pq_lut(qq,cb)`, `pq_adc(codes,lut)`, `nearest_centroid(q,cents)`,
+  * and `geohash_cell(lat, lon, precision)` — the standard geohash
+  * encoding (reference/Lucene GeoHashUtils semantics) as one codegen
+  * call per row.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -149,6 +152,10 @@ object GraftExtensions {
     "pq_lut" -> (args => org.apache.spark.sql.graftshim.PqLut(args(0), args(1))),
     "pq_adc" -> (args => org.apache.spark.sql.graftshim.PqAdc(args(0), args(1))),
     "nearest_centroid" -> (args => org.apache.spark.sql.graftshim.NearestCentroid(args(0), args(1))),
+    // geohash_cell(lat, lon, precision): precision shapes the output
+    // length, so it must be an int literal (1..12).
+    "geohash_cell" -> (args => org.apache.spark.sql.graftshim.GeohashCell(args(0), args(1),
+      intLiteral(args(2), "geohash_cell", "precision", 1, 12))),
   )
 
   /** Idempotently register the functions on an existing session. */

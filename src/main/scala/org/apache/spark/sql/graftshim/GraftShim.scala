@@ -1095,3 +1095,53 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
+
+/** Standard geohash cell encoding (the algorithm OpenSearch's
+  * geohash_grid agg and Lucene's GeoHashUtils implement: binary
+  * subdivision of the lat/lon ranges, lon bit first, base-32 output).
+  * Kept in a static helper so codegen emits one call per row. */
+object GeoHelper {
+  private final val B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  def geohash(lat: Double, lon: Double, precision: Int): UTF8String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    var ix = math.floor((lon + 180.0) / 360.0 * (1L << lonBits)).toLong
+    var iy = math.floor((lat + 90.0) / 180.0 * (1L << latBits)).toLong
+    // the +180 / +90 edges land in the last cell, like Lucene
+    if (ix >= (1L << lonBits)) ix = (1L << lonBits) - 1
+    if (ix < 0) ix = 0
+    if (iy >= (1L << latBits)) iy = (1L << latBits) - 1
+    if (iy < 0) iy = 0
+    var g = 0L
+    var bi = 0
+    var lonI = lonBits - 1
+    var latI = latBits - 1
+    while (bi < totalBits) {
+      if (bi % 2 == 0) { g = (g << 1) | ((ix >> lonI) & 1L); lonI -= 1 }
+      else { g = (g << 1) | ((iy >> latI) & 1L); latI -= 1 }
+      bi += 1
+    }
+    val sb = new java.lang.StringBuilder(precision)
+    var k = precision - 1
+    while (k >= 0) { sb.append(B32.charAt(((g >> (5 * k)) & 31L).toInt)); k -= 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `geohash_cell(lat, lon, precision)` — precision is a literal (it
+  * shapes the output length); null lat/lon propagate. */
+case class GeohashCell(left: Expression, right: Expression, precision: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(precision >= 1 && precision <= 12, "geohash precision must be in [1, 12]")
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash_cell"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoHelper.geohash(a.asInstanceOf[Double], b.asInstanceOf[Double], precision)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graftshim.GeoHelper.geohash($a, $b, $precision)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeohashCell =
+    copy(left = l, right = r)
+}

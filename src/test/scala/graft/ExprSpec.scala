@@ -298,4 +298,26 @@ class ExprSpec extends SparkSpec {
       .select("gh").as[String].collect()
     assert(out.toSeq == fx.map(_._3))
   }
+
+  test("geohash_cell SQL function: standard-algorithm fixtures, edges, nulls") {
+    val r = spark.sql(
+      """SELECT geohash_cell(40.5D, -73.5D, 5) AS a,
+        |  geohash_cell(-33.5D, 151.5D, 5) AS b,
+        |  geohash_cell(1.5D, 103.5D, 1) AS c,
+        |  geohash_cell(40.7128D, -74.006D, 7) AS d,
+        |  geohash_cell(90.0D, 180.0D, 3) AS hi,
+        |  geohash_cell(-90.0D, -180.0D, 3) AS lo,
+        |  geohash_cell(CAST(NULL AS DOUBLE), 0D, 3) AS n
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "dr5wr" && r.getString(1) == "r659r")
+    assert(r.getString(2) == "w" && r.getString(3) == "dr5regw")
+    assert(r.getString(4) == "zzz" && r.getString(5) == "000")
+    assert(r.isNullAt(6))
+    // non-literal precision is an analysis error, not a runtime surprise
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT geohash_cell(1.0D, 1.0D, CAST(rand()*3 AS INT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable") ||
+      e.getMessage.contains("NON_FOLDABLE"))
+  }
 }
