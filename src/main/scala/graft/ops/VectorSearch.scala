@@ -70,6 +70,62 @@ object VectorSearch {
             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank FROM c)
             |WHERE rank <= $topK""".stripMargin))
 
+  /** Matryoshka (MRL) truncated-dimension ANN — the third serving path
+    * next to PQ and IVFPQ: modern embedding models are trained so a
+    * PREFIX of the vector is itself a valid low-d embedding, so the
+    * shortlist pass scores only the first `mrlDims` dims (a 4×-smaller
+    * compressed-domain scan with zero index build) and the exact
+    * full-dim cosine reranks only `mrlShortlist` candidates per query.
+    * Same determinism discipline as knn: round(6) + vec_id tie-break
+    * at both stages, so both engines rank identically; shortlist
+    * cutoff through the bounded TopKByScoreAgg, rerank fetch joins
+    * only the candidate ids. */
+  private val mrlDims = 16
+  private val mrlShortlist = 100
+  val mrlOp = QueryDef(
+    "ns_similarity_mrl", {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            slice(col("embedding"), 1, mrlDims).as("q_head"))
+        val short = embPar(s, dir)
+          .select(col("vec_id"), slice(col("embedding"), 1, mrlDims).as("head"))
+          .crossJoin(broadcast(q.select(col("q_id"), col("q_head"))))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(vec_cosine(col("head"), col("q_head")), 6).as("cos_h"))
+          .groupBy("q_id")
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("vec_id"), col("cos_h"), mrlShortlist).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+        val rer = short
+          .join(emb, "vec_id")
+          .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+          .select(col("q_id"), col("vec_id"),
+            round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
+        topkPerGroup(rer, Seq("q_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+            |    (embedding::DOUBLE[])[1:$mrlDims] AS q_head
+            |  FROM embeddings WHERE vec_id < $nQueries),
+            |sh AS (SELECT q_id, e.vec_id,
+            |    round(list_cosine_similarity((e.embedding::DOUBLE[])[1:$mrlDims], q_head), 6) AS cos_h
+            |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+            |cand AS (SELECT q_id, vec_id FROM (
+            |    SELECT q_id, vec_id,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY cos_h DESC, vec_id) AS rn
+            |    FROM sh) WHERE rn <= $mrlShortlist),
+            |r AS (SELECT c.q_id, c.vec_id,
+            |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS cos_r
+            |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+            |  JOIN q ON q.q_id = c.q_id)
+            |SELECT q_id, vec_id, cos_r, rank FROM (
+            |  SELECT q_id, vec_id, cos_r,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+            |  FROM r)
+            |WHERE rank <= $topK""".stripMargin))
+
   /** IVF centroid-build sampling: 1-in-`centSample` of the corpus by a
     * deterministic id rule, so centroid construction never aggregates
     * the full corpus — the k-means-on-a-sample posture every production
@@ -499,6 +555,60 @@ object VectorSearch {
       |  CAST(sum(CASE WHEN s_i * c_tot > s_tot * c_i
       |    THEN CAST(1 AS BIGINT) << CAST(chunk AS INT) ELSE 0 END) AS BIGINT) AS ahash,
       |  min(c_tot) AS n_bytes
+      |FROM ck JOIN t ON ck.doc_id = t.doc_id
+      |GROUP BY 1""".stripMargin))
+
+  /** Audio energy fingerprint — the chromaprint-lite near-dup signature
+    * for audio payloads: decode the payload as 16-bit little-endian PCM
+    * (the wav_wrap sample format: byte pair → signed sample, the REAL
+    * LE decode), split the sample stream into 16 windows, set bit i
+    * when window i's mean |amplitude| exceeds the track mean. Same
+    * exact integer cross-multiply discipline as the image aHash — no
+    * division, no floats. One sequence-explode pass with per-row
+    * substr/ascii decode (codegen), collapsing into ≤ 16 window rows
+    * per doc; totals re-aggregate the window table. */
+  val multimodalAudioFpOp = QueryDef(
+    "ns_multimodal_audio_fp",
+    (s, dir) => {
+      val windows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          expr("CAST(length(text) div 2 AS BIGINT)").as("nsamp"))
+        .filter(col("nsamp") > 0)
+        .select(col("doc_id"), col("text"), col("nsamp"),
+          explode(expr("sequence(CAST(0 AS BIGINT), nsamp - 1)")).as("j"))
+        .select(col("doc_id"), col("nsamp"), col("j"),
+          expr("ascii(substr(text, CAST(2*j+1 AS INT), 1)) + 256 * ascii(substr(text, CAST(2*j+2 AS INT), 1))").as("raw"))
+        .select(col("doc_id"), expr("j * 16 div nsamp").as("w"),
+          abs(when(col("raw") >= 32768, col("raw") - 65536).otherwise(col("raw")))
+            .cast("long").as("amp"))
+        .groupBy("doc_id", "w")
+        .agg(sum(col("amp")).as("s_i"), count(lit(1)).as("c_i"))
+      val totals = windows.groupBy("doc_id")
+        .agg(sum(col("s_i")).as("s_tot"), sum(col("c_i")).as("c_tot"))
+      windows.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(sum(when(col("s_i") * col("c_tot") > col("s_tot") * col("c_i"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(w AS INT))")).otherwise(0L)).as("audio_fp"),
+          min(col("c_tot")).as("n_samples"))
+    },
+    Some("""WITH s AS (
+      |  SELECT doc_id, text, CAST(length(text) // 2 AS BIGINT) AS nsamp,
+      |    unnest(range(CAST(length(text) // 2 AS BIGINT))) AS j
+      |  FROM documents WHERE length(text) >= 2),
+      |a AS (SELECT doc_id, (j * 16) // nsamp AS w,
+      |    abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS amp
+      |  FROM (SELECT doc_id, nsamp, j,
+      |      unicode(substr(text, CAST(2*j+1 AS INT), 1))
+      |        + 256 * unicode(substr(text, CAST(2*j+2 AS INT), 1)) AS raw
+      |    FROM s)),
+      |ck AS (SELECT doc_id, w, CAST(sum(amp) AS BIGINT) AS s_i, count(*) AS c_i
+      |  FROM a GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(sum(s_i) AS BIGINT) AS s_tot,
+      |    CAST(sum(c_i) AS BIGINT) AS c_tot FROM ck GROUP BY 1)
+      |SELECT ck.doc_id,
+      |  CAST(sum(CASE WHEN s_i * c_tot > s_tot * c_i
+      |    THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS audio_fp,
+      |  min(c_tot) AS n_samples
       |FROM ck JOIN t ON ck.doc_id = t.doc_id
       |GROUP BY 1""".stripMargin))
 
@@ -1032,9 +1142,10 @@ object VectorSearch {
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, dedupEmbeddingOp,
+    knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, mrlOp,
+    dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp,
-    multimodalAhashOp, quantizeOp,
+    multimodalAhashOp, multimodalAudioFpOp, quantizeOp,
     kmeansOp, semanticDedupOp)
 }

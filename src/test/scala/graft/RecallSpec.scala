@@ -68,4 +68,18 @@ class RecallSpec extends SparkSpec {
     val r = recall(sfDir)
     assert(r >= 0.15, f"ivf recall $r%.3f below the structural sanity bound")
   }
+
+  test("mrl truncated-dim shortlist + exact rerank keeps recall@5 ≥ 0.6") {
+    // unlike ivf's bucket probe, the MRL shortlist scans everything at
+    // 16/64 dims — on the near-uniform corpus a 50-candidate shortlist
+    // still recovers most true neighbors, so a real floor applies
+    val knn = SparkEntry.queries("ns_similarity_knn")(spark, sfDir)
+      .select("q_id", "vec_id")
+    val mrl = SparkEntry.queries("ns_similarity_mrl")(spark, sfDir)
+      .select("q_id", "vec_id")
+    val total = knn.count().toDouble
+    assert(total > 0)
+    val r = mrl.join(knn, Seq("q_id", "vec_id")).count().toDouble / total
+    assert(r >= 0.6, f"mrl rerank recall $r%.3f fell below the 0.6 floor")
+  }
 }
