@@ -522,10 +522,158 @@ object AggsExt {
         round(max(col("value")), 2).as("max_value"))
   }
 
+  // --------------------------------------------------------- categorize_text
+  /** The `categorize_text` aggregation — ES's log-pattern miner: strip
+    * the variable pieces out of semi-structured messages and group by
+    * the surviving template ("GET /v1/view/item?.html?limit=?&page=?").
+    * ES uses a drain-style tree; the deterministic re-expression is the
+    * standard masking normalizer — digit runs collapse to `?` — which
+    * on machine-generated urls/log lines recovers the emitting format
+    * string exactly.
+    *
+    * Scale shape: one codegen regexp_replace per row (RegExpReplace is
+    * codegen, not a UDF), then a plain hash agg keyed by template —
+    * |templates|-bounded shuffle (the point of the agg: templates
+    * number in the hundreds when raw messages number in the billions).
+    * doc_count/nd_variants exact longs; the example is min(url), exact. */
+  val categorizeTextAgg: QueryDef = q(
+    "ns_agg_categorize_text",
+    Synth.withAccessLog(
+      """SELECT regexp_replace(concat(method, ' ', url), '[0-9]+', '?', 'g') AS template,
+        |  count(*) AS doc_count, count(DISTINCT url) AS nd_variants,
+        |  min(url) AS example
+        |FROM access_log
+        |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Par.spread(s, Synth.accessLog(s, dir), col("event_id"))
+      .groupBy(regexp_replace(concat_ws(" ", col("method"), col("url")),
+        "[0-9]+", "?").as("template"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("url")).as("nd_variants"),
+        min(col("url")).as("example"))
+  }
+
+  // ----------------------------------------------------- frequent_item_sets
+  /** The `frequent_item_sets` aggregation — ES's market-basket miner
+    * (Eclat), scoped to pairs over the event-type vocabulary: "which
+    * event kinds co-occur in the same user's history more often than
+    * the support floor". Baskets are users; items are the SMALL FIXED
+    * type vocabulary, so the at-scale shape is the adjacency_matrix
+    * discipline, not a pair join: pass 1 collapses events to one
+    * flag-vector row per user (map-side combining max()), pass 2
+    * conditional-sums all C(5,2) co-occurrence cells + the basket count
+    * in ONE global aggregate — no self-join, no explode, no window; a
+    * constant-width row crosses the final shuffle. Support is exact
+    * integer; the floor is the ES default 10% cross-multiplied. */
+  private val fisItems = Seq("click", "error", "purchase", "signup", "view")
+  val frequentItemSetsAgg: QueryDef = q(
+    "ns_agg_frequent_item_sets", {
+      val flags = fisItems.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f$i"
+      }.mkString(",\n    ")
+      val pairs = fisItems.indices.combinations(2).toSeq
+      val cells = pairs.map { case Seq(i, j) =>
+        s"CAST(sum(f$i * f$j) AS BIGINT) AS c${i}_$j"
+      }.mkString(",\n    ")
+      val arms = pairs.map { case Seq(i, j) =>
+        s"SELECT '${fisItems(i)}' AS item_a, '${fisItems(j)}' AS item_b, c${i}_$j AS support, n_users FROM m"
+      }.mkString("\nUNION ALL ")
+      s"""WITH f AS (SELECT user_id,
+         |    $flags
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT count(*) AS n_users,
+         |    $cells
+         |  FROM f)
+         |SELECT item_a, item_b, support,
+         |  round(CAST(support AS DOUBLE) / n_users, 6) AS support_pct
+         |FROM ($arms)
+         |WHERE support * 10 >= n_users""".stripMargin
+    }) { (s, dir) =>
+    val flagCols = fisItems.zipWithIndex.map { case (t, i) =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f$i")
+    }
+    val pairs = fisItems.indices.combinations(2).toSeq
+    val cellCols = pairs.map { case Seq(i, j) =>
+      sum(col(s"f$i") * col(s"f$j")).as(s"c${i}_$j")
+    }
+    val baskets = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(flagCols.head, flagCols.tail: _*)
+    val cells = baskets
+      .agg(count(lit(1)).as("n_users"), cellCols: _*)
+    val stackArgs = pairs
+      .map { case Seq(i, j) => s"'${fisItems(i)}', '${fisItems(j)}', c${i}_$j" }
+      .mkString(", ")
+    cells
+      .select(expr(s"stack(${pairs.size}, $stackArgs) AS (item_a, item_b, support)"),
+        col("n_users"))
+      .filter(col("support") * 10 >= col("n_users"))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") / col("n_users"), 6).as("support_pct"))
+  }
+
+  // ------------------------------------------------------------ change_point
+  /** The `change_point` aggregation — ES's step-change detector over a
+    * metric series: the split of the daily error-count series that
+    * maximizes the between-segment contrast, scored by the CUSUM-style
+    * k·(n−k)·(meanL − meanR)² (the constant-variance log-likelihood
+    * reduction of a single mean shift).
+    *
+    * Scale shape: raw events collapse to the |days|-bounded bucket
+    * table first; the prefix-sum window and the argmax run over THAT
+    * (the serial_diff discipline — dashboard-sized at any SF, the
+    * single-partition window bounded by the time span, never corpus
+    * rows). Determinism: prefix sums are exact longs; every double
+    * derives from one shared formula text (+,×,÷ exact-rounded, no
+    * transcendental), so the argmax needs no epsilon; day breaks
+    * exact-score ties. */
+  private val cpScore =
+    "CAST(k AS DOUBLE) * (n_days - k) " +
+      "* (CAST(sk AS DOUBLE) / k - CAST(s_tot - sk AS DOUBLE) / (n_days - k)) " +
+      "* (CAST(sk AS DOUBLE) / k - CAST(s_tot - sk AS DOUBLE) / (n_days - k))"
+  val changePointAgg: QueryDef = q(
+    "ns_agg_change_point",
+    s"""WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS c
+       |  FROM events WHERE event_type = 'error' GROUP BY 1),
+       |p AS (SELECT day, c,
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+       |    CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS sk,
+       |    CAST(sum(c) OVER () AS BIGINT) AS s_tot,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_days
+       |  FROM b)
+       |SELECT day AS change_point, round($cpScore, 4) AS score,
+       |  round(CAST(sk AS DOUBLE) / k, 6) AS mean_before,
+       |  round(CAST(s_tot - sk AS DOUBLE) / (n_days - k), 6) AS mean_after
+       |FROM p WHERE k < n_days
+       |ORDER BY $cpScore DESC, day LIMIT 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    // totals come from an unbounded frame over the SAME |days|-bounded
+    // window pass — never a second aggregation of raw events
+    val w = Window.orderBy("day")
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b.withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("sk", sum("c").over(w))
+      .withColumn("s_tot", sum("c").over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .filter(col("k") < col("n_days"))
+      .withColumn("score0", expr(cpScore))
+      .orderBy(col("score0").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("change_point"), round(col("score0"), 4).as("score"),
+        round(col("sk").cast("double") / col("k"), 6).as("mean_before"),
+        round((col("s_tot") - col("sk")).cast("double") / (col("n_days") - col("k")), 6)
+          .as("mean_after"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
-    diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg)
+    diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
+    categorizeTextAgg, frequentItemSetsAgg, changePointAgg)
 }

@@ -579,6 +579,70 @@ object Enrich {
          |          FROM access_log)))
          |GROUP BY 1""".stripMargin)))
 
+  /** The OpenSearch `geo_distance` AGGREGATION (the query's sibling):
+    * concentric ring buckets around one center — the "traffic by
+    * distance from the datacenter" donut panel. Unlike the query, the
+    * agg needs a distance for EVERY enriched row (rings partition the
+    * globe), so the haversine runs per row; at scale that is one codegen
+    * trig expression riding the same single enriched pass as every
+    * other geo agg — no join, no window, |rings|-bounded shuffle.
+    *
+    * Determinism: ring edges sit ≥ 464 km from every synthetic point's
+    * distance (measured over the 25-point dim; trig differs across
+    * engines by ≤ 1 ulp ≈ 1e-9 km), so bucket assignment can never
+    * flip; min/max distances round(3) on emit like ns_geo_distance. */
+  private val ringEdgesKm = Seq(2000.0, 5500.0, 10500.0)
+  /** ES geo_distance agg bucket keys: *-2000.0, 2000.0-5500.0, …, 10500.0-*. */
+  private val ringDefs: Seq[(String, String)] = {
+    val bounds = (None +: ringEdgesKm.map(Some(_))) :+ None
+    bounds.sliding(2).toSeq.map {
+      case Seq(from, to) =>
+        val key = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+        val cond = (from.map(f => s"dist_km >= $f") ++ to.map(t => s"dist_km < $t"))
+          .mkString(" AND ")
+        (key, cond)
+    }
+  }
+  private val ringHavKm: String =
+    havKm.replace("q_lat", "40.5").replace("q_lon", "(-74.0)")
+  private val ringBucketSql: String =
+    s"CASE ${ringDefs.map { case (k, c) => s"WHEN $c THEN '$k'" }.mkString(" ")} END"
+  val geoDistanceRingsOp = QueryDef(
+    "ns_agg_geo_distance",
+    (s, dir) => geoEnrichedFacts(s, dir)
+      .withColumn("dist_km", expr(ringHavKm))
+      .groupBy(expr(ringBucketSql).as("ring"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("geo_country")).as("nd_countries"),
+        round(min(col("dist_km")), 3).as("min_km"),
+        round(max(col("dist_km")), 3).as("max_km")),
+    Some(Synth.withAccessLog(
+      s"""SELECT $ringBucketSql AS ring, count(*) AS doc_count,
+         |  count(DISTINCT geo_country) AS nd_countries,
+         |  round(min(dist_km), 3) AS min_km, round(max(dist_km), 3) AS max_km
+         |FROM (SELECT geo_country, $ringHavKm AS dist_km
+         |  FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |  JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end)
+         |GROUP BY 1""".stripMargin)))
+
+  /** The OpenSearch `ip_prefix` aggregation — ip_range's sibling that
+    * buckets by network prefix instead of explicit ranges: every /16 in
+    * the synthetic 10.0.0.0/12 client space becomes one subnet bucket.
+    * The prefix key is pure integer division on the parsed address —
+    * one codegen pass, 16 buckets, nothing data-dependent. */
+  val ipPrefixOp = QueryDef(
+    "ns_agg_ip_prefix",
+    (s, dir) => al(s, dir)
+      .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+      .groupBy(expr("concat('10.', ip_long div 65536, '.0.0/16')").as("subnet"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("user_id")).as("nd_users")),
+    Some(Synth.withAccessLog(
+      """SELECT concat('10.', ip_long // 65536, '.0.0/16') AS subnet,
+        |  count(*) AS doc_count, count(DISTINCT user_id) AS nd_users
+        |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log)
+        |GROUP BY 1""".stripMargin)))
+
   /** The COMPOSED ingest pipeline (one-pipeline-to-rule-them-all routing
     * + the full axway-ingest chain P0–P13) as one verifiable batch
     * query: the same `IngestPipeline.enrich` the streaming service path
@@ -672,6 +736,6 @@ object Enrich {
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
-    geohashGridOp, ipRangeOp, tlsVersionOp,
+    geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

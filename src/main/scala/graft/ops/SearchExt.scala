@@ -232,7 +232,90 @@ object SearchExt {
        |FROM documents
        |WHERE list_position(string_split(trim(text), ' '), 'spark') BETWEEN 1 AND $spanFirstN""".stripMargin))
 
+  // ------------------------------------------------------------------ exists
+  /** The `exists` query: documents where a field is present — over the
+    * reference's json-or-text message mix (Synth.msgSql, the F4
+    * fixture), "which events actually parsed as a JSON object carrying
+    * `k`". Plain-text and scalar messages fail the path extraction to
+    * NULL (main.go:492–510's parse-else-wrap), so exists == the
+    * extracted path is non-null. One codegen json-path per row
+    * (GetJsonObject), no explode, no shuffle. */
+  val existsOp = QueryDef(
+    "ns_search_exists",
+    (s, dir) => Synth.eventsWithMsg(s, dir)
+      .withColumn("k_val", get_json_object(col("msg"), "$.k"))
+      .filter(col("k_val").isNotNull)
+      .select("event_id", "k_val"),
+    Some(Synth.withMsg(
+      """SELECT event_id, json_extract_string(msg, '$.k') AS k_val
+        |FROM ev
+        |WHERE json_valid(msg) AND json_extract_string(msg, '$.k') IS NOT NULL""".stripMargin)))
+
+  // --------------------------------------------------------------------- ids
+  /** The `ids` query: fetch documents by explicit id list — the one DSL
+    * query that is PURE pushdown: the In predicate reaches
+    * PushedFilters, so parquet row-group stats (and at real scale,
+    * bucket/partition pruning on the id layout) skip everything else.
+    * PlanSpec locks the pushdown. */
+  private val idsList = Seq(3L, 17L, 101L, 255L, 400L)
+  val idsOp = QueryDef(
+    "ns_search_ids",
+    (s, dir) => Tables.documents(s, dir)
+      .filter(col("doc_id").isin(idsList: _*))
+      .select("doc_id", "lang", "source"),
+    Some(s"""SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id IN (${idsList.mkString(", ")})""".stripMargin))
+
+  // ------------------------------------------------------------ terms lookup
+  /** The `terms` query in LOOKUP form: the term set is fetched from
+    * another index's document (ES terms-lookup) instead of inlined —
+    * here "users in the BUILDING segment" from the customer table
+    * gating the event stream. The at-scale shape is a broadcast
+    * LEFT SEMI join: the lookup side is a small dim (one segment), the
+    * fact side streams through probe-only — no shuffle, no dedup of
+    * the fact stream, and the semi join never multiplies rows. */
+  val termsLookupOp = QueryDef(
+    "ns_search_terms_lookup",
+    (s, dir) => {
+      val lookup = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"))
+      Tables.events(s, dir)
+        .join(broadcast(lookup), Seq("user_id"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("doc_count"),
+          countDistinct(col("user_id")).as("nd_users"))
+    },
+    Some("""SELECT event_type, count(*) AS doc_count,
+      |  count(DISTINCT user_id) AS nd_users
+      |FROM events
+      |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1""".stripMargin))
+
+  // ------------------------------------------------------------ rank_feature
+  /** The `rank_feature` query with the saturation function — score =
+    * f / (f + pivot) over a numeric feature field (doc length here),
+    * ES's "boost by popularity/length without letting it dominate".
+    * The score is ONE shared derivation over exact longs (+ and ÷ are
+    * IEEE exact-rounded — bit-identical both engines), monotone in
+    * n_chars so ranking is exact; doc_id breaks length ties. Cutoff is
+    * TakeOrderedAndProject over a 2-column pruned scan. */
+  private val rankFeaturePivot = 500L
+  private val rankFeatureK = 15
+  val rankFeatureOp = QueryDef(
+    "ns_search_rank_feature",
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("score",
+        expr(s"CAST(n_chars AS DOUBLE) / (n_chars + $rankFeaturePivot)"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(rankFeatureK)
+      .select(col("doc_id"), col("n_chars"), round(col("score"), 6).as("score")),
+    Some(s"""SELECT doc_id, n_chars,
+       |  round(CAST(n_chars AS DOUBLE) / (n_chars + $rankFeaturePivot), 6) AS score
+       |FROM documents
+       |ORDER BY n_chars DESC, doc_id LIMIT $rankFeatureK""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
-    rangeQueryOp, spanFirstOp)
+    rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp)
 }

@@ -225,7 +225,9 @@ class PlanSpec extends SparkSpec {
       // the prefix-membership HOF runs over the ≤16-token query term
       // set per row, not a corpus-side structure
       "ns_search_query_string" -> Set("ArrayExists", "LambdaFunction",
-        "NamedLambdaVariable"))
+        "NamedLambdaVariable"),
+      // mrl: shortlist + rerank both rank through the bounded aggregate
+      "ns_similarity_mrl" -> Set("TopKByScoreAgg"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
@@ -244,7 +246,15 @@ class PlanSpec extends SparkSpec {
       "ns_agg_filters", "ns_agg_t_test", "ns_agg_geohash_grid",
       "ns_agg_ip_range", "ns_search_query_string", "ns_search_range",
       "ns_search_terms_set", "ns_search_span_first", "ns_multimodal_ahash",
-      "ns_agg_auto_date_histogram", "ns_agg_multi_terms")
+      "ns_agg_auto_date_histogram", "ns_agg_multi_terms",
+      // r11 late additions: template mining (RegExpReplace is codegen),
+      // the basket flag/cell conditional sums, the ring trig, the
+      // prefix key math, the pushdown id fetch, the saturation score,
+      // the LE PCM decode pass, and the MRL truncated-dim scan
+      "ns_agg_categorize_text", "ns_agg_frequent_item_sets",
+      "ns_agg_geo_distance", "ns_agg_ip_prefix", "ns_agg_change_point",
+      "ns_search_ids", "ns_search_rank_feature", "ns_search_terms_lookup",
+      "ns_multimodal_audio_fp", "ns_similarity_mrl")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -1042,6 +1052,52 @@ class PlanSpec extends SparkSpec {
     }
     assert(docScans <= 2 && (docScans == 1 || reused),
       s"ahash chunk table must be computed once (scans=$docScans, reuse=$reused)")
+  }
+
+  test("ns_search_ids: the id list reaches PushedFilters as an In predicate") {
+    val p = physical("ns_search_ids")
+    val scan = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("In(doc_id"),
+      s"the ids query must be pure pushdown, got: $pushed")
+  }
+
+  test("ns_search_terms_lookup: the lookup set broadcasts as a LEFT SEMI probe") {
+    val p = physical("ns_search_terms_lookup")
+    assert(nodes(p).exists {
+      case b: BroadcastHashJoinExec =>
+        b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, s"terms lookup must be a broadcast left-semi join:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !nodes(p).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      s"the fact side must stream probe-only, never shuffle for the join:\n$p")
+  }
+
+  test("ns_agg_frequent_item_sets: flag vectors and pair cells ride ONE events scan") {
+    val p = physical("ns_agg_frequent_item_sets")
+    val eventScans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.count(_.relation.location.rootPaths.exists(_.toString.endsWith("/events.parquet")))
+    assert(eventScans == 1,
+      s"frequent_item_sets must mine pairs from one pass, saw $eventScans scans:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]) &&
+      !nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"co-occurrence must be conditional sums — no self-join, no window:\n$p")
+  }
+
+  test("ns_agg_change_point: prefix sums and totals share one window over the bucket table") {
+    val p = physical("ns_agg_change_point")
+    val eventScans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.count(_.relation.location.rootPaths.exists(_.toString.endsWith("/events.parquet")))
+    assert(eventScans == 1,
+      s"change_point totals must come from the bucket-table window, not a second corpus pass:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the argmax must stay a top-1 heap, not a global sort:\n$p")
   }
 
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
