@@ -531,6 +531,41 @@ object Enrich {
          |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
          |GROUP BY 1""".stripMargin)))
 
+  /** The `geo_line` aggregation — the track-on-a-map primitive: per
+    * bucket, the first K points in timestamp order connected as a line
+    * (ES sorts by a field and caps at `size`). The at-scale shape is
+    * the BOUNDED top-k aggregate, not a collect+sort: each map task
+    * keeps ≤ K (earliest-ts, event_id)-ordered entries per bucket
+    * (TopKByScoreAgg on −ts, the pq_rerank discipline), the ordinal
+    * falls out of posexplode (no window), and the point fetch is a
+    * broadcast join of the ≤ |buckets|·K selected ids back against the
+    * enriched stream — the ES fetch phase. Scores are exact epoch-ms
+    * longs in double (< 2⁵³), ties broken by event_id — identical to
+    * the oracle's row_number order. */
+  private val geoLineK = 5
+  val geoLineOp = QueryDef(
+    "ns_agg_geo_line",
+    (s, dir) => {
+      val pts = geoEnrichedFacts(s, dir).select(expr(geoSextant).as("sextant"),
+        col("event_id"), col("ts_ms"), col("geo_lat"), col("geo_lon"))
+      val top = pts.groupBy("sextant")
+        .agg(graft.expr.VecFunctions.topk_by_score(
+          col("event_id"), -col("ts_ms").cast("double"), geoLineK).as("top"))
+        .select(col("sextant"), posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("seq"), col("col.id").as("event_id"))
+      pts.join(broadcast(top), "event_id")
+        .select("sextant", "seq", "event_id", "ts_ms", "geo_lat", "geo_lon")
+    },
+    Some(Synth.withAccessLog(
+      s"""SELECT sextant, seq, event_id, ts_ms, geo_lat, geo_lon FROM (
+         |  SELECT $geoSextant AS sextant, event_id, ts_ms, geo_lat, geo_lon,
+         |    CAST(row_number() OVER (PARTITION BY $geoSextant
+         |      ORDER BY ts_ms, event_id) AS BIGINT) AS seq
+         |  FROM (SELECT event_id, ts_ms, user_id,
+         |      (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |  JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end)
+         |WHERE seq <= $geoLineK""".stripMargin)))
+
   /** The OpenSearch `ip_range` aggregation over the client IP — the
     * "traffic by network block" panel. The dotted-quad string is
     * synthesized from the deterministic ip_long (the same derivation
@@ -736,6 +771,7 @@ object Enrich {
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
-    geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, tlsVersionOp,
+    geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
+    tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

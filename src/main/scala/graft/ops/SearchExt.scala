@@ -315,7 +315,78 @@ object SearchExt {
        |FROM documents
        |ORDER BY n_chars DESC, doc_id LIMIT $rankFeatureK""".stripMargin))
 
+  // --------------------------------------------------------------- intervals
+  /** The `intervals` query (all_of, ordered, max_gaps) — the structured
+    * proximity query beyond phrase/span_near: `data` then `column` then
+    * `scan`, each within 4 gap tokens of the previous match. Runs on
+    * the ns_text_phrase positional-span machinery: one explode over
+    * anchor positions, then each chain step is ONE codegen
+    * array_position over a bounded G-token slice — no positional
+    * self-join, no per-term explode, corpus read once; gap windows are
+    * constant so per-row cost is O(terms · G) at any SF. */
+  private val intervalsGap = 5 // max_gaps 4 → window of 5 tokens
+  val intervalsOp = QueryDef(
+    "ns_search_intervals",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(when(size(col("t")) >= 3, sequence(lit(1), size(col("t"))))).as("i"))
+      // slice+array_join keeps the anchor test null-tolerant (the
+      // match_phrase_prefix constraint-propagation discipline)
+      .filter(expr("array_join(slice(t, i, 1), '') = 'data'"))
+      .withColumn("pb", expr(s"array_position(slice(t, i + 1, $intervalsGap), 'column')"))
+      .filter(col("pb") > 0)
+      .withColumn("pc",
+        expr(s"array_position(slice(t, CAST(i + pb + 1 AS INT), $intervalsGap), 'scan')"))
+      .filter(col("pc") > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_intervals")),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |e AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |  FROM t WHERE len(t) >= 3),
+       |a AS (SELECT doc_id, t, i,
+       |    coalesce(list_position(t[i+1:i+$intervalsGap], 'column'), 0) AS pb
+       |  FROM e WHERE t[i] = 'data'),
+       |b AS (SELECT doc_id,
+       |    coalesce(list_position(t[CAST(i+pb+1 AS INT):CAST(i+pb+$intervalsGap AS INT)], 'scan'), 0) AS pc
+       |  FROM a WHERE pb > 0)
+       |SELECT doc_id, count(*) AS n_intervals FROM b WHERE pc > 0
+       |GROUP BY 1""".stripMargin))
+
+  // ------------------------------------------------------------------ pinned
+  /** The `pinned` query: editorially promoted ids surface first, in
+    * their given order, above the organic ranking — the "sponsored
+    * results" shape. The inline id list compiles to a CASE position
+    * (no lookup structure needed), organic score is the exact term
+    * frequency; the page is one TakeOrderedAndProject over a pruned
+    * scan — promoted-first is just a null-last sort key. */
+  private val pinnedIds = Seq(42L, 7L, 250L)
+  val pinnedOp = QueryDef(
+    "ns_search_pinned",
+    (s, dir) => {
+      val pinPos = pinnedIds.zipWithIndex.foldRight(lit(null).cast("long")) {
+        case ((id, i), other) => when(col("doc_id") === id, (i + 1).toLong).otherwise(other)
+      }
+      docs(s, dir)
+        .withColumn("tf", size(filter(toks, t => t === "spark")).cast("long"))
+        .withColumn("pin_pos", pinPos)
+        .filter(col("pin_pos").isNotNull || col("tf") > 0)
+        .orderBy(col("pin_pos").asc_nulls_last, col("tf").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "pin_pos", "tf")
+    },
+    Some(s"""SELECT doc_id, pin_pos, tf FROM (
+       |  SELECT doc_id,
+       |    CASE ${pinnedIds.zipWithIndex.map { case (id, i) =>
+               s"WHEN doc_id = $id THEN ${i + 1}" }.mkString(" ")} END AS pin_pos,
+       |    len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS tf
+       |  FROM documents)
+       |WHERE pin_pos IS NOT NULL OR tf > 0
+       |ORDER BY (pin_pos IS NULL), pin_pos, tf DESC, doc_id
+       |LIMIT 10""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
-    rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp)
+    rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
+    intervalsOp, pinnedOp)
 }

@@ -227,7 +227,14 @@ class PlanSpec extends SparkSpec {
       "ns_search_query_string" -> Set("ArrayExists", "LambdaFunction",
         "NamedLambdaVariable"),
       // mrl: shortlist + rerank both rank through the bounded aggregate
-      "ns_similarity_mrl" -> Set("TopKByScoreAgg"))
+      "ns_similarity_mrl" -> Set("TopKByScoreAgg"),
+      // pinned's organic tf is one filter() HOF over the row's own
+      // tokens (bounded by doc length, not corpus-side state), like
+      // boosting's — and the cutoff stays a heap
+      "ns_search_pinned" -> Set("ArrayFilter", "LambdaFunction",
+        "NamedLambdaVariable"),
+      // geo_line: the track is the bounded top-k aggregate by design
+      "ns_agg_geo_line" -> Set("TopKByScoreAgg"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
@@ -254,7 +261,10 @@ class PlanSpec extends SparkSpec {
       "ns_agg_categorize_text", "ns_agg_frequent_item_sets",
       "ns_agg_geo_distance", "ns_agg_ip_prefix", "ns_agg_change_point",
       "ns_search_ids", "ns_search_rank_feature", "ns_search_terms_lookup",
-      "ns_multimodal_audio_fp", "ns_similarity_mrl")
+      "ns_multimodal_audio_fp", "ns_similarity_mrl",
+      // the chain-step slices, the pinned CASE + tf, and the bounded
+      // track aggregate
+      "ns_search_intervals", "ns_search_pinned", "ns_agg_geo_line")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -1098,6 +1108,28 @@ class PlanSpec extends SparkSpec {
       s"change_point totals must come from the bucket-table window, not a second corpus pass:\n$p")
     assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       s"the argmax must stay a top-1 heap, not a global sort:\n$p")
+  }
+
+  test("ns_agg_geo_line: the track is the bounded aggregate; the fetch joins broadcast — no window") {
+    val p = physical("ns_agg_geo_line")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"geo_line must never rank bucket rows through a window:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the selected-id fetch must be a broadcast join:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"the enriched stream must never shuffle for the fetch:\n$p")
+  }
+
+  test("ns_search_pinned and ns_search_intervals cutoffs/aggregates stay bounded") {
+    val pinned = physical("ns_search_pinned")
+    assert(nodes(pinned).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the pinned page must stay a top-k heap:\n$pinned")
+    val iv = physical("ns_search_intervals")
+    val docScans = nodes(iv).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(docScans == 1,
+      s"intervals must chain positions over one corpus pass, saw $docScans:\n$iv")
   }
 
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
