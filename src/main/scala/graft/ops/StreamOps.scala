@@ -147,6 +147,34 @@ object StreamOps {
            |FROM v JOIN p ON v.user_id = p.user_id
            |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin))
 
+  /** The attribution funnel's OTHER half — the stream-stream LEFT OUTER
+    * join: every view pairs with its in-window purchases, and views
+    * that never converted emit exactly once with a null purchase when
+    * the watermark proves no match can still arrive (the streaming
+    * runtime's expiry semantics; StreamingSpec drives that through two
+    * MemoryStreams). In batch mode the semantics are exact — the plan
+    * is the same equi-join + range residual with null padding — so the
+    * oracle is plain LEFT JOIN. State stays bounded by the attribution
+    * window's width exactly as the inner form. */
+  val streamJoinOuterOp = QueryDef(
+    "ns_stream_join_outer",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.Pipeline.attributeJoin(
+        ev.filter(col("event_type") === "view").select(
+          col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("view_ms")),
+        ev.filter(col("event_type") === "purchase").select(
+          col("user_id"), col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ms")),
+        windowMinutes = 30, joinType = "left_outer")
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, epoch_ms(ts) AS vms
+           |          FROM events WHERE event_type = 'view'),
+           |p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+           |      FROM events WHERE event_type = 'purchase')
+           |SELECT v.view_id, p.purchase_id
+           |FROM v LEFT JOIN p ON v.user_id = p.user_id
+           |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin))
+
   /** The streaming "top N series per window" Kibana panel: per 1-hour
     * tumbling window, the 3 busiest event types. The rank runs over the
     * WINDOWED AGGREGATE table (span-bounded — |windows| × |types| rows
@@ -179,5 +207,5 @@ object StreamOps {
       |WHERE rnk <= 3""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(tumblingOp, hoppingOp, dedupOp, sessionOp, sessionizeOp,
-    streamJoinOp, streamTopNOp)
+    streamJoinOp, streamJoinOuterOp, streamTopNOp)
 }

@@ -435,7 +435,8 @@ object Pipeline {
     * with a residual range filter — StreamOps.streamJoinOp oracle-checks
     * that form. */
   def attributeJoin(views: DataFrame, purchases: DataFrame,
-                    windowMinutes: Int = 30): DataFrame = {
+                    windowMinutes: Int = 30,
+                    joinType: String = "inner"): DataFrame = {
     val v = views
       .withColumn("view_time", timestamp_millis(col("view_ms")))
       .withWatermark("view_time", "10 minutes")
@@ -443,10 +444,15 @@ object Pipeline {
       .withColumnRenamed("user_id", "p_user_id")
       .withColumn("purchase_time", timestamp_millis(col("purchase_ms")))
       .withWatermark("purchase_time", "10 minutes")
+    // joinType "left_outer" is the funnel's other half — "views that
+    // never converted": the streaming runtime holds the null-padded row
+    // until the watermark proves no in-window purchase can still arrive,
+    // then emits it exactly once (StreamingSpec drives the expiry).
     v.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_time") >= col("view_time") &&
-        col("purchase_time") < col("view_time") + expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("purchase_time") < col("view_time") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("view_id"), col("purchase_id"))
   }
 

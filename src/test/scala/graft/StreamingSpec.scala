@@ -143,6 +143,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer attribution: the unconverted view emits null-padded only after watermark expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val joined = Pipeline.attributeJoin(
+      views.toDF().toDF("user_id", "view_id", "view_ms"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ms"),
+      windowMinutes = 30, joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_test").start()
+    val B = 1600000000000L
+    try {
+      def rows() = spark.table("attr_outer_test")
+        .as[(Long, Option[Long])].collect().toSet
+      // user 1 converts; user 2's view has no purchase
+      views.addData((1L, 100L, B), (2L, 110L, B))
+      purchases.addData((1L, 200L, B + 10 * 60000L))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, Some(200L))),
+        s"the unconverted view must be HELD while a match can still arrive, got ${rows()}")
+      // advance both watermarks far past view_time + window + delay:
+      // the runtime must now prove no match can arrive and emit the null row
+      views.addData((9L, 900L, B + 5 * H))
+      purchases.addData((9L, 901L, B + 5 * H + 60000L))
+      q.processAllAvailable()
+      views.addData((8L, 800L, B + 6 * H))
+      purchases.addData((8L, 801L, B + 6 * H + 60000L))
+      q.processAllAvailable()
+      assert(rows().contains((110L, None)),
+        s"the unconverted view must emit exactly once with a null purchase, got ${rows()}")
+    } finally q.stop()
+  }
+
   test("percolate: registered queries match arriving documents per micro-batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
