@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, WavMeta, WavWrap}
+import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, Pcm16Fingerprint, WavMeta, WavWrap}
 
 /** Column wrappers for the byte-true media fixture/decoder expressions
   * (org.apache.spark.sql.graftshim.BmpWrap / BmpDims). */
@@ -24,4 +24,10 @@ object MediaFunctions {
     * null for non-WAV. */
   def wav_meta(content: Column): Column =
     Cols.column(WavMeta(Cols.expr(content)))
+
+  /** 16-window PCM16 energy fingerprint of a char-as-byte sample
+    * stream: struct(audio_fp, n_samples); null when no complete
+    * sample. One codegen pass — no per-sample explode. */
+  def pcm16_fp(payload: Column): Column =
+    Cols.column(Pcm16Fingerprint(Cols.expr(payload)))
 }

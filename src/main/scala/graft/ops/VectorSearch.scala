@@ -564,33 +564,20 @@ object VectorSearch {
     * LE decode), split the sample stream into 16 windows, set bit i
     * when window i's mean |amplitude| exceeds the track mean. Same
     * exact integer cross-multiply discipline as the image aHash — no
-    * division, no floats. One sequence-explode pass with per-row
-    * substr/ascii decode (codegen), collapsing into ≤ 16 window rows
-    * per doc; totals re-aggregate the window table. */
+    * division, no floats. The Spark side is the NATIVE
+    * `Pcm16Fingerprint` expression (graftshim): one codegen pass, zero
+    * shuffles — where the declared explode-per-sample formulation (the
+    * oracle's form, and ExprSpec's semantic twin) amplifies each doc
+    * into bytes/2 rows THROUGH a (doc, window)-keyed shuffle. At
+    * 100 TB of audio that explode volume is the job; the expression
+    * computes the fingerprint where the row already is. */
   val multimodalAudioFpOp = QueryDef(
     "ns_multimodal_audio_fp",
-    (s, dir) => {
-      val windows = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          expr("CAST(length(text) div 2 AS BIGINT)").as("nsamp"))
-        .filter(col("nsamp") > 0)
-        .select(col("doc_id"), col("text"), col("nsamp"),
-          explode(expr("sequence(CAST(0 AS BIGINT), nsamp - 1)")).as("j"))
-        .select(col("doc_id"), col("nsamp"), col("j"),
-          expr("ascii(substr(text, CAST(2*j+1 AS INT), 1)) + 256 * ascii(substr(text, CAST(2*j+2 AS INT), 1))").as("raw"))
-        .select(col("doc_id"), expr("j * 16 div nsamp").as("w"),
-          abs(when(col("raw") >= 32768, col("raw") - 65536).otherwise(col("raw")))
-            .cast("long").as("amp"))
-        .groupBy("doc_id", "w")
-        .agg(sum(col("amp")).as("s_i"), count(lit(1)).as("c_i"))
-      val totals = windows.groupBy("doc_id")
-        .agg(sum(col("s_i")).as("s_tot"), sum(col("c_i")).as("c_tot"))
-      windows.join(totals, "doc_id")
-        .groupBy("doc_id")
-        .agg(sum(when(col("s_i") * col("c_tot") > col("s_tot") * col("c_i"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(w AS INT))")).otherwise(0L)).as("audio_fp"),
-          min(col("c_tot")).as("n_samples"))
-    },
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), graft.expr.MediaFunctions.pcm16_fp(col("text")).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("doc_id"), col("f.audio_fp").as("audio_fp"),
+        col("f.n_samples").as("n_samples")),
     Some("""WITH s AS (
       |  SELECT doc_id, text, CAST(length(text) // 2 AS BIGINT) AS nsamp,
       |    unnest(range(CAST(length(text) // 2 AS BIGINT))) AS j

@@ -1145,3 +1145,63 @@ case class GeohashCell(left: Expression, right: Expression, precision: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GeohashCell =
     copy(left = l, right = r)
 }
+
+/** 16-window PCM16 energy fingerprint over a char-as-byte sample stream
+  * in ONE codegen'd pass — the native form of the ns_multimodal_audio_fp
+  * formulation (little-endian byte pair → signed sample, 16 analysis
+  * windows w = j·16 div nsamp, bit w set iff the window's mean
+  * |amplitude| beats the track mean by the exact integer cross-multiply
+  * s_w·c_tot > s_tot·c_w). The expression replaces a one-row-PER-SAMPLE
+  * explode through two aggregations (doc_bytes/2 × row amplification
+  * and a shuffle keyed (doc, window)) with zero shuffles: the
+  * fingerprint computes where the row already is — at 100 TB of audio
+  * the explode volume IS the job. Characters are taken as UTF-16 code
+  * units (== code points == bytes on the ASCII fixture, matching the
+  * declared ascii(substr(…)) semantics both oracles run). */
+object Pcm16Helper {
+  def fp(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val nsamp = str.length / 2
+    if (nsamp <= 0) return null
+    val sums = new Array[Long](16)
+    val counts = new Array[Long](16)
+    var j = 0
+    while (j < nsamp) {
+      val raw = str.charAt(2 * j).toInt + 256 * str.charAt(2 * j + 1).toInt
+      val amp = math.abs(if (raw >= 32768) raw - 65536 else raw).toLong
+      val w = ((j.toLong * 16L) / nsamp).toInt
+      sums(w) += amp
+      counts(w) += 1L
+      j += 1
+    }
+    var sTot = 0L; var cTot = 0L; var i = 0
+    while (i < 16) { sTot += sums(i); cTot += counts(i); i += 1 }
+    var fpv = 0L; i = 0
+    while (i < 16) {
+      if (sums(i) * cTot > sTot * counts(i)) fpv |= (1L << i)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](fpv, cTot))
+  }
+}
+
+/** `pcm16_fp(text)` → struct(audio_fp, n_samples); null when the
+  * payload holds no complete sample. */
+case class Pcm16Fingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("audio_fp", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm16_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    Pcm16Helper.fp(input.asInstanceOf[UTF8String])
+  // not defineCodeGen: null on an empty payload (the WavMeta pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.graftshim.Pcm16Helper.fp($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Pcm16Fingerprint =
+    copy(child = newChild)
+}

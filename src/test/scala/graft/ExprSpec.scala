@@ -320,4 +320,51 @@ class ExprSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("foldable") ||
       e.getMessage.contains("NON_FOLDABLE"))
   }
+
+  test("pcm16_fp equals the explode-per-sample formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real-looking payloads + edges: odd length (trailing byte ignored),
+    // one sample, empty and single-char (no complete sample -> null),
+    // high code units exercising the signed-sample branch
+    val docs = Seq(
+      (1L, "the fast key order sort table scan merge part window"),
+      (2L, "ab"),
+      (3L, "abc"),
+      (4L, ""),
+      (5L, "x"),
+      (6L, new String(Array[Char](40, 200, 60, 128, 10, 3, 255, 255))),
+      (7L, ("quiet" * 10) + ("LOUDLOUD" * 12) + ("quiet" * 10))
+    ).toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"), graft.expr.MediaFunctions.pcm16_fp(col("text")).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("doc_id"), col("f.audio_fp").as("audio_fp"),
+        col("f.n_samples").as("n_samples"))
+    val windows = docs
+      .select(col("doc_id"), col("text"),
+        expr("CAST(length(text) div 2 AS BIGINT)").as("nsamp"))
+      .filter(col("nsamp") > 0)
+      .select(col("doc_id"), col("text"), col("nsamp"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nsamp - 1)")).as("j"))
+      .select(col("doc_id"), col("nsamp"), col("j"),
+        expr("ascii(substr(text, CAST(2*j+1 AS INT), 1)) + 256 * ascii(substr(text, CAST(2*j+2 AS INT), 1))").as("raw"))
+      .select(col("doc_id"), expr("j * 16 div nsamp").as("w"),
+        abs(when(col("raw") >= 32768, col("raw") - 65536).otherwise(col("raw")))
+          .cast("long").as("amp"))
+      .groupBy("doc_id", "w")
+      .agg(sum(col("amp")).as("s_i"), count(lit(1)).as("c_i"))
+    val totals = windows.groupBy("doc_id")
+      .agg(sum(col("s_i")).as("s_tot"), sum(col("c_i")).as("c_tot"))
+    val declared = windows.join(totals, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(when(col("s_i") * col("c_tot") > col("s_tot") * col("c_i"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(w AS INT))")).otherwise(0L)).as("audio_fp"),
+        min(col("c_tot")).as("n_samples"))
+    val n = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val d = declared.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(n.toSeq == d.toSeq, s"native ${n.toSeq} != declared ${d.toSeq}")
+    assert(!n.map(_._1).contains(4L) && !n.map(_._1).contains(5L),
+      "payloads with no complete sample must be null-filtered")
+  }
 }
