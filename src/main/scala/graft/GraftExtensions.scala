@@ -156,6 +156,7 @@ object GraftExtensions {
     // length, so it must be an int literal (1..12).
     "geohash_cell" -> (args => org.apache.spark.sql.graftshim.GeohashCell(args(0), args(1),
       intLiteral(args(2), "geohash_cell", "precision", 1, 12))),
+    "pcm16_fp" -> (args => org.apache.spark.sql.graftshim.Pcm16Fingerprint(args.head)),
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -70,6 +70,40 @@ object VectorSearch {
             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank FROM c)
             |WHERE rank <= $topK""".stripMargin))
 
+  /** Filtered kNN — ES 8's `knn` with `filter`: the metadata predicate
+    * applies BEFORE search (pre-filter), so the result is the exact
+    * top-k of the FILTERED subset — never the post-filtered residue of
+    * an unfiltered search (which under-fills k exactly when the filter
+    * is selective, the failure mode ES documents). The at-scale win is
+    * that the label predicate is a plain comparison on a stored column,
+    * so it reaches PushedFilters and row-group stats skip
+    * non-qualifying chunks BEFORE any vector math (PlanSpec-locked) —
+    * at 100 TB a selective filter turns the scan itself into the index. */
+  private val knnFilterMaxLabel = 8
+  val knnFilteredOp = QueryDef(
+    "ns_similarity_knn_filtered", {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = embPar(s, dir)
+          .filter(col("label") < knnFilterMaxLabel)
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
+        topkPerGroup(scored, Seq("q_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+            |c AS (SELECT q_id, e.vec_id,
+            |    round(list_cosine_similarity(e.embedding::DOUBLE[], q_emb), 6) AS cos_r
+            |  FROM embeddings e, q
+            |  WHERE e.vec_id <> q.q_id AND e.label < $knnFilterMaxLabel)
+            |SELECT q_id, vec_id, cos_r, rank FROM (
+            |  SELECT q_id, vec_id, cos_r,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank FROM c)
+            |WHERE rank <= $topK""".stripMargin))
+
   /** Matryoshka (MRL) truncated-dimension ANN — the third serving path
     * next to PQ and IVFPQ: modern embedding models are trained so a
     * PREFIX of the vector is itself a valid low-d embedding, so the
@@ -1129,7 +1163,7 @@ object VectorSearch {
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    knnOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, mrlOp,
+    knnOp, knnFilteredOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, mrlOp,
     dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp,

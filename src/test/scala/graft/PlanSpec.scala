@@ -207,6 +207,7 @@ class PlanSpec extends SparkSpec {
       "LambdaFunction", "NamedLambdaVariable")
     val allowed: Map[String, Set[String]] = Map(
       "ns_similarity_knn" -> Set("TopKByScoreAgg"),
+      "ns_similarity_knn_filtered" -> Set("TopKByScoreAgg"),
       "ns_similarity_ivf" -> (tinyAssembly ++ Set("TopKByScoreAgg", "ZipWith",
         "ArrayAggregate")),
       "ns_similarity_pq" -> (tinyAssembly + "TopKByScoreAgg"),
@@ -264,7 +265,8 @@ class PlanSpec extends SparkSpec {
       "ns_multimodal_audio_fp", "ns_similarity_mrl",
       // the chain-step slices, the pinned CASE + tf, and the bounded
       // track aggregate
-      "ns_search_intervals", "ns_search_pinned", "ns_agg_geo_line")
+      "ns_search_intervals", "ns_search_pinned", "ns_agg_geo_line",
+      "ns_similarity_knn_filtered")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -1108,6 +1110,15 @@ class PlanSpec extends SparkSpec {
       s"change_point totals must come from the bucket-table window, not a second corpus pass:\n$p")
     assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       s"the argmax must stay a top-1 heap, not a global sort:\n$p")
+  }
+
+  test("ns_similarity_knn_filtered: the metadata pre-filter reaches the corpus scan") {
+    val p = physical("ns_similarity_knn_filtered")
+    val corpusScan = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.find(_.metadata("PushedFilters").contains("LessThan(label"))
+    assert(corpusScan.isDefined,
+      s"the kNN filter must prune row groups BEFORE any vector math:\n$p")
   }
 
   test("ns_agg_geo_line: the track is the bounded aggregate; the fetch joins broadcast — no window") {
