@@ -669,11 +669,53 @@ object AggsExt {
           .as("mean_after"))
   }
 
+  // --------------------------------------------------------- scripted_metric
+  /** The `scripted_metric` aggregation — ES's escape hatch for custom
+    * per-bucket folds (init/map/combine/reduce scripts). The canonical
+    * class of use is an ORDER-DEPENDENT fold no built-in agg expresses;
+    * the declarative re-expression here computes one: each user's
+    * longest strictly-increasing value run in event-time order.
+    *
+    * Scale shape: the ordered fold becomes lag + running-sum windows
+    * PARTITIONED PER USER (the ns_window_lag_lead discipline — state
+    * bounded per key, no global sort), then two hash aggs; unlike the
+    * ES original, the fold is deterministic under any shard layout
+    * because the window order (ts, event_id) is total. Values compare
+    * as exact integer cents — no float epsilon in the run breaks. */
+  val scriptedMetricAgg: QueryDef = q(
+    "ns_agg_scripted_metric",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       |    ${sqlCents("value")} AS v FROM events),
+       |d AS (SELECT user_id, ts_ms, event_id,
+       |    CASE WHEN v > lag(v) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM e),
+       |r AS (SELECT user_id,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM d),
+       |g AS (SELECT user_id, run_id, count(*) AS len FROM r GROUP BY 1, 2)
+       |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_inc_run,
+       |  count(*) AS n_runs
+       |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        cents(col("value")).as("v"))
+      .withColumn("brk",
+        when(col("v") > lag("v", 1).over(w), 0L).otherwise(1L))
+      .withColumn("run_id", sum("brk").over(w))
+      .groupBy("user_id", "run_id").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_inc_run"), count(lit(1)).as("n_runs"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
-    categorizeTextAgg, frequentItemSetsAgg, changePointAgg)
+    categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg)
 }

@@ -284,6 +284,10 @@ class ExprSpec extends SparkSpec {
     assert(r.getLong(1) == 4L)
     assert(r.getLong(2) == 2L) // code 0, qq=[1,1] vs c0=[0,0] -> d=2
     assert(r.getInt(3) == 2)
+    // pcm16_fp: two samples 'ab' 'cd' -> window sums differ; empty -> null
+    val p = spark.sql(
+      "SELECT pcm16_fp('abcd').n_samples AS n, pcm16_fp('') AS e").collect().head
+    assert(p.getLong(0) == 2L && p.isNullAt(1))
   }
 
   test("geohash cell encoding matches the standard algorithm (external fixtures)") {
