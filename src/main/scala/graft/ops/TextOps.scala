@@ -2183,6 +2183,46 @@ object TextOps {
          |FROM documents d JOIN r USING (lang)
          |WHERE ${hashBucketSqlOn("d.doc_id", 10000)} < r.thr""".stripMargin))
 
+  /** Temperature resampling with the NORMALIZED tempered distribution —
+    * mixture's exact-share sibling (T5/mT5-style, α = 3/4): target
+    * share p_i = w_i / Σ_j w_j with w = cnt^α, and acceptance rate
+    * min(1, budget·p_i/cnt_i) — a fixed total training budget spread
+    * across languages by the tempered law.
+    *
+    * Determinism discipline: cnt^(3/4) is sqrt(cnt·sqrt(cnt)) — a
+    * COMPOSITION of correctly-rounded IEEE ops, bit-identical across
+    * engines where pow(x, 0.75) is not — and the weight QUANTIZES to
+    * an exact integer (floor(10⁶·w)) before the cross-language sum, so
+    * Σw is an order-free exact long and no accumulation-order pact is
+    * needed at all. The rate then derives once per language from exact
+    * integers through one shared formula text. Same md5-bucket
+    * threshold membership as mixture; one corpus scan probed against
+    * the broadcast rate dim. */
+  private val temperatureBudget = 300.0
+  private val tempWInt = "CAST(floor(1000000 * sqrt(cnt * sqrt(cnt))) AS BIGINT)"
+  private def tempThr(budget: Double) =
+    s"CAST(floor(10000 * least(1.0, $budget * (CAST(w_int AS DOUBLE) / s_wint) / cnt)) AS INT)"
+  val sampleTemperatureOp = QueryDef(
+    "ns_sample_temperature", {
+      (s, dir) =>
+        val dimW = langCountDim(s, dir).withColumn("w_int", expr(tempWInt))
+        val tot = dimW.agg(sum(col("w_int")).as("s_wint"))
+        val rates = dimW.crossJoin(broadcast(tot))
+          .select(col("lang"), expr(tempThr(temperatureBudget)).as("thr"))
+        docs(s, dir)
+          .join(broadcast(rates), "lang")
+          .filter(expr(hashBucketOn("doc_id", 10000)) < col("thr"))
+          .select(col("doc_id"), col("lang"), col("thr"))
+    },
+    Some(
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         |w AS (SELECT lang, cnt, $tempWInt AS w_int FROM c),
+         |t AS (SELECT CAST(sum(w_int) AS BIGINT) AS s_wint FROM w),
+         |r AS (SELECT lang, ${tempThr(temperatureBudget)} AS thr FROM w, t)
+         |SELECT d.doc_id, d.lang, r.thr
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${hashBucketSqlOn("d.doc_id", 10000)} < r.thr""".stripMargin))
+
   /** Per-source document cap — the RefinedWeb/CCNet domain-cap rule:
     * no single domain may dominate the corpus, so each source keeps at
     * most `domainCap` documents, chosen by quality (the verified
@@ -2536,7 +2576,8 @@ object TextOps {
     spanNearOp, rankEvalOp, collapseOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
-    unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp, sampleDomainCapOp,
+    unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
+    sampleTemperatureOp, sampleDomainCapOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
