@@ -711,11 +711,94 @@ object AggsExt {
       .agg(max("len").as("longest_inc_run"), count(lit(1)).as("n_runs"))
   }
 
+  // ------------------------------------------------------ percentiles_bucket
+  /** The `percentiles_bucket` pipeline aggregation: quantiles OF the
+    * sibling buckets' values (not of raw docs) — "what does a typical
+    * day look like". Raw events collapse to the |days|-bounded bucket
+    * table first (the stats_bucket discipline); the one value-multiset
+    * percentile buffer then holds |days| longs, dashboard-sized at any
+    * SF. Spark's interpolating percentile() and DuckDB's quantile_cont
+    * agree under round(6). */
+  val percentilesBucketAgg: QueryDef = q(
+    "ns_agg_percentiles_bucket",
+    """WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS c
+      |  FROM events GROUP BY 1)
+      |SELECT round(quantile_cont(c, 0.25), 6) AS p25,
+      |  round(quantile_cont(c, 0.5), 6) AS p50,
+      |  round(quantile_cont(c, 0.75), 6) AS p75,
+      |  round(quantile_cont(c, 0.9), 6) AS p90
+      |FROM b""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .agg(expr("percentile(c, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
+      .select(round(col("ps").getItem(0), 6).as("p25"),
+        round(col("ps").getItem(1), 6).as("p50"),
+        round(col("ps").getItem(2), 6).as("p75"),
+        round(col("ps").getItem(3), 6).as("p90"))
+  }
+
+  // --------------------------------------------------------------- moving_fn
+  /** The `moving_fn` pipeline aggregation — the generalized sliding
+    * window over sibling buckets (date_histogram_pipeline covers
+    * movavg/derivative/cumsum; this is the max/min pair — "7-day
+    * rolling peak/floor"). Windows run over the series × days bucket
+    * table partitioned per series, never raw events; exact longs. */
+  val movingFnAgg: QueryDef = q(
+    "ns_agg_moving_fn",
+    """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(epoch_ms(day) AS BIGINT) AS day_ms, c,
+      |  CAST(max(c) OVER w AS BIGINT) AS mov_max7,
+      |  CAST(min(c) OVER w AS BIGINT) AS mov_min7
+      |FROM b
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("tsu")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), unix_millis(col("day")).as("day_ms"), col("c"),
+        max("c").over(w).as("mov_max7"), min("c").over(w).as("mov_min7"))
+  }
+
+  // ------------------------------------------------------------------ nested
+  /** The `nested` + `reverse_nested` aggregation pair: bucket by a
+    * field of the INNER objects (here the url's query parameters — the
+    * nested docs a real mapping would hold), then jump back to parent
+    * scope for the distinct-parent count. One explode of the bounded
+    * per-row parameter list (≤ 2 params/url — never corpus-side state),
+    * one hash agg; |param-keys|-bounded shuffle. */
+  val nestedAgg: QueryDef = q(
+    "ns_agg_nested",
+    Synth.withAccessLog(
+      """SELECT k, count(*) AS doc_count, count(DISTINCT v) AS nd_values,
+        |  count(DISTINCT event_id) AS nd_parents
+        |FROM (
+        |  SELECT event_id,
+        |    string_split(kv, '=')[1] AS k, string_split(kv, '=')[2] AS v
+        |  FROM (SELECT event_id, unnest(string_split(string_split(url, '?')[2], '&')) AS kv
+        |        FROM access_log))
+        |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Par.spread(s, Synth.accessLog(s, dir), col("event_id"))
+      .select(col("event_id"),
+        explode(split(element_at(split(col("url"), "\\?"), 2), "&")).as("kv"))
+      .select(col("event_id"),
+        element_at(split(col("kv"), "="), 1).as("k"),
+        element_at(split(col("kv"), "="), 2).as("v"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("v")).as("nd_values"),
+        countDistinct(col("event_id")).as("nd_parents"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
-    categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg)
+    categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg,
+    percentilesBucketAgg, movingFnAgg, nestedAgg)
 }
