@@ -793,6 +793,61 @@ object AggsExt {
         countDistinct(col("event_id")).as("nd_parents"))
   }
 
+  // -------------------------------------------------------------- date_range
+  /** The `date_range` aggregation — range's calendar sibling: explicit
+    * from-to date bands with ES's `*-to` / `from-to` / `from-*` keys.
+    * The band key is a codegen CASE over the raw timestamp (epoch-ms
+    * comparisons, no formatting in the hot path), map-side partials
+    * into ≤ |bands| groups — one pass, constant shuffle. */
+  private val dateRangeBands: Seq[(String, Option[String], Option[String])] = Seq(
+    ("*-2024-02-01", None, Some("2024-02-01")),
+    ("2024-02-01-2024-04-01", Some("2024-02-01"), Some("2024-04-01")),
+    ("2024-04-01-*", Some("2024-04-01"), None))
+  private val dateRangeCase: String = {
+    val arms = dateRangeBands.map { case (key, from, to) =>
+      val cond = (from.map(f => s"ts_ms >= epoch_ms(TIMESTAMP '$f 00:00:00')") ++
+        to.map(t => s"ts_ms < epoch_ms(TIMESTAMP '$t 00:00:00')")).mkString(" AND ")
+      s"WHEN $cond THEN '$key'"
+    }
+    s"CASE ${arms.mkString(" ")} END"
+  }
+  val dateRangeAgg: QueryDef = q(
+    "ns_agg_date_range",
+    s"""SELECT $dateRangeCase AS band, count(*) AS doc_count,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c
+       |FROM (SELECT epoch_ms(ts) AS ts_ms, value FROM events)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    // Spark epoch_ms equivalent: unix_millis(timestamp) — keep the CASE
+    // text identical modulo that one dialect call
+    val sparkCase = dateRangeCase.replace("epoch_ms(", "unix_millis(")
+    Tables.events(s, dir)
+      .select(col("ts_ms"), col("value"))
+      .groupBy(expr(sparkCase).as("band"))
+      .agg(count(lit(1)).as("doc_count"),
+        sumExact(cents(col("value"))).as("sum_value_c"))
+  }
+
+  // ----------------------------------------------------------------- missing
+  /** The `missing` aggregation — exists' complement: how many docs per
+    * bucket LACK the field (here, messages that don't parse to a JSON
+    * object carrying `k` — the reference's parse-else-wrap residue).
+    * One conditional-sum pass next to the total, the filters
+    * discipline. */
+  val missingAgg: QueryDef = q(
+    "ns_agg_missing",
+    Synth.withMsg(
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE (CASE WHEN json_valid(msg)
+        |    THEN json_extract_string(msg, '$.k') END) IS NULL) AS n_missing,
+        |  count(*) AS n_total
+        |FROM ev GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Synth.eventsWithMsg(s, dir)
+      .groupBy("event_type")
+      .agg(sum(when(get_json_object(col("msg"), "$.k").isNull, 1L).otherwise(0L))
+          .as("n_missing"),
+        count(lit(1)).as("n_total"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
@@ -800,5 +855,5 @@ object AggsExt {
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
     categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg,
-    percentilesBucketAgg, movingFnAgg, nestedAgg)
+    percentilesBucketAgg, movingFnAgg, nestedAgg, dateRangeAgg, missingAgg)
 }

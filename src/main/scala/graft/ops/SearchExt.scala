@@ -247,9 +247,11 @@ object SearchExt {
       .filter(col("k_val").isNotNull)
       .select("event_id", "k_val"),
     Some(Synth.withMsg(
-      """SELECT event_id, json_extract_string(msg, '$.k') AS k_val
-        |FROM ev
-        |WHERE json_valid(msg) AND json_extract_string(msg, '$.k') IS NOT NULL""".stripMargin)))
+      """SELECT event_id, k_val FROM (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(msg) THEN json_extract_string(msg, '$.k') END AS k_val
+        |  FROM ev)
+        |WHERE k_val IS NOT NULL""".stripMargin)))
 
   // --------------------------------------------------------------------- ids
   /** The `ids` query: fetch documents by explicit id list — the one DSL
@@ -385,8 +387,49 @@ object SearchExt {
        |ORDER BY (pin_pos IS NULL), pin_pos, tf DESC, doc_id
        |LIMIT 10""".stripMargin))
 
+  // -------------------------------------------------------- distance_feature
+  /** The `distance_feature` query — "boost by recency": score =
+    * boost·pivot/(pivot + |origin − ts|) decays with distance from a
+    * fixed time origin. The distance is an exact epoch-ms long, the
+    * score one shared derivation over it (monotone, so ranking sorts
+    * the LONG — no float in the order), ties by event_id; cutoff is
+    * TakeOrderedAndProject over a pruned scan. The same shape serves
+    * geo origins with the haversine machinery. */
+  private val dfOriginSql = "unix_millis(TIMESTAMP '2024-03-01 00:00:00')"
+  private val dfPivotMs = 7L * 86400000L
+  private val dfBoost = 2.0
+  private val dfK = 15
+  val distanceFeatureOp = QueryDef(
+    "ns_search_distance_feature",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("dist_ms", abs(col("ts_ms") - expr(dfOriginSql)))
+      .orderBy(col("dist_ms"), col("event_id"))
+      .limit(dfK)
+      .select(col("event_id"), col("dist_ms"),
+        round(lit(dfBoost) * lit(dfPivotMs.toDouble) / (lit(dfPivotMs.toDouble) + col("dist_ms")), 6)
+          .as("score")),
+    Some(s"""SELECT event_id, dist_ms,
+       |  round($dfBoost * ${dfPivotMs.toDouble} / (${dfPivotMs.toDouble} + dist_ms), 6) AS score
+       |FROM (SELECT event_id,
+       |    abs(epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-03-01 00:00:00')) AS dist_ms
+       |  FROM events)
+       |ORDER BY dist_ms, event_id LIMIT $dfK""".stripMargin))
+
+  // ---------------------------------------------------------- constant_score
+  /** The `constant_score` query: a filter-context wrapper whose every
+    * hit scores the fixed boost — "match these, don't rank them". Both
+    * keyword predicates are stored-column equalities, so the whole
+    * query body reaches PushedFilters (the range-query discipline). */
+  val constantScoreOp = QueryDef(
+    "ns_search_constant_score",
+    (s, dir) => Tables.documents(s, dir)
+      .filter(col("lang") === "en" && col("source") === "src3")
+      .select(col("doc_id"), lit(1.2).as("score")),
+    Some("""SELECT doc_id, CAST(1.2 AS DOUBLE) AS score FROM documents
+      |WHERE lang = 'en' AND source = 'src3'""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
-    intervalsOp, pinnedOp)
+    intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp)
 }
