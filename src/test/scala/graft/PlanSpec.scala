@@ -424,15 +424,17 @@ class PlanSpec extends SparkSpec {
       s"the bigram scoring plan must scan documents exactly once, found $docScans2:\n$p2")
   }
 
-  test("ns_sample_mixture: one corpus scan probed against a broadcast rate dim") {
-    val p = physical("ns_sample_mixture")
-    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      s"the rate dim must broadcast, not shuffle the corpus:\n$p")
-    val corpusScans = nodes(p)
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
-    assert(corpusScans == 1,
-      s"mixture sampling must scan documents exactly once (rates come from the artifact), found $corpusScans:\n$p")
+  test("mixture and temperature sampling: one corpus scan probed against a broadcast rate dim") {
+    for (name <- Seq("ns_sample_mixture", "ns_sample_temperature")) {
+      val p = physical(name)
+      assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name: the rate dim must broadcast, not shuffle the corpus:\n$p")
+      val corpusScans = nodes(p)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+      assert(corpusScans == 1,
+        s"$name must scan documents exactly once (rates come from the artifact), found $corpusScans:\n$p")
+    }
   }
 
   test("ns_shard_order: within-shard ordering only — never a global sort") {
