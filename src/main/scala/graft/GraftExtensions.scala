@@ -157,6 +157,16 @@ object GraftExtensions {
     "geohash_cell" -> (args => org.apache.spark.sql.graftshim.GeohashCell(args(0), args(1),
       intLiteral(args(2), "geohash_cell", "precision", 1, 12))),
     "pcm16_fp" -> (args => org.apache.spark.sql.graftshim.Pcm16Fingerprint(args.head)),
+    // Spark's runtime-filter Bloom pair, surfaced as SQL functions: the
+    // membership structure a 100 TB decontamination/semi-join pass
+    // ships instead of a broadcast hash set (internal registry only
+    // upstream — FunctionRegistry.internal — so exposed here)
+    "bloom_filter_agg" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        args(0), args(1), args(2)).toAggregateExpression()),
+    "might_contain" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0), args(1))),
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -32,4 +32,19 @@ object TextFunctions {
   def minhash_sigs(shingles: Column, n: Int): Column =
     Cols.column(org.apache.spark.sql.graftshim.MinHashSigs(
       Cols.expr(shingles), n))
+
+  /** Spark's runtime-filter Bloom aggregate over LONG inputs (feed it
+    * xxhash64): the membership structure a 100 TB semi-join ships
+    * instead of a broadcast hash set. */
+  def bloom_filter_agg(hashed: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Cols.column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      Cols.expr(hashed), Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Probabilistic membership probe against a bloom_filter_agg result;
+    * false positives possible, false negatives not. */
+  def might_contain(bloom: Column, hashed: Column): Column =
+    Cols.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      Cols.expr(bloom), Cols.expr(hashed)))
 }

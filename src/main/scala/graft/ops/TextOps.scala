@@ -2004,6 +2004,60 @@ object TextOps {
            |FROM (SELECT doc_id FROM documents WHERE doc_id % $decontMod <> 0) d
            |LEFT JOIN hits USING (doc_id)""".stripMargin))
 
+  /** Benchmark decontamination, the BLOOM-prefiltered at-scale twin:
+    * when the benchmark shingle set outgrows a comfortable broadcast
+    * hash relation (all of HELM + every eval suite), the membership
+    * structure a 100 TB pass actually ships is a Bloom filter — a few
+    * MB for hundreds of millions of shingles. Shape: build the filter
+    * over the benchmark shingles in ONE aggregate row
+    * (bloom_filter_agg over xxhash64), broadcast it, drop the
+    * (overwhelming) bloom-negative majority of training shingles with
+    * a per-row might_contain, then CONFIRM the survivors against the
+    * exact set — false positives die at the confirm join, so the
+    * result is hash-identical to ns_decontaminate (the shared oracle
+    * proves it), while the join's build side only ever sees
+    * bloom-positive rows. */
+  val decontaminateBloomOp = QueryDef(
+    "ns_decontaminate_bloom", {
+      (s, dir) =>
+        val benchSh = docs(s, dir).filter(col("doc_id") % decontMod === 0)
+          .select(explode(array_distinct(shingles3(trim(col("text"))))).as("x"))
+          .distinct()
+        // might_contain requires a CONSTANT filter — materialize the
+        // one-row aggregate on the driver (a few MB for hundreds of
+        // millions of shingles), exactly the scalar-subquery constant
+        // Spark's own InjectRuntimeFilter embeds; this is a bounded
+        // 1-row fetch, not a corpus collect
+        val bfBytes = benchSh
+          .agg(graft.expr.TextFunctions.bloom_filter_agg(
+            xxhash64(col("x")), 20000L, 200000L).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        val tr = Par.spread(s, docs(s, dir), col("doc_id"))
+          .filter(col("doc_id") % decontMod =!= 0)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles3(trim(col("text"))))).as("x"))
+        val hits = tr
+          .filter(graft.expr.TextFunctions.might_contain(
+            lit(bfBytes), xxhash64(col("x"))))
+          .join(broadcast(benchSh), Seq("x"))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        docs(s, dir).filter(col("doc_id") % decontMod =!= 0).select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("hits"), lit(0L)).as("n_hits"),
+            col("hits").isNotNull.as("contaminated"))
+    },
+    // the exact op's oracle verbatim: the bloom is plan-level only
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+           |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+           |      FROM toks WHERE len(t) >= 3),
+           |bench AS (SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % $decontMod = 0),
+           |tr AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE doc_id % $decontMod <> 0),
+           |hits AS (SELECT doc_id, count(*) AS hits FROM tr JOIN bench USING (x) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(hits, 0) AS n_hits, hits IS NOT NULL AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % $decontMod <> 0) d
+           |LEFT JOIN hits USING (doc_id)""".stripMargin))
+
   /** Repetition signals — the MassiveText/Gopher quality rules a
     * pretraining filter thresholds on: the fraction of the document
     * its single most frequent token occupies (boilerplate/spam
@@ -2581,6 +2635,7 @@ object TextOps {
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,
+    decontaminateBloomOp,
     textRepetitionOp, textChunkOp, textPackOp, shardOrderOp, filterFunnelOp,
     selectBudgetOp, dedupReportOp)
 }
