@@ -848,6 +848,81 @@ object AggsExt {
         count(lit(1)).as("n_total"))
   }
 
+  // --------------------------------------------------------------- children
+  /** The ES `children` aggregation (join-field): per PARENT bucket,
+    * aggregate over the CHILD documents — "per order priority, how many
+    * lines, how much quantity". The at-scale shape: children pre-
+    * aggregate per parent KEY first (count + exact cents sum collapse
+    * before the join, one row per parent crosses the shuffle), the
+    * parent side joins projected to (key, bucket), and the final
+    * aggregate reads |parents| rows grouped to |priorities|. n_parents
+    * is free — every pre-aggregated row IS one distinct parent. */
+  val childrenAgg: QueryDef = q(
+    "ns_agg_children",
+    s"""WITH c AS (SELECT l_orderkey, count(*) AS n,
+       |    CAST(sum(${sqlCents("l_quantity")}) AS BIGINT) AS qty_c
+       |  FROM lineitem GROUP BY 1)
+       |SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n_children,
+       |  count(*) AS n_parents, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+       |FROM orders JOIN c ON o_orderkey = l_orderkey
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val perParent = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sumExact(cents(col("l_quantity"))).as("qty_c"))
+    Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      .join(perParent, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("n_children"), count(lit(1)).as("n_parents"),
+        sum(col("qty_c")).as("sum_qty_c"))
+  }
+
+  // ----------------------------------------------------------------- global
+  /** The ES `global` aggregation: a bucket that ESCAPES the query filter
+    * — the "matching vs ALL documents" comparison every relevance
+    * dashboard needs. One codegen pass: rollup(event_type) carries the
+    * per-type buckets AND the grand-total `_all` row, with the query-
+    * context count as a conditional sum riding the same aggregate — no
+    * second scan for the global side. */
+  val globalAgg: QueryDef = q(
+    "ns_agg_global",
+    """SELECT coalesce(event_type, '_all') AS bucket,
+      |  CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_query,
+      |  count(*) AS n_global
+      |FROM events GROUP BY ROLLUP(event_type)""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .rollup("event_type")
+      .agg(sum(when(col("value") >= 150, 1L).otherwise(0L)).as("n_in_query"),
+        count(lit(1)).as("n_global"))
+      .select(coalesce(col("event_type"), lit("_all")).as("bucket"),
+        col("n_in_query"), col("n_global"))
+  }
+
+  // ----------------------------------------------------- moving_percentiles
+  /** The `moving_percentiles` pipeline agg: sliding-window quantiles of
+    * the daily bucket metric (trailing 7 buckets) — the smoothed-band
+    * chart around a latency/volume series. Runs over the |days|-bounded
+    * bucket table (the moving_fn discipline), so the window sort is
+    * dashboard-sized at any SF. Quantiles interpolate linearly over
+    * exact longs in both engines; round(6) absorbs the last-ulp
+    * formula-order difference. */
+  val movingPercentilesAgg: QueryDef = q(
+    "ns_agg_moving_percentiles",
+    """WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT day, n,
+      |  round(quantile_cont(n, 0.5) OVER w, 6) AS p50_7d,
+      |  round(quantile_cont(n, 0.9) OVER w, 6) AS p90_7d
+      |FROM b
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p50_7d", round(percentile(col("n"), lit(0.5)).over(w), 6))
+      .withColumn("p90_7d", round(percentile(col("n"), lit(0.9)).over(w), 6))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
@@ -855,5 +930,6 @@ object AggsExt {
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
     categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg,
-    percentilesBucketAgg, movingFnAgg, nestedAgg, dateRangeAgg, missingAgg)
+    percentilesBucketAgg, movingFnAgg, nestedAgg, dateRangeAgg, missingAgg,
+    childrenAgg, globalAgg, movingPercentilesAgg)
 }

@@ -439,6 +439,41 @@ object Enrich {
         |       ELSE concat('{"m":"', method, '","d":"d', event_id % 10, '"}') END AS doc
         |FROM access_log""".stripMargin)))
 
+  /** The OpenSearch `geo_polygon` query: events whose enriched point
+    * falls inside a polygon — the drawn-region map filter. The test is
+    * three half-plane cross products over DOUBLED coordinates: the
+    * .5-offset synthetic points double to exact BIGINTs and the
+    * triangle's vertices are integer degrees, so the whole predicate is
+    * pure long arithmetic — bit-exact both engines, boundary included
+    * deterministically (no epsilon, no transcendental). At-scale shape
+    * = the bounding-box discipline: the polygon prunes the DIMENSION
+    * before it explodes and broadcasts, so out-of-region events simply
+    * fail the inner join. */
+  private val polyVerts: Seq[(Long, Long)] = // (lat·2, lon·2), integer degrees
+    Seq((-130L, -320L), (140L, -30L), (-60L, 270L))
+  private val polyInsideSql: String = {
+    val x = "CAST(geo_lon * 2 AS BIGINT)"
+    val y = "CAST(geo_lat * 2 AS BIGINT)"
+    val ds = polyVerts.indices.map { i =>
+      val (ay, ax) = polyVerts(i)
+      val (by, bx) = polyVerts((i + 1) % polyVerts.size)
+      s"((${bx - ax}) * ($y - ($ay)) - (${by - ay}) * ($x - ($ax)))"
+    }
+    s"((${ds.map(d => s"$d >= 0").mkString(" AND ")}) OR (${ds.map(d => s"$d <= 0").mkString(" AND ")}))"
+  }
+  val geoPolygonOp = QueryDef(
+    "ns_geo_polygon",
+    (s, dir) => geoEnrichedFacts(s, dir, dimPrune = Some(expr(polyInsideSql)))
+      .groupBy("geo_country", "geo_lat", "geo_lon")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users")),
+    Some(Synth.withAccessLog(
+      s"""SELECT geo_country, geo_lat, geo_lon, count(*) AS n,
+         |  count(DISTINCT user_id) AS nd_users
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |WHERE $polyInsideSql
+         |GROUP BY 1, 2, 3""".stripMargin)))
+
   /** The OpenSearch `geo_bounds` aggregation: the tightest lat/lon box
     * around each bucket's points — the "zoom the map to the data"
     * primitive. Buckets are 60° longitude sextants (floor quotients sit
@@ -770,7 +805,7 @@ object Enrich {
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
-    geoBoundingBoxOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
+    geoBoundingBoxOp, geoPolygonOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
     tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)

@@ -428,8 +428,127 @@ object SearchExt {
     Some("""SELECT doc_id, CAST(1.2 AS DOUBLE) AS score FROM documents
       |WHERE lang = 'en' AND source = 'src3'""".stripMargin))
 
+  // --------------------------------------------------------------- has_child
+  /** The `has_child` query with `min_children`: return PARENT documents
+    * having at least N children matching the child query — ES's
+    * join-field relation ("orders with ≥ 3 returned lines"). The
+    * at-scale shape is child-side PRE-AGGREGATION: the child predicate
+    * filters a pruned 2-column scan, counts collapse per parent key
+    * BEFORE the join (shuffle carries one row per qualifying parent,
+    * not one per child), and the HAVING prunes again pre-join. AQE
+    * co-partitions the two sides on the key. */
+  private val hasChildMin = 3
+  val hasChildOp = QueryDef(
+    "ns_search_has_child",
+    (s, dir) => {
+      val matching = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_matching"))
+        .filter(col("n_matching") >= hasChildMin)
+      Tables.orders(s, dir)
+        .join(matching, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "n_matching")
+    },
+    Some(s"""SELECT o_orderkey, o_orderstatus, o_orderpriority, n_matching
+       |FROM orders JOIN (
+       |  SELECT l_orderkey, count(*) AS n_matching FROM lineitem
+       |  WHERE l_returnflag = 'R' GROUP BY 1 HAVING count(*) >= $hasChildMin) c
+       |ON o_orderkey = l_orderkey""".stripMargin))
+
+  // -------------------------------------------------------------- has_parent
+  /** The `has_parent` query: return CHILD documents whose parent matches
+    * — "lines of urgent, still-open orders". A LEFT SEMI join keyed on
+    * the parent id: the child stream probes and never multiplies, the
+    * parent side carries only the key after its pushed filters. At real
+    * scale both sides are big, so this is the shuffled semi join AQE
+    * plans (broadcast only if the filtered parent side collapses). */
+  val hasParentOp = QueryDef(
+    "ns_search_has_parent",
+    (s, dir) => {
+      val parents = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, dir)
+        .join(parents, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')""".stripMargin))
+
+  // ------------------------------------------------------- match_bool_prefix
+  /** The `match_bool_prefix` query — the search-as-you-type backbone:
+    * every term matches as a full token except the LAST, which matches
+    * as a prefix (the user is mid-word). Compiles to bool-should
+    * conditional counts: score = tf(complete terms) + tf(prefix), all
+    * exact longs, one codegen pass over the corpus (no explode, no
+    * shuffle before the TakeOrderedAndProject page). */
+  private val mbpTerm = "data"
+  private val mbpPrefix = "col"
+  val matchBoolPrefixOp = QueryDef(
+    "ns_search_match_bool_prefix",
+    (s, dir) => docs(s, dir)
+      .withColumn("tf_term", size(filter(toks, t => t === mbpTerm)).cast("long"))
+      .withColumn("tf_prefix",
+        size(filter(toks, t => t.startsWith(mbpPrefix))).cast("long"))
+      .filter(col("tf_term") > 0 || col("tf_prefix") > 0)
+      .withColumn("score", col("tf_term") + col("tf_prefix"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "tf_term", "tf_prefix", "score"),
+    Some(s"""SELECT doc_id, tf_term, tf_prefix, tf_term + tf_prefix AS score
+       |FROM (SELECT doc_id,
+       |    len(list_filter(string_split(trim(text), ' '), x -> x = '$mbpTerm')) AS tf_term,
+       |    len(list_filter(string_split(trim(text), ' '), x -> x LIKE '$mbpPrefix%')) AS tf_prefix
+       |  FROM documents)
+       |WHERE tf_term > 0 OR tf_prefix > 0
+       |ORDER BY tf_term + tf_prefix DESC, doc_id
+       |LIMIT 10""".stripMargin))
+
+  // ----------------------------------------------------------------- rescore
+  /** The `rescore` phase: re-rank only the top `window_size` hits of the
+    * cheap first pass with a costlier secondary query —
+    * query_weight 1, rescore_query_weight 2, score_mode total. The
+    * two-phase discipline is the at-scale point: the secondary scorer
+    * (at 100 TB: a heavier model or proximity pass) touches exactly
+    * `window_size` rows per shard page regardless of corpus size. Both
+    * passes tie-break on doc_id, so the window membership — not just
+    * its order — is deterministic in both engines. */
+  private val rescoreWindow = 50
+  val rescoreOp = QueryDef(
+    "ns_search_rescore",
+    (s, dir) => {
+      val first = docs(s, dir)
+        .withColumn("tf_primary", size(filter(toks, t => t === "spark")).cast("long"))
+        .filter(col("tf_primary") > 0)
+        .orderBy(col("tf_primary").desc, col("doc_id"))
+        .limit(rescoreWindow)
+      first
+        .withColumn("tf_rescore", size(filter(toks, t => t === "data")).cast("long"))
+        .withColumn("score", col("tf_primary") + lit(2L) * col("tf_rescore"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "tf_primary", "tf_rescore", "score")
+    },
+    Some(s"""WITH first AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS tf_primary
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) > 0
+       |  ORDER BY tf_primary DESC, doc_id
+       |  LIMIT $rescoreWindow)
+       |SELECT doc_id, tf_primary, tf_rescore, tf_primary + 2 * tf_rescore AS score
+       |FROM (SELECT doc_id, tf_primary,
+       |    len(list_filter(string_split(trim(text), ' '), x -> x = 'data')) AS tf_rescore
+       |  FROM first)
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
-    intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp)
+    intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
+    hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp)
 }

@@ -1162,8 +1162,78 @@ object VectorSearch {
            |SELECT e.vec_id, m.dup_of, m.dup_of IS NULL AS is_kept
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
+  // --------------------------------------------------------------------- rrf
+  /** Hybrid retrieval with Reciprocal Rank Fusion — ES 8.14's `rrf`
+    * retriever: a lexical ranking and a vector ranking over the SAME
+    * corpus (doc_id ≡ vec_id), fused by Σ 1/(k + rank) so neither
+    * leg's score scale matters. Each leg is its own bounded top-window
+    * (the rank-window constant, 50): the vector leg is the knn shape
+    * (broadcast query, bounded TopKByScoreAgg — its contract IS
+    * row_number(cos DESC, id)), the lexical leg a TakeOrderedAndProject
+    * over one codegen tf pass. Fusion then full-outer-joins two ≤50-row
+    * frames — driver-sized at any SF. Ranks are exact longs, the RRF
+    * sum two reciprocal doubles from one shared formula — identical in
+    * both engines; ties break on id. */
+  private val rrfK = 60
+  private val rrfWindow = 50
+  private val rrfQid = 7L
+  private val rrfTerm = "spark"
+  val rrfOp = QueryDef(
+    "ns_search_rrf", {
+      (s, dir) =>
+        val qv = Tables.embeddings(s, dir)
+          .filter(col("vec_id") === rrfQid).select(col("embedding").as("q_emb"))
+        val vecTop = embPar(s, dir).crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= rrfQid)
+          .select(col("vec_id"),
+            round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("vec_id"), col("cos_r"), rrfWindow).as("top"))
+          .select(posexplode(col("top")))
+          .select(col("col.id").as("id"), (col("pos") + 1).cast("long").as("vec_rank"))
+        val toksD = split(trim(col("text")), " ")
+        val textTop = Tables.documents(s, dir)
+          .withColumn("tf", size(filter(toksD, t => t === rrfTerm)).cast("long"))
+          .filter(col("tf") > 0 && col("doc_id") =!= rrfQid)
+          .orderBy(col("tf").desc, col("doc_id"))
+          .limit(rrfWindow)
+          // rank over the already-cut 50-row frame: bounded by construction
+          .withColumn("text_rank",
+            row_number().over(Window.orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id").as("id"), col("text_rank"))
+        textTop.join(vecTop, Seq("id"), "full_outer")
+          .withColumn("rrf_score",
+            coalesce(lit(1.0) / (lit(rrfK) + col("text_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(10)
+          .select(col("id"), col("text_rank"), col("vec_rank"),
+            round(col("rrf_score"), 6).as("rrf_score"))
+    },
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = $rrfQid),
+            |vs AS (SELECT e.vec_id AS id,
+            |    round(list_cosine_similarity(e.embedding::DOUBLE[], q_emb), 6) AS cos_r
+            |  FROM embeddings e, q WHERE e.vec_id <> $rrfQid),
+            |vr AS (SELECT id, vec_rank FROM (
+            |    SELECT id, row_number() OVER (ORDER BY cos_r DESC, id) AS vec_rank FROM vs)
+            |  WHERE vec_rank <= $rrfWindow),
+            |tf AS (SELECT doc_id AS id,
+            |    len(list_filter(string_split(trim(text), ' '), x -> x = '$rrfTerm')) AS tf
+            |  FROM documents WHERE doc_id <> $rrfQid),
+            |tr AS (SELECT id, text_rank FROM (
+            |    SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS text_rank
+            |    FROM tf WHERE tf > 0)
+            |  WHERE text_rank <= $rrfWindow),
+            |f AS (SELECT coalesce(tr.id, vr.id) AS id, tr.text_rank, vr.vec_rank,
+            |    coalesce(CAST(1 AS DOUBLE) / ($rrfK + tr.text_rank), 0)
+            |      + coalesce(CAST(1 AS DOUBLE) / ($rrfK + vr.vec_rank), 0) AS rrf_score
+            |  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id)
+            |SELECT id, text_rank, vec_rank, round(rrf_score, 6) AS rrf_score
+            |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     knnOp, knnFilteredOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, mrlOp,
+    rrfOp,
     dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp,

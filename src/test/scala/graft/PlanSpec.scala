@@ -1145,6 +1145,59 @@ class PlanSpec extends SparkSpec {
       s"intervals must chain positions over one corpus pass, saw $docScans:\n$iv")
   }
 
+  test("parent/child joins pre-aggregate the child side below the join") {
+    // has_child: the child count must collapse per parent key BEFORE the
+    // join (one row per qualifying parent crosses the shuffle, not one
+    // per child) — the aggregate lives in the join's subtree.
+    for (name <- Seq("ns_search_has_child", "ns_agg_children")) {
+      val p = physical(name)
+      val join = nodes(p).collectFirst {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(join.isDefined, s"$name lost its equi-join:\n$p")
+      assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$name must never BNLJ:\n$p")
+      assert(nodes(join.get).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+        s"$name's child side no longer pre-aggregates below the join:\n$p")
+    }
+  }
+
+  test("ns_geo_polygon prunes the dimension and stays a broadcast hash join") {
+    val p = physical("ns_geo_polygon")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected the bucketed broadcast hash join in:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"polygon join degraded from the bucketed BHJ:\n$p")
+    val join = nodes(p).collectFirst { case j: BroadcastHashJoinExec => j }.get
+    val required = nodes(join).collect {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(required.isEmpty, s"polygon join requires a probe-side shuffle:\n$p")
+  }
+
+  test("ns_search_rrf: vector leg is the bounded aggregate; lexical page a top-k heap") {
+    val p = physical("ns_search_rrf")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the RRF vector leg lost the partial-aggregating bounded top-k:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the RRF lexical window must stay a top-k heap:\n$p")
+    // the only windows permitted rank the ≤50-row fused/lexical frames,
+    // never the embeddings corpus
+    val corpusWindows = nodes(p).collect { case w: WindowExec => w }.filter(w =>
+      nodes(w).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.endsWith("/embeddings.parquet"))
+        case _ => false
+      })
+    assert(corpusWindows.isEmpty,
+      s"a window ranks the embeddings corpus — the bounded-aggregate win regressed:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
