@@ -923,6 +923,61 @@ object AggsExt {
       .withColumn("p90_7d", round(percentile(col("n"), lit(0.9)).over(w), 6))
   }
 
+  // ------------------------------------------------------------------ parent
+  /** The ES `parent` aggregation — `children`'s inverse: bucket by a
+    * CHILD field, aggregate over the distinct PARENT documents ("per
+    * return flag, how many orders and how much order value"). The
+    * dedup-to-parent step is the semantic core (a parent with many
+    * qualifying lines counts once) and the at-scale shape: the child
+    * side collapses to DISTINCT (bucket, parent key) before the join,
+    * so the parent row is fetched once per bucket membership, never
+    * once per child line. */
+  val parentAgg: QueryDef = q(
+    "ns_agg_parent",
+    s"""WITH k AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+       |SELECT l_returnflag, count(*) AS n_parents,
+       |  CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS sum_totalprice_c
+       |FROM k JOIN orders ON o_orderkey = l_orderkey
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey").distinct()
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_parents"),
+        sumExact(cents(col("o_totalprice"))).as("sum_totalprice_c"))
+  }
+
+  // ---------------------------------------------------------- random_sampler
+  /** ES 8's `random_sampler` aggregation: aggregate over a probability
+    * sample and scale the estimate back up — the "fast dashboards over
+    * petabytes" agg. The sample membership is the deterministic
+    * md5-bucket primitive (the ns_split_train_test recipe — identical
+    * text both engines, reproducible across runs), p = 5% → the
+    * inverse-probability estimate is an exact ×20 on longs. A pure
+    * pushdown-friendly filter: any worker decides membership
+    * independently; no shuffle before the aggregate. */
+  private val rsInvP = 20L // p = 1/20
+  private val rsBucket = // the TextOps.hashBucketOn recipe, on event_id
+    "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+  private val rsBucketSql =
+    "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+  val randomSamplerAgg: QueryDef = q(
+    "ns_agg_random_sampler",
+    s"""SELECT event_type, count(*) AS n_sampled,
+       |  count(*) * $rsInvP AS est_total,
+       |  CAST(sum(${sqlCents("value")}) AS BIGINT) AS sum_value_c_sampled,
+       |  CAST(sum(${sqlCents("value")}) * $rsInvP AS BIGINT) AS est_sum_value_c
+       |FROM events WHERE $rsBucketSql < ${100 / rsInvP}
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(expr(rsBucket) < 100L / rsInvP)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        (count(lit(1)) * rsInvP).as("est_total"),
+        sumExact(cents(col("value"))).as("sum_value_c_sampled"),
+        (sumExact(cents(col("value"))) * rsInvP).as("est_sum_value_c"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
@@ -931,5 +986,5 @@ object AggsExt {
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
     categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg,
     percentilesBucketAgg, movingFnAgg, nestedAgg, dateRangeAgg, missingAgg,
-    childrenAgg, globalAgg, movingPercentilesAgg)
+    childrenAgg, globalAgg, movingPercentilesAgg, parentAgg, randomSamplerAgg)
 }

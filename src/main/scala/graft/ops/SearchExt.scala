@@ -546,9 +546,53 @@ object SearchExt {
        |ORDER BY score DESC, doc_id
        |LIMIT 10""".stripMargin))
 
+  // ------------------------------------------------------------ eql sequence
+  /** The EQL `sequence` query — Elastic's event-correlation language:
+    * `sequence by user_id with maxspan=1h [event_type=="view"]
+    * [event_type=="purchase"]`. Each purchase pairs with the user's
+    * MOST RECENT prior view inside the span (the funnel/attribution
+    * primitive SIEM rules are built from).
+    *
+    * Scale shape: ONE shuffle by the join key, then a per-user running
+    * max over (CASE view THEN ts) with the current row excluded — no
+    * self-join of the event stream, no per-pair explosion; the window
+    * frame is the streaming-state analog of ns_stream_join's
+    * watermarked buffer. ts is exact epoch-ms; ties order by event_id
+    * in both engines, so frame membership is deterministic. */
+  private val eqlMaxspanMs = 3600000L // maxspan=1h
+  val eqlSequenceOp = QueryDef(
+    "ns_eql_sequence",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+        .withColumn("last_view_ts",
+          max(when(col("event_type") === "view", col("ts_ms"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view_ts").isNotNull &&
+          col("ts_ms") - col("last_view_ts") <= eqlMaxspanMs)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("last_view_ts"), col("ts_ms").as("purchase_ts"),
+          (col("ts_ms") - col("last_view_ts")).as("gap_ms"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+       |m AS (SELECT user_id, event_id, event_type, ts_ms,
+       |    max(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (
+       |      PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+       |  FROM e)
+       |SELECT user_id, event_id AS purchase_id, last_view_ts, ts_ms AS purchase_ts,
+       |  ts_ms - last_view_ts AS gap_ms
+       |FROM m
+       |WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+       |  AND ts_ms - last_view_ts <= $eqlMaxspanMs""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
-    hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp)
+    hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp)
 }
