@@ -2622,6 +2622,87 @@ object TextOps {
            |    j -> CASE WHEN j = i THEN '<em>' || t[j] || '</em>' ELSE t[j] END), ' ') AS snippet
            |FROM m""".stripMargin))
 
+  // --------------------------------------------------------------------- dsir
+  /** DSIR-style importance resampling (Data Selection via Importance
+    * Resampling, Xie et al. 2023): select raw-corpus documents whose
+    * unigram statistics look like the TARGET domain, with probability
+    * proportional to the importance weight p_target/p_raw — the
+    * principled upgrade over hard domain filters for pretraining-mix
+    * construction. Target here = the `lang = 'en'` slice; both LMs are
+    * Laplace-smoothed unigram models over the raw vocabulary.
+    *
+    * Determinism: each token's log-ratio rounds to integer MICROS
+    * before the per-doc sum (the bigram_logprob rule — data-dependent
+    * term sets forbid fixed-order float addition), and the resampling
+    * is Gumbel top-k with DETERMINISTIC noise: u(doc) from the md5
+    * bucket primitive, key = logw − ln(−ln u) — reproducible across
+    * runs and engines, tie-broken by doc_id on the rounded key.
+    *
+    * Scale shape: both count tables are persisted buildOnce artifacts
+    * (vocab-bounded, corpus-size-independent); the scoring plan's only
+    * documents scan is the probe-side token explode (the unigram
+    * discipline); V/N_raw/N_target are one-row broadcasts; selection
+    * is a TakeOrderedAndProject — no global sort survives. */
+  private def unigramFreqTarget(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "unigram_freq_target") {
+      path =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .filter(col("lang") === "en")
+          .select(explode(split(trim(col("text")), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+  private val dsirK = 50
+  /** Shared per-token micros text: ln smoothed target prob − ln smoothed
+    * raw prob, ×1e6, rounded — identical text both engines. */
+  private val dsirTermMicros: String =
+    "CAST(round((ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1) / (nt + v)) - " +
+      "ln((CAST(cr AS DOUBLE) + 1) / (nr + v))) * 1000000, 0) AS BIGINT)"
+  /** Gumbel key over the exact micros sum and the doc's md5 uniform. */
+  private val dsirKeyText: String =
+    "round(CAST(lw_micros AS DOUBLE) / 1000000 - ln(-ln((CAST(ub AS DOUBLE) + 0.5) / 1000000)), 6)"
+  val sampleDsirOp = QueryDef(
+    "ns_sample_dsir", {
+      (s, dir) =>
+        val raw = unigramFreq(s, dir).withColumnRenamed("cnt", "cr")
+        val tgt = unigramFreqTarget(s, dir)
+        val stats = raw.agg(count(lit(1)).as("v"), sum(col("cr")).as("nr"))
+          .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+        val toks = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        toks.join(raw, "tok")
+          .join(tgt, Seq("tok"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), expr(dsirTermMicros).as("m"))
+          .groupBy("doc_id")
+          .agg(sum(col("m")).as("lw_micros"), count(lit(1)).as("n_toks"))
+          .withColumn("ub", expr(hashBucketOn("doc_id", 1000000)))
+          .withColumn("gkey", expr(dsirKeyText))
+          .withColumn("logw", round(col("lw_micros").cast("double") / 1000000, 6))
+          .orderBy(col("gkey").desc, col("doc_id"))
+          .limit(dsirK)
+          .select("doc_id", "n_toks", "logw", "gkey")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+       |  FROM documents),
+       |raw AS (SELECT tok, count(*) AS cr FROM toks GROUP BY 1),
+       |tgt AS (SELECT tok, count(*) AS ct
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+       |        FROM documents WHERE lang = 'en') GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM raw) AS v,
+       |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+       |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
+       |term AS (SELECT doc_id, $dsirTermMicros AS m
+       |  FROM toks JOIN raw USING (tok) LEFT JOIN tgt USING (tok), st),
+       |d AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS lw_micros, count(*) AS n_toks
+       |  FROM term GROUP BY 1),
+       |k AS (SELECT doc_id, n_toks,
+       |    round(CAST(lw_micros AS DOUBLE) / 1000000, 6) AS logw, $dsirKeyText AS gkey
+       |  FROM (SELECT *, ${hashBucketSqlOn("doc_id", 1000000)} AS ub FROM d))
+       |SELECT doc_id, n_toks, logw, gkey FROM k
+       |ORDER BY gkey DESC, doc_id LIMIT $dsirK""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,
     dedupSubstringOp,
@@ -2631,7 +2712,7 @@ object TextOps {
     topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
-    sampleTemperatureOp, sampleDomainCapOp,
+    sampleTemperatureOp, sampleDomainCapOp, sampleDsirOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
     dedupPipelineOp, dedupIncrementalOp, piiScrubOp, decontaminateOp,

@@ -422,6 +422,16 @@ class PlanSpec extends SparkSpec {
       .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
     assert(docScans2 == 1,
       s"the bigram scoring plan must scan documents exactly once, found $docScans2:\n$p2")
+    // DSIR holds it too: both LM count tables are artifacts, the probe
+    // explode is the only corpus scan, and selection is a top-k heap
+    val p3 = physical("ns_sample_dsir")
+    val docScans3 = nodes(p3)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(docScans3 == 1,
+      s"the DSIR scoring plan must scan documents exactly once, found $docScans3:\n$p3")
+    assert(nodes(p3).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"DSIR selection must stay a top-k heap:\n$p3")
   }
 
   test("mixture and temperature sampling: one corpus scan probed against a broadcast rate dim") {
