@@ -768,6 +768,9 @@ object TextOps {
   private val spanLead = "slow"
   private val spanLast = "join"
   private val spanSlop = 2
+  private val spanOrTerm = "spark"
+  private val spanNotInclude = "data"
+  private val spanNotExclude = "slow"
   val spanNearOp = QueryDef(
     "ns_search_span_near", {
       (s, dir) =>
@@ -790,6 +793,82 @@ object TextOps {
            |SELECT doc_id, count(*) AS n_hits
            |FROM g WHERE w1 = '$spanLead' AND list_contains(win, '$spanLast')
            |GROUP BY 1""".stripMargin))
+
+  /** The `span_or` query: a span matches where ANY clause span matches
+    * — here span_term(spark) OR span_near(slow→join, slop 2). ONE
+    * positional explode serves both clauses (conditional sums, the
+    * filters discipline): per position, clause membership is a codegen
+    * boolean, and per-doc hit counts emerge from the same aggregate —
+    * no per-clause scan, no positional self-join. */
+  val spanOrOp = QueryDef(
+    "ns_search_span_or", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 1, sequence(lit(1), size(col("t"))))).as("i"),
+            col("t"))
+          .withColumn("is_term",
+            coalesce(element_at(col("t"), col("i")) === spanOrTerm, lit(false)))
+          .withColumn("is_near",
+            coalesce(element_at(col("t"), col("i")) === spanLead, lit(false)) &&
+              coalesce(array_contains(
+                expr(s"slice(t, i + 1, ${spanSlop + 1})"), spanLast), lit(false)))
+          .groupBy("doc_id")
+          .agg(sum(when(col("is_term"), 1L).otherwise(0L)).as("n_term_hits"),
+            sum(when(col("is_near"), 1L).otherwise(0L)).as("n_near_hits"))
+          .filter(col("n_term_hits") + col("n_near_hits") > 0)
+          .withColumn("n_hits", col("n_term_hits") + col("n_near_hits"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN t[i] = '$spanOrTerm' THEN 1 ELSE 0 END AS is_term,
+       |    CASE WHEN t[i] = '$spanLead'
+       |      AND list_contains(t[i + 1 : i + ${spanSlop + 1}], '$spanLast')
+       |      THEN 1 ELSE 0 END AS is_near
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |        FROM t WHERE len(t) >= 1))
+       |SELECT doc_id, CAST(sum(is_term) AS BIGINT) AS n_term_hits,
+       |  CAST(sum(is_near) AS BIGINT) AS n_near_hits,
+       |  CAST(sum(is_term) + sum(is_near) AS BIGINT) AS n_hits
+       |FROM g GROUP BY 1
+       |HAVING sum(is_term) + sum(is_near) > 0""".stripMargin))
+
+  /** The `span_not` query: spans of the include clause that do NOT
+    * overlap the exclude clause's vicinity — "`data` but not within 2
+    * tokens of `slow`", the negative-context filter. Same single
+    * positional explode; the exclusion window is one bounded slice per
+    * anchor (constant per-row cost at any SF). */
+  private val spanNotDist = 2
+  val spanNotOp = QueryDef(
+    "ns_search_span_not", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 1, sequence(lit(1), size(col("t"))))).as("i"),
+            col("t"))
+          .filter(coalesce(element_at(col("t"), col("i")), lit("")) === spanNotInclude)
+          .withColumn("excluded",
+            coalesce(array_contains(expr(
+              s"slice(t, greatest(i - $spanNotDist, 1), i + $spanNotDist - greatest(i - $spanNotDist, 1) + 1)"),
+              spanNotExclude), lit(false)))
+          .groupBy("doc_id")
+          .agg(sum(when(!col("excluded"), 1L).otherwise(0L)).as("n_clean_hits"),
+            sum(when(col("excluded"), 1L).otherwise(0L)).as("n_excluded"))
+          .filter(col("n_clean_hits") > 0)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |a AS (SELECT doc_id, i,
+       |    list_contains(t[greatest(i - $spanNotDist, 1) : i + $spanNotDist], '$spanNotExclude') AS excluded
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |        FROM t WHERE len(t) >= 1)
+       |  WHERE t[i] = '$spanNotInclude')
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN NOT excluded THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_hits,
+       |  CAST(sum(CASE WHEN excluded THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
+       |FROM a GROUP BY 1
+       |HAVING sum(CASE WHEN NOT excluded THEN 1 ELSE 0 END) > 0""".stripMargin))
 
   /** The OpenSearch `rank_eval` API — search-quality evaluation:
     * given rated (query, document) judgments and the engine's ranked
@@ -1355,6 +1434,47 @@ object TextOps {
            |  FROM fs GROUP BY 1)
            |SELECT doc_id, round(raw, 6) AS score FROM best
            |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin))
+
+  /** The `combined_fields` query — multi_match's term-centric sibling:
+    * fields merge into ONE pseudo-field per term (tf = Σ weight·tf_f)
+    * BEFORE terms combine, so a term split across fields scores as if
+    * the fields were one (the failure mode best_fields has). Same
+    * title/body fixture as ns_search_multi_match (first $mmTitleLen
+    * tokens, title weight 2); weights are integers over exact tf longs
+    * — no float anywhere. One codegen pass per doc (two bounded
+    * slices), no explode, cutoff is TakeOrderedAndProject. */
+  private val cfTerms = Seq("data", "column")
+  private val cfTitleWeight = 2L
+  val combinedFieldsOp = QueryDef(
+    "ns_search_combined_fields", {
+      (s, dir) =>
+        val t = split(trim(col("text")), " ")
+        val title = expr(s"slice(t, 1, $mmTitleLen)")
+        val body = expr(s"slice(t, $mmTitleLen + 1, greatest(size(t) - $mmTitleLen, 0))")
+        val perTerm = cfTerms.map { term =>
+          (size(filter(title, x => x === term)).cast("long") * cfTitleWeight +
+            size(filter(body, x => x === term)).cast("long")).as(s"ctf_$term")
+        }
+        docs(s, dir)
+          .withColumn("t", t)
+          .select(col("doc_id") +: perTerm: _*)
+          .withColumn("score", cfTerms.map(t => col(s"ctf_$t")).reduce(_ + _))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |c AS (SELECT doc_id,
+       |    ${cfTerms.map(term =>
+             s"len(list_filter(t[1:$mmTitleLen], x -> x = '$term')) * $cfTitleWeight\n" +
+             s"      + len(list_filter(t[${mmTitleLen + 1}:], x -> x = '$term')) AS ctf_$term")
+             .mkString(",\n    ")}
+       |  FROM d)
+       |SELECT doc_id, ${cfTerms.map(t => s"ctf_$t").mkString(", ")},
+       |  ${cfTerms.map(t => s"ctf_$t").mkString(" + ")} AS score
+       |FROM c WHERE ${cfTerms.map(t => s"ctf_$t").mkString(" + ")} > 0
+       |ORDER BY ${cfTerms.map(t => s"ctf_$t").mkString(" + ")} DESC, doc_id
+       |LIMIT 10""".stripMargin))
 
   /** Unigram language-model quality score: mean ln P(token) under the
     * corpus's own unigram distribution — the statistical complement to
@@ -2708,8 +2828,8 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
-    spanNearOp, rankEvalOp, collapseOp, significantTermsOp, bm25Op,
-    topHitsOp, multiMatchOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
+    spanNearOp, spanOrOp, spanNotOp, rankEvalOp, collapseOp, significantTermsOp, bm25Op,
+    topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
     sampleTemperatureOp, sampleDomainCapOp, sampleDsirOp,
