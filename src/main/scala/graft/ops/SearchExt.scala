@@ -546,6 +546,48 @@ object SearchExt {
        |ORDER BY score DESC, doc_id
        |LIMIT 10""".stripMargin))
 
+  // ----------------------------------------------------------- sparse_vector
+  /** The `sparse_vector` query — ES 8's ELSER-style learned sparse
+    * retrieval: the query expands to weighted terms, each document
+    * carries sparse term weights, and the score is the sparse dot
+    * product Σ q_w · d_w over matching terms. Document weights here are
+    * exact term frequencies (the deterministic stand-in for model
+    * weights — the plan shape is identical); query weights are integer
+    * literals, so every score is an exact long.
+    *
+    * Scale shape: the postings discipline — the corpus token explode
+    * filters against the broadcast expansion BEFORE any aggregation
+    * (only expansion-term postings survive the map side), per-doc
+    * weighted sums ride one aggregate, cutoff is a top-k heap. No
+    * per-term scan, no vocabulary shuffle. */
+  private val svExpansion: Seq[(String, Long)] =
+    Seq("spark" -> 5L, "data" -> 3L, "column" -> 2L, "join" -> 2L)
+  val sparseVectorOp = QueryDef(
+    "ns_search_sparse_vector",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val exp = svExpansion.toDF("term", "qw")
+      docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .join(broadcast(exp), col("tok") === col("term"))
+        .groupBy("doc_id")
+        .agg(sum(col("qw")).as("score"),
+          countDistinct(col("term")).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_terms", "score")
+    },
+    Some(s"""WITH exp(term, qw) AS (VALUES ${svExpansion.map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")}),
+       |p AS (SELECT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)),
+       |sc AS (SELECT doc_id, CAST(sum(qw) AS BIGINT) AS score,
+       |    count(DISTINCT term) AS n_terms
+       |  FROM p JOIN exp ON tok = term
+       |  GROUP BY 1)
+       |SELECT doc_id, n_terms, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+
   // ------------------------------------------------------------ eql sequence
   /** The EQL `sequence` query — Elastic's event-correlation language:
     * `sequence by user_id with maxspan=1h [event_type=="view"]
@@ -594,5 +636,6 @@ object SearchExt {
     queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
-    hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp)
+    hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
+    sparseVectorOp)
 }

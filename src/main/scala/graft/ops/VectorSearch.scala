@@ -1162,6 +1162,37 @@ object VectorSearch {
            |SELECT e.vec_id, m.dup_of, m.dup_of IS NULL AS is_kept
            |FROM embeddings e LEFT JOIN m USING (vec_id)""".stripMargin))
 
+  // ---------------------------------------------------------- knn threshold
+  /** The `knn` query's `similarity` parameter — ES 8's radius cut: only
+    * neighbors at cosine ≥ τ may fill the k slots ("no neighbor is
+    * better than a bad neighbor", the RAG-context guard). Score is
+    * monotone in the top-k order, so threshold-then-top-k ≡ top-k-then-
+    * filter — the bounded aggregate runs unchanged and the cut is a
+    * post-heap filter on ≤ k rows per query; under-filled queries are
+    * the CORRECT output (rank stays the pre-filter rank). */
+  private val knnSimThreshold = 0.35
+  val knnThresholdOp = QueryDef(
+    "ns_similarity_knn_threshold", {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = embPar(s, dir).crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
+        topkPerGroup(scored, Seq("q_id"))
+          .filter(col("cos_r") >= knnSimThreshold)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+            |c AS (SELECT q_id, e.vec_id,
+            |    round(list_cosine_similarity(e.embedding::DOUBLE[], q_emb), 6) AS cos_r
+            |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+            |SELECT q_id, vec_id, cos_r, rank FROM (
+            |  SELECT q_id, vec_id, cos_r,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank FROM c)
+            |WHERE rank <= $topK AND cos_r >= $knnSimThreshold""".stripMargin))
+
   // --------------------------------------------------------------------- rrf
   /** Hybrid retrieval with Reciprocal Rank Fusion — ES 8.14's `rrf`
     * retriever: a lexical ranking and a vector ranking over the SAME
@@ -1232,8 +1263,8 @@ object VectorSearch {
             |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    knnOp, knnFilteredOp, ivfOp, pqOp, pqRerankOp, ivfpqOp, ivfpqRerankOp, mrlOp,
-    rrfOp,
+    knnOp, knnFilteredOp, knnThresholdOp, ivfOp, pqOp, pqRerankOp, ivfpqOp,
+    ivfpqRerankOp, mrlOp, rrfOp,
     dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp,
