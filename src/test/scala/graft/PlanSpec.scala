@@ -1208,6 +1208,28 @@ class PlanSpec extends SparkSpec {
       s"a window ranks the embeddings corpus — the bounded-aggregate win regressed:\n$p")
   }
 
+  test("ns_search_sparse_vector: postings-only map side, page is a top-k heap") {
+    val p = physical("ns_search_sparse_vector")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the expansion must broadcast into the token stream:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the sparse-vector page must stay a top-k heap:\n$p")
+    // the expansion join must sit BELOW the weighted-sum aggregate
+    // (postings filtered map-side), so the join's subtree has no agg
+    val join = nodes(p).collectFirst { case j: BroadcastHashJoinExec => j }.get
+    assert(!nodes(join).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      s"the expansion join no longer filters postings before the aggregate:\n$p")
+  }
+
+  test("ns_similarity_knn_threshold keeps the bounded aggregate — no corpus window") {
+    val p = physical("ns_similarity_knn_threshold")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the threshold variant lost the partial-aggregating bounded top-k:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"the threshold variant regressed to a window/rank top-k:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
