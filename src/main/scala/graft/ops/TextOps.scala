@@ -2151,7 +2151,7 @@ object TextOps {
         val bfBytes = benchSh
           .agg(graft.expr.TextFunctions.bloom_filter_agg(
             xxhash64(col("x")), 20000L, 200000L).as("bf"))
-          .head.getAs[Array[Byte]]("bf")
+          .head().getAs[Array[Byte]]("bf")
         val tr = Par.spread(s, docs(s, dir), col("doc_id"))
           .filter(col("doc_id") % decontMod =!= 0)
           .select(col("doc_id"),
