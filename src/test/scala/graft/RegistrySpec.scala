@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guards on the operator registry itself — the driver keys
+  * CORRECTNESS/BENCH on `SparkEntry.queries`, so a duplicate name (one
+  * entry silently shadowing another in the Map) or an oracle without a
+  * query would corrupt the gate without any test failing. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("registry names are unique — no entry shadows another in SparkEntry.queries") {
+    val names = Registry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate registry keys: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.size,
+      "SparkEntry.queries lost entries to name collisions")
+  }
+
+  test("every oracle belongs to a declared query and uses the shared prefix scheme") {
+    val names = Registry.all.map(_.name).toSet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    val badPrefix = names.filterNot(n =>
+      n.startsWith("k2e_") || n.startsWith("np_") || n.startsWith("ns_"))
+    assert(badPrefix.isEmpty, s"unexpected key prefixes: ${badPrefix.mkString(", ")}")
+  }
+}
