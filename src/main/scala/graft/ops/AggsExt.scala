@@ -490,9 +490,11 @@ object AggsExt {
     * Scale shape: the gap scan runs over the DISTINCT-value table
     * (domain-bounded, not corpus-bounded — |values| ≤ value-span in
     * cents at any SF), the chosen boundaries broadcast back as a tiny
-    * sorted array, and each row finds its bucket with one codegen
-    * size(filter(...)) over ≤ B−1 elements. One corpus pass + one
-    * distinct shuffle. */
+    * sorted array, and each row finds its bucket with a B−1-term chain
+    * of codegen comparisons (`get` + CASE, the ns_agg_range
+    * discipline) — NOT an array HOF: ArrayFilter is CodegenFallback
+    * and would forfeit the corpus stage's whole-stage codegen
+    * (PlanSpec locks this). One corpus pass + one distinct shuffle. */
   private val vwhBuckets = 5
   val variableWidthHistogramAgg: QueryDef = q(
     "ns_agg_variable_width_histogram",
@@ -515,8 +517,16 @@ object AggsExt {
       .orderBy(col("gap").desc, col("c"))
       .limit(vwhBuckets - 1)
     val bounds = cuts.agg(sort_array(collect_list(col("c"))).as("bs"))
+    // bucket = #cuts ≤ c, unrolled to B−1 codegen terms; `get` is the
+    // null-safe (non-ANSI-throwing) element access and the coalesce
+    // sentinel makes a short cut list (fewer distinct values than
+    // buckets) count as "no cut here".
+    val bucket = (0 until vwhBuckets - 1).map { j =>
+      when(coalesce(get(col("bs"), lit(j)), lit(Long.MaxValue)) <= col("c"), lit(1L))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
     e.crossJoin(broadcast(bounds))
-      .groupBy(size(filter(col("bs"), x => x <= col("c"))).cast("long").as("bucket"))
+      .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
@@ -882,18 +892,23 @@ object AggsExt {
     * dashboard needs. One codegen pass: rollup(event_type) carries the
     * per-type buckets AND the grand-total `_all` row, with the query-
     * context count as a conditional sum riding the same aggregate — no
-    * second scan for the global side. */
+    * second scan for the global side. The total row is labeled via
+    * GROUPING(), not by coalescing the value: a genuine NULL
+    * event_type bucket must stay distinct from `_all` (ES global-agg
+    * semantics), which a value-coalesce would silently merge —
+    * identically in both engines, so the gate could never catch it. */
   val globalAgg: QueryDef = q(
     "ns_agg_global",
-    """SELECT coalesce(event_type, '_all') AS bucket,
+    """SELECT CASE WHEN GROUPING(event_type) = 1 THEN '_all' ELSE event_type END AS bucket,
       |  CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_query,
       |  count(*) AS n_global
       |FROM events GROUP BY ROLLUP(event_type)""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .rollup("event_type")
-      .agg(sum(when(col("value") >= 150, 1L).otherwise(0L)).as("n_in_query"),
+      .agg(grouping(col("event_type")).as("g"),
+        sum(when(col("value") >= 150, 1L).otherwise(0L)).as("n_in_query"),
         count(lit(1)).as("n_global"))
-      .select(coalesce(col("event_type"), lit("_all")).as("bucket"),
+      .select(when(col("g") === 1, lit("_all")).otherwise(col("event_type")).as("bucket"),
         col("n_in_query"), col("n_global"))
   }
 

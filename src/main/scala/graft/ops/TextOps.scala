@@ -718,9 +718,13 @@ object TextOps {
     * split out of every Filter/pushdown — with the span test split into
     * the exact leading-terms check and the startswith on the final
     * position. Output adds the distinct completions each document
-    * supplies (what ES's suggester surfaces), sorted for determinism.
-    * Same scale shape as phrase: no positional self-join, corpus read
-    * once, per-doc aggregation only on surviving spans. */
+    * supplies (what ES's suggester surfaces), sorted for determinism
+    * and joined to one space-separated string — the registry's output
+    * contract is scalar columns only (array/map outputs are not
+    * orderable by the external row-sorting comparator; RegistrySpec
+    * guards the class). Same scale shape as phrase: no positional
+    * self-join, corpus read once, per-doc aggregation only on
+    * surviving spans. */
   private val phrasePrefixLead = "slow"
   private val phrasePrefixLast = "jo"
   val phrasePrefixOp = QueryDef(
@@ -742,7 +746,7 @@ object TextOps {
             expr(s"startswith(coalesce(element_at(t, i + 1), ''), '$phrasePrefixLast')"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_hits"),
-            array_sort(collect_set(element_at(col("t"), col("i") + 1)))
+            array_join(array_sort(collect_set(element_at(col("t"), col("i") + 1))), " ")
               .as("completions"))
     },
     Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -750,7 +754,7 @@ object TextOps {
            |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
            |        FROM t WHERE len(t) >= 2))
            |SELECT doc_id, count(*) AS n_hits,
-           |  list_sort(list_distinct(list(w2))) AS completions
+           |  array_to_string(list_sort(list_distinct(list(w2))), ' ') AS completions
            |FROM g WHERE w1 = '$phrasePrefixLead' AND starts_with(w2, '$phrasePrefixLast')
            |GROUP BY 1""".stripMargin))
 
@@ -2756,7 +2760,13 @@ object TextOps {
     * term sets forbid fixed-order float addition), and the resampling
     * is Gumbel top-k with DETERMINISTIC noise: u(doc) from the md5
     * bucket primitive, key = logw − ln(−ln u) — reproducible across
-    * runs and engines, tie-broken by doc_id on the rounded key.
+    * runs and engines, tie-broken by doc_id. The noise term rounds to
+    * integer MICROS on its own before combining with lw_micros, so the
+    * selection key is an exact long in both engines — one libm ln
+    * evaluation is the only float step, and it is never chained
+    * through divisions before the rounding boundary (a 1-ulp JVM vs
+    * DuckDB libm difference on a chained double key could otherwise
+    * flip top-k membership at a rounding boundary).
     *
     * Scale shape: both count tables are persisted buildOnce artifacts
     * (vocab-bounded, corpus-size-independent); the scoring plan's only
@@ -2779,16 +2789,19 @@ object TextOps {
   private val dsirTermMicros: String =
     "CAST(round((ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1) / (nt + v)) - " +
       "ln((CAST(cr AS DOUBLE) + 1) / (nr + v))) * 1000000, 0) AS BIGINT)"
-  /** Gumbel key over the exact micros sum and the doc's md5 uniform. */
-  private val dsirKeyText: String =
-    "round(CAST(lw_micros AS DOUBLE) / 1000000 - ln(-ln((CAST(ub AS DOUBLE) + 0.5) / 1000000)), 6)"
+  /** Gumbel key over the exact micros sum and the doc's md5 uniform:
+    * the ln(−ln u) noise quantizes to micros BEFORE combining, so the
+    * key itself is exact long arithmetic — identical text both
+    * engines. */
+  private val dsirKeyMicrosText: String =
+    "lw_micros - CAST(round(ln(-ln((CAST(ub AS DOUBLE) + 0.5) / 1000000)) * 1000000, 0) AS BIGINT)"
   val sampleDsirOp = QueryDef(
     "ns_sample_dsir", {
       (s, dir) =>
         val raw = unigramFreq(s, dir).withColumnRenamed("cnt", "cr")
         val tgt = unigramFreqTarget(s, dir)
         val stats = raw.agg(count(lit(1)).as("v"), sum(col("cr")).as("nr"))
-          .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+          .crossJoin(broadcast(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))))
         val toks = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
         toks.join(raw, "tok")
@@ -2798,9 +2811,10 @@ object TextOps {
           .groupBy("doc_id")
           .agg(sum(col("m")).as("lw_micros"), count(lit(1)).as("n_toks"))
           .withColumn("ub", expr(hashBucketOn("doc_id", 1000000)))
-          .withColumn("gkey", expr(dsirKeyText))
+          .withColumn("gkey_micros", expr(dsirKeyMicrosText))
+          .withColumn("gkey", round(col("gkey_micros").cast("double") / 1000000, 6))
           .withColumn("logw", round(col("lw_micros").cast("double") / 1000000, 6))
-          .orderBy(col("gkey").desc, col("doc_id"))
+          .orderBy(col("gkey_micros").desc, col("doc_id"))
           .limit(dsirK)
           .select("doc_id", "n_toks", "logw", "gkey")
     },
@@ -2818,10 +2832,12 @@ object TextOps {
        |d AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS lw_micros, count(*) AS n_toks
        |  FROM term GROUP BY 1),
        |k AS (SELECT doc_id, n_toks,
-       |    round(CAST(lw_micros AS DOUBLE) / 1000000, 6) AS logw, $dsirKeyText AS gkey
+       |    round(CAST(lw_micros AS DOUBLE) / 1000000, 6) AS logw,
+       |    $dsirKeyMicrosText AS gkey_micros
        |  FROM (SELECT *, ${hashBucketSqlOn("doc_id", 1000000)} AS ub FROM d))
-       |SELECT doc_id, n_toks, logw, gkey FROM k
-       |ORDER BY gkey DESC, doc_id LIMIT $dsirK""".stripMargin))
+       |SELECT doc_id, n_toks, logw,
+       |  round(CAST(gkey_micros AS DOUBLE) / 1000000, 6) AS gkey FROM k
+       |ORDER BY gkey_micros DESC, doc_id LIMIT $dsirK""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
     dedupExactOp, dedupMinhashOp, dedupSimhashOp, dedupNgramOp,

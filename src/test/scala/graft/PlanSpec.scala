@@ -235,7 +235,10 @@ class PlanSpec extends SparkSpec {
       "ns_search_pinned" -> Set("ArrayFilter", "LambdaFunction",
         "NamedLambdaVariable"),
       // geo_line: the track is the bounded top-k aggregate by design
-      "ns_agg_geo_line" -> Set("TopKByScoreAgg"))
+      "ns_agg_geo_line" -> Set("TopKByScoreAgg"),
+      // vwh: the ≤(B−1)-row boundary ASSEMBLY aggregate only — the
+      // corpus-side bucket lookup itself is the unrolled codegen CASE
+      "ns_agg_variable_width_histogram" -> Set("CollectList", "SortArray"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
@@ -266,7 +269,10 @@ class PlanSpec extends SparkSpec {
       // the chain-step slices, the pinned CASE + tf, and the bounded
       // track aggregate
       "ns_search_intervals", "ns_search_pinned", "ns_agg_geo_line",
-      "ns_similarity_knn_filtered")
+      "ns_similarity_knn_filtered",
+      // r12: the variable-width bucket lookup, compiled from the
+      // ArrayFilter HOF to an unrolled chained CASE over `get`
+      "ns_agg_variable_width_histogram")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")

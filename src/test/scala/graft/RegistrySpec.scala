@@ -1,12 +1,12 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{ArrayType, MapType}
 
 /** Contract guards on the operator registry itself — the driver keys
   * CORRECTNESS/BENCH on `SparkEntry.queries`, so a duplicate name (one
   * entry silently shadowing another in the Map) or an oracle without a
   * query would corrupt the gate without any test failing. */
-class RegistrySpec extends AnyFunSuite {
+class RegistrySpec extends SparkSpec {
 
   test("registry names are unique — no entry shadows another in SparkEntry.queries") {
     val names = Registry.all.map(_.name)
@@ -22,5 +22,21 @@ class RegistrySpec extends AnyFunSuite {
     val badPrefix = names.filterNot(n =>
       n.startsWith("k2e_") || n.startsWith("np_") || n.startsWith("ns_"))
     assert(badPrefix.isEmpty, s"unexpected key prefixes: ${badPrefix.mkString(", ")}")
+  }
+
+  test("oracle-gated queries emit scalar columns only (external comparator row-sorts)") {
+    // The driver's DuckDB-oracle harness sorts result rows in pandas;
+    // array/map cells are unhashable there and crash the gate (the
+    // r11 ns_search_match_phrase_prefix incident). Schema-only check:
+    // building the DataFrame analyzes the plan without executing it.
+    val offenders = Registry.all.filter(_.oracle.isDefined).flatMap { q =>
+      val bad = SparkEntry.queries(q.name)(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
+          s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"array/map-typed output columns in oracle-gated queries: ${offenders.mkString("; ")}")
   }
 }
