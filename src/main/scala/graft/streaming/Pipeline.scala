@@ -196,12 +196,19 @@ object Pipeline {
             if (docs.columns.contains("message_v"))
               expr("try_variant_get(message_v, '$.text', 'string')")
             else get_json_object(col("message"), "$.text")
-          val matches = graft.ops.TextOps.percolate(docs.select(
+          // rules are full query_string expressions (percolateDsl), so
+          // the whole rule set rides one codegen pass over the batch —
+          // no token explode or join per micro-batch. The match surface
+          // carries only doc_id/text, so field-scoped clauses are a
+          // registration error here (compile fails fast, like ES with
+          // lenient:false).
+          val matches = graft.ops.SearchExt.percolateDsl(docs.select(
             concat_ws("/", col("event_id"), col("event_ref")).as("doc_id"),
             coalesce(
               textCol,
               regexp_replace(col("message"), "[{}\\[\\]\",:]+", " ")).as("text")),
-            queries)
+            queries, keywordFields = Map.empty)
+            .withColumnRenamed("rule_id", "query_id")
           withRetry(maxAttempts, baseBackoffMs, sleep)(w(matches, batchId))
         }
       } finally if (multi) docs.unpersist()
@@ -289,10 +296,14 @@ object Pipeline {
     * cloudformation-template.yaml:170–171), 5 s micro-batches (reference
     * main.go:436), checkpointed for restart recovery. */
   /** `alertQueries = Some(qs)` adds the in-stream percolation stage
-    * with that registered query set (qs: (query_id, term) conjunctive
-    * term rows): matches land in `outDir/ALERTS/batch=<id>` under the
-    * same overwrite-idempotent channelWriter discipline as the
-    * delivery channels, counted on `/metrics` as alerts_matched. */
+    * with that registered rule set (qs: (query_id, query_string) rows —
+    * each rule is a FULL Lucene query_string expression compiled by
+    * QueryStringParser: phrases, negation, prefix wildcards, grouping —
+    * what real Watcher/Kibana alert rules register, not just
+    * conjunctive term sets): matches land in
+    * `outDir/ALERTS/batch=<id>` under the same overwrite-idempotent
+    * channelWriter discipline as the delivery channels, counted on
+    * `/metrics` as alerts_matched. */
   def run(source: DataFrame, outDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
           enrich: DataFrame => DataFrame = identity,

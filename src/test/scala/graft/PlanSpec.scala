@@ -279,6 +279,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_runtime_fields: the message binds to variant ONCE — no per-field re-parse") {
+    // The runtime_mappings contract: every derived field is a typed
+    // path access against ONE bound VariantType value. A second
+    // ParseJson site in the plan means an optimizer rewrite (predicate
+    // pushdown through the binding Project, or a collapse that
+    // duplicates the parse into grouping AND aggregate expressions
+    // without shared-subexpression reach) re-parses the message per
+    // field — the exact get_json_object regression the variant
+    // machinery exists to prevent.
+    // try_parse_json lowers to StaticInvoke(VariantExpressionEvalUtils.
+    // parseJson) — match the invoke node itself, not ancestors whose
+    // toString merely contains the subtree
+    val p = physical("ns_runtime_fields")
+    val parses = nodes(p).flatMap(_.expressions)
+      .flatMap(_.collect {
+        case e if e.getClass.getSimpleName == "StaticInvoke" &&
+          e.toString.contains("parseJson") => e
+      })
+    assert(parses.size == 1,
+      s"expected exactly one variant parse site, got ${parses.size}:\n$p")
+  }
+
   test("np_ingest_pipeline: one broadcast hash join, no BNLJ, no required probe shuffle") {
     val p = physical("np_ingest_pipeline")
     assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),

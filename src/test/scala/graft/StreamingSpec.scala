@@ -365,15 +365,19 @@ class StreamingSpec extends SparkSpec {
   test("alerting stage: matches land in ALERTS/, keyed by event_id/event_ref") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    // e1's text carries q1's full conjunction (spark+join) and q2's
-    // (slow); e2 has only half of q1 — must not fire; e3 matches q3;
-    // e4 is a STRUCTURED JSON message without .text — its words must
-    // still tokenize (JSON punctuation space-normalized), so q2 fires
+    // Registered rules are FULL query_string expressions (the Watcher /
+    // Kibana alert-rule shape): r1 is a PHRASE, r2 carries a NEGATION,
+    // r3 a PREFIX wildcard. e1 matches r1's exact phrase and r2
+    // (slow, no 'alone'); e2 has the phrase words out of order and
+    // trips r2's NOT — must not fire anything; e3 matches r3 via both
+    // the prefix and the term; e4 is a STRUCTURED JSON message without
+    // .text — its words must still tokenize (JSON punctuation
+    // space-normalized), so r2 fires
     val body =
       """{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"/app/a","logStream":"s1",
         |"subscriptionFilters":["f"],"logEvents":[
         |{"id":"e1","timestamp":1000,"message":"a slow spark join pipeline"},
-        |{"id":"e2","timestamp":2000,"message":"spark alone"},
+        |{"id":"e2","timestamp":2000,"message":"join the slow spark talk alone"},
         |{"id":"e3","timestamp":3000,"message":"sort by window"},
         |{"id":"e4","timestamp":4000,"message":"{\"msg\":\"a slow response\"}"}]}""".stripMargin
     def b64(s: String): String =
@@ -386,7 +390,10 @@ class StreamingSpec extends SparkSpec {
       in.toDF().toDF("event_id", "batch_ms", "data"),
       outDir, tmp("graft-alert-ckpt"), trigger = Trigger.AvailableNow(),
       metrics = Some(m),
-      alertQueries = Some(graft.ops.TextOps.percolateQueries))
+      alertQueries = Some(Seq(
+        1L -> "\"spark join\"",
+        2L -> "slow AND NOT alone",
+        3L -> "win* OR sort")))
     try {
       q.processAllAvailable()
       val alerts = spark.read.parquet(s"$outDir/ALERTS")
