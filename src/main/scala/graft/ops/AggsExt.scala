@@ -532,6 +532,54 @@ object AggsExt {
         round(max(col("value")), 2).as("max_value"))
   }
 
+  // ----------------------------------------------------- bucket_correlation
+  /** The ES `bucket_correlation` pipeline aggregation (the correlation
+    * ML module's workhorse): Pearson correlation BETWEEN two bucket
+    * metric series — here the daily event count vs the daily value
+    * total, i.e. "does volume drive revenue day-over-day". Distinct
+    * from `ns_agg_matrix_stats`, which correlates per-DOCUMENT fields:
+    * this one runs over the time-bucketed series, the sibling-pipeline
+    * position in ES's agg tree.
+    *
+    * Scale shape: the bucket table is span-bounded (|days|), so the
+    * correlation pass is dashboard-sized at any SF; the only
+    * corpus-bounded work is the one date_histogram aggregation.
+    * Determinism: all five moments accumulate as EXACT integers —
+    * second moments in DECIMAL(38) (Spark) / HUGEINT (DuckDB) because
+    * Σy² scales with SF² and would overflow a long near sf1 — and r
+    * emerges from ONE shared formula over those exact moments, each
+    * cast to double only at the final step. */
+  val bucketCorrelationAgg: QueryDef = q(
+    "ns_agg_bucket_correlation",
+    s"""WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    count(*) AS x, CAST(sum(${sqlCents("value")}) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |m AS (SELECT count(*) AS nb, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM b)
+       |SELECT nb AS n_buckets,
+       |  round(CAST(nb * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+       |    sqrt(CAST(nb * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+       |         CAST(nb * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS r
+       |FROM m""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val b = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"), sumExact(cents(col("value"))).as("y"))
+    b.agg(count(lit(1)).as("nb"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .select(col("nb").as("n_buckets"),
+        round((col("nb") * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double") /
+          sqrt((col("nb") * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double") *
+               (col("nb") * col("syy") - col("sy").cast(dec) * col("sy")).cast("double")),
+          6).as("r"))
+  }
+
   // --------------------------------------------------------- categorize_text
   /** The `categorize_text` aggregation — ES's log-pattern miner: strip
     * the variable pieces out of semi-structured messages and group by
@@ -996,7 +1044,7 @@ object AggsExt {
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
-    cumulativeCardinalityAgg,
+    cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
     categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg,

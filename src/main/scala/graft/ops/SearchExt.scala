@@ -52,6 +52,43 @@ object SearchExt {
       |  AND len(list_filter(string_split(trim(text), ' '), x -> x LIKE 'que%')) > 0
       |""".stripMargin))
 
+  // -------------------------------------------------------------------- kql
+  /** KQL — the Kibana Query Language, the search bar's DEFAULT syntax
+    * (Lucene query_string is the opt-in alternative), so every saved
+    * Kibana dashboard filter against the reference's downstream is one
+    * of these. The FIXED query exercises every KqlParser production:
+    * explicit case-insensitive and/or/not, a field-distributed value
+    * group (source:(src2 or src4)), a RANGE comparison on a numeric
+    * field (n_chars >= 400 — the production query_string lacks), a
+    * quoted phrase on the text field, a bare default-field term, and a
+    * trailing `*` wildcard on a keyword field.
+    *
+    * Scale shape: one pruned corpus scan with one boolean codegen
+    * filter — the keyword equality/LIKE and numeric range conjuncts
+    * stay pushdown-eligible (LikeSimplification turns the trailing-`*`
+    * LIKE into StartsWith); text membership never explodes tokens or
+    * shuffles. (KqlSpec covers the parser: precedence, groups, ranges,
+    * wildcards, errors.) */
+  private[graft] val kqlQuery =
+    """lang:en and (source:(src2 or src4) or n_chars >= 400) and not text:"slow join" and spark and not source:src1*"""
+  val kqlOp = QueryDef(
+    "ns_search_kql",
+    (s, dir) => {
+      val pred = KqlParser.compile(
+        KqlParser.parse(kqlQuery),
+        col("text"),
+        keywordFields = Map("lang" -> col("lang"), "source" -> col("source")),
+        numericFields = Map("n_chars" -> col("n_chars")))
+      docs(s, dir).filter(pred).select("doc_id", "lang", "source", "n_chars")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE lang = 'en'
+      |  AND ((source = 'src2' OR source = 'src4') OR n_chars >= 400)
+      |  AND NOT contains(concat(' ', trim(text), ' '), ' slow join ')
+      |  AND list_contains(string_split(trim(text), ' '), 'spark')
+      |  AND NOT source LIKE 'src1%'
+      |""".stripMargin))
+
   // ----------------------------------------------------------- percolate_dsl
   /** Percolation over the FULL query-string DSL — the real ES alerting
     * shape (Watcher / Kibana alert rules register arbitrary query
@@ -686,7 +723,7 @@ object SearchExt {
        |  AND ts_ms - last_view_ts <= $eqlMaxspanMs""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    queryStringOp, percolateDslOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
+    queryStringOp, kqlOp, percolateDslOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,

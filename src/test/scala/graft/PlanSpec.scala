@@ -279,6 +279,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_search_kql: keyword/range conjuncts push to the scan; one codegen filter pass") {
+    val p = physical("ns_search_kql")
+    val scans = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected a documents scan in:\n$p")
+    // the compiled KQL's sargable conjuncts must reach PushedFilters:
+    // lang equality, the n_chars range bound's superset, and the
+    // trailing-* wildcard as a StartsWith (LikeSimplification)
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(lang,en)"),
+      s"lang:en must reach PushedFilters, got $pushed\n$p")
+    assert(pushed.contains("Not(StringStartsWith(source,src1))"),
+      s"not source:src1* must simplify to a pushed Not(StartsWith), got $pushed\n$p")
+    // the text-side membership stays a codegen residual — no HOF, no
+    // interpreted fallback anywhere in the plan
+    assert(fallbacks(p).isEmpty, s"kql filter fell out of codegen: ${fallbacks(p)}\n$p")
+  }
+
   test("ns_runtime_fields: the message binds to variant ONCE — no per-field re-parse") {
     // The runtime_mappings contract: every derived field is a typed
     // path access against ONE bound VariantType value. A second
