@@ -52,6 +52,35 @@ object SearchExt {
       |  AND len(list_filter(string_split(trim(text), ' '), x -> x LIKE 'que%')) > 0
       |""".stripMargin))
 
+  // ----------------------------------------------------- simple_query_string
+  /** The `simple_query_string` query — the third and last search-box
+    * language (after query_string and KQL): symbol operators (`+` AND,
+    * `|` OR, `-` NOT), bare adjacency = the OR default_operator, no
+    * field syntax, and the never-throws leniency contract ES documents
+    * for end-user input (SimpleQueryString.parseLenient; QueryStringSpec
+    * covers the degradation). The FIXED query exercises phrase,
+    * grouping, `+`, `-`, `|`, adjacency-OR, and a trailing-`*` prefix.
+    * Same compile discipline as query_string — the whole query is one
+    * boolean codegen Column over one pruned corpus scan; the prefix
+    * production's exists() HOF runs over the row's own token array. */
+  private[graft] val sqsQuery = """"slow join" | (spark + -table) window que*"""
+  val simpleQueryStringOp = QueryDef(
+    "ns_search_simple_query_string",
+    (s, dir) => {
+      val node = SimpleQueryString.parseLenient(sqsQuery)
+        .getOrElse(sys.error("fixed query must parse"))
+      val pred = QueryStringParser.compile(node, col("text"), Map.empty)
+      docs(s, dir).filter(pred).select("doc_id", "source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t,
+      |    concat(' ', trim(text), ' ') AS pad FROM documents)
+      |SELECT doc_id, source FROM d
+      |WHERE contains(pad, ' slow join ')
+      |   OR (list_contains(t, 'spark') AND NOT list_contains(t, 'table'))
+      |   OR list_contains(t, 'window')
+      |   OR len(list_filter(t, x -> x LIKE 'que%')) > 0
+      |""".stripMargin))
+
   // -------------------------------------------------------------------- kql
   /** KQL — the Kibana Query Language, the search bar's DEFAULT syntax
     * (Lucene query_string is the opt-in alternative), so every saved
@@ -723,7 +752,8 @@ object SearchExt {
        |  AND ts_ms - last_view_ts <= $eqlMaxspanMs""".stripMargin))
 
   def entries: Seq[QueryDef] = Seq(
-    queryStringOp, kqlOp, percolateDslOp, termsSetOp, disMaxOp, boostingOp, significantTextOp,
+    queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
+    disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,

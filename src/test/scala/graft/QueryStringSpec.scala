@@ -71,4 +71,33 @@ class QueryStringSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown field"))
   }
+
+  test("simple_query_string: symbol operators, OR adjacency, precedence - > + > |") {
+    import graft.ops.SimpleQueryString
+    // bare adjacency is the OR default_operator (query_string's is AND)
+    assert(SimpleQueryString.parse("a b") == Or(Term(None, "a"), Term(None, "b")))
+    // a + b | c == (a AND b) OR c
+    assert(SimpleQueryString.parse("a + b | c") ==
+      Or(And(Term(None, "a"), Term(None, "b")), Term(None, "c")))
+    // '-' binds tightest
+    assert(SimpleQueryString.parse("a + -b") ==
+      And(Term(None, "a"), Not(Term(None, "b"))))
+    assert(SimpleQueryString.parse("(a | b) + c") ==
+      And(Or(Term(None, "a"), Term(None, "b")), Term(None, "c")))
+    assert(SimpleQueryString.parse("\"x y\" que*") ==
+      Or(Phrase(None, Seq("x", "y")), Prefix(None, "que")))
+  }
+
+  test("simple_query_string: the never-throws leniency contract") {
+    import graft.ops.SimpleQueryString
+    // structurally invalid input degrades to the OR of surviving words
+    assert(SimpleQueryString.parseLenient("(a OR b") ==
+      Some(Or(Or(Term(None, "a"), Term(None, "OR")), Term(None, "b"))))
+    assert(SimpleQueryString.parseLenient("\"unterminated + x") ==
+      Some(Or(Term(None, "unterminated"), Term(None, "x"))))
+    assert(SimpleQueryString.parseLenient("que* +") ==
+      Some(Prefix(None, "que")))
+    // nothing parseable at all → None (ES matches no documents)
+    assert(SimpleQueryString.parseLenient("+ | -").isEmpty)
+  }
 }
