@@ -1,0 +1,129 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property law for all three search-box languages: any AST, rendered
+  * to query text (composites fully parenthesized — the renderer's
+  * license; the parser owns precedence), parses back to the IDENTICAL
+  * AST. This pins the grammar against regressions the fixed registry
+  * queries and hand-picked spec cases can't reach — operator
+  * associativity, nesting depth, field scoping, wildcard handling. */
+class ParserLawsSpec extends AnyFunSuite {
+  import graft.ops.{QueryStringParser => QS, KqlParser => KQL, SimpleQueryString => SQS}
+
+  private val word: Gen[String] = for {
+    n <- Gen.chooseNum(1, 6)
+    cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    w = cs.mkString if !Set("and", "or", "not").contains(w)
+  } yield w
+  private val field: Gen[Option[String]] =
+    Gen.oneOf(None, Some("lang"), Some("source"))
+  private val words2: Gen[Seq[String]] =
+    Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, word).map(_.toSeq))
+
+  private def sized[N](leaf: Gen[N], and: (N, N) => N, or: (N, N) => N,
+                       not: N => N)(depth: Int): Gen[N] =
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      2 -> (for { l <- sized(leaf, and, or, not)(depth - 1)
+                  r <- sized(leaf, and, or, not)(depth - 1) } yield and(l, r)),
+      2 -> (for { l <- sized(leaf, and, or, not)(depth - 1)
+                  r <- sized(leaf, and, or, not)(depth - 1) } yield or(l, r)),
+      1 -> sized(leaf, and, or, not)(depth - 1).map(not))
+
+  private def check[N](gen: Gen[N], render: N => String, parse: String => N,
+                       rounds: Int = 300): Unit = {
+    var seed = Seed(7L)
+    (1 to rounds).foreach { _ =>
+      val ast = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val text = render(ast)
+      assert(parse(text) == ast, s"round-trip failed for: $text")
+    }
+  }
+
+  test("query_string: render→parse round-trips any AST") {
+    val leaf: Gen[QS.Node] = Gen.frequency(
+      4 -> (for { f <- field; w <- word } yield QS.Term(f, w): QS.Node),
+      2 -> (for { f <- field; w <- word } yield QS.Prefix(f, w): QS.Node),
+      2 -> (for { f <- field; ws <- words2 } yield QS.Phrase(f, ws): QS.Node))
+    val gen = sized[QS.Node](leaf, QS.And.apply, QS.Or.apply, QS.Not.apply)(4)
+    def render(n: QS.Node): String = n match {
+      case QS.Term(f, w) => f.map(_ + ":").getOrElse("") + w
+      case QS.Prefix(f, p) => f.map(_ + ":").getOrElse("") + p + "*"
+      case QS.Phrase(f, ws) => f.map(_ + ":").getOrElse("") + "\"" + ws.mkString(" ") + "\""
+      case QS.And(l, r) => s"(${render(l)} AND ${render(r)})"
+      case QS.Or(l, r) => s"(${render(l)} OR ${render(r)})"
+      case QS.Not(x) => s"(NOT ${render(x)})"
+    }
+    check[QS.Node](gen, render, QS.parse)
+  }
+
+  test("kql: render→parse round-trips any AST (terms, wildcards, phrases, ranges)") {
+    val wildcardWord: Gen[String] =
+      for { w <- word; pos <- Gen.oneOf(0, 1, 2) } yield pos match {
+        case 0 => w + "*"
+        case 1 => "*" + w
+        case _ => w // plain
+      }
+    val leaf: Gen[KQL.Node] = Gen.frequency(
+      4 -> (for { f <- field; w <- wildcardWord } yield KQL.MatchQ(f, w): KQL.Node),
+      2 -> (for { f <- field; ws <- words2 } yield KQL.PhraseQ(f, ws): KQL.Node),
+      2 -> (for { op <- Gen.oneOf(">", ">=", "<", "<=")
+                  n <- Gen.chooseNum(-1000000L, 1000000L) }
+              yield KQL.RangeQ("n_chars", op, BigDecimal(n)): KQL.Node))
+    val gen = sized[KQL.Node](leaf, KQL.And.apply, KQL.Or.apply, KQL.Not.apply)(4)
+    def render(n: KQL.Node): String = n match {
+      case KQL.MatchQ(f, v) => f.map(_ + ":").getOrElse("") + v
+      case KQL.PhraseQ(f, ws) => f.map(_ + ":").getOrElse("") + "\"" + ws.mkString(" ") + "\""
+      case KQL.RangeQ(f, op, num) => s"$f $op $num"
+      case KQL.And(l, r) => s"(${render(l)} and ${render(r)})"
+      case KQL.Or(l, r) => s"(${render(l)} or ${render(r)})"
+      case KQL.Not(x) => s"(not ${render(x)})"
+    }
+    check[KQL.Node](gen, render, KQL.parse)
+  }
+
+  test("simple_query_string: render→parse round-trips any AST; lenient agrees on valid input") {
+    val leaf: Gen[QS.Node] = Gen.frequency(
+      4 -> word.map(w => QS.Term(None, w): QS.Node),
+      2 -> word.map(w => QS.Prefix(None, w): QS.Node),
+      2 -> words2.map(ws => QS.Phrase(None, ws): QS.Node))
+    val gen = sized[QS.Node](leaf, QS.And.apply, QS.Or.apply, QS.Not.apply)(4)
+    def render(n: QS.Node): String = n match {
+      case QS.Term(_, w) => w
+      case QS.Prefix(_, p) => p + "*"
+      case QS.Phrase(_, ws) => "\"" + ws.mkString(" ") + "\""
+      case QS.And(l, r) => s"(${render(l)} + ${render(r)})"
+      case QS.Or(l, r) => s"(${render(l)} | ${render(r)})"
+      case QS.Not(x) => s"(-${render(x)})"
+      case other => sys.error(s"unreachable: $other")
+    }
+    var seed = Seed(13L)
+    (1 to 300).foreach { _ =>
+      val ast = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val text = render(ast)
+      assert(SQS.parse(text) == ast, s"round-trip failed for: $text")
+      // on syntactically valid input, the lenient path must agree
+      // exactly with the strict parse — degradation is for errors only
+      assert(SQS.parseLenient(text).contains(ast), s"lenient diverged on: $text")
+    }
+  }
+
+  test("simple_query_string: parseLenient never throws on arbitrary garbage") {
+    val garbage: Gen[String] =
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('+', '|', '-', '(', ')', '"', '*', ' ', ':')))
+        .map(_.mkString))
+    var seed = Seed(99L)
+    (1 to 500).foreach { _ =>
+      val s = garbage.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      SQS.parseLenient(s) // must not throw, result shape unconstrained
+    }
+  }
+}
