@@ -1041,8 +1041,61 @@ object AggsExt {
         (sumExact(cents(col("value"))) * rsInvP).as("est_sum_value_c"))
   }
 
+  // ------------------------------------------------------------- time_series
+  /** The ES TSDB `time_series` aggregation's `rate` on a COUNTER field
+    * — the metric that makes time-series indices a distinct mode:
+    * counters increase monotonically but RESET on restart, and the rate
+    * must count a reset as "the counter restarted from zero" (delta =
+    * new value), never as a negative increase. The testdata carries no
+    * counter column, so — the geo-dim discipline — one is DERIVED
+    * deterministically: each user's cumulative exact-cents total mod
+    * 2^20, whose wraps are genuine resets the logic must absorb.
+    *
+    * Scale shape: TSDB semantics are per-SERIES sequential, and the
+    * plan matches — one shuffle partitions by series key (user), each
+    * series folds in one ordered pass (cumsum + lag share the same
+    * window frame sort), then a |days|-bounded re-aggregation. The
+    * counter stays a bounded long BY CONSTRUCTION (the mod is the
+    * counter's own domain), so no decimal guard is needed at any SF;
+    * per-series state never leaves the executor. */
+  private val tsCounterMod = 1048576L
+  val timeSeriesAgg: QueryDef = q(
+    "ns_agg_time_series",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    ${sqlCents("value")} AS c FROM events),
+       |s AS (SELECT user_id, event_id, ms, day,
+       |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) % $tsCounterMod AS BIGINT) AS counter
+       |  FROM e),
+       |d AS (SELECT day, counter,
+       |    lag(counter) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+       |  FROM s)
+       |SELECT day, count(*) AS n_samples,
+       |  ${sqlSum("CASE WHEN prev IS NULL THEN 0 WHEN counter >= prev THEN counter - prev ELSE counter END")} AS increase_c,
+       |  ${sqlSum("CASE WHEN prev IS NOT NULL AND counter < prev THEN 1 ELSE 0 END")} AS n_resets
+       |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val series = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms").as("ms"),
+        date_trunc("day", col("tsu")).cast("date").as("day"),
+        cents(col("value")).as("c"))
+      .withColumn("counter",
+        (sum(col("c")).over(series.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          % tsCounterMod))
+      .withColumn("prev", lag("counter", 1).over(series))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("prev").isNull, 0L)
+          .when(col("counter") >= col("prev"), col("counter") - col("prev"))
+          .otherwise(col("counter"))).as("increase_c"),
+        sum(when(col("prev").isNotNull && col("counter") < col("prev"), 1L)
+          .otherwise(0L)).as("n_resets"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
-    bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg,
+    bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,

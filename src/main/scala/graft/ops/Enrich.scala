@@ -802,11 +802,54 @@ object Enrich {
         |FROM (SELECT *, regexp_matches(loggroup, 'axway') AS axway FROM access_log) al
         |LEFT JOIN nation ON al.axway AND n_nationkey = (user_id % 250) // 10""".stripMargin)))
 
+  /** The ES `geohex_grid` aggregation — H3 hexagonal map clustering,
+    * the geotile twin for dashboards that want equal-ish-area cells
+    * without the mercator tile distortion. No H3 library exists in
+    * this sandbox (and H3's icosahedral projection is not the operative
+    * semantics — "bucket points into a hexagonal cell partition" is),
+    * so cells come from an AFFINE HEX LATTICE: two interleaved
+    * rectangular lattices offset by a half-period in both axes (period
+    * 36×62 half-degrees, ratio ≈ √3), nearest-center by INTEGER squared
+    * distance. The Voronoi cells of that centered lattice are genuine
+    * hexagons; every step — doubling the .5-offset synthetic points to
+    * odd longs, the floor-division lattice rounding, the squared
+    * distances, the tie-break (ties → base lattice) — is exact integer
+    * arithmetic, bit-identical in both engines.
+    *
+    * Scale shape: the geotile discipline — one codegen pass computes
+    * the cell id inline on the enriched stream (no join against a cell
+    * table), and the shuffle is |cells|-bounded. */
+  private val hexDefs: Seq[(String, String)] = Seq(
+    ("lx", "CAST(geo_lon * 2 AS BIGINT)"),
+    ("ly", "CAST(geo_lat * 2 AS BIGINT)"),
+    ("hax", "CAST(floor((lx + 18) / 36.0) AS BIGINT) * 36"),
+    ("hay", "CAST(floor((ly + 31) / 62.0) AS BIGINT) * 62"),
+    ("hbx", "CAST(floor(lx / 36.0) AS BIGINT) * 36 + 18"),
+    ("hby", "CAST(floor(ly / 62.0) AS BIGINT) * 62 + 31"),
+    ("hda", "(lx - hax) * (lx - hax) + (ly - hay) * (ly - hay)"),
+    ("hdb", "(lx - hbx) * (lx - hbx) + (ly - hby) * (ly - hby)"),
+    ("hex_x", "CASE WHEN hda <= hdb THEN hax ELSE hbx END"),
+    ("hex_y", "CASE WHEN hda <= hdb THEN hay ELSE hby END"))
+  val geohexGridOp = QueryDef(
+    "ns_agg_geohex_grid",
+    (s, dir) => hexDefs
+      .foldLeft(geoEnrichedFacts(s, dir)) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .groupBy(col("hex_x"), col("hex_y"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("geo_country")).as("nd_countries")),
+    Some(Synth.withAccessLog(
+      s"""SELECT hex_x, hex_y, count(*) AS doc_count,
+         |  count(DISTINCT geo_country) AS nd_countries
+         |FROM (SELECT ${hexDefs.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}, geo_country
+         |  FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |  JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end)
+         |GROUP BY 1, 2""".stripMargin)))
+
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geoPolygonOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
-    tlsVersionOp,
+    geohexGridOp, tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

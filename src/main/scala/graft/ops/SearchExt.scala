@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The OpenSearch query-DSL residue beyond ops/TextOps.scala's search
@@ -751,11 +751,148 @@ object SearchExt {
        |WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
        |  AND ts_ms - last_view_ts <= $eqlMaxspanMs""".stripMargin))
 
+  // ---------------------------------------------------------------- msearch
+  /** The `_msearch` API: N independent searches submitted as one
+    * request. ES executes them as N separate query phases; the whole
+    * point of owning the engine is that N FIXED queries over one index
+    * are ONE corpus scan — every predicate compiles into the same
+    * codegen pass, each row emits the (bounded, ≤ N) list of query ids
+    * it matches, and per-query hit counts + top-3 hits come out of one
+    * aggregation. At 100 TB this turns a dashboard's N-panel fan-out
+    * from N scans into one.
+    *
+    * Each returned row is one ranked hit: (label, n_hits, rank, doc_id,
+    * n_chars), rank by (n_chars DESC, doc_id) through the bounded
+    * TopKByScoreAgg — k·tasks rows move per query, never a global
+    * sort. */
+  private val msearchK = 3
+  private val msearchDefs: Seq[(String, (SparkSession, String) => Column, String)] = Seq(
+    ("q_spark",
+      (_, _) => array_contains(toks, "spark"),
+      "list_contains(t, 'spark')"),
+    ("q_phrase",
+      (_, _) => concat(lit(" "), trim(col("text")), lit(" ")).contains(" slow join "),
+      "contains(pad, ' slow join ')"),
+    ("q_long_en",
+      (_, _) => col("lang") === "en" && col("n_chars") >= 400,
+      "lang = 'en' AND n_chars >= 400"),
+    ("q_prefix",
+      (_, _) => exists(toks, _.startsWith("que")),
+      "len(list_filter(t, x -> x LIKE 'que%')) > 0"))
+  val msearchOp = QueryDef(
+    "ns_search_msearch",
+    (s, dir) => {
+      val labels = filter(
+        array(msearchDefs.map { case (l, p, _) => when(p(s, dir), lit(l)) }: _*),
+        _.isNotNull)
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), explode(labels).as("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_hits"),
+          graft.expr.VecFunctions.topk_by_score(
+            col("doc_id"), col("n_chars").cast("double"), msearchK).as("top"))
+        .select(col("label"), col("n_hits"), posexplode(col("top")))
+        .select(col("label"), col("n_hits"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"),
+          col("col.score").cast("long").as("n_chars"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, n_chars, lang,
+       |    string_split(trim(text), ' ') AS t,
+       |    concat(' ', trim(text), ' ') AS pad FROM documents),
+       |m AS (${msearchDefs.map { case (l, _, sql) =>
+             s"SELECT '$l' AS label, doc_id, n_chars FROM d WHERE $sql" }
+             .mkString("\n  UNION ALL ")}),
+       |r AS (SELECT label, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY label) AS n_hits
+       |  FROM m)
+       |SELECT label, n_hits, CAST(rk AS BIGINT) AS rank, doc_id, n_chars
+       |FROM r WHERE rk <= $msearchK""".stripMargin))
+
+  // ---------------------------------------------------------------- wrapper
+  /** The `wrapper` query: a query_string shipped base64-encoded inside
+    * the DSL (ES's escape hatch for clients that must embed queries in
+    * JSON-hostile channels). Decode happens at PLAN time — exactly
+    * where ES decodes it, in the coordinating node's parse phase — so
+    * the executed plan is indistinguishable from the inner query's:
+    * one pruned scan, one codegen filter, keyword conjuncts pushed. */
+  private[graft] val wrapperInner = """lang:de OR (merge AND NOT window) sor*"""
+  private val wrapperB64: String = java.util.Base64.getEncoder
+    .encodeToString(wrapperInner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  val wrapperOp = QueryDef(
+    "ns_search_wrapper",
+    (s, dir) => {
+      val decoded = new String(
+        java.util.Base64.getDecoder.decode(wrapperB64),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val pred = QueryStringParser.compile(
+        QueryStringParser.parse(decoded),
+        col("text"),
+        Map("lang" -> col("lang")))
+      docs(s, dir).filter(pred).select("doc_id", "lang", "source")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source,
+      |    string_split(trim(text), ' ') AS t FROM documents)
+      |SELECT doc_id, lang, source FROM d
+      |WHERE lang = 'de'
+      |   OR (list_contains(t, 'merge') AND NOT list_contains(t, 'window')
+      |       AND len(list_filter(t, x -> x LIKE 'sor%')) > 0)
+      |""".stripMargin))
+
+  // ----------------------------------------------------------------- scroll
+  /** Scroll / point-in-time pagination: the deep-pagination contract
+    * behind every ES export job. `from+size` pagination re-sorts and
+    * discards `from` rows per page — quadratic at depth; scroll (and
+    * its modern PIT + search_after form) carries a CURSOR, so page p is
+    * a keyset-bounded query. Here: 3 pages × 10 rows over (ts,
+    * event_id); each page's lower bound is the previous page's last
+    * key, collected driver-side (10 bounded rows per page — the exact
+    * cursor a scroll client holds). The native-ts bound on every
+    * non-first page reaches the parquet scan's PushedFilters, so at
+    * 100 TB page 1000 reads only the tail of the keyspace instead of
+    * sorting the world, and each page plans as TakeOrderedAndProject
+    * (k·tasks rows move, never a global sort). */
+  private val scrollPages = 3
+  private val scrollSize = 10
+  val scrollOp = QueryDef(
+    "ns_search_scroll",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val micros = Tables.tsMicros(ev)
+      var cursor: Option[(Long, Long)] = None // (ts_micros, event_id) of last row served
+      val pages = (1 to scrollPages).map { p =>
+        val base = cursor match {
+          case None => ev
+          case Some((cMicros, cId)) =>
+            ev.filter(col("ts") >= Tables.tsLiteral(ev, cMicros)) // pushable superset bound
+              .filter(micros > cMicros || (micros === cMicros && col("event_id") > cId))
+        }
+        val page = base
+          .select(col("event_id"), col("tsu").as("ts"), col("event_type"), micros.as("ts_us"))
+          .orderBy(col("ts"), col("event_id"))
+          .limit(scrollSize)
+        val rows = page.collect() // bounded: one page (the client's cursor state)
+        if (rows.nonEmpty) {
+          val last = rows.last
+          cursor = Some((last.getAs[Long]("ts_us"), last.getAs[Long]("event_id")))
+        }
+        page.select(lit(p).cast("int").as("page"),
+          col("event_id"), col("ts"), col("event_type"))
+      }
+      pages.reduce(_ unionAll _)
+    },
+    Some(s"""SELECT CAST((rn - 1) // $scrollSize + 1 AS INT) AS page,
+       |  event_id, ts, event_type
+       |FROM (SELECT event_id, ts, event_type,
+       |    row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)
+       |WHERE rn <= ${scrollPages * scrollSize}""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
-    sparseVectorOp)
+    sparseVectorOp, msearchOp, wrapperOp, scrollOp)
 }

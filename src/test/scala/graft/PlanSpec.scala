@@ -1277,6 +1277,35 @@ class PlanSpec extends SparkSpec {
       s"the threshold variant regressed to a window/rank top-k:\n$p")
   }
 
+  test("ns_search_msearch: N queries share ONE corpus scan — no per-query fan-out") {
+    val p = physical("ns_search_msearch")
+    assert(scanCount(p) == 1,
+      s"msearch must answer every sub-query from one scan, found a fan-out:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"msearch sub-queries regressed to a join of per-query branches:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"msearch per-query top hits regressed to a window rank:\n$p")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"per-query top hits lost the partial-aggregating bounded top-k:\n$p")
+  }
+
+  test("ns_search_scroll: every non-first page carries a pushed keyset bound") {
+    val df = SparkEntry.queries("ns_search_scroll")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == scrollPagesForTest,
+      s"expected one bounded scan per page, got ${scans.size}")
+    // pages 2..n must push their cursor's ts lower bound to parquet
+    val pushed = scans.count(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("GreaterThanOrEqual(ts")))
+    assert(pushed >= scrollPagesForTest - 1,
+      s"non-first scroll pages lost the pushable ts cursor bound:\n${scans.map(_.metadata)}")
+  }
+  private val scrollPagesForTest = 3
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
