@@ -20,6 +20,7 @@ object Registry {
       ops.Relational.entries ++
       ops.AggsExt.entries ++
       ops.TextOps.entries ++
+      ops.Corpus.entries ++
       ops.SearchExt.entries ++
       ops.VectorSearch.entries ++
       ops.StreamOps.entries

@@ -1,0 +1,234 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Tokenizer-level corpus preparation: the operators a training-data
+  * pipeline runs between raw text and a token budget — applying a BPE
+  * merge table, LEARNING one (the distributed pair-count loop), a
+  * fasttext-style linear quality classifier, and embedding whitening.
+  * These sit beside ops/TextOps.scala's dedup/sampling family; they are
+  * the pieces that produce the numbers those operators consume
+  * (token counts for ns_text_pack / ns_select_budget, quality scores
+  * for ns_filter_funnel, normalized embeddings for the ANN family).
+  *
+  * BPE state is a flat string, not a nested array: every symbol is
+  * TRAILED by `|` (`the` → `t|h|e|`), so a merge is one codegen
+  * `replace(s, "t|h|", "th|")` — left-to-right non-overlapping in both
+  * engines, and adjacent merge sites share no boundary character (the
+  * classic space-separated encoding breaks there: the first match
+  * consumes the space the next match needs). Word boundaries need no
+  * special casing because the space character is itself a symbol
+  * (`' |'`) no merge pair contains — a merge can never cross it.
+  */
+object Corpus {
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Par.spread(s, Tables.documents(s, dir), col("doc_id"))
+
+  /** text → the trailing-`|` symbol string. The regex is intentionally
+    * identical in both engines; DuckDB needs the explicit 'g' flag. */
+  private val symSparkSql = """regexp_replace(trim(text), '(.)', '$1|')"""
+  private val symDuckSql  = """regexp_replace(trim(text), '(.)', '\1|', 'g')"""
+
+  // ---------------------------------------------------------------- bpe apply
+  /** Apply a FIXED BPE merge table (the serving side of a trained
+    * tokenizer: the merge list ships with the model; the pipeline's job
+    * is applying it at corpus scale). Each merge is one `replace` over
+    * the symbol string — the whole tokenizer is a chain of codegen
+    * string ops: no UDF, no explode, no per-word loop, one corpus scan.
+    *
+    * Output per doc: symbol count before merges (= chars), BPE token
+    * count after (spaces excluded — they are word separators, not
+    * vocabulary), and the compression ratio in exact integer permille.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("a", "n"), ("i", "n"), ("o", "r"),
+    ("s", "t"), ("e", "r"), ("th", "e"), ("an", "d"))
+  private def mergedSql(base: String): String =
+    bpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '$l|$r|', '$l$r|')"
+    }
+  val bpeApplyOp: QueryDef = q(
+    "ns_text_bpe",
+    s"""SELECT doc_id,
+       |  length(s0) - length(replace(s0, '|', '')) AS n_symbols,
+       |  (length(s1) - length(replace(s1, '|', '')))
+       |    - (length(s1) - length(replace(s1, ' ', ''))) AS n_bpe_tokens,
+       |  ((length(s1) - length(replace(s1, '|', '')))
+       |    - (length(s1) - length(replace(s1, ' ', '')))) * 1000
+       |    // (length(s0) - length(replace(s0, '|', ''))) AS permille
+       |FROM (SELECT doc_id, s0, ${mergedSql("s0")} AS s1
+       |  FROM (SELECT doc_id, $symDuckSql AS s0 FROM documents))""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .withColumn("s0", expr(symSparkSql))
+      .withColumn("s1", expr(mergedSql("s0")))
+      .withColumn("n_symbols", length(col("s0")) - length(regexp_replace(col("s0"), "\\|", "")))
+      .withColumn("n_bpe_tokens",
+        (length(col("s1")) - length(regexp_replace(col("s1"), "\\|", ""))) -
+          (length(col("s1")) - length(regexp_replace(col("s1"), " ", ""))))
+      .select(col("doc_id"), col("n_symbols").cast("long").as("n_symbols"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+        floor(col("n_bpe_tokens").cast("long") * 1000 / col("n_symbols")).as("permille"))
+  }
+
+  // ---------------------------------------------------------------- bpe train
+  /** LEARN the merge table: `bpeTrainRounds` rounds of the canonical
+    * BPE training loop — count all adjacent symbol pairs across the
+    * corpus, take the most frequent (count DESC, then lexicographic —
+    * the deterministic tie-break), apply it everywhere, repeat. This is
+    * the honest distributed shape: each round is ONE aggregation pass
+    * (pairs collapse map-side to |vocab|² counts), the argmax row —
+    * and only that row — comes to the driver (the trainer's merge
+    * table IS driver state), and the merge application is a codegen
+    * `replace` on the next round's scan. At 100 TB each round stays a
+    * single shuffle of a vocabulary-bounded pair table.
+    *
+    * Space pairs are excluded (word-internal BPE, the GPT-2 convention
+    * of never merging across whitespace). */
+  private val bpeTrainRounds = 3
+  private val bpeTrainOracle: String = {
+    // round k's corpus CTE rK applies merge k picked by scalar
+    // subqueries against mK — the same (count DESC, pair ASC) argmax
+    // the Spark side collects.
+    val ctes = new StringBuilder
+    ctes ++= s"WITH r0 AS (SELECT doc_id, $symDuckSql AS s FROM documents)"
+    for (k <- 1 to bpeTrainRounds) {
+      ctes ++=
+        s""",
+           |p$k AS (SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r, count(*) AS n
+           |  FROM (SELECT unnest(list_zip(y[1:len(y) - 1], y[2:len(y)])) AS z
+           |    FROM (SELECT string_split(s, '|') AS y FROM r${k - 1}))
+           |  WHERE struct_extract(z, 1) <> '' AND struct_extract(z, 2) <> ''
+           |    AND struct_extract(z, 1) <> ' ' AND struct_extract(z, 2) <> ' '
+           |  GROUP BY 1, 2),
+           |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+           |r$k AS (SELECT doc_id, replace(s,
+           |    (SELECT l FROM m$k) || '|' || (SELECT r FROM m$k) || '|',
+           |    (SELECT l FROM m$k) || (SELECT r FROM m$k) || '|') AS s
+           |  FROM r${k - 1})""".stripMargin
+    }
+    ctes ++= "\n" + (1 to bpeTrainRounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l, r, n FROM m$k"
+    }.mkString("\nUNION ALL ")
+    ctes.result()
+  }
+  val bpeTrainOp: QueryDef = QueryDef(
+    "ns_bpe_train",
+    (s, dir) => {
+      var corpus = docs(s, dir).select(col("doc_id"), expr(symSparkSql).as("s"))
+      val learned = (1 to bpeTrainRounds).map { k =>
+        val syms = split(col("s"), "\\|")
+        val top = corpus
+          .select(explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 2).as("l"),
+            slice(syms, lit(2), size(syms) - 2).as("r"))).as("z"))
+          .select(col("z.l").as("l"), col("z.r").as("r"))
+          .filter(col("l") =!= "" && col("r") =!= "" && col("l") =!= " " && col("r") =!= " ")
+          .groupBy("l", "r").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()(0) // the trainer's merge table is driver state: ONE row per round
+        val (l, r) = (top.getAs[String]("l"), top.getAs[String]("r"))
+        corpus = corpus.withColumn("s",
+          regexp_replace(col("s"), // replace() via regexp with quoting-free literals:
+            lit(java.util.regex.Pattern.quote(s"$l|$r|")), lit(s"$l$r|")))
+        Row(k.toLong, l, r, top.getAs[Long]("n"))
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(learned).asJava),
+        StructType(Seq(
+          StructField("rank", LongType, nullable = false),
+          StructField("l", StringType, nullable = false),
+          StructField("r", StringType, nullable = false),
+          StructField("n", LongType, nullable = false))))
+    },
+    Some(bpeTrainOracle))
+
+  // -------------------------------------------------------- quality classifier
+  /** A fasttext-style linear quality classifier: integer features ×
+    * fixed integer micro-weights → an exact-long logit and a keep
+    * decision at a fixed threshold. Real pipelines run a learned
+    * (fasttext / logistic) model whose weights ship as constants — the
+    * at-scale shape is exactly this: one codegen projection per row, no
+    * shuffle until the decision histogram. The logit stays an exact
+    * long (no sigmoid in the gated output — a transcendental there
+    * would put cross-engine ulp risk in the hash), and the decision is
+    * an integer comparison.
+    *
+    * Features: word count, stopword hits, repeated-word excess
+    * (words − distinct words), and mean word length in permille. */
+  private val qcStopSql = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in' OR x = 'to'"
+  val qualityClassifierOp: QueryDef = q(
+    "ns_quality_classifier",
+    s"""WITH f AS (SELECT doc_id,
+       |    len(t) AS n_words,
+       |    len(list_filter(t, x -> $qcStopSql)) AS n_stop,
+       |    len(t) - len(list_distinct(t)) AS n_dup,
+       |    length(replace(array_to_string(t, ''), ' ', '')) * 1000 // len(t) AS wlen_pm
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents))
+       |SELECT doc_id,
+       |  CAST(-2500000 + 12000 * n_words + 90000 * n_stop
+       |    - 45000 * n_dup + 300 * wlen_pm AS BIGINT) AS logit_micros,
+       |  (-2500000 + 12000 * n_words + 90000 * n_stop
+       |    - 45000 * n_dup + 300 * wlen_pm) >= 0 AS keep
+       |FROM f""".stripMargin) { (s, dir) =>
+    val t = split(trim(col("text")), " ")
+    docs(s, dir)
+      .withColumn("n_words", size(t).cast("long"))
+      .withColumn("n_stop", size(filter(t, x =>
+        x === "the" || x === "a" || x === "of" || x === "and" || x === "in" || x === "to"))
+        .cast("long"))
+      .withColumn("n_dup", (size(t) - size(array_distinct(t))).cast("long"))
+      .withColumn("wlen_pm",
+        floor(length(regexp_replace(array_join(t, ""), " ", "")) * lit(1000L) / size(t)))
+      .withColumn("logit_micros",
+        lit(-2500000L) + lit(12000L) * col("n_words") + lit(90000L) * col("n_stop")
+          - lit(45000L) * col("n_dup") + lit(300L) * col("wlen_pm"))
+      .select(col("doc_id"), col("logit_micros"), (col("logit_micros") >= 0L).as("keep"))
+  }
+
+  // ---------------------------------------------------------- embedding whiten
+  /** Per-dimension embedding standardization (z-scoring) — the whiten
+    * step run before quantization/ANN indexing so no dimension
+    * dominates the metric. Moments accumulate over the ×1000-quantized
+    * integer components (the established embedding-parity quantization,
+    * native QuantizeVec), so the per-dim sums are exact longs and
+    * order-free; each z-score is ONE shared double derivation
+    * (long-exact numerator, sqrt is IEEE-correctly-rounded), round(6).
+    *
+    * Scale shape: the stats pass slices to the dims under inspection
+    * BEFORE exploding, collapses map-side to |dims| rows, and the
+    * |dims|-row moment table broadcasts back onto the second pass —
+    * corpus never shuffles. */
+  private val whitenDims = 8
+  val embeddingWhitenOp: QueryDef = q(
+    "ns_embedding_whiten",
+    s"""WITH eq AS (SELECT vec_id, i AS d,
+       |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${whitenDims - 1})) AS i)),
+       |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq,
+       |    CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM eq GROUP BY 1)
+       |SELECT vec_id, d,
+       |  round((q * n - sq) / sqrt(CAST(n AS DOUBLE) * qq - CAST(sq AS DOUBLE) * sq), 6) AS z_r
+       |FROM eq JOIN m USING (d)""".stripMargin) { (s, dir) =>
+    val emb = Par.spread(s, Tables.embeddings(s, dir), col("vec_id"))
+    val eq = emb.select(col("vec_id"),
+      posexplode(slice(graft.expr.VecFunctions.quantize_vec(col("embedding")), 1, whitenDims)))
+      .select(col("vec_id"), col("pos").cast("long").as("d"), col("col").as("q"))
+    val m = eq.groupBy("d").agg(
+      count(lit(1)).as("n"), sum(col("q")).as("sq"), sum(col("q") * col("q")).as("qq"))
+    eq.join(broadcast(m), "d")
+      .select(col("vec_id"), col("d"),
+        expr("round((q * n - sq) / sqrt(CAST(n AS DOUBLE) * qq - CAST(sq AS DOUBLE) * sq), 6)")
+          .as("z_r"))
+  }
+
+  def entries: Seq[QueryDef] = Seq(
+    bpeApplyOp, bpeTrainOp, qualityClassifierOp, embeddingWhitenOp)
+}

@@ -1306,6 +1306,24 @@ class PlanSpec extends SparkSpec {
   }
   private val scrollPagesForTest = 3
 
+  test("ns_text_bpe: the tokenizer is ONE codegen scan — no explode, no fallback") {
+    val p = physical("ns_text_bpe")
+    assert(scanCount(p) == 1, s"tokenizer must be a single corpus pass:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[GenerateExec]),
+      s"the merge chain regressed to a per-word explode:\n$p")
+    assert(fallbacks(p).isEmpty,
+      s"interpreted expressions in the tokenizer hot path: ${fallbacks(p)}")
+  }
+
+  test("ns_embedding_whiten: the moment table broadcasts back — corpus never shuffles wide") {
+    val p = physical("ns_embedding_whiten")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the |dims|-row moment table must broadcast:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"whiten re-join regressed to shuffling the exploded corpus:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
