@@ -206,6 +206,32 @@ object StreamOps {
       |        ORDER BY n DESC, event_type) AS rnk FROM b)
       |WHERE rnk <= 3""".stripMargin))
 
+  /** The custom flatMapGroupsWithState rate limiter
+    * (streaming/Pipeline.throttle) in BATCH mode: admit at most 5
+    * events per user per hour, decided per event in (ms, id) order —
+    * the Watcher-throttle / per-tenant-ingest-cap semantics a windowed
+    * count cannot express (the decision happens AT the event, not when
+    * the window closes). Batch mode is exact: each key's history is one
+    * sorted group, so the oracle is row_number ≤ N per key × window.
+    * The streaming suite drives the same code through MemoryStream and
+    * asserts counters persist across micro-batches. */
+  private val throttleWindowMs = 3600000L
+  private val throttleMax = 5L
+  val throttleOp = QueryDef(
+    "ns_stream_throttle",
+    (s, dir) => graft.streaming.Pipeline.throttle(
+        Tables.events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("logStream"),
+          col("ts_ms").as("event_ms"), col("event_id").as("seq")),
+        windowMs = throttleWindowMs, maxPerWindow = throttleMax)
+      .toDF(),
+    Some(s"""SELECT concat('u', user_id) AS stream,
+           |  (epoch_ms(ts) // $throttleWindowMs) * $throttleWindowMs AS window_ms,
+           |  event_id AS seq, epoch_ms(ts) AS event_ms,
+           |  (row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // $throttleWindowMs
+           |     ORDER BY epoch_ms(ts), event_id)) <= $throttleMax AS admitted
+           |FROM events""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(tumblingOp, hoppingOp, dedupOp, sessionOp, sessionizeOp,
-    streamJoinOp, streamJoinOuterOp, streamTopNOp)
+    streamJoinOp, streamJoinOuterOp, streamTopNOp, throttleOp)
 }

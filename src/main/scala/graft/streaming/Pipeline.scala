@@ -483,6 +483,71 @@ object Pipeline {
   final case class KeyedEvent(stream: String, event_ms: Long,
                               event_time: java.sql.Timestamp)
 
+  /** One sequenced event of a keyed stream, for throttling: `seq` is
+    * the deterministic within-timestamp tie-break (the upstream record
+    * id). */
+  final case class ThrottleEvent(stream: String, event_ms: Long, seq: Long,
+                                 event_time: java.sql.Timestamp)
+
+  /** Per-key admission counters, one per still-live event-time window. */
+  final case class ThrottleState(windowStarts: Seq[Long], admitted: Seq[Long])
+
+  /** An admit/deny decision for one event. */
+  final case class ThrottleOut(stream: String, window_ms: Long, seq: Long,
+                               event_ms: Long, admitted: Boolean)
+
+  /** Per-key event-rate limiting: admit at most `maxPerWindow` events
+    * per key per event-time window, in (event_ms, seq) order — the
+    * ingest-protection / notification-dedup shape every alerting
+    * downstream runs (Watcher throttle_period, per-tenant ingest caps).
+    * A windowed count can say a key EXCEEDED its budget only after the
+    * window closes; the throttle must decide per event AT ARRIVAL, so
+    * it is custom state: one counter per (key, live window), carried
+    * across micro-batches via `flatMapGroupsWithState` and pruned to
+    * windows the watermark can still touch — state tracks live windows
+    * per active key, never stream history (the bounded-state
+    * requirement at 100 TB/day). In batch mode each key's full history
+    * arrives as one sorted group and the same code computes the exact
+    * semantics the StreamOps oracle checks (row_number ≤ N per key ×
+    * window). */
+  def throttle(events: DataFrame, windowMs: Long, maxPerWindow: Long): Dataset[ThrottleOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def onGroup(key: String, evs: Iterator[ThrottleEvent],
+                state: GroupState[ThrottleState]): Iterator[ThrottleOut] = {
+      var counts: Map[Long, Long] = state.getOption
+        .map(s => s.windowStarts.zip(s.admitted).toMap)
+        .getOrElse(Map.empty)
+      val out = evs.toSeq.sortBy(e => (e.event_ms, e.seq)).map { e =>
+        val w = Math.floorDiv(e.event_ms, windowMs) * windowMs
+        val c = counts.getOrElse(w, 0L)
+        val admit = c < maxPerWindow
+        if (admit) counts = counts.updated(w, c + 1)
+        ThrottleOut(key, w, e.seq, e.event_ms, admit)
+      }
+      // Keep only windows a within-watermark event could still land in.
+      // In batch mode the runtime refuses the watermark accessor
+      // (watermarks are no-ops there); nothing needs pruning because
+      // batch state dies with the job.
+      val horizon =
+        scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue + windowMs) - windowMs
+      val live = counts.filter { case (w, _) => w >= horizon }
+      state.update(ThrottleState(live.keys.toSeq.sorted,
+        live.keys.toSeq.sorted.map(live)))
+      out.iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_millis(col("event_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .select(col("logStream").as("stream"), col("event_ms"), col("seq"), col("event_time"))
+      .as[ThrottleEvent]
+      .groupByKey(_.stream)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(onGroup)
+  }
+
   /** Open-session state carried between micro-batches. */
   final case class SessionAgg(startMs: Long, endMs: Long, n: Long)
 

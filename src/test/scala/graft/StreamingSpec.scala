@@ -240,6 +240,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("throttle: per-window admission counters persist across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)] // (stream, event_ms, seq)
+    val decisions = Pipeline.throttle(
+      in.toDF().toDF("logStream", "event_ms", "seq"),
+      windowMs = H, maxPerWindow = 2L)
+    val q = decisions.writeStream.outputMode("append")
+      .format("memory").queryName("throttle_test").start()
+    try {
+      // batch 1: two events for A inside hour window [H, 2H) — both admitted
+      in.addData(("A", H + 1000L, 1L), ("A", H + 2000L, 2L))
+      q.processAllAvailable()
+      // batch 2: a third A event in the SAME window — must be denied
+      // (the counter survived the batch boundary), while a B event and
+      // an A event in the NEXT window are admitted fresh
+      in.addData(("A", H + 3000L, 3L), ("B", H + 1000L, 4L), ("A", 2 * H + 500L, 5L))
+      q.processAllAvailable()
+      val got = spark.table("throttle_test")
+        .as[Pipeline.ThrottleOut].collect().sortBy(_.seq)
+      assert(got.toSeq == Seq(
+        Pipeline.ThrottleOut("A", H, 1L, H + 1000L, admitted = true),
+        Pipeline.ThrottleOut("A", H, 2L, H + 2000L, admitted = true),
+        Pipeline.ThrottleOut("A", H, 3L, H + 3000L, admitted = false),
+        Pipeline.ThrottleOut("B", H, 4L, H + 1000L, admitted = true),
+        Pipeline.ThrottleOut("A", 2 * H, 5L, 2 * H + 500L, admitted = true)),
+        s"got: ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("sessionizer runs under the RocksDB state store provider (100 TB/day state posture)") {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
