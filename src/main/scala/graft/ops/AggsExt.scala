@@ -1094,8 +1094,71 @@ object AggsExt {
           .otherwise(0L)).as("n_resets"))
   }
 
+  // --------------------------------------------------- terms + shard error
+  /** The DISTRIBUTED `terms` aggregation with its honesty contract:
+    * `doc_count_error_upper_bound`. ES's terms agg is approximate —
+    * each shard returns only its local top `shard_size` terms, so a
+    * term's merged count misses shards where it fell below the local
+    * cutoff, and ES reports the worst case it can prove: the sum of the
+    * cutoff counts (each non-reporting shard's k-th term count) over
+    * shards that didn't return the term. This op reproduces that exact
+    * protocol over deterministic shards (user_id % 8 — Spark partitions
+    * aren't stable identities, a simulated shard key is): per-shard
+    * top-5 lists, merged counts, per-term error bounds, final top-5.
+    *
+    * Scale shape: one map-side-combined shuffle to the (shard, term)
+    * count table; every later step — ranks, cutoffs, presence joins —
+    * runs over ≤ |shards|·|terms| bucket rows, dashboard-sized at any
+    * SF. This is the agg that explains WHY the engine's exact
+    * alternatives (composite pagination) exist: the error bound is the
+    * price of single-pass distributed top-k. */
+  private val tseShards = 8
+  private val tseK = 5
+  val termsShardErrorAgg: QueryDef = q(
+    "ns_agg_terms_shard_error",
+    s"""WITH c AS (SELECT user_id % $tseShards AS shard,
+       |    concat('t', user_id % 53) AS term, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |k AS (SELECT shard, term, n,
+       |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, term) AS rk FROM c),
+       |topk AS (SELECT * FROM k WHERE rk <= $tseK),
+       |kth AS (SELECT shard, min(n) AS kth_n FROM topk GROUP BY 1),
+       |terms AS (SELECT term, ${sqlSum("n")} AS doc_count FROM topk GROUP BY 1),
+       |err AS (SELECT t.term,
+       |    CAST(COALESCE(sum(CASE WHEN p.term IS NULL THEN kth.kth_n END), 0) AS BIGINT)
+       |      AS doc_count_error_upper_bound
+       |  FROM terms t CROSS JOIN kth
+       |  LEFT JOIN topk p ON p.shard = kth.shard AND p.term = t.term
+       |  GROUP BY 1)
+       |SELECT t.term, t.doc_count, e.doc_count_error_upper_bound
+       |FROM terms t JOIN err e ON t.term = e.term
+       |ORDER BY t.doc_count DESC, t.term LIMIT $tseK""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy((col("user_id") % tseShards).as("shard"),
+        concat(lit("t"), col("user_id") % 53).as("term"))
+      .agg(count(lit(1)).as("n"))
+    // everything below runs on the |shards|x|terms| bucket table
+    val topk = c.withColumn("rk",
+        row_number().over(Window.partitionBy("shard").orderBy(col("n").desc, col("term"))))
+      .filter(col("rk") <= tseK)
+    val kth = topk.groupBy("shard").agg(min(col("n")).as("kth_n"))
+    val terms = topk.groupBy("term").agg(sum(col("n")).as("doc_count"))
+    val err = terms.select("term").crossJoin(broadcast(kth))
+      .join(topk.select(col("shard").as("p_shard"), col("term").as("p_term")),
+        col("p_shard") === col("shard") && col("p_term") === col("term"), "left")
+      .groupBy("term")
+      .agg(coalesce(sum(when(col("p_term").isNull, col("kth_n"))), lit(0L))
+        .as("doc_count_error_upper_bound"))
+    terms.join(err, "term")
+      .orderBy(col("doc_count").desc, col("term"))
+      .limit(tseK)
+      .select("term", "doc_count", "doc_count_error_upper_bound")
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
+    termsShardErrorAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,

@@ -888,11 +888,68 @@ object SearchExt {
        |    row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)
        |WHERE rn <= ${scrollPages * scrollSize}""".stripMargin))
 
+  // -------------------------------------------------------------- terms_enum
+  /** The `_terms_enum` API: enumerate up to `size` index terms matching
+    * a prefix, sorted — the keyword-autocomplete backend (distinct from
+    * match_phrase_prefix, which completes within phrase context; this
+    * walks the term dictionary itself). One pass: explode tokens,
+    * prefix-filter immediately (the filter rides the Generate's output
+    * inside codegen — non-matching tokens never reach the aggregate),
+    * distinct into a |matching-terms|-bounded set, TakeOrdered cutoff. */
+  private val termsEnumPrefix = "s"
+  private val termsEnumSize = 10
+  val termsEnumOp = QueryDef(
+    "ns_search_terms_enum",
+    (s, dir) => docs(s, dir)
+      .select(explode(toks).as("term"))
+      .filter(col("term").startsWith(termsEnumPrefix))
+      .distinct()
+      .orderBy("term")
+      .limit(termsEnumSize),
+    Some(s"""SELECT term FROM (
+       |  SELECT DISTINCT x AS term
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS x FROM documents)
+       |  WHERE x LIKE '$termsEnumPrefix%')
+       |ORDER BY term LIMIT $termsEnumSize""".stripMargin))
+
+  // ---------------------------------------------------------- search_template
+  /** The `_search/template` API: a stored mustache template rendered
+    * with per-call params, then executed as the query it produces.
+    * Rendering happens at PLAN time (where ES renders templates — the
+    * coordinating node, before the query phase), so the executed plan
+    * IS the rendered query's plan; what this op pins is the contract
+    * that template + params and the hand-written query are the same
+    * search. Params here hit every substitution position: a keyword
+    * filter, a term, and a prefix. */
+  private[graft] val searchTemplate =
+    """lang:{{lang}} AND ({{t1}} OR {{t2}}*)"""
+  private[graft] val templateParams =
+    Map("lang" -> "en", "t1" -> "spark", "t2" -> "win")
+  private[graft] def renderTemplate(tpl: String, params: Map[String, String]): String =
+    params.foldLeft(tpl) { case (acc, (k, v)) => acc.replace(s"{{$k}}", v) }
+  val searchTemplateOp = QueryDef(
+    "ns_search_template",
+    (s, dir) => {
+      val rendered = renderTemplate(searchTemplate, templateParams)
+      val pred = QueryStringParser.compile(
+        QueryStringParser.parse(rendered),
+        col("text"),
+        Map("lang" -> col("lang")))
+      docs(s, dir).filter(pred).select("doc_id", "lang", "n_chars")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, n_chars,
+      |    string_split(trim(text), ' ') AS t FROM documents)
+      |SELECT doc_id, lang, n_chars FROM d
+      |WHERE lang = 'en'
+      |  AND (list_contains(t, 'spark')
+      |       OR len(list_filter(t, x -> x LIKE 'win%')) > 0)
+      |""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
-    sparseVectorOp, msearchOp, wrapperOp, scrollOp)
+    sparseVectorOp, msearchOp, wrapperOp, scrollOp, termsEnumOp, searchTemplateOp)
 }
