@@ -1156,9 +1156,38 @@ object AggsExt {
       .select("term", "doc_count", "doc_count_error_upper_bound")
   }
 
+  // --------------------------------------------------------------- transform
+  /** The ES `_transform` API (continuous pivot): materialize an
+    * ENTITY-CENTRIC index from an event stream — per user: event count,
+    * exact value total, distinct behaviors, last-seen time and the type
+    * of the last event. This is the feature ES ships for "turn the log
+    * into a user table"; in Spark it is one map-side-combined shuffle
+    * by entity where even "latest event type" is an ordinary aggregate
+    * (max_by over a UNIQUE long ordering key — ms·2^20 + event_id, so
+    * the argmax can never tie and both engines agree bit-exactly).
+    * The continuous variant is the same plan under readStream with the
+    * output upserted per trigger; the batch form here is what each
+    * checkpoint computes. */
+  val transformPivotAgg: QueryDef = q(
+    "ns_transform_pivot",
+    s"""SELECT user_id, count(*) AS n_events,
+       |  ${sqlSum(sqlCents("value"))} AS sum_value_c,
+       |  count(DISTINCT event_type) AS nd_types,
+       |  max(epoch_ms(ts)) AS last_ms,
+       |  arg_max(event_type, epoch_ms(ts) * 1048576 + event_id) AS last_type
+       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_value_c"),
+        countDistinct(col("event_type")).as("nd_types"),
+        max(col("ts_ms")).as("last_ms"),
+        expr("max_by(event_type, ts_ms * 1048576 + event_id)").as("last_type"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
-    termsShardErrorAgg,
+    termsShardErrorAgg, transformPivotAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,

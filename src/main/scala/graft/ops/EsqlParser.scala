@@ -1,0 +1,415 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES|QL — Elastic's piped query language (the successor surface to the
+  * query DSL: `FROM index | WHERE … | STATS … BY …`), which Kibana
+  * Discover now exposes as a first-class mode alongside KQL/Lucene. A
+  * user of the reference's downstream writes these against the same
+  * data this engine serves, so the engine owns a compiler for the
+  * operative subset. Unlike the three search-box grammars (boolean
+  * predicates over one default field), ES|QL is a full pipeline algebra
+  * — which is exactly Spark's: each source command maps 1:1 onto a
+  * DataFrame transformation and Catalyst owns optimization (a WHERE
+  * after an EVAL still pushes to the scan when it only touches scan
+  * columns; STATS becomes a partial-aggregated hash aggregate; SORT +
+  * LIMIT fuse into TakeOrderedAndProject).
+  *
+  * Supported grammar (the operative subset):
+  * {{{
+  *   query    := FROM ident ('|' command)*
+  *   command  := WHERE expr
+  *             | EVAL ident '=' expr (',' ident '=' expr)*
+  *             | STATS agg (',' agg)* [BY ident (',' ident)*]
+  *             | SORT ident [ASC|DESC] (',' ident [ASC|DESC])*
+  *             | LIMIT int
+  *             | KEEP ident (',' ident)*
+  *             | DROP ident (',' ident)*
+  *             | RENAME ident AS ident (',' ident AS ident)*
+  *   agg      := [ident '='] aggfn
+  *   aggfn    := COUNT '(' '*' | expr ')' | COUNT_DISTINCT '(' expr ')'
+  *             | SUM|MIN|MAX '(' expr ')'
+  *   expr     := or; or := and (OR and)*; and := unary (AND unary)*
+  *   unary    := NOT unary | cmp
+  *   cmp      := add (('=='|'!='|'>='|'<='|'>'|'<') add
+  *                    | LIKE string | IN '(' lit (',' lit)* ')')?
+  *   add      := mul (('+'|'-') mul)*; mul := prim (('*'|'/'|'%') prim)*
+  *   prim     := '(' expr ')' | '-' prim | number | string | ident
+  *             | fn '(' args ')'     // ROUND ABS LENGTH CONCAT SUBSTRING
+  *                                   // TO_LONG TO_STRING COALESCE
+  * }}}
+  *
+  * Compilation discipline: every expression becomes a codegen Column
+  * (LIKE wildcards via the KQL `*`→`%` escape path — literal prefixes
+  * stay pushdown-eligible), every agg a built-in aggregate. No UDF
+  * anywhere; determinism rides on the same integer-exactness rules as
+  * the rest of the registry (the fixed queries aggregate exact longs).
+  */
+object EsqlParser {
+
+  // ------------------------------------------------------------------- AST
+  sealed trait Expr
+  final case class Ident(name: String) extends Expr
+  final case class NumLit(v: BigDecimal) extends Expr
+  final case class StrLit(s: String) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+  final case class Like(e: Expr, pattern: String) extends Expr
+  final case class In(e: Expr, values: Seq[Expr]) extends Expr
+  final case class Func(name: String, args: Seq[Expr]) extends Expr
+
+  sealed trait Agg
+  final case object CountAll extends Agg
+  final case class AggFn(fn: String, e: Expr) extends Agg // count/sum/min/max/count_distinct
+
+  sealed trait Cmd
+  final case class From(table: String) extends Cmd
+  final case class Where(e: Expr) extends Cmd
+  final case class Eval(assigns: Seq[(String, Expr)]) extends Cmd
+  final case class Stats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
+  final case class Sort(keys: Seq[(String, Boolean)]) extends Cmd // (col, ascending)
+  final case class Limit(n: Int) extends Cmd
+  final case class Keep(cols: Seq[String]) extends Cmd
+  final case class Drop(cols: Seq[String]) extends Cmd
+  final case class Rename(pairs: Seq[(String, String)]) extends Cmd // (old, new)
+
+  final case class ParseError(msg: String, pos: Int)
+    extends IllegalArgumentException(s"esql parse error at $pos: $msg")
+
+  // ------------------------------------------------------------------ lexer
+  private sealed trait Tok { def pos: Int }
+  private final case class TWord(s: String, pos: Int) extends Tok
+  private final case class TNum(v: BigDecimal, pos: Int) extends Tok
+  private final case class TStr(s: String, pos: Int) extends Tok
+  private final case class TSym(s: String, pos: Int) extends Tok
+
+  private val twoCharSyms = Set("==", "!=", ">=", "<=")
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (i + 1 < q.length && twoCharSyms(q.substring(i, i + 2))) {
+        out += TSym(q.substring(i, i + 2), i); i += 2
+      } else if ("|,()=<>+-*/%".indexOf(c) >= 0) {
+        out += TSym(c.toString, i); i += 1
+      } else if (c == '"') {
+        val end = q.indexOf('"', i + 1)
+        if (end < 0) throw ParseError("unterminated string", i)
+        out += TStr(q.substring(i + 1, end), i)
+        i = end + 1
+      } else if (c.isDigit) {
+        val start = i
+        while (i < q.length && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
+        out += TNum(BigDecimal(q.substring(start, i)), start)
+      } else {
+        val start = i
+        while (i < q.length && (q.charAt(i).isLetterOrDigit ||
+          q.charAt(i) == '_' || q.charAt(i) == '.')) i += 1
+        if (i == start) throw ParseError(s"unexpected character '$c'", i)
+        out += TWord(q.substring(start, i), start)
+      }
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------- parser
+  def parse(q: String): Seq[Cmd] = {
+    val toks = lex(q)
+    var i = 0
+    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def pos: Int = peek.map(_.pos).getOrElse(q.length)
+    def isKw(t: Tok, w: String): Boolean = t match {
+      case TWord(s, _) => s.equalsIgnoreCase(w)
+      case _ => false
+    }
+    def eatKw(w: String): Unit = peek match {
+      case Some(t) if isKw(t, w) => i += 1
+      case _ => throw ParseError(s"expected $w", pos)
+    }
+    def eatSym(s: String): Unit = peek match {
+      case Some(TSym(`s`, _)) => i += 1
+      case _ => throw ParseError(s"expected '$s'", pos)
+    }
+    def ident(): String = peek match {
+      case Some(TWord(w, _)) => i += 1; w
+      case _ => throw ParseError("expected identifier", pos)
+    }
+
+    // ---------------------------------------------------------- expressions
+    def parseExpr(): Expr = parseOr()
+    def parseOr(): Expr = {
+      var l = parseAnd()
+      while (peek.exists(isKw(_, "or"))) { i += 1; l = Bin("or", l, parseAnd()) }
+      l
+    }
+    def parseAnd(): Expr = {
+      var l = parseUnary()
+      while (peek.exists(isKw(_, "and"))) { i += 1; l = Bin("and", l, parseUnary()) }
+      l
+    }
+    def parseUnary(): Expr =
+      if (peek.exists(isKw(_, "not"))) { i += 1; Not(parseUnary()) } else parseCmp()
+    def parseCmp(): Expr = {
+      val l = parseAdd()
+      peek match {
+        case Some(TSym(op, _)) if Set("==", "!=", ">=", "<=", ">", "<")(op) =>
+          i += 1; Bin(op, l, parseAdd())
+        case Some(t) if isKw(t, "like") =>
+          i += 1
+          peek match {
+            case Some(TStr(p, _)) => i += 1; Like(l, p)
+            case _ => throw ParseError("LIKE expects a string pattern", pos)
+          }
+        case Some(t) if isKw(t, "in") =>
+          i += 1; eatSym("(")
+          val vs = Seq.newBuilder[Expr]
+          vs += parseLit()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+            i += 1; vs += parseLit()
+          }
+          eatSym(")")
+          In(l, vs.result())
+        case _ => l
+      }
+    }
+    def parseLit(): Expr = peek match {
+      case Some(TNum(v, _)) => i += 1; NumLit(v)
+      case Some(TStr(s, _)) => i += 1; StrLit(s)
+      case _ => throw ParseError("expected literal", pos)
+    }
+    def parseAdd(): Expr = {
+      var l = parseMul()
+      var go = true
+      while (go) peek match {
+        case Some(TSym(op @ ("+" | "-"), _)) => i += 1; l = Bin(op, l, parseMul())
+        case _ => go = false
+      }
+      l
+    }
+    def parseMul(): Expr = {
+      var l = parsePrim()
+      var go = true
+      while (go) peek match {
+        case Some(TSym(op @ ("*" | "/" | "%"), _)) => i += 1; l = Bin(op, l, parsePrim())
+        case _ => go = false
+      }
+      l
+    }
+    def parsePrim(): Expr = peek match {
+      case Some(TSym("(", _)) => i += 1; val e = parseExpr(); eatSym(")"); e
+      case Some(TSym("-", _)) => i += 1; Neg(parsePrim())
+      case Some(TNum(v, _)) => i += 1; NumLit(v)
+      case Some(TStr(s, _)) => i += 1; StrLit(s)
+      case Some(TWord(w, _)) =>
+        i += 1
+        peek match {
+          case Some(TSym("(", _)) =>
+            i += 1
+            val args = Seq.newBuilder[Expr]
+            if (!peek.exists { case TSym(")", _) => true; case _ => false }) {
+              args += parseExpr()
+              while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+                i += 1; args += parseExpr()
+              }
+            }
+            eatSym(")")
+            Func(w.toUpperCase, args.result())
+          case _ => Ident(w)
+        }
+      case _ => throw ParseError("expected expression", pos)
+    }
+
+    // ------------------------------------------------------------- commands
+    def parseStats(): Stats = {
+      def parseAgg(): (String, Agg) = {
+        // [name =] fn(...)
+        val savedI = i
+        val first = ident()
+        val named = peek.exists { case TSym("=", _) => true; case _ => false }
+        val (name, fnWord) =
+          if (named) { i += 1; (first, ident()) }
+          else { i = savedI; val f = ident(); (f.toLowerCase, f) }
+        val fn = fnWord.toUpperCase
+        eatSym("(")
+        val agg: Agg = fn match {
+          case "COUNT" =>
+            peek match {
+              case Some(TSym("*", _)) => i += 1; CountAll
+              case _ => AggFn("count", parseExpr())
+            }
+          case "COUNT_DISTINCT" => AggFn("count_distinct", parseExpr())
+          case "SUM" => AggFn("sum", parseExpr())
+          case "MIN" => AggFn("min", parseExpr())
+          case "MAX" => AggFn("max", parseExpr())
+          case other => throw ParseError(s"unsupported aggregate $other", pos)
+        }
+        eatSym(")")
+        (name, agg)
+      }
+      val aggs = Seq.newBuilder[(String, Agg)]
+      aggs += parseAgg()
+      while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+        i += 1; aggs += parseAgg()
+      }
+      val by =
+        if (peek.exists(isKw(_, "by"))) {
+          i += 1
+          val ks = Seq.newBuilder[String]
+          ks += ident()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+            i += 1; ks += ident()
+          }
+          ks.result()
+        } else Seq.empty
+      Stats(aggs.result(), by)
+    }
+
+    def parseCommand(): Cmd = {
+      val w = ident().toUpperCase
+      w match {
+        case "WHERE" => Where(parseExpr())
+        case "EVAL" =>
+          val as = Seq.newBuilder[(String, Expr)]
+          def one(): Unit = { val n = ident(); eatSym("="); as += (n -> parseExpr()) }
+          one()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
+          Eval(as.result())
+        case "STATS" => parseStats()
+        case "SORT" =>
+          val ks = Seq.newBuilder[(String, Boolean)]
+          def one(): Unit = {
+            val n = ident()
+            val asc =
+              if (peek.exists(isKw(_, "desc"))) { i += 1; false }
+              else if (peek.exists(isKw(_, "asc"))) { i += 1; true }
+              else true
+            ks += (n -> asc)
+          }
+          one()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
+          Sort(ks.result())
+        case "LIMIT" => peek match {
+          case Some(TNum(v, _)) if v.isValidInt => i += 1; Limit(v.toInt)
+          case _ => throw ParseError("LIMIT expects an integer", pos)
+        }
+        case "KEEP" | "DROP" =>
+          val cs = Seq.newBuilder[String]
+          cs += ident()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; cs += ident() }
+          if (w == "KEEP") Keep(cs.result()) else Drop(cs.result())
+        case "RENAME" =>
+          val ps = Seq.newBuilder[(String, String)]
+          def one(): Unit = { val o = ident(); eatKw("as"); ps += (o -> ident()) }
+          one()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
+          Rename(ps.result())
+        case other => throw ParseError(s"unknown command $other", pos)
+      }
+    }
+
+    eatKw("from")
+    val cmds = Seq.newBuilder[Cmd]
+    cmds += From(ident())
+    while (peek.isDefined) {
+      eatSym("|")
+      cmds += parseCommand()
+    }
+    cmds.result()
+  }
+
+  // --------------------------------------------------------------- compiler
+  /** KQL's wildcard discipline: `*` → `%`, literal `%`/`_` escaped. */
+  private def likePattern(p: String): String =
+    p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("*", "%")
+
+  def compileExpr(e: Expr): Column = e match {
+    case Ident(n) => col(n)
+    case NumLit(v) => if (v.isValidLong) lit(v.toLong) else lit(v.toDouble)
+    case StrLit(s) => lit(s)
+    case Not(x) => !compileExpr(x)
+    case Neg(x) => -compileExpr(x)
+    case Like(x, p) => compileExpr(x).like(likePattern(p))
+    case In(x, vs) => compileExpr(x).isin(vs.map {
+      case NumLit(v) => if (v.isValidLong) v.toLong else v.toDouble
+      case StrLit(s) => s
+      case other => throw ParseError(s"non-literal IN element $other", 0)
+    }: _*)
+    case Bin(op, l, r) =>
+      val (cl, cr) = (compileExpr(l), compileExpr(r))
+      op match {
+        case "or" => cl || cr
+        case "and" => cl && cr
+        case "==" => cl === cr
+        case "!=" => cl =!= cr
+        case ">=" => cl >= cr
+        case "<=" => cl <= cr
+        case ">" => cl > cr
+        case "<" => cl < cr
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "%" => cl % cr
+        case other => throw ParseError(s"unknown operator $other", 0)
+      }
+    case Func(name, args) => (name, args) match {
+      case ("ROUND", Seq(x)) => round(compileExpr(x), 0)
+      case ("ROUND", Seq(x, NumLit(d))) => round(compileExpr(x), d.toInt)
+      case ("ABS", Seq(x)) => abs(compileExpr(x))
+      case ("LENGTH", Seq(x)) => length(compileExpr(x)).cast("long")
+      case ("CONCAT", xs) if xs.nonEmpty => concat(xs.map(compileExpr): _*)
+      case ("SUBSTRING", Seq(x, NumLit(s), NumLit(l))) =>
+        substring(compileExpr(x), s.toInt, l.toInt)
+      case ("TO_LONG", Seq(x)) => compileExpr(x).cast("long")
+      case ("TO_STRING", Seq(x)) => compileExpr(x).cast("string")
+      case ("COALESCE", xs) if xs.nonEmpty => coalesce(xs.map(compileExpr): _*)
+      case (other, xs) =>
+        throw ParseError(s"unsupported function $other/${xs.size}", 0)
+    }
+  }
+
+  private def compileAgg(name: String, agg: Agg): Column = (agg match {
+    case CountAll => count(lit(1))
+    case AggFn("count", e) => count(compileExpr(e))
+    case AggFn("count_distinct", e) => countDistinct(compileExpr(e))
+    case AggFn("sum", e) => sum(compileExpr(e))
+    case AggFn("min", e) => min(compileExpr(e))
+    case AggFn("max", e) => max(compileExpr(e))
+    case AggFn(other, _) => throw ParseError(s"unsupported aggregate $other", 0)
+  }).as(name)
+
+  /** Compile a parsed pipeline onto DataFrames; `resolve` supplies the
+    * FROM source (index name → frame), so the caller owns table
+    * resolution exactly like the session catalog would. */
+  def compile(cmds: Seq[Cmd], resolve: String => DataFrame): DataFrame = {
+    val df0 = cmds.headOption match {
+      case Some(From(t)) => resolve(t)
+      case _ => throw ParseError("query must start with FROM", 0)
+    }
+    cmds.tail.foldLeft(df0) { (df, cmd) =>
+      cmd match {
+        case From(_) => throw ParseError("FROM only allowed first", 0)
+        case Where(e) => df.filter(compileExpr(e))
+        case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
+        case Stats(aggs, by) =>
+          val cols = aggs.map { case (n, a) => compileAgg(n, a) }
+          if (by.isEmpty) df.agg(cols.head, cols.tail: _*)
+          else df.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
+        case Sort(keys) =>
+          df.orderBy(keys.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }: _*)
+        case Limit(n) => df.limit(n)
+        case Keep(cs) => df.select(cs.map(col): _*)
+        case Drop(cs) => df.drop(cs: _*)
+        case Rename(ps) => ps.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+      }
+    }
+  }
+
+  def run(query: String, resolve: String => DataFrame): DataFrame =
+    compile(parse(query), resolve)
+}

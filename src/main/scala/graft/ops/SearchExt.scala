@@ -945,7 +945,52 @@ object SearchExt {
       |       OR len(list_filter(t, x -> x LIKE 'win%')) > 0)
       |""".stripMargin))
 
+  // ------------------------------------------------------------------ ES|QL
+  /** ES|QL — the piped language Kibana Discover now leads with
+    * (EsqlParser). Two fixed pipelines cover the command surface; both
+    * compile onto the SAME DataFrame algebra the rest of the registry
+    * uses, so Catalyst applies its usual wins: the WHERE pushes into
+    * the scan, STATS partial-aggregates, SORT+LIMIT fuse into
+    * TakeOrderedAndProject. Aggregated values are exact longs (the
+    * registry's integer-cents discipline, via TO_LONG(ROUND(value *
+    * 100))). EsqlSpec covers the grammar (every command, precedence,
+    * IN/LIKE, errors); ParserLawsSpec pins expression round-trips. */
+  private[graft] val esqlStatsQuery =
+    """FROM events
+      || WHERE value >= 50 AND NOT event_type == "view"
+      || EVAL vc = TO_LONG(ROUND(value * 100, 0)), day_ms = ts_ms - ts_ms % 86400000
+      || STATS n = COUNT(*), sv = SUM(vc), users = COUNT_DISTINCT(user_id) BY event_type
+      || SORT sv DESC
+      || LIMIT 5""".stripMargin
+  val esqlStatsOp = QueryDef(
+    "ns_esql_stats",
+    (s, dir) => EsqlParser.run(esqlStatsQuery, t => Tables.events(s, dir)),
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv,
+      |  count(DISTINCT user_id) AS users
+      |FROM events
+      |WHERE value >= 50 AND NOT event_type = 'view'
+      |GROUP BY 1 ORDER BY sv DESC LIMIT 5""".stripMargin))
+
+  private[graft] val esqlRowQuery =
+    """FROM documents
+      || EVAL wc = LENGTH(text), tag = CONCAT(lang, "_", source)
+      || WHERE lang == "en" OR n_chars > 450
+      || RENAME n_chars AS chars
+      || KEEP doc_id, wc, tag, chars
+      || SORT wc DESC, doc_id ASC
+      || LIMIT 20""".stripMargin
+  val esqlRowOp = QueryDef(
+    "ns_esql_row",
+    (s, dir) => EsqlParser.run(esqlRowQuery, t => docs(s, dir)),
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS wc,
+      |  concat(lang, '_', source) AS tag, n_chars AS chars
+      |FROM documents
+      |WHERE lang = 'en' OR n_chars > 450
+      |ORDER BY wc DESC, doc_id LIMIT 20""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
+    esqlStatsOp, esqlRowOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

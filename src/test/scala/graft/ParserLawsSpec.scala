@@ -114,6 +114,45 @@ class ParserLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("esql: render→parse round-trips any WHERE expression AST") {
+    import graft.ops.{EsqlParser => E}
+    val identG: Gen[E.Expr] = Gen.oneOf("n", "cat", "x", "id").map(E.Ident(_))
+    val numG: Gen[E.Expr] = Gen.chooseNum(0L, 1000000L).map(n => E.NumLit(BigDecimal(n)))
+    val strG: Gen[E.Expr] = word.map(E.StrLit(_))
+    val leaf: Gen[E.Expr] = Gen.frequency(3 -> identG, 2 -> numG, 2 -> strG)
+    def sizedE(depth: Int): Gen[E.Expr] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        3 -> (for { op <- Gen.oneOf("or", "and", "==", "!=", ">=", "<=", ">", "<",
+                      "+", "-", "*", "/", "%")
+                    l <- sizedE(depth - 1); r <- sizedE(depth - 1) } yield E.Bin(op, l, r)),
+        1 -> sizedE(depth - 1).map(E.Not(_)),
+        1 -> sizedE(depth - 1).map(E.Neg(_)),
+        1 -> (for { e <- sizedE(depth - 1); p <- word } yield E.Like(e, p + "*")),
+        1 -> (for { e <- sizedE(depth - 1)
+                    vs <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n,
+                      Gen.oneOf(numG, strG))) } yield E.In(e, vs.toSeq)),
+        1 -> (for { fn <- Gen.oneOf("ROUND", "ABS", "LENGTH", "TO_LONG", "TO_STRING")
+                    e <- sizedE(depth - 1) } yield E.Func(fn, Seq(e))))
+    def render(e: E.Expr): String = e match {
+      case E.Ident(n) => n
+      case E.NumLit(v) => v.toString
+      case E.StrLit(s) => "\"" + s + "\""
+      case E.Bin(op, l, r) =>
+        val o = op match { case "or" => "OR"; case "and" => "AND"; case x => x }
+        s"(${render(l)} $o ${render(r)})"
+      case E.Not(x) => s"(NOT ${render(x)})"
+      case E.Neg(x) => s"(- ${render(x)})"
+      case E.Like(x, p) => s"(${render(x)} LIKE ${"\"" + p + "\""})"
+      case E.In(x, vs) => s"(${render(x)} IN (${vs.map(render).mkString(", ")}))"
+      case E.Func(fn, args) => s"$fn(${args.map(render).mkString(", ")})"
+    }
+    def parseWhere(text: String): E.Expr =
+      E.parse(s"FROM t | WHERE $text").collect { case E.Where(e) => e }.head
+    check[E.Expr](sizedE(4), render, parseWhere)
+  }
+
   test("simple_query_string: parseLenient never throws on arbitrary garbage") {
     val garbage: Gen[String] =
       Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
