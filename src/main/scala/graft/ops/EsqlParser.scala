@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *             | KEEP ident (',' ident)*
   *             | DROP ident (',' ident)*
   *             | RENAME ident AS ident (',' ident AS ident)*
+  *             | DISSECT ident string          // "%{key} lit %{key}…"
+  *             | GROK ident string             // "%{IP:name} %{INT:n:int}…"
+  *             | ENRICH ident ON ident [WITH ident (',' ident)*]
+  *             | MV_EXPAND ident
   *   agg      := [ident '='] aggfn
   *   aggfn    := COUNT '(' '*' | expr ')' | COUNT_DISTINCT '(' expr ')'
   *             | SUM|MIN|MAX '(' expr ')'
@@ -37,8 +41,22 @@ import org.apache.spark.sql.functions._
   *   add      := mul (('+'|'-') mul)*; mul := prim (('*'|'/'|'%') prim)*
   *   prim     := '(' expr ')' | '-' prim | number | string | ident
   *             | fn '(' args ')'     // ROUND ABS LENGTH CONCAT SUBSTRING
-  *                                   // TO_LONG TO_STRING COALESCE
+  *                                   // TO_LONG TO_STRING COALESCE SPLIT
+  *                                   // TO_LOWER TO_UPPER TRIM MV_COUNT
   * }}}
+  *
+  * The structured-extraction commands compile onto the engine's
+  * single-pass multi-group regex expression (graftshim
+  * RegExpExtractStruct — codegen, one pattern evaluation per row):
+  * DISSECT translates its literal/`%{key}` template to an anchored
+  * regex (literals quoted, `%{?skip}`/`%{}` consume without capturing);
+  * GROK substitutes a dictionary of named sub-patterns (`%{IP:name}`,
+  * with ES's `:int`/`:long`/`:float` type suffixes becoming casts) into
+  * what is otherwise a raw regex, unanchored find() like ES. ENRICH is
+  * ES's lookup-policy join: a broadcast LEFT join against the policy
+  * dimension (unmatched rows keep null enrich fields), which is exactly
+  * how the policy's .enrich index behaves at query time. MV_EXPAND is
+  * `explode_outer` (null/empty multivalues keep their row, as in ES).
   *
   * Compilation discipline: every expression becomes a codegen Column
   * (LIKE wildcards via the KQL `*`→`%` escape path — literal prefixes
@@ -74,6 +92,10 @@ object EsqlParser {
   final case class Keep(cols: Seq[String]) extends Cmd
   final case class Drop(cols: Seq[String]) extends Cmd
   final case class Rename(pairs: Seq[(String, String)]) extends Cmd // (old, new)
+  final case class Dissect(input: String, pattern: String) extends Cmd
+  final case class Grok(input: String, pattern: String) extends Cmd
+  final case class Enrich(policy: String, on: String, withCols: Seq[String]) extends Cmd
+  final case class MvExpand(column: String) extends Cmd
 
   final case class ParseError(msg: String, pos: Int)
     extends IllegalArgumentException(s"esql parse error at $pos: $msg")
@@ -98,10 +120,18 @@ object EsqlParser {
       } else if ("|,()=<>+-*/%".indexOf(c) >= 0) {
         out += TSym(c.toString, i); i += 1
       } else if (c == '"') {
-        val end = q.indexOf('"', i + 1)
-        if (end < 0) throw ParseError("unterminated string", i)
-        out += TStr(q.substring(i + 1, end), i)
-        i = end + 1
+        // \" and \\ escapes so DISSECT/GROK patterns can quote and backslash
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < q.length && !closed) q.charAt(j) match {
+          case '\\' if j + 1 < q.length => sb.append(q.charAt(j + 1)); j += 2
+          case '"' => closed = true; j += 1
+          case ch => sb.append(ch); j += 1
+        }
+        if (!closed) throw ParseError("unterminated string", i)
+        out += TStr(sb.toString, i)
+        i = j
       } else if (c.isDigit) {
         val start = i
         while (i < q.length && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
@@ -138,6 +168,10 @@ object EsqlParser {
     def ident(): String = peek match {
       case Some(TWord(w, _)) => i += 1; w
       case _ => throw ParseError("expected identifier", pos)
+    }
+    def string(what: String): String = peek match {
+      case Some(TStr(s, _)) => i += 1; s
+      case _ => throw ParseError(s"$what expects a string pattern", pos)
     }
 
     // ---------------------------------------------------------- expressions
@@ -308,6 +342,20 @@ object EsqlParser {
           one()
           while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
           Rename(ps.result())
+        case "DISSECT" => val in = ident(); Dissect(in, string("DISSECT"))
+        case "GROK" => val in = ident(); Grok(in, string("GROK"))
+        case "ENRICH" =>
+          val policy = ident()
+          eatKw("on")
+          val on = ident()
+          val ws = Seq.newBuilder[String]
+          if (peek.exists(isKw(_, "with"))) {
+            i += 1
+            ws += ident()
+            while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; ws += ident() }
+          }
+          Enrich(policy, on, ws.result())
+        case "MV_EXPAND" => MvExpand(ident())
         case other => throw ParseError(s"unknown command $other", pos)
       }
     }
@@ -368,9 +416,111 @@ object EsqlParser {
       case ("TO_LONG", Seq(x)) => compileExpr(x).cast("long")
       case ("TO_STRING", Seq(x)) => compileExpr(x).cast("string")
       case ("COALESCE", xs) if xs.nonEmpty => coalesce(xs.map(compileExpr): _*)
+      case ("TO_LOWER", Seq(x)) => lower(compileExpr(x))
+      case ("TO_UPPER", Seq(x)) => upper(compileExpr(x))
+      case ("TRIM", Seq(x)) => trim(compileExpr(x))
+      // ES SPLIT takes a LITERAL delimiter; Spark's split takes a regex —
+      // quote it so "." or "|" delimiters split literally
+      case ("SPLIT", Seq(x, StrLit(d))) =>
+        split(compileExpr(x), java.util.regex.Pattern.quote(d))
+      case ("MV_COUNT", Seq(x)) => size(compileExpr(x)).cast("long")
       case (other, xs) =>
         throw ParseError(s"unsupported function $other/${xs.size}", 0)
     }
+  }
+
+  // ------------------------------------------------- dissect / grok patterns
+  private val keyRx = "%\\{([^}]*)\\}".r
+
+  /** Dissect template → (anchored regex, capture keys). Literal runs are
+    * regex-quoted; every `%{key}` becomes a lazy capture; `%{}` and
+    * `%{?name}` (named skip) consume without capturing; the `->`
+    * right-padding modifier is honored by absorbing trailing spaces. */
+  private[graft] def dissectRegex(pattern: String): (String, Seq[String]) = {
+    val keys = Seq.newBuilder[String]
+    val sb = new StringBuilder("^")
+    var last = 0
+    for (m <- keyRx.findAllMatchIn(pattern)) {
+      if (m.start > last) sb.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start)))
+      val raw = m.group(1)
+      val padded = raw.endsWith("->")
+      val name = raw.stripSuffix("->")
+      if (name.isEmpty || name.startsWith("?")) sb.append("(?:.*?)")
+      else { keys += name; sb.append("(.*?)") }
+      if (padded) sb.append(" *")
+      last = m.end
+    }
+    if (last < pattern.length) sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+    sb.append("$")
+    val ks = keys.result()
+    if (ks.isEmpty) throw ParseError("dissect pattern has no %{key} captures", 0)
+    (sb.toString, ks)
+  }
+
+  /** The grok pattern dictionary (the subset the synthesized fixtures
+    * exercise — each name is the stock ES/logstash definition's shape). */
+  private val grokDefs: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "HTTPDATE" -> "[^\\]]+",
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "USER" -> "[a-zA-Z0-9._-]+",
+    "LOGLEVEL" -> "[A-Za-z]+",
+    "UUID" -> "[0-9a-fA-F-]{36}")
+
+  private val grokRefRx = "%\\{(\\w+)(?::([\\w.@]+))?(?::(int|long|float|double|string))?\\}".r
+
+  /** Grok pattern → (regex, (name, type) captures). Text outside `%{…}`
+    * is raw regex (true grok semantics — unlike dissect, nothing is
+    * quoted); `%{SYNTAX:name:type}` becomes a named capture with a cast,
+    * `%{SYNTAX}` a non-capturing consume. Unanchored, like ES. */
+  private[graft] def grokRegex(pattern: String): (String, Seq[(String, String)]) = {
+    val keys = Seq.newBuilder[(String, String)]
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- grokRefRx.findAllMatchIn(pattern)) {
+      sb.append(pattern.substring(last, m.start))
+      val syntax = m.group(1).toUpperCase
+      val sub = grokDefs.getOrElse(syntax,
+        throw ParseError(s"unknown grok pattern %{$syntax}", 0))
+      Option(m.group(2)) match {
+        case Some(name) =>
+          keys += (name -> Option(m.group(3)).getOrElse("string"))
+          sb.append("(").append(sub).append(")")
+        case None => sb.append("(?:").append(sub).append(")")
+      }
+      last = m.end
+    }
+    sb.append(pattern.substring(last))
+    val ks = keys.result()
+    if (ks.isEmpty) throw ParseError("grok pattern has no named captures", 0)
+    (sb.toString, ks)
+  }
+
+  /** One-pass extraction: a single codegen RegExpExtractStruct evaluates
+    * the pattern once per row, then the typed fields flatten out. The
+    * underlying expression follows regexp_extract's no-match contract
+    * (empty strings); ES|QL's GROK/DISSECT null the fields instead, so
+    * empties become null here — which also keeps the typed casts ANSI-
+    * safe on unmatched rows. */
+  private def applyExtract(df: DataFrame, input: String, regex: String,
+                           keys: Seq[(String, String)]): DataFrame = {
+    val g = graft.expr.GrokFunctions.regexp_extract_struct(col(input), regex, keys.map(_._1))
+    val flat = keys.foldLeft(df.withColumn("__extract", g)) { case (d, (n, t)) =>
+      val raw = col("__extract").getField(n)
+      val c = when(raw =!= lit(""), raw)
+      d.withColumn(n, t match {
+        case "int" | "long" => c.cast("long")
+        case "float" | "double" => c.cast("double")
+        case _ => c
+      })
+    }
+    flat.drop("__extract")
   }
 
   private def compileAgg(name: String, agg: Agg): Column = (agg match {
@@ -384,9 +534,12 @@ object EsqlParser {
   }).as(name)
 
   /** Compile a parsed pipeline onto DataFrames; `resolve` supplies the
-    * FROM source (index name → frame), so the caller owns table
-    * resolution exactly like the session catalog would. */
-  def compile(cmds: Seq[Cmd], resolve: String => DataFrame): DataFrame = {
+    * FROM source (index name → frame) and `policies` the ENRICH
+    * dimensions (policy name → (dim frame, match field)), so the caller
+    * owns catalog resolution exactly like the session would. */
+  def compile(cmds: Seq[Cmd], resolve: String => DataFrame,
+              policies: String => (DataFrame, String) =
+                n => throw ParseError(s"unknown enrich policy $n", 0)): DataFrame = {
     val df0 = cmds.headOption match {
       case Some(From(t)) => resolve(t)
       case _ => throw ParseError("query must start with FROM", 0)
@@ -406,10 +559,27 @@ object EsqlParser {
         case Keep(cs) => df.select(cs.map(col): _*)
         case Drop(cs) => df.drop(cs: _*)
         case Rename(ps) => ps.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+        case Dissect(in, p) =>
+          val (rx, keys) = dissectRegex(p)
+          applyExtract(df, in, rx, keys.map(_ -> "string"))
+        case Grok(in, p) =>
+          val (rx, keys) = grokRegex(p)
+          applyExtract(df, in, rx, keys)
+        case Enrich(policy, on, withCols) =>
+          val (dim, matchField) = policies(policy)
+          val fields = if (withCols.nonEmpty) withCols
+            else dim.columns.filterNot(_ == matchField).toSeq
+          val dimSel = dim.select((matchField +: fields).map(col): _*)
+            .withColumnRenamed(matchField, "__enrich_match")
+          df.join(broadcast(dimSel), df(on) === dimSel("__enrich_match"), "left")
+            .drop("__enrich_match")
+        case MvExpand(c) => df.withColumn(c, explode_outer(col(c)))
       }
     }
   }
 
-  def run(query: String, resolve: String => DataFrame): DataFrame =
-    compile(parse(query), resolve)
+  def run(query: String, resolve: String => DataFrame,
+          policies: String => (DataFrame, String) =
+            n => throw ParseError(s"unknown enrich policy $n", 0)): DataFrame =
+    compile(parse(query), resolve, policies)
 }

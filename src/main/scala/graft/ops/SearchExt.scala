@@ -989,8 +989,79 @@ object SearchExt {
       |WHERE lang = 'en' OR n_chars > 450
       |ORDER BY wc DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** The structured-extraction / lookup half of the ES|QL command set
+    * (DISSECT, GROK, ENRICH, MV_EXPAND — the commands a Kibana user
+    * reaches for against raw log lines). Each pipeline compiles onto
+    * machinery the registry already trusts: DISSECT and GROK become one
+    * codegen RegExpExtractStruct pass per row (np_grok_access_log's
+    * expression), ENRICH a broadcast LEFT join against the policy dim,
+    * MV_EXPAND a generate (explode_outer). The oracles recompute from
+    * the access-log CTE's base columns — so a green row proves the
+    * extraction actually recovered the fields the line was built from. */
+  private[graft] val esqlDissectQuery =
+    """FROM access_log
+      || DISSECT line "%{dip} - %{dusr} [%{ddate}] \"%{dreq}\" %{dstatus} %{dbytes} %{drt} \"%{dxff}\" client-%{dcid} txn-%{dtid} corr-%{dcorr}"
+      || WHERE dstatus == "500" AND dreq LIKE "DELETE *"
+      || EVAL b = TO_LONG(dbytes)
+      || STATS n = COUNT(*), sb = SUM(b) BY dip
+      || SORT n DESC, dip ASC
+      || LIMIT 10""".stripMargin
+  val esqlDissectOp = QueryDef(
+    "ns_esql_dissect",
+    (s, dir) => EsqlParser.run(esqlDissectQuery, _ => Synth.accessLog(s, dir)),
+    Some(Synth.withAccessLog(
+      """SELECT ip AS dip, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS sb
+        |FROM access_log WHERE status = 500 AND method = 'DELETE'
+        |GROUP BY 1 ORDER BY n DESC, dip LIMIT 10""".stripMargin)))
+
+  private[graft] val esqlGrokQuery =
+    """FROM access_log
+      || GROK line "^%{IP:gip} - %{NOTSPACE:gusr} \\[%{HTTPDATE:gdate}\\] \"%{WORD:gmethod} %{NOTSPACE:gurl} HTTP/%{NUMBER:gver}\" %{INT:gstatus:int} %{INT:gbytes:int} %{INT:grt:int}"
+      || WHERE gstatus >= 400 AND gmethod IN ("GET", "POST")
+      || STATS n = COUNT(*), sb = SUM(gbytes), mx = MAX(grt) BY gmethod, gstatus
+      || SORT gmethod ASC, gstatus ASC""".stripMargin
+  val esqlGrokOp = QueryDef(
+    "ns_esql_grok",
+    (s, dir) => EsqlParser.run(esqlGrokQuery, _ => Synth.accessLog(s, dir)),
+    Some(Synth.withAccessLog(
+      """SELECT method AS gmethod, CAST(status AS BIGINT) AS gstatus, count(*) AS n,
+        |  CAST(sum(bytes) AS BIGINT) AS sb, max(rt_ms) AS mx
+        |FROM access_log WHERE status >= 400 AND method IN ('GET', 'POST')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
+  private[graft] val esqlEnrichQuery =
+    """FROM events
+      || EVAL nk = user_id % 25, vc = TO_LONG(ROUND(value * 100, 0))
+      || ENRICH nations ON nk WITH n_name, n_regionkey
+      || STATS n = COUNT(*), sv = SUM(vc) BY n_regionkey, n_name
+      || SORT n_name ASC""".stripMargin
+  val esqlEnrichOp = QueryDef(
+    "ns_esql_enrich",
+    (s, dir) => EsqlParser.run(esqlEnrichQuery, _ => Tables.events(s, dir),
+      { case "nations" => (Tables.nation(s, dir), "n_nationkey") }),
+    Some("""SELECT n_regionkey, n_name, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
+      |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY 1, 2 ORDER BY n_name""".stripMargin))
+
+  private[graft] val esqlMvExpandQuery =
+    """FROM access_log
+      || EVAL hops = SPLIT(xff, ",")
+      || MV_EXPAND hops
+      || WHERE hops LIKE "10.0.0.*"
+      || STATS n = COUNT(*) BY hops
+      || SORT n DESC, hops ASC
+      || LIMIT 15""".stripMargin
+  val esqlMvExpandOp = QueryDef(
+    "ns_esql_mv_expand",
+    (s, dir) => EsqlParser.run(esqlMvExpandQuery, _ => Synth.accessLog(s, dir)),
+    Some(Synth.withAccessLog(
+      """SELECT hop AS hops, count(*) AS n
+        |FROM (SELECT unnest(str_split(xff, ',')) AS hop FROM access_log)
+        |WHERE hop LIKE '10.0.0.%' GROUP BY 1 ORDER BY n DESC, hops LIMIT 15""".stripMargin)))
+
   def entries: Seq[QueryDef] = Seq(
-    esqlStatsOp, esqlRowOp,
+    esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

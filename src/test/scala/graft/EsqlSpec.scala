@@ -78,6 +78,69 @@ class EsqlSpec extends SparkSpec {
       Seq(("alpha", 3L), ("beta", 1L), ("gamma", 1L)))
   }
 
+  private def logDf = {
+    import spark.implicits._
+    Seq(
+      (1L, """10.1.2.3 - alice [01/Jan/2026:00:00:00 +0000] "GET /a HTTP/1.1" 200 512 40"""),
+      (2L, """10.1.2.4 - - [01/Jan/2026:00:00:01 +0000] "POST /b.html HTTP/1.1" 404 64 9"""),
+      (3L, "not an access log line at all")
+    ).toDF("id", "line")
+  }
+
+  test("DISSECT: literal template extracts string fields; skips and padding consume") {
+    val got = EsqlParser.run(
+      """FROM logs | DISSECT line "%{ip} %{?dash} %{usr} [%{date}] \"%{req}\" %{status} %{bytes} %{rt}"
+        || WHERE status == "200" | KEEP ip, usr, req, bytes""".stripMargin,
+      _ => logDf).head()
+    assert(got == Row("10.1.2.3", "alice", "GET /a HTTP/1.1", "512"))
+    // %{name->} absorbs right padding
+    val (rx, keys) = EsqlParser.dissectRegex("%{a->} %{b}")
+    assert(keys == Seq("a", "b"))
+    import spark.implicits._
+    val padded = EsqlParser.run("""FROM t | DISSECT s "%{a->} %{b}" | KEEP a, b""",
+      _ => Seq(Tuple1("x    y")).toDF("s")).head()
+    assert(padded == Row("x", "y"))
+  }
+
+  test("GROK: dictionary substitution, typed captures, unanchored, null on no-match") {
+    val got = EsqlParser.run(
+      """FROM logs
+        || GROK line "%{IP:ip} - %{NOTSPACE:usr} \\[%{HTTPDATE:d}\\] \"%{WORD:m} %{NOTSPACE:u} HTTP/%{NUMBER:v}\" %{INT:st:int} %{INT:b:int} %{INT:rt:int}"
+        || KEEP id, ip, m, st, b""".stripMargin,
+      _ => logDf).collect()
+    assert(got(0) == Row(1L, "10.1.2.3", "GET", 200L, 512L))
+    assert(got(1) == Row(2L, "10.1.2.4", "POST", 404L, 64L))
+    assert(got(2) == Row(3L, null, null, null, null)) // no match → null fields
+    assertThrows[ParseError](EsqlParser.grokRegex("%{NOPE:x}"))
+  }
+
+  test("ENRICH: broadcast left join via policy; unmatched rows keep null fields") {
+    import spark.implicits._
+    val dim = Seq((1L, "one", 10L), (2L, "two", 20L)).toDF("k", "name", "aux")
+    val got = EsqlParser.run(
+      """FROM t | EVAL k2 = id % 4 | ENRICH p ON k2 WITH name | SORT id | KEEP id, k2, name""",
+      _ => df, { case "p" => (dim, "k") }).collect()
+    assert(got(0) == Row(1L, 1L, "one"))
+    assert(got(2) == Row(3L, 3L, null)) // 3 not in dim → left-join null
+    // WITH omitted → all non-match dim columns
+    val all = EsqlParser.run("""FROM t | EVAL k2 = id % 4 | ENRICH p ON k2 | SORT id""",
+      _ => df, { case "p" => (dim, "k") })
+    assert(all.columns.toSeq.takeRight(2) == Seq("name", "aux"))
+    assertThrows[ParseError](EsqlParser.run("FROM t | ENRICH nope ON id", _ => df))
+  }
+
+  test("MV_EXPAND + SPLIT + MV_COUNT: literal-delimiter split, outer expand") {
+    import spark.implicits._
+    val src = Seq((1L, "a.b.c"), (2L, "d"), (3L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = EsqlParser.run(
+      """FROM t | EVAL parts = SPLIT(s, "."), np = MV_COUNT(parts)
+        || MV_EXPAND parts | SORT id, parts | KEEP id, np, parts""".stripMargin,
+      _ => src).collect()
+    // "." splits literally (quoted regex), not as wildcard
+    assert(got.toSeq == Seq(Row(1L, 3L, "a"), Row(1L, 3L, "b"), Row(1L, 3L, "c"),
+      Row(2L, 1L, "d"), Row(3L, null, null)))
+  }
+
   test("parse errors carry positions and name the problem") {
     def err(q: String): String =
       intercept[ParseError](EsqlParser.parse(q)).getMessage
@@ -98,5 +161,14 @@ class EsqlSpec extends SparkSpec {
     val row = EsqlParser.parse(ops.SearchExt.esqlRowQuery)
     assert(row.collect { case k: Keep => k }.head.cols == Seq("doc_id", "wc", "tag", "chars"))
     assert(row.collect { case r: Rename => r }.head.pairs == Seq("n_chars" -> "chars"))
+    val dis = EsqlParser.parse(ops.SearchExt.esqlDissectQuery)
+    assert(dis.collect { case d: Dissect => d }.head.input == "line")
+    val grok = EsqlParser.parse(ops.SearchExt.esqlGrokQuery)
+    assert(grok.collect { case g: Grok => g }.head.pattern.contains("%{INT:gstatus:int}"))
+    val enr = EsqlParser.parse(ops.SearchExt.esqlEnrichQuery)
+    assert(enr.collect { case e: Enrich => e }.head ==
+      Enrich("nations", "nk", Seq("n_name", "n_regionkey")))
+    val mv = EsqlParser.parse(ops.SearchExt.esqlMvExpandQuery)
+    assert(mv.collect { case m: MvExpand => m } == Seq(MvExpand("hops")))
   }
 }
