@@ -1156,6 +1156,39 @@ object AggsExt {
       .select("term", "doc_count", "doc_count_error_upper_bound")
   }
 
+  // -------------------------------------------------------------- downsample
+  /** The ES `_downsample` API: roll a TSDB index into one document per
+    * (time series, bucket) carrying the pre-aggregated shape queries
+    * need later — count/min/max/sum for gauge metrics, last-value for
+    * counters (ES stores the last sample so downsampled counters still
+    * rate() correctly). The series identity (_tsid) is the dimension
+    * tuple; here (user_id-derived host, event_type) with 1-hour buckets
+    * as exact epoch-ms longs. In Spark the whole job is ONE map-side-
+    * combined hash aggregate — no window, no shuffle beyond the group
+    * keys, which is why the same plan holds at 100 TB: partial rows per
+    * input partition are bounded by series×buckets, not samples.
+    * last-value uses the transform discipline: max_by over the unique
+    * ms·2^20+event_id key, so the argmax never ties. */
+  val downsampleAgg: QueryDef = q(
+    "ns_agg_downsample",
+    s"""SELECT user_id % 16 AS host, event_type,
+       |  epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms,
+       |  count(*) AS n,
+       |  min(${sqlCents("value")}) AS v_min,
+       |  max(${sqlCents("value")}) AS v_max,
+       |  ${sqlSum(sqlCents("value"))} AS v_sum,
+       |  arg_max(${sqlCents("value")}, epoch_ms(ts) * 1048576 + event_id) AS v_last
+       |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select((col("user_id") % 16).as("host"), col("event_type"),
+        (col("ts_ms") - col("ts_ms") % 3600000L).as("bucket_ms"),
+        cents(col("value")).as("c"),
+        (col("ts_ms") * 1048576L + col("event_id")).as("ok"))
+      .groupBy("host", "event_type", "bucket_ms")
+      .agg(count(lit(1)).as("n"), min(col("c")).as("v_min"), max(col("c")).as("v_max"),
+        sum(col("c")).as("v_sum"), expr("max_by(c, ok)").as("v_last"))
+  }
+
   // --------------------------------------------------------------- transform
   /** The ES `_transform` API (continuous pivot): materialize an
     * ENTITY-CENTRIC index from an event stream — per user: event count,
@@ -1187,7 +1220,7 @@ object AggsExt {
 
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
-    termsShardErrorAgg, transformPivotAgg,
+    termsShardErrorAgg, transformPivotAgg, downsampleAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,

@@ -1044,6 +1044,39 @@ object SearchExt {
       |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY 1, 2 ORDER BY n_name""".stripMargin))
 
+  // ------------------------------------------------------------ termvectors
+  /** The `_termvectors` API (with term_statistics=true): for requested
+    * doc ids, every term with its in-doc frequency plus the index-wide
+    * doc_freq and total term frequency. The corpus side is the SAME
+    * postings shuffle BM25 rides — tf per (doc, term), then df/ttf as
+    * a second aggregate of that frame, so Spark computes the postings
+    * once and reuses the exchange. The requested docs' term list is
+    * tiny (3 docs × their vocabulary) and broadcasts; the stats stream
+    * past it — no full-stats materialization lands on the driver. At
+    * index scale df/ttf come from the persisted corpus-stats artifact;
+    * the aggregation here is what builds that artifact. */
+  private val termvectorDocIds = Seq(11L, 42L, 97L)
+  val termvectorsOp = QueryDef(
+    "ns_search_termvectors",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+      // when() guard: a bare explode lets Catalyst push re-tokenizing
+      // predicates into the scan (see ns_text_bm25)
+      val post = d.select(col("doc_id"), explode(when(size(col("t")) >= 1, col("t"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val stats = post.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      val mine = post.filter(col("doc_id").isin(termvectorDocIds: _*))
+      stats.join(broadcast(mine), "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("ttf"))
+    },
+    Some(s"""WITH post AS (
+      |  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+      |stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY 1)
+      |SELECT t.doc_id, t.term, t.tf, s.df, s.ttf
+      |FROM tf t JOIN stats s USING (term)
+      |WHERE t.doc_id IN (${termvectorDocIds.mkString(", ")})""".stripMargin))
+
   private[graft] val esqlMvExpandQuery =
     """FROM access_log
       || EVAL hops = SPLIT(xff, ",")
@@ -1062,6 +1095,7 @@ object SearchExt {
 
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
+    termvectorsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

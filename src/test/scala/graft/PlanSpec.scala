@@ -1306,6 +1306,33 @@ class PlanSpec extends SparkSpec {
   }
   private val scrollPagesForTest = 3
 
+  test("ns_search_termvectors: requested docs push to their own scan; stats join broadcasts") {
+    val df = SparkEntry.queries("ns_search_termvectors")(spark, sfDir)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    val scans = p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    // the probe side must read ONLY the requested doc ids, not re-derive
+    // them from the corpus postings
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In(doc_id"))),
+      s"requested-doc scan lost its pushed id set:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the tiny requested-doc term list must broadcast past the stats:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"termvectors stats join regressed to a shuffle join:\n$p")
+  }
+
+  test("ns_agg_downsample: one hash aggregate, no window, no join") {
+    val p = physical("ns_agg_downsample")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"downsample must be a plain aggregate, not a per-series window:\n$p")
+    assert(scanCount(p) == 1, s"downsample is one pass over the samples:\n$p")
+    assert(fallbacks(p).isEmpty,
+      s"interpreted expressions in the downsample path: ${fallbacks(p)}")
+  }
+
   test("ns_text_bpe: the tokenizer is ONE codegen scan — no explode, no fallback") {
     val p = physical("ns_text_bpe")
     assert(scanCount(p) == 1, s"tokenizer must be a single corpus pass:\n$p")
