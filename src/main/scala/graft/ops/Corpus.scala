@@ -229,6 +229,69 @@ object Corpus {
           .as("z_r"))
   }
 
+  // ------------------------------------------------------------ gopher rules
+  /** The published Gopher document-quality rules (Rae et al. 2021,
+    * §A1.1 — the rule set most large-corpus pipelines start from):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word fraction, and the minimum-stop-word requirement.
+    * Every rule is evaluated in EXACT INTEGER arithmetic — "mean word
+    * length in [3,10]" is 300·n_words ≤ 100·n_wchars ≤ 1000·n_words,
+    * "≥80% alphabetic" is 5·n_alpha ≥ 4·n_words — so no division ever
+    * reaches a comparison and both engines agree bit-exactly. One
+    * codegen corpus pass: counts come from length/replace/regexp_count,
+    * stop-word presence from substring search on the padded text; no
+    * explode, no UDF, no shuffle at all (verdict is per-document). */
+  private val gopherStops = Seq("the", "of", "to", "and", "a", "in", "is", "that")
+  val gopherOp: QueryDef = q(
+    "ns_quality_gopher",
+    s"""WITH c AS (SELECT doc_id, trim(text) AS t FROM documents),
+       |n AS (SELECT doc_id,
+       |    CAST(len(str_split(t, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(t, ' ', '')) AS BIGINT) AS n_wchars,
+       |    CAST(len(regexp_extract_all(' ' || t, ' [^ ]*[a-zA-Z]')) AS BIGINT) AS n_alpha,
+       |    CAST(length(t) - length(replace(t, '#', ''))
+       |      + 3 * len(regexp_extract_all(t, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |    CAST(${gopherStops.map(w =>
+              s"(CASE WHEN position(' $w ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS n_stop
+       |  FROM c)
+       |SELECT doc_id, n_words, n_wchars, n_alpha, n_stop,
+       |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+       |  CAST(CASE WHEN 300 * n_words <= 100 * n_wchars
+       |    AND 100 * n_wchars <= 1000 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+       |  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+       |  CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_sym,
+       |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+       |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       |    AND 300 * n_words <= 100 * n_wchars AND 100 * n_wchars <= 1000 * n_words
+       |    AND 5 * n_alpha >= 4 * n_words
+       |    AND 10 * n_sym <= n_words
+       |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |FROM n""".stripMargin) { (s, dir) =>
+    val t = trim(col("text"))
+    val counted = docs(s, dir).select(
+      col("doc_id"),
+      size(split(t, " ")).cast("long").as("n_words"),
+      length(regexp_replace(t, " ", "")).cast("long").as("n_wchars"),
+      regexp_count(concat(lit(" "), t), lit(" [^ ]*[a-zA-Z]")).cast("long").as("n_alpha"),
+      (length(t) - length(regexp_replace(t, "#", ""))
+        + lit(3) * regexp_count(t, lit("\\.\\.\\."))).cast("long").as("n_sym"),
+      gopherStops.map(w =>
+        when(instr(concat(lit(" "), t, lit(" ")), s" $w ") > 0, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop"))
+    val rWords = col("n_words").between(50L, 100000L)
+    val rMwl = lit(300) * col("n_words") <= lit(100) * col("n_wchars") &&
+      lit(100) * col("n_wchars") <= lit(1000) * col("n_words")
+    val rAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n_words")
+    val rSym = lit(10) * col("n_sym") <= col("n_words")
+    val rStop = col("n_stop") >= 2L
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    counted.select(col("doc_id"), col("n_words"), col("n_wchars"), col("n_alpha"), col("n_stop"),
+      flag(rWords).as("r_words"), flag(rMwl).as("r_mwl"), flag(rAlpha).as("r_alpha"),
+      flag(rSym).as("r_sym"), flag(rStop).as("r_stop"),
+      flag(rWords && rMwl && rAlpha && rSym && rStop).as("pass"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
-    bpeApplyOp, bpeTrainOp, qualityClassifierOp, embeddingWhitenOp)
+    bpeApplyOp, bpeTrainOp, qualityClassifierOp, embeddingWhitenOp, gopherOp)
 }

@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   *             | DISSECT ident string          // "%{key} lit %{key}…"
   *             | GROK ident string             // "%{IP:name} %{INT:n:int}…"
   *             | ENRICH ident ON ident [WITH ident (',' ident)*]
+  *             | LOOKUP JOIN ident ON ident
   *             | MV_EXPAND ident
   *   agg      := [ident '='] aggfn
   *   aggfn    := COUNT '(' '*' | expr ')' | COUNT_DISTINCT '(' expr ')'
@@ -95,6 +96,7 @@ object EsqlParser {
   final case class Dissect(input: String, pattern: String) extends Cmd
   final case class Grok(input: String, pattern: String) extends Cmd
   final case class Enrich(policy: String, on: String, withCols: Seq[String]) extends Cmd
+  final case class LookupJoin(index: String, on: String) extends Cmd
   final case class MvExpand(column: String) extends Cmd
 
   final case class ParseError(msg: String, pos: Int)
@@ -355,6 +357,11 @@ object EsqlParser {
             while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; ws += ident() }
           }
           Enrich(policy, on, ws.result())
+        case "LOOKUP" =>
+          eatKw("join")
+          val idx = ident()
+          eatKw("on")
+          LookupJoin(idx, ident())
         case "MV_EXPAND" => MvExpand(ident())
         case other => throw ParseError(s"unknown command $other", pos)
       }
@@ -573,6 +580,15 @@ object EsqlParser {
             .withColumnRenamed(matchField, "__enrich_match")
           df.join(broadcast(dimSel), df(on) === dimSel("__enrich_match"), "left")
             .drop("__enrich_match")
+        case LookupJoin(index, on) =>
+          // ES|QL's LOOKUP JOIN (the successor to ENRICH for arbitrary
+          // lookup-mode indices): LEFT join on the shared field name.
+          // The lookup index is declared single-shard/replicated in ES —
+          // the broadcast is its Spark twin.
+          val dim = resolve(index)
+          val dimSel = dim.withColumnRenamed(on, "__lookup_match")
+          df.join(broadcast(dimSel), df(on) === dimSel("__lookup_match"), "left")
+            .drop("__lookup_match")
         case MvExpand(c) => df.withColumn(c, explode_outer(col(c)))
       }
     }

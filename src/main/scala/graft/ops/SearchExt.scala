@@ -1044,6 +1044,68 @@ object SearchExt {
       |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY 1, 2 ORDER BY n_name""".stripMargin))
 
+  // ---------------------------------------------------------- graph explore
+  /** The X-Pack Graph API (`_graph/explore`): seed terms expand one hop
+    * to their most significantly co-occurring vertices, with edge
+    * weights. The adjacency_matrix discipline, not a corpus self-join:
+    * the distinct (doc, term) postings form once under the doc_id
+    * partitioning (explode → distinct, exchange-free), per-doc seed
+    * flags are a second exchange-free aggregate of the SAME frame, the
+    * flags join back co-partitioned, and the only shuffle is the term-
+    * keyed stats aggregate. The final per-seed top-8 ranks a
+    * vocabulary-bounded frame (terms × seeds), so the window is safe at
+    * any corpus size. Weight is the significant_terms simple ratio
+    * P(term | seed-doc) = overlap/df, rounded to 6 places in both
+    * engines. */
+  private val graphSeeds = Seq("spark", "vector")
+  private val graphTopK = 8
+  val graphExploreOp = QueryDef(
+    "ns_search_graph_explore", {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+        val post = d.select(col("doc_id"), explode(when(size(col("t")) >= 1, col("t"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).drop("tf")
+        val flagCols = graphSeeds.zipWithIndex.map { case (sd, i) =>
+          max(when(col("term") === sd, 1L).otherwise(0L)).as(s"f$i")
+        }
+        val flags = post.groupBy("doc_id").agg(flagCols.head, flagCols.tail: _*)
+        val statCols = count(lit(1)).as("df") +:
+          graphSeeds.zipWithIndex.map { case (_, i) => sum(col(s"f$i")).as(s"o$i") }
+        val stats = post.join(flags, "doc_id")
+          .groupBy("term").agg(statCols.head, statCols.tail: _*)
+        val edges = graphSeeds.zipWithIndex.map { case (sd, i) =>
+          stats.filter(col("term") =!= sd && col(s"o$i") > 0)
+            .select(lit(sd).as("seed"), col("term"), col(s"o$i").as("n_overlap"), col("df"),
+              round(col(s"o$i").cast("double") / col("df"), 6).as("weight"))
+        }.reduce(_ unionAll _)
+        val rk = Window.partitionBy("seed").orderBy(col("weight").desc, col("term"))
+        edges.withColumn("rk", row_number().over(rk)).filter(col("rk") <= graphTopK).drop("rk")
+    },
+    Some {
+      val seedEdges = graphSeeds.zipWithIndex.map { case (sd, i) =>
+        s"""SELECT '$sd' AS seed, term, o$i AS n_overlap, df,
+           |  round(CAST(o$i AS DOUBLE) / df, 6) AS weight
+           |FROM stats WHERE term <> '$sd' AND o$i > 0""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents)),
+         |flags AS (SELECT doc_id,
+         |    ${graphSeeds.zipWithIndex.map { case (sd, i) =>
+              s"max(CASE WHEN term = '$sd' THEN 1 ELSE 0 END) AS f$i" }.mkString(",\n    ")}
+         |  FROM post GROUP BY 1),
+         |stats AS (SELECT term, count(*) AS df,
+         |    ${graphSeeds.indices.map(i => s"CAST(sum(f$i) AS BIGINT) AS o$i").mkString(", ")}
+         |  FROM post JOIN flags USING (doc_id) GROUP BY 1),
+         |edges AS (
+         |  $seedEdges)
+         |SELECT seed, term, n_overlap, df, weight FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY seed ORDER BY weight DESC, term) AS rk
+         |  FROM edges)
+         |WHERE rk <= $graphTopK""".stripMargin
+    })
+
   // ------------------------------------------------------------ termvectors
   /** The `_termvectors` API (with term_statistics=true): for requested
     * doc ids, every term with its in-doc frequency plus the index-wide
@@ -1077,6 +1139,24 @@ object SearchExt {
       |FROM tf t JOIN stats s USING (term)
       |WHERE t.doc_id IN (${termvectorDocIds.mkString(", ")})""".stripMargin))
 
+  private[graft] val esqlLookupJoinQuery =
+    """FROM events
+      || EVAL nk = user_id % 25
+      || LOOKUP JOIN nations_lu ON nk
+      || WHERE n_regionkey <= 2
+      || STATS n = COUNT(*) BY n_name
+      || SORT n_name ASC""".stripMargin
+  val esqlLookupJoinOp = QueryDef(
+    "ns_esql_lookup_join",
+    (s, dir) => EsqlParser.run(esqlLookupJoinQuery, {
+      case "events" => Tables.events(s, dir)
+      case "nations_lu" => Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk"), col("n_name"), col("n_regionkey"))
+    }),
+    Some("""SELECT n_name, count(*) AS n
+      |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
+      |WHERE n_regionkey <= 2 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private[graft] val esqlMvExpandQuery =
     """FROM access_log
       || EVAL hops = SPLIT(xff, ",")
@@ -1095,7 +1175,7 @@ object SearchExt {
 
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
-    termvectorsOp,
+    esqlLookupJoinOp, termvectorsOp, graphExploreOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

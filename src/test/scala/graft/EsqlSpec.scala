@@ -129,6 +129,19 @@ class EsqlSpec extends SparkSpec {
     assertThrows[ParseError](EsqlParser.run("FROM t | ENRICH nope ON id", _ => df))
   }
 
+  test("LOOKUP JOIN: left join on the shared field name against a resolved index") {
+    import spark.implicits._
+    val lu = Seq((1L, "one"), (2L, "two")).toDF("id", "name")
+    val got = EsqlParser.run(
+      """FROM t | LOOKUP JOIN lu ON id | SORT id | KEEP id, name""",
+      { case "t" => df; case "lu" => lu }).collect()
+    assert(got(0) == Row(1L, "one"))
+    assert(got(1) == Row(2L, "two"))
+    assert(got(2) == Row(3L, null)) // unmatched keeps the row, null fields
+    assert(intercept[ParseError](EsqlParser.parse("FROM t | LOOKUP x ON id"))
+      .getMessage.contains("expected join"))
+  }
+
   test("MV_EXPAND + SPLIT + MV_COUNT: literal-delimiter split, outer expand") {
     import spark.implicits._
     val src = Seq((1L, "a.b.c"), (2L, "d"), (3L, null.asInstanceOf[String])).toDF("id", "s")
