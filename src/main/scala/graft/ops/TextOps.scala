@@ -645,6 +645,87 @@ object TextOps {
            |FROM freq WHERE levenshtein(tok, '$fuzzyTerm') <= $fuzzyMaxDist
            |ORDER BY distance, freq DESC, suggestion LIMIT $suggestSize""".stripMargin))
 
+  /** The OpenSearch PHRASE suggester: the term suggester's big sibling
+    * — correct a whole query phrase, not a word, by generating per-
+    * position candidates and RESCORING candidate phrases with the
+    * corpus language model (ES wires the same bigram smoothing through
+    * its `laplace` smoothing option). Pipeline: each query position
+    * draws its top-3 candidates from the persisted unigram artifact
+    * (edit distance ≤ 2, ranked distance → frequency → lexicographic —
+    * the term-suggester ordering), the ≤ 3³ candidate phrases cross-
+    * join from three broadcast singleton lists, and each phrase scores
+    * as the sum of its two adjacent-pair Laplace bigram log terms in
+    * exact integer micros (the ns_text_bigram_logprob discipline —
+    * scores are exact longs, no double ever compared).
+    *
+    * Scale shape: query time never touches the corpus — both count
+    * tables are persisted buildOnce artifacts; the candidate window
+    * partitions by query position over a vocabulary-bounded scan; all
+    * joins broadcast the candidate side. */
+  private val phraseSuggestQuery = Seq("fast", "sprak", "join")
+  private val phraseSuggestCandK = 3
+  val phraseSuggestOp = QueryDef(
+    "ns_search_phrase_suggest", { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val uf = unigramFreq(s, dir)
+      val bf = bigramFreq(s, dir)
+      val vocabV = uf.agg(count(lit(1)).as("v"))
+      val qterms = phraseSuggestQuery.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toDF("pos", "qterm")
+      val cand = uf.crossJoin(broadcast(qterms))
+        .withColumn("d", levenshtein(col("tok"), col("qterm")))
+        .filter(col("d") <= fuzzyMaxDist)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("pos").orderBy(col("d"), col("cnt").desc, col("tok"))))
+        .filter(col("rk") <= phraseSuggestCandK)
+      def posCands(i: Int) = cand.filter(col("pos") === i).select(col("tok").as(s"w$i"))
+      val phrases = broadcast(posCands(1))
+        .crossJoin(broadcast(posCands(2)))
+        .crossJoin(broadcast(posCands(3)))
+      val pair12 = bf.select(col("w1").as("p1"), col("w2").as("p2"), col("bc").as("bc12"))
+      val pair23 = bf.select(col("w1").as("p2b"), col("w2").as("p3"), col("bc").as("bc23"))
+      val u1 = uf.select(col("tok").as("u1t"), col("cnt").as("uc1"))
+      val u2 = uf.select(col("tok").as("u2t"), col("cnt").as("uc2"))
+      def logTermC(bc: Column, uc: Column) =
+        round(log((coalesce(bc, lit(0L)) + lit(1.0)) / (uc + col("v"))) * 1e6, 0).cast("long")
+      phrases
+        .join(pair12, col("w1") === col("p1") && col("w2") === col("p2"), "left")
+        .join(pair23, col("w2") === col("p2b") && col("w3") === col("p3"), "left")
+        .join(u1, col("w1") === col("u1t"))
+        .join(u2, col("w2") === col("u2t"))
+        .crossJoin(broadcast(vocabV))
+        .select(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("suggestion"),
+          (logTermC(col("bc12"), col("uc1")) + logTermC(col("bc23"), col("uc2"))).as("score_c"))
+        .orderBy(col("score_c").desc, col("suggestion"))
+        .limit(suggestSize)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |uf AS (SELECT tok, count(*) AS cnt FROM (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+           |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+           |bf AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+           |vv AS (SELECT count(*) AS v FROM uf),
+           |q(pos, qterm) AS (VALUES ${phraseSuggestQuery.zipWithIndex
+              .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")}),
+           |cand AS (SELECT pos, tok, row_number() OVER (PARTITION BY pos
+           |    ORDER BY levenshtein(tok, qterm), cnt DESC, tok) AS rk
+           |  FROM uf, q WHERE levenshtein(tok, qterm) <= $fuzzyMaxDist),
+           |c1 AS (SELECT tok AS w1 FROM cand WHERE pos = 1 AND rk <= $phraseSuggestCandK),
+           |c2 AS (SELECT tok AS w2 FROM cand WHERE pos = 2 AND rk <= $phraseSuggestCandK),
+           |c3 AS (SELECT tok AS w3 FROM cand WHERE pos = 3 AND rk <= $phraseSuggestCandK),
+           |ph AS (SELECT w1, w2, w3 FROM c1, c2, c3),
+           |sc AS (SELECT ph.w1 AS w1, ph.w2 AS w2, ph.w3 AS w3,
+           |    CAST(round(ln((coalesce(b1.bc, 0) + 1.0) / (u1.cnt + v)) * 1000000, 0) AS BIGINT)
+           |    + CAST(round(ln((coalesce(b2.bc, 0) + 1.0) / (u2.cnt + v)) * 1000000, 0) AS BIGINT) AS score_c
+           |  FROM ph
+           |  LEFT JOIN bf b1 ON b1.w1 = ph.w1 AND b1.w2 = ph.w2
+           |  LEFT JOIN bf b2 ON b2.w1 = ph.w2 AND b2.w2 = ph.w3
+           |  JOIN uf u1 ON u1.tok = ph.w1
+           |  JOIN uf u2 ON u2.tok = ph.w2, vv)
+           |SELECT w1 || ' ' || w2 || ' ' || w3 AS suggestion, score_c
+           |FROM sc ORDER BY score_c DESC, suggestion LIMIT $suggestSize""".stripMargin))
+
   /** The OpenSearch `rare_terms` aggregation: the long-tail complement
     * of a terms agg — bucket values appearing in at most
     * `max_doc_count` documents (one-off identifiers, anomalous
@@ -1278,6 +1359,62 @@ object TextOps {
           .coalesce(1)
           .write.mode("overwrite").parquet(path)
     }
+
+  /** The `_explain` API: WHY did this document get this score — the
+    * per-clause BM25 breakdown ES renders as the explanation tree,
+    * flattened to one row per matching query term: tf, dl, df, the idf
+    * and tf-norm factors, the term's contribution, and the document
+    * total (= ns_text_bm25's score for the same doc, same rounding).
+    *
+    * Scale shape: explain is a point lookup — the requested doc id
+    * pushes to a one-document parquet scan; df and (n_docs, avgdl)
+    * come from the persisted term-dictionary artifacts, so no corpus
+    * scan exists in the plan at any SF. The total sums three rows
+    * through a doc-partitioned window. */
+  private val explainDocId = 42L
+  val explainOp = QueryDef(
+    "ns_search_explain", { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Par.spread(s, docs(s, dir), col("doc_id"))
+        .filter(col("doc_id") === explainDocId)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+      val tf = d.select(col("doc_id"), col("dl"),
+          explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
+        .filter(col("tok").isin(bm25Query: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(termDf(s, dir)), "tok")
+        .crossJoin(broadcast(corpusStats(s, dir)))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("tfn", col("tf") * lit(bm25K1 + 1) /
+          (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+        .withColumn("sc", col("idf") * col("tfn"))
+        .withColumn("total", round(sum(col("sc")).over(Window.partitionBy("doc_id")), 6))
+        .select(col("doc_id"), col("tok").as("term"), col("tf"), col("dl"), col("df"),
+          round(col("idf"), 6).as("idf"), round(col("tfn"), 6).as("tf_norm"),
+          round(col("sc"), 6).as("contribution"), col("total"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |stats AS (SELECT count(*) AS n_docs,
+           |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM t),
+           |tdf AS (SELECT tok, count(*) AS df FROM (
+           |  SELECT DISTINCT doc_id, tok FROM (
+           |    SELECT doc_id, unnest(t) AS tok FROM t)) GROUP BY 1),
+           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+           |    SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok FROM t)
+           |  WHERE doc_id = $explainDocId
+           |    AND tok IN (${bm25Query.map(t => s"'$t'").mkString(", ")})
+           |  GROUP BY 1, 2, 3),
+           |e AS (SELECT doc_id, tok, tf, dl, df,
+           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+           |    tf * ${bm25K1 + 1} / (tf + $bm25K1 * (${1 - bm25B} + $bm25B * dl / avgdl)) AS tfn
+           |  FROM tf JOIN tdf USING (tok), stats)
+           |SELECT doc_id, tok AS term, tf, dl, df,
+           |  round(idf, 6) AS idf, round(tfn, 6) AS tf_norm,
+           |  round(idf * tfn, 6) AS contribution,
+           |  round(sum(idf * tfn) OVER (PARTITION BY doc_id), 6) AS total
+           |FROM e""".stripMargin))
 
   val mltOp = QueryDef(
     "ns_search_mlt", { (s, dir) =>
@@ -2845,7 +2982,8 @@ object TextOps {
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
     spanNearOp, spanOrOp, spanNotOp, rankEvalOp, collapseOp, significantTermsOp, bm25Op,
-    topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp, rareTermsOp,
+    topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
+    phraseSuggestOp, explainOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
     sampleTemperatureOp, sampleDomainCapOp, sampleDsirOp,

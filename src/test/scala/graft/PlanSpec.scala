@@ -800,6 +800,28 @@ class PlanSpec extends SparkSpec {
       s"the suggestion cutoff must be a top-k heap:\n$p")
   }
 
+  test("ns_search_phrase_suggest: candidates and rescoring read artifacts only") {
+    val p = physical("ns_search_phrase_suggest")
+    val docScans = nodes(p)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(docScans == 0,
+      s"phrase suggest must read the unigram/bigram artifacts only, found $docScans corpus scans:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the suggestion cutoff must be a top-k heap:\n$p")
+  }
+
+  test("ns_search_explain: a point lookup — one-doc scan with pushed id, artifacts for stats") {
+    val p = physical("ns_search_explain")
+    val scans = nodes(p).collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val docScans = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.endsWith("/documents.parquet")))
+    assert(docScans.size == 1,
+      s"explain must touch the corpus exactly once (the requested doc):\n$p")
+    assert(docScans.head.metadata.get("PushedFilters").exists(_.contains("EqualTo(doc_id")),
+      s"the requested doc id must push to the scan:\n${docScans.head.metadata}")
+  }
+
   test("ns_search_prefix: StringStartsWith pushes to the scan; only (doc_id, source) read") {
     val p = physical("ns_search_prefix")
     val scans = nodes(p).collect {
