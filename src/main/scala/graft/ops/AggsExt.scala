@@ -1218,9 +1218,34 @@ object AggsExt {
         expr("max_by(event_type, ts_ms * 1048576 + event_id)").as("last_type"))
   }
 
+  /** The `_transform` API's OTHER mode: `latest` — keep each entity's
+    * most recent full document (the "current state" table every ops
+    * dashboard is built on). Same plan as the pivot: one hash
+    * aggregate, every column an ordinary max_by over the UNIQUE
+    * ms·2^20+event_id ordering key, so the whole row is internally
+    * consistent (all fields come from the same winning event) and
+    * both engines agree bit-exactly. */
+  val transformLatestAgg: QueryDef = q(
+    "ns_transform_latest",
+    s"""SELECT user_id,
+       |  arg_max(event_id, epoch_ms(ts) * 1048576 + event_id) AS event_id,
+       |  arg_max(event_type, epoch_ms(ts) * 1048576 + event_id) AS event_type,
+       |  arg_max(${sqlCents("value")}, epoch_ms(ts) * 1048576 + event_id) AS value_c,
+       |  max(epoch_ms(ts)) AS ts_ms
+       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("ok", col("ts_ms") * 1048576L + col("event_id"))
+      .withColumn("vc", cents(col("value")))
+      .groupBy("user_id")
+      .agg(expr("max_by(event_id, ok)").as("event_id"),
+        expr("max_by(event_type, ok)").as("event_type"),
+        expr("max_by(vc, ok)").as("value_c"),
+        max(col("ts_ms")).as("ts_ms"))
+  }
+
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
-    termsShardErrorAgg, transformPivotAgg, downsampleAgg,
+    termsShardErrorAgg, transformPivotAgg, transformLatestAgg, downsampleAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,

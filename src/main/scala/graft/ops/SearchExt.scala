@@ -1044,6 +1044,61 @@ object SearchExt {
       |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY 1, 2 ORDER BY n_name""".stripMargin))
 
+  // ----------------------------------------------------- document-level APIs
+  /** `_count` — the query without the hits: the SAME compiled
+    * query_string predicate as ns_search_query_string, reduced to one
+    * map-side-combined count. At scale this is the cheapest query in
+    * the API: one pruned scan, a 1-row exchange. */
+  val countOp = QueryDef(
+    "ns_search_count",
+    (s, dir) => {
+      val pred = QueryStringParser.compile(
+        QueryStringParser.parse(qsQuery),
+        col("text"),
+        Map("lang" -> col("lang"), "source" -> col("source")))
+      docs(s, dir).filter(pred).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT count(*) AS n FROM documents
+      |WHERE lang = 'en'
+      |  AND (list_contains(string_split(trim(text), ' '), 'spark')
+      |       OR contains(concat(' ', trim(text), ' '), ' data column '))
+      |  AND NOT source = 'src7'
+      |  AND len(list_filter(string_split(trim(text), ' '), x -> x LIKE 'que%')) > 0
+      |""".stripMargin))
+
+  /** `_update_by_query` with a script: the matched docs are rewritten
+    * in place, everything else passes through untouched — which in an
+    * immutable-storage engine is COPY-ON-WRITE: one codegen pass where
+    * the script is a CASE projection, emitting the post-update index
+    * plus the per-doc `updated` flag (the API's response counts are
+    * sum(updated)). No shuffle; at 100 TB the rewrite cost is the
+    * stream-through, exactly like ES's internal scroll+bulk loop but
+    * one pass. */
+  val updateByQueryOp = QueryDef(
+    "ns_update_by_query",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(col("lang") === "de", lit("archived")).otherwise(col("source")).as("source"),
+      when(col("lang") === "de", 1L).otherwise(0L).as("updated")),
+    Some("""SELECT doc_id, lang,
+      |  CASE WHEN lang = 'de' THEN 'archived' ELSE source END AS source,
+      |  CAST(CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS BIGINT) AS updated
+      |FROM documents""".stripMargin))
+
+  /** `_reindex` with a source query and script: only matching docs
+    * move, reshaped for the destination mapping. The source filter is
+    * a plain stored-column comparison, so it reaches PushedFilters and
+    * row-group pruning skips non-matching chunks before any transform
+    * — the reindex reads the slice, not the index. */
+  val reindexOp = QueryDef(
+    "ns_reindex",
+    (s, dir) => docs(s, dir)
+      .filter(col("n_chars") >= 300)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("text_len")),
+    Some("""SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS text_len
+      |FROM documents WHERE n_chars >= 300""".stripMargin))
+
   // ---------------------------------------------------------- graph explore
   /** The X-Pack Graph API (`_graph/explore`): seed terms expand one hop
     * to their most significantly co-occurring vertices, with edge
@@ -1176,6 +1231,7 @@ object SearchExt {
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, termvectorsOp, graphExploreOp,
+    countOp, updateByQueryOp, reindexOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
