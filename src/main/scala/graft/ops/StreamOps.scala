@@ -232,6 +232,35 @@ object StreamOps {
            |     ORDER BY epoch_ms(ts), event_id)) <= $throttleMax AS admitted
            |FROM events""".stripMargin))
 
+  /** The continuous `_transform` upsert, batch-twinned: the event log
+    * splits into three "triggers" and folds through TransformStream's
+    * partial/merge — the EXACT functions the streaming store runs per
+    * micro-batch (graft.streaming.TransformStream; TransformStreamSpec
+    * drives the real foreachBatch store with replay-idempotency and
+    * bucketed-IO contracts). The oracle is the one-shot pivot, so a
+    * green row proves the merge is associative: any trigger split
+    * converges to the same entity table. last_ms recovers from the
+    * ordering key by exact shift (ok = ms·2^20 + event_id). */
+  val transformUpsertOp = QueryDef(
+    "ns_stream_transform_upsert",
+    (s, dir) => {
+      import graft.streaming.TransformStream
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"),
+        cents(col("value")).as("vc"),
+        (col("ts_ms") * 1048576L + col("event_id")).as("ok"),
+        col("event_id"))
+      val batches = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i).drop("event_id"))
+      batches.map(TransformStream.partial).reduce(TransformStream.merge)
+        .select(col("user_id"), col("n_events"), col("sum_value_c"),
+          shiftright(col("last_ok"), 20).as("last_ms"), col("last_type"))
+    },
+    Some(s"""SELECT user_id, count(*) AS n_events,
+            |  ${sqlSum(sqlCents("value"))} AS sum_value_c,
+            |  max(epoch_ms(ts)) AS last_ms,
+            |  arg_max(event_type, epoch_ms(ts) * 1048576 + event_id) AS last_type
+            |FROM events GROUP BY 1""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(tumblingOp, hoppingOp, dedupOp, sessionOp, sessionizeOp,
-    streamJoinOp, streamJoinOuterOp, streamTopNOp, throttleOp)
+    streamJoinOp, streamJoinOuterOp, streamTopNOp, throttleOp, transformUpsertOp)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TransformStream
+
+/** Contracts for the continuous `_transform` store (TransformStream):
+  * the folded store equals the one-shot pivot, checkpoint replay is
+  * idempotent, and per-trigger IO touches only the batch's buckets. */
+class TransformStreamSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  // (user_id, event_type, vc, ok) rows; ok must be unique
+  private def row(u: Long, t: String, vc: Long, ok: Long) = (u, t, vc, ok)
+
+  test("streamed store equals the one-shot pivot after multiple triggers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val storeDir = tmp("ts-store")
+    val q = TransformStream.start(
+      in.toDF().toDF("user_id", "event_type", "vc", "ok"),
+      storeDir, tmp("ts-ckpt"))
+    try {
+      in.addData(row(1, "view", 100, 10), row(1, "click", 250, 11), row(2, "view", 40, 12))
+      q.processAllAvailable()
+      in.addData(row(1, "purchase", 999, 13), row(3, "view", 7, 14))
+      q.processAllAvailable()
+      in.addData(row(2, "click", 60, 9)) // LATE event: ok below user 2's current last
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = TransformStream.readStore(spark, storeDir)
+      .as[(Long, Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 3L, 1349L, 13L, "purchase")))
+    assert(got(2L) == ((2L, 2L, 100L, 12L, "view"))) // late click adds but does not win
+    assert(got(3L) == ((3L, 1L, 7L, 14L, "view")))
+  }
+
+  test("checkpoint replay is idempotent: re-upserting a batch converges to the same store") {
+    import spark.implicits._
+    val storeDir = tmp("ts-idem")
+    val b0 = Seq(row(1, "view", 10, 1), row(2, "view", 20, 2))
+      .toDF("user_id", "event_type", "vc", "ok")
+    val b1 = Seq(row(1, "click", 30, 3)).toDF("user_id", "event_type", "vc", "ok")
+    TransformStream.upsertBatch(spark, storeDir)(b0, 0L)
+    TransformStream.upsertBatch(spark, storeDir)(b1, 1L)
+    val once = TransformStream.readStore(spark, storeDir)
+      .orderBy("user_id").collect().toSeq
+    // the failure-replay case: batch 1 runs again with the same id
+    TransformStream.upsertBatch(spark, storeDir)(b1, 1L)
+    val twice = TransformStream.readStore(spark, storeDir)
+      .orderBy("user_id").collect().toSeq
+    assert(once == twice)
+    assert(once.find(_.getLong(0) == 1L).get.getLong(1) == 2L) // n_events NOT doubled
+  }
+
+  test("a trigger writes only its batch's buckets; untouched buckets stay at older generations") {
+    import spark.implicits._
+    val storeDir = tmp("ts-bkt")
+    // users 0..15 spread across buckets in gen 0
+    val wide = (0L until 16L).map(u => row(u, "view", 1, u + 1))
+      .toDF("user_id", "event_type", "vc", "ok")
+    TransformStream.upsertBatch(spark, storeDir)(wide, 0L)
+    val gensAfter0 = TransformStream.latestGens(spark, storeDir, Long.MaxValue)
+    // one user in gen 1 → exactly one bucket advances
+    val narrow = Seq(row(5, "click", 2, 100)).toDF("user_id", "event_type", "vc", "ok")
+    TransformStream.upsertBatch(spark, storeDir)(narrow, 1L)
+    val gensAfter1 = TransformStream.latestGens(spark, storeDir, Long.MaxValue)
+    val advanced = gensAfter1.filter { case (b, g) => gensAfter0.get(b).exists(_ < g) }
+    assert(advanced.size == 1,
+      s"one-user batch must advance one bucket, got $advanced")
+    // and the store still reads complete
+    assert(TransformStream.readStore(spark, storeDir).count() == 16)
+  }
+
+  test("merge is associative: any batch split folds to the one-shot partial") {
+    import spark.implicits._
+    val all = Seq(row(1, "a", 1, 1), row(1, "b", 2, 5), row(2, "c", 3, 3),
+      row(2, "d", 4, 2), row(3, "e", 5, 4))
+      .toDF("user_id", "event_type", "vc", "ok")
+    val oneShot = TransformStream.partial(all).orderBy("user_id").collect().toSeq
+    for (m <- 2 to 3) {
+      val parts = (0 until m).map(i => all.filter(col("ok") % m === i))
+      val folded = parts.map(TransformStream.partial).reduce(TransformStream.merge)
+        .orderBy("user_id").collect().toSeq
+      assert(folded == oneShot, s"fold of $m parts diverged")
+    }
+  }
+}
