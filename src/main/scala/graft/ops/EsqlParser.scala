@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   *   expr     := or; or := and (OR and)*; and := unary (AND unary)*
   *   unary    := NOT unary | cmp
   *   cmp      := add (('=='|'!='|'>='|'<='|'>'|'<') add
-  *                    | LIKE string | IN '(' lit (',' lit)* ')')?
+  *                    | LIKE string | IN '(' lit (',' lit)* ')'
+  *                    | IS [NOT] NULL)?
   *   add      := mul (('+'|'-') mul)*; mul := prim (('*'|'/'|'%') prim)*
   *   prim     := '(' expr ')' | '-' prim | number | string | ident
   *             | fn '(' args ')'     // ROUND ABS LENGTH CONCAT SUBSTRING
@@ -77,6 +78,7 @@ object EsqlParser {
   final case class Neg(e: Expr) extends Expr
   final case class Like(e: Expr, pattern: String) extends Expr
   final case class In(e: Expr, values: Seq[Expr]) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Func(name: String, args: Seq[Expr]) extends Expr
 
   sealed trait Agg
@@ -201,6 +203,12 @@ object EsqlParser {
             case Some(TStr(p, _)) => i += 1; Like(l, p)
             case _ => throw ParseError("LIKE expects a string pattern", pos)
           }
+        case Some(t) if isKw(t, "is") =>
+          i += 1
+          val neg = peek.exists(isKw(_, "not"))
+          if (neg) i += 1
+          eatKw("null")
+          IsNull(l, neg)
         case Some(t) if isKw(t, "in") =>
           i += 1; eatSym("(")
           val vs = Seq.newBuilder[Expr]
@@ -282,6 +290,8 @@ object EsqlParser {
           case "SUM" => AggFn("sum", parseExpr())
           case "MIN" => AggFn("min", parseExpr())
           case "MAX" => AggFn("max", parseExpr())
+          case "AVG" => AggFn("avg", parseExpr())
+          case "MEDIAN" => AggFn("median", parseExpr())
           case other => throw ParseError(s"unsupported aggregate $other", pos)
         }
         eatSym(")")
@@ -389,6 +399,8 @@ object EsqlParser {
     case Not(x) => !compileExpr(x)
     case Neg(x) => -compileExpr(x)
     case Like(x, p) => compileExpr(x).like(likePattern(p))
+    case IsNull(x, neg) =>
+      if (neg) compileExpr(x).isNotNull else compileExpr(x).isNull
     case In(x, vs) => compileExpr(x).isin(vs.map {
       case NumLit(v) => if (v.isValidLong) v.toLong else v.toDouble
       case StrLit(s) => s
@@ -537,6 +549,8 @@ object EsqlParser {
     case AggFn("sum", e) => sum(compileExpr(e))
     case AggFn("min", e) => min(compileExpr(e))
     case AggFn("max", e) => max(compileExpr(e))
+    case AggFn("avg", e) => avg(compileExpr(e))
+    case AggFn("median", e) => median(compileExpr(e))
     case AggFn(other, _) => throw ParseError(s"unsupported aggregate $other", 0)
   }).as(name)
 

@@ -1044,6 +1044,53 @@ object SearchExt {
       |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY 1, 2 ORDER BY n_name""".stripMargin))
 
+  // ---------------------------------------------------------------- analyze
+  /** The `_analyze` API: run an analyzer chain over requested docs and
+    * return the token stream — the debugging endpoint every mapping
+    * change is tested against. Chain here = standard tokenizer (the
+    * corpus is space-tokenized) → lowercase → English stop filter,
+    * with POSITIONS assigned BEFORE stop removal (ES's position
+    * gapping: removed stops leave holes, which is what makes phrase
+    * queries behave across them). The requested ids push to the scan;
+    * one posexplode is the whole plan. */
+  private val analyzeStops = Seq("a", "an", "and", "are", "as", "at", "be", "but",
+    "by", "for", "if", "in", "is", "it", "of", "on", "or", "the", "to", "with")
+  private val analyzeDocIds = Seq(11L, 42L)
+  val analyzeOp = QueryDef(
+    "ns_search_analyze",
+    (s, dir) => docs(s, dir)
+      .filter(col("doc_id").isin(analyzeDocIds: _*))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("position"),
+        lower(col("tok")).as("token"))
+      .filter(!col("token").isin(analyzeStops: _*)),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      |  WHERE doc_id IN (${analyzeDocIds.mkString(", ")}))
+      |SELECT doc_id, CAST(i AS BIGINT) AS position, lower(t[i]) AS token
+      |FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM t)
+      |WHERE lower(t[i]) NOT IN (${analyzeStops.map(w => s"'$w'").mkString(", ")})""".stripMargin))
+
+  /** `_cat/indices` + `_stats`, with `source` standing in for the
+    * index: per index — doc count, store size (chars), deleted-doc
+    * stand-in (empty docs), field cardinality, and the min/max primary
+    * key. One map-side-combined aggregate; the ops dashboard's
+    * cheapest call stays the cheapest plan. */
+  val indexStatsOp = QueryDef(
+    "ns_cat_indices",
+    (s, dir) => docs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_count"),
+        sum(length(col("text")).cast("long")).as("store_chars"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("docs_empty"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")),
+    Some("""SELECT source, count(*) AS docs_count,
+      |  CAST(sum(length(text)) AS BIGINT) AS store_chars,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_empty,
+      |  count(DISTINCT lang) AS n_langs,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1""".stripMargin))
+
   // ----------------------------------------------------- document-level APIs
   /** `_count` — the query without the hits: the SAME compiled
     * query_string predicate as ns_search_query_string, reduced to one
@@ -1231,7 +1278,7 @@ object SearchExt {
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, termvectorsOp, graphExploreOp,
-    countOp, updateByQueryOp, reindexOp,
+    countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

@@ -1262,9 +1262,93 @@ object VectorSearch {
             |SELECT id, text_rank, vec_rank, round(rrf_score, 6) AS rrf_score
             |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin))
 
+  /** Score-based hybrid retrieval — the OTHER fusion mode next to RRF
+    * (OpenSearch's `hybrid` query with min_max normalization; ES's
+    * `linear` retriever): each leg's scores are min-max normalized
+    * OVER ITS OWN RETRIEVED WINDOW (exactly the OpenSearch
+    * normalization-processor contract — normalization never sees the
+    * corpus, only the candidate page), then combined as a weighted
+    * sum, missing legs contributing zero. Determinism: leg inputs are
+    * exact (tf longs; cosine rounded 6), min/max over a 50-row window
+    * are exact selections, and the normalize+combine formula is one
+    * shared derivation both engines evaluate identically; degenerate
+    * windows (max = min) normalize to 1.0 by the same guard in both.
+    * Plan shape is rrf's: two bounded top-k legs, a full-outer join of
+    * two ≤50-row frames, driver-sized at any SF. */
+  private val hybridLexW = 0.7
+  private val hybridVecW = 0.3
+  val hybridOp = QueryDef(
+    "ns_search_hybrid", {
+      (s, dir) =>
+        val qv = Tables.embeddings(s, dir)
+          .filter(col("vec_id") === rrfQid).select(col("embedding").as("q_emb"))
+        val vecTopRaw = embPar(s, dir).crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= rrfQid)
+          .select(col("vec_id"),
+            round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("vec_id"), col("cos_r"), rrfWindow).as("top"))
+          .select(explode(col("top")).as("c"))
+          .select(col("c.id").as("id"), col("c.score").as("cos_r"))
+        val vecStats = vecTopRaw.agg(min("cos_r").as("v_min"), max("cos_r").as("v_max"))
+        val vecTop = vecTopRaw.crossJoin(broadcast(vecStats))
+          .select(col("id"), when(col("v_max") > col("v_min"),
+            (col("cos_r") - col("v_min")) / (col("v_max") - col("v_min")))
+            .otherwise(lit(1.0)).as("vec_norm"))
+        val toksD = split(trim(col("text")), " ")
+        val textTopRaw = Tables.documents(s, dir)
+          .withColumn("tf", size(filter(toksD, t => t === rrfTerm)).cast("long"))
+          .filter(col("tf") > 0 && col("doc_id") =!= rrfQid)
+          .orderBy(col("tf").desc, col("doc_id"))
+          .limit(rrfWindow)
+          .select(col("doc_id").as("id"), col("tf"))
+        val lexStats = textTopRaw.agg(min("tf").as("l_min"), max("tf").as("l_max"))
+        val textTop = textTopRaw.crossJoin(broadcast(lexStats))
+          .select(col("id"), when(col("l_max") > col("l_min"),
+            (col("tf") - col("l_min")).cast("double") / (col("l_max") - col("l_min")))
+            .otherwise(lit(1.0)).as("lex_norm"))
+        textTop.join(vecTop, Seq("id"), "full_outer")
+          .withColumn("hybrid_score",
+            coalesce(col("lex_norm"), lit(0.0)) * hybridLexW +
+              coalesce(col("vec_norm"), lit(0.0)) * hybridVecW)
+          .orderBy(col("hybrid_score").desc, col("id"))
+          .limit(10)
+          .select(col("id"),
+            round(coalesce(col("lex_norm"), lit(0.0)), 6).as("lex_norm"),
+            round(coalesce(col("vec_norm"), lit(0.0)), 6).as("vec_norm"),
+            round(col("hybrid_score"), 6).as("hybrid_score"))
+    },
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = $rrfQid),
+            |vs AS (SELECT e.vec_id AS id,
+            |    round(list_cosine_similarity(e.embedding::DOUBLE[], q_emb), 6) AS cos_r
+            |  FROM embeddings e, q WHERE e.vec_id <> $rrfQid),
+            |vtop AS (SELECT id, cos_r FROM (
+            |    SELECT id, cos_r, row_number() OVER (ORDER BY cos_r DESC, id) AS rk FROM vs)
+            |  WHERE rk <= $rrfWindow),
+            |vn AS (SELECT id, CASE WHEN max(cos_r) OVER () > min(cos_r) OVER ()
+            |    THEN (cos_r - min(cos_r) OVER ()) / (max(cos_r) OVER () - min(cos_r) OVER ())
+            |    ELSE 1.0 END AS vec_norm FROM vtop),
+            |tf AS (SELECT doc_id AS id,
+            |    len(list_filter(string_split(trim(text), ' '), x -> x = '$rrfTerm')) AS tf
+            |  FROM documents WHERE doc_id <> $rrfQid),
+            |ttop AS (SELECT id, tf FROM (
+            |    SELECT id, tf, row_number() OVER (ORDER BY tf DESC, id) AS rk
+            |    FROM tf WHERE tf > 0)
+            |  WHERE rk <= $rrfWindow),
+            |tn AS (SELECT id, CASE WHEN max(tf) OVER () > min(tf) OVER ()
+            |    THEN CAST(tf - min(tf) OVER () AS DOUBLE) / (max(tf) OVER () - min(tf) OVER ())
+            |    ELSE 1.0 END AS lex_norm FROM ttop),
+            |f AS (SELECT coalesce(tn.id, vn.id) AS id,
+            |    coalesce(tn.lex_norm, 0) AS lex_norm, coalesce(vn.vec_norm, 0) AS vec_norm,
+            |    coalesce(tn.lex_norm, 0) * $hybridLexW + coalesce(vn.vec_norm, 0) * $hybridVecW AS hybrid_score
+            |  FROM tn FULL OUTER JOIN vn ON tn.id = vn.id)
+            |SELECT id, round(lex_norm, 6) AS lex_norm, round(vec_norm, 6) AS vec_norm,
+            |  round(hybrid_score, 6) AS hybrid_score
+            |FROM f ORDER BY hybrid_score DESC, id LIMIT 10""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     knnOp, knnFilteredOp, knnThresholdOp, ivfOp, pqOp, pqRerankOp, ivfpqOp,
-    ivfpqRerankOp, mrlOp, rrfOp,
+    ivfpqRerankOp, mrlOp, rrfOp, hybridOp,
     dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,
     multimodalResizeOp, multimodalFramesOp, multimodalAudioOp,

@@ -129,6 +129,18 @@ class EsqlSpec extends SparkSpec {
     assertThrows[ParseError](EsqlParser.run("FROM t | ENRICH nope ON id", _ => df))
   }
 
+  test("AVG/MEDIAN aggregates and IS [NOT] NULL comparisons") {
+    val got = run("FROM t | STATS a = AVG(n), m = MEDIAN(n)").head()
+    assert(got == Row(30.0, 30.0))
+    import spark.implicits._
+    val withNulls = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "v")
+    assert(EsqlParser.run("FROM t | WHERE v IS NULL | STATS c = COUNT(*)",
+      _ => withNulls).head().getLong(0) == 1L)
+    assert(EsqlParser.run("FROM t | WHERE v IS NOT NULL | STATS c = COUNT(*)",
+      _ => withNulls).head().getLong(0) == 2L)
+  }
+
   test("LOOKUP JOIN: left join on the shared field name against a resolved index") {
     import spark.implicits._
     val lu = Seq((1L, "one"), (2L, "two")).toDF("id", "name")
@@ -162,7 +174,7 @@ class EsqlSpec extends SparkSpec {
     assert(err("FROM t | WHERE (n > 1").contains("expected ')'"))
     assert(err("FROM t | LIMIT x").contains("LIMIT expects an integer"))
     assert(err("""FROM t | WHERE n LIKE 5""").contains("LIKE expects a string"))
-    assert(err("FROM t | STATS AVG(n)").contains("unsupported aggregate AVG"))
+    assert(err("FROM t | STATS VARIANCE(n)").contains("unsupported aggregate VARIANCE"))
     assert(err("""FROM t | WHERE cat == "unterminated""").contains("unterminated string"))
   }
 
