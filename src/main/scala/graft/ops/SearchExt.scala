@@ -1070,6 +1070,52 @@ object SearchExt {
       |FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM t)
       |WHERE lower(t[i]) NOT IN (${analyzeStops.map(w => s"'$w'").mkString(", ")})""".stripMargin))
 
+  /** ILM `_rollover` with max_docs: the write alias points at
+    * generation N until N holds max_docs, then rolls to N+1 — so a
+    * document's generation is floor(itsrank / max_docs) within its
+    * alias (loggroup), ranked by event time. The corpus-wide per-alias
+    * rank does NOT use a global window: the ns_text_pack discipline —
+    * exclusive prefix COUNTS within hour blocks (windows partitioned
+    * by (alias, block)), block base counts summed over the tiny
+    * per-alias block table, rank = base + in-block prefix. Output is
+    * the rollover ledger: per (alias, generation) — doc count and the
+    * covered time range. */
+  private val rolloverMaxDocs = 1000L
+  val rolloverOp = QueryDef(
+    "ns_index_rollover",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Synth.accessLog(s, dir)
+        .select(col("loggroup"),
+          (col("ts_ms") * 1048576L + col("event_id")).as("ok"))
+        .withColumn("block", expr("shiftright(ok, 20) div 3600000"))
+      val wIn = Window.partitionBy("loggroup", "block").orderBy("ok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = t.withColumn("prev_in_block",
+        coalesce(sum(lit(1L)).over(wIn), lit(0L)))
+      val wBase = Window.partitionBy("loggroup").orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = within.groupBy("loggroup", "block")
+        .agg(max(col("prev_in_block") + 1L).as("bn"))
+        .withColumn("base", coalesce(sum(col("bn")).over(wBase), lit(0L)))
+        .select("loggroup", "block", "base")
+      within.join(broadcast(bases), Seq("loggroup", "block"))
+        .select(col("loggroup"), col("ok"),
+          expr(s"(base + prev_in_block) div $rolloverMaxDocs").as("generation"))
+        .groupBy("loggroup", "generation")
+        .agg(count(lit(1)).as("n_docs"),
+          shiftright(min(col("ok")), 20).as("min_ms"),
+          shiftright(max(col("ok")), 20).as("max_ms"))
+    },
+    Some(Synth.withAccessLog(
+      s"""SELECT loggroup, CAST((rn - 1) // $rolloverMaxDocs AS BIGINT) AS generation,
+         |  count(*) AS n_docs, min(ok) // 1048576 AS min_ms, max(ok) // 1048576 AS max_ms
+         |FROM (SELECT loggroup, epoch_ms(ts) * 1048576 + event_id AS ok,
+         |    row_number() OVER (PARTITION BY loggroup
+         |      ORDER BY epoch_ms(ts) * 1048576 + event_id) AS rn
+         |  FROM access_log)
+         |GROUP BY 1, 2""".stripMargin)))
+
   /** `_cat/indices` + `_stats`, with `source` standing in for the
     * index: per index — doc count, store size (chars), deleted-doc
     * stand-in (empty docs), field cardinality, and the min/max primary
@@ -1278,7 +1324,7 @@ object SearchExt {
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, termvectorsOp, graphExploreOp,
-    countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp,
+    countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

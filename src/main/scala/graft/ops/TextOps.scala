@@ -879,6 +879,94 @@ object TextOps {
            |FROM g WHERE w1 = '$spanLead' AND list_contains(win, '$spanLast')
            |GROUP BY 1""".stripMargin))
 
+  /** The `span_containing` query — the first of the two span-nesting
+    * relations: match BIG spans (span_near lead→last, minimal form —
+    * the shortest window reaching `last`, which is Lucene's span) that
+    * CONTAIN a match of the LITTLE span (span_term). Same positional
+    * discipline as span_near: one explode(sequence) pass, the minimal
+    * span end via array_position on a bounded slice, containment via
+    * array_contains on the span's own slice — every predicate codegen,
+    * no positional self-join. */
+  val spanContainingOp = QueryDef(
+    "ns_search_span_containing", {
+      (s, dir) =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 2,
+              sequence(lit(1), size(col("t")) - 1))).as("i"),
+            col("t"))
+          .withColumn("kpos", coalesce(
+            array_position(expr(s"slice(t, i + 1, $spanSlop + 1)"), spanLast), lit(0L)))
+          .withColumn("is_big",
+            coalesce(element_at(col("t"), col("i")) === spanLead, lit(false)) &&
+              col("kpos") > 0)
+          .withColumn("containing", col("is_big") &&
+            coalesce(array_contains(
+              expr("slice(t, i, CAST(kpos AS INT) + 1)"), spanOrTerm), lit(false)))
+          .groupBy("doc_id")
+          .agg(sum(when(col("is_big"), 1L).otherwise(0L)).as("n_big"),
+            sum(when(col("containing"), 1L).otherwise(0L)).as("n_containing"))
+          .filter(col("n_containing") > 0)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, t, i, t[i] AS w1,
+           |    coalesce(list_position(t[i + 1 : i + ${spanSlop + 1}], '$spanLast'), 0) AS kpos
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+           |        FROM t WHERE len(t) >= 2)),
+           |b AS (SELECT doc_id,
+           |    CASE WHEN w1 = '$spanLead' AND kpos > 0 THEN 1 ELSE 0 END AS is_big,
+           |    CASE WHEN w1 = '$spanLead' AND kpos > 0
+           |      AND list_contains(t[i : i + kpos], '$spanOrTerm') THEN 1 ELSE 0 END AS containing
+           |  FROM g)
+           |SELECT doc_id, CAST(sum(is_big) AS BIGINT) AS n_big,
+           |  CAST(sum(containing) AS BIGINT) AS n_containing
+           |FROM b GROUP BY 1 HAVING sum(containing) > 0""".stripMargin))
+
+  /** The `span_within` query — the inverse nesting relation: match
+    * LITTLE spans (span_term at position p) that sit INSIDE some big
+    * span. The backward check unrolls over the bounded span width
+    * (d = 1..slop+1): position p is within a big span iff some
+    * lead at p−d starts a minimal span reaching at least p — a fixed
+    * OR of codegen comparisons, no join, no HOF fallback. */
+  val spanWithinOp = QueryDef(
+    "ns_search_span_within", {
+      (s, dir) =>
+        val base = Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 1, sequence(lit(1), size(col("t"))))).as("p"),
+            col("t"))
+          .withColumn("is_term",
+            coalesce(element_at(col("t"), col("p")) === spanOrTerm, lit(false)))
+        val withinAnyBig = (1 to spanSlop + 1).map { d =>
+          // p - d can be 0 (element_at rejects index 0) — gate the probe
+          coalesce(when(col("p") > d,
+            element_at(col("t"), col("p") - d) === spanLead), lit(false)) &&
+            coalesce(array_position(
+              expr(s"slice(t, greatest(p - $d + 1, 1), $spanSlop + 1)"), spanLast) >= d, lit(false))
+        }.reduce(_ || _)
+        base
+          .withColumn("within", col("is_term") && withinAnyBig)
+          .groupBy("doc_id")
+          .agg(sum(when(col("within"), 1L).otherwise(0L)).as("n_within"))
+          .filter(col("n_within") > 0)
+    },
+    Some {
+      val conds = (1 to spanSlop + 1).map { d =>
+        s"""(p - $d >= 1 AND t[p - $d] = '$spanLead'
+           | AND coalesce(list_position(t[p - $d + 1 : p - $d + $spanSlop + 1], '$spanLast'), 0) >= $d)""".stripMargin
+      }.mkString("\n    OR ")
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+         |  FROM t WHERE len(t) >= 1),
+         |w AS (SELECT doc_id,
+         |    CASE WHEN t[p] = '$spanOrTerm' AND ($conds) THEN 1 ELSE 0 END AS within
+         |  FROM g)
+         |SELECT doc_id, CAST(sum(within) AS BIGINT) AS n_within
+         |FROM w GROUP BY 1 HAVING sum(within) > 0""".stripMargin
+    })
+
   /** The `span_or` query: a span matches where ANY clause span matches
     * — here span_term(spark) OR span_near(slow→join, slop 2). ONE
     * positional explode serves both clauses (conditional sums, the
@@ -2981,7 +3069,8 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
-    spanNearOp, spanOrOp, spanNotOp, rankEvalOp, collapseOp, significantTermsOp, bm25Op,
+    spanNearOp, spanOrOp, spanNotOp, spanContainingOp, spanWithinOp,
+    rankEvalOp, collapseOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
     phraseSuggestOp, explainOp, rareTermsOp,
     boolQueryOp, highlightOp,
