@@ -292,6 +292,36 @@ object Corpus {
       flag(rWords && rMwl && rAlpha && rSym && rStop).as("pass"))
   }
 
+  // --------------------------------------------------------------- url dedup
+  /** Crawl-style URL deduplication — the step every web-corpus pipeline
+    * (CommonCrawl/RefinedWeb lineage) runs before content dedup: URLs
+    * normalize (query string and tracking suffixes stripped, case
+    * folded) and collapse to one canonical row carrying the occurrence
+    * count, distinct-user reach, and the FIRST fetch (min over the
+    * unique ms·2^20+event_id key — the crawl's keep-first rule). One
+    * codegen normalize pass + one hash aggregate on the normalized key;
+    * at 100 TB the shuffle carries one row per distinct URL, not per
+    * fetch (map-side combine collapses repeats early). */
+  val urlDedupOp: QueryDef = QueryDef(
+    "ns_url_dedup",
+    (s, dir) => Synth.accessLog(s, dir)
+      .select(
+        lower(regexp_replace(split(col("url"), "\\?").getItem(0), "\\.html$", ""))
+          .as("path_norm"),
+        col("user_id"),
+        (col("ts_ms") * 1048576L + col("event_id")).as("ok"))
+      .groupBy("path_norm")
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("user_id")).as("n_users"),
+        shiftright(min(col("ok")), 20).as("first_ms")),
+    Some(Synth.withAccessLog(
+      """SELECT lower(regexp_replace(str_split(url, '?')[1], '\.html$', '')) AS path_norm,
+        |  count(*) AS n_fetches,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_ms(ts) * 1048576 + event_id) // 1048576 AS first_ms
+        |FROM access_log GROUP BY 1""".stripMargin)))
+
   def entries: Seq[QueryDef] = Seq(
-    bpeApplyOp, bpeTrainOp, qualityClassifierOp, embeddingWhitenOp, gopherOp)
+    bpeApplyOp, bpeTrainOp, qualityClassifierOp, embeddingWhitenOp, gopherOp,
+    urlDedupOp)
 }

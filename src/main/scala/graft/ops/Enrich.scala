@@ -845,11 +845,62 @@ object Enrich {
          |  JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end)
          |GROUP BY 1, 2""".stripMargin)))
 
+  /** The `geo_shape` query: indexed SHAPES (per-country boxes around
+    * the dim point, sized deterministically from the nation key)
+    * against a fixed query box, with all four ES spatial relations —
+    * intersects / within / contains / disjoint — decided at once.
+    * Every edge sits on a .5-offset-degree ± integer bound, so the
+    * comparisons are exact in both engines; the relation predicates
+    * are one shared SQL text evaluated on the broadcast dim columns
+    * (dimension-bounded work — the per-event join is the established
+    * banded ip-range join, and the relation costs nothing more than
+    * reading the flags off the matched dim row). */
+  private val geoShapeRelSql: Seq[(String, String)] = {
+    val box = "geo_lat - (2 + nk % 5) AS s0, geo_lat + (2 + nk % 5) AS s1, " +
+      "geo_lon - (3 + nk % 7) AS t0, geo_lon + (3 + nk % 7) AS t1"
+    val inter = "s0 <= 40 AND s1 >= -20 AND t0 <= 60 AND t1 >= -60"
+    Seq("box" -> box, "inter" -> inter)
+  }
+  val geoShapeOp = QueryDef(
+    "ns_search_geo_shape", {
+      (s, dir) =>
+        val inter = geoShapeRelSql.find(_._1 == "inter").get._2
+        geoEnrichedFacts(s, dir)
+          .withColumn("nk", col("as_number") - 64512L)
+          .withColumn("s0", expr("geo_lat - (2 + nk % 5)"))
+          .withColumn("s1", expr("geo_lat + (2 + nk % 5)"))
+          .withColumn("t0", expr("geo_lon - (3 + nk % 7)"))
+          .withColumn("t1", expr("geo_lon + (3 + nk % 7)"))
+          .withColumn("r_intersects", expr(s"CAST(CASE WHEN $inter THEN 1 ELSE 0 END AS BIGINT)"))
+          .withColumn("r_within", expr(
+            "CAST(CASE WHEN s0 >= -20 AND s1 <= 40 AND t0 >= -60 AND t1 <= 60 THEN 1 ELSE 0 END AS BIGINT)"))
+          .withColumn("r_contains", expr(
+            "CAST(CASE WHEN s0 <= -20 AND s1 >= 40 AND t0 <= -60 AND t1 >= 60 THEN 1 ELSE 0 END AS BIGINT)"))
+          .withColumn("r_disjoint", expr(s"CAST(CASE WHEN $inter THEN 0 ELSE 1 END AS BIGINT)"))
+          .groupBy("geo_country", "r_intersects", "r_within", "r_contains", "r_disjoint")
+          .agg(count(lit(1)).as("n"))
+    },
+    Some(Synth.withAccessLog {
+      val box = geoShapeRelSql.find(_._1 == "box").get._2
+      val inter = geoShapeRelSql.find(_._1 == "inter").get._2
+      s"""SELECT geo_country,
+         |  CAST(CASE WHEN $inter THEN 1 ELSE 0 END AS BIGINT) AS r_intersects,
+         |  CAST(CASE WHEN s0 >= -20 AND s1 <= 40 AND t0 >= -60 AND t1 <= 60 THEN 1 ELSE 0 END AS BIGINT) AS r_within,
+         |  CAST(CASE WHEN s0 <= -20 AND s1 >= 40 AND t0 <= -60 AND t1 >= 60 THEN 1 ELSE 0 END AS BIGINT) AS r_contains,
+         |  CAST(CASE WHEN $inter THEN 0 ELSE 1 END AS BIGINT) AS r_disjoint,
+         |  count(*) AS n
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN (SELECT ip_start, ip_end, geo_country, geo_lat, geo_lon, $box
+         |      FROM (SELECT g.*, ip_start // 41943 AS nk FROM $geoDimSql g)) d
+         |  ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+    }))
+
   def entries: Seq[QueryDef] = Seq(
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geoPolygonOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
-    geohexGridOp, tlsVersionOp,
+    geohexGridOp, geoShapeOp, tlsVersionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

@@ -45,6 +45,7 @@ import org.apache.spark.sql.functions._
   *             | fn '(' args ')'     // ROUND ABS LENGTH CONCAT SUBSTRING
   *                                   // TO_LONG TO_STRING COALESCE SPLIT
   *                                   // TO_LOWER TO_UPPER TRIM MV_COUNT
+  *                                   // BUCKET CASE
   * }}}
   *
   * The structured-extraction commands compile onto the engine's
@@ -443,6 +444,26 @@ object EsqlParser {
       case ("SPLIT", Seq(x, StrLit(d))) =>
         split(compileExpr(x), java.util.regex.Pattern.quote(d))
       case ("MV_COUNT", Seq(x)) => size(compileExpr(x)).cast("long")
+      // BUCKET(x, span): ES|QL's histogram primitive — x floored to its
+      // span-aligned bucket (numeric spans here; epoch-ms for dates)
+      case ("BUCKET", Seq(x, NumLit(span))) =>
+        val c = compileExpr(x)
+        c - (c % lit(span.toLong))
+      // CASE(cond1, v1, cond2, v2, …[, default])
+      case ("CASE", xs) if xs.size >= 2 =>
+        val (pairs, default) =
+          if (xs.size % 2 == 0) (xs.grouped(2).toSeq, None)
+          else (xs.init.grouped(2).toSeq, Some(xs.last))
+        val chained = pairs.foldLeft(Option.empty[Column]) {
+          case (acc, Seq(cond, v)) =>
+            val w = acc match {
+              case None => when(compileExpr(cond), compileExpr(v))
+              case Some(c) => c.when(compileExpr(cond), compileExpr(v))
+            }
+            Some(w)
+          case (acc, _) => acc
+        }.get
+        default.map(d => chained.otherwise(compileExpr(d))).getOrElse(chained)
       case (other, xs) =>
         throw ParseError(s"unsupported function $other/${xs.size}", 0)
     }

@@ -998,6 +998,22 @@ object SearchExt {
     * MV_EXPAND a generate (explode_outer). The oracles recompute from
     * the access-log CTE's base columns — so a green row proves the
     * extraction actually recovered the fields the line was built from. */
+  private[graft] val esqlBucketQuery =
+    """FROM events
+      || EVAL day = BUCKET(ts_ms, 86400000),
+      |       vc = TO_LONG(ROUND(value * 100, 0)),
+      |       tier = CASE(value >= 75, "high", value >= 25, "mid", "low")
+      || STATS n = COUNT(*), sv = SUM(vc) BY day, tier
+      || SORT day ASC, tier ASC""".stripMargin
+  val esqlBucketOp = QueryDef(
+    "ns_esql_bucket",
+    (s, dir) => EsqlParser.run(esqlBucketQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day,
+      |  CASE WHEN value >= 75 THEN 'high' WHEN value >= 25 THEN 'mid' ELSE 'low' END AS tier,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   private[graft] val esqlDissectQuery =
     """FROM access_log
       || DISSECT line "%{dip} - %{dusr} [%{ddate}] \"%{dreq}\" %{dstatus} %{dbytes} %{drt} \"%{dxff}\" client-%{dcid} txn-%{dtid} corr-%{dcorr}"
@@ -1323,7 +1339,7 @@ object SearchExt {
 
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
-    esqlLookupJoinOp, termvectorsOp, graphExploreOp,
+    esqlLookupJoinOp, esqlBucketOp, termvectorsOp, graphExploreOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,

@@ -129,6 +129,17 @@ class EsqlSpec extends SparkSpec {
     assertThrows[ParseError](EsqlParser.run("FROM t | ENRICH nope ON id", _ => df))
   }
 
+  test("BUCKET floors to span-aligned buckets; CASE chains conditions with default") {
+    val got = run(
+      """FROM t | EVAL b = BUCKET(n, 15), c = CASE(n < 15, "s", n < 35, "m", "l")
+        || KEEP id, b, c | SORT id""".stripMargin).collect()
+    assert(got.toSeq == Seq(Row(1L, 0L, "s"), Row(2L, 15L, "m"), Row(3L, 30L, "m"),
+      Row(4L, 30L, "l"), Row(5L, 45L, "l")))
+    // no-default CASE yields null when nothing matches
+    val nd = run("""FROM t | EVAL c = CASE(n > 100, "x") | WHERE c IS NULL | STATS k = COUNT(*)""")
+    assert(nd.head().getLong(0) == 5L)
+  }
+
   test("AVG/MEDIAN aggregates and IS [NOT] NULL comparisons") {
     val got = run("FROM t | STATS a = AVG(n), m = MEDIAN(n)").head()
     assert(got == Row(30.0, 30.0))
