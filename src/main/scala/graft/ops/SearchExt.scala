@@ -171,6 +171,37 @@ object SearchExt {
       |  WHERE lang = 'en' AND (list_contains(t, 'shuffle') OR list_contains(t, 'partition'))
       |""".stripMargin))
 
+  /** The Watcher/alerting-rule execution path END-TO-END: registered
+    * query-string rules percolate against the incoming documents
+    * (ns_search_percolate_dsl's compiled-rule stack — one corpus pass,
+    * all rules as codegen booleans), then per-rule per-window THROTTLE
+    * picks one action (the ns_stream_throttle admission semantics,
+    * here cap = 1): each (rule, 100-doc window) fires at most once, on
+    * its FIRST match, with the window's match count carried for the
+    * alert body. This is the ledger Watcher's action queue executes —
+    * the full alerting path (register → percolate → throttle → act)
+    * composed from the engine's own verified pieces. */
+  val watcherThrottleOp = QueryDef(
+    "ns_watcher_throttle",
+    (s, dir) => percolateDsl(docs(s, dir))
+      .withColumn("win", expr("doc_id div 100"))
+      .groupBy("rule_id", "win")
+      .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("action_doc")),
+    Some("""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
+      |    concat(' ', trim(text), ' ') AS pad, lang FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS rule_id FROM d
+      |    WHERE contains(pad, ' slow join ')
+      |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM d
+      |    WHERE list_contains(t, 'spark') AND NOT list_contains(t, 'slow')
+      |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT) FROM d
+      |    WHERE len(list_filter(t, x -> x LIKE 'win%')) > 0 OR list_contains(t, 'sort')
+      |  UNION ALL SELECT doc_id, CAST(4 AS BIGINT) FROM d
+      |    WHERE lang = 'en' AND (list_contains(t, 'shuffle') OR list_contains(t, 'partition')))
+      |SELECT rule_id, doc_id // 100 AS win, count(*) AS n_matches,
+      |  min(doc_id) AS action_doc
+      |FROM m GROUP BY 1, 2""".stripMargin))
+
   // --------------------------------------------------------------- terms_set
   /** The `terms_set` query: match documents containing at least
     * `minimum_should_match` of a term set — the "2 of these 4 symptoms"
@@ -1341,6 +1372,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, termvectorsOp, graphExploreOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
+    watcherThrottleOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,

@@ -153,6 +153,59 @@ class ParserLawsSpec extends AnyFunSuite {
     check[E.Expr](sizedE(4), render, parseWhere)
   }
 
+  test("dissect: extraction recovers the exact values any template was rendered with") {
+    import graft.ops.{EsqlParser => E}
+    // literals use separator chars the (alphabetic) values can never
+    // contain, so lazy captures must recover each value exactly
+    val litG: Gen[String] = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(',', ';', '|', '#', ' '))).map(_.mkString)
+    val valG: Gen[String] = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val caseG: Gen[(List[String], List[String])] = for {
+      k <- Gen.chooseNum(2, 5)
+      lits <- Gen.listOfN(k + 1, litG)
+      vals <- Gen.listOfN(k, valG)
+    } yield (lits, vals)
+    var seed = Seed(11L)
+    (1 to 300).foreach { _ =>
+      val (lits, vals) = caseG.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val template = (0 until vals.size)
+        .map(i => lits(i) + s"%{f$i}").mkString + lits.last
+      val input = vals.indices.map(i => lits(i) + vals(i)).mkString + lits.last
+      val (rx, keys) = E.dissectRegex(template)
+      val m = java.util.regex.Pattern.compile(rx).matcher(input)
+      assert(m.find(), s"no match: template=$template input=$input rx=$rx")
+      val got = keys.indices.map(i => m.group(i + 1))
+      assert(got == vals, s"template=$template input=$input got=$got want=$vals")
+    }
+  }
+
+  test("grok: typed dictionary extraction recovers rendered fields") {
+    import graft.ops.{EsqlParser => E}
+    val wordG: Gen[String] = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val numG: Gen[Long] = Gen.chooseNum(-99999L, 99999L)
+    val ipG: Gen[String] = for {
+      a <- Gen.chooseNum(0, 255); b <- Gen.chooseNum(0, 255)
+      c <- Gen.chooseNum(0, 255); d <- Gen.chooseNum(0, 255)
+    } yield s"$a.$b.$c.$d"
+    val caseG = for { w <- wordG; n <- numG; ip <- ipG; tail <- wordG } yield (w, n, ip, tail)
+    val (rx, keys) = E.grokRegex(
+      "%{WORD:w} %{INT:n:int} %{IP:ip} %{GREEDYDATA:rest}")
+    assert(keys == Seq("w" -> "string", "n" -> "int", "ip" -> "string", "rest" -> "string"))
+    var seed = Seed(13L)
+    (1 to 300).foreach { _ =>
+      val (w, n, ip, tail) = caseG.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val line = s"$w $n $ip $tail"
+      val m = java.util.regex.Pattern.compile(rx).matcher(line)
+      assert(m.find(), s"no match: $line")
+      assert(Seq(m.group(1), m.group(2), m.group(3), m.group(4)) ==
+        Seq(w, n.toString, ip, tail), s"line=$line")
+    }
+  }
+
   test("simple_query_string: parseLenient never throws on arbitrary garbage") {
     val garbage: Gen[String] =
       Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
