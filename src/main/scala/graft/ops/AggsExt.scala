@@ -411,6 +411,33 @@ object AggsExt {
       .withColumn("wow", col("n") - lag("n", 7).over(w))
   }
 
+  /** The `derivative` pipeline aggregation — serial_diff's named lag-1
+    * sibling, WITH the `unit` option ES adds: the per-bucket change
+    * and the unit-scaled rate (here per-hour, via exact milli-rate
+    * integers: 1000·Δ/24h stays a rounded long both engines compute
+    * identically). Same span-bounded shape: the window orders the
+    * |days|×|types| bucket table, never raw events. */
+  val derivativeAgg: QueryDef = q(
+    "ns_agg_derivative",
+    s"""WITH b AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |    ${sqlSum(sqlCents("value"))} AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, event_type, v,
+       |  v - lag(v) OVER (PARTITION BY event_type ORDER BY day) AS deriv,
+       |  CAST(round(CAST((v - lag(v) OVER (PARTITION BY event_type ORDER BY day))
+       |    AS DOUBLE) * 1000 / 24, 0) AS BIGINT) AS rate_per_hour_milli
+       |FROM b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .withColumn("deriv", col("v") - lag("v", 1).over(w))
+      .withColumn("rate_per_hour_milli",
+        round(col("deriv").cast("double") * 1000 / 24, 0).cast("long"))
+  }
+
   /** `cumulative_cardinality`: distinct users seen up to each day —
     * the "total unique users over time" growth curve.
     *
@@ -1246,7 +1273,7 @@ object AggsExt {
   def entries: Seq[QueryDef] = Seq(
     bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
     termsShardErrorAgg, transformPivotAgg, transformLatestAgg, downsampleAgg,
-    bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg,
+    bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg, derivativeAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
     filtersAgg, multiTermsAgg, autoDateHistogramAgg, rateAgg, samplerAgg,
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,

@@ -1163,6 +1163,43 @@ object SearchExt {
          |  FROM access_log)
          |GROUP BY 1, 2""".stripMargin)))
 
+  /** `_field_caps`: the schema-introspection API Kibana calls before
+    * rendering any field picker — per field: the mapped ES type
+    * (derived from the storage type by the same rule in both engines:
+    * the analyzed body field is `text`, other strings `keyword`,
+    * integers `long`, timestamps `date`) and the searchable/
+    * aggregatable capabilities (text is searchable but not
+    * aggregatable — the doc_values rule). Driver-side metadata over
+    * the table schema; no data is scanned at all. */
+  val fieldCapsOp = QueryDef(
+    "ns_field_caps",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val spark = s
+      import spark.implicits._
+      val rows = Tables.documents(s, dir).schema.fields.toSeq.map { f =>
+        val esType = f.dataType match {
+          case LongType | IntegerType => "long"
+          case DoubleType | FloatType => "double"
+          case StringType => if (f.name == "text") "text" else "keyword"
+          case TimestampType => "date"
+          case other => other.simpleString
+        }
+        (f.name, esType, 1L, if (esType == "text") 0L else 1L)
+      }
+      rows.toDF("field", "es_type", "searchable", "aggregatable")
+    },
+    Some("""SELECT column_name AS field,
+      |  CASE WHEN column_name = 'text' THEN 'text'
+      |       WHEN column_type = 'VARCHAR' THEN 'keyword'
+      |       WHEN column_type IN ('BIGINT', 'INTEGER') THEN 'long'
+      |       WHEN column_type IN ('DOUBLE', 'FLOAT') THEN 'double'
+      |       WHEN column_type LIKE 'TIMESTAMP%' THEN 'date'
+      |       ELSE lower(column_type) END AS es_type,
+      |  CAST(1 AS BIGINT) AS searchable,
+      |  CAST(CASE WHEN column_name = 'text' THEN 0 ELSE 1 END AS BIGINT) AS aggregatable
+      |FROM (DESCRIBE SELECT * FROM documents)""".stripMargin))
+
   /** `_cat/indices` + `_stats`, with `source` standing in for the
     * index: per index — doc count, store size (chars), deleted-doc
     * stand-in (empty docs), field cardinality, and the min/max primary
@@ -1372,7 +1409,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, termvectorsOp, graphExploreOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
-    watcherThrottleOp,
+    watcherThrottleOp, fieldCapsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
