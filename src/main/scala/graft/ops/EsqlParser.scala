@@ -78,13 +78,16 @@ object EsqlParser {
   final case class Not(e: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
   final case class Like(e: Expr, pattern: String) extends Expr
+  final case class RLike(e: Expr, pattern: String) extends Expr
   final case class In(e: Expr, values: Seq[Expr]) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Func(name: String, args: Seq[Expr]) extends Expr
 
   sealed trait Agg
-  final case object CountAll extends Agg
-  final case class AggFn(fn: String, e: Expr) extends Agg // count/sum/min/max/count_distinct
+  final case class CountAll(filter: Option[Expr] = None) extends Agg
+  // count/sum/min/max/avg/median/count_distinct, each with ES|QL 8.16's
+  // optional per-aggregate `WHERE` filter
+  final case class AggFn(fn: String, e: Expr, filter: Option[Expr] = None) extends Agg
 
   sealed trait Cmd
   final case class From(table: String) extends Cmd
@@ -204,6 +207,12 @@ object EsqlParser {
             case Some(TStr(p, _)) => i += 1; Like(l, p)
             case _ => throw ParseError("LIKE expects a string pattern", pos)
           }
+        case Some(t) if isKw(t, "rlike") =>
+          i += 1
+          peek match {
+            case Some(TStr(p, _)) => i += 1; RLike(l, p)
+            case _ => throw ParseError("RLIKE expects a string pattern", pos)
+          }
         case Some(t) if isKw(t, "is") =>
           i += 1
           val neg = peek.exists(isKw(_, "not"))
@@ -284,7 +293,7 @@ object EsqlParser {
         val agg: Agg = fn match {
           case "COUNT" =>
             peek match {
-              case Some(TSym("*", _)) => i += 1; CountAll
+              case Some(TSym("*", _)) => i += 1; CountAll()
               case _ => AggFn("count", parseExpr())
             }
           case "COUNT_DISTINCT" => AggFn("count_distinct", parseExpr())
@@ -296,7 +305,15 @@ object EsqlParser {
           case other => throw ParseError(s"unsupported aggregate $other", pos)
         }
         eatSym(")")
-        (name, agg)
+        // the per-aggregate filter: `fn(...) WHERE cond`
+        val filt =
+          if (peek.exists(isKw(_, "where"))) { i += 1; Some(parseExpr()) } else None
+        val filtered = (agg, filt) match {
+          case (a, None) => a
+          case (CountAll(_), f) => CountAll(f)
+          case (AggFn(n, e, _), f) => AggFn(n, e, f)
+        }
+        (name, filtered)
       }
       val aggs = Seq.newBuilder[(String, Agg)]
       aggs += parseAgg()
@@ -400,6 +417,7 @@ object EsqlParser {
     case Not(x) => !compileExpr(x)
     case Neg(x) => -compileExpr(x)
     case Like(x, p) => compileExpr(x).like(likePattern(p))
+    case RLike(x, p) => compileExpr(x).rlike(p)
     case IsNull(x, neg) =>
       if (neg) compileExpr(x).isNotNull else compileExpr(x).isNull
     case In(x, vs) => compileExpr(x).isin(vs.map {
@@ -551,7 +569,15 @@ object EsqlParser {
   private def applyExtract(df: DataFrame, input: String, regex: String,
                            keys: Seq[(String, String)]): DataFrame = {
     val g = graft.expr.GrokFunctions.regexp_extract_struct(col(input), regex, keys.map(_._1))
-    val flat = keys.foldLeft(df.withColumn("__extract", g)) { case (d, (n, t)) =>
+    // explode(array(…)) materializes the struct through a Generate:
+    // downstream WHEREs on extracted fields would otherwise be pushed
+    // THROUGH the projection, inlining (and re-evaluating) the regex
+    // once per referencing predicate and branch — measured 6
+    // occurrences in the plan and ~5× the runtime. Behind the Generate
+    // the pattern runs exactly once per row; every field below is a
+    // cheap struct access.
+    val flat = keys.foldLeft(
+      df.select(col("*"), explode(array(g)).as("__extract"))) { case (d, (n, t)) =>
       val raw = col("__extract").getField(n)
       val c = when(raw =!= lit(""), raw)
       d.withColumn(n, t match {
@@ -563,17 +589,23 @@ object EsqlParser {
     flat.drop("__extract")
   }
 
-  private def compileAgg(name: String, agg: Agg): Column = (agg match {
-    case CountAll => count(lit(1))
-    case AggFn("count", e) => count(compileExpr(e))
-    case AggFn("count_distinct", e) => countDistinct(compileExpr(e))
-    case AggFn("sum", e) => sum(compileExpr(e))
-    case AggFn("min", e) => min(compileExpr(e))
-    case AggFn("max", e) => max(compileExpr(e))
-    case AggFn("avg", e) => avg(compileExpr(e))
-    case AggFn("median", e) => median(compileExpr(e))
-    case AggFn(other, _) => throw ParseError(s"unsupported aggregate $other", 0)
-  }).as(name)
+  private def compileAgg(name: String, agg: Agg): Column = {
+    // a filtered aggregate gates its input to null outside the filter —
+    // every aggregate here ignores nulls, so this IS FILTER(WHERE …)
+    def gate(e: Column, f: Option[Expr]): Column =
+      f.map(c => when(compileExpr(c), e)).getOrElse(e)
+    (agg match {
+      case CountAll(f) => count(gate(lit(1), f))
+      case AggFn("count", e, f) => count(gate(compileExpr(e), f))
+      case AggFn("count_distinct", e, f) => countDistinct(gate(compileExpr(e), f))
+      case AggFn("sum", e, f) => sum(gate(compileExpr(e), f))
+      case AggFn("min", e, f) => min(gate(compileExpr(e), f))
+      case AggFn("max", e, f) => max(gate(compileExpr(e), f))
+      case AggFn("avg", e, f) => avg(gate(compileExpr(e), f))
+      case AggFn("median", e, f) => median(gate(compileExpr(e), f))
+      case AggFn(other, _, _) => throw ParseError(s"unsupported aggregate $other", 0)
+    }).as(name)
+  }
 
   /** Compile a parsed pipeline onto DataFrames; `resolve` supplies the
     * FROM source (index name → frame) and `policies` the ENRICH

@@ -1045,6 +1045,26 @@ object SearchExt {
       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  private[graft] val esqlStatsWhereQuery =
+    """FROM events
+      || EVAL vc = TO_LONG(ROUND(value * 100, 0)), day = BUCKET(ts_ms, 86400000)
+      || STATS n_all = COUNT(*),
+      |        n_buy = COUNT(*) WHERE event_type == "purchase",
+      |        sv_big = SUM(vc) WHERE value >= 50,
+      |        u_click = COUNT_DISTINCT(user_id) WHERE event_type == "click"
+      |  BY day
+      || SORT day ASC""".stripMargin
+  val esqlStatsWhereOp = QueryDef(
+    "ns_esql_stats_where",
+    (s, dir) => EsqlParser.run(esqlStatsWhereQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_buy,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+      |    FILTER (WHERE value >= 50) AS BIGINT) AS sv_big,
+      |  count(DISTINCT user_id) FILTER (WHERE event_type = 'click') AS u_click
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private[graft] val esqlDissectQuery =
     """FROM access_log
       || DISSECT line "%{dip} - %{dusr} [%{ddate}] \"%{dreq}\" %{dstatus} %{dbytes} %{drt} \"%{dxff}\" client-%{dcid} txn-%{dtid} corr-%{dcorr}"
@@ -1407,7 +1427,7 @@ object SearchExt {
 
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
-    esqlLookupJoinOp, esqlBucketOp, termvectorsOp, graphExploreOp,
+    esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, termvectorsOp, graphExploreOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,

@@ -140,6 +140,16 @@ class EsqlSpec extends SparkSpec {
     assert(nd.head().getLong(0) == 5L)
   }
 
+  test("per-aggregate WHERE filters gate each aggregate independently; RLIKE matches regex") {
+    val got = run(
+      """FROM t | STATS n = COUNT(*), na = COUNT(*) WHERE cat == "alpha",
+        |  sa = SUM(n) WHERE cat == "alpha", sb = SUM(n) WHERE cat == "nope"""".stripMargin)
+      .head()
+    assert(got == Row(5L, 3L, 90L, null)) // empty filtered SUM → null, like FILTER(WHERE)
+    assert(run("""FROM t | WHERE cat RLIKE "^(al|ga).*" | STATS c = COUNT(*)""")
+      .head().getLong(0) == 4L)
+  }
+
   test("AVG/MEDIAN aggregates and IS [NOT] NULL comparisons") {
     val got = run("FROM t | STATS a = AVG(n), m = MEDIAN(n)").head()
     assert(got == Row(30.0, 30.0))

@@ -800,6 +800,17 @@ class PlanSpec extends SparkSpec {
       s"the suggestion cutoff must be a top-k heap:\n$p")
   }
 
+  test("ns_esql_grok / ns_esql_dissect: the extraction pattern evaluates ONCE per row") {
+    // without the Generate barrier, predicate pushdown inlines the
+    // regex into every referencing predicate/branch (6 copies, ~5×
+    // runtime) — the plan must carry exactly one extraction
+    for (name <- Seq("ns_esql_grok", "ns_esql_dissect")) {
+      val p = physical(name)
+      val n = "regexp_extract_struct".r.findAllIn(p.toString).size
+      assert(n == 1, s"$name must evaluate its pattern once, found $n copies:\n$p")
+    }
+  }
+
   test("ns_search_phrase_suggest: candidates and rescoring read artifacts only") {
     val p = physical("ns_search_phrase_suggest")
     val docScans = nodes(p)
