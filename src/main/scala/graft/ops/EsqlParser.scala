@@ -566,9 +566,8 @@ object EsqlParser {
     * (empty strings); ES|QL's GROK/DISSECT null the fields instead, so
     * empties become null here — which also keeps the typed casts ANSI-
     * safe on unmatched rows. */
-  private def applyExtract(df: DataFrame, input: String, regex: String,
+  private def applyExtract(df: DataFrame, g: Column,
                            keys: Seq[(String, String)]): DataFrame = {
-    val g = graft.expr.GrokFunctions.regexp_extract_struct(col(input), regex, keys.map(_._1))
     // explode(array(…)) materializes the struct through a Generate:
     // downstream WHEREs on extracted fields would otherwise be pushed
     // THROUGH the projection, inlining (and re-evaluating) the regex
@@ -634,11 +633,19 @@ object EsqlParser {
         case Drop(cs) => df.drop(cs: _*)
         case Rename(ps) => ps.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
         case Dissect(in, p) =>
-          val (rx, keys) = dissectRegex(p)
-          applyExtract(df, in, rx, keys.map(_ -> "string"))
+          // dissectRegex validates the template and yields the key list;
+          // execution runs the NATIVE linear walk (DissectExtract), not
+          // the regex twin — same semantics (ParserLawsSpec parity law),
+          // no backtracking
+          val (_, keys) = dissectRegex(p)
+          applyExtract(df,
+            graft.expr.GrokFunctions.dissect_extract(col(in), p, keys),
+            keys.map(_ -> "string"))
         case Grok(in, p) =>
           val (rx, keys) = grokRegex(p)
-          applyExtract(df, in, rx, keys)
+          applyExtract(df,
+            graft.expr.GrokFunctions.regexp_extract_struct(col(in), rx, keys.map(_._1)),
+            keys)
         case Enrich(policy, on, withCols) =>
           val (dim, matchField) = policies(policy)
           val fields = if (withCols.nonEmpty) withCols

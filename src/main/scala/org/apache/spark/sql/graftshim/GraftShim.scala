@@ -135,6 +135,115 @@ object GrokHelper {
   }
 }
 
+/** Compiled dissect template: K+1 literal runs around K key slots, each
+  * slot captured (named) or consumed (`%{}` / `%{?skip}`), optionally
+  * right-padded (`->`). */
+final class DissectPlan(val lits: Array[String], val padded: Array[Boolean],
+                        val captured: Array[Boolean]) extends Serializable
+
+/** ES dissect is NOT a regex — it is a linear delimiter scanner: each
+  * value runs to the next indexOf(literal), the final literal anchors at
+  * the end of the line. This expression implements exactly that walk —
+  * O(line) with zero backtracking, where the lazy-capture regex
+  * translation pays a backtracking search per key (measured ~2× on the
+  * access-log template). Unmatched rows yield empty strings
+  * (regexp_extract's no-match convention, shared with
+  * RegExpExtractStruct). */
+case class DissectExtract(child: Expression, template: String, fieldNames: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    StructType(fieldNames.map(StructField(_, StringType, nullable = false)))
+  override def prettyName: String = "dissect_extract"
+  @transient private lazy val plan = DissectHelper.compile(template)
+  override protected def nullSafeEval(input: Any): Any =
+    DissectHelper.extract(input.asInstanceOf[UTF8String], plan, fieldNames.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("dissectPlan", plan,
+      "org.apache.spark.sql.graftshim.DissectPlan")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftshim.DissectHelper.extract($c, $p, ${fieldNames.length})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DissectExtract =
+    copy(child = newChild)
+}
+
+object DissectHelper {
+  private val keyRx = java.util.regex.Pattern.compile("%\\{([^}]*)\\}")
+
+  def compile(pattern: String): DissectPlan = {
+    val m = keyRx.matcher(pattern)
+    val lits = scala.collection.mutable.ArrayBuffer[String]()
+    val pads = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val caps = scala.collection.mutable.ArrayBuffer[Boolean]()
+    var last = 0
+    while (m.find()) {
+      lits += pattern.substring(last, m.start)
+      val raw = m.group(1)
+      pads += raw.endsWith("->")
+      val name = raw.stripSuffix("->")
+      caps += !(name.isEmpty || name.startsWith("?"))
+      last = m.end()
+    }
+    lits += pattern.substring(last)
+    new DissectPlan(lits.toArray, pads.toArray, caps.toArray)
+  }
+
+  private def rtrimSpaces(s: String, from: Int, to: Int): String = {
+    var end = to
+    while (end > from && s.charAt(end - 1) == ' ') end -= 1
+    s.substring(from, end)
+  }
+
+  def extract(s: UTF8String, p: DissectPlan, n: Int): InternalRow = {
+    val input = s.toString
+    val k = p.padded.length
+    val out = new Array[Any](n)
+    var ok = input.startsWith(p.lits(0))
+    var pos = if (ok) p.lits(0).length else 0
+    var i = 0
+    var oi = 0
+    while (ok && i < k) {
+      val lit = p.lits(i + 1)
+      var value: String = null
+      if (lit.isEmpty) {
+        // template ends with a key → it captures the rest; adjacent
+        // keys without a separator are unresolvable, like ES dissect
+        if (i == k - 1) { value = input.substring(pos); pos = input.length }
+        else ok = false
+      } else {
+        val idx =
+          if (i == k - 1) {
+            // the final literal must anchor at the end of the line
+            val cand = input.length - lit.length
+            if (cand >= pos && input.startsWith(lit, cand)) cand else -1
+          } else input.indexOf(lit, pos)
+        if (idx < 0) ok = false
+        else if (p.padded(i)) {
+          // `->` = `(.*?) *lit` in the regex twin: padding spaces sit
+          // BEFORE the literal, so when the literal itself begins with
+          // a space, slide it to the end of the space run
+          var j = idx
+          while (j + 1 + lit.length <= input.length && input.charAt(j) == ' ' &&
+            input.startsWith(lit, j + 1)) j += 1
+          value = rtrimSpaces(input, pos, j)
+          pos = j + lit.length
+        } else {
+          value = input.substring(pos, idx)
+          pos = idx + lit.length
+        }
+      }
+      if (ok && p.captured(i)) { out(oi) = UTF8String.fromString(value); oi += 1 }
+      i += 1
+    }
+    if (!ok) {
+      var j = 0
+      while (j < n) { out(j) = UTF8String.EMPTY_UTF8; j += 1 }
+    }
+    new GenericInternalRow(out)
+  }
+}
+
 /** Random-hyperplane LSH sign bits over an ARRAY<FLOAT> embedding: bit k
   * of the result is set iff dot(quantize(emb), W[k]) >= 0, with
   * quantize(x) = round(x·1000) replicated exactly as Spark's

@@ -178,7 +178,33 @@ class ParserLawsSpec extends AnyFunSuite {
       assert(m.find(), s"no match: template=$template input=$input rx=$rx")
       val got = keys.indices.map(i => m.group(i + 1))
       assert(got == vals, s"template=$template input=$input got=$got want=$vals")
+      // PARITY: the native linear walk (graftshim.DissectExtract's
+      // helper) recovers the same values as the regex twin
+      import org.apache.spark.sql.graftshim.DissectHelper
+      import org.apache.spark.unsafe.types.UTF8String
+      val row = DissectHelper.extract(
+        UTF8String.fromString(input), DissectHelper.compile(template), keys.size)
+      val native = keys.indices.map(i => row.getUTF8String(i).toString)
+      assert(native == vals, s"native walk diverged: template=$template input=$input got=$native")
     }
+  }
+
+  test("dissect: native walk matches the regex twin on padding and no-match") {
+    import org.apache.spark.sql.graftshim.DissectHelper
+    import org.apache.spark.unsafe.types.UTF8String
+    def native(template: String, input: String, n: Int): Seq[String] = {
+      val row = DissectHelper.extract(
+        UTF8String.fromString(input), DissectHelper.compile(template), n)
+      (0 until n).map(row.getUTF8String(_).toString)
+    }
+    assert(native("%{a->} %{b}", "x    y", 2) == Seq("x", "y"))
+    assert(native("%{a->},%{b}", "x   ,y", 2) == Seq("x", "y"))
+    assert(native("%{a} - %{b} [%{c}]", "p - q [r]", 3) == Seq("p", "q", "r"))
+    assert(native("%{?skip} %{a}", "ignored kept", 1) == Seq("kept"))
+    // no-match → empty strings (the regexp_extract convention)
+    assert(native("%{a};%{b}", "no separator here", 2) == Seq("", ""))
+    // final literal anchors at the end
+    assert(native("%{a}!", "v!x!", 1) == Seq("v!x"))
   }
 
   test("grok: typed dictionary extraction recovers rendered fields") {

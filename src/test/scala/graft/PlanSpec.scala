@@ -804,9 +804,10 @@ class PlanSpec extends SparkSpec {
     // without the Generate barrier, predicate pushdown inlines the
     // regex into every referencing predicate/branch (6 copies, ~5×
     // runtime) — the plan must carry exactly one extraction
-    for (name <- Seq("ns_esql_grok", "ns_esql_dissect")) {
+    for ((name, exprName) <- Seq("ns_esql_grok" -> "regexp_extract_struct",
+        "ns_esql_dissect" -> "dissect_extract")) {
       val p = physical(name)
-      val n = "regexp_extract_struct".r.findAllIn(p.toString).size
+      val n = exprName.r.findAllIn(p.toString).size
       assert(n == 1, s"$name must evaluate its pattern once, found $n copies:\n$p")
     }
   }
