@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   *   command  := WHERE expr
   *             | EVAL ident '=' expr (',' ident '=' expr)*
   *             | STATS agg (',' agg)* [BY ident (',' ident)*]
-  *             | SORT ident [ASC|DESC] (',' ident [ASC|DESC])*
+  *             | SORT ident [ASC|DESC] [NULLS FIRST|LAST] (',' …)*
   *             | LIMIT int
-  *             | KEEP ident (',' ident)*
-  *             | DROP ident (',' ident)*
+  *             | KEEP ident['*'] (',' ident['*'])*     // trailing wildcard
+  *             | DROP ident['*'] (',' ident['*'])*
   *             | RENAME ident AS ident (',' ident AS ident)*
   *             | DISSECT ident string          // "%{key} lit %{key}…"
   *             | GROK ident string             // "%{IP:name} %{INT:n:int}…"
@@ -94,7 +94,8 @@ object EsqlParser {
   final case class Where(e: Expr) extends Cmd
   final case class Eval(assigns: Seq[(String, Expr)]) extends Cmd
   final case class Stats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
-  final case class Sort(keys: Seq[(String, Boolean)]) extends Cmd // (col, ascending)
+  // (col, ascending, nullsFirst) — nullsFirst None = dialect default
+  final case class Sort(keys: Seq[(String, Boolean, Option[Boolean])]) extends Cmd
   final case class Limit(n: Int) extends Cmd
   final case class Keep(cols: Seq[String]) extends Cmd
   final case class Drop(cols: Seq[String]) extends Cmd
@@ -345,14 +346,21 @@ object EsqlParser {
           Eval(as.result())
         case "STATS" => parseStats()
         case "SORT" =>
-          val ks = Seq.newBuilder[(String, Boolean)]
+          val ks = Seq.newBuilder[(String, Boolean, Option[Boolean])]
           def one(): Unit = {
             val n = ident()
             val asc =
               if (peek.exists(isKw(_, "desc"))) { i += 1; false }
               else if (peek.exists(isKw(_, "asc"))) { i += 1; true }
               else true
-            ks += (n -> asc)
+            val nf =
+              if (peek.exists(isKw(_, "nulls"))) {
+                i += 1
+                if (peek.exists(isKw(_, "first"))) { i += 1; Some(true) }
+                else if (peek.exists(isKw(_, "last"))) { i += 1; Some(false) }
+                else throw ParseError("NULLS expects FIRST or LAST", pos)
+              } else None
+            ks += ((n, asc, nf))
           }
           one()
           while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
@@ -362,9 +370,15 @@ object EsqlParser {
           case _ => throw ParseError("LIMIT expects an integer", pos)
         }
         case "KEEP" | "DROP" =>
+          // names may carry a trailing `*` wildcard (KEEP user_*)
           val cs = Seq.newBuilder[String]
-          cs += ident()
-          while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; cs += ident() }
+          def one(): Unit = {
+            var n = ident()
+            if (peek.exists { case TSym("*", _) => true; case _ => false }) { i += 1; n += "*" }
+            cs += n
+          }
+          one()
+          while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
           if (w == "KEEP") Keep(cs.result()) else Drop(cs.result())
         case "RENAME" =>
           val ps = Seq.newBuilder[(String, String)]
@@ -627,10 +641,30 @@ object EsqlParser {
           if (by.isEmpty) df.agg(cols.head, cols.tail: _*)
           else df.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
         case Sort(keys) =>
-          df.orderBy(keys.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }: _*)
+          df.orderBy(keys.map {
+            case (n, true, None) => col(n).asc
+            case (n, false, None) => col(n).desc
+            case (n, true, Some(true)) => col(n).asc_nulls_first
+            case (n, true, Some(false)) => col(n).asc_nulls_last
+            case (n, false, Some(true)) => col(n).desc_nulls_first
+            case (n, false, Some(false)) => col(n).desc_nulls_last
+          }: _*)
         case Limit(n) => df.limit(n)
-        case Keep(cs) => df.select(cs.map(col): _*)
-        case Drop(cs) => df.drop(cs: _*)
+        case Keep(cs) =>
+          val expanded = cs.flatMap {
+            case p if p.endsWith("*") =>
+              val hits = df.columns.filter(_.startsWith(p.dropRight(1)))
+              if (hits.isEmpty) throw ParseError(s"KEEP pattern $p matches no columns", 0)
+              hits.toSeq
+            case n => Seq(n)
+          }.distinct
+          df.select(expanded.map(col): _*)
+        case Drop(cs) =>
+          val expanded = cs.flatMap {
+            case p if p.endsWith("*") => df.columns.filter(_.startsWith(p.dropRight(1))).toSeq
+            case n => Seq(n)
+          }.distinct
+          df.drop(expanded: _*)
         case Rename(ps) => ps.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
         case Dissect(in, p) =>
           // dissectRegex validates the template and yields the key list;

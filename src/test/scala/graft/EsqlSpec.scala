@@ -140,6 +140,18 @@ class EsqlSpec extends SparkSpec {
     assert(nd.head().getLong(0) == 5L)
   }
 
+  test("KEEP/DROP wildcards expand against the frame; SORT honors NULLS FIRST/LAST") {
+    import spark.implicits._
+    val got = run("""FROM t | EVAL c2 = n * 2, c3 = n * 3 | KEEP id, c* | SORT id | LIMIT 1""")
+    assert(got.columns.toSeq == Seq("id", "cat", "c2", "c3")) // c* hits cat too
+    assert(run("""FROM t | DROP c* | LIMIT 1""").columns.toSeq == Seq("id", "n", "x"))
+    assertThrows[ParseError](run("""FROM t | KEEP zz*"""))
+    val withNulls = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L))).toDF("id", "v")
+    def ids(q: String) = EsqlParser.run(q, _ => withNulls).collect().map(_.getLong(0)).toSeq
+    assert(ids("FROM t | SORT v ASC NULLS FIRST | KEEP id") == Seq(2L, 3L, 1L))
+    assert(ids("FROM t | SORT v DESC NULLS LAST | KEEP id") == Seq(1L, 3L, 2L))
+  }
+
   test("per-aggregate WHERE filters gate each aggregate independently; RLIKE matches regex") {
     val got = run(
       """FROM t | STATS n = COUNT(*), na = COUNT(*) WHERE cat == "alpha",
