@@ -1065,6 +1065,54 @@ object SearchExt {
       |  count(DISTINCT user_id) FILTER (WHERE event_type = 'click') AS u_click
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The `_sql` endpoint (the OpenSearch SQL plugin / ES SQL API): the
+    * engine's native SQL path serving the endpoint's dialect shape
+    * directly — the query text a downstream BI tool would POST runs
+    * via spark.sql over the registered view, Catalyst planning it like
+    * any DataFrame query (pushdown, partial aggregation). */
+  val sqlApiOp = QueryDef(
+    "ns_sql_api",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("sql_api_events")
+      s.sql("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv,
+        |  min(user_id) AS u_min, max(user_id) AS u_max
+        |FROM sql_api_events WHERE value >= 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv,
+      |  min(user_id) AS u_min, max(user_id) AS u_max
+      |FROM events WHERE value >= 10
+      |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** The ES|QL commands COMPOSED the way a Kibana observability user
+    * actually writes them: raw line → typed GROK extraction → derived
+    * bucket → multi-filtered STATS — one pipeline, one corpus pass,
+    * the extraction evaluated once behind its Generate barrier and the
+    * per-aggregate filters as conditional sums in the same hash
+    * aggregate. */
+  private[graft] val esqlObservabilityQuery =
+    """FROM access_log
+      || GROK line "^%{IP:oip} - %{NOTSPACE:ousr} \\[%{HTTPDATE:odate}\\] \"%{WORD:omethod} %{NOTSPACE:ourl} HTTP/%{NUMBER:over}\" %{INT:ostatus:int} %{INT:obytes:int} %{INT:ort:int}"
+      || EVAL day = BUCKET(ts_ms, 86400000)
+      || STATS req = COUNT(*),
+      |        err = COUNT(*) WHERE ostatus >= 500,
+      |        get_bytes = SUM(obytes) WHERE omethod == "GET",
+      |        slow = COUNT(*) WHERE ort >= 800
+      |  BY day, omethod
+      || SORT day ASC, omethod ASC""".stripMargin
+  val esqlObservabilityOp = QueryDef(
+    "ns_esql_observability",
+    (s, dir) => EsqlParser.run(esqlObservabilityQuery, _ => Synth.accessLog(s, dir)),
+    Some(Synth.withAccessLog(
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day, method AS omethod,
+        |  count(*) AS req,
+        |  count(*) FILTER (WHERE status >= 500) AS err,
+        |  CAST(sum(bytes) FILTER (WHERE method = 'GET') AS BIGINT) AS get_bytes,
+        |  count(*) FILTER (WHERE rt_ms >= 800) AS slow
+        |FROM access_log GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
   private[graft] val esqlDissectQuery =
     """FROM access_log
       || DISSECT line "%{dip} - %{dusr} [%{ddate}] \"%{dreq}\" %{dstatus} %{dbytes} %{drt} \"%{dxff}\" client-%{dcid} txn-%{dtid} corr-%{dcorr}"
@@ -1427,7 +1475,8 @@ object SearchExt {
 
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
-    esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, termvectorsOp, graphExploreOp,
+    esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, sqlApiOp,
+    termvectorsOp, graphExploreOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
