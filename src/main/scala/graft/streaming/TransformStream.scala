@@ -122,6 +122,37 @@ object TransformStream {
           org.apache.spark.sql.types.StructField("last_ok", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("last_type", org.apache.spark.sql.types.StringType)))))
 
+  /** Fold every bucket's current state into the newest generation and
+    * drop the older ones — the compaction that bounds both the
+    * driver-side generation listing and the per-bucket read fan-in as
+    * triggers accumulate (DedupStream's compaction discipline). Safe
+    * once the streaming query's checkpoint has committed past the
+    * newest generation: a replay of any LATER batch reads generations
+    * strictly before itself, which compaction preserves as the single
+    * consolidated one. Returns the number of generations removed. */
+  def compact(spark: SparkSession, storeDir: String): Int = {
+    val latest = latestGens(spark, storeDir, Long.MaxValue)
+    if (latest.isEmpty) return 0
+    val maxGen = latest.values.max
+    val older = latest.filter(_._2 < maxGen)
+    if (older.isEmpty) return 0
+    // bring every stale bucket's state forward into gen=<maxGen>
+    // (the target generation keeps its own buckets — they ARE current)
+    val stalePaths = older.map { case (b, g) => s"$storeDir/gen=$g/bkt=$b" }.toSeq
+    val carried = spark.read.parquet(stalePaths: _*)
+      .select("user_id", "n_events", "sum_value_c", "last_ok", "last_type")
+      .withColumn("bkt", bucketOf(col("user_id")))
+    carried.write.mode("append").partitionBy("bkt").parquet(s"$storeDir/gen=$maxGen")
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val removed = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") &&
+        p.getName.stripPrefix("gen=").toLong < maxGen)
+    removed.foreach(p => fs.delete(p, true))
+    removed.size
+  }
+
   /** Attach the continuous transform to a streaming source. */
   def start(events: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream

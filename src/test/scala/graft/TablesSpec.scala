@@ -21,6 +21,20 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("event_id fits the unique-ordering-key multiplier (id < 2^20)") {
+    // the transform/downsample/rollover family orders events by the
+    // exact long key ms·2^20 + event_id, which is lexicographic
+    // (ms, id) ordering ONLY while id < 2^20 — guard the testdata
+    // invariant so a regenerated dataset that breaks it fails HERE,
+    // not as a silent ordering drift. (At larger id spaces the
+    // multiplier grows with the id bound — exact up to ~5·10^6 ids at
+    // 2026-epoch milliseconds — beyond which the argmax becomes two
+    // exact stages: per-(entity, ms) argmax by id, then by ms.)
+    import org.apache.spark.sql.functions._
+    val maxId = Tables.events(spark, sfDir).agg(max("event_id")).head().getLong(0)
+    assert(maxId < (1L << 20), s"event_id $maxId breaks the 2^20 ordering-key bound")
+  }
+
   test("events loader: ts_ms is LONG epoch millis, tsu is TIMESTAMP micros") {
     val ev = Tables.events(spark, sfDir)
     val schema = ev.schema

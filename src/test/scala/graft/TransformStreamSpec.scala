@@ -79,6 +79,32 @@ class TransformStreamSpec extends SparkSpec {
     assert(TransformStream.readStore(spark, storeDir).count() == 16)
   }
 
+  test("compaction folds all buckets into the newest generation and preserves reads") {
+    import spark.implicits._
+    val storeDir = tmp("ts-compact")
+    // three triggers touching overlapping bucket sets
+    TransformStream.upsertBatch(spark, storeDir)(
+      (0L until 16L).map(u => row(u, "view", 1, u + 1))
+        .toDF("user_id", "event_type", "vc", "ok"), 0L)
+    TransformStream.upsertBatch(spark, storeDir)(
+      Seq(row(3, "click", 2, 100), row(7, "click", 2, 101))
+        .toDF("user_id", "event_type", "vc", "ok"), 1L)
+    TransformStream.upsertBatch(spark, storeDir)(
+      Seq(row(3, "buy", 4, 200)).toDF("user_id", "event_type", "vc", "ok"), 2L)
+    val before = TransformStream.readStore(spark, storeDir)
+      .orderBy("user_id").collect().toSeq
+    val removed = TransformStream.compact(spark, storeDir)
+    assert(removed >= 1, "compaction must drop superseded generations")
+    val after = TransformStream.readStore(spark, storeDir)
+      .orderBy("user_id").collect().toSeq
+    assert(after == before, "compaction changed the store contents")
+    // every bucket now resolves to the single surviving generation
+    val gens = TransformStream.latestGens(spark, storeDir, Long.MaxValue)
+    assert(gens.values.toSet.size == 1, s"expected one generation, got $gens")
+    // and a second compact is a no-op
+    assert(TransformStream.compact(spark, storeDir) == 0)
+  }
+
   test("merge is associative: any batch split folds to the one-shot partial") {
     import spark.implicits._
     val all = Seq(row(1, "a", 1, 1), row(1, "b", 2, 5), row(2, "c", 3, 3),
