@@ -32,13 +32,14 @@ import org.apache.spark.sql.functions._
   *             | ENRICH ident ON ident [WITH ident (',' ident)*]
   *             | LOOKUP JOIN ident ON ident
   *             | MV_EXPAND ident
-  *   agg      := [ident '='] aggfn
+  *   agg      := [ident '='] aggfn [WHERE expr]   // per-aggregate filter
   *   aggfn    := COUNT '(' '*' | expr ')' | COUNT_DISTINCT '(' expr ')'
-  *             | SUM|MIN|MAX '(' expr ')'
+  *             | SUM|MIN|MAX|AVG|MEDIAN '(' expr ')'
   *   expr     := or; or := and (OR and)*; and := unary (AND unary)*
   *   unary    := NOT unary | cmp
   *   cmp      := add (('=='|'!='|'>='|'<='|'>'|'<') add
-  *                    | LIKE string | IN '(' lit (',' lit)* ')'
+  *                    | LIKE string | RLIKE string
+  *                    | IN '(' lit (',' lit)* ')'
   *                    | IS [NOT] NULL)?
   *   add      := mul (('+'|'-') mul)*; mul := prim (('*'|'/'|'%') prim)*
   *   prim     := '(' expr ')' | '-' prim | number | string | ident
@@ -48,18 +49,23 @@ import org.apache.spark.sql.functions._
   *                                   // BUCKET CASE
   * }}}
   *
-  * The structured-extraction commands compile onto the engine's
-  * single-pass multi-group regex expression (graftshim
-  * RegExpExtractStruct — codegen, one pattern evaluation per row):
-  * DISSECT translates its literal/`%{key}` template to an anchored
-  * regex (literals quoted, `%{?skip}`/`%{}` consume without capturing);
-  * GROK substitutes a dictionary of named sub-patterns (`%{IP:name}`,
-  * with ES's `:int`/`:long`/`:float` type suffixes becoming casts) into
-  * what is otherwise a raw regex, unanchored find() like ES. ENRICH is
-  * ES's lookup-policy join: a broadcast LEFT join against the policy
-  * dimension (unmatched rows keep null enrich fields), which is exactly
-  * how the policy's .enrich index behaves at query time. MV_EXPAND is
-  * `explode_outer` (null/empty multivalues keep their row, as in ES).
+  * The structured-extraction commands each evaluate their pattern ONCE
+  * per row behind a Generate barrier (PlanSpec-locked — without it,
+  * predicate pushdown inlines the pattern into every referencing
+  * predicate and branch): DISSECT runs the NATIVE linear delimiter
+  * walk (graftshim DissectExtract — ES dissect's actual indexOf
+  * scanner, zero backtracking; `%{?skip}`/`%{}` consume without
+  * capturing, `->` right-pads, dissectRegex stays as the semantic twin
+  * ParserLawsSpec checks parity against); GROK substitutes a
+  * dictionary of named sub-patterns (`%{IP:name}`, with ES's
+  * `:int`/`:long`/`:float` type suffixes becoming casts) into what is
+  * otherwise a raw regex, unanchored find() like ES, on the one-pass
+  * multi-group RegExpExtractStruct. ENRICH is ES's lookup-policy join:
+  * a broadcast LEFT join against the policy dimension (unmatched rows
+  * keep null enrich fields), exactly how the policy's .enrich index
+  * behaves at query time; LOOKUP JOIN is its 8.18 successor keyed on
+  * the shared field name. MV_EXPAND is `explode_outer` (null/empty
+  * multivalues keep their row, as in ES).
   *
   * Compilation discipline: every expression becomes a codegen Column
   * (LIKE wildcards via the KQL `*`→`%` escape path — literal prefixes
