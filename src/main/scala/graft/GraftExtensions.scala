@@ -17,7 +17,9 @@ import org.apache.spark.sql.graftshim.{BmpDims, BmpWrap, CosineSimilarity, DotPr
   * Functions: `gunzip(binary)`, `try_gunzip(binary)` (null on corrupt
   * input), `gzip(binary)`, `vec_dot(a,b)`,
   * `vec_cosine(a,b)`, `grok_struct(line, 'rx', 'field', ...)` —
-  * single-pass multi-group regex extraction into a struct —
+  * single-pass multi-group regex extraction into a struct — and its
+  * r12 sibling `dissect_struct(line, 'template', 'field', ...)` (the
+  * ES dissect delimiter walk, no regex) —
   * `simhash_bits(tokens)`, `nfc_normalize(s)`,
   * `ordered_pairs(ids, includeDiagonal)`, the media fixtures
   * `bmp_wrap(payload, w, h)` / `bmp_dims(content)` and
@@ -127,6 +129,13 @@ object GraftExtensions {
     "grok_struct" -> (args => RegExpExtractStruct(
       args.head,
       grokLiteral(args(1), "pattern"),
+      args.drop(2).zipWithIndex.map { case (e, i) => grokLiteral(e, s"field${i + 1}") })),
+    // dissect_struct(line, 'template', 'field1', ...): the ES dissect
+    // delimiter walk; template and field names are literals (they shape
+    // the result type), field order matches the template's captures.
+    "dissect_struct" -> (args => org.apache.spark.sql.graftshim.DissectExtract(
+      args.head,
+      grokLiteral(args(1), "template"),
       args.drop(2).zipWithIndex.map { case (e, i) => grokLiteral(e, s"field${i + 1}") })),
     "simhash_bits" -> (args => SimHashBits(args.head)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),

@@ -37,6 +37,13 @@ object Probe {
       .select(col("g.a"), col("g.b")).show(false)
     // 5. SQL grok_struct: one-pass extraction via the registry
     spark.sql("SELECT g.a, g.b FROM (SELECT grok_struct('12-34', '^(\\\\d+)-(\\\\d+)$', 'a', 'b') AS g)").show(false)
+    // 5b. SQL dissect_struct: the delimiter walk — match, no-match (empty
+    //     strings), and a skip field
+    val ds = spark.sql(
+      "SELECT dissect_struct('1.2.3.4 - alice', '%{ip} %{?dash} %{usr}', 'ip', 'usr') AS ok, " +
+      "dissect_struct('no separators', '%{a};%{b}', 'a', 'b') AS miss").collect()(0)
+    println(s"PROBE: dissect ok=${ds.getStruct(0).getString(0)}/${ds.getStruct(0).getString(1)} " +
+      s"miss_empty=${ds.getStruct(1).getString(0).isEmpty && ds.getStruct(1).getString(1).isEmpty}")
     // 6. dedup-signature SQL surface: shingles/minhash/simhash on edge
     //    inputs — empty text (no shingles), nulls, and a sub-3-token doc
     val sig = spark.sql(
