@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Supported grammar (the operative subset):
   * {{{
-  *   query    := FROM ident ('|' command)*
+  *   query    := FROM ident (',' ident)* ('|' command)*   // multi-index union
   *   command  := WHERE expr
   *             | EVAL ident '=' expr (',' ident '=' expr)*
   *             | STATS agg (',' agg)* [BY ident (',' ident)*]
+  *             | INLINESTATS agg (',' agg)* [BY …]  // non-collapsing (window)
   *             | SORT ident [ASC|DESC] [NULLS FIRST|LAST] (',' …)*
   *             | LIMIT int
   *             | KEEP ident['*'] (',' ident['*'])*     // trailing wildcard
@@ -96,10 +97,15 @@ object EsqlParser {
   final case class AggFn(fn: String, e: Expr, filter: Option[Expr] = None) extends Agg
 
   sealed trait Cmd
-  final case class From(table: String) extends Cmd
+  // FROM idx1[, idx2, …] — a multi-index query unions the resolved
+  // frames by name (ES's comma-separated index list)
+  final case class From(tables: Seq[String]) extends Cmd
   final case class Where(e: Expr) extends Cmd
   final case class Eval(assigns: Seq[(String, Expr)]) extends Cmd
   final case class Stats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
+  // INLINESTATS — STATS that does NOT collapse: the aggregates attach
+  // as new columns on every row of their group (8.16)
+  final case class InlineStats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
   // (col, ascending, nullsFirst) — nullsFirst None = dialect default
   final case class Sort(keys: Seq[(String, Boolean, Option[Boolean])]) extends Cmd
   final case class Limit(n: Int) extends Cmd
@@ -351,6 +357,9 @@ object EsqlParser {
           while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
           Eval(as.result())
         case "STATS" => parseStats()
+        case "INLINESTATS" =>
+          val st = parseStats()
+          InlineStats(st.aggs, st.by)
         case "SORT" =>
           val ks = Seq.newBuilder[(String, Boolean, Option[Boolean])]
           def one(): Unit = {
@@ -417,7 +426,12 @@ object EsqlParser {
 
     eatKw("from")
     val cmds = Seq.newBuilder[Cmd]
-    cmds += From(ident())
+    val tables = Seq.newBuilder[String]
+    tables += ident()
+    while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+      i += 1; tables += ident()
+    }
+    cmds += From(tables.result())
     while (peek.isDefined) {
       eatSym("|")
       cmds += parseCommand()
@@ -608,12 +622,14 @@ object EsqlParser {
     flat.drop("__extract")
   }
 
-  private def compileAgg(name: String, agg: Agg): Column = {
+  /** The unaliased aggregate Column — shared by STATS (grouped) and
+    * INLINESTATS (windowed via .over). */
+  private def compileAggRaw(agg: Agg): Column = {
     // a filtered aggregate gates its input to null outside the filter —
     // every aggregate here ignores nulls, so this IS FILTER(WHERE …)
     def gate(e: Column, f: Option[Expr]): Column =
       f.map(c => when(compileExpr(c), e)).getOrElse(e)
-    (agg match {
+    agg match {
       case CountAll(f) => count(gate(lit(1), f))
       case AggFn("count", e, f) => count(gate(compileExpr(e), f))
       case AggFn("count_distinct", e, f) => countDistinct(gate(compileExpr(e), f))
@@ -623,8 +639,11 @@ object EsqlParser {
       case AggFn("avg", e, f) => avg(gate(compileExpr(e), f))
       case AggFn("median", e, f) => median(gate(compileExpr(e), f))
       case AggFn(other, _, _) => throw ParseError(s"unsupported aggregate $other", 0)
-    }).as(name)
+    }
   }
+
+  private def compileAgg(name: String, agg: Agg): Column =
+    compileAggRaw(agg).as(name)
 
   /** Compile a parsed pipeline onto DataFrames; `resolve` supplies the
     * FROM source (index name → frame) and `policies` the ENRICH
@@ -634,7 +653,7 @@ object EsqlParser {
               policies: String => (DataFrame, String) =
                 n => throw ParseError(s"unknown enrich policy $n", 0)): DataFrame = {
     val df0 = cmds.headOption match {
-      case Some(From(t)) => resolve(t)
+      case Some(From(ts)) => ts.map(resolve).reduce(_ unionByName _)
       case _ => throw ParseError("query must start with FROM", 0)
     }
     cmds.tail.foldLeft(df0) { (df, cmd) =>
@@ -646,6 +665,20 @@ object EsqlParser {
           val cols = aggs.map { case (n, a) => compileAgg(n, a) }
           if (by.isEmpty) df.agg(cols.head, cols.tail: _*)
           else df.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
+        case InlineStats(aggs, by) =>
+          // non-collapsing stats: each aggregate rides an unordered
+          // window over its group — every row keeps its columns and
+          // gains the group's aggregates (count_distinct is not a
+          // window aggregate; reject it the way ES marks it unsupported)
+          import org.apache.spark.sql.expressions.Window
+          val w = if (by.isEmpty) Window.partitionBy() else Window.partitionBy(by.map(col): _*)
+          aggs.foldLeft(df) { case (d, (n, a)) =>
+            a match {
+              case AggFn("count_distinct", _, _) =>
+                throw ParseError("INLINESTATS does not support COUNT_DISTINCT", 0)
+              case _ => d.withColumn(n, compileAggRaw(a).over(w))
+            }
+          }
         case Sort(keys) =>
           df.orderBy(keys.map {
             case (n, true, None) => col(n).asc

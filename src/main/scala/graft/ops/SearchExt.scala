@@ -1113,6 +1113,31 @@ object SearchExt {
         |  count(*) FILTER (WHERE rt_ms >= 800) AS slow
         |FROM access_log GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
+  private[graft] val esqlInlineStatsQuery =
+    """FROM events
+      || EVAL vc = TO_LONG(ROUND(value * 100, 0))
+      || INLINESTATS n_user = COUNT(*), sv_user = SUM(vc) BY user_id
+      || WHERE vc * n_user * 2 > sv_user * 3
+      || KEEP event_id, user_id, vc, n_user, sv_user
+      || SORT event_id
+      || LIMIT 50""".stripMargin
+  /** INLINESTATS (8.16): group aggregates attach to every row instead
+    * of collapsing — "events 1.5× above their user's average", with the
+    * comparison in pure integer arithmetic (2·vc·n > 3·Σ) so no
+    * division reaches it. Compiles to unordered-window aggregates over
+    * the BY partition. */
+  val esqlInlineStatsOp = QueryDef(
+    "ns_esql_inlinestats",
+    (s, dir) => EsqlParser.run(esqlInlineStatsQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_id, user_id, vc, n_user, sv_user FROM (
+      |  SELECT event_id, user_id, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+      |    count(*) OVER (PARTITION BY user_id) AS n_user,
+      |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+      |      OVER (PARTITION BY user_id) AS BIGINT) AS sv_user
+      |  FROM events)
+      |WHERE vc * n_user * 2 > sv_user * 3
+      |ORDER BY event_id LIMIT 50""".stripMargin))
+
   private[graft] val esqlDissectQuery =
     """FROM access_log
       || DISSECT line "%{dip} - %{dusr} [%{ddate}] \"%{dreq}\" %{dstatus} %{dbytes} %{drt} \"%{dxff}\" client-%{dcid} txn-%{dtid} corr-%{dcorr}"
@@ -1475,7 +1500,7 @@ object SearchExt {
 
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
-    esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, sqlApiOp,
+    esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     termvectorsOp, graphExploreOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,

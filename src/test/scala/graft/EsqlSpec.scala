@@ -211,9 +211,21 @@ class EsqlSpec extends SparkSpec {
     assert(err("""FROM t | WHERE cat == "unterminated""").contains("unterminated string"))
   }
 
+  test("INLINESTATS attaches group aggregates without collapsing; multi-index FROM unions") {
+    val got = run(
+      """FROM t | INLINESTATS gn = COUNT(*), gs = SUM(n) BY cat
+        || WHERE n * gn > gs | KEEP id, gn, gs | SORT id""".stripMargin).collect()
+    // alpha group: n in (10,30,50), sum 90 — only n=50 exceeds the mean
+    assert(got.toSeq == Seq(Row(5L, 3L, 90L)))
+    assert(run("FROM t, t | STATS c = COUNT(*)").head().getLong(0) == 10L)
+    assert(intercept[ParseError](run(
+      "FROM t | INLINESTATS d = COUNT_DISTINCT(cat)")).getMessage
+      .contains("INLINESTATS does not support COUNT_DISTINCT"))
+  }
+
   test("the registry pipelines parse to the expected command shapes") {
     val cmds = EsqlParser.parse(ops.SearchExt.esqlStatsQuery)
-    assert(cmds.head == From("events"))
+    assert(cmds.head == From(Seq("events")))
     assert(cmds.collect { case s: Stats => s }.head.by == Seq("event_type"))
     assert(cmds.collect { case l: Limit => l } == Seq(Limit(5)))
     val row = EsqlParser.parse(ops.SearchExt.esqlRowQuery)
