@@ -117,36 +117,63 @@ object Corpus {
     }.mkString("\nUNION ALL ")
     ctes.result()
   }
+  /** Checkpoint cadence for the trainer: each merge round chains one
+    * more regexp_replace onto the working corpus' lineage, so at real
+    * vocab sizes (30k merges) unbounded lineage would blow plan
+    * compile time and stack depth long before the data is the
+    * problem. Every K rounds the working corpus is re-materialized
+    * via eager localCheckpoint (executor-local blocks — no lineage,
+    * no driver traffic), bounding the chain at K replaces between
+    * materializations. K trades recompute-on-loss against
+    * plan-compile overhead; 2 here so the declared 3-round query
+    * crosses a checkpoint (CorpusSpec pins checkpointed ≡
+    * unchackpointed output). */
+  private[graft] val bpeCheckpointEvery = 2
+
+  /** The training loop behind ns_bpe_train, exposed for CorpusSpec:
+    * `checkpointEvery` rounds between lineage re-materializations
+    * (Int.MaxValue = never). */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int,
+                              checkpointEvery: Int): DataFrame = {
+    var corpus = docs(s, dir)
+      // a doc whose trimmed text is empty yields a 1-element split —
+      // without the filter the pair slice length goes negative and the
+      // whole query fails at runtime (the engine models empty docs
+      // elsewhere: ns_cat_indices' docs_empty)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), expr(symSparkSql).as("s"))
+    val learned = (1 to rounds).map { k =>
+      val syms = split(col("s"), "\\|")
+      val top = corpus
+        .select(explode(arrays_zip(
+          slice(syms, lit(1), greatest(size(syms) - 2, lit(0))).as("l"),
+          slice(syms, lit(2), greatest(size(syms) - 2, lit(0))).as("r"))).as("z"))
+        .select(col("z.l").as("l"), col("z.r").as("r"))
+        .filter(col("l") =!= "" && col("r") =!= "" && col("l") =!= " " && col("r") =!= " ")
+        .groupBy("l", "r").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()(0) // the trainer's merge table is driver state: ONE row per round
+      val (l, r) = (top.getAs[String]("l"), top.getAs[String]("r"))
+      corpus = corpus.withColumn("s",
+        regexp_replace(col("s"), // replace() via regexp with quoting-free literals:
+          lit(java.util.regex.Pattern.quote(s"$l|$r|")), lit(s"$l$r|")))
+      if (k % checkpointEvery == 0 && k < rounds)
+        corpus = corpus.localCheckpoint(true)
+      Row(k.toLong, l, r, top.getAs[Long]("n"))
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(learned).asJava),
+      StructType(Seq(
+        StructField("rank", LongType, nullable = false),
+        StructField("l", StringType, nullable = false),
+        StructField("r", StringType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+  }
+
   val bpeTrainOp: QueryDef = QueryDef(
     "ns_bpe_train",
-    (s, dir) => {
-      var corpus = docs(s, dir).select(col("doc_id"), expr(symSparkSql).as("s"))
-      val learned = (1 to bpeTrainRounds).map { k =>
-        val syms = split(col("s"), "\\|")
-        val top = corpus
-          .select(explode(arrays_zip(
-            slice(syms, lit(1), size(syms) - 2).as("l"),
-            slice(syms, lit(2), size(syms) - 2).as("r"))).as("z"))
-          .select(col("z.l").as("l"), col("z.r").as("r"))
-          .filter(col("l") =!= "" && col("r") =!= "" && col("l") =!= " " && col("r") =!= " ")
-          .groupBy("l", "r").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("l"), col("r"))
-          .limit(1)
-          .collect()(0) // the trainer's merge table is driver state: ONE row per round
-        val (l, r) = (top.getAs[String]("l"), top.getAs[String]("r"))
-        corpus = corpus.withColumn("s",
-          regexp_replace(col("s"), // replace() via regexp with quoting-free literals:
-            lit(java.util.regex.Pattern.quote(s"$l|$r|")), lit(s"$l$r|")))
-        Row(k.toLong, l, r, top.getAs[Long]("n"))
-      }
-      s.createDataFrame(
-        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(learned).asJava),
-        StructType(Seq(
-          StructField("rank", LongType, nullable = false),
-          StructField("l", StringType, nullable = false),
-          StructField("r", StringType, nullable = false),
-          StructField("n", LongType, nullable = false))))
-    },
+    (s, dir) => bpeTrain(s, dir, bpeTrainRounds, bpeCheckpointEvery),
     Some(bpeTrainOracle))
 
   // -------------------------------------------------------- quality classifier

@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   *             | ENRICH ident ON ident [WITH ident (',' ident)*]
   *             | LOOKUP JOIN ident ON ident
   *             | MV_EXPAND ident
+  *             | CHANGE_POINT ident ON ident [AS ident ',' ident]
+  *             | SAMPLE number [ON ident]   // deterministic md5 bucket
   *   agg      := [ident '='] aggfn [WHERE expr]   // per-aggregate filter
   *   aggfn    := COUNT '(' '*' | expr ')' | COUNT_DISTINCT '(' expr ')'
   *             | SUM|MIN|MAX|AVG|MEDIAN '(' expr ')'
@@ -117,6 +119,17 @@ object EsqlParser {
   final case class Enrich(policy: String, on: String, withCols: Seq[String]) extends Cmd
   final case class LookupJoin(index: String, on: String) extends Cmd
   final case class MvExpand(column: String) extends Cmd
+  // CHANGE_POINT value ON key [AS typeName, pvalueName] — ES|QL 9.x's
+  // step-change detector: non-collapsing, the argmax row gains
+  // (typeName, pvalueName), every other row gets nulls
+  final case class ChangePoint(value: String, on: String,
+                               typeName: String = "type",
+                               pvalName: String = "pvalue") extends Cmd
+  // SAMPLE probability [ON ident] — ES|QL 9.x's row sampling; the ON
+  // extension pins membership to a deterministic md5 bucket of the
+  // named column (reproducible across runs and engines, unlike ES's
+  // seeded RNG); without ON membership hashes the whole row
+  final case class Sample(probability: BigDecimal, on: Option[String]) extends Cmd
 
   final case class ParseError(msg: String, pos: Int)
     extends IllegalArgumentException(s"esql parse error at $pos: $msg")
@@ -420,6 +433,22 @@ object EsqlParser {
           eatKw("on")
           LookupJoin(idx, ident())
         case "MV_EXPAND" => MvExpand(ident())
+        case "CHANGE_POINT" =>
+          val v = ident()
+          eatKw("on")
+          val k = ident()
+          if (peek.exists(isKw(_, "as"))) {
+            i += 1
+            val tn = ident(); eatSym(","); val pn = ident()
+            ChangePoint(v, k, tn, pn)
+          } else ChangePoint(v, k)
+        case "SAMPLE" =>
+          val p0 = peek match {
+            case Some(TNum(v, _)) if v > 0 && v < 1 => i += 1; v
+            case _ => throw ParseError("SAMPLE expects a probability in (0, 1)", pos)
+          }
+          val on = if (peek.exists(isKw(_, "on"))) { i += 1; Some(ident()) } else None
+          Sample(p0, on)
         case other => throw ParseError(s"unknown command $other", pos)
       }
     }
@@ -440,9 +469,36 @@ object EsqlParser {
   }
 
   // --------------------------------------------------------------- compiler
-  /** KQL's wildcard discipline: `*` → `%`, literal `%`/`_` escaped. */
-  private def likePattern(p: String): String =
-    p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("*", "%")
+  /** ES|QL LIKE → SQL LIKE: `*` → `%`, `?` → `_` (the single-char
+    * wildcard), `\*`/`\?`/`\\` stay literal (the string lexer has
+    * already collapsed source-level `\\` into one backslash), and
+    * literal `%`/`_` are escaped so they never act as wildcards. */
+  private[graft] def likePattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length && "*?\\".indexOf(p.charAt(i + 1)) >= 0) {
+        p.charAt(i + 1) match {
+          case '*' => sb.append('*')
+          case '?' => sb.append('?')
+          case '\\' => sb.append("\\\\")
+        }
+        i += 2
+      } else {
+        c match {
+          case '*' => sb.append('%')
+          case '?' => sb.append('_')
+          case '%' => sb.append("\\%")
+          case '_' => sb.append("\\_")
+          case '\\' => sb.append("\\\\") // dangling backslash stays literal
+          case ch => sb.append(ch)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   def compileExpr(e: Expr): Column = e match {
     case Ident(n) => col(n)
@@ -594,12 +650,15 @@ object EsqlParser {
     (sb.toString, ks)
   }
 
-  /** One-pass extraction: a single codegen RegExpExtractStruct evaluates
-    * the pattern once per row, then the typed fields flatten out. The
-    * underlying expression follows regexp_extract's no-match contract
-    * (empty strings); ES|QL's GROK/DISSECT null the fields instead, so
-    * empties become null here — which also keeps the typed casts ANSI-
-    * safe on unmatched rows. */
+  /** One-pass extraction: a single codegen matched-flag extraction
+    * expression evaluates the pattern once per row, then the typed
+    * fields flatten out. The expression's ES-dialect mode already
+    * separates the cases the legacy empty-string convention conflated:
+    * fields are null exactly when the whole pattern failed (or, for
+    * grok, the group did not participate), while a matched-but-EMPTY
+    * capture (adjacent dissect delimiters) stays `""` — ES dissect's
+    * actual contract. Typed casts stay ANSI-safe: null casts to null,
+    * and the numeric grok patterns (`INT`/`NUMBER`) cannot match empty. */
   private def applyExtract(df: DataFrame, g: Column,
                            keys: Seq[(String, String)]): DataFrame = {
     // explode(array(…)) materializes the struct through a Generate:
@@ -612,14 +671,49 @@ object EsqlParser {
     val flat = keys.foldLeft(
       df.select(col("*"), explode(array(g)).as("__extract"))) { case (d, (n, t)) =>
       val raw = col("__extract").getField(n)
-      val c = when(raw =!= lit(""), raw)
       d.withColumn(n, t match {
-        case "int" | "long" => c.cast("long")
-        case "float" | "double" => c.cast("double")
-        case _ => c
+        case "int" | "long" => raw.cast("long")
+        case "float" | "double" => raw.cast("double")
+        case _ => raw
       })
     }
     flat.drop("__extract")
+  }
+
+  /** CHANGE_POINT: the CUSUM-style single-mean-shift argmax over the
+    * key-ordered series (the ns_agg_change_point scoring — k·(n−k)·
+    * (meanL − meanR)², exact-long prefix sums, ties broken by key),
+    * attached NON-COLLAPSING: the argmax row gains (typeName,
+    * pvalName = round(1/(1+score), 6), a deterministic monotone map of
+    * the shift score shared verbatim with the oracle); every other row
+    * keeps nulls. The command runs over the pipeline's already-
+    * aggregated series (ES itself caps CHANGE_POINT input at 1000
+    * rows), so the single-partition windows order a |series|-bounded
+    * table — never corpus rows (the adjudicated serial_diff shape). */
+  private def compileChangePoint(df: DataFrame, v: String, k: String,
+                                 tn: String, pn: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(k))
+    val wAll = Window.orderBy(col(k))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val meanL = col("__cp_sk").cast("double") / col("__cp_k")
+    val meanR = (col("__cp_st") - col("__cp_sk")).cast("double") /
+      (col("__cp_n") - col("__cp_k"))
+    val score = col("__cp_k").cast("double") * (col("__cp_n") - col("__cp_k")) *
+      (meanL - meanR) * (meanL - meanR)
+    df.withColumn("__cp_k", row_number().over(w).cast("long"))
+      .withColumn("__cp_sk", sum(col(v)).over(w))
+      .withColumn("__cp_st", sum(col(v)).over(wAll))
+      .withColumn("__cp_n", count(lit(1)).over(wAll))
+      .withColumn("__cp_score", when(col("__cp_k") < col("__cp_n"), score))
+      .withColumn("__cp_rk", row_number().over(
+        Window.orderBy(col("__cp_score").desc_nulls_last, col(k))))
+      .withColumn(tn,
+        when(col("__cp_rk") === 1 && col("__cp_score").isNotNull, lit("step_change")))
+      .withColumn(pn,
+        when(col("__cp_rk") === 1 && col("__cp_score").isNotNull,
+          round(lit(1.0) / (lit(1.0) + col("__cp_score")), 6)))
+      .drop("__cp_k", "__cp_sk", "__cp_st", "__cp_n", "__cp_score", "__cp_rk")
   }
 
   /** The unaliased aggregate Column — shared by STATS (grouped) and
@@ -670,19 +764,32 @@ object EsqlParser {
           // window over its group — every row keeps its columns and
           // gains the group's aggregates (count_distinct is not a
           // window aggregate; reject it the way ES marks it unsupported)
-          import org.apache.spark.sql.expressions.Window
-          val w = if (by.isEmpty) Window.partitionBy() else Window.partitionBy(by.map(col): _*)
-          aggs.foldLeft(df) { case (d, (n, a)) =>
-            a match {
-              case AggFn("count_distinct", _, _) =>
-                throw ParseError("INLINESTATS does not support COUNT_DISTINCT", 0)
-              case _ => d.withColumn(n, compileAggRaw(a).over(w))
+          aggs.foreach {
+            case (_, AggFn("count_distinct", _, _)) =>
+              throw ParseError("INLINESTATS does not support COUNT_DISTINCT", 0)
+            case _ => ()
+          }
+          if (by.isEmpty) {
+            // global group: NEVER a partition-less window (that funnels
+            // the whole corpus through one task) — one partial-
+            // aggregated global row, broadcast back across every row
+            // (the engine's ns_agg_global discipline)
+            val cols = aggs.map { case (n, a) => compileAggRaw(a).as(n) }
+            df.crossJoin(broadcast(df.agg(cols.head, cols.tail: _*)))
+          } else {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(by.map(col): _*)
+            aggs.foldLeft(df) { case (d, (n, a)) =>
+              d.withColumn(n, compileAggRaw(a).over(w))
             }
           }
         case Sort(keys) =>
+          // ES|QL's dialect default treats null as LARGER than any
+          // value: ASC → nulls last, DESC → nulls first (Spark's
+          // defaults are the opposite pairing)
           df.orderBy(keys.map {
-            case (n, true, None) => col(n).asc
-            case (n, false, None) => col(n).desc
+            case (n, true, None) => col(n).asc_nulls_last
+            case (n, false, None) => col(n).desc_nulls_first
             case (n, true, Some(true)) => col(n).asc_nulls_first
             case (n, true, Some(false)) => col(n).asc_nulls_last
             case (n, false, Some(true)) => col(n).desc_nulls_first
@@ -712,12 +819,12 @@ object EsqlParser {
           // no backtracking
           val (_, keys) = dissectRegex(p)
           applyExtract(df,
-            graft.expr.GrokFunctions.dissect_extract(col(in), p, keys),
+            graft.expr.GrokFunctions.dissect_extract_m(col(in), p, keys),
             keys.map(_ -> "string"))
         case Grok(in, p) =>
           val (rx, keys) = grokRegex(p)
           applyExtract(df,
-            graft.expr.GrokFunctions.regexp_extract_struct(col(in), rx, keys.map(_._1)),
+            graft.expr.GrokFunctions.regexp_extract_struct_m(col(in), rx, keys.map(_._1)),
             keys)
         case Enrich(policy, on, withCols) =>
           val (dim, matchField) = policies(policy)
@@ -725,18 +832,43 @@ object EsqlParser {
             else dim.columns.filterNot(_ == matchField).toSeq
           val dimSel = dim.select((matchField +: fields).map(col): _*)
             .withColumnRenamed(matchField, "__enrich_match")
-          df.join(broadcast(dimSel), df(on) === dimSel("__enrich_match"), "left")
+          // ES OVERWRITES an existing field of the same name — drop the
+          // clashing source columns (never the join key) before joining
+          val clash = fields.filter(f => f != on && df.columns.contains(f))
+          val src = df.drop(clash: _*)
+          src.join(broadcast(dimSel), src(on) === dimSel("__enrich_match"), "left")
             .drop("__enrich_match")
         case LookupJoin(index, on) =>
           // ES|QL's LOOKUP JOIN (the successor to ENRICH for arbitrary
           // lookup-mode indices): LEFT join on the shared field name.
           // The lookup index is declared single-shard/replicated in ES —
-          // the broadcast is its Spark twin.
+          // the broadcast is its Spark twin. Lookup fields OVERWRITE
+          // same-named source columns, as in ES.
           val dim = resolve(index)
           val dimSel = dim.withColumnRenamed(on, "__lookup_match")
-          df.join(broadcast(dimSel), df(on) === dimSel("__lookup_match"), "left")
+          val clash = dimSel.columns
+            .filter(c => c != "__lookup_match" && c != on && df.columns.contains(c))
+          val src = df.drop(clash: _*)
+          src.join(broadcast(dimSel), src(on) === dimSel("__lookup_match"), "left")
             .drop("__lookup_match")
         case MvExpand(c) => df.withColumn(c, explode_outer(col(c)))
+        case ChangePoint(v, k, tn, pn) => compileChangePoint(df, v, k, tn, pn)
+        case Sample(p, on) =>
+          // deterministic inverse of the probability on a 1e6 grid —
+          // the ns_agg_random_sampler membership primitive
+          val cut = (p * 1000000).toLong
+          val bucket = on match {
+            case Some(c) =>
+              // the reproducible path: md5 of the named column's string
+              // form (identical text in Spark and DuckDB)
+              conv(substring(md5(col(c).cast("string")), 1, 8), 16, 10)
+                .cast("long") % 1000000L
+            case None =>
+              // no designated key: hash every column (deterministic for
+              // a given schema; not oracle-expressible, documented)
+              pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))
+          }
+          df.filter(bucket < cut)
       }
     }
   }

@@ -813,11 +813,14 @@ object SearchExt {
   val msearchOp = QueryDef(
     "ns_search_msearch",
     (s, dir) => {
-      val labels = filter(
-        array(msearchDefs.map { case (l, p, _) => when(p(s, dir), lit(l)) }: _*),
-        _.isNotNull)
+      // exploded conditional literals, NOT a filter() HOF: ArrayFilter
+      // is CodegenFallback and would run the whole corpus stage
+      // interpreted — explode the (≤ N, null-padded) label array inside
+      // codegen and drop the null slots after the Generate instead
+      val labels = array(msearchDefs.map { case (l, p, _) => when(p(s, dir), lit(l)) }: _*)
       docs(s, dir)
         .select(col("doc_id"), col("n_chars"), explode(labels).as("label"))
+        .filter(col("label").isNotNull)
         .groupBy("label")
         .agg(count(lit(1)).as("n_hits"),
           graft.expr.VecFunctions.topk_by_score(
@@ -1464,6 +1467,38 @@ object SearchExt {
       |FROM tf t JOIN stats s USING (term)
       |WHERE t.doc_id IN (${termvectorDocIds.mkString(", ")})""".stripMargin))
 
+  // ---------------------------------------------------------------- _mget
+  /** The `_mget` API — the multi-document point read (fetch by id):
+    * N requested ids come back in REQUEST order, with ES's
+    * `found: false` marker for ids the index does not hold. Scale
+    * shape: the id set pushes to the parquet scan as ONE In predicate
+    * (PushedFilters-locked — a few row groups read, never a corpus
+    * pass), the ≤ N matched docs broadcast against the tiny LOCAL
+    * request-order frame, and request order returns via the left
+    * join's order column — no corpus-side sort anywhere. */
+  private val mgetIds = Seq(42L, 7L, 911L, -1L, 13L) // request order; -1 never exists
+  val mgetOp = QueryDef(
+    "ns_search_mget",
+    (s, dir) => {
+      import s.implicits._
+      val req = mgetIds.zipWithIndex
+        .map { case (id, i) => (i + 1L, id) }.toDF("req_order", "doc_id")
+      val hit = docs(s, dir)
+        .filter(col("doc_id").isin(mgetIds: _*))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      req.join(broadcast(hit), Seq("doc_id"), "left")
+        .select(col("req_order"), col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("lang").isNotNull.as("found"))
+        .orderBy("req_order")
+    },
+    Some(s"""WITH req(req_order, doc_id) AS (VALUES ${mgetIds.zipWithIndex
+        .map { case (id, i) => s"(CAST(${i + 1} AS BIGINT), CAST($id AS BIGINT))" }
+        .mkString(", ")})
+      |SELECT req_order, req.doc_id AS doc_id, d.lang, d.source, d.n_chars,
+      |  d.lang IS NOT NULL AS found
+      |FROM req LEFT JOIN documents d ON req.doc_id = d.doc_id
+      |ORDER BY req_order""".stripMargin))
+
   private[graft] val esqlLookupJoinQuery =
     """FROM events
       || EVAL nk = user_id % 25
@@ -1481,6 +1516,62 @@ object SearchExt {
     Some("""SELECT n_name, count(*) AS n
       |FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
       |WHERE n_regionkey <= 2 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** CHANGE_POINT surfaced as an ES|QL command (9.x): the pipeline
+    * aggregates the error series per day first (so the command's
+    * windows order a |days|-bounded table — ES itself caps the input at
+    * 1000 rows), then the CUSUM argmax row gains (cp_type, cp_pvalue)
+    * non-collapsing; the semantics are ns_agg_change_point's, reached
+    * from the language surface. */
+  private[graft] val esqlChangePointQuery =
+    """FROM events
+      || WHERE event_type == "error"
+      || EVAL day = BUCKET(ts_ms, 86400000)
+      || STATS c = COUNT(*) BY day
+      || CHANGE_POINT c ON day AS cp_type, cp_pvalue
+      || SORT day ASC""".stripMargin
+  val esqlChangePointOp = QueryDef(
+    "ns_esql_change_point",
+    (s, dir) => EsqlParser.run(esqlChangePointQuery, _ => Tables.events(s, dir)),
+    Some("""WITH b AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day, count(*) AS c
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |p AS (SELECT day, c,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS sk,
+      |    CAST(sum(c) OVER () AS BIGINT) AS st,
+      |    CAST(count(*) OVER () AS BIGINT) AS n FROM b),
+      |s AS (SELECT day, c,
+      |    CASE WHEN k < n THEN CAST(k AS DOUBLE) * (n - k)
+      |      * (CAST(sk AS DOUBLE) / k - CAST(st - sk AS DOUBLE) / (n - k))
+      |      * (CAST(sk AS DOUBLE) / k - CAST(st - sk AS DOUBLE) / (n - k)) END AS score
+      |  FROM p),
+      |r AS (SELECT day, c, score,
+      |    row_number() OVER (ORDER BY score DESC NULLS LAST, day) AS rk FROM s)
+      |SELECT day, c,
+      |  CASE WHEN rk = 1 AND score IS NOT NULL THEN 'step_change' END AS cp_type,
+      |  CASE WHEN rk = 1 AND score IS NOT NULL
+      |    THEN round(1.0 / (1.0 + score), 6) END AS cp_pvalue
+      |FROM r ORDER BY day""".stripMargin))
+
+  /** SAMPLE surfaced as an ES|QL command (9.x): the deterministic
+    * md5-bucket membership of ns_agg_random_sampler reached from the
+    * language surface — a pure map-side filter (any worker decides
+    * membership independently, no shuffle before the aggregate), and
+    * reproducible across engines/runs where ES's seeded RNG is not. */
+  private[graft] val esqlSampleQuery =
+    """FROM events
+      || SAMPLE 0.05 ON event_id
+      || EVAL vc = TO_LONG(ROUND(value * 100, 0))
+      || STATS n = COUNT(*), sv = SUM(vc) BY event_type
+      || SORT event_type ASC""".stripMargin
+  val esqlSampleOp = QueryDef(
+    "ns_esql_sample",
+    (s, dir) => EsqlParser.run(esqlSampleQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
+      |FROM events
+      |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 50000
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private[graft] val esqlMvExpandQuery =
     """FROM access_log
@@ -1501,7 +1592,8 @@ object SearchExt {
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
-    termvectorsOp, graphExploreOp,
+    esqlChangePointOp, esqlSampleOp,
+    termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,

@@ -726,6 +726,33 @@ object TextOps {
            |SELECT w1 || ' ' || w2 || ' ' || w3 AS suggestion, score_c
            |FROM sc ORDER BY score_c DESC, suggestion LIMIT $suggestSize""".stripMargin))
 
+  /** The `completion` suggester — the third and last ES suggester:
+    * weighted prefix autocomplete, the search-box default ES serves
+    * from an in-memory FST on every keystroke. The FST's Spark twin is
+    * the persisted (tok, cnt) term-dictionary artifact (unigramFreq —
+    * the same buildOnce dictionary the term/phrase suggesters walk):
+    * the typed prefix becomes a pushed StringStartsWith on the
+    * artifact's parquet scan (PlanSpec-locked — a dictionary-sized
+    * read narrowed further by the pushdown, never a corpus scan),
+    * suggestions rank by weight exactly as ES ranks by the completion
+    * field's indexed weight (weight here = corpus term frequency, the
+    * natural popularity weight an index build would attach), and the
+    * cutoff is a top-k heap. */
+  private val completionPrefix = "s"
+  val completionSuggestOp = QueryDef(
+    "ns_search_completion_suggest", { (s, dir) =>
+      unigramFreq(s, dir)
+        .filter(col("tok").startsWith(completionPrefix))
+        .select(col("tok").as("suggestion"), col("cnt").as("weight"))
+        .orderBy(col("weight").desc, col("suggestion"))
+        .limit(suggestSize)
+    },
+    Some(s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+           |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+           |SELECT tok AS suggestion, cnt AS weight FROM freq
+           |WHERE tok LIKE '$completionPrefix%'
+           |ORDER BY cnt DESC, suggestion LIMIT $suggestSize""".stripMargin))
+
   /** The OpenSearch `rare_terms` aggregation: the long-tail complement
     * of a terms agg — bucket values appearing in at most
     * `max_doc_count` documents (one-off identifiers, anomalous
@@ -3072,7 +3099,7 @@ object TextOps {
     spanNearOp, spanOrOp, spanNotOp, spanContainingOp, spanWithinOp,
     rankEvalOp, collapseOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
-    phraseSuggestOp, explainOp, rareTermsOp,
+    phraseSuggestOp, completionSuggestOp, explainOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
     sampleTemperatureOp, sampleDomainCapOp, sampleDsirOp,

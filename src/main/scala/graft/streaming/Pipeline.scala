@@ -517,6 +517,12 @@ object Pipeline {
 
     def onGroup(key: String, evs: Iterator[ThrottleEvent],
                 state: GroupState[ThrottleState]): Iterator[ThrottleOut] = {
+      // EventTimeTimeout: a key that went idle fires here with no
+      // events once the watermark passes its horizon — drop its state
+      // entirely (without this, every key ever seen keeps an (empty)
+      // state entry forever: unbounded key-cardinality growth over
+      // weeks of stream uptime)
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var counts: Map[Long, Long] = state.getOption
         .map(s => s.windowStarts.zip(s.admitted).toMap)
         .getOrElse(Map.empty)
@@ -531,11 +537,19 @@ object Pipeline {
       // In batch mode the runtime refuses the watermark accessor
       // (watermarks are no-ops there); nothing needs pruning because
       // batch state dies with the job.
-      val horizon =
-        scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue + windowMs) - windowMs
+      val wmOpt = scala.util.Try(state.getCurrentWatermarkMs()).toOption
+      val horizon = wmOpt.getOrElse(Long.MinValue + windowMs) - windowMs
       val live = counts.filter { case (w, _) => w >= horizon }
       state.update(ThrottleState(live.keys.toSeq.sorted,
         live.keys.toSeq.sorted.map(live)))
+      // Streaming only: time the state out once the watermark passes
+      // the point where every currently-live window is beyond reach
+      // (w < wm − windowMs dies in the prune above, so maxW + 2·window
+      // covers the last live window plus the pruning slack).
+      wmOpt.foreach { _ =>
+        val maxW = if (live.isEmpty) horizon + windowMs else live.keys.max
+        state.setTimeoutTimestamp(maxW + 2 * windowMs)
+      }
       out.iterator
     }
 
@@ -545,7 +559,7 @@ object Pipeline {
       .select(col("logStream").as("stream"), col("event_ms"), col("seq"), col("event_time"))
       .as[ThrottleEvent]
       .groupByKey(_.stream)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(onGroup)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
   /** Open-session state carried between micro-batches. */

@@ -102,35 +102,48 @@ case class Gzip(child: Expression)
   * strings, matching `regexp_extract`'s no-match behavior. Whole-stage
   * codegen CSE evaluates the struct once even when many fields are
   * projected out of it. */
-case class RegExpExtractStruct(child: Expression, regex: String, fieldNames: Seq[String])
+case class RegExpExtractStruct(child: Expression, regex: String, fieldNames: Seq[String],
+                               matchedFlag: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType =
-    StructType(fieldNames.map(StructField(_, StringType, nullable = false)))
+    if (matchedFlag)
+      StructType(fieldNames.map(StructField(_, StringType, nullable = true)) :+
+        StructField("_matched", org.apache.spark.sql.types.BooleanType, nullable = false))
+    else StructType(fieldNames.map(StructField(_, StringType, nullable = false)))
   override def prettyName: String = "regexp_extract_struct"
   @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
   override protected def nullSafeEval(input: Any): Any =
-    GrokHelper.extract(input.asInstanceOf[UTF8String], pattern, fieldNames.length)
+    GrokHelper.extract(input.asInstanceOf[UTF8String], pattern, fieldNames.length, matchedFlag)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.addReferenceObj("grokPattern", pattern, "java.util.regex.Pattern")
     defineCodeGen(ctx, ev,
-      c => s"org.apache.spark.sql.graftshim.GrokHelper.extract($c, $p, ${fieldNames.length})")
+      c => s"org.apache.spark.sql.graftshim.GrokHelper.extract($c, $p, ${fieldNames.length}, $matchedFlag)")
   }
   override protected def withNewChildInternal(newChild: Expression): RegExpExtractStruct =
     copy(child = newChild)
 }
 
 object GrokHelper {
-  def extract(s: UTF8String, p: java.util.regex.Pattern, n: Int): InternalRow = {
+  /** `flag = false`: legacy regexp_extract convention — no-match and
+    * non-participating groups both yield `""`. `flag = true` (the ES|QL
+    * GROK dialect fix): an extra trailing `_matched` boolean
+    * distinguishes matched-but-empty captures (`""`) from no-match /
+    * non-participating (null) — ES nulls fields only when the whole
+    * pattern failed or the group did not participate. */
+  def extract(s: UTF8String, p: java.util.regex.Pattern, n: Int, flag: Boolean = false): InternalRow = {
     val m = p.matcher(s.toString)
-    val arr = new Array[Any](n)
+    val arr = new Array[Any](if (flag) n + 1 else n)
     val matched = m.find()
     var i = 0
     while (i < n) {
       val g = if (matched) m.group(i + 1) else null
-      arr(i) = UTF8String.fromString(if (g == null) "" else g)
+      arr(i) =
+        if (flag) { if (g == null) null else UTF8String.fromString(g) }
+        else UTF8String.fromString(if (g == null) "" else g)
       i += 1
     }
+    if (flag) arr(n) = matched
     new GenericInternalRow(arr)
   }
 }
@@ -149,20 +162,24 @@ final class DissectPlan(val lits: Array[String], val padded: Array[Boolean],
   * access-log template). Unmatched rows yield empty strings
   * (regexp_extract's no-match convention, shared with
   * RegExpExtractStruct). */
-case class DissectExtract(child: Expression, template: String, fieldNames: Seq[String])
+case class DissectExtract(child: Expression, template: String, fieldNames: Seq[String],
+                          matchedFlag: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType =
-    StructType(fieldNames.map(StructField(_, StringType, nullable = false)))
+    if (matchedFlag)
+      StructType(fieldNames.map(StructField(_, StringType, nullable = true)) :+
+        StructField("_matched", org.apache.spark.sql.types.BooleanType, nullable = false))
+    else StructType(fieldNames.map(StructField(_, StringType, nullable = false)))
   override def prettyName: String = "dissect_extract"
   @transient private lazy val plan = DissectHelper.compile(template)
   override protected def nullSafeEval(input: Any): Any =
-    DissectHelper.extract(input.asInstanceOf[UTF8String], plan, fieldNames.length)
+    DissectHelper.extract(input.asInstanceOf[UTF8String], plan, fieldNames.length, matchedFlag)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.addReferenceObj("dissectPlan", plan,
       "org.apache.spark.sql.graftshim.DissectPlan")
     defineCodeGen(ctx, ev,
-      c => s"org.apache.spark.sql.graftshim.DissectHelper.extract($c, $p, ${fieldNames.length})")
+      c => s"org.apache.spark.sql.graftshim.DissectHelper.extract($c, $p, ${fieldNames.length}, $matchedFlag)")
   }
   override protected def withNewChildInternal(newChild: Expression): DissectExtract =
     copy(child = newChild)
@@ -195,10 +212,13 @@ object DissectHelper {
     s.substring(from, end)
   }
 
-  def extract(s: UTF8String, p: DissectPlan, n: Int): InternalRow = {
+  /** `flag` as in GrokHelper.extract: append a `_matched` boolean and
+    * null (instead of empty) the fields on no-match, so matched-but-
+    * empty captures (adjacent delimiters) keep ES dissect's `""`. */
+  def extract(s: UTF8String, p: DissectPlan, n: Int, flag: Boolean = false): InternalRow = {
     val input = s.toString
     val k = p.padded.length
-    val out = new Array[Any](n)
+    val out = new Array[Any](if (flag) n + 1 else n)
     var ok = input.startsWith(p.lits(0))
     var pos = if (ok) p.lits(0).length else 0
     var i = 0
@@ -238,8 +258,9 @@ object DissectHelper {
     }
     if (!ok) {
       var j = 0
-      while (j < n) { out(j) = UTF8String.EMPTY_UTF8; j += 1 }
+      while (j < n) { out(j) = if (flag) null else UTF8String.EMPTY_UTF8; j += 1 }
     }
+    if (flag) out(n) = ok
     new GenericInternalRow(out)
   }
 }

@@ -70,6 +70,32 @@ class CorpusSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("bpe_train: the checkpoint cadence crosses a materialization with unchanged output") {
+    // 5 rounds with K=2 re-materializes the working corpus twice (after
+    // rounds 2 and 4); the learned merge table must be byte-identical to
+    // the never-checkpointed run — localCheckpoint bounds lineage, it
+    // must not change what is learned
+    val checkpointed = ops.Corpus.bpeTrain(spark, sfDir, rounds = 5, checkpointEvery = 2)
+      .collect().toSeq
+    val unchackpointed = ops.Corpus.bpeTrain(spark, sfDir, rounds = 5,
+      checkpointEvery = Int.MaxValue).collect().toSeq
+    assert(checkpointed == unchackpointed)
+    assert(checkpointed.length == 5)
+  }
+
+  test("bpe_train survives empty documents (the 1-symbol split guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_empty").toString
+    import spark.implicits._
+    Seq((1L, "abab"), (2L, ""), (3L, "   "), (4L, "ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val learned = ops.Corpus.bpeTrain(spark, dir, rounds = 1,
+      checkpointEvery = Int.MaxValue).collect()
+    assert(learned.length == 1)
+    assert((learned(0).getAs[String]("l"), learned(0).getAs[String]("r")) == ("a", "b"))
+    assert(learned(0).getAs[Long]("n") == 3L) // 2 in doc 1 + 1 in doc 4
+  }
+
   test("ns_quality_classifier logit is exactly the integer feature dot product") {
     val r = SparkEntry.queries("ns_quality_classifier")(spark, sfDir)
     // recompute one doc by hand

@@ -223,6 +223,114 @@ class EsqlSpec extends SparkSpec {
       .contains("INLINESTATS does not support COUNT_DISTINCT"))
   }
 
+  test("INLINESTATS without BY: one global row attached to every row — no window") {
+    val got = run(
+      """FROM t | INLINESTATS gn = COUNT(*), gs = SUM(n) | KEEP id, gn, gs | SORT id""")
+    assert(got.collect().toSeq ==
+      (1L to 5L).map(i => Row(i, 5L, 150L)))
+    // the no-BY branch must compile to crossJoin(broadcast(agg)), never
+    // a partition-less window funneling the corpus through one task
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no-BY INLINESTATS compiled to a window:\n$plan")
+  }
+
+  test("CHANGE_POINT marks the CUSUM argmax row non-collapsing; AS renames") {
+    import spark.implicits._
+    val series = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 100L), (5L, 100L), (6L, 100L))
+      .toDF("k", "v")
+    val got = EsqlParser.run(
+      "FROM s | CHANGE_POINT v ON k | SORT k", _ => series).collect()
+    assert(got.length == 6)
+    // the mean shift is after k=3: that row carries the marker
+    val marked = got.filter(_.getAs[String]("type") != null)
+    assert(marked.map(_.getLong(0)).toSeq == Seq(3L), s"got ${got.mkString(";")}")
+    assert(marked.head.getAs[Double]("pvalue") > 0 && marked.head.getAs[Double]("pvalue") < 1)
+    assert(got.filter(_.getLong(0) != 3L).forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // AS renames both output columns
+    val renamed = EsqlParser.run(
+      "FROM s | CHANGE_POINT v ON k AS cpt, cpp", _ => series)
+    assert(renamed.columns.toSeq.takeRight(2) == Seq("cpt", "cpp"))
+    // a flat series still yields exactly one marker (ties break by key)
+    val flat = EsqlParser.run("FROM s | CHANGE_POINT v ON k",
+      _ => Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("k", "v")).collect()
+    assert(flat.count(_.getAs[String]("type") != null) == 1)
+  }
+
+  test("SAMPLE: deterministic membership, ON pins the hash column, bounds checked") {
+    val a = run("FROM t | SAMPLE 0.5 ON id | STATS c = COUNT(*)").head().getLong(0)
+    val b = run("FROM t | SAMPLE 0.5 ON id | STATS c = COUNT(*)").head().getLong(0)
+    assert(a == b, "SAMPLE membership must be reproducible across runs")
+    assert(a >= 0 && a <= 5)
+    // without ON: whole-row hash, still deterministic
+    val c1 = run("FROM t | SAMPLE 0.5 | STATS c = COUNT(*)").head().getLong(0)
+    val c2 = run("FROM t | SAMPLE 0.5 | STATS c = COUNT(*)").head().getLong(0)
+    assert(c1 == c2)
+    assert(intercept[ParseError](run("FROM t | SAMPLE 1.5")).getMessage
+      .contains("probability"))
+    assert(intercept[ParseError](run("FROM t | SAMPLE 0")).getMessage
+      .contains("probability"))
+  }
+
+  test("LIKE: ? is the single-char wildcard; \\* and \\? stay literal") {
+    import spark.implicits._
+    val strs = Seq("cat", "cut", "c*t", "c?t", "coat").toDF("s")
+    def hits(pat: String): Seq[String] =
+      EsqlParser.run(s"""FROM t | WHERE s LIKE "$pat"""", _ => strs)
+        .collect().map(_.getString(0)).toSeq.sorted
+    assert(hits("c?t") == Seq("c*t", "c?t", "cat", "cut"))
+    assert(hits("c*t") == Seq("c*t", "c?t", "cat", "coat", "cut"))
+    // the lexer collapses source "\\\\" to one backslash before likePattern
+    assert(hits("c\\\\*t") == Seq("c*t"))
+    assert(hits("c\\\\?t") == Seq("c?t"))
+    // unit-level: literal % and _ in the pattern never act as wildcards
+    assert(EsqlParser.likePattern("a%b_c") == "a\\%b\\_c")
+    assert(EsqlParser.likePattern("*?") == "%_")
+  }
+
+  test("SORT default null order is the ES|QL dialect: ASC last, DESC first") {
+    import spark.implicits._
+    val df0 = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "c"))
+      .toDF("n", "s")
+    val asc = EsqlParser.run("FROM t | SORT n | KEEP s", _ => df0)
+      .collect().map(_.getString(0)).toSeq
+    assert(asc == Seq("a", "c", "b"), "ASC must put nulls last")
+    val desc = EsqlParser.run("FROM t | SORT n DESC | KEEP s", _ => df0)
+      .collect().map(_.getString(0)).toSeq
+    assert(desc == Seq("b", "c", "a"), "DESC must put nulls first")
+    // explicit NULLS FIRST/LAST still wins
+    val forced = EsqlParser.run("FROM t | SORT n NULLS FIRST | KEEP s", _ => df0)
+      .collect().map(_.getString(0)).toSeq
+    assert(forced == Seq("b", "a", "c"))
+  }
+
+  test("ENRICH/LOOKUP JOIN overwrite same-named source columns (ES semantics)") {
+    import spark.implicits._
+    val src = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "name")
+    val dim = Seq((1L, "new1"), (2L, "new2")).toDF("k", "name")
+    val enr = EsqlParser.run("FROM t | ENRICH p ON id | SORT id",
+      _ => src, { case "p" => (dim, "k") })
+    assert(enr.columns.count(_ == "name") == 1, "no duplicate name column")
+    assert(enr.collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("new1", "new2", null), "enrich fields overwrite, unmatched → null")
+    val lu = EsqlParser.run("FROM t | LOOKUP JOIN d ON id | SORT id", {
+      case "t" => src
+      case "d" => Seq((1L, "lu1"), (3L, "lu3")).toDF("id", "name")
+    })
+    assert(lu.columns.count(_ == "name") == 1)
+    assert(lu.collect().map(_.getAs[String]("name")).toSeq == Seq("lu1", null, "lu3"))
+  }
+
+  test("DISSECT: matched-but-empty captures stay \"\"; only no-match rows null") {
+    import spark.implicits._
+    val lines = Seq("a,,c", "x,y,z", "nomatch").toDF("s")
+    val got = EsqlParser.run("""FROM t | DISSECT s "%{p},%{q},%{r}" | KEEP s, p, q, r""",
+      _ => lines).collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSet == Set(
+      ("a,,c", "a", "", "c"),      // adjacent delimiters → matched EMPTY field
+      ("x,y,z", "x", "y", "z"),
+      ("nomatch", null, null, null))) // whole-pattern failure → nulls
+  }
+
   test("the registry pipelines parse to the expected command shapes") {
     val cmds = EsqlParser.parse(ops.SearchExt.esqlStatsQuery)
     assert(cmds.head == From(Seq("events")))
@@ -240,5 +348,11 @@ class EsqlSpec extends SparkSpec {
       Enrich("nations", "nk", Seq("n_name", "n_regionkey")))
     val mv = EsqlParser.parse(ops.SearchExt.esqlMvExpandQuery)
     assert(mv.collect { case m: MvExpand => m } == Seq(MvExpand("hops")))
+    val cp = EsqlParser.parse(ops.SearchExt.esqlChangePointQuery)
+    assert(cp.collect { case c: ChangePoint => c } ==
+      Seq(ChangePoint("c", "day", "cp_type", "cp_pvalue")))
+    val sm = EsqlParser.parse(ops.SearchExt.esqlSampleQuery)
+    assert(sm.collect { case s: Sample => s } ==
+      Seq(Sample(BigDecimal("0.05"), Some("event_id"))))
   }
 }

@@ -207,6 +207,30 @@ class ParserLawsSpec extends AnyFunSuite {
     assert(native("%{a}!", "v!x!", 1) == Seq("v!x"))
   }
 
+  test("dissect/grok matched-flag mode: null on no-match, \"\" on matched-empty") {
+    import org.apache.spark.sql.graftshim.{DissectHelper, GrokHelper}
+    import org.apache.spark.unsafe.types.UTF8String
+    def dis(template: String, input: String, n: Int): (Seq[String], Boolean) = {
+      val row = DissectHelper.extract(
+        UTF8String.fromString(input), DissectHelper.compile(template), n, flag = true)
+      ((0 until n).map(i => if (row.isNullAt(i)) null else row.getUTF8String(i).toString),
+        row.getBoolean(n))
+    }
+    // matched-but-empty capture (adjacent delimiters) is "", flag true
+    assert(dis("%{a},%{b},%{c}", "x,,z", 3) == (Seq("x", "", "z"), true))
+    // whole-pattern failure: all fields null, flag false
+    assert(dis("%{a};%{b}", "no separator", 2) == (Seq(null, null), false))
+    val p = java.util.regex.Pattern.compile("(\\w+)-(\\w*)")
+    def grok(input: String): (Seq[String], Boolean) = {
+      val row = GrokHelper.extract(UTF8String.fromString(input), p, 2, flag = true)
+      ((0 until 2).map(i => if (row.isNullAt(i)) null else row.getUTF8String(i).toString),
+        row.getBoolean(2))
+    }
+    assert(grok("ab-cd") == (Seq("ab", "cd"), true))
+    assert(grok("ab-") == (Seq("ab", ""), true)) // participating empty group → ""
+    assert(grok("!!!") == (Seq(null, null), false))
+  }
+
   test("grok: typed dictionary extraction recovers rendered fields") {
     import graft.ops.{EsqlParser => E}
     val wordG: Gen[String] = Gen.chooseNum(1, 8)

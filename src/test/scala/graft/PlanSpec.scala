@@ -238,7 +238,13 @@ class PlanSpec extends SparkSpec {
       "ns_agg_geo_line" -> Set("TopKByScoreAgg"),
       // vwh: the ≤(B−1)-row boundary ASSEMBLY aggregate only — the
       // corpus-side bucket lookup itself is the unrolled codegen CASE
-      "ns_agg_variable_width_histogram" -> Set("CollectList", "SortArray"))
+      "ns_agg_variable_width_histogram" -> Set("CollectList", "SortArray"),
+      // msearch ranks per-query hits through the bounded top-k aggregate;
+      // q_prefix's exists() runs over the row's own tokens (bounded by
+      // doc length — the ns_search_query_string allowance), and the r12
+      // ArrayFilter label HOF is gone (explode + null-drop now)
+      "ns_search_msearch" -> Set("TopKByScoreAgg", "ArrayExists",
+        "LambdaFunction", "NamedLambdaVariable"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
@@ -272,7 +278,11 @@ class PlanSpec extends SparkSpec {
       "ns_similarity_knn_filtered",
       // r12: the variable-width bucket lookup, compiled from the
       // ArrayFilter HOF to an unrolled chained CASE over `get`
-      "ns_agg_variable_width_histogram")
+      "ns_agg_variable_width_histogram",
+      // r13: msearch's per-row label array, compiled from the filter()
+      // HOF to explode + null-drop (pure codegen + Generate); the
+      // point-read fetch; and the dictionary-walk completion suggester
+      "ns_search_msearch", "ns_search_mget", "ns_search_completion_suggest")
     hot.foreach { q =>
       val extra = fallbacks(physical(q)) -- allowed.getOrElse(q, Set.empty)
       assert(extra.isEmpty, s"$q has unexpected interpreted fallbacks: $extra")
@@ -1323,6 +1333,32 @@ class PlanSpec extends SparkSpec {
       s"msearch per-query top hits regressed to a window rank:\n$p")
     assert(p.toString.contains("partial_topkbyscore"),
       s"per-query top hits lost the partial-aggregating bounded top-k:\n$p")
+  }
+
+  test("ns_search_completion_suggest: pushed prefix over the dictionary artifact only") {
+    val p = physical("ns_search_completion_suggest")
+    val scans = nodes(p).collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(!scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.endsWith("/documents.parquet"))),
+      s"completion must walk the persisted term dictionary, found a corpus scan:\n$p")
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("StringStartsWith(tok"),
+      s"the typed prefix must reach the artifact scan's PushedFilters, got $pushed\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the suggestion cutoff must be a top-k heap:\n$p")
+  }
+
+  test("ns_search_mget: the id set pushes as ONE In predicate; request order via broadcast") {
+    val p = physical("ns_search_mget")
+    val scans = nodes(p).collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val docScans = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.endsWith("/documents.parquet")))
+    assert(docScans.size == 1, s"mget must read the corpus exactly once:\n$p")
+    val pushed = docScans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("In(doc_id"),
+      s"the requested ids must reach PushedFilters as one In, got $pushed\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the request-order join must broadcast the point-read side:\n$p")
   }
 
   test("ns_search_scroll: every non-first page carries a pushed keyset bound") {

@@ -270,6 +270,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("throttle: an idle key's state is dropped once the watermark passes its windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val decisions = Pipeline.throttle(
+      in.toDF().toDF("logStream", "event_ms", "seq"),
+      windowMs = H, maxPerWindow = 2L)
+    val q = decisions.writeStream.outputMode("append")
+      .format("memory").queryName("throttle_timeout_test").start()
+    try {
+      // batch 1: A and B both have state
+      in.addData(("A", H + 1000L, 1L), ("B", H + 2000L, 2L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L)
+      // batch 2: only B advances, far enough that the watermark
+      // (max event − 10 min) passes A's timeout (its last live window
+      // start + 2·window) — batch 3 then fires the EventTimeTimeout
+      // and must REMOVE A's entry, not keep an empty one forever
+      in.addData(("B", 20 * H, 3L))
+      q.processAllAvailable()
+      in.addData(("B", 20 * H + 1000L, 4L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L,
+        "idle key A must have its state entry dropped by the event-time timeout")
+      // the surviving key still throttles correctly
+      in.addData(("B", 20 * H + 2000L, 5L), ("B", 20 * H + 3000L, 6L))
+      q.processAllAvailable()
+      val admitted = spark.table("throttle_timeout_test")
+        .as[Pipeline.ThrottleOut].collect().filter(o => o.stream == "B" && o.window_ms == 20 * H)
+      assert(admitted.count(_.admitted) == 2 && admitted.count(!_.admitted) == 2,
+        s"got: ${admitted.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("sessionizer runs under the RocksDB state store provider (100 TB/day state posture)") {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
