@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   *             | MV_EXPAND ident
   *             | CHANGE_POINT ident ON ident [AS ident ',' ident]
   *             | SAMPLE number [ON ident]   // deterministic md5 bucket
+  *             | FORK '(' command ('|' command)* ')' …   // ≥ 2 branches
+  *             | FUSE ON ident RANK ident   // RRF over FORK pages
+  *   query    may also start with `ROW ident '=' expr (',' …)*` — the
+  *            literal one-row source (constant pipelines)
   *   agg      := [ident '='] aggfn [WHERE expr]   // per-aggregate filter
   *   aggfn    := COUNT '(' '*' | expr ')' | COUNT_DISTINCT '(' expr ')'
   *             | SUM|MIN|MAX|AVG|MEDIAN '(' expr ')'
@@ -47,9 +51,19 @@ import org.apache.spark.sql.functions._
   *   add      := mul (('+'|'-') mul)*; mul := prim (('*'|'/'|'%') prim)*
   *   prim     := '(' expr ')' | '-' prim | number | string | ident
   *             | fn '(' args ')'     // ROUND ABS LENGTH CONCAT SUBSTRING
-  *                                   // TO_LONG TO_STRING COALESCE SPLIT
-  *                                   // TO_LOWER TO_UPPER TRIM MV_COUNT
-  *                                   // BUCKET CASE
+  *                                   // TO_LONG TO_STRING TO_DOUBLE
+  *                                   // TO_INTEGER TO_BOOLEAN COALESCE
+  *                                   // SPLIT TO_LOWER TO_UPPER TRIM
+  *                                   // BUCKET CASE STARTS_WITH ENDS_WITH
+  *                                   // LOCATE REPLACE LEFT RIGHT
+  *                                   // GREATEST LEAST POW SQRT FLOOR
+  *                                   // CEIL LOG LOG10 EXP SIGNUM
+  *                                   // MV_COUNT MV_MIN MV_MAX MV_SUM
+  *                                   // MV_AVG MV_DEDUPE MV_SORT
+  *                                   // MV_FIRST MV_LAST MV_SLICE
+  *                                   // MV_CONCAT MV_APPEND
+  *                                   // MATCH QSTR KQL (full-text — the
+  *                                   //   engine's own three parsers)
   * }}}
   *
   * The structured-extraction commands each evaluate their pattern ONCE
@@ -130,6 +144,17 @@ object EsqlParser {
   // named column (reproducible across runs and engines, unlike ES's
   // seeded RNG); without ON membership hashes the whole row
   final case class Sample(probability: BigDecimal, on: Option[String]) extends Cmd
+  // ROW a = 1, b = "x" — the literal one-row source (a FROM-less
+  // pipeline start, ES|QL's constant-expression playground)
+  final case class RowCmd(assigns: Seq[(String, Expr)]) extends Cmd
+  // FORK (cmds) (cmds) … — ES|QL 9.x's branch command: each branch
+  // runs the incoming frame through its own sub-pipeline; results
+  // union by name (missing columns null) with a `_fork` discriminator
+  final case class Fork(branches: Seq[Seq[Cmd]]) extends Cmd
+  // FUSE ON id RANK col — fuse FORK's ranked branches by RRF on the
+  // shared id: per-branch rank from the RANK column (desc, id ties),
+  // fused score = Σ round(1e6/(60+rank)) in exact micros
+  final case class Fuse(id: String, rank: String) extends Cmd
 
   final case class ParseError(msg: String, pos: Int)
     extends IllegalArgumentException(s"esql parse error at $pos: $msg")
@@ -449,18 +474,47 @@ object EsqlParser {
           }
           val on = if (peek.exists(isKw(_, "on"))) { i += 1; Some(ident()) } else None
           Sample(p0, on)
+        case "FORK" =>
+          val branches = Seq.newBuilder[Seq[Cmd]]
+          def branch(): Unit = {
+            eatSym("(")
+            val bs = Seq.newBuilder[Cmd]
+            bs += parseCommand()
+            while (peek.exists { case TSym("|", _) => true; case _ => false }) {
+              i += 1; bs += parseCommand()
+            }
+            eatSym(")")
+            branches += bs.result()
+          }
+          branch()
+          while (peek.exists { case TSym("(", _) => true; case _ => false }) branch()
+          val bs = branches.result()
+          if (bs.size < 2) throw ParseError("FORK needs at least two branches", pos)
+          Fork(bs)
+        case "FUSE" =>
+          eatKw("on"); val id = ident(); eatKw("rank"); val r = ident()
+          Fuse(id, r)
         case other => throw ParseError(s"unknown command $other", pos)
       }
     }
 
-    eatKw("from")
     val cmds = Seq.newBuilder[Cmd]
-    val tables = Seq.newBuilder[String]
-    tables += ident()
-    while (peek.exists { case TSym(",", _) => true; case _ => false }) {
-      i += 1; tables += ident()
+    if (peek.exists(isKw(_, "row"))) {
+      i += 1
+      val as = Seq.newBuilder[(String, Expr)]
+      def one(): Unit = { val n = ident(); eatSym("="); as += (n -> parseExpr()) }
+      one()
+      while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
+      cmds += RowCmd(as.result())
+    } else {
+      eatKw("from")
+      val tables = Seq.newBuilder[String]
+      tables += ident()
+      while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+        i += 1; tables += ident()
+      }
+      cmds += From(tables.result())
     }
-    cmds += From(tables.result())
     while (peek.isDefined) {
       eatSym("|")
       cmds += parseCommand()
@@ -572,9 +626,113 @@ object EsqlParser {
           case (acc, _) => acc
         }.get
         default.map(d => chained.otherwise(compileExpr(d))).getOrElse(chained)
+      // ---------------- scalar residue (the ES|QL function reference)
+      case ("STARTS_WITH", Seq(x, StrLit(p))) => compileExpr(x).startsWith(p)
+      case ("ENDS_WITH", Seq(x, StrLit(p))) => compileExpr(x).endsWith(p)
+      // LOCATE: 1-based position of substring, 0 when absent (ES shape)
+      case ("LOCATE", Seq(x, StrLit(sub))) => locate(sub, compileExpr(x)).cast("long")
+      // ES|QL REPLACE's pattern arg is a REGEX, not a literal
+      case ("REPLACE", Seq(x, StrLit(rx), StrLit(nw))) =>
+        regexp_replace(compileExpr(x), rx, nw)
+      case ("LEFT", Seq(x, NumLit(n))) => substring(compileExpr(x), 1, n.toInt)
+      case ("RIGHT", Seq(x, NumLit(n))) => substring(compileExpr(x), -n.toInt, n.toInt)
+      case ("GREATEST", xs) if xs.nonEmpty => greatest(xs.map(compileExpr): _*)
+      case ("LEAST", xs) if xs.nonEmpty => least(xs.map(compileExpr): _*)
+      case ("POW", Seq(a, b)) => pow(compileExpr(a), compileExpr(b))
+      case ("SQRT", Seq(x)) => sqrt(compileExpr(x))
+      case ("FLOOR", Seq(x)) => floor(compileExpr(x))
+      case ("CEIL", Seq(x)) => ceil(compileExpr(x))
+      // ES|QL LOG: 1-arg natural, 2-arg LOG(base, value)
+      case ("LOG", Seq(x)) => log(compileExpr(x))
+      case ("LOG", Seq(NumLit(b), x)) => log(b.toDouble, compileExpr(x))
+      case ("LOG10", Seq(x)) => log10(compileExpr(x))
+      case ("EXP", Seq(x)) => exp(compileExpr(x))
+      case ("SIGNUM", Seq(x)) => signum(compileExpr(x))
+      case ("TO_DOUBLE", Seq(x)) => compileExpr(x).cast("double")
+      case ("TO_INTEGER", Seq(x)) => compileExpr(x).cast("int")
+      case ("TO_BOOLEAN", Seq(x)) => compileExpr(x).cast("boolean")
+      // ---------------- multivalue residue (per-row bounded arrays;
+      // the HOF-backed ones — MV_SUM/MV_AVG — run over the row's own
+      // multivalue, the bounded-HOF class the plan discipline allows)
+      case ("MV_MIN", Seq(x)) => array_min(compileExpr(x))
+      case ("MV_MAX", Seq(x)) => array_max(compileExpr(x))
+      case ("MV_SUM", Seq(x)) =>
+        aggregate(compileExpr(x), lit(0.0), (a, v) => a + v.cast("double"))
+      case ("MV_AVG", Seq(x)) =>
+        val c = compileExpr(x)
+        aggregate(c, lit(0.0), (a, v) => a + v.cast("double")) / size(c)
+      case ("MV_DEDUPE", Seq(x)) => array_distinct(compileExpr(x))
+      case ("MV_SORT", Seq(x)) => sort_array(compileExpr(x))
+      case ("MV_SORT", Seq(x, StrLit(o))) =>
+        sort_array(compileExpr(x), asc = !o.equalsIgnoreCase("DESC"))
+      case ("MV_FIRST", Seq(x)) => element_at(compileExpr(x), 1)
+      case ("MV_LAST", Seq(x)) => element_at(compileExpr(x), -1)
+      // MV_SLICE is 0-based inclusive in ES
+      case ("MV_SLICE", Seq(x, NumLit(a), NumLit(b))) =>
+        slice(compileExpr(x), a.toInt + 1, b.toInt - a.toInt + 1)
+      case ("MV_CONCAT", Seq(x, StrLit(d))) => array_join(compileExpr(x), d)
+      case ("MV_APPEND", Seq(a, b)) => concat(compileExpr(a), compileExpr(b))
+      // ---------------- full-text functions (9.x: relevance predicates
+      // inside WHERE). ES resolves the searched field from the index
+      // default; this dialect names it as the first argument. Each
+      // compiles onto the engine's OWN language machinery — one boolean
+      // codegen expression, no second engine.
+      case ("MATCH", Seq(Ident(f), StrLit(q))) =>
+        // match query, default OR operator: any analyzed term present
+        val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (terms.isEmpty) lit(false)
+        else arrays_overlap(split(trim(col(f)), " "), array(terms.map(lit): _*))
+      case ("QSTR", Seq(Ident(f), StrLit(q))) =>
+        val ast = QueryStringParser.parse(q)
+        QueryStringParser.compile(ast, col(f), qstrFieldMap(ast))
+      case ("KQL", Seq(Ident(f), StrLit(q))) =>
+        val ast = KqlParser.parse(q)
+        val (kw, num) = kqlFieldMaps(ast)
+        KqlParser.compile(ast, col(f), kw, num)
       case (other, xs) =>
         throw ParseError(s"unsupported function $other/${xs.size}", 0)
     }
+  }
+
+  /** Field-name → Column bindings for an embedded query_string: every
+    * `field:…` clause in the parsed AST binds to the frame's column of
+    * that name (ES binds them to the index mapping; the frame IS the
+    * mapping here). */
+  private def qstrFieldMap(n: QueryStringParser.Node): Map[String, Column] = {
+    import QueryStringParser.{Node, Term, Prefix, Phrase}
+    def go(n: Node): Set[String] = n match {
+      case Term(f, _) => f.toSet
+      case Prefix(f, _) => f.toSet
+      case Phrase(f, _) => f.toSet
+      case QueryStringParser.And(l, r) => go(l) ++ go(r)
+      case QueryStringParser.Or(l, r) => go(l) ++ go(r)
+      case QueryStringParser.Not(x) => go(x)
+    }
+    go(n).map(f => f -> col(f)).toMap
+  }
+
+  /** Keyword/numeric field bindings for an embedded KQL query: match
+    * and phrase clauses bind as keyword columns, range clauses as
+    * numeric columns — both to the frame's same-named column. */
+  private def kqlFieldMaps(n: KqlParser.Node)
+      : (Map[String, Column], Map[String, Column]) = {
+    import KqlParser.{Node, MatchQ, PhraseQ, RangeQ}
+    def kw(n: Node): Set[String] = n match {
+      case MatchQ(f, _) => f.toSet
+      case PhraseQ(f, _) => f.toSet
+      case RangeQ(_, _, _) => Set.empty
+      case KqlParser.And(l, r) => kw(l) ++ kw(r)
+      case KqlParser.Or(l, r) => kw(l) ++ kw(r)
+      case KqlParser.Not(x) => kw(x)
+    }
+    def num(n: Node): Set[String] = n match {
+      case RangeQ(f, _, _) => Set(f)
+      case KqlParser.And(l, r) => num(l) ++ num(r)
+      case KqlParser.Or(l, r) => num(l) ++ num(r)
+      case KqlParser.Not(x) => num(x)
+      case _ => Set.empty
+    }
+    (kw(n).map(f => f -> col(f)).toMap, num(n).map(f => f -> col(f)).toMap)
   }
 
   // ------------------------------------------------- dissect / grok patterns
@@ -748,11 +906,20 @@ object EsqlParser {
                 n => throw ParseError(s"unknown enrich policy $n", 0)): DataFrame = {
     val df0 = cmds.headOption match {
       case Some(From(ts)) => ts.map(resolve).reduce(_ unionByName _)
-      case _ => throw ParseError("query must start with FROM", 0)
+      case Some(RowCmd(as)) =>
+        // the literal one-row source: a LocalRelation, no scan at all
+        org.apache.spark.sql.SparkSession.active.range(1)
+          .select(as.map { case (n, e) => compileExpr(e).as(n) }: _*)
+      case _ => throw ParseError("query must start with FROM or ROW", 0)
     }
-    cmds.tail.foldLeft(df0) { (df, cmd) =>
+    cmds.tail.foldLeft(df0)((df, cmd) => applyCmd(df, cmd, resolve, policies))
+  }
+
+  private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
+                       policies: String => (DataFrame, String)): DataFrame = {
       cmd match {
-        case From(_) => throw ParseError("FROM only allowed first", 0)
+        case From(_) | RowCmd(_) =>
+          throw ParseError("FROM/ROW only allowed first", 0)
         case Where(e) => df.filter(compileExpr(e))
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
         case Stats(aggs, by) =>
@@ -852,6 +1019,34 @@ object EsqlParser {
           src.join(broadcast(dimSel), src(on) === dimSel("__lookup_match"), "left")
             .drop("__lookup_match")
         case MvExpand(c) => df.withColumn(c, explode_outer(col(c)))
+        case Fork(branches) =>
+          // each branch's sub-pipeline transforms the SAME incoming
+          // frame and compiles to its own plan leg — exactly how ES
+          // executes FORK (independent branch phases). The scale win
+          // is per-branch PUSHDOWN: each leg's WHERE reaches its own
+          // scan's PushedFilters (PlanSpec-locked), so selective
+          // branches read only their row groups instead of sharing one
+          // unfiltered pass. unionByName(allowMissing) nulls a column
+          // a branch didn't produce — ES FORK's column-union
+          // semantics.
+          branches.zipWithIndex.map { case (bs, bi) =>
+            bs.foldLeft(df)((d, c) => applyCmd(d, c, resolve, policies))
+              .withColumn("_fork", lit(s"fork${bi + 1}"))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+        case Fuse(id, rank) =>
+          // RRF over FORK's ranked pages: rank within each branch from
+          // the RANK column (desc, id-tie-broken — matching the
+          // branch's own SORT), fused score in EXACT micros
+          // (Σ round(1e6/(60+rank))) so the hash never rides float
+          // addition order. The per-branch windows order pages FORK's
+          // LIMITs already bounded — dashboard-sized at any SF.
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("_fork").orderBy(col(rank).desc, col(id))
+          df.withColumn("__fuse_rank", row_number().over(w))
+            .groupBy(id)
+            .agg(sum(round(lit(1000000.0) / (lit(60.0) + col("__fuse_rank")), 0).cast("long"))
+              .as("_score_c"),
+              count(lit(1)).as("n_legs"))
         case ChangePoint(v, k, tn, pn) => compileChangePoint(df, v, k, tn, pn)
         case Sample(p, on) =>
           // deterministic inverse of the probability on a 1e6 grid —
@@ -870,7 +1065,6 @@ object EsqlParser {
           }
           df.filter(bucket < cut)
       }
-    }
   }
 
   def run(query: String, resolve: String => DataFrame,

@@ -1573,6 +1573,88 @@ object SearchExt {
       |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 50000
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** ES|QL 9.x's full-text functions inside WHERE — MATCH (the match
+    * query's OR-of-terms), QSTR (query_string syntax) and KQL, each
+    * compiled by the engine's OWN parser for that language onto one
+    * boolean codegen expression. ES resolves the searched field from
+    * the index default; the dialect here names it as the first
+    * argument. One corpus pass, no second engine. */
+  private[graft] val esqlFulltextQuery =
+    """FROM documents
+      || WHERE MATCH(text, "slow quick") AND KQL(text, "lang:en AND n_chars >= 300")
+      |        AND NOT QSTR(text, "win*")
+      || STATS n = COUNT(*), mx = MAX(n_chars) BY source
+      || SORT source ASC""".stripMargin
+  val esqlFulltextOp = QueryDef(
+    "ns_esql_fulltext",
+    (s, dir) => EsqlParser.run(esqlFulltextQuery, _ => docs(s, dir)),
+    Some("""WITH d AS (SELECT source, n_chars, lang,
+      |    string_split(trim(text), ' ') AS t FROM documents)
+      |SELECT source, count(*) AS n, max(n_chars) AS mx FROM d
+      |WHERE (list_contains(t, 'slow') OR list_contains(t, 'quick'))
+      |  AND lang = 'en' AND n_chars >= 300
+      |  AND NOT len(list_filter(t, x -> x LIKE 'win%')) > 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** FORK (9.x): each branch runs the incoming frame through its own
+    * sub-pipeline; results union by name with a `_fork` discriminator
+    * and branch-missing columns null — and because every branch
+    * transforms the SAME frame, Catalyst/AQE share the scan the way
+    * msearch's N queries share one corpus pass. The declared pipeline
+    * aggregates per branch, proving both the discriminator and the
+    * null-fill. */
+  private[graft] val esqlForkQuery =
+    """FROM documents
+      || FORK (WHERE MATCH(text, "spark"))
+      |       (WHERE n_chars >= 450 | EVAL flag = 1)
+      || STATS n = COUNT(*), nf = SUM(flag) BY _fork
+      || SORT _fork ASC""".stripMargin
+  val esqlForkOp = QueryDef(
+    "ns_esql_fork",
+    (s, dir) => EsqlParser.run(esqlForkQuery, _ => docs(s, dir)),
+    Some("""WITH d AS (SELECT n_chars, string_split(trim(text), ' ') AS t FROM documents),
+      |f AS (SELECT 'fork1' AS _fork, CAST(NULL AS BIGINT) AS flag FROM d
+      |        WHERE list_contains(t, 'spark')
+      |      UNION ALL
+      |      SELECT 'fork2' AS _fork, CAST(1 AS BIGINT) AS flag FROM d
+      |        WHERE n_chars >= 450)
+      |SELECT _fork, count(*) AS n, CAST(sum(flag) AS BIGINT) AS nf
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** FUSE (9.x): RRF over FORK's ranked pages — per-branch rank from
+    * the RANK column (desc, id-tie-broken, matching each branch's own
+    * SORT), fused score Σ round(1e6/(60+rank)) in EXACT micros so the
+    * hash never rides float addition order. The windows order pages
+    * the branches' LIMITs already bounded (k·branches rows), and docs
+    * retrieved by BOTH legs outrank either leg alone — the engine's
+    * ns_search_rrf discipline reached from the language surface. */
+  private[graft] val esqlFuseQuery =
+    """FROM documents
+      || FORK (WHERE MATCH(text, "spark") | SORT n_chars DESC, doc_id ASC | LIMIT 20)
+      |       (WHERE lang == "en" | SORT n_chars DESC, doc_id ASC | LIMIT 20)
+      || FUSE ON doc_id RANK n_chars
+      || SORT _score_c DESC, doc_id ASC
+      || LIMIT 10""".stripMargin
+  val esqlFuseOp = QueryDef(
+    "ns_esql_fuse",
+    (s, dir) => EsqlParser.run(esqlFuseQuery, _ => docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, n_chars, lang,
+      |    string_split(trim(text), ' ') AS t FROM documents),
+      |l1 AS (SELECT doc_id, n_chars FROM d WHERE list_contains(t, 'spark')
+      |       ORDER BY n_chars DESC, doc_id LIMIT 20),
+      |l2 AS (SELECT doc_id, n_chars FROM d WHERE lang = 'en'
+      |       ORDER BY n_chars DESC, doc_id LIMIT 20),
+      |f AS (SELECT 'fork1' AS leg, doc_id, n_chars FROM l1
+      |      UNION ALL SELECT 'fork2', doc_id, n_chars FROM l2),
+      |r AS (SELECT doc_id,
+      |    row_number() OVER (PARTITION BY leg ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(round(1000000.0 / (60.0 + rk), 0) AS BIGINT)) AS BIGINT) AS _score_c,
+      |  count(*) AS n_legs
+      |FROM r GROUP BY 1
+      |ORDER BY _score_c DESC, doc_id LIMIT 10""".stripMargin))
+
   private[graft] val esqlMvExpandQuery =
     """FROM access_log
       || EVAL hops = SPLIT(xff, ",")
@@ -1592,7 +1674,7 @@ object SearchExt {
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
-    esqlChangePointOp, esqlSampleOp,
+    esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,

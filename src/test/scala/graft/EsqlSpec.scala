@@ -331,6 +331,105 @@ class EsqlSpec extends SparkSpec {
       ("nomatch", null, null, null))) // whole-pattern failure → nulls
   }
 
+  test("ROW starts a FROM-less pipeline from a literal one-row source") {
+    val got = EsqlParser.run(
+      """ROW a = 1, b = "x", c = 2 + 3 | EVAL d = a + c | KEEP a, b, c, d""",
+      n => fail(s"ROW must not resolve any index, asked for $n")).collect()
+    assert(got.toSeq == Seq(Row(1L, "x", 5L, 6L)))
+    assert(intercept[ParseError](run("FROM t | ROW a = 1")).getMessage
+      .contains("unknown command"))
+  }
+
+  test("FORK unions branch sub-pipelines by name with a _fork discriminator") {
+    val got = run(
+      """FROM t | FORK (WHERE cat == "alpha" | EVAL src = "a")
+        |              (WHERE n >= 40)
+        || KEEP id, _fork, src | SORT _fork, id""".stripMargin).collect()
+    assert(got.toSeq == Seq(
+      Row(1L, "fork1", "a"), Row(3L, "fork1", "a"), Row(5L, "fork1", "a"),
+      Row(4L, "fork2", null), Row(5L, "fork2", null)))
+    assert(intercept[ParseError](run("FROM t | FORK (LIMIT 1)")).getMessage
+      .contains("at least two branches"))
+  }
+
+  test("FUSE: RRF in exact micros over FORK's ranked pages; both-leg docs win") {
+    val got = run(
+      """FROM t | FORK (WHERE n >= 20 | SORT n DESC, id ASC | LIMIT 3)
+        |              (WHERE cat == "alpha" | SORT n DESC, id ASC | LIMIT 3)
+        || FUSE ON id RANK n
+        || SORT _score_c DESC, id ASC""".stripMargin).collect()
+    // leg1: n in (50,40,30) → ids 5,4,3; leg2: alpha → ids 5,3,1
+    // id 5 is rank 1 in both legs: 2·round(1e6/61) = 2·16393
+    assert(got.head.getLong(0) == 5L)
+    assert(got.head.getAs[Long]("_score_c") == 2L * 16393L)
+    assert(got.head.getAs[Long]("n_legs") == 2L)
+    // single-leg ids score one term each
+    val id4 = got.find(_.getLong(0) == 4L).get
+    assert(id4.getAs[Long]("n_legs") == 1L)
+  }
+
+  test("full-text functions: MATCH is OR-of-terms; QSTR and KQL reuse their parsers") {
+    import spark.implicits._
+    val docs0 = Seq(
+      (1L, "fast spark join", "en", 100L),
+      (2L, "slow windows build", "en", 500L),
+      (3L, "quick spark window", "de", 300L)
+    ).toDF("id", "text", "lang", "n_chars")
+    def ids(q: String): Seq[Long] =
+      EsqlParser.run(s"FROM d | WHERE $q | SORT id | KEEP id", _ => docs0)
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids("""MATCH(text, "fast quick")""") == Seq(1L, 3L))
+    assert(ids("""QSTR(text, "spark AND (join OR win*)")""") == Seq(1L, 3L))
+    // field:term clauses bind to same-named frame columns
+    assert(ids("""QSTR(text, "lang:en AND slow")""") == Seq(2L))
+    assert(ids("""KQL(text, "lang:en AND n_chars >= 400")""") == Seq(2L))
+    assert(ids("""NOT MATCH(text, "spark")""") == Seq(2L))
+  }
+
+  test("scalar function residue: string, math, greatest/least, casts") {
+    val r = EsqlParser.run(
+      """ROW s = "hello graft"
+        || EVAL a = STARTS_WITH(s, "hel"), b = ENDS_WITH(s, "aft"),
+        |       c = LOCATE(s, "graft"), d = REPLACE(s, "l+", "L"),
+        |       e = LEFT(s, 5), f = RIGHT(s, 5),
+        |       g = GREATEST(3, 7, 5), h = LEAST(3, 7, 5),
+        |       i = POW(2, 10), j = SQRT(81.0), k = FLOOR(2.7), l = CEIL(2.1),
+        |       m = LOG(2, 8), n = LOG10(1000.0),
+        |       o = TO_INTEGER("42"), p = TO_DOUBLE("2.5"), q = TO_BOOLEAN("true")
+        || DROP s""".stripMargin, _ => fail("ROW")).head()
+    assert(r.getAs[Boolean]("a") && r.getAs[Boolean]("b"))
+    assert(r.getAs[Long]("c") == 7L)
+    assert(r.getAs[String]("d") == "heLo graft")
+    assert(r.getAs[String]("e") == "hello" && r.getAs[String]("f") == "graft")
+    assert(r.getAs[Long]("g") == 7L && r.getAs[Long]("h") == 3L)
+    assert(r.getAs[Double]("i") == 1024.0 && r.getAs[Double]("j") == 9.0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("l") == 3L)
+    assert(r.getAs[Double]("m") == 3.0 && r.getAs[Double]("n") == 3.0)
+    assert(r.getAs[Int]("o") == 42 && r.getAs[Double]("p") == 2.5)
+    assert(r.getAs[Boolean]("q"))
+  }
+
+  test("multivalue function residue over SPLIT arrays") {
+    val r = EsqlParser.run(
+      """ROW s = "3,1,2,2"
+        || EVAL v = SPLIT(s, ","),
+        |       mn = MV_MIN(v), mx = MV_MAX(v),
+        |       dd = MV_COUNT(MV_DEDUPE(v)), st = MV_CONCAT(MV_SORT(v), "-"),
+        |       sd = MV_CONCAT(MV_SORT(v, "DESC"), "-"),
+        |       fi = MV_FIRST(v), la = MV_LAST(v),
+        |       sl = MV_CONCAT(MV_SLICE(v, 1, 2), "-"),
+        |       ap = MV_COUNT(MV_APPEND(v, v)),
+        |       sm = MV_SUM(v), av = MV_AVG(v)
+        || DROP s, v""".stripMargin, _ => fail("ROW")).head()
+    assert(r.getAs[String]("mn") == "1" && r.getAs[String]("mx") == "3")
+    assert(r.getAs[Long]("dd") == 3L)
+    assert(r.getAs[String]("st") == "1-2-2-3" && r.getAs[String]("sd") == "3-2-2-1")
+    assert(r.getAs[String]("fi") == "3" && r.getAs[String]("la") == "2")
+    assert(r.getAs[String]("sl") == "1-2")
+    assert(r.getAs[Long]("ap") == 8L)
+    assert(r.getAs[Double]("sm") == 8.0 && r.getAs[Double]("av") == 2.0)
+  }
+
   test("the registry pipelines parse to the expected command shapes") {
     val cmds = EsqlParser.parse(ops.SearchExt.esqlStatsQuery)
     assert(cmds.head == From(Seq("events")))

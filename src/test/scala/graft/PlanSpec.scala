@@ -1361,6 +1361,24 @@ class PlanSpec extends SparkSpec {
       s"the request-order join must broadcast the point-read side:\n$p")
   }
 
+  test("ns_esql_fork: each branch leg pushes its own filters; fuse windows stay page-bounded") {
+    val p = physical("ns_esql_fork")
+    val scans = nodes(p).collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("/documents.parquet")))
+    assert(scans.size == 2, s"FORK compiles one leg per branch (ES's branch phases):\n$p")
+    // the n_chars branch's WHERE must reach ITS scan's PushedFilters —
+    // the per-branch pushdown that makes selective forks cheap at scale
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThanOrEqual(n_chars"))),
+      s"branch 2's WHERE must push to its own scan:\n$p")
+    // fuse: the per-branch rank windows partition by _fork over
+    // LIMIT-bounded pages, never the corpus
+    val pf = physical("ns_esql_fuse")
+    val windows = nodes(pf).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"FUSE's rank window must partition by _fork:\n$pf")
+  }
+
   test("ns_search_scroll: every non-first page carries a pushed keyset bound") {
     val df = SparkEntry.queries("ns_search_scroll")(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collect {
