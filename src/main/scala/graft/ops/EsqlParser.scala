@@ -900,15 +900,20 @@ object EsqlParser {
   /** Compile a parsed pipeline onto DataFrames; `resolve` supplies the
     * FROM source (index name → frame) and `policies` the ENRICH
     * dimensions (policy name → (dim frame, match field)), so the caller
-    * owns catalog resolution exactly like the session would. */
+    * owns catalog resolution exactly like the session would. `session`
+    * supplies the session a FROM-less (ROW-first) pipeline builds its
+    * literal source from — callers that have one should pass it;
+    * falling back to `SparkSession.active` is a convenience that
+    * breaks if another thread stops its session concurrently. */
   def compile(cmds: Seq[Cmd], resolve: String => DataFrame,
               policies: String => (DataFrame, String) =
-                n => throw ParseError(s"unknown enrich policy $n", 0)): DataFrame = {
+                n => throw ParseError(s"unknown enrich policy $n", 0),
+              session: Option[org.apache.spark.sql.SparkSession] = None): DataFrame = {
     val df0 = cmds.headOption match {
       case Some(From(ts)) => ts.map(resolve).reduce(_ unionByName _)
       case Some(RowCmd(as)) =>
         // the literal one-row source: a LocalRelation, no scan at all
-        org.apache.spark.sql.SparkSession.active.range(1)
+        session.getOrElse(org.apache.spark.sql.SparkSession.active).range(1)
           .select(as.map { case (n, e) => compileExpr(e).as(n) }: _*)
       case _ => throw ParseError("query must start with FROM or ROW", 0)
     }
@@ -1069,6 +1074,7 @@ object EsqlParser {
 
   def run(query: String, resolve: String => DataFrame,
           policies: String => (DataFrame, String) =
-            n => throw ParseError(s"unknown enrich policy $n", 0)): DataFrame =
-    compile(parse(query), resolve, policies)
+            n => throw ParseError(s"unknown enrich policy $n", 0),
+          session: Option[org.apache.spark.sql.SparkSession] = None): DataFrame =
+    compile(parse(query), resolve, policies, session)
 }

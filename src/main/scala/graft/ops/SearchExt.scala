@@ -979,6 +979,77 @@ object SearchExt {
       |       OR len(list_filter(t, x -> x LIKE 'win%')) > 0)
       |""".stripMargin))
 
+  // ------------------------------------------------------- msearch/template
+  /** The `_msearch/template` API: N stored templates rendered with
+    * per-search params and submitted as ONE request — the dashboard
+    * fan-out composed with stored templates. Rendering happens at plan
+    * time (where ES renders — the coordinating node), each rendered
+    * query compiles through the engine's query_string parser, and the
+    * N searches share ONE corpus scan exactly like msearch: each row
+    * emits its (≤ N) matching template ids through an exploded
+    * conditional-literal array (codegen; no filter() HOF) and the
+    * per-template hit counts come out of one aggregation. */
+  private val msearchTemplates: Seq[(String, String, Map[String, String], String)] = Seq(
+    ("t_lang_term", "lang:{{lang}} AND {{term}}",
+      Map("lang" -> "en", "term" -> "spark"),
+      "lang = 'en' AND list_contains(t, 'spark')"),
+    ("t_prefix", "{{p}}*", Map("p" -> "win"),
+      "len(list_filter(t, x -> x LIKE 'win%')) > 0"),
+    ("t_phrase", "\"slow join\"", Map.empty[String, String],
+      "contains(pad, ' slow join ')"))
+  val msearchTemplateOp = QueryDef(
+    "ns_search_msearch_template",
+    (s, dir) => {
+      val preds = msearchTemplates.map { case (id, tpl, params, _) =>
+        val q = renderTemplate(tpl, params)
+        (id, QueryStringParser.compile(QueryStringParser.parse(q), col("text"),
+          Map("lang" -> col("lang"))))
+      }
+      val labels = array(preds.map { case (id, p) => when(p, lit(id)) }: _*)
+      docs(s, dir)
+        .select(explode(labels).as("template_id"))
+        .filter(col("template_id").isNotNull)
+        .groupBy("template_id").agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t,
+       |    concat(' ', trim(text), ' ') AS pad FROM documents),
+       |m AS (${msearchTemplates.map { case (id, _, _, sql) =>
+             s"SELECT '$id' AS template_id, doc_id FROM d WHERE $sql" }
+             .mkString("\n  UNION ALL ")})
+       |SELECT template_id, count(*) AS n_hits FROM m GROUP BY 1""".stripMargin))
+
+  // --------------------------------------------------------- validate/query
+  /** The `_validate/query` API: parse + compile a query WITHOUT
+    * executing it — the syntax-check endpoint clients call before
+    * storing a query. Validity derives from actually running the
+    * engine's parser/compiler (the exact path a search would take);
+    * invalid queries report the failure class the way ES reports the
+    * parse exception type. The plan is a LocalRelation — validation
+    * never touches data, at any SF. */
+  private val validateQueries = Seq(
+    "lang:en AND (spark OR win*)",
+    "\"slow join\" AND NOT lang:de",
+    "lang:en AND (spark OR") // unbalanced parenthesis → invalid
+  val validateOp = QueryDef(
+    "ns_search_validate",
+    (s, dir) => {
+      import s.implicits._
+      validateQueries.zipWithIndex.map { case (q, i) =>
+        val err =
+          try {
+            QueryStringParser.compile(QueryStringParser.parse(q), col("text"),
+              Map("lang" -> col("lang")))
+            null: String
+          } catch { case e: Throwable => e.getClass.getSimpleName }
+        (i + 1L, q, err == null, Option(err))
+      }.toDF("query_id", "query", "valid", "error")
+    },
+    Some(s"""SELECT * FROM (VALUES
+       |  (CAST(1 AS BIGINT), 'lang:en AND (spark OR win*)', true, CAST(NULL AS VARCHAR)),
+       |  (CAST(2 AS BIGINT), '"slow join" AND NOT lang:de', true, CAST(NULL AS VARCHAR)),
+       |  (CAST(3 AS BIGINT), 'lang:en AND (spark OR', false, 'ParseError'))
+       |  AS v(query_id, query, valid, error)""".stripMargin))
+
   // ------------------------------------------------------------------ ES|QL
   /** ES|QL — the piped language Kibana Discover now leads with
     * (EsqlParser). Two fixed pipelines cover the command surface; both
@@ -1683,5 +1754,6 @@ object SearchExt {
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
-    sparseVectorOp, msearchOp, wrapperOp, scrollOp, termsEnumOp, searchTemplateOp)
+    sparseVectorOp, msearchOp, wrapperOp, scrollOp, termsEnumOp, searchTemplateOp,
+    msearchTemplateOp, validateOp)
 }

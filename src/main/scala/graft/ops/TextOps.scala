@@ -753,6 +753,53 @@ object TextOps {
            |WHERE tok LIKE '$completionPrefix%'
            |ORDER BY cnt DESC, suggestion LIMIT $suggestSize""".stripMargin))
 
+  /** The per-context (lang) weighted term dictionary — the completion
+    * suggester's `contexts` artifact: one (lang, tok, cnt) table per
+    * corpus snapshot, so a context-filtered completion walks only its
+    * context's rows (ES stores per-context FST branches the same
+    * way). */
+  private def unigramFreqByLang(s: SparkSession, dir: String): DataFrame =
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "unigram_freq_lang") {
+      path =>
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("lang"), explode(split(trim(col("text")), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+    }
+
+  /** The completion suggester's two request options beyond the plain
+    * prefix walk: `contexts` (restrict candidates to a category —
+    * here the language) and `fuzzy` (tolerate one edit in the TYPED
+    * prefix, ES's FuzzyCompletionQuery default). The dictionary walk
+    * compares the typed prefix against each term's same-length prefix
+    * with the edit-distance DP — a vocabulary-bounded scan of the
+    * per-context artifact, never the corpus (the ns_search_suggest
+    * discipline; fuzziness forfeits the pushed StringStartsWith, which
+    * is exactly the trade ES makes — a fuzzy FST walk visits edit-
+    * distance neighbors instead of one prefix path). */
+  private val completionFuzzyPrefix = "spak" // one edit from "spar…"
+  private val completionContextLang = "en"
+  val completionFuzzyOp = QueryDef(
+    "ns_search_completion_fuzzy", { (s, dir) =>
+      val plen = completionFuzzyPrefix.length
+      unigramFreqByLang(s, dir)
+        .filter(col("lang") === completionContextLang)
+        .filter(levenshtein(substring(col("tok"), 1, plen),
+          lit(completionFuzzyPrefix)) <= 1)
+        .select(col("tok").as("suggestion"), col("cnt").as("weight"))
+        .orderBy(col("weight").desc, col("suggestion"))
+        .limit(suggestSize)
+    },
+    Some(s"""WITH toks AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+           |  FROM documents),
+           |freq AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+           |SELECT tok AS suggestion, cnt AS weight FROM freq
+           |WHERE lang = '$completionContextLang'
+           |  AND levenshtein(substring(tok, 1, ${completionFuzzyPrefix.length}),
+           |        '$completionFuzzyPrefix') <= 1
+           |ORDER BY cnt DESC, suggestion LIMIT $suggestSize""".stripMargin))
+
   /** The OpenSearch `rare_terms` aggregation: the long-tail complement
     * of a terms agg — bucket values appearing in at most
     * `max_doc_count` documents (one-off identifiers, anomalous
@@ -3099,7 +3146,7 @@ object TextOps {
     spanNearOp, spanOrOp, spanNotOp, spanContainingOp, spanWithinOp,
     rankEvalOp, collapseOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
-    phraseSuggestOp, completionSuggestOp, explainOp, rareTermsOp,
+    phraseSuggestOp, completionSuggestOp, completionFuzzyOp, explainOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
     sampleTemperatureOp, sampleDomainCapOp, sampleDsirOp,

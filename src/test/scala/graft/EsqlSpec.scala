@@ -334,7 +334,8 @@ class EsqlSpec extends SparkSpec {
   test("ROW starts a FROM-less pipeline from a literal one-row source") {
     val got = EsqlParser.run(
       """ROW a = 1, b = "x", c = 2 + 3 | EVAL d = a + c | KEEP a, b, c, d""",
-      n => fail(s"ROW must not resolve any index, asked for $n")).collect()
+      n => fail(s"ROW must not resolve any index, asked for $n"),
+      session = Some(spark)).collect()
     assert(got.toSeq == Seq(Row(1L, "x", 5L, 6L)))
     assert(intercept[ParseError](run("FROM t | ROW a = 1")).getMessage
       .contains("unknown command"))
@@ -396,7 +397,7 @@ class EsqlSpec extends SparkSpec {
         |       i = POW(2, 10), j = SQRT(81.0), k = FLOOR(2.7), l = CEIL(2.1),
         |       m = LOG(2, 8), n = LOG10(1000.0),
         |       o = TO_INTEGER("42"), p = TO_DOUBLE("2.5"), q = TO_BOOLEAN("true")
-        || DROP s""".stripMargin, _ => fail("ROW")).head()
+        || DROP s""".stripMargin, _ => fail("ROW"), session = Some(spark)).head()
     assert(r.getAs[Boolean]("a") && r.getAs[Boolean]("b"))
     assert(r.getAs[Long]("c") == 7L)
     assert(r.getAs[String]("d") == "heLo graft")
@@ -420,7 +421,7 @@ class EsqlSpec extends SparkSpec {
         |       sl = MV_CONCAT(MV_SLICE(v, 1, 2), "-"),
         |       ap = MV_COUNT(MV_APPEND(v, v)),
         |       sm = MV_SUM(v), av = MV_AVG(v)
-        || DROP s, v""".stripMargin, _ => fail("ROW")).head()
+        || DROP s, v""".stripMargin, _ => fail("ROW"), session = Some(spark)).head()
     assert(r.getAs[String]("mn") == "1" && r.getAs[String]("mx") == "3")
     assert(r.getAs[Long]("dd") == 3L)
     assert(r.getAs[String]("st") == "1-2-2-3" && r.getAs[String]("sd") == "3-2-2-1")
