@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Supported grammar (the operative subset):
   * {{{
-  *   query    := FROM ident (',' ident)* ('|' command)*   // multi-index union
+  *   query    := (FROM | TS) ident (',' ident)* ('|' command)*  // multi-index union
+  *             // TS = time-series mode: STATS aggs may wrap RATE, *_OVER_TIME
   *   command  := WHERE expr
   *             | EVAL ident '=' expr (',' ident '=' expr)*
   *             | STATS agg (',' agg)* [BY ident (',' ident)*]
@@ -116,6 +117,10 @@ object EsqlParser {
   // FROM idx1[, idx2, …] — a multi-index query unions the resolved
   // frames by name (ES's comma-separated index list)
   final case class From(tables: Seq[String]) extends Cmd
+  /** `TS index` — the 9.x time-series source mode: resolves like FROM
+    * but marks the pipeline as operating over a TSDB index, enabling
+    * the RATE / *_OVER_TIME inner aggregates inside STATS. */
+  final case class TsFrom(tables: Seq[String]) extends Cmd
   final case class Where(e: Expr) extends Cmd
   final case class Eval(assigns: Seq[(String, Expr)]) extends Cmd
   final case class Stats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
@@ -507,13 +512,14 @@ object EsqlParser {
       while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
       cmds += RowCmd(as.result())
     } else {
-      eatKw("from")
+      val isTs = peek.exists(isKw(_, "ts"))
+      if (isTs) i += 1 else eatKw("from")
       val tables = Seq.newBuilder[String]
       tables += ident()
       while (peek.exists { case TSym(",", _) => true; case _ => false }) {
         i += 1; tables += ident()
       }
-      cmds += From(tables.result())
+      cmds += (if (isTs) TsFrom(tables.result()) else From(tables.result()))
     }
     while (peek.isDefined) {
       eatSym("|")
@@ -897,6 +903,92 @@ object EsqlParser {
   private def compileAgg(name: String, agg: Agg): Column =
     compileAggRaw(agg).as(name)
 
+  private val overTimeFns = Set("RATE", "COUNT_OVER_TIME", "SUM_OVER_TIME",
+    "MIN_OVER_TIME", "MAX_OVER_TIME", "AVG_OVER_TIME",
+    "FIRST_OVER_TIME", "LAST_OVER_TIME")
+
+  /** TS-mode STATS — ES|QL's time-series aggregation is TWO-LEVEL: the
+    * inner RATE / *_OVER_TIME function aggregates each time SERIES (the
+    * `_tsid` identity the TSDB index mapping defines — the resolved
+    * frame must carry `_tsid` plus an epoch-millis `_ts_ms` strictly
+    * increasing within a series, which real TSDB enforces by rejecting
+    * duplicate per-series timestamps) within each BY group, and the
+    * OUTER aggregate combines across series. Plain aggregates are
+    * rewritten onto their over-time twins (COUNT → SUM∘COUNT_OVER_TIME,
+    * SUM → SUM∘SUM_OVER_TIME, MIN/MAX likewise) so everything rides the
+    * same grouped pass; plain AVG / MEDIAN / COUNT_DISTINCT don't
+    * decompose across series and are rejected the way ES rejects
+    * non-decomposable TS aggregates.
+    *
+    * RATE is the TSDB counter rate: reset-adjusted increase (deltas
+    * from a lag window partitioned by (BY keys, _tsid), so a delta
+    * never crosses a bucket boundary) over the series' observed span,
+    * kept exact as a milli-rate long (units/sec × 1000 — the
+    * ns_agg_derivative discipline). AVG_OVER_TIME and the outer AVG are
+    * exact milli longs the same way.
+    *
+    * Scale shape: the only window partitions by (BY keys, _tsid) —
+    * series-bounded, never corpus-wide — and both aggregation levels
+    * are partial-aggregating hash aggregates; the inner table is
+    * |groups|×|series| rows, the dimensional cardinality a TSDB is
+    * designed around. */
+  private def compileTsStats(df: DataFrame, aggs: Seq[(String, Agg)],
+                             by: Seq[String]): DataFrame = {
+    for (c <- Seq("_tsid", "_ts_ms") if !df.columns.contains(c))
+      throw ParseError(s"TS source must carry $c (the TSDB mapping contract)", 0)
+    case class TsAgg(name: String, outer: String, inner: String, c: Option[String])
+    val norm = aggs.map {
+      case (n, AggFn(outer, Func(f, Seq(Ident(c))), None)) if overTimeFns(f) =>
+        TsAgg(n, outer, f, Some(c))
+      case (n, CountAll(None)) => TsAgg(n, "sum", "COUNT_OVER_TIME", None)
+      case (n, AggFn("count", Ident(c), None)) => TsAgg(n, "sum", "COUNT_OVER_TIME", Some(c))
+      case (n, AggFn("sum", Ident(c), None)) => TsAgg(n, "sum", "SUM_OVER_TIME", Some(c))
+      case (n, AggFn("min", Ident(c), None)) => TsAgg(n, "min", "MIN_OVER_TIME", Some(c))
+      case (n, AggFn("max", Ident(c), None)) => TsAgg(n, "max", "MAX_OVER_TIME", Some(c))
+      case (n, _) => throw ParseError(
+        s"TS STATS: $n must wrap RATE/*_OVER_TIME or be a decomposable plain aggregate", 0)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val grp = by :+ "_tsid"
+    val rateCols = norm.collect { case TsAgg(_, _, "RATE", Some(c)) => c }.distinct
+    val w = Window.partitionBy(grp.map(col): _*).orderBy(col("_ts_ms"))
+    val prepared = rateCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__prev_$c", lag(col(c), 1).over(w)))
+    def innerCol(a: TsAgg): Column = a.inner match {
+      case "COUNT_OVER_TIME" => count(a.c.map(col).getOrElse(lit(1)))
+      case "SUM_OVER_TIME" => sum(col(a.c.get))
+      case "MIN_OVER_TIME" => min(col(a.c.get))
+      case "MAX_OVER_TIME" => max(col(a.c.get))
+      case "FIRST_OVER_TIME" => min_by(col(a.c.get), col("_ts_ms"))
+      case "LAST_OVER_TIME" => max_by(col(a.c.get), col("_ts_ms"))
+      case "AVG_OVER_TIME" =>
+        round(sum(col(a.c.get)).cast("double") * 1000 / count(col(a.c.get)), 0).cast("long")
+      case "RATE" =>
+        val c = col(a.c.get); val p = col(s"__prev_${a.c.get}")
+        val increase = sum(when(p.isNull, lit(0L))
+          .when(c >= p, c - p).otherwise(c))
+        val spanMs = greatest(max(col("_ts_ms")) - min(col("_ts_ms")), lit(1L))
+        round(increase.cast("double") * 1000000 / spanMs, 0).cast("long")
+    }
+    val innerCols = norm.map(a => innerCol(a).as(a.name))
+    val inner = prepared.groupBy(grp.map(col): _*)
+      .agg(innerCols.head, innerCols.tail: _*)
+    def outerCol(a: TsAgg): Column = a.outer match {
+      case "sum" => sum(col(a.name))
+      case "min" => min(col(a.name))
+      case "max" => max(col(a.name))
+      case "count" => count(col(a.name))
+      case "median" => median(col(a.name))
+      case "count_distinct" => countDistinct(col(a.name))
+      case "avg" =>
+        round(sum(col(a.name)).cast("double") * 1000 / count(col(a.name)), 0).cast("long")
+      case other => throw ParseError(s"TS STATS: unsupported outer aggregate $other", 0)
+    }
+    val outCols = norm.map(a => outerCol(a).as(a.name))
+    if (by.isEmpty) inner.agg(outCols.head, outCols.tail: _*)
+    else inner.groupBy(by.map(col): _*).agg(outCols.head, outCols.tail: _*)
+  }
+
   /** Compile a parsed pipeline onto DataFrames; `resolve` supplies the
     * FROM source (index name → frame) and `policies` the ENRICH
     * dimensions (policy name → (dim frame, match field)), so the caller
@@ -911,22 +1003,26 @@ object EsqlParser {
               session: Option[org.apache.spark.sql.SparkSession] = None): DataFrame = {
     val df0 = cmds.headOption match {
       case Some(From(ts)) => ts.map(resolve).reduce(_ unionByName _)
+      case Some(TsFrom(ts)) => ts.map(resolve).reduce(_ unionByName _)
       case Some(RowCmd(as)) =>
         // the literal one-row source: a LocalRelation, no scan at all
         session.getOrElse(org.apache.spark.sql.SparkSession.active).range(1)
           .select(as.map { case (n, e) => compileExpr(e).as(n) }: _*)
-      case _ => throw ParseError("query must start with FROM or ROW", 0)
+      case _ => throw ParseError("query must start with FROM, TS or ROW", 0)
     }
-    cmds.tail.foldLeft(df0)((df, cmd) => applyCmd(df, cmd, resolve, policies))
+    val tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])
+    cmds.tail.foldLeft(df0)((df, cmd) => applyCmd(df, cmd, resolve, policies, tsMode))
   }
 
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
-                       policies: String => (DataFrame, String)): DataFrame = {
+                       policies: String => (DataFrame, String),
+                       tsMode: Boolean = false): DataFrame = {
       cmd match {
-        case From(_) | RowCmd(_) =>
-          throw ParseError("FROM/ROW only allowed first", 0)
+        case From(_) | TsFrom(_) | RowCmd(_) =>
+          throw ParseError("FROM/TS/ROW only allowed first", 0)
         case Where(e) => df.filter(compileExpr(e))
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
+        case Stats(aggs, by) if tsMode => compileTsStats(df, aggs, by)
         case Stats(aggs, by) =>
           val cols = aggs.map { case (n, a) => compileAgg(n, a) }
           if (by.isEmpty) df.agg(cols.head, cols.tail: _*)
@@ -1035,7 +1131,7 @@ object EsqlParser {
           // a branch didn't produce — ES FORK's column-union
           // semantics.
           branches.zipWithIndex.map { case (bs, bi) =>
-            bs.foldLeft(df)((d, c) => applyCmd(d, c, resolve, policies))
+            bs.foldLeft(df)((d, c) => applyCmd(d, c, resolve, policies, tsMode))
               .withColumn("_fork", lit(s"fork${bi + 1}"))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
         case Fuse(id, rank) =>

@@ -1726,6 +1726,73 @@ object SearchExt {
       |FROM r GROUP BY 1
       |ORDER BY _score_c DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** ES|QL `TS` — the 9.x time-series command: `TS metrics | STATS
+    * outer(inner_over_time(field)) BY dims`. The catalog resolves the
+    * TSDB index into a series-shaped frame (`_tsid` = the dimension
+    * identity, `_ts_ms` = the sample timestamp, one sample per
+    * (series, timestamp) — TSDB rejects per-series duplicate
+    * timestamps, so the dedup below IS the index's write-path
+    * contract). The counter column is the same synthetic
+    * cumulative-sum-mod counter ns_agg_time_series builds (reference
+    * TSDB semantics: non-negative, wraps on reset); the gauge is the
+    * exact-cents value. compileTsStats then runs the TWO-LEVEL
+    * aggregation: RATE/AVG_OVER_TIME per (day, series), MAX/SUM/AVG
+    * across series — see EsqlParser.compileTsStats for the scale
+    * shape (series-bounded lag window, two hash aggregates). */
+  private[graft] val esqlTsQuery =
+    """TS metrics
+      || STATS max_rate = MAX(RATE(counter)), total_rate = SUM(RATE(counter)),
+      |        avg_gauge = AVG(AVG_OVER_TIME(gauge_c)), n = COUNT(*)
+      |    BY day
+      || SORT day""".stripMargin
+  private val tsCounterMod = 1048576L
+  private[graft] def tsMetricsFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = Window.partitionBy("_tsid").orderBy("_ts_ms")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts_ms").as("_ts_ms"))
+      .agg(min_by(col("value"), col("event_id")).as("v"),
+        min(date_trunc("day", col("tsu")).cast("date")).as("day"))
+      .select(col("user_id").cast("string").as("_tsid"), col("_ts_ms"),
+        col("day"), round(col("v") * 100, 0).cast("long").as("gauge_c"))
+      .withColumn("counter",
+        sum(col("gauge_c")).over(
+          series.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          % tsCounterMod)
+  }
+  val esqlTsOp = QueryDef(
+    "ns_esql_ts",
+    (s, dir) => EsqlParser.run(esqlTsQuery, _ => tsMetricsFrame(s, dir)),
+    Some(s"""WITH s0 AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    min(CAST(date_trunc('day', ts) AS DATE)) AS day,
+      |    CAST(round(min_by(value, event_id) * 100, 0) AS BIGINT) AS gauge_c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT user_id, ms, day, gauge_c,
+      |    CAST(sum(gauge_c) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS UNBOUNDED PRECEDING) % $tsCounterMod AS BIGINT) AS counter
+      |  FROM s0),
+      |d AS (
+      |  SELECT user_id, ms, day, gauge_c, counter,
+      |    lag(counter) OVER (PARTITION BY day, user_id ORDER BY ms) AS prev
+      |  FROM s),
+      |i AS (
+      |  SELECT day, user_id,
+      |    CAST(round(CAST(sum(CASE WHEN prev IS NULL THEN 0
+      |        WHEN counter >= prev THEN counter - prev ELSE counter END) AS DOUBLE)
+      |      * 1000000 / greatest(max(ms) - min(ms), 1), 0) AS BIGINT) AS rate_milli,
+      |    CAST(round(CAST(sum(gauge_c) AS DOUBLE) * 1000 / count(gauge_c), 0)
+      |      AS BIGINT) AS avg_g,
+      |    count(*) AS n_samp
+      |  FROM d GROUP BY 1, 2)
+      |SELECT day, max(rate_milli) AS max_rate,
+      |  CAST(sum(rate_milli) AS BIGINT) AS total_rate,
+      |  CAST(round(CAST(sum(avg_g) AS DOUBLE) * 1000 / count(avg_g), 0) AS BIGINT)
+      |    AS avg_gauge,
+      |  CAST(sum(n_samp) AS BIGINT) AS n
+      |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
+
   private[graft] val esqlMvExpandQuery =
     """FROM access_log
       || EVAL hops = SPLIT(xff, ",")
@@ -1745,7 +1812,7 @@ object SearchExt {
   def entries: Seq[QueryDef] = Seq(
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
-    esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp,
+    esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,

@@ -455,4 +455,29 @@ class EsqlSpec extends SparkSpec {
     assert(sm.collect { case s: Sample => s } ==
       Seq(Sample(BigDecimal("0.05"), Some("event_id"))))
   }
+
+  test("TS: two-level time-series STATS — exact rate, reset handling, plain-agg rewrite") {
+    import spark.implicits._
+    // two series over one bucket: series a counts 0→10→30 over 2000 ms
+    // (increase 30, rate 15/s = 15000 milli); series b wraps 50→10
+    // (reset: increase = 10) over 1000 ms → 10/s = 10000 milli
+    val ts = Seq(
+      ("a", 1000L, 0L, 2L), ("a", 2000L, 10L, 4L), ("a", 3000L, 30L, 6L),
+      ("b", 1000L, 50L, 8L), ("b", 2000L, 10L, 10L)
+    ).toDF("_tsid", "_ts_ms", "ctr", "g").withColumn("bucket", org.apache.spark.sql.functions.lit(1L))
+    val got = EsqlParser.run(
+      """TS m | STATS mx = MAX(RATE(ctr)), tot = SUM(RATE(ctr)),
+        |  ag = AVG(AVG_OVER_TIME(g)), n = COUNT(*), sg = SUM(g) BY bucket""".stripMargin,
+      _ => ts).collect()
+    // inner: a → rate 15000, avg_g 4000 milli; b → rate 10000, avg_g 9000 milli
+    // outer: max 15000, sum 25000, avg = (4000+9000)*1000/2 = 6500000, n 5, sum_g 30
+    assert(got.toSeq == Seq(Row(1L, 15000L, 25000L, 6500000L, 5L, 30L)))
+    // non-decomposable plain aggregates are rejected in TS mode
+    assertThrows[ParseError](EsqlParser.run(
+      "TS m | STATS a = AVG(g) BY bucket", _ => ts).collect())
+    assertThrows[ParseError](EsqlParser.run(
+      "TS m | STATS a = MAX(RATE(ctr))", _ => ts.drop("_tsid")).collect())
+    // TS only as head; FROM frames don't get over-time functions
+    assertThrows[ParseError](run("FROM t | TS m"))
+  }
 }

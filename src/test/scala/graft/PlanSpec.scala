@@ -1439,6 +1439,51 @@ class PlanSpec extends SparkSpec {
       s"whiten re-join regressed to shuffling the exploded corpus:\n$p")
   }
 
+  test("ns_search_msearch_template: rendered templates share msearch's ONE corpus scan") {
+    val p = physical("ns_search_msearch_template")
+    assert(scanCount(p) == 1,
+      s"msearch/template must answer every rendered search from one scan:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"msearch/template regressed to a join of per-template branches:\n$p")
+    // the per-row label array is exploded conditional literals — codegen,
+    // never the CodegenFallback filter() HOF msearch itself dropped in r13
+    assert(!fallbacks(p).contains("ArrayFilter"),
+      s"the template-label array regressed to an interpreted filter() HOF:\n$p")
+  }
+
+  test("ns_search_validate: validation never touches data — a LocalRelation plan") {
+    val p = physical("ns_search_validate")
+    assert(scanCount(p) == 0,
+      s"_validate/query must parse-check without scanning anything:\n$p")
+  }
+
+  test("ns_search_completion_fuzzy: context+fuzzy walk stays on the dictionary artifact") {
+    val p = physical("ns_search_completion_fuzzy")
+    val scans = nodes(p).collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(!scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.endsWith("/documents.parquet"))),
+      s"fuzzy completion must walk the persisted per-context dictionary, found a corpus scan:\n$p")
+    // the lang context IS pushable even though fuzziness forfeits the prefix
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(lang"),
+      s"the completion context must reach the artifact scan's PushedFilters, got $pushed\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the suggestion cutoff must be a top-k heap:\n$p")
+  }
+
+  test("ns_esql_ts: every window is series-partitioned; both levels hash-aggregate") {
+    val p = physical("ns_esql_ts")
+    val windows = nodes(p).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"TS windows (counter cumsum, rate lag) must partition by the series id:\n$p")
+    val hashAggs = nodes(p).count(
+      _.getClass.getSimpleName == "HashAggregateExec")
+    assert(hashAggs >= 4, // inner + outer levels, partial+final each
+      s"TS STATS must compile to two partial-aggregating hash levels:\n$p")
+  }
+
   test("Par.spread widens a single-split scan and passes wide/non-file frames through") {
     import org.apache.spark.sql.functions.col
     // single small parquet split → widened to defaultParallelism
