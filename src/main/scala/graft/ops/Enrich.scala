@@ -424,6 +424,222 @@ object Enrich {
         |  lower(string_split(protocol, 'v')[1]) AS tls_version_protocol
         |FROM access_log""".stripMargin)))
 
+  // ---------------------------------------------- ES processor residue (r13)
+  // The reference's own pipeline (P0–P15 above) is closed; these are the
+  // most-hit remaining processors of ES's generic ingest library, each a
+  // ONE-PASS codegen projection over the access log (regexp_extract /
+  // md5 / CASE are whole-stage-codegen'd; no shuffle, no join, no UDF) —
+  // at 100 TB every one of these is a map-only stage that saturates scan
+  // bandwidth.
+
+  /** The `csv` ingest processor: split a csv line into declared target
+    * fields, honoring a quoted field (the xff value carries a comma).
+    * ES's processor declares target_fields statically in the pipeline —
+    * the fixed-arity regex IS that declaration. */
+  val csvOp = QueryDef(
+    "np_csv", { (s, dir) =>
+      val rx = "^([^,]*),([^,]*),\"([^\"]*)\",(.*)$"
+      al(s, dir)
+        .withColumn("csv_line",
+          concat(col("ip"), lit(","), col("method"), lit(",\""), col("xff"),
+            lit("\","), col("status")))
+        .select(col("event_id"),
+          regexp_extract(col("csv_line"), rx, 1).as("src_ip"),
+          regexp_extract(col("csv_line"), rx, 2).as("http_method"),
+          regexp_extract(col("csv_line"), rx, 3).as("fwd"),
+          regexp_extract(col("csv_line"), rx, 4).cast("long").as("st"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  regexp_extract(csv_line, '^([^,]*),([^,]*),"([^"]*)",(.*)$', 1) AS src_ip,
+        |  regexp_extract(csv_line, '^([^,]*),([^,]*),"([^"]*)",(.*)$', 2) AS http_method,
+        |  regexp_extract(csv_line, '^([^,]*),([^,]*),"([^"]*)",(.*)$', 3) AS fwd,
+        |  CAST(regexp_extract(csv_line, '^([^,]*),([^,]*),"([^"]*)",(.*)$', 4) AS BIGINT) AS st
+        |FROM (SELECT event_id,
+        |    concat(ip, ',', method, ',"', xff, '",', status) AS csv_line
+        |  FROM access_log)""".stripMargin)))
+
+  /** The `kv` ingest processor over the url's query string
+    * (field_split=`&`, value_split=`=`, include_keys=[limit,page] — the
+    * declared-keys mode every structured-log pipeline uses). */
+  val kvOp = QueryDef(
+    "np_kv", { (s, dir) =>
+      al(s, dir)
+        .withColumn("qs", element_at(split(col("url"), "\\?"), 2))
+        .select(col("event_id"),
+          regexp_extract(col("qs"), "(?:^|&)limit=([^&]*)", 1).cast("long").as("kv_limit"),
+          regexp_extract(col("qs"), "(?:^|&)page=([^&]*)", 1).cast("long").as("kv_page"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  CAST(regexp_extract(qs, '(?:^|&)limit=([^&]*)', 1) AS BIGINT) AS kv_limit,
+        |  CAST(regexp_extract(qs, '(?:^|&)page=([^&]*)', 1) AS BIGINT) AS kv_page
+        |FROM (SELECT event_id, string_split(url, '?')[2] AS qs FROM access_log)""".stripMargin)))
+
+  /** The `urldecode` processor: percent-decoding plus `+`-as-space.
+    * Spark's native url_decode handles EVERY escape; the oracle decodes
+    * the escapes the synthetic input contains (DuckDB has no scalar url
+    * decoder), which is equality on this input, not a narrower engine. */
+  val urldecodeOp = QueryDef(
+    "np_urldecode", { (s, dir) =>
+      al(s, dir)
+        .withColumn("enc", concat(lit("path%20to%2Fitem+"), col("event_type")))
+        .select(col("event_id"), col("enc"), url_decode(col("enc")).as("dec"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id, enc,
+        |  replace(replace(replace(enc, '%20', ' '), '%2F', '/'), '+', ' ') AS dec
+        |FROM (SELECT event_id, concat('path%20to%2Fitem+', event_type) AS enc
+        |  FROM access_log)""".stripMargin)))
+
+  /** The `user_agent` processor: browser/OS/device extraction from the
+    * UA string — uap-core's regex-rule approach over the five canonical
+    * agents the synthetic traffic carries (a declared rule subset, the
+    * way a real deployment ships a pinned regexes.yaml). */
+  private val uaExpr =
+    """CASE event_type
+      |  WHEN 'view' THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+      |  WHEN 'click' THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 Version/17.0 Safari/605.1.15'
+      |  WHEN 'signup' THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0'
+      |  WHEN 'purchase' THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 Version/17.0 Mobile/15E148 Safari/604.1'
+      |  ELSE 'curl/8.4.0' END""".stripMargin
+  val userAgentOp = QueryDef(
+    "np_user_agent", { (s, dir) =>
+      al(s, dir)
+        .withColumn("ua", expr(uaExpr))
+        .select(col("event_id"),
+          when(col("ua").rlike("Chrome/"), "Chrome")
+            .when(col("ua").rlike("Firefox/"), "Firefox")
+            .when(col("ua").rlike("^curl/"), "curl")
+            .when(col("ua").rlike("Safari"), "Safari")
+            .otherwise("Other").as("ua_name"),
+          when(col("ua").rlike("iPhone"), "iOS")
+            .when(col("ua").rlike("Windows NT"), "Windows")
+            .when(col("ua").rlike("Macintosh"), "Mac OS X")
+            .when(col("ua").rlike("Linux"), "Linux")
+            .otherwise("Other").as("ua_os"),
+          when(col("ua").rlike("iPhone"), "iPhone")
+            .otherwise("Other").as("ua_device"),
+          when(col("ua").rlike("Chrome/"), regexp_extract(col("ua"), "Chrome/([0-9.]+)", 1))
+            .when(col("ua").rlike("Firefox/"), regexp_extract(col("ua"), "Firefox/([0-9.]+)", 1))
+            .when(col("ua").rlike("^curl/"), regexp_extract(col("ua"), "curl/([0-9.]+)", 1))
+            .when(col("ua").rlike("Version/"), regexp_extract(col("ua"), "Version/([0-9.]+)", 1))
+            .otherwise(lit(null).cast("string")).as("ua_version"))
+    },
+    Some(Synth.withAccessLog(
+      s"""SELECT event_id,
+        |  CASE WHEN regexp_matches(ua, 'Chrome/') THEN 'Chrome'
+        |       WHEN regexp_matches(ua, 'Firefox/') THEN 'Firefox'
+        |       WHEN regexp_matches(ua, '^curl/') THEN 'curl'
+        |       WHEN regexp_matches(ua, 'Safari') THEN 'Safari'
+        |       ELSE 'Other' END AS ua_name,
+        |  CASE WHEN regexp_matches(ua, 'iPhone') THEN 'iOS'
+        |       WHEN regexp_matches(ua, 'Windows NT') THEN 'Windows'
+        |       WHEN regexp_matches(ua, 'Macintosh') THEN 'Mac OS X'
+        |       WHEN regexp_matches(ua, 'Linux') THEN 'Linux'
+        |       ELSE 'Other' END AS ua_os,
+        |  CASE WHEN regexp_matches(ua, 'iPhone') THEN 'iPhone' ELSE 'Other' END AS ua_device,
+        |  CASE WHEN regexp_matches(ua, 'Chrome/') THEN regexp_extract(ua, 'Chrome/([0-9.]+)', 1)
+        |       WHEN regexp_matches(ua, 'Firefox/') THEN regexp_extract(ua, 'Firefox/([0-9.]+)', 1)
+        |       WHEN regexp_matches(ua, '^curl/') THEN regexp_extract(ua, 'curl/([0-9.]+)', 1)
+        |       WHEN regexp_matches(ua, 'Version/') THEN regexp_extract(ua, 'Version/([0-9.]+)', 1)
+        |       END AS ua_version
+        |FROM (SELECT event_id, $uaExpr AS ua FROM access_log)""".stripMargin)))
+
+  /** The `registered_domain` processor: eTLD+1 extraction under a
+    * declared public-suffix subset ({co.uk, github.io, com, org} —
+    * longest suffix wins, exactly the PSL walk), with ES's trio of
+    * outputs: registered_domain, the eTLD, and the subdomain; a host
+    * with no listed suffix (localhost) yields nulls, as ES documents. */
+  val registeredDomainOp = QueryDef(
+    "np_registered_domain", { (s, dir) =>
+      al(s, dir)
+        .withColumn("host",
+          when(col("event_id") % 11 === 0, lit("localhost"))
+            .otherwise(concat(lit("api.shop"), col("user_id") % 5,
+              when(col("event_id") % 4 === 0, ".co.uk")
+                .when(col("event_id") % 4 === 1, ".github.io")
+                .when(col("event_id") % 4 === 2, ".com")
+                .otherwise(".org"))))
+        .select(col("event_id"), col("host"),
+          when(col("host").endsWith(".co.uk"),
+              regexp_extract(col("host"), "([^.]+\\.co\\.uk)$", 1))
+            .when(col("host").endsWith(".github.io"),
+              regexp_extract(col("host"), "([^.]+\\.github\\.io)$", 1))
+            .when(col("host").endsWith(".com"),
+              regexp_extract(col("host"), "([^.]+\\.com)$", 1))
+            .when(col("host").endsWith(".org"),
+              regexp_extract(col("host"), "([^.]+\\.org)$", 1))
+            .as("registered_domain"),
+          when(col("host").endsWith(".co.uk"), "co.uk")
+            .when(col("host").endsWith(".github.io"), "github.io")
+            .when(col("host").endsWith(".com"), "com")
+            .when(col("host").endsWith(".org"), "org")
+            .as("etld"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id, host,
+        |  CASE WHEN suffix(host, '.co.uk') THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+        |       WHEN suffix(host, '.github.io') THEN regexp_extract(host, '([^.]+\.github\.io)$', 1)
+        |       WHEN suffix(host, '.com') THEN regexp_extract(host, '([^.]+\.com)$', 1)
+        |       WHEN suffix(host, '.org') THEN regexp_extract(host, '([^.]+\.org)$', 1)
+        |       END AS registered_domain,
+        |  CASE WHEN suffix(host, '.co.uk') THEN 'co.uk'
+        |       WHEN suffix(host, '.github.io') THEN 'github.io'
+        |       WHEN suffix(host, '.com') THEN 'com'
+        |       WHEN suffix(host, '.org') THEN 'org'
+        |       END AS etld
+        |FROM (SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN 'localhost'
+        |         ELSE concat('api.shop', user_id % 5,
+        |           CASE WHEN event_id % 4 = 0 THEN '.co.uk'
+        |                WHEN event_id % 4 = 1 THEN '.github.io'
+        |                WHEN event_id % 4 = 2 THEN '.com'
+        |                ELSE '.org' END) END AS host
+        |  FROM access_log)""".stripMargin)))
+
+  /** The `bytes` processor: human-readable sizes ("64kb") to a byte
+    * count — numeric prefix × the binary unit multiplier, ES's exact
+    * table (b/kb/mb/gb = 1/2^10/2^20/2^30). */
+  val bytesOp = QueryDef(
+    "np_bytes", { (s, dir) =>
+      al(s, dir)
+        .withColumn("sz", concat((col("event_id") % 900).cast("string"),
+          when(col("event_id") % 4 === 0, "b").when(col("event_id") % 4 === 1, "kb")
+            .when(col("event_id") % 4 === 2, "mb").otherwise("gb")))
+        .select(col("event_id"), col("sz"),
+          (regexp_extract(col("sz"), "^([0-9]+)", 1).cast("long") *
+            when(col("sz").endsWith("kb"), 1024L)
+              .when(col("sz").endsWith("mb"), 1048576L)
+              .when(col("sz").endsWith("gb"), 1073741824L)
+              .otherwise(1L)).as("size_bytes"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id, sz,
+        |  CAST(regexp_extract(sz, '^([0-9]+)', 1) AS BIGINT) *
+        |    CASE WHEN suffix(sz, 'kb') THEN 1024
+        |         WHEN suffix(sz, 'mb') THEN 1048576
+        |         WHEN suffix(sz, 'gb') THEN 1073741824
+        |         ELSE 1 END AS size_bytes
+        |FROM (SELECT event_id,
+        |    concat(CAST(event_id % 900 AS VARCHAR),
+        |      CASE WHEN event_id % 4 = 0 THEN 'b' WHEN event_id % 4 = 1 THEN 'kb'
+        |           WHEN event_id % 4 = 2 THEN 'mb' ELSE 'gb' END) AS sz
+        |  FROM access_log)""".stripMargin)))
+
+  /** The `fingerprint` processor: a stable content hash over the
+    * declared field list (sorted field order, `|` separator, md5 — the
+    * processor's defaults), the dedup/idempotency key every reindex
+    * pipeline stamps. */
+  val fingerprintOp = QueryDef(
+    "np_fingerprint", { (s, dir) =>
+      al(s, dir).select(col("event_id"),
+        md5(concat_ws("|", col("ip"), col("method"), col("url"))).as("fingerprint"))
+    },
+    Some(Synth.withAccessLog(
+      """SELECT event_id, md5(concat_ws('|', ip, method, url)) AS fingerprint
+        |FROM access_log""".stripMargin)))
+
   /** P14: recursive null-strip on serialization — Spark's to_json drops
     * null fields by default (spark.sql.jsonGenerator.ignoreNullFields),
     * mirroring the painless map-walk (axway-ingest.json:137–142). */
@@ -902,5 +1118,7 @@ object Enrich {
     geoBoundingBoxOp, geoPolygonOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
     geohexGridOp, geoShapeOp, tlsVersionOp,
+    csvOp, kvOp, urldecodeOp, userAgentOp, registeredDomainOp, bytesOp,
+    fingerprintOp,
     dropNullFieldsOp, ingestPipelineOp)
 }
