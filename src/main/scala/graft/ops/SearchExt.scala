@@ -922,6 +922,57 @@ object SearchExt {
        |    row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)
        |WHERE rn <= ${scrollPages * scrollSize}""".stripMargin))
 
+  // --------------------------------------------------------------------- PIT
+  /** The point-in-time API (`_pit`): ES pins a reader to the index
+    * state at open time, so deep pagination with `search_after` stays
+    * CONSISTENT while writes keep landing — no page ever shifts, no row
+    * is served twice or skipped. In an append-only stream the snapshot
+    * identity IS the open-time high-water mark, so the PIT id here
+    * encodes the boundary instant: every page carries BOTH pushed
+    * bounds — the pinned upper bound (`ts <=` boundary: rows arriving
+    * after the open are invisible on every page, the property PIT
+    * exists for) and the keyset cursor lower bound (the scroll
+    * discipline — deep pages without a global sort). Per page: one
+    * pruned scan with both bounds in PushedFilters + a
+    * TakeOrderedAndProject heap (PlanSpec-locked). */
+  private val pitPages = 3
+  private val pitSize = 10
+  private val pitBoundaryMicros = 1705708800000000L // 2024-01-20T00:00:00Z
+  val pitOp = QueryDef(
+    "ns_search_pit",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val micros = Tables.tsMicros(ev)
+      val pinned = ev.filter(col("ts") <= Tables.tsLiteral(ev, pitBoundaryMicros))
+      var cursor: Option[(Long, Long)] = None
+      val pages = (1 to pitPages).map { p =>
+        val base = cursor match {
+          case None => pinned
+          case Some((cMicros, cId)) =>
+            pinned.filter(col("ts") >= Tables.tsLiteral(ev, cMicros))
+              .filter(micros > cMicros || (micros === cMicros && col("event_id") > cId))
+        }
+        val page = base
+          .select(col("event_id"), col("tsu").as("ts"), col("event_type"), micros.as("ts_us"))
+          .orderBy(col("ts"), col("event_id"))
+          .limit(pitSize)
+        val rows = page.collect() // bounded: one page (the client's cursor state)
+        if (rows.nonEmpty) {
+          val last = rows.last
+          cursor = Some((last.getAs[Long]("ts_us"), last.getAs[Long]("event_id")))
+        }
+        page.select(lit(p).cast("int").as("page"),
+          col("event_id"), col("ts"), col("event_type"))
+      }
+      pages.reduce(_ unionAll _)
+    },
+    Some(s"""SELECT CAST((rn - 1) // $pitSize + 1 AS INT) AS page,
+       |  event_id, ts, event_type
+       |FROM (SELECT event_id, ts, event_type,
+       |    row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+       |  WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+       |WHERE rn <= ${pitPages * pitSize}""".stripMargin))
+
   // -------------------------------------------------------------- terms_enum
   /** The `_terms_enum` API: enumerate up to `size` index terms matching
     * a prefix, sorted — the keyword-autocomplete backend (distinct from
@@ -1821,6 +1872,6 @@ object SearchExt {
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
-    sparseVectorOp, msearchOp, wrapperOp, scrollOp, termsEnumOp, searchTemplateOp,
-    msearchTemplateOp, validateOp)
+    sparseVectorOp, msearchOp, wrapperOp, scrollOp, pitOp, termsEnumOp,
+    searchTemplateOp, msearchTemplateOp, validateOp)
 }

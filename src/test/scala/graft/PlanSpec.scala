@@ -1473,6 +1473,27 @@ class PlanSpec extends SparkSpec {
       s"the suggestion cutoff must be a top-k heap:\n$p")
   }
 
+  test("ns_search_pit: every page pushes the pinned snapshot bound; pages stay heaps") {
+    val df = SparkEntry.queries("ns_search_pit")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == pitPagesForTest,
+      s"expected one bounded scan per PIT page, got ${scans.size}")
+    // the PIT open-time high-water mark must reach EVERY page's scan —
+    // that pushed upper bound IS the snapshot-consistency property
+    val pinned = scans.count(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("LessThanOrEqual(ts")))
+    assert(pinned == pitPagesForTest,
+      s"pages lost the pinned snapshot upper bound:\n${scans.map(_.metadata)}")
+    // non-first pages additionally push their keyset cursor lower bound
+    val cursored = scans.count(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("GreaterThanOrEqual(ts")))
+    assert(cursored >= pitPagesForTest - 1,
+      s"non-first PIT pages lost the pushable cursor bound:\n${scans.map(_.metadata)}")
+  }
+  private val pitPagesForTest = 3
+
   test("ns_esql_ts: every window is series-partitioned; both levels hash-aggregate") {
     val p = physical("ns_esql_ts")
     val windows = nodes(p).collect { case w: WindowExec => w }
