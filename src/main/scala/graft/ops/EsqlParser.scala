@@ -106,6 +106,9 @@ object EsqlParser {
   final case class In(e: Expr, values: Seq[Expr]) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Func(name: String, args: Seq[Expr]) extends Expr
+  /** A time-span literal (`1 day`, `4 hours`) — valid only where a span
+    * is expected (DATE_TRUNC's first argument). */
+  final case class SpanLit(n: Long, unit: String) extends Expr
 
   sealed trait Agg
   final case class CountAll(filter: Option[Expr] = None) extends Agg
@@ -313,7 +316,15 @@ object EsqlParser {
     def parsePrim(): Expr = peek match {
       case Some(TSym("(", _)) => i += 1; val e = parseExpr(); eatSym(")"); e
       case Some(TSym("-", _)) => i += 1; Neg(parsePrim())
-      case Some(TNum(v, _)) => i += 1; NumLit(v)
+      case Some(TNum(v, _)) =>
+        i += 1
+        // a number followed by a time-unit word is ES|QL's span literal
+        peek match {
+          case Some(TWord(w, _)) if spanUnits.contains(w.toLowerCase.stripSuffix("s")) &&
+              v.isValidLong =>
+            i += 1; SpanLit(v.toLong, w.toLowerCase.stripSuffix("s"))
+          case _ => NumLit(v)
+        }
       case Some(TStr(s, _)) => i += 1; StrLit(s)
       case Some(TWord(w, _)) =>
         i += 1
@@ -560,10 +571,29 @@ object EsqlParser {
     sb.toString
   }
 
+  /** Time-span units (singular form) a number may be suffixed with to
+    * form a SpanLit. */
+  private[graft] val spanUnits = Set("millisecond", "second", "minute",
+    "hour", "day", "week", "month", "quarter", "year")
+
+  /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen). */
+  private def ip4u32(ip: Column): Column =
+    (1 to 4).map(i => element_at(split(ip, "\\."), i).cast("long"))
+      .reduceLeft((a, b) => a * 256L + b)
+
+  /** "a.b.c.d/p" → (network u32, prefix bits); parsed at plan time. */
+  private def parseCidr(c: String): (Long, Int) = {
+    val Array(addr, p) = c.split("/")
+    val net = addr.split("\\.").map(_.toLong).reduceLeft((a, b) => a * 256L + b)
+    (net, p.toInt)
+  }
+
   def compileExpr(e: Expr): Column = e match {
     case Ident(n) => col(n)
     case NumLit(v) => if (v.isValidLong) lit(v.toLong) else lit(v.toDouble)
     case StrLit(s) => lit(s)
+    case SpanLit(_, u) =>
+      throw ParseError(s"span literal ($u) only valid as DATE_TRUNC's first argument", 0)
     case Not(x) => !compileExpr(x)
     case Neg(x) => -compileExpr(x)
     case Like(x, p) => compileExpr(x).like(likePattern(p))
@@ -678,6 +708,59 @@ object EsqlParser {
         slice(compileExpr(x), a.toInt + 1, b.toInt - a.toInt + 1)
       case ("MV_CONCAT", Seq(x, StrLit(d))) => array_join(compileExpr(x), d)
       case ("MV_APPEND", Seq(a, b)) => concat(compileExpr(a), compileExpr(b))
+      // ---------------- date functions. DATE_TRUNC takes ES|QL's span
+      // literal (`1 day`, `4 hours`): calendar units truncate via
+      // date_trunc (multiples >1 are rejected — ES's calendar/fixed
+      // interval split), fixed-width units floor epoch-micros to the
+      // span width in pure long arithmetic (codegen, no session-zone
+      // dependence). DATE_DIFF truncates toward zero like ES. NOW() is
+      // deliberately absent: a wall-clock read is nondeterministic and
+      // the engine's results must replay byte-equal.
+      case ("DATE_TRUNC", Seq(SpanLit(n, u), x)) =>
+        val fixedMicros = Map("millisecond" -> 1000L, "second" -> 1000000L,
+          "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
+        fixedMicros.get(u) match {
+          case Some(w) =>
+            val width = lit(n * w)
+            val us = unix_micros(compileExpr(x))
+            timestamp_micros(us - pmod(us, width))
+          case None =>
+            if (n != 1L) throw ParseError(s"DATE_TRUNC: calendar unit $u takes span 1", 0)
+            date_trunc(u, compileExpr(x))
+        }
+      case ("DATE_FORMAT", Seq(StrLit(fmt), x)) => date_format(compileExpr(x), fmt)
+      case ("DATE_DIFF", Seq(StrLit(unit), a, b)) =>
+        val w = Map("milliseconds" -> 1000L, "seconds" -> 1000000L,
+          "minutes" -> 60000000L, "hours" -> 3600000000L, "days" -> 86400000000L)
+          .getOrElse(unit, throw ParseError(s"DATE_DIFF: unknown unit $unit", 0))
+        // double divide + long cast truncates toward zero — ES's contract
+        ((unix_micros(compileExpr(b)) - unix_micros(compileExpr(a)))
+          .cast("double") / w).cast("long")
+      case ("TO_DATETIME", Seq(x)) => timestamp_millis(compileExpr(x).cast("long"))
+      // ---------------- IP functions (IPv4): the u32 form is pure long
+      // arithmetic over the dotted octets — one codegen pass, and a
+      // CIDR whose bits are a prefix of the scanned column's value
+      // domain stays a cheap row filter.
+      case ("CIDR_MATCH", ip +: cidrs) if cidrs.nonEmpty =>
+        val u = ip4u32(compileExpr(ip))
+        cidrs.map {
+          case StrLit(c) =>
+            val (net, p) = parseCidr(c)
+            if (p == 0) lit(true)
+            else (shiftright(u, 32 - p) === lit(net >>> (32 - p))): Column
+          case _ => throw ParseError("CIDR_MATCH expects literal cidr strings", 0)
+        }.reduce(_ || _)
+      case ("IP_PREFIX", Seq(ip, NumLit(p), NumLit(_))) =>
+        val bits = p.toInt
+        if (bits < 0 || bits > 32) throw ParseError("IP_PREFIX: bits in [0,32]", 0)
+        val masked =
+          if (bits == 0) lit(0L)
+          else shiftleft(shiftright(ip4u32(compileExpr(ip)), 32 - bits), 32 - bits)
+        concat_ws(".",
+          (shiftright(masked, 24) % 256).cast("string"),
+          (shiftright(masked, 16) % 256).cast("string"),
+          (shiftright(masked, 8) % 256).cast("string"),
+          (masked % 256).cast("string"))
       // ---------------- full-text functions (9.x: relevance predicates
       // inside WHERE). ES resolves the searched field from the index
       // default; this dialect names it as the first argument. Each

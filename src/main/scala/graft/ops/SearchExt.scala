@@ -1844,6 +1844,61 @@ object SearchExt {
       |  CAST(sum(n_samp) AS BIGINT) AS n
       |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** ES|QL date-function residue: DATE_TRUNC with span literals
+    * (calendar AND fixed-multiple units), DATE_FORMAT, DATE_DIFF
+    * (truncate-toward-zero, ES's contract), TO_DATETIME — the
+    * functions every observability pipeline leads with. The fixed-
+    * width truncs are pure epoch-long arithmetic (codegen, no
+    * session-zone dependence); everything else is the builtin
+    * date_trunc/date_format. NOW() stays deliberately absent:
+    * wall-clock reads are nondeterministic and results must replay. */
+  private[graft] val esqlDatesQuery =
+    """FROM events
+      || EVAL hr4 = DATE_TRUNC(4 hours, tsu),
+      |       label = DATE_FORMAT("yyyy-MM", tsu),
+      |       age_h = DATE_DIFF("hours", tsu, TO_DATETIME(1706659200000))
+      || STATS n = COUNT(*), mx = MAX(age_h) BY hr4, label
+      || SORT hr4
+      || LIMIT 50""".stripMargin
+  val esqlDatesOp = QueryDef(
+    "ns_esql_dates",
+    (s, dir) => EsqlParser.run(esqlDatesQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT make_timestamp(CAST(epoch_us(ts) - epoch_us(ts) % 14400000000 AS BIGINT)) AS hr4,
+      |  strftime(ts, '%Y-%m') AS label, count(*) AS n,
+      |  max(CAST(trunc((1706659200000000 - epoch_us(ts)) / 3600000000) AS BIGINT)) AS mx
+      |FROM events GROUP BY 1, 2 ORDER BY hr4 LIMIT 50""".stripMargin))
+
+  /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
+    * as the network-bucketing EVAL — the SIEM pair. The dotted quad
+    * compiles to u32 long arithmetic in one codegen pass; each CIDR
+    * literal is parsed at plan time into a (network, bits) prefix
+    * comparison. */
+  private[graft] val esqlCidrQuery =
+    """FROM access_log
+      || WHERE CIDR_MATCH(ip, "203.0.0.0/28", "203.0.0.128/27")
+      || EVAL net = IP_PREFIX(ip, 28, 0)
+      || STATS n = COUNT(*) BY net
+      || SORT net""".stripMargin
+  val esqlCidrOp = QueryDef(
+    "ns_esql_cidr",
+    (s, dir) => EsqlParser.run(esqlCidrQuery, _ => Synth.accessLog(s, dir)),
+    Some(Synth.withAccessLog(
+      """, u AS (SELECT
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+        |    + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+        |    + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+        |    + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipu
+        |  FROM access_log),
+        |m AS (SELECT (ipu // 16) * 16 AS net_u FROM u
+        |  WHERE ipu // 16 = (CAST(203 AS BIGINT) * 16777216 + 0) // 16
+        |     OR ipu // 32 = (CAST(203 AS BIGINT) * 16777216 + 128) // 32),
+        |nets AS (SELECT concat(
+        |    CAST(net_u // 16777216 % 256 AS VARCHAR), '.',
+        |    CAST(net_u // 65536 % 256 AS VARCHAR), '.',
+        |    CAST(net_u // 256 % 256 AS VARCHAR), '.',
+        |    CAST(net_u % 256 AS VARCHAR)) AS net FROM m)
+        |SELECT net, count(*) AS n FROM nets GROUP BY 1 ORDER BY net""".stripMargin)))
+
   private[graft] val esqlMvExpandQuery =
     """FROM access_log
       || EVAL hops = SPLIT(xff, ",")
@@ -1864,6 +1919,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
+    esqlDatesOp, esqlCidrOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,

@@ -456,6 +456,49 @@ class EsqlSpec extends SparkSpec {
       Seq(Sample(BigDecimal("0.05"), Some("event_id"))))
   }
 
+  test("date functions: span-literal DATE_TRUNC, DATE_FORMAT, DATE_DIFF trunc-toward-zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-15 13:47:21")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-15 03:10:00"))
+    ).toDF("id", "t")
+    val r = EsqlParser.run(
+      """FROM d | EVAL hr4 = DATE_TRUNC(4 hours, t), mo = DATE_TRUNC(1 month, t),
+        |  lbl = DATE_FORMAT("yyyy-MM-dd", t),
+        |  fwd = DATE_DIFF("hours", t, TO_DATETIME(1710504000000)),
+        |  bck = DATE_DIFF("hours", TO_DATETIME(1710504000000), t)
+        || SORT id""".stripMargin, _ => d).collect()
+    // 2024-03-15 12:00:00 UTC == epoch 1710504000
+    assert(r(0).getAs[java.sql.Timestamp]("hr4").toString == "2024-03-15 12:00:00.0")
+    assert(r(1).getAs[java.sql.Timestamp]("hr4").toString == "2024-03-15 00:00:00.0")
+    assert(r(0).getAs[java.sql.Timestamp]("mo").toString == "2024-03-01 00:00:00.0")
+    assert(r(0).getAs[String]("lbl") == "2024-03-15")
+    // 13:47:21 → 12:00 is -1h47m: trunc toward zero gives -1 / +1
+    assert(r(0).getAs[Long]("fwd") == -1L && r(0).getAs[Long]("bck") == 1L)
+    assert(r(1).getAs[Long]("fwd") == 8L) // 03:10 → 12:00 = 8h50m → 8
+    // calendar units reject multiples; stray spans reject
+    assertThrows[ParseError](EsqlParser.run(
+      "FROM d | EVAL x = DATE_TRUNC(2 months, t)", _ => d))
+    assertThrows[ParseError](EsqlParser.run(
+      "FROM d | EVAL x = 3 days", _ => d))
+  }
+
+  test("IP functions: CIDR_MATCH predicate and IP_PREFIX bucketing") {
+    import spark.implicits._
+    val d = Seq((1L, "10.1.2.3"), (2L, "10.1.2.200"), (3L, "192.168.0.77"),
+      (4L, "10.2.0.1")).toDF("id", "ip")
+    val m = EsqlParser.run(
+      """FROM d | WHERE CIDR_MATCH(ip, "10.1.2.0/25", "192.168.0.0/16")
+        || SORT id | KEEP id""".stripMargin, _ => d)
+      .collect().map(_.getLong(0)).toSeq
+    assert(m == Seq(1L, 3L)) // .200 outside /25; 10.2.* outside both
+    val p = EsqlParser.run(
+      """FROM d | EVAL net24 = IP_PREFIX(ip, 24, 0), net12 = IP_PREFIX(ip, 12, 0)
+        || SORT id | KEEP net24, net12""".stripMargin, _ => d).collect()
+    assert(p(0).getString(0) == "10.1.2.0" && p(0).getString(1) == "10.0.0.0")
+    assert(p(2).getString(0) == "192.168.0.0" && p(2).getString(1) == "192.160.0.0")
+  }
+
   test("TS: two-level time-series STATS — exact rate, reset handling, plain-agg rewrite") {
     import spark.implicits._
     // two series over one bucket: series a counts 0→10→30 over 2000 ms
