@@ -1906,6 +1906,87 @@ object TextOps {
            |  count(*) AS n_bigrams
            |FROM terms GROUP BY doc_id""".stripMargin))
 
+  /** CCNet-style perplexity filtering — the canonical LM-quality gate
+    * of the large web-corpus pipelines: score each document by its
+    * language-model perplexity and split the corpus into head / middle
+    * / tail under FIXED per-language thresholds. The thresholds being
+    * fixed constants is CCNet's actual design (it ships per-language
+    * cutoffs computed offline from the reference LM), not a shortcut —
+    * at 100 TB the alternative (corpus-wide exact percentiles per run)
+    * is a global sort the real pipeline deliberately avoids.
+    *
+    * The LM is the corpus Laplace-bigram model (the
+    * ns_text_bigram_logprob discipline): per-bigram log-terms round to
+    * integer MICROS before summation, and the per-doc mean NLL
+    * (micro-nats per bigram) is the perplexity proxy — monotone in
+    * true perplexity, exact long arithmetic end to end. Docs with < 2
+    * tokens carry no bigram evidence and drop, as in the logprob op.
+    *
+    * Scale shape: the model is the two persisted count artifacts
+    * (unigram/bigram tables built once per corpus snapshot); the
+    * query-time plan is one corpus bigram explode joined against them
+    * and one per-doc aggregate — no window, no global sort, cutoffs
+    * are plan-time literals. */
+  private val pplThresholds: Map[String, (Long, Long)] = Map(
+    "de" -> (3387000L, 3415000L), "en" -> (3392000L, 3417000L),
+    "es" -> (3387000L, 3412000L), "fr" -> (3396000L, 3414000L),
+    "zh" -> (3390000L, 3419000L))
+  val perplexityFilterOp = QueryDef(
+    "ns_quality_perplexity", { (s, dir) =>
+      val uf = unigramFreq(s, dir)
+      val bf = bigramFreq(s, dir)
+      val vocabV = uf.agg(count(lit(1)).as("v"))
+      val bigrams = Par.spread(s, docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("lang"), split(trim(col("text")), " ").as("t"))
+        .select(col("doc_id"), col("lang"), explode(when(size(col("t")) >= 2, expr(
+          "transform(sequence(1, size(t) - 1), i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))")))
+          .as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val nll = bigrams
+        .join(bf, Seq("w1", "w2"))
+        .join(uf.select(col("tok").as("w1"), col("cnt").as("uc")), "w1")
+        .crossJoin(broadcast(vocabV))
+        .withColumn("term_c",
+          round(log((col("bc") + lit(1.0)) / (col("uc") + col("v"))) * 1e6, 0).cast("long"))
+        .groupBy("doc_id", "lang")
+        .agg(round((-sum(col("term_c"))).cast("double") / count(lit(1)), 0)
+          .cast("long").as("nll_micro"))
+      val t1 = pplThresholds.foldLeft(lit(null).cast("long")) {
+        case (acc, (l, (a, _))) => when(col("lang") === l, lit(a)).otherwise(acc)
+      }
+      val t2 = pplThresholds.foldLeft(lit(null).cast("long")) {
+        case (acc, (l, (_, b))) => when(col("lang") === l, lit(b)).otherwise(acc)
+      }
+      nll.select(col("doc_id"), col("lang"), col("nll_micro"),
+        when(col("nll_micro") < t1, "head")
+          .when(col("nll_micro") < t2, "middle")
+          .otherwise("tail").as("bucket"))
+    },
+    Some {
+      val caseT1 = pplThresholds.map { case (l, (a, _)) =>
+        s"WHEN '$l' THEN $a" }.mkString(" ")
+      val caseT2 = pplThresholds.map { case (l, (_, b)) =>
+        s"WHEN '$l' THEN $b" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+         |uf AS (SELECT w1 AS tok, count(*) AS uc FROM (
+         |  SELECT doc_id, unnest(t) AS w1 FROM t) GROUP BY 1),
+         |bf AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+         |vv AS (SELECT count(*) AS v FROM uf),
+         |terms AS (SELECT doc_id, lang,
+         |    CAST(round(ln((bc + 1.0) / (uc + v)) * 1000000, 0) AS BIGINT) AS term_c
+         |  FROM bg JOIN bf USING (w1, w2) JOIN uf ON uf.tok = bg.w1, vv),
+         |d AS (SELECT doc_id, lang,
+         |    CAST(round(CAST(-sum(term_c) AS DOUBLE) / count(*), 0) AS BIGINT) AS nll_micro
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT doc_id, lang, nll_micro,
+         |  CASE WHEN nll_micro < (CASE lang $caseT1 END) THEN 'head'
+         |       WHEN nll_micro < (CASE lang $caseT2 END) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM d""".stripMargin
+    })
+
   /** Within-document token-distribution entropy — the third classic
     * quality signal next to the surface heuristics (ns_quality_score)
     * and the LM scores (unigram/bigram logprob): H = −Σ (c/n)·ln(c/n)
@@ -3148,7 +3229,8 @@ object TextOps {
     topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
     phraseSuggestOp, completionSuggestOp, completionFuzzyOp, explainOp, rareTermsOp,
     boolQueryOp, highlightOp,
-    unigramLogprobOp, bigramLogprobOp, sampleStratifiedOp, sampleMixtureOp,
+    unigramLogprobOp, bigramLogprobOp, perplexityFilterOp,
+    sampleStratifiedOp, sampleMixtureOp,
     sampleTemperatureOp, sampleDomainCapOp, sampleDsirOp,
     splitTrainTestOp,
     splitLeakageSafeOp, splitLeakageNearOp, textNormalizeOp, dedupClusterOp,
