@@ -76,6 +76,45 @@ object Corpus {
         floor(col("n_bpe_tokens").cast("long") * 1000 / col("n_symbols")).as("permille"))
   }
 
+  // ------------------------------------------------------------ bpe fertility
+  /** Tokenizer FERTILITY per language — tokens produced per whitespace
+    * word, the standard multilingual tokenizer-evaluation metric (a
+    * tokenizer trained on English spends more tokens per word on
+    * other scripts; fertility quantifies that budget tax per corpus
+    * slice). Rides the same one-scan codegen merge chain as
+    * ns_text_bpe; the ratio is exact integer permille (div, no float
+    * division reaches the result). */
+  val bpeFertilityOp: QueryDef = q(
+    "ns_bpe_fertility",
+    s"""SELECT lang,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(n_bpe) * 1000 // greatest(sum(n_words), 1) AS BIGINT)
+       |    AS fertility_permille
+       |FROM (SELECT lang,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split(trim(text), ' ')) END AS n_words,
+       |    (length(s1) - length(replace(s1, '|', '')))
+       |      - (length(s1) - length(replace(s1, ' ', ''))) AS n_bpe
+       |  FROM (SELECT lang, text, ${mergedSql("s0")} AS s1
+       |    FROM (SELECT lang, text, $symDuckSql AS s0 FROM documents)))
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .withColumn("s0", expr(symSparkSql))
+      .withColumn("s1", expr(mergedSql("s0")))
+      .withColumn("n_words",
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), " ")).cast("long")))
+      .withColumn("n_bpe",
+        ((length(col("s1")) - length(regexp_replace(col("s1"), "\\|", ""))) -
+          (length(col("s1")) - length(regexp_replace(col("s1"), " ", "")))).cast("long"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        expr("CAST(sum(n_bpe) * 1000 div greatest(sum(n_words), 1) AS BIGINT)")
+          .as("fertility_permille"))
+  }
+
   // ---------------------------------------------------------------- bpe train
   /** LEARN the merge table: `bpeTrainRounds` rounds of the canonical
     * BPE training loop — count all adjacent symbol pairs across the
@@ -349,6 +388,6 @@ object Corpus {
         |FROM access_log GROUP BY 1""".stripMargin)))
 
   def entries: Seq[QueryDef] = Seq(
-    bpeApplyOp, bpeTrainOp, qualityClassifierOp, embeddingWhitenOp, gopherOp,
-    urlDedupOp)
+    bpeApplyOp, bpeFertilityOp, bpeTrainOp, qualityClassifierOp,
+    embeddingWhitenOp, gopherOp, urlDedupOp)
 }

@@ -1179,6 +1179,24 @@ object EsqlParser {
             keys)
         case Enrich(policy, on, withCols) =>
           val (dim, matchField) = policies(policy)
+          if (dim.columns.contains("__range_lo") && dim.columns.contains("__range_hi")) {
+            // a RANGE-typed enrich policy (ES's `range` policy type: the
+            // match field falls inside the dim row's [lo, hi) interval —
+            // IP blocks, value tiers). The catalog signals the type by
+            // shaping the dim with __range_lo/__range_hi; the join is the
+            // engine's geoip discipline — broadcast the interval table,
+            // probe side unshuffled, a BroadcastNestedLoopJoin whose
+            // inner is |dim| rows.
+            val fields = if (withCols.nonEmpty) withCols
+              else dim.columns.filterNot(c =>
+                c == "__range_lo" || c == "__range_hi" || c == matchField).toSeq
+            val dimSel = dim.select((Seq("__range_lo", "__range_hi") ++ fields).map(col): _*)
+            val clash = fields.filter(f => f != on && df.columns.contains(f))
+            val src = df.drop(clash: _*)
+            src.join(broadcast(dimSel),
+                src(on) >= dimSel("__range_lo") && src(on) < dimSel("__range_hi"), "left")
+              .drop("__range_lo", "__range_hi")
+          } else {
           val fields = if (withCols.nonEmpty) withCols
             else dim.columns.filterNot(_ == matchField).toSeq
           val dimSel = dim.select((matchField +: fields).map(col): _*)
@@ -1189,6 +1207,7 @@ object EsqlParser {
           val src = df.drop(clash: _*)
           src.join(broadcast(dimSel), src(on) === dimSel("__enrich_match"), "left")
             .drop("__enrich_match")
+          }
         case LookupJoin(index, on) =>
           // ES|QL's LOOKUP JOIN (the successor to ENRICH for arbitrary
           // lookup-mode indices): LEFT join on the shared field name.

@@ -1069,6 +1069,28 @@ object SearchExt {
              .mkString("\n  UNION ALL ")})
        |SELECT template_id, count(*) AS n_hits FROM m GROUP BY 1""".stripMargin))
 
+  // ------------------------------------------------------- render/template
+  /** The `_render/template` API: render stored templates with params
+    * WITHOUT executing them — the debugging endpoint clients call
+    * before storing a search template. Rendering is the exact plan-time
+    * path `_search/template` and `_msearch/template` take (same
+    * renderTemplate); the plan is a LocalRelation — rendering never
+    * touches data at any SF. */
+  val renderTemplateOp = QueryDef(
+    "ns_search_render_template",
+    (s, dir) => {
+      import s.implicits._
+      msearchTemplates.map { case (id, tpl, params, _) =>
+        (id, renderTemplate(tpl, params))
+      }.toDF("template_id", "rendered")
+    },
+    Some {
+      val rows = msearchTemplates.map { case (id, tpl, params, _) =>
+        s"('$id', '${renderTemplate(tpl, params).replace("'", "''")}')"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $rows) AS v(template_id, rendered)"
+    })
+
   // --------------------------------------------------------- validate/query
   /** The `_validate/query` API: parse + compile a query WITHOUT
     * executing it — the syntax-check endpoint clients call before
@@ -1844,6 +1866,37 @@ object SearchExt {
       |  CAST(sum(n_samp) AS BIGINT) AS n
       |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** ES|QL ENRICH with a RANGE-typed policy — ES's second enrich policy
+    * type (`range`: the match field falls inside a dim row's interval —
+    * IP blocks, SLA tiers, price bands). The catalog shapes the policy
+    * dim with __range_lo/__range_hi and the compiler emits the geoip
+    * discipline: the interval table broadcasts, the probe side stays
+    * unshuffled, and the join is a BroadcastNestedLoopJoin whose inner
+    * side is |dim| rows (PlanSpec-locked). */
+  private[graft] val esqlEnrichRangeQuery =
+    """FROM events
+      || EVAL value_c = TO_LONG(ROUND(value * 100, 0))
+      || ENRICH tiers ON value_c
+      || STATS n = COUNT(*), s = SUM(value_c) BY tier
+      || SORT tier""".stripMargin
+  private val tierRows = Seq(
+    (0L, 20000L, "bronze"), (20000L, 60000L, "silver"),
+    (60000L, Long.MaxValue, "gold"))
+  val esqlEnrichRangeOp = QueryDef(
+    "ns_esql_enrich_range",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = tierRows.toDF("__range_lo", "__range_hi", "tier")
+      EsqlParser.run(esqlEnrichRangeQuery, _ => Tables.events(s, dir),
+        policies = { case "tiers" => (tiers, "value_c")
+                     case n => throw EsqlParser.ParseError(s"unknown enrich policy $n", 0) })
+    },
+    Some("""SELECT CASE WHEN v < 20000 THEN 'bronze'
+      |            WHEN v < 60000 THEN 'silver' ELSE 'gold' END AS tier,
+      |  count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+      |FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events)
+      |GROUP BY 1 ORDER BY tier""".stripMargin))
+
   /** ES|QL date-function residue: DATE_TRUNC with span literals
     * (calendar AND fixed-multiple units), DATE_FORMAT, DATE_DIFF
     * (truncate-toward-zero, ES's contract), TO_DATETIME — the
@@ -1919,7 +1972,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
-    esqlDatesOp, esqlCidrOp,
+    esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,

@@ -456,6 +456,23 @@ class EsqlSpec extends SparkSpec {
       Seq(Sample(BigDecimal("0.05"), Some("event_id"))))
   }
 
+  test("ENRICH with a range-typed policy joins value-in-[lo,hi) and overwrites clashes") {
+    import spark.implicits._
+    val dim = Seq((0L, 10L, "low"), (10L, 100L, "high"))
+      .toDF("__range_lo", "__range_hi", "band")
+    val got = EsqlParser.run(
+      "FROM t | ENRICH bands ON n | SORT id | KEEP id, n, band",
+      _ => df, policies = { case "bands" => (dim, "n") }).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "high"), (2L, "high"), (3L, "high"), (4L, "high"), (5L, "high")))
+    // below every interval → null enrichment (left join)
+    val low = EsqlParser.run(
+      "FROM t | EVAL m = n - 15 | ENRICH bands ON m | SORT id | KEEP m, band",
+      _ => df, policies = { case "bands" => (dim, "m") }).collect()
+    assert(low.head.getLong(0) == -5L && low.head.isNullAt(1))
+    assert(low(1).getLong(0) == 5L && low(1).getString(1) == "low")
+  }
+
   test("date functions: span-literal DATE_TRUNC, DATE_FORMAT, DATE_DIFF trunc-toward-zero") {
     import spark.implicits._
     val d = Seq(

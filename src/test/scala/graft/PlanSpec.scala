@@ -1494,6 +1494,21 @@ class PlanSpec extends SparkSpec {
   }
   private val pitPagesForTest = 3
 
+  test("ns_esql_enrich_range: the interval dim broadcasts; probe side unshuffled") {
+    val p = physical("ns_esql_enrich_range")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"a range-typed ENRICH must be a broadcast interval join:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"range ENRICH regressed to shuffling the probe side:\n$p")
+  }
+
+  test("ns_search_render_template: rendering touches no data — a LocalRelation plan") {
+    val p = physical("ns_search_render_template")
+    assert(scanCount(p) == 0,
+      s"_render/template must render without scanning anything:\n$p")
+  }
+
   test("ns_esql_ts: every window is series-partitioned; both levels hash-aggregate") {
     val p = physical("ns_esql_ts")
     val windows = nodes(p).collect { case w: WindowExec => w }
