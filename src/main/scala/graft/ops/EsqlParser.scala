@@ -117,9 +117,12 @@ object EsqlParser {
   final case class AggFn(fn: String, e: Expr, filter: Option[Expr] = None) extends Agg
 
   sealed trait Cmd
-  // FROM idx1[, idx2, …] — a multi-index query unions the resolved
-  // frames by name (ES's comma-separated index list)
-  final case class From(tables: Seq[String]) extends Cmd
+  // FROM idx1[, idx2, …] [METADATA _index] — a multi-index query unions
+  // the resolved frames by name (ES's comma-separated index list);
+  // METADATA _index attaches each row's source index name — the
+  // disambiguator that makes the multi-index union navigable. _id /
+  // _version / _score are rejected by name (no doc-store identity here).
+  final case class From(tables: Seq[String], metadata: Seq[String] = Nil) extends Cmd
   /** `TS index` — the 9.x time-series source mode: resolves like FROM
     * but marks the pipeline as operating over a TSDB index, enabling
     * the RATE / *_OVER_TIME inner aggregates inside STATS. */
@@ -530,7 +533,15 @@ object EsqlParser {
       while (peek.exists { case TSym(",", _) => true; case _ => false }) {
         i += 1; tables += ident()
       }
-      cmds += (if (isTs) TsFrom(tables.result()) else From(tables.result()))
+      val meta = Seq.newBuilder[String]
+      if (!isTs && peek.exists(isKw(_, "metadata"))) {
+        i += 1
+        meta += ident()
+        while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+          i += 1; meta += ident()
+        }
+      }
+      cmds += (if (isTs) TsFrom(tables.result()) else From(tables.result(), meta.result()))
     }
     while (peek.isDefined) {
       eatSym("|")
@@ -1085,7 +1096,14 @@ object EsqlParser {
                 n => throw ParseError(s"unknown enrich policy $n", 0),
               session: Option[org.apache.spark.sql.SparkSession] = None): DataFrame = {
     val df0 = cmds.headOption match {
-      case Some(From(ts)) => ts.map(resolve).reduce(_ unionByName _)
+      case Some(From(ts, meta)) =>
+        meta.filterNot(_ == "_index").foreach(m =>
+          throw ParseError(s"unsupported METADATA field $m (only _index here — " +
+            "no doc-store identity backs _id/_version/_score)", 0))
+        val withMeta: String => DataFrame =
+          if (meta.contains("_index")) n => resolve(n).withColumn("_index", lit(n))
+          else resolve
+        ts.map(withMeta).reduce(_ unionByName _)
       case Some(TsFrom(ts)) => ts.map(resolve).reduce(_ unionByName _)
       case Some(RowCmd(as)) =>
         // the literal one-row source: a LocalRelation, no scan at all
@@ -1101,7 +1119,7 @@ object EsqlParser {
                        policies: String => (DataFrame, String),
                        tsMode: Boolean = false): DataFrame = {
       cmd match {
-        case From(_) | TsFrom(_) | RowCmd(_) =>
+        case From(_, _) | TsFrom(_) | RowCmd(_) =>
           throw ParseError("FROM/TS/ROW only allowed first", 0)
         case Where(e) => df.filter(compileExpr(e))
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }

@@ -1866,6 +1866,29 @@ object SearchExt {
       |  CAST(sum(n_samp) AS BIGINT) AS n
       |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** ES|QL `METADATA _index` — the multi-index disambiguator: each row
+    * of a `FROM a, b` union carries its source index name, so the
+    * pipeline can group or filter by provenance. The column is a
+    * plan-time literal per union leg (zero per-row work); _id /
+    * _version / _score are rejected by name — no doc-store identity
+    * backs them here. */
+  private[graft] val esqlMetadataQuery =
+    """FROM docs_en, docs_rest METADATA _index
+      || STATS n = COUNT(*), chars = SUM(n_chars) BY _index
+      || SORT _index""".stripMargin
+  val esqlMetadataOp = QueryDef(
+    "ns_esql_metadata",
+    (s, dir) => EsqlParser.run(esqlMetadataQuery, {
+      case "docs_en" => docs(s, dir).filter(col("lang") === "en")
+      case "docs_rest" => docs(s, dir).filter(col("lang") =!= "en")
+      case n => throw new IllegalArgumentException(s"unknown index $n")
+    }),
+    Some("""SELECT idx AS _index, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM (SELECT 'docs_en' AS idx, n_chars FROM documents WHERE lang = 'en'
+      |      UNION ALL
+      |      SELECT 'docs_rest', n_chars FROM documents WHERE lang <> 'en')
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** ES|QL ENRICH with a RANGE-typed policy — ES's second enrich policy
     * type (`range`: the match field falls inside a dim row's interval —
     * IP blocks, SLA tiers, price bands). The catalog shapes the policy
@@ -1972,7 +1995,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
-    esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, renderTemplateOp,
+    esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,

@@ -456,6 +456,19 @@ class EsqlSpec extends SparkSpec {
       Seq(Sample(BigDecimal("0.05"), Some("event_id"))))
   }
 
+  test("METADATA _index tags each multi-index row with its source; others rejected") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, "y")).toDF("id", "v")
+    val got = EsqlParser.run(
+      "FROM a, b METADATA _index | SORT id | KEEP id, _index",
+      { case "a" => a; case "b" => b }).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(intercept[ParseError](EsqlParser.run(
+      "FROM a METADATA _id", { case "a" => a })).getMessage.contains("_id"))
+  }
+
   test("ENRICH with a range-typed policy joins value-in-[lo,hi) and overwrites clashes") {
     import spark.implicits._
     val dim = Seq((0L, 10L, "low"), (10L, 100L, "high"))
