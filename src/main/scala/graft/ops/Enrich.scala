@@ -387,12 +387,13 @@ object Enrich {
     * within ±69.5°, so ES's ±85.05° mercator clamp never engages. One
     * codegen pass over the enriched stream, |tiles|-bounded shuffle. */
   private val tileZoom = 3
-  private val tileXy: String = {
-    val n = 1 << tileZoom
+  private def tileXyAt(z: Int): String = {
+    val n = 1 << z
     val x = s"CAST(floor((geo_lon + 180) / 360 * $n) AS BIGINT)"
     val y = s"CAST(floor((1 - ln(tan(geo_lat * pi() / 180) + 1 / cos(geo_lat * pi() / 180)) / pi()) / 2 * $n) AS BIGINT)"
-    s"concat('$tileZoom/', $x, '/', $y)"
+    s"concat('$z/', $x, '/', $y)"
   }
+  private val tileXy: String = tileXyAt(tileZoom)
   val geotileGridOp = QueryDef(
     "ns_agg_geotile_grid",
     (s, dir) => geoEnrichedFacts(s, dir)
@@ -405,6 +406,41 @@ object Enrich {
          |  count(DISTINCT geo_country) AS nd_countries
          |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
          |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |GROUP BY 1""".stripMargin)))
+
+  /** The `_mvt` vector-tile endpoint (Kibana Maps calls it per map
+    * tile): given a requested (z, x, y) tile, return a sub-grid
+    * aggregation of the points inside it — per-cell doc_count plus the
+    * cell centroid (ES's default grid_agg=geotile + centroid metric).
+    * Membership uses the tile formula itself at the requested zoom
+    * (exact equality — no floating bbox-boundary ambiguity), and the
+    * requested tile prunes the geo DIMENSION before it broadcasts
+    * (the ns_geo_polygon discipline), so off-tile IP blocks never
+    * enter the join. Sub-cells at z+3 = the 8×8 grid ES renders per
+    * tile; centroids ride the exact ×2-long sums (the geo_centroid
+    * discipline). */
+  private val mvtTile = "2/2/1" // lon [0,90), lat (0, 66.51]
+  val mvtOp = QueryDef(
+    "ns_search_mvt",
+    (s, dir) => geoEnrichedFacts(s, dir,
+        dimPrune = Some(expr(s"${tileXyAt(2)} = '$mvtTile'")))
+      .withColumn("cell", expr(tileXyAt(5)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("doc_count"),
+        sum((col("geo_lat") * 2).cast("long")).as("slat2"),
+        sum((col("geo_lon") * 2).cast("long")).as("slon2"))
+      .select(col("cell"), col("doc_count"),
+        round(col("slat2").cast("double") / 2 / col("doc_count"), 6).as("centroid_lat"),
+        round(col("slon2").cast("double") / 2 / col("doc_count"), 6).as("centroid_lon")),
+    Some(Synth.withAccessLog(
+      s"""SELECT ${tileXyAt(5)} AS cell, count(*) AS doc_count,
+         |  round(CAST(CAST(sum(CAST(geo_lat * 2 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 2 / count(*), 6) AS centroid_lat,
+         |  round(CAST(CAST(sum(CAST(geo_lon * 2 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 2 / count(*), 6) AS centroid_lon
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |WHERE ${tileXyAt(2)} = '$mvtTile'
          |GROUP BY 1""".stripMargin)))
 
   /** P13: painless TLS-version script (axway-ingest.json:130–135). */
@@ -1117,7 +1153,7 @@ object Enrich {
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geoPolygonOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
-    geohexGridOp, geoShapeOp, tlsVersionOp,
+    geohexGridOp, geoShapeOp, mvtOp, tlsVersionOp,
     csvOp, kvOp, urldecodeOp, userAgentOp, registeredDomainOp, bytesOp,
     fingerprintOp,
     dropNullFieldsOp, ingestPipelineOp)

@@ -153,6 +153,42 @@ class ParserLawsSpec extends AnyFunSuite {
     check[E.Expr](sizedE(4), render, parseWhere)
   }
 
+  test("esql: span literals and source heads (FROM/METADATA/TS) round-trip") {
+    import graft.ops.{EsqlParser => E}
+    // DATE_TRUNC's span literal: any (n, unit) round-trips, singular or
+    // plural surface form, always parsing to the singular AST
+    val spanG: Gen[E.Expr] = for {
+      n <- Gen.chooseNum(1L, 999L)
+      u <- Gen.oneOf(E.spanUnits.toSeq)
+    } yield E.Func("DATE_TRUNC", Seq(E.SpanLit(n, u), E.Ident("t")))
+    def renderSpan(e: E.Expr): String = e match {
+      case E.Func(_, Seq(E.SpanLit(n, u), E.Ident(c))) =>
+        val plural = if (n > 1) "s" else ""
+        s"DATE_TRUNC($n $u$plural, $c)"
+      case other => fail(s"unexpected $other")
+    }
+    def parseWhere(text: String): E.Expr =
+      E.parse(s"FROM t | WHERE $text").collect { case E.Where(e) => e }.head
+    check[E.Expr](spanG, renderSpan, parseWhere)
+    // source heads: table lists with/without METADATA, and the TS mode
+    val headG: Gen[E.Cmd] = for {
+      ts <- Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("idx_a", "idx_b", "events")))
+      kind <- Gen.oneOf("from", "meta", "ts")
+    } yield kind match {
+      case "from" => E.From(ts.distinct)
+      case "meta" => E.From(ts.distinct, Seq("_index"))
+      case "ts" => E.TsFrom(ts.distinct)
+    }
+    def renderHead(c: E.Cmd): String = c match {
+      case E.From(ts, Nil) => s"FROM ${ts.mkString(", ")}"
+      case E.From(ts, m) => s"FROM ${ts.mkString(", ")} METADATA ${m.mkString(", ")}"
+      case E.TsFrom(ts) => s"TS ${ts.mkString(", ")}"
+      case other => fail(s"unexpected $other")
+    }
+    check[E.Cmd](headG, renderHead, t => E.parse(t).head, rounds = 100)
+  }
+
   test("dissect: extraction recovers the exact values any template was rendered with") {
     import graft.ops.{EsqlParser => E}
     // literals use separator chars the (alphabetic) values can never

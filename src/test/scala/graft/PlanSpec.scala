@@ -1494,6 +1494,25 @@ class PlanSpec extends SparkSpec {
   }
   private val pitPagesForTest = 3
 
+  test("ns_search_mvt: the requested tile prunes the dim; probe side unshuffled") {
+    val p = physical("ns_search_mvt")
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected the bucketed broadcast hash join in:\n$p")
+    val join = nodes(p).collectFirst { case j: BroadcastHashJoinExec => j }.get
+    // the tile-membership filter must sit on the DIM (build) side,
+    // below the broadcast — off-tile blocks never enter the join
+    val buildFilters = nodes(join).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(buildFilters.exists(_.contains("2/")),
+      s"the requested tile must prune the dim before broadcasting:\n$p")
+    val required = nodes(join).collect {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(required.isEmpty, s"mvt join requires a probe-side shuffle:\n$p")
+  }
+
   test("ns_esql_enrich_range: the interval dim broadcasts; probe side unshuffled") {
     val p = physical("ns_esql_enrich_range")
     assert(nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
