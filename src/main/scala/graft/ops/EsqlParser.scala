@@ -129,10 +129,14 @@ object EsqlParser {
   final case class TsFrom(tables: Seq[String]) extends Cmd
   final case class Where(e: Expr) extends Cmd
   final case class Eval(assigns: Seq[(String, Expr)]) extends Cmd
-  final case class Stats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
+  // byAssigns: `BY name = expr` grouping expressions (computed before the
+  // aggregate — ES|QL's inline grouping form, e.g. BY b = BUCKET(ts, 3600000))
+  final case class Stats(aggs: Seq[(String, Agg)], by: Seq[String],
+                         byAssigns: Seq[(String, Expr)] = Nil) extends Cmd
   // INLINESTATS — STATS that does NOT collapse: the aggregates attach
   // as new columns on every row of their group (8.16)
-  final case class InlineStats(aggs: Seq[(String, Agg)], by: Seq[String]) extends Cmd
+  final case class InlineStats(aggs: Seq[(String, Agg)], by: Seq[String],
+                               byAssigns: Seq[(String, Expr)] = Nil) extends Cmd
   // (col, ascending, nullsFirst) — nullsFirst None = dialect default
   final case class Sort(keys: Seq[(String, Boolean, Option[Boolean])]) extends Cmd
   final case class Limit(n: Int) extends Cmd
@@ -390,17 +394,23 @@ object EsqlParser {
       while (peek.exists { case TSym(",", _) => true; case _ => false }) {
         i += 1; aggs += parseAgg()
       }
-      val by =
-        if (peek.exists(isKw(_, "by"))) {
-          i += 1
-          val ks = Seq.newBuilder[String]
-          ks += ident()
-          while (peek.exists { case TSym(",", _) => true; case _ => false }) {
-            i += 1; ks += ident()
+      val ks = Seq.newBuilder[String]
+      val assigns = Seq.newBuilder[(String, Expr)]
+      if (peek.exists(isKw(_, "by"))) {
+        i += 1
+        def one(): Unit = {
+          val n = ident()
+          if (peek.exists { case TSym("=", _) => true; case _ => false }) {
+            i += 1; assigns += (n -> parseExpr())
           }
-          ks.result()
-        } else Seq.empty
-      Stats(aggs.result(), by)
+          ks += n
+        }
+        one()
+        while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+          i += 1; one()
+        }
+      }
+      Stats(aggs.result(), ks.result(), assigns.result())
     }
 
     def parseCommand(): Cmd = {
@@ -416,7 +426,7 @@ object EsqlParser {
         case "STATS" => parseStats()
         case "INLINESTATS" =>
           val st = parseStats()
-          InlineStats(st.aggs, st.by)
+          InlineStats(st.aggs, st.by, st.byAssigns)
         case "SORT" =>
           val ks = Seq.newBuilder[(String, Boolean, Option[Boolean])]
           def one(): Unit = {
@@ -529,9 +539,17 @@ object EsqlParser {
       val isTs = peek.exists(isKw(_, "ts"))
       if (isTs) i += 1 else eatKw("from")
       val tables = Seq.newBuilder[String]
-      tables += ident()
+      // an index name may carry a trailing `*` wildcard (FROM logs*) —
+      // the pattern passes through verbatim; the CATALOG (resolve)
+      // expands it, exactly like ES's index-pattern resolution
+      def table(): Unit = {
+        var n = ident()
+        if (peek.exists { case TSym("*", _) => true; case _ => false }) { i += 1; n += "*" }
+        tables += n
+      }
+      table()
       while (peek.exists { case TSym(",", _) => true; case _ => false }) {
-        i += 1; tables += ident()
+        i += 1; table()
       }
       val meta = Seq.newBuilder[String]
       if (!isTs && peek.exists(isKw(_, "metadata"))) {
@@ -997,6 +1015,12 @@ object EsqlParser {
   private def compileAgg(name: String, agg: Agg): Column =
     compileAggRaw(agg).as(name)
 
+  /** Materialize `BY name = expr` grouping expressions ahead of the
+    * aggregate — ES|QL's inline grouping form, identical to an EVAL
+    * immediately before the STATS. */
+  private def applyByAssigns(df: DataFrame, as: Seq[(String, Expr)]): DataFrame =
+    as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
+
   private val overTimeFns = Set("RATE", "COUNT_OVER_TIME", "SUM_OVER_TIME",
     "MIN_OVER_TIME", "MAX_OVER_TIME", "AVG_OVER_TIME",
     "FIRST_OVER_TIME", "LAST_OVER_TIME")
@@ -1123,12 +1147,16 @@ object EsqlParser {
           throw ParseError("FROM/TS/ROW only allowed first", 0)
         case Where(e) => df.filter(compileExpr(e))
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
-        case Stats(aggs, by) if tsMode => compileTsStats(df, aggs, by)
-        case Stats(aggs, by) =>
+        case Stats(aggs, by, byAssigns) if tsMode =>
+          compileTsStats(applyByAssigns(df, byAssigns), aggs, by)
+        case Stats(aggs, by, byAssigns) =>
+          val d = applyByAssigns(df, byAssigns)
           val cols = aggs.map { case (n, a) => compileAgg(n, a) }
-          if (by.isEmpty) df.agg(cols.head, cols.tail: _*)
-          else df.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
-        case InlineStats(aggs, by) =>
+          if (by.isEmpty) d.agg(cols.head, cols.tail: _*)
+          else d.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
+        case InlineStats(aggs, byRaw, byAssigns) =>
+          val df1 = applyByAssigns(df, byAssigns)
+          val by = byRaw
           // non-collapsing stats: each aggregate rides an unordered
           // window over its group — every row keeps its columns and
           // gains the group's aggregates (count_distinct is not a
@@ -1144,11 +1172,11 @@ object EsqlParser {
             // aggregated global row, broadcast back across every row
             // (the engine's ns_agg_global discipline)
             val cols = aggs.map { case (n, a) => compileAggRaw(a).as(n) }
-            df.crossJoin(broadcast(df.agg(cols.head, cols.tail: _*)))
+            df1.crossJoin(broadcast(df1.agg(cols.head, cols.tail: _*)))
           } else {
             import org.apache.spark.sql.expressions.Window
             val w = Window.partitionBy(by.map(col): _*)
-            aggs.foldLeft(df) { case (d, (n, a)) =>
+            aggs.foldLeft(df1) { case (d, (n, a)) =>
               d.withColumn(n, compileAggRaw(a).over(w))
             }
           }

@@ -456,6 +456,29 @@ class EsqlSpec extends SparkSpec {
       Seq(Sample(BigDecimal("0.05"), Some("event_id"))))
   }
 
+  test("STATS BY name = expr: inline grouping expressions, incl. BUCKET") {
+    val got = run(
+      """FROM t | STATS c = COUNT(*), s = SUM(n) BY parity = id % 2, b = BUCKET(n, 25)
+        || SORT parity, b""".stripMargin).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 1L, 20L), (0L, 25L, 1L, 40L), (1L, 0L, 1L, 10L),
+        (1L, 25L, 1L, 30L), (1L, 50L, 1L, 50L)))
+    // INLINESTATS accepts the same form, non-collapsing
+    val inl = run(
+      "FROM t | INLINESTATS c = COUNT(*) BY parity = id % 2 | SORT id | KEEP id, parity, c")
+      .collect()
+    assert(inl.length == 5 && inl.head.getLong(2) == 3L) // id=1 odd: 3 odds
+  }
+
+  test("FROM accepts a trailing-* index pattern; the catalog expands it") {
+    import spark.implicits._
+    val got = EsqlParser.run(
+      "FROM logs* | STATS n = COUNT(*)",
+      { case "logs*" => Seq(1L, 2L, 3L).toDF("v")
+        case n => fail(s"pattern must pass through verbatim, got $n") }).collect()
+    assert(got.head.getLong(0) == 3L)
+  }
+
   test("METADATA _index tags each multi-index row with its source; others rejected") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "v")
