@@ -507,6 +507,89 @@ object AggsExt {
         round(col("sum_n").cast("double") / col("n_buckets"), 6).as("avg_n"))
   }
 
+  /** `cumulative_sum` — the running-total pipeline agg (the second most
+    * common pipeline agg after derivative): per-day counts accumulated
+    * over the bucket axis. The one unpartitioned window orders the
+    * |days|-bounded BUCKET table, never the corpus (the pipeline-agg
+    * discipline every sibling here follows). */
+  val cumulativeSumAgg: QueryDef = q(
+    "ns_agg_cumulative_sum",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT day, n,
+      |  CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+      |FROM b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+  }
+
+  /** `extended_stats_bucket` — stats_bucket plus the second-moment
+    * outputs (sum_of_squares, population variance, std deviation).
+    * Moments accumulate as EXACT longs (n and n² sums); the
+    * variance/std doubles derive once from those longs via the same
+    * formula text in both engines. */
+  val extendedStatsBucketAgg: QueryDef = q(
+    "ns_agg_extended_stats_bucket",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS sum_n,
+      |  CAST(sum(n * n) AS BIGINT) AS sum_of_squares,
+      |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_n,
+      |  round(CAST(sum(n * n) AS DOUBLE) / count(*)
+      |    - (CAST(sum(n) AS DOUBLE) / count(*)) * (CAST(sum(n) AS DOUBLE) / count(*)), 6)
+      |    AS variance,
+      |  round(sqrt(CAST(sum(n * n) AS DOUBLE) / count(*)
+      |    - (CAST(sum(n) AS DOUBLE) / count(*)) * (CAST(sum(n) AS DOUBLE) / count(*))), 6)
+      |    AS std_deviation
+      |FROM b""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), sum("n").as("sum_n"),
+        sum(col("n") * col("n")).as("sum_of_squares"))
+      .select(col("n_buckets"), col("sum_n"), col("sum_of_squares"),
+        round(col("sum_n").cast("double") / col("n_buckets"), 6).as("avg_n"),
+        round(col("sum_of_squares").cast("double") / col("n_buckets")
+          - (col("sum_n").cast("double") / col("n_buckets"))
+            * (col("sum_n").cast("double") / col("n_buckets")), 6).as("variance"),
+        round(sqrt(col("sum_of_squares").cast("double") / col("n_buckets")
+          - (col("sum_n").cast("double") / col("n_buckets"))
+            * (col("sum_n").cast("double") / col("n_buckets"))), 6).as("std_deviation"))
+  }
+
+  /** `reverse_nested` — from inside a nested bucket, jump BACK to the
+    * parent-document context and aggregate parent attributes: per
+    * nested query-param key, how many distinct PARENT requests per
+    * method. The parent columns ride the same explode row (no second
+    * scan, no join back) — reverse_nested is free when the nested
+    * explode keeps its parent columns, which is exactly how ES stores
+    * the parent pointer. */
+  val reverseNestedAgg: QueryDef = q(
+    "ns_agg_reverse_nested",
+    Synth.withAccessLog(
+      """SELECT k, method, count(DISTINCT event_id) AS nd_parents
+        |FROM (
+        |  SELECT event_id, method,
+        |    string_split(kv, '=')[1] AS k
+        |  FROM (SELECT event_id, method,
+        |      unnest(string_split(string_split(url, '?')[2], '&')) AS kv
+        |    FROM access_log))
+        |GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    Par.spread(s, Synth.accessLog(s, dir), col("event_id"))
+      .select(col("event_id"), col("method"),
+        explode(split(element_at(split(col("url"), "\\?"), 2), "&")).as("kv"))
+      .select(col("event_id"), col("method"),
+        element_at(split(col("kv"), "="), 1).as("k"))
+      .groupBy("k", "method")
+      .agg(countDistinct(col("event_id")).as("nd_parents"))
+  }
+
   /** The ES `variable_width_histogram`: buckets that follow the data's
     * natural clusters instead of a fixed interval. ES clusters online
     * per shard; the deterministic distributed equivalent is LARGEST-GAP
@@ -1271,7 +1354,8 @@ object AggsExt {
   }
 
   def entries: Seq[QueryDef] = Seq(
-    bucketNormalizeAgg, statsBucketAgg, variableWidthHistogramAgg, timeSeriesAgg,
+    bucketNormalizeAgg, statsBucketAgg, cumulativeSumAgg, extendedStatsBucketAgg,
+    reverseNestedAgg, variableWidthHistogramAgg, timeSeriesAgg,
     termsShardErrorAgg, transformPivotAgg, transformLatestAgg, downsampleAgg,
     bucketScriptAgg, bucketSelectorAgg, bucketSortAgg, serialDiffAgg, derivativeAgg,
     cumulativeCardinalityAgg, bucketCorrelationAgg,
