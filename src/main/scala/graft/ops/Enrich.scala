@@ -663,6 +663,47 @@ object Enrich {
         |           WHEN event_id % 4 = 2 THEN 'mb' ELSE 'gb' END) AS sz
         |  FROM access_log)""".stripMargin)))
 
+  /** The `html_strip` processor (the analyzer char-filter ES also
+    * exposes as an ingest step): remove script/style blocks wholesale,
+    * strip remaining tags, decode the common entities, collapse runs
+    * of whitespace. The chain is fixed regexp_replace/replace steps —
+    * one codegen pass; for a web-crawl training corpus this is the
+    * FIRST operator every document passes, so map-only matters. The
+    * synthetic input wraps each document's text in markup with an
+    * embedded script and entity so every step is exercised. */
+  val htmlStripOp = QueryDef(
+    "np_html_strip", { (s, dir) =>
+      Par.spread(s, Tables.documents(s, dir), col("doc_id"))
+        .withColumn("html",
+          concat(lit("<html><body><h1 class=\"t\">T &amp; H</h1><p>"),
+            col("text"),
+            lit("</p><script>var x = 1 &lt; 2;</script><style>p{}</style></body></html>")))
+        .withColumn("stripped",
+          regexp_replace(regexp_replace(regexp_replace(col("html"),
+            "(?s)<(script|style)[^>]*>.*?</(script|style)>", ""),
+            "<[^>]+>", " "), "\\s+", " "))
+        .withColumn("clean", trim(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("stripped"),
+            "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&quot;", "\"")))
+        .select(col("doc_id"), col("clean"),
+          length(col("html")).cast("long").as("n_html_chars"),
+          length(col("clean")).cast("long").as("n_clean_chars"))
+    },
+    Some("""SELECT doc_id, clean,
+      |  CAST(length(html) AS BIGINT) AS n_html_chars,
+      |  CAST(length(clean) AS BIGINT) AS n_clean_chars
+      |FROM (SELECT doc_id, html,
+      |    trim(replace(replace(replace(replace(
+      |      regexp_replace(regexp_replace(regexp_replace(html,
+      |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+      |        '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'),
+      |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')) AS clean
+      |  FROM (SELECT doc_id,
+      |      concat('<html><body><h1 class="t">T &amp; H</h1><p>', text,
+      |        '</p><script>var x = 1 &lt; 2;</script><style>p{}</style></body></html>')
+      |        AS html
+      |    FROM documents))""".stripMargin))
+
   /** The `fingerprint` processor: a stable content hash over the
     * declared field list (sorted field order, `|` separator, md5 — the
     * processor's defaults), the dedup/idempotency key every reindex
@@ -1155,6 +1196,6 @@ object Enrich {
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
     geohexGridOp, geoShapeOp, mvtOp, tlsVersionOp,
     csvOp, kvOp, urldecodeOp, userAgentOp, registeredDomainOp, bytesOp,
-    fingerprintOp,
+    htmlStripOp, fingerprintOp,
     dropNullFieldsOp, ingestPipelineOp)
 }
