@@ -953,6 +953,40 @@ object TextOps {
            |FROM g WHERE w1 = '$spanLead' AND list_contains(win, '$spanLast')
            |GROUP BY 1""".stripMargin))
 
+  /** The `span_multi` query — the span wrapper over a MULTI-TERM leaf
+    * (prefix/wildcard/fuzzy inside positional context; ES docs' own
+    * example is a prefix): here, `spanLead` followed within the slop
+    * window by ANY token matching the prefix. Same one-pass positional
+    * discipline as span_near; the window's prefix test is an UNROLLED
+    * slop+1-term codegen OR (element_at + startsWith), never an
+    * exists() HOF — the variable_width_histogram fallback lesson. */
+  private val spanMultiPrefix = "win"
+  val spanMultiOp = QueryDef(
+    "ns_search_span_multi", {
+      (s, dir) =>
+        val windowHit = (1 to spanSlop + 1).map(k =>
+          coalesce(try_element_at(col("t"), (col("i") + k).cast("int")), lit(""))
+            .startsWith(spanMultiPrefix)).reduce(_ || _)
+        Par.spread(s, docs(s, dir), col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 2,
+              sequence(lit(1), size(col("t")) - 1))).as("i"),
+            col("t"))
+          .filter(coalesce(element_at(col("t"), col("i")), lit("")) === spanLead &&
+            windowHit)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, t[i] AS w1, t[i + 1 : i + ${spanSlop + 1}] AS win
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+           |        FROM t WHERE len(t) >= 2))
+           |SELECT doc_id, count(*) AS n_hits
+           |FROM g WHERE w1 = '$spanLead'
+           |  AND len(list_filter(win, x -> x LIKE '$spanMultiPrefix%')) > 0
+           |GROUP BY 1""".stripMargin))
+
   /** The `span_containing` query — the first of the two span-nesting
     * relations: match BIG spans (span_near lead→last, minimal form —
     * the shortest window reaching `last`, which is Lucene's span) that
@@ -3224,7 +3258,7 @@ object TextOps {
     dedupSubstringOp,
     textStatsOp, tokenCountOp, langIdOp, qualityScoreOp, entropyOp, fingerprintOp,
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
-    spanNearOp, spanOrOp, spanNotOp, spanContainingOp, spanWithinOp,
+    spanNearOp, spanOrOp, spanNotOp, spanContainingOp, spanWithinOp, spanMultiOp,
     rankEvalOp, collapseOp, significantTermsOp, bm25Op,
     topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
     phraseSuggestOp, completionSuggestOp, completionFuzzyOp, explainOp, rareTermsOp,
