@@ -1346,8 +1346,137 @@ object VectorSearch {
             |  round(hybrid_score, 6) AS hybrid_score
             |FROM f ORDER BY hybrid_score DESC, id LIMIT 10""".stripMargin))
 
+  // ------------------------------------------------------------------- BBQ
+  /** Binary quantization (ES 9's BBQ — the new dense-vector DEFAULT):
+    * each 64-dim float vector collapses to ONE 64-bit long — a sign bit
+    * per dimension around the per-dimension corpus mean (BBQ's
+    * centered quantization), 32× smaller than the floats — and
+    * similarity becomes a popcount over XOR (one fused instruction per
+    * comparison instead of 64 FMAs). Exactness discipline: the
+    * per-dim means are integer-quantized moments (the embedding_whiten
+    * rule) and the threshold test is `micros(v) · n > Σ micros` — pure
+    * long comparisons, so both engines pack bit-identical words; bit
+    * 63 is the sign-bit literal so packing is plain long addition.
+    *
+    * Scale shape: the 64-entry moment array broadcasts back (the
+    * corpus never shuffles wide), packing is one unrolled codegen
+    * pass, queries broadcast, and top-k is the bounded aggregate.
+    * At 100 TB the packed column is the index: 8 bytes/vector scans
+    * at memory bandwidth. */
+  private def pow2(d: Int): Long = if (d == 63) Long.MinValue else 1L << d
+  private def packedEmb(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val moments = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(sum(round(col("v") * 1e6, 0).cast("long")).as("sm"),
+        count(lit(1)).as("cnt"))
+    val momentsRow = moments
+      .agg(sort_array(collect_list(struct(col("d"), col("sm")))).as("ds"),
+        max(col("cnt")).as("n"))
+      .select(expr("transform(ds, x -> x.sm)").as("sums"), col("n"))
+    val packed = (0 until dims).map { d =>
+      val bit = round(element_at(col("embedding"), d + 1) * 1e6, 0).cast("long") *
+        col("n") > element_at(col("sums"), d + 1)
+      when(bit, lit(pow2(d))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embPar(s, dir).crossJoin(broadcast(momentsRow))
+      .select(col("vec_id"), packed.as("packed"))
+  }
+  private val bbqOracleCtes: String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+       |    generate_subscripts(embedding, 1) AS d FROM embeddings),
+       |m AS (SELECT d, CAST(sum(CAST(round(v*1000000, 0) AS BIGINT)) AS BIGINT) AS sm,
+       |    count(*) AS n FROM e GROUP BY 1),
+       |pw(d, pw) AS (VALUES ${(0 until 64).map(d => s"(${d + 1}, CAST(${pow2(d)} AS BIGINT))").mkString(", ")}),
+       |p AS (SELECT vec_id, CAST(sum(CASE WHEN CAST(round(v*1000000, 0) AS BIGINT) * n > sm
+       |      THEN pw ELSE 0 END) AS BIGINT) AS packed
+       |  FROM e JOIN m USING (d) JOIN pw USING (d) GROUP BY 1)""".stripMargin
+  val bbqOp = QueryDef(
+    "ns_similarity_bbq", {
+      (s, dir) =>
+        val p = packedEmb(s, dir)
+        val q = p.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("packed").as("q_packed"))
+        val scored = p.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (lit(64) - bit_count(col("packed").bitwiseXOR(col("q_packed"))))
+              .cast("double").as("cos_r"))
+        topkPerGroup(scored, Seq("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            col("cos_r").cast("long").as("matching_bits"), col("rank"))
+    },
+    Some(s"""$bbqOracleCtes,
+            |q AS (SELECT vec_id AS q_id, packed AS q_packed FROM p WHERE vec_id < $nQueries),
+            |c AS (SELECT q_id, p.vec_id,
+            |    64 - bit_count(xor(p.packed, q_packed)) AS matching_bits
+            |  FROM p, q WHERE p.vec_id <> q.q_id)
+            |SELECT q_id, vec_id, CAST(matching_bits AS BIGINT) AS matching_bits, rank FROM (
+            |  SELECT q_id, vec_id, matching_bits,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY matching_bits DESC, vec_id) AS rank
+            |  FROM c)
+            |WHERE rank <= $topK""".stripMargin))
+
+  /** BBQ + rescore — how ES actually serves BBQ: the binary index
+    * OVERSAMPLES (8× here), then the float vectors rerank the short
+    * candidate page exactly. The exact pass touches only |queries|×4k
+    * candidate pairs — the floats are fetched for the page, never
+    * scanned — which is the rescore_vector contract ES documents. */
+  // the recall knob: hamming keeps only octant information, so the
+  // exact rescore needs a deeper page on weakly-clustered corpora
+  // (RecallSpec pins the floor; 4× measured 0.44 there, 8× clears 0.5)
+  private val bbqOversample = 8
+  val bbqRerankOp = QueryDef(
+    "ns_similarity_bbq_rerank", {
+      (s, dir) =>
+        val p = packedEmb(s, dir)
+        val q = p.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("packed").as("q_packed"))
+        val page = p.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (lit(64) - bit_count(col("packed").bitwiseXOR(col("q_packed"))))
+              .cast("double").as("cos_r"))
+        val candidates = page
+          .groupBy("q_id")
+          .agg(graft.expr.VecFunctions.topk_by_score(
+            col("vec_id"), col("cos_r"), topK * bbqOversample).as("top"))
+          .select(col("q_id"), explode(col("top")).as("c"))
+          .select(col("q_id"), col("c.id").as("vec_id"))
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val rescored = candidates
+          .join(broadcast(qv), "q_id")
+          .join(emb, "vec_id")
+          .select(col("q_id"), col("vec_id"),
+            round(vec_cosine(col("embedding"), col("q_emb")), 6).as("cos_r"))
+        topkPerGroup(rescored, Seq("q_id"))
+    },
+    Some(s"""$bbqOracleCtes,
+            |q AS (SELECT vec_id AS q_id, packed AS q_packed FROM p WHERE vec_id < $nQueries),
+            |c AS (SELECT q_id, p.vec_id,
+            |    64 - bit_count(xor(p.packed, q_packed)) AS mb
+            |  FROM p, q WHERE p.vec_id <> q.q_id),
+            |page AS (SELECT q_id, vec_id FROM (
+            |  SELECT q_id, vec_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY mb DESC, vec_id) AS rk
+            |  FROM c) WHERE rk <= ${topK * bbqOversample}),
+            |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
+            |  WHERE vec_id < $nQueries),
+            |r AS (SELECT page.q_id, page.vec_id,
+            |    round(list_cosine_similarity(e.embedding::DOUBLE[], q_emb), 6) AS cos_r
+            |  FROM page JOIN qv USING (q_id) JOIN embeddings e ON e.vec_id = page.vec_id)
+            |SELECT q_id, vec_id, cos_r, rank FROM (
+            |  SELECT q_id, vec_id, cos_r,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+            |  FROM r)
+            |WHERE rank <= $topK""".stripMargin))
+
   def entries: Seq[QueryDef] = Seq(
     knnOp, knnFilteredOp, knnThresholdOp, ivfOp, pqOp, pqRerankOp, ivfpqOp,
+    bbqOp, bbqRerankOp,
     ivfpqRerankOp, mrlOp, rrfOp, hybridOp,
     dedupEmbeddingOp,
     multimodalProjectOp, multimodalDecodeOp,

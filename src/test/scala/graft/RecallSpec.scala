@@ -69,6 +69,22 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.15, f"ivf recall $r%.3f below the structural sanity bound")
   }
 
+  test("bbq 8x-oversampled rescore keeps recall@5 ≥ 0.5 on the real corpus") {
+    // one sign bit per dimension (centered on the per-dim corpus mean)
+    // keeps only direction octant information — on the near-uniform
+    // corpus a 40-candidate hamming page still recovers over half the
+    // true top-5 after exact rescoring; the floor catches packing or
+    // rescore breakage (a random page scores ~0.04 here)
+    val knn = SparkEntry.queries("ns_similarity_knn")(spark, sfDir)
+      .select("q_id", "vec_id")
+    val bbq = SparkEntry.queries("ns_similarity_bbq_rerank")(spark, sfDir)
+      .select("q_id", "vec_id")
+    val total = knn.count().toDouble
+    assert(total > 0)
+    val r = bbq.join(knn, Seq("q_id", "vec_id")).count().toDouble / total
+    assert(r >= 0.5, f"bbq rerank recall $r%.3f fell below the 0.5 floor")
+  }
+
   test("mrl truncated-dim shortlist + exact rerank keeps recall@5 ≥ 0.6") {
     // unlike ivf's bucket probe, the MRL shortlist scans everything at
     // 16/64 dims — on the near-uniform corpus a 50-candidate shortlist
