@@ -1513,6 +1513,19 @@ class PlanSpec extends SparkSpec {
     assert(required.isEmpty, s"mvt join requires a probe-side shuffle:\n$p")
   }
 
+  test("ns_similarity_bbq: moment array and queries broadcast; top-k stays bounded") {
+    val p = physical("ns_similarity_bbq")
+    // packing joins the one-row moment array and the query set by
+    // BROADCAST only — the embedding corpus itself must never shuffle
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"bbq packing/scoring regressed to shuffling the corpus:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[WindowExec]),
+      s"bbq top-k regressed to a window rank:\n$p")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"bbq top-k lost the partial-aggregating bounded aggregate:\n$p")
+  }
+
   test("ns_esql_enrich_range: the interval dim broadcasts; probe side unshuffled") {
     val p = physical("ns_esql_enrich_range")
     assert(nodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
