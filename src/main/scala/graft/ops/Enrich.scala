@@ -788,6 +788,60 @@ object Enrich {
          |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
          |GROUP BY 1""".stripMargin)))
 
+  /** `cartesian_bounds` / `cartesian_centroid` — the planar twins ES
+    * serves for `point`/`shape` fields (CAD / floor-plan / game-world
+    * coordinates: no wrap-around, no mercator). The planar x/y derive
+    * from the same enrichment dimension under a distinct mapping with
+    * .25 offsets, so QUADRUPLED coordinates are exact longs — the
+    * geo_centroid ×2 discipline at ×4. One map-side-combined pass per
+    * agg, ≤ |groups| rows shuffled. */
+  private val cartXy =
+    Seq("cart_x" -> "CAST(((as_number - 64512) * 13) % 2000 - 1000 + 0.25 AS DOUBLE)",
+      "cart_y" -> "CAST(((as_number - 64512) * 17) % 1200 - 600 + 0.25 AS DOUBLE)")
+  private val cartXySql =
+    """(SELECT n_nationkey * 41943 AS ip_start, n_nationkey * 41943 + 41942 AS ip_end,
+      |    CAST((n_nationkey * 13) % 2000 - 1000 + 0.25 AS DOUBLE) AS cart_x,
+      |    CAST((n_nationkey * 17) % 1200 - 600 + 0.25 AS DOUBLE) AS cart_y
+      |  FROM nation)""".stripMargin
+  private def cartFacts(s: SparkSession, dir: String): DataFrame =
+    cartXy.foldLeft(geoEnrichedFacts(s, dir)) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e)) }
+  val cartesianBoundsOp = QueryDef(
+    "ns_agg_cartesian_bounds",
+    (s, dir) => cartFacts(s, dir)
+      .groupBy(expr(geoSextant).as("sextant"))
+      .agg(count(lit(1)).as("doc_count"),
+        min(col("cart_x")).as("x_min"), max(col("cart_x")).as("x_max"),
+        min(col("cart_y")).as("y_min"), max(col("cart_y")).as("y_max")),
+    Some(Synth.withAccessLog(
+      s"""SELECT $geoSextant AS sextant, count(*) AS doc_count,
+         |  min(cart_x) AS x_min, max(cart_x) AS x_max,
+         |  min(cart_y) AS y_min, max(cart_y) AS y_max
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |JOIN $cartXySql c ON c.ip_start = g.ip_start AND c.ip_end = g.ip_end
+         |GROUP BY 1""".stripMargin)))
+  val cartesianCentroidOp = QueryDef(
+    "ns_agg_cartesian_centroid",
+    (s, dir) => cartFacts(s, dir)
+      .groupBy(expr(geoSextant).as("sextant"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum((col("cart_x") * 4).cast("long")).as("sx4"),
+        sum((col("cart_y") * 4).cast("long")).as("sy4"))
+      .select(col("sextant"), col("doc_count"),
+        round(col("sx4").cast("double") / 4 / col("doc_count"), 6).as("centroid_x"),
+        round(col("sy4").cast("double") / 4 / col("doc_count"), 6).as("centroid_y")),
+    Some(Synth.withAccessLog(
+      s"""SELECT $geoSextant AS sextant, count(*) AS doc_count,
+         |  round(CAST(CAST(sum(CAST(cart_x * 4 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 4 / count(*), 6) AS centroid_x,
+         |  round(CAST(CAST(sum(CAST(cart_y * 4 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 4 / count(*), 6) AS centroid_y
+         |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
+         |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
+         |JOIN $cartXySql c ON c.ip_start = g.ip_start AND c.ip_end = g.ip_end
+         |GROUP BY 1""".stripMargin)))
+
   /** The `geo_centroid` aggregation: the arithmetic mean point per
     * bucket. Points are .5-offset degrees, so DOUBLED coordinates are
     * exact integers — Σ(2·lat) accumulates as a long and the centroid
@@ -1193,6 +1247,7 @@ object Enrich {
     routeOp, grokOp, uriPartsOp, setIfNullOp, fieldOpsOp, outcomeOp,
     ipOrDomainOp, dateParseOp, geoipOp, geoipBucketedOp, geoDistanceOp,
     geoBoundingBoxOp, geoPolygonOp, geotileGridOp, geoBoundsOp, geoCentroidOp,
+    cartesianBoundsOp, cartesianCentroidOp,
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
     geohexGridOp, geoShapeOp, mvtOp, tlsVersionOp,
     csvOp, kvOp, urldecodeOp, userAgentOp, registeredDomainOp, bytesOp,
