@@ -170,6 +170,14 @@ object EsqlParser {
   // shared id: per-branch rank from the RANK column (desc, id ties),
   // fused score = Σ round(1e6/(60+rank)) in exact micros
   final case class Fuse(id: String, rank: String) extends Cmd
+  /** `RERANK "query" ON field [WITH ident]` — 9.x's reranking command.
+    * In ES the WITH names an inference endpoint; here it names a
+    * reranker the CALLER registers (the ENRICH-policies pattern — the
+    * catalog owns model resolution). Omitted WITH = the default
+    * reranker. Compiles to one added `_score` column; ordering is the
+    * caller's next SORT, as in ES. */
+  final case class Rerank(query: String, field: String,
+                          reranker: Option[String]) extends Cmd
 
   final case class ParseError(msg: String, pos: Int)
     extends IllegalArgumentException(s"esql parse error at $pos: $msg")
@@ -523,6 +531,12 @@ object EsqlParser {
         case "FUSE" =>
           eatKw("on"); val id = ident(); eatKw("rank"); val r = ident()
           Fuse(id, r)
+        case "RERANK" =>
+          val q = string("RERANK")
+          eatKw("on")
+          val f = ident()
+          val rk = if (peek.exists(isKw(_, "with"))) { i += 1; Some(ident()) } else None
+          Rerank(q, f, rk)
         case other => throw ParseError(s"unknown command $other", pos)
       }
     }
@@ -1015,6 +1029,26 @@ object EsqlParser {
   private def compileAgg(name: String, agg: Agg): Column =
     compileAggRaw(agg).as(name)
 
+  /** The engine's own `lexical` reranker — an EXACT cross-scorer:
+    * per query term, capped term frequency (min(tf, 3) — BM25's
+    * saturation idea with an exact integer cap) summed over terms.
+    * tf counts occurrences in a bar-encoded token string
+    * (`|tok||tok|`), where every token carries its OWN delimiters so
+    * adjacent repeats count correctly and the whole scorer is plain
+    * length/replace arithmetic — one codegen pass, no HOF, no
+    * explode. A registered inference endpoint would slot in through
+    * the same RERANK seam. */
+  private[graft] def lexicalRerankScore(query: String, field: Column): Column = {
+    val bar = concat(lit("|"), regexp_replace(trim(field), " ", "||"), lit("|"))
+    val terms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    terms.map { t =>
+      val needle = s"|$t|"
+      val tf = (length(bar) - length(replace(bar, lit(needle), lit("")))) /
+        lit(needle.length)
+      least(tf.cast("long"), lit(3L))
+    }.reduce(_ + _)
+  }
+
   /** Materialize `BY name = expr` grouping expressions ahead of the
     * aggregate — ES|QL's inline grouping form, identical to an EVAL
     * immediately before the STATS. */
@@ -1296,6 +1330,13 @@ object EsqlParser {
             .agg(sum(round(lit(1000000.0) / (lit(60.0) + col("__fuse_rank")), 0).cast("long"))
               .as("_score_c"),
               count(lit(1)).as("n_legs"))
+        case Rerank(q, f, rk) =>
+          rk.getOrElse("lexical") match {
+            case "lexical" => ()
+            case other => throw ParseError(
+              s"unknown reranker $other (the catalog registers inference endpoints)", 0)
+          }
+          df.withColumn("_score", lexicalRerankScore(q, col(f)))
         case ChangePoint(v, k, tn, pn) => compileChangePoint(df, v, k, tn, pn)
         case Sample(p, on) =>
           // deterministic inverse of the probability on a 1e6 grid —

@@ -1866,6 +1866,43 @@ object SearchExt {
       |  CAST(sum(n_samp) AS BIGINT) AS n
       |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** ES|QL `RERANK` — 9.x's reranking command. In ES the WITH clause
+    * names an inference endpoint; the engine compiles the COMMAND and
+    * routes scoring through the same catalog seam as ENRICH policies —
+    * the shipped `lexical` reranker is the engine's own exact
+    * cross-scorer (capped-tf sum, BM25's saturation idea as integer
+    * arithmetic; see EsqlParser.lexicalRerankScore), not an imitation
+    * of a model. The command adds `_score` to the LIMIT-bounded page
+    * it receives — reranking never touches the corpus beyond the
+    * retrieval page, which is the entire point of the two-stage
+    * shape. */
+  private[graft] val esqlRerankQuery =
+    """FROM documents
+      || WHERE MATCH(text, "spark data")
+      || SORT n_chars DESC, doc_id
+      || LIMIT 40
+      || RERANK "spark data pipeline" ON text
+      || SORT _score DESC, doc_id
+      || KEEP doc_id, _score
+      || LIMIT 15""".stripMargin
+  val esqlRerankOp = QueryDef(
+    "ns_esql_rerank",
+    (s, dir) => EsqlParser.run(esqlRerankQuery, _ => docs(s, dir)),
+    Some("""WITH page AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE list_has_any(string_split(trim(text), ' '), ['spark', 'data'])
+      |  ORDER BY n_chars DESC, doc_id LIMIT 40),
+      |s AS (SELECT doc_id,
+      |    concat('|', replace(trim(text), ' ', '||'), '|') AS bar FROM page),
+      |sc AS (SELECT doc_id,
+      |    least((length(bar) - length(replace(bar, '|spark|', ''))) // 7, 3)
+      |    + least((length(bar) - length(replace(bar, '|data|', ''))) // 6, 3)
+      |    + least((length(bar) - length(replace(bar, '|pipeline|', ''))) // 10, 3)
+      |      AS _score
+      |  FROM s)
+      |SELECT doc_id, CAST(_score AS BIGINT) AS _score
+      |FROM sc ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin))
+
   /** ES|QL `METADATA _index` — the multi-index disambiguator: each row
     * of a `FROM a, b` union carries its source index name, so the
     * pipeline can group or filter by provenance. The column is a
@@ -1995,7 +2032,8 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
-    esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, renderTemplateOp,
+    esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
+    renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
