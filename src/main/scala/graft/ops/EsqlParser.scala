@@ -759,6 +759,12 @@ object EsqlParser {
       // dependence). DATE_DIFF truncates toward zero like ES. NOW() is
       // deliberately absent: a wall-clock read is nondeterministic and
       // the engine's results must replay byte-equal.
+      // CATEGORIZE — 9.x's log-template grouping function (STATS … BY
+      // cat = CATEGORIZE(message)): the ns_agg_categorize_text
+      // normalization (digit runs collapse to `?`) as a grouping
+      // expression — one codegen regexp pass per row.
+      case ("CATEGORIZE", Seq(x)) =>
+        regexp_replace(compileExpr(x), "[0-9]+", "?")
       case ("DATE_TRUNC", Seq(SpanLit(n, u), x)) =>
         val fixedMicros = Map("millisecond" -> 1000L, "second" -> 1000000L,
           "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)

@@ -1866,6 +1866,30 @@ object SearchExt {
       |  CAST(sum(n_samp) AS BIGINT) AS n
       |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** ES|QL `CATEGORIZE` — 9.x's log-template grouping function, the
+    * observability flagship (`STATS n BY cat = CATEGORIZE(message)`).
+    * Compiles to the ns_agg_categorize_text normalization as an inline
+    * grouping expression — reachable from the language via the r13
+    * `BY name = expr` form, one codegen regexp pass per row, and
+    * Catalyst partial-aggregates the templates map-side exactly like
+    * any other STATS. */
+  private[graft] val esqlCategorizeQuery =
+    """FROM access_log
+      || EVAL line = CONCAT(method, " ", url)
+      || STATS n = COUNT(*), n_get = COUNT(*) WHERE method == "GET"
+      |    BY cat = CATEGORIZE(line)
+      || SORT n DESC, cat
+      || LIMIT 20""".stripMargin
+  val esqlCategorizeOp = QueryDef(
+    "ns_esql_categorize",
+    (s, dir) => EsqlParser.run(esqlCategorizeQuery, _ => Synth.accessLog(s, dir)),
+    Some(Synth.withAccessLog(
+      """SELECT regexp_replace(concat(method, ' ', url), '[0-9]+', '?', 'g') AS cat,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN method = 'GET' THEN 1 ELSE 0 END) AS BIGINT) AS n_get
+        |FROM access_log
+        |GROUP BY 1 ORDER BY n DESC, cat LIMIT 20""".stripMargin)))
+
   /** ES|QL `RERANK` — 9.x's reranking command. In ES the WITH clause
     * names an inference endpoint; the engine compiles the COMMAND and
     * routes scoring through the same catalog seam as ENRICH policies —
@@ -2033,7 +2057,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    renderTemplateOp,
+    esqlCategorizeOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
