@@ -115,6 +115,9 @@ object EsqlParser {
   // count/sum/min/max/avg/median/count_distinct, each with ES|QL 8.16's
   // optional per-aggregate `WHERE` filter
   final case class AggFn(fn: String, e: Expr, filter: Option[Expr] = None) extends Agg
+  /** `TOP(field, k, "asc"|"desc")` — the top-k-values aggregate
+    * (repeats included, multivalued result). */
+  final case class AggTop(e: Expr, k: Int, desc: Boolean) extends Agg
 
   sealed trait Cmd
   // FROM idx1[, idx2, …] [METADATA _index] — a multi-index query unions
@@ -384,6 +387,23 @@ object EsqlParser {
           case "MAX" => AggFn("max", parseExpr())
           case "AVG" => AggFn("avg", parseExpr())
           case "MEDIAN" => AggFn("median", parseExpr())
+          // VALUES: the distinct-values multivalue aggregate (sorted —
+          // deterministic where ES leaves order undefined)
+          case "VALUES" => AggFn("values", parseExpr())
+          case "TOP" =>
+            val e = parseExpr()
+            eatSym(",")
+            val k = peek match {
+              case Some(TNum(v, _)) if v.isValidInt && v > 0 => i += 1; v.toInt
+              case _ => throw ParseError("TOP expects a positive integer limit", pos)
+            }
+            eatSym(",")
+            val desc = string("TOP").toLowerCase match {
+              case "desc" => true
+              case "asc" => false
+              case o => throw ParseError(s"""TOP order must be "asc" or "desc", got $o""", pos)
+            }
+            AggTop(e, k, desc)
           case other => throw ParseError(s"unsupported aggregate $other", pos)
         }
         eatSym(")")
@@ -394,6 +414,8 @@ object EsqlParser {
           case (a, None) => a
           case (CountAll(_), f) => CountAll(f)
           case (AggFn(n, e, _), f) => AggFn(n, e, f)
+          case (AggTop(_, _, _), _) =>
+            throw ParseError("TOP does not take a WHERE filter", pos)
         }
         (name, filtered)
       }
@@ -1028,6 +1050,12 @@ object EsqlParser {
       case AggFn("max", e, f) => max(gate(compileExpr(e), f))
       case AggFn("avg", e, f) => avg(gate(compileExpr(e), f))
       case AggFn("median", e, f) => median(gate(compileExpr(e), f))
+      // VALUES: distinct values, SORTED (deterministic where ES leaves
+      // multivalue order undefined); nulls drop as in ES
+      case AggFn("values", e, f) => sort_array(collect_set(gate(compileExpr(e), f)))
+      // TOP: k values by their own ordering, repeats included
+      case AggTop(e, k, desc) =>
+        slice(sort_array(collect_list(compileExpr(e)), asc = !desc), 1, k)
       case AggFn(other, _, _) => throw ParseError(s"unsupported aggregate $other", 0)
     }
   }

@@ -1890,6 +1890,30 @@ object SearchExt {
         |FROM access_log
         |GROUP BY 1 ORDER BY n DESC, cat LIMIT 20""".stripMargin)))
 
+  /** ES|QL `VALUES` and `TOP` — the multivalue aggregates (VALUES =
+    * the group's distinct values; TOP = k values by their own
+    * ordering, repeats included). VALUES sorts where ES leaves
+    * multivalue order undefined — the deterministic refinement — and
+    * both ride the same hash aggregate as any STATS; the declared
+    * query flattens the multivalues with MV_CONCAT so the output stays
+    * scalar (the oracle contract). */
+  private[graft] val esqlValuesQuery =
+    """FROM events
+      || EVAL day = DATE_TRUNC(1 day, tsu)
+      || STATS n = COUNT(*), vals = VALUES(event_type),
+      |        top2 = TOP(event_type, 2, "desc") BY day
+      || EVAL distinct_types = MV_CONCAT(vals, ","),
+      |       top_types = MV_CONCAT(top2, ",")
+      || DROP vals, top2
+      || SORT day""".stripMargin
+  val esqlValuesOp = QueryDef(
+    "ns_esql_values",
+    (s, dir) => EsqlParser.run(esqlValuesQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS distinct_types,
+      |  array_to_string(list_sort(list(event_type), 'DESC')[1:2], ',') AS top_types
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+
   /** ES|QL `RERANK` — 9.x's reranking command. In ES the WITH clause
     * names an inference endpoint; the engine compiles the COMMAND and
     * routes scoring through the same catalog seam as ENRICH policies —
@@ -2057,7 +2081,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCategorizeOp, renderTemplateOp,
+    esqlCategorizeOp, esqlValuesOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
