@@ -118,6 +118,11 @@ object EsqlParser {
   /** `TOP(field, k, "asc"|"desc")` — the top-k-values aggregate
     * (repeats included, multivalued result). */
   final case class AggTop(e: Expr, k: Int, desc: Boolean) extends Agg
+  /** `PERCENTILE(field, p)` with p in [0, 100] — exact linear
+    * interpolation over the sorted values. */
+  final case class AggPercentile(e: Expr, p: BigDecimal) extends Agg
+  /** `WEIGHTED_AVG(value, weight)`. */
+  final case class AggWavg(v: Expr, w: Expr) extends Agg
 
   sealed trait Cmd
   // FROM idx1[, idx2, …] [METADATA _index] — a multi-index query unions
@@ -390,6 +395,17 @@ object EsqlParser {
           // VALUES: the distinct-values multivalue aggregate (sorted —
           // deterministic where ES leaves order undefined)
           case "VALUES" => AggFn("values", parseExpr())
+          case "STD_DEV" => AggFn("std_dev", parseExpr())
+          case "PERCENTILE" =>
+            val e = parseExpr()
+            eatSym(",")
+            val p = peek match {
+              case Some(TNum(v, _)) if v >= 0 && v <= 100 => i += 1; v
+              case _ => throw ParseError("PERCENTILE expects p in [0, 100]", pos)
+            }
+            AggPercentile(e, p)
+          case "WEIGHTED_AVG" =>
+            val v = parseExpr(); eatSym(","); AggWavg(v, parseExpr())
           case "TOP" =>
             val e = parseExpr()
             eatSym(",")
@@ -414,8 +430,8 @@ object EsqlParser {
           case (a, None) => a
           case (CountAll(_), f) => CountAll(f)
           case (AggFn(n, e, _), f) => AggFn(n, e, f)
-          case (AggTop(_, _, _), _) =>
-            throw ParseError("TOP does not take a WHERE filter", pos)
+          case (AggTop(_, _, _), _) | (AggPercentile(_, _), _) | (AggWavg(_, _), _) =>
+            throw ParseError("this aggregate does not take a WHERE filter", pos)
         }
         (name, filtered)
       }
@@ -1056,6 +1072,14 @@ object EsqlParser {
       // TOP: k values by their own ordering, repeats included
       case AggTop(e, k, desc) =>
         slice(sort_array(collect_list(compileExpr(e)), asc = !desc), 1, k)
+      // exact sort-based percentile, linear interpolation (the dialect's
+      // contract; the engine's mergeable sketch twin is the declared
+      // at-scale path — ns_agg_percentile_approx)
+      case AggPercentile(e, p) =>
+        percentile(compileExpr(e), lit(p.toDouble / 100))
+      case AggFn("std_dev", e, f) => stddev_pop(gate(compileExpr(e), f))
+      case AggWavg(v, w) =>
+        sum(compileExpr(v) * compileExpr(w)).cast("double") / sum(compileExpr(w))
       case AggFn(other, _, _) => throw ParseError(s"unsupported aggregate $other", 0)
     }
   }

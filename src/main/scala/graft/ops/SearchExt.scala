@@ -1914,6 +1914,32 @@ object SearchExt {
       |  array_to_string(list_sort(list(event_type), 'DESC')[1:2], ',') AS top_types
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** ES|QL metric-aggregate residue: PERCENTILE (exact linear
+    * interpolation — the dialect contract; the engine's mergeable
+    * sketch twin remains the declared at-scale path), STD_DEV
+    * (population), WEIGHTED_AVG. Inputs are exact cents longs; the
+    * doubles derive once and round through the language's own ROUND,
+    * the identical-formula determinism rule. */
+  private[graft] val esqlStatsAggsQuery =
+    """FROM events
+      || EVAL c = TO_LONG(ROUND(value * 100, 0)), w = event_id % 7 + 1
+      || STATS p50 = PERCENTILE(c, 50), p95 = PERCENTILE(c, 95),
+      |        sd = STD_DEV(c), wa = WEIGHTED_AVG(c, w) BY event_type
+      || EVAL p50 = ROUND(p50, 4), p95 = ROUND(p95, 4),
+      |       sd = ROUND(sd, 4), wa = ROUND(wa, 4)
+      || SORT event_type""".stripMargin
+  val esqlStatsAggsOp = QueryDef(
+    "ns_esql_stats_aggs",
+    (s, dir) => EsqlParser.run(esqlStatsAggsQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_type,
+      |  round(quantile_cont(c, 0.5), 4) AS p50,
+      |  round(quantile_cont(c, 0.95), 4) AS p95,
+      |  round(stddev_pop(c), 4) AS sd,
+      |  round(CAST(sum(c * w) AS DOUBLE) / sum(w), 4) AS wa
+      |FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |    event_id % 7 + 1 AS w FROM events)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   /** ES|QL `RERANK` — 9.x's reranking command. In ES the WITH clause
     * names an inference endpoint; the engine compiles the COMMAND and
     * routes scoring through the same catalog seam as ENRICH policies —
@@ -2081,7 +2107,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCategorizeOp, esqlValuesOp, renderTemplateOp,
+    esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
     watcherThrottleOp, fieldCapsOp,
