@@ -39,7 +39,7 @@ object Verify {
       .foreach { case (name, fn) =>
       rmRec(new java.io.File(s"$outDir/$name"))
       rmRec(new java.io.File(s"$outDir/$name.err"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")  // output-dump: per-query verification result at small SF
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${e.getMessage}"

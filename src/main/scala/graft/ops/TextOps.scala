@@ -764,7 +764,7 @@ object TextOps {
         Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("lang"), explode(split(trim(col("text")), " ")).as("tok"))
           .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: (lang, tok) vocabulary cardinality
           .write.mode("overwrite").parquet(path)
     }
 
@@ -1383,7 +1383,7 @@ object TextOps {
           .select(size(split(trim(col("text")), " ")).cast("long").as("dl"))
           .agg(count(lit(1)).as("n_docs"),
             (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: one-row corpus stats
           .write.mode("overwrite").parquet(path)
     }
 
@@ -1552,7 +1552,7 @@ object TextOps {
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
           .distinct()
           .groupBy("tok").agg(count(lit(1)).as("df"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: term-dictionary cardinality
           .write.mode("overwrite").parquet(path)
     }
 
@@ -1715,7 +1715,7 @@ object TextOps {
         mmFields(s, dir).groupBy("fld")
           .agg(count(lit(1)).as("n_docs"),
             (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: one row per field
           .write.mode("overwrite").parquet(path)
     }
 
@@ -1838,7 +1838,7 @@ object TextOps {
         Par.spread(s, docs(s, dir), col("doc_id"))
           .select(explode(split(trim(col("text")), " ")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cnt"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: token-vocabulary cardinality
           .write.mode("overwrite").parquet(path)
     }
 
@@ -1898,7 +1898,7 @@ object TextOps {
             .as("b"))
           .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
           .agg(count(lit(1)).as("bc"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: bigram-vocabulary cardinality
           .write.mode("overwrite").parquet(path)
     }
 
@@ -2740,7 +2740,7 @@ object TextOps {
   private def langCountDim(s: SparkSession, dir: String): DataFrame =
     Artifacts.buildOnce(s, s"$dir/documents.parquet", "lang_counts") { path =>
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("cnt"))
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .coalesce(1).write.mode("overwrite").parquet(path)  // dim-bounded: one row per language
     }
 
   /** Mixture rebalancing — the multilingual-corpus sampling step
@@ -3194,7 +3194,7 @@ object TextOps {
           .filter(col("lang") === "en")
           .select(explode(split(trim(col("text")), " ")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("ct"))
-          .coalesce(1)
+          .coalesce(1)  // dim-bounded: token-vocabulary cardinality
           .write.mode("overwrite").parquet(path)
     }
   private val dsirK = 50

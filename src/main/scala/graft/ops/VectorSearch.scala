@@ -187,7 +187,7 @@ object VectorSearch {
         .agg(round(avg(col("col").cast("double")), 6).as("cv"))
         .groupBy("label")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cvec"))
-        .coalesce(1)
+        .coalesce(1)  // dim-bounded: one row per label (centroid dim)
         .write.mode("overwrite").parquet(path)
     }
 
@@ -717,7 +717,7 @@ object VectorSearch {
       val finalCents = (1 to kmIters).foldLeft(seeds) { (cents, _) =>
         kmUpdate(kmAssign(corpus, cents))
       }
-      finalCents.coalesce(1).write.mode("overwrite").parquet(path)
+      finalCents.coalesce(1).write.mode("overwrite").parquet(path)  // dim-bounded: k-row centroid table
     }
 
   /** The shared oracle CTE chain: quantize → seed → kmIters unrolled
@@ -800,7 +800,7 @@ object VectorSearch {
         .groupBy("sub", "cid")
         .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'cq', cq))), x -> x.cq)")
           .as("cq"))
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .coalesce(1).write.mode("overwrite").parquet(path)  // dim-bounded: sub x cid codebook
     }
 
   /** PQ ANN with asymmetric distance computation (ADC): encode the
@@ -1387,9 +1387,12 @@ object VectorSearch {
           col("n") > element_at(col("sums"), d + 1)
         when(bit, lit(pow2(d))).otherwise(lit(0L))
       }.reduce(_ + _)
+      // Corpus-cardinality artifact (one row per vector): write with the
+      // scan's natural parallelism, like ivfIndex's partitioned build —
+      // never a single-task funnel. Only vocabulary/codebook-bounded
+      // artifacts (centroids, dictionaries) may coalesce(1).
       embPar(s, dir).crossJoin(broadcast(momentsRow))
         .select(col("vec_id"), packed.as("packed"))
-        .coalesce(1)
         .write.mode("overwrite").parquet(path)
     }
   private val bbqOracleCtes: String =

@@ -165,7 +165,7 @@ object DedupStream {
           metrics.fold(results)(m => results.observe(m.dedupResultsMetric,
               coalesce(sum(when(col("is_unique"), 1L).otherwise(0L)), lit(0L)).as("uniques"),
               coalesce(sum(when(col("is_unique"), 0L).otherwise(1L)), lit(0L)).as("dups")))
-            .coalesce(1)
+            .coalesce(1)  // batch-bounded: one micro-batch of results
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           val uniques = results.filter(col("is_unique")).select("doc_id")
           writeStorePartition(
@@ -201,7 +201,7 @@ object DedupStream {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (df.isEmpty) { if (fs.exists(p)) fs.delete(p, true) }
-    else observe(df).coalesce(1).write.partitionBy(bktCol).mode("overwrite").parquet(path)
+    else observe(df).coalesce(1).write.partitionBy(bktCol).mode("overwrite").parquet(path)  // batch-bounded: one micro-batch store partition
   }
 
   /** Streams started by `run`, by store dir — compact() refuses to
