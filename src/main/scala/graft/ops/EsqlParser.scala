@@ -662,11 +662,25 @@ object EsqlParser {
     (1 to 4).map(i => element_at(split(ip, "\\."), i).cast("long"))
       .reduceLeft((a, b) => a * 256L + b)
 
-  /** "a.b.c.d/p" → (network u32, prefix bits); parsed at plan time. */
+  /** "a.b.c.d/p" → (network u32, prefix bits); parsed at plan time.
+    * Validated here: an out-of-range prefix (/33) would otherwise feed a
+    * negative shift count that Java masks mod 64 and silently match
+    * wrong rows. */
   private def parseCidr(c: String): (Long, Int) = {
-    val Array(addr, p) = c.split("/")
-    val net = addr.split("\\.").map(_.toLong).reduceLeft((a, b) => a * 256L + b)
-    (net, p.toInt)
+    val parts = c.split("/")
+    if (parts.length != 2)
+      throw ParseError(s"malformed CIDR block '$c' (expected a.b.c.d/p)", 0)
+    val Array(addr, p) = parts
+    val octets = addr.split("\\.").map(o =>
+      scala.util.Try(o.toLong).getOrElse(
+        throw ParseError(s"malformed CIDR address '$addr'", 0)))
+    if (octets.length != 4 || octets.exists(o => o < 0 || o > 255))
+      throw ParseError(s"CIDR octets out of range in '$addr'", 0)
+    val bits = scala.util.Try(p.toInt).getOrElse(
+      throw ParseError(s"malformed CIDR prefix '/$p'", 0))
+    if (bits < 0 || bits > 32)
+      throw ParseError(s"CIDR prefix /$bits out of range (0..32)", 0)
+    (octets.reduceLeft((a, b) => a * 256L + b), bits)
   }
 
   def compileExpr(e: Expr): Column = e match {
@@ -1078,8 +1092,12 @@ object EsqlParser {
       case AggPercentile(e, p) =>
         percentile(compileExpr(e), lit(p.toDouble / 100))
       case AggFn("std_dev", e, f) => stddev_pop(gate(compileExpr(e), f))
+      // ES skips documents whose VALUE is null entirely — their weight
+      // must not inflate the denominator, so gate the weight on the
+      // value's non-nullness (sum(v*w) already drops null-v rows).
       case AggWavg(v, w) =>
-        sum(compileExpr(v) * compileExpr(w)).cast("double") / sum(compileExpr(w))
+        val (cv, cw) = (compileExpr(v), compileExpr(w))
+        sum(cv * cw).cast("double") / sum(when(cv.isNotNull, cw))
       case AggFn(other, _, _) => throw ParseError(s"unsupported aggregate $other", 0)
     }
   }
@@ -1264,7 +1282,12 @@ object EsqlParser {
             // aggregated global row, broadcast back across every row
             // (the engine's ns_agg_global discipline)
             val cols = aggs.map { case (n, a) => compileAggRaw(a).as(n) }
-            df1.crossJoin(broadcast(df1.agg(cols.head, cols.tail: _*)))
+            // An aggregate named like an existing column must OVERWRITE
+            // it (the BY branch's withColumn semantics) — drop the
+            // clashing source columns before the join, like ENRICH
+            val clashes = aggs.map(_._1).filter(df1.columns.contains)
+            df1.drop(clashes: _*)
+              .crossJoin(broadcast(df1.agg(cols.head, cols.tail: _*)))
           } else {
             import org.apache.spark.sql.expressions.Window
             val w = Window.partitionBy(by.map(col): _*)
@@ -1329,11 +1352,36 @@ object EsqlParser {
               else dim.columns.filterNot(c =>
                 c == "__range_lo" || c == "__range_hi" || c == matchField).toSeq
             val dimSel = dim.select((Seq("__range_lo", "__range_hi") ++ fields).map(col): _*)
+            // ES enrich's max_matches=1 contract: overlapping policy
+            // intervals must not multiply probe rows. Disjointify the
+            // dim with a sweep over its own endpoints — each elementary
+            // segment between consecutive endpoints is won by the
+            // containing interval with the smallest (__range_lo,
+            // __range_hi, fields…), deterministically. ALL of this is
+            // dim-side work on the broadcast-small policy table (the
+            // partition-less windows are dim-bounded); the probe join
+            // stays a single-match BroadcastNestedLoopJoin, unshuffled.
+            import org.apache.spark.sql.expressions.Window
+            val segW = Window.orderBy(col("__p"))
+            val segs = dimSel
+              .select(explode(array(col("__range_lo"), col("__range_hi"))).as("__p"))
+              .distinct()
+              .withColumn("__seg_hi", lead(col("__p"), 1).over(segW))
+              .filter(col("__seg_hi").isNotNull)
+              .select(col("__p").as("__seg_lo"), col("__seg_hi"))
+            val winW = Window.partitionBy(col("__seg_lo"))
+              .orderBy((Seq("__range_lo", "__range_hi") ++ fields).map(col): _*)
+            val disjoint = segs.join(dimSel,
+                segs("__seg_lo") >= dimSel("__range_lo") &&
+                  segs("__seg_lo") < dimSel("__range_hi"))
+              .withColumn("__rk", row_number().over(winW))
+              .filter(col("__rk") === 1)
+              .select((Seq("__seg_lo", "__seg_hi") ++ fields).map(col): _*)
             val clash = fields.filter(f => f != on && df.columns.contains(f))
             val src = df.drop(clash: _*)
-            src.join(broadcast(dimSel),
-                src(on) >= dimSel("__range_lo") && src(on) < dimSel("__range_hi"), "left")
-              .drop("__range_lo", "__range_hi")
+            src.join(broadcast(disjoint),
+                src(on) >= disjoint("__seg_lo") && src(on) < disjoint("__seg_hi"), "left")
+              .drop("__seg_lo", "__seg_hi")
           } else {
           val fields = if (withCols.nonEmpty) withCols
             else dim.columns.filterNot(_ == matchField).toSeq

@@ -1935,7 +1935,8 @@ object SearchExt {
       |  round(quantile_cont(c, 0.5), 4) AS p50,
       |  round(quantile_cont(c, 0.95), 4) AS p95,
       |  round(stddev_pop(c), 4) AS sd,
-      |  round(CAST(sum(c * w) AS DOUBLE) / sum(w), 4) AS wa
+      |  round(CAST(sum(c * w) AS DOUBLE)
+      |    / sum(CASE WHEN c IS NOT NULL THEN w END), 4) AS wa
       |FROM (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
       |    event_id % 7 + 1 AS w FROM events)
       |GROUP BY 1 ORDER BY event_type""".stripMargin))

@@ -593,4 +593,56 @@ class EsqlSpec extends SparkSpec {
     // TS only as head; FROM frames don't get over-time functions
     assertThrows[ParseError](run("FROM t | TS m"))
   }
+
+  test("CIDR_MATCH rejects malformed blocks at parse time (prefix and octet ranges)") {
+    import spark.implicits._
+    val d = Seq((1L, "10.1.2.3")).toDF("id", "ip")
+    def q(c: String) =
+      EsqlParser.run(s"""FROM d | WHERE CIDR_MATCH(ip, "$c")""", _ => d)
+    // /33 would shift by a negative count (masked mod 64) and silently
+    // match wrong rows — must fail at parse time instead
+    assertThrows[ParseError](q("10.0.0.0/33"))
+    assertThrows[ParseError](q("10.0.0.0/-1"))
+    assertThrows[ParseError](q("10.0.256.0/8"))
+    assertThrows[ParseError](q("10.0.0/8"))
+    assertThrows[ParseError](q("10.0.0.0"))
+    assertThrows[ParseError](q("10.0.0.0/x"))
+    // boundary prefixes stay legal
+    assert(q("10.1.2.3/32").count() == 1L)
+    assert(q("0.0.0.0/0").count() == 1L)
+  }
+
+  test("WEIGHTED_AVG skips null-valued rows entirely — their weight leaves the denominator") {
+    import spark.implicits._
+    val d = Seq((Some(10L), 1L), (Some(30L), 3L), (None, 100L))
+      .toDF("v", "w")
+    val got = EsqlParser.run("FROM d | STATS wa = WEIGHTED_AVG(v, w)", _ => d)
+      .head().getDouble(0)
+    // ES drops the null-v document: (10*1 + 30*3) / (1 + 3) = 25.0,
+    // not /104
+    assert(got == 25.0)
+  }
+
+  test("INLINESTATS without BY overwrites a same-named column, like the BY branch") {
+    val byBranch = run(
+      "FROM t | INLINESTATS n = COUNT(*) BY cat | SORT id | KEEP id, n").collect()
+    assert(byBranch.map(_.getLong(1)).toSeq == Seq(3L, 1L, 3L, 1L, 3L))
+    val noBy = run(
+      "FROM t | INLINESTATS n = COUNT(*) | SORT id | KEEP id, n").collect()
+    assert(noBy.map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L, 5L, 5L),
+      "the aggregate must replace the source column, not duplicate it")
+  }
+
+  test("range ENRICH: overlapping intervals yield ONE deterministic match (max_matches=1)") {
+    import spark.implicits._
+    // [0,100) overlaps [10,40) and [20,30); smallest __range_lo wins
+    val dim = Seq((10L, 40L, "mid"), (0L, 100L, "wide"), (20L, 30L, "tight"))
+      .toDF("__range_lo", "__range_hi", "band")
+    val got = EsqlParser.run(
+      "FROM t | ENRICH bands ON n | SORT id | KEEP id, n, band",
+      _ => df, policies = { case "bands" => (dim, "n") }).collect()
+    // every n (10..50) is covered by [0,100) which has the smallest lo
+    assert(got.length == 5, "overlap must not multiply probe rows")
+    assert(got.map(_.getString(2)).distinct.toSeq == Seq("wide"))
+  }
 }
