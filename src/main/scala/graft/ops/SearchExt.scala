@@ -807,8 +807,10 @@ object SearchExt {
     ("q_long_en",
       (_, _) => col("lang") === "en" && col("n_chars") >= 400,
       "lang = 'en' AND n_chars >= 400"),
+    // a token starts with "que" iff " que" occurs in the space-padded
+    // text — pure codegen StringContains, no ArrayExists HOF fallback
     ("q_prefix",
-      (_, _) => exists(toks, _.startsWith("que")),
+      (_, _) => concat(lit(" "), trim(col("text"))).contains(" que"),
       "len(list_filter(t, x -> x LIKE 'que%')) > 0"))
   val msearchOp = QueryDef(
     "ns_search_msearch",

@@ -240,11 +240,9 @@ class PlanSpec extends SparkSpec {
       // corpus-side bucket lookup itself is the unrolled codegen CASE
       "ns_agg_variable_width_histogram" -> Set("CollectList", "SortArray"),
       // msearch ranks per-query hits through the bounded top-k aggregate;
-      // q_prefix's exists() runs over the row's own tokens (bounded by
-      // doc length — the ns_search_query_string allowance), and the r12
-      // ArrayFilter label HOF is gone (explode + null-drop now)
-      "ns_search_msearch" -> Set("TopKByScoreAgg", "ArrayExists",
-        "LambdaFunction", "NamedLambdaVariable"))
+      // q_prefix is a padded StringContains (r14 — the ArrayExists HOF
+      // and its allowance are gone), labels explode + null-drop (r12)
+      "ns_search_msearch" -> Set("TopKByScoreAgg"))
     val hot = Seq("ns_dedup_ngram", "ns_dedup_minhash", "ns_dedup_simhash",
       "ns_dedup_embedding", "ns_dedup_exact", "ns_join_hash", "ns_join_asof",
       "ns_join_skew_salted", "ns_except", "ns_topk", "ns_window_rank",
