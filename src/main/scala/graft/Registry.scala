@@ -22,6 +22,7 @@ object Registry {
       ops.TextOps.entries ++
       ops.Corpus.entries ++
       ops.SearchExt.entries ++
+      ops.RetrieverTree.entries ++
       ops.VectorSearch.entries ++
       ops.StreamOps.entries
 }

@@ -1297,6 +1297,25 @@ class PlanSpec extends SparkSpec {
       s"a window ranks the embeddings corpus — the bounded-aggregate win regressed:\n$p")
   }
 
+  test("ns_search_retriever: every stage page-bounded — bounded knn leg, heap cuts, no corpus window") {
+    val p = physical("ns_search_retriever")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the knn leaf lost the partial-aggregating bounded top-k:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the standard leaf / composite cuts must stay top-k heaps:\n$p")
+    // the only windows may rank already-cut pages: every window's INPUT
+    // must contain a bounding cut (a top-k heap, a limit, or the bounded
+    // top-k aggregate) between it and any corpus scan
+    val unboundedWindows = nodes(p).collect { case w: WindowExec => w }.filterNot(w =>
+      nodes(w.child).exists {
+        case _: TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case n => n.toString.contains("topkbyscore")
+      })
+    assert(unboundedWindows.isEmpty,
+      s"a window ranks an uncut frame — a retriever stage lost its page bound:\n$p")
+  }
+
   test("ns_search_sparse_vector: postings-only map side, page is a top-k heap") {
     val p = physical("ns_search_sparse_vector")
     assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),

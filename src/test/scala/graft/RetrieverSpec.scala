@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.RetrieverTree
+import graft.ops.RetrieverTree._
+
+/** Compositional contracts for the retriever-tree compiler: nodes
+  * compose in any shape (not just the declared key's tree), windows
+  * bound every page, and rule pinning leads in the order given. */
+class RetrieverSpec extends SparkSpec {
+
+  private def page(r: Retriever) =
+    RetrieverTree.compile(spark, sfDir, r).collect()
+
+  test("every node type bounds its page to its own window") {
+    assert(page(RStandard("spark", 5)).length <= 5)
+    assert(page(RKnn(7L, 5)).length == 5)
+    assert(page(RRrf(Seq(RStandard("spark", 10), RKnn(7L, 10)), 4)).length == 4)
+    assert(page(RRerank(RStandard("spark", 20), "spark data", 3)).length == 3)
+    assert(page(RRule(Seq(3L), RKnn(7L, 10), 6)).length == 6)
+  }
+
+  test("rrf composes over arbitrary children — three-way fusion, scores descend") {
+    val rows = page(RRrf(
+      Seq(RStandard("spark", 10), RStandard("data", 10), RKnn(7L, 10)), 8))
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sortBy(-_), "rrf page must be score-descending")
+    // a doc ranked by all three legs outscores one ranked by a single leg
+    assert(scores.head > 1.0 / (60 + 1) || scores.head <= 3.0 / 61)
+  }
+
+  test("rule pins ids ahead of the child's organic page, in the order given") {
+    val rows = page(RRule(Seq(11L, 3L), RKnn(7L, 10), 10))
+    assert(rows.take(2).map(_.getLong(0)).toSeq == Seq(11L, 3L),
+      "pinned ids must lead in pin order")
+    // pinned ids never duplicate organic hits below
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids.distinct == ids)
+  }
+
+  test("reranker scores only the child's page (never grows it) and uses the capped-tf scorer") {
+    val child = page(RStandard("spark", 15)).map(_.getLong(0)).toSet
+    val rows = page(RRerank(RStandard("spark", 15), "spark data pipeline", 15))
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(child),
+      "rerank must not introduce documents outside the child's page")
+    // capped at 3 per term, 3 terms → max 9
+    assert(rows.forall(_.getDouble(1) <= 9.0))
+  }
+}
