@@ -846,6 +846,99 @@ object SearchExt {
        |SELECT label, n_hits, CAST(rk AS BIGINT) AS rank, doc_id, n_chars
        |FROM r WHERE rk <= $msearchK""".stripMargin))
 
+  // ----------------------------------------------------------- request body
+  /** The full `_search` REQUEST BODY composed end-to-end — the shape
+    * every Kibana dashboard request takes: one request carrying
+    * query + aggs + sort + from/size + highlight, answered in ES's own
+    * two phases.
+    *
+    * Query phase — ONE corpus scan: the bool query's keyword conjunct
+    * (`lang = 'en'`) pushes to the scan, the match conjunct is one
+    * codegen padded-contains, and a single grouped aggregate computes
+    * BOTH the terms-agg buckets (count + sum for the avg sub-agg) and
+    * the per-bucket bounded page candidates (TopKByScoreAgg, k =
+    * from+size). The aggs branch and the hits branch both consume that
+    * aggregate, and runtime stage reuse collapses their shared
+    * scan+shuffle to one executed pass (PlanSpec-locked) — msearch's
+    * one-scan discipline with heterogeneous consumers. The global page
+    * is the bounded re-fusion of bucket candidates: buckets×(from+size)
+    * rows, driver-sized; sort = the request's (n_chars DESC, doc_id)
+    * through the bounded aggregate, never a corpus sort; from/size cuts
+    * rank ∈ (from, from+size].
+    *
+    * Fetch phase — highlight snippets are assembled ONLY for the page:
+    * a broadcast probe of ≤ from+size ids into a map-only column-pruned
+    * second pass (ES fetches page documents from the doc store the same
+    * way; at 100 TB this pass is where a row-lookup store slots in). */
+  private val srchTerm = "spark"
+  private val srchFrom = 5
+  private val srchSize = 10
+  private val srchCtx = 3
+  val searchBodyOp = QueryDef(
+    "ns_search_request_body",
+    (s, dir) => {
+      val k = srchFrom + srchSize
+      val pad = concat(lit(" "), trim(col("text")), lit(" "))
+      val matched = docs(s, dir)
+        .filter(col("lang") === "en" && pad.contains(s" $srchTerm "))
+      val grouped = matched.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        graft.expr.VecFunctions.topk_by_score(
+          col("doc_id"), col("n_chars").cast("double"), k).as("cand"))
+      val nullL = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      val nullD = lit(null).cast("double")
+      val aggRows = grouped.select(
+        lit("aggs").as("section"), col("source").as("key"),
+        col("n_docs"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6).as("avg_chars"),
+        nullL.as("rank"), nullL.as("doc_id"), nullL.as("n_chars"),
+        nullS.as("snippet"))
+      val page = grouped
+        .select(explode(col("cand")).as("c"))
+        .agg(graft.expr.VecFunctions.topk_by_score(
+          col("c.id"), col("c.score"), k).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"))
+        .filter(col("rank") > srchFrom)
+      val hitRows = docs(s, dir)
+        .join(broadcast(page), "doc_id")
+        .withColumn("t", split(trim(col("text")), " "))
+        .withColumn("i", array_position(col("t"), srchTerm))
+        .select(lit("hits").as("section"), nullS.as("key"),
+          nullL.as("n_docs"), nullD.as("avg_chars"),
+          col("rank"), col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          expr(s"""array_join(transform(
+                  |  sequence(greatest(i - $srchCtx, 1L), least(i + $srchCtx, CAST(size(t) AS BIGINT))),
+                  |  j -> IF(j = i, concat('<em>', element_at(t, CAST(j AS INT)), '</em>'),
+                  |          element_at(t, CAST(j AS INT)))), ' ')""".stripMargin).as("snippet"))
+      aggRows.unionByName(hitRows)
+    },
+    Some(s"""WITH m AS (SELECT doc_id, source, n_chars, text FROM documents
+      |  WHERE lang = 'en'
+      |    AND contains(concat(' ', trim(text), ' '), ' $srchTerm ')),
+      |a AS (SELECT 'aggs' AS section, source AS key, count(*) AS n_docs,
+      |    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+      |    CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS doc_id,
+      |    CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS VARCHAR) AS snippet
+      |  FROM m GROUP BY source),
+      |p AS (SELECT doc_id, n_chars, text,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM m),
+      |pg AS (SELECT rank, doc_id, n_chars,
+      |    string_split(trim(text), ' ') AS t,
+      |    list_position(string_split(trim(text), ' '), '$srchTerm') AS i
+      |  FROM p WHERE rank > $srchFrom AND rank <= ${srchFrom + srchSize}),
+      |h AS (SELECT 'hits' AS section, CAST(NULL AS VARCHAR) AS key,
+      |    CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS avg_chars,
+      |    rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |    array_to_string(list_transform(
+      |      generate_series(greatest(i - $srchCtx, 1), least(i + $srchCtx, len(t))),
+      |      j -> CASE WHEN j = i THEN '<em>' || t[j] || '</em>' ELSE t[j] END), ' ') AS snippet
+      |  FROM pg)
+      |SELECT * FROM a UNION ALL SELECT * FROM h""".stripMargin))
+
   // ---------------------------------------------------------------- wrapper
   /** The `wrapper` query: a query_string shipped base64-encoded inside
     * the DSL (ES's escape hatch for clients that must embed queries in
@@ -2119,6 +2212,6 @@ object SearchExt {
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
-    sparseVectorOp, msearchOp, wrapperOp, scrollOp, pitOp, termsEnumOp,
+    sparseVectorOp, msearchOp, searchBodyOp, wrapperOp, scrollOp, pitOp, termsEnumOp,
     searchTemplateOp, msearchTemplateOp, validateOp)
 }

@@ -1338,6 +1338,32 @@ class PlanSpec extends SparkSpec {
       s"the threshold variant regressed to a window/rank top-k:\n$p")
   }
 
+  test("ns_search_request_body: query phase is ONE executed scan (aggs+hits share it); fetch is page-bounded") {
+    // static plan references the grouped aggregate twice (aggs branch,
+    // hits branch) — at runtime their identical scan+shuffle must
+    // collapse via stage reuse, leaving the query-phase scan plus the
+    // page-bounded fetch pass: ≤ 2 executed corpus scans total
+    val deep = executedDeepNodes("ns_search_request_body")
+    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans <= 2, s"_search ran $scans corpus scans, expected query + fetch = 2")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the aggs and hits branches must share the query-phase scan+shuffle")
+    // the page sort rides the bounded aggregate, never a corpus sort
+    val p = physical("ns_search_request_body")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the hits page lost the partial-aggregating bounded top-k:\n$p")
+    assert(nodes(p).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.forall(!_.global),
+      s"a global sort crept into the _search plan:\n$p")
+    // the bool filter's keyword conjunct reaches the scan
+    val pushed = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(_.contains("lang")),
+      s"the term filter must push to the query-phase scan:\n$p")
+  }
+
   test("ns_search_msearch: N queries share ONE corpus scan — no per-query fan-out") {
     val p = physical("ns_search_msearch")
     assert(scanCount(p) == 1,
