@@ -110,9 +110,22 @@ object Bench {
       val v = firstPass(name)
       if (v.isFinite) Some("\"" + name + "\":" + fmt(v)) else None
     }.mkString("{", ",", "}")
+    // Forensics for rig outliers (the r13 ns_union incident: min-of-5
+    // reported 1.17 s on unchanged code that re-measured at 0.14 s the
+    // next run — unreproducible ambient interference). Any key whose
+    // spread exceeds 1× carries its FULL pass vector, so a future
+    // outlier shows on its face whether the slowness was sustained
+    // (every pass slow → systematic, investigate) or spiky (one slow
+    // round → ambient, ignore).
+    val passVectors = names.flatMap { case (name, _) =>
+      val ok = passes(name).filter(_.isFinite)
+      if (ok.nonEmpty && ok.min > 0 && (ok.max - ok.min) / ok.min > 1.0)
+        Some("\"" + name + "\":[" + ok.map(fmt).mkString(",") + "]")
+      else None
+    }.mkString("{", ",", "}")
     val total = mins.collect { case (_, v) if v.isFinite => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"high_spread_passes":$passVectors,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harvester keeps only the TAIL of stdout, and the full line above
     // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,
