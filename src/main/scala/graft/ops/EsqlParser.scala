@@ -186,6 +186,14 @@ object EsqlParser {
     * caller's next SORT, as in ES. */
   final case class Rerank(query: String, field: String,
                           reranker: Option[String]) extends Cmd
+  /** `COMPLETION [target =] prompt WITH ident` — 9.x's text-generation
+    * command. In ES the WITH names an inference endpoint; here it
+    * names a generator the CALLER registers (the RERANK seam's
+    * pattern — the catalog owns model resolution). Compiles to one
+    * added target column (default `completion`); the row set is
+    * untouched, as in ES. */
+  final case class Completion(target: String, prompt: Expr,
+                              endpoint: String) extends Cmd
 
   final case class ParseError(msg: String, pos: Int)
     extends IllegalArgumentException(s"esql parse error at $pos: $msg")
@@ -575,6 +583,15 @@ object EsqlParser {
           val f = ident()
           val rk = if (peek.exists(isKw(_, "with"))) { i += 1; Some(ident()) } else None
           Rerank(q, f, rk)
+        case "COMPLETION" =>
+          // COMPLETION [target =] prompt WITH endpoint
+          val target = (peek, toks.lift(i + 1)) match {
+            case (Some(TWord(n, _)), Some(TSym("=", _))) => i += 2; n
+            case _ => "completion"
+          }
+          val prompt = parseExpr()
+          eatKw("with")
+          Completion(target, prompt, ident())
         case other => throw ParseError(s"unknown command $other", pos)
       }
     }
@@ -1228,7 +1245,10 @@ object EsqlParser {
   def compile(cmds: Seq[Cmd], resolve: String => DataFrame,
               policies: String => (DataFrame, String) =
                 n => throw ParseError(s"unknown enrich policy $n", 0),
-              session: Option[org.apache.spark.sql.SparkSession] = None): DataFrame = {
+              session: Option[org.apache.spark.sql.SparkSession] = None,
+              completions: String => (DataFrame, Column, String) => DataFrame =
+                n => throw ParseError(
+                  s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)): DataFrame = {
     val df0 = cmds.headOption match {
       case Some(From(ts, meta)) =>
         meta.filterNot(_ == "_index").foreach(m =>
@@ -1246,12 +1266,16 @@ object EsqlParser {
       case _ => throw ParseError("query must start with FROM, TS or ROW", 0)
     }
     val tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])
-    cmds.tail.foldLeft(df0)((df, cmd) => applyCmd(df, cmd, resolve, policies, tsMode))
+    cmds.tail.foldLeft(df0)((df, cmd) =>
+      applyCmd(df, cmd, resolve, policies, tsMode, completions))
   }
 
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
                        policies: String => (DataFrame, String),
-                       tsMode: Boolean = false): DataFrame = {
+                       tsMode: Boolean = false,
+                       completions: String => (DataFrame, Column, String) => DataFrame =
+                         n => throw ParseError(
+                           s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)): DataFrame = {
       cmd match {
         case From(_, _) | TsFrom(_) | RowCmd(_) =>
           throw ParseError("FROM/TS/ROW only allowed first", 0)
@@ -1419,7 +1443,8 @@ object EsqlParser {
           // a branch didn't produce — ES FORK's column-union
           // semantics.
           branches.zipWithIndex.map { case (bs, bi) =>
-            bs.foldLeft(df)((d, c) => applyCmd(d, c, resolve, policies, tsMode))
+            bs.foldLeft(df)((d, c) =>
+              applyCmd(d, c, resolve, policies, tsMode, completions))
               .withColumn("_fork", lit(s"fork${bi + 1}"))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
         case Fuse(id, rank) =>
@@ -1443,6 +1468,8 @@ object EsqlParser {
               s"unknown reranker $other (the catalog registers inference endpoints)", 0)
           }
           df.withColumn("_score", lexicalRerankScore(q, col(f)))
+        case Completion(t, p, ep) =>
+          completions(ep)(df, compileExpr(p), t)
         case ChangePoint(v, k, tn, pn) => compileChangePoint(df, v, k, tn, pn)
         case Sample(p, on) =>
           // deterministic inverse of the probability on a 1e6 grid —
@@ -1466,6 +1493,9 @@ object EsqlParser {
   def run(query: String, resolve: String => DataFrame,
           policies: String => (DataFrame, String) =
             n => throw ParseError(s"unknown enrich policy $n", 0),
-          session: Option[org.apache.spark.sql.SparkSession] = None): DataFrame =
-    compile(parse(query), resolve, policies, session)
+          session: Option[org.apache.spark.sql.SparkSession] = None,
+          completions: String => (DataFrame, Column, String) => DataFrame =
+            n => throw ParseError(
+              s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)): DataFrame =
+    compile(parse(query), resolve, policies, session, completions)
 }

@@ -47,6 +47,15 @@ object RetrieverTree {
     * order given (ES query-rules' pinned action). */
   final case class RRule(pinned: Seq[Long], child: Retriever,
                          window: Int) extends Retriever
+  /** `linear`: weighted sum of the children's min-max-normalized page
+    * scores (ES 8.18+'s linear retriever — the score-based fusion mode
+    * next to rrf, as a composable tree node). Each child's scores
+    * normalize over ITS OWN retrieved page only (the OpenSearch
+    * normalization-processor contract — normalization never sees the
+    * corpus); degenerate pages (max = min) normalize to 1.0; a leg
+    * that missed a document contributes zero. */
+  final case class RLinear(children: Seq[(Retriever, Double)],
+                           window: Int) extends Retriever
 
   /** Exact term frequency of `term` in the whitespace-tokenized `field`
     * via the bar-encoding trick (every token carries its OWN delimiters,
@@ -103,6 +112,21 @@ object RetrieverTree {
         .join(broadcast(page), col("doc_id") === col("id"))
         .select(col("id"),
           EsqlParser.lexicalRerankScore(q, col("text")).cast("double").as("_score"))
+        .orderBy(col("_score").desc, col("id")).limit(w)
+    case RLinear(children, w) =>
+      val normed = children.zipWithIndex.map { case ((c, _), i) =>
+        val page = compile(s, dir, c)
+        val stats = page.agg(min("_score").as("__mn"), max("_score").as("__mx"))
+        page.crossJoin(broadcast(stats))
+          .select(col("id"), when(col("__mx") > col("__mn"),
+            (col("_score") - col("__mn")) / (col("__mx") - col("__mn")))
+            .otherwise(lit(1.0)).as(s"__n$i"))
+      }
+      val fused = normed.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+      val score = children.zipWithIndex
+        .map { case ((_, wt), i) => coalesce(col(s"__n$i"), lit(0.0)) * wt }
+        .reduce(_ + _)
+      fused.select(col("id"), score.as("_score"))
         .orderBy(col("_score").desc, col("id")).limit(w)
     case RRule(pinned, child, w) =>
       import s.implicits._
@@ -173,5 +197,49 @@ object RetrieverTree {
       |SELECT rank, id AS doc_id, round(s, 6) AS score
       |FROM fin WHERE rank <= 10 ORDER BY rank""".stripMargin))
 
-  def entries: Seq[QueryDef] = Seq(retrieverOp)
+  /** The linear-fusion tree: ES 8.18+'s `linear` retriever composing a
+    * lexical and a vector leg with explicit weights — the score-based
+    * fusion mode next to the declared rrf tree. */
+  private val linTerm = "data"
+  private val linQid = 3L
+  private val linLexW = 0.5
+  private val linVecW = 0.5
+  private[graft] val declaredLinearTree: Retriever =
+    RLinear(Seq(RStandard(linTerm, 50) -> linLexW, RKnn(linQid, 50) -> linVecW),
+      window = 10)
+
+  val retrieverLinearOp = QueryDef(
+    "ns_search_retriever_linear",
+    (s, dir) => {
+      val page = compile(s, dir, declaredLinearTree)
+      pageRank(page, "rank")
+        .select(col("rank"), col("id").as("doc_id"),
+          round(col("_score"), 6).as("score"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH bar AS (SELECT doc_id AS id,
+      |    concat('|', replace(trim(text), ' ', '||'), '|') AS bar FROM documents),
+      |st AS (SELECT id, CAST((length(bar) - length(replace(bar, '|$linTerm|', '')))
+      |    // ${linTerm.length + 2} AS BIGINT) AS tf FROM bar),
+      |stp AS (SELECT id, CAST(tf AS DOUBLE) AS s FROM st
+      |  WHERE tf > 0 ORDER BY tf DESC, id LIMIT 50),
+      |tn AS (SELECT id, CASE WHEN max(s) OVER () > min(s) OVER ()
+      |    THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+      |    ELSE 1.0 END AS n0 FROM stp),
+      |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = $linQid),
+      |kn AS (SELECT vec_id AS id,
+      |    round(list_cosine_similarity(embedding::DOUBLE[], q_emb), 6) AS s
+      |  FROM embeddings, q WHERE vec_id <> $linQid),
+      |knp AS (SELECT id, s FROM kn ORDER BY s DESC, id LIMIT 50),
+      |vn AS (SELECT id, CASE WHEN max(s) OVER () > min(s) OVER ()
+      |    THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+      |    ELSE 1.0 END AS n1 FROM knp),
+      |f AS (SELECT coalesce(tn.id, vn.id) AS id,
+      |    coalesce(tn.n0, 0) * $linLexW + coalesce(vn.n1, 0) * $linVecW AS s
+      |  FROM tn FULL OUTER JOIN vn ON tn.id = vn.id),
+      |fin AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rank FROM f)
+      |SELECT rank, id AS doc_id, round(s, 6) AS score
+      |FROM fin WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
+  def entries: Seq[QueryDef] = Seq(retrieverOp, retrieverLinearOp)
 }

@@ -2073,6 +2073,83 @@ object SearchExt {
       |SELECT doc_id, CAST(_score AS BIGINT) AS _score
       |FROM sc ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin))
 
+  /** ES|QL `COMPLETION` — 9.x's text-generation command, closing the
+    * last ES|QL command family. In ES the WITH names a hosted
+    * inference endpoint; the compiler routes through the same catalog
+    * seam as RERANK, and the shipped `bigram_lm` endpoint is the
+    * engine's OWN statistical language model — greedy argmax
+    * continuation from the PERSISTED corpus bigram artifact (the
+    * ns_text_bigram_logprob / ns_quality_perplexity model), not an
+    * imitation of a hosted LLM: real, deterministic generation from
+    * real learned statistics, the honest in-sandbox twin of the
+    * inference call.
+    *
+    * Scale shape: the "model" is the vocabulary-bounded next-token
+    * dim (argmax over the persisted bigram table, one row per vocab
+    * word — built from the artifact, never the corpus, at query
+    * time), generation is K successive broadcast-hash lookups against
+    * that dim, and the command applies to the LIMIT-bounded page only
+    * (the RERANK page discipline — generation is per-retrieved-row
+    * work, never corpus-wide). Greedy decode ties break
+    * lexicographically (count DESC, token ASC) so both engines
+    * generate identical text; a token with no observed continuation
+    * ends the generation (concat_ws skips the null tail). */
+  private val complSteps = 4
+  private def bigramNextDim(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramFreq(s, dir)
+      .groupBy("w1")
+      .agg(min(struct((-col("bc")).as("nb"), col("w2").as("w2"))).as("m"))
+      .select(col("w1"), col("m.w2").as("next"))
+  private[graft] def bigramGreedyCompletion(s: SparkSession, dir: String)(
+      df: DataFrame, prompt: Column, target: String): DataFrame = {
+    val dim = bigramNextDim(s, dir)
+    val seeded = df.withColumn("__g0", element_at(split(trim(prompt), " "), -1))
+    val stepped = (1 to complSteps).foldLeft(seeded) { (d, i) =>
+      val dm = dim.select(col("w1").as(s"__k$i"), col("next").as(s"__g$i"))
+      d.join(broadcast(dm), d(s"__g${i - 1}") === dm(s"__k$i"), "left")
+        .drop(s"__k$i")
+    }
+    stepped
+      .withColumn(target,
+        concat_ws(" ", (1 to complSteps).map(i => col(s"__g$i")): _*))
+      .drop("__g0" +: (1 to complSteps).map(i => s"__g$i"): _*)
+  }
+  private[graft] val esqlCompletionQuery =
+    """FROM documents
+      || WHERE MATCH(text, "spark")
+      || SORT n_chars DESC, doc_id
+      || LIMIT 20
+      || COMPLETION next_words = text WITH bigram_lm
+      || KEEP doc_id, next_words
+      || SORT doc_id""".stripMargin
+  val esqlCompletionOp = QueryDef(
+    "ns_esql_completion",
+    (s, dir) => EsqlParser.run(esqlCompletionQuery, _ => docs(s, dir),
+      completions = {
+        case "bigram_lm" => bigramGreedyCompletion(s, dir)
+        case n => throw EsqlParser.ParseError(s"unknown completion endpoint $n", 0)
+      }),
+    Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+      |bf AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+      |nx AS (SELECT w1, w2 AS next FROM (
+      |    SELECT w1, w2, row_number() OVER (PARTITION BY w1 ORDER BY bc DESC, w2) AS rn
+      |    FROM bf) WHERE rn = 1),
+      |page AS (SELECT doc_id, t[len(t)] AS g0 FROM (
+      |    SELECT doc_id, string_split(trim(text), ' ') AS t, n_chars FROM documents
+      |    WHERE list_contains(string_split(trim(text), ' '), 'spark')
+      |    ORDER BY n_chars DESC, doc_id LIMIT 20)),
+      |g AS (SELECT p.doc_id,
+      |    n1.next AS g1, n2.next AS g2, n3.next AS g3, n4.next AS g4
+      |  FROM page p
+      |    LEFT JOIN nx n1 ON n1.w1 = p.g0
+      |    LEFT JOIN nx n2 ON n2.w1 = n1.next
+      |    LEFT JOIN nx n3 ON n3.w1 = n2.next
+      |    LEFT JOIN nx n4 ON n4.w1 = n3.next)
+      |SELECT doc_id, concat_ws(' ', g1, g2, g3, g4) AS next_words
+      |FROM g ORDER BY doc_id""".stripMargin))
+
   /** ES|QL `METADATA _index` — the multi-index disambiguator: each row
     * of a `FROM a, b` union carries its source index name, so the
     * pipeline can group or filter by provenance. The column is a
@@ -2203,6 +2280,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
+    esqlCompletionOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

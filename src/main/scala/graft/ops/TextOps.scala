@@ -1888,7 +1888,7 @@ object TextOps {
     * one-row aggregate of the unigram dim; AQE broadcasts all three
     * dims onto the bigram stream. Docs with < 2 tokens have no bigram
     * distribution and drop from the output in both engines. */
-  private def bigramFreq(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramFreq(s: SparkSession, dir: String): DataFrame =
     Artifacts.buildOnce(s, s"$dir/documents.parquet", "bigram_freq") {
       path =>
         Par.spread(s, docs(s, dir), col("doc_id"))

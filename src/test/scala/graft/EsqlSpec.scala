@@ -594,6 +594,30 @@ class EsqlSpec extends SparkSpec {
     assertThrows[ParseError](run("FROM t | TS m"))
   }
 
+  test("COMPLETION routes through the registered endpoint seam; default target; unknown endpoint errors") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "b c"), (3L, "zz")).toDF("id", "txt")
+    // a toy generator: the endpoint receives the prompt column and the
+    // target name — echo the last char. Proves the seam contract.
+    val echo: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column, String) =>
+      org.apache.spark.sql.DataFrame =
+      (df, p, t) => df.withColumn(t, org.apache.spark.sql.functions.substring(p, -1, 1))
+    val named = EsqlParser.run(
+      "FROM d | COMPLETION nxt = txt WITH echo | SORT id | KEEP id, nxt",
+      _ => d, completions = { case "echo" => echo }).collect()
+    assert(named.map(_.getString(1)).toSeq == Seq("b", "c", "z"))
+    // no target → the ES default column name `completion`
+    val deflt = EsqlParser.run(
+      "FROM d | COMPLETION txt WITH echo | SORT id | KEEP id, completion",
+      _ => d, completions = { case "echo" => echo }).collect()
+    assert(deflt.map(_.getString(1)).toSeq == Seq("b", "c", "z"))
+    // WITH is mandatory (ES requires the inference endpoint)
+    assertThrows[ParseError](EsqlParser.run("FROM d | COMPLETION txt", _ => d))
+    // unregistered endpoint → catalog error
+    assertThrows[ParseError](EsqlParser.run(
+      "FROM d | COMPLETION txt WITH nope", _ => d))
+  }
+
   test("CIDR_MATCH rejects malformed blocks at parse time (prefix and octet ranges)") {
     import spark.implicits._
     val d = Seq((1L, "10.1.2.3")).toDF("id", "ip")

@@ -37,6 +37,19 @@ class RetrieverSpec extends SparkSpec {
     assert(ids.distinct == ids)
   }
 
+  test("linear fusion normalizes each leg over its OWN page; weighted sum stays in [0, 1]") {
+    val rows = page(RLinear(
+      Seq(RStandard("spark", 10) -> 0.7, RKnn(7L, 10) -> 0.3), 10))
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "linear page must be score-descending")
+    // norms are in [0,1] and the weights sum to 1, so every fused score is too
+    assert(scores.forall(v => v >= 0.0 && v <= 1.0))
+    // each leg's own top-1 normalizes to exactly 1.0, so the best fused
+    // score is at least max(weight) — a single-leg-top document's floor
+    assert(scores.head >= 0.7 - 1e-9)
+  }
+
   test("reranker scores only the child's page (never grows it) and uses the capped-tf scorer") {
     val child = page(RStandard("spark", 15)).map(_.getLong(0)).toSet
     val rows = page(RRerank(RStandard("spark", 15), "spark data pipeline", 15))
