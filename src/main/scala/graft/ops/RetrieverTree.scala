@@ -47,6 +47,15 @@ object RetrieverTree {
     * order given (ES query-rules' pinned action). */
   final case class RRule(pinned: Seq[Long], child: Retriever,
                          window: Int) extends Retriever
+  /** `rescorer`: re-score the child's page with a secondary query —
+    * final score = query_weight × child score + rescore_weight ×
+    * tf(term) over the page's fetched text (ES 8.18+'s rescorer
+    * retriever, the `rescore` clause as a composable node; the fetch
+    * is the text_similarity_reranker's broadcast-probe discipline —
+    * the secondary pass touches exactly the page). */
+  final case class RRescorer(child: Retriever, term: String,
+                             queryWeight: Double, rescoreWeight: Double,
+                             window: Int) extends Retriever
   /** `linear`: weighted sum of the children's min-max-normalized page
     * scores (ES 8.18+'s linear retriever — the score-based fusion mode
     * next to rrf, as a composable tree node). Each child's scores
@@ -112,6 +121,14 @@ object RetrieverTree {
         .join(broadcast(page), col("doc_id") === col("id"))
         .select(col("id"),
           EsqlParser.lexicalRerankScore(q, col("text")).cast("double").as("_score"))
+        .orderBy(col("_score").desc, col("id")).limit(w)
+    case RRescorer(child, term, qw, rw, w) =>
+      val page = compile(s, dir, child)
+      Tables.documents(s, dir)
+        .join(broadcast(page), col("doc_id") === col("id"))
+        .select(col("id"),
+          (col("_score") * qw + tfOf(term, col("text")).cast("double") * rw)
+            .as("_score"))
         .orderBy(col("_score").desc, col("id")).limit(w)
     case RLinear(children, w) =>
       val normed = children.zipWithIndex.map { case ((c, _), i) =>

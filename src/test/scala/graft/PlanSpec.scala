@@ -1297,6 +1297,20 @@ class PlanSpec extends SparkSpec {
       s"a window ranks the embeddings corpus — the bounded-aggregate win regressed:\n$p")
   }
 
+  test("ns_esql_completion: page-bounded generation over the broadcast vocabulary dim") {
+    val p = physical("ns_esql_completion")
+    // the retrieval page is a top-k heap, never a corpus sort
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the COMPLETION page must stay a top-k heap:\n$p")
+    // every generation step is a broadcast-hash lookup against the
+    // vocabulary-bounded next-token dim — nothing may shuffle the page
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"greedy decode lost its broadcast dim lookups:\n$p")
+    assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      s"a generation step regressed to shuffling:\n$p")
+  }
+
   test("ns_search_retriever: every stage page-bounded — bounded knn leg, heap cuts, no corpus window") {
     val p = physical("ns_search_retriever")
     assert(p.toString.contains("partial_topkbyscore"),

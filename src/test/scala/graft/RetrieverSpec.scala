@@ -50,6 +50,19 @@ class RetrieverSpec extends SparkSpec {
     assert(scores.head >= 0.7 - 1e-9)
   }
 
+  test("rescorer: identity weights preserve the child's ranking; rescore-only scores are the tf") {
+    val child = page(RStandard("spark", 10))
+    // query_weight 1, rescore_weight 0 → the child's page, same order
+    val identity = page(RRescorer(RStandard("spark", 10), "data", 1.0, 0.0, 10))
+    assert(identity.map(_.getLong(0)).toSeq == child.map(_.getLong(0)).toSeq)
+    assert(identity.map(_.getDouble(1)).toSeq == child.map(_.getDouble(1)).toSeq)
+    // query_weight 0, rescore_weight 1 → pure secondary-query tf over
+    // the SAME page membership (the window never grows)
+    val pure = page(RRescorer(RStandard("spark", 10), "data", 0.0, 1.0, 10))
+    assert(pure.map(_.getLong(0)).toSet.subsetOf(child.map(_.getLong(0)).toSet))
+    assert(pure.forall(r => r.getDouble(1) == math.floor(r.getDouble(1)) && r.getDouble(1) >= 0))
+  }
+
   test("reranker scores only the child's page (never grows it) and uses the capped-tf scorer") {
     val child = page(RStandard("spark", 15)).map(_.getLong(0)).toSet
     val rows = page(RRerank(RStandard("spark", 15), "spark data pipeline", 15))
