@@ -2095,11 +2095,19 @@ object SearchExt {
     * generate identical text; a token with no observed continuation
     * ends the generation (concat_ws skips the null tail). */
   private val complSteps = 4
+  /** The greedy next-token dim, PERSISTED (the unigram-dictionary
+    * discipline): argmax over the bigram artifact runs once per corpus
+    * snapshot, so query-time generation only scans the one-row-per-
+    * vocab-word dim — never re-aggregates the bigram table per query. */
   private def bigramNextDim(s: SparkSession, dir: String): DataFrame =
-    TextOps.bigramFreq(s, dir)
-      .groupBy("w1")
-      .agg(min(struct((-col("bc")).as("nb"), col("w2").as("w2"))).as("m"))
-      .select(col("w1"), col("m.w2").as("next"))
+    Artifacts.buildOnce(s, s"$dir/documents.parquet", "bigram_next") { path =>
+      TextOps.bigramFreq(s, dir)
+        .groupBy("w1")
+        .agg(min(struct((-col("bc")).as("nb"), col("w2").as("w2"))).as("m"))
+        .select(col("w1"), col("m.w2").as("next"))
+        .coalesce(1)  // dim-bounded: one row per vocabulary word
+        .write.mode("overwrite").parquet(path)
+    }
   private[graft] def bigramGreedyCompletion(s: SparkSession, dir: String)(
       df: DataFrame, prompt: Column, target: String): DataFrame = {
     val dim = bigramNextDim(s, dir)
