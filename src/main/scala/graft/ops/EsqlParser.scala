@@ -784,6 +784,43 @@ object EsqlParser {
         regexp_replace(compileExpr(x), rx, nw)
       case ("LEFT", Seq(x, NumLit(n))) => substring(compileExpr(x), 1, n.toInt)
       case ("RIGHT", Seq(x, NumLit(n))) => substring(compileExpr(x), -n.toInt, n.toInt)
+      // ---------------- string residue (all codegen string ops)
+      case ("REVERSE", Seq(x)) => reverse(compileExpr(x))
+      case ("REPEAT", Seq(x, n)) => repeat(compileExpr(x), n match {
+        case NumLit(v) => v.toInt
+        case other => throw ParseError(s"REPEAT count must be a literal, got $other", 0)
+      })
+      case ("LTRIM", Seq(x)) => ltrim(compileExpr(x))
+      case ("RTRIM", Seq(x)) => rtrim(compileExpr(x))
+      case ("SPACE", Seq(NumLit(n))) => lit(" " * n.toInt)
+      case ("BIT_LENGTH", Seq(x)) => bit_length(compileExpr(x)).cast("long")
+      case ("BYTE_LENGTH", Seq(x)) => octet_length(compileExpr(x)).cast("long")
+      // hashing (ES|QL 8.16's HASH + the named shorthands); SHA-1 has
+      // no DuckDB twin, so the dialect ships md5/sha256
+      case ("MD5", Seq(x)) => md5(compileExpr(x).cast("binary"))
+      case ("SHA256", Seq(x)) => sha2(compileExpr(x).cast("binary"), 256)
+      case ("HASH", Seq(StrLit(alg), x)) => alg.toLowerCase match {
+        case "md5" => md5(compileExpr(x).cast("binary"))
+        case "sha256" => sha2(compileExpr(x).cast("binary"), 256)
+        case other => throw ParseError(s"unsupported HASH algorithm $other (md5, sha256)", 0)
+      }
+      case ("TO_BASE64", Seq(x)) => base64(compileExpr(x).cast("binary"))
+      case ("FROM_BASE64", Seq(x)) => unbase64(compileExpr(x)).cast("string")
+      // DATE_EXTRACT(chrono_field, ts) — java.time ChronoField names,
+      // ISO day-of-week numbering (Monday = 1)
+      case ("DATE_EXTRACT", Seq(StrLit(f), x)) =>
+        val c = compileExpr(x)
+        f.toLowerCase match {
+          case "year" => year(c).cast("long")
+          case "month_of_year" => month(c).cast("long")
+          case "day_of_month" => dayofmonth(c).cast("long")
+          case "day_of_week" => (weekday(c) + lit(1)).cast("long")
+          case "day_of_year" => dayofyear(c).cast("long")
+          case "hour_of_day" => hour(c).cast("long")
+          case "minute_of_hour" => minute(c).cast("long")
+          case "second_of_minute" => second(c).cast("long")
+          case other => throw ParseError(s"unsupported DATE_EXTRACT field $other", 0)
+        }
       case ("GREATEST", xs) if xs.nonEmpty => greatest(xs.map(compileExpr): _*)
       case ("LEAST", xs) if xs.nonEmpty => least(xs.map(compileExpr): _*)
       case ("POW", Seq(a, b)) => pow(compileExpr(a), compileExpr(b))
@@ -796,6 +833,26 @@ object EsqlParser {
       case ("LOG10", Seq(x)) => log10(compileExpr(x))
       case ("EXP", Seq(x)) => exp(compileExpr(x))
       case ("SIGNUM", Seq(x)) => signum(compileExpr(x))
+      // ---------------- trigonometric / hyperbolic residue (all pure
+      // codegen doubles; engine-compared values round through the
+      // language's own ROUND per the determinism discipline)
+      case ("SIN", Seq(x)) => sin(compileExpr(x))
+      case ("COS", Seq(x)) => cos(compileExpr(x))
+      case ("TAN", Seq(x)) => tan(compileExpr(x))
+      case ("ASIN", Seq(x)) => asin(compileExpr(x))
+      case ("ACOS", Seq(x)) => acos(compileExpr(x))
+      case ("ATAN", Seq(x)) => atan(compileExpr(x))
+      case ("ATAN2", Seq(y, x)) => atan2(compileExpr(y), compileExpr(x))
+      case ("SINH", Seq(x)) => sinh(compileExpr(x))
+      case ("COSH", Seq(x)) => cosh(compileExpr(x))
+      case ("TANH", Seq(x)) => tanh(compileExpr(x))
+      case ("CBRT", Seq(x)) => cbrt(compileExpr(x))
+      case ("HYPOT", Seq(a, b)) => hypot(compileExpr(a), compileExpr(b))
+      case ("PI", Seq()) => lit(math.Pi)
+      case ("TAU", Seq()) => lit(2 * math.Pi)
+      case ("E", Seq()) => lit(math.E)
+      case ("TO_DEGREES", Seq(x)) => degrees(compileExpr(x))
+      case ("TO_RADIANS", Seq(x)) => radians(compileExpr(x))
       case ("TO_DOUBLE", Seq(x)) => compileExpr(x).cast("double")
       case ("TO_INTEGER", Seq(x)) => compileExpr(x).cast("int")
       case ("TO_BOOLEAN", Seq(x)) => compileExpr(x).cast("boolean")

@@ -2236,6 +2236,66 @@ object SearchExt {
       |  max(CAST(trunc((1706659200000000 - epoch_us(ts)) / 3600000000) AS BIGINT)) AS mx
       |FROM events GROUP BY 1, 2 ORDER BY hr4 LIMIT 50""".stripMargin))
 
+  /** ES|QL scalar-function residue in one declared sweep: the string
+    * library (REVERSE/REPEAT/LTRIM/SPACE/BIT_LENGTH/BYTE_LENGTH), the
+    * hash + base64 family (MD5 / SHA256 / HASH(alg) / TO_BASE64 /
+    * FROM_BASE64), the full trigonometric + hyperbolic set (SIN…ATAN2,
+    * SINH/COSH/TANH, CBRT/HYPOT, PI/TAU/E, TO_DEGREES/TO_RADIANS) and
+    * DATE_EXTRACT with java.time ChronoField names (ISO day-of-week).
+    * All pure codegen scalar ops on a pushed-down 20-row slice;
+    * engine-compared doubles round through the language's own ROUND
+    * (the determinism discipline), trig inputs derive from exact
+    * decimal grids so both engines see identical doubles. */
+  private[graft] val esqlFunctionsQuery =
+    """FROM events
+      || WHERE event_id < 20
+      || EVAL d = (event_id % 10) / 10.0, vx = ROUND(value, 2)
+      || EVAL rev = REVERSE(event_type), rep = REPEAT(event_type, 2),
+      |       pad = LTRIM(CONCAT(SPACE(3), event_type)),
+      |       bl = BIT_LENGTH(event_type), byl = BYTE_LENGTH(event_type),
+      |       h1 = MD5(event_type), h2 = HASH("sha256", event_type),
+      |       b64 = TO_BASE64(event_type), rtp = FROM_BASE64(TO_BASE64(event_type)),
+      |       sn = ROUND(SIN(vx), 6), cs = ROUND(COS(vx), 6), tn = ROUND(TAN(vx), 6),
+      |       asn = ROUND(ASIN(d), 6), acs = ROUND(ACOS(d), 6),
+      |       at = ROUND(ATAN(vx), 6), at2 = ROUND(ATAN2(d, 2.0), 6),
+      |       sh = ROUND(SINH(d), 6), ch = ROUND(COSH(d), 6), th = ROUND(TANH(d), 6),
+      |       cb = ROUND(CBRT(vx), 6), hy = ROUND(HYPOT(d, 2.0), 6),
+      |       cst = ROUND(PI() + TAU() + E(), 6),
+      |       dg = ROUND(TO_DEGREES(d), 6), rd = ROUND(TO_RADIANS(dg), 6),
+      |       yy = DATE_EXTRACT("year", tsu), dow = DATE_EXTRACT("day_of_week", tsu),
+      |       doy = DATE_EXTRACT("day_of_year", tsu), hh = DATE_EXTRACT("hour_of_day", tsu)
+      || KEEP event_id, rev, rep, pad, bl, byl, h1, h2, b64, rtp, sn, cs, tn,
+      |       asn, acs, at, at2, sh, ch, th, cb, hy, cst, dg, rd, yy, dow, doy, hh
+      || SORT event_id""".stripMargin
+  val esqlFunctionsOp = QueryDef(
+    "ns_esql_functions",
+    (s, dir) => EsqlParser.run(esqlFunctionsQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_id,
+      |  reverse(event_type) AS rev, repeat(event_type, 2) AS rep,
+      |  ltrim(concat(repeat(' ', 3), event_type)) AS pad,
+      |  CAST(bit_length(event_type) AS BIGINT) AS bl,
+      |  CAST(octet_length(event_type::BLOB) AS BIGINT) AS byl,
+      |  md5(event_type) AS h1, sha256(event_type) AS h2,
+      |  to_base64(event_type::BLOB) AS b64,
+      |  decode(from_base64(to_base64(event_type::BLOB))) AS rtp,
+      |  round(sin(vx), 6) AS sn, round(cos(vx), 6) AS cs, round(tan(vx), 6) AS tn,
+      |  round(asin(d), 6) AS asn, round(acos(d), 6) AS acs,
+      |  round(atan(vx), 6) AS at, round(atan2(d, 2.0), 6) AS at2,
+      |  round((exp(d) - exp(-d)) / 2, 6) AS sh,
+      |  round((exp(d) + exp(-d)) / 2, 6) AS ch,
+      |  round((exp(d) - exp(-d)) / (exp(d) + exp(-d)), 6) AS th,
+      |  round(cbrt(vx), 6) AS cb, round(sqrt(d * d + 4.0), 6) AS hy,
+      |  round(pi() + 2 * pi() + exp(1), 6) AS cst,
+      |  round(degrees(d), 6) AS dg, round(radians(degrees(d)), 6) AS rd,
+      |  CAST(extract(year FROM ts) AS BIGINT) AS yy,
+      |  CAST(extract(isodow FROM ts) AS BIGINT) AS dow,
+      |  CAST(extract(doy FROM ts) AS BIGINT) AS doy,
+      |  CAST(extract(hour FROM ts) AS BIGINT) AS hh
+      |FROM (SELECT event_id, event_type, ts,
+      |    (event_id % 10) / 10.0 AS d, round(value, 2) AS vx
+      |  FROM events WHERE event_id < 20)
+      |ORDER BY event_id""".stripMargin))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2288,7 +2348,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCompletionOp,
+    esqlCompletionOp, esqlFunctionsOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

@@ -618,6 +618,28 @@ class EsqlSpec extends SparkSpec {
       "FROM d | COMPLETION txt WITH nope", _ => d))
   }
 
+  test("scalar-function residue: zero-arg constants, HASH/DATE_EXTRACT validation, string ops") {
+    import spark.implicits._
+    val d = Seq((1L, "ab c")).toDF("id", "s")
+    val r = EsqlParser.run(
+      """FROM d | EVAL p = ROUND(PI(), 6), t = ROUND(TAU(), 6), e = ROUND(E(), 6),
+        |  rv = REVERSE(s), rp = REPEAT(s, 2), sp = CONCAT(SPACE(2), "x"),
+        |  bl = BIT_LENGTH(s), h = MD5(s), b = FROM_BASE64(TO_BASE64(s))
+        || KEEP p, t, e, rv, rp, sp, bl, h, b""".stripMargin, _ => d).head()
+    assert(r.getDouble(0) == 3.141593 && r.getDouble(1) == 6.283185 &&
+      r.getDouble(2) == 2.718282)
+    assert(r.getString(3) == "c ba" && r.getString(4) == "ab cab c" &&
+      r.getString(5) == "  x")
+    assert(r.getLong(6) == 32L)
+    assert(r.getString(7).length == 32)
+    assert(r.getString(8) == "ab c", "base64 round-trip must be the identity")
+    // unknown hash algorithm / chrono field fail at plan time
+    assertThrows[ParseError](EsqlParser.run(
+      """FROM d | EVAL h = HASH("sha512", s)""", _ => d))
+    assertThrows[ParseError](EsqlParser.run(
+      """FROM d | EVAL y = DATE_EXTRACT("era", s)""", _ => d))
+  }
+
   test("CIDR_MATCH rejects malformed blocks at parse time (prefix and octet ranges)") {
     import spark.implicits._
     val d = Seq((1L, "10.1.2.3")).toDF("id", "ip")
