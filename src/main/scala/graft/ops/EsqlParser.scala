@@ -170,6 +170,10 @@ object EsqlParser {
   // ROW a = 1, b = "x" — the literal one-row source (a FROM-less
   // pipeline start, ES|QL's constant-expression playground)
   final case class RowCmd(assigns: Seq[(String, Expr)]) extends Cmd
+  // SHOW INFO — the remaining source command: one deterministic row of
+  // engine build facts (a LocalRelation; ES|QL's only other pipeline
+  // head next to FROM/TS/ROW)
+  final case object ShowInfo extends Cmd
   // FORK (cmds) (cmds) … — ES|QL 9.x's branch command: each branch
   // runs the incoming frame through its own sub-pipeline; results
   // union by name (missing columns null) with a `_fork` discriminator
@@ -597,7 +601,10 @@ object EsqlParser {
     }
 
     val cmds = Seq.newBuilder[Cmd]
-    if (peek.exists(isKw(_, "row"))) {
+    if (peek.exists(isKw(_, "show"))) {
+      i += 1; eatKw("info")
+      cmds += ShowInfo
+    } else if (peek.exists(isKw(_, "row"))) {
       i += 1
       val as = Seq.newBuilder[(String, Expr)]
       def one(): Unit = { val n = ident(); eatSym("="); as += (n -> parseExpr()) }
@@ -1320,7 +1327,12 @@ object EsqlParser {
         // the literal one-row source: a LocalRelation, no scan at all
         session.getOrElse(org.apache.spark.sql.SparkSession.active).range(1)
           .select(as.map { case (n, e) => compileExpr(e).as(n) }: _*)
-      case _ => throw ParseError("query must start with FROM, TS or ROW", 0)
+      case Some(ShowInfo) =>
+        // deterministic build facts (no wall clock — results must replay)
+        session.getOrElse(org.apache.spark.sql.SparkSession.active).range(1)
+          .select(lit("0.1.0").as("version"), lit("2026-08-15").as("date"),
+            lit("graft").as("hash"))
+      case _ => throw ParseError("query must start with FROM, TS, ROW or SHOW", 0)
     }
     val tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])
     cmds.tail.foldLeft(df0)((df, cmd) =>

@@ -939,6 +939,83 @@ object SearchExt {
       |  FROM pg)
       |SELECT * FROM a UNION ALL SELECT * FROM h""".stripMargin))
 
+  // ------------------------------------------------------------ post_filter
+  /** `post_filter` — faceted navigation's load-bearing subtlety and the
+    * most commonly misread part of the `_search` body: the post_filter
+    * narrows the HITS only, while aggregations keep computing over the
+    * full query scope (an e-commerce facet panel shows counts for every
+    * brand while the hit list honors the clicked brand).
+    *
+    * One-scan shape (the request-body discipline, extended): the query
+    * scope groups by (facet key × post-filter flag) in ONE grouped
+    * aggregate carrying counts and per-group bounded page candidates;
+    * the aggs branch re-aggregates the tiny bucket table over both
+    * flags (full query scope), the hits branch keeps only flag=true
+    * candidates — both branches share the scan+shuffle via runtime
+    * stage reuse. */
+  private val pfTerm = "merge"
+  private val pfSource = "src1"
+  private val pfSize = 10
+  val postFilterOp = QueryDef(
+    "ns_search_post_filter",
+    (s, dir) => {
+      val pad = concat(lit(" "), trim(col("text")), lit(" "))
+      val matched = docs(s, dir)
+        .filter(pad.contains(s" $pfTerm "))
+      // ONE grouped aggregate serves both branches: the facet counts
+      // stay on the full query scope, while the page candidates gate on
+      // the post_filter INSIDE the aggregate (TopKByScoreAgg skips null
+      // ids) — a filter on a grouping key would instead be pushed below
+      // the aggregate into the scan, splitting the subtree and
+      // defeating the stage reuse. Each bucket also reports its
+      // post-filtered count (ES's filtered sub-agg pattern) and a chars
+      // sum — and, load-bearing for the reuse: those stats make BOTH
+      // branches reference the same scan columns, so column pruning
+      // cannot split the shared subtree into two differently-pruned
+      // scans (the failure the PlanSpec lock would catch).
+      val grouped = matched.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("source") === pfSource, 1L).otherwise(0L)).as("np"),
+        sum(col("n_chars")).as("chars"),
+        graft.expr.VecFunctions.topk_by_score(
+          when(col("source") === pfSource, col("doc_id")),
+          col("n_chars").cast("double"), pfSize).as("cand"))
+      val nullL = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      val aggRows = grouped
+        .select(lit("aggs").as("section"), col("lang").as("key"),
+          col("n").as("n_docs"), col("np").as("n_post"),
+          col("chars").cast("long").as("chars"),
+          nullL.as("rank"), nullL.as("doc_id"), nullL.as("n_chars"))
+      val hitRows = grouped
+        .select(explode(col("cand")).as("c"))
+        .agg(graft.expr.VecFunctions.topk_by_score(
+          col("c.id"), col("c.score"), pfSize).as("top"))
+        .select(posexplode(col("top")))
+        .select(lit("hits").as("section"), nullS.as("key"), nullL.as("n_docs"),
+          nullL.as("n_post"), nullL.as("chars"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"),
+          col("col.score").cast("long").as("n_chars"))
+      aggRows.unionByName(hitRows)
+    },
+    Some(s"""WITH m AS (SELECT doc_id, lang, source, n_chars FROM documents
+      |  WHERE contains(concat(' ', trim(text), ' '), ' $pfTerm ')),
+      |a AS (SELECT 'aggs' AS section, lang AS key, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN source = '$pfSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS doc_id,
+      |    CAST(NULL AS BIGINT) AS n_chars
+      |  FROM m GROUP BY lang),
+      |h AS (SELECT 'hits' AS section, CAST(NULL AS VARCHAR) AS key,
+      |    CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_post,
+      |    CAST(NULL AS BIGINT) AS chars, rank, doc_id, n_chars
+      |  FROM (SELECT doc_id, n_chars,
+      |      row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+      |    FROM m WHERE source = '$pfSource')
+      |  WHERE rank <= $pfSize)
+      |SELECT * FROM a UNION ALL SELECT * FROM h""".stripMargin))
+
   // ---------------------------------------------------------------- wrapper
   /** The `wrapper` query: a query_string shipped base64-encoded inside
     * the DSL (ES's escape hatch for clients that must embed queries in
@@ -2296,6 +2373,17 @@ object SearchExt {
       |  FROM events WHERE event_id < 20)
       |ORDER BY event_id""".stripMargin))
 
+  /** ES|QL `SHOW INFO` — the remaining source command (the fourth
+    * pipeline head next to FROM/TS/ROW): one deterministic row of
+    * engine build facts, compiled to a LocalRelation that touches no
+    * data at any SF. No wall-clock build date — results must replay. */
+  val esqlShowOp = QueryDef(
+    "ns_esql_show",
+    (s, dir) => EsqlParser.run("SHOW INFO",
+      n => throw EsqlParser.ParseError(s"SHOW INFO resolves no index ($n)", 0),
+      session = Some(s)),
+    Some("SELECT '0.1.0' AS version, '2026-08-15' AS date, 'graft' AS hash"))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2348,7 +2436,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCompletionOp, esqlFunctionsOp,
+    esqlCompletionOp, esqlFunctionsOp, esqlShowOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,
@@ -2358,6 +2446,6 @@ object SearchExt {
     rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
-    sparseVectorOp, msearchOp, searchBodyOp, wrapperOp, scrollOp, pitOp, termsEnumOp,
+    sparseVectorOp, msearchOp, searchBodyOp, postFilterOp, wrapperOp, scrollOp, pitOp, termsEnumOp,
     searchTemplateOp, msearchTemplateOp, validateOp)
 }

@@ -1378,6 +1378,17 @@ class PlanSpec extends SparkSpec {
       s"the term filter must push to the query-phase scan:\n$p")
   }
 
+  test("ns_search_post_filter: aggs and post-filtered hits share ONE executed scan") {
+    val deep = executedDeepNodes("ns_search_post_filter")
+    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans <= 1, s"post_filter ran $scans corpus scans, expected the shared query scan")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      "the aggs and hits branches must share the query-scope scan+shuffle")
+    val p = physical("ns_search_post_filter")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the hits page lost the partial-aggregating bounded top-k:\n$p")
+  }
+
   test("ns_search_msearch: N queries share ONE corpus scan — no per-query fan-out") {
     val p = physical("ns_search_msearch")
     assert(scanCount(p) == 1,
