@@ -1330,6 +1330,24 @@ class PlanSpec extends SparkSpec {
       s"a window ranks an uncut frame — a retriever stage lost its page bound:\n$p")
   }
 
+  test("ns_search_retriever_linear: bounded legs, per-page normalization stays page-side") {
+    val p = physical("ns_search_retriever_linear")
+    assert(p.toString.contains("partial_topkbyscore"),
+      s"the knn leg lost the partial-aggregating bounded top-k:\n$p")
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"the lexical leg / final cut must stay top-k heaps:\n$p")
+    // min-max stats broadcast back over their own page only — the same
+    // bounded-window rule as the rrf tree
+    val unboundedWindows = nodes(p).collect { case w: WindowExec => w }.filterNot(w =>
+      nodes(w.child).exists {
+        case _: TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case n => n.toString.contains("topkbyscore")
+      })
+    assert(unboundedWindows.isEmpty,
+      s"a window ranks an uncut frame — a linear stage lost its page bound:\n$p")
+  }
+
   test("ns_search_sparse_vector: postings-only map side, page is a top-k heap") {
     val p = physical("ns_search_sparse_vector")
     assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
