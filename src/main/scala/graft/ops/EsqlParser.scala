@@ -691,20 +691,23 @@ object EsqlParser {
     * negative shift count that Java masks mod 64 and silently match
     * wrong rows. */
   private def parseCidr(c: String): (Long, Int) = {
-    val parts = c.split("/")
+    // split with limit -1 keeps trailing empty fields: "10.0.0.0./8"
+    // must fail as a 5-octet address, not silently drop the empty tail
+    val parts = c.split("/", -1)
     if (parts.length != 2)
       throw ParseError(s"malformed CIDR block '$c' (expected a.b.c.d/p)", 0)
     val Array(addr, p) = parts
-    val octets = addr.split("\\.").map(o =>
-      scala.util.Try(o.toLong).getOrElse(
-        throw ParseError(s"malformed CIDR address '$addr'", 0)))
-    if (octets.length != 4 || octets.exists(o => o < 0 || o > 255))
+    val rawOctets = addr.split("\\.", -1)
+    // digits only — toLong's tolerance for "+5"-style signs is not a
+    // valid dotted-quad octet
+    if (rawOctets.length != 4 || rawOctets.exists(!_.matches("\\d{1,3}")))
+      throw ParseError(s"malformed CIDR address '$addr'", 0)
+    val octets = rawOctets.map(_.toLong)
+    if (octets.exists(_ > 255))
       throw ParseError(s"CIDR octets out of range in '$addr'", 0)
-    val bits = scala.util.Try(p.toInt).getOrElse(
-      throw ParseError(s"malformed CIDR prefix '/$p'", 0))
-    if (bits < 0 || bits > 32)
-      throw ParseError(s"CIDR prefix /$bits out of range (0..32)", 0)
-    (octets.reduceLeft((a, b) => a * 256L + b), bits)
+    if (!p.matches("\\d{1,2}") || p.toInt > 32)
+      throw ParseError(s"CIDR prefix /$p out of range (0..32)", 0)
+    (octets.reduceLeft((a, b) => a * 256L + b), p.toInt)
   }
 
   def compileExpr(e: Expr): Column = e match {
@@ -1195,15 +1198,21 @@ object EsqlParser {
     * length/replace arithmetic — one codegen pass, no HOF, no
     * explode. A registered inference endpoint would slot in through
     * the same RERANK seam. */
-  private[graft] def lexicalRerankScore(query: String, field: Column): Column = {
+  /** Exact term frequency of `term` in the whitespace-tokenized `field`
+    * via the bar-encoding trick (every token carries its OWN delimiters,
+    * so adjacent repeats count) — one codegen pass, no HOF. Shared by
+    * the RERANK scorer and the retriever tree's standard/rescorer
+    * nodes, so the tokenization can never drift between them. */
+  private[graft] def barTf(term: String, field: Column): Column = {
     val bar = concat(lit("|"), regexp_replace(trim(field), " ", "||"), lit("|"))
+    val needle = s"|$term|"
+    ((length(bar) - length(replace(bar, lit(needle), lit("")))) /
+      lit(needle.length)).cast("long")
+  }
+
+  private[graft] def lexicalRerankScore(query: String, field: Column): Column = {
     val terms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-    terms.map { t =>
-      val needle = s"|$t|"
-      val tf = (length(bar) - length(replace(bar, lit(needle), lit("")))) /
-        lit(needle.length)
-      least(tf.cast("long"), lit(3L))
-    }.reduce(_ + _)
+    terms.map(t => least(barTf(t, field), lit(3L))).reduce(_ + _)
   }
 
   /** Materialize `BY name = expr` grouping expressions ahead of the
@@ -1306,13 +1315,18 @@ object EsqlParser {
     * literal source from — callers that have one should pass it;
     * falling back to `SparkSession.active` is a convenience that
     * breaks if another thread stops its session concurrently. */
+  /** Shared default for the COMPLETION endpoint seam: reject unknown
+    * endpoints at plan time (the catalog registers inference endpoints). */
+  private val noCompletions: String => (DataFrame, Column, String) => DataFrame =
+    n => throw ParseError(
+      s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)
+
   def compile(cmds: Seq[Cmd], resolve: String => DataFrame,
               policies: String => (DataFrame, String) =
                 n => throw ParseError(s"unknown enrich policy $n", 0),
               session: Option[org.apache.spark.sql.SparkSession] = None,
               completions: String => (DataFrame, Column, String) => DataFrame =
-                n => throw ParseError(
-                  s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)): DataFrame = {
+                noCompletions): DataFrame = {
     val df0 = cmds.headOption match {
       case Some(From(ts, meta)) =>
         meta.filterNot(_ == "_index").foreach(m =>
@@ -1343,8 +1357,7 @@ object EsqlParser {
                        policies: String => (DataFrame, String),
                        tsMode: Boolean = false,
                        completions: String => (DataFrame, Column, String) => DataFrame =
-                         n => throw ParseError(
-                           s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)): DataFrame = {
+                         noCompletions): DataFrame = {
       cmd match {
         case From(_, _) | TsFrom(_) | RowCmd(_) =>
           throw ParseError("FROM/TS/ROW only allowed first", 0)
@@ -1377,10 +1390,16 @@ object EsqlParser {
             val cols = aggs.map { case (n, a) => compileAggRaw(a).as(n) }
             // An aggregate named like an existing column must OVERWRITE
             // it (the BY branch's withColumn semantics) — drop the
-            // clashing source columns before the join, like ENRICH
+            // clashing source columns before the join, like ENRICH —
+            // and the final projection restores the ORIGINAL column
+            // order (withColumn overwrites in place; drop+join would
+            // otherwise relocate the overwritten column to the end)
             val clashes = aggs.map(_._1).filter(df1.columns.contains)
-            df1.drop(clashes: _*)
+            val joined = df1.drop(clashes: _*)
               .crossJoin(broadcast(df1.agg(cols.head, cols.tail: _*)))
+            val outOrder = df1.columns ++
+              aggs.map(_._1).filterNot(df1.columns.contains)
+            joined.select(outOrder.map(col): _*)
           } else {
             import org.apache.spark.sql.expressions.Window
             val w = Window.partitionBy(by.map(col): _*)
@@ -1564,7 +1583,6 @@ object EsqlParser {
             n => throw ParseError(s"unknown enrich policy $n", 0),
           session: Option[org.apache.spark.sql.SparkSession] = None,
           completions: String => (DataFrame, Column, String) => DataFrame =
-            n => throw ParseError(
-              s"unknown completion endpoint $n (the catalog registers inference endpoints)", 0)): DataFrame =
+            noCompletions): DataFrame =
     compile(parse(query), resolve, policies, session, completions)
 }

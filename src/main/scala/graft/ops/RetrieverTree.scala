@@ -66,15 +66,11 @@ object RetrieverTree {
   final case class RLinear(children: Seq[(Retriever, Double)],
                            window: Int) extends Retriever
 
-  /** Exact term frequency of `term` in the whitespace-tokenized `field`
-    * via the bar-encoding trick (every token carries its OWN delimiters,
-    * so adjacent repeats count) — one codegen pass, no HOF. */
-  private def tfOf(term: String, field: Column): Column = {
-    val bar = concat(lit("|"), regexp_replace(trim(field), " ", "||"), lit("|"))
-    val needle = s"|$term|"
-    ((length(bar) - length(replace(bar, lit(needle), lit("")))) /
-      lit(needle.length)).cast("long")
-  }
+  /** Exact term frequency via the shared bar-encoding helper — ONE
+    * implementation with the RERANK scorer (EsqlParser.barTf), so the
+    * standard leaf and the reranker can never drift in tokenization. */
+  private def tfOf(term: String, field: Column): Column =
+    EsqlParser.barTf(term, field)
 
   /** Rank a page frame (already ≤ window rows) by (_score DESC, id) —
     * page-bounded by construction, the rrf-leg discipline. */
@@ -147,13 +143,21 @@ object RetrieverTree {
         .orderBy(col("_score").desc, col("id")).limit(w)
     case RRule(pinned, child, w) =>
       import s.implicits._
-      // synthetic descending scores keep the pinned order ahead of any
-      // organic score — the same derivation the oracle replays
-      val pins = pinned.zipWithIndex
-        .map { case (id, i) => (id, 1e6 - i) }.toDF("id", "_score")
-      compile(s, dir, child)
+      // Pinned scores must be COMPOSITIONAL: derived from the child
+      // page's own max (childMax + len − i), not a fixed constant — a
+      // fixed 1e6 ties/loses against a NESTED rule child's pins, putting
+      // the inner pins ahead of the outer node's (ES puts the outermost
+      // rule's pins first). The max aggregate runs over the ≤window-row
+      // page — page-bounded, broadcast back.
+      val organic = compile(s, dir, child)
         .filter(!col("id").isin(pinned: _*))
-        .unionByName(pins)
+      val mx = organic.agg(coalesce(max(col("_score")), lit(0.0)).as("__mx"))
+      val pins = pinned.zipWithIndex
+        .map { case (id, i) => (id, (pinned.length - i).toDouble) }
+        .toDF("id", "__boost")
+        .crossJoin(broadcast(mx))
+        .select(col("id"), (col("__mx") + col("__boost")).as("_score"))
+      organic.unionByName(pins)
         .orderBy(col("_score").desc, col("id")).limit(w)
   }
 
@@ -204,11 +208,12 @@ object RetrieverTree {
       |    + least((length(d.bar) - length(replace(d.bar, '|pipeline|', ''))) // 10, 3) AS sc
       |  FROM fup p JOIN bar d ON d.id = p.id),
       |rrp AS (SELECT id, CAST(sc AS DOUBLE) AS s FROM rr ORDER BY sc DESC, id LIMIT 10),
-      |pins(id, s) AS (VALUES ${treePinned.zipWithIndex.map {
-        case (id, i) => s"(CAST($id AS BIGINT), CAST(${1e6 - i} AS DOUBLE))"
+      |pins(id, b) AS (VALUES ${treePinned.zipWithIndex.map {
+        case (id, i) => s"(CAST($id AS BIGINT), CAST(${treePinned.length - i} AS DOUBLE))"
       }.mkString(", ")}),
-      |ru AS (SELECT id, s FROM pins UNION ALL
-      |  SELECT id, s FROM rrp WHERE id NOT IN (SELECT id FROM pins)),
+      |ex AS (SELECT id, s FROM rrp WHERE id NOT IN (SELECT id FROM pins)),
+      |mx AS (SELECT coalesce(max(s), 0) AS m FROM ex),
+      |ru AS (SELECT id, s FROM ex UNION ALL SELECT id, m + b AS s FROM pins, mx),
       |fin AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rank
       |  FROM ru)
       |SELECT rank, id AS doc_id, round(s, 6) AS score

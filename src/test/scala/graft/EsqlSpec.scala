@@ -653,6 +653,11 @@ class EsqlSpec extends SparkSpec {
     assertThrows[ParseError](q("10.0.0/8"))
     assertThrows[ParseError](q("10.0.0.0"))
     assertThrows[ParseError](q("10.0.0.0/x"))
+    // trailing-dot addresses and signed octets/prefixes are malformed,
+    // not silently tolerated via split()'s dropped empty tail / toLong
+    assertThrows[ParseError](q("10.0.0.0./8"))
+    assertThrows[ParseError](q("10.0.+1.0/8"))
+    assertThrows[ParseError](q("10.0.0.0/+8"))
     // boundary prefixes stay legal
     assert(q("10.1.2.3/32").count() == 1L)
     assert(q("0.0.0.0/0").count() == 1L)
@@ -677,6 +682,11 @@ class EsqlSpec extends SparkSpec {
       "FROM t | INLINESTATS n = COUNT(*) | SORT id | KEEP id, n").collect()
     assert(noBy.map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L, 5L, 5L),
       "the aggregate must replace the source column, not duplicate it")
+    // and it overwrites IN PLACE: the no-BY branch keeps the original
+    // column order, same as the BY branch's withColumn
+    val cols = run("FROM t | INLINESTATS n = COUNT(*)").columns.toSeq
+    assert(cols == Seq("id", "cat", "n", "x"),
+      s"no-BY INLINESTATS relocated the overwritten column: $cols")
   }
 
   test("range ENRICH: overlapping intervals yield ONE deterministic match (max_matches=1)") {

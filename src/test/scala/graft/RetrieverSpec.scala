@@ -50,6 +50,18 @@ class RetrieverSpec extends SparkSpec {
     assert(scores.head >= 0.7 - 1e-9)
   }
 
+  test("rule composes: NESTED rule pins never outrank the outer node's pins") {
+    // the outer rule's pins must lead even when the child is itself a
+    // rule whose pins carry boosted scores (the compositional contract:
+    // pinned scores derive from the child page's max, not a constant)
+    val rows = page(RRule(Seq(20L),
+      RRule(Seq(3L), RStandard("spark", 5), 5), 5))
+    assert(rows.head.getLong(0) == 20L,
+      "the OUTER rule's pin must lead the page")
+    assert(rows.map(_.getLong(0)).slice(1, 2).headOption.contains(3L),
+      "the inner pin follows, ahead of the organic hits")
+  }
+
   test("rescorer: identity weights preserve the child's ranking; rescore-only scores are the tf") {
     val child = page(RStandard("spark", 10))
     // query_weight 1, rescore_weight 0 → the child's page, same order
