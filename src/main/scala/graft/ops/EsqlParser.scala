@@ -887,6 +887,33 @@ object EsqlParser {
         slice(compileExpr(x), a.toInt + 1, b.toInt - a.toInt + 1)
       case ("MV_CONCAT", Seq(x, StrLit(d))) => array_join(compileExpr(x), d)
       case ("MV_APPEND", Seq(a, b)) => concat(compileExpr(a), compileExpr(b))
+      // numeric multivalue stats: elements cast to double FIRST (the
+      // MV_SUM discipline), then sorted numerically. MV_MEDIAN averages
+      // the middle pair (odd n picks the same middle twice — exact);
+      // MV_PERCENTILE is the standard (n−1)·p linear interpolation,
+      // DuckDB's quantile_cont formula.
+      case ("MV_MEDIAN", Seq(x)) =>
+        val s0 = sort_array(transform(compileExpr(x), v => v.cast("double")))
+        val n = size(s0)
+        when(n === 0, lit(null).cast("double")).otherwise(
+          (element_at(s0, ((n + 1) / 2).cast("int")) +
+            element_at(s0, (n / 2).cast("int") + 1)) / 2)
+      case ("MV_PERCENTILE", Seq(x, NumLit(p))) =>
+        val s0 = sort_array(transform(compileExpr(x), v => v.cast("double")))
+        val n = size(s0)
+        val h = (n - 1).cast("double") * lit(p.toDouble / 100)
+        val lo = floor(h).cast("int")
+        when(n === 0, lit(null).cast("double")).otherwise(
+          element_at(s0, lo + 1) +
+            (h - lo.cast("double")) *
+            (element_at(s0, least(lo + 2, n)) - element_at(s0, lo + 1)))
+      // MV_ZIP pairs values with a delimiter; the longer side's excess
+      // values pass through bare (zip_with pads with null, concat_ws
+      // skips it — exactly ES's contract)
+      case ("MV_ZIP", Seq(a, b)) =>
+        zip_with(compileExpr(a), compileExpr(b), (x, y) => concat_ws(",", x, y))
+      case ("MV_ZIP", Seq(a, b, StrLit(d))) =>
+        zip_with(compileExpr(a), compileExpr(b), (x, y) => concat_ws(d, x, y))
       // ---------------- date functions. DATE_TRUNC takes ES|QL's span
       // literal (`1 day`, `4 hours`): calendar units truncate via
       // date_trunc (multiples >1 are rejected — ES's calendar/fixed

@@ -2341,8 +2341,13 @@ object SearchExt {
       |       dg = ROUND(TO_DEGREES(d), 6), rd = ROUND(TO_RADIANS(dg), 6),
       |       yy = DATE_EXTRACT("year", tsu), dow = DATE_EXTRACT("day_of_week", tsu),
       |       doy = DATE_EXTRACT("day_of_year", tsu), hh = DATE_EXTRACT("hour_of_day", tsu)
+      || EVAL v = SPLIT(CONCAT(TO_STRING(event_id % 7), ",",
+      |                 TO_STRING(event_id % 5), ",", TO_STRING(event_id % 3)), ","),
+      |       md = MV_MEDIAN(v), pc = ROUND(MV_PERCENTILE(v, 75), 6),
+      |       zp = MV_CONCAT(MV_ZIP(v, v, "-"), "|")
       || KEEP event_id, rev, rep, pad, bl, byl, h1, h2, b64, rtp, sn, cs, tn,
-      |       asn, acs, at, at2, sh, ch, th, cb, hy, cst, dg, rd, yy, dow, doy, hh
+      |       asn, acs, at, at2, sh, ch, th, cb, hy, cst, dg, rd, yy, dow, doy, hh,
+      |       md, pc, zp
       || SORT event_id""".stripMargin
   val esqlFunctionsOp = QueryDef(
     "ns_esql_functions",
@@ -2367,9 +2372,17 @@ object SearchExt {
       |  CAST(extract(year FROM ts) AS BIGINT) AS yy,
       |  CAST(extract(isodow FROM ts) AS BIGINT) AS dow,
       |  CAST(extract(doy FROM ts) AS BIGINT) AS doy,
-      |  CAST(extract(hour FROM ts) AS BIGINT) AS hh
+      |  CAST(extract(hour FROM ts) AS BIGINT) AS hh,
+      |  list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE)), 'median') AS md,
+      |  round(list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE)),
+      |    'quantile_cont', 0.75), 6) AS pc,
+      |  array_to_string(list_transform(list_zip(v, v),
+      |    p -> concat_ws('-', p[1], p[2])), '|') AS zp
       |FROM (SELECT event_id, event_type, ts,
-      |    (event_id % 10) / 10.0 AS d, round(value, 2) AS vx
+      |    (event_id % 10) / 10.0 AS d, round(value, 2) AS vx,
+      |    string_split(concat(CAST(event_id % 7 AS VARCHAR), ',',
+      |      CAST(event_id % 5 AS VARCHAR), ',',
+      |      CAST(event_id % 3 AS VARCHAR)), ',') AS v
       |  FROM events WHERE event_id < 20)
       |ORDER BY event_id""".stripMargin))
 

@@ -420,7 +420,9 @@ class EsqlSpec extends SparkSpec {
         |       fi = MV_FIRST(v), la = MV_LAST(v),
         |       sl = MV_CONCAT(MV_SLICE(v, 1, 2), "-"),
         |       ap = MV_COUNT(MV_APPEND(v, v)),
-        |       sm = MV_SUM(v), av = MV_AVG(v)
+        |       sm = MV_SUM(v), av = MV_AVG(v),
+        |       md = MV_MEDIAN(v), pc = MV_PERCENTILE(v, 50),
+        |       zp = MV_CONCAT(MV_ZIP(MV_SLICE(v, 0, 1), v, "~"), "|")
         || DROP s, v""".stripMargin, _ => fail("ROW"), session = Some(spark)).head()
     assert(r.getAs[String]("mn") == "1" && r.getAs[String]("mx") == "3")
     assert(r.getAs[Long]("dd") == 3L)
@@ -429,6 +431,10 @@ class EsqlSpec extends SparkSpec {
     assert(r.getAs[String]("sl") == "1-2")
     assert(r.getAs[Long]("ap") == 8L)
     assert(r.getAs[Double]("sm") == 8.0 && r.getAs[Double]("av") == 2.0)
+    // v = [3,1,2,2] → sorted doubles [1,2,2,3]: median (2+2)/2, p50 same
+    assert(r.getAs[Double]("md") == 2.0 && r.getAs[Double]("pc") == 2.0)
+    // zip pads the shorter side: leftover values pass through bare
+    assert(r.getAs[String]("zp") == "3~3|1~1|2|2")
   }
 
   test("the registry pipelines parse to the expected command shapes") {
