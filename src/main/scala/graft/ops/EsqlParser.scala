@@ -888,18 +888,27 @@ object EsqlParser {
       case ("MV_CONCAT", Seq(x, StrLit(d))) => array_join(compileExpr(x), d)
       case ("MV_APPEND", Seq(a, b)) => concat(compileExpr(a), compileExpr(b))
       // numeric multivalue stats: elements cast to double FIRST (the
-      // MV_SUM discipline), then sorted numerically. MV_MEDIAN averages
-      // the middle pair (odd n picks the same middle twice — exact);
+      // MV_SUM discipline), degenerate elements DROPPED (a null element,
+      // or a non-numeric string that casts to null, would sort first and
+      // still be counted by size() — silently shifting every rank
+      // position), then sorted numerically. MV_MEDIAN averages the
+      // middle pair (odd n picks the same middle twice — exact);
       // MV_PERCENTILE is the standard (n−1)·p linear interpolation,
-      // DuckDB's quantile_cont formula.
+      // DuckDB's quantile_cont formula, with p validated at plan time
+      // (an out-of-range p would drive element_at out of bounds — a
+      // silent null/ANSI error instead of the ParseError contract).
       case ("MV_MEDIAN", Seq(x)) =>
-        val s0 = sort_array(transform(compileExpr(x), v => v.cast("double")))
+        val s0 = sort_array(filter(
+          transform(compileExpr(x), v => v.cast("double")), v => v.isNotNull))
         val n = size(s0)
         when(n === 0, lit(null).cast("double")).otherwise(
           (element_at(s0, ((n + 1) / 2).cast("int")) +
             element_at(s0, (n / 2).cast("int") + 1)) / 2)
       case ("MV_PERCENTILE", Seq(x, NumLit(p))) =>
-        val s0 = sort_array(transform(compileExpr(x), v => v.cast("double")))
+        if (p < 0 || p > 100)
+          throw ParseError(s"MV_PERCENTILE expects p in [0, 100], got $p", 0)
+        val s0 = sort_array(filter(
+          transform(compileExpr(x), v => v.cast("double")), v => v.isNotNull))
         val n = size(s0)
         val h = (n - 1).cast("double") * lit(p.toDouble / 100)
         val lo = floor(h).cast("int")
@@ -1369,10 +1378,13 @@ object EsqlParser {
         session.getOrElse(org.apache.spark.sql.SparkSession.active).range(1)
           .select(as.map { case (n, e) => compileExpr(e).as(n) }: _*)
       case Some(ShowInfo) =>
-        // deterministic build facts (no wall clock — results must replay)
+        // deterministic build facts (no wall clock — results must replay);
+        // values come from the committed graft-build.properties resource,
+        // shared with the ns_esql_show oracle so neither side can drift
         session.getOrElse(org.apache.spark.sql.SparkSession.active).range(1)
-          .select(lit("0.1.0").as("version"), lit("2026-08-15").as("date"),
-            lit("graft").as("hash"))
+          .select(lit(graft.BuildInfo.version).as("version"),
+            lit(graft.BuildInfo.date).as("date"),
+            lit(graft.BuildInfo.hash).as("hash"))
       case _ => throw ParseError("query must start with FROM, TS, ROW or SHOW", 0)
     }
     val tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])

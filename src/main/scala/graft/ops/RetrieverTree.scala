@@ -152,9 +152,15 @@ object RetrieverTree {
       val organic = compile(s, dir, child)
         .filter(!col("id").isin(pinned: _*))
       val mx = organic.agg(coalesce(max(col("_score")), lit(0.0)).as("__mx"))
-      val pins = pinned.zipWithIndex
-        .map { case (id, i) => (id, (pinned.length - i).toDouble) }
-        .toDF("id", "__boost")
+      // ES query-rules pin documents by _id; a pinned id that matches no
+      // document is simply ABSENT from the hits, never fabricated —
+      // existence-filter the pin list against the corpus before the
+      // union. The ≤|pins|-row list broadcasts into one map-side hash
+      // join probe of the documents scan (no shuffle, no second pass).
+      val pins = Tables.documents(s, dir).select(col("doc_id").as("id"))
+        .join(broadcast(pinned.zipWithIndex
+          .map { case (id, i) => (id, (pinned.length - i).toDouble) }
+          .toDF("id", "__boost")), Seq("id"))
         .crossJoin(broadcast(mx))
         .select(col("id"), (col("__mx") + col("__boost")).as("_score"))
       organic.unionByName(pins)
@@ -213,7 +219,8 @@ object RetrieverTree {
       }.mkString(", ")}),
       |ex AS (SELECT id, s FROM rrp WHERE id NOT IN (SELECT id FROM pins)),
       |mx AS (SELECT coalesce(max(s), 0) AS m FROM ex),
-      |ru AS (SELECT id, s FROM ex UNION ALL SELECT id, m + b AS s FROM pins, mx),
+      |pinsx AS (SELECT p.id, p.b FROM pins p JOIN documents d ON d.doc_id = p.id),
+      |ru AS (SELECT id, s FROM ex UNION ALL SELECT id, m + b AS s FROM pinsx, mx),
       |fin AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rank
       |  FROM ru)
       |SELECT rank, id AS doc_id, round(s, 6) AS score

@@ -2395,7 +2395,8 @@ object SearchExt {
     (s, dir) => EsqlParser.run("SHOW INFO",
       n => throw EsqlParser.ParseError(s"SHOW INFO resolves no index ($n)", 0),
       session = Some(s)),
-    Some("SELECT '0.1.0' AS version, '2026-08-15' AS date, 'graft' AS hash"))
+    Some(s"SELECT '${graft.BuildInfo.version}' AS version, " +
+      s"'${graft.BuildInfo.date}' AS date, '${graft.BuildInfo.hash}' AS hash"))
 
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad

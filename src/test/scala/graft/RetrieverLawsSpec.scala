@@ -44,7 +44,11 @@ class RetrieverLawsSpec extends SparkSpec {
       } yield RRescorer(c, t, qw / 10.0, rw / 10.0, w)),
       1 -> (for {
         c <- tree(depth - 1)
-        pins <- Gen.listOfN(2, Gen.chooseNum(0L, 30L))
+        // some pins deliberately name ids beyond the corpus (doc_id <
+        // 500 at sf0.001): ES query-rules pinned documents that don't
+        // exist are simply ABSENT from the hits, never fabricated
+        pins <- Gen.listOfN(2, Gen.oneOf(
+          Gen.chooseNum(0L, 30L), Gen.chooseNum(100000L, 100030L)))
         w <- Gen.chooseNum(3, 12)
       } yield RRule(pins.toSeq.distinct, c, w)))
 
@@ -67,8 +71,14 @@ class RetrieverLawsSpec extends SparkSpec {
       }
       r match {
         case RRule(pins, _, w) =>
-          val lead = rows.take(math.min(pins.length, w)).map(_.getLong(0)).toSeq
-          assert(lead == pins.take(w), s"pins not leading for $r")
+          // only pins that EXIST in the corpus surface (the ES
+          // query-rules contract); existing ones lead in pin order
+          val existing = pins.filter(_ < 500L)
+          val lead = rows.take(math.min(existing.length, w)).map(_.getLong(0)).toSeq
+          assert(lead == existing.take(w), s"existing pins not leading for $r")
+          val ghost = pins.filter(_ >= 500L).toSet
+          assert(ids.forall(!ghost.contains(_)),
+            s"nonexistent pinned id fabricated into the page for $r")
         case _ => ()
       }
     }
