@@ -87,4 +87,25 @@ object Tables {
           s"events.ts has unsupported parquet type $other — expected LONG (nanos) or TIMESTAMP[_NTZ]")
     }
   }
+
+  /** Date-partitioned twin of `events` — the ES time-index layout
+    * (`logs-2026.08.*` ≈ one partition per UTC day, `dt=YYYY-MM-DD`).
+    * At 100 TB this layout is THE scan discipline for date-bounded
+    * queries: a dashboard's two-week window must prune 14/30 day
+    * partitions at FILE-LISTING time (PartitionFilters), not merely
+    * skip row groups after opening every file (PushedFilters). The
+    * twin is built once per source snapshot (Artifacts.buildOnce
+    * keyed by the source file identity) with the scan's natural write
+    * parallelism, then only ever scanned; `dt` comes back as a DATE
+    * partition column via partition discovery. Row set and every
+    * non-dt column are byte-identical to `events`, so oracles over the
+    * flat table stay valid. PlanSpec asserts the date-bounded keys
+    * read this twin with non-empty PartitionFilters and a pruned
+    * partition count. */
+  def eventsDt(spark: SparkSession, dir: String): DataFrame =
+    ops.Artifacts.buildOnce(spark, s"$dir/events.parquet", "events_dt") { path =>
+      events(spark, dir)
+        .withColumn("dt", to_date(col("tsu")))
+        .write.partitionBy("dt").mode("overwrite").parquet(path)
+    }
 }

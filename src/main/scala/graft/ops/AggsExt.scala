@@ -963,14 +963,21 @@ object AggsExt {
 
   // -------------------------------------------------------------- date_range
   /** The `date_range` aggregation — range's calendar sibling: explicit
-    * from-to date bands with ES's `*-to` / `from-to` / `from-*` keys.
-    * The band key is a codegen CASE over the raw timestamp (epoch-ms
-    * comparisons, no formatting in the hot path), map-side partials
-    * into ≤ |bands| groups — one pass, constant shuffle. */
+    * from-to date bands with ES's `*-to` / `from-to` / `from-*` keys,
+    * inside the enclosing request's query-scope time window (ES
+    * aggregates over the QUERY's document set; every real request
+    * carries a time range). The window binds to the date-partitioned
+    * twin's `dt` partition column — day-granular, so it is EXACT, and
+    * it prunes 20/30 day partitions at file-listing time
+    * (PlanSpec-locked). The band key is a codegen CASE over the raw
+    * timestamp (epoch-ms comparisons, no formatting in the hot path),
+    * map-side partials into ≤ |bands| groups — one pass, constant
+    * shuffle. */
+  private val dateRangeScope = ("2024-01-05", "2024-01-24") // inclusive days
   private val dateRangeBands: Seq[(String, Option[String], Option[String])] = Seq(
-    ("*-2024-02-01", None, Some("2024-02-01")),
-    ("2024-02-01-2024-04-01", Some("2024-02-01"), Some("2024-04-01")),
-    ("2024-04-01-*", Some("2024-04-01"), None))
+    ("*-2024-01-10", None, Some("2024-01-10")),
+    ("2024-01-10-2024-01-20", Some("2024-01-10"), Some("2024-01-20")),
+    ("2024-01-20-*", Some("2024-01-20"), None))
   private val dateRangeCase: String = {
     val arms = dateRangeBands.map { case (key, from, to) =>
       val cond = (from.map(f => s"ts_ms >= epoch_ms(TIMESTAMP '$f 00:00:00')") ++
@@ -983,12 +990,16 @@ object AggsExt {
     "ns_agg_date_range",
     s"""SELECT $dateRangeCase AS band, count(*) AS doc_count,
        |  ${sqlSum(sqlCents("value"))} AS sum_value_c
-       |FROM (SELECT epoch_ms(ts) AS ts_ms, value FROM events)
+       |FROM (SELECT epoch_ms(ts) AS ts_ms, value FROM events
+       |  WHERE ts >= TIMESTAMP '${dateRangeScope._1} 00:00:00'
+       |    AND ts < TIMESTAMP '2024-01-25 00:00:00')
        |GROUP BY 1""".stripMargin) { (s, dir) =>
     // Spark epoch_ms equivalent: unix_millis(timestamp) — keep the CASE
     // text identical modulo that one dialect call
     val sparkCase = dateRangeCase.replace("epoch_ms(", "unix_millis(")
-    Tables.events(s, dir)
+    Tables.eventsDt(s, dir)
+      .filter(col("dt") >= lit(java.sql.Date.valueOf(dateRangeScope._1)) &&
+        col("dt") <= lit(java.sql.Date.valueOf(dateRangeScope._2)))
       .select(col("ts_ms"), col("value"))
       .groupBy(expr(sparkCase).as("band"))
       .agg(count(lit(1)).as("doc_count"),

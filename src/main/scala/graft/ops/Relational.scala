@@ -58,14 +58,23 @@ object Relational {
 
   /** Kibana-style date_histogram with a terms split — THE dashboard
     * query the reference's downstream (OpenSearch + Kibana over log
-    * events) exists to serve: calendar-day buckets × event_type series,
-    * each carrying count/sum/avg/min/max stats. Bucket count is bounded
-    * by the time span (days), never the event count, so the aggregate
-    * output stays dashboard-sized at any SF; the group-by partial-
-    * aggregates map-side and shuffles only (day, type) groups. Exact
+    * events) exists to serve: a two-week time window (every Kibana
+    * request carries one), calendar-day buckets × event_type series,
+    * each carrying count/sum/avg/min/max stats. Reads the
+    * date-partitioned twin (Tables.eventsDt — the ES time-index
+    * layout), so the window prunes whole day partitions at file-listing
+    * time: PlanSpec asserts non-empty PartitionFilters and 14/30
+    * partitions read — the at-scale discipline where the other 16 days
+    * of files are never even listed. Bucket count is bounded by the
+    * time span (days), never the event count, so the aggregate output
+    * stays dashboard-sized at any SF; the group-by partial-aggregates
+    * map-side and shuffles only (day, type) groups — and the bucket key
+    * IS the partition column (day == dt), zero recomputation. Exact
     * parity discipline: value sums in integer cents (Exact.scala), avg
     * derived from the exact cents sum by one double division, min/max
     * of doubles are accumulation-order independent as-is. */
+  private[graft] val histoFrom = "2024-01-08"
+  private[graft] val histoTo = "2024-01-21" // inclusive day bounds, 14 days
   val dateHistogram: QueryDef = q(
     "ns_date_histogram",
     s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
@@ -75,9 +84,13 @@ object Relational {
        |  min(value) AS min_value,
        |  max(value) AS max_value
        |FROM events
+       |WHERE ts >= TIMESTAMP '$histoFrom 00:00:00'
+       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+    Tables.eventsDt(s, dir)
+      .filter(col("dt") >= lit(java.sql.Date.valueOf(histoFrom)) &&
+        col("dt") <= lit(java.sql.Date.valueOf(histoTo)))
+      .groupBy(col("dt").as("day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(cents(col("value"))).as("sum_value_c"),

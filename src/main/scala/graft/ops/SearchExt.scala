@@ -352,19 +352,26 @@ object SearchExt {
        |ORDER BY $jlhDerive DESC, term LIMIT $sigTextK""".stripMargin))
 
   // ------------------------------------------------------------------- range
-  /** The `range` query over a numeric field — the one DSL query whose
-    * whole body is scan-native: both bounds reach PushedFilters and
-    * row-group stats skip non-overlapping parquet chunks
-    * (PlanSpec-locked). Returns matching documents, the filter-context
-    * shape. */
+  /** The `range` query over a numeric field, inside the time window
+    * every real search request carries — the one DSL query whose whole
+    * body is scan-native: the numeric bounds and keyword term reach
+    * PushedFilters (row-group stats skip non-overlapping parquet
+    * chunks), while the time window hits the date-partitioned twin's
+    * `dt` partition column and prunes whole day partitions at
+    * file-listing time (both PlanSpec-locked). Returns matching
+    * documents, the filter-context shape. */
   val rangeQueryOp = QueryDef(
     "ns_search_range",
-    (s, dir) => Tables.events(s, dir)
-      .filter(col("value") >= 100.0 && col("value") < 250.0 &&
+    (s, dir) => Tables.eventsDt(s, dir)
+      .filter(col("dt") >= lit(java.sql.Date.valueOf("2024-01-08")) &&
+        col("dt") <= lit(java.sql.Date.valueOf("2024-01-21")) &&
+        col("value") >= 100.0 && col("value") < 250.0 &&
         col("event_type") === "view")
       .select("event_id", "event_type", "value"),
     Some("""SELECT event_id, event_type, value FROM events
-      |WHERE value >= 100.0 AND value < 250.0 AND event_type = 'view'""".stripMargin))
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |  AND value >= 100.0 AND value < 250.0 AND event_type = 'view'""".stripMargin))
 
   // ------------------------------------------------------------- span_first
   /** The `span_first` query: the term must occur within the first N
@@ -1104,24 +1111,37 @@ object SearchExt {
     * bounds — the pinned upper bound (`ts <=` boundary: rows arriving
     * after the open are invisible on every page, the property PIT
     * exists for) and the keyset cursor lower bound (the scroll
-    * discipline — deep pages without a global sort). Per page: one
-    * pruned scan with both bounds in PushedFilters + a
-    * TakeOrderedAndProject heap (PlanSpec-locked). */
+    * discipline — deep pages without a global sort). The same bounds
+    * are mirrored at DAY granularity onto the date-partitioned twin's
+    * `dt` partition column (a coarse superset of the precise ts
+    * bounds, so the row set is untouched): the snapshot boundary prunes
+    * the future-day partitions on EVERY page, and each cursor advances
+    * the lower partition bound — deep pages list ever-fewer day
+    * directories, which at 100 TB is the difference between touching
+    * 30 days of files and touching the one day the page lives in. Per
+    * page: one partition-and-rowgroup-pruned scan with both precise
+    * bounds in PushedFilters + a TakeOrderedAndProject heap
+    * (PlanSpec-locked, including non-empty PartitionFilters). */
   private val pitPages = 3
   private val pitSize = 10
   private val pitBoundaryMicros = 1705708800000000L // 2024-01-20T00:00:00Z
+  private def microsDay(epochMicros: Long): java.sql.Date =
+    java.sql.Date.valueOf(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(epochMicros, 1000000L)).atZone(java.time.ZoneOffset.UTC).toLocalDate)
   val pitOp = QueryDef(
     "ns_search_pit",
     (s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.eventsDt(s, dir)
       val micros = Tables.tsMicros(ev)
       val pinned = ev.filter(col("ts") <= Tables.tsLiteral(ev, pitBoundaryMicros))
+        .filter(col("dt") <= lit(microsDay(pitBoundaryMicros)))
       var cursor: Option[(Long, Long)] = None
       val pages = (1 to pitPages).map { p =>
         val base = cursor match {
           case None => pinned
           case Some((cMicros, cId)) =>
             pinned.filter(col("ts") >= Tables.tsLiteral(ev, cMicros))
+              .filter(col("dt") >= lit(microsDay(cMicros)))
               .filter(micros > cMicros || (micros === cMicros && col("event_id") > cId))
         }
         val page = base

@@ -1580,6 +1580,55 @@ class PlanSpec extends SparkSpec {
   }
   private val pitPagesForTest = 3
 
+  /** Partition pruning on the time-partitioned twin (Tables.eventsDt —
+    * the ES time-index layout, dt=YYYY-MM-DD): a date-bounded query must
+    * prune whole DAY PARTITIONS at file-listing time (PartitionFilters +
+    * selectedPartitions), not merely skip row groups after listing every
+    * file. This is the single most important scan discipline at 100 TB —
+    * the pruned days' files are never listed, opened, or scheduled. */
+  private def eventsDtScans(p: SparkPlan) = nodes(p).collect {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/events_dt/")) => f
+  }
+
+  test("date-bounded keys prune day partitions on the time-partitioned events twin") {
+    // testdata spans 2024-01-01..30 → the twin carries 30 day partitions
+    val total = Tables.eventsDt(spark, sfDir).select("dt").distinct().count()
+    assert(total == 30L, s"expected 30 day partitions in the twin, got $total")
+    // key → exact day-partition count its window selects
+    for ((key, want) <- Seq("ns_date_histogram" -> 14, "ns_search_range" -> 14,
+        "ns_agg_date_range" -> 20)) {
+      val p = physical(key)
+      val scans = eventsDtScans(p)
+      assert(scans.nonEmpty, s"$key no longer reads the date-partitioned twin:\n$p")
+      scans.foreach { f =>
+        val pf = f.metadata.getOrElse("PartitionFilters", "")
+        assert(pf.contains("dt") && !pf.startsWith("[]"),
+          s"$key: the time window must reach PartitionFilters, got '$pf'\n$p")
+        val read = f.selectedPartitions.partitionCount
+        assert(read == want,
+          s"$key read $read day partitions, want $want of $total\n$p")
+      }
+    }
+  }
+
+  test("ns_search_pit pages prune day partitions: snapshot bound caps every page") {
+    val df = SparkEntry.queries("ns_search_pit")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      val pf = f.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("dt"),
+        s"PIT page scan lost the day-granular partition bound: '$pf'")
+      // dt <= 2024-01-20 (the snapshot boundary) selects 20 of 30 days;
+      // cursor pages may prune further from below, never read more
+      val read = f.selectedPartitions.partitionCount
+      assert(read <= 20, s"PIT page read $read day partitions, max 20")
+    }
+  }
+
   test("ns_search_mvt: the requested tile prunes the dim; probe side unshuffled") {
     val p = physical("ns_search_mvt")
     assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),

@@ -64,4 +64,18 @@ class TablesSpec extends SparkSpec {
     val drift = ev.filter(Tables.tsMicros(ev).divide(1000).cast(LongType) =!= col("ts_ms"))
     assert(drift.head(1).isEmpty, "tsMicros and ts_ms disagree")
   }
+
+  test("eventsDt twin: same rows, dt is a DATE partition column equal to date(tsu)") {
+    val ev = Tables.events(spark, sfDir)
+    val twin = Tables.eventsDt(spark, sfDir)
+    assert(twin.schema("dt").dataType == DateType,
+      s"dt must come back as DATE via partition discovery, got ${twin.schema("dt").dataType}")
+    assert(twin.count() == ev.count(), "the partitioned twin lost/duplicated rows")
+    // dt is exactly the UTC day of the instant — the invariant that makes
+    // day-granular dt windows EXACT (not just coarse) for the oracles
+    val bad = twin.filter(col("dt") =!= to_date(col("tsu")))
+    assert(bad.head(1).isEmpty, s"dt != date(tsu): ${bad.head(1).mkString}")
+    // every event column survives the round trip
+    ev.columns.foreach(c => assert(twin.columns.contains(c), s"twin lost column $c"))
+  }
 }
