@@ -98,6 +98,13 @@ object EsqlParser {
   final case class Ident(name: String) extends Expr
   final case class NumLit(v: BigDecimal) extends Expr
   final case class StrLit(s: String) extends Expr
+  /** A pinned instant (epoch micros) — the value a `?param` of timestamp
+    * type binds to. ES|QL's request parameters are how a client says
+    * "now" DETERMINISTICALLY: the coordinator pins the instant once per
+    * request (`?_tstart`-style params) and every shard replays the same
+    * literal; this engine takes the same stance instead of a wall-clock
+    * NOW() whose results could never replay byte-equal. */
+  final case class TsLit(epochMicros: Long) extends Expr
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
@@ -219,7 +226,7 @@ object EsqlParser {
       if (c.isWhitespace) i += 1
       else if (i + 1 < q.length && twoCharSyms(q.substring(i, i + 2))) {
         out += TSym(q.substring(i, i + 2), i); i += 2
-      } else if ("|,()=<>+-*/%".indexOf(c) >= 0) {
+      } else if ("|,()=<>+-*/%?".indexOf(c) >= 0) {
         out += TSym(c.toString, i); i += 1
       } else if (c == '"') {
         // \" and \\ escapes so DISSECT/GROK patterns can quote and backslash
@@ -249,8 +256,30 @@ object EsqlParser {
     out.result()
   }
 
+  /** Convert a request-parameter VALUE to its literal Expr — the JSON
+    * value kinds ES|QL params accept (string, number) plus a pinned
+    * instant for the deterministic-now idiom. */
+  def param(v: Any): Expr = v match {
+    case s: String => StrLit(s)
+    case i: Int => NumLit(BigDecimal(i))
+    case l: Long => NumLit(BigDecimal(l))
+    case d: Double => NumLit(BigDecimal(d))
+    case b: BigDecimal => NumLit(b)
+    case t: java.time.Instant =>
+      TsLit(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case e: Expr => e
+    case other => throw ParseError(s"unsupported parameter value $other", 0)
+  }
+
   // ----------------------------------------------------------------- parser
-  def parse(q: String): Seq[Cmd] = {
+  def parse(q: String): Seq[Cmd] = parse(q, Map.empty[String, Expr])
+
+  /** Parse with request parameters: `?name` tokens substitute their
+    * bound literal at PARSE time (ES binds params per request before
+    * planning), so unknown names fail fast as ParseError and the
+    * compiled plan contains plain literals — constant-folded and
+    * parquet-pushable like any hand-written bound. */
+  def parse(q: String, params: Map[String, Expr]): Seq[Cmd] = {
     val toks = lex(q)
     var i = 0
     def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
@@ -351,6 +380,15 @@ object EsqlParser {
     def parsePrim(): Expr = peek match {
       case Some(TSym("(", _)) => i += 1; val e = parseExpr(); eatSym(")"); e
       case Some(TSym("-", _)) => i += 1; Neg(parsePrim())
+      case Some(TSym("?", p0)) =>
+        i += 1
+        peek match {
+          case Some(TWord(n, _)) =>
+            i += 1
+            params.getOrElse(n,
+              throw ParseError(s"unbound request parameter ?$n", p0))
+          case _ => throw ParseError("expected parameter name after ?", p0)
+        }
       case Some(TNum(v, _)) =>
         i += 1
         // a number followed by a time-unit word is ES|QL's span literal
@@ -710,12 +748,40 @@ object EsqlParser {
     (octets.reduceLeft((a, b) => a * 256L + b), p.toInt)
   }
 
+  /** timestamp ± span — the ES|QL datetime-arithmetic idiom (`?now - 1
+    * hour`, `ts + 2 weeks`). Fixed-width units stay pure long epoch
+    * arithmetic (codegen, session-zone independent — the DATE_TRUNC
+    * discipline); calendar units ride a month interval (TimeAdd,
+    * codegen). */
+  private def spanArith(ts: Column, s: SpanLit, negate: Boolean): Column = {
+    val n = if (negate) -s.n else s.n
+    val fixedMicros = Map("millisecond" -> 1000L, "second" -> 1000000L,
+      "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L,
+      "week" -> 604800000000L)
+    fixedMicros.get(s.unit) match {
+      case Some(w) => timestamp_micros(unix_micros(ts) + lit(n * w))
+      case None =>
+        val months = s.unit match {
+          case "month" => n
+          case "quarter" => 3 * n
+          case "year" => 12 * n
+          case u => throw ParseError(s"unsupported span unit $u in date arithmetic", 0)
+        }
+        ts + make_interval(lit(0), lit(months.toInt), lit(0), lit(0), lit(0), lit(0), lit(0))
+    }
+  }
+
   def compileExpr(e: Expr): Column = e match {
     case Ident(n) => col(n)
     case NumLit(v) => if (v.isValidLong) lit(v.toLong) else lit(v.toDouble)
     case StrLit(s) => lit(s)
+    case TsLit(us) => timestamp_micros(lit(us))
+    case Bin(op @ ("+" | "-"), l, s: SpanLit) =>
+      spanArith(compileExpr(l), s, negate = op == "-")
+    case Bin("+", s: SpanLit, r) => spanArith(compileExpr(r), s, negate = false)
     case SpanLit(_, u) =>
-      throw ParseError(s"span literal ($u) only valid as DATE_TRUNC's first argument", 0)
+      throw ParseError(s"span literal ($u) only valid as DATE_TRUNC's first " +
+        "argument or a datetime-arithmetic operand", 0)
     case Not(x) => !compileExpr(x)
     case Neg(x) => -compileExpr(x)
     case Like(x, p) => compileExpr(x).like(likePattern(p))
@@ -899,7 +965,7 @@ object EsqlParser {
       // silent null/ANSI error instead of the ParseError contract).
       case ("MV_MEDIAN", Seq(x)) =>
         val s0 = sort_array(filter(
-          transform(compileExpr(x), v => v.cast("double")), v => v.isNotNull))
+          transform(compileExpr(x), v => v.try_cast("double")), v => v.isNotNull))
         val n = size(s0)
         when(n === 0, lit(null).cast("double")).otherwise(
           (element_at(s0, ((n + 1) / 2).cast("int")) +
@@ -908,7 +974,7 @@ object EsqlParser {
         if (p < 0 || p > 100)
           throw ParseError(s"MV_PERCENTILE expects p in [0, 100], got $p", 0)
         val s0 = sort_array(filter(
-          transform(compileExpr(x), v => v.cast("double")), v => v.isNotNull))
+          transform(compileExpr(x), v => v.try_cast("double")), v => v.isNotNull))
         val n = size(s0)
         val h = (n - 1).cast("double") * lit(p.toDouble / 100)
         val lo = floor(h).cast("int")
@@ -950,6 +1016,12 @@ object EsqlParser {
             date_trunc(u, compileExpr(x))
         }
       case ("DATE_FORMAT", Seq(StrLit(fmt), x)) => date_format(compileExpr(x), fmt)
+      // DATE_PARSE(pattern, string) — DATE_FORMAT's inverse (the weekly
+      // log-pipeline hit: a stringly date column back to TIMESTAMP).
+      // ES's contract on unparseable input is null-with-warning, not an
+      // error — try_to_timestamp, still codegen.
+      case ("DATE_PARSE", Seq(StrLit(fmt), x)) =>
+        try_to_timestamp(compileExpr(x), lit(fmt))
       case ("DATE_DIFF", Seq(StrLit(unit), a, b)) =>
         val w = Map("milliseconds" -> 1000L, "seconds" -> 1000000L,
           "minutes" -> 60000000L, "hours" -> 3600000000L, "days" -> 86400000000L)
@@ -1622,6 +1694,7 @@ object EsqlParser {
             n => throw ParseError(s"unknown enrich policy $n", 0),
           session: Option[org.apache.spark.sql.SparkSession] = None,
           completions: String => (DataFrame, Column, String) => DataFrame =
-            noCompletions): DataFrame =
-    compile(parse(query), resolve, policies, session, completions)
+            noCompletions,
+          params: Map[String, Expr] = Map.empty): DataFrame =
+    compile(parse(query, params), resolve, policies, session, completions)
 }

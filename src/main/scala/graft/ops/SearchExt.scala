@@ -2418,6 +2418,58 @@ object SearchExt {
     Some(s"SELECT '${graft.BuildInfo.version}' AS version, " +
       s"'${graft.BuildInfo.date}' AS date, '${graft.BuildInfo.hash}' AS hash"))
 
+  /** ES|QL `DATE_PARSE` — DATE_FORMAT's inverse (the weekly log-pipeline
+    * hit: a stringly date column back to TIMESTAMP). Round-trips the
+    * formatted instant, parses a FIXED reference stamp for a nontrivial
+    * DATE_DIFF, and exercises ES's unparseable-input contract
+    * (null-with-warning, not an error) on a garbage column — all codegen
+    * scalars (try_to_timestamp) on a pushed 20-row slice. */
+  private[graft] val esqlDateParseQuery =
+    """FROM events
+      || WHERE event_id < 20
+      || EVAL s = DATE_FORMAT("yyyy-MM-dd HH:mm:ss", tsu),
+      |       d = DATE_PARSE("yyyy-MM-dd HH:mm:ss", s),
+      |       ref = DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-01-15 12:00:00"),
+      |       age_h = DATE_DIFF("hours", d, ref),
+      |       bad = DATE_PARSE("yyyy-MM-dd", event_type)
+      || KEEP event_id, s, d, age_h, bad
+      || SORT event_id""".stripMargin
+  val esqlDateParseOp = QueryDef(
+    "ns_esql_date_parse",
+    (s, dir) => EsqlParser.run(esqlDateParseQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_id, s, strptime(s, '%Y-%m-%d %H:%M:%S') AS d,
+      |  CAST(trunc((epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+      |      - epoch_us(strptime(s, '%Y-%m-%d %H:%M:%S'))) / 3600000000.0) AS BIGINT) AS age_h,
+      |  try_strptime(event_type, '%Y-%m-%d') AS bad
+      |FROM (SELECT event_id, event_type,
+      |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS s FROM events
+      |  WHERE event_id < 20)
+      |ORDER BY event_id""".stripMargin))
+
+  /** ES|QL request-pinned time parameters — the deterministic answer to
+    * NOW(): the client pins the instant once per request (`?now`, ES's
+    * params mechanism / Kibana's `?_tstart`), the engine substitutes the
+    * literal at parse time, and `?now - 1 day` compiles through the
+    * span-arithmetic path to a CONSTANT bound — constant-folded, so the
+    * relative-time-range idiom costs exactly what a hand-written literal
+    * costs, and results replay byte-equal. Unknown `?name` fails at
+    * parse time. */
+  private[graft] val esqlParamsQuery =
+    """FROM events
+      || WHERE tsu > ?now - 1 day AND value >= ?floor
+      || STATS n = COUNT(*), mx = MAX(value) BY event_type
+      || SORT event_type""".stripMargin
+  val esqlParamsOp = QueryDef(
+    "ns_esql_params",
+    (s, dir) => EsqlParser.run(esqlParamsQuery, _ => Tables.events(s, dir),
+      params = Map(
+        "now" -> EsqlParser.param(java.time.Instant.parse("2024-01-30T00:00:00Z")),
+        "floor" -> EsqlParser.param(100L))),
+    Some("""SELECT event_type, count(*) AS n, max(value) AS mx
+      |FROM events
+      |WHERE ts > TIMESTAMP '2024-01-29 00:00:00' AND value >= 100
+      |GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2470,7 +2522,7 @@ object SearchExt {
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCompletionOp, esqlFunctionsOp, esqlShowOp,
+    esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

@@ -695,6 +695,63 @@ class EsqlSpec extends SparkSpec {
       s"no-BY INLINESTATS relocated the overwritten column: $cols")
   }
 
+  test("DATE_PARSE: pattern parse, null on unparseable input (ES contract), round-trip") {
+    val got = run(
+      """FROM t | EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-03-05 06:07:08"),
+        |  bad = DATE_PARSE("yyyy-MM-dd", cat),
+        |  rt = DATE_FORMAT("yyyy-MM-dd HH:mm:ss", DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-03-05 06:07:08"))
+        || SORT id | LIMIT 1 | KEEP d, bad, rt""".stripMargin).collect().head
+    assert(got.getTimestamp(0).toInstant == java.time.Instant.parse("2024-03-05T06:07:08Z"))
+    assert(got.isNullAt(1), "unparseable input must yield null, not an error")
+    assert(got.getString(2) == "2024-03-05 06:07:08")
+  }
+
+  test("request parameters: ?name substitutes literals; unbound names fail at parse time") {
+    val got = EsqlParser.run(
+      "FROM t | WHERE n >= ?lo AND cat == ?which | STATS s = SUM(n)",
+      _ => df, params = Map(
+        "lo" -> EsqlParser.param(20L), "which" -> EsqlParser.param("alpha")))
+      .collect().head
+    assert(got.getLong(0) == 80L) // 30 + 50
+    val e = intercept[EsqlParser.ParseError](
+      EsqlParser.run("FROM t | WHERE n >= ?nope", _ => df))
+    assert(e.msg.contains("unbound request parameter ?nope"))
+  }
+
+  test("pinned-now span arithmetic: ?now - span in fixed and calendar units") {
+    val now = java.time.Instant.parse("2024-01-30T00:00:00Z")
+    def cutCount(expr: String): Long = EsqlParser.run(
+      s"""ROW ts = DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-01-20 00:00:00")
+         || EVAL cut = $expr
+         || EVAL hit = CASE(ts > cut, 1, 0) | KEEP hit""".stripMargin,
+      _ => df, session = Some(spark),
+      params = Map("now" -> EsqlParser.param(now))).collect().head.getLong(0)
+    assert(cutCount("?now - 1 day") == 0L)     // cut 2024-01-29 > ts
+    assert(cutCount("?now - 2 weeks") == 1L)   // cut 2024-01-16 < ts
+    assert(cutCount("?now - 1 month") == 1L)   // cut 2023-12-30 < ts
+    assert(cutCount("?now - 12 hours") == 0L)  // cut 2024-01-29T12 > ts
+    // and the additive direction: ts + 2 weeks lands past the pin
+    val fwd = EsqlParser.run(
+      """ROW ts = DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-01-20 00:00:00")
+        || EVAL fut = ts + 2 weeks | KEEP fut""".stripMargin,
+      _ => df, session = Some(spark)).collect().head.getTimestamp(0)
+    assert(fwd.toInstant == java.time.Instant.parse("2024-02-03T00:00:00Z"))
+  }
+
+  test("MV_MEDIAN/MV_PERCENTILE drop null elements; out-of-range p is a ParseError") {
+    // "x" casts to null — it must not shift the rank positions
+    val got = EsqlParser.run(
+      """ROW a = 1 | EVAL v = SPLIT("5,x,1,3", ","),
+        |  md = MV_MEDIAN(v), pc = MV_PERCENTILE(v, 50) | KEEP md, pc""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(got.getDouble(0) == 3.0, s"null element skewed the median: ${got.getDouble(0)}")
+    assert(got.getDouble(1) == 3.0)
+    val e = intercept[EsqlParser.ParseError](
+      EsqlParser.run("""ROW a = 1 | EVAL p = MV_PERCENTILE(SPLIT("1,2", ","), 150)""",
+        _ => df, session = Some(spark)))
+    assert(e.msg.contains("[0, 100]"))
+  }
+
   test("range ENRICH: overlapping intervals yield ONE deterministic match (max_matches=1)") {
     import spark.implicits._
     // [0,100) overlaps [10,40) and [20,30); smallest __range_lo wins
