@@ -717,6 +717,96 @@ object Enrich {
       """SELECT event_id, md5(concat_ws('|', ip, method, url)) AS fingerprint
         |FROM access_log""".stripMargin)))
 
+  // ------------------------------------------------- community_id (ECS)
+  /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen; the
+    * EsqlParser CIDR discipline). */
+  private def ip4u32(ip: Column): Column =
+    (1 to 4).map(i => element_at(split(ip, "\\."), i).cast("long"))
+      .reduceLeft((a, b) => a * 256L + b)
+
+  /** Membership in the RFC-1918 internal ranges (10/8, 172.16/12,
+    * 192.168/16) — prefix compares on the u32, one codegen pass. */
+  private def isInternal(u32: Column): Column =
+    shiftright(u32, 24) === 10L ||
+      shiftright(u32, 20) === 2753L || // 172.16.0.0/12 → top 12 bits
+      shiftright(u32, 16) === 49320L  // 192.168.0.0/16
+
+  /** The `community_id` processor — ECS's flow hash (the Corelight
+    * community-id spec, v1): sha1 over seed(be16) · ip_a(be32) ·
+    * ip_b(be32) · proto(8) · 0x00 · port_a(be16) · port_b(be16), with
+    * (a, b) the CANONICAL endpoint ordering (swap when source > dest as
+    * (ip, port) byte tuples), base64-encoded under a "1:" prefix. Every
+    * ECS network pipeline stamps it so both flow directions correlate
+    * to ONE id. Pure codegen: the byte string assembles as one hex
+    * concat → unhex, sha1 and base64 are codegen builtins — map-only,
+    * no shuffle, no UDF. DuckDB has no sha1, so the key is a documented
+    * `no_oracle` contract entry (the gunzip class): CommunityIdSpec
+    * pins the spec's published test vectors AND cross-checks the column
+    * against an independent JVM MessageDigest implementation row-by-row
+    * on the synthesized flows. */
+  private def communityId(srcIp: Column, dstIp: Column,
+      srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0): Column = {
+    val protoNum = when(proto === "tcp", 6L).when(proto === "udp", 17L)
+      .when(proto === "icmp", 1L).otherwise(255L)
+    val su = ip4u32(srcIp)
+    val du = ip4u32(dstIp)
+    // canonical order: compare ips first, ports break ties
+    val flip = su > du || (su === du && srcPort.cast("long") > dstPort.cast("long"))
+    val aIp = when(flip, du).otherwise(su)
+    val bIp = when(flip, su).otherwise(du)
+    val aPort = when(flip, dstPort).otherwise(srcPort).cast("long")
+    val bPort = when(flip, srcPort).otherwise(dstPort).cast("long")
+    def hex32(c: Column) = lpad(hex(c), 8, "0")
+    def hex16(c: Column) = lpad(hex(c), 4, "0")
+    val payload = concat(
+      hex16(lit(seed.toLong)), hex32(aIp), hex32(bIp),
+      lpad(hex(protoNum), 2, "0"), lit("00"), hex16(aPort), hex16(bPort))
+    concat(lit("1:"), base64(unhex(sha1(unhex(payload)))))
+  }
+
+  val communityIdOp = QueryDef(
+    "np_community_id",
+    (s, dir) => Par.spread(s, Synth.flowLog(s, dir), col("event_id"))
+      .select(col("event_id"), col("src_ip"), col("dst_ip"),
+        col("src_port"), col("dst_port"), col("proto"),
+        communityId(col("src_ip"), col("dst_ip"),
+          col("src_port"), col("dst_port"), col("proto")).as("community_id")),
+    None) // sha1 is not expressible in DuckDB — CommunityIdSpec is the gate
+
+  /** The `network_direction` processor: classify each flow against the
+    * deployment's internal_networks (RFC-1918 here) — src∧dst internal →
+    * `internal`, src internal → `outbound`, dst internal → `inbound`,
+    * neither → `external`. Two u32 prefix compares per row, one codegen
+    * CASE — map-only, the shape that matters when every netflow record
+    * of a 100 TB day passes through it. */
+  val networkDirectionOp = QueryDef(
+    "np_network_direction",
+    (s, dir) => Par.spread(s, Synth.flowLog(s, dir), col("event_id"))
+      .select(col("event_id"), col("src_ip"), col("dst_ip"),
+        when(isInternal(ip4u32(col("src_ip"))) && isInternal(ip4u32(col("dst_ip"))), "internal")
+          .when(isInternal(ip4u32(col("src_ip"))), "outbound")
+          .when(isInternal(ip4u32(col("dst_ip"))), "inbound")
+          .otherwise("external").as("direction")),
+    Some(Synth.withFlowLog(
+      """SELECT event_id, src_ip, dst_ip,
+        |  CASE WHEN s_int AND d_int THEN 'internal'
+        |       WHEN s_int THEN 'outbound'
+        |       WHEN d_int THEN 'inbound'
+        |       ELSE 'external' END AS direction
+        |FROM (SELECT event_id, src_ip, dst_ip,
+        |    (su // 16777216 = 10 OR su // 1048576 = 2753 OR su // 65536 = 49320) AS s_int,
+        |    (du // 16777216 = 10 OR du // 1048576 = 2753 OR du // 65536 = 49320) AS d_int
+        |  FROM (SELECT event_id, src_ip, dst_ip,
+        |      CAST(string_split(src_ip, '.')[1] AS BIGINT) * 16777216
+        |      + CAST(string_split(src_ip, '.')[2] AS BIGINT) * 65536
+        |      + CAST(string_split(src_ip, '.')[3] AS BIGINT) * 256
+        |      + CAST(string_split(src_ip, '.')[4] AS BIGINT) AS su,
+        |      CAST(string_split(dst_ip, '.')[1] AS BIGINT) * 16777216
+        |      + CAST(string_split(dst_ip, '.')[2] AS BIGINT) * 65536
+        |      + CAST(string_split(dst_ip, '.')[3] AS BIGINT) * 256
+        |      + CAST(string_split(dst_ip, '.')[4] AS BIGINT) AS du
+        |    FROM flow_log))""".stripMargin)))
+
   /** P14: recursive null-strip on serialization — Spark's to_json drops
     * null fields by default (spark.sql.jsonGenerator.ignoreNullFields),
     * mirroring the painless map-walk (axway-ingest.json:137–142). */
@@ -1251,6 +1341,6 @@ object Enrich {
     geohashGridOp, ipRangeOp, geoDistanceRingsOp, ipPrefixOp, geoLineOp,
     geohexGridOp, geoShapeOp, mvtOp, tlsVersionOp,
     csvOp, kvOp, urldecodeOp, userAgentOp, registeredDomainOp, bytesOp,
-    htmlStripOp, fingerprintOp,
+    htmlStripOp, fingerprintOp, communityIdOp, networkDirectionOp,
     dropNullFieldsOp, ingestPipelineOp)
 }

@@ -88,4 +88,36 @@ object Synth {
 
   def withMsg(body: String): String =
     s"WITH ev AS ($msgCte)\n$body"
+
+  /** Synthetic network-flow log (the ECS netflow shape every SIEM
+    * pipeline stamps community_id / network.direction onto): 5-tuple
+    * columns derived from `events` with expressions valid in both
+    * dialects. Sources mix internal (10/8) and external (203.0.113/24)
+    * endpoints; destinations mix internal (10/8) and external
+    * (198.51.100/24); ports mix ephemeral sources with well-known
+    * service destinations so the community-id canonical ordering flips
+    * across rows. */
+  private val flowCols: Seq[(String, String)] = Seq(
+    "src_ip" -> ("CASE WHEN event_id % 7 < 2 THEN concat('203.0.113.', user_id % 250) " +
+      "ELSE concat('10.1.', user_id % 4, '.', user_id % 250) END"),
+    "dst_ip" -> ("CASE WHEN event_id % 3 = 0 THEN concat('10.2.', event_id % 4, '.', event_id % 250) " +
+      "ELSE concat('198.51.100.', event_id % 250) END"),
+    "src_port" -> "CAST(49152 + event_id % 16384 AS INT)",
+    "dst_port" -> ("CAST(CASE WHEN event_id % 5 = 0 THEN 443 WHEN event_id % 5 = 1 THEN 80 " +
+      "WHEN event_id % 5 = 2 THEN 53 WHEN event_id % 5 = 3 THEN 22 ELSE 8080 END AS INT)"),
+    "proto" -> "CASE WHEN event_id % 4 = 0 THEN 'udp' ELSE 'tcp' END")
+
+  /** Flow-log DataFrame, Spark side. */
+  def flowLog(s: SparkSession, dir: String): DataFrame =
+    flowCols.foldLeft(Tables.events(s, dir)) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+
+  /** Flow-log CTE body, DuckDB side. */
+  val flowCte: String =
+    s"SELECT events.*, ${flowCols.map { case (n, t) => s"$t AS $n" }.mkString(", ")} FROM events"
+
+  /** Wrap an oracle body with the flow-log CTE. */
+  def withFlowLog(body: String): String =
+    s"WITH flow_log AS ($flowCte)\n$body"
 }
