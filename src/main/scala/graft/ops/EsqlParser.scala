@@ -357,6 +357,14 @@ object EsqlParser {
     def parseLit(): Expr = peek match {
       case Some(TNum(v, _)) => i += 1; NumLit(v)
       case Some(TStr(s, _)) => i += 1; StrLit(s)
+      // negative numeric literals are literals too (IN (-5, 10) is
+      // valid ES|QL) — found by the differential fuzzer
+      case Some(TSym("-", _)) =>
+        i += 1
+        peek match {
+          case Some(TNum(v, _)) => i += 1; NumLit(-v)
+          case _ => throw ParseError("expected numeric literal after -", pos)
+        }
       case _ => throw ParseError("expected literal", pos)
     }
     def parseAdd(): Expr = {

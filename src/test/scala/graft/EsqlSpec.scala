@@ -695,6 +695,14 @@ class EsqlSpec extends SparkSpec {
       s"no-BY INLINESTATS relocated the overwritten column: $cols")
   }
 
+  test("IN accepts negative numeric literals (pinned from the differential fuzzer)") {
+    // ParserDifferentialSpec round-1 find: parseLit rejected the '-'
+    // sign, so `IN (-5, …)` threw "expected literal"
+    val got = run("FROM t | EVAL d = n - 15 | WHERE d IN (-5, 35) | SORT id | KEEP id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 5L)) // n=10 → d=-5; n=50 → d=35
+  }
+
   test("DATE_PARSE: pattern parse, null on unparseable input (ES contract), round-trip") {
     val got = run(
       """FROM t | EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-03-05 06:07:08"),
