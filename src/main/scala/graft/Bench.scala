@@ -65,6 +65,31 @@ object Bench {
         Double.PositiveInfinity
       }
     }
+    // Calibration: a FIXED data-independent CPU workload (150M xxhash64
+    // over an in-memory range, all cores) timed before and after the
+    // measured rounds. Ambient load on this shared box inflates
+    // same-code totals ±25% across a session (r14: 88 → 103 s), which
+    // would eventually trip a 2× cross-round gate spuriously — the
+    // calibration time scales with the SAME ambient load, so
+    // total / calibration is the load-normalized figure a cross-round
+    // comparison should use (SURVEY §6 documents the rule). min-of-3
+    // after one warm run, same one-sided-noise estimator as the queries.
+    val calCpus = cpus.toInt
+    def calibrate(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        // max, not sum: summing the hashes overflows Long under ANSI.
+        // 1.2G hashes ≈ 0.5 s on a quiet box — long enough to smooth
+        // scheduler noise, short enough to stay negligible in the run
+        spark.range(0L, 1200000000L, 1L, calCpus)
+          .selectExpr("max(xxhash64(id)) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // warm the generated class
+      Seq(one(), one(), one()).min
+    }
+    val calibrationBefore = calibrate()
+
     // Pass 0 — a full warmup round OUTSIDE the measured passes. It pays
     // every buildOnce artifact construction (ANN codebooks/centroids,
     // unigram count tables, dedup label stores) plus per-plan codegen,
@@ -125,7 +150,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = mins.collect { case (_, v) if v.isFinite => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"high_spread_passes":$passVectors,"failed":$failedJson,"sf":"$sfDir"}""")
+    val calibrationAfter = calibrate()
+    // the smaller sample is the less-loaded moment; both are emitted so
+    // a drifting box (before ≪ after) shows on its face
+    val calibration = math.min(calibrationBefore, calibrationAfter)
+    val normalized = if (calibration > 0) total / calibration else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"calibration":${fmt(calibration)},"calibration_before":${fmt(calibrationBefore)},"calibration_after":${fmt(calibrationAfter)},"normalized_total":${fmt(normalized)},"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"high_spread_passes":$passVectors,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harvester keeps only the TAIL of stdout, and the full line above
     // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,
@@ -135,7 +165,7 @@ object Bench {
     // same key but different field sets.
     val slowest = mins.filter(_._2.isFinite).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"calibration":${fmt(calibration)},"normalized_total":${fmt(normalized)},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
