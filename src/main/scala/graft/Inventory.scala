@@ -51,7 +51,11 @@ object Inventory {
       "k2e_pipeline_gzip" -> "GzipSpec + DecodeSpec",
       "ns_agg_percentile_approx" -> "PercentileSpec",
       "ns_agg_approx_distinct" -> "PercentileSpec",
-      "ns_agg_sketch_partial" -> "PercentileSpec")
+      "ns_agg_sketch_partial" -> "PercentileSpec",
+      // sha1 is not DuckDB-expressible; the spec pins the published
+      // community-id vectors AND cross-checks every row against an
+      // independent JVM MessageDigest implementation
+      "np_community_id" -> "CommunityIdSpec")
     val rows = Registry.all.map { q =>
       val gate =
         if (q.oracle.isDefined) "DuckDB hash"
