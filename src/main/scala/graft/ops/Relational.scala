@@ -106,18 +106,25 @@ object Relational {
     * derivative (day-over-day delta), 7-bucket moving average, and
     * cumulative sum per event_type series — the second-order dashboard
     * layer (trend/smoothing/running-total) OpenSearch computes from a
-    * parent date_histogram. The windows run over the AGGREGATED bucket
-    * table — series × days rows, dashboard-sized at any SF — never raw
-    * events, and partition by event_type so no global single-partition
-    * sort exists in the plan. Determinism: bucket counts are exact
-    * longs; the moving average divides an exact long window sum by the
-    * window row count once, identically in both engines. */
+    * parent date_histogram, applied WITHIN the request's time range
+    * (the parent histogram's same two-week window), reading the
+    * date-partitioned twin so the window prunes day partitions exactly
+    * like the parent (PlanSpec-locked). The windows run over the
+    * AGGREGATED bucket table — series × days rows, dashboard-sized at
+    * any SF — never raw events, and partition by event_type so no
+    * global single-partition sort exists in the plan. Determinism:
+    * bucket counts are exact longs; the moving average divides an
+    * exact long window sum by the window row count once, identically
+    * in both engines. */
   val dateHistogramPipeline: QueryDef = q(
     "ns_date_histogram_pipeline",
     s"""WITH b AS (
        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        |    count(*) AS n
-       |  FROM events GROUP BY 1, 2)
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '$histoFrom 00:00:00'
+       |    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+       |  GROUP BY 1, 2)
        |SELECT day, event_type, n,
        |  n - lag(n) OVER w AS dn,
        |  round(CAST(sum(n) OVER wf AS DOUBLE) / count(*) OVER wf, 6) AS ma7,
@@ -132,8 +139,10 @@ object Relational {
     val w = Window.partitionBy("event_type").orderBy("day")
     val wf = w.rowsBetween(-6, Window.currentRow)
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+    Tables.eventsDt(s, dir)
+      .filter(col("dt") >= lit(java.sql.Date.valueOf(histoFrom)) &&
+        col("dt") <= lit(java.sql.Date.valueOf(histoTo)))
+      .groupBy(col("dt").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("dn", col("n") - lag("n", 1).over(w))
       .withColumn("ma7",

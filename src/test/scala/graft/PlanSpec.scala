@@ -1597,7 +1597,7 @@ class PlanSpec extends SparkSpec {
     assert(total == 30L, s"expected 30 day partitions in the twin, got $total")
     // key → exact day-partition count its window selects
     for ((key, want) <- Seq("ns_date_histogram" -> 14, "ns_search_range" -> 14,
-        "ns_agg_date_range" -> 20)) {
+        "ns_date_histogram_pipeline" -> 14, "ns_agg_date_range" -> 20)) {
       val p = physical(key)
       val scans = eventsDtScans(p)
       assert(scans.nonEmpty, s"$key no longer reads the date-partitioned twin:\n$p")
