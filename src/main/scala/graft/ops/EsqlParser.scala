@@ -781,7 +781,12 @@ object EsqlParser {
 
   def compileExpr(e: Expr): Column = e match {
     case Ident(n) => col(n)
-    case NumLit(v) => if (v.isValidLong) lit(v.toLong) else lit(v.toDouble)
+    // a literal WRITTEN with a decimal point is a double even when its
+    // value is whole (`2.0` is double 2.0, not long 2 — scale > 0
+    // records the point); integer-valued, point-less literals are longs.
+    // Matters since `/` became type-directed: `x / 10.0` must promote.
+    case NumLit(v) =>
+      if (v.isValidLong && v.scale <= 0) lit(v.toLong) else lit(v.toDouble)
     case StrLit(s) => lit(s)
     case TsLit(us) => timestamp_micros(lit(us))
     case Bin(op @ ("+" | "-"), l, s: SpanLit) =>
@@ -797,7 +802,7 @@ object EsqlParser {
     case IsNull(x, neg) =>
       if (neg) compileExpr(x).isNotNull else compileExpr(x).isNull
     case In(x, vs) => compileExpr(x).isin(vs.map {
-      case NumLit(v) => if (v.isValidLong) v.toLong else v.toDouble
+      case NumLit(v) => if (v.isValidLong && v.scale <= 0) v.toLong else v.toDouble
       case StrLit(s) => s
       case other => throw ParseError(s"non-literal IN element $other", 0)
     }: _*)
@@ -815,7 +820,12 @@ object EsqlParser {
         case "+" => cl + cr
         case "-" => cl - cr
         case "*" => cl * cr
-        case "/" => cl / cr
+        // ES|QL's `/`: integer ÷ integer TRUNCATES (5 / 2 == 2) where
+        // Spark SQL's `/` is always fractional — type-directed at
+        // analysis time (graftshim.EsqlDivide → IntegralDivide/Divide)
+        case "/" => graft.Cols.column(
+          org.apache.spark.sql.graftshim.EsqlDivide(
+            graft.Cols.expr(cl), graft.Cols.expr(cr)))
         case "%" => cl % cr
         case other => throw ParseError(s"unknown operator $other", 0)
       }

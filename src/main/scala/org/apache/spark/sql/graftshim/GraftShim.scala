@@ -38,6 +38,36 @@ object Bridge {
     catch { case _: java.util.concurrent.TimeoutException => false }
 }
 
+/** ES|QL division: integer ÷ integer is INTEGER division truncated
+  * toward zero (the ES|QL arithmetic contract — `5 / 2` is `2`, not
+  * `2.5`); any fractional operand promotes to double division. Spark
+  * SQL's `/` is always fractional, so the ES|QL compiler cannot use it
+  * directly, and the operand types aren't known until the frame
+  * resolves — type-directed at ANALYSIS time via RuntimeReplaceable:
+  * once the children's types are known this node replaces itself with
+  * IntegralDivide (Spark's `div`, which truncates toward zero on
+  * longs, exactly ES's contract) or Divide. Both replacements are
+  * plain codegen arithmetic. */
+case class EsqlDivide(left: Expression, right: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with BinaryLike[Expression] {
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, IntegralDivide}
+    // explicit casts: the analyzer's implicit type coercion has already
+    // run by the time this replacement materializes, so mixed-type
+    // children would leave the replacement unresolved without them
+    if (left.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType] &&
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType])
+      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+    else
+      Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Gzip decompress of BINARY — the reference gunzips each Firehose
   * record's `data` payload after base64-decode (reference main.go:472–479)
   * and the whole HTTP body (reference gzipbinding/binding.go:38–45).

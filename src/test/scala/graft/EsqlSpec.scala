@@ -695,6 +695,23 @@ class EsqlSpec extends SparkSpec {
       s"no-BY INLINESTATS relocated the overwritten column: $cols")
   }
 
+  test("division: integer/integer truncates toward zero; fractional operands promote") {
+    // the ES|QL arithmetic contract — Spark SQL's `/` is always
+    // fractional, so this pins the type-directed EsqlDivide replacement
+    val got = EsqlParser.run(
+      """ROW a = 5, b = -5 | EVAL q = a / 2, qn = b / 2, f = a / 2.0,
+        |  g = 7.0 / 2 | KEEP q, qn, f, g""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(got.getLong(0) == 2L, "5 / 2 must be integer 2")
+    assert(got.getLong(1) == -2L, "-5 / 2 must truncate toward zero")
+    assert(got.getDouble(2) == 2.5)
+    assert(got.getDouble(3) == 3.5)
+    // and over a column: n is long, so n / 20 is integral per row
+    val byCol = run("FROM t | EVAL q = n / 20 | SORT id | KEEP q")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byCol == Seq(0L, 1L, 1L, 2L, 2L)) // n = 10,20,30,40,50
+  }
+
   test("IN accepts negative numeric literals (pinned from the differential fuzzer)") {
     // ParserDifferentialSpec round-1 find: parseLit rejected the '-'
     // sign, so `IN (-5, …)` threw "expected literal"
