@@ -296,6 +296,10 @@ class ParserDifferentialSpec extends SparkSpec {
                   l <- numGen(depth - 1); r <- numGen(depth - 1) } yield NumBin(op, l, r)),
       1 -> (for { l <- numGen(depth - 1); m <- Gen.chooseNum(2L, 50L) }
         yield NumBin("%", l, NumC(m))),
+      // nonzero literal divisor (ANSI div-by-zero throws); integral
+      // operands, so this pins EsqlDivide's truncating contract
+      1 -> (for { l <- numGen(depth - 1); m <- Gen.chooseNum(2L, 50L) }
+        yield NumBin("/", l, NumC(m))),
       1 -> numGen(depth - 1).map(NumNeg.apply))
 
   private def numToEsql(e: NumExpr): String = e match {
@@ -315,6 +319,7 @@ class ParserDifferentialSpec extends SparkSpec {
     case NumBin("-", l, r) => evalNum(l, d) - evalNum(r, d)
     case NumBin("*", l, r) => evalNum(l, d) * evalNum(r, d)
     case NumBin("%", l, r) => evalNum(l, d) % evalNum(r, d)
+    case NumBin("/", l, r) => evalNum(l, d) / evalNum(r, d) // integral: truncates like ES|QL
     case NumBin(op, _, _) => sys.error(s"unexpected $op")
     case NumNeg(x) => -evalNum(x, d)
     case LenLang => d.lang.length.toLong
