@@ -450,6 +450,9 @@ object EsqlParser {
           case "MAX" => AggFn("max", parseExpr())
           case "AVG" => AggFn("avg", parseExpr())
           case "MEDIAN" => AggFn("median", parseExpr())
+          // MAD: compiles to a TWO-STAGE plan (per-group medians
+          // broadcast back, then median of absolute deviations)
+          case "MEDIAN_ABSOLUTE_DEVIATION" => AggFn("mad", parseExpr())
           // VALUES: the distinct-values multivalue aggregate (sorted —
           // deterministic where ES leaves order undefined)
           case "VALUES" => AggFn("values", parseExpr())
@@ -892,7 +895,19 @@ object EsqlParser {
       // hashing (ES|QL 8.16's HASH + the named shorthands); SHA-1 has
       // no DuckDB twin, so the dialect ships md5/sha256
       case ("MD5", Seq(x)) => md5(compileExpr(x).cast("binary"))
+      case ("SHA1", Seq(x)) => sha1(compileExpr(x).cast("binary"))
       case ("SHA256", Seq(x)) => sha2(compileExpr(x).cast("binary"), 256)
+      // SCALB(d, n) = d · 2^n (the java.lang.Math.scalb contract)
+      case ("SCALB", Seq(d0, n0)) =>
+        compileExpr(d0).cast("double") * pow(lit(2.0), compileExpr(n0).cast("double"))
+      // TO_IP: format-validated dotted quad — ES's conversion contract
+      // is value-or-null-with-warning; the engine's IP representation
+      // is the validated string (the CIDR/IP_PREFIX functions parse it
+      // to u32 long arithmetic at use sites)
+      case ("TO_IP", Seq(x)) =>
+        val c = compileExpr(x)
+        val octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+        when(c.rlike(s"^($octet\\.){3}$octet$$"), c)
       case ("HASH", Seq(StrLit(alg), x)) => alg.toLowerCase match {
         case "md5" => md5(compileExpr(x).cast("binary"))
         case "sha256" => sha2(compileExpr(x).cast("binary"), 256)
@@ -1000,6 +1015,27 @@ object EsqlParser {
           element_at(s0, lo + 1) +
             (h - lo.cast("double")) *
             (element_at(s0, least(lo + 2, n)) - element_at(s0, lo + 1)))
+      // MV_MEDIAN_ABSOLUTE_DEVIATION: median(|v − median(v)|) over the
+      // row's own multivalue — the MV_MEDIAN machinery applied twice
+      // (bounded arrays; the same null-drop + try_cast discipline)
+      case ("MV_MEDIAN_ABSOLUTE_DEVIATION", Seq(x)) =>
+        val s0 = sort_array(filter(
+          transform(compileExpr(x), v => v.try_cast("double")), v => v.isNotNull))
+        val n = size(s0)
+        val med = (element_at(s0, ((n + 1) / 2).cast("int")) +
+          element_at(s0, (n / 2).cast("int") + 1)) / 2
+        val devs = sort_array(transform(s0, v => abs(v - med)))
+        when(n === 0, lit(null).cast("double")).otherwise(
+          (element_at(devs, ((n + 1) / 2).cast("int")) +
+            element_at(devs, (n / 2).cast("int") + 1)) / 2)
+      // MV_PSERIES_WEIGHTED_SUM: Σ v(i) / i^p over the multivalue in
+      // its given order (ES 8.16's rank-weighted score reducer)
+      case ("MV_PSERIES_WEIGHTED_SUM", Seq(x, NumLit(p))) =>
+        val arr = transform(compileExpr(x), v => v.try_cast("double"))
+        val weighted = zip_with(arr, sequence(lit(1), size(arr)),
+          (v, i) => v / pow(i.cast("double"), lit(p.toDouble)))
+        when(size(arr) === 0, lit(null).cast("double")).otherwise(
+          aggregate(weighted, lit(0.0), (a, v) => a + v))
       // MV_ZIP pairs values with a delimiter; the longer side's excess
       // values pass through bare (zip_with pads with null, concat_ws
       // skips it — exactly ES's contract)
@@ -1494,6 +1530,36 @@ object EsqlParser {
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
         case Stats(aggs, by, byAssigns) if tsMode =>
           compileTsStats(applyByAssigns(df, byAssigns), aggs, by)
+        case Stats(aggs, by, byAssigns)
+            if aggs.exists { case (_, AggFn("mad", _, _)) => true; case _ => false } =>
+          // MEDIAN_ABSOLUTE_DEVIATION: median(|x − median(x)|) has no
+          // single-pass exact form, so it compiles as TWO aggregation
+          // stages — the per-group medians (|groups| rows, dashboard-
+          // bounded) broadcast back onto the rows, then one ordinary
+          // aggregate computes median of absolute deviations next to
+          // every other requested aggregate. (ES itself serves MAD from
+          // a TDigest sketch; this dialect's contract is exact, like
+          // its PERCENTILE.)
+          val d = applyByAssigns(df, byAssigns)
+          def gateOf(e: Expr, f: Option[Expr]): Column =
+            f.map(c => when(compileExpr(c), compileExpr(e))).getOrElse(compileExpr(e))
+          val madMeds = aggs.zipWithIndex.collect {
+            case ((_, AggFn("mad", e, f)), i) =>
+              (s"__mad_med_$i", median(gateOf(e, f)).as(s"__mad_med_$i"))
+          }
+          val meds =
+            if (by.isEmpty) d.agg(madMeds.head._2, madMeds.tail.map(_._2): _*)
+            else d.groupBy(by.map(col): _*).agg(madMeds.head._2, madMeds.tail.map(_._2): _*)
+          val joined =
+            if (by.isEmpty) d.crossJoin(broadcast(meds))
+            else d.join(broadcast(meds), by)
+          val cols = aggs.zipWithIndex.map {
+            case ((n, AggFn("mad", e, f)), i) =>
+              median(abs(gateOf(e, f) - col(s"__mad_med_$i"))).as(n)
+            case ((n, a), _) => compileAgg(n, a)
+          }
+          if (by.isEmpty) joined.agg(cols.head, cols.tail: _*)
+          else joined.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
         case Stats(aggs, by, byAssigns) =>
           val d = applyByAssigns(df, byAssigns)
           val cols = aggs.map { case (n, a) => compileAgg(n, a) }
@@ -1509,6 +1575,8 @@ object EsqlParser {
           aggs.foreach {
             case (_, AggFn("count_distinct", _, _)) =>
               throw ParseError("INLINESTATS does not support COUNT_DISTINCT", 0)
+            case (_, AggFn("mad", _, _)) =>
+              throw ParseError("INLINESTATS does not support MEDIAN_ABSOLUTE_DEVIATION", 0)
             case _ => ()
           }
           if (by.isEmpty) {

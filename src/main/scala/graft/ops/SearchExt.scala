@@ -2470,6 +2470,71 @@ object SearchExt {
       |WHERE ts > TIMESTAMP '2024-01-29 00:00:00' AND value >= 100
       |GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  /** ES|QL `MEDIAN_ABSOLUTE_DEVIATION` — the robust-dispersion
+    * aggregate (median(|x − median(x)|)): no single-pass exact form
+    * exists, so the compiler emits TWO aggregation stages — per-group
+    * medians (|groups| rows, dashboard-bounded) broadcast back onto the
+    * rows, then an ordinary aggregate computes the deviation median
+    * next to every other requested aggregate. ES serves MAD from a
+    * TDigest sketch; this dialect's contract is exact (like its
+    * PERCENTILE), and DuckDB's mad() oracles it directly. */
+  private[graft] val esqlMadQuery =
+    """FROM events
+      || STATS mad = MEDIAN_ABSOLUTE_DEVIATION(value), med = MEDIAN(value),
+      |        n = COUNT(*) BY event_type
+      || EVAL mad = ROUND(mad, 6), med = ROUND(med, 6)
+      || SORT event_type""".stripMargin
+  val esqlMadOp = QueryDef(
+    "ns_esql_mad",
+    (s, dir) => EsqlParser.run(esqlMadQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_type, round(mad(value), 6) AS mad,
+      |  round(median(value), 6) AS med, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  /** ES|QL multivalue/conversion residue sweep #2: the
+    * robust-dispersion and rank-weighting multivalue reducers
+    * (MV_MEDIAN_ABSOLUTE_DEVIATION, MV_PSERIES_WEIGHTED_SUM — ES
+    * 8.16's p-series scorer, Σ v(i)/i^p in multivalue order), SCALB
+    * (d·2^n), and TO_IP's value-or-null conversion contract exercised
+    * on both a valid dotted-quad construction (some octets pushed past
+    * 255 to exercise the null side) and a garbage column. All codegen
+    * scalars on the pushed 20-row slice. */
+  private[graft] val esqlMvStatsQuery =
+    """FROM events
+      || WHERE event_id < 20
+      || EVAL v = SPLIT(CONCAT(TO_STRING(event_id % 7), ",",
+      |                TO_STRING(event_id % 5), ",", TO_STRING(event_id % 3), ",",
+      |                TO_STRING(event_id % 11)), ","),
+      |       vmad = ROUND(MV_MEDIAN_ABSOLUTE_DEVIATION(v), 6),
+      |       ps = ROUND(MV_PSERIES_WEIGHTED_SUM(v, 1.5), 6),
+      |       ip = TO_IP(CONCAT("10.0.0.", TO_STRING(event_id * 20))),
+      |       bad_ip = TO_IP(event_type),
+      |       sc = ROUND(SCALB(ROUND(value, 2), 3), 6)
+      || KEEP event_id, vmad, ps, ip, bad_ip, sc
+      || SORT event_id""".stripMargin
+  val esqlMvStatsOp = QueryDef(
+    "ns_esql_mv_stats",
+    (s, dir) => EsqlParser.run(esqlMvStatsQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_id,
+      |  round(list_aggregate(ld, 'mad'), 6) AS vmad,
+      |  round(list_sum(list_transform(list_zip(ld, range(1, len(ld) + 1)),
+      |    p -> p[1] / pow(p[2], 1.5))), 6) AS ps,
+      |  CASE WHEN regexp_full_match(ip_c,
+      |    '((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])')
+      |    THEN ip_c END AS ip,
+      |  CASE WHEN regexp_full_match(event_type,
+      |    '((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])')
+      |    THEN event_type END AS bad_ip,
+      |  round(round(value, 2) * 8, 6) AS sc
+      |FROM (SELECT event_id, event_type, value,
+      |    list_transform(string_split(concat(
+      |      CAST(event_id % 7 AS VARCHAR), ',', CAST(event_id % 5 AS VARCHAR), ',',
+      |      CAST(event_id % 3 AS VARCHAR), ',', CAST(event_id % 11 AS VARCHAR)), ','),
+      |      x -> CAST(x AS DOUBLE)) AS ld,
+      |    concat('10.0.0.', CAST(event_id * 20 AS VARCHAR)) AS ip_c
+      |  FROM events WHERE event_id < 20)
+      |ORDER BY event_id""".stripMargin))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2523,6 +2588,7 @@ object SearchExt {
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
     esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
+    esqlMadOp, esqlMvStatsOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

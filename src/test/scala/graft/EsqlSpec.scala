@@ -695,6 +695,44 @@ class EsqlSpec extends SparkSpec {
       s"no-BY INLINESTATS relocated the overwritten column: $cols")
   }
 
+  test("MEDIAN_ABSOLUTE_DEVIATION: exact two-stage MAD, global and BY; INLINESTATS rejects") {
+    // x = 1.5, 2.5, 3.5, 4.5, 5.5 → median 3.5, |dev| = 2,1,0,1,2 → MAD 1.0
+    val global = run("FROM t | STATS mad = MEDIAN_ABSOLUTE_DEVIATION(x)")
+      .collect().head.getDouble(0)
+    assert(global == 1.0)
+    // per-group: alpha has x = 1.5, 3.5, 5.5 → median 3.5 → MAD 2.0
+    val byCat = run(
+      "FROM t | STATS mad = MEDIAN_ABSOLUTE_DEVIATION(x) BY cat | SORT cat | KEEP cat, mad")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byCat("alpha") == 2.0)
+    assert(byCat("beta") == 0.0) // singleton group: |x - x| = 0
+    // next to other aggregates in one STATS
+    val mixed = run(
+      "FROM t | STATS n = COUNT(*), mad = MEDIAN_ABSOLUTE_DEVIATION(n), s = SUM(n)")
+      .collect().head
+    assert(mixed.getLong(0) == 5L && mixed.getDouble(1) == 10.0 && mixed.getLong(2) == 150L)
+    val e = intercept[EsqlParser.ParseError](
+      run("FROM t | INLINESTATS m = MEDIAN_ABSOLUTE_DEVIATION(x)"))
+    assert(e.msg.contains("MEDIAN_ABSOLUTE_DEVIATION"))
+  }
+
+  test("SHA1/SCALB/TO_IP/MV_PSERIES_WEIGHTED_SUM scalar contracts") {
+    val got = EsqlParser.run(
+      """ROW s = "abc" | EVAL h = SHA1(s), sc = SCALB(1.5, 3),
+        |  ok = TO_IP("192.168.1.10"), hi = TO_IP("10.0.0.999"), junk = TO_IP(s),
+        |  ps = MV_PSERIES_WEIGHTED_SUM(SPLIT("4,2", ","), 2.0),
+        |  mad = MV_MEDIAN_ABSOLUTE_DEVIATION(SPLIT("1,2,10,20", ","))
+        || KEEP h, sc, ok, hi, junk, ps, mad""".stripMargin,
+      _ => spark.range(1).toDF(), session = Some(spark)).collect().head
+    assert(got.getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d") // known SHA-1("abc")
+    assert(got.getDouble(1) == 12.0)
+    assert(got.getString(2) == "192.168.1.10")
+    assert(got.isNullAt(3), "octet 999 must fail TO_IP")
+    assert(got.isNullAt(4))
+    assert(got.getDouble(5) == 4.0 + 2.0 / 4.0) // 4/1² + 2/2²
+    assert(got.getDouble(6) == 4.5) // med 6 → devs {5,4,4,14} → 4.5
+  }
+
   test("division: integer/integer truncates toward zero; fractional operands promote") {
     // the ES|QL arithmetic contract — Spark SQL's `/` is always
     // fractional, so this pins the type-directed EsqlDivide replacement
