@@ -453,6 +453,8 @@ object EsqlParser {
           // MAD: compiles to a TWO-STAGE plan (per-group medians
           // broadcast back, then median of absolute deviations)
           case "MEDIAN_ABSOLUTE_DEVIATION" => AggFn("mad", parseExpr())
+          // spatial centroid: struct(avg lon, avg lat) per group
+          case "ST_CENTROID_AGG" => AggFn("st_centroid", parseExpr())
           // VALUES: the distinct-values multivalue aggregate (sorted —
           // deterministic where ES leaves order undefined)
           case "VALUES" => AggFn("values", parseExpr())
@@ -729,6 +731,13 @@ object EsqlParser {
     * form a SpanLit. */
   private[graft] val spanUnits = Set("millisecond", "second", "minute",
     "hour", "day", "week", "month", "quarter", "year")
+
+  /** Point-in-envelope relation shared by ST_CONTAINS/WITHIN/INTERSECTS. */
+  private def envelopeContains(shp: Column, pt: Column): Column =
+    pt.getField("lon") >= shp.getField("min_lon") &&
+      pt.getField("lon") <= shp.getField("max_lon") &&
+      pt.getField("lat") >= shp.getField("min_lat") &&
+      pt.getField("lat") <= shp.getField("max_lat")
 
   /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen). */
   private def ip4u32(ip: Column): Column =
@@ -1108,6 +1117,50 @@ object EsqlParser {
           (shiftright(masked, 16) % 256).cast("string"),
           (shiftright(masked, 8) % 256).cast("string"),
           (masked % 256).cast("string"))
+      // ---------------- spatial functions (ES|QL 8.14+). The dialect's
+      // geo_point is a STRUCT(lon, lat); TO_GEOPOINT parses the WKT
+      // POINT form (invalid → null, the conversion contract), ST_X/ST_Y
+      // extract, ST_DISTANCE is the engine's shared haversine (meters,
+      // same operation order as the ns_geo family so both engines'
+      // IEEE steps stay bit-aligned; only the transcendental calls can
+      // differ, within 1 ulp, absorbed by the key's ROUND). Shapes:
+      // TO_GEOSHAPE supports the WKT ENVELOPE form (minLon, maxLon,
+      // maxLat, minLat) — the bounding-box class every dashboard map
+      // sends; polygon shapes live in the ns_geo_* operator family.
+      // ST_CONTAINS/ST_WITHIN/ST_INTERSECTS implement the point-vs-
+      // envelope relations (for a point argument the three coincide up
+      // to argument order). All pure codegen arithmetic.
+      case ("TO_GEOPOINT", Seq(x)) =>
+        val c = compileExpr(x)
+        val rx = "^POINT \\((-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?)\\)$"
+        when(c.rlike(rx), struct(
+          regexp_extract(c, rx, 1).cast("double").as("lon"),
+          regexp_extract(c, rx, 2).cast("double").as("lat")))
+      case ("ST_X", Seq(p)) => compileExpr(p).getField("lon")
+      case ("ST_Y", Seq(p)) => compileExpr(p).getField("lat")
+      case ("ST_DISTANCE", Seq(a, b)) =>
+        val (pa, pb) = (compileExpr(a), compileExpr(b))
+        val dlatS = sin((pb.getField("lat") - pa.getField("lat")) * lit(math.Pi) / 360)
+        val dlonS = sin((pb.getField("lon") - pa.getField("lon")) * lit(math.Pi) / 360)
+        val h = dlatS * dlatS +
+          cos(pa.getField("lat") * lit(math.Pi) / 180) *
+          cos(pb.getField("lat") * lit(math.Pi) / 180) * dlonS * dlonS
+        lit(2) * lit(6371000.0) * asin(sqrt(h))
+      case ("TO_GEOSHAPE", Seq(x)) =>
+        val c = compileExpr(x)
+        val num = "(-?\\d+(?:\\.\\d+)?)"
+        val rx = s"^ENVELOPE \\($num, $num, $num, $num\\)$$"
+        when(c.rlike(rx), struct(
+          regexp_extract(c, rx, 1).cast("double").as("min_lon"),
+          regexp_extract(c, rx, 2).cast("double").as("max_lon"),
+          regexp_extract(c, rx, 3).cast("double").as("max_lat"),
+          regexp_extract(c, rx, 4).cast("double").as("min_lat")))
+      case ("ST_CONTAINS", Seq(shp, pt)) =>
+        envelopeContains(compileExpr(shp), compileExpr(pt))
+      case ("ST_WITHIN", Seq(pt, shp)) =>
+        envelopeContains(compileExpr(shp), compileExpr(pt))
+      case ("ST_INTERSECTS", Seq(pt, shp)) =>
+        envelopeContains(compileExpr(shp), compileExpr(pt))
       // ---------------- full-text functions (9.x: relevance predicates
       // inside WHERE). ES resolves the searched field from the index
       // default; this dialect names it as the first argument. Each
@@ -1338,6 +1391,11 @@ object EsqlParser {
       case AggPercentile(e, p) =>
         percentile(compileExpr(e), lit(p.toDouble / 100))
       case AggFn("std_dev", e, f) => stddev_pop(gate(compileExpr(e), f))
+      // ST_CENTROID_AGG: component-wise mean of the group's points —
+      // ES's geo centroid contract (the ns_agg_geo_centroid discipline)
+      case AggFn("st_centroid", e, f) =>
+        val c = gate(compileExpr(e), f)
+        struct(avg(c.getField("lon")).as("lon"), avg(c.getField("lat")).as("lat"))
       // ES skips documents whose VALUE is null entirely — their weight
       // must not inflate the denominator, so gate the weight on the
       // value's non-nullness (sum(v*w) already drops null-v rows).
@@ -1577,6 +1635,8 @@ object EsqlParser {
               throw ParseError("INLINESTATS does not support COUNT_DISTINCT", 0)
             case (_, AggFn("mad", _, _)) =>
               throw ParseError("INLINESTATS does not support MEDIAN_ABSOLUTE_DEVIATION", 0)
+            case (_, AggFn("st_centroid", _, _)) =>
+              throw ParseError("INLINESTATS does not support ST_CENTROID_AGG", 0)
             case _ => ()
           }
           if (by.isEmpty) {

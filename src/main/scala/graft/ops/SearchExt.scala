@@ -2535,6 +2535,64 @@ object SearchExt {
       |  FROM events WHERE event_id < 20)
       |ORDER BY event_id""".stripMargin))
 
+  /** ES|QL spatial functions (8.14+): TO_GEOPOINT (WKT POINT parse,
+    * invalid → null), ST_X/ST_Y, ST_DISTANCE (the engine's shared
+    * haversine in meters, identical operation order in both engines —
+    * the ns_geo discipline — so round(2) absorbs the 1-ulp
+    * transcendental residue), TO_GEOSHAPE's ENVELOPE form and the
+    * point-vs-envelope ST_CONTAINS/ST_WITHIN/ST_INTERSECTS relations.
+    * All codegen scalars on the pushed 20-row slice; the synthesized
+    * coordinates derive from exact integer grids so both engines see
+    * identical doubles. */
+  private[graft] val esqlGeoQuery =
+    """FROM events
+      || WHERE event_id < 20
+      || EVAL wkt = CONCAT("POINT (", TO_STRING(event_id * 15 - 150), " ",
+      |                    TO_STRING(event_id * 6 - 57), ")"),
+      |       p = TO_GEOPOINT(wkt),
+      |       x = ST_X(p), y = ST_Y(p),
+      |       d = ROUND(ST_DISTANCE(p, TO_GEOPOINT("POINT (103.8 1.5)")), 2),
+      |       inbox = ST_WITHIN(p, TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)")),
+      |       bad = ST_X(TO_GEOPOINT(event_type))
+      || KEEP event_id, x, y, d, inbox, bad
+      || SORT event_id""".stripMargin
+  val esqlGeoOp = QueryDef(
+    "ns_esql_geo",
+    (s, dir) => EsqlParser.run(esqlGeoQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_id, x, y,
+      |  round(2 * 6371000.0 * asin(sqrt(
+      |    sin((1.5 - y) * pi() / 360) * sin((1.5 - y) * pi() / 360) +
+      |    cos(y * pi() / 180) * cos(1.5 * pi() / 180) *
+      |    sin((103.8 - x) * pi() / 360) * sin((103.8 - x) * pi() / 360))), 2) AS d,
+      |  (x >= -60 AND x <= 60 AND y >= -45 AND y <= 45) AS inbox,
+      |  CAST(NULL AS DOUBLE) AS bad
+      |FROM (SELECT event_id,
+      |    CAST(event_id * 15 - 150 AS DOUBLE) AS x,
+      |    CAST(event_id * 6 - 57 AS DOUBLE) AS y
+      |  FROM events WHERE event_id < 20)
+      |ORDER BY event_id""".stripMargin))
+
+  /** ES|QL `ST_CENTROID_AGG` — the spatial aggregate (component-wise
+    * mean of the group's points, ES's geo-centroid contract): the
+    * grid coordinates are integer-valued doubles, so the sums are
+    * EXACT in IEEE double regardless of accumulation order and the
+    * single closing division matches bit-for-bit across engines. */
+  private[graft] val esqlGeoCentroidQuery =
+    """FROM events
+      || EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(event_id % 360 - 180),
+      |           " ", TO_STRING(event_id % 120 - 60), ")"))
+      || STATS c = ST_CENTROID_AGG(p), n = COUNT(*) BY event_type
+      || EVAL cx = ROUND(ST_X(c), 6), cy = ROUND(ST_Y(c), 6)
+      || DROP c
+      || SORT event_type""".stripMargin
+  val esqlGeoCentroidOp = QueryDef(
+    "ns_esql_geo_centroid",
+    (s, dir) => EsqlParser.run(esqlGeoCentroidQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_type, count(*) AS n,
+      |  round(avg(CAST(event_id % 360 - 180 AS DOUBLE)), 6) AS cx,
+      |  round(avg(CAST(event_id % 120 - 60 AS DOUBLE)), 6) AS cy
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2588,7 +2646,7 @@ object SearchExt {
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
     esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
-    esqlMadOp, esqlMvStatsOp,
+    esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

@@ -733,6 +733,30 @@ class EsqlSpec extends SparkSpec {
     assert(got.getDouble(6) == 4.5) // med 6 → devs {5,4,4,14} → 4.5
   }
 
+  test("spatial functions: WKT parse, point extraction, envelope relations, centroid") {
+    val got = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (103.8 1.5)"),
+        |  x = ST_X(p), y = ST_Y(p),
+        |  zero = ROUND(ST_DISTANCE(p, p), 2),
+        |  bad = ST_X(TO_GEOPOINT("not a point")),
+        |  inbox = ST_WITHIN(p, TO_GEOSHAPE("ENVELOPE (100, 110, 5, -5)")),
+        |  outbox = ST_CONTAINS(TO_GEOSHAPE("ENVELOPE (0, 10, 5, -5)"), p),
+        |  badshape = ST_WITHIN(p, TO_GEOSHAPE("POLYGON ((1 2))"))
+        || KEEP x, y, zero, bad, inbox, outbox, badshape""".stripMargin,
+      _ => spark.range(1).toDF(), session = Some(spark)).collect().head
+    assert(got.getDouble(0) == 103.8 && got.getDouble(1) == 1.5)
+    assert(got.getDouble(2) == 0.0)
+    assert(got.isNullAt(3), "invalid WKT must yield null, not an error")
+    assert(got.getBoolean(4) && !got.getBoolean(5))
+    assert(got.isNullAt(6), "non-envelope shape parses to null (documented scope)")
+    // centroid over a two-point group: mean of components
+    val c = run(
+      """FROM t | EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(n), " ", TO_STRING(id), ")"))
+        || STATS c = ST_CENTROID_AGG(p) | EVAL cx = ST_X(c), cy = ST_Y(c) | KEEP cx, cy"""
+        .stripMargin).collect().head
+    assert(c.getDouble(0) == 30.0 && c.getDouble(1) == 3.0) // mean(10..50), mean(1..5)
+  }
+
   test("division: integer/integer truncates toward zero; fractional operands promote") {
     // the ES|QL arithmetic contract — Spark SQL's `/` is always
     // fractional, so this pins the type-directed EsqlDivide replacement
