@@ -1612,6 +1612,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ns_esql_mad: two-stage exact MAD — medians broadcast, probe side unshuffled") {
+    val p = physical("ns_esql_mad")
+    // exactly two corpus passes by design (stage-1 medians + deviation
+    // aggregate) — a third would mean the join replans a subtree
+    assert(scanCount(p) == 2, s"MAD must read the corpus exactly twice:\n$p")
+    // the |groups|-row median dim broadcasts; the row side must never
+    // sort-merge or shuffle before its partial aggregate
+    assert(nodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"stage-1 medians must broadcast back onto the rows:\n$p")
+    assert(!nodes(p).exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"the median join must not degrade to sort-merge:\n$p")
+    val join = nodes(p).collectFirst { case j: BroadcastHashJoinExec => j }.get
+    val streamedShuffles = nodes(join.left).collect {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(streamedShuffles.isEmpty,
+      s"the MAD probe side must reach the join unshuffled:\n$p")
+  }
+
   test("ns_search_pit pages prune day partitions: snapshot bound caps every page") {
     val df = SparkEntry.queries("ns_search_pit")(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collect {
