@@ -1006,6 +1006,36 @@ object AggsExt {
         sumExact(cents(col("value"))).as("sum_value_c"))
   }
 
+  // ------------------------------------------------- normalize (pipeline)
+  /** The ES `normalize` pipeline aggregation: rescale a sibling bucket
+    * metric within its parent — the two most-used methods, `range`
+    * (min-max onto [0,1]; a degenerate series where max = min yields
+    * null) and `percent_of_sum`. Runs over the AGGREGATED day×series
+    * bucket table (dashboard-sized at any SF), windows partitioned by
+    * series — never a global single-partition window, never raw rows. */
+  val normalizeAgg: QueryDef = q(
+    "ns_agg_normalize",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |  round(CAST(n - min(n) OVER w AS DOUBLE)
+      |    / nullif(CAST(max(n) OVER w - min(n) OVER w AS DOUBLE), 0), 6) AS range_norm,
+      |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER w AS DOUBLE), 6) AS pct_sum
+      |FROM b
+      |WINDOW w AS (PARTITION BY event_type)""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("tsu")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("range_norm",
+        round((col("n") - min("n").over(w)).cast("double") /
+          nullif((max("n").over(w) - min("n").over(w)).cast("double"), lit(0.0)), 6))
+      .withColumn("pct_sum",
+        round(col("n").cast("double") / sum("n").over(w).cast("double"), 6))
+  }
+
   // ----------------------------------------------------------------- missing
   /** The `missing` aggregation — exists' complement: how many docs per
     * bucket LACK the field (here, messages that don't parse to a JSON
@@ -1374,5 +1404,6 @@ object AggsExt {
     diversifiedSamplerAgg, stringStatsAgg, madAgg, boxplotAgg, tTestAgg,
     categorizeTextAgg, frequentItemSetsAgg, changePointAgg, scriptedMetricAgg,
     percentilesBucketAgg, movingFnAgg, nestedAgg, dateRangeAgg, missingAgg,
+    normalizeAgg,
     childrenAgg, globalAgg, movingPercentilesAgg, parentAgg, randomSamplerAgg)
 }
