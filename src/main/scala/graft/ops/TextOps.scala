@@ -1509,6 +1509,36 @@ object TextOps {
            |FROM agg JOIN documents USING (doc_id)
            |ORDER BY fscore DESC, doc_id LIMIT $bm25TopK""".stripMargin))
 
+  /** The ES `script_score` query — function_score's 7.x+ successor: the
+    * final score is a SCRIPT over the query score and doc values. The
+    * declared script is the canonical rank-feature pair ES's docs lead
+    * with: `_score * saturation(doc['n_chars'].value, k)` with
+    * saturation(x, k) = x / (x + k) — the bounded length boost (unlike
+    * function_score's unbounded log1p factor, saturation caps the
+    * boost at 1, the property rank_feature exists for). Same scale
+    * shape as function_score: the doc-values lookup is a second
+    * documents scan pruned to (doc_id, n_chars) joined to the small
+    * match set; the script is one codegen projection; the cutoff stays
+    * TakeOrderedAndProject. */
+  private val scriptScoreSatK = 500.0
+  val scriptScoreOp = QueryDef(
+    "ns_search_script_score", { (s, dir) =>
+      val factor = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      bm25ScoredDocs(s, dir)
+        .join(factor, "doc_id")
+        .select(col("doc_id"),
+          round(col("score") * (col("n_chars").cast("double") /
+            (col("n_chars").cast("double") + lit(scriptScoreSatK))), 6)
+            .as("sscore"))
+        .orderBy(col("sscore").desc, col("doc_id"))
+        .limit(bm25TopK)
+    },
+    Some(s"""WITH $bm25SqlCtes
+           |SELECT agg.doc_id AS doc_id,
+           |  round(score * (n_chars::DOUBLE / (n_chars::DOUBLE + $scriptScoreSatK)), 6) AS sscore
+           |FROM agg JOIN documents USING (doc_id)
+           |ORDER BY sscore DESC, doc_id LIMIT $bm25TopK""".stripMargin))
+
   /** The OpenSearch `more_like_this` query: given a SEED document,
     * select its `max_query_terms` most characteristic terms by TF-IDF
     * against the corpus (the Lucene MLT interesting-terms pass), then
@@ -3260,7 +3290,8 @@ object TextOps {
     collocationsOp, percolateOp, fuzzyMatchOp, phraseMatchOp, phrasePrefixOp,
     spanNearOp, spanOrOp, spanNotOp, spanContainingOp, spanWithinOp, spanMultiOp,
     rankEvalOp, collapseOp, significantTermsOp, bm25Op,
-    topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, mltOp, suggestOp,
+    topHitsOp, multiMatchOp, combinedFieldsOp, functionScoreOp, scriptScoreOp,
+    mltOp, suggestOp,
     phraseSuggestOp, completionSuggestOp, completionFuzzyOp, explainOp, rareTermsOp,
     boolQueryOp, highlightOp,
     unigramLogprobOp, bigramLogprobOp, perplexityFilterOp,
