@@ -807,6 +807,46 @@ object Enrich {
         |      + CAST(string_split(dst_ip, '.')[4] AS BIGINT) AS du
         |    FROM flow_log))""".stripMargin)))
 
+  /** The `date_index_name` processor — the write-side twin of the
+    * engine's date-partitioned layout (Tables.eventsDt): computes the
+    * time-based index a document routes to (`logs-2024.01.15` for
+    * date_rounding `d`, `logs-2024.01` for `M`), which IS how the ES
+    * time-index layout the partition-pruning discipline reads gets
+    * CREATED. One codegen date_format per row, map-only. */
+  val dateIndexNameOp = QueryDef(
+    "np_date_index_name",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(lit("logs-"), date_format(col("tsu"), "yyyy.MM.dd")).as("idx_day"),
+        concat(lit("logs-"), date_format(col("tsu"), "yyyy.MM")).as("idx_month")),
+    Some("""SELECT event_id,
+      |  concat('logs-', strftime(ts, '%Y.%m.%d')) AS idx_day,
+      |  concat('logs-', strftime(ts, '%Y.%m')) AS idx_month
+      |FROM events""".stripMargin))
+
+  /** The ES array-processor family in one declared chain — `split` →
+    * `append` → `foreach` (uppercase each element) → `sort` (desc) →
+    * `join`: the tag-normalization pipeline shape. All bounded per-row
+    * array expressions (transform/sort_array/array_join — codegen HOFs
+    * over the row's own elements), map-only, no explode. */
+  val arrayOpsOp = QueryDef(
+    "np_array_ops",
+    (s, dir) => al(s, dir)
+      .withColumn("tags", split(concat(col("event_type"), lit(","), col("method")), ","))
+      .withColumn("tagged", concat(col("tags"), array(lit("archived"))))
+      .withColumn("upper", transform(col("tagged"), t => upper(t)))
+      .select(col("event_id"),
+        array_join(sort_array(col("upper"), asc = false), "|").as("tag_line"),
+        size(col("tagged")).cast("long").as("n_tags")),
+    Some(Synth.withAccessLog(
+      """SELECT event_id,
+        |  array_to_string(list_sort(list_transform(
+        |    list_append(string_split(concat(event_type, ',', method), ','), 'archived'),
+        |    t -> upper(t)), 'DESC'), '|') AS tag_line,
+        |  CAST(len(list_append(string_split(concat(event_type, ',', method), ','),
+        |    'archived')) AS BIGINT) AS n_tags
+        |FROM access_log""".stripMargin)))
+
   /** P14: recursive null-strip on serialization — Spark's to_json drops
     * null fields by default (spark.sql.jsonGenerator.ignoreNullFields),
     * mirroring the painless map-walk (axway-ingest.json:137–142). */
@@ -1342,5 +1382,6 @@ object Enrich {
     geohexGridOp, geoShapeOp, mvtOp, tlsVersionOp,
     csvOp, kvOp, urldecodeOp, userAgentOp, registeredDomainOp, bytesOp,
     htmlStripOp, fingerprintOp, communityIdOp, networkDirectionOp,
+    dateIndexNameOp, arrayOpsOp,
     dropNullFieldsOp, ingestPipelineOp)
 }
