@@ -65,7 +65,7 @@ object Bench {
         Double.PositiveInfinity
       }
     }
-    // Calibration: a FIXED data-independent CPU workload (150M xxhash64
+    // Calibration: a FIXED data-independent CPU workload (1.2G xxhash64
     // over an in-memory range, all cores) timed before and after the
     // measured rounds. Ambient load on this shared box inflates
     // same-code totals ±25% across a session (r14: 88 → 103 s), which

@@ -718,11 +718,9 @@ object Enrich {
         |FROM access_log""".stripMargin)))
 
   // ------------------------------------------------- community_id (ECS)
-  /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen; the
-    * EsqlParser CIDR discipline). */
-  private def ip4u32(ip: Column): Column =
-    (1 to 4).map(i => element_at(split(ip, "\\."), i).cast("long"))
-      .reduceLeft((a, b) => a * 256L + b)
+  /** IPv4 dotted-quad → u32 — the ONE shared implementation
+    * (EsqlParser.ip4u32, also behind CIDR_MATCH/IP_PREFIX). */
+  private def ip4u32(ip: Column): Column = EsqlParser.ip4u32(ip)
 
   /** Membership in the RFC-1918 internal ranges (10/8, 172.16/12,
     * 192.168/16) — prefix compares on the u32, one codegen pass. */
@@ -744,10 +742,15 @@ object Enrich {
     * pins the spec's published test vectors AND cross-checks the column
     * against an independent JVM MessageDigest implementation row-by-row
     * on the synthesized flows. */
-  private def communityId(srcIp: Column, dstIp: Column,
+  private[graft] def communityId(srcIp: Column, dstIp: Column,
       srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0): Column = {
+    // Supported protocols: the PORT-carrying ones (tcp/udp/sctp). ICMP's
+    // spec hash uses type/code PSEUDO-ports with a one-way reply mapping
+    // — fields a 5-tuple flow record doesn't carry — so an icmp (or
+    // unknown) proto yields NULL rather than a nonconforming id (the
+    // processor's ignore_missing stance); CommunityIdSpec pins this.
     val protoNum = when(proto === "tcp", 6L).when(proto === "udp", 17L)
-      .when(proto === "icmp", 1L).otherwise(255L)
+      .when(proto === "sctp", 132L)
     val su = ip4u32(srcIp)
     val du = ip4u32(dstIp)
     // canonical order: compare ips first, ports break ties

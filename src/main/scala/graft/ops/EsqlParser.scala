@@ -365,6 +365,17 @@ object EsqlParser {
           case Some(TNum(v, _)) => i += 1; NumLit(-v)
           case _ => throw ParseError("expected numeric literal after -", pos)
         }
+      // a bound request parameter substitutes anywhere a literal is
+      // valid — including IN lists (ES|QL's params contract)
+      case Some(TSym("?", p0)) =>
+        i += 1
+        peek match {
+          case Some(TWord(n, _)) =>
+            i += 1
+            params.getOrElse(n,
+              throw ParseError(s"unbound request parameter ?$n", p0))
+          case _ => throw ParseError("expected parameter name after ?", p0)
+        }
       case _ => throw ParseError("expected literal", pos)
     }
     def parseAdd(): Expr = {
@@ -732,15 +743,16 @@ object EsqlParser {
   private[graft] val spanUnits = Set("millisecond", "second", "minute",
     "hour", "day", "week", "month", "quarter", "year")
 
-  /** Point-in-envelope relation shared by ST_CONTAINS/WITHIN/INTERSECTS. */
-  private def envelopeContains(shp: Column, pt: Column): Column =
-    pt.getField("lon") >= shp.getField("min_lon") &&
-      pt.getField("lon") <= shp.getField("max_lon") &&
-      pt.getField("lat") >= shp.getField("min_lat") &&
-      pt.getField("lat") <= shp.getField("max_lat")
+  /** Point-vs-envelope relation, argument roles resolved at analysis
+    * time (graftshim.GeoEnvelopeRelate). */
+  private def geoRelate(x: Expr, y: Expr, mode: String): Column =
+    graft.Cols.column(org.apache.spark.sql.graftshim.GeoEnvelopeRelate(
+      graft.Cols.expr(compileExpr(x)), graft.Cols.expr(compileExpr(y)), mode))
 
-  /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen). */
-  private def ip4u32(ip: Column): Column =
+  /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen);
+    * shared with the ingest processors (community_id,
+    * network_direction) — one octet-arithmetic implementation. */
+  private[graft] def ip4u32(ip: Column): Column =
     (1 to 4).map(i => element_at(split(ip, "\\."), i).cast("long"))
       .reduceLeft((a, b) => a * 256L + b)
 
@@ -1012,6 +1024,10 @@ object EsqlParser {
         when(n === 0, lit(null).cast("double")).otherwise(
           (element_at(s0, ((n + 1) / 2).cast("int")) +
             element_at(s0, (n / 2).cast("int") + 1)) / 2)
+      // a negative literal parses as Neg(NumLit) — it must hit the same
+      // plan-time validation, not fall through to "unsupported function"
+      case ("MV_PERCENTILE", Seq(_, Neg(NumLit(p)))) =>
+        throw ParseError(s"MV_PERCENTILE expects p in [0, 100], got -$p", 0)
       case ("MV_PERCENTILE", Seq(x, NumLit(p))) =>
         if (p < 0 || p > 100)
           throw ParseError(s"MV_PERCENTILE expects p in [0, 100], got $p", 0)
@@ -1038,9 +1054,17 @@ object EsqlParser {
           (element_at(devs, ((n + 1) / 2).cast("int")) +
             element_at(devs, (n / 2).cast("int") + 1)) / 2)
       // MV_PSERIES_WEIGHTED_SUM: Σ v(i) / i^p over the multivalue in
-      // its given order (ES 8.16's rank-weighted score reducer)
+      // its given order (ES 8.16's rank-weighted score reducer).
+      // Degenerate elements DROP before weighting (the sibling
+      // reducers' null-drop + try_cast discipline — one unparseable
+      // element must not null the whole sum; the drop shifts later
+      // ranks, same as MV_MEDIAN's positions). Negative p is valid
+      // (i^-p weights later elements up), so Neg literals normalize.
+      case ("MV_PSERIES_WEIGHTED_SUM", Seq(x, Neg(NumLit(p)))) =>
+        compileExpr(Func("MV_PSERIES_WEIGHTED_SUM", Seq(x, NumLit(-p))))
       case ("MV_PSERIES_WEIGHTED_SUM", Seq(x, NumLit(p))) =>
-        val arr = transform(compileExpr(x), v => v.try_cast("double"))
+        val arr = filter(
+          transform(compileExpr(x), v => v.try_cast("double")), v => v.isNotNull)
         val weighted = zip_with(arr, sequence(lit(1), size(arr)),
           (v, i) => v / pow(i.cast("double"), lit(p.toDouble)))
         when(size(arr) === 0, lit(null).cast("double")).otherwise(
@@ -1155,12 +1179,12 @@ object EsqlParser {
           regexp_extract(c, rx, 2).cast("double").as("max_lon"),
           regexp_extract(c, rx, 3).cast("double").as("max_lat"),
           regexp_extract(c, rx, 4).cast("double").as("min_lat")))
-      case ("ST_CONTAINS", Seq(shp, pt)) =>
-        envelopeContains(compileExpr(shp), compileExpr(pt))
-      case ("ST_WITHIN", Seq(pt, shp)) =>
-        envelopeContains(compileExpr(shp), compileExpr(pt))
-      case ("ST_INTERSECTS", Seq(pt, shp)) =>
-        envelopeContains(compileExpr(shp), compileExpr(pt))
+      // argument roles resolve at ANALYSIS time (GeoEnvelopeRelate — the
+      // EsqlDivide pattern): ST_INTERSECTS is symmetric; the directed
+      // pair enforces its role order with a clear error
+      case ("ST_CONTAINS", Seq(x, y)) => geoRelate(x, y, "contains")
+      case ("ST_WITHIN", Seq(x, y)) => geoRelate(x, y, "within")
+      case ("ST_INTERSECTS", Seq(x, y)) => geoRelate(x, y, "intersects")
       // ---------------- full-text functions (9.x: relevance predicates
       // inside WHERE). ES resolves the searched field from the index
       // default; this dialect names it as the first argument. Each
@@ -1608,9 +1632,19 @@ object EsqlParser {
           val meds =
             if (by.isEmpty) d.agg(madMeds.head._2, madMeds.tail.map(_._2): _*)
             else d.groupBy(by.map(col): _*).agg(madMeds.head._2, madMeds.tail.map(_._2): _*)
+          // NULL-SAFE join back: groupBy emits a null-key bucket, and a
+          // plain equi-join would silently DROP those rows — losing the
+          // null bucket for every aggregate in this STATS, not just the
+          // MAD (found in the r15 self-review). <=> keys still hash-join.
           val joined =
             if (by.isEmpty) d.crossJoin(broadcast(meds))
-            else d.join(broadcast(meds), by)
+            else {
+              val medsR = by.foldLeft(meds)((m, c) =>
+                m.withColumnRenamed(c, s"__mad_by_$c"))
+              d.join(broadcast(medsR),
+                  by.map(c => col(c) <=> col(s"__mad_by_$c")).reduce(_ && _))
+                .drop(by.map(c => s"__mad_by_$c"): _*)
+            }
           val cols = aggs.zipWithIndex.map {
             case ((n, AggFn("mad", e, f)), i) =>
               median(abs(gateOf(e, f) - col(s"__mad_med_$i"))).as(n)

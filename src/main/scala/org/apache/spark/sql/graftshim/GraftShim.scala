@@ -68,6 +68,64 @@ case class EsqlDivide(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Point-vs-envelope spatial relation, TYPE-DIRECTED at analysis time
+  * (the EsqlDivide pattern): ES|QL's ST_INTERSECTS is symmetric and
+  * ST_CONTAINS/ST_WITHIN fix which side is the container, but the
+  * compiler cannot know which ARGUMENT is the point and which the
+  * envelope until the frame resolves — this RuntimeReplaceable
+  * inspects the resolved struct fields (envelope carries min_lon…,
+  * point carries lon/lat) and orients, enforcing the declared mode's
+  * role order with a CLEAR error instead of a confusing
+  * no-such-struct-field failure. mode: "intersects" accepts either
+  * order; "contains" requires (envelope, point); "within" requires
+  * (point, envelope). */
+case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with BinaryLike[Expression] {
+  private def isEnvelope(e: Expression): Boolean = e.dataType match {
+    case s: StructType => s.fieldNames.contains("min_lon")
+    case _ => false
+  }
+  private def isPoint(e: Expression): Boolean = e.dataType match {
+    case s: StructType => s.fieldNames.contains("lon") && s.fieldNames.contains("lat")
+    case _ => false
+  }
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GetStructField, GreaterThanOrEqual, LessThanOrEqual}
+    val (shp, pt) = mode match {
+      case "intersects" =>
+        if (isEnvelope(a) && isPoint(b)) (a, b)
+        else if (isPoint(a) && isEnvelope(b)) (b, a)
+        else sys.error("ST_INTERSECTS expects one geo_point and one ENVELOPE geo_shape " +
+          s"(got ${a.dataType.simpleString}, ${b.dataType.simpleString})")
+      case "contains" =>
+        if (isEnvelope(a) && isPoint(b)) (a, b)
+        else sys.error("ST_CONTAINS here supports (ENVELOPE geo_shape, geo_point) — " +
+          "for the point-in-shape direction use ST_WITHIN(point, shape)")
+      case "within" =>
+        if (isPoint(a) && isEnvelope(b)) (b, a)
+        else sys.error("ST_WITHIN here supports (geo_point, ENVELOPE geo_shape) — " +
+          "for the shape-contains-point direction use ST_CONTAINS(shape, point)")
+      case other => sys.error(s"unknown geo relation mode $other")
+    }
+    def f(e: Expression, n: String): Expression = {
+      val st = e.dataType.asInstanceOf[StructType]
+      GetStructField(e, st.fieldIndex(n), Some(n))
+    }
+    And(
+      And(GreaterThanOrEqual(f(pt, "lon"), f(shp, "min_lon")),
+        LessThanOrEqual(f(pt, "lon"), f(shp, "max_lon"))),
+      And(GreaterThanOrEqual(f(pt, "lat"), f(shp, "min_lat")),
+        LessThanOrEqual(f(pt, "lat"), f(shp, "max_lat"))))
+  }
+  override def left: Expression = a
+  override def right: Expression = b
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
 /** Gzip decompress of BINARY — the reference gunzips each Firehose
   * record's `data` payload after base64-decode (reference main.go:472–479)
   * and the whole HTTP body (reference gzipbinding/binding.go:38–45).

@@ -47,6 +47,25 @@ class CommunityIdSpec extends SparkSpec {
       "direction symmetry: both flow directions must hash to one id")
   }
 
+  test("icmp (pseudo-port protocols) yield null, never a nonconforming id") {
+    // the spec hashes ICMP with type/code pseudo-ports + a one-way
+    // reply mapping — fields a 5-tuple flow record doesn't carry; the
+    // engine must return null rather than an id no conforming
+    // implementation would produce
+    import spark.implicits._
+    val row = Seq(("1.2.3.4", "5.6.7.8", 8, 0, "icmp"), ("1.2.3.4", "5.6.7.8", 1, 2, "tcp"))
+      .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto")
+      .select(graft.ops.Enrich.communityId(
+        org.apache.spark.sql.functions.col("src_ip"),
+        org.apache.spark.sql.functions.col("dst_ip"),
+        org.apache.spark.sql.functions.col("src_port"),
+        org.apache.spark.sql.functions.col("dst_port"),
+        org.apache.spark.sql.functions.col("proto")).as("id"))
+      .collect()
+    assert(row(0).isNullAt(0), "icmp must yield null")
+    assert(row(1).getString(0) == refCommunityId("1.2.3.4", "5.6.7.8", 1, 2, "tcp"))
+  }
+
   test("Spark column equals the independent JVM reference on every synthesized flow") {
     val got = SparkEntry.queries("np_community_id")(spark, sfDir)
       .select("src_ip", "dst_ip", "src_port", "dst_port", "proto", "community_id")

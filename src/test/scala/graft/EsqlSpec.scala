@@ -733,6 +733,46 @@ class EsqlSpec extends SparkSpec {
     assert(got.getDouble(6) == 4.5) // med 6 → devs {5,4,4,14} → 4.5
   }
 
+  test("r15 self-review pins: MAD null bucket, param in IN, negative p, pseries nulls, ST roles") {
+    // 1. MAD's two-stage join must keep the null BY bucket (null-safe <=>)
+    val madNull = run(
+      """FROM t | EVAL g = CASE(n > 30, cat) | STATS mad = MEDIAN_ABSOLUTE_DEVIATION(x),
+        |  cnt = COUNT(*) BY g | SORT g | KEEP g, mad, cnt""".stripMargin).collect()
+    assert(madNull.length == 3, s"null bucket lost: ${madNull.mkString(";")}")
+    val nullBucket = madNull.find(_.isNullAt(0)).get
+    assert(nullBucket.getLong(2) == 3L) // n = 10, 20, 30 → g null
+    assert(nullBucket.getDouble(1) == 1.0) // x = 1.5, 2.5, 3.5 → MAD 1.0
+    // 2. a bound ?param works inside IN lists
+    val inParam = EsqlParser.run("FROM t | WHERE n IN (?a, ?b) | SORT id | KEEP id",
+      _ => df, params = Map("a" -> EsqlParser.param(20L), "b" -> EsqlParser.param(40L)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(inParam == Seq(2L, 4L))
+    // 3. negative p hits the plan-time validation, not "unsupported function"
+    val e = intercept[EsqlParser.ParseError](
+      run("""FROM t | EVAL p = MV_PERCENTILE(SPLIT("1,2", ","), -5)"""))
+    assert(e.msg.contains("[0, 100]") && e.msg.contains("-5"))
+    // 4. pseries drops unparseable elements instead of nulling the sum
+    val ps = EsqlParser.run(
+      """ROW a = 1 | EVAL ps = MV_PSERIES_WEIGHTED_SUM(SPLIT("4,x,2", ","), 1.0) | KEEP ps""",
+      _ => df, session = Some(spark)).collect().head
+    assert(ps.getDouble(0) == 4.0 + 2.0 / 2.0, "null element must drop, not poison")
+    // 5. ST argument roles: symmetric intersects accepts either order;
+    //    directed forms fail with a CLEAR message on the wrong order
+    val sym = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (5 5)"),
+        |  s1 = ST_INTERSECTS(TO_GEOSHAPE("ENVELOPE (0, 10, 10, 0)"), p),
+        |  s2 = ST_INTERSECTS(p, TO_GEOSHAPE("ENVELOPE (0, 10, 10, 0)"))
+        || KEEP s1, s2""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(sym.getBoolean(0) && sym.getBoolean(1))
+    val roleErr = intercept[Throwable](EsqlParser.run(
+      """ROW a = 1 | EVAL bad = ST_CONTAINS(TO_GEOPOINT("POINT (5 5)"),
+        |  TO_GEOSHAPE("ENVELOPE (0, 10, 10, 0)")) | KEEP bad""".stripMargin,
+      _ => df, session = Some(spark)).collect())
+    assert(roleErr.getMessage.contains("ST_WITHIN"),
+      s"wrong-order ST_CONTAINS must name the fix, got: ${roleErr.getMessage}")
+  }
+
   test("spatial functions: WKT parse, point extraction, envelope relations, centroid") {
     val got = EsqlParser.run(
       """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (103.8 1.5)"),
