@@ -390,17 +390,52 @@ class ParserDifferentialSpec extends SparkSpec {
   test("esql WHERE: engine pipeline and independent evaluator agree on 250 random exprs") {
     var seed = Seed(45L)
     var nonEmpty = 0
-    (1 to 250).foreach { _ =>
+    var viaParams = 0
+    (1 to 250).foreach { round =>
       val ast = boolGen(3).pureApply(Gen.Parameters.default, seed)
       seed = seed.next
-      val text = boolToEsql(ast)
-      val got = E.run(s"FROM docs | WHERE $text | KEEP doc_id", _ => local)
+      // every third round routes the expression's numeric literals
+      // through ?request-parameters instead of inline text — the param
+      // substitution path must be semantics-invisible
+      val useParams = round % 3 == 0
+      val bound = scala.collection.mutable.Map.empty[String, E.Expr]
+      def litText(v: Long): String = // IN-element form: bare sign, no parens
+        if (useParams) {
+          val n = s"p${bound.size}"
+          bound(n) = E.NumLit(BigDecimal(v))
+          s"?$n"
+        } else v.toString
+      def numText(v: Long): String = // expression form: parenthesized Neg
+        if (useParams) litText(v)
+        else if (v < 0) s"(- ${-v})" else v.toString
+      def numToText(e: NumExpr): String = e match {
+        case NChars => "n_chars"
+        case DocId => "doc_id"
+        case NumC(v) => numText(v)
+        case NumBin(op, l, r) => s"(${numToText(l)} $op ${numToText(r)})"
+        case NumNeg(x) => s"(- ${numToText(x)})"
+        case LenLang => "LENGTH(lang)"
+      }
+      def boolToText(e: BoolExpr): String = e match {
+        case NumCmp(op, l, r) => s"(${numToText(l)} $op ${numToText(r)})"
+        case NumIn(x, vs) => s"(${numToText(x)} IN (${vs.map(litText).mkString(", ")}))"
+        case StrCmp(eq, f, v) => s"($f ${if (eq) "==" else "!="} ${"\"" + v + "\""})"
+        case StrLikeE(f, p) => s"($f LIKE ${"\"" + p + "*\""})"
+        case StrIn(f, vs) => s"($f IN (${vs.map("\"" + _ + "\"").mkString(", ")}))"
+        case BoolBin(and, l, r) => s"(${boolToText(l)} ${if (and) "AND" else "OR"} ${boolToText(r)})"
+        case BoolNot(x) => s"(NOT ${boolToText(x)})"
+      }
+      val text = boolToText(ast)
+      val got = E.run(s"FROM docs | WHERE $text | KEEP doc_id", _ => local,
+        params = bound.toMap)
         .collect().map(_.getLong(0)).toSet
       val want = docs.filter(evalBool(ast, _)).map(_.doc_id).toSet
       assert(got == want,
-        s"esql diverged on: $text\n missing=${want -- got} extra=${got -- want}")
+        s"esql diverged on: $text (params=$bound)\n missing=${want -- got} extra=${got -- want}")
       if (want.nonEmpty) nonEmpty += 1
+      if (useParams && bound.nonEmpty) viaParams += 1
     }
     assert(nonEmpty >= 50, s"only $nonEmpty exprs matched anything — fuzz too weak")
+    assert(viaParams >= 30, s"only $viaParams exprs exercised the params path")
   }
 }
