@@ -743,26 +743,48 @@ object Enrich {
     * against an independent JVM MessageDigest implementation row-by-row
     * on the synthesized flows. */
   private[graft] def communityId(srcIp: Column, dstIp: Column,
-      srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0): Column = {
-    // Supported protocols: the PORT-carrying ones (tcp/udp/sctp). ICMP's
-    // spec hash uses type/code PSEUDO-ports with a one-way reply mapping
-    // — fields a 5-tuple flow record doesn't carry — so an icmp (or
-    // unknown) proto yields NULL rather than a nonconforming id (the
-    // processor's ignore_missing stance); CommunityIdSpec pins this.
+      srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0,
+      icmpType: Column = lit(null), icmpCode: Column = lit(null)): Column = {
+    // Supported protocols: the port-carrying ones (tcp/udp/sctp) plus
+    // ICMPv4. ICMP hashes type/code as PSEUDO-ports (spec §ICMP): a
+    // type with a known reply type is TWO-WAY — the pseudo-port pair is
+    // (type, reply[type]) and the normal canonical ordering applies, so
+    // an echo request and its reply correlate to ONE id; a type without
+    // a reply mapping is ONE-WAY — (type, code), endpoint order KEPT as
+    // given. An icmp row whose type/code columns are absent (the old
+    // 5-tuple record) yields NULL rather than a nonconforming id (the
+    // processor's ignore_missing stance); CommunityIdSpec pins both the
+    // spec-derived vectors and the null contract.
     val protoNum = when(proto === "tcp", 6L).when(proto === "udp", 17L)
-      .when(proto === "sctp", 132L)
+      .when(proto === "sctp", 132L).when(proto === "icmp", 1L)
     val su = ip4u32(srcIp)
     val du = ip4u32(dstIp)
-    // canonical order: compare ips first, ports break ties
-    val flip = su > du || (su === du && srcPort.cast("long") > dstPort.cast("long"))
+    val isIcmp = proto === "icmp"
+    // ICMPv4 request→reply type mapping (spec §ICMP, v1)
+    val reply = when(icmpType === 8, 0L).when(icmpType === 0, 8L)
+      .when(icmpType === 13, 14L).when(icmpType === 14, 13L)
+      .when(icmpType === 15, 16L).when(icmpType === 16, 15L)
+      .when(icmpType === 10, 9L).when(icmpType === 9, 10L)
+      .when(icmpType === 17, 18L).when(icmpType === 18, 17L)
+    val sPort = when(isIcmp, icmpType.cast("long")).otherwise(srcPort.cast("long"))
+    val dPort = when(isIcmp, coalesce(reply, icmpCode.cast("long")))
+      .otherwise(dstPort.cast("long"))
+    val oneWay = isIcmp && reply.isNull
+    // canonical order: compare ips first, (pseudo-)ports break ties;
+    // one-way flows keep the order they arrived in
+    val flip = !oneWay && (su > du || (su === du && sPort > dPort))
     val aIp = when(flip, du).otherwise(su)
     val bIp = when(flip, su).otherwise(du)
-    val aPort = when(flip, dstPort).otherwise(srcPort).cast("long")
-    val bPort = when(flip, srcPort).otherwise(dstPort).cast("long")
+    val aPort = when(flip, dPort).otherwise(sPort)
+    val bPort = when(flip, sPort).otherwise(dPort)
     def hex32(c: Column) = lpad(hex(c), 8, "0")
     def hex16(c: Column) = lpad(hex(c), 4, "0")
+    // the spec defines seed as a 2-byte big-endian value — mask so a
+    // non-default seed can never widen hex() past 4 chars (a negative
+    // would emit 16) and malform the payload length
+    require(seed >= 0 && seed <= 0xFFFF, s"community_id seed must be uint16, got $seed")
     val payload = concat(
-      hex16(lit(seed.toLong)), hex32(aIp), hex32(bIp),
+      hex16(lit((seed & 0xFFFF).toLong)), hex32(aIp), hex32(bIp),
       lpad(hex(protoNum), 2, "0"), lit("00"), hex16(aPort), hex16(bPort))
     concat(lit("1:"), base64(unhex(sha1(unhex(payload)))))
   }
@@ -772,8 +794,10 @@ object Enrich {
     (s, dir) => Par.spread(s, Synth.flowLog(s, dir), col("event_id"))
       .select(col("event_id"), col("src_ip"), col("dst_ip"),
         col("src_port"), col("dst_port"), col("proto"),
+        col("icmp_type"), col("icmp_code"),
         communityId(col("src_ip"), col("dst_ip"),
-          col("src_port"), col("dst_port"), col("proto")).as("community_id")),
+          col("src_port"), col("dst_port"), col("proto"),
+          icmpType = col("icmp_type"), icmpCode = col("icmp_code")).as("community_id")),
     None) // sha1 is not expressible in DuckDB — CommunityIdSpec is the gate
 
   /** The `network_direction` processor: classify each flow against the

@@ -828,6 +828,12 @@ object EsqlParser {
     case In(x, vs) => compileExpr(x).isin(vs.map {
       case NumLit(v) => if (v.isValidLong && v.scale <= 0) v.toLong else v.toDouble
       case StrLit(s) => s
+      // a bound ?param of timestamp type substitutes anywhere a literal
+      // is valid — including IN lists (Instant literals carry exact
+      // micros, matching the TsLit compile elsewhere)
+      case TsLit(us) =>
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       case other => throw ParseError(s"non-literal IN element $other", 0)
     }: _*)
     case Bin(op, l, r) =>
@@ -1174,9 +1180,17 @@ object EsqlParser {
         val c = compileExpr(x)
         val num = "(-?\\d+(?:\\.\\d+)?)"
         val rx = s"^ENVELOPE \\($num, $num, $num, $num\\)$$"
-        when(c.rlike(rx), struct(
-          regexp_extract(c, rx, 1).cast("double").as("min_lon"),
-          regexp_extract(c, rx, 2).cast("double").as("max_lon"),
+        // Antimeridian-crossing envelopes (min_lon > max_lon is VALID
+        // WKT in ES geo_shape — it wraps the dateline) are outside this
+        // bounding-box implementation's scope: a plain range compare
+        // would silently return false for every point. Null the parse
+        // (the TO_* conversion contract for unsupported input) so
+        // downstream relations yield null, never a wrong boolean.
+        val minLon = regexp_extract(c, rx, 1).cast("double")
+        val maxLon = regexp_extract(c, rx, 2).cast("double")
+        when(c.rlike(rx) && minLon <= maxLon, struct(
+          minLon.as("min_lon"),
+          maxLon.as("max_lon"),
           regexp_extract(c, rx, 3).cast("double").as("max_lat"),
           regexp_extract(c, rx, 4).cast("double").as("min_lat")))
       // argument roles resolve at ANALYSIS time (GeoEnvelopeRelate — the

@@ -105,7 +105,17 @@ object Synth {
     "src_port" -> "CAST(49152 + event_id % 16384 AS INT)",
     "dst_port" -> ("CAST(CASE WHEN event_id % 5 = 0 THEN 443 WHEN event_id % 5 = 1 THEN 80 " +
       "WHEN event_id % 5 = 2 THEN 53 WHEN event_id % 5 = 3 THEN 22 ELSE 8080 END AS INT)"),
-    "proto" -> "CASE WHEN event_id % 4 = 0 THEN 'udp' ELSE 'tcp' END")
+    "proto" -> ("CASE WHEN event_id % 11 = 0 THEN 'icmp' " +
+      "WHEN event_id % 4 = 0 THEN 'udp' ELSE 'tcp' END"),
+    // icmp type/code for the icmp rows (null otherwise — the records a
+    // netflow exporter actually emits): mix of TWO-WAY mapped types
+    // (8 echo, 0 echo-reply, 13/14 timestamp) and ONE-WAY types
+    // (3 dest-unreachable, 11 time-exceeded) so the community-id
+    // pseudo-port path exercises both ordering branches
+    "icmp_type" -> ("CASE WHEN event_id % 11 = 0 THEN CAST(CASE event_id % 6 " +
+      "WHEN 0 THEN 8 WHEN 1 THEN 0 WHEN 2 THEN 13 WHEN 3 THEN 3 " +
+      "WHEN 4 THEN 11 ELSE 14 END AS INT) END"),
+    "icmp_code" -> ("CASE WHEN event_id % 11 = 0 THEN CAST(event_id % 3 AS INT) END"))
 
   /** Flow-log DataFrame, Spark side. */
   def flowLog(s: SparkSession, dir: String): DataFrame =

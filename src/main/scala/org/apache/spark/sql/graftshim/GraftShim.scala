@@ -47,21 +47,33 @@ object Bridge {
   * once the children's types are known this node replaces itself with
   * IntegralDivide (Spark's `div`, which truncates toward zero on
   * longs, exactly ES's contract) or Divide. Both replacements are
-  * plain codegen arithmetic. */
+  * plain codegen arithmetic.
+  *
+  * Division by ZERO follows ES|QL's value-or-null contract: ES returns
+  * null (with a warning header) for a zero denominator instead of
+  * failing the query, while both Spark replacements THROW under this
+  * project's ANSI sessions — one data-dependent zero would kill the
+  * whole frame. The replacement therefore guards the denominator:
+  * `d == 0 → null` wraps the divide, still a single codegen branch. */
 case class EsqlDivide(left: Expression, right: Expression)
     extends Expression
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
     with BinaryLike[Expression] {
   override lazy val replacement: Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, IntegralDivide}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, If, IntegralDivide, Literal}
     // explicit casts: the analyzer's implicit type coercion has already
     // run by the time this replacement materializes, so mixed-type
     // children would leave the replacement unresolved without them
     if (left.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType] &&
-        right.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType])
-      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
-    else
-      Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType]) {
+      val d = Cast(right, LongType)
+      If(EqualTo(d, Literal(0L)), Literal(null, LongType),
+        IntegralDivide(Cast(left, LongType), d))
+    } else {
+      val d = Cast(right, DoubleType)
+      If(EqualTo(d, Literal(0.0)), Literal(null, DoubleType),
+        Divide(Cast(left, DoubleType), d))
+    }
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

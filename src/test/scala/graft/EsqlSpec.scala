@@ -891,4 +891,40 @@ class EsqlSpec extends SparkSpec {
     assert(got.length == 5, "overlap must not multiply probe rows")
     assert(got.map(_.getString(2)).distinct.toSeq == Seq("wide"))
   }
+
+  test("r16 advice pins: division by zero is null, dateline envelope nulls, ts param in IN") {
+    // 1. ES|QL's value-or-null contract for a zero denominator: the
+    //    query survives and the cell is null — under this project's
+    //    ANSI sessions the raw Spark replacements would THROW on one
+    //    data-dependent zero (advice r15 →r16)
+    val dz = EsqlParser.run(
+      """ROW a = 5 | EVAL zi = a / 0, zd = a / 0.0, zc = a / (a - 5),
+        |  ok = a / 2 | KEEP zi, zd, zc, ok""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(dz.isNullAt(0), "int / 0 must be null, not an ANSI error")
+    assert(dz.isNullAt(1), "double / 0.0 must be null")
+    assert(dz.isNullAt(2), "data-dependent zero denominator must null the cell only")
+    assert(dz.getLong(3) == 2L)
+    // 2. an antimeridian-crossing envelope (min_lon > max_lon — valid
+    //    ES geo_shape) is outside the bounding-box scope: the parse
+    //    nulls so relations yield null, never a wrong false
+    val am = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (179 0)"),
+        |  wrap = ST_WITHIN(p, TO_GEOSHAPE("ENVELOPE (170, -170, 5, -5)")),
+        |  plain = ST_WITHIN(p, TO_GEOSHAPE("ENVELOPE (170, 180, 5, -5)"))
+        || KEEP wrap, plain""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(am.isNullAt(0), "dateline-wrapping envelope must null, not return false")
+    assert(am.getBoolean(1))
+    // 3. a timestamp-typed ?param binds inside IN lists like any literal
+    val t1 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val inTs = EsqlParser.run(
+      """FROM t | EVAL d = DATE_PARSE("yyyy-MM-dd", CONCAT("2024-01-0", TO_STRING(id)))
+        || WHERE d IN (?t1, ?t3) | SORT id | KEEP id""".stripMargin,
+      _ => df, params = Map(
+        "t1" -> EsqlParser.param(t1),
+        "t3" -> EsqlParser.param(java.time.Instant.parse("2024-01-03T00:00:00Z"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(inTs == Seq(1L, 3L), s"timestamp params in IN must bind (got $inTs)")
+  }
 }

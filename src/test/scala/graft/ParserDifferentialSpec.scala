@@ -296,7 +296,9 @@ class ParserDifferentialSpec extends SparkSpec {
                   l <- numGen(depth - 1); r <- numGen(depth - 1) } yield NumBin(op, l, r)),
       1 -> (for { l <- numGen(depth - 1); m <- Gen.chooseNum(2L, 50L) }
         yield NumBin("%", l, NumC(m))),
-      // nonzero literal divisor (ANSI div-by-zero throws); integral
+      // nonzero literal divisor (this evaluator computes in plain Long
+      // space — EsqlDivide's x/0 → null contract is exercised by the
+      // Option-space pipeline fuzzer and the r16 advice pin); integral
       // operands, so this pins EsqlDivide's truncating contract
       1 -> (for { l <- numGen(depth - 1); m <- Gen.chooseNum(2L, 50L) }
         yield NumBin("/", l, NumC(m))),
