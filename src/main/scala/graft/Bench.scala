@@ -155,7 +155,19 @@ object Bench {
     // a drifting box (before ≪ after) shows on its face
     val calibration = math.min(calibrationBefore, calibrationAfter)
     val normalized = if (calibration > 0) total / calibration else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"calibration":${fmt(calibration)},"calibration_before":${fmt(calibrationBefore)},"calibration_after":${fmt(calibrationAfter)},"normalized_total":${fmt(normalized)},"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"high_spread_passes":$passVectors,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","rounds":$rounds,"calibration":${fmt(calibration)},"calibration_before":${fmt(calibrationBefore)},"calibration_after":${fmt(calibrationAfter)},"normalized_total":${fmt(normalized)},"queries":$qs,"medians":$medians,"spread":$spreads,"first_pass":$firstPassJson,"high_spread_passes":$passVectors,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The stdout harvester keeps only a tail window, which truncates the
+    // full line's per-key maps — the committed BENCH artifact then only
+    // lets the slowest ~10 keys be diffed across rounds. Persist the
+    // COMPLETE record to a file too (SPARK_GRAFT_BENCH_OUT overrides;
+    // default lands in the repo cwd as bench_full_latest.json, copied to
+    // bench_full_r{N}.json at round end) so per-key regression diffing
+    // works for every key, not just the tail-visible ones.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     // The harvester keeps only the TAIL of stdout, and the full line above
     // (~80 queries × two maps) overflows that window — so the headline
     // numbers repeat in a short FINAL line that always survives: total,

@@ -56,6 +56,15 @@ object Tables {
           Math.floorMod(epochMicros, 1000000L) * 1000L))
     }
 
+  /** UTC day of an epoch-micros instant — the `dt` partition value of
+    * `eventsDt` that instant lives in. Keyset/date bounds mirror onto
+    * the partition column through this so they prune at FILE-LISTING
+    * time (a coarse day-granular superset of the precise ts bound —
+    * row sets are untouched). */
+  def microsDay(epochMicros: Long): java.sql.Date =
+    java.sql.Date.valueOf(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(epochMicros, 1000000L)).atZone(java.time.ZoneOffset.UTC).toLocalDate)
+
   /** Epoch-micros LONG expression over the native `ts` column of `df`. */
   def tsMicros(df: DataFrame): Column =
     df.schema("ts").dataType match {

@@ -575,10 +575,16 @@ object Relational {
        |WHERE ts > make_timestamp($pageAfterMicros)
        |   OR (ts = make_timestamp($pageAfterMicros) AND event_id > 0)
        |ORDER BY ts, event_id LIMIT $pageSize""".stripMargin) { (s, dir) =>
-    val ev = Tables.events(s, dir)
+    // scans the date-partitioned twin: the cursor's raw-ts superset
+    // bound mirrors onto the dt partition column, so a deep page lists
+    // only the day directories at-or-after the cursor (16 of 30 here;
+    // PlanSpec locks the PartitionFilters + exact partitionCount) —
+    // row-identical to the flat table, so the oracle stays valid
+    val ev = Tables.eventsDt(s, dir)
     val tsMicros = Tables.tsMicros(ev)
     ev
       .filter(col("ts") >= Tables.tsLiteral(ev, pageAfterMicros)) // pushable bound (native ts)
+      .filter(col("dt") >= lit(Tables.microsDay(pageAfterMicros))) // day-partition bound
       .filter(tsMicros > pageAfterMicros ||
         (tsMicros === pageAfterMicros && col("event_id") > 0L))
       .select(col("event_id"), col("tsu").as("ts"), col("event_type"))

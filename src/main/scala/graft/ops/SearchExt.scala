@@ -1068,17 +1068,32 @@ object SearchExt {
     * (k·tasks rows move, never a global sort). */
   private val scrollPages = 3
   private val scrollSize = 10
+  // the scroll context's query: an export of the trailing window (the
+  // production scroll shape — a full-index scroll is the degenerate
+  // query:match_all case). The window start is the day-partition bound
+  // every page keeps, and each cursor can only ADVANCE it.
+  private val scrollFromMicros = 1706140800000000L // 2024-01-25T00:00:00Z
   val scrollOp = QueryDef(
     "ns_search_scroll",
     (s, dir) => {
-      val ev = Tables.events(s, dir)
+      // scans the date-partitioned twin: the scroll query's window bound
+      // plus the advancing cursor bound both mirror onto the dt
+      // partition column — every page lists only the ≤6/30 day
+      // directories at-or-after max(window, cursor) (PlanSpec locks the
+      // PartitionFilters + partitionCount); row-identical to the flat
+      // table, so the oracle stays valid
+      val ev = Tables.eventsDt(s, dir)
       val micros = Tables.tsMicros(ev)
+      val windowed = ev
+        .filter(col("ts") >= Tables.tsLiteral(ev, scrollFromMicros)) // pushable query bound
+        .filter(col("dt") >= lit(Tables.microsDay(scrollFromMicros))) // day-partition bound
       var cursor: Option[(Long, Long)] = None // (ts_micros, event_id) of last row served
       val pages = (1 to scrollPages).map { p =>
         val base = cursor match {
-          case None => ev
+          case None => windowed
           case Some((cMicros, cId)) =>
-            ev.filter(col("ts") >= Tables.tsLiteral(ev, cMicros)) // pushable superset bound
+            windowed.filter(col("ts") >= Tables.tsLiteral(ev, cMicros)) // pushable superset bound
+              .filter(col("dt") >= lit(Tables.microsDay(cMicros))) // cursor advances the day bound
               .filter(micros > cMicros || (micros === cMicros && col("event_id") > cId))
         }
         val page = base
@@ -1098,7 +1113,8 @@ object SearchExt {
     Some(s"""SELECT CAST((rn - 1) // $scrollSize + 1 AS INT) AS page,
        |  event_id, ts, event_type
        |FROM (SELECT event_id, ts, event_type,
-       |    row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)
+       |    row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00')
        |WHERE rn <= ${scrollPages * scrollSize}""".stripMargin))
 
   // --------------------------------------------------------------------- PIT
@@ -1125,9 +1141,7 @@ object SearchExt {
   private val pitPages = 3
   private val pitSize = 10
   private val pitBoundaryMicros = 1705708800000000L // 2024-01-20T00:00:00Z
-  private def microsDay(epochMicros: Long): java.sql.Date =
-    java.sql.Date.valueOf(java.time.Instant.ofEpochSecond(
-      Math.floorDiv(epochMicros, 1000000L)).atZone(java.time.ZoneOffset.UTC).toLocalDate)
+  private def microsDay(epochMicros: Long): java.sql.Date = Tables.microsDay(epochMicros)
   val pitOp = QueryDef(
     "ns_search_pit",
     (s, dir) => {

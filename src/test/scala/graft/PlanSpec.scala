@@ -1597,7 +1597,10 @@ class PlanSpec extends SparkSpec {
     assert(total == 30L, s"expected 30 day partitions in the twin, got $total")
     // key → exact day-partition count its window selects
     for ((key, want) <- Seq("ns_date_histogram" -> 14, "ns_search_range" -> 14,
-        "ns_date_histogram_pipeline" -> 14, "ns_agg_date_range" -> 20)) {
+        "ns_date_histogram_pipeline" -> 14, "ns_agg_date_range" -> 20,
+        // keyset pagination: the cursor bound (ts >= 2024-01-15) mirrors
+        // onto dt, so a deep page lists days 15..30 only
+        "ns_search_after" -> 16)) {
       val p = physical(key)
       val scans = eventsDtScans(p)
       assert(scans.nonEmpty, s"$key no longer reads the date-partitioned twin:\n$p")
@@ -1646,6 +1649,24 @@ class PlanSpec extends SparkSpec {
       // cursor pages may prune further from below, never read more
       val read = f.selectedPartitions.partitionCount
       assert(read <= 20, s"PIT page read $read day partitions, max 20")
+    }
+  }
+
+  test("ns_search_scroll pages prune day partitions: window + cursor bound every page") {
+    val df = SparkEntry.queries("ns_search_scroll")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size >= 3, "scroll must plan one twin scan per page")
+    scans.foreach { f =>
+      val pf = f.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("dt"),
+        s"scroll page scan lost the day-granular partition bound: '$pf'")
+      // the scroll query's window (ts >= 2024-01-25) selects 6 of 30
+      // days on every page; cursor pages may advance the lower bound
+      // and prune further, never read more
+      val read = f.selectedPartitions.partitionCount
+      assert(read <= 6, s"scroll page read $read day partitions, max 6")
     }
   }
 
