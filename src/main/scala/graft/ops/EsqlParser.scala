@@ -743,11 +743,89 @@ object EsqlParser {
   private[graft] val spanUnits = Set("millisecond", "second", "minute",
     "hour", "day", "week", "month", "quarter", "year")
 
-  /** Point-vs-envelope relation, argument roles resolved at analysis
-    * time (graftshim.GeoEnvelopeRelate). */
-  private def geoRelate(x: Expr, y: Expr, mode: String): Column =
-    graft.Cols.column(org.apache.spark.sql.graftshim.GeoEnvelopeRelate(
-      graft.Cols.expr(compileExpr(x)), graft.Cols.expr(compileExpr(y)), mode))
+  /** WKT POLYGON literal → open ring vertices, parsed at PLAN time
+    * (query geometries are constants — the drawn-region map filter).
+    * Returns None for anything that isn't a well-formed closed single
+    * ring of ≥3 distinct (lon, lat) vertices — the caller falls through
+    * to the envelope path, whose runtime regex then nulls the value
+    * (the TO_* conversion contract). A VALID but NON-CONVEX ring is a
+    * ParseError instead: the half-plane containment test below (the
+    * ns_geo_polygon discipline — cross products against every edge) is
+    * only correct for convex rings, and a silent wrong-answer scope
+    * would be worse than a named one. */
+  private[graft] def parsePolygonWkt(s: String): Option[Seq[(Double, Double)]] = {
+    val rx = "^POLYGON \\(\\((.+)\\)\\)$".r
+    s match {
+      case rx(body) =>
+        val verts = body.split(", ").toSeq.map { v =>
+          val parts = v.trim.split("\\s+")
+          if (parts.length != 2) return None
+          try (parts(0).toDouble, parts(1).toDouble)
+          catch { case _: NumberFormatException => return None }
+        }
+        if (verts.length < 4 || verts.head != verts.last) return None
+        val ring = verts.dropRight(1)
+        if (ring.distinct.length < 3 || ring.distinct.length != ring.length) return None
+        // consecutive-edge cross products: consistent sign = convex
+        val crosses = ring.indices.map { i =>
+          val (ax, ay) = ring(i)
+          val (bx, by) = ring((i + 1) % ring.length)
+          val (cx, cy) = ring((i + 2) % ring.length)
+          (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        }
+        if (crosses.forall(_ == 0.0)) return None // zero area — degenerate
+        if (!(crosses.forall(_ >= 0) || crosses.forall(_ <= 0)))
+          throw ParseError("non-convex POLYGON ring — the supported scope is " +
+            "convex rings (half-plane containment); split the shape or use ENVELOPE", 0)
+        Some(ring)
+      case _ => None
+    }
+  }
+
+  /** Point-in-convex-polygon as pure codegen arithmetic — the
+    * ns_geo_polygon half-plane discipline (ops/Enrich.scala:893): one
+    * cross product per edge, inside = every product on one side
+    * (either orientation; boundary included deterministically). A null
+    * point nulls every comparison, so the relation yields null. */
+  private def pointInPoly(p: Column, ring: Seq[(Double, Double)]): Column = {
+    val px = p.getField("lon")
+    val py = p.getField("lat")
+    val ds = ring.indices.map { i =>
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % ring.length)
+      // same term order as the oracle text: (bx−ax)(Y−ay) − (by−ay)(X−ax)
+      lit(bx - ax) * (py - lit(ay)) - lit(by - ay) * (px - lit(ax))
+    }
+    ds.map(_ >= 0).reduce(_ && _) || ds.map(_ <= 0).reduce(_ && _)
+  }
+
+  /** Point-vs-shape relation. A plan-time POLYGON literal compiles to
+    * the half-plane test directly (role order enforced with the same
+    * named errors as the envelope path); everything else resolves
+    * argument roles at analysis time (graftshim.GeoEnvelopeRelate,
+    * point-vs-ENVELOPE). */
+  private def geoRelate(x: Expr, y: Expr, mode: String): Column = {
+    def polyOf(e: Expr): Option[Seq[(Double, Double)]] = e match {
+      case Func("TO_GEOSHAPE", Seq(StrLit(w))) => parsePolygonWkt(w)
+      case _ => None
+    }
+    (polyOf(x), polyOf(y), mode) match {
+      case (Some(vs), None, "contains" | "intersects") => pointInPoly(compileExpr(y), vs)
+      case (None, Some(vs), "within" | "intersects") => pointInPoly(compileExpr(x), vs)
+      case (None, Some(_), "contains") =>
+        throw ParseError("ST_CONTAINS here supports (shape, point) — for the " +
+          "point-in-shape direction use ST_WITHIN(point, shape)", 0)
+      case (Some(_), None, "within") =>
+        throw ParseError("ST_WITHIN here supports (point, shape) — for the " +
+          "shape-contains-point direction use ST_CONTAINS(shape, point)", 0)
+      case (Some(_), Some(_), _) =>
+        throw ParseError("shape-vs-shape relations are not supported — one side " +
+          "must be a geo_point", 0)
+      case _ =>
+        graft.Cols.column(org.apache.spark.sql.graftshim.GeoEnvelopeRelate(
+          graft.Cols.expr(compileExpr(x)), graft.Cols.expr(compileExpr(y)), mode))
+    }
+  }
 
   /** IPv4 dotted-quad → u32 as pure long arithmetic (codegen);
     * shared with the ingest processors (community_id,
@@ -1199,6 +1277,75 @@ object EsqlParser {
       case ("ST_CONTAINS", Seq(x, y)) => geoRelate(x, y, "contains")
       case ("ST_WITHIN", Seq(x, y)) => geoRelate(x, y, "within")
       case ("ST_INTERSECTS", Seq(x, y)) => geoRelate(x, y, "intersects")
+      // ---------------- spatial grid functions (ES|QL 8.16+): bucket a
+      // point into a map-grid cell, the scalar twins of the geotile/
+      // geohash/geohex AGGREGATIONS (ops/Enrich.scala — same cell math,
+      // same margins discipline). Dialect note: ES returns an opaque
+      // long cell id plus a *_TO_STRING converter; this dialect returns
+      // the display form directly (the value every consumer renders),
+      // one codegen projection either way. Zoom/precision must be
+      // plan-time literals (they are in every ES|QL example — the grid
+      // is the query's resolution, not data).
+      case ("ST_GEOTILE", Seq(p, NumLit(z))) =>
+        if (!z.isWhole || !z.isValidInt || z < 0 || z > 29)
+          throw ParseError(s"ST_GEOTILE zoom must be an integer in [0, 29], got $z", 0)
+        val zi = z.toIntExact
+        val pc = compileExpr(p)
+        val (lon, lat) = (pc.getField("lon"), pc.getField("lat"))
+        val n = 1 << zi
+        // the geotile web-mercator formula, term-for-term the
+        // ns_agg_geotile_grid text (integer-lat inputs sit ≥5.9e-4
+        // tiles from every z=3 boundary except exactly-representable
+        // lat 0 — 12 orders above transcendental ulp risk)
+        val tx = floor((lon + 180) / 360 * n).cast("long")
+        val ty = floor((lit(1.0) - log(tan(lat * lit(math.Pi) / 180) +
+          lit(1.0) / cos(lat * lit(math.Pi) / 180)) / lit(math.Pi)) / 2 * n).cast("long")
+        concat(lit(s"$zi/"), tx, lit("/"), ty)
+      case ("ST_GEOHASH", Seq(p, NumLit(prec))) =>
+        if (!prec.isWhole || !prec.isValidInt || prec < 1 || prec > 6)
+          throw ParseError(s"ST_GEOHASH precision must be an integer in [1, 6], got $prec", 0)
+        val pr = prec.toIntExact
+        val pc = compileExpr(p)
+        val (lon, lat) = (pc.getField("lon"), pc.getField("lat"))
+        val bitsTotal = 5 * pr
+        val lonBits = (bitsTotal + 1) / 2
+        val latBits = bitsTotal / 2
+        // quantize (clamped at the +180/+90 edge, which ES folds into
+        // the last cell), then the geohash lon-first bit interleave —
+        // no transcendental anywhere, bit-exact by construction
+        val ix = least(floor((lon + 180) / 360 * (1L << lonBits)).cast("long"),
+          lit((1L << lonBits) - 1))
+        val iy = least(floor((lat + 90) / 180 * (1L << latBits)).cast("long"),
+          lit((1L << latBits) - 1))
+        val cell = (0 until bitsTotal).map { j => // j = 0 is the msb
+          val weight = 1L << (bitsTotal - 1 - j)
+          val bit =
+            if (j % 2 == 0) shiftright(ix, lonBits - 1 - j / 2) % 2
+            else shiftright(iy, latBits - 1 - (j - 1) / 2) % 2
+          bit * weight
+        }.reduce(_ + _)
+        val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        concat((0 until pr).map { k =>
+          lit(base32).substr((shiftright(cell, 5 * (pr - 1 - k)) % 32).cast("int") + 1, lit(1))
+        }: _*)
+      case ("ST_GEOHEX", Seq(p)) =>
+        val pc = compileExpr(p)
+        val (lon, lat) = (pc.getField("lon"), pc.getField("lat"))
+        // the ns_agg_geohex_grid affine hex lattice (no H3 library in
+        // this sandbox — hexagonal Voronoi cells of two interleaved
+        // offset lattices, exact integer arithmetic on doubled
+        // coordinates; one fixed resolution, the lattice period)
+        val lx = (lon * 2).cast("long")
+        val ly = (lat * 2).cast("long")
+        val hax = floor((lx + 18) / lit(36.0)).cast("long") * 36
+        val hay = floor((ly + 31) / lit(62.0)).cast("long") * 62
+        val hbx = floor(lx / lit(36.0)).cast("long") * 36 + 18
+        val hby = floor(ly / lit(62.0)).cast("long") * 62 + 31
+        val hda = (lx - hax) * (lx - hax) + (ly - hay) * (ly - hay)
+        val hdb = (lx - hbx) * (lx - hbx) + (ly - hby) * (ly - hby)
+        val hx = when(hda <= hdb, hax).otherwise(hbx)
+        val hy = when(hda <= hdb, hay).otherwise(hby)
+        concat(hx, lit("/"), hy)
       // ---------------- full-text functions (9.x: relevance predicates
       // inside WHERE). ES resolves the searched field from the index
       // default; this dialect names it as the first argument. Each

@@ -2607,6 +2607,114 @@ object SearchExt {
       |  round(avg(CAST(event_id % 120 - 60 AS DOUBLE)), 6) AS cy
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  // ------------------------------------------------ ES|QL polygon + grids
+  /** Shared synthesized point (integer degrees from event_id — exact
+    * in IEEE double, so every cross product / quantization below is
+    * bit-identical across engines). */
+  private val esqlPtLonSql = "CAST(event_id % 360 - 180 AS DOUBLE)"
+  private val esqlPtLatSql = "CAST(event_id % 120 - 60 AS DOUBLE)"
+  private val esqlPtEval =
+    """p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(event_id % 360 - 180),
+      |           " ", TO_STRING(event_id % 120 - 60), ")"))""".stripMargin
+
+  /** Half-plane containment text for the DuckDB oracle — identical
+    * term order to EsqlParser.pointInPoly. */
+  private def polyInsideSqlText(ring: Seq[(Int, Int)], x: String, y: String): String = {
+    val ds = ring.indices.map { i =>
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % ring.length)
+      s"((${bx - ax}) * ($y - (${ay})) - (${by - ay}) * ($x - (${ax})))"
+    }
+    s"((${ds.map(_ + " >= 0").mkString(" AND ")}) OR (${ds.map(_ + " <= 0").mkString(" AND ")}))"
+  }
+  // (lon, lat) rings, closed in the WKT literal below
+  private val esqlQuad = Seq((-150, -70), (-100, 80), (120, 75), (150, -60))
+  private val esqlTri = Seq((-160, -65), (140, 70), (135, -30))
+  private def wktPolygon(ring: Seq[(Int, Int)]): String =
+    (ring :+ ring.head).map { case (x, y) => s"$x $y" }.mkString("POLYGON ((", ", ", "))")
+
+  /** ES|QL TO_GEOSHAPE WKT POLYGON + point-in-polygon relations — the
+    * drawn-region filter as a query-language function: the ring parses
+    * at PLAN time (query geometries are constants) and containment
+    * compiles to the ns_geo_polygon half-plane discipline — one cross
+    * product per edge, pure codegen arithmetic over the row's point,
+    * map-only. Integer vertices × integer points keep every product
+    * exact, so the booleans (boundary included) are bit-identical in
+    * both engines. A quad and a triangle cover >3-vertex rings and
+    * both argument roles (ST_WITHIN and ST_CONTAINS). */
+  private[graft] val esqlGeoPolygonQuery =
+    s"""FROM events
+       || EVAL $esqlPtEval,
+       |       inq = ST_WITHIN(p, TO_GEOSHAPE("${wktPolygon(esqlQuad)}")),
+       |       intr = ST_CONTAINS(TO_GEOSHAPE("${wktPolygon(esqlTri)}"), p)
+       || STATS n = COUNT(*), nq = SUM(CASE(inq, 1, 0)), nt = SUM(CASE(intr, 1, 0)) BY event_type
+       || SORT event_type""".stripMargin
+  val esqlGeoPolygonOp = QueryDef(
+    "ns_esql_geo_polygon",
+    (s, dir) => EsqlParser.run(esqlGeoPolygonQuery, _ => Tables.events(s, dir)),
+    Some(s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(CASE WHEN ${polyInsideSqlText(esqlQuad, esqlPtLonSql, esqlPtLatSql)}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+       |  CAST(sum(CASE WHEN ${polyInsideSqlText(esqlTri, esqlPtLonSql, esqlPtLatSql)}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS nt
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  /** ES|QL spatial grid functions — ST_GEOTILE / ST_GEOHASH /
+    * ST_GEOHEX, the scalar twins of the grid AGGREGATIONS (same cell
+    * math as ns_agg_geotile_grid / ns_agg_geohash_grid /
+    * ns_agg_geohex_grid): web-mercator z/x/y at zoom 3 (integer lats
+    * sit ≥5.9e-4 tiles from every boundary — transcendental-safe),
+    * precision-2 geohash (pure integer interleave, no transcendental),
+    * and the affine hex lattice. One codegen pass computes all three
+    * cells inline; the STATS shuffle is |cells|-bounded — the
+    * map-clustering shape that holds at any scale. */
+  private[graft] val esqlGeoGridQuery =
+    s"""FROM events
+       || EVAL $esqlPtEval,
+       |       tile = ST_GEOTILE(p, 3), gh = ST_GEOHASH(p, 2), hex = ST_GEOHEX(p)
+       || STATS n = COUNT(*) BY tile, gh, hex
+       || SORT tile, gh, hex""".stripMargin
+  private val esqlGridOracle: String = {
+    val tile = "concat('3/', CAST(floor((px + 180) / 360 * 8) AS BIGINT), '/', " +
+      "CAST(floor((1 - ln(tan(py * pi() / 180) + 1 / cos(py * pi() / 180)) / pi()) / 2 * 8) AS BIGINT))"
+    val ix = "LEAST(CAST(floor((px + 180) / 360 * 32) AS BIGINT), 31)"
+    val iy = "LEAST(CAST(floor((py + 90) / 180 * 32) AS BIGINT), 31)"
+    // 10-bit lon-first interleave (msb first), then two base-32 chars
+    val cell = (0 until 10).map { j =>
+      val weight = 1L << (9 - j)
+      if (j % 2 == 0) s"((ix // ${1L << (4 - j / 2)}) % 2) * $weight"
+      else s"((iy // ${1L << (4 - (j - 1) / 2)}) % 2) * $weight"
+    }.mkString("(", " + ", ")")
+    val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val gh = s"concat(substring('$b32', CAST((cell // 32) % 32 AS INT) + 1, 1), " +
+      s"substring('$b32', CAST(cell % 32 AS INT) + 1, 1))"
+    s"""WITH pts AS (SELECT event_id, $esqlPtLonSql AS px, $esqlPtLatSql AS py FROM events),
+       |q AS (SELECT event_id,
+       |    CAST(px * 2 AS BIGINT) AS lx, CAST(py * 2 AS BIGINT) AS ly,
+       |    $ix AS ix,
+       |    $iy AS iy,
+       |    $tile AS tile
+       |  FROM pts),
+       |h AS (SELECT event_id, tile, $cell AS cell,
+       |    CAST(floor((lx + 18) / 36.0) AS BIGINT) * 36 AS hax,
+       |    CAST(floor((ly + 31) / 62.0) AS BIGINT) * 62 AS hay,
+       |    CAST(floor(lx / 36.0) AS BIGINT) * 36 + 18 AS hbx,
+       |    CAST(floor(ly / 62.0) AS BIGINT) * 62 + 31 AS hby,
+       |    lx, ly
+       |  FROM q),
+       |c AS (SELECT event_id, tile, $gh AS gh,
+       |    CASE WHEN (lx - hax) * (lx - hax) + (ly - hay) * (ly - hay)
+       |           <= (lx - hbx) * (lx - hbx) + (ly - hby) * (ly - hby)
+       |         THEN concat(hax, '/', hay) ELSE concat(hbx, '/', hby) END AS hex
+       |  FROM h)
+       |SELECT tile, gh, hex, count(*) AS n FROM c
+       |GROUP BY 1, 2, 3 ORDER BY tile, gh, hex""".stripMargin
+  }
+  val esqlGeoGridOp = QueryDef(
+    "ns_esql_geo_grid",
+    (s, dir) => EsqlParser.run(esqlGeoGridQuery, _ => Tables.events(s, dir)),
+    Some(esqlGridOracle))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2661,6 +2769,7 @@ object SearchExt {
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
     esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
     esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,
+    esqlGeoPolygonOp, esqlGeoGridOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

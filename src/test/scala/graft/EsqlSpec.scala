@@ -927,4 +927,64 @@ class EsqlSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(inTs == Seq(1L, 3L), s"timestamp params in IN must bind (got $inTs)")
   }
+
+  test("r16 spatial residue: POLYGON relations — containment, orientation, boundary, roles") {
+    val g = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (0 0)"),
+        |  inq = ST_WITHIN(p, TO_GEOSHAPE("POLYGON ((-150 -70, -100 80, 120 75, 150 -60, -150 -70))")),
+        |  cw = ST_WITHIN(p, TO_GEOSHAPE("POLYGON ((-150 -70, 150 -60, 120 75, -100 80, -150 -70))")),
+        |  tri = ST_CONTAINS(TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"), p),
+        |  edge = ST_INTERSECTS(TO_GEOPOINT("POINT (0 -10)"),
+        |    TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))")),
+        |  outp = ST_INTERSECTS(TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"),
+        |    TO_GEOPOINT("POINT (179 0)")),
+        |  badp = ST_WITHIN(p, TO_GEOSHAPE("POLYGON ((0 0, 1 1))"))
+        || KEEP inq, cw, tri, edge, outp, badp""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(g.getBoolean(0), "point inside the quad")
+    assert(g.getBoolean(1), "reversed (clockwise) ring must test identically")
+    assert(g.getBoolean(2), "ST_CONTAINS(polygon, point) role")
+    assert(g.getBoolean(3), "a point ON an edge is inside (boundary included)")
+    assert(!g.getBoolean(4), "point outside must be false")
+    assert(g.isNullAt(5), "a malformed (unclosed/short) POLYGON parses to null")
+    // a valid but NON-CONVEX ring is a plan-time error naming the scope
+    val nc = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """ROW a = 1 | EVAL bad = ST_WITHIN(TO_GEOPOINT("POINT (1 1)"),
+        |  TO_GEOSHAPE("POLYGON ((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))"))""".stripMargin,
+      _ => df, session = Some(spark)))
+    assert(nc.msg.contains("non-convex"), s"want the convex-scope error, got: ${nc.msg}")
+    // wrong argument roles fail with the named fix, like the envelope path
+    val role = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """ROW a = 1 | EVAL bad = ST_CONTAINS(TO_GEOPOINT("POINT (1 1)"),
+        |  TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"))""".stripMargin,
+      _ => df, session = Some(spark)))
+    assert(role.msg.contains("ST_WITHIN"))
+  }
+
+  test("r16 spatial residue: ST_GEOTILE/ST_GEOHASH/ST_GEOHEX grid cells") {
+    def cells(lon: Int, lat: Int): (String, String, String) = {
+      val r = EsqlParser.run(
+        s"""ROW a = 1 | EVAL p = TO_GEOPOINT("POINT ($lon $lat)"),
+           |  t = ST_GEOTILE(p, 3), g = ST_GEOHASH(p, 2), h = ST_GEOHEX(p)
+           || KEEP t, g, h""".stripMargin,
+        _ => df, session = Some(spark)).collect().head
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    // independent expected values (geohash pins match the published
+    // geohash of these places: w2* Singapore, dr* New York, s0* null island)
+    assert(cells(103, 1) == ("3/6/3", "w2", "216/0"))
+    assert(cells(-74, 40) == ("3/2/3", "dr", "-144/62"))
+    assert(cells(0, 0) == ("3/4/4", "s0", "0/0"))
+    // +180/+90 edge folds into the last geohash cell (the clamp)
+    assert(cells(180, 89)._2 == "zz")
+    // zoom/precision validate at plan time
+    val ze = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """ROW a = 1 | EVAL t = ST_GEOTILE(TO_GEOPOINT("POINT (1 1)"), 30)""",
+      _ => df, session = Some(spark)))
+    assert(ze.msg.contains("[0, 29]"))
+    val pe = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """ROW a = 1 | EVAL g = ST_GEOHASH(TO_GEOPOINT("POINT (1 1)"), 7)""",
+      _ => df, session = Some(spark)))
+    assert(pe.msg.contains("[1, 6]"))
+  }
 }
