@@ -29,8 +29,10 @@ class PlanSpec extends SparkSpec {
     * stages traversed (QueryStageExec is a leaf to collect(), so the
     * reuse markers AQE applies at runtime are invisible without
     * descending into stage.plan). */
-  private def executedDeepNodes(name: String): Seq[SparkPlan] = {
-    val df = SparkEntry.queries(name)(spark, sfDir)
+  private def executedDeepNodes(name: String): Seq[SparkPlan] =
+    executedDeepNodesOf(SparkEntry.queries(name)(spark, sfDir))
+
+  private def executedDeepNodesOf(df: DataFrame): Seq[SparkPlan] = {
     df.collect()
     def deep(p: SparkPlan): Seq[SparkPlan] = nodes(p).flatMap {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: deep(q.plan)
@@ -40,6 +42,29 @@ class PlanSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
       case p => deep(p)
     }
+  }
+
+  /** The rule behind the one-scan `_search` keys, spelled out so a
+    * future failure teaches it instead of requiring SURVEY archaeology:
+    * the aggs and hits branches of a faceted search share their
+    * scan+shuffle only through RUNTIME exchange reuse, and reuse
+    * requires the two exchange subtrees to be IDENTICAL — including
+    * pruned scan columns. A branch that stops referencing a stat column
+    * the other branch uses lets column pruning produce two
+    * differently-pruned scans, silently doubling the corpus cost. */
+  private val sharedScanContract =
+    "SHARED-SCAN CONTRACT: keep both branch outputs referencing the SAME " +
+    "scan columns (ns_search_post_filter's bucket stats exist for this) — " +
+    "column pruning otherwise splits the shared subtree into two " +
+    "differently-pruned scans and the runtime exchange reuse disappears."
+
+  private def assertSharedQueryScan(df: DataFrame, label: String, maxScans: Int): Unit = {
+    val deep = executedDeepNodesOf(df)
+    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans <= maxScans,
+      s"$label ran $scans corpus scans, expected <= $maxScans. $sharedScanContract")
+    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      s"$label: no runtime exchange reuse between the branches. $sharedScanContract")
   }
 
   /** CodegenFallback expression class names anywhere in the plan. */
@@ -1375,11 +1400,8 @@ class PlanSpec extends SparkSpec {
     // hits branch) — at runtime their identical scan+shuffle must
     // collapse via stage reuse, leaving the query-phase scan plus the
     // page-bounded fetch pass: ≤ 2 executed corpus scans total
-    val deep = executedDeepNodes("ns_search_request_body")
-    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
-    assert(scans <= 2, s"_search ran $scans corpus scans, expected query + fetch = 2")
-    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
-      "the aggs and hits branches must share the query-phase scan+shuffle")
+    assertSharedQueryScan(SparkEntry.queries("ns_search_request_body")(spark, sfDir),
+      "_search (query + page-bounded fetch)", maxScans = 2)
     // the page sort rides the bounded aggregate, never a corpus sort
     val p = physical("ns_search_request_body")
     assert(p.toString.contains("partial_topkbyscore"),
@@ -1397,14 +1419,43 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ns_search_post_filter: aggs and post-filtered hits share ONE executed scan") {
-    val deep = executedDeepNodes("ns_search_post_filter")
-    val scans = deep.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
-    assert(scans <= 1, s"post_filter ran $scans corpus scans, expected the shared query scan")
-    assert(deep.exists(_.getClass.getSimpleName == "ReusedExchangeExec"),
-      "the aggs and hits branches must share the query-scope scan+shuffle")
+    assertSharedQueryScan(SparkEntry.queries("ns_search_post_filter")(spark, sfDir),
+      "post_filter", maxScans = 1)
     val p = physical("ns_search_post_filter")
     assert(p.toString.contains("partial_topkbyscore"),
       s"the hits page lost the partial-aggregating bounded top-k:\n$p")
+  }
+
+  test("shared-scan lock is load-bearing: a column-split variant fails naming the contract") {
+    // Rebuild ns_search_post_filter's shape but let the aggs branch
+    // reference ONLY the count — the hits branch still needs source/
+    // n_chars/doc_id, so column pruning produces two differently-pruned
+    // scans and the runtime reuse disappears. The lock must catch this
+    // and its failure must PRINT the contract, so the next editor
+    // learns the rule from the failure message.
+    import org.apache.spark.sql.functions._
+    val pad = concat(lit(" "), trim(col("text")), lit(" "))
+    val matched = Tables.documents(spark, sfDir).filter(pad.contains(" merge "))
+    val grouped = matched.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      graft.expr.VecFunctions.topk_by_score(
+        when(col("source") === "src1", col("doc_id")),
+        col("n_chars").cast("double"), 10).as("cand"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val aggRows = grouped.select(lit("aggs").as("section"), col("lang").as("key"),
+      col("n").as("n_docs"), nullL.as("rank"), nullL.as("doc_id"))
+    val hitRows = grouped
+      .select(explode(col("cand")).as("c"))
+      .agg(graft.expr.VecFunctions.topk_by_score(col("c.id"), col("c.score"), 10).as("top"))
+      .select(posexplode(col("top")))
+      .select(lit("hits").as("section"), nullS.as("key"), nullL.as("n_docs"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.id").as("doc_id"))
+    val split = aggRows.unionByName(hitRows)
+    val failure = intercept[org.scalatest.exceptions.TestFailedException](
+      assertSharedQueryScan(split, "column-split variant", maxScans = 1))
+    assert(failure.getMessage.contains("SHARED-SCAN CONTRACT"),
+      s"the lock's failure must teach the contract, got: ${failure.getMessage}")
   }
 
   test("ns_search_msearch: N queries share ONE corpus scan — no per-query fan-out") {

@@ -119,21 +119,57 @@ class RetrieverDifferentialSpec extends SparkSpec {
                     Gen.chooseNum(0L, 30L), Gen.chooseNum(100000L, 100030L)))
                   w <- Gen.chooseNum(3, 12) } yield RRule(pins.toSeq.distinct, c, w)))
 
-  test("random trees: compiled page == independent evaluator page (ids, order, scores)") {
+  private def check(r: Retriever): Unit = {
+    val got = RetrieverTree.compile(spark, sfDir, r).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    val want = eval(r)
+    assert(got.map(_._1) == want.map(_._1),
+      s"id set/order diverged for $r\n got=${got.take(15)}\n want=${want.take(15)}")
+    got.zip(want).foreach { case ((id, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) < 1e-9,
+        s"score diverged for doc $id in $r: engine=$gs evaluator=$ws")
+    }
+  }
+
+  test("random depth-3 trees: compiled page == independent evaluator page (ids, order, scores)") {
+    // 100 seeds at depth 3: compound-over-compound-over-compound shapes
+    // (rrf-of-linear-of-rescorer and every other nesting ES accepts)
+    // reach the compiler paths the r15 depth-2 run could not
     var seed = Seed(31L)
-    (1 to 24).foreach { _ =>
-      val r = tree(2).pureApply(Gen.Parameters.default, seed)
+    (1 to 100).foreach { _ =>
+      val r = tree(3).pureApply(Gen.Parameters.default, seed)
       seed = seed.next
-      val got = RetrieverTree.compile(spark, sfDir, r).collect()
-        .map(x => x.getLong(0) -> x.getDouble(1)).toSeq
-        .sortBy { case (id, s) => (-s, id) }
-      val want = eval(r)
-      assert(got.map(_._1) == want.map(_._1),
-        s"id set/order diverged for $r\n got=${got.take(15)}\n want=${want.take(15)}")
-      got.zip(want).foreach { case ((id, gs), (_, ws)) =>
-        assert(math.abs(gs - ws) < 1e-9,
-          s"score diverged for doc $id in $r: engine=$gs evaluator=$ws")
-      }
+      check(r)
+    }
+  }
+
+  test("directed nestings: rescorer-over-linear and rule-over-rrf (the ES-accepted pairs)") {
+    // the two nestings the r15 review called out as untested — random
+    // generation reaches them only by chance; pin them deterministically
+    // across a seed sweep of shapes/weights/windows
+    val rescorerOverLinear: Gen[Retriever] = for {
+      cs <- Gen.listOfN(2, tree(1))
+      ws <- Gen.listOfN(2, Gen.chooseNum(1, 9))
+      wl <- Gen.chooseNum(4, 15)
+      t <- Gen.oneOf(terms)
+      qw <- Gen.chooseNum(0, 10); rw <- Gen.chooseNum(1, 10)
+      w <- Gen.chooseNum(3, 10)
+    } yield RRescorer(RLinear(cs.toSeq.zip(ws.map(_ / 10.0)), wl), t, qw / 10.0, rw / 10.0, w)
+    val ruleOverRrf: Gen[Retriever] = for {
+      n <- Gen.chooseNum(2, 3)
+      cs <- Gen.listOfN(n, tree(1))
+      wr <- Gen.chooseNum(4, 15)
+      pins <- Gen.listOfN(2, Gen.oneOf(
+        Gen.chooseNum(0L, 30L), Gen.chooseNum(100000L, 100030L)))
+      w <- Gen.chooseNum(3, 10)
+    } yield RRule(pins.toSeq.distinct, RRrf(cs.toSeq, wr), w)
+    var seed = Seed(77L)
+    (1 to 8).foreach { _ =>
+      check(rescorerOverLinear.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+      check(ruleOverRrf.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
     }
   }
 }
