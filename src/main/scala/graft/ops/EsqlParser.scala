@@ -934,7 +934,11 @@ object EsqlParser {
         case "/" => graft.Cols.column(
           org.apache.spark.sql.graftshim.EsqlDivide(
             graft.Cols.expr(cl), graft.Cols.expr(cr)))
-        case "%" => cl % cr
+        // `%` shares `/`'s two contracts (type-directed result, zero
+        // modulus → null, not an ANSI error) — graftshim.EsqlMod
+        case "%" => graft.Cols.column(
+          org.apache.spark.sql.graftshim.EsqlMod(
+            graft.Cols.expr(cl), graft.Cols.expr(cr)))
         case other => throw ParseError(s"unknown operator $other", 0)
       }
     case Func(name, args) => (name, args) match {

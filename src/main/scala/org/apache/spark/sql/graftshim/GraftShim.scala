@@ -80,6 +80,36 @@ case class EsqlDivide(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ES|QL modulo — EsqlDivide's sibling, same two contracts: the result
+  * type is type-directed (integral % integral stays LONG; any
+  * fractional operand promotes to double fmod), and a ZERO modulus is
+  * null (ES's value-or-null contract) where Spark's ANSI Remainder
+  * would fail the whole query on one data-dependent zero. Found by the
+  * pipeline differential fuzzer's Option-space evaluator, which
+  * generates data-dependent modulus expressions the r15 expression
+  * fuzzer deliberately avoided. */
+case class EsqlMod(left: Expression, right: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with BinaryLike[Expression] {
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, If, Literal, Remainder}
+    if (left.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType] &&
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType]) {
+      val d = Cast(right, LongType)
+      If(EqualTo(d, Literal(0L)), Literal(null, LongType),
+        Remainder(Cast(left, LongType), d))
+    } else {
+      val d = Cast(right, DoubleType)
+      If(EqualTo(d, Literal(0.0)), Literal(null, DoubleType),
+        Remainder(Cast(left, DoubleType), d))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Point-vs-envelope spatial relation, TYPE-DIRECTED at analysis time
   * (the EsqlDivide pattern): ES|QL's ST_INTERSECTS is symmetric and
   * ST_CONTAINS/ST_WITHIN fix which side is the container, but the

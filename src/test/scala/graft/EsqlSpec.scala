@@ -899,12 +899,15 @@ class EsqlSpec extends SparkSpec {
     //    data-dependent zero (advice r15 →r16)
     val dz = EsqlParser.run(
       """ROW a = 5 | EVAL zi = a / 0, zd = a / 0.0, zc = a / (a - 5),
-        |  ok = a / 2 | KEEP zi, zd, zc, ok""".stripMargin,
+        |  zm = a % (a - 5), ok = a / 2, okm = (- 7) % 2
+        || KEEP zi, zd, zc, zm, ok, okm""".stripMargin,
       _ => df, session = Some(spark)).collect().head
     assert(dz.isNullAt(0), "int / 0 must be null, not an ANSI error")
     assert(dz.isNullAt(1), "double / 0.0 must be null")
     assert(dz.isNullAt(2), "data-dependent zero denominator must null the cell only")
-    assert(dz.getLong(3) == 2L)
+    assert(dz.isNullAt(3), "x % 0 must be null (EsqlMod, found by the pipeline fuzzer)")
+    assert(dz.getLong(4) == 2L)
+    assert(dz.getLong(5) == -1L, "% keeps the dividend's sign (truncated division)")
     // 2. an antimeridian-crossing envelope (min_lon > max_lon — valid
     //    ES geo_shape) is outside the bounding-box scope: the parse
     //    nulls so relations yield null, never a wrong false

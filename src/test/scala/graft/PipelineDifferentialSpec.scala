@@ -1,0 +1,499 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.EsqlParser
+
+/** Full-PIPELINE differential fuzzer for ES|QL — the r15 review's
+  * finding industrialized: every real bug that round was COMPOSITIONAL
+  * (a null BY bucket lost in a join, argument-role dispatch, overwrite
+  * semantics), exactly the class the expression-level
+  * ParserDifferentialSpec cannot reach. Here whole random programs —
+  * WHERE | EVAL | STATS BY (incl. NULL-able BY keys) | INLINESTATS |
+  * SORT+LIMIT | MV_EXPAND — run through the engine over the documents
+  * corpus and the FULL RESULT FRAME is compared against an independent
+  * plain-Scala evaluator that implements each command's contract from
+  * the dialect spec in Option space (so the null paths — CASE keys,
+  * division/modulo by zero, three-valued WHERE logic, null group
+  * buckets, MV_EXPAND of null — are first-class, not avoided the way
+  * the Long-space expression fuzzer had to).
+  *
+  * Comparison is multiset equality over canonicalized rows. SORT+LIMIT
+  * is only generated with every (non-multivalue) column as a trailing
+  * tiebreak, so the cut is a total order and the kept row SET is
+  * deterministic in both engines. Numeric generation stays integral at
+  * bounded depth: sums/products stay far below 2^53, so engine LONG
+  * arithmetic, AVG's double division, and the evaluator agree exactly
+  * — score comparison is ==, no tolerance.
+  *
+  * It already paid for itself at authoring time: data-dependent `%`
+  * reached the ANSI Remainder, which THROWS on a zero modulus where
+  * ES|QL nulls the cell — fixed via graftshim.EsqlMod (EsqlDivide's
+  * sibling) before the suite could go green. */
+class PipelineDifferentialSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ corpus
+  private lazy val srcDf = {
+    val df = Tables.documents(spark, sfDir).select("doc_id", "n_chars", "lang", "source")
+    df.cache(); df.count() // one read; 500 rows at sf0.001
+    df
+  }
+  private type Row = Map[String, Option[Any]]
+  private lazy val corpus: Seq[Row] =
+    srcDf.collect().map(r => Map[String, Option[Any]](
+      "doc_id" -> Some(r.getLong(0)), "n_chars" -> Some(r.getLong(1)),
+      "lang" -> Some(r.getString(2)), "source" -> Some(r.getString(3)))).toSeq
+
+  // ------------------------------------------------------- expressions
+  private sealed trait NE
+  private case class NCol(n: String) extends NE
+  private case class NLit(v: Long) extends NE
+  private case class NBin(op: String, l: NE, r: NE) extends NE
+  private case class NLen(s: SE) extends NE
+  private sealed trait SE
+  private case class SCol(n: String) extends SE
+  private case class SLit(v: String) extends SE
+  private case class SConcat(l: SE, r: SE) extends SE // CONCAT(l, "_", r)
+  private case class SToStr(e: NE) extends SE
+  private case class SCase(c: BE, v: SE) extends SE // CASE(c, v): false/null → null
+  private sealed trait BE
+  private case class BCmpN(op: String, l: NE, r: NE) extends BE
+  private case class BCmpS(eq: Boolean, l: SE, r: SE) extends BE
+  private case class BIn(e: NE, vs: Seq[Long]) extends BE
+  private case class BIsNull(e: NE, neg: Boolean) extends BE
+  private case class BBin(and: Boolean, l: BE, r: BE) extends BE
+  private case class BNot(e: BE) extends BE
+
+  private def neText(e: NE): String = e match {
+    case NCol(n) => n
+    case NLit(v) => if (v < 0) s"(- ${-v})" else v.toString
+    case NBin(op, l, r) => s"(${neText(l)} $op ${neText(r)})"
+    case NLen(s) => s"LENGTH(${seText(s)})"
+  }
+  private def seText(e: SE): String = e match {
+    case SCol(n) => n
+    case SLit(v) => "\"" + v + "\""
+    case SConcat(l, r) => s"""CONCAT(${seText(l)}, "_", ${seText(r)})"""
+    case SToStr(n) => s"TO_STRING(${neText(n)})"
+    case SCase(c, v) => s"CASE(${beText(c)}, ${seText(v)})"
+  }
+  private def beText(e: BE): String = e match {
+    case BCmpN(op, l, r) => s"(${neText(l)} $op ${neText(r)})"
+    case BCmpS(eq, l, r) => s"(${seText(l)} ${if (eq) "==" else "!="} ${seText(r)})"
+    case BIn(x, vs) => s"${neText(x)} IN (${vs.mkString(", ")})"
+    case BIsNull(x, neg) => s"${neText(x)} IS ${if (neg) "NOT " else ""}NULL"
+    case BBin(and, l, r) => s"(${beText(l)} ${if (and) "AND" else "OR"} ${beText(r)})"
+    case BNot(x) => s"NOT ${beText(x)}"
+  }
+
+  // Option-space evaluation, the dialect's null contracts throughout
+  private def evalN(e: NE, row: Row): Option[Long] = e match {
+    case NCol(n) => row(n).map(_.asInstanceOf[Long])
+    case NLit(v) => Some(v)
+    case NBin(op, l, r) =>
+      for {
+        a <- evalN(l, row); b <- evalN(r, row)
+        v <- op match {
+          case "+" => Some(a + b)
+          case "-" => Some(a - b)
+          case "*" => Some(a * b)
+          case "/" => if (b == 0) None else Some(a / b) // EsqlDivide: x/0 → null
+          case "%" => if (b == 0) None else Some(a % b) // EsqlMod: x%0 → null
+        }
+      } yield v
+    case NLen(s) => evalS(s, row).map(_.length.toLong)
+  }
+  private def evalS(e: SE, row: Row): Option[String] = e match {
+    case SCol(n) => row(n).map(_.asInstanceOf[String])
+    case SLit(v) => Some(v)
+    case SConcat(l, r) =>
+      for { a <- evalS(l, row); b <- evalS(r, row) } yield s"${a}_$b"
+    case SToStr(n) => evalN(n, row).map(_.toString)
+    case SCase(c, v) => if (evalB(c, row).contains(true)) evalS(v, row) else None
+  }
+  private def evalB(e: BE, row: Row): Option[Boolean] = e match {
+    case BCmpN(op, l, r) =>
+      for { a <- evalN(l, row); b <- evalN(r, row) } yield op match {
+        case "==" => a == b; case "!=" => a != b
+        case ">=" => a >= b; case "<=" => a <= b
+        case ">" => a > b; case "<" => a < b
+      }
+    case BCmpS(eq, l, r) =>
+      for { a <- evalS(l, row); b <- evalS(r, row) } yield if (eq) a == b else a != b
+    case BIn(x, vs) => evalN(x, row).map(vs.contains)
+    case BIsNull(x, neg) => Some(evalN(x, row).isEmpty != neg)
+    case BBin(true, l, r) => (evalB(l, row), evalB(r, row)) match { // Kleene AND
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case BBin(false, l, r) => (evalB(l, row), evalB(r, row)) match { // Kleene OR
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case BNot(x) => evalB(x, row).map(!_)
+  }
+
+  // --------------------------------------------------------- commands
+  private sealed trait PAgg
+  private case object PCount extends PAgg
+  private case class PSum(e: NE) extends PAgg
+  private case class PMin(e: NE) extends PAgg
+  private case class PMax(e: NE) extends PAgg
+  private case class PAvg(e: NE) extends PAgg
+
+  private sealed trait PCmd
+  private case class PWhere(b: BE) extends PCmd
+  private case class PEvalN(name: String, e: NE) extends PCmd
+  private case class PEvalS(name: String, e: SE) extends PCmd
+  private case class PEvalMv(name: String, a: SE, b: SE) extends PCmd // SPLIT(CONCAT(a, ",", b), ",")
+  private case class PMvExpand(name: String) extends PCmd
+  private case class PStats(aggs: Seq[(String, PAgg)], by: Option[(String, Either[String, SE])]) extends PCmd
+  private case class PInline(aggs: Seq[(String, PAgg)], by: Option[String]) extends PCmd
+  private case class PSortLimit(keys: Seq[(String, Boolean)], tiebreak: Seq[String], n: Int) extends PCmd
+
+  private def aggText(a: PAgg): String = a match {
+    case PCount => "COUNT(*)"
+    case PSum(e) => s"SUM(${neText(e)})"
+    case PMin(e) => s"MIN(${neText(e)})"
+    case PMax(e) => s"MAX(${neText(e)})"
+    case PAvg(e) => s"AVG(${neText(e)})"
+  }
+  private def cmdText(c: PCmd): String = c match {
+    case PWhere(b) => s"| WHERE ${beText(b)}"
+    case PEvalN(n, e) => s"| EVAL $n = ${neText(e)}"
+    case PEvalS(n, e) => s"| EVAL $n = ${seText(e)}"
+    case PEvalMv(n, a, b) => s"""| EVAL $n = SPLIT(CONCAT(${seText(a)}, ",", ${seText(b)}), ",")"""
+    case PMvExpand(n) => s"| MV_EXPAND $n"
+    case PStats(aggs, by) =>
+      val as = aggs.map { case (n, a) => s"$n = ${aggText(a)}" }.mkString(", ")
+      val byTxt = by match {
+        case None => ""
+        case Some((n, Left(c0))) if n == c0 => s" BY $c0"
+        case Some((n, Left(c0))) => s" BY $n = $c0"
+        case Some((n, Right(se))) => s" BY $n = ${seText(se)}"
+      }
+      s"| STATS $as$byTxt"
+    case PInline(aggs, by) =>
+      val as = aggs.map { case (n, a) => s"$n = ${aggText(a)}" }.mkString(", ")
+      s"| INLINESTATS $as${by.map(b => s" BY $b").getOrElse("")}"
+    case PSortLimit(keys, tiebreak, n) =>
+      val ks = keys.map { case (k, asc) => if (asc) k else s"$k DESC" } ++ tiebreak
+      s"| SORT ${ks.mkString(", ")} | LIMIT $n"
+  }
+
+  // evaluator: aggregate a group's rows per the dialect contracts
+  private def evalAgg(a: PAgg, rows: Seq[Row]): Option[Any] = a match {
+    case PCount => Some(rows.size.toLong)
+    case PSum(e) =>
+      val vs = rows.flatMap(r => evalN(e, r))
+      if (vs.isEmpty) None else Some(vs.sum)
+    case PMin(e) =>
+      val vs = rows.flatMap(r => evalN(e, r)); if (vs.isEmpty) None else Some(vs.min)
+    case PMax(e) =>
+      val vs = rows.flatMap(r => evalN(e, r)); if (vs.isEmpty) None else Some(vs.max)
+    case PAvg(e) =>
+      val vs = rows.flatMap(r => evalN(e, r))
+      if (vs.isEmpty) None else Some(vs.sum.toDouble / vs.length) // exact: |sum| << 2^53
+  }
+
+  /** Null-as-largest ordering (the dialect's SORT default: ASC → nulls
+    * last, DESC → nulls first — one rule, null = +∞). */
+  private def cmpOpt(a: Option[Any], b: Option[Any]): Int = (a, b) match {
+    case (None, None) => 0
+    case (None, _) => 1
+    case (_, None) => -1
+    case (Some(x: Long), Some(y: Long)) => java.lang.Long.compare(x, y)
+    case (Some(x: Double), Some(y: Double)) => java.lang.Double.compare(x, y)
+    case (Some(x: String), Some(y: String)) => x.compareTo(y)
+    case (x, y) => sys.error(s"unorderable $x vs $y")
+  }
+
+  private def evalCmd(c: PCmd, rows: Seq[Row]): Seq[Row] = c match {
+    case PWhere(b) => rows.filter(r => evalB(b, r).contains(true))
+    case PEvalN(n, e) => rows.map(r => r + (n -> evalN(e, r)))
+    case PEvalS(n, e) => rows.map(r => r + (n -> evalS(e, r)))
+    case PEvalMv(n, a, b) => rows.map { r =>
+      val v = for { x <- evalS(a, r); y <- evalS(b, r) } yield List(x, y)
+      r + (n -> v)
+    }
+    case PMvExpand(n) => rows.flatMap { r =>
+      r(n) match {
+        case None => Seq(r + (n -> None)) // explode_outer: null row kept
+        case Some(xs) =>
+          val l = xs.asInstanceOf[List[String]]
+          if (l.isEmpty) Seq(r + (n -> None))
+          else l.map(x => r + (n -> Some(x)))
+      }
+    }
+    case PStats(aggs, by) => by match {
+      case None =>
+        Seq(aggs.map { case (n, a) => n -> evalAgg(a, rows) }.toMap)
+      case Some((keyName, keyE)) =>
+        val keyed = rows.groupBy { r =>
+          keyE match { case Left(c0) => r(c0).map(_.asInstanceOf[String])
+                       case Right(se) => evalS(se, r) }
+        }
+        keyed.toSeq.map { case (k, grp) =>
+          (Map[String, Option[Any]](keyName -> k) ++
+            aggs.map { case (n, a) => n -> evalAgg(a, grp) }).toMap
+        }
+    }
+    case PInline(aggs, by) => by match {
+      case None =>
+        val vals = aggs.map { case (n, a) => n -> evalAgg(a, rows) }
+        rows.map(r => r ++ vals) // overwrite clashes, like the engine
+      case Some(b) =>
+        val grps = rows.groupBy(_(b))
+        val vals = grps.map { case (k, grp) =>
+          k -> aggs.map { case (n, a) => n -> evalAgg(a, grp) } }
+        rows.map(r => r ++ vals(r(b)))
+    }
+    case PSortLimit(keys, tiebreak, n) =>
+      val allKeys = keys ++ tiebreak.map(_ -> true)
+      rows.sortWith { (a, b) =>
+        allKeys.iterator.map { case (k, asc) =>
+          val c = cmpOpt(a(k), b(k)); if (asc) c else -c
+        }.find(_ != 0).exists(_ < 0)
+      }.take(n)
+  }
+
+  // ------------------------------------------------- program generator
+  private case class Schema(longs: Seq[String], strs: Seq[String], mvs: Seq[String]) {
+    def names: Seq[String] = longs ++ strs ++ mvs
+  }
+  private val base = Schema(Seq("doc_id", "n_chars"), Seq("lang", "source"), Nil)
+
+  private def neGen(s: Schema, depth: Int): Gen[NE] = {
+    val leaf = Gen.frequency(
+      4 -> Gen.oneOf(s.longs).map(NCol.apply),
+      3 -> Gen.chooseNum(-100L, 100L).map(NLit.apply),
+      1 -> (if (s.strs.nonEmpty) Gen.oneOf(s.strs).map(c => NLen(SCol(c)))
+            else Gen.chooseNum(-100L, 100L).map(NLit.apply)))
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      // data-dependent divisors and moduli INCLUDED — the null paths
+      // the expression fuzzer had to avoid are the point here
+      2 -> (for { op <- Gen.oneOf("+", "-", "*", "/", "%")
+                  l <- neGen(s, depth - 1); r <- neGen(s, depth - 1) } yield NBin(op, l, r)))
+  }
+  private def seGen(s: Schema, depth: Int): Gen[SE] = {
+    val leafPicks = Seq(
+      1 -> Gen.oneOf("aa", "bb", "zz").map(SLit.apply: String => SE),
+      1 -> neGen(s, 0).map(SToStr.apply: NE => SE)) ++
+      (if (s.strs.nonEmpty) Seq(4 -> Gen.oneOf(s.strs).map(SCol.apply: String => SE)) else Nil)
+    val leaf = Gen.frequency(leafPicks: _*)
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      1 -> (for { l <- seGen(s, depth - 1); r <- seGen(s, depth - 1) } yield SConcat(l, r): SE),
+      1 -> (for { c <- beGen(s, 0); v <- seGen(s, depth - 1) } yield SCase(c, v): SE))
+  }
+  private def beGen(s: Schema, depth: Int): Gen[BE] = {
+    val leaf = Gen.frequency(
+      4 -> (for { op <- Gen.oneOf("==", "!=", ">=", "<=", ">", "<")
+                  l <- neGen(s, 1); r <- neGen(s, 1) } yield BCmpN(op, l, r)),
+      2 -> (for { eq <- Gen.oneOf(true, false); l <- seGen(s, 0)
+                  r <- seGen(s, 0) } yield BCmpS(eq, l, r)),
+      1 -> (for { x <- neGen(s, 1); vs <- Gen.listOfN(3, Gen.chooseNum(-50L, 450L)) }
+        yield BIn(x, vs.distinct)),
+      1 -> (for { x <- neGen(s, 1); neg <- Gen.oneOf(true, false) } yield BIsNull(x, neg)))
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      2 -> leaf,
+      2 -> (for { and <- Gen.oneOf(true, false); l <- beGen(s, depth - 1)
+                  r <- beGen(s, depth - 1) } yield BBin(and, l, r)),
+      1 -> beGen(s, depth - 1).map(BNot.apply))
+  }
+  private def aggGen(s: Schema): Gen[PAgg] = Gen.frequency(
+    2 -> Gen.const(PCount),
+    2 -> neGen(s, 1).map(PSum.apply),
+    1 -> neGen(s, 1).map(PMin.apply),
+    1 -> neGen(s, 1).map(PMax.apply),
+    1 -> neGen(s, 1).map(PAvg.apply))
+
+  /** One command valid under `s`, with the schema it produces. The
+    * schema's LONG pool is never empty (every STATS carries a forced
+    * COUNT), so numeric generation always has a leaf; string-dependent
+    * picks are only offered while a string column is in scope. */
+  private def cmdGen(s: Schema, fresh: Int): Gen[(PCmd, Schema)] = {
+    def where = beGen(s, 2).map(b => (PWhere(b): PCmd) -> s)
+    def evalN = for { e <- neGen(s, 2) } yield {
+      val n = s"e$fresh"
+      (PEvalN(n, e): PCmd) -> s.copy(longs = s.longs :+ n)
+    }
+    def evalS = for { e <- seGen(s, 2) } yield {
+      val n = s"t$fresh"
+      (PEvalS(n, e): PCmd) -> s.copy(strs = s.strs :+ n)
+    }
+    def evalMv = for { a <- seGen(s, 1); b <- seGen(s, 1) } yield {
+      val n = s"m$fresh"
+      (PEvalMv(n, a, b): PCmd) -> s.copy(mvs = s.mvs :+ n)
+    }
+    def mvExpand = Gen.oneOf(s.mvs).map { m =>
+      (PMvExpand(m): PCmd) -> Schema(s.longs, s.strs :+ m, s.mvs.filterNot(_ == m))
+    }
+    def stats = for {
+      nAggs <- Gen.chooseNum(0, 2)
+      aggs <- Gen.listOfN(nAggs, aggGen(s))
+      by <- if (s.strs.isEmpty) Gen.const(None: Option[(String, Either[String, SE])])
+        else Gen.frequency[Option[(String, Either[String, SE])]](
+          1 -> Gen.const(None),
+          2 -> Gen.oneOf(s.strs).map(c => Some(c -> Left(c))),
+          // NULL-able BY key — the r15 bug class, generated on purpose
+          2 -> (for { c <- beGen(s, 0); v <- Gen.oneOf(s.strs).map(SCol.apply) }
+            yield Some(s"g$fresh" -> Right(SCase(c, v): SE))))
+    } yield {
+      // a forced COUNT keeps the post-STATS long pool non-empty
+      val named = (s"a${fresh}c" -> (PCount: PAgg)) +:
+        aggs.zipWithIndex.map { case (a, i) => s"a$fresh$i" -> a }
+      val out = Schema(
+        named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n },
+        by.map(_._1).toSeq, Nil)
+      (PStats(named, by): PCmd) -> out
+    }
+    def inline = for {
+      nAggs <- Gen.chooseNum(1, 2)
+      aggs <- Gen.listOfN(nAggs, aggGen(s))
+      by <- if (s.strs.isEmpty) Gen.const(None: Option[String])
+        else Gen.frequency[Option[String]](
+          1 -> Gen.const(None),
+          3 -> Gen.oneOf(s.strs).map(Some(_)))
+      // sometimes OVERWRITE an existing numeric column — the engine's
+      // documented withColumn/drop-join overwrite contract
+      clash <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield {
+      val named = aggs.zipWithIndex.map { case (a, i) =>
+        val n = if (clash && i == 0) s.longs.head else s"i$fresh$i"
+        n -> a
+      }
+      val newLongs = named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n }
+        .filterNot(s.longs.contains)
+      // an overwritten LONG column that got an AVG is now a double —
+      // drop it from the long pool so later numeric exprs stay typed
+      val avgNames = named.collect { case (n, a) if a.isInstanceOf[PAvg] => n }
+      (PInline(named, by): PCmd) ->
+        s.copy(longs = s.longs.filterNot(avgNames.contains) ++ newLongs)
+    }
+    def sortLimit = for {
+      nk <- Gen.chooseNum(1, 2)
+      keys <- Gen.listOfN(nk, for {
+        k <- Gen.oneOf(s.longs ++ s.strs); asc <- Gen.oneOf(true, false)
+      } yield k -> asc)
+      n <- Gen.chooseNum(1, 40)
+    } yield {
+      val tiebreak = (s.longs ++ s.strs).filterNot(keys.map(_._1).contains)
+      (PSortLimit(keys.distinctBy(_._1), tiebreak, n): PCmd) -> s
+    }
+    val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
+    picks += 4 -> where
+    picks += 3 -> evalN
+    picks += 2 -> evalS
+    picks += 1 -> evalMv
+    picks += 2 -> stats
+    picks += 2 -> inline
+    if (s.mvs.nonEmpty) picks += 3 -> mvExpand
+    // SORT+LIMIT needs a total order over scalar columns — only when no
+    // multivalue column is in scope (arrays are not sort keys)
+    if (s.mvs.isEmpty) picks += 2 -> sortLimit
+    Gen.frequency(picks.result(): _*)
+  }
+
+  private def programGen(len: Int): Gen[List[PCmd]] = {
+    def go(s: Schema, i: Int): Gen[List[PCmd]] =
+      if (i >= len) Gen.const(Nil)
+      else cmdGen(s, i).flatMap { case (c, s2) => go(s2, i + 1).map(c :: _) }
+    go(base, 0)
+  }
+
+  // ------------------------------------------------------- comparison
+  private def canon(v: Option[Any]): String = v match {
+    case None => "∅"
+    case Some(x: Long) => s"L:$x"
+    case Some(x: Double) => s"D:${java.lang.Double.doubleToRawLongBits(x)}"
+    case Some(x: String) => s"S:$x"
+    case Some(xs: List[_]) => s"M:${xs.mkString("|")}"
+    case Some(x) => s"?:$x"
+  }
+  private def canonRows(rows: Seq[Row]): Seq[String] =
+    rows.map(r => r.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${canon(v)}" }
+      .mkString(",")).sorted
+
+  private def engineRows(q: String): Seq[Row] = {
+    val df = EsqlParser.run(q, _ => srcDf, session = Some(spark))
+    val fields = df.schema.fields
+    df.collect().toSeq.map { r =>
+      fields.zipWithIndex.map { case (f, i) =>
+        val v: Option[Any] =
+          if (r.isNullAt(i)) None
+          else f.dataType match {
+            case org.apache.spark.sql.types.LongType => Some(r.getLong(i))
+            case org.apache.spark.sql.types.DoubleType => Some(r.getDouble(i))
+            case org.apache.spark.sql.types.StringType => Some(r.getString(i))
+            case _: org.apache.spark.sql.types.ArrayType => Some(r.getSeq[String](i).toList)
+            case other => sys.error(s"unexpected engine type $other for ${f.name}")
+          }
+        f.name -> v
+      }.toMap
+    }
+  }
+
+  test("200 random multi-command programs: engine frame == independent evaluator frame") {
+    var seed = Seed(1009L)
+    var checked = 0
+    val feature = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    (1 to 200).foreach { i =>
+      val len = 2 + (i % 4) // 2..5 commands
+      val prog = programGen(len).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      prog.foreach {
+        case PWhere(_) => feature("where") += 1
+        case _: PEvalN | _: PEvalS => feature("eval") += 1
+        case _: PEvalMv => feature("eval_mv") += 1
+        case _: PMvExpand => feature("mv_expand") += 1
+        case PStats(_, Some((_, Right(_)))) => feature("stats_null_by") += 1
+        case PStats(_, Some(_)) => feature("stats_by") += 1
+        case PStats(_, None) => feature("stats_global") += 1
+        case PInline(aggs, _) =>
+          feature("inlinestats") += 1
+          if (aggs.exists { case (n, _) => !n.startsWith("i") }) feature("inline_overwrite") += 1
+        case _: PSortLimit => feature("sort_limit") += 1
+      }
+      def hasDivMod(e: NE): Boolean = e match {
+        case NBin(op, l, r) => op == "/" || op == "%" || hasDivMod(l) || hasDivMod(r)
+        case _ => false
+      }
+      def cmdDivMod(c: PCmd): Boolean = c match {
+        case PEvalN(_, e) => hasDivMod(e)
+        case _ => false
+      }
+      if (prog.exists(cmdDivMod)) feature("div_or_mod") += 1
+      val q = ("FROM documents" +: prog.map(cmdText)).mkString("\n")
+      val want = canonRows(prog.foldLeft(corpus)((rows, c) => evalCmd(c, rows)))
+      val got = canonRows(engineRows(q))
+      assert(got == want, {
+        val firstDiff = got.zipAll(want, "<missing>", "<missing>")
+          .find { case (a, b) => a != b }
+        s"""frame diverged (seed round $i)
+           |query:
+           |$q
+           |engine rows: ${got.size}, evaluator rows: ${want.size}
+           |first diff: $firstDiff""".stripMargin
+      })
+      checked += 1
+    }
+    assert(checked == 200)
+    // the sweep must actually EXERCISE every command family and the
+    // null-path features it exists for — a generator drift that stops
+    // producing them would leave this suite green but hollow
+    val required = Seq("where", "eval", "eval_mv", "mv_expand", "stats_null_by",
+      "stats_by", "stats_global", "inlinestats", "inline_overwrite",
+      "sort_limit", "div_or_mod")
+    val missing = required.filterNot(feature(_) > 0)
+    assert(missing.isEmpty,
+      s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
+  }
+}
