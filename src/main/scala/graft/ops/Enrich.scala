@@ -779,12 +779,12 @@ object Enrich {
     val bPort = when(flip, sPort).otherwise(dPort)
     def hex32(c: Column) = lpad(hex(c), 8, "0")
     def hex16(c: Column) = lpad(hex(c), 4, "0")
-    // the spec defines seed as a 2-byte big-endian value — mask so a
-    // non-default seed can never widen hex() past 4 chars (a negative
-    // would emit 16) and malform the payload length
+    // the spec defines seed as a 2-byte big-endian value — reject
+    // anything else up front so hex() can never widen past 4 chars
+    // (a negative would emit 16) and malform the payload length
     require(seed >= 0 && seed <= 0xFFFF, s"community_id seed must be uint16, got $seed")
     val payload = concat(
-      hex16(lit((seed & 0xFFFF).toLong)), hex32(aIp), hex32(bIp),
+      hex16(lit(seed.toLong)), hex32(aIp), hex32(bIp),
       lpad(hex(protoNum), 2, "0"), lit("00"), hex16(aPort), hex16(bPort))
     concat(lit("1:"), base64(unhex(sha1(unhex(payload)))))
   }
@@ -901,16 +901,24 @@ object Enrich {
     * fail the inner join. */
   private val polyVerts: Seq[(Long, Long)] = // (lat·2, lon·2), integer degrees
     Seq((-130L, -320L), (140L, -30L), (-60L, 270L))
-  private val polyInsideSql: String = {
-    val x = "CAST(geo_lon * 2 AS BIGINT)"
-    val y = "CAST(geo_lat * 2 AS BIGINT)"
-    val ds = polyVerts.indices.map { i =>
-      val (ay, ax) = polyVerts(i)
-      val (by, bx) = polyVerts((i + 1) % polyVerts.size)
+  /** THE half-plane containment text — the single SQL builder every
+    * convex-ring containment site shares (ns_geo_polygon over doubled
+    * coords here; the ES|QL polygon key over raw integer degrees in
+    * SearchExt), so a future change to the term order or boundary rule
+    * lands once. Ring vertices are (x, y); term order must stay
+    * aligned with EsqlParser.pointInPoly's Column mirror:
+    * (bx−ax)(Y−ay) − (by−ay)(X−ax), inside = all ≥0 OR all ≤0. */
+  private[graft] def halfPlaneInsideSql(ring: Seq[(Long, Long)], x: String, y: String): String = {
+    val ds = ring.indices.map { i =>
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % ring.length)
       s"((${bx - ax}) * ($y - ($ay)) - (${by - ay}) * ($x - ($ax)))"
     }
     s"((${ds.map(d => s"$d >= 0").mkString(" AND ")}) OR (${ds.map(d => s"$d <= 0").mkString(" AND ")}))"
   }
+  private val polyInsideSql: String = halfPlaneInsideSql(
+    polyVerts.map { case (lat2, lon2) => (lon2, lat2) },
+    "CAST(geo_lon * 2 AS BIGINT)", "CAST(geo_lat * 2 AS BIGINT)")
   val geoPolygonOp = QueryDef(
     "ns_geo_polygon",
     (s, dir) => geoEnrichedFacts(s, dir, dimPrune = Some(expr(polyInsideSql)))

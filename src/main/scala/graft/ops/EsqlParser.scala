@@ -754,10 +754,14 @@ object EsqlParser {
     * only correct for convex rings, and a silent wrong-answer scope
     * would be worse than a named one. */
   private[graft] def parsePolygonWkt(s: String): Option[Seq[(Double, Double)]] = {
-    val rx = "^POLYGON \\(\\((.+)\\)\\)$".r
-    s match {
+    // tolerant of the spacing variants real WKT emitters produce:
+    // optional space before the parens, any spacing around the vertex
+    // commas — a convex region rejected for its comma style would
+    // silently null the user's drawn-region filter
+    val rx = "^POLYGON\\s*\\(\\((.+)\\)\\)$".r
+    s.trim match {
       case rx(body) =>
-        val verts = body.split(", ").toSeq.map { v =>
+        val verts = body.split(",").toSeq.map { v =>
           val parts = v.trim.split("\\s+")
           if (parts.length != 2) return None
           try (parts(0).toDouble, parts(1).toDouble)
@@ -809,7 +813,17 @@ object EsqlParser {
       case Func("TO_GEOSHAPE", Seq(StrLit(w))) => parsePolygonWkt(w)
       case _ => None
     }
+    // ANY TO_GEOSHAPE call (polygon or not) marks a shape side: a
+    // polygon paired with an envelope must fail as shape-vs-shape with
+    // the named error, not crash pointInPoly on a struct without lon
+    def isShape(e: Expr): Boolean = e match {
+      case Func("TO_GEOSHAPE", _) => true
+      case _ => false
+    }
     (polyOf(x), polyOf(y), mode) match {
+      case (Some(_), _, _) | (_, Some(_), _) if isShape(x) && isShape(y) =>
+        throw ParseError("shape-vs-shape relations are not supported — one side " +
+          "must be a geo_point", 0)
       case (Some(vs), None, "contains" | "intersects") => pointInPoly(compileExpr(y), vs)
       case (None, Some(vs), "within" | "intersects") => pointInPoly(compileExpr(x), vs)
       case (None, Some(_), "contains") =>
@@ -818,9 +832,6 @@ object EsqlParser {
       case (Some(_), None, "within") =>
         throw ParseError("ST_WITHIN here supports (point, shape) — for the " +
           "shape-contains-point direction use ST_CONTAINS(shape, point)", 0)
-      case (Some(_), Some(_), _) =>
-        throw ParseError("shape-vs-shape relations are not supported — one side " +
-          "must be a geo_point", 0)
       case _ =>
         graft.Cols.column(org.apache.spark.sql.graftshim.GeoEnvelopeRelate(
           graft.Cols.expr(compileExpr(x)), graft.Cols.expr(compileExpr(y)), mode))
@@ -1267,14 +1278,18 @@ object EsqlParser {
         // bounding-box implementation's scope: a plain range compare
         // would silently return false for every point. Null the parse
         // (the TO_* conversion contract for unsupported input) so
-        // downstream relations yield null, never a wrong boolean.
+        // downstream relations yield null, never a wrong boolean. Same
+        // for a lat-degenerate box (max_lat < min_lat — argument-order
+        // mistakes ES rejects): null, never everywhere-false.
         val minLon = regexp_extract(c, rx, 1).cast("double")
         val maxLon = regexp_extract(c, rx, 2).cast("double")
-        when(c.rlike(rx) && minLon <= maxLon, struct(
+        val maxLat = regexp_extract(c, rx, 3).cast("double")
+        val minLat = regexp_extract(c, rx, 4).cast("double")
+        when(c.rlike(rx) && minLon <= maxLon && maxLat >= minLat, struct(
           minLon.as("min_lon"),
           maxLon.as("max_lon"),
-          regexp_extract(c, rx, 3).cast("double").as("max_lat"),
-          regexp_extract(c, rx, 4).cast("double").as("min_lat")))
+          maxLat.as("max_lat"),
+          minLat.as("min_lat")))
       // argument roles resolve at ANALYSIS time (GeoEnvelopeRelate — the
       // EsqlDivide pattern): ST_INTERSECTS is symmetric; the directed
       // pair enforces its role order with a clear error
@@ -1300,10 +1315,15 @@ object EsqlParser {
         // the geotile web-mercator formula, term-for-term the
         // ns_agg_geotile_grid text (integer-lat inputs sit ≥5.9e-4
         // tiles from every z=3 boundary except exactly-representable
-        // lat 0 — 12 orders above transcendental ulp risk)
-        val tx = floor((lon + 180) / 360 * n).cast("long")
-        val ty = floor((lit(1.0) - log(tan(lat * lit(math.Pi) / 180) +
-          lit(1.0) / cos(lat * lit(math.Pi) / 180)) / lit(math.Pi)) / 2 * n).cast("long")
+        // lat 0 — 12 orders above transcendental ulp risk); x and y
+        // CLAMP to [0, 2^z−1] like ES's GeoTileUtils — lon +180 and
+        // poles beyond the ±85.05° mercator range fold into the edge
+        // tiles instead of minting out-of-range ids
+        val tx = least(greatest(floor((lon + 180) / 360 * n).cast("long"), lit(0L)),
+          lit(n - 1L))
+        val ty = least(greatest(floor((lit(1.0) - log(tan(lat * lit(math.Pi) / 180) +
+          lit(1.0) / cos(lat * lit(math.Pi) / 180)) / lit(math.Pi)) / 2 * n).cast("long"),
+          lit(0L)), lit(n - 1L))
         concat(lit(s"$zi/"), tx, lit("/"), ty)
       case ("ST_GEOHASH", Seq(p, NumLit(prec))) =>
         if (!prec.isWhole || !prec.isValidInt || prec < 1 || prec > 6)

@@ -2617,16 +2617,11 @@ object SearchExt {
     """p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(event_id % 360 - 180),
       |           " ", TO_STRING(event_id % 120 - 60), ")"))""".stripMargin
 
-  /** Half-plane containment text for the DuckDB oracle — identical
-    * term order to EsqlParser.pointInPoly. */
-  private def polyInsideSqlText(ring: Seq[(Int, Int)], x: String, y: String): String = {
-    val ds = ring.indices.map { i =>
-      val (ax, ay) = ring(i)
-      val (bx, by) = ring((i + 1) % ring.length)
-      s"((${bx - ax}) * ($y - (${ay})) - (${by - ay}) * ($x - (${ax})))"
-    }
-    s"((${ds.map(_ + " >= 0").mkString(" AND ")}) OR (${ds.map(_ + " <= 0").mkString(" AND ")}))"
-  }
+  /** Half-plane containment text for the DuckDB oracle — the ONE
+    * shared builder (Enrich.halfPlaneInsideSql), term-order-aligned
+    * with EsqlParser.pointInPoly's Column mirror. */
+  private def polyInsideSqlText(ring: Seq[(Int, Int)], x: String, y: String): String =
+    Enrich.halfPlaneInsideSql(ring.map { case (px, py) => (px.toLong, py.toLong) }, x, y)
   // (lon, lat) rings, closed in the WKT literal below
   private val esqlQuad = Seq((-150, -70), (-100, 80), (120, 75), (150, -60))
   private val esqlTri = Seq((-160, -65), (140, 70), (135, -30))
@@ -2675,8 +2670,10 @@ object SearchExt {
        || STATS n = COUNT(*) BY tile, gh, hex
        || SORT tile, gh, hex""".stripMargin
   private val esqlGridOracle: String = {
-    val tile = "concat('3/', CAST(floor((px + 180) / 360 * 8) AS BIGINT), '/', " +
-      "CAST(floor((1 - ln(tan(py * pi() / 180) + 1 / cos(py * pi() / 180)) / pi()) / 2 * 8) AS BIGINT))"
+    // tile x/y carry the engine's [0, 2^z−1] clamp (a no-op on this
+    // corpus — lon ≤ 179, |lat| ≤ 60 — kept for term alignment)
+    val tile = "concat('3/', LEAST(GREATEST(CAST(floor((px + 180) / 360 * 8) AS BIGINT), 0), 7), '/', " +
+      "LEAST(GREATEST(CAST(floor((1 - ln(tan(py * pi() / 180) + 1 / cos(py * pi() / 180)) / pi()) / 2 * 8) AS BIGINT), 0), 7))"
     val ix = "LEAST(CAST(floor((px + 180) / 360 * 32) AS BIGINT), 31)"
     val iy = "LEAST(CAST(floor((py + 90) / 180 * 32) AS BIGINT), 31)"
     // 10-bit lon-first interleave (msb first), then two base-32 chars

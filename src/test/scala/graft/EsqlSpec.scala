@@ -962,6 +962,30 @@ class EsqlSpec extends SparkSpec {
         |  TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"))""".stripMargin,
       _ => df, session = Some(spark)))
     assert(role.msg.contains("ST_WITHIN"))
+    // polygon-vs-envelope is the NAMED shape-vs-shape error, not an
+    // internal no-such-field crash (r16 self-review)
+    val svs = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """ROW a = 1 | EVAL bad = ST_INTERSECTS(
+        |  TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"),
+        |  TO_GEOSHAPE("ENVELOPE (0, 10, 5, -5)"))""".stripMargin,
+      _ => df, session = Some(spark)))
+    assert(svs.msg.contains("shape-vs-shape"))
+    // WKT spacing variants all parse (r16 self-review: a convex region
+    // must not be silently nulled for its comma style)
+    val sp = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (0 0)"),
+        |  v1 = ST_WITHIN(p, TO_GEOSHAPE("POLYGON((-10 -10,10 -10,0 10,-10 -10))")),
+        |  v2 = ST_WITHIN(p, TO_GEOSHAPE("POLYGON ((-10 -10 , 10 -10 , 0 10 , -10 -10))"))
+        || KEEP v1, v2""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(sp.getBoolean(0) && sp.getBoolean(1), "spacing variants must parse, not null")
+    // a lat-degenerate envelope (swapped lat args) nulls like the
+    // dateline case — never everywhere-false (r16 self-review)
+    val ld = EsqlParser.run(
+      """ROW a = 1 | EVAL bad = ST_WITHIN(TO_GEOPOINT("POINT (5 0)"),
+        |  TO_GEOSHAPE("ENVELOPE (0, 10, -5, 5)")) | KEEP bad""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(ld.isNullAt(0), "lat-swapped envelope must null, not return false")
   }
 
   test("r16 spatial residue: ST_GEOTILE/ST_GEOHASH/ST_GEOHEX grid cells") {
@@ -978,8 +1002,10 @@ class EsqlSpec extends SparkSpec {
     assert(cells(103, 1) == ("3/6/3", "w2", "216/0"))
     assert(cells(-74, 40) == ("3/2/3", "dr", "-144/62"))
     assert(cells(0, 0) == ("3/4/4", "s0", "0/0"))
-    // +180/+90 edge folds into the last geohash cell (the clamp)
-    assert(cells(180, 89)._2 == "zz")
+    // the +180/+90 edge folds into the LAST cell in both grids — the
+    // geohash clamp and the geotile [0, 2^z−1] x/y clamp (lat 89 is
+    // past the ±85.05° mercator range: unclamped y would be −3)
+    assert(cells(180, 89) == ("3/7/0", "zz", "360/186"))
     // zoom/precision validate at plan time
     val ze = intercept[EsqlParser.ParseError](EsqlParser.run(
       """ROW a = 1 | EVAL t = ST_GEOTILE(TO_GEOPOINT("POINT (1 1)"), 30)""",

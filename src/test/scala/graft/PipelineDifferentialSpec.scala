@@ -261,25 +261,62 @@ class PipelineDifferentialSpec extends SparkSpec {
   }
 
   // ------------------------------------------------- program generator
-  private case class Schema(longs: Seq[String], strs: Seq[String], mvs: Seq[String]) {
-    def names: Seq[String] = longs ++ strs ++ mvs
+  /** `longs` carries each numeric column's ABS-VALUE BOUND so the
+    * generator can keep every expression inside the exactness window
+    * (see tame below). */
+  private case class Schema(longs: Seq[(String, Long)], strs: Seq[String], mvs: Seq[String]) {
+    def longNames: Seq[String] = longs.map(_._1)
+    def boundOf(n: String): Long = longs.find(_._1 == n).get._2
   }
-  private val base = Schema(Seq("doc_id", "n_chars"), Seq("lang", "source"), Nil)
+  private val rowCap = 16000L // 500 docs × ≤4 MV_EXPAND doublings, with margin
+  private val base = Schema(Seq("doc_id" -> 500L, "n_chars" -> 600L), Seq("lang", "source"), Nil)
+
+  /** The magnitude invariant, ENFORCED rather than hoped for: every
+    * generated numeric node is rebuilt bottom-up with a saturating
+    * abs-bound; any node whose bound exceeds `tameCap` is wrapped in
+    * `% 999983` (identical in both engines, nonzero literal modulus).
+    * With operands ≤ 1e6, a product is ≤ 1e12 — no LONG overflow (ANSI
+    * would throw where the evaluator wraps), and aggregate sums stay
+    * ≤ rowCap·1e6 ≈ 1.6e10 ≪ 2^53, so AVG's double division is exact
+    * and the frame comparison can stay ==. */
+  private val tameCap = 1000000L
+  private def tame(e: NE, s: Schema): (NE, Long) = {
+    def clamp(e0: NE, b: Long): (NE, Long) =
+      if (b <= tameCap) (e0, b) else (NBin("%", e0, NLit(999983L)), 999982L)
+    e match {
+      case NCol(n) => clamp(e, s.boundOf(n))
+      case NLit(v) => (e, math.abs(v))
+      case NLen(se) => (e, 1000L) // corpus strings + bounded concat chains
+      case NBin(op, l, r) =>
+        val (tl, bl) = tame(l, s)
+        val (tr, br) = tame(r, s)
+        val bound = op match {
+          case "+" | "-" => bl + br
+          case "*" => bl * br
+          case "/" => bl
+          case "%" => math.min(bl, br)
+        }
+        clamp(NBin(op, tl, tr), bound)
+    }
+  }
 
   private def neGen(s: Schema, depth: Int): Gen[NE] = {
     val leaf = Gen.frequency(
-      4 -> Gen.oneOf(s.longs).map(NCol.apply),
+      4 -> Gen.oneOf(s.longNames).map(NCol.apply),
       3 -> Gen.chooseNum(-100L, 100L).map(NLit.apply),
       1 -> (if (s.strs.nonEmpty) Gen.oneOf(s.strs).map(c => NLen(SCol(c)))
             else Gen.chooseNum(-100L, 100L).map(NLit.apply)))
-    if (depth <= 0) leaf
-    else Gen.frequency(
-      3 -> leaf,
-      // data-dependent divisors and moduli INCLUDED — the null paths
-      // the expression fuzzer had to avoid are the point here
-      2 -> (for { op <- Gen.oneOf("+", "-", "*", "/", "%")
-                  l <- neGen(s, depth - 1); r <- neGen(s, depth - 1) } yield NBin(op, l, r)))
+    val raw =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        // data-dependent divisors and moduli INCLUDED — the null paths
+        // the expression fuzzer had to avoid are the point here
+        2 -> (for { op <- Gen.oneOf("+", "-", "*", "/", "%")
+                    l <- neGen(s, depth - 1); r <- neGen(s, depth - 1) } yield NBin(op, l, r)))
+    raw.map(e => tame(e, s)._1)
   }
+  private def neBound(e: NE, s: Schema): Long = tame(e, s)._2
   private def seGen(s: Schema, depth: Int): Gen[SE] = {
     val leafPicks = Seq(
       1 -> Gen.oneOf("aa", "bb", "zz").map(SLit.apply: String => SE),
@@ -308,6 +345,14 @@ class PipelineDifferentialSpec extends SparkSpec {
                   r <- beGen(s, depth - 1) } yield BBin(and, l, r)),
       1 -> beGen(s, depth - 1).map(BNot.apply))
   }
+  /** Column bound an aggregate result carries into the long pool. */
+  private def aggBound(a: PAgg, s: Schema): Long = a match {
+    case PCount => rowCap
+    case PSum(e) => rowCap * neBound(e, s) // ≤ 16000 · 1e6 ≪ 2^53
+    case PMin(e) => neBound(e, s)
+    case PMax(e) => neBound(e, s)
+    case PAvg(_) => 0L // double — never enters the long pool
+  }
   private def aggGen(s: Schema): Gen[PAgg] = Gen.frequency(
     2 -> Gen.const(PCount),
     2 -> neGen(s, 1).map(PSum.apply),
@@ -323,7 +368,7 @@ class PipelineDifferentialSpec extends SparkSpec {
     def where = beGen(s, 2).map(b => (PWhere(b): PCmd) -> s)
     def evalN = for { e <- neGen(s, 2) } yield {
       val n = s"e$fresh"
-      (PEvalN(n, e): PCmd) -> s.copy(longs = s.longs :+ n)
+      (PEvalN(n, e): PCmd) -> s.copy(longs = s.longs :+ (n -> neBound(e, s)))
     }
     def evalS = for { e <- seGen(s, 2) } yield {
       val n = s"t$fresh"
@@ -351,7 +396,7 @@ class PipelineDifferentialSpec extends SparkSpec {
       val named = (s"a${fresh}c" -> (PCount: PAgg)) +:
         aggs.zipWithIndex.map { case (a, i) => s"a$fresh$i" -> a }
       val out = Schema(
-        named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n },
+        named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n -> aggBound(a, s) },
         by.map(_._1).toSeq, Nil)
       (PStats(named, by): PCmd) -> out
     }
@@ -367,25 +412,28 @@ class PipelineDifferentialSpec extends SparkSpec {
       clash <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
     } yield {
       val named = aggs.zipWithIndex.map { case (a, i) =>
-        val n = if (clash && i == 0) s.longs.head else s"i$fresh$i"
+        val n = if (clash && i == 0) s.longNames.head else s"i$fresh$i"
         n -> a
       }
-      val newLongs = named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n }
-        .filterNot(s.longs.contains)
-      // an overwritten LONG column that got an AVG is now a double —
-      // drop it from the long pool so later numeric exprs stay typed
+      val newLongs = named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n -> aggBound(a, s) }
+        .filterNot { case (n, _) => s.longNames.contains(n) }
+      // an overwritten LONG column: an AVG makes it a double — drop it
+      // from the long pool; a long agg REBOUNDS it (a count overwriting
+      // doc_id now carries the count's bound, not doc_id's)
       val avgNames = named.collect { case (n, a) if a.isInstanceOf[PAvg] => n }
+      val rebound = named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n -> aggBound(a, s) }.toMap
       (PInline(named, by): PCmd) ->
-        s.copy(longs = s.longs.filterNot(avgNames.contains) ++ newLongs)
+        s.copy(longs = s.longs.filterNot { case (n, _) => avgNames.contains(n) }
+          .map { case (n, b) => n -> rebound.getOrElse(n, b) } ++ newLongs)
     }
     def sortLimit = for {
       nk <- Gen.chooseNum(1, 2)
       keys <- Gen.listOfN(nk, for {
-        k <- Gen.oneOf(s.longs ++ s.strs); asc <- Gen.oneOf(true, false)
+        k <- Gen.oneOf(s.longNames ++ s.strs); asc <- Gen.oneOf(true, false)
       } yield k -> asc)
       n <- Gen.chooseNum(1, 40)
     } yield {
-      val tiebreak = (s.longs ++ s.strs).filterNot(keys.map(_._1).contains)
+      val tiebreak = (s.longNames ++ s.strs).filterNot(keys.map(_._1).contains)
       (PSortLimit(keys.distinctBy(_._1), tiebreak, n): PCmd) -> s
     }
     val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
