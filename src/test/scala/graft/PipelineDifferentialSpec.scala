@@ -45,6 +45,19 @@ class PipelineDifferentialSpec extends SparkSpec {
       "doc_id" -> Some(r.getLong(0)), "n_chars" -> Some(r.getLong(1)),
       "lang" -> Some(r.getString(2)), "source" -> Some(r.getString(3)))).toSeq
 
+  // a small keyword ENRICH policy over the corpus langs plus two
+  // literal keys the string generator can produce — unmatched keys
+  // (most source values, CASE nulls) exercise the left-join null path
+  private lazy val enrichDim: Map[String, (String, Long)] =
+    (corpus.flatMap(_("lang")).map(_.asInstanceOf[String]).distinct
+      .map(l => l -> (s"T_$l", l.length.toLong)) ++
+      Seq("aa" -> ("T_aa", 9L), "bb" -> ("T_bb", 7L))).toMap
+  private lazy val enrichDimDf = {
+    import spark.implicits._
+    enrichDim.toSeq.map { case (k, (tag, tier)) => (k, tag, tier) }
+      .toDF("k", "tag", "tier")
+  }
+
   // ------------------------------------------------------- expressions
   private sealed trait NE
   private case class NCol(n: String) extends NE
@@ -153,6 +166,10 @@ class PipelineDifferentialSpec extends SparkSpec {
   private case class PStats(aggs: Seq[(String, PAgg)], by: Option[(String, Either[String, SE])]) extends PCmd
   private case class PInline(aggs: Seq[(String, PAgg)], by: Option[String]) extends PCmd
   private case class PSortLimit(keys: Seq[(String, Boolean)], tiebreak: Seq[String], n: Int) extends PCmd
+  private case class PEnrich(on: String) extends PCmd // adds/overwrites tag (str), tier (long)
+  private case class PKeep(cols: Seq[String]) extends PCmd
+  private case class PDrop(c: String) extends PCmd
+  private case class PRename(from: String, to: String) extends PCmd
 
   private def aggText(a: PAgg): String = a match {
     case PCount => "COUNT(*)"
@@ -182,6 +199,10 @@ class PipelineDifferentialSpec extends SparkSpec {
     case PSortLimit(keys, tiebreak, n) =>
       val ks = keys.map { case (k, asc) => if (asc) k else s"$k DESC" } ++ tiebreak
       s"| SORT ${ks.mkString(", ")} | LIMIT $n"
+    case PEnrich(on) => s"| ENRICH ptags ON $on"
+    case PKeep(cols) => s"| KEEP ${cols.mkString(", ")}"
+    case PDrop(c) => s"| DROP $c"
+    case PRename(from, to) => s"| RENAME $from AS $to"
   }
 
   // evaluator: aggregate a group's rows per the dialect contracts
@@ -258,6 +279,18 @@ class PipelineDifferentialSpec extends SparkSpec {
           val c = cmpOpt(a(k), b(k)); if (asc) c else -c
         }.find(_ != 0).exists(_ < 0)
       }.take(n)
+    case PEnrich(on) =>
+      // ES ENRICH overwrites clashing columns with the DIM value — null
+      // on no match, even where the source had a value (the engine
+      // drops the clash columns before its left join)
+      rows.map { r =>
+        val hit = r(on).map(_.asInstanceOf[String]).flatMap(enrichDim.get)
+        (r - "tag" - "tier") ++ Map[String, Option[Any]](
+          "tag" -> hit.map(_._1), "tier" -> hit.map(_._2))
+      }
+    case PKeep(cols) => rows.map(r => cols.map(c => c -> r(c)).toMap)
+    case PDrop(c) => rows.map(_ - c)
+    case PRename(from, to) => rows.map(r => (r - from) + (to -> r(from)))
   }
 
   // ------------------------------------------------- program generator
@@ -436,6 +469,36 @@ class PipelineDifferentialSpec extends SparkSpec {
       val tiebreak = (s.longNames ++ s.strs).filterNot(keys.map(_._1).contains)
       (PSortLimit(keys.distinctBy(_._1), tiebreak, n): PCmd) -> s
     }
+    def enrich = Gen.oneOf(s.strs.filterNot(c => c == "tag" || c == "tier")).map { on =>
+      // overwrite semantics: tag/tier REPLACE any same-named columns
+      (PEnrich(on): PCmd) -> Schema(
+        s.longs.filterNot(_._1 == "tier") :+ ("tier" -> 20L),
+        s.strs.filterNot(_ == "tag") :+ "tag", s.mvs)
+    }
+    def keep = for {
+      mask <- Gen.listOfN(s.longNames.size + s.strs.size + s.mvs.size,
+        Gen.frequency(3 -> Gen.const(true), 2 -> Gen.const(false)))
+    } yield {
+      val all = s.longNames ++ s.strs ++ s.mvs
+      val chosen0 = all.zip(mask).collect { case (c, true) => c }
+      // the long pool must survive (numeric generation needs a leaf)
+      val chosen = if (chosen0.exists(s.longNames.contains)) chosen0
+        else s.longNames.head +: chosen0
+      (PKeep(chosen): PCmd) -> Schema(
+        s.longs.filter(l => chosen.contains(l._1)),
+        s.strs.filter(chosen.contains), s.mvs.filter(chosen.contains))
+    }
+    def drop = Gen.oneOf(
+      (s.longNames.drop(1) ++ s.strs ++ s.mvs)). map { c =>
+      (PDrop(c): PCmd) -> Schema(
+        s.longs.filterNot(_._1 == c), s.strs.filterNot(_ == c), s.mvs.filterNot(_ == c))
+    }
+    def rename = for { c <- Gen.oneOf(s.longNames ++ s.strs ++ s.mvs) } yield {
+      val to = s"r$fresh"
+      val ren = (n: String) => if (n == c) to else n
+      (PRename(c, to): PCmd) -> Schema(
+        s.longs.map { case (n, b) => ren(n) -> b }, s.strs.map(ren), s.mvs.map(ren))
+    }
     val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
     picks += 4 -> where
     picks += 3 -> evalN
@@ -443,6 +506,10 @@ class PipelineDifferentialSpec extends SparkSpec {
     picks += 1 -> evalMv
     picks += 2 -> stats
     picks += 2 -> inline
+    picks += 1 -> keep
+    picks += 1 -> rename
+    if (s.strs.exists(c => c != "tag" && c != "tier")) picks += 2 -> enrich
+    if (s.longNames.size + s.strs.size + s.mvs.size > 1) picks += 1 -> drop
     if (s.mvs.nonEmpty) picks += 3 -> mvExpand
     // SORT+LIMIT needs a total order over scalar columns — only when no
     // multivalue column is in scope (arrays are not sort keys)
@@ -471,7 +538,8 @@ class PipelineDifferentialSpec extends SparkSpec {
       .mkString(",")).sorted
 
   private def engineRows(q: String): Seq[Row] = {
-    val df = EsqlParser.run(q, _ => srcDf, session = Some(spark))
+    val df = EsqlParser.run(q, _ => srcDf, session = Some(spark),
+      policies = { case "ptags" => (enrichDimDf, "k") })
     val fields = df.schema.fields
     df.collect().toSeq.map { r =>
       fields.zipWithIndex.map { case (f, i) =>
@@ -509,6 +577,8 @@ class PipelineDifferentialSpec extends SparkSpec {
           feature("inlinestats") += 1
           if (aggs.exists { case (n, _) => !n.startsWith("i") }) feature("inline_overwrite") += 1
         case _: PSortLimit => feature("sort_limit") += 1
+        case _: PEnrich => feature("enrich") += 1
+        case _: PKeep | _: PDrop | _: PRename => feature("schema_ops") += 1
       }
       def hasDivMod(e: NE): Boolean = e match {
         case NBin(op, l, r) => op == "/" || op == "%" || hasDivMod(l) || hasDivMod(r)
@@ -539,7 +609,7 @@ class PipelineDifferentialSpec extends SparkSpec {
     // producing them would leave this suite green but hollow
     val required = Seq("where", "eval", "eval_mv", "mv_expand", "stats_null_by",
       "stats_by", "stats_global", "inlinestats", "inline_overwrite",
-      "sort_limit", "div_or_mod")
+      "sort_limit", "div_or_mod", "enrich", "schema_ops")
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
