@@ -163,9 +163,10 @@ class PipelineDifferentialSpec extends SparkSpec {
   private case class PEvalS(name: String, e: SE) extends PCmd
   private case class PEvalMv(name: String, a: SE, b: SE) extends PCmd // SPLIT(CONCAT(a, ",", b), ",")
   private case class PMvExpand(name: String) extends PCmd
-  private case class PStats(aggs: Seq[(String, PAgg)], by: Option[(String, Either[String, SE])]) extends PCmd
+  private case class PStats(aggs: Seq[(String, PAgg)], by: Seq[(String, Either[String, SE])]) extends PCmd
   private case class PInline(aggs: Seq[(String, PAgg)], by: Option[String]) extends PCmd
-  private case class PSortLimit(keys: Seq[(String, Boolean)], tiebreak: Seq[String], n: Int) extends PCmd
+  private case class PSortLimit(keys: Seq[(String, Boolean, Option[Boolean])],
+      tiebreak: Seq[String], n: Int) extends PCmd
   private case class PEnrich(on: String) extends PCmd // adds/overwrites tag (str), tier (long)
   private case class PKeep(cols: Seq[String]) extends PCmd
   private case class PDrop(c: String) extends PCmd
@@ -186,18 +187,26 @@ class PipelineDifferentialSpec extends SparkSpec {
     case PMvExpand(n) => s"| MV_EXPAND $n"
     case PStats(aggs, by) =>
       val as = aggs.map { case (n, a) => s"$n = ${aggText(a)}" }.mkString(", ")
-      val byTxt = by match {
-        case None => ""
-        case Some((n, Left(c0))) if n == c0 => s" BY $c0"
-        case Some((n, Left(c0))) => s" BY $n = $c0"
-        case Some((n, Right(se))) => s" BY $n = ${seText(se)}"
-      }
+      val byTxt =
+        if (by.isEmpty) ""
+        else " BY " + by.map {
+          case (n, Left(c0)) if n == c0 => c0
+          case (n, Left(c0)) => s"$n = $c0"
+          case (n, Right(se)) => s"$n = ${seText(se)}"
+        }.mkString(", ")
       s"| STATS $as$byTxt"
     case PInline(aggs, by) =>
       val as = aggs.map { case (n, a) => s"$n = ${aggText(a)}" }.mkString(", ")
       s"| INLINESTATS $as${by.map(b => s" BY $b").getOrElse("")}"
     case PSortLimit(keys, tiebreak, n) =>
-      val ks = keys.map { case (k, asc) => if (asc) k else s"$k DESC" } ++ tiebreak
+      val ks = keys.map { case (k, asc, nf) =>
+        val dir = if (asc) k else s"$k DESC"
+        nf match {
+          case None => dir
+          case Some(true) => s"$dir NULLS FIRST"
+          case Some(false) => s"$dir NULLS LAST"
+        }
+      } ++ tiebreak
       s"| SORT ${ks.mkString(", ")} | LIMIT $n"
     case PEnrich(on) => s"| ENRICH ptags ON $on"
     case PKeep(cols) => s"| KEEP ${cols.mkString(", ")}"
@@ -249,19 +258,19 @@ class PipelineDifferentialSpec extends SparkSpec {
           else l.map(x => r + (n -> Some(x)))
       }
     }
-    case PStats(aggs, by) => by match {
-      case None =>
-        Seq(aggs.map { case (n, a) => n -> evalAgg(a, rows) }.toMap)
-      case Some((keyName, keyE)) =>
-        val keyed = rows.groupBy { r =>
-          keyE match { case Left(c0) => r(c0).map(_.asInstanceOf[String])
-                       case Right(se) => evalS(se, r) }
+    case PStats(aggs, by) =>
+      if (by.isEmpty) Seq(aggs.map { case (n, a) => n -> evalAgg(a, rows) }.toMap)
+      else {
+        def keyVal(r: Row, e: Either[String, SE]): Option[Any] = e match {
+          case Left(c0) => r(c0)
+          case Right(se) => evalS(se, r)
         }
-        keyed.toSeq.map { case (k, grp) =>
-          (Map[String, Option[Any]](keyName -> k) ++
+        val keyed = rows.groupBy(r => by.map { case (_, e) => keyVal(r, e) })
+        keyed.toSeq.map { case (ks, grp) =>
+          (by.map(_._1).zip(ks).toMap ++
             aggs.map { case (n, a) => n -> evalAgg(a, grp) }).toMap
         }
-    }
+      }
     case PInline(aggs, by) => by match {
       case None =>
         val vals = aggs.map { case (n, a) => n -> evalAgg(a, rows) }
@@ -273,11 +282,21 @@ class PipelineDifferentialSpec extends SparkSpec {
         rows.map(r => r ++ vals(r(b)))
     }
     case PSortLimit(keys, tiebreak, n) =>
-      val allKeys = keys ++ tiebreak.map(_ -> true)
+      // explicit NULLS FIRST/LAST overrides the dialect default
+      // (ASC → nulls last, DESC → nulls first)
+      def keyCmp(a: Option[Any], b: Option[Any], asc: Boolean, nf: Option[Boolean]): Int = {
+        val nullsFirst = nf.getOrElse(!asc)
+        (a, b) match {
+          case (None, None) => 0
+          case (None, _) => if (nullsFirst) -1 else 1
+          case (_, None) => if (nullsFirst) 1 else -1
+          case _ => val c = cmpOpt(a, b); if (asc) c else -c
+        }
+      }
+      val allKeys = keys ++ tiebreak.map(k => (k, true, None: Option[Boolean]))
       rows.sortWith { (a, b) =>
-        allKeys.iterator.map { case (k, asc) =>
-          val c = cmpOpt(a(k), b(k)); if (asc) c else -c
-        }.find(_ != 0).exists(_ < 0)
+        allKeys.iterator.map { case (k, asc, nf) => keyCmp(a(k), b(k), asc, nf) }
+          .find(_ != 0).exists(_ < 0)
       }.take(n)
     case PEnrich(on) =>
       // ES ENRICH overwrites clashing columns with the DIM value — null
@@ -414,24 +433,33 @@ class PipelineDifferentialSpec extends SparkSpec {
     def mvExpand = Gen.oneOf(s.mvs).map { m =>
       (PMvExpand(m): PCmd) -> Schema(s.longs, s.strs :+ m, s.mvs.filterNot(_ == m))
     }
-    def stats = for {
-      nAggs <- Gen.chooseNum(0, 2)
-      aggs <- Gen.listOfN(nAggs, aggGen(s))
-      by <- if (s.strs.isEmpty) Gen.const(None: Option[(String, Either[String, SE])])
-        else Gen.frequency[Option[(String, Either[String, SE])]](
-          1 -> Gen.const(None),
-          2 -> Gen.oneOf(s.strs).map(c => Some(c -> Left(c))),
-          // NULL-able BY key — the r15 bug class, generated on purpose
-          2 -> (for { c <- beGen(s, 0); v <- Gen.oneOf(s.strs).map(SCol.apply) }
-            yield Some(s"g$fresh" -> Right(SCase(c, v): SE))))
-    } yield {
-      // a forced COUNT keeps the post-STATS long pool non-empty
-      val named = (s"a${fresh}c" -> (PCount: PAgg)) +:
-        aggs.zipWithIndex.map { case (a, i) => s"a$fresh$i" -> a }
-      val out = Schema(
-        named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n -> aggBound(a, s) },
-        by.map(_._1).toSeq, Nil)
-      (PStats(named, by): PCmd) -> out
+    def stats = {
+      type ByKey = (String, Either[String, SE])
+      def plainKey: Gen[ByKey] = Gen.oneOf(s.strs).map(c => c -> Left(c))
+      // NULL-able BY key — the r15 bug class, generated on purpose
+      def caseKey: Gen[ByKey] = for {
+        c <- beGen(s, 0); v <- Gen.oneOf(s.strs).map(SCol.apply)
+      } yield s"g$fresh" -> Right(SCase(c, v): SE)
+      for {
+        nAggs <- Gen.chooseNum(0, 2)
+        aggs <- Gen.listOfN(nAggs, aggGen(s))
+        by <- if (s.strs.isEmpty) Gen.const(Seq.empty[ByKey])
+          else Gen.frequency[Seq[ByKey]](
+            1 -> Gen.const(Nil),
+            2 -> plainKey.map(Seq(_)),
+            2 -> caseKey.map(Seq(_)),
+            // MULTI-key BY with a null-able member: the null bucket must
+            // survive inside a composite grouping key too
+            2 -> (for { p <- plainKey; c <- caseKey } yield Seq(p, c)))
+      } yield {
+        // a forced COUNT keeps the post-STATS long pool non-empty
+        val named = (s"a${fresh}c" -> (PCount: PAgg)) +:
+          aggs.zipWithIndex.map { case (a, i) => s"a$fresh$i" -> a }
+        val out = Schema(
+          named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n -> aggBound(a, s) },
+          by.map(_._1), Nil)
+        (PStats(named, by): PCmd) -> out
+      }
     }
     def inline = for {
       nAggs <- Gen.chooseNum(1, 2)
@@ -463,7 +491,8 @@ class PipelineDifferentialSpec extends SparkSpec {
       nk <- Gen.chooseNum(1, 2)
       keys <- Gen.listOfN(nk, for {
         k <- Gen.oneOf(s.longNames ++ s.strs); asc <- Gen.oneOf(true, false)
-      } yield k -> asc)
+        nf <- Gen.oneOf(None, Some(true), Some(false)) // explicit NULLS FIRST/LAST too
+      } yield (k, asc, nf))
       n <- Gen.chooseNum(1, 40)
     } yield {
       val tiebreak = (s.longNames ++ s.strs).filterNot(keys.map(_._1).contains)
@@ -570,13 +599,17 @@ class PipelineDifferentialSpec extends SparkSpec {
         case _: PEvalN | _: PEvalS => feature("eval") += 1
         case _: PEvalMv => feature("eval_mv") += 1
         case _: PMvExpand => feature("mv_expand") += 1
-        case PStats(_, Some((_, Right(_)))) => feature("stats_null_by") += 1
-        case PStats(_, Some(_)) => feature("stats_by") += 1
-        case PStats(_, None) => feature("stats_global") += 1
+        case PStats(_, by) =>
+          if (by.isEmpty) feature("stats_global") += 1
+          if (by.exists(_._2.isLeft)) feature("stats_by") += 1
+          if (by.exists(_._2.isRight)) feature("stats_null_by") += 1
+          if (by.size >= 2) feature("stats_multi_by") += 1
         case PInline(aggs, _) =>
           feature("inlinestats") += 1
           if (aggs.exists { case (n, _) => !n.startsWith("i") }) feature("inline_overwrite") += 1
-        case _: PSortLimit => feature("sort_limit") += 1
+        case PSortLimit(keys, _, _) =>
+          feature("sort_limit") += 1
+          if (keys.exists(_._3.isDefined)) feature("sort_nulls_explicit") += 1
         case _: PEnrich => feature("enrich") += 1
         case _: PKeep | _: PDrop | _: PRename => feature("schema_ops") += 1
       }
@@ -608,8 +641,9 @@ class PipelineDifferentialSpec extends SparkSpec {
     // null-path features it exists for — a generator drift that stops
     // producing them would leave this suite green but hollow
     val required = Seq("where", "eval", "eval_mv", "mv_expand", "stats_null_by",
-      "stats_by", "stats_global", "inlinestats", "inline_overwrite",
-      "sort_limit", "div_or_mod", "enrich", "schema_ops")
+      "stats_by", "stats_global", "stats_multi_by", "inlinestats",
+      "inline_overwrite", "sort_limit", "sort_nulls_explicit", "div_or_mod",
+      "enrich", "schema_ops")
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")

@@ -1426,6 +1426,30 @@ class PlanSpec extends SparkSpec {
       s"the hits page lost the partial-aggregating bounded top-k:\n$p")
   }
 
+  test("ns_esql_geo_polygon / ns_esql_geo_grid: one pruned scan, map-side combine, no joins") {
+    for (key <- Seq("ns_esql_geo_polygon", "ns_esql_geo_grid")) {
+      val p = physical(key)
+      assert(scanCount(p) == 1, s"$key must be a single corpus pass:\n$p")
+      // the polygon cross products / grid cell math are pure projections —
+      // never a window, join, or per-row UDF
+      assert(!nodes(p).exists(_.isInstanceOf[WindowExec]), s"$key grew a window:\n$p")
+      assert(!nodes(p).exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[ShuffledHashJoinExec] ||
+        n.isInstanceOf[BroadcastNestedLoopJoinExec]), s"$key grew a join:\n$p")
+      // partial aggregation before the |cells|-bounded shuffle
+      assert(p.toString.contains("partial_count"),
+        s"$key lost the map-side combine:\n$p")
+      // column pruning must reach the scan THROUGH the synthesized
+      // point struct: only the two referenced source columns are read
+      val read = nodes(p).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSet
+      }.head
+      assert(read.subsetOf(Set("event_id", "event_type")),
+        s"$key reads more than it projects: $read\n$p")
+    }
+  }
+
   test("shared-scan lock is load-bearing: a column-split variant fails naming the contract") {
     // Rebuild ns_search_post_filter's shape but let the aggs branch
     // reference ONLY the count — the hits branch still needs source/
