@@ -1296,6 +1296,14 @@ object EsqlParser {
       case ("ST_CONTAINS", Seq(x, y)) => geoRelate(x, y, "contains")
       case ("ST_WITHIN", Seq(x, y)) => geoRelate(x, y, "within")
       case ("ST_INTERSECTS", Seq(x, y)) => geoRelate(x, y, "intersects")
+      // 8.18 bounding-box accessors — type-directed at analysis time
+      // (point or ENVELOPE; a point's box is itself), each resolving to
+      // plain struct-field reads
+      case ("ST_ENVELOPE", Seq(x)) => graft.Cols.column(
+        org.apache.spark.sql.graftshim.GeoEnvelopeOf(graft.Cols.expr(compileExpr(x))))
+      case ("ST_XMIN" | "ST_XMAX" | "ST_YMIN" | "ST_YMAX", Seq(x)) => graft.Cols.column(
+        org.apache.spark.sql.graftshim.GeoCoordAccessor(
+          graft.Cols.expr(compileExpr(x)), name.drop(3).toLowerCase))
       // ---------------- spatial grid functions (ES|QL 8.16+): bucket a
       // point into a map-grid cell, the scalar twins of the geotile/
       // geohash/geohex AGGREGATIONS (ops/Enrich.scala — same cell math,

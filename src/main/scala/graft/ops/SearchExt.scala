@@ -2567,8 +2567,11 @@ object SearchExt {
       |       x = ST_X(p), y = ST_Y(p),
       |       d = ROUND(ST_DISTANCE(p, TO_GEOPOINT("POINT (103.8 1.5)")), 2),
       |       inbox = ST_WITHIN(p, TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)")),
-      |       bad = ST_X(TO_GEOPOINT(event_type))
-      || KEEP event_id, x, y, d, inbox, bad
+      |       bad = ST_X(TO_GEOPOINT(event_type)),
+      |       xmn = ST_XMIN(TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)")),
+      |       ymx = ST_YMAX(TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)")),
+      |       bymn = ST_YMIN(ST_ENVELOPE(p)), bxmx = ST_XMAX(ST_ENVELOPE(p))
+      || KEEP event_id, x, y, d, inbox, bad, xmn, ymx, bymn, bxmx
       || SORT event_id""".stripMargin
   val esqlGeoOp = QueryDef(
     "ns_esql_geo",
@@ -2579,7 +2582,9 @@ object SearchExt {
       |    cos(y * pi() / 180) * cos(1.5 * pi() / 180) *
       |    sin((103.8 - x) * pi() / 360) * sin((103.8 - x) * pi() / 360))), 2) AS d,
       |  (x >= -60 AND x <= 60 AND y >= -45 AND y <= 45) AS inbox,
-      |  CAST(NULL AS DOUBLE) AS bad
+      |  CAST(NULL AS DOUBLE) AS bad,
+      |  CAST(-60 AS DOUBLE) AS xmn, CAST(45 AS DOUBLE) AS ymx,
+      |  y AS bymn, x AS bxmx
       |FROM (SELECT event_id,
       |    CAST(event_id * 15 - 150 AS DOUBLE) AS x,
       |    CAST(event_id * 6 - 57 AS DOUBLE) AS y

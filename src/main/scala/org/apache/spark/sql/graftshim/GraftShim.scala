@@ -168,6 +168,72 @@ case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
     copy(a = newLeft, b = newRight)
 }
 
+/** ES|QL's spatial coordinate accessors ST_XMIN/ST_XMAX/ST_YMIN/
+  * ST_YMAX (8.18) — TYPE-DIRECTED at analysis time (the
+  * GeoEnvelopeRelate pattern): over an ENVELOPE geo_shape the accessor
+  * reads the matching bound; over a geo_point the min and max coincide
+  * with the point's own coordinate (ES's contract — a point's bounding
+  * box is itself). `which` ∈ xmin|xmax|ymin|ymax. Resolves to one
+  * GetStructField — free after codegen. */
+case class GeoCoordAccessor(child: Expression, which: String)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.GetStructField
+    def f(name: String): Expression = {
+      val st = child.dataType.asInstanceOf[StructType]
+      GetStructField(child, st.fieldIndex(name), Some(name))
+    }
+    child.dataType match {
+      case s: StructType if s.fieldNames.contains("min_lon") => which match {
+        case "xmin" => f("min_lon"); case "xmax" => f("max_lon")
+        case "ymin" => f("min_lat"); case "ymax" => f("max_lat")
+      }
+      case s: StructType if s.fieldNames.contains("lon") => which match {
+        case "xmin" | "xmax" => f("lon")
+        case "ymin" | "ymax" => f("lat")
+      }
+      case other => sys.error(
+        s"ST_${which.toUpperCase} expects a geo_point or ENVELOPE geo_shape, got ${other.simpleString}")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ES|QL's ST_ENVELOPE (8.18): the minimal bounding box of a geometry.
+  * Type-directed like the accessors — an envelope is its own bounding
+  * box (identity) and a point's box is the degenerate box at the point
+  * (ES's contract). Resolves to field reshuffling only. */
+case class GeoEnvelopeOf(child: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetStructField, Literal}
+    def f(name: String): Expression = {
+      val st = child.dataType.asInstanceOf[StructType]
+      GetStructField(child, st.fieldIndex(name), Some(name))
+    }
+    child.dataType match {
+      case s: StructType if s.fieldNames.contains("min_lon") => child
+      case s: StructType if s.fieldNames.contains("lon") =>
+        val box = CreateNamedStruct(Seq(
+          Literal("min_lon"), f("lon"), Literal("max_lon"), f("lon"),
+          Literal("max_lat"), f("lat"), Literal("min_lat"), f("lat")))
+        // a null point has a null box, not a box of nulls
+        org.apache.spark.sql.catalyst.expressions.If(
+          org.apache.spark.sql.catalyst.expressions.IsNull(child),
+          Literal.create(null, box.dataType), box)
+      case other => sys.error(
+        s"ST_ENVELOPE expects a geo_point or ENVELOPE geo_shape, got ${other.simpleString}")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Gzip decompress of BINARY — the reference gunzips each Firehose
   * record's `data` payload after base64-decode (reference main.go:472–479)
   * and the whole HTTP body (reference gzipbinding/binding.go:38–45).

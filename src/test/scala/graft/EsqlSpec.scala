@@ -988,6 +988,33 @@ class EsqlSpec extends SparkSpec {
     assert(ld.isNullAt(0), "lat-swapped envelope must null, not return false")
   }
 
+  test("r16 spatial residue: ST_ENVELOPE and the bounding-box accessors") {
+    val g = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (12 -7)"),
+        |  e = TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)"),
+        |  exmn = ST_XMIN(e), exmx = ST_XMAX(e), eymn = ST_YMIN(e), eymx = ST_YMAX(e),
+        |  pxmn = ST_XMIN(p), pymx = ST_YMAX(p),
+        |  bx = ST_XMAX(ST_ENVELOPE(p)), by = ST_YMIN(ST_ENVELOPE(p)),
+        |  idb = ST_XMIN(ST_ENVELOPE(e)),
+        |  nb = ST_ENVELOPE(TO_GEOPOINT("garbage"))
+        || KEEP exmn, exmx, eymn, eymx, pxmn, pymx, bx, by, idb, nb""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert((g.getDouble(0), g.getDouble(1), g.getDouble(2), g.getDouble(3))
+      == ((-60.0, 60.0, -45.0, 45.0)))
+    // a point's bounding box is itself (ES's contract), direct or via ST_ENVELOPE
+    assert((g.getDouble(4), g.getDouble(5)) == ((12.0, -7.0)))
+    assert((g.getDouble(6), g.getDouble(7)) == ((12.0, -7.0)))
+    // ST_ENVELOPE of an envelope is the identity
+    assert(g.getDouble(8) == -60.0)
+    // a null geometry has a NULL box, not a box of nulls
+    assert(g.isNullAt(9))
+    // a non-geo argument fails with the named expectation
+    val e = intercept[Throwable](EsqlParser.run(
+      "ROW a = 1 | EVAL bad = ST_XMIN(a) | KEEP bad",
+      _ => df, session = Some(spark)).collect())
+    assert(e.getMessage.contains("ST_XMIN expects"), s"got: ${e.getMessage}")
+  }
+
   test("r16 spatial residue: ST_GEOTILE/ST_GEOHASH/ST_GEOHEX grid cells") {
     def cells(lon: Int, lat: Int): (String, String, String) = {
       val r = EsqlParser.run(
