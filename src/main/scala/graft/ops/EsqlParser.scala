@@ -1259,16 +1259,24 @@ object EsqlParser {
         when(c.rlike(rx), struct(
           regexp_extract(c, rx, 1).cast("double").as("lon"),
           regexp_extract(c, rx, 2).cast("double").as("lat")))
-      case ("ST_X", Seq(p)) => compileExpr(p).getField("lon")
-      case ("ST_Y", Seq(p)) => compileExpr(p).getField("lat")
-      case ("ST_DISTANCE", Seq(a, b)) =>
-        val (pa, pb) = (compileExpr(a), compileExpr(b))
-        val dlatS = sin((pb.getField("lat") - pa.getField("lat")) * lit(math.Pi) / 360)
-        val dlonS = sin((pb.getField("lon") - pa.getField("lon")) * lit(math.Pi) / 360)
-        val h = dlatS * dlatS +
-          cos(pa.getField("lat") * lit(math.Pi) / 180) *
-          cos(pb.getField("lat") * lit(math.Pi) / 180) * dlonS * dlonS
-        lit(2) * lit(6371000.0) * asin(sqrt(h))
+      // ST_X/ST_Y and ST_DISTANCE are TYPE-DIRECTED across both
+      // coordinate systems (geo haversine meters / cartesian Euclidean)
+      // — graftshim.GeoCoordAccessor / SpatialDistance
+      case ("ST_X" | "ST_Y", Seq(p)) => graft.Cols.column(
+        org.apache.spark.sql.graftshim.GeoCoordAccessor(
+          graft.Cols.expr(compileExpr(p)), name.drop(3).toLowerCase))
+      case ("ST_DISTANCE", Seq(a, b)) => graft.Cols.column(
+        org.apache.spark.sql.graftshim.SpatialDistance(
+          graft.Cols.expr(compileExpr(a)), graft.Cols.expr(compileExpr(b))))
+      // cartesian_point: the planar twin ES serves for `point` fields
+      // (CAD / floor plans / game worlds — no wrap, no mercator); same
+      // WKT POINT form, struct(x, y)
+      case ("TO_CARTESIANPOINT", Seq(x)) =>
+        val c = compileExpr(x)
+        val rx = "^POINT \\((-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?)\\)$"
+        when(c.rlike(rx), struct(
+          regexp_extract(c, rx, 1).cast("double").as("x"),
+          regexp_extract(c, rx, 2).cast("double").as("y")))
       case ("TO_GEOSHAPE", Seq(x)) =>
         val c = compileExpr(x)
         val num = "(-?\\d+(?:\\.\\d+)?)"

@@ -2717,6 +2717,37 @@ object SearchExt {
     (s, dir) => EsqlParser.run(esqlGeoGridQuery, _ => Tables.events(s, dir)),
     Some(esqlGridOracle))
 
+  /** ES|QL cartesian_point family — TO_CARTESIANPOINT plus the SAME
+    * ST_X / ST_Y / ST_DISTANCE functions resolving to the planar
+    * coordinate system at ANALYSIS time (graftshim.GeoCoordAccessor /
+    * SpatialDistance): Euclidean distance, no wrap, no mercator — the
+    * `point` field type ES serves for CAD / floor-plan / game-world
+    * coordinates. Integer-grid points keep every difference and square
+    * exact in IEEE double and sqrt is correctly rounded, so the
+    * distances are bit-identical across engines with no transcendental
+    * caveat at all (unlike the haversine twin). */
+  private[graft] val esqlGeoCartesianQuery =
+    """FROM events
+      || WHERE event_id < 40
+      || EVAL cp = TO_CARTESIANPOINT(CONCAT("POINT (", TO_STRING(event_id % 2000 - 1000),
+      |             " ", TO_STRING(event_id % 1200 - 600), ")")),
+      |       cx = ST_X(cp), cy = ST_Y(cp),
+      |       cd = ROUND(ST_DISTANCE(cp, TO_CARTESIANPOINT("POINT (25 -17)")), 4),
+      |       bad = ST_Y(TO_CARTESIANPOINT(event_type))
+      || KEEP event_id, cx, cy, cd, bad
+      || SORT event_id""".stripMargin
+  val esqlGeoCartesianOp = QueryDef(
+    "ns_esql_geo_cartesian",
+    (s, dir) => EsqlParser.run(esqlGeoCartesianQuery, _ => Tables.events(s, dir)),
+    Some("""SELECT event_id, cx, cy,
+      |  round(sqrt((cx - 25) * (cx - 25) + (cy - (-17)) * (cy - (-17))), 4) AS cd,
+      |  CAST(NULL AS DOUBLE) AS bad
+      |FROM (SELECT event_id,
+      |    CAST(event_id % 2000 - 1000 AS DOUBLE) AS cx,
+      |    CAST(event_id % 1200 - 600 AS DOUBLE) AS cy
+      |  FROM events WHERE event_id < 40)
+      |ORDER BY event_id""".stripMargin))
+
   /** ES|QL IP functions: CIDR_MATCH as a WHERE predicate and IP_PREFIX
     * as the network-bucketing EVAL — the SIEM pair. The dotted quad
     * compiles to u32 long arithmetic in one codegen pass; each CIDR
@@ -2771,7 +2802,7 @@ object SearchExt {
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
     esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
     esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,
-    esqlGeoPolygonOp, esqlGeoGridOp,
+    esqlGeoPolygonOp, esqlGeoGridOp, esqlGeoCartesianOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,
     termvectorsOp, graphExploreOp, mgetOp,
     countOp, updateByQueryOp, reindexOp, analyzeOp, indexStatsOp, rolloverOp,

@@ -186,20 +186,81 @@ case class GeoCoordAccessor(child: Expression, which: String)
       GetStructField(child, st.fieldIndex(name), Some(name))
     }
     child.dataType match {
-      case s: StructType if s.fieldNames.contains("min_lon") => which match {
-        case "xmin" => f("min_lon"); case "xmax" => f("max_lon")
-        case "ymin" => f("min_lat"); case "ymax" => f("max_lat")
-      }
+      case s: StructType if s.fieldNames.contains("min_lon") && which != "x" && which != "y" =>
+        which match {
+          case "xmin" => f("min_lon"); case "xmax" => f("max_lon")
+          case "ymin" => f("min_lat"); case "ymax" => f("max_lat")
+        }
       case s: StructType if s.fieldNames.contains("lon") => which match {
-        case "xmin" | "xmax" => f("lon")
-        case "ymin" | "ymax" => f("lat")
+        case "x" | "xmin" | "xmax" => f("lon")
+        case "y" | "ymin" | "ymax" => f("lat")
+      }
+      // cartesian_point ({x, y}) — ST_X/ST_Y and the box accessors
+      // read the planar coordinate directly (a point's box is itself)
+      case s: StructType if s.fieldNames.contains("x") => which match {
+        case "x" | "xmin" | "xmax" => f("x")
+        case "y" | "ymin" | "ymax" => f("y")
       }
       case other => sys.error(
-        s"ST_${which.toUpperCase} expects a geo_point or ENVELOPE geo_shape, got ${other.simpleString}")
+        s"ST_${which.toUpperCase} expects a ${if (which == "x" || which == "y") "geo_point or cartesian_point"
+          else "geo_point, cartesian_point or ENVELOPE geo_shape"}, got ${other.simpleString}")
     }
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** ES|QL's ST_DISTANCE over BOTH coordinate systems, type-directed at
+  * analysis time: two geo_points ({lon, lat}) take the engine's shared
+  * haversine in meters (SAME operation order as the ns_geo family and
+  * the DuckDB oracle text — only the transcendental calls can differ,
+  * within 1 ulp, absorbed by each key's ROUND); two cartesian_points
+  * ({x, y}) take the planar Euclidean distance ES serves for `point`
+  * fields (IEEE sqrt is correctly rounded — bit-identical across
+  * engines). Mixing the systems is a named error. */
+case class SpatialDistance(a: Expression, b: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with BinaryLike[Expression] {
+  private def kind(e: Expression): String = e.dataType match {
+    case s: StructType if s.fieldNames.contains("lon") => "geo"
+    case s: StructType if s.fieldNames.contains("x") => "cartesian"
+    case _ => "other"
+  }
+  override lazy val replacement: Expression = {
+    // RAW Catalyst nodes only: this runs AFTER analysis, so a
+    // functions._-built Column (an unresolved ColumnNode tree) would
+    // die at codegen. Operation order mirrors the Column/oracle text
+    // exactly: left-associative products, ·π first, then /deg.
+    import org.apache.spark.sql.catalyst.expressions.{Add, Asin, Cos, Divide, GetStructField, Literal, Multiply, Sin, Sqrt, Subtract}
+    def fld(e: Expression, name: String): Expression = {
+      val st = e.dataType.asInstanceOf[StructType]
+      GetStructField(e, st.fieldIndex(name), Some(name))
+    }
+    def rad(e: Expression, deg: Double): Expression =
+      Divide(Multiply(e, Literal(math.Pi)), Literal(deg))
+    (kind(a), kind(b)) match {
+      case ("geo", "geo") =>
+        val dlatS = Sin(rad(Subtract(fld(b, "lat"), fld(a, "lat")), 360.0))
+        val dlonS = Sin(rad(Subtract(fld(b, "lon"), fld(a, "lon")), 360.0))
+        val cosA = Cos(rad(fld(a, "lat"), 180.0))
+        val cosB = Cos(rad(fld(b, "lat"), 180.0))
+        val h = Add(Multiply(dlatS, dlatS),
+          Multiply(Multiply(Multiply(cosA, cosB), dlonS), dlonS))
+        Multiply(Multiply(Literal(2.0), Literal(6371000.0)), Asin(Sqrt(h)))
+      case ("cartesian", "cartesian") =>
+        val dx = Subtract(fld(b, "x"), fld(a, "x"))
+        val dy = Subtract(fld(b, "y"), fld(a, "y"))
+        Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
+      case (ka, kb) => sys.error("ST_DISTANCE expects two geo_points or two " +
+        s"cartesian_points, got $ka and $kb")
+    }
+  }
+  override def left: Expression = a
+  override def right: Expression = b
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
 }
 
 /** ES|QL's ST_ENVELOPE (8.18): the minimal bounding box of a geometry.
