@@ -168,6 +168,7 @@ class PipelineDifferentialSpec extends SparkSpec {
   private case class PSortLimit(keys: Seq[(String, Boolean, Option[Boolean])],
       tiebreak: Seq[String], n: Int) extends PCmd
   private case class PEnrich(on: String) extends PCmd // adds/overwrites tag (str), tier (long)
+  private case class PDissect(in: String, ka: String, kb: String) extends PCmd // "%{ka}_%{kb}"
   private case class PKeep(cols: Seq[String]) extends PCmd
   private case class PDrop(c: String) extends PCmd
   private case class PRename(from: String, to: String) extends PCmd
@@ -209,6 +210,7 @@ class PipelineDifferentialSpec extends SparkSpec {
       } ++ tiebreak
       s"| SORT ${ks.mkString(", ")} | LIMIT $n"
     case PEnrich(on) => s"| ENRICH ptags ON $on"
+    case PDissect(in, ka, kb) => s"""| DISSECT $in "%{$ka}_%{$kb}""""
     case PKeep(cols) => s"| KEEP ${cols.mkString(", ")}"
     case PDrop(c) => s"| DROP $c"
     case PRename(from, to) => s"| RENAME $from AS $to"
@@ -298,6 +300,19 @@ class PipelineDifferentialSpec extends SparkSpec {
         allKeys.iterator.map { case (k, asc, nf) => keyCmp(a(k), b(k), asc, nf) }
           .find(_ != 0).exists(_ < 0)
       }.take(n)
+    case PDissect(in, ka, kb) =>
+      // dissect's linear walk: ka = text before the FIRST separator,
+      // the trailing key takes the rest; matched-but-empty captures
+      // stay ""; no-match (and null) rows null every key
+      rows.map { r =>
+        r(in).map(_.asInstanceOf[String]) match {
+          case Some(s) if s.contains("_") =>
+            val i = s.indexOf("_")
+            r ++ Map[String, Option[Any]](
+              ka -> Some(s.substring(0, i)), kb -> Some(s.substring(i + 1)))
+          case _ => r ++ Map[String, Option[Any]](ka -> None, kb -> None)
+        }
+      }
     case PEnrich(on) =>
       // ES ENRICH overwrites clashing columns with the DIM value — null
       // on no match, even where the source had a value (the engine
@@ -528,6 +543,10 @@ class PipelineDifferentialSpec extends SparkSpec {
       (PRename(c, to): PCmd) -> Schema(
         s.longs.map { case (n, b) => ren(n) -> b }, s.strs.map(ren), s.mvs.map(ren))
     }
+    def dissect = Gen.oneOf(s.strs).map { in =>
+      val (ka, kb) = (s"d${fresh}a", s"d${fresh}b")
+      (PDissect(in, ka, kb): PCmd) -> s.copy(strs = s.strs ++ Seq(ka, kb))
+    }
     val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
     picks += 4 -> where
     picks += 3 -> evalN
@@ -537,6 +556,7 @@ class PipelineDifferentialSpec extends SparkSpec {
     picks += 2 -> inline
     picks += 1 -> keep
     picks += 1 -> rename
+    if (s.strs.nonEmpty) picks += 2 -> dissect
     if (s.strs.exists(c => c != "tag" && c != "tier")) picks += 2 -> enrich
     if (s.longNames.size + s.strs.size + s.mvs.size > 1) picks += 1 -> drop
     if (s.mvs.nonEmpty) picks += 3 -> mvExpand
@@ -611,6 +631,7 @@ class PipelineDifferentialSpec extends SparkSpec {
           feature("sort_limit") += 1
           if (keys.exists(_._3.isDefined)) feature("sort_nulls_explicit") += 1
         case _: PEnrich => feature("enrich") += 1
+        case _: PDissect => feature("dissect") += 1
         case _: PKeep | _: PDrop | _: PRename => feature("schema_ops") += 1
       }
       def hasDivMod(e: NE): Boolean = e match {
@@ -643,7 +664,7 @@ class PipelineDifferentialSpec extends SparkSpec {
     val required = Seq("where", "eval", "eval_mv", "mv_expand", "stats_null_by",
       "stats_by", "stats_global", "stats_multi_by", "inlinestats",
       "inline_overwrite", "sort_limit", "sort_nulls_explicit", "div_or_mod",
-      "enrich", "schema_ops")
+      "enrich", "dissect", "schema_ops")
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
