@@ -58,6 +58,18 @@ class PipelineDifferentialSpec extends SparkSpec {
       .toDF("k", "tag", "tier")
   }
 
+  // LOOKUP JOIN index keyed on `lang`, deliberately missing one lang so
+  // the left-join null path occurs; unique keys — no row multiplication
+  private lazy val lookupDim: Map[String, (Long, String)] = {
+    val langs = corpus.flatMap(_("lang")).map(_.asInstanceOf[String]).distinct.sorted
+    langs.drop(1).map(l => l -> (l.length.toLong * 3, s"L_$l")).toMap
+  }
+  private lazy val lookupDimDf = {
+    import spark.implicits._
+    lookupDim.toSeq.map { case (k, (n, w)) => (k, n, w) }
+      .toDF("lang", "lknum", "lkword")
+  }
+
   // ------------------------------------------------------- expressions
   private sealed trait NE
   private case class NCol(n: String) extends NE
@@ -169,6 +181,8 @@ class PipelineDifferentialSpec extends SparkSpec {
       tiebreak: Seq[String], n: Int) extends PCmd
   private case class PEnrich(on: String) extends PCmd // adds/overwrites tag (str), tier (long)
   private case class PDissect(in: String, ka: String, kb: String) extends PCmd // "%{ka}_%{kb}"
+  private case class PGrok(in: String, ka: String, kb: String) extends PCmd // "%{DATA:ka}_%{GREEDYDATA:kb}"
+  private case object PLookup extends PCmd // LOOKUP JOIN ldim ON lang → lknum, lkword
   private case class PKeep(cols: Seq[String]) extends PCmd
   private case class PDrop(c: String) extends PCmd
   private case class PRename(from: String, to: String) extends PCmd
@@ -211,6 +225,8 @@ class PipelineDifferentialSpec extends SparkSpec {
       s"| SORT ${ks.mkString(", ")} | LIMIT $n"
     case PEnrich(on) => s"| ENRICH ptags ON $on"
     case PDissect(in, ka, kb) => s"""| DISSECT $in "%{$ka}_%{$kb}""""
+    case PGrok(in, ka, kb) => s"""| GROK $in "%{DATA:$ka}_%{GREEDYDATA:$kb}""""
+    case PLookup => "| LOOKUP JOIN ldim ON lang"
     case PKeep(cols) => s"| KEEP ${cols.mkString(", ")}"
     case PDrop(c) => s"| DROP $c"
     case PRename(from, to) => s"| RENAME $from AS $to"
@@ -312,6 +328,26 @@ class PipelineDifferentialSpec extends SparkSpec {
               ka -> Some(s.substring(0, i)), kb -> Some(s.substring(i + 1)))
           case _ => r ++ Map[String, Option[Any]](ka -> None, kb -> None)
         }
+      }
+    case PGrok(in, ka, kb) =>
+      // ^(.*?)_(.*)$ anchored — same observable walk as dissect's
+      // two-field pattern, exercised through the regex compile path
+      rows.map { r =>
+        r(in).map(_.asInstanceOf[String]) match {
+          case Some(s) if s.contains("_") =>
+            val i = s.indexOf("_")
+            r ++ Map[String, Option[Any]](
+              ka -> Some(s.substring(0, i)), kb -> Some(s.substring(i + 1)))
+          case _ => r ++ Map[String, Option[Any]](ka -> None, kb -> None)
+        }
+      }
+    case PLookup =>
+      // lookup fields OVERWRITE same-named columns; a key the index
+      // lacks nulls them (left join), like ENRICH
+      rows.map { r =>
+        val hit = r("lang").map(_.asInstanceOf[String]).flatMap(lookupDim.get)
+        (r - "lknum" - "lkword") ++ Map[String, Option[Any]](
+          "lknum" -> hit.map(_._1), "lkword" -> hit.map(_._2))
       }
     case PEnrich(on) =>
       // ES ENRICH overwrites clashing columns with the DIM value — null
@@ -547,6 +583,14 @@ class PipelineDifferentialSpec extends SparkSpec {
       val (ka, kb) = (s"d${fresh}a", s"d${fresh}b")
       (PDissect(in, ka, kb): PCmd) -> s.copy(strs = s.strs ++ Seq(ka, kb))
     }
+    def grok = Gen.oneOf(s.strs).map { in =>
+      val (ka, kb) = (s"k${fresh}a", s"k${fresh}b")
+      (PGrok(in, ka, kb): PCmd) -> s.copy(strs = s.strs ++ Seq(ka, kb))
+    }
+    def lookup = Gen.const(
+      (PLookup: PCmd) -> Schema(
+        s.longs.filterNot(_._1 == "lknum") :+ ("lknum" -> 30L),
+        s.strs.filterNot(_ == "lkword") :+ "lkword", s.mvs))
     val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
     picks += 4 -> where
     picks += 3 -> evalN
@@ -556,7 +600,8 @@ class PipelineDifferentialSpec extends SparkSpec {
     picks += 2 -> inline
     picks += 1 -> keep
     picks += 1 -> rename
-    if (s.strs.nonEmpty) picks += 2 -> dissect
+    if (s.strs.nonEmpty) { picks += 2 -> dissect; picks += 1 -> grok }
+    if (s.strs.contains("lang")) picks += 2 -> lookup
     if (s.strs.exists(c => c != "tag" && c != "tier")) picks += 2 -> enrich
     if (s.longNames.size + s.strs.size + s.mvs.size > 1) picks += 1 -> drop
     if (s.mvs.nonEmpty) picks += 3 -> mvExpand
@@ -587,7 +632,9 @@ class PipelineDifferentialSpec extends SparkSpec {
       .mkString(",")).sorted
 
   private def engineRows(q: String): Seq[Row] = {
-    val df = EsqlParser.run(q, _ => srcDf, session = Some(spark),
+    val df = EsqlParser.run(q,
+      { case "ldim" => lookupDimDf; case _ => srcDf },
+      session = Some(spark),
       policies = { case "ptags" => (enrichDimDf, "k") })
     val fields = df.schema.fields
     df.collect().toSeq.map { r =>
@@ -632,6 +679,8 @@ class PipelineDifferentialSpec extends SparkSpec {
           if (keys.exists(_._3.isDefined)) feature("sort_nulls_explicit") += 1
         case _: PEnrich => feature("enrich") += 1
         case _: PDissect => feature("dissect") += 1
+        case _: PGrok => feature("grok") += 1
+        case PLookup => feature("lookup_join") += 1
         case _: PKeep | _: PDrop | _: PRename => feature("schema_ops") += 1
       }
       def hasDivMod(e: NE): Boolean = e match {
@@ -664,7 +713,7 @@ class PipelineDifferentialSpec extends SparkSpec {
     val required = Seq("where", "eval", "eval_mv", "mv_expand", "stats_null_by",
       "stats_by", "stats_global", "stats_multi_by", "inlinestats",
       "inline_overwrite", "sort_limit", "sort_nulls_explicit", "div_or_mod",
-      "enrich", "dissect", "schema_ops")
+      "enrich", "dissect", "grok", "lookup_join", "schema_ops")
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
