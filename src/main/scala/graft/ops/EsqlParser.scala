@@ -786,6 +786,15 @@ object EsqlParser {
     }
   }
 
+  /** WKT POINT → coordinate struct, the ONE parser both point types
+    * share (invalid WKT → null, the TO_* conversion contract). */
+  private def wktPointStruct(c: Column, f1: String, f2: String): Column = {
+    val rx = "^POINT \\((-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?)\\)$"
+    when(c.rlike(rx), struct(
+      regexp_extract(c, rx, 1).cast("double").as(f1),
+      regexp_extract(c, rx, 2).cast("double").as(f2)))
+  }
+
   /** Point-in-convex-polygon as pure codegen arithmetic — the
     * ns_geo_polygon half-plane discipline (ops/Enrich.scala:893): one
     * cross product per edge, inside = every product on one side
@@ -1253,12 +1262,7 @@ object EsqlParser {
       // ST_CONTAINS/ST_WITHIN/ST_INTERSECTS implement the point-vs-
       // envelope relations (for a point argument the three coincide up
       // to argument order). All pure codegen arithmetic.
-      case ("TO_GEOPOINT", Seq(x)) =>
-        val c = compileExpr(x)
-        val rx = "^POINT \\((-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?)\\)$"
-        when(c.rlike(rx), struct(
-          regexp_extract(c, rx, 1).cast("double").as("lon"),
-          regexp_extract(c, rx, 2).cast("double").as("lat")))
+      case ("TO_GEOPOINT", Seq(x)) => wktPointStruct(compileExpr(x), "lon", "lat")
       // ST_X/ST_Y and ST_DISTANCE are TYPE-DIRECTED across both
       // coordinate systems (geo haversine meters / cartesian Euclidean)
       // — graftshim.GeoCoordAccessor / SpatialDistance
@@ -1270,13 +1274,9 @@ object EsqlParser {
           graft.Cols.expr(compileExpr(a)), graft.Cols.expr(compileExpr(b))))
       // cartesian_point: the planar twin ES serves for `point` fields
       // (CAD / floor plans / game worlds — no wrap, no mercator); same
-      // WKT POINT form, struct(x, y)
-      case ("TO_CARTESIANPOINT", Seq(x)) =>
-        val c = compileExpr(x)
-        val rx = "^POINT \\((-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?)\\)$"
-        when(c.rlike(rx), struct(
-          regexp_extract(c, rx, 1).cast("double").as("x"),
-          regexp_extract(c, rx, 2).cast("double").as("y")))
+      // WKT POINT form, struct(x, y) — ONE shared parser with the geo
+      // twin, so the accepted input set can never diverge between them
+      case ("TO_CARTESIANPOINT", Seq(x)) => wktPointStruct(compileExpr(x), "x", "y")
       case ("TO_GEOSHAPE", Seq(x)) =>
         val c = compileExpr(x)
         val num = "(-?\\d+(?:\\.\\d+)?)"

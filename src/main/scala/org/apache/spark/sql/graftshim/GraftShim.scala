@@ -191,6 +191,12 @@ case class GeoCoordAccessor(child: Expression, which: String)
           case "xmin" => f("min_lon"); case "xmax" => f("max_lon")
           case "ymin" => f("min_lat"); case "ymax" => f("max_lat")
         }
+      // the cartesian box shape ST_ENVELOPE emits for cartesian_points
+      case s: StructType if s.fieldNames.contains("min_x") && which != "x" && which != "y" =>
+        which match {
+          case "xmin" => f("min_x"); case "xmax" => f("max_x")
+          case "ymin" => f("min_y"); case "ymax" => f("max_y")
+        }
       case s: StructType if s.fieldNames.contains("lon") => which match {
         case "x" | "xmin" | "xmax" => f("lon")
         case "y" | "ymin" | "ymax" => f("lat")
@@ -277,18 +283,29 @@ case class GeoEnvelopeOf(child: Expression)
       val st = child.dataType.asInstanceOf[StructType]
       GetStructField(child, st.fieldIndex(name), Some(name))
     }
+    // the degenerate box at a point, in the given field layout; a null
+    // point has a NULL box, not a box of nulls
+    def degenerateBox(fields: Seq[(String, String)]): Expression = {
+      val box = CreateNamedStruct(fields.flatMap { case (out, in) =>
+        Seq(Literal(out), f(in))
+      })
+      org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.IsNull(child),
+        Literal.create(null, box.dataType), box)
+    }
     child.dataType match {
       case s: StructType if s.fieldNames.contains("min_lon") => child
+      case s: StructType if s.fieldNames.contains("min_x") => child
       case s: StructType if s.fieldNames.contains("lon") =>
-        val box = CreateNamedStruct(Seq(
-          Literal("min_lon"), f("lon"), Literal("max_lon"), f("lon"),
-          Literal("max_lat"), f("lat"), Literal("min_lat"), f("lat")))
-        // a null point has a null box, not a box of nulls
-        org.apache.spark.sql.catalyst.expressions.If(
-          org.apache.spark.sql.catalyst.expressions.IsNull(child),
-          Literal.create(null, box.dataType), box)
+        degenerateBox(Seq("min_lon" -> "lon", "max_lon" -> "lon",
+          "max_lat" -> "lat", "min_lat" -> "lat"))
+      // cartesian_point gets the planar box shape ({min_x…}), the
+      // cartesian twin GeoCoordAccessor reads back
+      case s: StructType if s.fieldNames.contains("x") =>
+        degenerateBox(Seq("min_x" -> "x", "max_x" -> "x",
+          "max_y" -> "y", "min_y" -> "y"))
       case other => sys.error(
-        s"ST_ENVELOPE expects a geo_point or ENVELOPE geo_shape, got ${other.simpleString}")
+        s"ST_ENVELOPE expects a geo_point, cartesian_point or ENVELOPE geo_shape, got ${other.simpleString}")
     }
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

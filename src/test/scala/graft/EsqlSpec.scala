@@ -1008,6 +1008,14 @@ class EsqlSpec extends SparkSpec {
     assert(g.getDouble(8) == -60.0)
     // a null geometry has a NULL box, not a box of nulls
     assert(g.isNullAt(9))
+    // the cartesian point composes with ST_ENVELOPE + accessors too
+    // (r16 review: the planar twin must not be an asymmetric hole)
+    val c = EsqlParser.run(
+      """ROW a = 1 | EVAL cp = TO_CARTESIANPOINT("POINT (3 -4)"),
+        |  cbx = ST_XMAX(ST_ENVELOPE(cp)), cby = ST_YMIN(ST_ENVELOPE(cp))
+        || KEEP cbx, cby""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert((c.getDouble(0), c.getDouble(1)) == ((3.0, -4.0)))
     // a non-geo argument fails with the named expectation
     val e = intercept[Throwable](EsqlParser.run(
       "ROW a = 1 | EVAL bad = ST_XMIN(a) | KEEP bad",

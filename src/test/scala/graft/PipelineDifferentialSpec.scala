@@ -40,10 +40,18 @@ class PipelineDifferentialSpec extends SparkSpec {
     df
   }
   private type Row = Map[String, Option[Any]]
-  private lazy val corpus: Seq[Row] =
-    srcDf.collect().map(r => Map[String, Option[Any]](
+  private lazy val corpus: Seq[Row] = {
+    val rows = srcDf.collect().map(r => Map[String, Option[Any]](
       "doc_id" -> Some(r.getLong(0)), "n_chars" -> Some(r.getLong(1)),
       "lang" -> Some(r.getString(2)), "source" -> Some(r.getString(3)))).toSeq
+    // the grok oracle's regex-vs-split equivalence needs newline-free
+    // strings ('.' excludes \n); pin the invariant where it can fail
+    // loudly if a testdata regeneration ever breaks it
+    assert(rows.forall(r => Seq("lang", "source").forall(
+      c => !r(c).get.asInstanceOf[String].contains("\n"))),
+      "corpus strings must stay newline-free for the grok oracle")
+    rows
+  }
 
   // a small keyword ENRICH policy over the corpus langs plus two
   // literal keys the string generator can produce — unmatched keys
@@ -247,6 +255,16 @@ class PipelineDifferentialSpec extends SparkSpec {
       if (vs.isEmpty) None else Some(vs.sum.toDouble / vs.length) // exact: |sum| << 2^53
   }
 
+  /** The dissect/grok two-field extraction both command oracles share. */
+  private def splitFirst(r: Row, in: String, ka: String, kb: String): Row =
+    r(in).map(_.asInstanceOf[String]) match {
+      case Some(s) if s.contains("_") =>
+        val i = s.indexOf("_")
+        r ++ Map[String, Option[Any]](
+          ka -> Some(s.substring(0, i)), kb -> Some(s.substring(i + 1)))
+      case _ => r ++ Map[String, Option[Any]](ka -> None, kb -> None)
+    }
+
   /** Null-as-largest ordering (the dialect's SORT default: ASC → nulls
     * last, DESC → nulls first — one rule, null = +∞). */
   private def cmpOpt(a: Option[Any], b: Option[Any]): Int = (a, b) match {
@@ -316,31 +334,14 @@ class PipelineDifferentialSpec extends SparkSpec {
         allKeys.iterator.map { case (k, asc, nf) => keyCmp(a(k), b(k), asc, nf) }
           .find(_ != 0).exists(_ < 0)
       }.take(n)
-    case PDissect(in, ka, kb) =>
-      // dissect's linear walk: ka = text before the FIRST separator,
-      // the trailing key takes the rest; matched-but-empty captures
-      // stay ""; no-match (and null) rows null every key
-      rows.map { r =>
-        r(in).map(_.asInstanceOf[String]) match {
-          case Some(s) if s.contains("_") =>
-            val i = s.indexOf("_")
-            r ++ Map[String, Option[Any]](
-              ka -> Some(s.substring(0, i)), kb -> Some(s.substring(i + 1)))
-          case _ => r ++ Map[String, Option[Any]](ka -> None, kb -> None)
-        }
-      }
-    case PGrok(in, ka, kb) =>
-      // ^(.*?)_(.*)$ anchored — same observable walk as dissect's
-      // two-field pattern, exercised through the regex compile path
-      rows.map { r =>
-        r(in).map(_.asInstanceOf[String]) match {
-          case Some(s) if s.contains("_") =>
-            val i = s.indexOf("_")
-            r ++ Map[String, Option[Any]](
-              ka -> Some(s.substring(0, i)), kb -> Some(s.substring(i + 1)))
-          case _ => r ++ Map[String, Option[Any]](ka -> None, kb -> None)
-        }
-      }
+    // dissect's linear walk AND grok's ^(.*?)_(.*)$ regex agree on the
+    // same observable: ka = text before the FIRST separator, the
+    // trailing key takes the rest; matched-but-empty captures stay "";
+    // no-match (and null) rows null every key. (The regex-vs-split
+    // equivalence needs newline-free strings — '.' excludes \n —
+    // asserted over the corpus at fixture load.)
+    case PDissect(in, ka, kb) => rows.map(splitFirst(_, in, ka, kb))
+    case PGrok(in, ka, kb) => rows.map(splitFirst(_, in, ka, kb))
     case PLookup =>
       // lookup fields OVERWRITE same-named columns; a key the index
       // lacks nulls them (left join), like ENRICH
@@ -422,7 +423,10 @@ class PipelineDifferentialSpec extends SparkSpec {
   private def neBound(e: NE, s: Schema): Long = tame(e, s)._2
   private def seGen(s: Schema, depth: Int): Gen[SE] = {
     val leafPicks = Seq(
-      1 -> Gen.oneOf("aa", "bb", "zz").map(SLit.apply: String => SE),
+      // '_'-edged literals make dissect/grok's matched-but-EMPTY
+      // capture branch reachable (r16 review: it was asserted-by-
+      // comment but never generated)
+      1 -> Gen.oneOf("aa", "bb", "zz", "_aa", "aa_").map(SLit.apply: String => SE),
       1 -> neGen(s, 0).map(SToStr.apply: NE => SE)) ++
       (if (s.strs.nonEmpty) Seq(4 -> Gen.oneOf(s.strs).map(SCol.apply: String => SE)) else Nil)
     val leaf = Gen.frequency(leafPicks: _*)
