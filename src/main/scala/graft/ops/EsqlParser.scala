@@ -781,6 +781,23 @@ object EsqlParser {
         if (!(crosses.forall(_ >= 0) || crosses.forall(_ <= 0)))
           throw ParseError("non-convex POLYGON ring — the supported scope is " +
             "convex rings (half-plane containment); split the shape or use ENVELOPE", 0)
+        // turn-sign consistency alone also passes SELF-INTERSECTING rings
+        // that wind consistently (a pentagram star: every turn shares one
+        // sign, but the half-plane test would then silently scope to the
+        // inner pentagon — r16 advice). A true convex ring additionally
+        // has EVERY vertex inside every edge's half-plane; star rings
+        // don't. Same exact cross products as pointInPoly below.
+        val allInside = ring.indices.forall { i =>
+          val (ax, ay) = ring(i)
+          val (bx, by) = ring((i + 1) % ring.length)
+          val ds = ring.map { case (px, py) =>
+            (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+          }
+          ds.forall(_ >= 0) || ds.forall(_ <= 0)
+        }
+        if (!allInside)
+          throw ParseError("self-intersecting POLYGON ring — the supported scope is " +
+            "convex rings (half-plane containment); split the shape or use ENVELOPE", 0)
         Some(ring)
       case _ => None
     }
@@ -799,8 +816,14 @@ object EsqlParser {
     * ns_geo_polygon half-plane discipline (ops/Enrich.scala:893): one
     * cross product per edge, inside = every product on one side
     * (either orientation; boundary included deterministically). A null
-    * point nulls every comparison, so the relation yields null. */
-  private def pointInPoly(p: Column, ring: Seq[(Double, Double)]): Column = {
+    * point nulls every comparison, so the relation yields null. The
+    * point side is guarded at ANALYSIS time (graftshim.RequireGeoPoint):
+    * a non-point struct reaching here — an ENVELOPE bound to an EVAL
+    * variable, say — gets the named shape-vs-shape error, not a raw
+    * no-such-struct-field failure. */
+  private def pointInPoly(p0: Column, ring: Seq[(Double, Double)]): Column = {
+    val p = graft.Cols.column(org.apache.spark.sql.graftshim.RequireGeoPoint(
+      graft.Cols.expr(p0)))
     val px = p.getField("lon")
     val py = p.getField("lat")
     val ds = ring.indices.map { i =>
@@ -1350,13 +1373,16 @@ object EsqlParser {
         val bitsTotal = 5 * pr
         val lonBits = (bitsTotal + 1) / 2
         val latBits = bitsTotal / 2
-        // quantize (clamped at the +180/+90 edge, which ES folds into
-        // the last cell), then the geohash lon-first bit interleave —
+        // quantize (clamped BOTH sides like ST_GEOTILE — the +180/+90
+        // edge folds into the last cell like ES, and a below-range
+        // coordinate folds into cell 0 instead of feeding a negative
+        // index into the interleave and minting a garbage geohash —
+        // r16 advice), then the geohash lon-first bit interleave —
         // no transcendental anywhere, bit-exact by construction
-        val ix = least(floor((lon + 180) / 360 * (1L << lonBits)).cast("long"),
-          lit((1L << lonBits) - 1))
-        val iy = least(floor((lat + 90) / 180 * (1L << latBits)).cast("long"),
-          lit((1L << latBits) - 1))
+        val ix = least(greatest(floor((lon + 180) / 360 * (1L << lonBits)).cast("long"),
+          lit(0L)), lit((1L << lonBits) - 1))
+        val iy = least(greatest(floor((lat + 90) / 180 * (1L << latBits)).cast("long"),
+          lit(0L)), lit((1L << latBits) - 1))
         val cell = (0 until bitsTotal).map { j => // j = 0 is the msb
           val weight = 1L << (bitsTotal - 1 - j)
           val bit =

@@ -2679,8 +2679,8 @@ object SearchExt {
     // corpus — lon ≤ 179, |lat| ≤ 60 — kept for term alignment)
     val tile = "concat('3/', LEAST(GREATEST(CAST(floor((px + 180) / 360 * 8) AS BIGINT), 0), 7), '/', " +
       "LEAST(GREATEST(CAST(floor((1 - ln(tan(py * pi() / 180) + 1 / cos(py * pi() / 180)) / pi()) / 2 * 8) AS BIGINT), 0), 7))"
-    val ix = "LEAST(CAST(floor((px + 180) / 360 * 32) AS BIGINT), 31)"
-    val iy = "LEAST(CAST(floor((py + 90) / 180 * 32) AS BIGINT), 31)"
+    val ix = "LEAST(GREATEST(CAST(floor((px + 180) / 360 * 32) AS BIGINT), 0), 31)"
+    val iy = "LEAST(GREATEST(CAST(floor((py + 90) / 180 * 32) AS BIGINT), 0), 31)"
     // 10-bit lon-first interleave (msb first), then two base-32 chars
     val cell = (0 until 10).map { j =>
       val weight = 1L << (9 - j)

@@ -168,6 +168,28 @@ case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
     copy(a = newLeft, b = newRight)
 }
 
+/** Analysis-time guard for the plan-time POLYGON half-plane path
+  * (the GeoEnvelopeRelate pattern): the compiler can only match a
+  * POLYGON literal syntactically, so the OTHER side may turn out to be
+  * any resolved struct — e.g. an ENVELOPE bound to an EVAL variable
+  * (r16 advice). This wrapper resolves to its child when the child is
+  * a geo_point ({lon, lat}) and otherwise raises the SAME named
+  * shape-vs-shape error the syntactic guard gives, instead of a raw
+  * no-such-struct-field failure from GetStructField. */
+case class RequireGeoPoint(child: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case s: StructType if s.fieldNames.contains("lon") && s.fieldNames.contains("lat") =>
+      child
+    case other => sys.error("shape-vs-shape relations are not supported — one side " +
+      s"must be a geo_point (got ${other.simpleString})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ES|QL's spatial coordinate accessors ST_XMIN/ST_XMAX/ST_YMIN/
   * ST_YMAX (8.18) — TYPE-DIRECTED at analysis time (the
   * GeoEnvelopeRelate pattern): over an ENVELOPE geo_shape the accessor

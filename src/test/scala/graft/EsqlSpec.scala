@@ -1051,4 +1051,46 @@ class EsqlSpec extends SparkSpec {
       _ => df, session = Some(spark)))
     assert(pe.msg.contains("[1, 6]"))
   }
+
+  test("r17 advice pins: star ring rejected, geohash low clamp, EVAL-bound shape error") {
+    // a consistently-winding PENTAGRAM passes the turn-sign gate but is
+    // self-intersecting — the half-plane test would silently scope to
+    // the inner pentagon; must be the NAMED error (r16 advice #1)
+    val star = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """ROW a = 1 | EVAL bad = ST_WITHIN(TO_GEOPOINT("POINT (0 0)"),
+        |  TO_GEOSHAPE("POLYGON ((0 10, -6 -8, 10 3, -10 3, 6 -8, 0 10))"))""".stripMargin,
+      _ => df, session = Some(spark)))
+    assert(star.msg.contains("self-intersecting"), s"got: ${star.msg}")
+    // ST_GEOHASH clamps BOTH sides like ST_GEOTILE: a below-range point
+    // folds into cell 0, the same cell as the exact corner — not a
+    // negative index minting a garbage string (r16 advice #2)
+    val gh = EsqlParser.run(
+      """ROW a = 1 | EVAL lo = ST_GEOHASH(TO_GEOPOINT("POINT (-200 -100)"), 2),
+        |  corner = ST_GEOHASH(TO_GEOPOINT("POINT (-180 -90)"), 2),
+        |  tl = ST_GEOTILE(TO_GEOPOINT("POINT (-200 -100)"), 3)
+        || KEEP lo, corner, tl""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(gh.getString(0) == "00" && gh.getString(1) == "00",
+      s"below-range must clamp to the corner cell (got ${gh.getString(0)}/${gh.getString(1)})")
+    // (tan wraps past the pole, so the unclamped y lands low; the pin
+    // is that BOTH coordinates stay in [0, 2^z−1], not the exact cell)
+    assert(gh.getString(2) == "3/0/0", "geotile low clamp unchanged")
+    // an ENVELOPE bound to an EVAL variable then related to a polygon
+    // literal bypasses the syntactic shape guard — the analysis-time
+    // RequireGeoPoint guard must still give the NAMED shape-vs-shape
+    // error, not a raw no-such-struct-field crash (r16 advice #3)
+    val svs = intercept[Throwable](EsqlParser.run(
+      """ROW a = 1 | EVAL e = TO_GEOSHAPE("ENVELOPE (0, 10, 5, -5)")
+        || EVAL r = ST_INTERSECTS(TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"), e)
+        || KEEP r""".stripMargin,
+      _ => df, session = Some(spark)).collect())
+    assert(svs.getMessage.contains("shape-vs-shape"), s"got: ${svs.getMessage}")
+    // and a point bound via EVAL still relates fine through the guard
+    val ok = EsqlParser.run(
+      """ROW a = 1 | EVAL p = TO_GEOPOINT("POINT (0 0)")
+        || EVAL r = ST_INTERSECTS(TO_GEOSHAPE("POLYGON ((-10 -10, 10 -10, 0 10, -10 -10))"), p)
+        || KEEP r""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(ok.getBoolean(0))
+  }
 }
