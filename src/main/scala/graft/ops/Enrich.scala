@@ -742,62 +742,134 @@ object Enrich {
     * pins the spec's published test vectors AND cross-checks the column
     * against an independent JVM MessageDigest implementation row-by-row
     * on the synthesized flows. */
+  /** IPv6 text address → 32-char uppercase hex of the 16 bytes
+    * (RFC-4291 hex groups, with at most one `::` zero-compression).
+    * Pure codegen array/string functions — map-only, no UDF. Embedded
+    * dotted-quad tails (`::ffff:1.2.3.4`) and any other malformation
+    * yield NULL (the group regex gate), which nulls the whole id
+    * downstream rather than minting a nonconforming hash. Fixed-width
+    * uppercase hex also gives the spec's byte-tuple CANONICAL ordering
+    * as plain string comparison. */
+  private[graft] def ip6hex(ip: Column): Column = {
+    val norm = lower(ip)
+    def gs(c: Column): Column = filter(split(c, ":"), g => g =!= lit(""))
+    def hexOf(groups: Column): Column =
+      upper(array_join(transform(groups, g => lpad(g, 4, "0")), ""))
+    def valid(groups: Column): Column =
+      forall(groups, g => g.rlike("^[0-9a-f]{1,4}$"))
+    val parts = split(norm, "::", -1)
+    val lhs = gs(element_at(parts, 1))
+    val rhs = gs(try_element_at(parts, lit(2)))
+    val zeros = substring(lit("0" * 32), lit(1), lit(32) - (size(lhs) + size(rhs)) * 4)
+    when(size(parts) === 2 && size(lhs) + size(rhs) <= lit(7)
+        && valid(lhs) && valid(rhs),
+      concat(hexOf(lhs), zeros, hexOf(rhs)))
+      .when(size(parts) === 1 && size(lhs) === 8 && valid(lhs), hexOf(lhs))
+  }
+
   private[graft] def communityId(srcIp: Column, dstIp: Column,
       srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0,
       icmpType: Column = lit(null), icmpCode: Column = lit(null)): Column = {
     // Supported protocols: the port-carrying ones (tcp/udp/sctp) plus
-    // ICMPv4. ICMP hashes type/code as PSEUDO-ports (spec §ICMP): a
-    // type with a known reply type is TWO-WAY — the pseudo-port pair is
-    // (type, reply[type]) and the normal canonical ordering applies, so
-    // an echo request and its reply correlate to ONE id; a type without
-    // a reply mapping is ONE-WAY — (type, code), endpoint order KEPT as
-    // given. An icmp row whose type/code columns are absent (the old
-    // 5-tuple record) yields NULL rather than a nonconforming id (the
-    // processor's ignore_missing stance); CommunityIdSpec pins both the
-    // spec-derived vectors and the null contract.
+    // ICMPv4 and ICMPv6, over EITHER address family (v4 dotted-quad or
+    // v6 hex groups — detected per row by ':', encoded to fixed-width
+    // hex so one concat→unhex→sha1 pass serves both). ICMP hashes
+    // type/code as PSEUDO-ports (spec §ICMP): a type with a known reply
+    // type is TWO-WAY — the pseudo-port pair is (type, reply[type]) and
+    // the normal canonical ordering applies, so an echo request and its
+    // reply correlate to ONE id; a type without a reply mapping is
+    // ONE-WAY — (type, code), endpoint order KEPT as given. ICMPv6 uses
+    // the spec's OWN v6 type map under proto 58. An icmp row whose
+    // type/code columns are absent (the old 5-tuple record) yields NULL
+    // rather than a nonconforming id (the processor's ignore_missing
+    // stance), as does a MIXED-family pair (the spec hashes same-family
+    // byte tuples) or a proto/family mismatch; CommunityIdSpec pins the
+    // spec-derived vectors (v4 + v6) and the null contracts.
     val protoNum = when(proto === "tcp", 6L).when(proto === "udp", 17L)
       .when(proto === "sctp", 132L).when(proto === "icmp", 1L)
-    val su = ip4u32(srcIp)
-    val du = ip4u32(dstIp)
+      .when(proto === "ipv6-icmp", 58L)
+    val srcV6 = srcIp.contains(":")
+    val dstV6 = dstIp.contains(":")
+    def hex32(c: Column) = lpad(hex(c), 8, "0")
+    def hex16(c: Column) = lpad(hex(c), 4, "0")
+    val sHex = when(srcV6, ip6hex(srcIp)).otherwise(hex32(ip4u32(srcIp)))
+    val dHex = when(dstV6, ip6hex(dstIp)).otherwise(hex32(ip4u32(dstIp)))
     val isIcmp = proto === "icmp"
+    val isIcmp6 = proto === "ipv6-icmp"
     // ICMPv4 request→reply type mapping (spec §ICMP, v1)
-    val reply = when(icmpType === 8, 0L).when(icmpType === 0, 8L)
+    val reply4 = when(icmpType === 8, 0L).when(icmpType === 0, 8L)
       .when(icmpType === 13, 14L).when(icmpType === 14, 13L)
       .when(icmpType === 15, 16L).when(icmpType === 16, 15L)
       .when(icmpType === 10, 9L).when(icmpType === 9, 10L)
       .when(icmpType === 17, 18L).when(icmpType === 18, 17L)
-    val sPort = when(isIcmp, icmpType.cast("long")).otherwise(srcPort.cast("long"))
-    val dPort = when(isIcmp, coalesce(reply, icmpCode.cast("long")))
+    // ICMPv6 request→reply type mapping (spec §ICMP, v1): echo 128/129,
+    // MLD query/report 130/131, router sol/adv 133/134, neighbor
+    // sol/adv 135/136, node-info 139/140, home-agent 144/145
+    val reply6 = when(icmpType === 128, 129L).when(icmpType === 129, 128L)
+      .when(icmpType === 130, 131L).when(icmpType === 131, 130L)
+      .when(icmpType === 133, 134L).when(icmpType === 134, 133L)
+      .when(icmpType === 135, 136L).when(icmpType === 136, 135L)
+      .when(icmpType === 139, 140L).when(icmpType === 140, 139L)
+      .when(icmpType === 144, 145L).when(icmpType === 145, 144L)
+    val icmpish = isIcmp || isIcmp6
+    val reply = when(isIcmp, reply4).when(isIcmp6, reply6)
+    val sPort = when(icmpish, icmpType.cast("long")).otherwise(srcPort.cast("long"))
+    val dPort = when(icmpish, coalesce(reply, icmpCode.cast("long")))
       .otherwise(dstPort.cast("long"))
-    val oneWay = isIcmp && reply.isNull
-    // canonical order: compare ips first, (pseudo-)ports break ties;
-    // one-way flows keep the order they arrived in
-    val flip = !oneWay && (su > du || (su === du && sPort > dPort))
-    val aIp = when(flip, du).otherwise(su)
-    val bIp = when(flip, su).otherwise(du)
+    val oneWay = icmpish && reply.isNull
+    // canonical order: compare ips first (fixed-width uppercase hex IS
+    // byte order within a family), (pseudo-)ports break ties; one-way
+    // flows keep the order they arrived in
+    val flip = !oneWay && (sHex > dHex || (sHex === dHex && sPort > dPort))
+    val aIp = when(flip, dHex).otherwise(sHex)
+    val bIp = when(flip, sHex).otherwise(dHex)
     val aPort = when(flip, dPort).otherwise(sPort)
     val bPort = when(flip, sPort).otherwise(dPort)
-    def hex32(c: Column) = lpad(hex(c), 8, "0")
-    def hex16(c: Column) = lpad(hex(c), 4, "0")
     // the spec defines seed as a 2-byte big-endian value — reject
     // anything else up front so hex() can never widen past 4 chars
     // (a negative would emit 16) and malform the payload length
     require(seed >= 0 && seed <= 0xFFFF, s"community_id seed must be uint16, got $seed")
     val payload = concat(
-      hex16(lit(seed.toLong)), hex32(aIp), hex32(bIp),
+      hex16(lit(seed.toLong)), aIp, bIp,
       lpad(hex(protoNum), 2, "0"), lit("00"), hex16(aPort), hex16(bPort))
-    concat(lit("1:"), base64(unhex(sha1(unhex(payload)))))
+    // same-family only, and the icmp generation must match the family
+    // (proto 1 over v6 bytes or 58 over v4 would be a nonconforming id)
+    val famOk = (srcV6 === dstV6) &&
+      !(isIcmp && srcV6) && !(isIcmp6 && !srcV6)
+    when(famOk, concat(lit("1:"), base64(unhex(sha1(unhex(payload))))))
   }
 
   val communityIdOp = QueryDef(
     "np_community_id",
-    (s, dir) => Par.spread(s, Synth.flowLog(s, dir), col("event_id"))
-      .select(col("event_id"), col("src_ip"), col("dst_ip"),
+    (s, dir) => {
+      // a deterministic slice of the flow log re-addresses to IPv6 (the
+      // v4 u32 split into two hex groups under 2001:db8::/96) with the
+      // icmp rows promoted to ipv6-icmp and their types remapped onto
+      // the v6 space (8→128 echo, 0→129 reply, 13→135 solicit, 14→136
+      // advert; 3/11 stay one-way) — so the DECLARED key exercises the
+      // v6 encoding, the v6 type map, and both v6 ordering branches,
+      // and CommunityIdSpec's row-by-row JVM cross-check covers them
+      val base = Par.spread(s, Synth.flowLog(s, dir), col("event_id"))
+      val v6 = col("event_id") % 13 === 0
+      def as6(ip: Column): Column = concat(lit("2001:db8::"),
+        lower(hex(shiftright(ip4u32(ip), 16))), lit(":"),
+        lower(hex(ip4u32(ip) % 65536)))
+      val df = base
+        .withColumn("src_ip", when(v6, as6(col("src_ip"))).otherwise(col("src_ip")))
+        .withColumn("dst_ip", when(v6, as6(col("dst_ip"))).otherwise(col("dst_ip")))
+        .withColumn("proto",
+          when(v6 && col("proto") === "icmp", "ipv6-icmp").otherwise(col("proto")))
+        .withColumn("icmp_type", when(v6,
+          when(col("icmp_type") === 8, 128).when(col("icmp_type") === 0, 129)
+            .when(col("icmp_type") === 13, 135).when(col("icmp_type") === 14, 136)
+            .otherwise(col("icmp_type"))).otherwise(col("icmp_type")))
+      df.select(col("event_id"), col("src_ip"), col("dst_ip"),
         col("src_port"), col("dst_port"), col("proto"),
         col("icmp_type"), col("icmp_code"),
         communityId(col("src_ip"), col("dst_ip"),
           col("src_port"), col("dst_port"), col("proto"),
-          icmpType = col("icmp_type"), icmpCode = col("icmp_code")).as("community_id")),
+          icmpType = col("icmp_type"), icmpCode = col("icmp_code")).as("community_id"))
+    },
     None) // sha1 is not expressible in DuckDB — CommunityIdSpec is the gate
 
   /** The `network_direction` processor: classify each flow against the

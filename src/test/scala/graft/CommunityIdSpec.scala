@@ -22,13 +22,25 @@ class CommunityIdSpec extends SparkSpec {
   private val icmpReply = Map(8 -> 0, 0 -> 8, 13 -> 14, 14 -> 13,
     15 -> 16, 16 -> 15, 10 -> 9, 9 -> 10, 17 -> 18, 18 -> 17)
 
-  /** Independent reference: the spec's algorithm, byte-level. For icmp,
+  /** ICMPv6 request→reply type mapping (spec §ICMP, v1): echo 128/129,
+    * MLD 130/131, router sol/adv 133/134, neighbor sol/adv 135/136,
+    * node-info 139/140, home-agent 144/145. */
+  private val icmp6Reply = Map(128 -> 129, 129 -> 128, 130 -> 131,
+    131 -> 130, 133 -> 134, 134 -> 133, 135 -> 136, 136 -> 135,
+    139 -> 140, 140 -> 139, 144 -> 145, 145 -> 144)
+
+  /** Independent reference: the spec's algorithm, byte-level, BOTH
+    * address families (v6 parsed by the JDK — independent of the
+    * engine's own hex-group string machinery). For icmp/ipv6-icmp,
     * srcPort/dstPort carry type/code (the spec's pseudo-ports). */
   private def refCommunityId(srcIp: String, dstIp: String,
       srcPort: Int, dstPort: Int, proto: String, seed: Int = 0): String = {
-    def ipBytes(ip: String): Array[Byte] = ip.split("\\.").map(_.toInt.toByte)
+    def ipBytes(ip: String): Array[Byte] =
+      if (ip.contains(":")) java.net.InetAddress.getByName(ip).getAddress
+      else ip.split("\\.").map(_.toInt.toByte)
     val protoNum: Byte = proto match {
-      case "tcp" => 6; case "udp" => 17; case "icmp" => 1; case _ => -1
+      case "tcp" => 6; case "udp" => 17; case "sctp" => 132.toByte
+      case "icmp" => 1; case "ipv6-icmp" => 58; case _ => -1
     }
     // icmp: a mapped type is two-way with pseudo-ports (type, reply);
     // an unmapped type is one-way with (type, code), order kept
@@ -36,16 +48,23 @@ class CommunityIdSpec extends SparkSpec {
       if (proto == "icmp") icmpReply.get(srcPort) match {
         case Some(r) => (srcPort, r, false)
         case None => (srcPort, dstPort, true)
+      } else if (proto == "ipv6-icmp") icmp6Reply.get(srcPort) match {
+        case Some(r) => (srcPort, r, false)
+        case None => (srcPort, dstPort, true)
       } else (srcPort, dstPort, false)
-    def u32(b: Array[Byte]): Long =
-      b.foldLeft(0L)((a, x) => a * 256L + (x & 0xff))
-    val flip = !oneWay && (u32(ipBytes(srcIp)) > u32(ipBytes(dstIp)) ||
-      (u32(ipBytes(srcIp)) == u32(ipBytes(dstIp)) && sp > dp))
+    // canonical order: unsigned byte-tuple comparison (the spec), any width
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+      a.zip(b).collectFirst {
+        case (x, y) if x != y => java.lang.Integer.compare(x & 0xff, y & 0xff)
+      }.getOrElse(0)
+    val (sb, db) = (ipBytes(srcIp), ipBytes(dstIp))
+    val c = cmpBytes(sb, db)
+    val flip = !oneWay && (c > 0 || (c == 0 && sp > dp))
     val (aIp, bIp, aPort, bPort) =
-      if (flip) (dstIp, srcIp, dp, sp) else (srcIp, dstIp, sp, dp)
-    val buf = java.nio.ByteBuffer.allocate(2 + 4 + 4 + 1 + 1 + 2 + 2)
+      if (flip) (db, sb, dp, sp) else (sb, db, sp, dp)
+    val buf = java.nio.ByteBuffer.allocate(2 + aIp.length + bIp.length + 1 + 1 + 2 + 2)
     buf.putShort(seed.toShort)
-    buf.put(ipBytes(aIp)); buf.put(ipBytes(bIp))
+    buf.put(aIp); buf.put(bIp)
     buf.put(protoNum); buf.put(0.toByte)
     buf.putShort((aPort & 0xffff).toShort); buf.putShort((bPort & 0xffff).toShort)
     val digest = java.security.MessageDigest.getInstance("SHA-1").digest(buf.array())
@@ -83,6 +102,78 @@ class CommunityIdSpec extends SparkSpec {
       == "1:sn6MAmXQ6UD1gYE1XbV3XTNewrk=")
   }
 
+  test("icmpv6 + ipv6 spec vectors: v6 type map, byte-tuple order, family guards") {
+    // vectors generated by an independent Python implementation
+    // (inet_pton + hashlib) anchored to the published tcp baseline; the
+    // neighbor-solicit id matches pycommunityid's published v6 vector
+    assert(refCommunityId("fe80::200:86ff:fe05:80da",
+      "fe80::260:97ff:fe07:69ea", 135, 0, "ipv6-icmp")
+      == "1:dGHyGvjMfljg6Bppwm3bg0LO8TY=")
+    assert(refCommunityId("fe80::260:97ff:fe07:69ea",
+      "fe80::200:86ff:fe05:80da", 136, 0, "ipv6-icmp")
+      == "1:dGHyGvjMfljg6Bppwm3bg0LO8TY=",
+      "neighbor advert must correlate to the solicit's id")
+    assert(refCommunityId("2001:db8::1", "2001:db8::2", 128, 0, "ipv6-icmp")
+      == "1:u2vMS3HiWth2lIMKHB1fjELshpQ=")
+    assert(refCommunityId("2001:db8::2", "2001:db8::1", 129, 0, "ipv6-icmp")
+      == "1:u2vMS3HiWth2lIMKHB1fjELshpQ=", "v6 echo reply correlates")
+    // one-way v6 type (1 destination-unreachable): order kept
+    assert(refCommunityId("2001:db8::1", "2001:db8::2", 1, 4, "ipv6-icmp")
+      == "1:bxlcj5MwLJ0Mq/msovtKJa8pGZ4=")
+    assert(refCommunityId("2001:db8::2", "2001:db8::1", 1, 4, "ipv6-icmp")
+      == "1:qxd1LeYGiZWewhdgFCEH4g39f1w=")
+    // tcp over v6: direction symmetry through byte-tuple ordering
+    assert(refCommunityId("2001:470:e5bf:dead:4957:2174:e82c:4887",
+      "2607:f8b0:400c:c03::1a", 10046, 25, "tcp")
+      == "1:Colfs5LYIHEswKj/9blhN4Az1M8=")
+    assert(refCommunityId("2607:f8b0:400c:c03::1a",
+      "2001:470:e5bf:dead:4957:2174:e82c:4887", 25, 10046, "tcp")
+      == "1:Colfs5LYIHEswKj/9blhN4Az1M8=")
+
+    // and the ENGINE reproduces every one of them, including the
+    // zero-compression == expanded-form identity and the null guards
+    import spark.implicits._
+    def engine(rows: Seq[(String, String, Integer, Integer, String, Integer, Integer)]):
+        Seq[Option[String]] =
+      rows.toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto",
+        "icmp_type", "icmp_code")
+        .select(graft.ops.Enrich.communityId(
+          col("src_ip"), col("dst_ip"), col("src_port"), col("dst_port"),
+          col("proto"), icmpType = col("icmp_type"),
+          icmpCode = col("icmp_code")).as("id"))
+        .collect().toSeq.map(r => Option(r.getString(0)))
+    val got = engine(Seq(
+      ("fe80::200:86ff:fe05:80da", "fe80::260:97ff:fe07:69ea", null, null, "ipv6-icmp", 135, 0),
+      ("fe80::260:97ff:fe07:69ea", "fe80::200:86ff:fe05:80da", null, null, "ipv6-icmp", 136, 0),
+      ("2001:db8::1", "2001:db8::2", null, null, "ipv6-icmp", 128, 0),
+      ("2001:db8::1", "2001:db8::2", null, null, "ipv6-icmp", 1, 4),
+      ("2001:db8::2", "2001:db8::1", null, null, "ipv6-icmp", 1, 4),
+      ("2001:470:e5bf:dead:4957:2174:e82c:4887", "2607:f8b0:400c:c03::1a", 10046, 25, "tcp", null, null),
+      // zero-compression and fully-expanded forms hash identically
+      ("fe80::1", "fe80:0:0:0:0:0:0:2", 5353, 5353, "udp", null, null),
+      ("fe80:0:0:0:0:0:0:1", "fe80::2", 5353, 5353, "udp", null, null),
+      // guards: mixed family, proto/family mismatch (both directions),
+      // v6 icmp without type, malformed v6
+      ("2001:db8::1", "5.6.7.8", 1, 2, "tcp", null, null),
+      ("2001:db8::1", "2001:db8::2", null, null, "icmp", 8, 0),
+      ("1.2.3.4", "5.6.7.8", null, null, "ipv6-icmp", 128, 0),
+      ("2001:db8::1", "2001:db8::2", null, null, "ipv6-icmp", null, null),
+      ("2001:db8::zz", "2001:db8::2", 1, 2, "tcp", null, null),
+      ("1::2::3", "2001:db8::2", 1, 2, "tcp", null, null)))
+    assert(got(0).contains("1:dGHyGvjMfljg6Bppwm3bg0LO8TY="))
+    assert(got(1).contains("1:dGHyGvjMfljg6Bppwm3bg0LO8TY="))
+    assert(got(2).contains("1:u2vMS3HiWth2lIMKHB1fjELshpQ="))
+    assert(got(3).contains("1:bxlcj5MwLJ0Mq/msovtKJa8pGZ4="))
+    assert(got(4).contains("1:qxd1LeYGiZWewhdgFCEH4g39f1w="))
+    assert(got(5).contains("1:Colfs5LYIHEswKj/9blhN4Az1M8="))
+    assert(got(6) == got(7) && got(6).contains(
+      refCommunityId("fe80::1", "fe80::2", 5353, 5353, "udp")),
+      "zero-compression and expanded v6 forms must hash identically")
+    (8 to 13).foreach { i =>
+      assert(got(i).isEmpty, s"row $i must null (family/shape guard), got ${got(i)}")
+    }
+  }
+
   test("Spark engine reproduces the icmp vectors; missing type/code yields null") {
     import spark.implicits._
     def engine(rows: Seq[(String, String, Integer, Integer)]): Seq[Option[String]] =
@@ -118,7 +209,7 @@ class CommunityIdSpec extends SparkSpec {
     got.foreach { r =>
       val proto = r.getString(4)
       val want =
-        if (proto == "icmp") { icmpRows += 1
+        if (proto == "icmp" || proto == "ipv6-icmp") { icmpRows += 1
           refCommunityId(r.getString(0), r.getString(1), r.getInt(5), r.getInt(6), proto)
         } else refCommunityId(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), proto)
       assert(r.getString(7) == want,
@@ -127,7 +218,9 @@ class CommunityIdSpec extends SparkSpec {
     assert(icmpRows > 0, "flow fixture must carry icmp rows")
     // the synthesized flows must exercise BOTH canonical orderings
     // (flipped and unflipped), or the ordering logic is dead
-    val tcpish = got.filter(_.getString(4) != "icmp")
+    val tcpish = got.filter(r =>
+      r.getString(4) != "icmp" && r.getString(4) != "ipv6-icmp"
+        && !r.getString(0).contains(":"))
     val flips = tcpish.count { r =>
       val su = r.getString(0).split("\\.").map(_.toLong).reduceLeft(_ * 256 + _)
       val du = r.getString(1).split("\\.").map(_.toLong).reduceLeft(_ * 256 + _)
@@ -139,5 +232,16 @@ class CommunityIdSpec extends SparkSpec {
     val icmpTypes = got.filter(_.getString(4) == "icmp").map(_.getInt(5)).toSet
     assert(icmpTypes.exists(icmpReply.contains) && icmpTypes.exists(!icmpReply.contains(_)),
       s"icmp fixture must carry both mapped and one-way types (got $icmpTypes)")
+    // the v6 slice must be present and exercise BOTH v6 icmp branches
+    // plus v6 tcp/udp (the byte-tuple ordering over 16-byte addresses)
+    val v6Rows = got.filter(_.getString(0).contains(":"))
+    assert(v6Rows.nonEmpty, "fixture must carry the re-addressed v6 slice")
+    val icmp6Types = v6Rows.filter(_.getString(4) == "ipv6-icmp").map(_.getInt(5)).toSet
+    assert(icmp6Types.exists(icmp6Reply.contains) && icmp6Types.exists(!icmp6Reply.contains(_)),
+      s"v6 slice must carry both mapped and one-way icmpv6 types (got $icmp6Types)")
+    assert(v6Rows.exists(r => r.getString(4) == "tcp" || r.getString(4) == "udp"),
+      "v6 slice must carry port-carrying protocols too")
+    assert(v6Rows.forall(_.getString(7) != null),
+      "every v6 row must produce an id (the family guards must not misfire)")
   }
 }
