@@ -1822,9 +1822,19 @@ object EsqlParser {
             lit(graft.BuildInfo.hash).as("hash"))
       case _ => throw ParseError("query must start with FROM, TS, ROW or SHOW", 0)
     }
-    val tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])
-    cmds.tail.foldLeft(df0)((df, cmd) =>
-      applyCmd(df, cmd, resolve, policies, tsMode, completions))
+    // TS mode applies to the FIRST STATS only — it collapses the time
+    // series, so any later STATS in the same pipeline is an ordinary
+    // aggregation over the already-aggregated frame (ES's contract; a
+    // second over-time function would now correctly fail as an
+    // unsupported aggregate). Found by the r17 pipeline fuzzer: the
+    // pipeline-global flag made `TS … | STATS … | STATS …` demand
+    // _tsid of a frame that no longer has one.
+    var tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])
+    cmds.tail.foldLeft(df0) { (df, cmd) =>
+      val out = applyCmd(df, cmd, resolve, policies, tsMode, completions)
+      if (tsMode && cmd.isInstanceOf[Stats]) tsMode = false
+      out
+    }
   }
 
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,

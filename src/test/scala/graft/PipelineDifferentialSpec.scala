@@ -39,6 +39,26 @@ class PipelineDifferentialSpec extends SparkSpec {
     df.cache(); df.count() // one read; 500 rows at sf0.001
     df
   }
+  /** The same corpus WITH the text column — the r17 command-compiler
+    * sweep resolves `documents` to this frame; every program drops
+    * `text` again right after its full-text head so the generic
+    * machinery (whose SORT+LIMIT total-order invariant rides the
+    * schema pools) never sees an untracked free column. */
+  private lazy val srcDfText = {
+    val df = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars", "lang", "source", "text")
+    df.cache(); df.count()
+    df
+  }
+  /** TS source: the TSDB mapping contract — `_tsid` is the series
+    * identity (lang), `_ts_ms` strictly increasing within any series
+    * (doc_id is globally unique, so any partition of it is strict). */
+  private lazy val tsDf = {
+    val df = srcDf.withColumn("_tsid", org.apache.spark.sql.functions.col("lang"))
+      .withColumn("_ts_ms", org.apache.spark.sql.functions.col("doc_id"))
+    df.cache(); df.count()
+    df
+  }
   private type Row = Map[String, Option[Any]]
   private lazy val corpus: Seq[Row] = {
     val rows = srcDf.collect().map(r => Map[String, Option[Any]](
@@ -52,6 +72,15 @@ class PipelineDifferentialSpec extends SparkSpec {
       "corpus strings must stay newline-free for the grok oracle")
     rows
   }
+  private lazy val corpusT: Seq[Row] = {
+    val byId = srcDfText.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.map(r => r + ("text" ->
+      (Some(byId(r("doc_id").get.asInstanceOf[Long])): Option[Any])))
+  }
+  private lazy val tsCorpus: Seq[Row] =
+    corpus.map(r => r +
+      ("_tsid" -> r("lang")) + ("_ts_ms" -> r("doc_id")))
 
   // a small keyword ENRICH policy over the corpus langs plus two
   // literal keys the string generator can produce — unmatched keys
@@ -90,6 +119,7 @@ class PipelineDifferentialSpec extends SparkSpec {
   private case class SConcat(l: SE, r: SE) extends SE // CONCAT(l, "_", r)
   private case class SToStr(e: NE) extends SE
   private case class SCase(c: BE, v: SE) extends SE // CASE(c, v): false/null → null
+  private case class SCategorize(e: SE) extends SE // digit runs collapse to `?`
   private sealed trait BE
   private case class BCmpN(op: String, l: NE, r: NE) extends BE
   private case class BCmpS(eq: Boolean, l: SE, r: SE) extends BE
@@ -110,6 +140,7 @@ class PipelineDifferentialSpec extends SparkSpec {
     case SConcat(l, r) => s"""CONCAT(${seText(l)}, "_", ${seText(r)})"""
     case SToStr(n) => s"TO_STRING(${neText(n)})"
     case SCase(c, v) => s"CASE(${beText(c)}, ${seText(v)})"
+    case SCategorize(x) => s"CATEGORIZE(${seText(x)})"
   }
   private def beText(e: BE): String = e match {
     case BCmpN(op, l, r) => s"(${neText(l)} $op ${neText(r)})"
@@ -144,6 +175,7 @@ class PipelineDifferentialSpec extends SparkSpec {
       for { a <- evalS(l, row); b <- evalS(r, row) } yield s"${a}_$b"
     case SToStr(n) => evalN(n, row).map(_.toString)
     case SCase(c, v) => if (evalB(c, row).contains(true)) evalS(v, row) else None
+    case SCategorize(x) => evalS(x, row).map(_.replaceAll("[0-9]+", "?"))
   }
   private def evalB(e: BE, row: Row): Option[Boolean] = e match {
     case BCmpN(op, l, r) =>
@@ -194,6 +226,111 @@ class PipelineDifferentialSpec extends SparkSpec {
   private case class PKeep(cols: Seq[String]) extends PCmd
   private case class PDrop(c: String) extends PCmd
   private case class PRename(from: String, to: String) extends PCmd
+  // ------- r17: the previously-unfuzzed command compilers (FORK, FUSE,
+  // TS-mode STATS, CHANGE_POINT, SAMPLE, CATEGORIZE-as-BY, full-text
+  // WHERE) — each modeled from the dialect's documented contract
+  /** FORK: each branch transforms the SAME incoming frame; results
+    * union by name with missing columns nulled + a `_fork` tag.
+    * `branchCols` records each branch's OUTPUT schema so the union's
+    * column set is right even for a branch whose WHERE kept 0 rows. */
+  private case class PForkU(branches: Seq[Seq[PCmd]], branchCols: Seq[Seq[String]]) extends PCmd
+  /** FUSE ON id RANK col: per-branch rank from the RANK column (desc
+    * nulls-last, id ties asc), fused score Σ round(1e6/(60+rank)). */
+  private case class PFuse(id: String, rank: String) extends PCmd
+  /** One TS-mode aggregate: outer ∘ inner(col); `plain` renders the
+    * rewritten sugar form (COUNT(*)/SUM(c)/MIN/MAX). */
+  private case class TsA(name: String, outer: String, inner: String,
+      c: Option[String], plain: Boolean)
+  private case class PTsStats(aggs: Seq[TsA], by: Seq[String]) extends PCmd
+  /** CHANGE_POINT v ON doc_id AS tn, pn (doc_id unique → deterministic
+    * key order). */
+  private case class PChangePoint(v: String, tn: String, pn: String) extends PCmd
+  private case class PSample(p: BigDecimal, on: String, onStr: Boolean) extends PCmd
+  /** Full-text WHERE: lang 0 = QSTR, 1 = KQL, 2 = MATCH, over `field`
+    * as the text field. */
+  private case class PFtWhere(lang: Int, field: String, node: FTN) extends PCmd
+
+  // full-text mini-AST (the generated subset of each box language)
+  private sealed trait FTN
+  private case class FtTerm(f: Option[String], w: String) extends FTN
+  private case class FtPrefix(f: Option[String], p: String) extends FTN
+  private case class FtPhrase(f: Option[String], ws: Seq[String]) extends FTN
+  private case class FtWild(f: Option[String], v: String) extends FTN // KQL only
+  private case class FtRange(f: String, op: String, v: Long) extends FTN // KQL only
+  private case class FtMatchTerms(ws: Seq[String]) extends FTN // MATCH only
+  private case class FtAnd(l: FTN, r: FTN) extends FTN
+  private case class FtOr(l: FTN, r: FTN) extends FTN
+  private case class FtNot(x: FTN) extends FTN
+
+  private def renderFt(lang: Int, n: FTN): String = {
+    def fld(f: Option[String]) = f.map(_ + ":").getOrElse("")
+    n match {
+      case FtTerm(f, w) => fld(f) + w
+      case FtPrefix(f, p) => fld(f) + p + "*"
+      case FtPhrase(f, ws) => fld(f) + "\"" + ws.mkString(" ") + "\""
+      case FtWild(f, v) => fld(f) + v
+      case FtRange(f, op, v) => s"$f $op $v"
+      case FtMatchTerms(ws) => ws.mkString(" ")
+      case FtAnd(l, r) =>
+        val op = if (lang == 1) "and" else "AND"
+        s"(${renderFt(lang, l)} $op ${renderFt(lang, r)})"
+      case FtOr(l, r) =>
+        val op = if (lang == 1) "or" else "OR"
+        s"(${renderFt(lang, l)} $op ${renderFt(lang, r)})"
+      case FtNot(x) =>
+        val op = if (lang == 1) "not" else "NOT"
+        s"($op ${renderFt(lang, x)})"
+    }
+  }
+
+  /** Kleene evaluation of a full-text node over a Row, mirroring the
+    * engine compilers' Column logic (QueryStringParser.compile /
+    * KqlParser.compile / the MATCH arrays_overlap): a null text field
+    * or a null fielded column nulls its leaf. */
+  private def evalFt(n: FTN, field: String, row: Row): Option[Boolean] = {
+    def text: Option[String] = row(field).map(_.asInstanceOf[String])
+    def toks: Option[Seq[String]] = text.map(_.trim.split(" ", -1).toSeq)
+    def padded: Option[String] = text.map(t => " " + t.trim + " ")
+    def kw(f: String): Option[String] = row(f).map(_.asInstanceOf[String])
+    def wildcardMatch(pattern: String, v: String): Boolean = {
+      val rx = pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      v.matches(rx)
+    }
+    def kleene(and: Boolean, a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      if (and) (a, b) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      } else (a, b) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    n match {
+      case FtTerm(None, w) => toks.map(_.contains(w))
+      case FtTerm(Some(f), w) => kw(f).map(_ == w)
+      case FtPrefix(None, p) => toks.map(_.exists(_.startsWith(p)))
+      case FtPrefix(Some(f), p) => kw(f).map(_.startsWith(p))
+      case FtPhrase(None, ws) => padded.map(_.contains(" " + ws.mkString(" ") + " "))
+      case FtPhrase(Some(f), ws) => kw(f).map(_ == ws.mkString(" "))
+      case FtWild(None, v) =>
+        if (v.contains("*")) toks.map(_.exists(wildcardMatch(v, _)))
+        else toks.map(_.contains(v))
+      case FtWild(Some(f), v) =>
+        if (v.contains("*")) kw(f).map(wildcardMatch(v, _))
+        else kw(f).map(_ == v)
+      case FtRange(f, op, v) => row(f).map(_.asInstanceOf[Long]).map { x =>
+        op match {
+          case ">" => x > v; case ">=" => x >= v
+          case "<" => x < v; case "<=" => x <= v
+        }
+      }
+      case FtMatchTerms(ws) => toks.map(_.exists(ws.contains))
+      case FtAnd(l, r) => kleene(and = true, evalFt(l, field, row), evalFt(r, field, row))
+      case FtOr(l, r) => kleene(and = false, evalFt(l, field, row), evalFt(r, field, row))
+      case FtNot(x) => evalFt(x, field, row).map(!_)
+    }
+  }
 
   private def aggText(a: PAgg): String = a match {
     case PCount => "COUNT(*)"
@@ -238,6 +375,30 @@ class PipelineDifferentialSpec extends SparkSpec {
     case PKeep(cols) => s"| KEEP ${cols.mkString(", ")}"
     case PDrop(c) => s"| DROP $c"
     case PRename(from, to) => s"| RENAME $from AS $to"
+    case PForkU(branches, _) =>
+      "| FORK " + branches.map(bs =>
+        "(" + bs.map(c => cmdText(c).stripPrefix("| ")).mkString(" | ") + ")").mkString(" ")
+    case PFuse(id, rank) => s"| FUSE ON $id RANK $rank"
+    case PTsStats(aggs, by) =>
+      val as = aggs.map { a =>
+        val body =
+          if (a.plain) (a.inner, a.c) match {
+            case ("COUNT_OVER_TIME", None) => "COUNT(*)"
+            case ("COUNT_OVER_TIME", Some(c)) => s"COUNT($c)"
+            case ("SUM_OVER_TIME", Some(c)) => s"SUM($c)"
+            case ("MIN_OVER_TIME", Some(c)) => s"MIN($c)"
+            case ("MAX_OVER_TIME", Some(c)) => s"MAX($c)"
+            case other => sys.error(s"no plain form for $other")
+          } else s"${a.outer.toUpperCase}(${a.inner}(${a.c.get}))"
+        s"${a.name} = $body"
+      }.mkString(", ")
+      s"| STATS $as${if (by.isEmpty) "" else " BY " + by.mkString(", ")}"
+    case PChangePoint(v, tn, pn) => s"| CHANGE_POINT $v ON doc_id AS $tn, $pn"
+    case PSample(p, on, _) => s"| SAMPLE $p ON $on"
+    case PFtWhere(lang, field, node) =>
+      val fn = lang match { case 0 => "QSTR"; case 1 => "KQL"; case _ => "MATCH" }
+      val q = renderFt(lang, node).replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""| WHERE $fn($field, "$q")"""
   }
 
   // evaluator: aggregate a group's rows per the dialect contracts
@@ -362,6 +523,144 @@ class PipelineDifferentialSpec extends SparkSpec {
     case PKeep(cols) => rows.map(r => cols.map(c => c -> r(c)).toMap)
     case PDrop(c) => rows.map(_ - c)
     case PRename(from, to) => rows.map(r => (r - from) + (to -> r(from)))
+    case PForkU(branches, branchCols) =>
+      // union column set comes from the branch SCHEMAS (a branch whose
+      // WHERE kept zero rows still contributes its columns), like the
+      // engine's unionByName(allowMissingColumns = true)
+      val allKeys = (branchCols.flatten :+ "_fork").distinct
+      branches.zipWithIndex.flatMap { case (bs, bi) =>
+        bs.foldLeft(rows)((rs, c0) => evalCmd(c0, rs))
+          .map(_ + ("_fork" -> (Some(s"fork${bi + 1}"): Option[Any])))
+      }.map(r => allKeys.map(k => k -> r.getOrElse(k, None)).toMap)
+    case PFuse(id, rank) =>
+      // per-branch rank: RANK desc with nulls LAST (Spark's desc
+      // default in the engine's window), id asc ties
+      val ranked = rows.groupBy(_("_fork")).toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortWith { (a, b) =>
+          val (ra, rb) = (a(rank).map(_.asInstanceOf[Long]),
+            b(rank).map(_.asInstanceOf[Long]))
+          val c = (ra, rb) match {
+            case (None, None) => 0
+            case (None, _) => 1
+            case (_, None) => -1
+            case (Some(x), Some(y)) => -java.lang.Long.compare(x, y)
+          }
+          if (c != 0) c < 0 else cmpOpt(a(id), b(id)) < 0
+        }
+        sorted.zipWithIndex.map { case (r, i) => (r(id), i + 1) }
+      }
+      ranked.groupBy(_._1).toSeq.map { case (idv, legs) =>
+        val score = legs.map { case (_, rk) =>
+          BigDecimal(1000000.0 / (60.0 + rk))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        Map[String, Option[Any]](id -> idv,
+          "_score_c" -> Some(score), "n_legs" -> Some(legs.size.toLong))
+      }
+    case PTsStats(aggs, by) =>
+      def longOf(r: Row, c: String): Option[Long] = r(c).map(_.asInstanceOf[Long])
+      def half(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // inner level: one row per (BY keys, _tsid), ordered by _ts_ms
+      val inner = rows.groupBy(r => by.map(r(_)) :+ r("_tsid")).toSeq.map {
+        case (_, grp0) =>
+          val grp = grp0.sortBy(r => longOf(r, "_ts_ms").get)
+          val innerVals = aggs.map { a =>
+            val vs = a.c.map(c => grp.flatMap(longOf(_, c))).getOrElse(Nil)
+            val v: Long = a.inner match {
+              case "COUNT_OVER_TIME" => a.c.map(_ => vs.size.toLong).getOrElse(grp.size.toLong)
+              case "SUM_OVER_TIME" => vs.sum
+              case "MIN_OVER_TIME" => vs.min
+              case "MAX_OVER_TIME" => vs.max
+              case "AVG_OVER_TIME" => half(vs.sum.toDouble * 1000 / vs.size)
+              case "FIRST_OVER_TIME" => vs.head
+              case "LAST_OVER_TIME" => vs.last
+              case "RATE" =>
+                val increase = vs.zip(vs.drop(1))
+                  .map { case (p, c0) => if (c0 >= p) c0 - p else c0 }.sum
+                val ts = grp.map(r => longOf(r, "_ts_ms").get)
+                val span = math.max(ts.max - ts.min, 1L)
+                half(increase.toDouble * 1000000 / span)
+            }
+            a.name -> v
+          }
+          (by.map(grp.head(_)), innerVals.toMap)
+      }
+      // outer level: combine the series rows per BY group; a GLOBAL
+      // aggregate over an empty frame still yields ONE row (count = 0,
+      // everything else null) — the SQL global-agg contract
+      val groups = inner.groupBy(_._1).toSeq
+      val padded =
+        if (by.isEmpty && groups.isEmpty)
+          Seq((Seq.empty[Option[Any]], Seq.empty[(Seq[Option[Any]], Map[String, Long])]))
+        else groups
+      padded.map { case (ks, series) =>
+        val outs = aggs.map { a =>
+          val vs = series.map(_._2(a.name))
+          val v: Option[Long] = a.outer match {
+            case "sum" => if (vs.isEmpty) None else Some(vs.sum)
+            case "min" => if (vs.isEmpty) None else Some(vs.min)
+            case "max" => if (vs.isEmpty) None else Some(vs.max)
+            case "count" => Some(vs.size.toLong)
+            case "avg" => if (vs.isEmpty) None
+              else Some(half(vs.sum.toDouble * 1000 / vs.size))
+          }
+          a.name -> (v: Option[Any])
+        }
+        (by.zip(ks) ++ outs).toMap
+      }
+    case PChangePoint(v, tn, pn) =>
+      // the engine's CUSUM argmax over the doc_id-ordered series:
+      // k·(n−k)·(meanL−meanR)², exact-long prefix sums, ties → smallest
+      // key; the argmax row gains (tn, pn = round(1/(1+score), 6))
+      val ordered = rows.sortBy(r => r("doc_id").get.asInstanceOf[Long])
+      val n = ordered.size
+      val vals = ordered.map(r => r(v).map(_.asInstanceOf[Long]))
+      val prefix = vals.scanLeft(Option.empty[Long]) { (acc, x) =>
+        (acc, x) match {
+          case (None, None) => None
+          case (None, Some(b)) => Some(b)
+          case (Some(a), None) => Some(a)
+          case (Some(a), Some(b)) => Some(a + b)
+        }
+      }.drop(1)
+      val st = prefix.lastOption.flatten
+      val scores = (1 to n).map { k =>
+        if (k >= n) None
+        else for { sk <- prefix(k - 1); total <- st } yield {
+          val meanL = sk.toDouble / k
+          val meanR = (total - sk).toDouble / (n - k)
+          k.toDouble * (n - k) * (meanL - meanR) * (meanL - meanR)
+        }
+      }
+      val best = scores.zipWithIndex.collect { case (Some(s), i) => (s, i) }
+        .sortBy { case (s, i) => (-s, i) }.headOption.map(_._2)
+      ordered.zipWithIndex.map { case (r, i) =>
+        if (best.contains(i)) {
+          val s = scores(i).get
+          val pv = BigDecimal(1.0 / (1.0 + s))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          r + (tn -> (Some("step_change"): Option[Any])) +
+            (pn -> (Some(pv): Option[Any]))
+        } else r + (tn -> (None: Option[Any])) + (pn -> (None: Option[Any]))
+      }
+    case PSample(p, on, _) =>
+      val cut = (p * 1000000).toLong
+      rows.filter { r =>
+        r(on).exists { v =>
+          val s = v match {
+            case l: Long => l.toString
+            case str: String => str
+            case other => other.toString
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8"))
+          val hex = md.map("%02x".format(_)).mkString.take(8)
+          java.lang.Long.parseLong(hex, 16) % 1000000L < cut
+        }
+      }
+    case PFtWhere(_, field, node) =>
+      rows.filter(r => evalFt(node, field, r).contains(true))
   }
 
   // ------------------------------------------------- program generator
@@ -635,9 +934,10 @@ class PipelineDifferentialSpec extends SparkSpec {
     rows.map(r => r.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${canon(v)}" }
       .mkString(",")).sorted
 
-  private def engineRows(q: String): Seq[Row] = {
+  private def engineRows(q: String,
+      docsFrame: org.apache.spark.sql.DataFrame = srcDf): Seq[Row] = {
     val df = EsqlParser.run(q,
-      { case "ldim" => lookupDimDf; case _ => srcDf },
+      { case "ldim" => lookupDimDf; case "tsrc" => tsDf; case _ => docsFrame },
       session = Some(spark),
       policies = { case "ptags" => (enrichDimDf, "k") })
     val fields = df.schema.fields
@@ -721,5 +1021,414 @@ class PipelineDifferentialSpec extends SparkSpec {
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
+  }
+
+  // =================== r17: the previously-unfuzzed command compilers
+  // (FORK / FUSE / TS / CATEGORIZE / SAMPLE / CHANGE_POINT / full-text
+  // WHERE) — the same generator + Option-space-evaluator pattern, aimed
+  // at the most intricate compilers in EsqlParser (r16 verdict task 1)
+
+  private lazy val textTop: Seq[String] = corpusT
+    .flatMap(_("text").get.asInstanceOf[String].trim.split(" ", -1))
+    .filter(_.nonEmpty).groupBy(identity).toSeq.sortBy(-_._2.size)
+    .take(40).map(_._1)
+  private lazy val textWordG: Gen[String] = Gen.oneOf(textTop)
+  private lazy val textPhraseG: Gen[Seq[String]] = for {
+    r <- Gen.oneOf(corpusT)
+    n <- Gen.chooseNum(2, 3)
+    st <- Gen.chooseNum(0, 200)
+  } yield {
+    val toks = r("text").get.asInstanceOf[String].trim.split(" ", -1)
+      .toSeq.filter(_.nonEmpty)
+    val s0 = toks.slice(st % math.max(1, toks.length), st % math.max(1, toks.length) + n)
+    if (s0.nonEmpty) s0 else Seq("aa", "bb")
+  }
+  private lazy val langVals: Seq[String] =
+    corpus.flatMap(_("lang")).map(_.asInstanceOf[String]).distinct :+ "zz"
+  private lazy val sourceVals: Seq[String] =
+    corpus.flatMap(_("source")).map(_.asInstanceOf[String]).distinct :+ "nowhere"
+
+  private def wildify(w: String, pos: Int): String = pos match {
+    case 0 => w.take(3) + "*"
+    case 1 => "*" + w.drop(math.max(0, w.length - 3))
+    case 2 => if (w.length >= 2) w.take(1) + "*" + w.takeRight(1) else w + "*"
+    case _ => w
+  }
+
+  /** Full-text node over the documents TEXT field, with fielded
+    * clauses binding the base keyword/numeric columns. */
+  private def ftGenText(lang: Int, depth: Int): Gen[FTN] = {
+    val kwPick: Gen[(String, String)] = for {
+      f <- Gen.oneOf("lang", "source")
+      v <- if (f == "lang") Gen.oneOf(langVals) else Gen.oneOf(sourceVals)
+    } yield (f, v)
+    val leaf: Gen[FTN] = lang match {
+      case 0 => Gen.frequency(
+        3 -> textWordG.map(w => FtTerm(None, w): FTN),
+        2 -> (for { w <- textWordG; k <- Gen.chooseNum(1, 3) }
+          yield FtPrefix(None, w.take(k)): FTN),
+        2 -> textPhraseG.map(ws => FtPhrase(None, ws): FTN),
+        2 -> kwPick.map { case (f, v) => FtTerm(Some(f), v): FTN },
+        1 -> (for { (f, v) <- kwPick; k <- Gen.chooseNum(1, 2) }
+          yield FtPrefix(Some(f), v.take(k)): FTN))
+      case 1 => Gen.frequency(
+        3 -> (for { w <- textWordG; pos <- Gen.oneOf(0, 1, 2, 3) }
+          yield FtWild(None, wildify(w, pos)): FTN),
+        2 -> textPhraseG.map(ws => FtPhrase(None, ws): FTN),
+        2 -> kwPick.map { case (f, v) => FtWild(Some(f), v): FTN },
+        2 -> (for { f <- Gen.oneOf("n_chars", "doc_id")
+                    op <- Gen.oneOf(">", ">=", "<", "<=")
+                    v <- Gen.chooseNum(0L, 700L) } yield FtRange(f, op, v): FTN))
+      case _ => for { n <- Gen.chooseNum(1, 3); ws <- Gen.listOfN(n, textWordG) }
+        yield FtMatchTerms(ws): FTN
+    }
+    if (depth <= 0 || lang == 2) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      2 -> (for { l <- ftGenText(lang, depth - 1); r <- ftGenText(lang, depth - 1) }
+        yield FtAnd(l, r): FTN),
+      2 -> (for { l <- ftGenText(lang, depth - 1); r <- ftGenText(lang, depth - 1) }
+        yield FtOr(l, r): FTN),
+      1 -> ftGenText(lang, depth - 1).map(FtNot.apply: FTN => FTN))
+  }
+
+  /** Mid-pipeline full-text node: the text field is a POOLED string
+    * column (often an EVAL'd null-able one) and fielded clauses bind
+    * other pooled columns — the parser × compiler × null-semantics
+    * crossing the r16 verdict asked for. */
+  private def ftGenFielded(lang: Int, s: Schema, depth: Int): Gen[FTN] = {
+    val vals = Seq("aa", "bb", "zz", "aa_bb") ++ langVals.take(3)
+    val leaf: Gen[FTN] = {
+      val base = lang match {
+        case 0 => Seq(
+          3 -> Gen.oneOf(vals).map(v => FtTerm(None, v): FTN),
+          2 -> (for { v <- Gen.oneOf(vals); k <- Gen.chooseNum(1, 2) }
+            yield FtPrefix(None, v.take(k)): FTN)) ++
+          (if (s.strs.size > 1) Seq(2 -> (for {
+            f <- Gen.oneOf(s.strs); v <- Gen.oneOf(vals)
+          } yield FtTerm(Some(f), v): FTN)) else Nil)
+        case 1 => Seq(
+          3 -> (for { v <- Gen.oneOf(vals); pos <- Gen.oneOf(0, 2, 3) }
+            yield FtWild(None, wildify(v.replace("_", "x"), pos)): FTN),
+          2 -> (for { f <- Gen.oneOf(s.longNames); op <- Gen.oneOf(">", ">=", "<", "<=")
+                      v <- Gen.chooseNum(0L, 450L) } yield FtRange(f, op, v): FTN)) ++
+          (if (s.strs.size > 1) Seq(2 -> (for {
+            f <- Gen.oneOf(s.strs); v <- Gen.oneOf(vals)
+          } yield FtWild(Some(f), v): FTN)) else Nil)
+        case _ => Seq(
+          3 -> (for { n <- Gen.chooseNum(1, 2); ws <- Gen.listOfN(n, Gen.oneOf(vals)) }
+            yield FtMatchTerms(ws): FTN))
+      }
+      Gen.frequency(base: _*)
+    }
+    if (depth <= 0 || lang == 2) leaf
+    else Gen.frequency(
+      2 -> leaf,
+      1 -> (for { l <- ftGenFielded(lang, s, depth - 1)
+                  r <- ftGenFielded(lang, s, depth - 1) } yield FtAnd(l, r): FTN),
+      1 -> (for { l <- ftGenFielded(lang, s, depth - 1)
+                  r <- ftGenFielded(lang, s, depth - 1) } yield FtOr(l, r): FTN),
+      1 -> ftGenFielded(lang, s, depth - 1).map(FtNot.apply: FTN => FTN))
+  }
+
+  // ------- branch bodies for FORK (restricted to frame-transforms —
+  // the union's column semantics are the point, not nested aggregation)
+  private def branchCmdGen(s: Schema, fresh: Int): Gen[(PCmd, Schema)] =
+    Gen.frequency(
+      3 -> beGen(s, 2).map(b => (PWhere(b): PCmd) -> s),
+      2 -> (for { e <- neGen(s, 2) } yield {
+        val n = s"e$fresh"
+        (PEvalN(n, e): PCmd) -> s.copy(longs = s.longs :+ (n -> neBound(e, s)))
+      }),
+      1 -> (for { e <- seGen(s, 2) } yield {
+        val n = s"t$fresh"
+        (PEvalS(n, e): PCmd) -> s.copy(strs = s.strs :+ n)
+      }),
+      1 -> (for { k <- Gen.oneOf(s.longNames ++ s.strs); asc <- Gen.oneOf(true, false)
+                  n <- Gen.chooseNum(5, 60) } yield {
+        val tb = (s.longNames ++ s.strs).filterNot(_ == k)
+        (PSortLimit(Seq((k, asc, None)), tb, n): PCmd) -> s
+      }))
+
+  private def branchGen(s0: Schema, f0: Int): Gen[(Seq[PCmd], Schema)] = {
+    def go(s: Schema, i: Int, left: Int): Gen[(List[PCmd], Schema)] =
+      if (left == 0) Gen.const((Nil, s))
+      else branchCmdGen(s, i).flatMap { case (c, s2) =>
+        go(s2, i + 1, left - 1).map { case (cs, sf) => (c :: cs, sf) } }
+    Gen.chooseNum(1, 2).flatMap(n => go(s0, f0, n).map { case (cs, sf) => (cs, sf) })
+  }
+
+  private def mergeSchemas(ss: Seq[Schema]): Schema = Schema(
+    ss.flatMap(_.longs).groupBy(_._1).toSeq
+      .map { case (n, bs) => n -> bs.map(_._2).max }
+      .sortBy(_._1),
+    (ss.flatMap(_.strs).distinct :+ "_fork"), Nil)
+
+  private def forkUGen(s: Schema, fresh: Int): Gen[(List[PCmd], Schema)] = for {
+    nb <- Gen.chooseNum(2, 3)
+    branches <- (0 until nb).foldLeft(Gen.const(List.empty[(Seq[PCmd], Schema)])) {
+      (acc, bi) => acc.flatMap(l => branchGen(s, fresh + 10 * (bi + 1)).map(l :+ _))
+    }
+  } yield {
+    val cols = branches.map { case (_, sc) => sc.longNames ++ sc.strs }
+    (List(PForkU(branches.map(_._1), cols)), mergeSchemas(branches.map(_._2)))
+  }
+
+  private def forkFuseGen(s: Schema, fresh: Int): Gen[(List[PCmd], Schema)] = for {
+    rkE <- neGen(s, 2)
+    nb <- Gen.chooseNum(2, 3)
+    specs <- Gen.listOfN(nb, for {
+      withWhere <- Gen.oneOf(true, false)
+      b <- beGen(s.copy(longs = s.longs :+ ("rk" -> neBound(rkE, s))), 1)
+      n <- Gen.chooseNum(3, 25)
+    } yield (withWhere, b, n))
+  } yield {
+    val s1 = s.copy(longs = s.longs :+ ("rk" -> neBound(rkE, s)))
+    val tb = (s1.longNames ++ s1.strs).filterNot(_ == "rk")
+    val branches = specs.map { case (ww, b, n) =>
+      (if (ww) Seq(PWhere(b): PCmd) else Nil) :+
+        (PSortLimit(Seq(("rk", false, None)), tb, n): PCmd)
+    }
+    val cols = branches.map(_ => s1.longNames ++ s1.strs)
+    val out = Schema(Seq("doc_id" -> 500L, "_score_c" -> 50000L, "n_legs" -> 3L), Nil, Nil)
+    (List(PEvalN("rk", rkE), PForkU(branches, cols), PFuse("doc_id", "rk")), out)
+  }
+
+  private val tsInnerCols = Seq("n_chars" -> 600L, "doc_id" -> 500L)
+  private def tsBoundOf(a: TsA): Long = {
+    val colB = a.c.map(c => tsInnerCols.find(_._1 == c).get._2).getOrElse(1L)
+    val innerB = a.inner match {
+      case "COUNT_OVER_TIME" => 500L
+      case "SUM_OVER_TIME" => 500L * colB
+      case "MIN_OVER_TIME" | "MAX_OVER_TIME"
+           | "FIRST_OVER_TIME" | "LAST_OVER_TIME" => colB
+      case "AVG_OVER_TIME" => colB * 1000L
+      case "RATE" => 500L * colB * 1000000L
+    }
+    a.outer match {
+      case "sum" => innerB * 500L
+      case "min" | "max" => innerB
+      case "count" => 500L
+      case "avg" => innerB * 1000L
+    }
+  }
+  private def tsAggGen: Gen[TsA] = Gen.frequency(
+    1 -> (for {
+      (o, in, needCol) <- Gen.oneOf(
+        ("sum", "COUNT_OVER_TIME", false), ("sum", "COUNT_OVER_TIME", true),
+        ("sum", "SUM_OVER_TIME", true), ("min", "MIN_OVER_TIME", true),
+        ("max", "MAX_OVER_TIME", true))
+      c <- Gen.oneOf(tsInnerCols.map(_._1))
+    } yield TsA("", o, in, if (needCol) Some(c) else None, plain = true)),
+    2 -> (for {
+      o <- Gen.oneOf("sum", "min", "max", "avg", "count")
+      // RATE weighted up: it is the branchiest inner (lag window +
+      // reset adjustment + span clamp) and must never drop out of a run
+      in <- Gen.frequency(
+        3 -> Gen.const("RATE"),
+        7 -> Gen.oneOf("COUNT_OVER_TIME", "SUM_OVER_TIME", "MIN_OVER_TIME",
+          "MAX_OVER_TIME", "AVG_OVER_TIME", "FIRST_OVER_TIME", "LAST_OVER_TIME"))
+      c <- Gen.oneOf(tsInnerCols.map(_._1))
+    } yield TsA("", o, in, Some(c), plain = false)))
+
+  private val tsBase = Schema(Seq("doc_id" -> 500L, "n_chars" -> 600L),
+    Seq("lang", "source"), Nil)
+  private def tsHeadGen(fresh: Int): Gen[(List[PCmd], Schema)] = for {
+    withWhere <- Gen.frequency(1 -> Gen.const(true), 2 -> Gen.const(false))
+    wb <- beGen(tsBase, 2)
+    nA <- Gen.chooseNum(1, 3)
+    aggs <- Gen.listOfN(nA, tsAggGen)
+    by <- Gen.frequency(
+      2 -> Gen.const(Seq.empty[String]), 2 -> Gen.const(Seq("lang")),
+      2 -> Gen.const(Seq("source")), 1 -> Gen.const(Seq("lang", "source")))
+  } yield {
+    val named = aggs.zipWithIndex.map { case (a, i) => a.copy(name = s"ts$fresh$i") }
+    val cmds = (if (withWhere) List(PWhere(wb): PCmd) else Nil) :+
+      (PTsStats(named, by): PCmd)
+    (cmds, Schema(named.map(a => a.name -> tsBoundOf(a)), by, Nil))
+  }
+
+  private def changePointGen(s: Schema, fresh: Int): Gen[(List[PCmd], Schema)] = for {
+    useEval <- Gen.oneOf(true, false)
+    e <- neGen(s, 2)
+    withWhere <- Gen.oneOf(true, false)
+    wb <- beGen(s, 1)
+    s1 = if (useEval) s.copy(longs = s.longs :+ ("cv" -> neBound(e, s))) else s
+    v <- Gen.oneOf(s1.longNames)
+  } yield {
+    val cmds = (if (useEval) List(PEvalN("cv", e): PCmd) else Nil) ++
+      (if (withWhere) List(PWhere(wb): PCmd) else Nil) :+
+      (PChangePoint(v, "cpt", "cpp"): PCmd)
+    (cmds, s1.copy(strs = s1.strs :+ "cpt"))
+  }
+
+  private def sampleHeadGen(s: Schema): Gen[(List[PCmd], Schema)] = for {
+    p <- Gen.oneOf(BigDecimal("0.25"), BigDecimal("0.5"), BigDecimal("0.75"))
+    on <- Gen.oneOf(s.longNames ++ s.strs)
+  } yield (List(PSample(p, on, s.strs.contains(on)): PCmd), s)
+
+  private def ftHeadGen(s: Schema): Gen[(List[PCmd], Schema)] = for {
+    n <- Gen.chooseNum(1, 2)
+    fts <- Gen.listOfN(n, for {
+      lang <- Gen.oneOf(0, 1, 2)
+      d <- Gen.chooseNum(0, 2)
+      node <- ftGenText(lang, d)
+    } yield PFtWhere(lang, "text", node): PCmd)
+  } yield (fts :+ (PDrop("text"): PCmd), s)
+
+  /** STATS with a CATEGORIZE grouping key whose digits come from a
+    * TO_STRING'd numeric expression, so real templates collapse. */
+  private def catStatsGen(s: Schema, fresh: Int): Gen[(PCmd, Schema)] = for {
+    c <- Gen.oneOf(s.strs)
+    ne0 <- neGen(s, 1)
+    nAggs <- Gen.chooseNum(0, 1)
+    aggs <- Gen.listOfN(nAggs, aggGen(s))
+  } yield {
+    val byKey = s"g$fresh" -> (Right(SCategorize(SConcat(SCol(c), SToStr(ne0))): SE)
+      : Either[String, SE])
+    val named = (s"a${fresh}c" -> (PCount: PAgg)) +:
+      aggs.zipWithIndex.map { case (a, i) => s"a$fresh$i" -> a }
+    val out = Schema(
+      named.collect { case (n, a) if !a.isInstanceOf[PAvg] => n -> aggBound(a, s) },
+      Seq(byKey._1), Nil)
+    (PStats(named, Seq(byKey)): PCmd) -> out
+  }
+
+  private def ftFieldedGen(s: Schema, fresh: Int): Gen[(PCmd, Schema)] = for {
+    field <- Gen.oneOf(s.strs)
+    lang <- Gen.oneOf(0, 1, 2)
+    node <- ftGenFielded(lang, s, 1)
+  } yield (PFtWhere(lang, field, node): PCmd) -> s
+
+  private def sampleCmdGen(s: Schema): Gen[(PCmd, Schema)] = for {
+    p <- Gen.oneOf(BigDecimal("0.25"), BigDecimal("0.5"), BigDecimal("0.75"))
+    on <- Gen.oneOf(s.longNames ++ s.strs)
+  } yield (PSample(p, on, s.strs.contains(on)): PCmd) -> s
+
+  /** Generic tail command: the r16 machinery plus the new families
+    * that are valid mid-pipeline (CATEGORIZE keys, fielded full-text
+    * WHERE, SAMPLE). */
+  private def tailCmdGen(s: Schema, i: Int): Gen[(PCmd, Schema)] = {
+    val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
+    picks += 8 -> cmdGen(s, i)
+    picks += 1 -> sampleCmdGen(s)
+    if (s.strs.nonEmpty) {
+      picks += 2 -> catStatsGen(s, i)
+      picks += 2 -> ftFieldedGen(s, i)
+    }
+    Gen.frequency(picks.result(): _*)
+  }
+  private def tailProg(s0: Schema, start: Int, len: Int): Gen[List[PCmd]] = {
+    def go(s: Schema, i: Int): Gen[List[PCmd]] =
+      if (i >= start + len) Gen.const(Nil)
+      else tailCmdGen(s, i).flatMap { case (c, s2) => go(s2, i + 1).map(c :: _) }
+    go(s0, start)
+  }
+
+  test("250 random programs over the r17 command compilers: engine frame == evaluator frame") {
+    var seed = Seed(7177L)
+    val feature = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val dropText: PCmd = PDrop("text")
+    (1 to 250).foreach { i =>
+      val headGen: Gen[(List[PCmd], Schema, Boolean)] = (i % 6) match {
+        case 0 => forkUGen(base, 900).map { case (c, s) => (dropText :: c, s, false) }
+        case 1 => forkFuseGen(base, 900).map { case (c, s) => (dropText :: c, s, false) }
+        case 2 => tsHeadGen(900).map { case (c, s) => (c, s, true) }
+        case 3 => changePointGen(base, 900).map { case (c, s) => (dropText :: c, s, false) }
+        case 4 => sampleHeadGen(base).map { case (c, s) => (dropText :: c, s, false) }
+        case _ => ftHeadGen(base).map { case (c, s) => (c, s, false) }
+      }
+      val prog = (for {
+        (head, hs, fromTs) <- headGen
+        tailLen <- Gen.chooseNum(1, 3)
+        tail <- tailProg(hs, 100, tailLen)
+      } yield (head ++ tail, fromTs)).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val (cmds, fromTs) = prog
+      def walk(c: PCmd): Unit = c match {
+        case PForkU(bs, cols) =>
+          feature("fork") += 1
+          if (bs.exists(_.exists(_.isInstanceOf[PWhere]))) feature("fork_where") += 1
+          if (cols.flatten.distinct.size > cols.map(_.toSet).reduce(_ intersect _).size)
+            feature("fork_missing_col") += 1
+          bs.foreach(_.foreach(walk))
+        case PFuse(_, _) => feature("fuse") += 1
+        case PTsStats(aggs, by) =>
+          if (aggs.exists(_.plain)) feature("ts_plain") += 1
+          if (aggs.exists(a => !a.plain)) feature("ts_nested") += 1
+          if (aggs.exists(_.inner == "RATE")) feature("ts_rate") += 1
+          if (aggs.exists(_.outer == "avg")) feature("ts_avg") += 1
+          if (by.nonEmpty) feature("ts_by") += 1 else feature("ts_global") += 1
+        case PChangePoint(v, _, _) =>
+          feature("change_point") += 1
+          if (v == "cv") feature("change_point_eval") += 1
+        case PSample(_, _, onStr) =>
+          if (onStr) feature("sample_str") += 1 else feature("sample_long") += 1
+        case PFtWhere(lang, f, _) =>
+          val tag = lang match { case 0 => "qstr"; case 1 => "kql"; case _ => "match" }
+          feature(s"ft_$tag") += 1
+          if (f != "text") feature("ft_fielded") += 1
+        case PStats(_, by) if by.exists {
+          case (_, Right(se)) => se.isInstanceOf[SCategorize]
+          case _ => false
+        } => feature("categorize") += 1
+        case _ => ()
+      }
+      cmds.foreach(walk)
+      val q = ((if (fromTs) "TS tsrc" else "FROM documents") +: cmds.map(cmdText))
+        .mkString("\n")
+      val rows0 = if (fromTs) tsCorpus else corpusT
+      val want = canonRows(cmds.foldLeft(rows0)((rows, c) => evalCmd(c, rows)))
+      val got = canonRows(engineRows(q, srcDfText))
+      assert(got == want, {
+        val firstDiff = got.zipAll(want, "<missing>", "<missing>")
+          .find { case (a, b) => a != b }
+        s"""frame diverged (seed round $i)
+           |query:
+           |$q
+           |engine rows: ${got.size}, evaluator rows: ${want.size}
+           |first diff: $firstDiff""".stripMargin
+      })
+    }
+    val required = Seq("fork", "fork_where", "fork_missing_col", "fuse",
+      "ts_plain", "ts_nested", "ts_rate", "ts_avg", "ts_by", "ts_global",
+      "change_point", "change_point_eval", "sample_str", "sample_long",
+      "ft_qstr", "ft_kql", "ft_match", "ft_fielded", "categorize")
+    val missing = required.filterNot(feature(_) > 0)
+    assert(missing.isEmpty,
+      s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
+  }
+
+  test("box languages at pipeline level: 120 random programs per language") {
+    var seed = Seed(9091L)
+    val dropText: PCmd = PDrop("text")
+    (0 to 2).foreach { lang =>
+      var nonEmpty = 0
+      (1 to 120).foreach { i =>
+        val prog = (for {
+          d <- Gen.chooseNum(1, 3)
+          node <- ftGenText(lang, d)
+          tailLen <- Gen.chooseNum(0, 2)
+          tail <- tailProg(base, 100, tailLen)
+        } yield (PFtWhere(lang, "text", node): PCmd) :: dropText :: tail)
+          .pureApply(Gen.Parameters.default, seed)
+        seed = seed.next
+        val q = ("FROM documents" +: prog.map(cmdText)).mkString("\n")
+        val want = canonRows(prog.foldLeft(corpusT)((rows, c) => evalCmd(c, rows)))
+        val got = canonRows(engineRows(q, srcDfText))
+        assert(got == want, {
+          val firstDiff = got.zipAll(want, "<missing>", "<missing>")
+            .find { case (a, b) => a != b }
+          s"""frame diverged (lang $lang, round $i)
+             |query:
+             |$q
+             |engine rows: ${got.size}, evaluator rows: ${want.size}
+             |first diff: $firstDiff""".stripMargin
+        })
+        if (got.nonEmpty) nonEmpty += 1
+      }
+      assert(nonEmpty >= 30,
+        s"lang $lang: only $nonEmpty of 120 programs produced rows — fuzz too weak")
+    }
   }
 }
