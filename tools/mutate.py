@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Oracle mutation-kill audit (r16 verdict task 2).
+
+The whole correctness verdict rests on DuckDB-hash equality per key; a
+vacuous or accidentally-tautological oracle (one that recomputes the
+same expression from the same inputs in a way that can never disagree,
+or a compare that doesn't actually look at the values) would sit green
+forever. This harness PROVES each sampled key's green CAN go red: it
+perturbs the ENGINE frame (drop a row / off-by-one a cell / null a
+cell) and asserts the same compare that gates the round now FAILS.
+
+Usage: python3 tools/mutate.py <sfDir> <verifyOutDir> <outJson> [keys...]
+
+Reads <verifyOutDir>/oracle_sql.json + the per-key parquet dumps that
+graft.Verify wrote, applies each applicable mutation to a COPY of the
+frame, and re-runs the compare semantics (same canon/normalize as
+tools/compare.py, imported — not re-implemented, so the kill is against
+the real gate). A surviving mutant is a finding and exits nonzero.
+"""
+import datetime
+import json
+import math
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from compare import canon, normalize, TABLES  # the REAL gate's canon
+
+
+def perturb_value(v):
+    """A minimally-different value of the same python type, or None if
+    this type isn't perturbable."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return not v
+    if isinstance(v, int):
+        return v + 1
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return v + 0.001 if abs(v) < 1e15 else v * 1.001
+    if isinstance(v, Decimal):
+        return v + 1
+    if isinstance(v, str):
+        return v + "x"
+    if isinstance(v, bytes):
+        return bytes([v[0] ^ 0xFF]) + v[1:] if v else b"\x01"
+    if isinstance(v, datetime.datetime):
+        return v + datetime.timedelta(seconds=1)
+    if isinstance(v, datetime.date):
+        return v + datetime.timedelta(days=1)
+    if isinstance(v, list):
+        for i, x in enumerate(v):
+            px = perturb_value(x)
+            if px is not None:
+                return v[:i] + [px] + v[i + 1:]
+        return v + [None]
+    if isinstance(v, dict):
+        for k in v:
+            pv = perturb_value(v[k])
+            if pv is not None:
+                out = dict(v)
+                out[k] = pv
+                return out
+        return None
+    return None
+
+
+def mutations(rows, schema):
+    """Yield (label, mutated_rows) for each applicable mutation."""
+    if rows:
+        yield "drop_row", rows[1:]
+    else:
+        # empty result: the only expressible frame mutation is an extra
+        # row — all-null cells of the right shape
+        yield "add_null_row", [{c: None for c in schema.names}]
+        return
+    # perturb: first (row, col) holding a perturbable non-null value
+    done = False
+    for ri, r in enumerate(rows):
+        if done:
+            break
+        for c in schema.names:
+            pv = perturb_value(r[c])
+            if pv is not None:
+                mut = [dict(x) for x in rows]
+                mut[ri][c] = pv
+                yield f"perturb:{c}", mut
+                done = True
+                break
+    # null_cell: first non-null cell in a NULLABLE column
+    done = False
+    for ri, r in enumerate(rows):
+        if done:
+            break
+        for f in schema:
+            if r[f.name] is not None and f.nullable:
+                mut = [dict(x) for x in rows]
+                mut[ri][f.name] = None
+                yield f"null:{f.name}", mut
+                done = True
+                break
+
+
+def compare_frame(con, sql, names, rows):
+    """True iff the frame matches the oracle under the gate's canon."""
+    o = con.execute(sql)
+    o_names = [d[0] for d in o.description]
+    o_rows = o.fetchall()
+    sn, sr = normalize(names, rows)
+    on, orows = normalize(o_names, o_rows)
+    return sn == on and sr == orows
+
+
+def main():
+    sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    only = set(sys.argv[4:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
+    survived = 0
+    skipped = []
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        path = f"{out_dir}/{name}"
+        if not os.path.isdir(path):
+            skipped.append(name)
+            continue
+        tbl = pq.read_table(path)
+        names = tbl.column_names
+        dict_rows = tbl.to_pylist()
+        # sanity: the UNMUTATED frame must pass, or the dump is stale
+        base_rows = [tuple(d[c] for c in names) for d in dict_rows]
+        if not compare_frame(con, oracles[name], names, base_rows):
+            report[name] = {"baseline": "FAIL — dump does not match oracle"}
+            survived += 1
+            continue
+        entry = {}
+        for label, mut in mutations(dict_rows, tbl.schema):
+            rows = [tuple(d[c] for c in names) for d in mut]
+            ok = compare_frame(con, oracles[name], names, rows)
+            entry[label] = "survived" if ok else "killed"
+            if ok:
+                survived += 1
+        report[name] = entry
+    total_keys = len(report)
+    total_muts = sum(len(v) for v in report.values())
+    killed = sum(1 for v in report.values() for s in v.values() if s == "killed")
+    summary = {
+        "sf_dir": sf_dir,
+        "keys_sampled": total_keys,
+        "mutants": total_muts,
+        "killed": killed,
+        "survived": total_muts - killed,
+        "skipped_no_dump": skipped,
+    }
+    with open(out_json, "w") as f:
+        json.dump({"summary": summary, "keys": report}, f, indent=1, sort_keys=True)
+    print(json.dumps(summary))
+    surviving = {k: {m: s for m, s in v.items() if s != "killed"}
+                 for k, v in report.items()}
+    surviving = {k: v for k, v in surviving.items() if v}
+    if surviving:
+        print("SURVIVING MUTANTS:", json.dumps(surviving, indent=1))
+    sys.exit(1 if surviving else 0)
+
+
+if __name__ == "__main__":
+    main()
