@@ -275,6 +275,85 @@ class DedupStreamSpec extends SparkSpec {
     } finally metrics.close()
   }
 
+  test("randomized interleavings: compaction + replay never change results or store (10 seeds)") {
+    // the r16 plan's streaming-store industrialization, dedup side.
+    // Results here legitimately depend on BATCH BOUNDARIES (prior docs
+    // match any id, within-batch only smaller ids — ingestion order
+    // wins), so the oracle is a RUN-VS-RUN differential: the same
+    // random corpus through the same random trigger schedule, once
+    // plainly (run A) and once with checkpoint-recovery replays and
+    // mid-stream compactions injected (run B). Per-batch verdicts and
+    // the final canonical store must be identical — in particular a
+    // batch replayed AFTER a compaction folded its own rows into the
+    // consolidated partition must still be idempotent (its uniques are
+    // now prior targets; symmetric similarity + the self-match filter
+    // make that unobservable, which this test pins).
+    import spark.implicits._
+    val vocab = (0 until 40).map(i => s"w$i")
+    (1 to 10).foreach { seedI =>
+      val rnd = new scala.util.Random(seedI * 104729L)
+      def baseDoc(): String =
+        Seq.fill(12 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // corpus: bases plus exact copies and 1-token mutations (above
+      // the 0.5 jaccard threshold), ids SHUFFLED so cross-batch
+      // larger-id-first cases occur
+      val nDocs = 10 + rnd.nextInt(8)
+      val texts = collection.mutable.ArrayBuffer.empty[String]
+      (0 until nDocs).foreach { _ =>
+        if (texts.nonEmpty && rnd.nextInt(10) < 4) {
+          val src = texts(rnd.nextInt(texts.size))
+          if (rnd.nextBoolean()) texts += src // exact copy
+          else {
+            val toks = src.split(" ")
+            toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+            texts += toks.mkString(" ")
+          }
+        } else texts += baseDoc()
+      }
+      val ids = rnd.shuffle((1L to nDocs.toLong).toList)
+      val docs = ids.zip(texts)
+      val nBatches = 2 + rnd.nextInt(3)
+      val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(nDocs + 1)).sorted
+      val bounds = (0 +: cuts) :+ nDocs
+      val batches = bounds.zip(bounds.tail).map { case (a, b) => docs.slice(a, b) }
+
+      val (storeA, outA) = (tmp(s"ddr-a-store$seedI"), tmp(s"ddr-a-out$seedI"))
+      val (storeB, outB) = (tmp(s"ddr-b-store$seedI"), tmp(s"ddr-b-out$seedI"))
+      def verdicts(outDir: String, id: Long): Seq[(Long, Option[Long], Boolean)] = {
+        val p = new java.io.File(s"$outDir/batch=$id")
+        if (!p.exists()) Seq.empty
+        else spark.read.parquet(p.toString)
+          .select(col("doc_id"), col("dup_of"), col("is_unique"))
+          .as[(Long, Option[Long], Boolean)].collect().toSeq.sortBy(_._1)
+      }
+      def storeIds(storeDir: String): Set[Long] = {
+        val p = new java.io.File(s"$storeDir/bands")
+        if (!p.exists()) Set.empty
+        else spark.read.parquet(p.toString)
+          .select("doc_id").distinct().as[Long].collect().toSet
+      }
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        val bdf = batch.toDF("doc_id", "text")
+        DedupStream.sinkBatch(storeA, outA)(bdf, bi.toLong)
+        // run B: random compaction BEFORE the batch, replay AFTER it
+        if (bi > 0 && rnd.nextInt(3) == 0)
+          DedupStream.compact(spark, storeB, upTo = bi.toLong)
+        DedupStream.sinkBatch(storeB, outB)(bdf, bi.toLong)
+        if (rnd.nextInt(3) == 0) {
+          if (rnd.nextBoolean()) // compact FIRST, then replay the same id
+            DedupStream.compact(spark, storeB, upTo = bi.toLong + 1)
+          DedupStream.sinkBatch(storeB, outB)(bdf, bi.toLong)
+        }
+        val (va, vb) = (verdicts(outA, bi.toLong), verdicts(outB, bi.toLong))
+        assert(va == vb,
+          s"seed $seedI batch $bi: verdicts diverged\n A: $va\n B: $vb")
+        val (sa, sb) = (storeIds(storeA), storeIds(storeB))
+        assert(sa == sb,
+          s"seed $seedI batch $bi: canonical stores diverged (A-B=${sa -- sb}, B-A=${sb -- sa})")
+      }
+    }
+  }
+
   test("quality gate: junk never reaches the results channel or the store") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

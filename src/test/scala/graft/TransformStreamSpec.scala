@@ -105,6 +105,54 @@ class TransformStreamSpec extends SparkSpec {
     assert(TransformStream.compact(spark, storeDir) == 0)
   }
 
+  test("randomized interleavings: 50 seeds of schedules × late arrivals × replay × compaction == one-shot pivot after every trigger") {
+    // the r16 plan's streaming-store industrialization: the directed
+    // contracts above each pin ONE interleaving; here 50 random ones —
+    // random trigger cuts (empty batches included), shuffled ordering
+    // keys (late events by construction), checkpoint-recovery replays
+    // of the just-committed batch (sometimes twice), and mid-stream
+    // compactions — must all read back equal to the one-shot pivot of
+    // everything ingested so far, after EVERY trigger.
+    import spark.implicits._
+    val types = Seq("view", "click", "buy", "ship", "ret")
+    (1 to 50).foreach { seedI =>
+      val rnd = new scala.util.Random(seedI * 7919L)
+      val storeDir = tmp(s"ts-rand$seedI")
+      val nEvents = 20 + rnd.nextInt(31)
+      val oks = rnd.shuffle((1L to nEvents.toLong).toList)
+      val events = oks.map(ok => (1L + rnd.nextInt(8),
+        types(rnd.nextInt(types.size)), 1L + rnd.nextInt(1000), ok))
+      val nBatches = 1 + rnd.nextInt(6)
+      val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(nEvents + 1)).sorted
+      val bounds = (0 +: cuts) :+ nEvents
+      val batches = bounds.zip(bounds.tail).map { case (a, b) => events.slice(a, b) }
+      var seen = List.empty[(Long, String, Long, Long)]
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        if (bi > 0 && rnd.nextInt(4) == 0) {
+          val before = TransformStream.readStore(spark, storeDir)
+            .orderBy("user_id").collect().toSeq
+          TransformStream.compact(spark, storeDir)
+          val after = TransformStream.readStore(spark, storeDir)
+            .orderBy("user_id").collect().toSeq
+          assert(after == before, s"seed $seedI: compaction changed the store")
+        }
+        val bdf = batch.toDF("user_id", "event_type", "vc", "ok")
+        TransformStream.upsertBatch(spark, storeDir)(bdf, bi.toLong)
+        if (rnd.nextInt(3) == 0) // checkpoint-recovery replay, same id
+          TransformStream.upsertBatch(spark, storeDir)(bdf, bi.toLong)
+        seen = seen ++ batch
+        val got = TransformStream.readStore(spark, storeDir)
+          .orderBy("user_id").collect().toSeq
+        val want = TransformStream.partial(
+            seen.toDF("user_id", "event_type", "vc", "ok"))
+          .orderBy("user_id").collect().toSeq
+        assert(got == want,
+          s"seed $seedI after batch $bi: store diverged from the one-shot pivot " +
+            s"(batches: ${batches.map(_.size)})")
+      }
+    }
+  }
+
   test("merge is associative: any batch split folds to the one-shot partial") {
     import spark.implicits._
     val all = Seq(row(1, "a", 1, 1), row(1, "b", 2, 5), row(2, "c", 3, 3),
