@@ -2039,38 +2039,67 @@ object SearchExt {
           series.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           % tsCounterMod)
   }
+  /** The per-(day, series) inner-aggregate CTE chain BOTH ts oracles
+    * share (one text — they cannot drift): synthesize the series frame,
+    * lag-window the counter within (day, series), and fold each series'
+    * reset-adjusted milli-rate / milli-average / sample count. */
+  private val tsDailyCte = s"""WITH s0 AS (
+    |  SELECT user_id, epoch_ms(ts) AS ms,
+    |    min(CAST(date_trunc('day', ts) AS DATE)) AS day,
+    |    CAST(round(min_by(value, event_id) * 100, 0) AS BIGINT) AS gauge_c
+    |  FROM events GROUP BY 1, 2),
+    |s AS (
+    |  SELECT user_id, ms, day, gauge_c,
+    |    CAST(sum(gauge_c) OVER (PARTITION BY user_id ORDER BY ms
+    |      ROWS UNBOUNDED PRECEDING) % $tsCounterMod AS BIGINT) AS counter
+    |  FROM s0),
+    |d AS (
+    |  SELECT user_id, ms, day, gauge_c, counter,
+    |    lag(counter) OVER (PARTITION BY day, user_id ORDER BY ms) AS prev
+    |  FROM s),
+    |i AS (
+    |  SELECT day, user_id,
+    |    CAST(round(CAST(sum(CASE WHEN prev IS NULL THEN 0
+    |        WHEN counter >= prev THEN counter - prev ELSE counter END) AS DOUBLE)
+    |      * 1000000 / greatest(max(ms) - min(ms), 1), 0) AS BIGINT) AS rate_milli,
+    |    CAST(round(CAST(sum(gauge_c) AS DOUBLE) * 1000 / count(gauge_c), 0)
+    |      AS BIGINT) AS avg_g,
+    |    count(*) AS n_samp
+    |  FROM d GROUP BY 1, 2)""".stripMargin
   val esqlTsOp = QueryDef(
     "ns_esql_ts",
     (s, dir) => EsqlParser.run(esqlTsQuery, _ => tsMetricsFrame(s, dir)),
-    Some(s"""WITH s0 AS (
-      |  SELECT user_id, epoch_ms(ts) AS ms,
-      |    min(CAST(date_trunc('day', ts) AS DATE)) AS day,
-      |    CAST(round(min_by(value, event_id) * 100, 0) AS BIGINT) AS gauge_c
-      |  FROM events GROUP BY 1, 2),
-      |s AS (
-      |  SELECT user_id, ms, day, gauge_c,
-      |    CAST(sum(gauge_c) OVER (PARTITION BY user_id ORDER BY ms
-      |      ROWS UNBOUNDED PRECEDING) % $tsCounterMod AS BIGINT) AS counter
-      |  FROM s0),
-      |d AS (
-      |  SELECT user_id, ms, day, gauge_c, counter,
-      |    lag(counter) OVER (PARTITION BY day, user_id ORDER BY ms) AS prev
-      |  FROM s),
-      |i AS (
-      |  SELECT day, user_id,
-      |    CAST(round(CAST(sum(CASE WHEN prev IS NULL THEN 0
-      |        WHEN counter >= prev THEN counter - prev ELSE counter END) AS DOUBLE)
-      |      * 1000000 / greatest(max(ms) - min(ms), 1), 0) AS BIGINT) AS rate_milli,
-      |    CAST(round(CAST(sum(gauge_c) AS DOUBLE) * 1000 / count(gauge_c), 0)
-      |      AS BIGINT) AS avg_g,
-      |    count(*) AS n_samp
-      |  FROM d GROUP BY 1, 2)
+    Some(s"""$tsDailyCte
       |SELECT day, max(rate_milli) AS max_rate,
       |  CAST(sum(rate_milli) AS BIGINT) AS total_rate,
       |  CAST(round(CAST(sum(avg_g) AS DOUBLE) * 1000 / count(avg_g), 0) AS BIGINT)
       |    AS avg_gauge,
       |  CAST(sum(n_samp) AS BIGINT) AS n
       |FROM i GROUP BY 1 ORDER BY day""".stripMargin))
+
+  /** TS with a pipeline CONTINUING past the time-series STATS: the
+    * first STATS collapses the series (two-level aggregation), and the
+    * second is an ORDINARY aggregation over the daily frame — TS mode
+    * applies to the first STATS only (ES's contract; the r17 pipeline
+    * fuzzer found the mode leaking pipeline-wide, demanding _tsid of
+    * an already-collapsed frame — EsqlParser.compile now drops it
+    * after the first STATS, and this key pins the fix under the
+    * DuckDB oracle). */
+  private[graft] val esqlTsPipelineQuery =
+    """TS metrics
+      || STATS day_rate = SUM(RATE(counter)), samp = COUNT(*) BY day
+      || STATS peak_rate = MAX(day_rate), days = COUNT(*), total_samp = SUM(samp)""".stripMargin
+  val esqlTsPipelineOp = QueryDef(
+    "ns_esql_ts_pipeline",
+    (s, dir) => EsqlParser.run(esqlTsPipelineQuery, _ => tsMetricsFrame(s, dir)),
+    Some(s"""$tsDailyCte,
+      |day_agg AS (
+      |  SELECT day, CAST(sum(rate_milli) AS BIGINT) AS day_rate,
+      |    CAST(sum(n_samp) AS BIGINT) AS samp
+      |  FROM i GROUP BY 1)
+      |SELECT max(day_rate) AS peak_rate, count(*) AS days,
+      |  CAST(sum(samp) AS BIGINT) AS total_samp
+      |FROM day_agg""".stripMargin))
 
   /** ES|QL `CATEGORIZE` — 9.x's log-template grouping function, the
     * observability flagship (`STATS n BY cat = CATEGORIZE(message)`).
@@ -2799,6 +2828,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
+    esqlTsPipelineOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
     esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
     esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,
