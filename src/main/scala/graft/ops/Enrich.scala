@@ -752,19 +752,25 @@ object Enrich {
     * as plain string comparison. */
   private[graft] def ip6hex(ip: Column): Column = {
     val norm = lower(ip)
+    // whole-address validation FIRST (r17 review: an unconditional
+    // empty-group filter would accept "1:::2" / trailing-lone-colon
+    // forms and mint the SAME id as a different valid address —
+    // malformed telemetry must null, never falsely correlate): the
+    // full form is exactly 8 colon-separated groups; the compressed
+    // form is optional group runs strictly ADJACENT to one "::"
+    val h = "[0-9a-f]{1,4}"
+    val fullRx = s"^$h(:$h){7}$$"
+    val compRx = s"^($h(:$h)*)?::($h(:$h)*)?$$"
     def gs(c: Column): Column = filter(split(c, ":"), g => g =!= lit(""))
     def hexOf(groups: Column): Column =
       upper(array_join(transform(groups, g => lpad(g, 4, "0")), ""))
-    def valid(groups: Column): Column =
-      forall(groups, g => g.rlike("^[0-9a-f]{1,4}$"))
     val parts = split(norm, "::", -1)
     val lhs = gs(element_at(parts, 1))
     val rhs = gs(try_element_at(parts, lit(2)))
     val zeros = substring(lit("0" * 32), lit(1), lit(32) - (size(lhs) + size(rhs)) * 4)
-    when(size(parts) === 2 && size(lhs) + size(rhs) <= lit(7)
-        && valid(lhs) && valid(rhs),
+    when(norm.rlike(compRx) && size(lhs) + size(rhs) <= lit(7),
       concat(hexOf(lhs), zeros, hexOf(rhs)))
-      .when(size(parts) === 1 && size(lhs) === 8 && valid(lhs), hexOf(lhs))
+      .when(norm.rlike(fullRx), hexOf(gs(norm)))
   }
 
   private[graft] def communityId(srcIp: Column, dstIp: Column,

@@ -1822,17 +1822,33 @@ object EsqlParser {
             lit(graft.BuildInfo.hash).as("hash"))
       case _ => throw ParseError("query must start with FROM, TS, ROW or SHOW", 0)
     }
-    // TS mode applies to the FIRST STATS only — it collapses the time
-    // series, so any later STATS in the same pipeline is an ordinary
-    // aggregation over the already-aggregated frame (ES's contract; a
-    // second over-time function would now correctly fail as an
-    // unsupported aggregate). Found by the r17 pipeline fuzzer: the
-    // pipeline-global flag made `TS … | STATS … | STATS …` demand
-    // _tsid of a frame that no longer has one.
-    var tsMode = cmds.headOption.exists(_.isInstanceOf[TsFrom])
-    cmds.tail.foldLeft(df0) { (df, cmd) =>
+    applyCmds(df0, cmds.tail, resolve, policies,
+      cmds.headOption.exists(_.isInstanceOf[TsFrom]), completions)
+  }
+
+  /** Apply a command SEQUENCE with the TS-mode transition: TS mode
+    * applies to the FIRST STATS only — it collapses the time series,
+    * so any later STATS in the same sequence is an ordinary
+    * aggregation over the already-aggregated frame (ES's contract; a
+    * second over-time function correctly fails as an unsupported
+    * aggregate). Found by the r17 pipeline fuzzer: the pipeline-global
+    * flag made `TS … | STATS … | STATS …` demand _tsid of a frame that
+    * no longer has one. Shared by compile() and FORK's branch folds
+    * (the r17 review's follow-up: a STATS inside a FORK branch
+    * transitions the mode for ITS branch), and TS mode does not
+    * survive the FORK itself — the unioned frame carries per-branch
+    * null-filled columns and is no longer THE series frame, so the
+    * post-FORK pipeline is ordinary. */
+  private def applyCmds(df0: DataFrame, cmds: Seq[Cmd],
+                        resolve: String => DataFrame,
+                        policies: String => (DataFrame, String),
+                        tsMode0: Boolean,
+                        completions: String => (DataFrame, Column, String) => DataFrame)
+      : DataFrame = {
+    var tsMode = tsMode0
+    cmds.foldLeft(df0) { (df, cmd) =>
       val out = applyCmd(df, cmd, resolve, policies, tsMode, completions)
-      if (tsMode && cmd.isInstanceOf[Stats]) tsMode = false
+      if (tsMode && (cmd.isInstanceOf[Stats] || cmd.isInstanceOf[Fork])) tsMode = false
       out
     }
   }
@@ -2058,9 +2074,10 @@ object EsqlParser {
           // unfiltered pass. unionByName(allowMissing) nulls a column
           // a branch didn't produce — ES FORK's column-union
           // semantics.
+          // branch folds run through applyCmds so a branch's own first
+          // STATS consumes TS mode for THAT branch (r17 review)
           branches.zipWithIndex.map { case (bs, bi) =>
-            bs.foldLeft(df)((d, c) =>
-              applyCmd(d, c, resolve, policies, tsMode, completions))
+            applyCmds(df, bs, resolve, policies, tsMode, completions)
               .withColumn("_fork", lit(s"fork${bi + 1}"))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
         case Fuse(id, rank) =>

@@ -159,7 +159,13 @@ class CommunityIdSpec extends SparkSpec {
       ("1.2.3.4", "5.6.7.8", null, null, "ipv6-icmp", 128, 0),
       ("2001:db8::1", "2001:db8::2", null, null, "ipv6-icmp", null, null),
       ("2001:db8::zz", "2001:db8::2", 1, 2, "tcp", null, null),
-      ("1::2::3", "2001:db8::2", 1, 2, "tcp", null, null)))
+      ("1::2::3", "2001:db8::2", 1, 2, "tcp", null, null),
+      // r17 review: non-boundary empty groups and lone leading/trailing
+      // colons must null, never silently hash like a DIFFERENT valid
+      // address ("1:::2" ≠ "1::2"; the JDK reference rejects all three)
+      ("1:::2", "2001:db8::2", 1, 2, "tcp", null, null),
+      ("1:2:3:4:5:6:7:8:", "2001:db8::2", 1, 2, "tcp", null, null),
+      (":1:2:3:4:5:6:7:8", "2001:db8::2", 1, 2, "tcp", null, null)))
     assert(got(0).contains("1:dGHyGvjMfljg6Bppwm3bg0LO8TY="))
     assert(got(1).contains("1:dGHyGvjMfljg6Bppwm3bg0LO8TY="))
     assert(got(2).contains("1:u2vMS3HiWth2lIMKHB1fjELshpQ="))
@@ -169,7 +175,7 @@ class CommunityIdSpec extends SparkSpec {
     assert(got(6) == got(7) && got(6).contains(
       refCommunityId("fe80::1", "fe80::2", 5353, 5353, "udp")),
       "zero-compression and expanded v6 forms must hash identically")
-    (8 to 13).foreach { i =>
+    (8 to 16).foreach { i =>
       assert(got(i).isEmpty, s"row $i must null (family/shape guard), got ${got(i)}")
     }
   }

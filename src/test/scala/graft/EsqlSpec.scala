@@ -1093,4 +1093,39 @@ class EsqlSpec extends SparkSpec {
       _ => df, session = Some(spark)).collect().head
     assert(ok.getBoolean(0))
   }
+
+  test("r17 review pins: TS mode scopes per FORK branch and does not survive the FORK") {
+    import spark.implicits._
+    // two series: a = monotone counter (deltas 4, 6 over 2 ms → rate
+    // 5e6 milli-units/sec); b = one reset (deltas −2 → +3, +6 →
+    // increase 9 over 2 ms → 4.5e6)
+    val tsdf = Seq(
+      ("a", 1L, 10L), ("a", 2L, 14L), ("a", 3L, 20L),
+      ("b", 1L, 5L), ("b", 2L, 3L), ("b", 3L, 9L)
+    ).toDF("_tsid", "_ts_ms", "counter")
+    // a STATS inside a FORK branch consumes TS mode for ITS branch —
+    // the branch's SECOND STATS is an ordinary aggregation over the
+    // collapsed frame (pre-fix: ParseError "TS source must carry _tsid")
+    val fork = EsqlParser.run(
+      """TS m
+        || FORK (STATS a0 = MAX(RATE(counter)) | STATS b0 = MAX(a0))
+        |       (WHERE _ts_ms > 1)
+        || KEEP _fork, b0""".stripMargin,
+      { case "m" => tsdf }, session = Some(spark)).collect()
+    assert(fork.length == 5, s"1 collapsed row + 4 filtered rows, got ${fork.length}")
+    val b0s = fork.filter(_.getString(0) == "fork1").map(_.getLong(1)).toSeq
+    assert(b0s == Seq(5000000L), s"branch-local two-level then plain MAX, got $b0s")
+    assert(fork.filter(_.getString(0) == "fork2").forall(_.isNullAt(1)),
+      "branch-missing column nulls")
+    // TS mode does not survive the FORK: the post-FORK STATS is an
+    // ordinary aggregation over the unioned frame (pre-fix: demanded
+    // _tsid of a frame carrying per-branch nulls)
+    val post = EsqlParser.run(
+      """TS m
+        || FORK (STATS x = SUM(RATE(counter))) (WHERE _ts_ms > 1)
+        || STATS y = MAX(x), n = COUNT(*)""".stripMargin,
+      { case "m" => tsdf }, session = Some(spark)).collect().head
+    assert(post.getLong(0) == 9500000L, s"sum of both series' rates, got ${post.getLong(0)}")
+    assert(post.getLong(1) == 5L)
+  }
 }

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from compare import canon, normalize, TABLES  # the REAL gate's canon
+from compare import normalize, TABLES  # the REAL gate's normalize (applies its canon)
 
 
 def perturb_value(v):
@@ -127,8 +127,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     report = {}
-    survived = 0
     skipped = []
+    # a typo'd key on the command line must be an ERROR, not a silently
+    # empty (and therefore vacuously green) audit (r17 review)
+    unknown = sorted(only - set(oracles))
+    if unknown:
+        print(f"ERROR: requested keys not in oracle_sql.json: {unknown}")
+        sys.exit(2)
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -143,15 +148,12 @@ def main():
         base_rows = [tuple(d[c] for c in names) for d in dict_rows]
         if not compare_frame(con, oracles[name], names, base_rows):
             report[name] = {"baseline": "FAIL — dump does not match oracle"}
-            survived += 1
             continue
         entry = {}
         for label, mut in mutations(dict_rows, tbl.schema):
             rows = [tuple(d[c] for c in names) for d in mut]
             ok = compare_frame(con, oracles[name], names, rows)
             entry[label] = "survived" if ok else "killed"
-            if ok:
-                survived += 1
         report[name] = entry
     total_keys = len(report)
     total_muts = sum(len(v) for v in report.values())
