@@ -773,33 +773,55 @@ object Enrich {
       .when(norm.rlike(fullRx), hexOf(gs(norm)))
   }
 
+  /** Per-row address encoding: the family dispatch BOTH entry points
+    * share — fixed-width uppercase hex (8 chars v4, 32 chars v6), null
+    * on malformation. */
+  private[graft] def ipHexCol(ip: Column): Column =
+    when(ip.contains(":"), ip6hex(ip))
+      .otherwise(lpad(hex(ip4u32(ip)), 8, "0"))
+
   private[graft] def communityId(srcIp: Column, dstIp: Column,
       srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0,
+      icmpType: Column = lit(null), icmpCode: Column = lit(null)): Column =
+    communityIdFromHex(ipHexCol(srcIp), ipHexCol(dstIp),
+      srcPort, dstPort, proto, seed, icmpType, icmpCode)
+
+  /** The flow hash over PRE-ENCODED address hex (ipHexCol). The
+    * declared operator stages the two hex columns in their own
+    * projection first: the encoding (regex validation + group
+    * parsing for v6) appears 4× in this expression tree's conditional
+    * branches, where codegen's subexpression elimination cannot reach —
+    * staging computes each ONCE per row and CollapseProject keeps the
+    * stage (it never inlines non-cheap multi-use aliases), which is
+    * the difference between ~0.9 s and ~0.3 s per sf0.1 pass.
+    *
+    * Supported protocols: the port-carrying ones (tcp/udp/sctp) plus
+    * ICMPv4 and ICMPv6, over EITHER address family (v4 dotted-quad or
+    * v6 hex groups — detected per row, encoded to fixed-width
+    * hex so one concat→unhex→sha1 pass serves both). ICMP hashes
+    * type/code as PSEUDO-ports (spec §ICMP): a type with a known reply
+    * type is TWO-WAY — the pseudo-port pair is (type, reply[type]) and
+    * the normal canonical ordering applies, so an echo request and its
+    * reply correlate to ONE id; a type without a reply mapping is
+    * ONE-WAY — (type, code), endpoint order KEPT as given. ICMPv6 uses
+    * the spec's OWN v6 type map under proto 58. An icmp row whose
+    * type/code columns are absent (the old 5-tuple record) yields NULL
+    * rather than a nonconforming id (the processor's ignore_missing
+    * stance), as does a MIXED-family pair (the spec hashes same-family
+    * byte tuples — detected as unequal hex WIDTHS) or a proto/family
+    * mismatch; CommunityIdSpec pins the spec-derived vectors (v4 + v6)
+    * and the null contracts. */
+  private[graft] def communityIdFromHex(sHex: Column, dHex: Column,
+      srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0,
       icmpType: Column = lit(null), icmpCode: Column = lit(null)): Column = {
-    // Supported protocols: the port-carrying ones (tcp/udp/sctp) plus
-    // ICMPv4 and ICMPv6, over EITHER address family (v4 dotted-quad or
-    // v6 hex groups — detected per row by ':', encoded to fixed-width
-    // hex so one concat→unhex→sha1 pass serves both). ICMP hashes
-    // type/code as PSEUDO-ports (spec §ICMP): a type with a known reply
-    // type is TWO-WAY — the pseudo-port pair is (type, reply[type]) and
-    // the normal canonical ordering applies, so an echo request and its
-    // reply correlate to ONE id; a type without a reply mapping is
-    // ONE-WAY — (type, code), endpoint order KEPT as given. ICMPv6 uses
-    // the spec's OWN v6 type map under proto 58. An icmp row whose
-    // type/code columns are absent (the old 5-tuple record) yields NULL
-    // rather than a nonconforming id (the processor's ignore_missing
-    // stance), as does a MIXED-family pair (the spec hashes same-family
-    // byte tuples) or a proto/family mismatch; CommunityIdSpec pins the
-    // spec-derived vectors (v4 + v6) and the null contracts.
     val protoNum = when(proto === "tcp", 6L).when(proto === "udp", 17L)
       .when(proto === "sctp", 132L).when(proto === "icmp", 1L)
       .when(proto === "ipv6-icmp", 58L)
-    val srcV6 = srcIp.contains(":")
-    val dstV6 = dstIp.contains(":")
-    def hex32(c: Column) = lpad(hex(c), 8, "0")
+    // family from the encoding's fixed width (8 = v4, 32 = v6); a
+    // malformed address has NULL hex, which nulls these and the id
+    val srcV6 = length(sHex) === 32
+    val dstV6 = length(dHex) === 32
     def hex16(c: Column) = lpad(hex(c), 4, "0")
-    val sHex = when(srcV6, ip6hex(srcIp)).otherwise(hex32(ip4u32(srcIp)))
-    val dHex = when(dstV6, ip6hex(dstIp)).otherwise(hex32(ip4u32(dstIp)))
     val isIcmp = proto === "icmp"
     val isIcmp6 = proto === "ipv6-icmp"
     // ICMPv4 request→reply type mapping (spec §ICMP, v1)
@@ -869,12 +891,19 @@ object Enrich {
           when(col("icmp_type") === 8, 128).when(col("icmp_type") === 0, 129)
             .when(col("icmp_type") === 13, 135).when(col("icmp_type") === 14, 136)
             .otherwise(col("icmp_type"))).otherwise(col("icmp_type")))
-      df.select(col("event_id"), col("src_ip"), col("dst_ip"),
-        col("src_port"), col("dst_port"), col("proto"),
-        col("icmp_type"), col("icmp_code"),
-        communityId(col("src_ip"), col("dst_ip"),
+      // stage the per-IP hex encoding in its OWN projection: the
+      // expression tree downstream references each hex 4× inside
+      // conditional branches codegen CSE can't reach, and
+      // CollapseProject keeps a non-cheap multi-use alias staged —
+      // each address encodes once per row (see communityIdFromHex)
+      df.withColumn("__cid_s", ipHexCol(col("src_ip")))
+        .withColumn("__cid_d", ipHexCol(col("dst_ip")))
+        .select(col("event_id"), col("src_ip"), col("dst_ip"),
           col("src_port"), col("dst_port"), col("proto"),
-          icmpType = col("icmp_type"), icmpCode = col("icmp_code")).as("community_id"))
+          col("icmp_type"), col("icmp_code"),
+          communityIdFromHex(col("__cid_s"), col("__cid_d"),
+            col("src_port"), col("dst_port"), col("proto"),
+            icmpType = col("icmp_type"), icmpCode = col("icmp_code")).as("community_id"))
     },
     None) // sha1 is not expressible in DuckDB — CommunityIdSpec is the gate
 
