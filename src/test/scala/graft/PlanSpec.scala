@@ -1817,4 +1817,26 @@ class PlanSpec extends SparkSpec {
     assert(ops.Par.spread(spark, mem, col("doc_id")) eq mem,
       "a non-file frame must pass through untouched")
   }
+
+  test("np_community_id: the per-IP hex encoding stays STAGED, encoded once per row") {
+    // the r17 staging: the flow-hash expression references each address
+    // encoding 4× inside conditional branches codegen CSE can't reach;
+    // the operator computes ipHexCol once per IP in its own projection
+    // and CollapseProject must keep it (non-cheap multi-use alias). If
+    // the staged aliases vanish from the plan, the v6 encoder is being
+    // re-inlined per reference — a ~2× regression on this key.
+    val p = physical("np_community_id")
+    val txt = p.toString
+    assert(txt.contains("__cid_s") && txt.contains("__cid_d"),
+      "staged hex aliases must survive optimization (CollapseProject re-inlined them)")
+    // and the final projection consumes the staged columns by REFERENCE:
+    // exactly one rlike-bearing projection (the encoder), not one per use
+    val rlikeProjects = nodes(p).count {
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        pr.projectList.exists(_.toString.contains("RLIKE"))
+      case _ => false
+    }
+    assert(rlikeProjects == 1,
+      s"the v6 regex validation must live in exactly one projection, found $rlikeProjects")
+  }
 }
