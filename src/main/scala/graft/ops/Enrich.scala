@@ -775,10 +775,20 @@ object Enrich {
 
   /** Per-row address encoding: the family dispatch BOTH entry points
     * share — fixed-width uppercase hex (8 chars v4, 32 chars v6), null
-    * on malformation. */
+    * on malformation. The v4 leg validates the dotted quad first (r17
+    * second-review find, the same defect class as the v6 fix): without
+    * the octet-range gate, "300.1.1.1" encodes to NINE hex chars that
+    * lpad TRUNCATES to the exact encoding of 18.192.16.16 — a
+    * malformed address silently minting a DIFFERENT valid flow's id —
+    * and a five-octet "1.2.3.4.5" hashes identically to "1.2.3.4"
+    * (ip4u32 reads the first four). Leading-zero octets stay accepted
+    * as decimal, matching the independent JVM reference's split+toInt
+    * parse. */
+  private val ip4Octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+  private val ip4Rx = s"^$ip4Octet(\\.$ip4Octet){3}$$"
   private[graft] def ipHexCol(ip: Column): Column =
     when(ip.contains(":"), ip6hex(ip))
-      .otherwise(lpad(hex(ip4u32(ip)), 8, "0"))
+      .when(ip.rlike(ip4Rx), lpad(hex(ip4u32(ip)), 8, "0"))
 
   private[graft] def communityId(srcIp: Column, dstIp: Column,
       srcPort: Column, dstPort: Column, proto: Column, seed: Int = 0,

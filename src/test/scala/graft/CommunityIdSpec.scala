@@ -165,7 +165,14 @@ class CommunityIdSpec extends SparkSpec {
       // address ("1:::2" ≠ "1::2"; the JDK reference rejects all three)
       ("1:::2", "2001:db8::2", 1, 2, "tcp", null, null),
       ("1:2:3:4:5:6:7:8:", "2001:db8::2", 1, 2, "tcp", null, null),
-      (":1:2:3:4:5:6:7:8", "2001:db8::2", 1, 2, "tcp", null, null)))
+      (":1:2:3:4:5:6:7:8", "2001:db8::2", 1, 2, "tcp", null, null),
+      // r17 second review: malformed v4 must null too — an out-of-range
+      // octet's 9-char hex would otherwise lpad-TRUNCATE to the exact
+      // encoding of a different valid address (300.1.1.1 ≡ 18.192.16.16)
+      // and a fifth octet would silently drop (1.2.3.4.5 ≡ 1.2.3.4)
+      ("300.1.1.1", "5.6.7.8", 1, 2, "tcp", null, null),
+      ("1.2.3.4.5", "5.6.7.8", 1, 2, "tcp", null, null),
+      ("1.2.3", "5.6.7.8", 1, 2, "tcp", null, null)))
     assert(got(0).contains("1:dGHyGvjMfljg6Bppwm3bg0LO8TY="))
     assert(got(1).contains("1:dGHyGvjMfljg6Bppwm3bg0LO8TY="))
     assert(got(2).contains("1:u2vMS3HiWth2lIMKHB1fjELshpQ="))
@@ -175,7 +182,7 @@ class CommunityIdSpec extends SparkSpec {
     assert(got(6) == got(7) && got(6).contains(
       refCommunityId("fe80::1", "fe80::2", 5353, 5353, "udp")),
       "zero-compression and expanded v6 forms must hash identically")
-    (8 to 16).foreach { i =>
+    (8 to 19).foreach { i =>
       assert(got(i).isEmpty, s"row $i must null (family/shape guard), got ${got(i)}")
     }
   }

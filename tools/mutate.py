@@ -174,7 +174,11 @@ def main():
     surviving = {k: v for k, v in surviving.items() if v}
     if surviving:
         print("SURVIVING MUTANTS:", json.dumps(surviving, indent=1))
-    sys.exit(1 if surviving else 0)
+    # a key with no dump was NOT audited — a stale or partial Verify
+    # output must fail the audit, not read green (r17 second review)
+    if skipped:
+        print(f"SKIPPED (no parquet dump — stale Verify output?): {skipped}")
+    sys.exit(1 if (surviving or skipped) else 0)
 
 
 if __name__ == "__main__":
