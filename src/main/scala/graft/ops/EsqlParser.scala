@@ -1683,7 +1683,13 @@ object EsqlParser {
 
   private[graft] def lexicalRerankScore(query: String, field: Column): Column = {
     val terms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
-    terms.map(t => least(barTf(t, field), lit(3L))).reduce(_ + _)
+    // null-field gate (r17, found planning the rerank fuzzer): barTf of
+    // a null field is null and Spark's `least` IGNORES nulls, so
+    // least(null, 3) = 3 — an ungated sum would score a MISSING field
+    // at the saturation cap per term, ranking null docs TOP. A doc
+    // without the reranked field scores null instead.
+    when(field.isNotNull,
+      terms.map(t => least(barTf(t, field), lit(3L))).reduce(_ + _))
   }
 
   /** Materialize `BY name = expr` grouping expressions ahead of the

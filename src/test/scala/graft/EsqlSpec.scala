@@ -1127,5 +1127,14 @@ class EsqlSpec extends SparkSpec {
       { case "m" => tsdf }, session = Some(spark)).collect().head
     assert(post.getLong(0) == 9500000L, s"sum of both series' rates, got ${post.getLong(0)}")
     assert(post.getLong(1) == 5L)
+    // RERANK of a NULL field scores null, not the saturation cap:
+    // barTf(null) is null and Spark's least() IGNORES nulls, so an
+    // ungated Σ least(tf, 3) would rank missing-field docs TOP at
+    // 3·|terms| (found planning the r17 rerank fuzzer)
+    val rr = EsqlParser.run(
+      """ROW a = 1 | EVAL t = CASE(a > 1, "xx")
+        || RERANK "xx yy" ON t | KEEP _score""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(rr.isNullAt(0), "a null field must score null, not 3 per term")
   }
 }

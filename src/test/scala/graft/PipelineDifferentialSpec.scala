@@ -95,6 +95,24 @@ class PipelineDifferentialSpec extends SparkSpec {
       .toDF("k", "tag", "tier")
   }
 
+  // RANGE-typed ENRICH policy: [lo, hi) intervals with DELIBERATE
+  // overlaps, shared (lo, hi) prefixes, adjacent boundaries, and a
+  // one-wide interval — the max_matches=1 sweep-disjointification's
+  // winner rule (smallest (lo, hi, fields…)) is the point under fuzz
+  private val rangeDim: Seq[(Long, Long, String, Long)] = Seq(
+    (-50L, 100L, "low", 1L), (0L, 200L, "mid", 2L), (100L, 200L, "highA", 3L),
+    (150L, 400L, "highB", 4L), (150L, 400L, "dupJ", 5L), (500L, 501L, "point", 6L))
+  private lazy val rangeDimDf = {
+    import spark.implicits._
+    rangeDim.toDF("__range_lo", "__range_hi", "rtag", "rtier")
+  }
+  /** The winner for a value: smallest (lo, hi, rtag, rtier) among the
+    * containing intervals — the engine's per-segment row_number rule. */
+  private def rangeHit(v: Long): Option[(String, Long)] =
+    rangeDim.filter { case (lo, hi, _, _) => v >= lo && v < hi }
+      .sortBy { case (lo, hi, tag, tier) => (lo, hi, tag, tier) }
+      .headOption.map { case (_, _, tag, tier) => (tag, tier) }
+
   // LOOKUP JOIN index keyed on `lang`, deliberately missing one lang so
   // the left-join null path occurs; unique keys — no row multiplication
   private lazy val lookupDim: Map[String, (Long, String)] = {
@@ -249,6 +267,13 @@ class PipelineDifferentialSpec extends SparkSpec {
   /** Full-text WHERE: lang 0 = QSTR, 1 = KQL, 2 = MATCH, over `field`
     * as the text field. */
   private case class PFtWhere(lang: Int, field: String, node: FTN) extends PCmd
+  /** ENRICH with the RANGE-typed `prange` policy on a numeric column:
+    * rtag/rtier from the winning interval, nulls on no match, clash
+    * columns overwritten (the keyword-ENRICH contract). */
+  private case class PEnrichRange(on: String) extends PCmd
+  /** RERANK with the lexical scorer: _score = Σ min(tf, 3) over the
+    * distinct query terms; a null field scores null. */
+  private case class PRerank(terms: Seq[String], field: String) extends PCmd
 
   // full-text mini-AST (the generated subset of each box language)
   private sealed trait FTN
@@ -399,6 +424,8 @@ class PipelineDifferentialSpec extends SparkSpec {
       val fn = lang match { case 0 => "QSTR"; case 1 => "KQL"; case _ => "MATCH" }
       val q = renderFt(lang, node).replace("\\", "\\\\").replace("\"", "\\\"")
       s"""| WHERE $fn($field, "$q")"""
+    case PEnrichRange(on) => s"| ENRICH prange ON $on"
+    case PRerank(terms, field) => s"""| RERANK "${terms.mkString(" ")}" ON $field"""
   }
 
   // evaluator: aggregate a group's rows per the dialect contracts
@@ -661,6 +688,20 @@ class PipelineDifferentialSpec extends SparkSpec {
       }
     case PFtWhere(_, field, node) =>
       rows.filter(r => evalFt(node, field, r).contains(true))
+    case PEnrichRange(on) =>
+      rows.map { r =>
+        val hit = r(on).map(_.asInstanceOf[Long]).flatMap(rangeHit)
+        (r - "rtag" - "rtier") ++ Map[String, Option[Any]](
+          "rtag" -> hit.map(_._1), "rtier" -> hit.map(_._2))
+      }
+    case PRerank(terms, field) =>
+      rows.map { r =>
+        val score = r(field).map(_.asInstanceOf[String]).map { v =>
+          val toks = v.trim.split(" ", -1).toSeq
+          terms.map(t => math.min(toks.count(_ == t), 3).toLong).sum
+        }
+        r + ("_score" -> (score: Option[Any]))
+      }
   }
 
   // ------------------------------------------------- program generator
@@ -939,7 +980,10 @@ class PipelineDifferentialSpec extends SparkSpec {
     val df = EsqlParser.run(q,
       { case "ldim" => lookupDimDf; case "tsrc" => tsDf; case _ => docsFrame },
       session = Some(spark),
-      policies = { case "ptags" => (enrichDimDf, "k") })
+      policies = {
+        case "ptags" => (enrichDimDf, "k")
+        case "prange" => (rangeDimDf, "__none")
+      })
     val fields = df.schema.fields
     df.collect().toSeq.map { r =>
       fields.zipWithIndex.map { case (f, i) =>
@@ -1305,6 +1349,22 @@ class PipelineDifferentialSpec extends SparkSpec {
     on <- Gen.oneOf(s.longNames ++ s.strs)
   } yield (PSample(p, on, s.strs.contains(on)): PCmd) -> s
 
+  /** Range ENRICH on a numeric column ("rtier" excluded as the join
+    * key — enriching ON a field the policy also emits would leave
+    * ambiguous twin columns, as with keyword ENRICH's tag/tier). */
+  private def enrichRangeGen(s: Schema): Gen[(PCmd, Schema)] =
+    Gen.oneOf(s.longNames.filterNot(_ == "rtier")).map { on =>
+      (PEnrichRange(on): PCmd) -> Schema(
+        s.longs.filterNot(_._1 == "rtier") :+ ("rtier" -> 10L),
+        s.strs.filterNot(_ == "rtag") :+ "rtag", s.mvs)
+    }
+  private def rerankGen(s: Schema): Gen[(PCmd, Schema)] = for {
+    n <- Gen.chooseNum(1, 3)
+    terms <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "zz", "aa_bb"))
+    field <- Gen.oneOf(s.strs)
+  } yield (PRerank(terms.distinct, field): PCmd) -> s.copy(
+    longs = s.longs.filterNot(_._1 == "_score") :+ ("_score" -> 9L))
+
   /** Generic tail command: the r16 machinery plus the new families
     * that are valid mid-pipeline (CATEGORIZE keys, fielded full-text
     * WHERE, SAMPLE). */
@@ -1312,9 +1372,11 @@ class PipelineDifferentialSpec extends SparkSpec {
     val picks = Seq.newBuilder[(Int, Gen[(PCmd, Schema)])]
     picks += 8 -> cmdGen(s, i)
     picks += 1 -> sampleCmdGen(s)
+    if (s.longNames.exists(_ != "rtier")) picks += 2 -> enrichRangeGen(s)
     if (s.strs.nonEmpty) {
       picks += 2 -> catStatsGen(s, i)
       picks += 2 -> ftFieldedGen(s, i)
+      picks += 2 -> rerankGen(s)
     }
     Gen.frequency(picks.result(): _*)
   }
@@ -1368,6 +1430,8 @@ class PipelineDifferentialSpec extends SparkSpec {
           val tag = lang match { case 0 => "qstr"; case 1 => "kql"; case _ => "match" }
           feature(s"ft_$tag") += 1
           if (f != "text") feature("ft_fielded") += 1
+        case PEnrichRange(_) => feature("enrich_range") += 1
+        case PRerank(_, _) => feature("rerank") += 1
         case PStats(_, by) if by.exists {
           case (_, Right(se)) => se.isInstanceOf[SCategorize]
           case _ => false
@@ -1393,7 +1457,8 @@ class PipelineDifferentialSpec extends SparkSpec {
     val required = Seq("fork", "fork_where", "fork_missing_col", "fuse",
       "ts_plain", "ts_nested", "ts_rate", "ts_avg", "ts_by", "ts_global",
       "change_point", "change_point_eval", "sample_str", "sample_long",
-      "ft_qstr", "ft_kql", "ft_match", "ft_fielded", "categorize")
+      "ft_qstr", "ft_kql", "ft_match", "ft_fielded", "categorize",
+      "enrich_range", "rerank")
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
