@@ -98,6 +98,10 @@ object EsqlParser {
   final case class Ident(name: String) extends Expr
   final case class NumLit(v: BigDecimal) extends Expr
   final case class StrLit(s: String) extends Expr
+  // [1, 2.5, -3] — ES|QL's bracketed MULTIVALUE literal (numeric
+  // scope): an array<long> when every element is whole, else
+  // array<double>; also the KNN query-vector form
+  final case class ArrLit(values: Seq[BigDecimal]) extends Expr
   /** A pinned instant (epoch micros) — the value a `?param` of timestamp
     * type binds to. ES|QL's request parameters are how a client says
     * "now" DETERMINISTICALLY: the coordinator pins the instant once per
@@ -226,7 +230,7 @@ object EsqlParser {
       if (c.isWhitespace) i += 1
       else if (i + 1 < q.length && twoCharSyms(q.substring(i, i + 2))) {
         out += TSym(q.substring(i, i + 2), i); i += 2
-      } else if ("|,()=<>+-*/%?".indexOf(c) >= 0) {
+      } else if ("|,()=<>+-*/%?[]".indexOf(c) >= 0) {
         out += TSym(c.toString, i); i += 1
       } else if (c == '"') {
         // \" and \\ escapes so DISSECT/GROK patterns can quote and backslash
@@ -398,6 +402,33 @@ object EsqlParser {
     }
     def parsePrim(): Expr = peek match {
       case Some(TSym("(", _)) => i += 1; val e = parseExpr(); eatSym(")"); e
+      case Some(TSym("[", p0)) =>
+        // bracketed multivalue literal (numeric scope — the ROW/EVAL
+        // mv literal and the KNN query-vector form)
+        i += 1
+        def num(): BigDecimal = peek match {
+          case Some(TNum(v, _)) => i += 1; v
+          case Some(TSym("-", _)) =>
+            i += 1
+            peek match {
+              case Some(TNum(v, _)) => i += 1; -v
+              case _ => throw ParseError("expected numeric literal after -", pos)
+            }
+          case _ => throw ParseError(
+            "multivalue literals take numeric elements ([1, -2.5, 3])", pos)
+        }
+        val vs = Seq.newBuilder[BigDecimal]
+        peek match {
+          case Some(TSym("]", _)) =>
+            throw ParseError("empty multivalue literal [] has no type", p0)
+          case _ =>
+            vs += num()
+            while (peek.exists { case TSym(",", _) => true; case _ => false }) {
+              i += 1; vs += num()
+            }
+        }
+        eatSym("]")
+        ArrLit(vs.result())
       case Some(TSym("-", _)) => i += 1; Neg(parsePrim())
       case Some(TSym("?", p0)) =>
         i += 1
@@ -933,6 +964,14 @@ object EsqlParser {
     case NumLit(v) =>
       if (v.isValidLong && v.scale <= 0) lit(v.toLong) else lit(v.toDouble)
     case StrLit(s) => lit(s)
+    // the bracketed multivalue literal: array<long> when every element
+    // is point-less whole (the NumLit rule element-wise), else
+    // array<double> — `[1, 2, 3]` groups with MV_SUM as longs,
+    // `[0.25, -1]` promotes the whole literal
+    case ArrLit(vs) =>
+      if (vs.forall(v => v.isValidLong && v.scale <= 0))
+        array(vs.map(v => lit(v.toLong)): _*)
+      else array(vs.map(v => lit(v.toDouble)): _*)
     case TsLit(us) => timestamp_micros(lit(us))
     case Bin(op @ ("+" | "-"), l, s: SpanLit) =>
       spanArith(compileExpr(l), s, negate = op == "-")
@@ -1417,6 +1456,9 @@ object EsqlParser {
       // default; this dialect names it as the first argument. Each
       // compiles onto the engine's OWN language machinery — one boolean
       // codegen expression, no second engine.
+      case ("KNN", _) => throw ParseError(
+        "KNN is a WHERE-level match function — use it as a positive " +
+          "top-level conjunct of WHERE", 0)
       case ("MATCH", Seq(Ident(f), StrLit(q))) =>
         // match query, default OR operator: any analyzed term present
         val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
@@ -1859,6 +1901,49 @@ object EsqlParser {
     }
   }
 
+  /** Decompose a WHERE condition into its top-level AND conjuncts,
+    * extracting at most one `KNN(field, [vector], k)` match function.
+    * KNN anywhere DEEPER — under OR/NOT, inside an expression or IN
+    * list — is a named error (ES's contract: knn must be a positive
+    * top-level conjunct so its k-nearest cut composes with the other
+    * predicates as prefilters). */
+  private def splitKnn(e: Expr)
+      : (Option[(String, Seq[BigDecimal], Int)], Seq[Expr]) = {
+    def conjuncts(x: Expr): Seq[Expr] = x match {
+      case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def hasKnn(x: Expr): Boolean = x match {
+      case Func("KNN", _) => true
+      case Func(_, as) => as.exists(hasKnn)
+      case Bin(_, l, r) => hasKnn(l) || hasKnn(r)
+      case Not(y) => hasKnn(y)
+      case Neg(y) => hasKnn(y)
+      case Like(y, _) => hasKnn(y)
+      case RLike(y, _) => hasKnn(y)
+      case IsNull(y, _) => hasKnn(y)
+      case In(y, vs) => hasKnn(y) || vs.exists(hasKnn)
+      case _ => false
+    }
+    val cs = conjuncts(e)
+    val (knns, rest) = cs.partition {
+      case Func("KNN", _) => true; case _ => false
+    }
+    if (knns.size > 1)
+      throw ParseError("at most one KNN per WHERE", 0)
+    if (rest.exists(hasKnn))
+      throw ParseError("KNN must be a positive top-level conjunct of WHERE " +
+        "(not under OR/NOT or inside an expression)", 0)
+    val parsed = knns.headOption.map {
+      case Func("KNN", Seq(Ident(f), ArrLit(vec), NumLit(k))) =>
+        if (!k.isWhole || !k.isValidInt || k < 1)
+          throw ParseError(s"KNN k must be a positive integer, got $k", 0)
+        (f, vec, k.toIntExact)
+      case _ => throw ParseError("KNN expects (field, [query vector], k)", 0)
+    }
+    (parsed, rest)
+  }
+
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
                        policies: String => (DataFrame, String),
                        tsMode: Boolean = false,
@@ -1867,7 +1952,30 @@ object EsqlParser {
       cmd match {
         case From(_, _) | TsFrom(_) | RowCmd(_) =>
           throw ParseError("FROM/TS/ROW only allowed first", 0)
-        case Where(e) => df.filter(compileExpr(e))
+        case Where(e) => splitKnn(e) match {
+          case (None, _) => df.filter(compileExpr(e))
+          case (Some((f, vec, k)), rest) =>
+            // ES|QL 9.1's `knn` match function: the OTHER top-level
+            // conjuncts are PREFILTERS (the filtered-kNN discipline —
+            // the exact top-k OF the filtered subset, never the
+            // post-filtered residue of an unfiltered search), the
+            // similarity is the engine's shared native cosine, the
+            // ordering is round(·, 6) desc with the frame's FIRST
+            // column as the deterministic tie-break (documented — ES
+            // breaks ties by internal doc id, which this dialect does
+            // not have), and the cut compiles to TakeOrderedAndProject
+            // — top-k bounded, never a global sort.
+            val pre = rest.map(compileExpr).reduceOption(_ && _)
+              .map(df.filter).getOrElse(df)
+            val q = array(vec.map(v => lit(v.toFloat)): _*)
+            val tie = df.columns.head
+            pre.withColumn("__knn_s",
+                round(graft.Cols.column(org.apache.spark.sql.graftshim.CosineSimilarity(
+                  graft.Cols.expr(col(f)), graft.Cols.expr(q))), 6))
+              .orderBy(col("__knn_s").desc, col(tie).asc)
+              .limit(k)
+              .drop("__knn_s")
+        }
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
         case Stats(aggs, by, byAssigns) if tsMode =>
           compileTsStats(applyByAssigns(df, byAssigns), aggs, by)

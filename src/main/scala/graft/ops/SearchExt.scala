@@ -2101,6 +2101,38 @@ object SearchExt {
       |  CAST(sum(samp) AS BIGINT) AS total_samp
       |FROM day_agg""".stripMargin))
 
+  /** ES|QL `knn` (9.1's vector match function inside WHERE — the
+    * language's entry point to the engine's similarity stack): `WHERE
+    * label < 12 AND KNN(embedding, [q…], 7)` keeps the exact 7 nearest
+    * rows OF the prefiltered subset (the other conjuncts are
+    * PREFILTERS — the ns_similarity_knn_filtered discipline, never the
+    * under-filled post-filter residue ES documents as the failure
+    * mode). The bracketed query vector is the new numeric MULTIVALUE
+    * literal; its values are dyadic rationals (k/4), exactly
+    * representable in both float and double, so the only cross-engine
+    * residue is the shared round(·, 6) the similarity family already
+    * absorbs. Ordering: rounded cosine desc, first-column (vec_id)
+    * tie-break; compiles to TakeOrderedAndProject — top-k bounded, no
+    * global sort (PlanSpec-locked shape across the similarity keys). */
+  private[graft] val esqlKnnVec: Seq[Double] =
+    (0 until 64).map(i => ((i % 7) - 3) * 0.25)
+  private[graft] val esqlKnnQuery =
+    s"""FROM embeddings
+       || WHERE label < 12 AND KNN(embedding, [${esqlKnnVec.mkString(", ")}], 7)
+       || KEEP vec_id, label
+       || SORT vec_id""".stripMargin
+  val esqlKnnOp = QueryDef(
+    "ns_esql_knn",
+    (s, dir) => EsqlParser.run(esqlKnnQuery,
+      _ => graft.ops.Par.spread(s, Tables.embeddings(s, dir), col("vec_id"))),
+    Some(s"""WITH c AS (SELECT vec_id, label,
+      |    round(list_cosine_similarity(embedding::DOUBLE[],
+      |      [${esqlKnnVec.mkString(", ")}]::DOUBLE[]), 6) AS s
+      |  FROM embeddings WHERE label < 12),
+      |r AS (SELECT vec_id, label,
+      |    row_number() OVER (ORDER BY s DESC, vec_id) AS rk FROM c)
+      |SELECT vec_id, label FROM r WHERE rk <= 7 ORDER BY vec_id""".stripMargin))
+
   /** ES|QL `CATEGORIZE` — 9.x's log-template grouping function, the
     * observability flagship (`STATS n BY cat = CATEGORIZE(message)`).
     * Compiles to the ns_agg_categorize_text normalization as an inline
@@ -2828,7 +2860,7 @@ object SearchExt {
     esqlStatsOp, esqlRowOp, esqlDissectOp, esqlGrokOp, esqlEnrichOp, esqlMvExpandOp,
     esqlLookupJoinOp, esqlBucketOp, esqlStatsWhereOp, esqlObservabilityOp, esqlInlineStatsOp, sqlApiOp,
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
-    esqlTsPipelineOp,
+    esqlTsPipelineOp, esqlKnnOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
     esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
     esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,

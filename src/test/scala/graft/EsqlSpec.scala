@@ -1137,4 +1137,58 @@ class EsqlSpec extends SparkSpec {
       _ => df, session = Some(spark)).collect().head
     assert(rr.isNullAt(0), "a null field must score null, not 3 per term")
   }
+
+  test("r17: multivalue literals and the KNN match function") {
+    // bracketed mv literal: array<long> when every element is a
+    // point-less whole (the NumLit rule element-wise), array<double>
+    // otherwise; negatives are literal elements
+    val mv = EsqlParser.run(
+      """ROW a = 1 | EVAL xs = [3, 1, -2], s = MV_SUM(xs), d = MV_SUM([0.25, -1])
+        || KEEP s, d""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(mv.getDouble(0) == 2.0, s"MV_SUM over the long literal, got ${mv.get(0)}")
+    assert(mv.getDouble(1) == -0.75, "a pointed element promotes the literal to doubles")
+    val empty = intercept[EsqlParser.ParseError](EsqlParser.run(
+      "ROW a = 1 | EVAL xs = []", _ => df, session = Some(spark)))
+    assert(empty.msg.contains("empty multivalue"), s"got: ${empty.msg}")
+
+    // KNN end-to-end on a tiny vector frame: prefilter applies BEFORE
+    // the k-nearest cut (the filtered-kNN discipline), dyadic values
+    // keep the cosine exact, ties break by the frame's first column
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 1f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(1f, 0f))).toDF("id", "emb")
+    val got = EsqlParser.run(
+      """FROM vecs
+        || WHERE KNN(emb, [1, 0], 2) AND id < 4
+        || KEEP id | SORT id""".stripMargin,
+      { case "vecs" => emb }, session = Some(spark)).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L),
+      s"top-2 of the PREfiltered subset (cos 1.0, 0.707107; id 4 excluded), got $got")
+    // identical-vector tie: ids 1 and 4 both at cos 1.0 → smaller first
+    // column wins the last slot
+    val tie = EsqlParser.run(
+      """FROM vecs | WHERE KNN(emb, [1, 0], 2) | KEEP id | SORT id""",
+      { case "vecs" => emb }, session = Some(spark)).collect().map(_.getLong(0)).toSeq
+    assert(tie == Seq(1L, 4L), s"ties break by the first column ascending, got $tie")
+
+    // misuse is NAMED: KNN outside WHERE, under OR/NOT, twice, bad k
+    val ev = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """FROM vecs | EVAL z = KNN(emb, [1, 0], 2)""",
+      { case "vecs" => emb }, session = Some(spark)))
+    assert(ev.msg.contains("WHERE-level"), s"got: ${ev.msg}")
+    val or = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """FROM vecs | WHERE id > 1 OR KNN(emb, [1, 0], 2)""",
+      { case "vecs" => emb }, session = Some(spark)))
+    assert(or.msg.contains("top-level conjunct"), s"got: ${or.msg}")
+    val twice = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """FROM vecs | WHERE KNN(emb, [1, 0], 2) AND KNN(emb, [0, 1], 2)""",
+      { case "vecs" => emb }, session = Some(spark)))
+    assert(twice.msg.contains("at most one KNN"), s"got: ${twice.msg}")
+    val badK = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """FROM vecs | WHERE KNN(emb, [1, 0], 0)""",
+      { case "vecs" => emb }, session = Some(spark)))
+    assert(badK.msg.contains("positive integer"), s"got: ${badK.msg}")
+  }
 }

@@ -1818,6 +1818,15 @@ class PlanSpec extends SparkSpec {
       "a non-file frame must pass through untouched")
   }
 
+  test("ns_esql_knn: the k-nearest cut is TakeOrderedAndProject, never a global sort") {
+    val p = physical("ns_esql_knn")
+    assert(nodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"KNN's top-k must compile to TakeOrderedAndProject:\n$p")
+    // (the key's own trailing SORT orders the 7 kept rows — k-bounded,
+    // not a corpus sort; the KNN cut itself must never be one)
+  }
+
   test("np_community_id: the per-IP hex encoding stays STAGED, encoded once per row") {
     // the r17 staging: the flow-hash expression references each address
     // encoding 4× inside conditional branches codegen CSE can't reach;
