@@ -1935,7 +1935,14 @@ object EsqlParser {
       throw ParseError("KNN must be a positive top-level conjunct of WHERE " +
         "(not under OR/NOT or inside an expression)", 0)
     val parsed = knns.headOption.map {
-      case Func("KNN", Seq(Ident(f), ArrLit(vec), NumLit(k))) =>
+      case Func("KNN", Seq(Ident(f), ArrLit(vec), kExpr)) =>
+        // a negative k literal parses as Neg(NumLit) — unwrap it so the
+        // documented non-positive-k error is actually reachable
+        val k = kExpr match {
+          case NumLit(k0) => k0
+          case Neg(NumLit(k0)) => -k0
+          case _ => throw ParseError("KNN expects (field, [query vector], k)", 0)
+        }
         if (!k.isWhole || !k.isValidInt || k < 1)
           throw ParseError(s"KNN k must be a positive integer, got $k", 0)
         (f, vec, k.toIntExact)
@@ -1959,22 +1966,34 @@ object EsqlParser {
             // conjuncts are PREFILTERS (the filtered-kNN discipline —
             // the exact top-k OF the filtered subset, never the
             // post-filtered residue of an unfiltered search), the
-            // similarity is the engine's shared native cosine, the
+            // similarity is the engine's shared native cosine (the
+            // field guarded/coerced at analysis time — numeric arrays
+            // cast to array<float>, anything else a NAMED error), the
             // ordering is round(·, 6) desc with the frame's FIRST
             // column as the deterministic tie-break (documented — ES
             // breaks ties by internal doc id, which this dialect does
-            // not have), and the cut compiles to TakeOrderedAndProject
-            // — top-k bounded, never a global sort.
+            // not have; determinism at the k boundary needs that
+            // column unique, as vec_id is), and the cut compiles to
+            // TakeOrderedAndProject — top-k bounded, never a global
+            // sort.
             val pre = rest.map(compileExpr).reduceOption(_ && _)
               .map(df.filter).getOrElse(df)
             val q = array(vec.map(v => lit(v.toFloat)): _*)
             val tie = df.columns.head
-            pre.withColumn("__knn_s",
-                round(graft.Cols.column(org.apache.spark.sql.graftshim.CosineSimilarity(
-                  graft.Cols.expr(col(f)), graft.Cols.expr(q))), 6))
-              .orderBy(col("__knn_s").desc, col(tie).asc)
+            if (df.schema.head.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+              throw ParseError("KNN's tie-break orders by the frame's first " +
+                s"column ($tie), which must be orderable (map type found)", 0)
+            // a score-column name the frame can't already own — a user
+            // column named __knn_s must survive the cut untouched
+            val sc = Iterator.from(0).map(i => s"__knn_s$i")
+              .find(n => !df.columns.contains(n)).get
+            val fieldVec = graft.Cols.column(
+              org.apache.spark.sql.graftshim.RequireFloatVec(graft.Cols.expr(col(f))))
+            pre.withColumn(sc,
+                round(graft.expr.VecFunctions.vec_cosine(fieldVec, q), 6))
+              .orderBy(col(sc).desc, col(tie).asc)
               .limit(k)
-              .drop("__knn_s")
+              .drop(sc)
         }
         case Eval(as) => as.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, compileExpr(e)) }
         case Stats(aggs, by, byAssigns) if tsMode =>

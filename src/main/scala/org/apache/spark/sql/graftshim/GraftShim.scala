@@ -190,6 +190,26 @@ case class RequireGeoPoint(child: Expression)
     copy(child = newChild)
 }
 
+/** Analysis-time guard + coercion for KNN's vector field (the
+  * RequireGeoPoint pattern): an array<float> passes through, any other
+  * NUMERIC array (the mv literals compile to array<long>/array<double>)
+  * casts to array<float> so the two features compose, and anything
+  * else gets a NAMED error instead of a raw DATATYPE_MISMATCH. */
+case class RequireFloatVec(child: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(FloatType, _) => child
+    case ArrayType(et: org.apache.spark.sql.types.NumericType, _) =>
+      org.apache.spark.sql.catalyst.expressions.Cast(child, ArrayType(FloatType))
+    case other => sys.error("KNN expects a numeric vector field " +
+      s"(array of float/double/long), got ${other.simpleString}")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ES|QL's spatial coordinate accessors ST_XMIN/ST_XMAX/ST_YMIN/
   * ST_YMAX (8.18) — TYPE-DIRECTED at analysis time (the
   * GeoEnvelopeRelate pattern): over an ENVELOPE geo_shape the accessor

@@ -1190,5 +1190,32 @@ class EsqlSpec extends SparkSpec {
       """FROM vecs | WHERE KNN(emb, [1, 0], 0)""",
       { case "vecs" => emb }, session = Some(spark)))
     assert(badK.msg.contains("positive integer"), s"got: ${badK.msg}")
+    // a NEGATIVE k reaches the same named error (it parses as
+    // Neg(NumLit) — r17 review: the validation was unreachable for it)
+    val negK = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """FROM vecs | WHERE KNN(emb, [1, 0], -2)""",
+      { case "vecs" => emb }, session = Some(spark)))
+    assert(negK.msg.contains("positive integer"), s"got: ${negK.msg}")
+    // the two r17 features COMPOSE: a vector built from the numeric mv
+    // literal (array<long>) coerces to the cosine's float vector
+    val composed = EsqlParser.run(
+      """ROW a = 1 | EVAL v = [1, 0] | WHERE KNN(v, [1, 0], 1) | KEEP a""",
+      _ => df, session = Some(spark)).collect()
+    assert(composed.map(_.getLong(0)).toSeq == Seq(1L))
+    // a NON-vector field is the named expectation, not a raw
+    // DATATYPE_MISMATCH
+    val badField = intercept[Throwable](EsqlParser.run(
+      """ROW a = 1 | EVAL s = "xx" | WHERE KNN(s, [1, 0], 1)""",
+      _ => df, session = Some(spark)).collect())
+    assert(badField.getMessage.contains("numeric vector field"),
+      s"got: ${badField.getMessage}")
+    // a user column literally named __knn_s survives the cut untouched
+    val keepScore = EsqlParser.run(
+      """FROM vecs | EVAL __knn_s = id * 10 | WHERE KNN(emb, [1, 0], 2)
+        || KEEP id, __knn_s | SORT id""".stripMargin,
+      { case "vecs" => emb }, session = Some(spark)).collect()
+    assert(keepScore.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (4L, 40L)),
+      "a pre-existing __knn_s column must not be clobbered by the score")
   }
 }
