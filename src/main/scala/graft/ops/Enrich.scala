@@ -743,15 +743,29 @@ object Enrich {
     * against an independent JVM MessageDigest implementation row-by-row
     * on the synthesized flows. */
   /** IPv6 text address → 32-char uppercase hex of the 16 bytes
-    * (RFC-4291 hex groups, with at most one `::` zero-compression).
-    * Pure codegen array/string functions — map-only, no UDF. Embedded
-    * dotted-quad tails (`::ffff:1.2.3.4`) and any other malformation
-    * yield NULL (the group regex gate), which nulls the whole id
-    * downstream rather than minting a nonconforming hash. Fixed-width
-    * uppercase hex also gives the spec's byte-tuple CANONICAL ordering
-    * as plain string comparison. */
+    * (RFC-4291 hex groups, with at most one `::` zero-compression,
+    * plus §2.2 form 3's embedded dotted-quad tail — `::ffff:1.2.3.4`,
+    * `64:ff9b::1.2.3.4`, `a:b:c:d:e:f:1.2.3.4` — which stands for the
+    * last 32 bits; r18 advice). Pure codegen array/string functions —
+    * map-only, no UDF. Any malformation yields NULL (the group regex
+    * gate), which nulls the whole id downstream rather than minting a
+    * nonconforming hash. Fixed-width uppercase hex also gives the
+    * spec's byte-tuple CANONICAL ordering as plain string comparison. */
   private[graft] def ip6hex(ip: Column): Column = {
-    val norm = lower(ip)
+    val raw = lower(ip)
+    // embedded dotted-quad tail: validate the quad with the SAME strict
+    // octet grammar as the v4 leg (inet_pton semantics — leading-zero
+    // octets and out-of-range values do NOT rewrite, so the hex-group
+    // regex below nulls the whole address), then rewrite it as its two
+    // hex groups and let the ordinary group-form validation judge the
+    // rewritten whole. "::ffff:300.1.1.1" keeps its dotted tail and
+    // nulls; ":1.2.3.4" rewrites to ":102:304" and nulls.
+    val quad = regexp_extract(raw, s"^.*:($ip4Octet(\\.$ip4Octet){3})$$", 1)
+    val qu = ip4u32(quad)
+    val norm = when(quad === "" || quad.isNull, raw).otherwise(concat(
+      regexp_extract(raw, s"^(.*:)$ip4Octet(\\.$ip4Octet){3}$$", 1),
+      lower(hex(shiftright(qu, 16))), lit(":"),
+      lower(hex(qu.bitwiseAND(lit(65535L))))))
     // whole-address validation FIRST (r17 review: an unconditional
     // empty-group filter would accept "1:::2" / trailing-lone-colon
     // forms and mint the SAME id as a different valid address —
@@ -781,10 +795,13 @@ object Enrich {
     * lpad TRUNCATES to the exact encoding of 18.192.16.16 — a
     * malformed address silently minting a DIFFERENT valid flow's id —
     * and a five-octet "1.2.3.4.5" hashes identically to "1.2.3.4"
-    * (ip4u32 reads the first four). Leading-zero octets stay accepted
-    * as decimal, matching the independent JVM reference's split+toInt
-    * parse. */
-  private val ip4Octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+    * (ip4u32 reads the first four). Leading-zero octets REJECT (r18
+    * advice): inet_pton — the community-id reference implementations'
+    * parser — refuses them to avoid the octal-ambiguity trap, so
+    * "01.2.3.4" must null rather than hash as 1.2.3.4 (the JDK's
+    * InetAddress accepts them; IpParseFuzzSpec's reference gates the
+    * same grammar before delegating to the JDK for bytes). */
+  private val ip4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
   private val ip4Rx = s"^$ip4Octet(\\.$ip4Octet){3}$$"
   private[graft] def ipHexCol(ip: Column): Column =
     when(ip.contains(":"), ip6hex(ip))
@@ -854,6 +871,12 @@ object Enrich {
     val sPort = when(icmpish, icmpType.cast("long")).otherwise(srcPort.cast("long"))
     val dPort = when(icmpish, coalesce(reply, icmpCode.cast("long")))
       .otherwise(dstPort.cast("long"))
+    // uint16 range gate on (pseudo-)ports (r18 advice — the same defect
+    // class as the address fixes): a negative or >65535 port/type makes
+    // hex() widen past 4 chars and silently MALFORM the payload, minting
+    // a nonconforming id; the byte-level reference's buf.putShort would
+    // truncate instead. Out-of-range → null, never a wrong id.
+    val portsOk = sPort.between(0L, 65535L) && dPort.between(0L, 65535L)
     val oneWay = icmpish && reply.isNull
     // canonical order: compare ips first (fixed-width uppercase hex IS
     // byte order within a family), (pseudo-)ports break ties; one-way
@@ -874,7 +897,7 @@ object Enrich {
     // (proto 1 over v6 bytes or 58 over v4 would be a nonconforming id)
     val famOk = (srcV6 === dstV6) &&
       !(isIcmp && srcV6) && !(isIcmp6 && !srcV6)
-    when(famOk, concat(lit("1:"), base64(unhex(sha1(unhex(payload))))))
+    when(famOk && portsOk, concat(lit("1:"), base64(unhex(sha1(unhex(payload))))))
   }
 
   val communityIdOp = QueryDef(

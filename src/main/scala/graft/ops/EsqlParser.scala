@@ -1894,9 +1894,29 @@ object EsqlParser {
                         completions: String => (DataFrame, Column, String) => DataFrame)
       : DataFrame = {
     var tsMode = tsMode0
+    // remember WHAT ended TS mode so a later RATE/*_OVER_TIME fails
+    // self-explainingly (r18 advice: `TS … | FORK (WHERE a) (WHERE b)
+    // | STATS SUM(RATE(c))` used to fail as a bare unsupported
+    // aggregate with no hint that the FORK consumed TS mode)
+    var tsEndedBy: Option[String] = None
     cmds.foldLeft(df0) { (df, cmd) =>
+      (cmd, tsEndedBy) match {
+        case (Stats(aggs, _, _), Some(cause)) if !tsMode =>
+          for ((n, AggFn(_, Func(f, _), _)) <- aggs if overTimeFns(f))
+            throw ParseError(s"$f (in $n): TS mode ended at the earlier " +
+              (if (cause == "FORK")
+                 "FORK — the unioned branch frames are no longer THE series frame, " +
+                   "so RATE/*_OVER_TIME cannot apply after a FORK"
+               else
+                 "STATS — it collapsed the time series, so RATE/*_OVER_TIME " +
+                   "cannot apply to the aggregated frame"), 0)
+        case _ => ()
+      }
       val out = applyCmd(df, cmd, resolve, policies, tsMode, completions)
-      if (tsMode && (cmd.isInstanceOf[Stats] || cmd.isInstanceOf[Fork])) tsMode = false
+      if (tsMode && (cmd.isInstanceOf[Stats] || cmd.isInstanceOf[Fork])) {
+        tsMode = false
+        tsEndedBy = Some(if (cmd.isInstanceOf[Fork]) "FORK" else "STATS")
+      }
       out
     }
   }
@@ -1989,8 +2009,14 @@ object EsqlParser {
               .find(n => !df.columns.contains(n)).get
             val fieldVec = graft.Cols.column(
               org.apache.spark.sql.graftshim.RequireFloatVec(graft.Cols.expr(col(f))))
+            // ES's knn never matches a doc missing the vector field:
+            // a null field (or degenerate cosine) must not occupy a
+            // k slot when fewer than k scored rows survive the
+            // prefilter — filter null scores BEFORE the top-k cut
+            // (r18 advice; the oracle mirrors with s IS NOT NULL)
             pre.withColumn(sc,
                 round(graft.expr.VecFunctions.vec_cosine(fieldVec, q), 6))
+              .filter(col(sc).isNotNull)
               .orderBy(col(sc).desc, col(tie).asc)
               .limit(k)
               .drop(sc)

@@ -2130,7 +2130,8 @@ object SearchExt {
       |      [${esqlKnnVec.mkString(", ")}]::DOUBLE[]), 6) AS s
       |  FROM embeddings WHERE label < 12),
       |r AS (SELECT vec_id, label,
-      |    row_number() OVER (ORDER BY s DESC, vec_id) AS rk FROM c)
+      |    row_number() OVER (ORDER BY s DESC, vec_id) AS rk
+      |  FROM c WHERE s IS NOT NULL)
       |SELECT vec_id, label FROM r WHERE rk <= 7 ORDER BY vec_id""".stripMargin))
 
   /** ES|QL `CATEGORIZE` — 9.x's log-template grouping function, the

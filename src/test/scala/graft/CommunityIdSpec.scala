@@ -36,8 +36,14 @@ class CommunityIdSpec extends SparkSpec {
   private def refCommunityId(srcIp: String, dstIp: String,
       srcPort: Int, dstPort: Int, proto: String, seed: Int = 0): String = {
     def ipBytes(ip: String): Array[Byte] =
-      if (ip.contains(":")) java.net.InetAddress.getByName(ip).getAddress
-      else ip.split("\\.").map(_.toInt.toByte)
+      if (ip.contains(":")) {
+        val a = java.net.InetAddress.getByName(ip).getAddress
+        // the JDK collapses the v4-mapped form (::ffff:a.b.c.d and its
+        // hex-group spelling) to an Inet4Address; the byte-tuple spec
+        // (inet_pton) keeps the 16-byte form — re-expand
+        if (a.length == 4) Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++ a
+        else a
+      } else ip.split("\\.").map(_.toInt.toByte)
     val protoNum: Byte = proto match {
       case "tcp" => 6; case "udp" => 17; case "sctp" => 132.toByte
       case "icmp" => 1; case "ipv6-icmp" => 58; case _ => -1
@@ -256,5 +262,57 @@ class CommunityIdSpec extends SparkSpec {
       "v6 slice must carry port-carrying protocols too")
     assert(v6Rows.forall(_.getString(7) != null),
       "every v6 row must produce an id (the family guards must not misfire)")
+  }
+
+  test("r18 advice pins: quad-tail v6 forms, inet_pton v4 strictness, uint16 port/type gate") {
+    import spark.implicits._
+    def engine(rows: Seq[(String, String, Integer, Integer, String, Integer, Integer)]):
+        Seq[Option[String]] =
+      rows.toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto",
+        "icmp_type", "icmp_code")
+        .select(graft.ops.Enrich.communityId(
+          col("src_ip"), col("dst_ip"), col("src_port"), col("dst_port"),
+          col("proto"), icmpType = col("icmp_type"),
+          icmpCode = col("icmp_code")).as("id"))
+        .collect().toSeq.map(r => Option(r.getString(0)))
+    val got = engine(Seq(
+      // RFC-4291 §2.2 form 3: the dotted-quad tail encodes the last 32
+      // bits — the mapped form, its hex-group spelling, and NAT64 all
+      // hash; the quad spelling must equal the hex-group spelling
+      ("::ffff:1.2.3.4", "::ffff:5.6.7.8", 1234, 80, "tcp", null, null),
+      ("::ffff:102:304", "::ffff:506:708", 1234, 80, "tcp", null, null),
+      ("64:ff9b::1.2.3.4", "64:ff9b::5.6.7.8", 1234, 80, "tcp", null, null),
+      ("64:ff9b::102:304", "64:ff9b::506:708", 1234, 80, "tcp", null, null),
+      ("a:b:c:d:e:f:1.2.3.4", "a:b:c:d:e:f:5.6.7.8", 53, 53, "udp", null, null),
+      // inet_pton strictness: leading-zero octets null (the JDK accepts
+      // them as decimal, inet_pton — the reference parser — rejects)
+      ("01.2.3.4", "5.6.7.8", 1, 2, "tcp", null, null),
+      ("1.2.3.04", "5.6.7.8", 1, 2, "tcp", null, null),
+      // a malformed quad TAIL nulls the whole v6 address (never
+      // truncate-hashes like the r17 "300.1.1.1" v4 class)
+      ("::ffff:300.1.1.1", "::ffff:5.6.7.8", 1, 2, "tcp", null, null),
+      ("::ffff:01.2.3.4", "::ffff:5.6.7.8", 1, 2, "tcp", null, null),
+      // uint16 gate: an out-of-range or negative port/type would widen
+      // hex() past 4 chars and MALFORM the payload — must null instead
+      ("1.2.3.4", "5.6.7.8", 70000, 80, "tcp", null, null),
+      ("1.2.3.4", "5.6.7.8", -1, 80, "tcp", null, null),
+      ("1.2.3.4", "5.6.7.8", 80, 65536, "tcp", null, null),
+      ("1.2.3.4", "5.6.7.8", null, null, "icmp", 70000, 0),
+      ("1.2.3.4", "5.6.7.8", null, null, "icmp", 3, 70000), // one-way code
+      // boundary values ARE valid uint16
+      ("1.2.3.4", "5.6.7.8", 0, 65535, "tcp", null, null)))
+    // quad spelling ≡ hex-group spelling, and both match the JVM reference
+    assert(got(0).isDefined && got(0) == got(1),
+      s"v4-mapped quad tail must hash like its hex-group spelling: ${got(0)} vs ${got(1)}")
+    assert(got(0).contains(refCommunityId("::ffff:1.2.3.4", "::ffff:5.6.7.8", 1234, 80, "tcp")))
+    assert(got(2).isDefined && got(2) == got(3),
+      s"NAT64 quad tail must hash like its hex-group spelling: ${got(2)} vs ${got(3)}")
+    assert(got(2).contains(refCommunityId("64:ff9b::1.2.3.4", "64:ff9b::5.6.7.8", 1234, 80, "tcp")))
+    assert(got(4).contains(refCommunityId("a:b:c:d:e:f:1.2.3.4", "a:b:c:d:e:f:5.6.7.8", 53, 53, "udp")))
+    (5 to 13).foreach { i =>
+      assert(got(i).isEmpty, s"row $i must null (strict parse / uint16 gate), got ${got(i)}")
+    }
+    assert(got(14).contains(refCommunityId("1.2.3.4", "5.6.7.8", 0, 65535, "tcp")),
+      "0 and 65535 are valid uint16 boundary ports")
   }
 }

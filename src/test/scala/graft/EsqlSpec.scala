@@ -1218,4 +1218,37 @@ class EsqlSpec extends SparkSpec {
       == Seq((1L, 10L), (4L, 40L)),
       "a pre-existing __knn_s column must not be clobbered by the score")
   }
+
+  test("r18 advice pins: KNN skips null vectors; post-FORK over-time aggs name the FORK") {
+    import spark.implicits._
+    // ES's knn never matches a doc missing the vector field: with only
+    // TWO scored rows surviving the prefilter, k=3 must return 2 rows —
+    // null-vector rows may not fill the remaining slot (pre-fix:
+    // desc-nulls-last + limit let them through)
+    val emb = Seq(
+      (1L, Some(Seq(1f, 0f))), (2L, None), (3L, Some(Seq(0f, 1f))),
+      (4L, None), (5L, None)).toDF("id", "emb")
+    val got = EsqlParser.run(
+      """FROM vecs | WHERE KNN(emb, [1, 0], 3) | KEEP id | SORT id""",
+      { case "vecs" => emb }, session = Some(spark)).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L),
+      s"null-vector rows must not occupy k slots (want the 2 scored rows), got $got")
+
+    // TS mode consumed by a FORK: a later RATE/*_OVER_TIME fails with
+    // an error that NAMES the FORK transition (pre-fix: a bare unknown
+    // aggregate with no hint what consumed TS mode)
+    val ts = Seq(("a", 1L, 10L), ("a", 2L, 14L)).toDF("_tsid", "_ts_ms", "counter")
+    val postFork = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """TS m | FORK (WHERE _ts_ms > 0) (WHERE counter > 0)
+        || STATS x = SUM(RATE(counter))""".stripMargin,
+      { case "m" => ts }, session = Some(spark)))
+    assert(postFork.msg.contains("FORK") && postFork.msg.contains("RATE"),
+      s"the error must name the FORK transition, got: ${postFork.msg}")
+    // and the STATS transition names itself the same way
+    val postStats = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """TS m | STATS x = SUM(RATE(counter)) | STATS y = MAX(RATE(counter))""",
+      { case "m" => ts }, session = Some(spark)))
+    assert(postStats.msg.contains("STATS") && postStats.msg.contains("collapsed"),
+      s"the error must name the STATS transition, got: ${postStats.msg}")
+  }
 }
