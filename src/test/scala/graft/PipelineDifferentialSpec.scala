@@ -1496,4 +1496,159 @@ class PipelineDifferentialSpec extends SparkSpec {
         s"lang $lang: only $nonEmpty of 120 programs produced rows — fuzz too weak")
     }
   }
+
+  // =================== r18: the KNN match function + numeric mv
+  // literals (r17's freshest compositional surface — its post-landing
+  // review found three real edge bugs; this sweep exists to catch that
+  // class at authoring time). Mirror: a brute-force Option-space
+  // cosine top-k replicating the engine's exact arithmetic — float
+  // elements, index-order double accumulation, round(·, 6) HALF_UP,
+  // first-column tie-break, null scores excluded.
+
+  private case class VRow(vecId: Long, grp: String, m: Long, emb: Option[Seq[Float]])
+
+  /** Eight dyadic pool vectors shared across many rows, so score TIES
+    * at the k boundary are the common case, not a lucky draw. */
+  private val vecPool: Seq[Seq[Float]] = Seq(
+    Seq(1f, 0f, 0f, 0f), Seq(0.75f, 0.25f, 0f, 0f), Seq(0.5f, 0.5f, 0f, 0f),
+    Seq(0f, 1f, 0f, 0f), Seq(0.25f, 0.25f, 0.25f, 0.25f), Seq(-0.5f, 0.5f, 0f, 0f),
+    Seq(0f, 0f, 1f, 0f), Seq(1f, 1f, 1f, 1f))
+
+  private val vrows: Seq[VRow] = (0 until 60).map { i =>
+    VRow(i.toLong, Seq("a", "b", "c")(i % 3), ((i * 7) % 30).toLong,
+      if (i % 6 == 5) None else Some(vecPool(i % 8)))
+  }
+
+  private lazy val vecDf = {
+    import spark.implicits._
+    val df = vrows.map(r => (r.vecId, r.grp, r.m, r.emb))
+      .toDF("vec_id", "grp", "m", "emb")
+    df.cache(); df.count()
+    df
+  }
+
+  /** The engine's exact cosine: dot over min length, norms over full
+    * arrays, double accumulation in index order (VecMath), then
+    * Spark's Round on DoubleType = BigDecimal(toString).setScale(6,
+    * HALF_UP). -0.0 normalizes to 0.0 (Spark's sort does too). */
+  private def refCos(a: Seq[Float], q: Seq[Float]): Double = {
+    var dot = 0.0
+    var i = 0
+    val n = math.min(a.length, q.length)
+    while (i < n) { dot += a(i).toDouble * q(i).toDouble; i += 1 }
+    def norm(v: Seq[Float]): Double = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val d = norm(a) * norm(q)
+    val c = if (d == 0.0) 0.0 else dot / d
+    val r = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (r == 0.0) 0.0 else r
+  }
+
+  /** A prefilter: ES|QL text + the Kleene evaluator closure. A None
+    * verdict (null) filters the row, the WHERE contract. */
+  private case class Pre(text: String, eval: VRow => Option[Boolean], usesEval: Boolean = false,
+                         mvLit: Boolean = false)
+
+  /** The guard constant for the EVAL'd nullable field — fixed per
+    * program so the `p > c1` conjunct and the EVAL line agree. */
+  private val evalGuard = 17L
+
+  private def preGenFixed: Gen[Pre] = Gen.frequency(
+    // a null-able EVAL'd field (`p = CASE(m > guard, m)` below): a
+    // null prefilter verdict must FILTER, never error or pass — the
+    // class the r18 advice called out. The mv-literal conjunct puts
+    // the bracketed numeric literal in a NON-KNN position.
+    2 -> (for { g <- Gen.oneOf("a", "b", "c"); eq <- Gen.oneOf(true, false) } yield
+      Pre(if (eq) s"""grp == "$g"""" else s"""grp != "$g"""",
+        r => Some(if (eq) r.grp == g else r.grp != g))),
+    2 -> (for { c <- Gen.chooseNum(0L, 29L); lt <- Gen.oneOf(true, false) } yield
+      Pre(if (lt) s"m < $c" else s"m > $c",
+        r => Some(if (lt) r.m < c else r.m > c))),
+    1 -> (for { vs <- Gen.listOfN(3, Gen.chooseNum(0L, 29L)) } yield
+      Pre(s"m IN (${vs.mkString(", ")})", r => Some(vs.contains(r.m)))),
+    2 -> (for { c1 <- Gen.chooseNum(0L, 29L) } yield
+      Pre(s"p > $c1",
+        r => if (r.m > evalGuard) Some(r.m > c1) else None, usesEval = true)),
+    1 -> (for { a <- Gen.chooseNum(-5L, 5L); b <- Gen.chooseNum(-5L, 5L)
+                c <- Gen.chooseNum(0L, 29L) } yield
+      Pre(s"m + MV_SUM([$a, $b]) > $c", r => Some(r.m + a + b > c), mvLit = true)))
+
+  /** Dyadic query vectors (k/4 components) — exactly representable in
+    * float AND in the BigDecimal the mv-literal lexer produces. */
+  private def queryVecGen: Gen[Seq[Double]] = Gen.frequency(
+    3 -> Gen.listOfN(4, Gen.chooseNum(-4, 4).map(_ * 0.25)),
+    1 -> Gen.oneOf(vecPool).map(_.map(_.toDouble)), // exact pool hit → max ties
+    1 -> Gen.const(Seq(0.0, 0.0, 0.0, 0.0))) // zero query → all scores 0.0, pure tie-break
+
+  test("r18: 220 random KNN programs — engine top-k == brute-force cosine mirror") {
+    var seed = Seed(20260816L)
+    val feature = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    (1 to 220).foreach { i =>
+      val (pres, qv, k, knnPos) = (for {
+        nPre <- Gen.frequency(1 -> Gen.const(0), 3 -> Gen.const(1), 2 -> Gen.const(2))
+        pres <- Gen.listOfN(nPre, preGenFixed)
+        qv <- queryVecGen
+        // k spans 1 .. beyond the whole corpus, so "k at/above the
+        // filtered-subset size" happens constantly
+        k <- Gen.frequency(3 -> Gen.chooseNum(1, 12), 1 -> Gen.chooseNum(40, 70))
+        pos <- Gen.chooseNum(0, nPre)
+      } yield (pres, qv, k, pos)).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+
+      val conjuncts = (pres.take(knnPos) :+ null) ++ pres.drop(knnPos)
+      val whereText = conjuncts.map {
+        case null => s"KNN(emb, [${qv.mkString(", ")}], $k)"
+        case p: Pre => p.text
+      }.mkString(" AND ")
+      // doubled pipe: the interpolation lands inside a stripMargin
+      // block, which eats the first '|' of the line as margin
+      val evalLine = if (pres.exists(_.usesEval))
+        s"\n|| EVAL p = CASE(m > $evalGuard, m)" else ""
+      val q =
+        s"""FROM vecs$evalLine
+           || WHERE $whereText
+           || KEEP vec_id, grp, m
+           || SORT vec_id""".stripMargin
+
+      // brute-force mirror: Kleene prefilter → drop null vectors →
+      // (rounded score desc, vec_id asc) → take k → project → sort
+      val pref = vrows.filter(r => pres.forall(p => p.eval(r).contains(true)))
+      val scored = pref.flatMap(r => r.emb.map(e => (r, refCos(e, qv.map(_.toFloat)))))
+      val want = scored.sortBy { case (r, s) => (-s, r.vecId) }.take(k).map(_._1)
+        .sortBy(_.vecId).map(r => (r.vecId, r.grp, r.m))
+
+      val got = try {
+        EsqlParser.run(q, { case "vecs" => vecDf }, session = Some(spark))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      } catch {
+        case e: Throwable =>
+          fail(s"engine threw on round $i\nquery:\n$q\n${e.getMessage}", e)
+      }
+
+      assert(got == want,
+        s"""KNN frame diverged (round $i)
+           |query:
+           |$q
+           |engine: $got
+           |mirror: $want""".stripMargin)
+
+      // feature audit bookkeeping
+      feature("knn") += 1
+      if (pres.isEmpty) feature("knn_bare") += 1 else feature("knn_prefilter") += 1
+      if (pres.exists(_.usesEval)) feature("knn_nullable_eval_prefilter") += 1
+      if (pres.exists(_.mvLit)) feature("knn_mv_literal_conjunct") += 1
+      if (knnPos > 0) feature("knn_not_first_conjunct") += 1
+      if (k >= scored.size) feature("knn_k_at_or_above_subset") += 1
+      if (pref.exists(_.emb.isEmpty)) feature("knn_null_field_in_subset") += 1
+      if (scored.size > k && scored.sortBy { case (r, s) => (-s, r.vecId) }
+            .slice(k - 1, k + 1).map(_._2).distinct.size == 1)
+        feature("knn_tie_at_boundary") += 1
+    }
+    val required = Seq("knn", "knn_bare", "knn_prefilter",
+      "knn_nullable_eval_prefilter", "knn_mv_literal_conjunct",
+      "knn_not_first_conjunct", "knn_k_at_or_above_subset",
+      "knn_null_field_in_subset", "knn_tie_at_boundary")
+    val missing = required.filterNot(feature(_) > 0)
+    assert(missing.isEmpty,
+      s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
+  }
 }
