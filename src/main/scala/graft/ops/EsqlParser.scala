@@ -497,6 +497,7 @@ object EsqlParser {
           case "MEDIAN_ABSOLUTE_DEVIATION" => AggFn("mad", parseExpr())
           // spatial centroid: struct(avg lon, avg lat) per group
           case "ST_CENTROID_AGG" => AggFn("st_centroid", parseExpr())
+          case "ST_EXTENT_AGG" => AggFn("st_extent", parseExpr())
           // VALUES: the distinct-values multivalue aggregate (sorted —
           // deterministic where ES leaves order undefined)
           case "VALUES" => AggFn("values", parseExpr())
@@ -1089,6 +1090,35 @@ object EsqlParser {
       case ("SHA1", Seq(x)) => sha1(compileExpr(x).cast("binary"))
       case ("SHA256", Seq(x)) => sha2(compileExpr(x).cast("binary"), 256)
       // SCALB(d, n) = d · 2^n (the java.lang.Math.scalb contract)
+      // COPY_SIGN (9.1): magnitude of the first argument, sign of the
+      // second. Zero-or-positive sign → +|m| (the -0.0 sign bit is out
+      // of scope — Spark normalizes -0.0 in comparisons, so a column
+      // can't reliably carry it anyway); null sign → null.
+      case ("COPY_SIGN", Seq(m0, s0)) =>
+        val m = compileExpr(m0)
+        val s = compileExpr(s0)
+        when(s.isNull, lit(null)).when(s < 0, -abs(m)).otherwise(abs(m))
+      // ROUND_TO (9.1): round DOWN to the greatest of the given fixed
+      // points that is <= the value; a value below the smallest point
+      // takes the smallest point (ES's contract). Points are literals,
+      // sorted at plan time — the compiled form is one codegen CASE.
+      case ("ROUND_TO", v +: points) if points.nonEmpty =>
+        val ps = points.map {
+          case NumLit(n) => n
+          case Neg(NumLit(n)) => -n
+          case other => throw ParseError(
+            s"ROUND_TO points must be numeric literals, got $other", 0)
+        }.sorted
+        val cv = compileExpr(v)
+        def plit(n: BigDecimal): Column =
+          if (n.isWhole && n.isValidLong) lit(n.toLong) else lit(n.toDouble)
+        val desc = ps.reverse
+        // whens for every point except the smallest (descending);
+        // anything below the second-smallest falls to the smallest
+        val body = desc.init.foldRight(plit(ps.head): Column) {
+          (p, acc) => when(cv >= plit(p), plit(p)).otherwise(acc)
+        }
+        when(cv.isNull, lit(null)).otherwise(body)
       case ("SCALB", Seq(d0, n0)) =>
         compileExpr(d0).cast("double") * pow(lit(2.0), compileExpr(n0).cast("double"))
       // TO_IP: format-validated dotted quad — ES's conversion contract
@@ -1339,6 +1369,21 @@ object EsqlParser {
       // WKT POINT form, struct(x, y) — ONE shared parser with the geo
       // twin, so the accepted input set can never diverge between them
       case ("TO_CARTESIANPOINT", Seq(x)) => wktPointStruct(compileExpr(x), "x", "y")
+      // TO_CARTESIANSHAPE: the planar ENVELOPE twin — same WKT box
+      // grammar, but NO wrap/degenerate lon-lat gates (planar space has
+      // no antimeridian) beyond min<=max on both axes; emitted in the
+      // min_x layout the cartesian GeoCoordAccessor reads back
+      case ("TO_CARTESIANSHAPE", Seq(x)) =>
+        val c = compileExpr(x)
+        val num = "(-?\\d+(?:\\.\\d+)?)"
+        val rx = s"^ENVELOPE \\($num, $num, $num, $num\\)$$"
+        val minX = regexp_extract(c, rx, 1).cast("double")
+        val maxX = regexp_extract(c, rx, 2).cast("double")
+        val maxY = regexp_extract(c, rx, 3).cast("double")
+        val minY = regexp_extract(c, rx, 4).cast("double")
+        when(c.rlike(rx) && minX <= maxX && maxY >= minY, struct(
+          minX.as("min_x"), maxX.as("max_x"),
+          maxY.as("max_y"), minY.as("min_y")))
       case ("TO_GEOSHAPE", Seq(x)) =>
         val c = compileExpr(x)
         val num = "(-?\\d+(?:\\.\\d+)?)"
@@ -1366,6 +1411,9 @@ object EsqlParser {
       case ("ST_CONTAINS", Seq(x, y)) => geoRelate(x, y, "contains")
       case ("ST_WITHIN", Seq(x, y)) => geoRelate(x, y, "within")
       case ("ST_INTERSECTS", Seq(x, y)) => geoRelate(x, y, "intersects")
+      // ST_DISJOINT is intersects' negation by definition (DE-9IM);
+      // a null geometry stays null through the NOT, never a wrong bool
+      case ("ST_DISJOINT", Seq(x, y)) => !geoRelate(x, y, "intersects")
       // 8.18 bounding-box accessors — type-directed at analysis time
       // (point or ENVELOPE; a point's box is itself), each resolving to
       // plain struct-field reads
@@ -1464,6 +1512,27 @@ object EsqlParser {
         val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
         if (terms.isEmpty) lit(false)
         else arrays_overlap(split(trim(col(f)), " "), array(terms.map(lit): _*))
+      // MATCH_PHRASE (9.1): the query terms must appear CONSECUTIVELY
+      // in order — space-padded containment over the whitespace
+      // analysis, the engine's shared phrase discipline (SearchExt's
+      // match_phrase / the box languages' quoted phrase)
+      case ("MATCH_PHRASE", Seq(Ident(f), StrLit(q))) =>
+        val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (terms.isEmpty) lit(false)
+        else concat(lit(" "), trim(col(f)), lit(" "))
+          .contains(" " + terms.mkString(" ") + " ")
+      // MULTI_MATCH (9.1): the match query over SEVERAL fields, OR'd
+      // (ES's best_fields existence semantics at WHERE level — a doc
+      // matches if ANY field matches)
+      case ("MULTI_MATCH", StrLit(q) +: fs) if fs.nonEmpty &&
+          fs.forall(_.isInstanceOf[Ident]) =>
+        fs.map(f => compileExpr(Func("MATCH", Seq(f, StrLit(q)))))
+          .reduce(_ || _)
+      // TERM: the UN-analyzed exact term — matches when any whitespace
+      // token of the field equals the value verbatim (on a keyword-ish
+      // single-token column this reduces to plain equality)
+      case ("TERM", Seq(Ident(f), StrLit(v))) =>
+        array_contains(split(trim(col(f)), " "), v)
       case ("QSTR", Seq(Ident(f), StrLit(q))) =>
         val ast = QueryStringParser.parse(q)
         QueryStringParser.compile(ast, col(f), qstrFieldMap(ast))
@@ -1689,6 +1758,16 @@ object EsqlParser {
       case AggFn("st_centroid", e, f) =>
         val c = gate(compileExpr(e), f)
         struct(avg(c.getField("lon")).as("lon"), avg(c.getField("lat")).as("lat"))
+      // ST_EXTENT_AGG (9.1): the group's bounding box — four partial-
+      // aggregating min/max passes over the point struct, emitted in
+      // the SAME struct layout TO_GEOSHAPE's ENVELOPE produces, so the
+      // ST_XMIN/…/ST_YMAX accessors compose on the result
+      case AggFn("st_extent", e, f) =>
+        val c = gate(compileExpr(e), f)
+        struct(min(c.getField("lon")).as("min_lon"),
+          max(c.getField("lon")).as("max_lon"),
+          max(c.getField("lat")).as("max_lat"),
+          min(c.getField("lat")).as("min_lat"))
       // ES skips documents whose VALUE is null entirely — their weight
       // must not inflate the denominator, so gate the weight on the
       // value's non-nullness (sum(v*w) already drops null-v rows).
@@ -2083,6 +2162,8 @@ object EsqlParser {
               throw ParseError("INLINESTATS does not support MEDIAN_ABSOLUTE_DEVIATION", 0)
             case (_, AggFn("st_centroid", _, _)) =>
               throw ParseError("INLINESTATS does not support ST_CENTROID_AGG", 0)
+            case (_, AggFn("st_extent", _, _)) =>
+              throw ParseError("INLINESTATS does not support ST_EXTENT_AGG", 0)
             case _ => ()
           }
           if (by.isEmpty) {

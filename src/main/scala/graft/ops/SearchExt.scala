@@ -2482,6 +2482,67 @@ object SearchExt {
       |  FROM events WHERE event_id < 20)
       |ORDER BY event_id""".stripMargin))
 
+  /** The r18 function-audit closure sweep (SURVEY §2.5.2's top absent
+    * rows, now closed): the 9.1 full-text additions MATCH_PHRASE /
+    * MULTI_MATCH / TERM (compiled onto the engine's shared whitespace
+    * analysis — padded-containment phrase, OR'd per-field match,
+    * token-equality term), the 9.1 math additions COPY_SIGN and
+    * ROUND_TO (one codegen CASE over plan-time-sorted points, both in
+    * a long and a double flavor), ST_DISJOINT (intersects' DE-9IM
+    * negation, null-safe), and ST_EXTENT_AGG (the group bounding box
+    * as four partial-aggregating min/max passes, emitted in the
+    * ENVELOPE struct layout so ST_XMIN…ST_YMAX compose on it).
+    * Determinism: the only doubles are ROUND_TO's literal points
+    * (min/max aggregated — no accumulation-order exposure) and the
+    * integer-valued grid coordinates; everything else is long counts
+    * and sums. */
+  private[graft] val esqlFunctions2Query =
+    """FROM documents
+      || EVAL mp = MATCH_PHRASE(text, "table scan"),
+      |       mm = MULTI_MATCH("vector src3", text, source),
+      |       tm = TERM(text, "vector"),
+      |       cs = COPY_SIGN(n_chars, doc_id % 3 - 1),
+      |       rt = ROUND_TO(n_chars - 300, -250, -50, 0, 150),
+      |       rtd = ROUND_TO(n_chars / 7.0, 10.25, 33.75, 60.5),
+      |       p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(doc_id % 360 - 180),
+      |                              " ", TO_STRING(doc_id % 170 - 85), ")")),
+      |       dj = ST_DISJOINT(p, TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)"))
+      || STATS nmp = COUNT(*) WHERE mp, nmm = COUNT(*) WHERE mm,
+      |        ntm = COUNT(*) WHERE tm, ndj = COUNT(*) WHERE dj,
+      |        scs = SUM(cs), srt = SUM(rt),
+      |        mnd = MIN(rtd), mxd = MAX(rtd),
+      |        ext = ST_EXTENT_AGG(p) BY lang
+      || EVAL xmn = ST_XMIN(ext), xmx = ST_XMAX(ext),
+      |       ymn = ST_YMIN(ext), ymx = ST_YMAX(ext)
+      || DROP ext
+      || SORT lang""".stripMargin
+  val esqlFunctions2Op = QueryDef(
+    "ns_esql_functions2",
+    (s, dir) => EsqlParser.run(esqlFunctions2Query,
+      _ => graft.ops.Par.spread(s, Tables.documents(s, dir), col("doc_id"))),
+    Some("""WITH b AS (SELECT lang,
+      |    contains(' ' || trim(text) || ' ', ' table scan ') AS mp,
+      |    (list_has_any(string_split(trim(text), ' '), ['vector', 'src3'])
+      |      OR list_has_any(string_split(trim(source), ' '), ['vector', 'src3'])) AS mm,
+      |    list_contains(string_split(trim(text), ' '), 'vector') AS tm,
+      |    CASE WHEN (doc_id % 3 - 1) < 0 THEN -abs(n_chars) ELSE abs(n_chars) END AS cs,
+      |    CASE WHEN n_chars - 300 >= 150 THEN 150
+      |         WHEN n_chars - 300 >= 0 THEN 0
+      |         WHEN n_chars - 300 >= -50 THEN -50 ELSE -250 END AS rt,
+      |    CAST(CASE WHEN n_chars / 7.0 >= 60.5 THEN 60.5
+      |         WHEN n_chars / 7.0 >= 33.75 THEN 33.75 ELSE 10.25 END AS DOUBLE) AS rtd,
+      |    CAST(doc_id % 360 - 180 AS DOUBLE) AS x,
+      |    CAST(doc_id % 170 - 85 AS DOUBLE) AS y
+      |  FROM documents)
+      |SELECT count(*) FILTER (WHERE mp) AS nmp,
+      |  count(*) FILTER (WHERE mm) AS nmm,
+      |  count(*) FILTER (WHERE tm) AS ntm,
+      |  count(*) FILTER (WHERE NOT (x >= -60 AND x <= 60 AND y >= -45 AND y <= 45)) AS ndj,
+      |  CAST(sum(cs) AS BIGINT) AS scs, CAST(sum(rt) AS BIGINT) AS srt,
+      |  min(rtd) AS mnd, max(rtd) AS mxd, lang,
+      |  min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
+      |FROM b GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** ES|QL `SHOW INFO` — the remaining source command (the fourth
     * pipeline head next to FROM/TS/ROW): one deterministic row of
     * engine build facts, compiled to a LocalRelation that touches no
@@ -2863,7 +2924,8 @@ object SearchExt {
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlTsPipelineOp, esqlKnnOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCompletionOp, esqlFunctionsOp, esqlShowOp, esqlDateParseOp, esqlParamsOp,
+    esqlCompletionOp, esqlFunctionsOp, esqlFunctions2Op, esqlShowOp,
+    esqlDateParseOp, esqlParamsOp,
     esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,
     esqlGeoPolygonOp, esqlGeoGridOp, esqlGeoCartesianOp,
     esqlCategorizeOp, esqlValuesOp, esqlStatsAggsOp, renderTemplateOp,

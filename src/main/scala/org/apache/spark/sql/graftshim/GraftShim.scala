@@ -126,11 +126,13 @@ case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
     with BinaryLike[Expression] {
   private def isEnvelope(e: Expression): Boolean = e.dataType match {
-    case s: StructType => s.fieldNames.contains("min_lon")
+    case s: StructType => s.fieldNames.contains("min_lon") || s.fieldNames.contains("min_x")
     case _ => false
   }
   private def isPoint(e: Expression): Boolean = e.dataType match {
-    case s: StructType => s.fieldNames.contains("lon") && s.fieldNames.contains("lat")
+    case s: StructType => (s.fieldNames.contains("lon") && s.fieldNames.contains("lat")) ||
+      (s.fieldNames.contains("x") && s.fieldNames.contains("y") &&
+        !s.fieldNames.contains("min_x"))
     case _ => false
   }
   override lazy val replacement: Expression = {
@@ -155,11 +157,22 @@ case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
       val st = e.dataType.asInstanceOf[StructType]
       GetStructField(e, st.fieldIndex(n), Some(n))
     }
+    // both sides must live in ONE coordinate space — a geo point
+    // against a cartesian box is a modeling error, not a false
+    val ptGeo = pt.dataType.asInstanceOf[StructType].fieldNames.contains("lon")
+    val shpGeo = shp.dataType.asInstanceOf[StructType].fieldNames.contains("min_lon")
+    if (ptGeo != shpGeo) sys.error(s"ST_${mode.toUpperCase} expects both sides " +
+      "in the same coordinate space (geo_point with geo_shape, " +
+      "cartesian_point with cartesian_shape)")
+    val (px, py) = if (ptGeo) ("lon", "lat") else ("x", "y")
+    val (xm, xM, ym, yM) =
+      if (shpGeo) ("min_lon", "max_lon", "min_lat", "max_lat")
+      else ("min_x", "max_x", "min_y", "max_y")
     And(
-      And(GreaterThanOrEqual(f(pt, "lon"), f(shp, "min_lon")),
-        LessThanOrEqual(f(pt, "lon"), f(shp, "max_lon"))),
-      And(GreaterThanOrEqual(f(pt, "lat"), f(shp, "min_lat")),
-        LessThanOrEqual(f(pt, "lat"), f(shp, "max_lat"))))
+      And(GreaterThanOrEqual(f(pt, px), f(shp, xm)),
+        LessThanOrEqual(f(pt, px), f(shp, xM))),
+      And(GreaterThanOrEqual(f(pt, py), f(shp, ym)),
+        LessThanOrEqual(f(pt, py), f(shp, yM))))
   }
   override def left: Expression = a
   override def right: Expression = b

@@ -1251,4 +1251,118 @@ class EsqlSpec extends SparkSpec {
     assert(postStats.msg.contains("STATS") && postStats.msg.contains("collapsed"),
       s"the error must name the STATS transition, got: ${postStats.msg}")
   }
+
+  test("r18 function-audit closures: MATCH_PHRASE / MULTI_MATCH / TERM") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the fast table scan wins", "src1"),
+      (2L, "scan table the fast", "src2"), // both words, NOT consecutive
+      (3L, "slow merge join", "src3"),
+      (4L, "table scan", "src1"), // phrase IS the whole field
+      (5L, null.asInstanceOf[String], "src2")
+    ).toDF("id", "text", "src")
+    def ids(q: String): Seq[Long] =
+      EsqlParser.run(q, { case "d" => docs }, session = Some(spark))
+        .collect().map(_.getLong(0)).toSeq
+    // phrase = consecutive in order; word-set overlap is NOT enough
+    assert(ids("""FROM d | WHERE MATCH_PHRASE(text, "table scan") | KEEP id | SORT id""")
+      == Seq(1L, 4L))
+    // MATCH (OR semantics) would take rows 1, 2 and 4 — pin the contrast
+    assert(ids("""FROM d | WHERE MATCH(text, "table scan") | KEEP id | SORT id""")
+      == Seq(1L, 2L, 4L))
+    // MULTI_MATCH: any field matching carries the row
+    assert(ids("""FROM d | WHERE MULTI_MATCH("merge src2", text, src) | KEEP id | SORT id""")
+      == Seq(2L, 3L, 5L))
+    // TERM: exact un-analyzed token ("tab" matches nothing, "scan" does)
+    assert(ids("""FROM d | WHERE TERM(text, "scan") | KEEP id | SORT id""")
+      == Seq(1L, 2L, 4L))
+    assert(ids("""FROM d | WHERE TERM(text, "tab") | KEEP id""").isEmpty)
+    // null text never matches any of the three
+    assert(!ids("""FROM d | WHERE MATCH_PHRASE(text, "table scan") | KEEP id""").contains(5L))
+  }
+
+  test("r18 function-audit closures: COPY_SIGN and ROUND_TO edges") {
+    val got = EsqlParser.run(
+      """ROW a = 1
+        || EVAL c1 = COPY_SIGN(5, -2), c2 = COPY_SIGN(-5, 3), c3 = COPY_SIGN(5, 0),
+        |       c4 = COPY_SIGN(2.5, -1), c5 = COPY_SIGN(5, CASE(a > 1, 2)),
+        |       r1 = ROUND_TO(7, 0, 5, 10), r2 = ROUND_TO(-99, 0, 5, 10),
+        |       r3 = ROUND_TO(10, 0, 5, 10), r4 = ROUND_TO(4.9, 0.5, 5.0),
+        |       r5 = ROUND_TO(CASE(a > 1, 2), 0, 5), r6 = ROUND_TO(3, 7)
+        || KEEP c1, c2, c3, c4, c5, r1, r2, r3, r4, r5, r6""".stripMargin,
+      _ => df, session = Some(spark)).collect().head
+    assert(got.getLong(0) == -5L, "sign of -2 onto |5|")
+    assert(got.getLong(1) == 5L, "sign of 3 onto |-5|")
+    assert(got.getLong(2) == 5L, "zero sign is non-negative")
+    assert(got.getDouble(3) == -2.5)
+    assert(got.isNullAt(4), "null sign must null, not default positive")
+    assert(got.getLong(5) == 5L, "7 rounds DOWN to 5")
+    assert(got.getLong(6) == 0L, "below the smallest point clamps to it")
+    assert(got.getLong(7) == 10L, "exact point is itself")
+    assert(got.getDouble(8) == 0.5, "double points: 4.9 rounds down to 0.5")
+    assert(got.isNullAt(9), "null value must null, not clamp")
+    assert(got.getLong(10) == 7L, "a single point always wins")
+    // non-literal points are a named error
+    val bad = intercept[EsqlParser.ParseError](EsqlParser.run(
+      "ROW a = 1 | EVAL r = ROUND_TO(a, a)", _ => df, session = Some(spark)))
+    assert(bad.msg.contains("numeric literals"), s"got: ${bad.msg}")
+  }
+
+  test("r18 function-audit closures: ST_DISJOINT, ST_EXTENT_AGG, TO_CARTESIANSHAPE") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, "a", 10.0, 10.0), (2L, "a", 100.0, -50.0),
+      (3L, "b", -170.0, 80.0), (4L, "b", 0.0, 0.0)
+    ).toDF("id", "g", "qx", "qy")
+    // ST_DISJOINT = NOT intersects; a bad geometry stays null (not false)
+    val dj = EsqlParser.run(
+      """FROM p
+        || EVAL pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(qx), " ", TO_STRING(qy), ")")),
+        |       d = ST_DISJOINT(pt, TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)")),
+        |       dn = ST_DISJOINT(TO_GEOPOINT(g), TO_GEOSHAPE("ENVELOPE (-60, 60, 45, -45)"))
+        || KEEP id, d, dn | SORT id""".stripMargin,
+      { case "p" => pts }, session = Some(spark)).collect()
+    assert(dj.map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      == Seq((1L, false), (2L, true), (3L, true), (4L, false)))
+    assert(dj.forall(_.isNullAt(2)), "unparseable geometry must null through the NOT")
+    // ST_EXTENT_AGG: per-group bbox in the ENVELOPE layout — the
+    // ST_XMIN…ST_YMAX accessors compose on the aggregate's result
+    val ext = EsqlParser.run(
+      """FROM p
+        || EVAL pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(qx), " ", TO_STRING(qy), ")"))
+        || STATS e = ST_EXTENT_AGG(pt) BY g
+        || EVAL xmn = ST_XMIN(e), xmx = ST_XMAX(e), ymn = ST_YMIN(e), ymx = ST_YMAX(e)
+        || DROP e | SORT g""".stripMargin,
+      { case "p" => pts }, session = Some(spark)).collect()
+    assert(ext.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))).toSeq
+      == Seq(("a", 10.0, 100.0, -50.0, 10.0), ("b", -170.0, 0.0, 0.0, 80.0)))
+    // TO_CARTESIANSHAPE: planar box — relates against cartesian points,
+    // accessors read it, and a mixed-space relate is a NAMED error
+    val cart = EsqlParser.run(
+      """FROM p
+        || EVAL cp = TO_CARTESIANPOINT(CONCAT("POINT (", TO_STRING(qx), " ", TO_STRING(qy), ")")),
+        |       box = TO_CARTESIANSHAPE("ENVELOPE (-60, 60, 45, -45)"),
+        |       inb = ST_WITHIN(cp, box), xmn = ST_XMIN(box)
+        || KEEP id, inb, xmn | SORT id""".stripMargin,
+      { case "p" => pts }, session = Some(spark)).collect()
+    assert(cart.map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      == Seq((1L, true), (2L, false), (3L, false), (4L, true)))
+    assert(cart.forall(_.getDouble(2) == -60.0))
+    val mixed = intercept[Throwable](EsqlParser.run(
+      """FROM p
+        || EVAL pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(qx), " ", TO_STRING(qy), ")")),
+        |       w = ST_WITHIN(pt, TO_CARTESIANSHAPE("ENVELOPE (-60, 60, 45, -45)"))
+        || KEEP id""".stripMargin,
+      { case "p" => pts }, session = Some(spark)).collect())
+    assert(mixed.getMessage.contains("same coordinate space"),
+      s"got: ${mixed.getMessage}")
+    // INLINESTATS rejects the struct aggregate by name
+    val inl = intercept[EsqlParser.ParseError](EsqlParser.run(
+      """FROM p
+        || EVAL pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(qx), " ", TO_STRING(qy), ")"))
+        || INLINESTATS e = ST_EXTENT_AGG(pt)""".stripMargin,
+      { case "p" => pts }, session = Some(spark)))
+    assert(inl.msg.contains("ST_EXTENT_AGG"), s"got: ${inl.msg}")
+  }
 }
