@@ -355,6 +355,10 @@ object Pipeline {
     * binding (main.go:437 stamps `pipeline=<name>` on the bulk request)
     * as a query param on the `_bulk` URL — wire parity for an ES-side
     * pipeline, while `enrich` is the same chain run in-engine. */
+  /** `flushBytes` / `bulkMaxAttempts` / `bulkBackoffMs` surface the
+    * transport's tuning knobs (the reference's flushBytes at main.go:46
+    * and backoff envelope at main.go:400–412 are likewise config):
+    * POST-body budget per flush and the transient-retry schedule. */
   def runHttp(source: DataFrame, esUrl: String, index: String,
               outDir: String, checkpointDir: String,
               auth: Option[String] = None,
@@ -363,7 +367,10 @@ object Pipeline {
               enrich: DataFrame => DataFrame = identity,
               pipelineParam: Option[String] = None,
               metrics: Option[ServiceMetrics] = None,
-              alertQueries: Option[Seq[(Long, String)]] = None): StreamingQuery = {
+              alertQueries: Option[Seq[(Long, String)]] = None,
+              flushBytes: Int = HttpBulk.defaultFlushBytes,
+              bulkMaxAttempts: Int = 5,
+              bulkBackoffMs: Long = 50): StreamingQuery = {
     val effUrl = pipelineParam.fold(esUrl)(p =>
       esUrl + (if (esUrl.contains("?")) "&" else "?") + "pipeline=" + p)
     // the bulk POST counts documents_indexed (one observe in its lines
@@ -371,6 +378,8 @@ object Pipeline {
     // delivered document, not two
     val archive = channelWriter(s"$outDir/SUCCESS")
     val bulk = HttpBulk.bulkWriter(effUrl, index, s"$outDir/ERROR_ITEMS", auth,
+      flushBytes = flushBytes,
+      maxAttempts = bulkMaxAttempts, baseBackoffMs = bulkBackoffMs,
       authProvider = authProvider,
       rejectionCounter = metrics.map(_.bulkItemRejections),
       observeDocsAs = metrics.map(_.indexedMetric))
