@@ -131,6 +131,10 @@ class PipelineDifferentialSpec extends SparkSpec {
   private case class NLit(v: Long) extends NE
   private case class NBin(op: String, l: NE, r: NE) extends NE
   private case class NLen(s: SE) extends NE
+  // r18 function-audit additions (NOT in the shared neGen — the r18
+  // sweep generates them locally so earlier tests stay seed-identical)
+  private case class NRoundTo(e: NE, points: Seq[Long]) extends NE
+  private case class NCopySign(m: NE, sg: NE) extends NE
   private sealed trait SE
   private case class SCol(n: String) extends SE
   private case class SLit(v: String) extends SE
@@ -151,6 +155,10 @@ class PipelineDifferentialSpec extends SparkSpec {
     case NLit(v) => if (v < 0) s"(- ${-v})" else v.toString
     case NBin(op, l, r) => s"(${neText(l)} $op ${neText(r)})"
     case NLen(s) => s"LENGTH(${seText(s)})"
+    // points render UNSORTED as generated — the plan-time sort is the
+    // compiler's job and part of what the sweep checks
+    case NRoundTo(x, ps) => s"ROUND_TO(${neText(x)}, ${ps.mkString(", ")})"
+    case NCopySign(m, sg) => s"COPY_SIGN(${neText(m)}, ${neText(sg)})"
   }
   private def seText(e: SE): String = e match {
     case SCol(n) => n
@@ -185,6 +193,17 @@ class PipelineDifferentialSpec extends SparkSpec {
         }
       } yield v
     case NLen(s) => evalS(s, row).map(_.length.toLong)
+    // ROUND_TO: greatest point <= v; below the smallest point clamps
+    // to the smallest (ES's contract; null value → null)
+    case NRoundTo(x, ps) => evalN(x, row).map { v =>
+      val sorted = ps.sorted
+      sorted.reverse.find(_ <= v).getOrElse(sorted.head)
+    }
+    // COPY_SIGN: |m| carries sg's sign; zero-or-positive sign → +|m|;
+    // null on EITHER argument → null (the engine's abs(null)/when-null)
+    case NCopySign(m, sg) =>
+      for { s <- evalN(sg, row); a <- evalN(m, row) }
+        yield if (s < 0) -math.abs(a) else math.abs(a)
   }
   private def evalS(e: SE, row: Row): Option[String] = e match {
     case SCol(n) => row(n).map(_.asInstanceOf[String])
@@ -274,6 +293,10 @@ class PipelineDifferentialSpec extends SparkSpec {
   /** RERANK with the lexical scorer: _score = Σ min(tf, 3) over the
     * distinct query terms; a null field scores null. */
   private case class PRerank(terms: Seq[String], field: String) extends PCmd
+  /** r18 full-text function predicates: kind ∈ match_phrase (consecutive
+    * in-order terms over the whitespace analysis), multi_match (Kleene
+    * OR of per-field MATCH), term (exact whitespace-token equality). */
+  private case class PFnWhere(kind: String, fields: Seq[String], q: String) extends PCmd
 
   // full-text mini-AST (the generated subset of each box language)
   private sealed trait FTN
@@ -426,6 +449,13 @@ class PipelineDifferentialSpec extends SparkSpec {
       s"""| WHERE $fn($field, "$q")"""
     case PEnrichRange(on) => s"| ENRICH prange ON $on"
     case PRerank(terms, field) => s"""| RERANK "${terms.mkString(" ")}" ON $field"""
+    case PFnWhere(kind, fields, q0) =>
+      val q = q0.replace("\\", "\\\\").replace("\"", "\\\"")
+      kind match {
+        case "match_phrase" => s"""| WHERE MATCH_PHRASE(${fields.head}, "$q")"""
+        case "multi_match" => s"""| WHERE MULTI_MATCH("$q", ${fields.mkString(", ")})"""
+        case "term" => s"""| WHERE TERM(${fields.head}, "$q")"""
+      }
   }
 
   // evaluator: aggregate a group's rows per the dialect contracts
@@ -702,6 +732,32 @@ class PipelineDifferentialSpec extends SparkSpec {
         }
         r + ("_score" -> (score: Option[Any]))
       }
+    case PFnWhere(kind, fields, q) =>
+      // the engine analyzes the QUERY on \s+ but the FIELD on single
+      // spaces (split(trim(f), " ")) — the mirror preserves the split
+      val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      def fv(r: Row, f: String): Option[String] = r(f).map(_.asInstanceOf[String])
+      def kleeneOr(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] = (a, b) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      rows.filter { r =>
+        val verdict: Option[Boolean] = kind match {
+          case "match_phrase" =>
+            if (terms.isEmpty) Some(false) // engine: lit(false), null-proof
+            else fv(r, fields.head).map(v =>
+              (" " + v.trim + " ").contains(" " + terms.mkString(" ") + " "))
+          case "multi_match" =>
+            if (terms.isEmpty) Some(false) // every MATCH leg is lit(false)
+            else fields.map(f => fv(r, f)
+              .map(v => v.trim.split(" ", -1).exists(terms.contains)))
+              .reduce(kleeneOr)
+          case "term" => // the literal verbatim, not its analysis
+            fv(r, fields.head).map(v => v.trim.split(" ", -1).contains(q))
+        }
+        verdict.contains(true)
+      }
   }
 
   // ------------------------------------------------- program generator
@@ -741,6 +797,14 @@ class PipelineDifferentialSpec extends SparkSpec {
           case "%" => math.min(bl, br)
         }
         clamp(NBin(op, tl, tr), bound)
+      // the result is always one of the literal points
+      case NRoundTo(x, ps) =>
+        val (tx, _) = tame(x, s)
+        (NRoundTo(tx, ps), ps.map(math.abs).max)
+      case NCopySign(m, sg) =>
+        val (tm, bm) = tame(m, s)
+        val (ts, _) = tame(sg, s)
+        clamp(NCopySign(tm, ts), bm)
     }
   }
 
@@ -1650,5 +1714,237 @@ class PipelineDifferentialSpec extends SparkSpec {
     val missing = required.filterNot(feature(_) > 0)
     assert(missing.isEmpty,
       s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
+  }
+
+  // =================== r18: the function-audit additions (ROUND_TO /
+  // COPY_SIGN / MATCH_PHRASE / MULTI_MATCH / TERM) composed into whole
+  // pipelines — the audit-closing commit's fresh surface, fuzzed at
+  // authoring time per the standing discipline (the KNN sweep's three
+  // post-landing bugs are the class this exists to pre-empt).
+
+  private def r18NumGen(s: Schema): Gen[NE] = Gen.frequency(
+    3 -> (for {
+      e <- neGen(s, 1)
+      n <- Gen.chooseNum(1, 3)
+      ps <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+    } yield NRoundTo(e, ps.distinct): NE),
+    3 -> (for { m <- neGen(s, 1); sg <- neGen(s, 1) } yield NCopySign(m, sg): NE),
+    // nested: the ROUND_TO output (always a literal point) as the
+    // magnitude — plan-time point sort under composition
+    1 -> (for {
+      e <- neGen(s, 0)
+      ps <- Gen.listOfN(2, Gen.chooseNum(-60L, 60L))
+      sg <- neGen(s, 0)
+    } yield NCopySign(NRoundTo(e, ps.distinct), sg): NE)
+  ).map(e => tame(e, s)._1)
+
+  private def fnWhereGen(s: Schema): Gen[PCmd] = {
+    val kwVals = (langVals ++ sourceVals ++ Seq("aa", "zz")).distinct
+    Gen.frequency(
+      3 -> (for {
+        pos <- Gen.frequency(2 -> Gen.const(true), 1 -> Gen.const(false))
+        ws <- if (pos) textPhraseG else Gen.listOfN(2, textWordG)
+      } yield PFnWhere("match_phrase", Seq("text"), ws.mkString(" ")): PCmd),
+      1 -> (for { f <- Gen.oneOf(s.strs); v <- Gen.oneOf(kwVals) }
+        yield PFnWhere("match_phrase", Seq(f), v): PCmd),
+      // a query that ANALYZES to zero terms must compile to FALSE (not
+      // null, not a parse error) in both functions that analyze
+      1 -> Gen.oneOf("match_phrase", "multi_match").map(k =>
+        PFnWhere(k, Seq("text"), "  "): PCmd),
+      3 -> (for {
+        n <- Gen.chooseNum(1, 3)
+        fs <- Gen.pick(n, "text" +: s.strs)
+        w1 <- Gen.frequency(3 -> textWordG, 2 -> Gen.oneOf(kwVals))
+        w2 <- Gen.option(textWordG)
+      } yield PFnWhere("multi_match", fs.toSeq, (Seq(w1) ++ w2).mkString(" ")): PCmd),
+      3 -> (for {
+        f <- Gen.oneOf("text" +: s.strs)
+        v <- Gen.frequency(2 -> textWordG, 2 -> Gen.oneOf(kwVals))
+      } yield PFnWhere("term", Seq(f), v): PCmd))
+  }
+
+  test("r18: 200 random programs over the function-audit additions — engine frame == evaluator frame") {
+    var seed = Seed(81802L)
+    val feature = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    (1 to 200).foreach { i =>
+      val prog = (for {
+        useEval <- Gen.oneOf(true, false)
+        eb <- beGen(base, 1)
+        esrc <- Gen.oneOf("lang", "source")
+        s1 = if (useEval) base.copy(strs = base.strs :+ "tn") else base
+        nW <- Gen.chooseNum(1, 2)
+        wheres <- Gen.listOfN(nW, fnWhereGen(s1))
+        numE <- r18NumGen(s1)
+        tailLen <- Gen.chooseNum(1, 3)
+        s2 = s1.copy(longs = s1.longs :+ ("e900" -> neBound(numE, s1)))
+        tail <- tailProg(s2, 100, tailLen)
+      } yield {
+        // nullable EVAL'd string FIRST (so predicates can bind it), the
+        // function predicates over text/keyword/EVAL'd fields, then the
+        // text drop (SORT total-order invariant) and the numeric EVAL
+        (if (useEval) List(PEvalS("tn", SCase(eb, SCol(esrc))): PCmd) else Nil) ++
+          wheres ++ List(PDrop("text"): PCmd, PEvalN("e900", numE): PCmd) ++ tail
+      }).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+
+      def walkNum(e: NE): Unit = e match {
+        case NRoundTo(x, ps) =>
+          feature("round_to") += 1
+          if (ps != ps.sorted) feature("round_to_unsorted") += 1
+          if (ps.size == 1) feature("round_to_single_point") += 1
+          walkNum(x)
+        case NCopySign(m, sg) =>
+          feature("copy_sign") += 1
+          if (m.isInstanceOf[NRoundTo]) feature("copy_sign_nested") += 1
+          walkNum(m); walkNum(sg)
+        case NBin(_, l, r) => walkNum(l); walkNum(r)
+        case _ => ()
+      }
+      prog.foreach {
+        case PEvalN(_, e) => walkNum(e)
+        case PFnWhere(kind, fields, q) =>
+          feature(s"fn_$kind") += 1
+          if (q.trim.isEmpty) feature("fn_empty_query") += 1
+          if (fields.size >= 2) feature("fn_multifield") += 1
+          if (fields.contains("tn")) feature("fn_nullable_field") += 1
+          if (kind != "multi_match" && fields.head != "text") feature("fn_keyword_field") += 1
+        case _ => ()
+      }
+
+      val q = ("FROM documents" +: prog.map(cmdText)).mkString("\n")
+      val want = canonRows(prog.foldLeft(corpusT)((rows, c) => evalCmd(c, rows)))
+      val got = canonRows(engineRows(q, srcDfText))
+      assert(got == want, {
+        val firstDiff = got.zipAll(want, "<missing>", "<missing>")
+          .find { case (a, b) => a != b }
+        s"""frame diverged (round $i)
+           |query:
+           |$q
+           |engine rows: ${got.size}, evaluator rows: ${want.size}
+           |first diff: $firstDiff""".stripMargin
+      })
+    }
+    val required = Seq("round_to", "round_to_unsorted", "round_to_single_point",
+      "copy_sign", "copy_sign_nested", "fn_match_phrase", "fn_multi_match",
+      "fn_term", "fn_empty_query", "fn_multifield", "fn_nullable_field",
+      "fn_keyword_field")
+    val missing = required.filterNot(feature(_) > 0)
+    assert(missing.isEmpty,
+      s"generator no longer produces: $missing (counts: ${feature.toSeq.sorted})")
+  }
+
+  // =================== r18: the new spatial surface (ST_DISJOINT /
+  // ST_EXTENT_AGG / TO_CARTESIANSHAPE) against a plain-Scala box mirror.
+  // Points and envelope corners share one small integer lattice so
+  // boundary-exact hits (point ON an edge — where <= vs < diverges)
+  // are routine, not lucky draws.
+
+  private case class GPt(gid: Long, grp: String, p: Option[(Double, Double)])
+  private lazy val gpts: Seq[GPt] = (0 until 60).map { i =>
+    val x = ((i * 7) % 21 - 10).toDouble
+    val y = ((i * 11) % 17 - 8).toDouble
+    GPt(i.toLong, Seq("a", "b", "c")(i % 3),
+      if (i % 7 == 6) None else Some((x, y)))
+  }
+  private lazy val gptsDf = {
+    import spark.implicits._
+    val df = gpts.map(g => (g.gid, g.grp,
+      g.p.map { case (x, y) => s"POINT ($x $y)" }.getOrElse("not wkt")))
+      .toDF("gid", "grp", "wkt")
+    df.cache(); df.count(); df
+  }
+
+  private def runSpatial(q: String): Seq[(Long, Option[Boolean])] =
+    EsqlParser.run(q, { case "pts" => gptsDf }, session = Some(spark))
+      .collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+
+  test("r18: 90 random envelopes — ST_DISJOINT (geo + cartesian, both arg orders) == box mirror") {
+    val rnd = new scala.util.Random(118118L)
+    var boundaryHits = 0
+    var nullShapeRounds = 0
+    (1 to 90).foreach { i =>
+      val geo = i % 3 != 0 // rounds 1,2 geo; round 3 cartesian
+      val wrap = i % 17 == 0 // an antimeridian-wrapping box: parses NULL (geo)
+      val (x0, x1) = { val a = rnd.nextInt(21) - 10; val b = rnd.nextInt(21) - 10
+        (math.min(a, b), math.max(a, b)) }
+      val (y0, y1) = { val a = rnd.nextInt(17) - 8; val b = rnd.nextInt(17) - 8
+        (math.min(a, b), math.max(a, b)) }
+      val (lo, hi) = if (wrap) (x1 + 1, x0) else (x0, x1) // wrap → min > max → null shape
+      val shapeFn = if (geo) "TO_GEOSHAPE" else "TO_CARTESIANSHAPE"
+      val ptFn = if (geo) "TO_GEOPOINT" else "TO_CARTESIANPOINT"
+      val env = s"""$shapeFn("ENVELOPE ($lo, $hi, $y1, $y0)")"""
+      val dis = if (i % 2 == 0) s"ST_DISJOINT(pt, $env)" else s"ST_DISJOINT($env, pt)"
+      val q =
+        s"""FROM pts
+           || EVAL pt = $ptFn(wkt)
+           || EVAL dj = $dis
+           || KEEP gid, dj
+           || SORT gid""".stripMargin
+      val want = gpts.map { g =>
+        val dj =
+          if (wrap) None // null shape → null relation, NEVER a bool
+          else g.p.map { case (px, py) =>
+            !(px >= lo && px <= hi && py >= y0 && py <= y1)
+          }
+        (g.gid, dj)
+      }
+      val got = runSpatial(q)
+      assert(got == want,
+        s"""ST_DISJOINT diverged (round $i)
+           |query:
+           |$q
+           |engine: $got
+           |mirror: $want""".stripMargin)
+      if (wrap) nullShapeRounds += 1
+      else boundaryHits += gpts.count(_.p.exists { case (px, py) =>
+        (px == lo || px == hi) && py >= y0 && py <= y1 ||
+          (py == y0 || py == y1) && px >= lo && px <= hi
+      })
+    }
+    assert(boundaryHits > 50, s"boundary-exact hits: $boundaryHits — lattice drifted")
+    assert(nullShapeRounds >= 4, s"null-shape rounds: $nullShapeRounds")
+  }
+
+  test("r18: ST_EXTENT_AGG bbox == per-group min/max mirror; accessors compose; empty/all-null groups null") {
+    val rnd = new scala.util.Random(218218L)
+    (1 to 12).foreach { i =>
+      // cut: a random gid prefix; round 12 keeps NOTHING (the global
+      // agg over an empty frame must still emit its one all-null row)
+      val cut = if (i == 12) -1L else 10L + rnd.nextInt(55)
+      val by = i % 2 == 0
+      val q =
+        s"""FROM pts
+           || EVAL pt = TO_GEOPOINT(wkt)
+           || WHERE gid < $cut
+           || STATS ext = ST_EXTENT_AGG(pt)${if (by) " BY grp" else ""}
+           || EVAL xmin = ST_XMIN(ext), xmax = ST_XMAX(ext), ymin = ST_YMIN(ext), ymax = ST_YMAX(ext)
+           || KEEP ${if (by) "grp, " else ""}xmin, xmax, ymin, ymax${
+            // doubled pipe: the interpolation lands inside stripMargin,
+            // which eats the line's first '|' as margin
+            if (by) "\n|| SORT grp" else ""}""".stripMargin
+      val kept = gpts.filter(_.gid < cut)
+      def box(gs: Seq[GPt]): Seq[Option[Double]] = {
+        val ps = gs.flatMap(_.p)
+        if (ps.isEmpty) Seq(None, None, None, None)
+        else Seq(Some(ps.map(_._1).min), Some(ps.map(_._1).max),
+          Some(ps.map(_._2).min), Some(ps.map(_._2).max))
+      }
+      val want: Seq[Seq[Option[Any]]] =
+        if (by) kept.groupBy(_.grp).toSeq.sortBy(_._1)
+          .map { case (g, gs) => (Some(g): Option[Any]) +: box(gs).map(x => x: Option[Any]) }
+        else Seq(box(kept).map(x => x: Option[Any]))
+      val got = EsqlParser.run(q, { case "pts" => gptsDf }, session = Some(spark))
+        .collect().toSeq.map { r =>
+          (0 until r.length).map(j => if (r.isNullAt(j)) None
+            else (Some(r.get(j)): Option[Any]))
+        }
+      assert(got == want,
+        s"""ST_EXTENT_AGG diverged (round $i)
+           |query:
+           |$q
+           |engine: $got
+           |mirror: $want""".stripMargin)
+    }
   }
 }
