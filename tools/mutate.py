@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from compare import normalize, TABLES  # the REAL gate's normalize (applies its canon)
+from compare import canon, normalize, TABLES  # the REAL gate's normalize (applies its canon)
 
 
 def perturb_value(v):
@@ -106,6 +106,34 @@ def mutations(rows, schema):
                 yield f"null:{f.name}", mut
                 done = True
                 break
+    # dup_row: duplicate the first row — kills a compare that dedupes or
+    # sets rows before diffing (multiset- vs set-sensitivity; r17 verdict
+    # task 4). Row count changes, so a length-aware gate must go red.
+    yield "dup_row", rows + [dict(rows[0])]
+    # swap: exchange two same-typed columns' values within ONE row —
+    # kills a canonicalization that sorts values within a row or is
+    # otherwise blind to WHICH named column holds a value. Same arrow
+    # type keeps the mutant maximally sneaky (no type-tag giveaway), and
+    # requiring the GATE'S OWN canon to distinguish the two values
+    # guarantees any survival is a real gate defect, not float-rounding.
+    ftype = {f.name: f.type for f in schema}
+    done = False
+    for ri, r in enumerate(rows):
+        if done:
+            break
+        cols = schema.names
+        for i in range(len(cols)):
+            if done:
+                break
+            for j in range(i + 1, len(cols)):
+                a, b = cols[i], cols[j]
+                if ftype[a] != ftype[b] or canon(r[a]) == canon(r[b]):
+                    continue
+                mut = [dict(x) for x in rows]
+                mut[ri][a], mut[ri][b] = mut[ri][b], mut[ri][a]
+                yield f"swap:{a}<->{b}", mut
+                done = True
+                break
 
 
 def compare_frame(con, sql, names, rows):
@@ -158,12 +186,21 @@ def main():
     total_keys = len(report)
     total_muts = sum(len(v) for v in report.values())
     killed = sum(1 for v in report.values() for s in v.values() if s == "killed")
+    by_class = {}
+    for v in report.values():
+        for m in v:
+            by_class[m.split(":")[0]] = by_class.get(m.split(":")[0], 0) + 1
     summary = {
         "sf_dir": sf_dir,
         "keys_sampled": total_keys,
         "mutants": total_muts,
         "killed": killed,
         "survived": total_muts - killed,
+        "mutants_by_class": by_class,
+        # swap needs two same-typed, canon-distinguishable columns in some
+        # row; keys without such a pair legitimately have no swap mutant
+        "swap_applicable_keys": sum(
+            1 for v in report.values() if any(m.startswith("swap:") for m in v)),
         "skipped_no_dump": skipped,
     }
     with open(out_json, "w") as f:
