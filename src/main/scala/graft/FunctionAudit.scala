@@ -88,12 +88,19 @@ object FunctionAudit {
       "(documented deviation from ES's opaque long encoding), so the " +
       "long<->string conversions have no role"
 
-  /** Honest gaps — absent, with the reason recorded. */
-  val absent: Map[String, String] = Map(
-    "TO_DATE_NANOS" -> ("timestamps are micro-precision TimestampType " +
-      "end-to-end; a nanos twin would silently truncate — documented scope cut"),
-    "TO_VERSION" -> ("the version type's only frame-level observable is its " +
-      "sort order; this dialect has no opaque ordered type to carry it yet"))
+  /** Honest gaps — absent, with the reason recorded. (Empty since the
+    * r18 closure of TO_DATE_NANOS/TO_VERSION; the map stays so a future
+    * reference bump has somewhere honest to record a new gap.) */
+  val absent: Map[String, String] = Map.empty
+
+  /** Implemented rows whose CARRIER deviates from ES's storage type —
+    * the deviation is part of the audit, not a footnote elsewhere. */
+  val implementedNotes: Map[String, String] = Map(
+    "TO_DATE_NANOS" -> ("carried as epoch-nanos LONG (the representation " +
+      "Spark gives parquet TIMESTAMP(NANOS) itself); keyword/date/long in"),
+    "TO_VERSION" -> ("carried as an order-preserving encoded keyword " +
+      "(semver-aware sort; prerelease identifiers compare lexicographically " +
+      "— documented simplification; invalid versions sort after valid)"))
 
   /** Function names the compiler dispatches: every quoted
     * ALL-CAPS token on a `case` line of EsqlParser.scala. */
@@ -130,7 +137,7 @@ object FunctionAudit {
         } else {
           if (!have.contains(name)) sys.error(
             s"$name is classified implemented but EsqlParser.scala has no case dispatch for it")
-          (cat, name, "implemented", "")
+          (cat, name, "implemented", implementedNotes.getOrElse(name, ""))
         }
       row
     }

@@ -1384,6 +1384,55 @@ object EsqlParser {
         when(c.rlike(rx) && minX <= maxX && maxY >= minY, struct(
           minX.as("min_x"), maxX.as("max_x"),
           maxY.as("max_y"), minY.as("min_y")))
+      // TO_DATE_NANOS (9.1): date_nanos is CARRIED AS epoch-nanos LONG
+      // — the representation Spark itself gives parquet TIMESTAMP(NANOS)
+      // (nanosAsLong; the events table ships that encoding), so the
+      // micro-precision TimestampType never silently truncates a nanos
+      // value. Keyword input: strict ISO with 1–9 fraction digits and
+      // an optional Z — the timestamp cast keeps the first 6 fraction
+      // digits (micros) and the 7th–9th come back as the nano tail.
+      // Date input: micros × 1000; long input: already epoch-nanos.
+      // The leg is picked from the RESOLVED input type at analysis
+      // time (graftshim.EsqlToDateNanos, the RequireFloatVec pattern).
+      case ("TO_DATE_NANOS", Seq(x)) =>
+        val c = compileExpr(x)
+        val rx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,9})?)Z?$"
+        val frac = regexp_extract(c, "\\.(\\d{1,9})", 1)
+        val nanoTail = substring(
+          rpad(when(frac === "", lit("0")).otherwise(frac), 9, "0"), 7, 3).cast("long")
+        val fromString = when(c.rlike(rx),
+          unix_micros(try_to_timestamp(regexp_extract(c, rx, 1))) * 1000L + nanoTail)
+        graft.Cols.column(org.apache.spark.sql.graftshim.EsqlToDateNanos(
+          graft.Cols.expr(c), graft.Cols.expr(fromString),
+          graft.Cols.expr(unix_micros(c.cast("timestamp")) * 1000L)))
+      // TO_VERSION: ES's version type is a keyword whose ORDER is
+      // semver-aware. Carried as an order-preserving ENCODED keyword:
+      // zero-padded numeric parts, then "-<prerelease>" or "~" for a
+      // release ('-' < '~' in ASCII, so 1.0.0-beta < 1.0.0), then
+      // "|" + the original text (distinct inputs stay distinct, e.g.
+      // "1.2" vs "1.2.0"). Unparseable versions encode as "~" + input:
+      // AFTER every valid version, ordered among themselves by raw
+      // string — ES's invalid-after-valid sort contract. Prerelease
+      // identifiers compare lexicographically (documented
+      // simplification of semver's numeric-identifier rule); numerals
+      // cap at 10 digits (beyond → invalid) so the padding can never
+      // truncate-reorder.
+      case ("TO_VERSION", Seq(x)) =>
+        val c = compileExpr(x)
+        val rx = "^(\\d{1,10})(?:\\.(\\d{1,10}))?(?:\\.(\\d{1,10}))?(?:-([0-9A-Za-z.\\-]+))?$"
+        def vpart(i: Int): Column = lpad(
+          when(regexp_extract(c, rx, i) === "", lit("0"))
+            .otherwise(regexp_extract(c, rx, i)), 10, "0")
+        val pre = regexp_extract(c, rx, 4)
+        // the prerelease terminates with '!' (below every allowed pre
+        // char AND below the '|' original-text separator): without it,
+        // a prerelease that is a PREFIX of another ("alpha" vs
+        // "alpha.1") would compare '|' (0x7C) against '.' (0x2E) and
+        // sort AFTER its extension — semver says before
+        val enc = concat(vpart(1), lit("."), vpart(2), lit("."), vpart(3),
+          when(pre === "", lit("~")).otherwise(concat(lit("-"), pre, lit("!"))),
+          lit("|"), c)
+        when(c.rlike(rx), enc).otherwise(concat(lit("~"), c))
       case ("TO_GEOSHAPE", Seq(x)) =>
         val c = compileExpr(x)
         val num = "(-?\\d+(?:\\.\\d+)?)"

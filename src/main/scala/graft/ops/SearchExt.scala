@@ -2543,6 +2543,53 @@ object SearchExt {
       |  min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
       |FROM b GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** The function audit's LAST two rows closed (r18: TO_VERSION /
+    * TO_DATE_NANOS): semver-aware version ORDERING proven through SORT
+    * on the encoded keyword — minors span 0..12 so numeric and
+    * lexicographic order genuinely disagree ("1.2.x" < "1.11.x"), and
+    * every fourth version carries a prerelease tag that must sort
+    * BEFORE its release — plus nanosecond timestamps carried as
+    * epoch-nanos longs: a 9-digit fraction parsed exactly and the long
+    * passthrough leg (TO_DATE_NANOS of an already-nanos value is
+    * identity). DuckDB mirrors the nanos ARITHMETICALLY
+    * (epoch_ns(base) + tail): its own VARCHAR→TIMESTAMP_NS cast
+    * truncates fractions to micros, so a cast-based oracle would
+    * under-assert by exactly the nano tail under test. */
+  private[graft] val esqlFunctions3Query =
+    """FROM documents
+      || WHERE doc_id < 120
+      || EVAL vs = CONCAT(TO_STRING(doc_id % 2 + 1), ".",
+      |                   TO_STRING(doc_id % 13), ".", TO_STRING(n_chars % 7)),
+      |       vstr = CASE(doc_id % 4 == 0,
+      |                   CONCAT(vs, "-beta.", TO_STRING(doc_id % 2)), vs),
+      |       ver = TO_VERSION(vstr),
+      |       dn = TO_DATE_NANOS(CONCAT("2024-03-05T10:30:15.",
+      |                                 TO_STRING(100000000 + doc_id))),
+      |       dn2 = TO_DATE_NANOS(dn)
+      || SORT ver, doc_id
+      || LIMIT 40
+      || KEEP doc_id, vstr, dn, dn2""".stripMargin
+  val esqlFunctions3Op = QueryDef(
+    "ns_esql_functions3",
+    (s, dir) => EsqlParser.run(esqlFunctions3Query, _ => Tables.documents(s, dir)),
+    Some("""SELECT doc_id, vstr, dn, dn AS dn2 FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN concat(vs, '-beta.', CAST(doc_id % 2 AS VARCHAR)) ELSE vs END AS vstr,
+      |    epoch_ns(TIMESTAMP '2024-03-05 10:30:15') + 100000000 + doc_id AS dn,
+      |    doc_id % 2 + 1 AS vmaj, doc_id % 13 AS vmin, n_chars % 7 AS vpat,
+      |    (doc_id % 4 = 0) AS haspre,
+      |    concat('beta.', CAST(doc_id % 2 AS VARCHAR)) AS pretag
+      |  FROM (SELECT doc_id, n_chars,
+      |      concat(CAST(doc_id % 2 + 1 AS VARCHAR), '.',
+      |        CAST(doc_id % 13 AS VARCHAR), '.',
+      |        CAST(n_chars % 7 AS VARCHAR)) AS vs
+      |    FROM documents WHERE doc_id < 120))
+      |ORDER BY vmaj, vmin, vpat,
+      |  CASE WHEN haspre THEN 0 ELSE 1 END,
+      |  CASE WHEN haspre THEN pretag ELSE '' END, doc_id
+      |LIMIT 40""".stripMargin))
+
   /** ES|QL `SHOW INFO` — the remaining source command (the fourth
     * pipeline head next to FROM/TS/ROW): one deterministic row of
     * engine build facts, compiled to a LocalRelation that touches no
@@ -2924,7 +2971,7 @@ object SearchExt {
     esqlChangePointOp, esqlSampleOp, esqlFulltextOp, esqlForkOp, esqlFuseOp, esqlTsOp,
     esqlTsPipelineOp, esqlKnnOp,
     esqlDatesOp, esqlCidrOp, esqlEnrichRangeOp, esqlMetadataOp, esqlRerankOp,
-    esqlCompletionOp, esqlFunctionsOp, esqlFunctions2Op, esqlShowOp,
+    esqlCompletionOp, esqlFunctionsOp, esqlFunctions2Op, esqlFunctions3Op, esqlShowOp,
     esqlDateParseOp, esqlParamsOp,
     esqlMadOp, esqlMvStatsOp, esqlGeoOp, esqlGeoCentroidOp,
     esqlGeoPolygonOp, esqlGeoGridOp, esqlGeoCartesianOp,

@@ -223,6 +223,32 @@ case class RequireFloatVec(child: Expression)
     copy(child = newChild)
 }
 
+/** Analysis-typed dispatch for TO_DATE_NANOS (the RequireFloatVec
+  * pattern): date_nanos is carried as epoch-nanos LONG. The compiler
+  * pre-builds the string-parse and timestamp legs as ordinary Column
+  * expressions; this node picks one from the input's RESOLVED type
+  * (keyword → parse, date → micros·1000, long → passthrough: already
+  * epoch-nanos) and names the error for other atomic types. The
+  * unexecuted legs stay in `children` only so analysis resolves them —
+  * ReplaceExpressions drops them with the node. */
+case class EsqlToDateNanos(child: Expression, fromString: Expression,
+                           fromTimestamp: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child, fromString, fromTimestamp)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType => fromString
+    case org.apache.spark.sql.types.TimestampType => fromTimestamp
+    case LongType => child
+    case other => sys.error("TO_DATE_NANOS expects keyword/date/long " +
+      s"(date_nanos is carried as epoch-nanos long), got ${other.simpleString}")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), fromString = newChildren(1),
+      fromTimestamp = newChildren(2))
+}
+
 /** ES|QL's spatial coordinate accessors ST_XMIN/ST_XMAX/ST_YMIN/
   * ST_YMAX (8.18) — TYPE-DIRECTED at analysis time (the
   * GeoEnvelopeRelate pattern): over an ENVELOPE geo_shape the accessor

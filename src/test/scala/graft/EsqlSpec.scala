@@ -1365,4 +1365,164 @@ class EsqlSpec extends SparkSpec {
       { case "p" => pts }, session = Some(spark)))
     assert(inl.msg.contains("ST_EXTENT_AGG"), s"got: ${inl.msg}")
   }
+
+  test("TO_VERSION: semver-aware order, prerelease before release, invalid after valid, distinctness") {
+    import spark.implicits._
+    val vdf = Seq(
+      (1L, "1.10.0"), (2L, "1.2.0"), (3L, "1.2.0-beta"), (4L, "1.2.0-alpha"),
+      (5L, "2.0.0"), (6L, "10.0.0"), (7L, "9.0.0"), (8L, "1.2"), (9L, "1.10.1"),
+      // invalids: non-numeric lead, illegal char, an 11-digit numeral
+      // (beyond the padding width — must go invalid, never mis-sort)
+      (10L, "v1.2.3"), (11L, "not.a-version!"), (12L, "12345678901.0.0")
+    ).toDF("id", "s")
+    val got = EsqlParser.run(
+      "FROM v | EVAL ver = TO_VERSION(s) | SORT ver, id | KEEP s", _ => vdf)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      // numeric order beats lexicographic (1.2 < 1.10; 9 < 10), the
+      // prereleases precede their release, 1.2 and 1.2.0 stay adjacent
+      // but distinct, and every invalid sorts after every valid
+      // (ordered among themselves by the raw string)
+      "1.2.0-alpha", "1.2.0-beta", "1.2", "1.2.0", "1.10.0", "1.10.1",
+      "2.0.0", "9.0.0", "10.0.0",
+      "12345678901.0.0", "not.a-version!", "v1.2.3"), s"got $got")
+    // "1.2" and "1.2.0" sort together but are NOT the same value
+    val eq = EsqlParser.run(
+      """FROM v | WHERE TO_VERSION(s) == TO_VERSION("1.2.0") | KEEP s""", _ => vdf)
+      .collect().map(_.getString(0)).toSeq
+    assert(eq == Seq("1.2.0"), s"1.2 must stay distinct from 1.2.0: $eq")
+  }
+
+  test("TO_DATE_NANOS: 9-digit fractions exact, optional Z, invalid → null, long passthrough, date leg, named error") {
+    import spark.implicits._
+    val tdf = Seq(
+      (1L, "2024-03-05T10:30:15.123456789Z"),
+      (2L, "2024-03-05T10:30:15.123456789"),
+      (3L, "2024-03-05T10:30:15.5"),
+      (4L, "2024-03-05T10:30:15"),
+      (5L, "2024-13-05T10:30:15"), // month out of range: regex passes, parse nulls
+      (6L, "not a time"),
+      (7L, "2024-03-05T10:30:15.1234567891") // 10 fraction digits: invalid
+    ).toDF("id", "s")
+    val base = java.time.Instant.parse("2024-03-05T10:30:15Z").getEpochSecond * 1000000000L
+    val got = EsqlParser.run(
+      "FROM t | EVAL dn = TO_DATE_NANOS(s), dn2 = TO_DATE_NANOS(dn) | SORT id | KEEP dn, dn2",
+      _ => tdf).collect().toSeq.map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val want = Seq(Some(base + 123456789L), Some(base + 123456789L),
+      Some(base + 500000000L), Some(base), None, None, None)
+    // dn2 (the LONG passthrough leg) must be identical to dn, nulls included
+    assert(got == want.map(v => (v, v)), s"got $got")
+    // date leg: a TimestampType input converts micros → nanos
+    val tsdf = Seq((1L, "2024-03-05 10:30:15.123456")).toDF("id", "raw")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("raw")))
+    val gotTs = EsqlParser.run("FROM t | EVAL dn = TO_DATE_NANOS(ts) | KEEP dn",
+      _ => tsdf).collect()(0).getLong(0)
+    assert(gotTs == base + 123456000L, s"got $gotTs")
+    // unsupported input type: the NAMED analysis error, not a raw mismatch
+    val ddf = Seq((1L, 1.5)).toDF("id", "d")
+    val e = intercept[Throwable](EsqlParser.run(
+      "FROM t | EVAL dn = TO_DATE_NANOS(d) | KEEP dn", _ => ddf).collect())
+    assert(e.getMessage.contains("TO_DATE_NANOS expects"), s"got: ${e.getMessage}")
+  }
+
+  test("TO_VERSION fuzz: 300 random versions — engine sort order == plain-Scala semver mirror") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(318318L)
+    def numeral(): String = {
+      // lengths cluster at 1–3 but reach the 10-digit boundary and the
+      // 11-digit invalid side; leading zeros on purpose (pad-ties)
+      val len = rnd.nextInt(12) match {
+        case 10 => 10
+        case 11 => 11
+        case n => n % 3 + 1
+      }
+      (0 until len).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString match {
+        case "" => "0"
+        case s => s
+      }
+    }
+    val vstrs = (0 until 300).map { _ =>
+      rnd.nextInt(10) match {
+        case 0 => "v" + numeral() + "." + numeral() // invalid lead
+        case 1 => numeral() + "." + numeral() + "." // trailing dot: invalid
+        case 2 => numeral() + "." + numeral() + "-" // empty prerelease: invalid
+        case 3 => numeral() + "!" + numeral() // illegal char: invalid
+        case _ =>
+          val parts = (0 until 1 + rnd.nextInt(3)).map(_ => numeral()).mkString(".")
+          val pre = if (rnd.nextBoolean()) "" else "-" +
+            (0 until 1 + rnd.nextInt(2)).map(_ =>
+              Seq("alpha", "beta", "rc", "1", "11", "2")(rnd.nextInt(6))).mkString(".")
+          parts + pre
+      }
+    }
+    val vrx = "^(\\d{1,10})(?:\\.(\\d{1,10}))?(?:\\.(\\d{1,10}))?(?:-([0-9A-Za-z.\\-]+))?$".r
+    // the mirror's key: valid → (0, maj, min, pat, 0-if-prerelease, pre, orig);
+    // invalid → (1, raw) after every valid
+    def key(id: Int, s: String): (Int, Long, Long, Long, Int, String, String) =
+      s match {
+        case vrx(maj, minOr, patOr, preOr) =>
+          (0, maj.toLong, Option(minOr).fold(0L)(_.toLong),
+            Option(patOr).fold(0L)(_.toLong),
+            if (preOr == null) 1 else 0, Option(preOr).getOrElse(""), s)
+        case _ => (1, 0L, 0L, 0L, 0, "", s)
+      }
+    val want = vstrs.zipWithIndex
+      .sortBy { case (s, i) => (key(i, s), i) }.map(_._1)
+    val vdf = vstrs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = EsqlParser.run(
+      "FROM v | EVAL ver = TO_VERSION(s) | SORT ver, id | KEEP s", _ => vdf)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want, {
+      val d = got.zip(want).indexWhere { case (a, b) => a != b }
+      s"version order diverged at $d: engine=${got.slice(d - 2, d + 3)} mirror=${want.slice(d - 2, d + 3)}"
+    })
+    val nInvalid = vstrs.count(s => vrx.findFirstIn(s).isEmpty)
+    assert(nInvalid >= 60 && nInvalid <= 240, s"generator drifted: $nInvalid invalid of 300")
+  }
+
+  test("TO_DATE_NANOS fuzz: 300 random stamps — engine nanos == java.time mirror (null agreement included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(418418L)
+    def pad(n: Int, w: Int): String = n.toString.reverse.padTo(w, '0').reverse.mkString
+    val stamps = (0 until 300).map { _ =>
+      rnd.nextInt(12) match {
+        case 0 => "garbage " + rnd.nextInt(100)
+        case 1 => // out-of-range calendar/clock fields: regex passes, parse nulls
+          s"2024-${pad(13 + rnd.nextInt(80), 2)}-40T25:61:6${rnd.nextInt(10)}:00".take(19)
+        case _ =>
+          val frac = rnd.nextInt(11) match {
+            case 10 => "." + (0 until 10).map(_ => rnd.nextInt(10)).mkString // invalid
+            case 0 => ""
+            case n => "." + (0 until n).map(_ => rnd.nextInt(10)).mkString
+          }
+          val z = if (rnd.nextBoolean()) "Z" else ""
+          f"${1970 + rnd.nextInt(80)}%04d-${pad(1 + rnd.nextInt(12), 2)}-${pad(1 + rnd.nextInt(31), 2)}" +
+            f"T${pad(rnd.nextInt(24), 2)}:${pad(rnd.nextInt(60), 2)}:${pad(rnd.nextInt(60), 2)}$frac$z"
+      }
+    }
+    val srx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9}))?Z?$".r
+    def mirror(s: String): Option[Long] = s match {
+      case srx(head, frac) =>
+        try {
+          val ldt = java.time.LocalDateTime.parse(head)
+          val sec = ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond
+          val tail = Option(frac).fold(0L)(f => (f + "0" * (9 - f.length)).toLong)
+          Some(sec * 1000000000L + tail)
+        } catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None
+    }
+    val want = stamps.map(mirror)
+    val sdf = stamps.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = EsqlParser.run(
+      "FROM t | EVAL dn = TO_DATE_NANOS(s) | SORT id | KEEP dn", _ => sdf)
+      .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"stamp '${stamps(i)}': engine=$g mirror=$w")
+    }
+    assert(want.count(_.isEmpty) >= 40, "too few null cases generated")
+    assert(want.count(_.isDefined) >= 150, "too few valid cases generated")
+  }
 }
