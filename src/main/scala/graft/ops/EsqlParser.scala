@@ -844,6 +844,28 @@ object EsqlParser {
       regexp_extract(c, rx, 2).cast("double").as(f2)))
   }
 
+  /** ONE WKT ENVELOPE parser for the geo and cartesian shape twins
+    * (the wktPointStruct principle: a shared grammar can never let the
+    * accepted input sets drift apart — review finding). Field names
+    * come from the caller; the min<=max / max>=min degenerate gate is
+    * the shared contract (for geo it also rejects the antimeridian
+    * wrap — min_lon > max_lon is valid WKT there but outside this
+    * bounding-box implementation's scope; planar space has no wrap, so
+    * for cartesian the same gate is just argument-order validation).
+    * Gate failures NULL the parse (the TO_* conversion contract), so
+    * downstream relations yield null, never a wrong boolean. */
+  private def wktEnvelopeStruct(c: Column, minXf: String, maxXf: String,
+                                maxYf: String, minYf: String): Column = {
+    val num = "(-?\\d+(?:\\.\\d+)?)"
+    val rx = s"^ENVELOPE \\($num, $num, $num, $num\\)$$"
+    val minX = regexp_extract(c, rx, 1).cast("double")
+    val maxX = regexp_extract(c, rx, 2).cast("double")
+    val maxY = regexp_extract(c, rx, 3).cast("double")
+    val minY = regexp_extract(c, rx, 4).cast("double")
+    when(c.rlike(rx) && minX <= maxX && maxY >= minY, struct(
+      minX.as(minXf), maxX.as(maxXf), maxY.as(maxYf), minY.as(minYf)))
+  }
+
   /** Point-in-convex-polygon as pure codegen arithmetic — the
     * ns_geo_polygon half-plane discipline (ops/Enrich.scala:893): one
     * cross product per edge, inside = every product on one side
@@ -872,7 +894,12 @@ object EsqlParser {
     * named errors as the envelope path); everything else resolves
     * argument roles at analysis time (graftshim.GeoEnvelopeRelate,
     * point-vs-ENVELOPE). */
-  private def geoRelate(x: Expr, y: Expr, mode: String): Column = {
+  /** `fn` is the SURFACE function name for error text: ST_DISJOINT
+    * compiles as mode "intersects" negated, and its errors must name
+    * the function the user actually wrote (review finding). */
+  private def geoRelate(x: Expr, y: Expr, mode: String,
+                        fn: String = ""): Column = {
+    val surface = if (fn.isEmpty) "ST_" + mode.toUpperCase else fn
     def polyOf(e: Expr): Option[Seq[(Double, Double)]] = e match {
       case Func("TO_GEOSHAPE", Seq(StrLit(w))) => parsePolygonWkt(w)
       case _ => None
@@ -898,7 +925,8 @@ object EsqlParser {
           "shape-contains-point direction use ST_CONTAINS(shape, point)", 0)
       case _ =>
         graft.Cols.column(org.apache.spark.sql.graftshim.GeoEnvelopeRelate(
-          graft.Cols.expr(compileExpr(x)), graft.Cols.expr(compileExpr(y)), mode))
+          graft.Cols.expr(compileExpr(x)), graft.Cols.expr(compileExpr(y)), mode,
+          surface))
     }
   }
 
@@ -1369,21 +1397,11 @@ object EsqlParser {
       // WKT POINT form, struct(x, y) — ONE shared parser with the geo
       // twin, so the accepted input set can never diverge between them
       case ("TO_CARTESIANPOINT", Seq(x)) => wktPointStruct(compileExpr(x), "x", "y")
-      // TO_CARTESIANSHAPE: the planar ENVELOPE twin — same WKT box
-      // grammar, but NO wrap/degenerate lon-lat gates (planar space has
-      // no antimeridian) beyond min<=max on both axes; emitted in the
+      // TO_CARTESIANSHAPE: the planar ENVELOPE twin — ONE shared box
+      // grammar with TO_GEOSHAPE (wktEnvelopeStruct), emitted in the
       // min_x layout the cartesian GeoCoordAccessor reads back
       case ("TO_CARTESIANSHAPE", Seq(x)) =>
-        val c = compileExpr(x)
-        val num = "(-?\\d+(?:\\.\\d+)?)"
-        val rx = s"^ENVELOPE \\($num, $num, $num, $num\\)$$"
-        val minX = regexp_extract(c, rx, 1).cast("double")
-        val maxX = regexp_extract(c, rx, 2).cast("double")
-        val maxY = regexp_extract(c, rx, 3).cast("double")
-        val minY = regexp_extract(c, rx, 4).cast("double")
-        when(c.rlike(rx) && minX <= maxX && maxY >= minY, struct(
-          minX.as("min_x"), maxX.as("max_x"),
-          maxY.as("max_y"), minY.as("min_y")))
+        wktEnvelopeStruct(compileExpr(x), "min_x", "max_x", "max_y", "min_y")
       // TO_DATE_NANOS (9.1): date_nanos is CARRIED AS epoch-nanos LONG
       // — the representation Spark itself gives parquet TIMESTAMP(NANOS)
       // (nanosAsLong; the events table ships that encoding), so the
@@ -1394,14 +1412,22 @@ object EsqlParser {
       // Date input: micros × 1000; long input: already epoch-nanos.
       // The leg is picked from the RESOLVED input type at analysis
       // time (graftshim.EsqlToDateNanos, the RequireFloatVec pattern).
+      // The seconds head parses with an EXPLICIT +0000 so the result
+      // is the same instant in any embedding session's timezone — ES
+      // reads unzoned date strings as UTC, and a string carrying 'Z'
+      // must never be silently reinterpreted as session-local time
+      // (review finding). The fraction never reaches the parser: the
+      // full 9-digit tail is added as nanos arithmetic.
       case ("TO_DATE_NANOS", Seq(x)) =>
         val c = compileExpr(x)
-        val rx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,9})?)Z?$"
-        val frac = regexp_extract(c, "\\.(\\d{1,9})", 1)
-        val nanoTail = substring(
-          rpad(when(frac === "", lit("0")).otherwise(frac), 9, "0"), 7, 3).cast("long")
+        val rx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9}))?Z?$"
+        val frac = regexp_extract(c, rx, 2)
+        val nanoTail =
+          rpad(when(frac === "", lit("0")).otherwise(frac), 9, "0").cast("long")
         val fromString = when(c.rlike(rx),
-          unix_micros(try_to_timestamp(regexp_extract(c, rx, 1))) * 1000L + nanoTail)
+          unix_micros(try_to_timestamp(
+            concat(regexp_extract(c, rx, 1), lit(" +0000")),
+            lit("yyyy-MM-dd'T'HH:mm:ss Z"))) * 1000L + nanoTail)
         graft.Cols.column(org.apache.spark.sql.graftshim.EsqlToDateNanos(
           graft.Cols.expr(c), graft.Cols.expr(fromString),
           graft.Cols.expr(unix_micros(c.cast("timestamp")) * 1000L)))
@@ -1434,26 +1460,9 @@ object EsqlParser {
           lit("|"), c)
         when(c.rlike(rx), enc).otherwise(concat(lit("~"), c))
       case ("TO_GEOSHAPE", Seq(x)) =>
-        val c = compileExpr(x)
-        val num = "(-?\\d+(?:\\.\\d+)?)"
-        val rx = s"^ENVELOPE \\($num, $num, $num, $num\\)$$"
-        // Antimeridian-crossing envelopes (min_lon > max_lon is VALID
-        // WKT in ES geo_shape — it wraps the dateline) are outside this
-        // bounding-box implementation's scope: a plain range compare
-        // would silently return false for every point. Null the parse
-        // (the TO_* conversion contract for unsupported input) so
-        // downstream relations yield null, never a wrong boolean. Same
-        // for a lat-degenerate box (max_lat < min_lat — argument-order
-        // mistakes ES rejects): null, never everywhere-false.
-        val minLon = regexp_extract(c, rx, 1).cast("double")
-        val maxLon = regexp_extract(c, rx, 2).cast("double")
-        val maxLat = regexp_extract(c, rx, 3).cast("double")
-        val minLat = regexp_extract(c, rx, 4).cast("double")
-        when(c.rlike(rx) && minLon <= maxLon && maxLat >= minLat, struct(
-          minLon.as("min_lon"),
-          maxLon.as("max_lon"),
-          maxLat.as("max_lat"),
-          minLat.as("min_lat")))
+        // shared ENVELOPE grammar + gates: see wktEnvelopeStruct (the
+        // antimeridian-wrap and lat-degenerate rationale lives there)
+        wktEnvelopeStruct(compileExpr(x), "min_lon", "max_lon", "max_lat", "min_lat")
       // argument roles resolve at ANALYSIS time (GeoEnvelopeRelate — the
       // EsqlDivide pattern): ST_INTERSECTS is symmetric; the directed
       // pair enforces its role order with a clear error
@@ -1462,7 +1471,7 @@ object EsqlParser {
       case ("ST_INTERSECTS", Seq(x, y)) => geoRelate(x, y, "intersects")
       // ST_DISJOINT is intersects' negation by definition (DE-9IM);
       // a null geometry stays null through the NOT, never a wrong bool
-      case ("ST_DISJOINT", Seq(x, y)) => !geoRelate(x, y, "intersects")
+      case ("ST_DISJOINT", Seq(x, y)) => !geoRelate(x, y, "intersects", "ST_DISJOINT")
       // 8.18 bounding-box accessors — type-directed at analysis time
       // (point or ENVELOPE; a point's box is itself), each resolving to
       // plain struct-field reads
@@ -1564,7 +1573,12 @@ object EsqlParser {
       // MATCH_PHRASE (9.1): the query terms must appear CONSECUTIVELY
       // in order — space-padded containment over the whitespace
       // analysis, the engine's shared phrase discipline (SearchExt's
-      // match_phrase / the box languages' quoted phrase)
+      // match_phrase / the box languages' quoted phrase). Like those
+      // siblings, the FIELD is analyzed on single spaces (the engine's
+      // whole-corpus convention) while the QUERY normalizes on \s+ —
+      // a field with multi-space runs between tokens phrase-matches
+      // only its literal spacing, a stated deviation from ES's
+      // position-based phrase
       case ("MATCH_PHRASE", Seq(Ident(f), StrLit(q))) =>
         val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
         if (terms.isEmpty) lit(false)
@@ -1579,9 +1593,12 @@ object EsqlParser {
           .reduce(_ || _)
       // TERM: the UN-analyzed exact term — matches when any whitespace
       // token of the field equals the value verbatim (on a keyword-ish
-      // single-token column this reduces to plain equality)
+      // single-token column this reduces to plain equality). An EMPTY
+      // value matches NOTHING (the MATCH/MATCH_PHRASE discipline) —
+      // unguarded, an empty-string field would split to [""] and match
       case ("TERM", Seq(Ident(f), StrLit(v))) =>
-        array_contains(split(trim(col(f)), " "), v)
+        if (v.isEmpty) lit(false)
+        else array_contains(split(trim(col(f)), " "), v)
       case ("QSTR", Seq(Ident(f), StrLit(q))) =>
         val ast = QueryStringParser.parse(q)
         QueryStringParser.compile(ast, col(f), qstrFieldMap(ast))

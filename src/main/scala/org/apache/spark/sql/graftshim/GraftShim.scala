@@ -121,10 +121,15 @@ case class EsqlMod(left: Expression, right: Expression)
   * no-such-struct-field failure. mode: "intersects" accepts either
   * order; "contains" requires (envelope, point); "within" requires
   * (point, envelope). */
-case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
+/** `fn` is the surface function name for error text: ST_DISJOINT
+  * compiles through mode "intersects", and a misattributed error
+  * would send the user hunting for a call that isn't in their query. */
+case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String,
+                             fn: String = "")
     extends Expression
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
     with BinaryLike[Expression] {
+  private def surface: String = if (fn.isEmpty) "ST_" + mode.toUpperCase else fn
   private def isEnvelope(e: Expression): Boolean = e.dataType match {
     case s: StructType => s.fieldNames.contains("min_lon") || s.fieldNames.contains("min_x")
     case _ => false
@@ -141,7 +146,7 @@ case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
       case "intersects" =>
         if (isEnvelope(a) && isPoint(b)) (a, b)
         else if (isPoint(a) && isEnvelope(b)) (b, a)
-        else sys.error("ST_INTERSECTS expects one geo_point and one ENVELOPE geo_shape " +
+        else sys.error(s"$surface expects one geo_point and one ENVELOPE geo_shape " +
           s"(got ${a.dataType.simpleString}, ${b.dataType.simpleString})")
       case "contains" =>
         if (isEnvelope(a) && isPoint(b)) (a, b)
@@ -161,7 +166,7 @@ case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String)
     // against a cartesian box is a modeling error, not a false
     val ptGeo = pt.dataType.asInstanceOf[StructType].fieldNames.contains("lon")
     val shpGeo = shp.dataType.asInstanceOf[StructType].fieldNames.contains("min_lon")
-    if (ptGeo != shpGeo) sys.error(s"ST_${mode.toUpperCase} expects both sides " +
+    if (ptGeo != shpGeo) sys.error(s"$surface expects both sides " +
       "in the same coordinate space (geo_point with geo_shape, " +
       "cartesian_point with cartesian_shape)")
     val (px, py) = if (ptGeo) ("lon", "lat") else ("x", "y")

@@ -1357,6 +1357,16 @@ class EsqlSpec extends SparkSpec {
       { case "p" => pts }, session = Some(spark)).collect())
     assert(mixed.getMessage.contains("same coordinate space"),
       s"got: ${mixed.getMessage}")
+    // ST_DISJOINT compiles through the intersects mode — its error
+    // must still name ST_DISJOINT, not the function the user never wrote
+    val mixedDj = intercept[Throwable](EsqlParser.run(
+      """FROM p
+        || EVAL pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(qx), " ", TO_STRING(qy), ")")),
+        |       w = ST_DISJOINT(pt, TO_CARTESIANSHAPE("ENVELOPE (-60, 60, 45, -45)"))
+        || KEEP id""".stripMargin,
+      { case "p" => pts }, session = Some(spark)).collect())
+    assert(mixedDj.getMessage.contains("ST_DISJOINT expects both sides"),
+      s"got: ${mixedDj.getMessage}")
     // INLINESTATS rejects the struct aggregate by name
     val inl = intercept[EsqlParser.ParseError](EsqlParser.run(
       """FROM p
