@@ -150,7 +150,7 @@ object FunctionAudit {
     val nAbs = rs.count(_._3 == "ABSENT")
     val table = s"${reference.size} public 9.1 reference functions: " +
       s"$nImpl implemented, $nRej rejected by design (reasons below), " +
-      s"$nAbs absent (reasons below). Regenerate with " +
+      s"$nAbs absent${if (nAbs > 0) " (reasons below)" else ""}. Regenerate with " +
       "`sbt \"runMain graft.FunctionAudit\"`; classifying a function " +
       "implemented without a compiler dispatch line (or vice versa) fails " +
       "the generator AND FunctionAuditSpec.\n\n" +
