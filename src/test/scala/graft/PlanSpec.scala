@@ -331,6 +331,23 @@ class PlanSpec extends SparkSpec {
     assert(fallbacks(p).isEmpty, s"kql filter fell out of codegen: ${fallbacks(p)}\n$p")
   }
 
+  test("ns_esql_functions3: WHERE pushes to the scan; the version cut is TakeOrderedAndProject; all-codegen") {
+    val p = physical("ns_esql_functions3")
+    // SORT ver, doc_id | LIMIT 40 must stay a bounded top-k, never a
+    // global sort — at 100 TB the encoded-keyword cut is the whole win
+    assert(nodes(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"SORT+LIMIT must compile to TakeOrderedAndProject:\n$p")
+    val pushed = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(doc_id,120)"),
+      s"doc_id < 120 must reach the parquet scan, got $pushed\n$p")
+    // TO_VERSION's encoding and TO_DATE_NANOS's parse are regexp/concat
+    // /cast chains — whole-stage codegen end-to-end, no fallback
+    assert(fallbacks(p).isEmpty,
+      s"interpreted fallback in the functions3 plan: ${fallbacks(p)}\n$p")
+  }
+
   test("ns_runtime_fields: the message binds to variant ONCE — no per-field re-parse") {
     // The runtime_mappings contract: every derived field is a typed
     // path access against ONE bound VariantType value. A second
