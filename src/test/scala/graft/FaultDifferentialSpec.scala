@@ -157,6 +157,12 @@ class FaultDifferentialSpec extends SparkSpec {
       val killAt = 1 + rnd.nextInt(chunks.size - 1)
 
       // ---- faulted run ----
+      // a third of the seeds run the alerting stage too: its matches
+      // land under the same overwrite-idempotent channelWriter, so
+      // ALERTS must survive kills and replays exactly like the
+      // delivery channels ("m" hits every good doc's "m <id>" message)
+      val alerts =
+        if (seed % 3 == 2) Some(Seq(7L -> "m", 9L -> "nomatch_zz")) else None
       val stub = new FaultyIndex(badIds, burst)
       val outDir = tmp(s"fault-out-$seed")
       val ckpt = tmp(s"fault-ckpt-$seed")
@@ -165,7 +171,8 @@ class FaultDifferentialSpec extends SparkSpec {
         in.toDF().toDF("event_id", "batch_ms", "data"),
         stub.url, "graft-docs", outDir, ckpt,
         trigger = Trigger.ProcessingTime(0L),
-        flushBytes = 200, bulkBackoffMs = 1)
+        flushBytes = 200, bulkBackoffMs = 1,
+        alertQueries = alerts)
       var q = start()
       try {
         chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -205,7 +212,8 @@ class FaultDifferentialSpec extends SparkSpec {
         inRef.toDF().toDF("event_id", "batch_ms", "data"),
         ref.url, "graft-docs", refOut, tmp(s"fault-ref-ckpt-$seed"),
         trigger = Trigger.ProcessingTime(0L),
-        flushBytes = 200, bulkBackoffMs = 1)
+        flushBytes = 200, bulkBackoffMs = 1,
+        alertQueries = alerts)
       try {
         chunks.foreach { chunk => inRef.addData(chunk: _*); qRef.processAllAvailable() }
       } finally qRef.stop()
@@ -225,6 +233,14 @@ class FaultDifferentialSpec extends SparkSpec {
       assert(channelSet(s"$outDir/ERROR_ITEMS", Seq("item_id")).map(_.head)
         == badIds.map(identity),
         s"seed $seed: every scheduled rejection (and nothing else) must land")
+      if (alerts.isDefined) {
+        val got = channelSet(s"$outDir/ALERTS", Seq("doc_id", "query_id"))
+        assert(got == channelSet(s"$refOut/ALERTS", Seq("doc_id", "query_id")),
+          s"seed $seed: ALERTS channel diverged")
+        // the matching rule fired for every good doc, the other never
+        assert(got.nonEmpty && got.forall(_(1) == "7"),
+          s"seed $seed: rule 7 must be the only firing rule, got $got")
+      }
 
       // ---- replay leg: a fresh index rebuilt from the faulted run's
       // archive (its own transient schedule applies to the replay
