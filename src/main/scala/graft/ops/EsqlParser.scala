@@ -1336,7 +1336,18 @@ object EsqlParser {
       // ES's contract on unparseable input is null-with-warning, not an
       // error — try_to_timestamp, still codegen.
       case ("DATE_PARSE", Seq(StrLit(fmt), x)) =>
-        try_to_timestamp(compileExpr(x), lit(fmt))
+        // ES reads unzoned date input as UTC; Spark's parser reads it
+        // in the SESSION timezone. When the plan-time pattern carries
+        // no zone directive (checked outside quoted literal sections),
+        // pin UTC by appending an explicit +0000 to both string and
+        // pattern — the TO_DATE_NANOS discipline, applied to the
+        // shared string-parse principle (second review pass). A
+        // zone-bearing pattern parses as written.
+        val unquoted = fmt.replaceAll("'[^']*'", "")
+        if (unquoted.exists(c => "zZXxOV".contains(c)))
+          try_to_timestamp(compileExpr(x), lit(fmt))
+        else
+          try_to_timestamp(concat(compileExpr(x), lit(" +0000")), lit(fmt + " Z"))
       case ("DATE_DIFF", Seq(StrLit(unit), a, b)) =>
         val w = Map("milliseconds" -> 1000L, "seconds" -> 1000000L,
           "minutes" -> 60000000L, "hours" -> 3600000000L, "days" -> 86400000000L)
@@ -1597,8 +1608,16 @@ object EsqlParser {
       // value matches NOTHING (the MATCH/MATCH_PHRASE discipline) —
       // unguarded, an empty-string field would split to [""] and match
       case ("TERM", Seq(Ident(f), StrLit(v))) =>
-        if (v.isEmpty) lit(false)
-        else array_contains(split(trim(col(f)), " "), v)
+        // The field splits on whitespace RUNS (" +"), unlike the
+        // analyzed MATCH family's single-space convention: multi-space
+        // runs must not mint phantom "" tokens (which would make
+        // TERM(f, "") match "a  b"), while a WHOLLY empty field keeps
+        // its one "" term so TERM(f, "") matches exactly the
+        // empty-keyword rows — ES's term-query contract, where "" is
+        // an indexed keyword term (second review pass; the first
+        // pass's lit(false) guard overcorrected and lost the
+        // empty-keyword match).
+        array_contains(split(trim(col(f)), " +"), v)
       case ("QSTR", Seq(Ident(f), StrLit(q))) =>
         val ast = QueryStringParser.parse(q)
         QueryStringParser.compile(ast, col(f), qstrFieldMap(ast))

@@ -121,15 +121,16 @@ case class EsqlMod(left: Expression, right: Expression)
   * no-such-struct-field failure. mode: "intersects" accepts either
   * order; "contains" requires (envelope, point); "within" requires
   * (point, envelope). */
-/** `fn` is the surface function name for error text: ST_DISJOINT
-  * compiles through mode "intersects", and a misattributed error
-  * would send the user hunting for a call that isn't in their query. */
+/** `surface` is the REQUIRED surface function name for error text:
+  * ST_DISJOINT compiles through mode "intersects", and a misattributed
+  * error would send the user hunting for a call that isn't in their
+  * query. The caller (EsqlParser.geoRelate) owns the mode→name
+  * fallback — one source of truth, no shim-side duplicate. */
 case class GeoEnvelopeRelate(a: Expression, b: Expression, mode: String,
-                             fn: String = "")
+                             surface: String)
     extends Expression
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
     with BinaryLike[Expression] {
-  private def surface: String = if (fn.isEmpty) "ST_" + mode.toUpperCase else fn
   private def isEnvelope(e: Expression): Boolean = e.dataType match {
     case s: StructType => s.fieldNames.contains("min_lon") || s.fieldNames.contains("min_x")
     case _ => false

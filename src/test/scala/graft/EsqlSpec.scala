@@ -1376,6 +1376,30 @@ class EsqlSpec extends SparkSpec {
     assert(inl.msg.contains("ST_EXTENT_AGG"), s"got: ${inl.msg}")
   }
 
+  test("TERM: empty value matches exactly the empty-keyword rows; multi-space runs mint no phantom tokens") {
+    import spark.implicits._
+    val kdf = Seq((1L, ""), (2L, "a  b"), (3L, "x"), (4L, "  "))
+      .toDF("id", "kw")
+    def ids(q: String): Seq[Long] =
+      EsqlParser.run(q, _ => kdf).collect().map(_.getLong(0)).toSeq
+    // ES indexes "" as a keyword term: TERM(kw, "") matches the
+    // empty rows ONLY — never "a  b", whose run of spaces must not
+    // split into a phantom "" token
+    assert(ids("""FROM t | WHERE TERM(kw, "") | SORT id | KEEP id""") == Seq(1L, 4L))
+    assert(ids("""FROM t | WHERE TERM(kw, "b") | KEEP id""") == Seq(2L))
+    assert(ids("""FROM t | WHERE TERM(kw, "x") | KEEP id""") == Seq(3L))
+  }
+
+  test("DATE_PARSE: an unzoned pattern parses as UTC (ES's contract), not session-local") {
+    import spark.implicits._
+    val ddf = Seq((1L, "2024-01-15 12:00:00")).toDF("id", "s")
+    val got = EsqlParser.run(
+      """FROM t | EVAL ts = DATE_PARSE("yyyy-MM-dd HH:mm:ss", s) | KEEP ts""",
+      _ => ddf).collect()(0).getTimestamp(0)
+    assert(got.toInstant == java.time.Instant.parse("2024-01-15T12:00:00Z"),
+      s"unzoned input must pin UTC, got $got")
+  }
+
   test("TO_VERSION: semver-aware order, prerelease before release, invalid after valid, distinctness") {
     import spark.implicits._
     val vdf = Seq(

@@ -753,11 +753,11 @@ class PipelineDifferentialSpec extends SparkSpec {
             else fields.map(f => fv(r, f)
               .map(v => v.trim.split(" ", -1).exists(terms.contains)))
               .reduce(kleeneOr)
-          case "term" => // the literal verbatim, not its analysis; an
-            // EMPTY value matches nothing (an empty field would
-            // otherwise split to [""] and match)
-            if (q.isEmpty) Some(false)
-            else fv(r, fields.head).map(v => v.trim.split(" ", -1).contains(q))
+          case "term" => // the literal verbatim, not its analysis; the
+            // FIELD splits on whitespace runs, so TERM("") matches
+            // exactly the wholly-empty fields ("" keeps its one ""
+            // term — ES's empty-keyword contract) and nothing else
+            fv(r, fields.head).map(v => v.trim.split(" +", -1).contains(q))
         }
         verdict.contains(true)
       }
@@ -1751,8 +1751,9 @@ class PipelineDifferentialSpec extends SparkSpec {
       1 -> (for { f <- Gen.oneOf(s.strs); v <- Gen.oneOf(kwVals) }
         yield PFnWhere("match_phrase", Seq(f), v): PCmd),
       // a query that ANALYZES to zero terms must compile to FALSE (not
-      // null, not a parse error) in the analyzing functions — and the
-      // verbatim TERM must treat its EMPTY value the same way
+      // null, not a parse error) in the analyzing functions — while
+      // the verbatim TERM's EMPTY value matches exactly the
+      // wholly-empty fields (none in this corpus)
       1 -> Gen.oneOf("match_phrase", "multi_match").map(k =>
         PFnWhere(k, Seq("text"), "  "): PCmd),
       1 -> Gen.oneOf(Seq("text", "lang")).map(f =>
