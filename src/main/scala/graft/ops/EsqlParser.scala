@@ -1330,7 +1330,16 @@ object EsqlParser {
             if (n != 1L) throw ParseError(s"DATE_TRUNC: calendar unit $u takes span 1", 0)
             date_trunc(u, compileExpr(x))
         }
-      case ("DATE_FORMAT", Seq(StrLit(fmt), x)) => date_format(compileExpr(x), fmt)
+      case ("DATE_FORMAT", Seq(StrLit(fmt), x)) =>
+        // ES renders dates in UTC regardless of any client setting;
+        // Spark's date_format renders in the SESSION zone. Shift the
+        // instant by the session offset (to_utc_timestamp = ts − off)
+        // so the session-zone renderer shows the UTC field values —
+        // DATE_PARSE(fmt, DATE_FORMAT(fmt, ts)) is then an identity in
+        // ANY embedding session, not only the shipped UTC-pinned ones
+        // (the r18 DATE_PARSE pin fixed only half the pair). In a UTC
+        // session the shift is zero, so every oracle stays bit-equal.
+        date_format(to_utc_timestamp(compileExpr(x), current_timezone()), fmt)
       // DATE_PARSE(pattern, string) — DATE_FORMAT's inverse (the weekly
       // log-pipeline hit: a stringly date column back to TIMESTAMP).
       // ES's contract on unparseable input is null-with-warning, not an
@@ -1344,7 +1353,7 @@ object EsqlParser {
         // shared string-parse principle (second review pass). A
         // zone-bearing pattern parses as written.
         val unquoted = fmt.replaceAll("'[^']*'", "")
-        if (unquoted.exists(c => "zZXxOV".contains(c)))
+        if (unquoted.exists(c => "zZXxOVv".contains(c)))
           try_to_timestamp(compileExpr(x), lit(fmt))
         else
           try_to_timestamp(concat(compileExpr(x), lit(" +0000")), lit(fmt + " Z"))
@@ -1431,17 +1440,34 @@ object EsqlParser {
       // full 9-digit tail is added as nanos arithmetic.
       case ("TO_DATE_NANOS", Seq(x)) =>
         val c = compileExpr(x)
-        val rx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9}))?Z?$"
+        // r19 (advice): ES date_nanos keyword input also accepts NUMERIC
+        // offsets ("+01:00"), not just Z — group 3 captures the offset
+        // and the seconds head parses with it ('XXX' reads both "Z" and
+        // "±HH:MM"; an absent offset defaults to Z, ES's unzoned-is-UTC
+        // read). An out-of-range offset ("+99:00") passes the regex but
+        // nulls in try_to_timestamp — the null-with-warning contract.
+        val rx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})" +
+          "(?:\\.(\\d{1,9}))?(Z|[+-]\\d{2}:\\d{2})?$"
         val frac = regexp_extract(c, rx, 2)
         val nanoTail =
           rpad(when(frac === "", lit("0")).otherwise(frac), 9, "0").cast("long")
+        val zone = regexp_extract(c, rx, 3)
         val fromString = when(c.rlike(rx),
           unix_micros(try_to_timestamp(
-            concat(regexp_extract(c, rx, 1), lit(" +0000")),
-            lit("yyyy-MM-dd'T'HH:mm:ss Z"))) * 1000L + nanoTail)
+            concat(regexp_extract(c, rx, 1),
+              when(zone === "", lit("Z")).otherwise(zone)),
+            lit("yyyy-MM-dd'T'HH:mm:ssXXX"))) * 1000L + nanoTail)
+        // NTZ leg (advice): a TIMESTAMP_NTZ is a zoneless wall-clock; ES
+        // reads unzoned as UTC, so lift the session-zone cast back by
+        // the session offset (from_utc_timestamp = ts + off) — exactly
+        // the DATE_FORMAT UTC-pin discipline, inverted. UTC session →
+        // zero shift.
+        val fromNtz = unix_micros(from_utc_timestamp(
+          c.cast("timestamp"), current_timezone())) * 1000L
         graft.Cols.column(org.apache.spark.sql.graftshim.EsqlToDateNanos(
           graft.Cols.expr(c), graft.Cols.expr(fromString),
-          graft.Cols.expr(unix_micros(c.cast("timestamp")) * 1000L)))
+          graft.Cols.expr(unix_micros(c.cast("timestamp")) * 1000L),
+          graft.Cols.expr(fromNtz)))
       // TO_VERSION: ES's version type is a keyword whose ORDER is
       // semver-aware. Carried as an order-preserving ENCODED keyword:
       // zero-padded numeric parts, then "-<prerelease>" or "~" for a
@@ -1449,11 +1475,17 @@ object EsqlParser {
       // "|" + the original text (distinct inputs stay distinct, e.g.
       // "1.2" vs "1.2.0"). Unparseable versions encode as "~" + input:
       // AFTER every valid version, ordered among themselves by raw
-      // string — ES's invalid-after-valid sort contract. Prerelease
-      // identifiers compare lexicographically (documented
-      // simplification of semver's numeric-identifier rule); numerals
-      // cap at 10 digits (beyond → invalid) so the padding can never
-      // truncate-reorder.
+      // string — ES's invalid-after-valid sort contract. Numerals cap
+      // at 10 digits (beyond → invalid) so the padding can never
+      // truncate-reorder. Prerelease identifiers follow semver's rule
+      // 11.4 (r19 advice — r18 compared the whole tag lexically, so
+      // "beta.11" mis-sorted before "beta.2"): each dot-identifier
+      // encodes as "0" + lpad(10) when all-digits (numeric precedence,
+      // and the constant '0' head keeps every numeric below every
+      // alphanumeric — 11.4.3) or "1" + id otherwise (ASCII order
+      // preserved under the shared '1' head). An all-digit identifier
+      // >10 digits falls to the alphanumeric branch (stated cap, the
+      // version-core discipline).
       case ("TO_VERSION", Seq(x)) =>
         val c = compileExpr(x)
         val rx = "^(\\d{1,10})(?:\\.(\\d{1,10}))?(?:\\.(\\d{1,10}))?(?:-([0-9A-Za-z.\\-]+))?$"
@@ -1461,13 +1493,16 @@ object EsqlParser {
           when(regexp_extract(c, rx, i) === "", lit("0"))
             .otherwise(regexp_extract(c, rx, i)), 10, "0")
         val pre = regexp_extract(c, rx, 4)
+        val preEnc = array_join(transform(split(pre, "\\."), id =>
+          when(id.rlike("^[0-9]{1,10}$"), concat(lit("0"), lpad(id, 10, "0")))
+            .otherwise(concat(lit("1"), id))), ".")
         // the prerelease terminates with '!' (below every allowed pre
         // char AND below the '|' original-text separator): without it,
         // a prerelease that is a PREFIX of another ("alpha" vs
         // "alpha.1") would compare '|' (0x7C) against '.' (0x2E) and
         // sort AFTER its extension — semver says before
         val enc = concat(vpart(1), lit("."), vpart(2), lit("."), vpart(3),
-          when(pre === "", lit("~")).otherwise(concat(lit("-"), pre, lit("!"))),
+          when(pre === "", lit("~")).otherwise(concat(lit("-"), preEnc, lit("!"))),
           lit("|"), c)
         when(c.rlike(rx), enc).otherwise(concat(lit("~"), c))
       case ("TO_GEOSHAPE", Seq(x)) =>
@@ -1608,16 +1643,17 @@ object EsqlParser {
       // value matches NOTHING (the MATCH/MATCH_PHRASE discipline) —
       // unguarded, an empty-string field would split to [""] and match
       case ("TERM", Seq(Ident(f), StrLit(v))) =>
-        // The field splits on whitespace RUNS (" +"), unlike the
-        // analyzed MATCH family's single-space convention: multi-space
-        // runs must not mint phantom "" tokens (which would make
-        // TERM(f, "") match "a  b"), while a WHOLLY empty field keeps
-        // its one "" term so TERM(f, "") matches exactly the
-        // empty-keyword rows — ES's term-query contract, where "" is
-        // an indexed keyword term (second review pass; the first
-        // pass's lit(false) guard overcorrected and lost the
-        // empty-keyword match).
-        array_contains(split(trim(col(f)), " +"), v)
+        // The field splits on whitespace RUNS (" +") with empty tokens
+        // FILTERED: multi-space runs and edge whitespace must not mint
+        // phantom "" tokens. Only the WHOLLY empty field ("") carries
+        // the one "" term, matched by the dedicated branch — under
+        // ES's term-query contract "" is an indexed keyword term, and
+        // a whitespace-only field ("  ") is a DIFFERENT keyword that
+        // must match neither "" nor anything else (r19 advice: the r18
+        // trim-based form collapsed "  " onto "" and over-matched).
+        when(col(f) === "", lit(v == ""))
+          .otherwise(array_contains(
+            filter(split(col(f), " +"), t => t =!= lit("")), v))
       case ("QSTR", Seq(Ident(f), StrLit(q))) =>
         val ast = QueryStringParser.parse(q)
         QueryStringParser.compile(ast, col(f), qstrFieldMap(ast))

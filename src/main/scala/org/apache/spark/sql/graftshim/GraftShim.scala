@@ -238,21 +238,26 @@ case class RequireFloatVec(child: Expression)
   * unexecuted legs stay in `children` only so analysis resolves them —
   * ReplaceExpressions drops them with the node. */
 case class EsqlToDateNanos(child: Expression, fromString: Expression,
-                           fromTimestamp: Expression)
+                           fromTimestamp: Expression, fromTimestampNtz: Expression)
     extends Expression
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
-  override def children: Seq[Expression] = Seq(child, fromString, fromTimestamp)
+  override def children: Seq[Expression] =
+    Seq(child, fromString, fromTimestamp, fromTimestampNtz)
   override lazy val replacement: Expression = child.dataType match {
     case _: StringType => fromString
     case org.apache.spark.sql.types.TimestampType => fromTimestamp
+    // TIMESTAMP_NTZ (one Tables.scala generation produces it): a
+    // zoneless wall-clock read as UTC — the parser's dedicated leg
+    // lifts the session-zone cast back by the session offset (advice)
+    case org.apache.spark.sql.types.TimestampNTZType => fromTimestampNtz
     case LongType => child
-    case other => sys.error("TO_DATE_NANOS expects keyword/date/long " +
+    case other => sys.error("TO_DATE_NANOS expects keyword/date/date_nanos/long " +
       s"(date_nanos is carried as epoch-nanos long), got ${other.simpleString}")
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), fromString = newChildren(1),
-      fromTimestamp = newChildren(2))
+      fromTimestamp = newChildren(2), fromTimestampNtz = newChildren(3))
 }
 
 /** ES|QL's spatial coordinate accessors ST_XMIN/ST_XMAX/ST_YMIN/

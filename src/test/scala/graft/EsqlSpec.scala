@@ -1382,12 +1382,36 @@ class EsqlSpec extends SparkSpec {
       .toDF("id", "kw")
     def ids(q: String): Seq[Long] =
       EsqlParser.run(q, _ => kdf).collect().map(_.getLong(0)).toSeq
-    // ES indexes "" as a keyword term: TERM(kw, "") matches the
-    // empty rows ONLY — never "a  b", whose run of spaces must not
-    // split into a phantom "" token
-    assert(ids("""FROM t | WHERE TERM(kw, "") | SORT id | KEEP id""") == Seq(1L, 4L))
+    // ES indexes "" as a keyword term: TERM(kw, "") matches the WHOLLY
+    // empty row ONLY — never "a  b" (whose space run must not mint a
+    // phantom "" token) and never "  " (a whitespace-only field is a
+    // DISTINCT indexed keyword from "", r19 advice — the r18 trim-based
+    // form collapsed the two)
+    assert(ids("""FROM t | WHERE TERM(kw, "") | SORT id | KEEP id""") == Seq(1L))
     assert(ids("""FROM t | WHERE TERM(kw, "b") | KEEP id""") == Seq(2L))
     assert(ids("""FROM t | WHERE TERM(kw, "x") | KEEP id""") == Seq(3L))
+    // the whitespace-only field has no tokens at all: nothing matches it
+    assert(ids("""FROM t | WHERE TERM(kw, " ") | KEEP id""").isEmpty)
+    assert(ids("""FROM t | WHERE TERM(kw, "  ") | KEEP id""").isEmpty)
+  }
+
+  test("DATE_FORMAT renders UTC in a non-UTC session; DATE_PARSE∘DATE_FORMAT stays an identity") {
+    import spark.implicits._
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ddf = Seq((1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-15T12:00:00Z")))).toDF("id", "ts")
+      val row = EsqlParser.run(
+        """FROM t | EVAL s = DATE_FORMAT("yyyy-MM-dd HH:mm:ss", ts),
+          |  rt = DATE_PARSE("yyyy-MM-dd HH:mm:ss", DATE_FORMAT("yyyy-MM-dd HH:mm:ss", ts))
+          || KEEP s, rt""".stripMargin, _ => ddf).collect()(0)
+      // ES renders in UTC — never 07:00, the session-local wall clock
+      assert(row.getString(0) == "2024-01-15 12:00:00", s"got ${row.getString(0)}")
+      assert(row.getTimestamp(1).toInstant ==
+        java.time.Instant.parse("2024-01-15T12:00:00Z"),
+        s"round-trip broke: ${row.getTimestamp(1)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("DATE_PARSE: an unzoned pattern parses as UTC (ES's contract), not session-local") {
@@ -1407,17 +1431,24 @@ class EsqlSpec extends SparkSpec {
       (5L, "2.0.0"), (6L, "10.0.0"), (7L, "9.0.0"), (8L, "1.2"), (9L, "1.10.1"),
       // invalids: non-numeric lead, illegal char, an 11-digit numeral
       // (beyond the padding width — must go invalid, never mis-sort)
-      (10L, "v1.2.3"), (11L, "not.a-version!"), (12L, "12345678901.0.0")
+      (10L, "v1.2.3"), (11L, "not.a-version!"), (12L, "12345678901.0.0"),
+      // r19 (advice): semver 11.4 prerelease-identifier precedence —
+      // numeric identifiers compare numerically (beta.2 < beta.11) and
+      // sort below every alphanumeric identifier (-1 < -alpha)
+      (13L, "1.2.0-beta.2"), (14L, "1.2.0-beta.11"), (15L, "1.2.0-1")
     ).toDF("id", "s")
     val got = EsqlParser.run(
       "FROM v | EVAL ver = TO_VERSION(s) | SORT ver, id | KEEP s", _ => vdf)
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq(
-      // numeric order beats lexicographic (1.2 < 1.10; 9 < 10), the
+      // numeric order beats lexicographic (1.2 < 1.10; 9 < 10; beta.2 <
+      // beta.11), numeric prerelease ids sort below alphanumeric ones,
+      // a prefix prerelease precedes its extension (beta < beta.2), the
       // prereleases precede their release, 1.2 and 1.2.0 stay adjacent
       // but distinct, and every invalid sorts after every valid
       // (ordered among themselves by the raw string)
-      "1.2.0-alpha", "1.2.0-beta", "1.2", "1.2.0", "1.10.0", "1.10.1",
+      "1.2.0-1", "1.2.0-alpha", "1.2.0-beta", "1.2.0-beta.2", "1.2.0-beta.11",
+      "1.2", "1.2.0", "1.10.0", "1.10.1",
       "2.0.0", "9.0.0", "10.0.0",
       "12345678901.0.0", "not.a-version!", "v1.2.3"), s"got $got")
     // "1.2" and "1.2.0" sort together but are NOT the same value
@@ -1436,7 +1467,12 @@ class EsqlSpec extends SparkSpec {
       (4L, "2024-03-05T10:30:15"),
       (5L, "2024-13-05T10:30:15"), // month out of range: regex passes, parse nulls
       (6L, "not a time"),
-      (7L, "2024-03-05T10:30:15.1234567891") // 10 fraction digits: invalid
+      (7L, "2024-03-05T10:30:15.1234567891"), // 10 fraction digits: invalid
+      // r19 (advice): numeric offsets are legal date_nanos input; an
+      // out-of-range offset passes the regex but nulls on parse
+      (8L, "2024-03-05T10:30:15.5+01:00"),
+      (9L, "2024-03-05T10:30:15-02:30"),
+      (10L, "2024-03-05T10:30:15+99:00")
     ).toDF("id", "s")
     val base = java.time.Instant.parse("2024-03-05T10:30:15Z").getEpochSecond * 1000000000L
     val got = EsqlParser.run(
@@ -1445,7 +1481,10 @@ class EsqlSpec extends SparkSpec {
         if (r.isNullAt(0)) None else Some(r.getLong(0)),
         if (r.isNullAt(1)) None else Some(r.getLong(1))))
     val want = Seq(Some(base + 123456789L), Some(base + 123456789L),
-      Some(base + 500000000L), Some(base), None, None, None)
+      Some(base + 500000000L), Some(base), None, None, None,
+      Some(base - 3600L * 1000000000L + 500000000L), // +01:00 is 1h EARLIER
+      Some(base + 9000L * 1000000000L),              // -02:30 is 2.5h later
+      None)                                          // +99:00: no such offset
     // dn2 (the LONG passthrough leg) must be identical to dn, nulls included
     assert(got == want.map(v => (v, v)), s"got $got")
     // date leg: a TimestampType input converts micros → nanos
@@ -1455,6 +1494,18 @@ class EsqlSpec extends SparkSpec {
     val gotTs = EsqlParser.run("FROM t | EVAL dn = TO_DATE_NANOS(ts) | KEEP dn",
       _ => tsdf).collect()(0).getLong(0)
     assert(gotTs == base + 123456000L, s"got $gotTs")
+    // NTZ leg (r19 advice): a TIMESTAMP_NTZ wall-clock reads as UTC in
+    // ANY session zone (Tables.scala produces NTZ in one generation)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ntzdf = Seq((1L, "2024-03-05 10:30:15.123456")).toDF("id", "raw")
+        .withColumn("nts", org.apache.spark.sql.functions.to_timestamp_ntz(
+          org.apache.spark.sql.functions.col("raw")))
+      val gotNtz = EsqlParser.run("FROM t | EVAL dn = TO_DATE_NANOS(nts) | KEEP dn",
+        _ => ntzdf).collect()(0).getLong(0)
+      assert(gotNtz == base + 123456000L, s"NTZ must read as UTC, got $gotNtz")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
     // unsupported input type: the NAMED analysis error, not a raw mismatch
     val ddf = Seq((1L, 1.5)).toDF("id", "d")
     val e = intercept[Throwable](EsqlParser.run(
@@ -1493,6 +1544,14 @@ class EsqlSpec extends SparkSpec {
       }
     }
     val vrx = "^(\\d{1,10})(?:\\.(\\d{1,10}))?(?:\\.(\\d{1,10}))?(?:-([0-9A-Za-z.\\-]+))?$".r
+    // semver 11.4 prerelease encoding, mirrored from the engine (r19):
+    // all-digit identifiers (≤10 digits) → "0" + zero-pad (numeric
+    // precedence, below every alphanumeric), others → "1" + id (ASCII
+    // order under the shared head); plain string compare of the joined
+    // form then reproduces semver order, prefix-extension included
+    def encPre(p: String): String = p.split("\\.", -1).map(id =>
+      if (id.matches("[0-9]{1,10}")) "0" + ("0" * (10 - id.length)) + id
+      else "1" + id).mkString(".")
     // the mirror's key: valid → (0, maj, min, pat, 0-if-prerelease, pre, orig);
     // invalid → (1, raw) after every valid
     def key(id: Int, s: String): (Int, Long, Long, Long, Int, String, String) =
@@ -1500,7 +1559,7 @@ class EsqlSpec extends SparkSpec {
         case vrx(maj, minOr, patOr, preOr) =>
           (0, maj.toLong, Option(minOr).fold(0L)(_.toLong),
             Option(patOr).fold(0L)(_.toLong),
-            if (preOr == null) 1 else 0, Option(preOr).getOrElse(""), s)
+            if (preOr == null) 1 else 0, Option(preOr).fold("")(encPre), s)
         case _ => (1, 0L, 0L, 0L, 0, "", s)
       }
     val want = vstrs.zipWithIndex
@@ -1532,20 +1591,31 @@ class EsqlSpec extends SparkSpec {
             case 0 => ""
             case n => "." + (0 until n).map(_ => rnd.nextInt(10)).mkString
           }
-          val z = if (rnd.nextBoolean()) "Z" else ""
+          // r19 (advice): ES date_nanos accepts numeric offsets too —
+          // mix bare / Z / ±HH:MM (half-hour zones included) and the
+          // out-of-range "+99:00" (regex-valid, must null on parse)
+          val z = rnd.nextInt(8) match {
+            case 0 | 1 => "Z"
+            case 2 | 3 => ""
+            case 4 => f"+${rnd.nextInt(15)}%02d:${Seq("00", "30")(rnd.nextInt(2))}"
+            case 5 => f"-${rnd.nextInt(15)}%02d:${Seq("00", "30")(rnd.nextInt(2))}"
+            case 6 => "+99:00"
+            case _ => f"+${rnd.nextInt(15)}%02d:15"
+          }
           f"${1970 + rnd.nextInt(80)}%04d-${pad(1 + rnd.nextInt(12), 2)}-${pad(1 + rnd.nextInt(31), 2)}" +
             f"T${pad(rnd.nextInt(24), 2)}:${pad(rnd.nextInt(60), 2)}:${pad(rnd.nextInt(60), 2)}$frac$z"
       }
     }
-    val srx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9}))?Z?$".r
+    val srx = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9}))?(Z|[+-]\\d{2}:\\d{2})?$".r
     def mirror(s: String): Option[Long] = s match {
-      case srx(head, frac) =>
+      case srx(head, frac, zone) =>
         try {
           val ldt = java.time.LocalDateTime.parse(head)
-          val sec = ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond
+          val off = java.time.ZoneOffset.of(Option(zone).getOrElse("Z"))
+          val sec = ldt.toInstant(off).getEpochSecond
           val tail = Option(frac).fold(0L)(f => (f + "0" * (9 - f.length)).toLong)
           Some(sec * 1000000000L + tail)
-        } catch { case _: java.time.format.DateTimeParseException => None }
+        } catch { case _: java.time.DateTimeException => None }
       case _ => None
     }
     val want = stamps.map(mirror)
