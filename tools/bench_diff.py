@@ -9,6 +9,12 @@ Compares B (newer) against A (older) per key and prints:
   - headline totals + calibrations (apply the SURVEY §6 rule: compare raw
     totals only when calibrations agree within ~25%; otherwise the raw and
     normalized ratios bracket the true code effect);
+  - r19+: when BOTH records carry calibration_parallel (the 32-way probe
+    that sees SMT/parallel-bandwidth contention the single-thread probe
+    provably misses — r18's adjudication), per-key ratios are ALSO
+    normalized by it; a key flags only if it exceeds the threshold under
+    THAT normalization. Raw-only flags are listed separately as ambient
+    suspects.
   - keys whose time ratio exceeds the threshold, slowest regressions first
     (check high_spread_passes in the newer record before believing any
     single outlier — ambient interference on this shared box is one-sided
@@ -20,7 +26,6 @@ compare + ScaleProbe; bench ratios on a shared box need human judgment).
 """
 import argparse
 import json
-import sys
 
 
 def main() -> None:
@@ -36,14 +41,33 @@ def main() -> None:
     b = json.load(open(args.newer))
     fa, fb = a[args.field], b[args.field]
 
-    print(f"older: total {a['value']} s / {len(fa)} keys, calibration {a.get('calibration')}")
-    print(f"newer: total {b['value']} s / {len(fb)} keys, calibration {b.get('calibration')}")
+    print(f"older: total {a['value']} s / {len(fa)} keys, calibration {a.get('calibration')}"
+          f" single {a.get('calibration_single')} parallel {a.get('calibration_parallel')}"
+          f" par_eff {a.get('parallel_efficiency')}")
+    print(f"newer: total {b['value']} s / {len(fb)} keys, calibration {b.get('calibration')}"
+          f" single {b.get('calibration_single')} parallel {b.get('calibration_parallel')}"
+          f" par_eff {b.get('parallel_efficiency')}")
+    if b.get("loadavg"):
+        print(f"newer loadavg: {json.dumps(b['loadavg'])}")
     ca, cb = a.get("calibration"), b.get("calibration")
     if ca and cb:
         drift = max(ca, cb) / min(ca, cb)
         like = "LIKE-FOR-LIKE (compare raw totals)" if drift <= 1.25 else \
             "calibrations differ >25% — bracket with raw AND normalized ratios"
-        print(f"calibration drift {drift:.2f}x: {like}")
+        print(f"single-thread calibration drift {drift:.2f}x: {like}")
+    pa, pb = a.get("calibration_parallel"), b.get("calibration_parallel")
+    # scale applied to the NEWER record's per-key times to land both
+    # records on the older box's parallel throughput: new_adj = new * pa/pb
+    par_scale = None
+    if pa and pb:
+        pdrift = max(pa, pb) / min(pa, pb)
+        par_scale = pa / pb
+        print(f"parallel calibration drift {pdrift:.2f}x "
+              f"(normalizing newer per-key times by x{par_scale:.3f}; "
+              f"flags below survive THAT normalization)")
+    elif a.get("cpus") and b.get("cpus") and a["cpus"] != b["cpus"]:
+        print(f"WARNING: cpus differ ({a['cpus']} vs {b['cpus']}) — "
+              "raw totals are not comparable at all")
 
     added = sorted(set(fb) - set(fa))
     removed = sorted(set(fa) - set(fb))
@@ -52,20 +76,33 @@ def main() -> None:
     if removed:
         print(f"removed keys ({len(removed)}): {', '.join(removed)}")
 
-    regressions = []
+    regressions, ambient = [], []
     for k in set(fa) & set(fb):
         old, new = fa[k], fb[k]
-        if old > 0 and new / old > args.threshold:
-            regressions.append((new / old, k, old, new))
+        if old <= 0:
+            continue
+        raw = new / old
+        adj = raw * par_scale if par_scale else raw
+        if adj > args.threshold:
+            regressions.append((adj, raw, k, old, new))
+        elif raw > args.threshold:
+            ambient.append((raw, adj, k, old, new))
     regressions.sort(reverse=True)
+    ambient.sort(reverse=True)
+    spread = b.get("high_spread_passes", {})
+    label = "normalized" if par_scale else "raw"
     if regressions:
-        spread = b.get("high_spread_passes", {})
-        print(f"\nkeys over {args.threshold}x ({len(regressions)}):")
-        for r, k, old, new in regressions:
+        print(f"\nkeys over {args.threshold}x ({label}) ({len(regressions)}):")
+        for adj, raw, k, old, new in regressions:
             noisy = " [HIGH SPREAD — check passes before believing]" if k in spread else ""
-            print(f"  {k}: {old:.3f} -> {new:.3f} s ({r:.2f}x){noisy}")
+            print(f"  {k}: {old:.3f} -> {new:.3f} s (raw {raw:.2f}x, {label} {adj:.2f}x){noisy}")
     else:
-        print(f"\nno key over {args.threshold}x ({args.field}).")
+        print(f"\nno key over {args.threshold}x ({label}, {args.field}).")
+    if ambient:
+        print(f"\nraw-only flags that DISAPPEAR under parallel normalization "
+              f"(ambient contention, not code) ({len(ambient)}):")
+        for raw, adj, k, old, new in ambient:
+            print(f"  {k}: {old:.3f} -> {new:.3f} s (raw {raw:.2f}x, normalized {adj:.2f}x)")
 
 
 if __name__ == "__main__":
