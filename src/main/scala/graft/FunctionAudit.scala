@@ -99,8 +99,8 @@ object FunctionAudit {
     "TO_DATE_NANOS" -> ("carried as epoch-nanos LONG (the representation " +
       "Spark gives parquet TIMESTAMP(NANOS) itself); keyword/date/long in"),
     "TO_VERSION" -> ("carried as an order-preserving encoded keyword " +
-      "(semver-aware sort; prerelease identifiers compare lexicographically " +
-      "— documented simplification; invalid versions sort after valid)"))
+      "(semver-aware sort incl. rule-11.4 numeric prerelease-identifier " +
+      "precedence as of r19; invalid versions sort after valid)"))
 
   /** Function names the compiler dispatches: every quoted
     * ALL-CAPS token on a `case` line of EsqlParser.scala. */
