@@ -440,4 +440,119 @@ class ParserDifferentialSpec extends SparkSpec {
     assert(nonEmpty >= 50, s"only $nonEmpty exprs matched anything — fuzz too weak")
     assert(viaParams >= 30, s"only $viaParams exprs exercised the params path")
   }
+
+  // -------------------------------------------- r19: fulltext trio fuzz
+  // MATCH_PHRASE / MULTI_MATCH / TERM (the r18 function-audit closures)
+  // over a corpus built to hit exactly the classes the r18 second
+  // review pass caught by hand: multi-space runs, empty and
+  // whitespace-only fields, leading/trailing whitespace, empty query
+  // values, tab-bearing fields (the analyzers split on SPACES, so a tab
+  // is token glue). The mirror re-implements each documented contract
+  // in plain Scala. Spark's trim() strips SPACES only — the mirror's
+  // spaceTrim matches that, NOT String.trim (which also eats tabs).
+  private def spaceTrim(s: String): String =
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+
+  /** MATCH: any query term present among the field's single-space
+    * tokens (engine: arrays_overlap over split(trim(f), " ")). */
+  private def mirMatch(f: String, q: String): Boolean = {
+    val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty) false
+    else spaceTrim(f).split(" ", -1).toSet.intersect(terms.toSet).nonEmpty
+  }
+  /** MATCH_PHRASE: the \s+-normalized query terms appear consecutively
+    * in the field's LITERAL single-space spelling (space-padded
+    * containment — the engine's stated deviation from ES's
+    * position-based phrase). */
+  private def mirPhrase(f: String, q: String): Boolean = {
+    val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty) false
+    else (" " + spaceTrim(f) + " ").contains(" " + terms.mkString(" ") + " ")
+  }
+  /** TERM: the wholly-empty field carries the one "" keyword; any other
+    * field's terms are its nonempty space-run tokens, matched verbatim. */
+  private def mirTerm(f: String, v: String): Boolean =
+    if (f == "") v == ""
+    else f.split(" +", -1).filter(_.nonEmpty).contains(v)
+
+  test("r19: 320 random fulltext-trio predicates — engine ids == plain-Scala contract mirror") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(919919L)
+    val words = Seq("table", "scan", "vector", "index", "merge", "Scan", "a", "b")
+    def field(): String = rnd.nextInt(10) match {
+      case 0 => ""
+      case 1 => " "
+      case 2 => "  "
+      case 3 => " " * rnd.nextInt(3) + words(rnd.nextInt(words.size)) + " " * rnd.nextInt(3)
+      case 4 => words(rnd.nextInt(words.size)) + "  " + words(rnd.nextInt(words.size))
+      case 5 => words(rnd.nextInt(words.size)) + "\t" + words(rnd.nextInt(words.size))
+      case _ => (0 until 1 + rnd.nextInt(4))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val fdocs = (0 until 48).map(i => (i.toLong, field(), field()))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("t1", StringType, nullable = false),
+      StructField("t2", StringType, nullable = false)))
+    val fdf = spark.createDataFrame(
+      java.util.Arrays.asList(fdocs.map(d => Row(d._1, d._2, d._3)): _*), schema)
+    def queryVal(): String = rnd.nextInt(8) match {
+      case 0 => ""
+      case 1 => " "
+      case 2 => "  "
+      case 3 => words(rnd.nextInt(words.size))
+      case 4 => words(rnd.nextInt(words.size)) + " " + words(rnd.nextInt(words.size))
+      case 5 => words(rnd.nextInt(words.size)) + "  " + words(rnd.nextInt(words.size))
+      case _ => " " + words(rnd.nextInt(words.size)) + " "
+    }
+    var nonEmpty = 0
+    (1 to 320).foreach { i =>
+      val q = queryVal()
+      val fld = if (rnd.nextBoolean()) "t1" else "t2"
+      val (pred, eval) = rnd.nextInt(4) match {
+        case 0 => (s"""MATCH($fld, "$q")""",
+          (d: (Long, String, String)) => mirMatch(if (fld == "t1") d._2 else d._3, q))
+        case 1 => (s"""MATCH_PHRASE($fld, "$q")""",
+          (d: (Long, String, String)) => mirPhrase(if (fld == "t1") d._2 else d._3, q))
+        case 2 => (s"""MULTI_MATCH("$q", t1, t2)""",
+          (d: (Long, String, String)) => mirMatch(d._2, q) || mirMatch(d._3, q))
+        case _ => (s"""TERM($fld, "$q")""",
+          (d: (Long, String, String)) => mirTerm(if (fld == "t1") d._2 else d._3, q))
+      }
+      val got = graft.ops.EsqlParser.run(
+        s"FROM d | WHERE $pred | KEEP id", { case "d" => fdf },
+        session = Some(spark)).collect().map(_.getLong(0)).toSet
+      val want = fdocs.filter(eval).map(_._1).toSet
+      assert(got == want,
+        s"fulltext trio diverged (round $i) on: $pred\n" +
+          s" missing=${want -- got} extra=${got -- want}")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 80, s"only $nonEmpty predicates matched anything — fuzz too weak")
+  }
+
+  test("r19: MATCH_PHRASE literal-spacing deviation pinned — a multi-space field run does NOT phrase-match") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("t", StringType, nullable = false)))
+    val fdf = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "table scan"), Row(2L, "table  scan"), Row(3L, " table scan ")), schema)
+    def ids(q: String): Set[Long] = graft.ops.EsqlParser.run(
+      q, { case "d" => fdf }, session = Some(spark))
+      .collect().map(_.getLong(0)).toSet
+    // ES's phrase query is POSITION-based: all three docs would match.
+    // This dialect analyzes the field on its literal single-space
+    // spelling (stated deviation, EsqlParser MATCH_PHRASE scaladoc):
+    // the multi-space run in doc 2 does not phrase-match, while edge
+    // whitespace (doc 3) trims away and does.
+    assert(ids("""FROM d | WHERE MATCH_PHRASE(t, "table scan") | KEEP id""")
+      == Set(1L, 3L))
+    // the QUERY side normalizes on \s+, so a multi-space QUERY still
+    // matches the single-space field
+    assert(ids("""FROM d | WHERE MATCH_PHRASE(t, "table  scan") | KEEP id""")
+      == Set(1L, 3L))
+  }
 }

@@ -1954,4 +1954,189 @@ class PipelineDifferentialSpec extends SparkSpec {
            |mirror: $want""".stripMargin)
     }
   }
+
+  // ------------------------------------------------- r19: WKT-text fuzz
+  // The r18 spatial tests fuzz COORDINATES over well-formed WKT; this
+  // fuzzes the WKT TEXT itself (the r19 verdict task): whitespace and
+  // sign variants, degenerate and antimeridian-wrapping boxes, exponent
+  // and fraction malformations — through the full conversion + relate +
+  // accessor surface in ONE program, against a plain-Scala mirror that
+  // re-implements the documented grammar (POINT/ENVELOPE exact-form
+  // regex + the min<=max / max>=min gate) and the inclusive box
+  // relations independently.
+  private val mirPointRx = """^POINT \((-?\d+(?:\.\d+)?) (-?\d+(?:\.\d+)?)\)$""".r
+  private val mirEnvRx =
+    """^ENVELOPE \((-?\d+(?:\.\d+)?), (-?\d+(?:\.\d+)?), (-?\d+(?:\.\d+)?), (-?\d+(?:\.\d+)?)\)$""".r
+  private def mirPoint(s: String): Option[(Double, Double)] = s match {
+    case mirPointRx(x, y) => Some((x.toDouble, y.toDouble))
+    case _ => None
+  }
+  /** (minX, maxX, maxY, minY) — WKT ENVELOPE argument order. */
+  private def mirEnv(s: String): Option[(Double, Double, Double, Double)] = s match {
+    case mirEnvRx(a, b, c, d) =>
+      val (minX, maxX, maxY, minY) = (a.toDouble, b.toDouble, c.toDouble, d.toDouble)
+      if (minX <= maxX && maxY >= minY) Some((minX, maxX, maxY, minY)) else None
+    case _ => None
+  }
+
+  test("r19: 340 fuzzed WKT strings — conversions + relates + accessors == grammar mirror (geo AND cartesian)") {
+    val rnd = new scala.util.Random(519519L)
+    def numStr(): String = rnd.nextInt(6) match {
+      case 0 => (rnd.nextInt(361) - 180).toString
+      case 1 => s"${rnd.nextInt(181) - 90}.${rnd.nextInt(1000)}"
+      case 2 => "-0"
+      case 3 => s"-${rnd.nextInt(90)}.${rnd.nextInt(10)}"
+      case 4 => "0"
+      case _ => rnd.nextInt(10).toString
+    }
+    def pointStr(): String = {
+      val (a, b) = (numStr(), numStr())
+      rnd.nextInt(12) match {
+        case 0 | 1 | 2 | 3 | 4 => s"POINT ($a $b)" // valid ~40%
+        case 5 => s"POINT($a $b)" // missing space
+        case 6 => s"POINT ($a  $b)" // double space
+        case 7 => s"POINT ($a $b) " // trailing space
+        case 8 => s"point ($a $b)" // case-sensitive keyword
+        case 9 => s"POINT (+$a $b)" // explicit + sign
+        case 10 => s"POINT (${a}e1 $b)" // exponent form
+        case _ => s"POINT ($a, $b)" // comma separator
+      }
+    }
+    def envStr(): String = {
+      // raw coordinate draws — wrap/degenerate shapes arise naturally
+      // AND deliberately (forced min>max below)
+      val (a, b) = { val x = rnd.nextInt(41) - 20; val y = rnd.nextInt(41) - 20
+        (math.min(x, y), math.max(x, y)) }
+      val (d, c) = { val x = rnd.nextInt(33) - 16; val y = rnd.nextInt(33) - 16
+        (math.min(x, y), math.max(x, y)) }
+      rnd.nextInt(12) match {
+        case 0 | 1 | 2 => s"ENVELOPE ($a, $b, $c, $d)" // valid
+        case 3 => s"ENVELOPE (${b + 1}, $a, $c, $d)" // wrap: min>max → null
+        case 4 => s"ENVELOPE ($a, $b, $d, ${c + 1})" // lat-degenerate → null
+        case 5 => s"ENVELOPE ($a, $a, $c, $c)" // point-box: VALID, boundary-only
+        case 6 => s"ENVELOPE ($a,$b, $c, $d)" // missing space after comma
+        case 7 => s"ENVELOPE($a, $b, $c, $d)" // missing space after keyword
+        case 8 => s"envelope ($a, $b, $c, $d)" // lowercase keyword
+        case 9 => s"ENVELOPE ($a, $b, $c, $d) " // trailing space
+        case 10 => s"ENVELOPE (+$a, $b, $c, $d)" // explicit + sign
+        case _ => s"ENVELOPE ($a, $b, $c)" // arity
+      }
+    }
+    val rows = (0 until 340).map(i => (i.toLong, pointStr(), envStr()))
+    import spark.implicits._
+    val fdf = rows.toDF("id", "pwkt", "ewkt")
+    Seq(true, false).foreach { geo =>
+      val (ptFn, shFn) = if (geo) ("TO_GEOPOINT", "TO_GEOSHAPE")
+        else ("TO_CARTESIANPOINT", "TO_CARTESIANSHAPE")
+      val q =
+        s"""FROM t
+           || EVAL p = $ptFn(pwkt), e = $shFn(ewkt)
+           || EVAL c = ST_CONTAINS(e, p), w = ST_WITHIN(p, e),
+           |       n = ST_INTERSECTS(p, e), d = ST_DISJOINT(p, e),
+           |       xmn = ST_XMIN(e), xmx = ST_XMAX(e),
+           |       ymn = ST_YMIN(e), ymx = ST_YMAX(e)
+           || KEEP id, c, w, n, d, xmn, xmx, ymn, ymx
+           || SORT id""".stripMargin
+      val got = EsqlParser.run(q, { case "t" => fdf }, session = Some(spark))
+        .collect().toSeq.map { r =>
+          (r.getLong(0), (1 until 9).map(j =>
+            if (r.isNullAt(j)) None else Some(r.get(j))).toList)
+        }
+      val want = rows.map { case (id, ps, es) =>
+        val p = mirPoint(ps)
+        val e = mirEnv(es)
+        val inter: Option[Boolean] = (p, e) match {
+          case (Some((px, py)), Some((x0, x1, y1, y0))) =>
+            Some(px >= x0 && px <= x1 && py >= y0 && py <= y1)
+          case _ => None
+        }
+        val box = List(e.map(_._1), e.map(_._2), e.map(_._4), e.map(_._3))
+        (id, List[Option[Any]](inter, inter, inter, inter.map(!_)) ++
+          box.map(x => x: Option[Any]))
+      }
+      got.zip(want).foreach { case (g, w) =>
+        assert(g == w, s"""WKT fuzz diverged (geo=$geo) id=${w._1}
+          |point='${rows(w._1.toInt)._2}' env='${rows(w._1.toInt)._3}'
+          |engine: $g
+          |mirror: $w""".stripMargin)
+      }
+    }
+    // generator health: the interesting classes must actually occur
+    val nP = rows.count(r => mirPoint(r._2).isDefined)
+    val nE = rows.count(r => mirEnv(r._3).isDefined)
+    val nGatedNull = rows.count { r =>
+      mirEnvRx.findFirstIn(r._3).isDefined && mirEnv(r._3).isEmpty }
+    assert(nP >= 80 && nP <= 300, s"valid points drifted: $nP")
+    assert(nE >= 80 && nE <= 220, s"valid envelopes drifted: $nE")
+    assert(nGatedNull >= 20, s"gate-nulled (wrap/degenerate) envelopes: $nGatedNull")
+  }
+
+  test("r19: ST_EXTENT_AGG over fuzzed WKT text — per-group min/max mirror, invalid points contribute nothing") {
+    val rnd = new scala.util.Random(619619L)
+    def pt(): String = rnd.nextInt(5) match {
+      case 0 => s"POINT (${rnd.nextInt(21) - 10} ${rnd.nextInt(17) - 8})"
+      case 1 => s"POINT (${rnd.nextInt(21) - 10}.${rnd.nextInt(100)} -0)"
+      case 2 => s"POINT(${rnd.nextInt(21) - 10} ${rnd.nextInt(17) - 8})" // invalid
+      case 3 => "garbage"
+      case _ => s"POINT (${rnd.nextInt(21) - 10} ${rnd.nextInt(17) - 8} )" // invalid
+    }
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 7}", pt()))
+    import spark.implicits._
+    val fdf = rows.toDF("id", "g", "wkt")
+    val q =
+      """FROM t
+        || EVAL p = TO_GEOPOINT(wkt)
+        || STATS ext = ST_EXTENT_AGG(p) BY g
+        || EVAL xmn = ST_XMIN(ext), xmx = ST_XMAX(ext), ymn = ST_YMIN(ext), ymx = ST_YMAX(ext)
+        || DROP ext
+        || SORT g""".stripMargin
+    val got = EsqlParser.run(q, { case "t" => fdf }, session = Some(spark))
+      .collect().toSeq.map { r =>
+        (r.getString(0), (1 until 5).map(j =>
+          if (r.isNullAt(j)) None else Some(r.getDouble(j))).toList)
+      }
+    val want = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, gs) =>
+      val ps = gs.flatMap(r => mirPoint(r._3))
+      val box = if (ps.isEmpty) List[Option[Double]](None, None, None, None)
+        else List(Some(ps.map(_._1).min), Some(ps.map(_._1).max),
+          Some(ps.map(_._2).min), Some(ps.map(_._2).max))
+      (g, box)
+    }
+    assert(got == want, s"extent fuzz diverged:\nengine: $got\nmirror: $want")
+    assert(rows.count(r => mirPoint(r._3).isEmpty) >= 80, "too few invalid points")
+  }
+
+  test("r19: TO_VERSION ordering laws at pipeline level — the semver spec's published chain sorts exactly") {
+    import spark.implicits._
+    // semver.org §11's own example chain, plus the numeric-identifier
+    // pairs the r19 precedence fix governs
+    val chain = Seq(
+      "1.0.0-alpha", "1.0.0-alpha.1", "1.0.0-alpha.beta", "1.0.0-beta",
+      "1.0.0-beta.2", "1.0.0-beta.11", "1.0.0-rc.1", "1.0.0")
+    val shuffled = new scala.util.Random(719719L).shuffle(chain).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val vdf = shuffled.toDF("id", "s")
+    val got = EsqlParser.run(
+      "FROM v | EVAL ver = TO_VERSION(s) | SORT ver | KEEP s",
+      { case "v" => vdf }, session = Some(spark))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == chain, s"semver chain order broke: $got")
+    // antisymmetry + totality on the ENCODED keyword over random pairs:
+    // distinct inputs must encode distinct (the '|'+original tail), and
+    // exactly one direction of < holds for any distinct pair
+    val rnd = new scala.util.Random(819819L)
+    val pool = chain ++ Seq("1.0.0-1", "1.0.0-01", "1.0.0-0.9", "2.0", "2.0.0",
+      "not!valid", "v2", "10.0.0", "9.9.9")
+    val enc = EsqlParser.run(
+      "FROM v | EVAL ver = TO_VERSION(s) | SORT id | KEEP ver",
+      { case "v" => pool.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s") }, session = Some(spark))
+      .collect().map(_.getString(0)).toSeq
+    assert(enc.distinct.size == pool.size, "distinct inputs collided in the encoding")
+    (1 to 200).foreach { _ =>
+      val i = rnd.nextInt(pool.size); val j = rnd.nextInt(pool.size)
+      if (i != j) assert((enc(i) < enc(j)) != (enc(j) < enc(i)),
+        s"ordering not antisymmetric for ${pool(i)} vs ${pool(j)}")
+    }
+  }
 }
