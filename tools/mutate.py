@@ -21,6 +21,7 @@ import datetime
 import json
 import math
 import os
+import re
 import sys
 from decimal import Decimal
 
@@ -136,6 +137,67 @@ def mutations(rows, schema):
                 break
 
 
+def oracle_mutations(sql):
+    """Sixth class (r19 verdict task 5): mutate the ORACLE SQL instead of
+    the engine frame. The five data classes prove the compare bites on
+    engine drift; these prove the per-key oracle is SPECIFIC — and they
+    give keys without a same-typed swappable column pair a
+    discriminating mutant. A candidate that fails to parse is skipped at
+    run time (inapplicable); a candidate whose result equals the
+    ORIGINAL oracle's is recorded `equivalent` (that clause is
+    non-discriminating at this SF — reported, not a gate defect). A
+    candidate that differs from the original yet still matches the
+    engine frame is a REAL survivor: the gate's own normalize claimed
+    engine==original and engine==mutated while original!=mutated."""
+    out = []
+    m = re.search(r"\bLIMIT (\d+)\b", sql, re.IGNORECASE)
+    if m and int(m.group(1)) >= 1:
+        out.append(("oracle_limit_off_by_one",
+                    sql[:m.start()] + f"LIMIT {int(m.group(1)) - 1}" + sql[m.end():]))
+    m = re.search(r"\bWHERE\s+", sql, re.IGNORECASE)
+    if m:
+        out.append(("oracle_negate_where",
+                    sql[:m.end()] + "NOT " + sql[m.end():]))
+    low = sql.lower()
+    for src, dst in (("sum(", "min("), ("avg(", "min("), ("max(", "min("),
+                     ("min(", "max("), ("count(", "max("),
+                     ("quantile_cont(", "quantile_disc("), ("median(", "avg(")):
+        i = low.find(src)
+        if i >= 0:
+            out.append((f"oracle_agg_swap:{src[:-1]}->{dst[:-1]}",
+                        sql[:i] + dst + sql[i + len(src):]))
+            break
+    m = re.search(r" > ", sql)
+    if m:
+        out.append(("oracle_cmp_boundary",
+                    sql[:m.start()] + " >= " + sql[m.end():]))
+    # two broadly-applicable fallbacks so nearly every oracle carries a
+    # discriminating mutant (pure projections have no WHERE/LIMIT/agg):
+    # append a char to the LAST string literal, and bump the LAST
+    # standalone integer literal. LAST, not first: CTE-based oracles
+    # (withAccessLog etc.) open with shared fixture columns many keys
+    # never project — the main query body sits at the end. Either may
+    # still land in a format string or a modulus — a parse failure skips
+    # (inapplicable), an unchanged result records `equivalent`.
+    lits = list(re.finditer(r"'([^']*)'", sql))
+    if lits:
+        m = lits[-1]
+        out.append(("oracle_str_literal",
+                    sql[:m.start()] + "'" + m.group(1) + "~'" + sql[m.end():]))
+    nums = list(re.finditer(r"(?<![\w.'\"])(\d+)(?![\w.])", sql))
+    if nums:
+        m = nums[-1]
+        out.append(("oracle_num_literal",
+                    sql[:m.start()] + str(int(m.group(1)) + 1) + sql[m.end():]))
+    return out
+
+
+def oracle_result(con, sql):
+    o = con.execute(sql)
+    names = [d[0] for d in o.description]
+    return normalize(names, o.fetchall())
+
+
 def compare_frame(con, sql, names, rows):
     """True iff the frame matches the oracle under the gate's canon."""
     o = con.execute(sql)
@@ -182,31 +244,66 @@ def main():
             rows = [tuple(d[c] for c in names) for d in mut]
             ok = compare_frame(con, oracles[name], names, rows)
             entry[label] = "survived" if ok else "killed"
+        # sixth class: oracle-side mutants against the UNMUTATED frame
+        for label, msql in oracle_mutations(oracles[name]):
+            try:
+                ok = compare_frame(con, msql, names, base_rows)
+            except Exception:
+                entry[label] = "inapplicable"
+                continue
+            if not ok:
+                entry[label] = "killed"
+            elif oracle_result(con, msql) == oracle_result(con, oracles[name]):
+                entry[label] = "equivalent"
+            else:
+                entry[label] = "survived"
         report[name] = entry
     total_keys = len(report)
-    total_muts = sum(len(v) for v in report.values())
+    # "mutants" counts DISCRIMINATING mutants (killed or survived);
+    # equivalents and parse-inapplicable oracle candidates are tallied
+    # separately — they are findings about clause strength, not gate bugs
+    total_muts = sum(1 for v in report.values() for s in v.values()
+                     if s in ("killed", "survived"))
     killed = sum(1 for v in report.values() for s in v.values() if s == "killed")
+    n_equiv = sum(1 for v in report.values() for s in v.values() if s == "equivalent")
     by_class = {}
     for v in report.values():
-        for m in v:
-            by_class[m.split(":")[0]] = by_class.get(m.split(":")[0], 0) + 1
+        for m, s in v.items():
+            if s in ("killed", "survived"):
+                by_class[m.split(":")[0]] = by_class.get(m.split(":")[0], 0) + 1
     summary = {
         "sf_dir": sf_dir,
         "keys_sampled": total_keys,
         "mutants": total_muts,
         "killed": killed,
         "survived": total_muts - killed,
+        "oracle_equivalent": n_equiv,
         "mutants_by_class": by_class,
         # swap needs two same-typed, canon-distinguishable columns in some
         # row; keys without such a pair legitimately have no swap mutant
         "swap_applicable_keys": sum(
             1 for v in report.values() if any(m.startswith("swap:") for m in v)),
+        "oracle_mutant_keys": sum(
+            1 for v in report.values()
+            if any(m.startswith("oracle_") and s in ("killed", "survived")
+                   for m, s in v.items())),
+        # keys whose EVERY oracle candidate came back equivalent: the
+        # clauses these mutations touch don't discriminate at this SF —
+        # reported for review, not failed
+        "oracle_all_equivalent_keys": sorted(
+            k for k, v in report.items()
+            if any(m.startswith("oracle_") for m in v)
+            and all(s in ("equivalent", "inapplicable")
+                    for m, s in v.items() if m.startswith("oracle_"))),
         "skipped_no_dump": skipped,
     }
     with open(out_json, "w") as f:
         json.dump({"summary": summary, "keys": report}, f, indent=1, sort_keys=True)
     print(json.dumps(summary))
-    surviving = {k: {m: s for m, s in v.items() if s != "killed"}
+    # anything that is neither a kill nor a benign non-discriminating
+    # outcome fails the audit — including a stale-dump baseline FAIL
+    surviving = {k: {m: s for m, s in v.items()
+                     if s not in ("killed", "equivalent", "inapplicable")}
                  for k, v in report.items()}
     surviving = {k: v for k, v in surviving.items() if v}
     if surviving:
