@@ -1640,8 +1640,8 @@ object EsqlParser {
       // TERM: the UN-analyzed exact term — matches when any whitespace
       // token of the field equals the value verbatim (on a keyword-ish
       // single-token column this reduces to plain equality). An EMPTY
-      // value matches NOTHING (the MATCH/MATCH_PHRASE discipline) —
-      // unguarded, an empty-string field would split to [""] and match
+      // value matches exactly the wholly-empty-keyword rows ("" is an
+      // indexed keyword term under ES's term-query contract)
       case ("TERM", Seq(Ident(f), StrLit(v))) =>
         // The field splits on whitespace RUNS (" +") with empty tokens
         // FILTERED: multi-space runs and edge whitespace must not mint
