@@ -1493,9 +1493,11 @@ object EsqlParser {
           when(regexp_extract(c, rx, i) === "", lit("0"))
             .otherwise(regexp_extract(c, rx, i)), 10, "0")
         val pre = regexp_extract(c, rx, 4)
-        val preEnc = array_join(transform(split(pre, "\\."), id =>
-          when(id.rlike("^[0-9]{1,10}$"), concat(lit("0"), lpad(id, 10, "0")))
-            .otherwise(concat(lit("1"), id))), ".")
+        // native codegen expression, not a transform() lambda —
+        // ArrayTransform is an interpreted fallback and this key's plan
+        // is codegen-locked (PlanSpec)
+        val preEnc = graft.Cols.column(
+          org.apache.spark.sql.graftshim.SemverPreEncode(graft.Cols.expr(pre)))
         // the prerelease terminates with '!' (below every allowed pre
         // char AND below the '|' original-text separator): without it,
         // a prerelease that is a PREFIX of another ("alpha" vs

@@ -1073,6 +1073,53 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Semver rule-11.4 prerelease-tag encoding for TO_VERSION (r19): each
+  * dot-identifier encodes as "0" + zero-pad-to-10 when all-digits
+  * (numeric precedence — the constant '0' head keeps every numeric
+  * below every alphanumeric, and the pad makes the digit comparison
+  * numeric) or "1" + id otherwise (ASCII order preserved under the
+  * shared head); all-digit identifiers beyond 10 digits fall to the
+  * alphanumeric branch (the version-core cap discipline). A native
+  * expression, not a `transform` lambda: ArrayTransform is an
+  * interpreted fallback that would break the key's whole-stage-codegen
+  * plan lock (PlanSpec). */
+case class SemverPreEncode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "semver_pre_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    SemverHelper.encodePre(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftshim.SemverHelper.encodePre($c)")
+  override protected def withNewChildInternal(newChild: Expression): SemverPreEncode =
+    copy(child = newChild)
+}
+
+object SemverHelper {
+  def encodePre(s: UTF8String): UTF8String = {
+    val ids = s.toString.split("\\.", -1)
+    val out = new java.lang.StringBuilder(s.numChars() + ids.length * 11)
+    var i = 0
+    while (i < ids.length) {
+      if (i > 0) out.append('.')
+      val id = ids(i)
+      val numeric = id.nonEmpty && id.length <= 10 && id.forall(c => c >= '0' && c <= '9')
+      if (numeric) {
+        out.append('0')
+        var p = id.length
+        while (p < 10) { out.append('0'); p += 1 }
+        out.append(id)
+      } else {
+        out.append('1').append(id)
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
 object NfcHelper {
   def nfc(s: UTF8String): UTF8String = {
     val str = s.toString
