@@ -97,7 +97,8 @@ object FunctionAudit {
     * the deviation is part of the audit, not a footnote elsewhere. */
   val implementedNotes: Map[String, String] = Map(
     "TO_DATE_NANOS" -> ("carried as epoch-nanos LONG (the representation " +
-      "Spark gives parquet TIMESTAMP(NANOS) itself); keyword/date/long in"),
+      "Spark gives parquet TIMESTAMP(NANOS) itself); keyword (Z or ±HH:MM " +
+      "offsets, r19) / date / date_nanos(ntz) / long in"),
     "TO_VERSION" -> ("carried as an order-preserving encoded keyword " +
       "(semver-aware sort incl. rule-11.4 numeric prerelease-identifier " +
       "precedence as of r19; invalid versions sort after valid)"))
