@@ -153,11 +153,11 @@ def oracle_mutations(sql):
     m = re.search(r"\bLIMIT (\d+)\b", sql, re.IGNORECASE)
     if m and int(m.group(1)) >= 1:
         out.append(("oracle_limit_off_by_one",
-                    sql[:m.start()] + f"LIMIT {int(m.group(1)) - 1}" + sql[m.end():]))
+                    [sql[:m.start()] + f"LIMIT {int(m.group(1)) - 1}" + sql[m.end():]]))
     m = re.search(r"\bWHERE\s+", sql, re.IGNORECASE)
     if m:
         out.append(("oracle_negate_where",
-                    sql[:m.end()] + "NOT " + sql[m.end():]))
+                    [sql[:m.end()] + "NOT " + sql[m.end():]]))
     low = sql.lower()
     for src, dst in (("sum(", "min("), ("avg(", "min("), ("max(", "min("),
                      ("min(", "max("), ("count(", "max("),
@@ -165,30 +165,32 @@ def oracle_mutations(sql):
         i = low.find(src)
         if i >= 0:
             out.append((f"oracle_agg_swap:{src[:-1]}->{dst[:-1]}",
-                        sql[:i] + dst + sql[i + len(src):]))
+                        [sql[:i] + dst + sql[i + len(src):]]))
             break
     m = re.search(r" > ", sql)
     if m:
         out.append(("oracle_cmp_boundary",
-                    sql[:m.start()] + " >= " + sql[m.end():]))
+                    [sql[:m.start()] + " >= " + sql[m.end():]]))
     # two broadly-applicable fallbacks so nearly every oracle carries a
     # discriminating mutant (pure projections have no WHERE/LIMIT/agg):
-    # append a char to the LAST string literal, and bump the LAST
-    # standalone integer literal. LAST, not first: CTE-based oracles
-    # (withAccessLog etc.) open with shared fixture columns many keys
-    # never project — the main query body sits at the end. Either may
-    # still land in a format string or a modulus — a parse failure skips
-    # (inapplicable), an unchanged result records `equivalent`.
-    lits = list(re.finditer(r"'([^']*)'", sql))
+    # append a char to a string literal, and bump a standalone integer
+    # literal. These are ADAPTIVE (r19 second pass): a fixed position
+    # often lands on a non-discriminating token (a regex bound like
+    # {1,3}, a fixture column the key never projects), so each class
+    # carries up to 8 candidate positions ordered LAST-first — CTE-based
+    # oracles open with shared fixture columns; the main query body sits
+    # at the end — and the runner takes the first candidate that KILLS,
+    # falling back to `equivalent`/`inapplicable` only when none does.
+    lits = list(re.finditer(r"'([^']*)'", sql))[::-1][:8]
     if lits:
-        m = lits[-1]
-        out.append(("oracle_str_literal",
-                    sql[:m.start()] + "'" + m.group(1) + "~'" + sql[m.end():]))
-    nums = list(re.finditer(r"(?<![\w.'\"])(\d+)(?![\w.])", sql))
+        out.append(("oracle_str_literal", [
+            sql[:m.start()] + "'" + m.group(1) + "~'" + sql[m.end():]
+            for m in lits]))
+    nums = list(re.finditer(r"(?<![\w.'\"])(\d+)(?![\w.])", sql))[::-1][:8]
     if nums:
-        m = nums[-1]
-        out.append(("oracle_num_literal",
-                    sql[:m.start()] + str(int(m.group(1)) + 1) + sql[m.end():]))
+        out.append(("oracle_num_literal", [
+            sql[:m.start()] + str(int(m.group(1)) + 1) + sql[m.end():]
+            for m in nums]))
     return out
 
 
@@ -244,19 +246,29 @@ def main():
             rows = [tuple(d[c] for c in names) for d in mut]
             ok = compare_frame(con, oracles[name], names, rows)
             entry[label] = "survived" if ok else "killed"
-        # sixth class: oracle-side mutants against the UNMUTATED frame
-        for label, msql in oracle_mutations(oracles[name]):
-            try:
-                ok = compare_frame(con, msql, names, base_rows)
-            except Exception:
-                entry[label] = "inapplicable"
-                continue
-            if not ok:
-                entry[label] = "killed"
-            elif oracle_result(con, msql) == oracle_result(con, oracles[name]):
-                entry[label] = "equivalent"
-            else:
-                entry[label] = "survived"
+        # sixth class: oracle-side mutants against the UNMUTATED frame.
+        # Each class carries one or more candidate positions; the first
+        # KILLING candidate settles the class, and only when every
+        # candidate is equivalent/unparseable does the weaker status
+        # stand (a true `survived` also settles immediately — it is the
+        # finding this class exists to catch).
+        for label, candidates in oracle_mutations(oracles[name]):
+            status = None
+            for msql in candidates:
+                try:
+                    ok = compare_frame(con, msql, names, base_rows)
+                except Exception:
+                    status = status or "inapplicable"
+                    continue
+                if not ok:
+                    status = "killed"
+                    break
+                elif oracle_result(con, msql) == oracle_result(con, oracles[name]):
+                    status = "equivalent"
+                else:
+                    status = "survived"
+                    break
+            entry[label] = status
         report[name] = entry
     total_keys = len(report)
     # "mutants" counts DISCRIMINATING mutants (killed or survived);
