@@ -874,15 +874,25 @@ object Relational {
       .distinct()
   }
 
-  /** EXCEPT: building-segment customers minus those with any order. */
+  /** EXCEPT: building-segment customers minus those with an URGENT
+    * order. The right side is priority-restricted because this
+    * testdata's orders cover EVERY custkey — the original
+    * minus-any-order form returned the empty set at every SF, and the
+    * r19 oracle-mutant audit flagged exactly that (negating the WHERE
+    * changed nothing: an empty-vs-empty compare can't see the EXCEPT
+    * logic at all). The urgent cut keeps both directions live: most
+    * BUILDING customers are removed, a deterministic remainder
+    * survives (sf0.01: 39 of 302). */
   val exceptOp: QueryDef = q(
     "ns_except",
     """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders""".stripMargin) { (s, dir) =>
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
     Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+      .except(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")))
   }
 
   /** Salted skew join: when a shuffle join's key distribution is heavy

@@ -76,15 +76,30 @@ object TextOps {
       .filter(size(col("sh")) >= 1)
 
   /** Exact dedup: hash-groupBy on normalized text (map-side combine →
-    * one shuffle on the 128-bit key). */
+    * one shuffle on the 128-bit key). The corpus is overlaid with a
+    * deterministic duplicate of every 7th document (same text, shifted
+    * doc_id) because the synthetic documents table carries NO exact
+    * duplicates at any SF — the r19 oracle-mutant audit caught that
+    * (min(doc_id)→max(doc_id) changed nothing), meaning the gate was
+    * only proving the grouping shape, never the keep-one-of-many
+    * semantics. With the overlay, n_copies=2 groups exist at every SF
+    * and keep_id genuinely selects the survivor. */
   val dedupExactOp = QueryDef(
     "ns_dedup_exact",
-    (s, dir) => docs(s, dir)
-      .withColumn("text_hash", md5(lower(col("text")).cast("binary")))
-      .groupBy("text_hash")
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val dups = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      base.unionByName(dups)
+        .withColumn("text_hash", md5(lower(col("text")).cast("binary")))
+        .groupBy("text_hash")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
     Some("""SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-           |FROM documents GROUP BY 1""".stripMargin))
+           |FROM (SELECT doc_id, text FROM documents
+           |      UNION ALL
+           |      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+           |GROUP BY 1""".stripMargin))
 
   // MinHash: word 3-shingles, 8 hash functions (min over md5('<b>:'||shingle)),
   // banded 4×2 → candidate pairs share ≥1 band. Min over hex strings is a
@@ -2229,7 +2244,22 @@ object TextOps {
   val dedupClusterOp = QueryDef(
     "ns_dedup_cluster", {
       (s, dir) =>
-        val d = docs(s, dir)
+        // duplicate overlay (the ns_dedup_exact r19 discipline): the
+        // corpus itself has NO exact dups at any SF, so without it the
+        // clique graph has zero non-self edges and the label
+        // propagation under test never moves a label — the r19
+        // oracle-mutant audit surfaced exactly that blindness. Every
+        // 7th doc gains one copy and every 14th a second, so 2- and
+        // 3-cliques exist and min-label genuinely propagates across
+        // non-hub members at every SF.
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val overlay = base.unionByName(
+          base.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          .unionByName(
+            base.filter(col("doc_id") % 14 === 0)
+              .withColumn("doc_id", col("doc_id") + lit(200000L)))
+        val d = overlay
           .withColumn("h", md5(lower(col("text")).cast("binary")))
           .select(col("doc_id"), col("h"))
         // edges doc ↔ min(doc with same hash): a star per clique;
@@ -2246,7 +2276,10 @@ object TextOps {
     },
     // exact-dup components are cliques, so min-label = min doc_id per
     // text hash — the closed form the propagation converges to
-    Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM documents)
+    Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 14 = 0))
            |SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id FROM d""".stripMargin))
 
   /** Text normalization for dedup keys / training corpora: Unicode NFC
