@@ -60,18 +60,52 @@ object CommandAudit {
     ("processing", "WHERE", "three-valued logic; match functions compile to " +
       "boolean codegen predicates"))
 
-  /** Command names the parser dispatches: processing commands from the
-    * `case "X"` scrape, source commands from the keyword-lexer scrape.
+  /** Command names the parser dispatches, scraped from the TWO
+    * command-head dispatch contexts and NOTHING else (r20 advice —
+    * the r19 scrape matched every isKw/eatKw literal in the file, so
+    * a keyword used only as an OPERAND, e.g. `metadata` or `where`,
+    * would have satisfied the guard for a same-named command):
+    *
+    *  - source commands: only lines EsqlParser tags `CMD-DISPATCH`
+    *    (the four head-position isKw/eatKw sites; the tag and this
+    *    scrape are a matched pair, and CommandAuditSpec pins the
+    *    scraped set to exactly {FROM, ROW, SHOW, TS});
+    *  - processing commands: `case "X"` lines INSIDE parseCommand's
+    *    body (its head to the source-dispatch section), not the whole
+    *    file — parseAgg's aggregate cases and compileExpr's function
+    *    cases no longer leak in.
+    *
     * "LOOKUP JOIN" is dispatched by its head token LOOKUP. */
-  def scraped(): Set[String] = {
-    val src = Files.readAllLines(
-      Paths.get("src/main/scala/graft/ops/EsqlParser.scala")).asScala
+  def scraped(): Set[String] = sourceHeads() ++ processingCases()
+
+  /** The keyword-lexer heads tagged `CMD-DISPATCH`. */
+  def sourceHeads(): Set[String] = {
     val kw = """(?:isKw\(_, |eatKw\()"([a-z_]+)"""".r
-    val fromKeywords = src.iterator
+    parserLines().iterator
+      .filter(_.contains("// CMD-DISPATCH"))
       .flatMap(l => kw.findAllMatchIn(l).map(_.group(1).toUpperCase))
       .toSet
-    FunctionAudit.scraped() ++ fromKeywords
   }
+
+  /** `case "X"` heads inside parseCommand's body only. */
+  def processingCases(): Set[String] = {
+    val src = parserLines()
+    val start = src.indexWhere(_.contains("def parseCommand(): Cmd"))
+    val end = src.indexWhere(_.contains("val cmds = Seq.newBuilder[Cmd]"), start)
+    require(start >= 0 && end > start,
+      "parseCommand dispatch region not found — the scrape anchor moved")
+    // every quoted UPPERCASE token on a `case "` line — alternations
+    // (`case "KEEP" | "DROP" =>`) dispatch several commands on one line
+    val tok = """"([A-Z_]+)"""".r
+    src.slice(start, end).iterator
+      .filter(_.trim.startsWith("case \""))
+      .flatMap(l => tok.findAllMatchIn(l).map(_.group(1)))
+      .toSet
+  }
+
+  private def parserLines(): Vector[String] =
+    Files.readAllLines(
+      Paths.get("src/main/scala/graft/ops/EsqlParser.scala")).asScala.toVector
 
   /** (category, name, status, note) — fails loudly when a row claims a
     * command the parser has no dispatch for. */

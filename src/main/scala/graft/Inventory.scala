@@ -22,9 +22,20 @@ object Inventory {
     val fileLines: Vector[(String, Vector[String])] = Files.walk(srcRoot)
       .iterator().asScala
       .filter(_.toString.endsWith(".scala"))
-      // this generator's own specFor map quotes registry keys — it is
-      // not a declaration site
-      .filterNot(_.toString.endsWith("graft/Inventory.scala"))
+      // this generator's own specFor map quotes registry keys, and the
+      // three audit GENERATORS quote key names in their classification
+      // tables (r20 verdict fix: ProcessorAudit sorts alphabetically
+      // before ops/ and hijacked ~30 "declared at" rows) — none is a
+      // declaration site
+      .filterNot { p =>
+        val s = p.toString
+        s.endsWith("graft/Inventory.scala") ||
+        s.endsWith("graft/ProcessorAudit.scala") ||
+        s.endsWith("graft/CommandAudit.scala") ||
+        s.endsWith("graft/FunctionAudit.scala") ||
+        s.endsWith("graft/QueryDslAudit.scala") ||
+        s.endsWith("graft/Liveness.scala")
+      }
       .toVector.sortBy(_.toString)
       .map(p => p.toString.stripPrefix("src/main/scala/") ->
         Files.readAllLines(p).asScala.toVector)

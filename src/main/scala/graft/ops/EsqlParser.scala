@@ -694,11 +694,16 @@ object EsqlParser {
       }
     }
 
+    // SOURCE-COMMAND dispatch. The `CMD-DISPATCH` markers below are
+    // load-bearing: CommandAudit's keyword scrape reads ONLY marked
+    // lines (r20 advice — an unanchored isKw/eatKw scrape would let a
+    // keyword used merely as an OPERAND elsewhere, e.g. `metadata` or
+    // `where`, satisfy the implemented-guard for a same-named command).
     val cmds = Seq.newBuilder[Cmd]
-    if (peek.exists(isKw(_, "show"))) {
+    if (peek.exists(isKw(_, "show"))) { // CMD-DISPATCH
       i += 1; eatKw("info")
       cmds += ShowInfo
-    } else if (peek.exists(isKw(_, "row"))) {
+    } else if (peek.exists(isKw(_, "row"))) { // CMD-DISPATCH
       i += 1
       val as = Seq.newBuilder[(String, Expr)]
       def one(): Unit = { val n = ident(); eatSym("="); as += (n -> parseExpr()) }
@@ -706,8 +711,8 @@ object EsqlParser {
       while (peek.exists { case TSym(",", _) => true; case _ => false }) { i += 1; one() }
       cmds += RowCmd(as.result())
     } else {
-      val isTs = peek.exists(isKw(_, "ts"))
-      if (isTs) i += 1 else eatKw("from")
+      val isTs = peek.exists(isKw(_, "ts")) // CMD-DISPATCH
+      if (isTs) i += 1 else eatKw("from") // CMD-DISPATCH
       val tables = Seq.newBuilder[String]
       // an index name may carry a trailing `*` wildcard (FROM logs*) —
       // the pattern passes through verbatim; the CATALOG (resolve)
@@ -1332,14 +1337,25 @@ object EsqlParser {
         }
       case ("DATE_FORMAT", Seq(StrLit(fmt), x)) =>
         // ES renders dates in UTC regardless of any client setting;
-        // Spark's date_format renders in the SESSION zone. Shift the
-        // instant by the session offset (to_utc_timestamp = ts − off)
-        // so the session-zone renderer shows the UTC field values —
-        // DATE_PARSE(fmt, DATE_FORMAT(fmt, ts)) is then an identity in
-        // ANY embedding session, not only the shipped UTC-pinned ones
-        // (the r18 DATE_PARSE pin fixed only half the pair). In a UTC
-        // session the shift is zero, so every oracle stays bit-equal.
-        date_format(to_utc_timestamp(compileExpr(x), current_timezone()), fmt)
+        // Spark's date_format renders in the SESSION zone. For
+        // ZONE-FREE patterns, shift the instant by the session offset
+        // (to_utc_timestamp = ts − off) so the session-zone renderer
+        // shows the UTC field values — DATE_PARSE(fmt, DATE_FORMAT(fmt,
+        // ts)) is then an identity in any embedding session (the r18
+        // DATE_PARSE pin fixed only half the pair). In a UTC session
+        // the shift is zero, so every oracle stays bit-equal. A
+        // ZONE-BEARING pattern (z/Z/X/x/O/V/v outside quoted literal
+        // sections — the DATE_PARSE scan) cannot ride that trick: the
+        // shifted render would print the UTC wall-clock under the
+        // SESSION zone's label (r20 advice). It renders through the
+        // genuinely UTC-pinned UtcDateFormat expression instead, so
+        // the zone field prints UTC with the UTC wall-clock.
+        val unquotedF = fmt.replaceAll("'[^']*'", "")
+        if (unquotedF.exists(c => "zZXxOVv".contains(c)))
+          graft.Cols.column(org.apache.spark.sql.graftshim.UtcDateFormat(
+            graft.Cols.expr(compileExpr(x).cast("timestamp")), fmt))
+        else
+          date_format(to_utc_timestamp(compileExpr(x), current_timezone()), fmt)
       // DATE_PARSE(pattern, string) — DATE_FORMAT's inverse (the weekly
       // log-pipeline hit: a stringly date column back to TIMESTAMP).
       // ES's contract on unparseable input is null-with-warning, not an
@@ -1499,9 +1515,10 @@ object EsqlParser {
         val preEnc = graft.Cols.column(
           org.apache.spark.sql.graftshim.SemverPreEncode(graft.Cols.expr(pre)))
         // the prerelease terminates with '!' (below every allowed pre
-        // char AND below the '|' original-text separator): without it,
-        // a prerelease that is a PREFIX of another ("alpha" vs
-        // "alpha.1") would compare '|' (0x7C) against '.' (0x2E) and
+        // char, below SemverPreEncode's ',' identifier joiner, AND
+        // below the '|' original-text separator): without it, a
+        // prerelease that is a PREFIX of another ("alpha" vs
+        // "alpha.1") would compare '|' (0x7C) against ',' (0x2C) and
         // sort AFTER its extension — semver says before
         val enc = concat(vpart(1), lit("."), vpart(2), lit("."), vpart(3),
           when(pre === "", lit("~")).otherwise(concat(lit("-"), preEnc, lit("!"))),

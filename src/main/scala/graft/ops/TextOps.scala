@@ -75,6 +75,19 @@ object TextOps {
     df.select(col(idCol), array_distinct(shingles3(trim(col(textCol)))).as("sh"))
       .filter(size(col("sh")) >= 1)
 
+  /** The duplicate-overlay offset: max(doc_id)+1, DERIVED from the
+    * table (r20 advice — the r19 fixed +100000/+200000 offsets would
+    * alias genuine doc_ids once the table exceeds 100k rows, and the
+    * oracle mirrored the collision so the compare stayed green while
+    * overlay ids silently stopped being unique). A one-row aggregate
+    * broadcast onto the overlay rows — the blessed one-row-crossJoin
+    * stats-frame shape; DuckDB mirrors it as a scalar subquery. Offset
+    * uniqueness now holds BY CONSTRUCTION at every SF: overlay ids
+    * live in (max, 2·max+1] (and the second overlay in a disjoint
+    * higher band), which no real document can occupy. */
+  private def overlayOffset(base: DataFrame): DataFrame =
+    base.agg((max(col("doc_id")) + lit(1L)).as("ov_off"))
+
   /** Exact dedup: hash-groupBy on normalized text (map-side combine →
     * one shuffle on the 128-bit key). The corpus is overlaid with a
     * deterministic duplicate of every 7th document (same text, shifted
@@ -89,7 +102,8 @@ object TextOps {
     { (s, dir) =>
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val dups = base.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(100000L))
+        .crossJoin(broadcast(overlayOffset(base)))
+        .withColumn("doc_id", col("doc_id") + col("ov_off")).drop("ov_off")
       base.unionByName(dups)
         .withColumn("text_hash", md5(lower(col("text")).cast("binary")))
         .groupBy("text_hash")
@@ -98,7 +112,8 @@ object TextOps {
     Some("""SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM (SELECT doc_id, text FROM documents
            |      UNION ALL
-           |      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+           |      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+           |      FROM documents WHERE doc_id % 7 = 0)
            |GROUP BY 1""".stripMargin))
 
   // MinHash: word 3-shingles, 8 hash functions (min over md5('<b>:'||shingle)),
@@ -2253,12 +2268,17 @@ object TextOps {
         // 3-cliques exist and min-label genuinely propagates across
         // non-hub members at every SF.
         val base = docs(s, dir).select(col("doc_id"), col("text"))
+        // offsets ov_off / 2·ov_off derived from max(doc_id)+1 (r20
+        // advice): the two overlay bands and the real id range are
+        // pairwise disjoint at ANY SF by construction
+        val off = broadcast(overlayOffset(base))
         val overlay = base.unionByName(
-          base.filter(col("doc_id") % 7 === 0)
-            .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          base.filter(col("doc_id") % 7 === 0).crossJoin(off)
+            .withColumn("doc_id", col("doc_id") + col("ov_off")).drop("ov_off"))
           .unionByName(
-            base.filter(col("doc_id") % 14 === 0)
-              .withColumn("doc_id", col("doc_id") + lit(200000L)))
+            base.filter(col("doc_id") % 14 === 0).crossJoin(off)
+              .withColumn("doc_id", col("doc_id") + col("ov_off") * 2)
+              .drop("ov_off"))
         val d = overlay
           .withColumn("h", md5(lower(col("text")).cast("binary")))
           .select(col("doc_id"), col("h"))
@@ -2276,10 +2296,13 @@ object TextOps {
     },
     // exact-dup components are cliques, so min-label = min doc_id per
     // text hash — the closed form the propagation converges to
-    Some("""WITH d AS (SELECT doc_id, md5(lower(text)) AS h FROM (
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS ov_off FROM documents),
+           |d AS (SELECT doc_id, md5(lower(text)) AS h FROM (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
-           |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 14 = 0))
+           |  UNION ALL SELECT doc_id + (SELECT ov_off FROM o), text
+           |    FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id + 2 * (SELECT ov_off FROM o), text
+           |    FROM documents WHERE doc_id % 14 = 0))
            |SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id FROM d""".stripMargin))
 
   /** Text normalization for dedup keys / training corpora: Unicode NFC

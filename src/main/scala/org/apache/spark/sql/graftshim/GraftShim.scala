@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Column ↔ Catalyst Expression bridge (used by graft.Cols). */
@@ -1079,7 +1079,14 @@ case class NfcNormalize(child: Expression)
   * below every alphanumeric, and the pad makes the digit comparison
   * numeric) or "1" + id otherwise (ASCII order preserved under the
   * shared head); all-digit identifiers beyond 10 digits fall to the
-  * alphanumeric branch (the version-core cap discipline). A native
+  * alphanumeric branch (the version-core cap discipline). Encoded
+  * identifiers join with ',' (0x2C) — the separator must sort BELOW
+  * every legal identifier char (digits, letters, and '-' 0x2D; '.'
+  * 0x2E sits ABOVE '-' and mis-sorted "alpha.1" after "alpha-1" in
+  * r19 — semver 11.4 compares first identifiers "alpha" < "alpha-1")
+  * and ABOVE the '!' (0x21) prerelease terminator so a tag that is an
+  * identifier-list PREFIX of another still sorts first (r20 advice
+  * fix). A native
   * expression, not a `transform` lambda: ArrayTransform is an
   * interpreted fallback that would break the key's whole-stage-codegen
   * plan lock (PlanSpec). */
@@ -1097,13 +1104,53 @@ case class SemverPreEncode(child: Expression)
     copy(child = newChild)
 }
 
+/** DATE_FORMAT for ZONE-BEARING patterns (r20 advice): Spark's
+  * `date_format` always renders in the SESSION zone, and the r19
+  * shift trick (to_utc_timestamp then session-zone render) printed the
+  * UTC wall-clock under the SESSION zone's label whenever the pattern
+  * itself prints a zone (z/Z/X/x/O/V/v) — internally inconsistent and
+  * not ES's UTC rendering. This renders via a genuinely UTC-pinned
+  * java.time formatter, so zone letters print UTC ("Z", "+0000",
+  * "UTC") with the UTC wall-clock in ANY embedding session. ES's own
+  * date formats ARE java.time DateTimeFormatter patterns, so the
+  * java.time dialect is the faithful one for this path. The pattern is
+  * a plan-time literal → ONE formatter per plan, shipped as a codegen
+  * reference object; still whole-stage-codegen (one virtual call per
+  * row, the same shape as every graftshim helper). */
+case class UtcDateFormat(child: Expression, fmt: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TimestampType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "utc_date_format"
+  @transient private lazy val formatter =
+    java.time.format.DateTimeFormatter
+      .ofPattern(fmt, java.util.Locale.ROOT)
+      .withZone(java.time.ZoneOffset.UTC)
+  override protected def nullSafeEval(input: Any): Any =
+    UtcDateFormatHelper.fmt(input.asInstanceOf[Long], formatter)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("utcFmt", formatter,
+      "java.time.format.DateTimeFormatter")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftshim.UtcDateFormatHelper.fmt($c, $fRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UtcDateFormat =
+    copy(child = newChild)
+}
+
+object UtcDateFormatHelper {
+  def fmt(micros: Long, f: java.time.format.DateTimeFormatter): UTF8String =
+    UTF8String.fromString(f.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
+}
+
 object SemverHelper {
   def encodePre(s: UTF8String): UTF8String = {
     val ids = s.toString.split("\\.", -1)
     val out = new java.lang.StringBuilder(s.numChars() + ids.length * 11)
     var i = 0
     while (i < ids.length) {
-      if (i > 0) out.append('.')
+      if (i > 0) out.append(',') // NOT '.': 0x2C < '-' 0x2D < '.' 0x2E
       val id = ids(i)
       val numeric = id.nonEmpty && id.length <= 10 && id.forall(c => c >= '0' && c <= '9')
       if (numeric) {

@@ -23,6 +23,27 @@ class CommandAuditSpec extends SparkSpec {
     }
   }
 
+  test("r20: the scrape is anchored to dispatch context — operand-only keywords cannot pass the guard") {
+    // The r19 scrape matched EVERY isKw/eatKw literal in EsqlParser, so
+    // a keyword appearing only as an operand (a clause modifier, a join
+    // conjunction) satisfied the implemented-guard for a same-named
+    // command. The anchored scrape must see exactly the four
+    // CMD-DISPATCH-tagged source heads and none of the operand
+    // keywords that provably appear as isKw/eatKw literals elsewhere.
+    assert(CommandAudit.sourceHeads() == Set("FROM", "ROW", "SHOW", "TS"),
+      s"source-head scrape drifted: ${CommandAudit.sourceHeads()}")
+    val operands = Seq("METADATA", "INFO", "ON", "WITH", "BY", "AS",
+      "NULLS", "DESC", "AND", "OR", "NOT", "IN", "LIKE")
+    val leaked = operands.filter(CommandAudit.scraped().contains)
+    assert(leaked.isEmpty, s"operand keywords leaked into the command scrape: $leaked")
+    // and the processing scrape no longer sees parseAgg/compileExpr
+    // cases — aggregate and scalar FUNCTION names must not register as
+    // commands (COUNT/SUM dispatch inside parseStats, not parseCommand)
+    val fnLeak = Seq("COUNT", "SUM", "AVG", "PERCENTILE", "TO_VERSION",
+      "DATE_FORMAT").filter(CommandAudit.processingCases().contains)
+    assert(fnLeak.isEmpty, s"function cases leaked into the command scrape: $fnLeak")
+  }
+
   test("SURVEY.md carries the generated table between its markers") {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")

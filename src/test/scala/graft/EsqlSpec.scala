@@ -1414,6 +1414,39 @@ class EsqlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("DATE_FORMAT: a ZONE-BEARING pattern prints the UTC zone with the UTC wall-clock in a non-UTC session") {
+    import spark.implicits._
+    // r20 advice: the zone-free shift trick printed the UTC wall-clock
+    // under the SESSION zone's label when the pattern itself renders a
+    // zone — e.g. "12:00:00-05:00" for 12:00Z in an America/New_York
+    // session. The zone-bearing path is genuinely UTC-pinned.
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ddf = Seq((1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-15T12:00:00Z")))).toDF("id", "ts")
+      val row = EsqlParser.run(
+        """FROM t | EVAL x = DATE_FORMAT("yyyy-MM-dd'T'HH:mm:ssXXX", ts),
+          |  z = DATE_FORMAT("yyyy-MM-dd HH:mm:ss z", ts),
+          |  o = DATE_FORMAT("HH:mm O", ts)
+          || KEEP x, z, o""".stripMargin, _ => ddf).collect()(0)
+      assert(row.getString(0) == "2024-01-15T12:00:00Z",
+        s"XXX must print the UTC offset label Z, got ${row.getString(0)}")
+      assert(row.getString(1) == "2024-01-15 12:00:00 Z" ||
+        row.getString(1) == "2024-01-15 12:00:00 UTC",
+        s"z must print a UTC zone name, got ${row.getString(1)}")
+      assert(row.getString(2) == "12:00 GMT",
+        s"O must print GMT (the zero localized offset), got ${row.getString(2)}")
+      // quoted zone letters stay literal text — the unquoted scan must
+      // NOT push a 'z'-in-quotes pattern onto the UTC-pinned path
+      // (both paths agree in field values; this pins the literal)
+      val q = EsqlParser.run(
+        """FROM t | EVAL s = DATE_FORMAT("HH:mm 'z'", ts) | KEEP s""",
+        _ => ddf).collect()(0).getString(0)
+      assert(q == "12:00 z", s"quoted z must stay literal, got $q")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("DATE_PARSE: an unzoned pattern parses as UTC (ES's contract), not session-local") {
     import spark.implicits._
     val ddf = Seq((1L, "2024-01-15 12:00:00")).toDF("id", "s")
@@ -1435,7 +1468,12 @@ class EsqlSpec extends SparkSpec {
       // r19 (advice): semver 11.4 prerelease-identifier precedence —
       // numeric identifiers compare numerically (beta.2 < beta.11) and
       // sort below every alphanumeric identifier (-1 < -alpha)
-      (13L, "1.2.0-beta.2"), (14L, "1.2.0-beta.11"), (15L, "1.2.0-1")
+      (13L, "1.2.0-beta.2"), (14L, "1.2.0-beta.11"), (15L, "1.2.0-1"),
+      // r20 (advice): '-' (0x2D) is a legal identifier char that sorts
+      // BELOW the old '.' joiner (0x2E) — semver compares the FIRST
+      // identifiers "alpha" < "alpha-1" (prefix), so alpha.1 < alpha-1;
+      // the r19 encoding joined with '.' and sorted these backwards
+      (16L, "1.2.0-alpha.1"), (17L, "1.2.0-alpha-1")
     ).toDF("id", "s")
     val got = EsqlParser.run(
       "FROM v | EVAL ver = TO_VERSION(s) | SORT ver, id | KEEP s", _ => vdf)
@@ -1447,7 +1485,8 @@ class EsqlSpec extends SparkSpec {
       // prereleases precede their release, 1.2 and 1.2.0 stay adjacent
       // but distinct, and every invalid sorts after every valid
       // (ordered among themselves by the raw string)
-      "1.2.0-1", "1.2.0-alpha", "1.2.0-beta", "1.2.0-beta.2", "1.2.0-beta.11",
+      "1.2.0-1", "1.2.0-alpha", "1.2.0-alpha.1", "1.2.0-alpha-1",
+      "1.2.0-beta", "1.2.0-beta.2", "1.2.0-beta.11",
       "1.2", "1.2.0", "1.10.0", "1.10.1",
       "2.0.0", "9.0.0", "10.0.0",
       "12345678901.0.0", "not.a-version!", "v1.2.3"), s"got $got")
@@ -1537,33 +1576,68 @@ class EsqlSpec extends SparkSpec {
         case 3 => numeral() + "!" + numeral() // illegal char: invalid
         case _ =>
           val parts = (0 until 1 + rnd.nextInt(3)).map(_ => numeral()).mkString(".")
+          // hyphen-bearing identifiers on purpose (r20 advice): '-'
+          // (0x2D) sits BELOW '.' (0x2E) in ASCII, so an encoding that
+          // joins identifiers with '.' mis-sorts "alpha.1" after
+          // "alpha-1" — the pool must generate both shapes
           val pre = if (rnd.nextBoolean()) "" else "-" +
             (0 until 1 + rnd.nextInt(2)).map(_ =>
-              Seq("alpha", "beta", "rc", "1", "11", "2")(rnd.nextInt(6))).mkString(".")
+              Seq("alpha", "beta", "rc", "1", "11", "2", "alpha-1",
+                "a-b")(rnd.nextInt(8))).mkString(".")
           parts + pre
       }
     }
     val vrx = "^(\\d{1,10})(?:\\.(\\d{1,10}))?(?:\\.(\\d{1,10}))?(?:-([0-9A-Za-z.\\-]+))?$".r
-    // semver 11.4 prerelease encoding, mirrored from the engine (r19):
-    // all-digit identifiers (≤10 digits) → "0" + zero-pad (numeric
-    // precedence, below every alphanumeric), others → "1" + id (ASCII
-    // order under the shared head); plain string compare of the joined
-    // form then reproduces semver order, prefix-extension included
-    def encPre(p: String): String = p.split("\\.", -1).map(id =>
-      if (id.matches("[0-9]{1,10}")) "0" + ("0" * (10 - id.length)) + id
-      else "1" + id).mkString(".")
+    // semver 11.4 prerelease ORDER derived from the SPEC's own rules,
+    // NOT from the engine's encoding (r20 advice: a mirror that
+    // replicates the encoding is blind to an encoding mis-sort — the
+    // r19 '.'-joiner bug sat exactly in that blind spot): identifiers
+    // compare pairwise — both all-digit (≤10 digits, the engine's
+    // stated numeric cap) numerically, numeric below alphanumeric
+    // (11.4.3), both alphanumeric in plain ASCII; a shared prefix →
+    // fewer identifiers first (11.4.4)
+    def preCompare(a: String, b: String): Int = {
+      val as = a.split("\\.", -1); val bs = b.split("\\.", -1)
+      var i = 0
+      while (i < as.length && i < bs.length) {
+        val (x, y) = (as(i), bs(i))
+        val xn = x.matches("[0-9]{1,10}"); val yn = y.matches("[0-9]{1,10}")
+        val c =
+          if (xn && yn) java.lang.Long.compare(x.toLong, y.toLong)
+          else if (xn) -1
+          else if (yn) 1
+          else x.compareTo(y)
+        if (c != 0) return c
+        i += 1
+      }
+      Integer.compare(as.length, bs.length)
+    }
     // the mirror's key: valid → (0, maj, min, pat, 0-if-prerelease, pre, orig);
-    // invalid → (1, raw) after every valid
-    def key(id: Int, s: String): (Int, Long, Long, Long, Int, String, String) =
+    // invalid → (1, raw) after every valid; `pre` compares via preCompare
+    def key(s: String): (Int, Long, Long, Long, Int, String, String) =
       s match {
         case vrx(maj, minOr, patOr, preOr) =>
           (0, maj.toLong, Option(minOr).fold(0L)(_.toLong),
             Option(patOr).fold(0L)(_.toLong),
-            if (preOr == null) 1 else 0, Option(preOr).fold("")(encPre), s)
+            if (preOr == null) 1 else 0, Option(preOr).getOrElse(""), s)
         case _ => (1, 0L, 0L, 0L, 0, "", s)
       }
+    def keyCompare(p: (Int, Long, Long, Long, Int, String, String),
+                   q: (Int, Long, Long, Long, Int, String, String)): Int = {
+      var c = Integer.compare(p._1, q._1)
+      if (c == 0) c = java.lang.Long.compare(p._2, q._2)
+      if (c == 0) c = java.lang.Long.compare(p._3, q._3)
+      if (c == 0) c = java.lang.Long.compare(p._4, q._4)
+      if (c == 0) c = Integer.compare(p._5, q._5)
+      if (c == 0) c = preCompare(p._6, q._6)
+      if (c == 0) c = p._7.compareTo(q._7)
+      c
+    }
     val want = vstrs.zipWithIndex
-      .sortBy { case (s, i) => (key(i, s), i) }.map(_._1)
+      .sortWith { (p, q) =>
+        val c = keyCompare(key(p._1), key(q._1))
+        if (c != 0) c < 0 else p._2 < q._2
+      }.map(_._1)
     val vdf = vstrs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
     val got = EsqlParser.run(
       "FROM v | EVAL ver = TO_VERSION(s) | SORT ver, id | KEEP s", _ => vdf)

@@ -2110,9 +2110,13 @@ class PipelineDifferentialSpec extends SparkSpec {
     import spark.implicits._
     // semver.org §11's own example chain, plus the numeric-identifier
     // pairs the r19 precedence fix governs
+    // "alpha-1" (r20 advice): a hyphen-bearing IDENTIFIER — first
+    // identifiers compare "alpha" < "alpha-1" (prefix), so every
+    // alpha.* tag sorts before alpha-1 although '-' 0x2D < '.' 0x2E
+    // byte-wise; this is exactly the pair the r19 '.' joiner mis-sorted
     val chain = Seq(
-      "1.0.0-alpha", "1.0.0-alpha.1", "1.0.0-alpha.beta", "1.0.0-beta",
-      "1.0.0-beta.2", "1.0.0-beta.11", "1.0.0-rc.1", "1.0.0")
+      "1.0.0-alpha", "1.0.0-alpha.1", "1.0.0-alpha.beta", "1.0.0-alpha-1",
+      "1.0.0-beta", "1.0.0-beta.2", "1.0.0-beta.11", "1.0.0-rc.1", "1.0.0")
     val shuffled = new scala.util.Random(719719L).shuffle(chain).zipWithIndex
       .map { case (s, i) => (i.toLong, s) }
     val vdf = shuffled.toDF("id", "s")

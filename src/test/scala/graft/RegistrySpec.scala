@@ -24,6 +24,28 @@ class RegistrySpec extends SparkSpec {
     assert(badPrefix.isEmpty, s"unexpected key prefixes: ${badPrefix.mkString(", ")}")
   }
 
+  test("SURVEY §2.5.1 'declared at' rows point at real declarations, never an audit generator") {
+    // r20 verdict fix: Inventory.site() resolves the FIRST quoted
+    // occurrence across alphabetically-sorted files; the audit
+    // generators (ProcessorAudit/CommandAudit/FunctionAudit/
+    // QueryDslAudit) quote key names in their classification tables
+    // and sort before graft/ops/, so without the filterNot they hijack
+    // the attribution. This reads the GENERATED table and fails if any
+    // site cell points into a generator (or at Inventory itself).
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val b = txt.indexOf("<!-- BEGIN GENERATED INVENTORY")
+    val e = txt.indexOf("<!-- END GENERATED INVENTORY -->")
+    assert(b >= 0 && e > b, "inventory markers missing")
+    val banned = Seq("Inventory.scala", "ProcessorAudit.scala",
+      "CommandAudit.scala", "FunctionAudit.scala", "QueryDslAudit.scala",
+      "Liveness.scala")
+    val offenders = txt.substring(b, e).linesIterator.filter(_.startsWith("| `"))
+      .filter(l => banned.exists(l.contains)).toSeq
+    assert(offenders.isEmpty,
+      s"inventory rows attributed to an audit generator (rerun sbt \"runMain graft.Inventory\"): ${offenders.take(5).mkString(" / ")}")
+  }
+
   test("oracle-gated queries emit scalar columns only (external comparator row-sorts)") {
     // The driver's DuckDB-oracle harness sorts result rows in pandas;
     // array/map cells are unhashable there and crash the gate (the
