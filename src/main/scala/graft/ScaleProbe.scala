@@ -2,30 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scaling probe: runs every declared query at TWO scale factors and
-  * flags super-linear time growth the single-sf bench cannot see — a
-  * query whose cost curve bends (an accidental O(n²) candidate set, a
-  * broadcast side that stopped being broadcastable, a partial aggregate
-  * that stopped combining) shows up as time-ratio ≫ data-ratio long
-  * before it kills a 100 TB run.
+/** Scaling probe: runs every declared query at THREE scale factors
+  * (r20 — r11–r19 used two) and flags two distinct pathologies the
+  * single-sf bench cannot see:
   *
-  * Method: min-of-`rounds` per query per sf (the Bench rig's one-sided-
-  * noise argument), ratio = t_big / t_small. Flag when the ratio
-  * exceeds `flagFactor` × the data ratio AND the big-sf time is above
-  * the noise floor (sub-`floorSec` queries are dominated by constant
-  * per-query overhead — plan/codegen/task dispatch — and their ratios
-  * are meaningless in both directions).
+  *  - super-linear growth on the top step (time-ratio ≫ data-ratio):
+  *    an accidental O(n²) candidate set, a broadcast side that stopped
+  *    being broadcastable, a partial aggregate that stopped combining;
+  *  - CURVATURE (ratio-of-ratios): the cost curve BENDING upward
+  *    between the two steps — the cheapest detector of super-linear
+  *    ONSET, e.g. a pair generator whose cap is not yet binding at the
+  *    top shipped SF but whose ratio is already accelerating. A linear
+  *    operator has r_big ≈ r_small (both ≈ the data ratio after the
+  *    constant-overhead floor); an onset shows r_big ≫ r_small.
+  *
+  * Method: min-of-`rounds` per query per sf, round-robin within each
+  * sf (the Bench rig's one-sided-noise argument); r12 = t_mid/t_small,
+  * r23 = t_big/t_mid. Flags:
+  *  - super-linear: r23 > flagFactor × dataRatio, big time > floorSec;
+  *  - curvature: r23 > max(dataRatio, curvFactor × r12), big time >
+  *    floorSec — the dataRatio guard keeps a constant-overhead small
+  *    step (r12 < 1) from inflating the quotient spuriously.
+  * Sub-`floorSec` queries are dominated by per-query constant overhead
+  * (plan/codegen/dispatch); their ratios are meaningless both ways.
   *
   * Prints ONE JSON line:
-  *   {"metric":"scaling","data_ratio":…,"ratios":{q:r,…},"flagged":[…]}
+  *   {"metric":"scaling","data_ratio":…,"ratios":{q:[r12,r23]},
+  *    "curvature":{q:…},"flagged":[…],"flagged_curvature":[…]}
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.01")
-    val sfBig = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val dataRatio = args.lift(2).map(_.toDouble).getOrElse(10.0)
+    val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val sfMid = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val sfBig = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val dataRatio = args.lift(3).map(_.toDouble).getOrElse(10.0)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "2").toInt
     val flagFactor = 2.0
+    val curvFactor = 2.0
     val floorSec = 0.5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -60,27 +73,36 @@ object ScaleProbe {
       acc.toMap
     }
     val small = minTimes(sfSmall)
+    val mid = minTimes(sfMid)
     val big = minTimes(sfBig)
 
     def fmt(d: Double): String =
       BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val ratios = names.flatMap { case (name, _) =>
-      val (a, b) = (small(name), big(name))
-      if (a.isFinite && b.isFinite && a > 0)
-        Some(name -> b / a)
+    val rows = names.flatMap { case (name, _) =>
+      val (a, b, c) = (small(name), mid(name), big(name))
+      if (a.isFinite && b.isFinite && c.isFinite && a > 0 && b > 0)
+        Some((name, b / a, c / b))
       else None
     }
-    val flagged = ratios.collect {
-      case (name, r) if r > flagFactor * dataRatio && big(name) > floorSec => name
+    val flagged = rows.collect {
+      case (name, _, r23) if r23 > flagFactor * dataRatio && big(name) > floorSec => name
     }
-    val failed = names.map(_._1).filter(n => !small(n).isFinite || !big(n).isFinite)
-    val rJson = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val tJson = ratios.map { case (k, _) =>
-      "\"" + k + "\":[" + fmt(small(k)) + "," + fmt(big(k)) + "]" }.mkString("{", ",", "}")
-    val fJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scaling","data_ratio":$dataRatio,"flag_factor":$flagFactor,"floor_sec":$floorSec,"rounds":$rounds,"sf_small":"$sfSmall","sf_big":"$sfBig","ratios":$rJson,"times":$tJson,"flagged":$fJson,"failed":$failJson}""")
-    println(s"""{"metric":"scaling_summary","n_queries":${names.size},"n_flagged":${flagged.size},"flagged":$fJson,"failed":$failJson}""")
+    val flaggedCurv = rows.collect {
+      case (name, r12, r23)
+        if r23 > math.max(dataRatio, curvFactor * r12) && big(name) > floorSec => name
+    }
+    val failed = names.map(_._1).filter(n =>
+      !small(n).isFinite || !mid(n).isFinite || !big(n).isFinite)
+    val rJson = rows.map { case (k, r12, r23) =>
+      "\"" + k + "\":[" + fmt(r12) + "," + fmt(r23) + "]" }.mkString("{", ",", "}")
+    val cJson = rows.map { case (k, r12, r23) =>
+      "\"" + k + "\":" + fmt(if (r12 > 0) r23 / r12 else Double.NaN) }.mkString("{", ",", "}")
+    val tJson = rows.map { case (k, _, _) =>
+      "\"" + k + "\":[" + fmt(small(k)) + "," + fmt(mid(k)) + "," + fmt(big(k)) + "]" }
+      .mkString("{", ",", "}")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scaling","data_ratio":$dataRatio,"flag_factor":$flagFactor,"curv_factor":$curvFactor,"floor_sec":$floorSec,"rounds":$rounds,"sf_small":"$sfSmall","sf_mid":"$sfMid","sf_big":"$sfBig","ratios":$rJson,"curvature":$cJson,"times":$tJson,"flagged":${arr(flagged)},"flagged_curvature":${arr(flaggedCurv)},"failed":${arr(failed)}}""")
+    println(s"""{"metric":"scaling_summary","n_queries":${names.size},"n_flagged":${flagged.size},"n_flagged_curvature":${flaggedCurv.size},"flagged":${arr(flagged)},"flagged_curvature":${arr(flaggedCurv)},"failed":${arr(failed)}}""")
     spark.stop()
   }
 }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * a sorted fixed order so accumulation order can never diverge.
   */
 object AggsExt {
-  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
-    QueryDef(name, fn, Some(oracle))
+  private def q(name: String, oracle: String,
+      liveness: Seq[(String, String)] = Nil)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle), liveness)
 
   // ---------------------------------------------------------------- filters
   /** The OpenSearch `filters` aggregation: named, possibly-overlapping
@@ -48,7 +49,12 @@ object AggsExt {
        |  FROM events)
        |${filterDefs.zipWithIndex.map { case ((name, _, _), i) =>
              s"SELECT '$name' AS bucket, n$i AS doc_count, s$i AS sum_value_c FROM m"
-           }.mkString("\nUNION ALL ")}""".stripMargin) { (s, dir) =>
+           }.mkString("\nUNION ALL ")}""".stripMargin,
+    // every named filter bucket — including the catch-all other — takes
+    // documents
+    liveness = Seq(
+      "every_filter_bucket_populated" ->
+        s"SELECT min(doc_count) > 0 AND count(*) = ${filterDefs.size} FROM r")) { (s, dir) =>
     val aggCols = filterDefs.zipWithIndex.flatMap { case ((_, c, _), i) =>
       Seq(sum(when(c, 1L).otherwise(0L)).as(s"n$i"),
         sum(when(c, cents(col("value"))).otherwise(0L)).as(s"s$i"))
@@ -1049,7 +1055,11 @@ object AggsExt {
         |  count(*) FILTER (WHERE (CASE WHEN json_valid(msg)
         |    THEN json_extract_string(msg, '$.k') END) IS NULL) AS n_missing,
         |  count(*) AS n_total
-        |FROM ev GROUP BY 1""".stripMargin)) { (s, dir) =>
+        |FROM ev GROUP BY 1""".stripMargin),
+    // the missing and present sides BOTH carry documents in every run
+    liveness = Seq(
+      "missing_and_present_sides_live" ->
+        "SELECT sum(n_missing) > 0 AND sum(n_total - n_missing) > 0 FROM r")) { (s, dir) =>
     Synth.eventsWithMsg(s, dir)
       .groupBy("event_type")
       .agg(sum(when(get_json_object(col("msg"), "$.k").isNull, 1L).otherwise(0L))

@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * (`' |'`) no merge pair contains — a merge can never cross it.
   */
 object Corpus {
-  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
-    QueryDef(name, fn, Some(oracle))
+  private def q(name: String, oracle: String,
+      liveness: Seq[(String, String)] = Nil)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle), liveness)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par.spread(s, Tables.documents(s, dir), col("doc_id"))
@@ -229,22 +230,44 @@ object Corpus {
     * Features: word count, stopword hits, repeated-word excess
     * (words − distinct words), and mean word length in permille. */
   private val qcStopSql = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in' OR x = 'to'"
+
+  /** The keep-side overlay (r20 gate-liveness audit): the synthetic
+    * corpus's logits sit at −1.7M…−2.2M at every SF, so `keep` was the
+    * constant false and the threshold branch never fired (the
+    * ns_except vacuity class). One deterministic stopword-saturated
+    * doc (42 words, 42 stop hits, 36 dups, wlen 2166‰ → logit
+    * +813,800) replayed in BOTH engines puts a genuine keep=true row
+    * in the gate at every SF. */
+  private val qcKeepText = ("the of and in to a " * 7).trim
+
   val qualityClassifierOp: QueryDef = q(
     "ns_quality_classifier",
-    s"""WITH f AS (SELECT doc_id,
+    s"""WITH src AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT (SELECT max(doc_id) + 1 FROM documents),
+       |    trim(repeat('the of and in to a ', 7))),
+       |f AS (SELECT doc_id,
        |    len(t) AS n_words,
        |    len(list_filter(t, x -> $qcStopSql)) AS n_stop,
        |    len(t) - len(list_distinct(t)) AS n_dup,
        |    length(replace(array_to_string(t, ''), ' ', '')) * 1000 // len(t) AS wlen_pm
-       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents))
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM src))
        |SELECT doc_id,
        |  CAST(-2500000 + 12000 * n_words + 90000 * n_stop
        |    - 45000 * n_dup + 300 * wlen_pm AS BIGINT) AS logit_micros,
        |  (-2500000 + 12000 * n_words + 90000 * n_stop
        |    - 45000 * n_dup + 300 * wlen_pm) >= 0 AS keep
-       |FROM f""".stripMargin) { (s, dir) =>
+       |FROM f""".stripMargin,
+    liveness = Seq(
+      "both_decision_branches_live" ->
+        ("SELECT count(CASE WHEN keep THEN 1 END) > 0 AND " +
+          "count(CASE WHEN NOT keep THEN 1 END) > 0 FROM r"))) { (s, dir) =>
+    import s.implicits._
     val t = split(trim(col("text")), " ")
-    docs(s, dir)
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val keepRow = Seq((1L, qcKeepText)).toDF("ord", "text")
+      .crossJoin(broadcast(base.agg(max(col("doc_id")).as("mx"))))
+      .select((col("mx") + col("ord")).as("doc_id"), col("text"))
+    base.unionByName(keepRow)
       .withColumn("n_words", size(t).cast("long"))
       .withColumn("n_stop", size(filter(t, x =>
         x === "the" || x === "a" || x === "of" || x === "and" || x === "in" || x === "to"))
@@ -308,9 +331,33 @@ object Corpus {
     * stop-word presence from substring search on the padded text; no
     * explode, no UDF, no shuffle at all (verdict is per-document). */
   private val gopherStops = Seq("the", "of", "to", "and", "a", "in", "is", "that")
+
+  /** Rule-violating overlays (r20 gate-liveness audit): the synthetic
+    * corpus passes r_mwl, r_alpha and r_sym for EVERY document at
+    * every SF, so those three Gopher rejection rules never fired
+    * (constant-1 columns — the generic liveness check). Three
+    * deterministic violators, replayed in BOTH engines via repeat()
+    * (identical semantics in Spark and DuckDB), make each rule reject
+    * at least once everywhere: short-words (mean word length 2 < 3),
+    * numeric words (alpha fraction ≪ 80%), and a #-dense doc
+    * (10·n_sym > n_words). */
+  private val gopherOverlay = Seq(
+    (1L, ("ab " * 60) + "the of"),
+    (2L, ("12345 " * 55) + "the of"),
+    (3L, ("graft# engine works fine today " * 12).trim)
+  )
+  private val gopherOverlaySql =
+    """UNION ALL SELECT (SELECT max(doc_id) FROM documents) + v.ord, v.text
+      |  FROM (VALUES (1, repeat('ab ', 60) || 'the of'),
+      |               (2, repeat('12345 ', 55) || 'the of'),
+      |               (3, trim(repeat('graft# engine works fine today ', 12))))
+      |    AS v(ord, text)""".stripMargin
+
   val gopherOp: QueryDef = q(
     "ns_quality_gopher",
-    s"""WITH c AS (SELECT doc_id, trim(text) AS t FROM documents),
+    s"""WITH src AS (SELECT doc_id, text FROM documents
+       |  $gopherOverlaySql),
+       |c AS (SELECT doc_id, trim(text) AS t FROM src),
        |n AS (SELECT doc_id,
        |    CAST(len(str_split(t, ' ')) AS BIGINT) AS n_words,
        |    CAST(length(replace(t, ' ', '')) AS BIGINT) AS n_wchars,
@@ -333,9 +380,19 @@ object Corpus {
        |    AND 5 * n_alpha >= 4 * n_words
        |    AND 10 * n_sym <= n_words
        |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
-       |FROM n""".stripMargin) { (s, dir) =>
+       |FROM n""".stripMargin,
+    liveness = Seq(
+      "every_gopher_rule_rejects_and_accepts" ->
+        ("SELECT min(r_words) < max(r_words) AND min(r_mwl) < max(r_mwl) AND " +
+          "min(r_alpha) < max(r_alpha) AND min(r_sym) < max(r_sym) AND " +
+          "min(r_stop) < max(r_stop) AND min(pass) < max(pass) FROM r"))) { (s, dir) =>
+    import s.implicits._
     val t = trim(col("text"))
-    val counted = docs(s, dir).select(
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val violators = gopherOverlay.toDF("ord", "text")
+      .crossJoin(broadcast(base.agg(max(col("doc_id")).as("mx"))))
+      .select((col("mx") + col("ord")).as("doc_id"), col("text"))
+    val counted = base.unionByName(violators).select(
       col("doc_id"),
       size(split(t, " ")).cast("long").as("n_words"),
       length(regexp_replace(t, " ", "")).cast("long").as("n_wchars"),

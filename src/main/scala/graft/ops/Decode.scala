@@ -86,7 +86,12 @@ object Decode {
       (upper(hex(substring(
         when(col("user_id") % 2 === 0, gzip(col("props").cast("binary")))
           .otherwise(col("props").cast("binary")), 1, 2))) === "1F8B").as("is_gzip")),
-    Some("SELECT event_id, user_id % 2 = 0 AS is_gzip FROM events"))
+    Some("SELECT event_id, user_id % 2 = 0 AS is_gzip FROM events"),
+    // the magic-byte sniff sees BOTH container branches
+    liveness = Seq(
+      "both_container_branches_live" ->
+        ("SELECT count(CASE WHEN is_gzip THEN 1 END) > 0 AND " +
+          "count(CASE WHEN NOT is_gzip THEN 1 END) > 0 FROM r")))
 
   /** F3: JSON envelope parse (reference main.go:481–488). */
   val fromJsonOp = QueryDef(
@@ -103,7 +108,13 @@ object Decode {
       col("event_id"), col("msg"),
       jsonOrText(col("msg")).as("message")),
     Some(Synth.withMsg(
-      s"SELECT event_id, msg, $jsonOrTextSql AS message FROM ev")))
+      s"SELECT event_id, msg, $jsonOrTextSql AS message FROM ev")),
+    // both parse branches: valid JSON passes through verbatim, plain
+    // text gets the {"text": …} wrap
+    liveness = Seq(
+      "json_and_text_branches_live" ->
+        ("SELECT count(CASE WHEN message = msg THEN 1 END) > 0 AND " +
+          "count(CASE WHEN message <> msg THEN 1 END) > 0 FROM r")))
 
   /** F5: epoch-ms → UTC timestamp promotion (reference main.go:515, 526).
     * Emitted as epoch millis to keep the compared schema engine-neutral. */
@@ -355,7 +366,13 @@ object Decode {
       .withColumn("requestId", coalesce(nullif(col("hdr"), lit("")), lit("manual")))
       .groupBy("requestId").agg(count(lit(1)).as("n")),
     Some("""SELECT coalesce(nullif(CASE WHEN event_id % 5 = 0 THEN '' ELSE concat('req-', user_id % 10) END, ''), 'manual') AS requestId,
-           |  count(*) AS n FROM events GROUP BY 1""".stripMargin))
+           |  count(*) AS n FROM events GROUP BY 1""".stripMargin),
+    // both header branches: the 'manual' fallback bucket AND real
+    // request-id buckets coexist
+    liveness = Seq(
+      "manual_fallback_and_real_ids_live" ->
+        ("SELECT count(CASE WHEN requestId = 'manual' THEN 1 END) = 1 AND " +
+          "count(CASE WHEN requestId <> 'manual' THEN 1 END) > 0 FROM r")))
 
   /** P15/S7 semantics: permissive parse + dead-letter routing instead of
     * the reference's whole-batch abort (main.go:469–535) — the deliberate
@@ -374,7 +391,12 @@ object Decode {
         |  CASE WHEN k_val IS NULL THEN concat('unparseable: ', msg) END AS err
         |FROM (SELECT event_id, msg,
         |  CASE WHEN json_valid(msg) THEN CAST(json_extract_string(msg, '$.k') AS BIGINT) END AS k_val
-        |  FROM ev)""".stripMargin)))
+        |  FROM ev)""".stripMargin)),
+    // both channels route: SUCCESS rows and dead-lettered ERROR rows
+    liveness = Seq(
+      "success_and_error_channels_live" ->
+        ("SELECT count(CASE WHEN status = 'ok' THEN 1 END) > 0 AND " +
+          "count(CASE WHEN status = 'error' THEN 1 END) > 0 FROM r")))
 
   // ---------------------------------------------------------------- pipeline
 

@@ -30,7 +30,11 @@ object Enrich {
       .groupBy("pipeline").agg(count(lit(1)).as("n")),
     Some(Synth.withAccessLog(
       """SELECT CASE WHEN regexp_matches(loggroup, 'axway') THEN 'axway-ingest' ELSE 'default' END AS pipeline,
-        |  count(*) AS n FROM access_log GROUP BY 1""".stripMargin)))
+        |  count(*) AS n FROM access_log GROUP BY 1""".stripMargin)),
+    // both dispatch routes of the conditional sub-pipeline take traffic
+    liveness = Seq(
+      "both_routes_dispatched" ->
+        "SELECT count(DISTINCT pipeline) = 2 AND min(n) > 0 FROM r"))
 
   /** P1: grok extract over the access-log line (axway-ingest.json:4–12),
     * as one capture-group regex + typed casts. Shared with the streaming
@@ -207,7 +211,11 @@ object Enrich {
     Some(Synth.withAccessLog(
       """SELECT event_id, status,
         |  CASE WHEN status < 400 THEN 'success' WHEN status > 399 THEN 'failure' END AS event_outcome
-        |FROM access_log""".stripMargin)))
+        |FROM access_log""".stripMargin)),
+    liveness = Seq(
+      "both_outcome_classes_live" ->
+        ("SELECT count(CASE WHEN event_outcome = 'success' THEN 1 END) > 0 AND " +
+          "count(CASE WHEN event_outcome = 'failure' THEN 1 END) > 0 FROM r")))
 
   /** P7: ip-vs-hostname dispatch (axway-ingest.json:59–67). */
   private[graft] val ipRx = "^(\\d{1,3}\\.){3}\\d{1,3}$"
@@ -225,7 +233,11 @@ object Enrich {
          |  CASE WHEN NOT regexp_matches(addr, '$ipRx') THEN addr END AS source_domain
          |FROM (SELECT event_id,
          |  CASE WHEN event_id % 3 = 0 THEN concat('host', user_id % 20, '.example.com') ELSE ip END AS addr
-         |  FROM access_log)""".stripMargin)))
+         |  FROM access_log)""".stripMargin)),
+    liveness = Seq(
+      "both_dispatch_branches_live" ->
+        ("SELECT count(CASE WHEN source_ip IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN source_domain IS NOT NULL THEN 1 END) > 0 FROM r")))
 
   /** P9: HTTPDATE parse back to an absolute instant (axway-ingest.json:
     * 74–89); emitted as epoch millis (engine-neutral schema). */
@@ -265,23 +277,52 @@ object Enrich {
     * unchanged (PlanSpec locks it) and remains the right shape for a
     * bounded 25-row dim; the unbounded-dim production shape is
     * np_geoip_bucketed below. */
+  /** The miss-side overlay (r20 gate-liveness audit): the synthetic ip
+    * domain (user_id·7919 mod 2^20) is COMPLETELY covered by the 25
+    * nation ranges, so the geoip miss branch — ES's geoip processor
+    * passes a non-matching doc through UNENRICHED — never ran and the
+    * inner join silently hid it. Three deterministic out-of-range
+    * probe ips (above every range) plus a LEFT join keep the
+    * unenriched bucket (null country / null AS) live at every SF. */
+  private val geoMissIps = Seq((-1L, 1500000L), (-2L, 1500001L), (-3L, 1500002L))
+  private val geoMissSql =
+    geoMissIps.map { case (u, ip) => s"SELECT CAST($u AS BIGINT) AS user_id, CAST($ip AS BIGINT) AS ip_long" }
+      .mkString("\n  UNION ALL ")
+
+  private def geoFacts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    al(s, dir)
+      .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+      .select(col("user_id"), col("ip_long"))
+      .unionByName(geoMissIps.toDF("user_id", "ip_long"))
+  }
+
+  private def geoipOracleSql: String = Synth.withAccessLog(
+    s"""SELECT n_name AS geo_country, CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
+       |  count(*) AS n, count(DISTINCT user_id) AS nd_users
+       |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log
+       |  UNION ALL $geoMissSql) f
+       |LEFT JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
+       |GROUP BY 1, 2""".stripMargin)
+
+  private val geoipLiveness = Seq(
+    "match_and_miss_sides_live" ->
+      ("SELECT count(CASE WHEN geo_country IS NOT NULL THEN 1 END) > 0 AND " +
+        "count(CASE WHEN geo_country IS NULL THEN 1 END) > 0 FROM r"))
+
   val geoipOp = QueryDef(
     "np_geoip_join",
     (s, dir) => {
-      val facts = al(s, dir)
-        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+      val facts = geoFacts(s, dir)
       val dim = geoDim(s, dir)
       facts.join(broadcast(dim),
-          facts("ip_long") >= dim("ip_start") && facts("ip_long") <= dim("ip_end"))
+          facts("ip_long") >= dim("ip_start") && facts("ip_long") <= dim("ip_end"),
+          "left")
         .groupBy("geo_country", "as_number")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"))
     },
-    Some(Synth.withAccessLog(
-      """SELECT n_name AS geo_country, CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
-        |  count(*) AS n, count(DISTINCT user_id) AS nd_users
-        |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
-        |JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
-        |GROUP BY 1, 2""".stripMargin)))
+    Some(geoipOracleSql),
+    liveness = geoipLiveness)
 
   /** P10+P11 production twin for UNBOUNDED range dims: the broadcast
     * nested-loop join above is right for a 25-row dim but probes every
@@ -299,23 +340,19 @@ object Enrich {
     "np_geoip_bucketed",
     (s, dir) => {
       val bw = 65536L // 2^16 bucket width
-      val facts = al(s, dir)
-        .withColumn("ip_long", expr("(user_id * 7919) % 1048576"))
+      val facts = geoFacts(s, dir)
         .withColumn("fb", expr(s"ip_long div $bw"))
       val dimExp = geoDim(s, dir).withColumn("db",
         explode(expr(s"sequence(ip_start div $bw, ip_end div $bw)")))
       facts.join(broadcast(dimExp),
           col("fb") === col("db") &&
-            col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"))
+            col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"),
+          "left")
         .groupBy("geo_country", "as_number")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"))
     },
-    Some(Synth.withAccessLog(
-      """SELECT n_name AS geo_country, CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
-        |  count(*) AS n, count(DISTINCT user_id) AS nd_users
-        |FROM (SELECT user_id, (user_id * 7919) % 1048576 AS ip_long FROM access_log) f
-        |JOIN nation ON f.ip_long >= n_nationkey * 41943 AND f.ip_long <= n_nationkey * 41943 + 41942
-        |GROUP BY 1, 2""".stripMargin)))
+    Some(geoipOracleSql),
+    liveness = geoipLiveness)
 
   /** The OpenSearch `geo_distance` query over the geoip-enriched output
     * — the map-dashboard primitive the ES downstream serves from the
@@ -333,7 +370,14 @@ object Enrich {
     * asin, the only last-ulp-engine-dependent step, output rounded to
     * 3 dp ≈ 1 m) evaluates on candidates only. No shuffle anywhere
     * below the final per-(center, country) aggregate. */
-  private val geoCenters = Seq(("nyc", 40.5, -74.0), ("sgp", 1.5, 103.8), ("syd", -33.9, 151.2))
+  // "spc" (r20 gate-liveness audit): a South-Pacific center reaching
+  // the nations sf0.001's user set actually hits (nk1/nk2 at 2212 /
+  // 634 km) — without it every center was > 3000 km from all three
+  // reachable nations and the key returned ZERO rows at sf0.001; the
+  // nearest (center, point) pair to the radius is the pre-existing
+  // (sgp, nk10) at 2970.5 km, 29.5 km inside — eight orders above ulp
+  private val geoCenters = Seq(("nyc", 40.5, -74.0), ("sgp", 1.5, 103.8),
+    ("syd", -33.9, 151.2), ("spc", -50.0, -120.0))
   private val geoRadiusKm = 3000.0
   private val geoLatWin = 27.1 // 3000 km / 111 km-per-degree, rounded up
   private val geoLonWin = 80.0 // conservative for |lat| ≤ 68.5 (max synth point)
@@ -415,10 +459,16 @@ object Enrich {
     * viewport's ranges, and out-of-box events never match the inner
     * join. Bounds are integers against .5-offset synthetic points, so
     * no comparison can sit on a boundary. */
-  private val boxTop = 45L     // lat ≤ 45
-  private val boxBottom = -10L // lat ≥ -10
-  private val boxLeft = -90L   // lon ≥ -90
-  private val boxRight = 60L   // lon ≤ 60
+  // bounds chosen so the box BITES (10 of 25 nation points inside) yet
+  // stays live at EVERY shipped SF (r20 gate-liveness audit: the old
+  // −10/−90 box excluded all three nations sf0.001's 20 users reach, so
+  // the key returned ZERO rows there — the empty-result pathology);
+  // nation points sit on X.5 and the bounds are integers ≥ 1.5 away,
+  // so no comparison can sit on a boundary
+  private val boxTop = 45L      // lat ≤ 45
+  private val boxBottom = -65L  // lat ≥ -65 (admits nk1 −62.5, nk2 −55.5)
+  private val boxLeft = -150L   // lon ≥ -150 (admits nk1 −148.5)
+  private val boxRight = 60L    // lon ≤ 60
   val geoBoundingBoxOp = QueryDef(
     "ns_geo_bounding_box",
     (s, dir) => geoEnrichedFacts(s, dir, dimPrune = Some(
@@ -433,7 +483,12 @@ object Enrich {
          |JOIN $geoDimSql g ON f.ip_long >= ip_start AND f.ip_long <= ip_end
          |WHERE geo_lat <= $boxTop AND geo_lat >= $boxBottom
          |  AND geo_lon >= $boxLeft AND geo_lon <= $boxRight
-         |GROUP BY 1, 2, 3""".stripMargin)))
+         |GROUP BY 1, 2, 3""".stripMargin)),
+    // the viewport BITES: matches exist, yet not every country is in-box
+    liveness = Seq(
+      "box_selects_proper_nonempty_subset" ->
+        ("SELECT (SELECT count(*) FROM r) > 0 AND " +
+          "(SELECT count(DISTINCT geo_country) FROM r) < (SELECT count(*) FROM nation)")))
 
   /** The OpenSearch `geotile_grid` aggregation — the map-clustering agg
     * behind every zoomed-out dashboard: events bucketed into web-
@@ -476,7 +531,10 @@ object Enrich {
     * enter the join. Sub-cells at z+3 = the 8×8 grid ES renders per
     * tile; centroids ride the exact ×2-long sums (the geo_centroid
     * discipline). */
-  private val mvtTile = "2/2/1" // lon [0,90), lat (0, 66.51]
+  // z2 x0/y2 = lon [−180,−90), lat (−66.51, 0] — the tile holding the
+  // nations sf0.001's users reach (nk1/nk2; the old 2/2/1 north-east
+  // tile was EMPTY at sf0.001 — r20 gate-liveness audit)
+  private val mvtTile = "2/0/2"
   val mvtOp = QueryDef(
     "ns_search_mvt",
     (s, dir) => geoEnrichedFacts(s, dir,
@@ -515,7 +573,13 @@ object Enrich {
         |  CASE WHEN contains(string_split(protocol, 'v')[2], '.') THEN string_split(protocol, 'v')[2]
         |       ELSE concat(string_split(protocol, 'v')[2], '.0') END AS tls_version,
         |  lower(string_split(protocol, 'v')[1]) AS tls_version_protocol
-        |FROM access_log""".stripMargin)))
+        |FROM access_log""".stripMargin)),
+    // both script branches: dotted versions pass through, the dotless
+    // SSLv3 form gains the '.0'
+    liveness = Seq(
+      "both_version_normalize_branches" ->
+        ("SELECT count(CASE WHEN tls_version = '3.0' THEN 1 END) > 0 AND " +
+          "count(CASE WHEN tls_version <> '3.0' THEN 1 END) > 0 FROM r")))
 
   // ---------------------------------------------- ES processor residue (r13)
   // The reference's own pipeline (P0–P15 above) is closed; these are the
@@ -1029,7 +1093,10 @@ object Enrich {
         |      + CAST(string_split(dst_ip, '.')[2] AS BIGINT) * 65536
         |      + CAST(string_split(dst_ip, '.')[3] AS BIGINT) * 256
         |      + CAST(string_split(dst_ip, '.')[4] AS BIGINT) AS du
-        |    FROM flow_log))""".stripMargin)))
+        |    FROM flow_log))""".stripMargin)),
+    // all four CASE branches of the direction classifier carry traffic
+    liveness = Seq(
+      "all_four_directions_live" -> "SELECT count(DISTINCT direction) = 4 FROM r"))
 
   /** The `date_index_name` processor — the write-side twin of the
     * engine's date-partitioned layout (Tables.eventsDt): computes the
@@ -1480,7 +1547,7 @@ object Enrich {
     Some(Synth.withAccessLog(
       """SELECT event_id,
         |  CASE WHEN axway THEN 'axway-ingest' ELSE 'default' END AS pipeline,
-        |  CASE WHEN axway THEN ip END AS source_address,
+        |  CASE WHEN axway THEN cliaddr END AS source_address,
         |  CASE WHEN axway THEN usr END AS user_name,
         |  CASE WHEN axway THEN method END AS http_method,
         |  CASE WHEN axway THEN '1.1' END AS http_version,
@@ -1495,8 +1562,8 @@ object Enrich {
         |  CASE WHEN axway THEN 'event' END AS event_kind,
         |  CASE WHEN axway THEN 'web' END AS event_category,
         |  CASE WHEN axway THEN (CASE WHEN status < 400 THEN 'success' ELSE 'failure' END) END AS event_outcome,
-        |  CASE WHEN axway THEN ip END AS source_ip,
-        |  CAST(NULL AS VARCHAR) AS source_domain,
+        |  CASE WHEN axway AND event_id % 13 <> 0 THEN cliaddr END AS source_ip,
+        |  CASE WHEN axway AND event_id % 13 = 0 THEN cliaddr END AS source_domain,
         |  CASE WHEN axway THEN ts_ms END AS event_created_ms,
         |  CASE WHEN axway THEN epoch_ms(strptime(httpdate, '%d/%b/%Y:%H:%M:%S %z')) ELSE ts_ms END AS event_ms,
         |  CASE WHEN axway AND event_id % 6 <> 0 THEN 'ECDHE-RSA-AES128-GCM-SHA256' END AS tls_cipher,
@@ -1509,7 +1576,18 @@ object Enrich {
         |  CAST(n_nationkey + 64512 AS BIGINT) AS as_number,
         |  CASE WHEN n_nationkey IS NULL THEN NULL ELSE 'AS-ORG-' || n_nationkey END AS organization_name
         |FROM (SELECT *, regexp_matches(loggroup, 'axway') AS axway FROM access_log) al
-        |LEFT JOIN nation ON al.axway AND n_nationkey = (user_id % 250) // 10""".stripMargin)))
+        |LEFT JOIN nation ON al.axway AND event_id % 13 <> 0
+        |  AND n_nationkey = (user_id % 250) // 10""".stripMargin)),
+    // the composed pipeline exercises BOTH the ip and the domain arms
+    // of the source.address dispatch AND both geoip sides (hostname
+    // rows pass through unenriched — geoip's ignore_missing)
+    liveness = Seq(
+      "ip_and_domain_dispatch_arms_live" ->
+        ("SELECT count(CASE WHEN source_ip IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN source_domain IS NOT NULL THEN 1 END) > 0 FROM r"),
+      "geo_match_and_miss_live" ->
+        ("SELECT count(CASE WHEN geo_country IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN source_address IS NOT NULL AND geo_country IS NULL THEN 1 END) > 0 FROM r")))
 
   /** The ES `geohex_grid` aggregation — H3 hexagonal map clustering,
     * the geotile twin for dashboards that want equal-ish-area cells

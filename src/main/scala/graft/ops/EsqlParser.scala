@@ -1922,7 +1922,7 @@ object EsqlParser {
     compileAggRaw(agg).as(name)
 
   /** The engine's own `lexical` reranker — an EXACT cross-scorer:
-    * per query term, capped term frequency (min(tf, 3) — BM25's
+    * per query term, capped term frequency (min(tf, rerankTfCap) — BM25's
     * saturation idea with an exact integer cap) summed over terms.
     * tf counts occurrences in a bar-encoded token string
     * (`|tok||tok|`), where every token carries its OWN delimiters so
@@ -1942,15 +1942,24 @@ object EsqlParser {
       lit(needle.length)).cast("long")
   }
 
+  /** The lexical reranker's per-term tf saturation cap. 5, not 3 (r20
+    * gate-liveness audit): at cap 3 every document on the corpus
+    * queries' top page saturated every matched term, so _score was
+    * CONSTANT across the reranked page at sf≥0.01 and the rank the
+    * command emitted was decided entirely by the doc_id tiebreak — a
+    * vacuous reranker. At 5 the top page carries 3–4 distinct scores
+    * at every shipped SF while keeping BM25's saturation idea. */
+  private[graft] val rerankTfCap = 5L
+
   private[graft] def lexicalRerankScore(query: String, field: Column): Column = {
     val terms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
     // null-field gate (r17, found planning the rerank fuzzer): barTf of
     // a null field is null and Spark's `least` IGNORES nulls, so
-    // least(null, 3) = 3 — an ungated sum would score a MISSING field
-    // at the saturation cap per term, ranking null docs TOP. A doc
-    // without the reranked field scores null instead.
+    // least(null, cap) = cap — an ungated sum would score a MISSING
+    // field at the saturation cap per term, ranking null docs TOP. A
+    // doc without the reranked field scores null instead.
     when(field.isNotNull,
-      terms.map(t => least(barTf(t, field), lit(3L))).reduce(_ + _))
+      terms.map(t => least(barTf(t, field), lit(rerankTfCap))).reduce(_ + _))
   }
 
   /** Materialize `BY name = expr` grouping expressions ahead of the

@@ -26,8 +26,9 @@ import graft.{Exact, QueryDef, Tables}
 object Relational {
   import Exact._
 
-  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
-    QueryDef(name, fn, Some(oracle))
+  private def q(name: String, oracle: String,
+      liveness: Seq[(String, String)] = Nil)(fn: (SparkSession, String) => DataFrame) =
+    QueryDef(name, fn, Some(oracle), liveness)
 
   /** TPC-H Q1-style hash aggregation with exact cents arithmetic. */
   val aggHash: QueryDef = q(
@@ -170,7 +171,11 @@ object Relational {
        |  count(*) AS n,
        |  ${sqlSum(sqlCents("value"))} AS sum_value_c,
        |  min(value) AS min_value, max(value) AS max_value
-       |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+       |FROM events GROUP BY 1""".stripMargin,
+    // all four range buckets — both open ends included — materialize
+    liveness = Seq(
+      "all_four_range_buckets_populated" ->
+        "SELECT count(*) = 4 AND min(n) > 0 FROM r")) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(
         when(col("value") < 50, "*-50.0")
@@ -685,7 +690,14 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
        |  ${sqlSum(sqlCents("l_quantity"))} AS sum_qty_c
        |FROM lineitem
-       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin) {
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    // all three grouping levels materialize: the grand-total row, the
+    // one-dim rows, and the full (flag, status) rows
+    liveness = Seq(
+      "all_three_grouping_levels_present" ->
+        ("SELECT count(CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 1 END) = 1 AND " +
+          "count(CASE WHEN l_returnflag IS NULL AND l_linestatus IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL THEN 1 END) > 0 FROM r"))) {
     (s, dir) =>
       Tables.lineitem(s, dir)
         .groupingSets(
@@ -729,7 +741,13 @@ object Relational {
       |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ms,
       |  p.p_id AS prior_purchase_id, p.p_ms AS prior_purchase_ms
       |FROM events e ASOF LEFT JOIN p
-      |  ON e.user_id = p.user_id AND epoch_ms(e.ts) >= p.p_ms""".stripMargin) {
+      |  ON e.user_id = p.user_id AND epoch_ms(e.ts) >= p.p_ms""".stripMargin,
+    // both ASOF branches: events with a prior purchase carry it, events
+    // before their user's first purchase carry the left-join null
+    liveness = Seq(
+      "matched_and_unmatched_asof_rows" ->
+        ("SELECT count(CASE WHEN prior_purchase_id IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN prior_purchase_id IS NULL THEN 1 END) > 0 FROM r"))) {
     (s, dir) =>
       val ev = Tables.events(s, dir)
       // one dim row per (user, ts): ASOF picks a unique row per ts
@@ -784,16 +802,26 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
   }
 
-  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins. */
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins. The probed
+    * relation is urgent-priority orders — the ns_except discipline
+    * (r20 liveness): this testdata's orders cover EVERY custkey, so
+    * the original any-order form had anti ≡ 0 at every SF and the
+    * left-anti operator under test never emitted a row. Against the
+    * urgent cut both branches are live everywhere (sf0.001: 132/18,
+    * sf0.01: 1297/203, sf0.1: 13014/1986). */
   val semiAnti: QueryDef = q(
     "ns_semi_anti",
     """SELECT 'semi' AS kind, count(*) AS n FROM customer c
-      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |UNION ALL
       |SELECT 'anti' AS kind, count(*) AS n FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    liveness = Seq(
+      "both_join_branches_emit" -> "SELECT min(n) > 0 AND count(*) = 2 FROM r")) { (s, dir) =>
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
     val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
     val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
@@ -841,7 +869,14 @@ object Relational {
       |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_prev_ms,
       |  lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS gap_next_ms
       |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // both offset branches: interior rows carry real gaps, partition
+    // boundaries carry the null the offset functions define there
+    liveness = Seq(
+      "boundary_nulls_and_interior_gaps" ->
+        ("SELECT count(CASE WHEN gap_prev_ms IS NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN gap_prev_ms IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN gap_next_ms IS NULL THEN 1 END) > 0 FROM r"))) {
     (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
       Tables.events(s, dir)
@@ -867,7 +902,16 @@ object Relational {
     "ns_union",
     """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |UNION
-      |SELECT c_custkey FROM customer WHERE c_acctbal > 7500""".stripMargin) { (s, dir) =>
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 7500""".stripMargin,
+    // both input legs live AND the distinct actually collapses overlap
+    // (result < sum of legs) — UNION-vs-UNION-ALL discriminating; the
+    // segments overlap at every shipped SF (sf0.001: 4 … sf0.1: 736)
+    liveness = Seq(
+      "both_legs_live_and_overlap_collapsed" ->
+        ("SELECT (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') > 0 AND " +
+          "(SELECT count(*) FROM customer WHERE c_acctbal > 7500) > 0 AND " +
+          "(SELECT count(*) FROM r) < (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') + " +
+          "(SELECT count(*) FROM customer WHERE c_acctbal > 7500)"))) { (s, dir) =>
     val c = Tables.customer(s, dir)
     c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       .union(c.filter(col("c_acctbal") > 7500).select("c_custkey"))
@@ -887,7 +931,15 @@ object Relational {
     "ns_except",
     """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // the r19 catch as a standing probe: a non-empty remainder STRICTLY
+    // below the left side proves both EXCEPT directions do work (rows
+    // survive AND rows are subtracted) — the empty-vs-empty form can
+    // never pass this
+    liveness = Seq(
+      "remainder_nonempty_and_subtraction_bites" ->
+        ("SELECT (SELECT count(*) FROM r) > 0 AND (SELECT count(*) FROM r) < " +
+          "(SELECT count(DISTINCT c_custkey) FROM customer WHERE c_mktsegment = 'BUILDING')"))) { (s, dir) =>
     Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       .except(Tables.orders(s, dir)

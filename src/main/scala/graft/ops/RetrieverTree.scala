@@ -209,9 +209,9 @@ object RetrieverTree {
       |  FROM str a FULL OUTER JOIN knr b ON a.id = b.id),
       |fup AS (SELECT id FROM fu ORDER BY s DESC, id LIMIT 20),
       |rr AS (SELECT p.id,
-      |    least((length(d.bar) - length(replace(d.bar, '|spark|', ''))) // 7, 3)
-      |    + least((length(d.bar) - length(replace(d.bar, '|data|', ''))) // 6, 3)
-      |    + least((length(d.bar) - length(replace(d.bar, '|pipeline|', ''))) // 10, 3) AS sc
+      |    least((length(d.bar) - length(replace(d.bar, '|spark|', ''))) // 7, 5)
+      |    + least((length(d.bar) - length(replace(d.bar, '|data|', ''))) // 6, 5)
+      |    + least((length(d.bar) - length(replace(d.bar, '|pipeline|', ''))) // 10, 5) AS sc
       |  FROM fup p JOIN bar d ON d.id = p.id),
       |rrp AS (SELECT id, CAST(sc AS DOUBLE) AS s FROM rr ORDER BY sc DESC, id LIMIT 10),
       |pins(id, b) AS (VALUES ${treePinned.zipWithIndex.map {

@@ -425,6 +425,59 @@ object SearchExt {
     Some(s"""SELECT doc_id, lang, source FROM documents
        |WHERE doc_id IN (${idsList.mkString(", ")})""".stripMargin))
 
+  // ---------------------------------------------------- term / terms / match_all
+  /** The three foundational term-level clauses of the query DSL in one
+    * gated key (r20 §2.5.5 query-DSL audit — these rows were
+    * prose-implied by every other key but had no NAMED gate): `term`
+    * (exact keyword equality), `terms` (the inlined IN list —
+    * terms-LOOKUP is its own key), and `match_all` (the absent-query
+    * default every request-body search starts from). Each clause is
+    * its own pushed row filter — equality and In reach PushedFilters —
+    * and the three counts collapse map-side, so the gate also pins the
+    * relative-cardinality law term ≤ terms ≤ match_all can violate
+    * only if a pushdown drops rows. */
+  val termTermsOp = QueryDef(
+    "ns_search_term_terms",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def leg(name: String, d: org.apache.spark.sql.DataFrame) =
+        d.agg(count(lit(1)).as("n")).select(lit(name).as("clause"), col("n"))
+      leg("term", ev.filter(col("event_type") === "purchase"))
+        .unionAll(leg("terms", ev.filter(col("event_type").isin("signup", "error"))))
+        .unionAll(leg("match_all", ev))
+    },
+    Some("""SELECT 'term' AS clause, count(*) AS n FROM events WHERE event_type = 'purchase'
+       |UNION ALL
+       |SELECT 'terms', count(*) FROM events WHERE event_type IN ('signup', 'error')
+       |UNION ALL
+       |SELECT 'match_all', count(*) FROM events""".stripMargin),
+    // every clause leg selects a non-empty, PROPER subset (or, for
+    // match_all, the whole table) — a dropped pushdown can't hide
+    liveness = Seq(
+      "three_live_legs_with_strict_ordering" ->
+        ("SELECT count(*) = 3 AND min(n) > 0 AND " +
+          "max(CASE WHEN clause = 'term' THEN n END) < max(CASE WHEN clause = 'terms' THEN n END) AND " +
+          "max(CASE WHEN clause = 'terms' THEN n END) < max(CASE WHEN clause = 'match_all' THEN n END) FROM r")))
+
+  // ---------------------------------------------------------------- parent_id
+  /** The `parent_id` join-field query: children of ONE named parent —
+    * has_parent with the parent side reduced to a literal id, which
+    * makes it pure pushdown: the equality predicate reaches the child
+    * scan's PushedFilters and no join remains at all (the ids-query
+    * discipline applied to the join key). */
+  private val parentIdKey = 7L
+  val parentIdOp = QueryDef(
+    "ns_search_parent_id",
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") === parentIdKey)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.Exact.cents(col("l_quantity")).as("qty_c")),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+       |FROM lineitem WHERE l_orderkey = $parentIdKey""".stripMargin),
+    liveness = Seq(
+      "named_parent_has_children" -> "SELECT count(*) >= 1 FROM r"))
+
   // ------------------------------------------------------------ terms lookup
   /** The `terms` query in LOOKUP form: the term set is fetched from
     * another index's document (ES terms-lookup) instead of inlined —
@@ -1459,11 +1512,16 @@ object SearchExt {
     "ns_esql_observability",
     (s, dir) => EsqlParser.run(esqlObservabilityQuery, _ => Synth.accessLog(s, dir)),
     Some(Synth.withAccessLog(
-      """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day, method AS omethod,
+      // hostname lines (event_id % 13 = 0, r20) fail %{IP}: GROK keeps
+      // the ROW with null captures (ES's no-match contract), so they
+      // land in a null-omethod bucket whose filtered aggregates see
+      // only nulls — mirrored by the CASE/modulus guards
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day,
+        |  CASE WHEN event_id % 13 <> 0 THEN method END AS omethod,
         |  count(*) AS req,
-        |  count(*) FILTER (WHERE status >= 500) AS err,
-        |  CAST(sum(bytes) FILTER (WHERE method = 'GET') AS BIGINT) AS get_bytes,
-        |  count(*) FILTER (WHERE rt_ms >= 800) AS slow
+        |  count(*) FILTER (WHERE event_id % 13 <> 0 AND status >= 500) AS err,
+        |  CAST(sum(bytes) FILTER (WHERE event_id % 13 <> 0 AND method = 'GET') AS BIGINT) AS get_bytes,
+        |  count(*) FILTER (WHERE event_id % 13 <> 0 AND rt_ms >= 800) AS slow
         |FROM access_log GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
   private[graft] val esqlInlineStatsQuery =
@@ -1503,7 +1561,10 @@ object SearchExt {
     "ns_esql_dissect",
     (s, dir) => EsqlParser.run(esqlDissectQuery, _ => Synth.accessLog(s, dir)),
     Some(Synth.withAccessLog(
-      """SELECT ip AS dip, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS sb
+      // cliaddr, not ip (r20): the line's client token is a HOSTNAME on
+      // every 13th event, and DISSECT is delimiter-based — it passes
+      // hostnames through where grok's %{IP} would drop them
+      """SELECT cliaddr AS dip, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS sb
         |FROM access_log WHERE status = 500 AND method = 'DELETE'
         |GROUP BY 1 ORDER BY n DESC, dip LIMIT 10""".stripMargin)))
 
@@ -1517,9 +1578,13 @@ object SearchExt {
     "ns_esql_grok",
     (s, dir) => EsqlParser.run(esqlGrokQuery, _ => Synth.accessLog(s, dir)),
     Some(Synth.withAccessLog(
+      // hostname lines (event_id % 13 = 0, r20) fail %{IP} and GROK
+      // nulls every capture, so the WHERE drops them — a genuinely
+      // exercised grok-miss branch, mirrored here by the modulus
       """SELECT method AS gmethod, CAST(status AS BIGINT) AS gstatus, count(*) AS n,
         |  CAST(sum(bytes) AS BIGINT) AS sb, max(rt_ms) AS mx
         |FROM access_log WHERE status >= 400 AND method IN ('GET', 'POST')
+        |  AND event_id % 13 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
   private[graft] val esqlEnrichQuery =
@@ -2238,9 +2303,9 @@ object SearchExt {
       |s AS (SELECT doc_id,
       |    concat('|', replace(trim(text), ' ', '||'), '|') AS bar FROM page),
       |sc AS (SELECT doc_id,
-      |    least((length(bar) - length(replace(bar, '|spark|', ''))) // 7, 3)
-      |    + least((length(bar) - length(replace(bar, '|data|', ''))) // 6, 3)
-      |    + least((length(bar) - length(replace(bar, '|pipeline|', ''))) // 10, 3)
+      |    least((length(bar) - length(replace(bar, '|spark|', ''))) // 7, 5)
+      |    + least((length(bar) - length(replace(bar, '|data|', ''))) // 6, 5)
+      |    + least((length(bar) - length(replace(bar, '|pipeline|', ''))) // 10, 5)
       |      AS _score
       |  FROM s)
       |SELECT doc_id, CAST(_score AS BIGINT) AS _score
@@ -2981,7 +3046,8 @@ object SearchExt {
     watcherThrottleOp, fieldCapsOp,
     queryStringOp, simpleQueryStringOp, kqlOp, percolateDslOp, termsSetOp,
     disMaxOp, boostingOp, significantTextOp,
-    rangeQueryOp, spanFirstOp, existsOp, idsOp, termsLookupOp, rankFeatureOp,
+    rangeQueryOp, spanFirstOp, existsOp, idsOp, termTermsOp, parentIdOp,
+    termsLookupOp, rankFeatureOp,
     intervalsOp, pinnedOp, distanceFeatureOp, constantScoreOp,
     hasChildOp, hasParentOp, matchBoolPrefixOp, rescoreOp, eqlSequenceOp,
     sparseVectorOp, msearchOp, searchBodyOp, postFilterOp, wrapperOp, scrollOp, pitOp, termsEnumOp,

@@ -173,7 +173,13 @@ object StreamOps {
            |      FROM events WHERE event_type = 'purchase')
            |SELECT v.view_id, p.purchase_id
            |FROM v LEFT JOIN p ON v.user_id = p.user_id
-           |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin))
+           |  AND p.pms >= v.vms AND p.pms < v.vms + 1800000""".stripMargin),
+    // the outer join emits BOTH row kinds: attributed views and the
+    // null-padded unmatched views the outer form exists for
+    liveness = Seq(
+      "matched_and_null_padded_rows" ->
+        ("SELECT count(CASE WHEN purchase_id IS NOT NULL THEN 1 END) > 0 AND " +
+          "count(CASE WHEN purchase_id IS NULL THEN 1 END) > 0 FROM r")))
 
   /** The streaming "top N series per window" Kibana panel: per 1-hour
     * tumbling window, the 3 busiest event types. The rank runs over the
@@ -215,7 +221,13 @@ object StreamOps {
     * sorted group, so the oracle is row_number ≤ N per key × window.
     * The streaming suite drives the same code through MemoryStream and
     * asserts counters persist across micro-batches. */
-  private val throttleWindowMs = 3600000L
+  // 24 h window (r20 gate-liveness audit): at the old 1 h window no
+  // (user, window) bucket ever exceeded 5 events at ANY shipped SF, so
+  // `admitted` was the constant true and the reject branch — the
+  // operator's entire reason to exist — never ran. Per-day × 5 rejects
+  // 18 / 166 / 1675 events at sf0.001 / 0.01 / 0.1: both branches live
+  // everywhere, semantics still "cap per tenant per window".
+  private val throttleWindowMs = 86400000L
   private val throttleMax = 5L
   val throttleOp = QueryDef(
     "ns_stream_throttle",
@@ -230,7 +242,13 @@ object StreamOps {
            |  event_id AS seq, epoch_ms(ts) AS event_ms,
            |  (row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // $throttleWindowMs
            |     ORDER BY epoch_ms(ts), event_id)) <= $throttleMax AS admitted
-           |FROM events""".stripMargin))
+           |FROM events""".stripMargin),
+    // the rate limiter BOTH admits and rejects — an all-admitted run
+    // never exercises the cap decision
+    liveness = Seq(
+      "admit_and_reject_branches_live" ->
+        ("SELECT count(CASE WHEN admitted THEN 1 END) > 0 AND " +
+          "count(CASE WHEN NOT admitted THEN 1 END) > 0 FROM r")))
 
   /** The continuous `_transform` upsert, batch-twinned: the event log
     * splits into three "triggers" and folds through TransformStream's

@@ -54,7 +54,16 @@ object Synth {
       "ELSE concat('/app/', event_type) END"),
     "protocol" -> ("CASE WHEN event_id % 4 = 0 THEN 'TLSv1.2' WHEN event_id % 4 = 1 THEN 'TLSv1.3' " +
       "WHEN event_id % 4 = 2 THEN 'TLSv1' ELSE 'SSLv3' END"),
-    "line" -> ("concat(ip, ' - ', usr, ' [', httpdate, '] \"', method, ' ', url, " +
+    // the LINE's client-address token: an IP for most rows, a HOSTNAME
+    // on every 13th event (r20 gate-liveness audit — the raw line
+    // carried only IPs, so the pipeline's ip-vs-domain dispatch
+    // (axway-ingest.json:59–67) never took its domain branch and
+    // source_domain was all-null through np_ingest_pipeline; real
+    // access logs carry both). Only the line-grokking consumers see
+    // this column — the structured `ip` column is unchanged.
+    "cliaddr" -> ("CASE WHEN event_id % 13 = 0 " +
+      "THEN concat('host', user_id % 20, '.example.com') ELSE ip END"),
+    "line" -> ("concat(cliaddr, ' - ', usr, ' [', httpdate, '] \"', method, ' ', url, " +
       "' HTTP/1.1\" ', status, ' ', bytes, ' ', rt_ms, ' \"', xff, " +
       "'\" client-', user_id, ' txn-', event_id, ' corr-', event_id % 1000)"))
 

@@ -114,7 +114,14 @@ object TextOps {
            |      UNION ALL
            |      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
            |      FROM documents WHERE doc_id % 7 = 0)
-           |GROUP BY 1""".stripMargin))
+           |GROUP BY 1""".stripMargin),
+    // the r19 vacuity catch, now a standing first-class gate: the
+    // keep-one-of-many branch needs REAL n_copies>1 groups, and the
+    // trivial singleton branch must coexist (both sides of the group
+    // cardinality split live)
+    liveness = Seq(
+      "duplicate_groups_exist" -> "SELECT max(n_copies) >= 2 FROM r",
+      "singleton_groups_exist" -> "SELECT min(n_copies) = 1 FROM r"))
 
   // MinHash: word 3-shingles, 8 hash functions (min over md5('<b>:'||shingle)),
   // banded 4×2 → candidate pairs share ≥1 band. Min over hex strings is a
@@ -435,19 +442,57 @@ object TextOps {
     s"CAST(len(regexp_extract_all(text, '$rx')) AS BIGINT) AS s_$l"
   }.mkString(", ")
 
+  /** The language-marker overlay (r20 gate-liveness audit): the
+    * synthetic corpus is English prose under EVERY lang label, so
+    * s_de/s_fr/s_es/s_zh were identically zero corpus-wide and
+    * pred_lang was the constant 'en' — four of the five argmax
+    * branches never ran (the ns_except vacuity class, caught this
+    * round by the generic no-constant-column check). Two deterministic
+    * marker docs per language, replayed in BOTH engines at ids above
+    * max(doc_id) (the dedup-overlay offset discipline), make every
+    * score column vary and every argmax branch reachable at every SF. */
+  private val langOverlay = Seq(
+    (1L, "de", "der die das und ist der die das"),
+    (2L, "de", "der und ist heute gut"),
+    (3L, "fr", "le la les et est le la"),
+    (4L, "fr", "le et est bon jour"),
+    (5L, "es", "el la los y es el la"),
+    (6L, "es", "el los y es manana"),
+    (7L, "zh", "汉字系统测试汉字"),
+    (8L, "zh", "机器学习"))
+
+  private val langOverlaySql = langOverlay.map { case (o, l, t) =>
+    s"($o, '$l', '$t')"
+  }.mkString("(VALUES ", ", ", ") AS v(ord, lang, text)")
+
   val langIdOp = QueryDef(
     "ns_lang_id", {
       (s, dir) =>
-        langScores(docs(s, dir)).select(
+        import s.implicits._
+        val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        val ov = langOverlay.toDF("ord", "lang", "text")
+          .crossJoin(broadcast(overlayOffset(base)))
+          .select((col("ord") + col("ov_off")).as("doc_id"),
+            col("lang"), col("text"))
+        langScores(base.unionByName(ov)).select(
           col("doc_id"), col("lang"),
           col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh"),
           expr(langArgmax).as("pred_lang"))
     },
     Some(
-      s"""WITH scored AS (SELECT doc_id, lang, $langScoresSql FROM documents)
+      s"""WITH base AS (SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT (SELECT max(doc_id) + 1 FROM documents) + ord, lang, text
+         |  FROM $langOverlaySql),
+         |scored AS (SELECT doc_id, lang, $langScoresSql FROM base)
          |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
          |  $langArgmax AS pred_lang
-         |FROM scored""".stripMargin))
+         |FROM scored""".stripMargin),
+    liveness = Seq(
+      "all_five_argmax_branches_predicted" ->
+        "SELECT count(DISTINCT pred_lang) >= 5 FROM r",
+      "every_marker_score_fires" ->
+        "SELECT max(s_en) > 0 AND max(s_de) > 0 AND max(s_fr) > 0 AND max(s_es) > 0 AND max(s_zh) > 0 FROM r"))
 
   /** Quality scoring: length score + stopword ratio, fixed formula. */
   val qualityScoreOp = QueryDef(
@@ -642,7 +687,13 @@ object TextOps {
            |  WHERE levenshtein(tok, '$fuzzyTerm') <= $fuzzyMaxDist)
            |SELECT doc_id, tok AS term, count(*) AS hits
            |FROM toks JOIN m USING (tok)
-           |GROUP BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2""".stripMargin),
+    // the edit-distance filter BITES: matches exist, yet not every
+    // document matches (the vocabulary walk excludes far terms)
+    liveness = Seq(
+      "fuzzy_filter_selective" ->
+        ("SELECT (SELECT count(*) FROM r) > 0 AND " +
+          "(SELECT count(DISTINCT doc_id) FROM r) < (SELECT count(*) FROM documents)")))
 
   /** The OpenSearch term suggester ("did you mean…"): for a misspelled
     * query term, candidate corrections from the corpus VOCABULARY
@@ -1214,10 +1265,22 @@ object TextOps {
           .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
           .withColumn("rating",
             when(col("tf") >= 3, 2L).when(col("tf") >= 2, 1L).otherwise(0L))
-        // the ranked result list: top-N per query by (tf desc, doc_id)
-        val ranked = tf.groupBy("term")
+        // the ranking UNDER EVALUATION: a deliberately naive
+        // shortest-document-first retrieval, top-N per query by
+        // (n_chars asc, doc_id). r20 gate-liveness audit: the old
+        // tf-ordered ranking was scored against tf-DERIVED ratings, so
+        // the list was ideal by construction and all three metrics sat
+        // pinned at 1.0 — the position discounts, the miss branch of
+        // MRR, and the sub-ideal NDCG arithmetic never ran. rank_eval's
+        // whole job is to measure an ARBITRARY ranking against
+        // independent judgments; the naive ranker makes every metric
+        // branch live at every SF (spark@sf0.1 even hits the
+        // zero-relevant page → the 0.0 fallbacks).
+        val lens = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val ranked = tf.join(lens, "doc_id")
+          .groupBy("term")
           .agg(graft.expr.VecFunctions.topk_by_score(
-            col("doc_id"), col("tf").cast("double"), evalTopN).as("top"))
+            col("doc_id"), -col("n_chars").cast("double"), evalTopN).as("top"))
           .select(col("term"), posexplode(col("top")))
           .select(col("term"), col("col.id").as("doc_id"),
             (col("pos") + 1).cast("long").as("rank"))
@@ -1259,9 +1322,9 @@ object TextOps {
            |    CASE WHEN count(*) >= 3 THEN 2 WHEN count(*) >= 2 THEN 1 ELSE 0 END AS rating
            |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents) tk
            |  JOIN terms ON tok = term GROUP BY 1, 2),
-           |ranked AS (SELECT term, doc_id, rating,
-           |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
-           |  FROM tf QUALIFY rank <= $evalTopN),
+           |ranked AS (SELECT term, tf.doc_id, rating,
+           |    row_number() OVER (PARTITION BY term ORDER BY n_chars, tf.doc_id) AS rank
+           |  FROM tf JOIN documents d ON tf.doc_id = d.doc_id QUALIFY rank <= $evalTopN),
            |dcg AS (SELECT term, sum(CAST(round((pow(2.0, rating) - 1.0) * ln(2.0)
            |      / ln(rank + 1.0) * 1e6, 0) AS BIGINT)) AS dcg_micro
            |  FROM ranked WHERE rank <= $evalK GROUP BY 1),
@@ -1281,7 +1344,13 @@ object TextOps {
            |        THEN CAST(coalesce(dcg_micro, 0) AS DOUBLE) / idcg_micro ELSE 0.0 END, 6) AS ndcg_k
            |FROM judged j
            |LEFT JOIN prec USING (term) LEFT JOIN mrr USING (term)
-           |LEFT JOIN dcg USING (term) LEFT JOIN ideal USING (term)""".stripMargin))
+           |LEFT JOIN dcg USING (term) LEFT JOIN ideal USING (term)""".stripMargin),
+    // the evaluated ranking is genuinely non-ideal: metrics move off
+    // 1.0 and MRR discriminates between queries
+    liveness = Seq(
+      "metrics_off_the_ideal_point" ->
+        ("SELECT min(precision_k) < 1.0 AND max(precision_k) > 0.0 AND " +
+          "count(DISTINCT mrr) >= 2 FROM r")))
 
   /** The OpenSearch `collapse` feature — field collapsing: the result
     * list deduped on a field, keeping only each field value's BEST hit,
@@ -2185,7 +2254,10 @@ object TextOps {
     Some(s"""SELECT CASE WHEN $hashBucketSql < 80 THEN 'train'
            |    WHEN $hashBucketSql < 90 THEN 'val' ELSE 'test' END AS split,
            |  lang, count(*) AS n
-           |FROM documents GROUP BY 1, 2""".stripMargin))
+           |FROM documents GROUP BY 1, 2""".stripMargin),
+    // all three CASE arms of the split take documents
+    liveness = Seq(
+      "all_three_splits_populated" -> "SELECT count(DISTINCT split) = 3 FROM r"))
 
   /** Leakage-safe train/test split: the split key is the DUPLICATE
     * CLUSTER, not the document — copies of the same text must never
@@ -2303,7 +2375,15 @@ object TextOps {
            |    FROM documents WHERE doc_id % 7 = 0
            |  UNION ALL SELECT doc_id + 2 * (SELECT ov_off FROM o), text
            |    FROM documents WHERE doc_id % 14 = 0))
-           |SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id FROM d""".stripMargin))
+           |SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id FROM d""".stripMargin),
+    // the r19 vacuity catch, standing: label propagation must actually
+    // MOVE labels (non-self clusters) while self-labeled singletons
+    // coexist
+    liveness = Seq(
+      "labels_propagate" ->
+        "SELECT count(CASE WHEN cluster_id <> doc_id THEN 1 END) > 0 FROM r",
+      "singleton_clusters_exist" ->
+        "SELECT count(CASE WHEN cluster_id = doc_id THEN 1 END) > 0 FROM r"))
 
   /** Text normalization for dedup keys / training corpora: Unicode NFC
     * (the native NfcNormalize expression — decomposed and composed
@@ -2626,7 +2706,13 @@ object TextOps {
            |hits AS (SELECT doc_id, count(*) AS hits FROM tr JOIN bench USING (x) GROUP BY 1)
            |SELECT d.doc_id, coalesce(hits, 0) AS n_hits, hits IS NOT NULL AS contaminated
            |FROM (SELECT doc_id FROM documents WHERE doc_id % $decontMod <> 0) d
-           |LEFT JOIN hits USING (doc_id)""".stripMargin))
+           |LEFT JOIN hits USING (doc_id)""".stripMargin),
+    // the benchmark overlap PARTITIONS the corpus: contaminated docs
+    // exist (the drop branch does work) and clean docs survive
+    liveness = Seq(
+      "contaminated_and_clean_docs_coexist" ->
+        ("SELECT count(CASE WHEN contaminated THEN 1 END) > 0 AND " +
+          "count(CASE WHEN NOT contaminated THEN 1 END) > 0 FROM r")))
 
   /** Benchmark decontamination, the BLOOM-prefiltered at-scale twin:
     * when the benchmark shingle set outgrows a comfortable broadcast
@@ -3002,7 +3088,14 @@ object TextOps {
          |       WHEN $qualityDuck < 0.20 THEN 'low_quality'
          |       ELSE 'keep' END AS verdict
          |  FROM scored)
-         |SELECT source, verdict, count(*) AS n FROM f GROUP BY 1, 2""".stripMargin))
+         |SELECT source, verdict, count(*) AS n FROM f GROUP BY 1, 2""".stripMargin),
+    // the funnel REJECTS through at least two distinct rules AND keeps
+    // survivors — a funnel where only one arm fires (or nothing
+    // survives) is not exercising its cascade
+    liveness = Seq(
+      "multiple_reject_rules_fire_and_docs_survive" ->
+        ("SELECT count(DISTINCT verdict) >= 3 AND " +
+          "count(CASE WHEN verdict = 'keep' THEN 1 END) > 0 FROM r")))
 
   /** Dedup report — the cluster-size histogram every dedup run
     * publishes (how much of the corpus sits in singletons vs small
@@ -3021,7 +3114,13 @@ object TextOps {
     },
     Some(s"""$pipelineOracleCtes,
            |cs AS (SELECT label, count(*) AS cluster_size FROM l$propagationRounds GROUP BY 1)
-           |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1""".stripMargin))
+           |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1""".stripMargin),
+    // the histogram spans both regimes: singleton clusters AND real
+    // multi-member near-dup clusters
+    liveness = Seq(
+      "singletons_and_multi_member_clusters" ->
+        ("SELECT count(CASE WHEN cluster_size = 1 THEN 1 END) > 0 AND " +
+          "count(CASE WHEN cluster_size >= 2 THEN 1 END) > 0 FROM r")))
 
   /** Token-budget data selection — "take the best documents until the
     * budget is spent", the data-selection step of corpus curation:

@@ -465,15 +465,15 @@ class EsqlSpec extends SparkSpec {
   test("RERANK: capped-tf lexical scorer, adjacent repeats counted, unknown reranker rejected") {
     import spark.implicits._
     val d = Seq(
-      (1L, "spark spark spark spark data"), // tf capped at 3 + 1 = 4
-      (2L, "data data"),                    // 2
-      (3L, "nothing here")                  // 0
+      (1L, "spark spark spark spark spark spark data"), // tf 6 capped at 5, + 1 = 6
+      (2L, "data data"),                                // 2
+      (3L, "nothing here")                              // 0
     ).toDF("id", "txt")
     val got = EsqlParser.run(
       """FROM t | RERANK "spark data" ON txt | SORT _score DESC, id | KEEP id, _score""",
       _ => d).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
-      Seq((1L, 4L), (2L, 2L), (3L, 0L)))
+      Seq((1L, 6L), (2L, 2L), (3L, 0L)))
     assert(intercept[ParseError](EsqlParser.run(
       """FROM t | RERANK "x" ON txt WITH llm""", _ => d)).getMessage
       .contains("reranker"))

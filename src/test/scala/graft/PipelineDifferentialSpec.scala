@@ -290,8 +290,8 @@ class PipelineDifferentialSpec extends SparkSpec {
     * rtag/rtier from the winning interval, nulls on no match, clash
     * columns overwritten (the keyword-ENRICH contract). */
   private case class PEnrichRange(on: String) extends PCmd
-  /** RERANK with the lexical scorer: _score = Σ min(tf, 3) over the
-    * distinct query terms; a null field scores null. */
+  /** RERANK with the lexical scorer: _score = Σ min(tf, rerankTfCap)
+    * over the distinct query terms; a null field scores null. */
   private case class PRerank(terms: Seq[String], field: String) extends PCmd
   /** r18 full-text function predicates: kind ∈ match_phrase (consecutive
     * in-order terms over the whitespace analysis), multi_match (Kleene
@@ -728,7 +728,8 @@ class PipelineDifferentialSpec extends SparkSpec {
       rows.map { r =>
         val score = r(field).map(_.asInstanceOf[String]).map { v =>
           val toks = v.trim.split(" ", -1).toSeq
-          terms.map(t => math.min(toks.count(_ == t), 3).toLong).sum
+          terms.map(t =>
+            math.min(toks.count(_ == t).toLong, ops.EsqlParser.rerankTfCap)).sum
         }
         r + ("_score" -> (score: Option[Any]))
       }

@@ -1035,7 +1035,9 @@ class PlanSpec extends SparkSpec {
     // even reaches the nation scan's DataFilters) — match on those
     assert(bcasts.exists(b => nodes(b).exists {
       case f: org.apache.spark.sql.execution.FilterExec =>
-        f.condition.toString.contains("45.0") && f.condition.toString.contains("-90.0")
+        // the r20 box: top 45 / left −150 (widened so the key is live
+        // at every shipped SF — the gate-liveness audit)
+        f.condition.toString.contains("45.0") && f.condition.toString.contains("-150.0")
       case _ => false
     }), s"the box predicate must prune the dim below its broadcast:\n$p")
     assert(!nodes(p).exists(n => n.isInstanceOf[SortMergeJoinExec] ||

@@ -70,7 +70,8 @@ class RetrieverDifferentialSpec extends SparkSpec {
       val page = eval(child).map(_._1).toSet
       val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
       cut(docs.filter(d => page(d.id)).map(d =>
-        d.id -> terms.map(t => math.min(barTf(t, d.text), 3L)).sum.toDouble), w)
+        d.id -> terms.map(t =>
+          math.min(barTf(t, d.text), ops.EsqlParser.rerankTfCap)).sum.toDouble), w)
     case RRescorer(child, term, qw, rw, w) =>
       cut(eval(child).map { case (id, s) =>
         id -> (s * qw + barTf(term, textOf(id)).toDouble * rw) }, w)

@@ -80,7 +80,12 @@ class RetrieverSpec extends SparkSpec {
     val rows = page(RRerank(RStandard("spark", 15), "spark data pipeline", 15))
     assert(rows.map(_.getLong(0)).toSet.subsetOf(child),
       "rerank must not introduce documents outside the child's page")
-    // capped at 3 per term, 3 terms → max 9
-    assert(rows.forall(_.getDouble(1) <= 9.0))
+    // capped at rerankTfCap per term, 3 terms → max 3·cap (cap = 5
+    // since r20 — at 3 the whole top page saturated and _score was
+    // constant, a vacuous reranker)
+    val cap = ops.EsqlParser.rerankTfCap.toDouble
+    assert(rows.forall(_.getDouble(1) <= 3 * cap))
+    // …and the cap still BITES somewhere, or it isn't a saturation cap
+    assert(rows.exists(_.getDouble(1) > 0))
   }
 }
