@@ -65,9 +65,6 @@ object ConstExemptions {
       "max_length" -> "event_type tokens share min/max lengths across buckets in this fixture; the stats arithmetic is oracle-hashed"),
     "ns_agg_time_series" -> Map(
       "n_resets" -> "the synthetic counter resets a fixed number of times per series by construction; reset detection is oracle-hashed"),
-    "ns_cat_indices" -> Map(
-      "docs_count" -> "the synthetic catalog allocates uniform per-index doc counts",
-      "docs_empty" -> "the synthetic catalog allocates uniform per-index doc counts"),
     "ns_esql_date_parse" -> Map(
       "bad" -> nullOnUnparseable,
       "age_h" -> "DATE_DIFF from a fixed anchor over the fixture's single-day stamp set"),
@@ -81,9 +78,6 @@ object ConstExemptions {
       "dow" -> "derived from the fixture's fixed date",
       "doy" -> "derived from the fixture's fixed date",
       "hh" -> "derived from the fixture's fixed hour"),
-    "ns_esql_functions2" -> Map(
-      "mnd" -> "min over a demo column constant at the audit SFs",
-      "mxd" -> "max over a demo column constant at the audit SFs"),
     "ns_esql_geo" -> Map(
       "bad" -> nullOnUnparseable,
       "xmn" -> "bounding-box accessor of one literal envelope",
@@ -151,6 +145,21 @@ object ConstExemptions {
     "ns_transform_pivot" -> Map("nd_types" -> saturation),
     "ns_anomaly_zscore" -> Map(
       "cnt" -> "the fixed detection window yields equal sample counts per series"),
+    "ns_search_parent_id" -> Map(
+      "l_orderkey" -> "the parent_id query names ONE parent by definition — the key column is the selected literal"),
+    "ns_search_span_within" -> Map(
+      "n_within" -> "per-doc span-within counts tie at sf0.1 (vary at sf0.01); the span arithmetic is oracle-hashed"),
+    "ns_esql_functions2" -> Map(
+      "mnd" -> "min over a demo column constant at the audit SFs",
+      "mxd" -> "max over a demo column constant at the audit SFs",
+      "xmn" -> "envelope-accessor demo column over a literal shape",
+      "ymn" -> "envelope-accessor demo column over a literal shape"),
+    "ns_cat_indices" -> Map(
+      "docs_count" -> "the synthetic catalog allocates uniform per-index doc counts",
+      "docs_empty" -> "the synthetic catalog allocates uniform per-index doc counts",
+      "n_langs" -> "the synthetic catalog spreads every language over every index at sf0.1"),
+    "ns_search_boosting" -> Map(
+      "neg" -> "the demotion leg's contribution ties across the top page at sf0.1 (varies at sf0.01); the boosting arithmetic is oracle-hashed"),
     "ns_index_rollover" -> Map(
       "generation" -> "the synthetic rollover history advances one generation per index uniformly"))
 }
