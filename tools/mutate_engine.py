@@ -53,6 +53,17 @@ MUTANTS = [
      "src/main/scala/graft/ops/Enrich.scala",
      'regexp_extract_struct(col("line"), grokRx, grokGroups)',
      'regexp_extract_struct(substring(col("line"), 2, 1000000), grokRx, grokGroups)'),
+    # geoDim's range math is Spark-side only (the oracle spells
+    # n_nationkey * 41943 in its own SQL string), so shifting the
+    # engine's range start is an engine-only drift both twins must catch
+    ("np_geoip_join", "dim_range_shift",
+     "src/main/scala/graft/ops/Enrich.scala",
+     '(col("n_nationkey") * 41943L).as("ip_start")',
+     '(col("n_nationkey") * 41943L + 1L).as("ip_start")'),
+    ("np_geoip_bucketed", "dim_range_shift",
+     "src/main/scala/graft/ops/Enrich.scala",
+     '(col("n_nationkey") * 41943L).as("ip_start")',
+     '(col("n_nationkey") * 41943L + 2L).as("ip_start")'),
     ("ns_agg_percentiles_bucket", "fraction_drift",
      "src/main/scala/graft/ops/AggsExt.scala",
      'expr("percentile(c, array(0.25D, 0.5D, 0.75D, 0.9D))")',
