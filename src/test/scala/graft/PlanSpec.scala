@@ -1221,6 +1221,31 @@ class PlanSpec extends SparkSpec {
       s"the ids query must be pure pushdown, got: $pushed")
   }
 
+  test("ns_search_parent_id: the literal parent reaches PushedFilters; no join remains") {
+    val p = physical("ns_search_parent_id")
+    val scan = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(l_orderkey"),
+      s"parent_id must be pure equality pushdown, got: $pushed")
+    assert(!nodes(p).exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"parent_id is has_parent with a literal — no join may remain:\n$p")
+  }
+
+  test("ns_search_term_terms: the term and terms legs push their predicates to the scan") {
+    val p = physical("ns_search_term_terms")
+    val pushed = nodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(event_type,purchase)"),
+      s"the term leg must push its equality, got: $pushed")
+    assert(pushed.contains("In(event_type"),
+      s"the terms leg must push its In list, got: $pushed")
+  }
+
   test("ns_search_terms_lookup: the lookup set broadcasts as a LEFT SEMI probe") {
     val p = physical("ns_search_terms_lookup")
     assert(nodes(p).exists {
