@@ -21,8 +21,34 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   *   - `tsu`   — TIMESTAMP at micro precision (the instant DuckDB sees).
   */
 object Tables {
+  /** Session-scoped CATALOG of resolved table frames (r21, guide §1/§6):
+    * `spark.read.parquet` pays file listing + a footer schema read +
+    * full analysis on EVERY call — measured 40–60 ms per table access,
+    * which at 339 queries × several passes was ~15–20% of the whole
+    * bench (ProfileBench: even `ns_topk`'s construct was 57 ms against
+    * 46 ms of execution). A real deployment holds exactly this in its
+    * metastore/catalog: the schema and file index are table METADATA,
+    * resolved once per session, while every execution still scans the
+    * parquet bytes themselves — nothing here memoizes results or data
+    * (the noop-sink pass reads the files each time; regenerated
+    * testdata misses the key via the size+mtime component, the
+    * Artifacts.buildOnce discipline). Keyed by the session object so a
+    * stopped test session can never leak its plans into the next one. */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** `statName` names the parquet file whose (size, mtime) keys the
+    * entry — derived views pass their SOURCE table so a regenerated
+    * file invalidates the derived plan too. */
+  private[graft] def cached(spark: SparkSession, dir: String, name: String,
+                            statName: String = null)(build: => DataFrame): DataFrame = {
+    val f = new java.io.File(s"$dir/${Option(statName).getOrElse(name)}.parquet")
+    val key = (spark, s"$dir|$name|${f.length()}|${f.lastModified()}")
+    catalog.computeIfAbsent(key, _ => build)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cached(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
@@ -78,8 +104,16 @@ object Tables {
     // Runtime-settable SQL conf; harmless against timestamp[us] files and
     // required to read the legacy TIMESTAMP(NANOS) encoding at all. Set
     // defensively in case the calling session (driver-owned in
-    // Verify/Bench) was built without it.
+    // Verify/Bench) was built without it. Set BEFORE the catalog lookup
+    // so the first (building) call resolves under it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the derived projection is itself catalog-cached (r21): the three
+    // timestamp variants re-analyzed on every access cost ~10 ms × the
+    // ~170 events-based keys × passes
+    cached(spark, dir, "events#derived", statName = "events")(eventsBuild(spark, dir))
+  }
+
+  private def eventsBuild(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => // legacy: ts = epoch nanos

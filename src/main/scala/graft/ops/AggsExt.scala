@@ -1060,7 +1060,9 @@ object AggsExt {
     liveness = Seq(
       "missing_and_present_sides_live" ->
         "SELECT sum(n_missing) > 0 AND sum(n_total - n_missing) > 0 FROM r")) { (s, dir) =>
-    Synth.eventsWithMsg(s, dir)
+    // Par.spread (r21): the per-row JSON probe ran in one scan task
+    // locally; passthrough on a wide scan at scale.
+    Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id"))
       .groupBy("event_type")
       .agg(sum(when(get_json_object(col("msg"), "$.k").isNull, 1L).otherwise(0L))
           .as("n_missing"),

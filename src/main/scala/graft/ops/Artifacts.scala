@@ -16,16 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly once.
   */
 object Artifacts {
+  /** Resolved artifact frames per (session, artifact path) — the
+    * Tables.cached discipline (r21): the artifact path already encodes
+    * the source file's size+mtime, so the key is staleness-safe; the
+    * cached value is only the resolved READ PLAN (schema + file index),
+    * never data — every execution still scans the artifact parquet.
+    * Re-resolving the read on each of the ~20 artifact-backed keys ×
+    * bench passes cost ~40 ms apiece. */
+  private val reads =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def buildOnce(s: SparkSession, srcPath: String, artifact: String)
                (build: String => Unit): DataFrame = {
     val src = new java.io.File(srcPath)
     val key = s"sf${srcPath.replaceAll("[^a-zA-Z0-9.]", "_")}_${src.length()}_${src.lastModified()}"
     val path = s"/root/repo/target/$artifact/$key"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    Artifacts.synchronized {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) build(path)
-    }
-    s.read.parquet(path)
+    reads.computeIfAbsent((s, path), _ => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Artifacts.synchronized {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) build(path)
+      }
+      s.read.parquet(path)
+    })
   }
 }

@@ -96,7 +96,9 @@ object Decode {
   /** F3: JSON envelope parse (reference main.go:481–488). */
   val fromJsonOp = QueryDef(
     "k2e_from_json",
-    (s, dir) => Tables.events(s, dir).select(
+    // Par.spread (r21): JsonToStructs is CodegenFallback-interpreted and
+    // ran in the single scan task locally; passthrough on wide scans.
+    (s, dir) => eventsPar(s, dir).select(
       col("event_id"),
       from_json(col("props"), lit("k BIGINT")).getField("k").as("k_val")),
     Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events"))
@@ -104,7 +106,8 @@ object Decode {
   /** F4: JSON-or-text (reference main.go:492–510). */
   val jsonOrTextOp = QueryDef(
     "k2e_json_or_text",
-    (s, dir) => Synth.eventsWithMsg(s, dir).select(
+    // Par.spread (r21): try_parse_json per row was single-task local
+    (s, dir) => Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id")).select(
       col("event_id"), col("msg"),
       jsonOrText(col("msg")).as("message")),
     Some(Synth.withMsg(
@@ -249,7 +252,11 @@ object Decode {
     * repeated `get_json_object` re-parses the string per field. */
   val variantMessageOp = QueryDef(
     "ns_variant_message",
-    (s, dir) => Synth.eventsWithMsg(s, dir)
+    // Par.spread (r21): the variant parse of every message ran in the
+    // single scan task locally (~0.5 s); the shuffle moves only the
+    // cheap concat'd msg, the parse runs 32-way after it. Passthrough
+    // on a many-split scan at scale.
+    (s, dir) => Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id"))
       .withColumn("v", expr("try_parse_json(msg)"))
       .select(col("event_id"),
         col("v").isNotNull.as("is_json"),
@@ -289,7 +296,10 @@ object Decode {
     * derivation cost is one codegen pass. */
   val runtimeFieldsOp = QueryDef(
     "ns_runtime_fields",
-    (s, dir) => Synth.eventsWithMsg(s, dir)
+    // Par.spread (r21): same single-task variant-parse bottleneck as
+    // ns_variant_message; the parse-free range filter still pushes
+    // below the repartition to the scan.
+    (s, dir) => Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id"))
       .withColumn("v", expr("try_parse_json(msg)"))
       .withColumn("rt_k", expr("try_variant_get(v, '$.k', 'bigint')"))
       .withColumn("rt_fail_ms",
@@ -344,7 +354,9 @@ object Decode {
         struct(struct(
           concat(lit("/app/"), col("event_type")).as("logGroup"),
           col("user_id").as("owner")).as("data")).as("records"))
-      val docs = Tables.events(s, dir).select(col("event_id"), doc.as("doc"))
+      // Par.spread (r21): the to_json/from_json round-trip ran in one
+      // scan task locally; passthrough on wide scans.
+      val docs = eventsPar(s, dir).select(col("event_id"), doc.as("doc"))
       val docType = docs.schema("doc").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       docs.withColumn("doc_json", to_json(col("doc")))
@@ -379,7 +391,8 @@ object Decode {
     * semantic upgrade flagged in SURVEY.md §2.3. */
   val deadletterOp = QueryDef(
     "k2e_deadletter",
-    (s, dir) => Synth.eventsWithMsg(s, dir)
+    // Par.spread (r21): interpreted from_json per row, was single-task
+    (s, dir) => Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id"))
       .withColumn("k_val", from_json(col("msg"), lit("k BIGINT")).getField("k"))
       .select(
         col("event_id"),

@@ -42,8 +42,15 @@ object Relational {
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+    // Par.spread (r21, guide §2.6/§1): the local single-row-group scan
+    // ran the whole cents/decimal partial aggregation in ONE task
+    // (measured 0.83 s single-threaded at sf0.1); spreading costs one
+    // narrow-row shuffle locally and is a PASSTHROUGH on a many-split
+    // scan at scale. Shipdate filter stays pushed at the scan, below
+    // the repartition.
+    Par.spread(s, Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00"))),
+      col("l_orderkey"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(cents(col("l_quantity"))).as("sum_qty_c"),
@@ -778,13 +785,29 @@ object Relational {
        |  count(DISTINCT o_orderkey) AS n_orders
        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-    Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+    // r21 (guide §2.3/§3.3): aggregate lineitem to ONE row per order
+    // BEFORE the join — the join then moves |orders| pre-summed rows
+    // instead of |lineitem| raw rows (6–7× fewer bytes at TPC-H fan-out,
+    // the dominant shuffle at 100 TB), and the countDistinct disappears:
+    // each pre-aggregated row IS one distinct order, so n_orders is a
+    // plain count and the expand-based distinct aggregation (a second
+    // full-width shuffle) is gone. Exact parity: per-order cents4 sums
+    // ride the same DECIMAL(38) accumulator and re-sum exactly (integer
+    // units, sum-of-sums ≡ sum); an order has bounded line count so the
+    // per-order long cannot overflow. Par.spread parallelizes the local
+    // single-split partial aggregation (passthrough at scale).
+    val perOrder = Par.spread(s, Tables.lineitem(s, dir), col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sumExact(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_c"),
+        count(lit(1)).as("n"))
+    Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      .join(perOrder, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        sumExact(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
-        count(lit(1)).as("n_items"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sumExact(col("rev_c")).as("revenue_c"),
+        sum(col("n")).as("n_items"),
+        count(lit(1)).as("n_orders"))
   }
 
   /** Star-schema dimension join with explicit broadcast hints. */
@@ -999,8 +1022,11 @@ object Relational {
       |FROM lineitem GROUP BY 1""".stripMargin) {
     (s, dir) =>
       // one percentile(col, array(...)) call: a single value-multiset
-      // aggregation buffer serves all three quantiles, not three
-      Tables.lineitem(s, dir)
+      // aggregation buffer serves all three quantiles, not three.
+      // Par.spread (r21): the multiset buffering ran in ONE scan task
+      // locally (1.1–1.8 s); spread parallelizes the partial buffers,
+      // passthrough on a wide scan at scale.
+      Par.spread(s, Tables.lineitem(s, dir), col("l_orderkey"))
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
         .select(col("l_returnflag"),

@@ -399,7 +399,8 @@ object SearchExt {
     * (GetJsonObject), no explode, no shuffle. */
   val existsOp = QueryDef(
     "ns_search_exists",
-    (s, dir) => Synth.eventsWithMsg(s, dir)
+    // Par.spread (r21): the per-row json-path probe was single-task
+    (s, dir) => Par.spread(s, Synth.eventsWithMsg(s, dir), col("event_id"))
       .withColumn("k_val", get_json_object(col("msg"), "$.k"))
       .filter(col("k_val").isNotNull)
       .select("event_id", "k_val"),
@@ -1510,7 +1511,8 @@ object SearchExt {
       || SORT day ASC, omethod ASC""".stripMargin
   val esqlObservabilityOp = QueryDef(
     "ns_esql_observability",
-    (s, dir) => EsqlParser.run(esqlObservabilityQuery, _ => Synth.accessLog(s, dir)),
+    (s, dir) => EsqlParser.run(esqlObservabilityQuery, // Par.spread r21: GROK per row, STATS-only key
+      _ => Par.spread(s, Synth.accessLog(s, dir), col("event_id"))),
     Some(Synth.withAccessLog(
       // hostname lines (event_id % 13 = 0, r20) fail %{IP}: GROK keeps
       // the ROW with null captures (ES's no-match contract), so they
@@ -1576,7 +1578,8 @@ object SearchExt {
       || SORT gmethod ASC, gstatus ASC""".stripMargin
   val esqlGrokOp = QueryDef(
     "ns_esql_grok",
-    (s, dir) => EsqlParser.run(esqlGrokQuery, _ => Synth.accessLog(s, dir)),
+    (s, dir) => EsqlParser.run(esqlGrokQuery, // Par.spread r21: GROK per row, STATS-only key
+      _ => Par.spread(s, Synth.accessLog(s, dir), col("event_id"))),
     Some(Synth.withAccessLog(
       // hostname lines (event_id % 13 = 0, r20) fail %{IP} and GROK
       // nulls every capture, so the WHERE drops them — a genuinely
@@ -2093,7 +2096,9 @@ object SearchExt {
   private[graft] def tsMetricsFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val series = Window.partitionBy("_tsid").orderBy("_ts_ms")
-    Tables.events(s, dir)
+    // Par.spread (r21): the (user, ts) partial aggregation ran in the
+    // single local scan task; passthrough at scale.
+    Par.spread(s, Tables.events(s, dir), col("event_id"))
       .groupBy(col("user_id"), col("ts_ms").as("_ts_ms"))
       .agg(min_by(col("value"), col("event_id")).as("v"),
         min(date_trunc("day", col("tsu")).cast("date")).as("day"))
@@ -2263,7 +2268,8 @@ object SearchExt {
       || SORT event_type""".stripMargin
   val esqlStatsAggsOp = QueryDef(
     "ns_esql_stats_aggs",
-    (s, dir) => EsqlParser.run(esqlStatsAggsQuery, _ => Tables.events(s, dir)),
+    (s, dir) => EsqlParser.run(esqlStatsAggsQuery, // Par.spread r21: percentile multiset buffering, STATS-only key
+      _ => Par.spread(s, Tables.events(s, dir), col("event_id"))),
     Some("""SELECT event_type,
       |  round(quantile_cont(c, 0.5), 4) AS p50,
       |  round(quantile_cont(c, 0.95), 4) AS p95,
@@ -2735,7 +2741,8 @@ object SearchExt {
       || SORT event_type""".stripMargin
   val esqlMadOp = QueryDef(
     "ns_esql_mad",
-    (s, dir) => EsqlParser.run(esqlMadQuery, _ => Tables.events(s, dir)),
+    (s, dir) => EsqlParser.run(esqlMadQuery, // Par.spread r21: median multiset buffering, STATS-only key
+      _ => Par.spread(s, Tables.events(s, dir), col("event_id"))),
     Some("""SELECT event_type, round(mad(value), 6) AS mad,
       |  round(median(value), 6) AS med, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
@@ -2949,7 +2956,8 @@ object SearchExt {
   }
   val esqlGeoGridOp = QueryDef(
     "ns_esql_geo_grid",
-    (s, dir) => EsqlParser.run(esqlGeoGridQuery, _ => Tables.events(s, dir)),
+    (s, dir) => EsqlParser.run(esqlGeoGridQuery, // Par.spread r21: cell trig per row, STATS-only key
+      _ => Par.spread(s, Tables.events(s, dir), col("event_id"))),
     Some(esqlGridOracle))
 
   /** ES|QL cartesian_point family — TO_CARTESIANPOINT plus the SAME
@@ -2996,7 +3004,8 @@ object SearchExt {
       || SORT net""".stripMargin
   val esqlCidrOp = QueryDef(
     "ns_esql_cidr",
-    (s, dir) => EsqlParser.run(esqlCidrQuery, _ => Synth.accessLog(s, dir)),
+    (s, dir) => EsqlParser.run(esqlCidrQuery, // Par.spread r21: ip parse per row, STATS-only key
+      _ => Par.spread(s, Synth.accessLog(s, dir), col("event_id"))),
     Some(Synth.withAccessLog(
       """, u AS (SELECT
         |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216

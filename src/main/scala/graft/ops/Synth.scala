@@ -24,9 +24,12 @@ object Synth {
       "WHEN event_id % 3 = 1 THEN concat(event_type, ' failed after ', CAST(round(value*100,0) AS BIGINT)) " +
       "ELSE concat('', user_id) END"
 
-  /** events + epoch-ms + msg, Spark side. */
+  /** events + epoch-ms + msg, Spark side. Catalog-cached like every
+    * other shared view (r21): the definition analyzes once per session,
+    * every execution still scans the parquet. */
   def eventsWithMsg(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("msg", expr(msgSql))
+    Tables.cached(s, dir, "synth#msg", statName = "events")(
+      Tables.events(s, dir).withColumn("msg", expr(msgSql)))
 
   /** events + epoch-ms + msg, DuckDB side (CTE body over view `events`). */
   val msgCte: String =
@@ -72,15 +75,19 @@ object Synth {
   private val duckHttpdate =
     "concat(strftime(ts, '%d/%b/%Y:%H:%M:%S'), ' +0000')"
 
-  /** Access-log DataFrame, Spark side. */
-  def accessLog(s: SparkSession, dir: String): DataFrame = {
-    val withPre = accessColsPre.foldLeft(Tables.events(s, dir)) {
-      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+  /** Access-log DataFrame, Spark side. Catalog-cached (r21): the 12
+    * chained withColumns re-ran analysis on a growing plan for every
+    * one of the ~25 access-log keys × bench passes (~80 ms apiece);
+    * the view now analyzes once per session. */
+  def accessLog(s: SparkSession, dir: String): DataFrame =
+    Tables.cached(s, dir, "synth#accesslog", statName = "events") {
+      val withPre = accessColsPre.foldLeft(Tables.events(s, dir)) {
+        case (df, (name, sql)) => df.withColumn(name, expr(sql))
+      }
+      accessColsPost.foldLeft(withPre.withColumn("httpdate", expr(sparkHttpdate))) {
+        case (df, (name, sql)) => df.withColumn(name, expr(sql))
+      }
     }
-    accessColsPost.foldLeft(withPre.withColumn("httpdate", expr(sparkHttpdate))) {
-      case (df, (name, sql)) => df.withColumn(name, expr(sql))
-    }
-  }
 
   /** Access-log CTE body, DuckDB side (uses lateral column aliases). */
   val accessCte: String = {
@@ -126,11 +133,13 @@ object Synth {
       "WHEN 4 THEN 11 ELSE 14 END AS INT) END"),
     "icmp_code" -> ("CASE WHEN event_id % 11 = 0 THEN CAST(event_id % 3 AS INT) END"))
 
-  /** Flow-log DataFrame, Spark side. */
+  /** Flow-log DataFrame, Spark side. Catalog-cached (r21, see
+    * accessLog). */
   def flowLog(s: SparkSession, dir: String): DataFrame =
-    flowCols.foldLeft(Tables.events(s, dir)) {
-      case (df, (name, sql)) => df.withColumn(name, expr(sql))
-    }
+    Tables.cached(s, dir, "synth#flowlog", statName = "events")(
+      flowCols.foldLeft(Tables.events(s, dir)) {
+        case (df, (name, sql)) => df.withColumn(name, expr(sql))
+      })
 
   /** Flow-log CTE body, DuckDB side. */
   val flowCte: String =

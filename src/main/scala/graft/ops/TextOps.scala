@@ -2619,7 +2619,9 @@ object TextOps {
   val piiScrubOp = QueryDef(
     "ns_text_pii_scrub", {
       (s, dir) =>
-        val planted = docs(s, dir).select(
+        // Par.spread (r21): six regex passes per row ran in the single
+        // scan task locally; passthrough on wide scans.
+        val planted = Par.spread(s, docs(s, dir), col("doc_id")).select(
           col("doc_id"),
           concat(
             when(col("doc_id") % 2 === 0,
