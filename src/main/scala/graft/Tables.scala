@@ -44,7 +44,20 @@ object Tables {
                             statName: String = null)(build: => DataFrame): DataFrame = {
     val f = new java.io.File(s"$dir/${Option(statName).getOrElse(name)}.parquet")
     val key = (spark, s"$dir|$name|${f.length()}|${f.lastModified()}")
-    catalog.computeIfAbsent(key, _ => build)
+    // get + putIfAbsent, NOT computeIfAbsent: a derived view's build
+    // itself resolves its base tables through this SAME map (accessLog
+    // → events), and a recursive computeIfAbsent landing in the same
+    // hash bin throws IllegalStateException("Recursive update") —
+    // nondeterministically, since it depends on bin collision. The
+    // benign race here (two threads building the same plan once each)
+    // costs one redundant analysis, never correctness.
+    val existing = catalog.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = catalog.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1087,7 +1087,12 @@ object AggsExt {
        |  count(*) AS n_parents, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
        |FROM orders JOIN c ON o_orderkey = l_orderkey
        |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val perParent = Tables.lineitem(s, dir)
+    // Par.spread (r21, guide §2.5): the per-parent partial aggregation
+    // ran inside the ONE scan task of the local single-row-group file
+    // (ProfileBench: 620 ms exec on 7 tasks); the groupBy(l_orderkey)
+    // REUSES the spread's hashpartitioning(l_orderkey) exchange, so no
+    // extra shuffle appears. Passthrough on wide scans at scale.
+    val perParent = Par.spread(s, Tables.lineitem(s, dir), col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n"), sumExact(cents(col("l_quantity"))).as("qty_c"))
     Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
@@ -1165,7 +1170,14 @@ object AggsExt {
        |  CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS sum_totalprice_c
        |FROM k JOIN orders ON o_orderkey = l_orderkey
        |GROUP BY 1""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey").distinct()
+    // Par.spread (r21, guide §2.5): the dedup-to-parent distinct ran in
+    // the single scan task (ProfileBench: 749 ms exec on 7 tasks);
+    // hashpartitioning(l_orderkey) satisfies the distinct's clustered
+    // distribution on (l_returnflag, l_orderkey) — subset key — so the
+    // spread exchange is the ONLY one below the join. Passthrough at
+    // scale.
+    Par.spread(s, Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey"),
+        col("l_orderkey")).distinct()
       .join(Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_returnflag")

@@ -31,13 +31,25 @@ object Artifacts {
     val src = new java.io.File(srcPath)
     val key = s"sf${srcPath.replaceAll("[^a-zA-Z0-9.]", "_")}_${src.length()}_${src.lastModified()}"
     val path = s"/root/repo/target/$artifact/$key"
-    reads.computeIfAbsent((s, path), _ => {
+    // get + putIfAbsent, NOT computeIfAbsent: an artifact build can
+    // resolve ANOTHER artifact through this same map (ivfpq_codes →
+    // pq_codebook), and a recursive computeIfAbsent landing in the
+    // same hash bin throws IllegalStateException("Recursive update")
+    // nondeterministically. The benign same-key race costs one
+    // redundant plan resolution; the build itself stays serialized
+    // under Artifacts.synchronized.
+    val mapKey = (s, path)
+    val existing = reads.get(mapKey)
+    if (existing != null) existing
+    else {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       Artifacts.synchronized {
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) build(path)
       }
-      s.read.parquet(path)
-    })
+      val built = s.read.parquet(path)
+      val prev = reads.putIfAbsent(mapKey, built)
+      if (prev != null) prev else built
+    }
   }
 }

@@ -1511,8 +1511,7 @@ object SearchExt {
       || SORT day ASC, omethod ASC""".stripMargin
   val esqlObservabilityOp = QueryDef(
     "ns_esql_observability",
-    (s, dir) => EsqlParser.run(esqlObservabilityQuery, // Par.spread r21: GROK per row, STATS-only key
-      _ => Par.spread(s, Synth.accessLog(s, dir), col("event_id"))),
+    (s, dir) => EsqlParser.run(esqlObservabilityQuery, _ => Synth.accessLog(s, dir)),
     Some(Synth.withAccessLog(
       // hostname lines (event_id % 13 = 0, r20) fail %{IP}: GROK keeps
       // the ROW with null captures (ES's no-match contract), so they
@@ -1578,8 +1577,7 @@ object SearchExt {
       || SORT gmethod ASC, gstatus ASC""".stripMargin
   val esqlGrokOp = QueryDef(
     "ns_esql_grok",
-    (s, dir) => EsqlParser.run(esqlGrokQuery, // Par.spread r21: GROK per row, STATS-only key
-      _ => Par.spread(s, Synth.accessLog(s, dir), col("event_id"))),
+    (s, dir) => EsqlParser.run(esqlGrokQuery, _ => Synth.accessLog(s, dir)),
     Some(Synth.withAccessLog(
       // hostname lines (event_id % 13 = 0, r20) fail %{IP} and GROK
       // nulls every capture, so the WHERE drops them — a genuinely
@@ -1818,8 +1816,15 @@ object SearchExt {
         val flags = post.groupBy("doc_id").agg(flagCols.head, flagCols.tail: _*)
         val statCols = count(lit(1)).as("df") +:
           graphSeeds.zipWithIndex.map { case (_, i) => sum(col(s"f$i")).as(s"o$i") }
+        // MATERIALIZE the vocabulary-sized stats table before the
+        // per-seed fan-out (r21, the ns_dedup_pipeline localCheckpoint
+        // discipline): each seed's edge branch replans the whole
+        // postings→flags→join→agg subtree otherwise (ProfileBench: 7
+        // jobs / 131 tasks / 739 ms for this key). |terms| rows at any
+        // corpus scale.
         val stats = post.join(flags, "doc_id")
           .groupBy("term").agg(statCols.head, statCols.tail: _*)
+          .localCheckpoint(true)
         val edges = graphSeeds.zipWithIndex.map { case (sd, i) =>
           stats.filter(col("term") =!= sd && col(s"o$i") > 0)
             .select(lit(sd).as("seed"), col("term"), col(s"o$i").as("n_overlap"), col("df"),
@@ -2096,9 +2101,7 @@ object SearchExt {
   private[graft] def tsMetricsFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val series = Window.partitionBy("_tsid").orderBy("_ts_ms")
-    // Par.spread (r21): the (user, ts) partial aggregation ran in the
-    // single local scan task; passthrough at scale.
-    Par.spread(s, Tables.events(s, dir), col("event_id"))
+    Tables.events(s, dir)
       .groupBy(col("user_id"), col("ts_ms").as("_ts_ms"))
       .agg(min_by(col("value"), col("event_id")).as("v"),
         min(date_trunc("day", col("tsu")).cast("date")).as("day"))
@@ -2268,8 +2271,7 @@ object SearchExt {
       || SORT event_type""".stripMargin
   val esqlStatsAggsOp = QueryDef(
     "ns_esql_stats_aggs",
-    (s, dir) => EsqlParser.run(esqlStatsAggsQuery, // Par.spread r21: percentile multiset buffering, STATS-only key
-      _ => Par.spread(s, Tables.events(s, dir), col("event_id"))),
+    (s, dir) => EsqlParser.run(esqlStatsAggsQuery, _ => Tables.events(s, dir)),
     Some("""SELECT event_type,
       |  round(quantile_cont(c, 0.5), 4) AS p50,
       |  round(quantile_cont(c, 0.95), 4) AS p95,
@@ -2741,8 +2743,7 @@ object SearchExt {
       || SORT event_type""".stripMargin
   val esqlMadOp = QueryDef(
     "ns_esql_mad",
-    (s, dir) => EsqlParser.run(esqlMadQuery, // Par.spread r21: median multiset buffering, STATS-only key
-      _ => Par.spread(s, Tables.events(s, dir), col("event_id"))),
+    (s, dir) => EsqlParser.run(esqlMadQuery, _ => Tables.events(s, dir)),
     Some("""SELECT event_type, round(mad(value), 6) AS mad,
       |  round(median(value), 6) AS med, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
@@ -2956,8 +2957,7 @@ object SearchExt {
   }
   val esqlGeoGridOp = QueryDef(
     "ns_esql_geo_grid",
-    (s, dir) => EsqlParser.run(esqlGeoGridQuery, // Par.spread r21: cell trig per row, STATS-only key
-      _ => Par.spread(s, Tables.events(s, dir), col("event_id"))),
+    (s, dir) => EsqlParser.run(esqlGeoGridQuery, _ => Tables.events(s, dir)),
     Some(esqlGridOracle))
 
   /** ES|QL cartesian_point family — TO_CARTESIANPOINT plus the SAME
@@ -3004,8 +3004,7 @@ object SearchExt {
       || SORT net""".stripMargin
   val esqlCidrOp = QueryDef(
     "ns_esql_cidr",
-    (s, dir) => EsqlParser.run(esqlCidrQuery, // Par.spread r21: ip parse per row, STATS-only key
-      _ => Par.spread(s, Synth.accessLog(s, dir), col("event_id"))),
+    (s, dir) => EsqlParser.run(esqlCidrQuery, _ => Synth.accessLog(s, dir)),
     Some(Synth.withAccessLog(
       """, u AS (SELECT
         |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216

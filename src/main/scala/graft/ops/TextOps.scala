@@ -1258,6 +1258,17 @@ object TextOps {
       (s, dir) =>
         import s.implicits._
         val terms = evalTerms.toDF("term")
+        // MATERIALIZE the judgment matrix before the metric fan-out
+        // (r21, the ns_dedup_pipeline localCheckpoint discipline): tf
+        // is referenced FOUR times below (ranked's base, ranked's
+        // rating join, ideal, judged) and Catalyst replans the whole
+        // tokenize→explode→join→groupBy subtree per reference —
+        // ProfileBench measured 20 jobs / 177 tasks / 1.25 s exec for
+        // this one key. tf is the rated (term, doc) matrix — rank_eval
+        // evaluates a BOUNDED query set with bounded judgments (the ES
+        // rank_eval API ships explicit rated docs), so the checkpoint
+        // is eval-harness-sized at any corpus scale; the corpus scan
+        // now runs exactly once.
         val tf = Par.spread(s, docs(s, dir), col("doc_id"))
           .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
           .select(col("doc_id"), explode(when(size(col("t")) >= 1, col("t"))).as("tok"))
@@ -1265,6 +1276,13 @@ object TextOps {
           .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
           .withColumn("rating",
             when(col("tf") >= 3, 2L).when(col("tf") >= 2, 1L).otherwise(0L))
+          // doc lengths joined in BEFORE the checkpoint: the naive
+          // ranker needs n_chars only for JUDGED docs, so the join is
+          // judgment-sized and every downstream reference replans only
+          // checkpoint-fed operators — zero corpus scans after the one
+          // materialization.
+          .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+          .localCheckpoint(true)
         // the ranking UNDER EVALUATION: a deliberately naive
         // shortest-document-first retrieval, top-N per query by
         // (n_chars asc, doc_id). r20 gate-liveness audit: the old
@@ -1276,8 +1294,7 @@ object TextOps {
         // independent judgments; the naive ranker makes every metric
         // branch live at every SF (spark@sf0.1 even hits the
         // zero-relevant page → the 0.0 fallbacks).
-        val lens = docs(s, dir).select(col("doc_id"), col("n_chars"))
-        val ranked = tf.join(lens, "doc_id")
+        val ranked = tf
           .groupBy("term")
           .agg(graft.expr.VecFunctions.topk_by_score(
             col("doc_id"), -col("n_chars").cast("double"), evalTopN).as("top"))
@@ -1285,6 +1302,10 @@ object TextOps {
           .select(col("term"), col("col.id").as("doc_id"),
             (col("pos") + 1).cast("long").as("rank"))
           .join(tf.select("term", "doc_id", "rating"), Seq("term", "doc_id"))
+        // ranked is referenced three times (dcg, prec, mrr) but its
+        // subtree above the tf checkpoint is judged-set-sized — the
+        // replans are cheap, and leaving it live keeps the bounded
+        // top-k aggregate in the locked physical plan (PlanSpec).
         // integer-micros DCG terms: gain·ln(2)/ln(rank+1)
         def dcgMicro(rankCol: String): org.apache.spark.sql.Column =
           round((pow(lit(2.0), col("rating")) - 1.0) * log(lit(2.0))

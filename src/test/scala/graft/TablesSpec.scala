@@ -65,6 +65,41 @@ class TablesSpec extends SparkSpec {
     assert(drift.head(1).isEmpty, "tsMicros and ts_ms disagree")
   }
 
+  test("catalog cache: recursive resolution through cached() never throws (r21)") {
+    // Regression lock for the computeIfAbsent "Recursive update" bug:
+    // a derived view's build resolves its BASE table through the same
+    // map (accessLog → events), and ConcurrentHashMap.computeIfAbsent
+    // throws IllegalStateException when the recursive call lands in
+    // the same hash bin — nondeterministically. cached() now uses
+    // get + putIfAbsent; this test forces MANY recursive resolutions
+    // (every one of which could collide) and asserts both that nothing
+    // throws and that repeated resolution returns the identical plan
+    // object (the whole point of the catalog).
+    (1 to 64).foreach { i =>
+      val outer = Tables.cached(spark, sfDir, s"spec#outer$i", statName = "events") {
+        // recursive: the build itself resolves another cached entry
+        Tables.cached(spark, sfDir, s"spec#inner$i", statName = "events")(
+          Tables.events(spark, sfDir)).select(col("event_id"))
+      }
+      assert(outer ne null)
+    }
+    val a = Tables.table(spark, sfDir, "events")
+    val b = Tables.table(spark, sfDir, "events")
+    assert(a eq b, "repeated table resolution must return the cached plan object")
+  }
+
+  test("catalog cache: executions still scan the files (no result caching)") {
+    // the catalog holds READ PLANS only — two executions of the same
+    // cached frame recompute from parquet (different action, same rows)
+    val df = Tables.events(spark, sfDir)
+    assert(df.count() == df.count())
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => r
+    }.isEmpty)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "cached() must never introduce an InMemoryRelation (that would cache DATA)")
+  }
+
   test("eventsDt twin: same rows, dt is a DATE partition column equal to date(tsu)") {
     val ev = Tables.events(spark, sfDir)
     val twin = Tables.eventsDt(spark, sfDir)
