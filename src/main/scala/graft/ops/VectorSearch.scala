@@ -558,7 +558,11 @@ object VectorSearch {
   val multimodalAhashOp = QueryDef(
     "ns_multimodal_ahash",
     (s, dir) => {
-      val chunks = Tables.documents(s, dir)
+      // Par.spread (r21, guide §2.5): the per-CHARACTER posexplode
+      // (|corpus| × doc length rows) plus its partial aggregation ran
+      // in the single scan task (ProfileBench: 572 ms exec on 5
+      // tasks); passthrough on wide scans at scale.
+      val chunks = Par.spread(s, Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), length(col("text")).cast("long").as("len"),
           posexplode(split(col("text"), "")))
         .filter(col("col") =!= "")
