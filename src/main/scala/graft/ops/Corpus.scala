@@ -189,6 +189,14 @@ object Corpus {
       // elsewhere: ns_cat_indices' docs_empty)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), expr(symSparkSql).as("s"))
+      // materialize the ROUND-0 working corpus (r21): symbolization is
+      // a per-CHARACTER regexp_replace, and every round's collect
+      // re-derived it from parquet until the first cadence checkpoint
+      // (rounds 1..checkpointEvery paid it repeatedly). This is the
+      // same working-state materialization the checkpointEvery cadence
+      // below already endorses, applied at round 0; CorpusSpec pins
+      // checkpointed ≡ unchackpointed output.
+      .localCheckpoint(true)
     val learned = (1 to rounds).map { k =>
       val syms = split(col("s"), "\\|")
       val top = corpus
