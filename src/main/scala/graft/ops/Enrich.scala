@@ -596,15 +596,21 @@ object Enrich {
   val csvOp = QueryDef(
     "np_csv", { (s, dir) =>
       val rx = "^([^,]*),([^,]*),\"([^\"]*)\",(.*)$"
+      // one regex pass for all four target fields (r22): four
+      // regexp_extract calls over the same pattern are four full matches
+      // per row — RegExpExtractStruct shares the identical no-match
+      // convention ("" everywhere), so results are unchanged
       al(s, dir)
         .withColumn("csv_line",
           concat(col("ip"), lit(","), col("method"), lit(",\""), col("xff"),
             lit("\","), col("status")))
+        .withColumn("_c", graft.expr.GrokFunctions.regexp_extract_struct(
+          col("csv_line"), rx, Seq("src_ip", "http_method", "fwd", "st")))
         .select(col("event_id"),
-          regexp_extract(col("csv_line"), rx, 1).as("src_ip"),
-          regexp_extract(col("csv_line"), rx, 2).as("http_method"),
-          regexp_extract(col("csv_line"), rx, 3).as("fwd"),
-          regexp_extract(col("csv_line"), rx, 4).cast("long").as("st"))
+          col("_c.src_ip").as("src_ip"),
+          col("_c.http_method").as("http_method"),
+          col("_c.fwd").as("fwd"),
+          col("_c.st").cast("long").as("st"))
     },
     Some(Synth.withAccessLog(
       """SELECT event_id,

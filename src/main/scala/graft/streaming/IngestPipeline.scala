@@ -131,8 +131,14 @@ object IngestPipeline {
       // url.domain falls back to destination.domain when the document
       // carries one (axway-ingest.json:18–24)
       .withColumn("url_original", ifm(g.getField("request_url")))
-      .withColumn("url_path", regexp_extract(col("url_original"), "^([^?]*)", 1))
-      .withColumn("url_query", nullif(regexp_extract(col("url_original"), "\\?(.*)$", 1), lit("")))
+      // path+query in ONE regex pass (r22): the optional group carries
+      // its own $ anchor so a query that fails it (e.g. a newline past
+      // the '?') leaves the group non-participating — "" — exactly what
+      // the separate regexp_extract(url, "\?(.*)$") produced
+      .withColumn("_pq", regexp_extract_struct(col("url_original"),
+        "^([^?]*)(?:\\?(.*)$)?", Seq("path", "query")))
+      .withColumn("url_path", col("_pq.path"))
+      .withColumn("url_query", nullif(col("_pq.query"), lit("")))
       .withColumn("url_ext", nullif(regexp_extract(col("url_path"), "\\.([a-z0-9]+)$", 1), lit("")))
       .withColumn("url_domain",
         when(isAxway, nullif(
@@ -196,6 +202,6 @@ object IngestPipeline {
           .withColumn("as_number", lit(null).cast("long"))
           .withColumn("organization_name", lit(null).cast("string"))
     }
-    geoed.drop("_line", "_g", "_m", "_sslp")
+    geoed.drop("_line", "_g", "_m", "_sslp", "_pq")
   }
 }
