@@ -547,11 +547,17 @@ object TextOps {
         val uni = toks.select(explode(when(size(col("t")) >= 1, col("t"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
         val n1 = uni.agg(sum("c").as("n1"))
+        // bigrams via zipped shifted slices (r22): the explode(sequence)
+        // form emits (i, t) rows — the FULL token array is copied into
+        // every per-position output row, O(L²) bytes per document
+        // through the Generate. Zipping the two shifted slices first
+        // emits narrow (w1, w2) structs instead, O(L) — same pairs,
+        // same counts, all codegen expressions.
         val big = toks
-          .select(explode(when(size(col("t")) >= 2,
-            sequence(lit(1), size(col("t")) - 1))).as("i"), col("t"))
-          .select(element_at(col("t"), col("i")).as("w1"),
-            element_at(col("t"), col("i") + 1).as("w2"))
+          .select(explode(when(size(col("t")) >= 2, arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
           .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
         val n2 = big.agg(sum("c_ab").as("n2"))
         big.filter(col("c_ab") >= collocMinCount)
